@@ -1,0 +1,455 @@
+"""TF-IDF document vectorization — the reference's flagship computation,
+re-expressed as declarative DataFrame plans (SURVEY.md §3.1-3.2 redesigns).
+
+Semantic fidelity notes (quirks from SURVEY.md §2.9, all preserved):
+
+* Q1  — the worker's candidate filter ``{flag: {"$ne": True}}`` matches
+        false **and missing** (/root/reference/worker.py:99). The fixture has
+        no job-flag column, so the engine derives a deterministic tri-state
+        flag (true/false/NULL by doc_id % 3) and filters with
+        ``IS DISTINCT FROM TRUE`` — never a plain ``!=``.
+* Q2  — "IDF" uses **collection frequency** (every occurrence counts, not
+        per-document presence): ``vocabs[token] += 1`` at
+        /root/reference/tfidf-calculator/calculate_idf_scores.py:48-50.
+        MLlib's IDF (doc-frequency, ln, smoothing) would be wrong here.
+* Q3  — zero-occurrence vocab words get sentinel −1, then every idf ≤ 0
+        (sentinels AND genuine negatives) is replaced by the global min
+        computed over sentinel-included values
+        (calculate_idf_scores.py:74-77).
+* Q4  — known_tokens_ratio = (#distinct vocab tokens in doc) /
+        (total token occurrences incl. OOV) (/root/reference/worker.py:52,84,91).
+* Q5  — tokenizer = lowercase + whitespace split only; no stopword or
+        punctuation removal (/root/reference/worker.py:35-50).
+* Q8  — zero-token docs produce NULL vector and ratio 0.0
+        (/root/reference/worker.py:38-39,90-91).
+
+Data-model mapping onto the driver fixtures: the reference's external
+fastText vocabulary (2M words, most with zero corpus occurrences —
+enter_wordvecs.py:28-44) is modeled as {distinct corpus words passing the
+length filter} ∪ DICTIONARY_EXTRAS (literal words absent from the corpus).
+Word vectors come from the ``embeddings`` fixture via a deterministic
+portable-hash routing word -> vec_id (functions/text.py::word_bucket),
+standing in for the per-word vector lookup at worker.py:57,63-64.
+
+Scale design (100 TB): the vocabulary+idf side of every join is tiny
+relative to the token stream (≤ a few million words) → broadcast it; the
+token stream aggregates per (doc_id, word) BEFORE joining (map-side combine
+shrinks Zipfian skew); the 64-dim expansion happens AFTER the per-(doc,vec)
+weight aggregation so the explode multiplies the smallest possible relation.
+AQE skew-join handles residual hot keys ('the', 'a', ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import text as T
+
+# Vocabulary membership: the reference drops "garbage" words by length
+# (enter_wordvecs.py:36-37, ``len >= 100``). The fixture corpus has no
+# 100-char words, so the engine's length gate keeps words of length >= 3 —
+# same operator shape, a cut that actually fires on this corpus ('a' -> OOV).
+MIN_WORD_LEN = 3
+
+# fastText-vocab analog: dictionary entries that have vectors but zero
+# corpus occurrences -> IDF sentinel path (Q3).
+DICTIONARY_EXTRAS = ("catalyst", "tungsten", "shuffle", "parquet", "executor")
+
+# Corpus-eligibility threshold for the IDF job: >= 15 words of the target
+# language (calculate_idf_scores.py:31).
+ELIGIBLE_MIN_TOKENS = 15
+
+IDF_SENTINEL = -1.0
+
+
+# ---------------------------------------------------------------------------
+# derived job flag (Q1 stand-in)
+# ---------------------------------------------------------------------------
+
+def vectorized_flag(doc_id: str | Column = "doc_id") -> Column:
+    """Deterministic tri-state job flag: doc_id%3 -> 0:true 1:false 2:NULL."""
+    c = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return (
+        F.when(c % 3 == 0, F.lit(True))
+        .when(c % 3 == 1, F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+VECTORIZED_FLAG_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN TRUE"
+    " WHEN doc_id % 3 = 1 THEN FALSE"
+    " ELSE NULL END"
+)
+
+# Q1: IS DISTINCT FROM TRUE (matches false AND NULL), never `<> TRUE`.
+NEEDS_VECTOR_SQL = f"({VECTORIZED_FLAG_SQL}) IS DISTINCT FROM TRUE"
+
+
+def needs_vector(doc_id: str | Column = "doc_id") -> Column:
+    flag = vectorized_flag(doc_id)
+    return (flag != F.lit(True)) | flag.isNull()
+
+
+# ---------------------------------------------------------------------------
+# token stream
+# ---------------------------------------------------------------------------
+
+def doc_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, word) — one row per token occurrence (Q5 tokenizer)."""
+    return documents.select(
+        "doc_id", F.explode(T.tokens("text")).alias("word")
+    )
+
+
+def term_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, word, cnt) — per-doc term counts (A3, worker.py:42-46).
+    This is the map-side-combinable aggregation that shrinks the token
+    stream before any join."""
+    return doc_tokens(documents).groupBy("doc_id", "word").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def term_frequency(documents: DataFrame) -> DataFrame:
+    """(doc_id, word, cnt, total_tokens, tf) — tf = cnt / total occurrences
+    including repeats (A4, worker.py:49-52). total comes from F.size on the
+    token array (cheap, no second shuffle)."""
+    totals = documents.select(
+        "doc_id", T.token_count("text").alias("total_tokens")
+    )
+    return (
+        term_counts(documents)
+        .join(totals, "doc_id")
+        .withColumn(
+            "tf",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("cnt").cast("double") / F.col("total_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+TOKENS_SQL = (
+    "SELECT doc_id, unnest({toks}) AS word FROM documents"
+).format(toks=T.tokens_sql("text"))
+
+TERM_COUNTS_SQL = (
+    f"SELECT doc_id, word, count(*) AS cnt FROM ({TOKENS_SQL}) GROUP BY doc_id, word"
+)
+
+TOTALS_SQL = (
+    "SELECT doc_id, {n} AS total_tokens FROM documents"
+).format(n=T.token_count_sql("text"))
+
+TERM_FREQUENCY_SQL = f"""
+SELECT tc.doc_id, tc.word, tc.cnt, tot.total_tokens,
+       CASE WHEN tot.total_tokens > 0
+            THEN CAST(tc.cnt AS DOUBLE) / tot.total_tokens
+            ELSE 0.0 END AS tf
+FROM ({TERM_COUNTS_SQL}) tc
+JOIN ({TOTALS_SQL}) tot USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary (the word-vectors dimension table, enter_wordvecs.py analog)
+# ---------------------------------------------------------------------------
+
+def vocabulary(documents: DataFrame) -> DataFrame:
+    """(word) — distinct corpus words passing the length gate
+    (enter_wordvecs.py:34-37) UNION dictionary extras never seen in the
+    corpus (fastText vocab ⊃ corpus vocab)."""
+    spark = documents.sparkSession
+    corpus_words = (
+        doc_tokens(documents)
+        .select("word")
+        .where(F.length("word") >= MIN_WORD_LEN)
+        .distinct()
+    )
+    extras = spark.createDataFrame([(w,) for w in DICTIONARY_EXTRAS], ["word"])
+    return corpus_words.unionByName(extras).distinct()
+
+
+def _extras_values_sql() -> str:
+    return ", ".join(f"('{w}')" for w in DICTIONARY_EXTRAS)
+
+
+VOCABULARY_SQL = f"""
+SELECT DISTINCT word FROM (
+  SELECT word FROM ({TOKENS_SQL}) WHERE length(word) >= {MIN_WORD_LEN}
+  UNION ALL
+  SELECT * FROM (VALUES {_extras_values_sql()}) extras(word)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# IDF job (calculate_idf_scores.py redesign, SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+
+def eligible_docs(documents: DataFrame, lang: str) -> DataFrame:
+    """Docs with >= ELIGIBLE_MIN_TOKENS tokens of the target language —
+    the $elemMatch eligibility filter (calculate_idf_scores.py:31)."""
+    return documents.where(
+        (F.col("lang") == lang) & (T.token_count("text") >= ELIGIBLE_MIN_TOKENS)
+    )
+
+
+def idf_table(documents: DataFrame, lang: str) -> DataFrame:
+    """(word, occurrences, idf) for every vocabulary word.
+
+    occurrences = TOTAL occurrences across eligible docs (Q2 — collection
+    frequency, calculate_idf_scores.py:45-50); idf = log10(N/occ) with
+    sentinel −1 on occ=0, then global-min replacement of every idf ≤ 0
+    (Q3, calculate_idf_scores.py:74-77). The global min is a window over the
+    unpartitioned frame — one tiny extra exchange on an already-small
+    (vocab-sized) relation.
+    """
+    eligible = eligible_docs(documents, lang)
+    n_docs = eligible.count()  # TOTAL_POSTS, calculate_idf_scores.py:74
+    occs = (
+        doc_tokens(eligible)
+        .groupBy("word")
+        .agg(F.count("*").alias("occurrences"))
+    )
+    vocab = vocabulary(documents)
+    raw = (
+        vocab.join(occs, "word", "left")
+        .na.fill({"occurrences": 0})
+        .withColumn(
+            "idf_raw",
+            F.when(
+                F.col("occurrences") > 0,
+                F.log10(F.lit(float(n_docs)) / F.col("occurrences")),
+            ).otherwise(F.lit(IDF_SENTINEL)),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    min_idf = F.min("idf_raw").over(Window.partitionBy())
+    return raw.select(
+        "word",
+        "occurrences",
+        F.when(F.col("idf_raw") > 0, F.col("idf_raw"))
+        .otherwise(min_idf)
+        .alias("idf"),
+    )
+
+
+def eligible_docs_sql(lang: str) -> str:
+    return (
+        f"SELECT * FROM documents WHERE lang = '{lang}'"
+        f" AND {T.token_count_sql('text')} >= {ELIGIBLE_MIN_TOKENS}"
+    )
+
+
+def idf_table_sql(lang: str) -> str:
+    """DuckDB twin of :func:`idf_table` (N inlined as a scalar subquery)."""
+    eligible = eligible_docs_sql(lang)
+    return f"""
+WITH eligible AS ({eligible}),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM eligible),
+tok AS (SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM eligible),
+occ AS (SELECT word, count(*) AS occurrences FROM tok GROUP BY word),
+vocab AS ({VOCABULARY_SQL}),
+raw AS (
+  SELECT v.word,
+         COALESCE(o.occurrences, 0) AS occurrences,
+         CASE WHEN COALESCE(o.occurrences, 0) > 0
+              THEN log10((SELECT n_docs FROM n) / COALESCE(o.occurrences, 0))
+              ELSE {IDF_SENTINEL} END AS idf_raw
+  FROM vocab v LEFT JOIN occ o USING (word)
+)
+SELECT word, occurrences,
+       CASE WHEN idf_raw > 0 THEN idf_raw
+            ELSE min(idf_raw) OVER () END AS idf
+FROM raw
+"""
+
+
+# ---------------------------------------------------------------------------
+# word-vector lookup table (vocab ⋈ embeddings via portable hash routing)
+# ---------------------------------------------------------------------------
+
+def word_vectors(documents: DataFrame, embeddings: DataFrame, lang: str) -> DataFrame:
+    """(word, idf, vec_id, embedding) — the engine's
+    ``fasttext.word-vectors-{lang}`` table (worker.py:57 projection
+    {vector:1, idf:1}). vec_id = portable_hash(word) % |embeddings|."""
+    n_vecs = embeddings.count()
+    idf = idf_table(documents, lang)
+    keyed = idf.withColumn("vec_id", T.word_bucket("word", n_vecs))
+    return keyed.join(F.broadcast(embeddings.select("vec_id", "embedding")), "vec_id")
+
+
+def word_vectors_sql(lang: str) -> str:
+    return f"""
+SELECT i.word, i.idf, e.vec_id, e.embedding
+FROM ({idf_table_sql(lang)}) i
+JOIN embeddings e
+  ON e.vec_id = {T.word_bucket_sql('i.word', '(SELECT count(*) FROM embeddings)')}
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc vectors — the flagship (worker.py:76-94 redesign, SURVEY.md §3.1)
+# ---------------------------------------------------------------------------
+
+def doc_vectors(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    lang: str = "en",
+    apply_flag_filter: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(doc_id, dim, component) — TF-IDF-weighted document vectors in long
+    (oracle-checkable) form: component = Σ_w tf_w · idf_w · vec_w[dim]
+    (worker.py:77-84).
+
+    Plan shape, chosen for 100 TB (see module docstring):
+      1. candidate docs: lang + Q1 flag filter — both pushed to the scan;
+      2. per-(doc,word) tf (map-side combinable groupBy);
+      3. broadcast-join the word->(idf, vec_id) table (vocab-sized);
+      4. pre-aggregate weight = Σ tf·idf per (doc_id, vec_id) — hash
+         collisions of the word routing sum BEFORE the dim expansion;
+      5. join embeddings on vec_id, posexplode to (dim, val);
+      6. final groupBy (doc_id, dim) — the only row-multiplying step happens
+         on the already-aggregated relation.
+    """
+    docs = documents.where(F.col("lang") == lang)
+    if apply_flag_filter:
+        docs = docs.where(needs_vector("doc_id"))
+
+    tf = term_frequency(docs)
+    wv = word_vectors(documents, embeddings, lang).select("word", "idf", "vec_id")
+    weights = (
+        tf.join(F.broadcast(wv), "word")
+        .groupBy("doc_id", "vec_id")
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("weight"))
+    )
+    exploded = (
+        weights.join(F.broadcast(embeddings.select("vec_id", "embedding")), "vec_id")
+        .select("doc_id", "weight", F.posexplode("embedding").alias("dim", "val"))
+    )
+    return (
+        exploded.groupBy("doc_id", "dim")
+        .agg(
+            F.round(F.sum(F.col("weight") * F.col("val").cast("double")), round_digits)
+            .alias("component")
+        )
+    )
+
+
+def doc_vectors_sql(
+    lang: str = "en", apply_flag_filter: bool = True, round_digits: int = 6
+) -> str:
+    flag = f"AND {NEEDS_VECTOR_SQL}" if apply_flag_filter else ""
+    return f"""
+WITH candidates AS (
+  SELECT * FROM documents WHERE lang = '{lang}' {flag}
+),
+tok AS (SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM candidates),
+tc AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word),
+tot AS (SELECT doc_id, {T.token_count_sql('text')} AS total_tokens FROM candidates),
+tf AS (
+  SELECT tc.doc_id, tc.word,
+         CASE WHEN tot.total_tokens > 0
+              THEN CAST(tc.cnt AS DOUBLE) / tot.total_tokens ELSE 0.0 END AS tf
+  FROM tc JOIN tot USING (doc_id)
+),
+idf AS ({idf_table_sql(lang)}),
+wv AS (
+  SELECT i.word, i.idf,
+         {T.word_bucket_sql('i.word', '(SELECT count(*) FROM embeddings)')} AS vec_id
+  FROM idf i
+),
+weights AS (
+  SELECT tf.doc_id, wv.vec_id, sum(tf.tf * wv.idf) AS weight
+  FROM tf JOIN wv USING (word)
+  GROUP BY tf.doc_id, wv.vec_id
+),
+expanded AS (
+  SELECT w.doc_id,
+         generate_subscripts(e.embedding, 1) - 1 AS dim,
+         w.weight * CAST(unnest(e.embedding) AS DOUBLE) AS term
+  FROM weights w JOIN embeddings e USING (vec_id)
+)
+SELECT doc_id, dim, round(sum(term), {round_digits}) AS component
+FROM expanded
+GROUP BY doc_id, dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc profile — known_tokens_ratio + NULL-vector marker (Q4/Q8)
+# ---------------------------------------------------------------------------
+
+def doc_profile(
+    documents: DataFrame,
+    lang: str = "en",
+    apply_flag_filter: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(doc_id, known_tokens, total_tokens, known_tokens_ratio, has_vector).
+
+    numerator = DISTINCT vocab tokens present (worker.py:84 — one bump per
+    TF key); denominator = TOTAL occurrences incl. OOV (worker.py:52);
+    guarded division (worker.py:91); has_vector=false marks the NULL-vector
+    docs of Q8 (known_tokens = 0 -> worker.py:90 writes None).
+    """
+    docs = documents.where(F.col("lang") == lang)
+    if apply_flag_filter:
+        docs = docs.where(needs_vector("doc_id"))
+    totals = docs.select("doc_id", T.token_count("text").alias("total_tokens"))
+    vocab = vocabulary(documents)
+    knowns = (
+        doc_tokens(docs)
+        .join(F.broadcast(vocab), "word", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("word").alias("known_tokens"))
+    )
+    return (
+        totals.join(knowns, "doc_id", "left")
+        .na.fill({"known_tokens": 0})
+        .select(
+            "doc_id",
+            "known_tokens",
+            "total_tokens",
+            F.round(
+                F.when(
+                    F.col("total_tokens") > 0,
+                    F.col("known_tokens").cast("double") / F.col("total_tokens"),
+                ).otherwise(F.lit(0.0)),
+                round_digits,
+            ).alias("known_tokens_ratio"),
+            (F.col("known_tokens") > 0).alias("has_vector"),
+        )
+    )
+
+
+def doc_profile_sql(
+    lang: str = "en", apply_flag_filter: bool = True, round_digits: int = 6
+) -> str:
+    flag = f"AND {NEEDS_VECTOR_SQL}" if apply_flag_filter else ""
+    return f"""
+WITH candidates AS (
+  SELECT * FROM documents WHERE lang = '{lang}' {flag}
+),
+tot AS (SELECT doc_id, {T.token_count_sql('text')} AS total_tokens FROM candidates),
+tok AS (SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM candidates),
+vocab AS ({VOCABULARY_SQL}),
+known AS (
+  SELECT doc_id, count(DISTINCT word) AS known_tokens
+  FROM tok WHERE word IN (SELECT word FROM vocab)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(k.known_tokens, 0) AS known_tokens,
+       t.total_tokens,
+       round(CASE WHEN t.total_tokens > 0
+                  THEN CAST(COALESCE(k.known_tokens, 0) AS DOUBLE) / t.total_tokens
+                  ELSE 0.0 END, {round_digits}) AS known_tokens_ratio,
+       COALESCE(k.known_tokens, 0) > 0 AS has_vector
+FROM tot t LEFT JOIN known k ON t.doc_id = k.doc_id
+"""

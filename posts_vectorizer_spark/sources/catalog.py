@@ -1,0 +1,48 @@
+"""Table catalog over the driver's parquet fixtures.
+
+The reference's "catalog" is a pair of MongoDB collections addressed by name
+(/root/reference/worker.py:14-16, 57) with server-side filter/projection
+pushdown. Here every table is a parquet directory scan; Catalyst pushes
+filters and column pruning into the scan (SURVEY.md §4 O1/O2), so
+``load_table(...).filter(...).select(...)`` has the same
+"only ship what you need" property with zero custom code.
+
+At 100 TB these same call sites work unchanged: parquet path -> partitioned
+cloud storage, and partition pruning on a partition column (e.g. ``lang`` or a
+date) composes with the pushed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Every fixture table the driver materializes (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Filters/projects applied by the caller are
+    pushed into this scan by Catalyst — do not pre-collect or cache here."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works against the
+    same names the DuckDB oracle uses."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
