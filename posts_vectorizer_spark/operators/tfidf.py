@@ -203,9 +203,11 @@ def idf_table(documents: DataFrame, lang: str) -> DataFrame:
     occurrences = TOTAL occurrences across eligible docs (Q2 — collection
     frequency, calculate_idf_scores.py:45-50); idf = log10(N/occ) with
     sentinel −1 on occ=0, then global-min replacement of every idf ≤ 0
-    (Q3, calculate_idf_scores.py:74-77). The global min is a window over the
-    unpartitioned frame — one tiny extra exchange on an already-small
-    (vocab-sized) relation.
+    (Q3, calculate_idf_scores.py:74-77). The global min (computed over
+    sentinel-INCLUDED values — preserve the code's behavior, not the
+    comment's intent) is applied via a broadcast cross join of the 1-row
+    aggregate: unlike an unpartitioned window, this keeps the vocab relation
+    fully parallel at 100 TB vocab sizes.
     """
     eligible = eligible_docs(documents, lang)
     n_docs = eligible.count()  # TOTAL_POSTS, calculate_idf_scores.py:74
@@ -226,14 +228,12 @@ def idf_table(documents: DataFrame, lang: str) -> DataFrame:
             ).otherwise(F.lit(IDF_SENTINEL)),
         )
     )
-    from pyspark.sql.window import Window
-
-    min_idf = F.min("idf_raw").over(Window.partitionBy())
-    return raw.select(
+    min_df = raw.agg(F.min("idf_raw").alias("min_idf_raw"))
+    return raw.crossJoin(F.broadcast(min_df)).select(
         "word",
         "occurrences",
         F.when(F.col("idf_raw") > 0, F.col("idf_raw"))
-        .otherwise(min_idf)
+        .otherwise(F.col("min_idf_raw"))
         .alias("idf"),
     )
 

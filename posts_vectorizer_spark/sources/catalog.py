@@ -14,7 +14,7 @@ date) composes with the pushed filters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # Every fixture table the driver materializes (TESTDATA.md).
 TABLES = (
@@ -33,7 +33,18 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projects applied by the caller are
-    pushed into this scan by Catalyst — do not pre-collect or cache here."""
+    pushed into this scan by Catalyst — do not pre-collect or cache here.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. Read it as raw nanos
+    (``nanosAsLong``) and truncate to microseconds — the same truncation
+    DuckDB applies when it coerces TIMESTAMP_NS to its native
+    microsecond TIMESTAMP, so both engines see identical instants.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
