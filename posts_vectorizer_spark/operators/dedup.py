@@ -1,8 +1,364 @@
 """Deduplication operators (Tier C, BASELINE.json north star).
 
-Filled in incrementally: exact dedup, n-gram Jaccard, SimHash, MinHash+LSH,
-embedding-cosine near-dup. Portable-hash based so the [Q] variants
-oracle-match DuckDB; MLlib MinHashLSH is the [R] scale path.
+Exact dedup, word-shingle Jaccard near-dup, SimHash, and a portable
+MinHash+LSH (band-bucket candidate generation -> exact Jaccard verify).
+Everything is hash-groupBy / join shaped — the patterns that scale to 100 TB:
+
+* exact:    fingerprint (8 bytes) -> groupBy — never shuffles full texts.
+* MinHash:  per-doc signatures via k portable hash functions, banded so
+            candidate generation is an equi-join on band values (shuffle
+            proportional to #docs × #bands, NOT #docs²).
+* SimHash:  one 24-bit signature per doc; near-dup = small Hamming distance.
+* Jaccard:  exact verification ONLY over candidate pairs.
+
+All hashes are the engine's portable polynomial hashes
+(functions/text.py) so every stage is DuckDB-checkable; MLlib's
+MinHashLSH/approxSimilarityJoin is the [R]-checked alternative
+(tests/test_dedup.py) — same algorithm, library implementation.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+
+# MinHash parameters: k = BANDS * ROWS_PER_BAND hash functions.
+# h_i(w) = (A[i] * char_hash(w) + B[i]) % MINHASH_P
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne)
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+_A = (1013, 2843, 4691, 6869, 8923, 10_663, 12_923, 15_217,
+      17_909, 19_379, 21_649, 23_801, 25_951, 27_943, 29_989, 31_991)
+_B = (377, 1597, 2731, 3989, 5237, 6571, 7919, 9311,
+      10_733, 12_157, 13_591, 15_013, 16_447, 17_881, 19_319, 20_747)
+
+SIMHASH_BITS = 24
+JACCARD_THRESHOLD = 0.5
+SHINGLE_N = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_keep_first(documents: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint, is_canonical) — keep-first exact dedup keyed on
+    the 8-byte text fingerprint (never shuffles the text payload). Canonical
+    row = lowest doc_id per fingerprint (deterministic)."""
+    fp = documents.select("doc_id", T.char_hash("text").alias("fingerprint"))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return fp.withColumn("is_canonical", F.row_number().over(w) == 1)
+
+
+EXACT_KEEP_FIRST_SQL = f"""
+WITH fp AS (SELECT doc_id, {T.char_hash_sql('text')} AS fingerprint FROM documents)
+SELECT doc_id, fingerprint,
+       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1 AS is_canonical
+FROM fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct word sets (shared by Jaccard / MinHash)
+# ---------------------------------------------------------------------------
+
+def _doc_words(documents: DataFrame) -> DataFrame:
+    return (
+        documents.select("doc_id", F.explode(T.tokens("text")).alias("word"))
+        .distinct()
+    )
+
+
+_DOC_WORDS_SQL = (
+    "SELECT DISTINCT doc_id, unnest({t}) AS word FROM documents"
+).format(t=T.tokens_sql("text"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (portable, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}) — k min-hash values over the doc's distinct
+    word set. One explode + one groupBy with k min() aggregates: partial
+    aggregation makes this a single shuffle of doc-count rows."""
+    words = _doc_words(documents).withColumn("wh", T.char_hash("word"))
+    aggs = [
+        F.min((F.col("wh") * a + b) % MINHASH_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(zip(_A, _B))
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql() -> str:
+    sigs = ",\n       ".join(
+        f"min((wh * {a} + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(zip(_A, _B))
+    )
+    return f"""
+WITH words AS (SELECT doc_id, word FROM ({_DOC_WORDS_SQL})),
+hashed AS (SELECT doc_id, {T.char_hash_sql('word')} AS wh FROM words)
+SELECT doc_id, {sigs}
+FROM hashed GROUP BY doc_id
+"""
+
+
+def _band_expr(band: int) -> F.Column:
+    cols = [
+        F.col(f"sig_{band * MINHASH_ROWS + r}").cast("string")
+        for r in range(MINHASH_ROWS)
+    ]
+    return F.concat_ws(":", *cols)
+
+
+def minhash_candidates(documents: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs: docs sharing at least one LSH band.
+    The equi-join on (band_id, band_value) is the whole trick — shuffle cost
+    is #docs × #bands, never #docs²."""
+    sigs = minhash_signatures(documents)
+    bands = None
+    for band in range(MINHASH_BANDS):
+        b = sigs.select(
+            "doc_id",
+            F.lit(band).alias("band_id"),
+            _band_expr(band).alias("band_value"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_value"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_candidates_sql() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {band} AS band_id, {expr} AS band_value FROM sigs".format(
+            band=band,
+            expr=" || ':' || ".join(
+                f"CAST(sig_{band * MINHASH_ROWS + r} AS VARCHAR)"
+                for r in range(MINHASH_ROWS)
+            ),
+        )
+        for band in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sigs AS ({minhash_signatures_sql()}),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band_id, band_value)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def jaccard_verify(documents: DataFrame, pairs: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Exact word-set Jaccard for the given (doc_a, doc_b) pairs only."""
+    words = _doc_words(documents)
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "word")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "word")
+    inter = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "word"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                round_digits,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Full pipeline: LSH candidates -> exact Jaccard -> threshold filter."""
+    cands = minhash_candidates(documents)
+    return jaccard_verify(documents, cands).where(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dups_sql(threshold: float = JACCARD_THRESHOLD, round_digits: int = 6) -> str:
+    return f"""
+WITH cands AS ({minhash_candidates_sql()}),
+words AS ({_DOC_WORDS_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN words wa ON wa.doc_id = c.doc_a
+  WHERE EXISTS (SELECT 1 FROM words wb
+                WHERE wb.doc_id = c.doc_b AND wb.word = wa.word)
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.inter, 0)), {round_digits}) AS jaccard
+FROM cands c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+            / (sa.sz + sb.sz - COALESCE(i.inter, 0)), {round_digits}) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingle (word n-gram) Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def shingle_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD,
+                      round_digits: int = 6) -> DataFrame:
+    """Near-dup pairs by word-{n}-gram shingle Jaccard. Candidates = pairs
+    sharing >= 1 shingle (shingles are selective, unlike single words), then
+    exact Jaccard over shingle sets. The candidate join shuffles on shingle
+    hash — rare-key blocking, the classic dedup shape."""
+    from .textstats import ngrams
+
+    sh = (
+        ngrams(documents, SHINGLE_N)
+        .select("doc_id", T.char_hash("ngram").alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                round_digits,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def shingle_near_dups_sql(threshold: float = JACCARD_THRESHOLD, round_digits: int = 6) -> str:
+    from .textstats import ngrams_sql
+
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {T.char_hash_sql('ngram')} AS sh
+  FROM ({ngrams_sql(SHINGLE_N)})
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), {round_digits}) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), {round_digits}) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — {SIMHASH_BITS}-bit SimHash over word counts: each
+    bit is the sign of the count-weighted ±1 vote of that bit of the word's
+    portable hash. One explode + groupBy(doc, word) + groupBy(doc)."""
+    counts = (
+        documents.select("doc_id", F.explode(T.tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("wh", T.char_hash("word"))
+    )
+    bit_sums = counts.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.floor(F.col("wh") / (2 ** b)) % 2) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"s_{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_sql() -> str:
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN floor(wh / {2 ** b}) % 2 = 1 THEN cnt ELSE -cnt END) AS s_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH counts AS (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+hashed AS (SELECT doc_id, cnt, {T.char_hash_sql('word')} AS wh FROM counts),
+bit_sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bit_sums
+"""
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+    Blocked on the top half of the signature (docs differing only in low
+    bits still collide) to avoid the all-pairs cross join at scale."""
+    sh = simhash(documents)
+    half = 2 ** (SIMHASH_BITS // 2)
+    blocked = sh.withColumn("block", F.floor(F.col("simhash") / half))
+    a = blocked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block")
+    b = blocked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_dups_sql(max_hamming: int = 3) -> str:
+    half = 2 ** (SIMHASH_BITS // 2)
+    return f"""
+WITH sh AS ({simhash_sql()}),
+blocked AS (SELECT doc_id, simhash, CAST(floor(simhash / {half}) AS BIGINT) AS block FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM blocked a JOIN blocked b USING (block)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

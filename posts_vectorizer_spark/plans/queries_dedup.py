@@ -1,0 +1,55 @@
+"""Dedup queries (Tier C — SURVEY.md §2.12-1/2, BASELINE.json)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup
+from ..sources import load_table
+from .registry import register
+
+
+@register("dedup_exact_keep_first", oracle=dedup.EXACT_KEEP_FIRST_SQL)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the 8-byte text fingerprint; canonical = lowest doc_id
+    per group (deterministic keep-first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_keep_first(docs)
+
+
+@register("dedup_minhash_signatures", oracle=dedup.minhash_signatures_sql())
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-function MinHash signatures over distinct word sets (portable
+    hashes — every stage oracle-checkable, unlike murmur-based MLlib)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs)
+
+
+@register("dedup_minhash_near_dups", oracle=dedup.minhash_near_dups_sql())
+def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH end-to-end: banded candidate join (shuffle ∝ docs×bands,
+    not docs²) -> exact Jaccard verify -> threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(docs)
+
+
+@register("dedup_shingle_jaccard", oracle=dedup.shingle_near_dups_sql())
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram shingle Jaccard near-dup (shingle-sharing candidate
+    blocking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_near_dups(docs)
+
+
+@register("dedup_simhash", oracle=dedup.simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit SimHash signatures (count-weighted bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+@register("dedup_simhash_near_dups", oracle=dedup.simhash_near_dups_sql())
+def dedup_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3, high-bits blocking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs)

@@ -1,0 +1,147 @@
+"""Event-stream analytics in batch mode (SURVEY.md §2.10 ST6).
+
+The same ``window()`` / ``session_window`` expressions run unchanged under
+Structured Streaming with a watermark (streaming/worker.py smoke-tests that
+path); batch mode makes them DuckDB-checkable via ``time_bucket`` and
+lag/cumsum sessionization.
+
+Windows use epoch-aligned 1-hour / 30-minute grids where Spark's origin and
+DuckDB's time_bucket origin (2000-01-01) coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: tumbling 1-hour event-time windows — in streaming this is the
+    same expression after withWatermark('ts', ...)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+WITH shifted AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '30 minutes', e.ts)
+           - k.k * INTERVAL '30 minutes' AS window_start
+  FROM events e, (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+FROM shifted
+WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+GROUP BY window_start
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: sliding window (1 hour wide, 30-minute slide) — every event lands
+    in two windows; the oracle reconstructs the same assignment by shifting
+    30-minute buckets."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '6 hours'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '6 hours' AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: session windows (6-hour inactivity gap) via the native
+    session_window expression; the oracle sessionizes with lag + cumulative
+    new-session flags. Spark's session end = last event + gap."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_first_per_key",
+    oracle="""
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+) WHERE rk = 1
+""",
+)
+def events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 (batch form): deterministic keep-first dedup per key — the
+    idempotent-upsert semantics of the worker's job flag (worker.py:92,99)
+    as a ranking window, not dropDuplicates (which keeps an arbitrary row)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type", "event_id", "ts", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )

@@ -1,0 +1,49 @@
+"""Similarity-search queries (Tier C — SURVEY.md §2.3 J6, §2.5 W3, §2.12-3).
+
+dims=64 matches the fixture embeddings; at other widths the operators take
+the dimension as a parameter (it's a config constant, like the reference's
+300 at worker.py:78).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity
+from ..sources import load_table
+from .registry import register
+
+DIMS = 64
+NEAR_DUP_COSINE = 0.3  # fixture embeddings are near-orthogonal random; 0.3 ≈ p99
+
+
+@register("sim_cosine_topk", oracle=similarity.topk_sql(5))
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector (brute force — the recall oracle
+    for any ANN variant)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk(emb, 5)
+
+
+@register("sim_cosine_near_dups", oracle=similarity.neighbors_above_sql(NEAR_DUP_COSINE))
+def sim_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs (cosine >= threshold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neighbors_above(emb, NEAR_DUP_COSINE)
+
+
+@register("sim_lsh_ann", oracle=similarity.lsh_ann_sql(DIMS, 3))
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via random-hyperplane LSH buckets + exact in-bucket
+    rerank — the 100 TB path (bucket equi-join replaces the quadratic cross
+    join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann(emb, DIMS, 3)
+
+
+@register("sim_label_centroids", oracle=similarity.LABEL_CENTROIDS_SQL)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label, long form (vector aggregation / IVF
+    training-step shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb)

@@ -1,0 +1,110 @@
+"""Text-analysis queries (Tier C — SURVEY.md §2.12-5, BASELINE.json)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import textstats
+from ..sources import load_table
+from .registry import register
+
+
+@register("text_quality_profile", oracle=textstats.quality_profile_sql())
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality scoring: token counts, distinct/stopword ratios, mean
+    token length, composite score — single scan, pure HOF expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_profile(docs)
+
+
+@register("text_fingerprints", oracle=textstats.FINGERPRINTS_SQL)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable rolling-hash document fingerprints (exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.fingerprints(docs)
+
+
+@register("text_langid", oracle=textstats.LANGID_PREDICTIONS_SQL)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes language ID from corpus unigram profiles, deterministic
+    argmax (rounded scores + lexicographic tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.langid_predictions(docs)
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH preds AS ({textstats.LANGID_PREDICTIONS_SQL})
+SELECT lang_actual, lang_predicted, CAST(count(*) AS BIGINT) AS n
+FROM preds GROUP BY lang_actual, lang_predicted
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (accuracy diagnostics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.langid_predictions(docs)
+        .groupBy("lang_actual", "lang_predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_bigram_counts",
+    oracle=f"""
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM ({textstats.ngrams_sql(2)})
+GROUP BY ngram
+HAVING count(*) >= 20
+""",
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-bigram frequencies (n-gram generation via array slicing
+    HOF, no UDF) with a HAVING floor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textstats.ngrams(docs, 2)
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 20)
+    )
+
+
+@register(
+    "text_token_stats_by_lang",
+    oracle=f"""
+WITH d AS (
+  SELECT lang,
+         {textstats.T.token_count_sql('text')} AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(round(avg(n_tokens), 6) AS DOUBLE) AS avg_tokens,
+       CAST(round(avg(n_chars), 6) AS DOUBLE) AS avg_chars,
+       CAST(round(avg(CAST(n_chars AS DOUBLE) / ceil(n_chars / 4.0)), 6) AS DOUBLE)
+         AS avg_chars_per_bpe_token
+FROM d GROUP BY lang
+""",
+)
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count statistics per language: whitespace tokens + a BPE-ish
+    chars/4 estimator (the standard budget heuristic for LLM token counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        textstats.T.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).cast("double").alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).cast("double").alias("avg_chars"),
+        F.round(
+            F.avg(F.col("n_chars").cast("double") / F.ceil(F.col("n_chars") / 4.0)), 6
+        ).cast("double").alias("avg_chars_per_bpe_token"),
+    )
