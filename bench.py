@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: run representative engine queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full execution, no
+driver-side collect bottleneck), timed wall-clock. `value` is the sum of all
+query times — lower is better. Queries cover every operator family from
+SURVEY.md §2: scan/filter, join+agg, windows, TF-IDF flagship, dedup,
+similarity search, text analysis, event-time windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from posts_vectorizer_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+HEADLINE = [
+    # flagship TF-IDF pipeline (scan -> tokenize -> TF -> join -> weighted sum)
+    "tfidf_doc_vectors",
+    "tfidf_idf_table",
+    # relational core
+    "rel_scan_filter_project",
+    "rel_groupby_agg",
+    "rel_join_broadcast_agg",
+    "rel_window_topk_per_group",
+    "rel_cube",
+    # event-time windows
+    "events_tumbling_window",
+    "events_session_window",
+    # LLM-pipeline extensions
+    "dedup_exact_keep_first",
+    "dedup_minhash_near_dups",
+    "sim_cosine_topk",
+    "text_quality_profile",
+]
+
+
+def force(df) -> int:
+    """Fully execute a DataFrame without materializing rows on the driver."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # one warm-up plan (analysis only) is free; time the full execution
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

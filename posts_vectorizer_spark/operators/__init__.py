@@ -1,3 +1,3 @@
-from . import dedup, similarity, textstats, tfidf  # noqa: F401
+from . import dedup, mllib_alt, multimodal, similarity, textstats, tfidf  # noqa: F401
 
-__all__ = ["dedup", "similarity", "textstats", "tfidf"]
+__all__ = ["dedup", "mllib_alt", "multimodal", "similarity", "textstats", "tfidf"]

@@ -1,0 +1,3 @@
+from .worker import HeartbeatListener, vectorize_stream
+
+__all__ = ["HeartbeatListener", "vectorize_stream"]

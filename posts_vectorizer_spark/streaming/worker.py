@@ -1,0 +1,133 @@
+"""Streaming vectorize worker — the reference's main loop
+(/root/reference/worker.py:139-150) as Structured Streaming.
+
+Mapping (SURVEY.md §2.10):
+  ST1 micro-batch poll loop  -> readStream(parquet) + foreachBatch; drain-
+                                then-stop via trigger(availableNow=True),
+                                continuous via processingTime trigger.
+  ST2 idle backoff (sleep 5) -> micro-batch scheduler; no code.
+  ST3 progress marker        -> checkpointLocation + idempotent MERGE keyed
+                                on doc_id (at-least-once + idempotent ==
+                                the reference's flag-overwrite contract,
+                                worker.py:92,99).
+  ST4 heartbeat              -> StreamingQueryListener over
+                                progress.durationMs (worker.py:128-137);
+                                errors swallowed like the reference's
+                                bare-except heartbeat.
+  ST5 thread pool            -> partition parallelism; no code.
+
+The per-batch computation is the SAME declarative plan as the batch
+flagship (operators/tfidf.py): candidates are whatever arrives in the
+micro-batch; the word-vector dimension table (vocab + idf + embedding) is
+computed once up front from the static corpus — exactly the reference's
+architecture, where the IDF job runs separately and the worker only joins
+stored (vector, idf) (worker.py:57).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+from ..operators import tfidf
+from ..sources.sinks import merge_upsert_parquet
+
+
+class HeartbeatListener(StreamingQueryListener):
+    """ST4: per-batch heartbeat with elapsed ms (worker.py:128-137,141-144).
+    Writes JSON lines to a local file instead of an HTTP GET; failures are
+    swallowed exactly like the reference's bare ``except: print``."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        try:
+            p = event.progress
+            beat = {
+                "ts": time.time(),
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "duration_ms": dict(p.durationMs or {}),
+            }
+            with open(self.path, "a") as f:
+                f.write(json.dumps(beat) + "\n")
+        except Exception as e:  # noqa: BLE001  (reference worker.py:136-137)
+            print(f"heartbeat failed: {e}")
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
+def _micro_batch_vectors(
+    batch_docs: DataFrame, word_vectors: DataFrame, lang: str
+) -> DataFrame:
+    """The worker's per-batch pipeline (worker.py:110-126): tokenize -> TF ->
+    join stored word vectors -> weighted sum, long form. Same shapes as
+    operators/tfidf.doc_vectors but against the PRE-BUILT dimension table."""
+    docs = batch_docs.where(F.col("lang") == lang)
+    tf = tfidf.term_frequency(docs)
+    weights = (
+        tf.join(F.broadcast(word_vectors.select("word", "idf", "vec_id")), "word")
+        .groupBy("doc_id", "vec_id")
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("weight"))
+    )
+    exploded = weights.join(
+        F.broadcast(word_vectors.select("vec_id", "embedding").distinct()), "vec_id"
+    ).select("doc_id", "weight", F.posexplode("embedding").alias("dim", "val"))
+    return exploded.groupBy("doc_id", "dim").agg(
+        F.round(F.sum(F.col("weight") * F.col("val").cast("double")), 6).alias(
+            "component"
+        )
+    )
+
+
+def vectorize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_docs: DataFrame,
+    embeddings: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    lang: str = "en",
+    heartbeat_path: str | None = None,
+    available_now: bool = True,
+):
+    """Start the streaming worker over parquet files landing in source_dir.
+
+    Returns the StreamingQuery. With available_now=True it drains existing
+    input and stops (the testable mode); False runs continuously with a
+    0-second processing trigger like the reference's tight poll loop.
+    """
+    word_vectors = tfidf.word_vectors(corpus_docs, embeddings, lang)
+    # The dimension table is small (vocab-sized) and reused every batch.
+    word_vectors = word_vectors.cache()
+    word_vectors.count()  # materialize once before the stream starts
+
+    if heartbeat_path:
+        spark.streams.addListener(HeartbeatListener(heartbeat_path))
+
+    schema = corpus_docs.schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = _micro_batch_vectors(batch_df, word_vectors, lang)
+        merge_upsert_parquet(spark, out, target_dir, ["doc_id", "dim"])
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="0 seconds")
+    return writer.start()

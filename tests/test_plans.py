@@ -1,0 +1,51 @@
+"""Physical-plan guardrails: the scale properties SURVEY.md §4 relies on
+must be visible in explain output — pushdown reaching the parquet scan,
+column pruning, broadcast joins on dimension tables, no cartesian products
+where a broadcast was intended."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    df = E.queries()["rel_scan_filter_project"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_discount)" in plan or "GreaterThan(l_discount" in plan
+    # pruned read schema: only the needed columns reach the scan
+    assert "l_extendedprice" in plan and "l_returnflag" not in plan
+
+
+def test_flagship_uses_broadcast_joins(spark):
+    df = E.queries()["tfidf_doc_vectors"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_join_broadcasts(spark):
+    df = E.queries()["rel_join_broadcast_agg"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plan_has_no_global_sort_of_full_input(spark):
+    df = E.queries()["rel_orderby_limit"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    df = E.queries()["rel_groupby_agg"](spark, SF_ORACLE)
+    df.collect()  # AQE finalizes the plan (and codegen annotations) on run
+    # '*(n)' node prefixes mark whole-stage-codegen stages in the simple
+    # plan string; the agg over the scan must be inside one.
+    plan = _plan(df)
+    assert "*(" in plan and "HashAggregate" in plan
