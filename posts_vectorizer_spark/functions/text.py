@@ -60,10 +60,10 @@ def char_hash(col: str | Column, mod: int = HASH_MOD, base: int = HASH_BASE) -> 
     Pure SQL higher-order functions — stays in codegen, no UDF.
     """
     c = F.col(col) if isinstance(col, str) else col
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.ascii(c.substr(i, F.lit(1))),
-    )
+    # split(c, '') yields one element per character — O(n), unlike the
+    # substr(i, 1)-per-position formulation which re-scans the string per
+    # char (O(n^2) and the dominant cost of every hash-heavy dedup query).
+    chars = F.transform(F.split(c, ""), lambda ch: F.ascii(ch))
     folded = F.aggregate(
         chars,
         F.lit(0).cast("long"),

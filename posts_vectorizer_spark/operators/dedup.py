@@ -78,30 +78,56 @@ _DOC_WORDS_SQL = (
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding (portable, oracle-checkable)
+#
+# Set representation = distinct word-{SHINGLE_N}-gram shingle hashes, the
+# classic shingle -> minhash -> band pipeline (MMDS ch. 3). Word-level sets
+# are useless on a small vocabulary (every doc shares most words, so
+# min-hashes collide globally and banding prunes nothing); shingles are
+# selective because their universe is |vocab|^n.
 # ---------------------------------------------------------------------------
+
+def _doc_shingles(documents: DataFrame) -> DataFrame:
+    """(doc_id, sh) — the doc's distinct shingle-hash set (int64 keys: the
+    verify join shuffles 8-byte hashes, never the shingle strings)."""
+    from .textstats import ngrams
+
+    return (
+        ngrams(documents, SHINGLE_N)
+        .select("doc_id", T.char_hash("ngram").alias("sh"))
+        .distinct()
+    )
+
+
+def _doc_shingles_sql() -> str:
+    from .textstats import ngrams_sql
+
+    return (
+        f"SELECT DISTINCT doc_id, {T.char_hash_sql('ngram')} AS sh"
+        f" FROM ({ngrams_sql(SHINGLE_N)})"
+    )
+
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}) — k min-hash values over the doc's distinct
-    word set. One explode + one groupBy with k min() aggregates: partial
+    shingle set. One explode + one groupBy with k min() aggregates: partial
     aggregation makes this a single shuffle of doc-count rows."""
-    words = _doc_words(documents).withColumn("wh", T.char_hash("word"))
+    sh = _doc_shingles(documents)
     aggs = [
-        F.min((F.col("wh") * a + b) % MINHASH_P).alias(f"sig_{i}")
+        F.min((F.col("sh") * a + b) % MINHASH_P).alias(f"sig_{i}")
         for i, (a, b) in enumerate(zip(_A, _B))
     ]
-    return words.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures_sql() -> str:
     sigs = ",\n       ".join(
-        f"min((wh * {a} + {b}) % {MINHASH_P}) AS sig_{i}"
+        f"min((sh * {a} + {b}) % {MINHASH_P}) AS sig_{i}"
         for i, (a, b) in enumerate(zip(_A, _B))
     )
     return f"""
-WITH words AS (SELECT doc_id, word FROM ({_DOC_WORDS_SQL})),
-hashed AS (SELECT doc_id, {T.char_hash_sql('word')} AS wh FROM words)
+WITH shingled AS ({_doc_shingles_sql()})
 SELECT doc_id, {sigs}
-FROM hashed GROUP BY doc_id
+FROM shingled GROUP BY doc_id
 """
 
 
@@ -116,16 +142,27 @@ def _band_expr(band: int) -> F.Column:
 def minhash_candidates(documents: DataFrame) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing at least one LSH band.
     The equi-join on (band_id, band_value) is the whole trick — shuffle cost
-    is #docs × #bands, never #docs²."""
+    is #docs × #bands, never #docs².
+
+    Bands come from ONE explode over an array of (band_id, band_value)
+    structs — a per-band union would re-evaluate the whole signature
+    subtree (tokenize + hash + 16-way min agg) once per band. The tiny
+    banded frame (#docs × #bands rows, no text payload) is persisted
+    because the self-join scans it twice."""
     sigs = minhash_signatures(documents)
-    bands = None
-    for band in range(MINHASH_BANDS):
-        b = sigs.select(
-            "doc_id",
-            F.lit(band).alias("band_id"),
-            _band_expr(band).alias("band_value"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"), _band_expr(band).alias("band_value")
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bnd"))
+        .select("doc_id", "bnd.band_id", "bnd.band_value")
+        .persist()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -157,14 +194,18 @@ WHERE a.doc_id < b.doc_id
 
 
 def jaccard_verify(documents: DataFrame, pairs: DataFrame, round_digits: int = 6) -> DataFrame:
-    """Exact word-set Jaccard for the given (doc_a, doc_b) pairs only."""
-    words = _doc_words(documents)
-    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    wa = words.select(F.col("doc_id").alias("doc_a"), "word")
-    wb = words.select(F.col("doc_id").alias("doc_b"), "word")
+    """Exact shingle-set Jaccard for the given (doc_a, doc_b) pairs only.
+
+    The distinct shingle set is persisted: it feeds three branches (sizes,
+    probe side, left-semi build side) that would otherwise each re-run
+    tokenize + shingle + hash + distinct over the full corpus."""
+    shingles = _doc_shingles(documents).persist()
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    wa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    wb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
         pairs.join(wa, "doc_a")
-        .join(wb, ["doc_b", "word"], "left_semi")
+        .join(wb, ["doc_b", "sh"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -187,21 +228,21 @@ def jaccard_verify(documents: DataFrame, pairs: DataFrame, round_digits: int = 6
 
 def minhash_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Full pipeline: LSH candidates -> exact Jaccard -> threshold filter."""
-    cands = minhash_candidates(documents)
+    cands = minhash_candidates(documents).persist()
     return jaccard_verify(documents, cands).where(F.col("jaccard") >= threshold)
 
 
 def minhash_near_dups_sql(threshold: float = JACCARD_THRESHOLD, round_digits: int = 6) -> str:
     return f"""
 WITH cands AS ({minhash_candidates_sql()}),
-words AS ({_DOC_WORDS_SQL}),
-sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
+shingled AS ({_doc_shingles_sql()}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
   FROM cands c
-  JOIN words wa ON wa.doc_id = c.doc_a
-  WHERE EXISTS (SELECT 1 FROM words wb
-                WHERE wb.doc_id = c.doc_b AND wb.word = wa.word)
+  JOIN shingled wa ON wa.doc_id = c.doc_a
+  WHERE EXISTS (SELECT 1 FROM shingled wb
+                WHERE wb.doc_id = c.doc_b AND wb.sh = wa.sh)
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT c.doc_a, c.doc_b,
@@ -232,6 +273,7 @@ def shingle_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD
         ngrams(documents, SHINGLE_N)
         .select("doc_id", T.char_hash("ngram").alias("sh"))
         .distinct()
+        .persist()  # feeds sizes + both sides of the candidate self-join
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -339,7 +381,7 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     bits still collide) to avoid the all-pairs cross join at scale."""
     sh = simhash(documents)
     half = 2 ** (SIMHASH_BITS // 2)
-    blocked = sh.withColumn("block", F.floor(F.col("simhash") / half))
+    blocked = sh.withColumn("block", F.floor(F.col("simhash") / half)).persist()
     a = blocked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block")
     b = blocked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "block")
     return (

@@ -15,6 +15,10 @@ bucket-join/rerank plumbing here is unchanged).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -22,6 +26,59 @@ from ..functions import vectors as V
 
 LSH_PLANES = 8
 COSINE_ROUND = 6
+
+
+# ---------------------------------------------------------------------------
+# numpy block kernel (shared by the brute-force paths)
+#
+# The probe side streams through mapInPandas partition-by-partition; the
+# build side (a dimension-table-sized matrix) is broadcast to every task —
+# the same broadcast-small-side decision Catalyst makes for J1. At cluster
+# scale the build side is a *block*: tile the build matrix and union the
+# per-block top-k (associative), or pre-cluster with IVF so each probe only
+# meets its centroid's block. The kernel accumulates dimension-by-dimension
+# in sequence order, so every dot/norm is bit-identical to the
+# zip_with/aggregate fold of functions/vectors.py and to the DuckDB
+# list_reduce twin — the oracle hash-match does not rest on an epsilon.
+# ---------------------------------------------------------------------------
+
+def _seq_dots(Q: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """All-pairs dot products, accumulated dim-by-dim (fold order)."""
+    S = np.zeros((Q.shape[0], B.shape[0]))
+    for d in range(Q.shape[1]):
+        S += Q[:, d, None] * B[None, :, d]
+    return S
+
+
+def _seq_norms(M: np.ndarray) -> np.ndarray:
+    n = np.zeros(M.shape[0])
+    for d in range(M.shape[1]):
+        n += M[:, d] * M[:, d]
+    return np.sqrt(n)
+
+
+def _round_half_away(x: np.ndarray, digits: int = COSINE_ROUND) -> np.ndarray:
+    """Spark's ROUND (HALF_UP = half away from zero), not numpy's
+    banker's rounding."""
+    s = 10.0 ** digits
+    return np.where(x >= 0, np.floor(x * s + 0.5), np.ceil(x * s - 0.5)) / s
+
+
+def _build_side(embeddings: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids, matrix float64, seq-fold norms) of the broadcast build side."""
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    return ids, M, _seq_norms(M)
+
+
+def _probe_blocks(pdf_iter: Iterator[pd.DataFrame]):
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        qids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        yield qids, Q
 
 
 # ---------------------------------------------------------------------------
@@ -60,14 +117,53 @@ WHERE {where}
 
 def topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     """Exact top-k neighbors per query by cosine (W3 ranking shape;
-    deterministic: rounded score desc, neighbor_id asc)."""
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        cosine_pairs(embeddings)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
+    deterministic: rounded score desc, neighbor_id asc).
+
+    Physical plan: numpy block matmul per probe partition against the
+    broadcast build matrix, top-k selected inside the kernel — no n²-row
+    shuffle, no window; the only exchange is the probe repartition. The
+    ranking key is the half-away-rounded score, matching the SQL's
+    row_number over round(cosine, 6)."""
+    spark = embeddings.sparkSession
+    bids, B, bnorm = _build_side(embeddings)
+    bc = spark.sparkContext.broadcast((bids, B, bnorm))
+
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nids, M, nnorm = bc.value
+        for qids, Q in _probe_blocks(pdf_iter):
+            qnorm = _seq_norms(Q)
+            S = _seq_dots(Q, M)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _round_half_away(S / (qnorm[:, None] * nnorm[None, :]))
+            null = (qnorm[:, None] <= 0) | (nnorm[None, :] <= 0)
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i in range(len(qids)):
+                row = cos[i]
+                valid = ~null[i] & (nids != qids[i])
+                nulls = null[i] & (nids != qids[i])
+                # non-null scores first (score desc, id asc), then
+                # null-score neighbors by id — both engines sort NULLS LAST.
+                order = np.lexsort((nids[valid], -row[valid]))
+                cand_ids = np.concatenate([nids[valid][order], np.sort(nids[nulls])])[:k]
+                cand_cos = np.concatenate(
+                    [row[valid][order], np.full(nulls.sum(), np.nan)]
+                )[:k]
+                out_q.extend([qids[i]] * len(cand_ids))
+                out_n.extend(cand_ids)
+                out_c.extend(cand_cos)
+                out_r.extend(range(1, len(cand_ids) + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cosine": np.asarray(out_c, dtype=np.float64),
+                    "rk": np.asarray(out_r, dtype=np.int32),
+                }
+            )
+
+    probe = embeddings.repartition(spark.sparkContext.defaultParallelism)
+    return probe.mapInPandas(
+        gen, "query_id long, neighbor_id long, cosine double, rk int"
     )
 
 
@@ -85,13 +181,37 @@ SELECT * FROM (
 
 def neighbors_above(embeddings: DataFrame, threshold: float) -> DataFrame:
     """Unordered near-dup pairs with cosine >= threshold (embedding-space
-    near-duplicate detection)."""
-    return (
-        cosine_pairs(embeddings)
-        .where((F.col("query_id") < F.col("neighbor_id")) & (F.col("cosine") >= threshold))
-        .withColumnRenamed("query_id", "vec_a")
-        .withColumnRenamed("neighbor_id", "vec_b")
-    )
+    near-duplicate detection). Same numpy block kernel as :func:`topk`;
+    the threshold filter runs inside the kernel so only matches cross the
+    Arrow boundary."""
+    spark = embeddings.sparkSession
+    bids, B, bnorm = _build_side(embeddings)
+    bc = spark.sparkContext.broadcast((bids, B, bnorm))
+
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nids, M, nnorm = bc.value
+        for qids, Q in _probe_blocks(pdf_iter):
+            qnorm = _seq_norms(Q)
+            S = _seq_dots(Q, M)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _round_half_away(S / (qnorm[:, None] * nnorm[None, :]))
+            hit = (
+                (qids[:, None] < nids[None, :])
+                & (qnorm[:, None] > 0)
+                & (nnorm[None, :] > 0)
+                & (cos >= threshold)
+            )
+            qi, ni = np.nonzero(hit)
+            yield pd.DataFrame(
+                {
+                    "vec_a": qids[qi],
+                    "vec_b": nids[ni],
+                    "cosine": cos[qi, ni],
+                }
+            )
+
+    probe = embeddings.repartition(spark.sparkContext.defaultParallelism)
+    return probe.mapInPandas(gen, "vec_a long, vec_b long, cosine double")
 
 
 def neighbors_above_sql(threshold: float) -> str:
