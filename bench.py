@@ -61,6 +61,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
+    # Warm one-time session machinery (JIT/codegen compile, shuffle + writer
+    # init, parquet footer reads) so the first timed query measures the
+    # query, not session startup.
+    force(spark.range(100_000).selectExpr("id % 97 AS k").groupBy("k").count())
+    from posts_vectorizer_spark.sources import load_table
+    for t in ("documents", "embeddings", "lineitem", "orders", "events"):
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            force(load_table(spark, sf_dir, t).limit(16))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
+from ..sources import spread
 
 # MinHash parameters: k = BANDS * ROWS_PER_BAND hash functions.
 # h_i(w) = (A[i] * char_hash(w) + B[i]) % MINHASH_P
@@ -47,7 +48,7 @@ def exact_keep_first(documents: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, is_canonical) — keep-first exact dedup keyed on
     the 8-byte text fingerprint (never shuffles the text payload). Canonical
     row = lowest doc_id per fingerprint (deterministic)."""
-    fp = documents.select("doc_id", T.char_hash("text").alias("fingerprint"))
+    fp = spread(documents).select("doc_id", T.char_hash("text").alias("fingerprint"))
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return fp.withColumn("is_canonical", F.row_number().over(w) == 1)
 
@@ -334,7 +335,7 @@ def simhash(documents: DataFrame) -> DataFrame:
     bit is the sign of the count-weighted ±1 vote of that bit of the word's
     portable hash. One explode + groupBy(doc, word) + groupBy(doc)."""
     counts = (
-        documents.select("doc_id", F.explode(T.tokens("text")).alias("word"))
+        spread(documents).select("doc_id", F.explode(T.tokens("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("cnt"))
         .withColumn("wh", T.char_hash("word"))

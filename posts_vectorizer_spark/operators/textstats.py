@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import text as T
+from ..sources import spread
 
 STOPWORDS = ("a", "the")
 
@@ -92,7 +93,7 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — portable polynomial hash of the full raw text.
     Identical fingerprints = byte-identical docs (exact-dedup key that ships
     8 bytes per doc instead of the text)."""
-    return documents.select("doc_id", T.char_hash("text").alias("fingerprint"))
+    return spread(documents).select("doc_id", T.char_hash("text").alias("fingerprint"))
 
 
 FINGERPRINTS_SQL = (
@@ -207,7 +208,7 @@ def ngrams(documents: DataFrame, n: int = 2) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return documents.select("doc_id", F.explode(grams).alias("ngram"))
+    return spread(documents).select("doc_id", F.explode(grams).alias("ngram"))
 
 
 def ngrams_sql(n: int = 2) -> str:

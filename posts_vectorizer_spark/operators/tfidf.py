@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import text as T
+from ..sources import spread
 
 # Vocabulary membership: the reference drops "garbage" words by length
 # (enter_wordvecs.py:36-37, ``len >= 100``). The fixture corpus has no
@@ -95,6 +96,23 @@ def needs_vector(doc_id: str | Column = "doc_id") -> Column:
 # token stream
 # ---------------------------------------------------------------------------
 
+def token_base(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, toks, total_tokens) — the tokenize-once relation.
+
+    Every downstream branch (term counts, totals, vocabulary, IDF
+    occurrences, eligibility) derives from this single projection, so a
+    multi-branch job tokenizes the corpus exactly once when the caller
+    persists it — at 100 TB the tokenizer pass dominates, so running it
+    2-5x for one logical query is the difference that matters.
+
+    The scan is rebalanced across cores first: the tokenizer is the
+    CPU-expensive narrow stage, and a single-split input would otherwise
+    pin it to one core (sources.spread)."""
+    return spread(documents).select(
+        "doc_id", "lang", T.tokens("text").alias("toks")
+    ).withColumn("total_tokens", F.size("toks"))
+
+
 def doc_tokens(documents: DataFrame) -> DataFrame:
     """(doc_id, word) — one row per token occurrence (Q5 tokenizer)."""
     return documents.select(
@@ -111,16 +129,20 @@ def term_counts(documents: DataFrame) -> DataFrame:
     )
 
 
-def term_frequency(documents: DataFrame) -> DataFrame:
+def term_frequency(documents: DataFrame, base: DataFrame | None = None) -> DataFrame:
     """(doc_id, word, cnt, total_tokens, tf) — tf = cnt / total occurrences
     including repeats (A4, worker.py:49-52). total comes from F.size on the
     token array (cheap, no second shuffle)."""
-    totals = documents.select(
-        "doc_id", T.token_count("text").alias("total_tokens")
+    if base is None:
+        base = token_base(documents).persist()
+    counts = (
+        base.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
     )
     return (
-        term_counts(documents)
-        .join(totals, "doc_id")
+        counts
+        .join(base.select("doc_id", "total_tokens"), "doc_id")
         .withColumn(
             "tf",
             F.when(
@@ -157,14 +179,14 @@ JOIN ({TOTALS_SQL}) tot USING (doc_id)
 # vocabulary (the word-vectors dimension table, enter_wordvecs.py analog)
 # ---------------------------------------------------------------------------
 
-def vocabulary(documents: DataFrame) -> DataFrame:
+def vocabulary(documents: DataFrame, base: DataFrame | None = None) -> DataFrame:
     """(word) — distinct corpus words passing the length gate
     (enter_wordvecs.py:34-37) UNION dictionary extras never seen in the
     corpus (fastText vocab ⊃ corpus vocab)."""
     spark = documents.sparkSession
+    src = base if base is not None else token_base(documents)
     corpus_words = (
-        doc_tokens(documents)
-        .select("word")
+        src.select(F.explode("toks").alias("word"))
         .where(F.length("word") >= MIN_WORD_LEN)
         .distinct()
     )
@@ -197,7 +219,9 @@ def eligible_docs(documents: DataFrame, lang: str) -> DataFrame:
     )
 
 
-def idf_table(documents: DataFrame, lang: str) -> DataFrame:
+def idf_table(
+    documents: DataFrame, lang: str, base: DataFrame | None = None
+) -> DataFrame:
     """(word, occurrences, idf) for every vocabulary word.
 
     occurrences = TOTAL occurrences across eligible docs (Q2 — collection
@@ -209,14 +233,18 @@ def idf_table(documents: DataFrame, lang: str) -> DataFrame:
     aggregate: unlike an unpartitioned window, this keeps the vocab relation
     fully parallel at 100 TB vocab sizes.
     """
-    eligible = eligible_docs(documents, lang)
+    if base is None:
+        base = token_base(documents).persist()
+    eligible = base.where(
+        (F.col("lang") == lang) & (F.col("total_tokens") >= ELIGIBLE_MIN_TOKENS)
+    )
     n_docs = eligible.count()  # TOTAL_POSTS, calculate_idf_scores.py:74
     occs = (
-        doc_tokens(eligible)
+        eligible.select(F.explode("toks").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("occurrences"))
     )
-    vocab = vocabulary(documents)
+    vocab = vocabulary(documents, base=base)
     raw = (
         vocab.join(occs, "word", "left")
         .na.fill({"occurrences": 0})
@@ -273,12 +301,17 @@ FROM raw
 # word-vector lookup table (vocab ⋈ embeddings via portable hash routing)
 # ---------------------------------------------------------------------------
 
-def word_vectors(documents: DataFrame, embeddings: DataFrame, lang: str) -> DataFrame:
+def word_vectors(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    lang: str,
+    base: DataFrame | None = None,
+) -> DataFrame:
     """(word, idf, vec_id, embedding) — the engine's
     ``fasttext.word-vectors-{lang}`` table (worker.py:57 projection
     {vector:1, idf:1}). vec_id = portable_hash(word) % |embeddings|."""
     n_vecs = embeddings.count()
-    idf = idf_table(documents, lang)
+    idf = idf_table(documents, lang, base=base)
     keyed = idf.withColumn("vec_id", T.word_bucket("word", n_vecs))
     return keyed.join(F.broadcast(embeddings.select("vec_id", "embedding")), "vec_id")
 
@@ -316,13 +349,21 @@ def doc_vectors(
       5. join embeddings on vec_id, posexplode to (dim, val);
       6. final groupBy (doc_id, dim) — the only row-multiplying step happens
          on the already-aggregated relation.
+
+    The whole plan hangs off ONE persisted token_base — tf, totals,
+    vocabulary, IDF occurrences, and eligibility all read the cached
+    tokenize-once relation instead of re-scanning + re-splitting the corpus
+    per branch.
     """
-    docs = documents.where(F.col("lang") == lang)
+    base = token_base(documents).persist()
+    docs = base.where(F.col("lang") == lang)
     if apply_flag_filter:
         docs = docs.where(needs_vector("doc_id"))
 
-    tf = term_frequency(docs)
-    wv = word_vectors(documents, embeddings, lang).select("word", "idf", "vec_id")
+    tf = term_frequency(documents, base=docs)
+    wv = word_vectors(documents, embeddings, lang, base=base).select(
+        "word", "idf", "vec_id"
+    )
     weights = (
         tf.join(F.broadcast(wv), "word")
         .groupBy("doc_id", "vec_id")
@@ -398,13 +439,14 @@ def doc_profile(
     guarded division (worker.py:91); has_vector=false marks the NULL-vector
     docs of Q8 (known_tokens = 0 -> worker.py:90 writes None).
     """
-    docs = documents.where(F.col("lang") == lang)
+    base = token_base(documents).persist()
+    docs = base.where(F.col("lang") == lang)
     if apply_flag_filter:
         docs = docs.where(needs_vector("doc_id"))
-    totals = docs.select("doc_id", T.token_count("text").alias("total_tokens"))
-    vocab = vocabulary(documents)
+    totals = docs.select("doc_id", "total_tokens")
+    vocab = vocabulary(documents, base=base)
     knowns = (
-        doc_tokens(docs)
+        docs.select("doc_id", F.explode("toks").alias("word"))
         .join(F.broadcast(vocab), "word", "left_semi")
         .groupBy("doc_id")
         .agg(F.count_distinct("word").alias("known_tokens"))

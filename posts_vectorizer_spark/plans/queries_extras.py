@@ -1,0 +1,114 @@
+"""[R] rows-only queries — operators whose internals are genuinely not
+ANSI-SQL-expressible (SURVEY.md §2 entries marked [R]): streaming drain,
+MLlib library alternates, multimodal plumbing, sketches, sampling, and the
+HTTP-enrichment source. Registered with ``oracle=None`` so the driver
+records the weaker rows-only check; each one's strong check lives in
+tests/ (differential against the portable oracle-checked twin where one
+exists).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import mllib_alt, multimodal
+from ..sources import load_table
+from ..sources.http_enrich import enrich_with_text
+from .registry import register
+
+
+@register("stream_vectorize_drain")
+def stream_vectorize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST3: drain the documents table through the streaming worker
+    (readStream -> foreachBatch -> idempotent keyed merge) with an
+    availableNow trigger, then return the merged sink. Equals the batch
+    flagship on the same input (proved in tests/test_streaming.py) —
+    rows-only here because a streaming query is not a SQL expression."""
+    from ..operators import tfidf
+    from ..streaming import vectorize_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="pv_stream_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    docs.where(tfidf.needs_vector("doc_id")).write.mode("overwrite").parquet(source)
+    q = vectorize_stream(
+        spark, source, docs, emb, target, ckpt, lang="en", available_now=True
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target)
+
+
+@register("mllib_minhash_near_dups")
+def mllib_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD5/§2.12-2 alternate: MLlib MinHashLSH approxSimilarityJoin near-dup
+    pairs. Library murmur hashing is not DuckDB-reproducible -> rows-only;
+    recall vs the portable MinHash is checked in tests/test_mllib_alt.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mllib_alt.minhash_lsh_near_dups(docs)
+
+
+@register("mllib_doc_vectors_wide")
+def mllib_doc_vectors_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 wide form: Summarizer.sum over tf·idf-scaled MLlib vectors —
+    BASELINE.json's "MLlib for batch embedding generation" path. Equals the
+    long-form oracle-checked flagship dim-by-dim
+    (tests/test_mllib_alt.py); arrays themselves are rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide = mllib_alt.doc_vectors_wide(docs, emb, "en")
+    return wide.select(
+        "doc_id", F.transform("doc_vector", lambda x: F.round(x, 6)).alias("doc_vector")
+    )
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12-4: binary media payload + typed metadata -> mapInPandas
+    feature extraction (deterministic fake codec; real codecs are stubbed
+    behind NotImplementedError — not installable here). Long form for a
+    stable rows-only shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("features").alias("dim", "feature")
+    ).withColumn("feature", F.round(F.col("feature").cast("double"), 6))
+
+
+@register("source_http_enrich")
+def source_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: per-row HTTP enrichment (lang-detector, worker.py:24-31) as
+    mapInPandas with one session per partition; deterministic local
+    transport stands in for the unavailable network."""
+    docs = load_table(spark, sf_dir, "documents")
+    return enrich_with_text(docs)
+
+
+@register("rel_approx_distinct")
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: HLL++ approx_count_distinct per group — the 100 TB cardinality
+    sketch. Sketch estimates are engine-specific -> rows-only; exactness
+    bound vs count(distinct) asserted in tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("rel_sample")
+def rel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: Bernoulli sampling (the worker's random-skip batching analog,
+    worker.py:103-106). Seeded => deterministic within Spark, but RNG
+    streams differ per engine -> rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -31,6 +31,20 @@ TABLES = (
 )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow scan across all cores before CPU-heavy per-row
+    work (tokenize / hash / shingle).
+
+    A small parquet table arrives as one input split, so without this the
+    expensive narrow stage runs on a single core no matter how many are
+    idle. At 100 TB the scan has thousands of splits and
+    ``spark.sql.files.maxPartitionBytes`` is the sizing knob — but an
+    explicit rebalance in front of expensive narrow transforms remains the
+    standard guard against few-large-files skew."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projects applied by the caller are
     pushed into this scan by Catalyst — do not pre-collect or cache here.
