@@ -65,6 +65,12 @@ def main() -> None:
     # init, parquet footer reads) so the first timed query measures the
     # query, not session startup.
     force(spark.range(100_000).selectExpr("id % 97 AS k").groupBy("k").count())
+    # pre-spawn the Python/Arrow workers the mapInPandas queries reuse
+    force(
+        spark.range(1024, numPartitions=32).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
     from posts_vectorizer_spark.sources import load_table
     for t in ("documents", "embeddings", "lineitem", "orders", "events"):
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):

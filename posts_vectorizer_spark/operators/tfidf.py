@@ -238,7 +238,10 @@ def idf_table(
     eligible = base.where(
         (F.col("lang") == lang) & (F.col("total_tokens") >= ELIGIBLE_MIN_TOKENS)
     )
-    n_docs = eligible.count()  # TOTAL_POSTS, calculate_idf_scores.py:74
+    # TOTAL_POSTS (calculate_idf_scores.py:74) as a broadcast 1-row
+    # aggregate, not a driver-side .count(): no driver sync point, the
+    # whole job stays one declarative plan.
+    n_df = eligible.agg(F.count("*").cast("double").alias("n_docs"))
     occs = (
         eligible.select(F.explode("toks").alias("word"))
         .groupBy("word")
@@ -248,13 +251,15 @@ def idf_table(
     raw = (
         vocab.join(occs, "word", "left")
         .na.fill({"occurrences": 0})
+        .crossJoin(F.broadcast(n_df))
         .withColumn(
             "idf_raw",
             F.when(
                 F.col("occurrences") > 0,
-                F.log10(F.lit(float(n_docs)) / F.col("occurrences")),
+                F.log10(F.col("n_docs") / F.col("occurrences")),
             ).otherwise(F.lit(IDF_SENTINEL)),
         )
+        .drop("n_docs")
     )
     min_df = raw.agg(F.min("idf_raw").alias("min_idf_raw"))
     return raw.crossJoin(F.broadcast(min_df)).select(
@@ -309,10 +314,15 @@ def word_vectors(
 ) -> DataFrame:
     """(word, idf, vec_id, embedding) — the engine's
     ``fasttext.word-vectors-{lang}`` table (worker.py:57 projection
-    {vector:1, idf:1}). vec_id = portable_hash(word) % |embeddings|."""
-    n_vecs = embeddings.count()
+    {vector:1, idf:1}). vec_id = portable_hash(word) % |embeddings|, with
+    |embeddings| as a broadcast 1-row aggregate (no driver .count())."""
+    n_df = embeddings.agg(F.count("*").alias("n_vecs"))
     idf = idf_table(documents, lang, base=base)
-    keyed = idf.withColumn("vec_id", T.word_bucket("word", n_vecs))
+    keyed = (
+        idf.crossJoin(F.broadcast(n_df))
+        .withColumn("vec_id", T.char_hash("word") % F.col("n_vecs"))
+        .drop("n_vecs")
+    )
     return keyed.join(F.broadcast(embeddings.select("vec_id", "embedding")), "vec_id")
 
 
