@@ -91,7 +91,7 @@ def source_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: HLL++ approx_count_distinct per group — the 100 TB cardinality
     sketch. Sketch estimates are engine-specific -> rows-only; exactness
-    bound vs count(distinct) asserted in tests/test_plans.py."""
+    bound vs count(distinct) asserted in tests/test_extras.py."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")

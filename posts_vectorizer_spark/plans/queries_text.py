@@ -72,6 +72,52 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_elemmatch_langarray",
+    oracle=f"""
+WITH shaped AS (
+  SELECT doc_id,
+         list_value(
+           struct_pack(lg := lang,
+                       word_count := CAST({textstats.T.token_count_sql('text')} AS BIGINT)),
+           struct_pack(lg := 'xx', word_count := CAST(doc_id % 7 AS BIGINT))
+         ) AS language
+  FROM documents
+)
+SELECT doc_id FROM shaped
+WHERE len(list_filter(language,
+          x -> x.lg = 'en' AND x.word_count >= 15)) > 0
+""",
+)
+def text_elemmatch_langarray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — the reference's ``$elemMatch`` eligibility filter on the
+    ``language: array<struct<lang, word_count>>`` column
+    (/root/reference/tfidf-calculator/calculate_idf_scores.py:31). The
+    fixture stores a scalar lang, so the array-of-structs shape is first
+    reconstructed (real lang entry + a decoy entry), then filtered with the
+    existential HOF ``F.exists`` — the direct translation of $elemMatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    shaped = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.col("lang").alias("lg"),
+                textstats.T.token_count("text").cast("long").alias("word_count"),
+            ),
+            F.struct(
+                F.lit("xx").alias("lg"),
+                (F.col("doc_id") % 7).cast("long").alias("word_count"),
+            ),
+        ).alias("language"),
+    )
+    return shaped.where(
+        F.exists(
+            "language",
+            lambda x: (x["lg"] == F.lit("en")) & (x["word_count"] >= F.lit(15)),
+        )
+    ).select("doc_id")
+
+
+@register(
     "text_token_stats_by_lang",
     oracle=f"""
 WITH d AS (

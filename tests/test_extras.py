@@ -1,0 +1,75 @@
+"""Checks for the [R] rows-only registry entries (plans/queries_extras.py):
+each one's correctness claim is asserted here since the driver only
+row-counts them."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from posts_vectorizer_spark.sources import load_table
+from posts_vectorizer_spark.sources.http_enrich import fake_lang_detector
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+_Q = E.queries()
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    got = {
+        r["l_returnflag"]: r
+        for r in _Q["rel_approx_distinct"](spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("orders"),
+            F.count_distinct("l_partkey").alias("parts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, row in got.items():
+        # HLL++ default rsd = 5%; allow 3 sigma.
+        assert abs(row["approx_orders"] - exact[flag]["orders"]) <= 0.15 * exact[flag]["orders"]
+        assert abs(row["approx_parts"] - exact[flag]["parts"]) <= 0.15 * exact[flag]["parts"]
+
+
+def test_sample_is_seeded_deterministic(spark):
+    a = _Q["rel_sample"](spark, SF_ORACLE)
+    b = _Q["rel_sample"](spark, SF_ORACLE)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    n_total = load_table(spark, SF_ORACLE, "lineitem").count()
+    assert 0.05 * n_total < a.count() < 0.15 * n_total
+
+
+def test_http_enrich_one_row_per_doc_fake_envelope(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = _Q["source_http_enrich"](spark, SF_SMOKE)
+    assert out.count() == docs.count()
+    row = out.where(F.col("doc_id") == 10).first()
+    expected = " ".join(json.loads(fake_lang_detector(None, 10))["text"])
+    assert row["fetched_text"] == expected
+
+
+def test_multimodal_features_query_shape(spark):
+    out = _Q["multimodal_features"](spark, SF_SMOKE)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert out.count() == n_docs * 8  # N_FAKE_FEATURES dims per doc
+    assert out.columns == ["doc_id", "n_bytes", "dim", "feature"]
+
+
+def test_mllib_wide_vectors_match_flagship_rowcount(spark):
+    wide = _Q["mllib_doc_vectors_wide"](spark, SF_SMOKE)
+    long = _Q["tfidf_doc_vectors"](spark, SF_SMOKE)
+    assert wide.count() * 64 == long.count()
+
+
+def test_stream_drain_query_matches_flagship(spark):
+    drained = _Q["stream_vectorize_drain"](spark, SF_SMOKE)
+    batch = _Q["tfidf_doc_vectors"](spark, SF_SMOKE)
+    assert drained.count() == batch.count()
+    assert drained.exceptAll(batch).count() == 0
