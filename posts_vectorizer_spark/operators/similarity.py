@@ -317,6 +317,81 @@ SELECT * FROM (
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — learned-centroid buckets
+# ---------------------------------------------------------------------------
+
+def ivf_ann(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via IVF: MLlib KMeans learns {n_clusters} centroids,
+    every vector is assigned to its nearest centroid (the inverted list),
+    each query probes its {n_probe} nearest centroids' lists, and the exact
+    cosine rerank runs only inside those lists.
+
+    This is the same plumbing as :func:`lsh_ann` with learned buckets
+    instead of random hyperplanes — candidate generation is an equi-join on
+    list id, so cost is #vectors x list-occupancy, never #vectors². At
+    100 TB the lists are the partitioning key: cluster once, write bucketed
+    by list id, and every probe touches n_probe/n_clusters of the data.
+    [R] rows-only: KMeans internals aren't SQL; recall vs the brute-force
+    oracle is asserted in tests/test_extras.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", F.col("prediction").alias("list_id")
+    )
+
+    # query -> its n_probe nearest centroids, via a tiny cross join against
+    # the centroid table (n_clusters rows — broadcast by construction).
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda a, b: (a.cast("double") - b) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "list_id")
+    probes = (
+        assigned.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dist2", d2)
+        .withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("va"), "list_id")
+    )
+    cand = probes.join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("vb"),
+            "list_id",
+        ),
+        "list_id",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine("va", "vb"), COSINE_ROUND).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # vector aggregation (centroids)
 # ---------------------------------------------------------------------------
 

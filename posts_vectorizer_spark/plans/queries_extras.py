@@ -87,6 +87,17 @@ def source_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_text(docs)
 
 
+@register("sim_ivf_ann")
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 scale path: IVF approximate top-3 — KMeans centroid lists +
+    in-list exact rerank (learned-bucket twin of sim_lsh_ann). Recall vs
+    the brute-force oracle asserted in tests/test_extras.py."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann(emb, k=3)
+
+
 @register("rel_approx_distinct")
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: HLL++ approx_count_distinct per group — the 100 TB cardinality

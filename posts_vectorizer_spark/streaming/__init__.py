@@ -1,3 +1,3 @@
-from .worker import HeartbeatListener, vectorize_stream
+from .worker import HeartbeatListener, dedup_stream, vectorize_stream
 
-__all__ = ["HeartbeatListener", "vectorize_stream"]
+__all__ = ["HeartbeatListener", "dedup_stream", "vectorize_stream"]

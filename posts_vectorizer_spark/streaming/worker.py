@@ -91,6 +91,35 @@ def _micro_batch_vectors(
     )
 
 
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("doc_id",),
+    max_files_per_trigger: int | None = None,
+):
+    """ST7 — stateful dedup at ingest: ``dropDuplicates(keys)`` over a
+    stream keeps per-key state in the state store, so re-deliveries are
+    dropped ACROSS micro-batches, not just within one (the
+    `maxFilesPerTrigger` option lets tests force multiple batches to prove
+    it). Production form at 100 TB: bound the state with an event-time
+    column + ``dropDuplicatesWithinWatermark`` so keys age out after the
+    late-data horizon instead of accumulating forever."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deduped = reader.parquet(source_dir).dropDuplicates(list(keys))
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def vectorize_stream(
     spark: SparkSession,
     source_dir: str,

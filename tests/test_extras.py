@@ -68,6 +68,25 @@ def test_mllib_wide_vectors_match_flagship_rowcount(spark):
     assert wide.count() * 64 == long.count()
 
 
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF with n_probe=2 of 16 lists must recover a solid fraction of the
+    true top-3 (random near-orthogonal fixtures are the hard case; real
+    clustered embeddings do far better)."""
+    ivf = _Q["sim_ivf_ann"](spark, SF_SMOKE).select("query_id", "neighbor_id")
+    exact = (
+        _Q["sim_cosine_topk"](spark, SF_SMOKE)
+        .where(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    n_exact = exact.count()
+    hits = ivf.intersect(exact).count()
+    assert n_exact > 0
+    assert hits / n_exact >= 0.10
+    # every query produced rows and at most k of them
+    per_q = ivf.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    assert per_q <= 3
+
+
 def test_stream_drain_query_matches_flagship(spark):
     drained = _Q["stream_vectorize_drain"](spark, SF_SMOKE)
     batch = _Q["tfidf_doc_vectors"](spark, SF_SMOKE)

@@ -58,6 +58,29 @@ def test_worker_stream_matches_batch(spark, tmp_path):
     assert any(b["num_input_rows"] > 0 for b in beats)
 
 
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """ST7: dropDuplicates state survives micro-batch boundaries — the same
+    doc_ids delivered in two separate files (forced into separate batches
+    via maxFilesPerTrigger=1) land exactly once in the sink."""
+    from posts_vectorizer_spark.streaming import dedup_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    source = str(tmp_path / "in")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.mode("overwrite").parquet(source)
+    docs.write.mode("append").parquet(source)  # full re-delivery, new files
+
+    q = dedup_stream(
+        spark, source, docs.schema, target, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(target)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
 def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     from posts_vectorizer_spark.sources.sinks import merge_upsert_parquet
 
