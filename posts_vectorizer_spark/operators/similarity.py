@@ -69,7 +69,26 @@ def _build_side(embeddings: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarr
     pdf = embeddings.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    if M.ndim != 2:  # empty tile: keep a (0, d)-shaped matrix
+        M = M.reshape(0, 0)
     return ids, M, _seq_norms(M)
+
+
+def _build_tiles(embeddings: DataFrame, n_tiles: int):
+    """Collect and broadcast the build side in ``n_tiles`` hash slices
+    (``vec_id % n_tiles``). Driver peak memory is one tile, not the whole
+    table — the tiling answer to the driver-memory wall: per-block top-k is
+    associative, so the kernel merges tile candidates with the exact global
+    ordering. n_tiles=1 is the single-scan dimension-table fast path; at
+    cluster scale size n_tiles so a tile is O(100 MB)."""
+    spark = embeddings.sparkSession
+    bcs = []
+    for t in range(n_tiles):
+        tile = embeddings
+        if n_tiles > 1:
+            tile = tile.where(F.pmod(F.col("vec_id"), F.lit(n_tiles)) == t)
+        bcs.append(spark.sparkContext.broadcast(_build_side(tile)))
+    return bcs
 
 
 def _probe_blocks(pdf_iter: Iterator[pd.DataFrame]):
@@ -115,7 +134,7 @@ WHERE {where}
 """
 
 
-def topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def topk(embeddings: DataFrame, k: int = 5, n_tiles: int = 1) -> DataFrame:
     """Exact top-k neighbors per query by cosine (W3 ranking shape;
     deterministic: rounded score desc, neighbor_id asc).
 
@@ -123,35 +142,61 @@ def topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     broadcast build matrix, top-k selected inside the kernel — no n²-row
     shuffle, no window; the only exchange is the probe repartition. The
     ranking key is the half-away-rounded score, matching the SQL's
-    row_number over round(cosine, 6)."""
+    row_number over round(cosine, 6).
+
+    ``n_tiles > 1`` splits the build side into hash tiles broadcast
+    independently; per-tile top-k candidates merge under the same total
+    order (NULL-cosine last, then score desc, id asc), so the result is
+    tile-count-invariant — asserted by tests/test_extras.py."""
     spark = embeddings.sparkSession
-    bids, B, bnorm = _build_side(embeddings)
-    bc = spark.sparkContext.broadcast((bids, B, bnorm))
+    bcs = _build_tiles(embeddings, n_tiles)
 
     def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nids, M, nnorm = bc.value
         for qids, Q in _probe_blocks(pdf_iter):
             qnorm = _seq_norms(Q)
-            S = _seq_dots(Q, M)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = _round_half_away(S / (qnorm[:, None] * nnorm[None, :]))
-            null = (qnorm[:, None] <= 0) | (nnorm[None, :] <= 0)
+            nq = len(qids)
+            # per-probe-row candidate pools: ≤ k survivors per tile
+            pool_n = [[] for _ in range(nq)]
+            pool_c = [[] for _ in range(nq)]
+            pool_null = [[] for _ in range(nq)]
+            for bc in bcs:
+                nids, M, nnorm = bc.value
+                if len(nids) == 0:
+                    continue
+                S = _seq_dots(Q, M)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _round_half_away(S / (qnorm[:, None] * nnorm[None, :]))
+                null = (qnorm[:, None] <= 0) | (nnorm[None, :] <= 0)
+                for i in range(nq):
+                    row = cos[i]
+                    valid = ~null[i] & (nids != qids[i])
+                    nulls = null[i] & (nids != qids[i])
+                    # non-null scores first (score desc, id asc), then
+                    # null-score neighbors by id — both engines sort NULLS
+                    # LAST. Keep only k per tile: the global top-k is a
+                    # subset of the union of per-tile top-k's.
+                    order = np.lexsort((nids[valid], -row[valid]))
+                    c_ids = np.concatenate([nids[valid][order], np.sort(nids[nulls])])[:k]
+                    c_cos = np.concatenate(
+                        [row[valid][order], np.full(nulls.sum(), np.nan)]
+                    )[:k]
+                    pool_n[i].append(c_ids)
+                    pool_c[i].append(c_cos)
+                    pool_null[i].append(np.isnan(c_cos))
             out_q, out_n, out_c, out_r = [], [], [], []
-            for i in range(len(qids)):
-                row = cos[i]
-                valid = ~null[i] & (nids != qids[i])
-                nulls = null[i] & (nids != qids[i])
-                # non-null scores first (score desc, id asc), then
-                # null-score neighbors by id — both engines sort NULLS LAST.
-                order = np.lexsort((nids[valid], -row[valid]))
-                cand_ids = np.concatenate([nids[valid][order], np.sort(nids[nulls])])[:k]
-                cand_cos = np.concatenate(
-                    [row[valid][order], np.full(nulls.sum(), np.nan)]
-                )[:k]
-                out_q.extend([qids[i]] * len(cand_ids))
-                out_n.extend(cand_ids)
-                out_c.extend(cand_cos)
-                out_r.extend(range(1, len(cand_ids) + 1))
+            for i in range(nq):
+                if not pool_n[i]:
+                    continue
+                ids = np.concatenate(pool_n[i])
+                cs = np.concatenate(pool_c[i])
+                isnull = np.concatenate(pool_null[i])
+                # merge tiles under the global order: nulls last, score
+                # desc, id asc (lexsort: last key is primary)
+                order = np.lexsort((ids, -np.where(isnull, -np.inf, cs), isnull))[:k]
+                out_q.extend([qids[i]] * len(order))
+                out_n.extend(ids[order])
+                out_c.extend(cs[order])
+                out_r.extend(range(1, len(order) + 1))
             yield pd.DataFrame(
                 {
                     "query_id": np.asarray(out_q, dtype=np.int64),
@@ -179,36 +224,41 @@ SELECT * FROM (
 """
 
 
-def neighbors_above(embeddings: DataFrame, threshold: float) -> DataFrame:
+def neighbors_above(
+    embeddings: DataFrame, threshold: float, n_tiles: int = 1
+) -> DataFrame:
     """Unordered near-dup pairs with cosine >= threshold (embedding-space
     near-duplicate detection). Same numpy block kernel as :func:`topk`;
     the threshold filter runs inside the kernel so only matches cross the
-    Arrow boundary."""
+    Arrow boundary. Threshold hits are tile-independent, so tiles just
+    concatenate — no merge step."""
     spark = embeddings.sparkSession
-    bids, B, bnorm = _build_side(embeddings)
-    bc = spark.sparkContext.broadcast((bids, B, bnorm))
+    bcs = _build_tiles(embeddings, n_tiles)
 
     def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nids, M, nnorm = bc.value
         for qids, Q in _probe_blocks(pdf_iter):
             qnorm = _seq_norms(Q)
-            S = _seq_dots(Q, M)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = _round_half_away(S / (qnorm[:, None] * nnorm[None, :]))
-            hit = (
-                (qids[:, None] < nids[None, :])
-                & (qnorm[:, None] > 0)
-                & (nnorm[None, :] > 0)
-                & (cos >= threshold)
-            )
-            qi, ni = np.nonzero(hit)
-            yield pd.DataFrame(
-                {
-                    "vec_a": qids[qi],
-                    "vec_b": nids[ni],
-                    "cosine": cos[qi, ni],
-                }
-            )
+            for bc in bcs:
+                nids, M, nnorm = bc.value
+                if len(nids) == 0:
+                    continue
+                S = _seq_dots(Q, M)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _round_half_away(S / (qnorm[:, None] * nnorm[None, :]))
+                hit = (
+                    (qids[:, None] < nids[None, :])
+                    & (qnorm[:, None] > 0)
+                    & (nnorm[None, :] > 0)
+                    & (cos >= threshold)
+                )
+                qi, ni = np.nonzero(hit)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": qids[qi],
+                        "vec_b": nids[ni],
+                        "cosine": cos[qi, ni],
+                    }
+                )
 
     probe = embeddings.repartition(spark.sparkContext.defaultParallelism)
     return probe.mapInPandas(gen, "vec_a long, vec_b long, cosine double")
@@ -266,17 +316,37 @@ def lsh_bucket_sql(vec: str, dims: int, planes: int = LSH_PLANES) -> str:
     return f"CAST({bits} AS BIGINT)"
 
 
-def lsh_ann(embeddings: DataFrame, dims: int, k: int = 3) -> DataFrame:
-    """Approximate top-k: bucket every vector with {LSH_PLANES} hyperplane
+def lsh_ann(
+    embeddings: DataFrame,
+    dims: int,
+    k: int = 3,
+    multiprobe: bool = False,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: bucket every vector with {planes} hyperplane
     sign bits, generate candidates by bucket equi-join, exact-rerank inside
     buckets. Misses across bucket boundaries are the approximation error —
-    the brute-force `topk` is the recall oracle."""
+    the brute-force `topk` is the recall oracle.
+
+    ``multiprobe=True`` additionally probes every Hamming-1 neighbor of the
+    query's bucket code (flip one sign bit): recall rises strictly (the
+    exact-bucket candidates are a subset) with the same single equi-join
+    shuffle shape — the probe side just explodes to planes+1 keys. Each
+    neighbor lives in exactly one bucket, so no candidate dedup is needed."""
     bucketed = embeddings.select(
-        "vec_id", "embedding", lsh_bucket("embedding", dims).alias("bucket")
+        "vec_id", "embedding", lsh_bucket("embedding", dims, planes).alias("bucket")
     )
     a = bucketed.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("va"), "bucket"
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(planes)],
+        )
+        a = a.select(
+            "query_id", "va", F.explode(probes).alias("bucket")
+        )
     b = bucketed.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"), "bucket"
     )
@@ -293,18 +363,32 @@ def lsh_ann(embeddings: DataFrame, dims: int, k: int = 3) -> DataFrame:
     )
 
 
-def lsh_ann_sql(dims: int, k: int = 3) -> str:
+def lsh_ann_sql(
+    dims: int, k: int = 3, multiprobe: bool = False, planes: int = LSH_PLANES
+) -> str:
     cos = V.cosine_sql("a.embedding", "b.embedding")
+    if multiprobe:
+        probe_list = ", ".join(
+            ["bucket"] + [f"xor(bucket, {2 ** p})" for p in range(planes)]
+        )
+        probe_side = f"""
+  SELECT vec_id, embedding, unnest([{probe_list}]) AS bucket
+  FROM bucketed
+"""
+    else:
+        probe_side = "  SELECT vec_id, embedding, bucket FROM bucketed\n"
     return f"""
 WITH bucketed AS (
   SELECT vec_id, embedding,
-         {lsh_bucket_sql('embedding', dims)} AS bucket
+         {lsh_bucket_sql('embedding', dims, planes)} AS bucket
   FROM embeddings
 ),
+probes AS (
+{probe_side}),
 cands AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          round({cos}, {COSINE_ROUND}) AS cosine
-  FROM bucketed a JOIN bucketed b USING (bucket)
+  FROM probes a JOIN bucketed b USING (bucket)
   WHERE a.vec_id <> b.vec_id
 )
 SELECT * FROM (

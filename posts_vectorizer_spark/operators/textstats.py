@@ -119,19 +119,23 @@ def langid_scores(documents: DataFrame) -> DataFrame:
         .withColumnRenamed("lang_actual", "cand_lang")
     )
     lang_totals = word_lang.groupBy("cand_lang").agg(F.sum("c").alias("total_c"))
-    vocab_size = doc_toks.select("word").distinct().count()
+    # Vocabulary size as a broadcast 1-row aggregate (same pattern as
+    # idf_table's TOTAL_POSTS, tfidf.py) — no driver-side action at plan
+    # build; the count stays inside the job.
+    vocab = doc_toks.agg(F.countDistinct("word").alias("vocab_size"))
     langs = lang_totals.select("cand_lang")
     scored = (
         toks.crossJoin(F.broadcast(langs))
         .join(F.broadcast(word_lang), ["word", "cand_lang"], "left")
         .join(F.broadcast(lang_totals), "cand_lang")
+        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             "lang_actual",
             "cand_lang",
             F.log10(
                 (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-                / (F.col("total_c") + F.lit(vocab_size))
+                / (F.col("total_c") + F.col("vocab_size"))
             ).alias("log_p"),
         )
     )

@@ -41,6 +41,18 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann(emb, DIMS, 3)
 
 
+@register(
+    "sim_lsh_ann_multiprobe", oracle=similarity.lsh_ann_sql(DIMS, 3, multiprobe=True)
+)
+def sim_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-3: each query also probes its 8 Hamming-1
+    neighbor buckets (one sign bit flipped) — strictly higher recall than
+    sim_lsh_ann with the same single equi-join shuffle shape (the probe side
+    explodes 9x, the build side and shuffle key are unchanged)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann(emb, DIMS, 3, multiprobe=True)
+
+
 @register("sim_label_centroids", oracle=similarity.LABEL_CENTROIDS_SQL)
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean embedding per label, long form (vector aggregation / IVF

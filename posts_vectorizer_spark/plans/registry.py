@@ -70,6 +70,10 @@ def _ensure_loaded() -> None:
                 "queries_similarity", "queries_events", "queries_extras"):
         try:
             __import__(f"{__package__}.{mod}")
-        except ImportError:
-            pass  # module not built yet (incremental rounds)
+        except ModuleNotFoundError as e:
+            # Only tolerate THE module itself being absent (incremental
+            # rounds); a transitive import failure inside a present module
+            # must fail loudly, not silently shrink the query surface.
+            if e.name != f"{__package__}.{mod}":
+                raise
     _LOADED = True

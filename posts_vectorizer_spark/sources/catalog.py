@@ -45,6 +45,14 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
+# DataFrame plans are immutable and the fixtures never change, so the
+# analyzed scan relation is memoized per (application, path). This drops the
+# per-read parquet schema-inference job Spark 4 launches — query *builders*
+# stay action-free (asserted by tests/test_plans.py) and repeated builds skip
+# redundant footer reads.
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projects applied by the caller are
     pushed into this scan by Catalyst — do not pre-collect or cache here.
@@ -55,11 +63,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies when it coerces TIMESTAMP_NS to its native
     microsecond TIMESTAMP, so both engines see identical instants.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _SCAN_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

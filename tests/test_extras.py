@@ -87,6 +87,49 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert per_q <= 3
 
 
+def test_topk_tiled_build_side_matches_untiled(spark):
+    """Brute-force top-k must be tile-count-invariant: per-tile candidate
+    top-k's merged under the global (null-last, score desc, id asc) order
+    equal the single-broadcast result — the driver-memory wall fix."""
+    from posts_vectorizer_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    one = similarity.topk(emb, 5, n_tiles=1)
+    tiled = similarity.topk(emb, 5, n_tiles=3)
+    assert one.exceptAll(tiled).count() == 0
+    assert tiled.exceptAll(one).count() == 0
+
+
+def test_neighbors_above_tiled_matches_untiled(spark):
+    from posts_vectorizer_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    one = similarity.neighbors_above(emb, 0.3, n_tiles=1)
+    tiled = similarity.neighbors_above(emb, 0.3, n_tiles=2)
+    assert one.exceptAll(tiled).count() == 0
+    assert tiled.exceptAll(one).count() == 0
+
+
+def test_multiprobe_lsh_recall_at_least_single_probe(spark):
+    """Hamming-1 multiprobe candidates are a superset of exact-bucket
+    candidates, so recall vs the brute-force top-3 may only go up."""
+    exact = (
+        _Q["sim_cosine_topk"](spark, SF_SMOKE)
+        .where(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    single = _Q["sim_lsh_ann"](spark, SF_SMOKE).select("query_id", "neighbor_id")
+    multi = _Q["sim_lsh_ann_multiprobe"](spark, SF_SMOKE).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    r_single = single.intersect(exact).count() / n_exact
+    r_multi = multi.intersect(exact).count() / n_exact
+    print(f"LSH recall: single-probe={r_single:.3f} multiprobe={r_multi:.3f}")
+    assert r_multi >= r_single
+    assert r_multi > 0
+
+
 def test_stream_drain_query_matches_flagship(spark):
     drained = _Q["stream_vectorize_drain"](spark, SF_SMOKE)
     batch = _Q["tfidf_doc_vectors"](spark, SF_SMOKE)

@@ -42,6 +42,37 @@ def test_topk_plan_has_no_global_sort_of_full_input(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_plan_build_triggers_no_jobs(spark):
+    """Constructing every registered query must be purely declarative: no
+    driver-side action (count/collect/toPandas) may fire at plan-build time.
+    Catches regressions like the langid vocab_size .count() (VERDICT r1)."""
+    from posts_vectorizer_spark.sources import load_tables
+
+    sc = spark.sparkContext
+    # First touch of each parquet path fires a one-off schema-inference job;
+    # warm the scan cache so the loop below measures only builder behavior.
+    load_tables(spark, SF_ORACLE)
+    skip = {
+        # streaming drain runs the stream by contract
+        "stream_vectorize_drain",
+        # brute-force kernels materialize the broadcast build side at build
+        # (documented dimension-table contract; bounded by n_tiles)
+        "sim_cosine_topk",
+        "sim_cosine_near_dups",
+        # model fits are inherently iterative jobs at build
+        "sim_ivf_ann",
+        "mllib_minhash_near_dups",
+        "mllib_doc_vectors_wide",
+    }
+    baseline = set(sc.statusTracker().getJobIdsForGroup())
+    for name, fn in E.queries().items():
+        if name in skip:
+            continue
+        fn(spark, SF_ORACLE)  # build only — no action on the result
+        jobs = set(sc.statusTracker().getJobIdsForGroup()) - baseline
+        assert not jobs, f"{name} launched job(s) {sorted(jobs)} at plan build"
+
+
 def test_whole_stage_codegen_active(spark):
     df = E.queries()["rel_groupby_agg"](spark, SF_ORACLE)
     df.collect()  # AQE finalizes the plan (and codegen annotations) on run
