@@ -376,32 +376,82 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM bit_sums
 """
 
 
+def _simhash_block_bounds(max_hamming: int) -> list[int]:
+    """Bit boundaries splitting the signature into max_hamming+1 blocks, as
+    evenly as possible (24 bits, h=3 -> 4 blocks of 6)."""
+    n_blocks = max_hamming + 1
+    return [SIMHASH_BITS * i // n_blocks for i in range(n_blocks + 1)]
+
+
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
-    Blocked on the top half of the signature (docs differing only in low
-    bits still collide) to avoid the all-pairs cross join at scale."""
+
+    Pigeonhole blocking with FULL recall: the signature splits into
+    max_hamming+1 disjoint bit blocks; a pair within Hamming max_hamming has
+    fewer differing bits than blocks, so at least one block matches exactly.
+    Candidates come from one explode to (block_id, block_value) keys plus an
+    equi-join (same shape as minhash_candidates) — shuffle is
+    #docs x (max_hamming+1), never #docs² — then the exact Hamming filter
+    verifies. A pair may agree on several blocks, hence the distinct."""
     sh = simhash(documents)
-    half = 2 ** (SIMHASH_BITS // 2)
-    blocked = sh.withColumn("block", F.floor(F.col("simhash") / half)).persist()
-    a = blocked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block")
-    b = blocked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "block")
-    return (
-        a.join(b, "block")
+    bounds = _simhash_block_bounds(max_hamming)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                (
+                    F.floor(F.col("simhash") / (2 ** bounds[i]))
+                    % (2 ** (bounds[i + 1] - bounds[i]))
+                ).cast("long").alias("block_value"),
+            )
+            for i in range(len(bounds) - 1)
+        ]
+    )
+    blocked = (
+        sh.select("doc_id", "simhash", F.explode(block_structs).alias("blk"))
+        .select("doc_id", "simhash", "blk.block_id", "blk.block_value")
+        .persist()
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "block_id", "block_value",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "block_id", "block_value",
+    )
+    cand = (
+        a.join(b, ["block_id", "block_value"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
 
 
 def simhash_near_dups_sql(max_hamming: int = 3) -> str:
-    half = 2 ** (SIMHASH_BITS // 2)
+    bounds = _simhash_block_bounds(max_hamming)
+    block_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {i} AS block_id,"
+        f" CAST(floor(simhash / {2 ** bounds[i]}) % {2 ** (bounds[i + 1] - bounds[i])} AS BIGINT) AS block_value"
+        " FROM sh"
+        for i in range(len(bounds) - 1)
+    )
     return f"""
 WITH sh AS ({simhash_sql()}),
-blocked AS (SELECT doc_id, simhash, CAST(floor(simhash / {half}) AS BIGINT) AS block FROM sh)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM blocked a JOIN blocked b USING (block)
-WHERE a.doc_id < b.doc_id
-  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+blocked AS ({block_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM blocked a JOIN blocked b USING (block_id, block_value)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """

@@ -80,6 +80,9 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ordered AS (
   SELECT user_id, ts, value,
+         -- strictly >: Spark MERGES an event landing exactly gap after its
+         -- predecessor (verified by the exact-boundary golden test in
+         -- tests/test_extras.py) — sessions extend through a touching window
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '6 hours'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

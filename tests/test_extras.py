@@ -130,6 +130,63 @@ def test_multiprobe_lsh_recall_at_least_single_probe(spark):
     assert r_multi > 0
 
 
+def test_session_window_exact_gap_boundary_matches_oracle(spark):
+    """Golden boundary case the fixture corpus never hits: an event landing
+    EXACTLY gap after its predecessor is MERGED into the session by Spark
+    (sessions extend through a touching [ts, ts+gap) window), so the oracle's
+    lag-based sessionizer must use strictly-> on the gap comparison.
+    Empirically pinned here against both engines."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, 100, "2024-01-01 00:00:00", 1.0),
+        (1, 101, "2024-01-01 06:00:00", 2.0),  # exactly gap later: MERGED
+        (1, 102, "2024-01-01 12:00:01", 3.0),  # 1s past gap: new session
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    events = spark.createDataFrame(pdf)
+    got = (
+        events.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .orderBy("session_start")
+        .collect()
+    )
+    expected = [("2024-01-01T00:00:00", 2), ("2024-01-01T12:00:01", 1)]
+    assert [(r["session_start"].isoformat(), r["n_events"]) for r in got] == expected
+
+    from posts_vectorizer_spark.plans.registry import REGISTRY
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracle = con.execute(REGISTRY["events_session_window"].oracle).fetchall()
+    assert sorted((r[1].isoformat(), r[3]) for r in oracle) == expected
+
+
+def test_simhash_near_dups_full_recall_vs_brute_force(spark):
+    """Pigeonhole blocking (max_hamming+1 blocks) must find EVERY pair with
+    Hamming <= max_hamming — identical to the all-pairs cross join."""
+    from posts_vectorizer_spark.operators import dedup
+    from posts_vectorizer_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    blocked = dedup.simhash_near_dups(docs, max_hamming=3)
+    sh = dedup.simhash(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    assert brute.exceptAll(blocked).count() == 0  # 100% recall
+    assert blocked.exceptAll(brute).count() == 0  # no false positives
+
+
 def test_stream_drain_query_matches_flagship(spark):
     drained = _Q["stream_vectorize_drain"](spark, SF_SMOKE)
     batch = _Q["tfidf_doc_vectors"](spark, SF_SMOKE)
