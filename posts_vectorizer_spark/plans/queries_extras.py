@@ -27,6 +27,7 @@ def stream_vectorize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship on the same input (proved in tests/test_streaming.py) —
     rows-only here because a streaming query is not a SQL expression."""
     from ..operators import tfidf
+    from ..sources.sinks import read_merged
     from ..streaming import vectorize_stream
 
     docs = load_table(spark, sf_dir, "documents")
@@ -38,7 +39,7 @@ def stream_vectorize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, source, docs, emb, target, ckpt, lang="en", available_now=True
     )
     q.awaitTermination(300)
-    return spark.read.parquet(target)
+    return read_merged(spark, target)
 
 
 @register("mllib_minhash_near_dups")

@@ -4,27 +4,87 @@ tfidf-calculator/enter_wordvecs.py:40-53 — as a keyed MERGE).
 
 Parquet has no transactional MERGE, so this emulates Delta's
 ``MERGE INTO t USING u ON keys WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``
-with anti-join + union + atomic directory swap. On a real deployment the
-same call site is one ``DeltaTable.merge`` (or Iceberg MERGE INTO) — the
-emulation keeps the engine dependency-free in this image while preserving
-the contract that matters for streaming: **idempotent on keys**, so
-at-least-once delivery from foreachBatch converges (ST3 — the reference's
-flag-overwrite gives the same at-least-once + idempotent contract).
+with Delta-like mechanics and Delta-like cost:
+
+* **Bucket pruning** — the table is hash-bucketed on the merge keys
+  (``pmod(hash(keys), n_buckets)``, stable across sessions). A merge
+  rewrites ONLY the buckets containing update keys, so per-micro-batch cost
+  is O(touched buckets), not O(table) — a 1k-row batch against a 100 TB
+  table touches ~min(1k, n_buckets) buckets. All touched buckets are merged
+  and written in ONE Spark job via ``partitionBy``.
+* **Atomic manifest commit** — ``_MANIFEST.json`` maps bucket id -> current
+  versioned directory and is replaced with ``os.replace`` (atomic on POSIX)
+  only after every new bucket directory is fully written. The live table is
+  never moved or deleted before its replacement is committed: a crash at ANY
+  point leaves the manifest pointing at a complete previous state, and
+  orphaned version directories are swept on the next merge.
+
+On a real deployment the same call site is one ``DeltaTable.merge`` (or
+Iceberg MERGE INTO). The contract that matters for streaming is preserved:
+**idempotent on keys**, so at-least-once delivery from foreachBatch
+converges (ST3 — the reference's flag-overwrite gives the same
+at-least-once + idempotent contract). Single-writer, like the reference's
+one worker per collection.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST = "_MANIFEST.json"
+DEFAULT_BUCKETS = 16
 
 
-def _exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+def _manifest_path(target_dir: str) -> str:
+    return os.path.join(target_dir, MANIFEST)
+
+
+def _read_manifest(target_dir: str) -> dict | None:
+    p = _manifest_path(target_dir)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest_atomic(target_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(target_dir) + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(target_dir))  # atomic commit point
+
+
+def _sweep_orphans(target_dir: str, manifest: dict | None) -> None:
+    """Remove version directories (and stale manifest temps) not referenced
+    by the committed manifest — leftovers of a crash before commit."""
+    live = set((manifest or {}).get("buckets", {}).values())
+    for entry in os.listdir(target_dir):
+        full = os.path.join(target_dir, entry)
+        if entry == MANIFEST:
+            continue
+        if os.path.isfile(full) and entry.startswith(MANIFEST + ".tmp_"):
+            os.remove(full)
+        elif os.path.isdir(full) and entry not in live:
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
+    # Murmur3 with Spark's fixed seed: deterministic across sessions/runs.
+    return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+
+
+def read_merged(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Read the current committed state of a merge target (None if empty)."""
+    manifest = _read_manifest(target_dir)
+    if manifest is None or not manifest["buckets"]:
+        return None
+    paths = [os.path.join(target_dir, d) for d in manifest["buckets"].values()]
+    return spark.read.parquet(*paths)
 
 
 def merge_upsert_parquet(
@@ -32,27 +92,60 @@ def merge_upsert_parquet(
     updates: DataFrame,
     target_dir: str,
     keys: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
-    """Upsert ``updates`` into the parquet table at ``target_dir`` keyed on
-    ``keys``: matched rows are replaced, new rows inserted. Updates must be
-    unique per key (caller aggregates first), mirroring the per-_id $set.
-
-    The write is write-new-dir + atomic rename — crash-safe on a local/POSIX
-    filesystem; swap in Delta/Iceberg MERGE for object storage.
+    """Upsert ``updates`` into the bucketed parquet table at ``target_dir``
+    keyed on ``keys``: matched rows are replaced, new rows inserted. Updates
+    must be unique per key (caller aggregates first), mirroring the per-_id
+    $set. ``n_buckets`` applies on first write; existing tables keep theirs.
     """
-    if _exists(target_dir):
-        current = spark.read.parquet(target_dir)
-        kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
-        merged = kept.unionByName(updates)
-    else:
-        merged = updates
+    os.makedirs(target_dir, exist_ok=True)
+    manifest = _read_manifest(target_dir)
+    _sweep_orphans(target_dir, manifest)
+    if manifest is not None:
+        n_buckets = manifest["n_buckets"]
+    bucketed_updates = updates.withColumn("_bucket", _bucket_col(keys, n_buckets))
 
-    tmp_dir = f"{target_dir}__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp_dir)
-    if os.path.isdir(target_dir):
-        old = f"{target_dir}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(target_dir, old)
-        os.rename(tmp_dir, target_dir)
-        shutil.rmtree(old, ignore_errors=True)
+    old_buckets: dict[str, str] = (manifest or {"buckets": {}})["buckets"]
+    if old_buckets:
+        # Driver-side action by design: a sink runs at action time, and the
+        # touched-bucket set is what makes the rewrite O(batch), not O(table).
+        touched = sorted(
+            r[0] for r in bucketed_updates.select("_bucket").distinct().collect()
+        )
+        touched_dirs = [
+            os.path.join(target_dir, old_buckets[str(b)])
+            for b in touched
+            if str(b) in old_buckets
+        ]
+        if touched_dirs:
+            current = spark.read.parquet(*touched_dirs)
+            kept = current.join(
+                bucketed_updates.select(*keys).distinct(), keys, "left_anti"
+            ).withColumn("_bucket", _bucket_col(keys, n_buckets))
+            merged = kept.unionByName(bucketed_updates)
+        else:
+            merged = bucketed_updates
     else:
-        os.rename(tmp_dir, target_dir)
+        touched = None  # first write: whatever buckets the updates hash to
+        merged = bucketed_updates
+
+    # One job writes every touched bucket, partition-per-bucket.
+    version = uuid.uuid4().hex[:8]
+    staging = os.path.join(target_dir, f"_staging_{version}")
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+
+    new_buckets = dict(old_buckets)
+    for entry in os.listdir(staging):
+        if not entry.startswith("_bucket="):
+            continue
+        b = entry.split("=", 1)[1]
+        dest = f"b{b}_v{version}"
+        os.rename(os.path.join(staging, entry), os.path.join(target_dir, dest))
+        new_buckets[b] = dest
+    shutil.rmtree(staging, ignore_errors=True)
+
+    new_manifest = {"n_buckets": n_buckets, "keys": list(keys), "buckets": new_buckets}
+    _write_manifest_atomic(target_dir, new_manifest)  # <- the only commit point
+    # Old versions of rewritten buckets are now unreachable; GC best-effort.
+    _sweep_orphans(target_dir, new_manifest)

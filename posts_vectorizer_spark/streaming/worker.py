@@ -130,12 +130,18 @@ def vectorize_stream(
     lang: str = "en",
     heartbeat_path: str | None = None,
     available_now: bool = True,
+    n_buckets: int = 16,
 ):
     """Start the streaming worker over parquet files landing in source_dir.
 
     Returns the StreamingQuery. With available_now=True it drains existing
     input and stops (the testable mode); False runs continuously with a
     0-second processing trigger like the reference's tight poll loop.
+
+    ``n_buckets`` sizes the merge target's hash-bucketing (first write only):
+    per-batch merge cost is O(touched buckets), so size it so one bucket ≈
+    one comfortable rewrite (e.g. 64k buckets for a 100 TB target -> ~1.5 GB
+    per bucket).
     """
     word_vectors = tfidf.word_vectors(corpus_docs, embeddings, lang)
     # The dimension table is small (vocab-sized) and reused every batch.
@@ -150,7 +156,7 @@ def vectorize_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = _micro_batch_vectors(batch_df, word_vectors, lang)
-        merge_upsert_parquet(spark, out, target_dir, ["doc_id", "dim"])
+        merge_upsert_parquet(spark, out, target_dir, ["doc_id", "dim"], n_buckets)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
