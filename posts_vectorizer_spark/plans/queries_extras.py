@@ -88,6 +88,19 @@ def source_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_text(docs)
 
 
+@register("text_tokens_fidelity")
+def text_tokens_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/UD1 fidelity mode: per-doc token profile under the spaCy-pipeline
+    tokenizer (mapInPandas, one pipeline init per partition; deterministic
+    rule fallback when spaCy is absent — operators/fidelity.py). Library
+    tokenization is not SQL -> rows-only; equality with the default
+    tokenizer on punctuation-free text is asserted in tests/test_extras.py."""
+    from ..operators import fidelity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fidelity.fidelity_token_profile(docs)
+
+
 @register("sim_ivf_ann")
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 scale path: IVF approximate top-3 — KMeans centroid lists +

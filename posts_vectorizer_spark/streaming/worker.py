@@ -99,20 +99,70 @@ def dedup_stream(
     checkpoint_dir: str,
     keys: tuple[str, ...] = ("doc_id",),
     max_files_per_trigger: int | None = None,
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
 ):
     """ST7 — stateful dedup at ingest: ``dropDuplicates(keys)`` over a
     stream keeps per-key state in the state store, so re-deliveries are
     dropped ACROSS micro-batches, not just within one (the
     `maxFilesPerTrigger` option lets tests force multiple batches to prove
-    it). Production form at 100 TB: bound the state with an event-time
-    column + ``dropDuplicatesWithinWatermark`` so keys age out after the
-    late-data horizon instead of accumulating forever."""
+    it).
+
+    With ``event_time_col`` set, state is BOUNDED (the 100 TB form): the
+    stream is watermarked on that column and uses
+    ``dropDuplicatesWithinWatermark``, so per-key state ages out after the
+    late-data horizon instead of accumulating forever. Re-deliveries inside
+    the horizon — the at-least-once delivery window — are still dropped."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    deduped = reader.parquet(source_dir).dropDuplicates(list(keys))
+    stream = reader.parquet(source_dir)
+    if event_time_col is not None:
+        deduped = stream.withWatermark(event_time_col, watermark)
+        deduped = deduped.dropDuplicatesWithinWatermark(list(keys))
+    else:
+        deduped = stream.dropDuplicates(list(keys))
     return (
         deduped.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def tumbling_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+):
+    """ST6 in streaming mode: the SAME window expression as the batch
+    events_tumbling_window query, under a watermark. Append output mode
+    emits each window exactly once — when the watermark (max event time
+    seen minus the delay) passes the window end — and drops events arriving
+    later than the horizon. Per-window state is bounded by the watermark."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    agg = (
+        reader.parquet(source_dir)
+        .withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
         .option("path", target_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -130,6 +130,44 @@ def test_multiprobe_lsh_recall_at_least_single_probe(spark):
     assert r_multi > 0
 
 
+def test_fidelity_tokenizer_matches_default_on_clean_text(spark):
+    """On punctuation-free ASCII text the spaCy-style tokenizer and the
+    regex-split default must agree exactly (both = lowercase whitespace
+    split); divergence is confined to punctuation handling."""
+    from posts_vectorizer_spark.functions import text as T
+    from posts_vectorizer_spark.operators import fidelity
+
+    docs = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "text", F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")
+    )
+    fid = fidelity.fidelity_tokens(docs)
+    default = docs.select("doc_id", F.explode(T.tokens("text")).alias("word"))
+    assert fid.exceptAll(default).count() == 0
+    assert default.exceptAll(fid).count() == 0
+
+
+def test_fidelity_tokenizer_splits_punctuation(spark):
+    """The fidelity mode's reason to exist: punctuation becomes standalone
+    tokens (spaCy behavior), unlike the default which keeps it attached."""
+    from posts_vectorizer_spark.operators import fidelity
+
+    docs = spark.createDataFrame(
+        [(1, 'Hello, world! ("quoted")')], "doc_id long, text string"
+    )
+    words = [r["word"] for r in fidelity.fidelity_tokens(docs).collect()]
+    assert words == ["hello", ",", "world", "!", "(", '"', "quoted", '"', ")"]
+
+
+def test_fidelity_profile_query_runs(spark):
+    out = _Q["text_tokens_fidelity"](spark, SF_SMOKE)
+    n_docs = load_table(spark, SF_SMOKE, "documents").where(
+        F.length("text") > 0
+    ).count()
+    assert out.count() > 0
+    assert out.count() <= n_docs
+    assert out.columns == ["doc_id", "n_tokens", "n_distinct_tokens"]
+
+
 def test_session_window_exact_gap_boundary_matches_oracle(spark):
     """Golden boundary case the fixture corpus never hits: an event landing
     EXACTLY gap after its predecessor is MERGED into the session by Spark

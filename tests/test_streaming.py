@@ -82,6 +82,87 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     assert out.select("doc_id").distinct().count() == docs.count()
 
 
+def test_watermarked_dedup_bounds_state_and_drops_redelivery(spark, tmp_path):
+    """ST7 production form: dropDuplicatesWithinWatermark drops re-delivered
+    keys arriving within the watermark horizon across micro-batches, with
+    state bounded by event time instead of growing forever."""
+    import datetime as dt
+
+    from posts_vectorizer_spark.streaming import dedup_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=i), f"p{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, payload string")
+    source = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(source)
+    df.write.mode("append").parquet(source)  # redelivery in separate files
+
+    q = dedup_stream(
+        spark,
+        source,
+        df.schema,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        keys=("doc_id",),
+        max_files_per_trigger=1,  # force the redelivery into later batches
+        event_time_col="ts",
+        watermark="2 hours",  # horizon covers every redelivered event
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 20
+    assert out.select("doc_id").distinct().count() == 20
+
+
+def test_watermarked_window_drops_late_data_matches_batch_on_time(spark, tmp_path):
+    """ST6 under a watermark: windows emit once the watermark passes their
+    end; an event arriving after the horizon is dropped. The emitted windows
+    must equal the batch tumbling aggregation over the on-time rows only."""
+    import datetime as dt
+    import time as _time
+
+    from posts_vectorizer_spark.streaming import tumbling_window_stream
+
+    d = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    files = [
+        # batch 0: on-time events; end-of-batch watermark -> 11:05
+        [(1, d(10, 5), "a", 1.0), (2, d(10, 40), "a", 2.0), (3, d(12, 5), "a", 4.0)],
+        # batch 1: advances watermark past the [10:00) window end -> evicted
+        [(9, d(12, 30), "a", 32.0)],
+        # batch 2: event 4 arrives AFTER its window was finalized -> dropped
+        [(4, d(10, 30), "a", 8.0), (5, d(14, 5), "a", 16.0)],
+    ]
+    source = str(tmp_path / "in")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(source)
+        _time.sleep(1.1)  # file source orders batches by mod time
+
+    target = str(tmp_path / "out")
+    q = tumbling_window_stream(
+        spark, source, spark.createDataFrame(files[0], schema).schema,
+        target, str(tmp_path / "ckpt"),
+        time_col="ts", window="1 hour", watermark="1 hour",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the late event
+
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # The emitted [10:00) window equals the BATCH tumbling aggregation over
+    # the on-time rows only (events 1, 2) — late event 4 never counted.
+    assert got[("2024-01-01T10:00:00", "a")] == (2, 3.0)
+    assert got[("2024-01-01T12:00:00", "a")] == (2, 36.0)
+
+
 def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     target = str(tmp_path / "t")
     base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
