@@ -76,6 +76,8 @@ def main() -> None:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             force(load_table(spark, sf_dir, t).limit(16))
 
+    from posts_vectorizer_spark.cache import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -83,6 +85,7 @@ def main() -> None:
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_caches()  # per-query caches don't outlive their query
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..cache import persist_tracked
 from ..functions import text as T
 from ..sources import spread
 
@@ -159,10 +160,9 @@ def minhash_candidates(documents: DataFrame) -> DataFrame:
             for band in range(MINHASH_BANDS)
         ]
     )
-    bands = (
+    bands = persist_tracked(
         sigs.select("doc_id", F.explode(band_structs).alias("bnd"))
         .select("doc_id", "bnd.band_id", "bnd.band_value")
-        .persist()
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -200,7 +200,7 @@ def jaccard_verify(documents: DataFrame, pairs: DataFrame, round_digits: int = 6
     The distinct shingle set is persisted: it feeds three branches (sizes,
     probe side, left-semi build side) that would otherwise each re-run
     tokenize + shingle + hash + distinct over the full corpus."""
-    shingles = _doc_shingles(documents).persist()
+    shingles = persist_tracked(_doc_shingles(documents))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     wa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     wb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -229,7 +229,7 @@ def jaccard_verify(documents: DataFrame, pairs: DataFrame, round_digits: int = 6
 
 def minhash_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Full pipeline: LSH candidates -> exact Jaccard -> threshold filter."""
-    cands = minhash_candidates(documents).persist()
+    cands = persist_tracked(minhash_candidates(documents))
     return jaccard_verify(documents, cands).where(F.col("jaccard") >= threshold)
 
 
@@ -270,11 +270,10 @@ def shingle_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD
     hash — rare-key blocking, the classic dedup shape."""
     from .textstats import ngrams
 
-    sh = (
+    sh = persist_tracked(  # feeds sizes + both sides of the candidate self-join
         ngrams(documents, SHINGLE_N)
         .select("doc_id", T.char_hash("ngram").alias("sh"))
         .distinct()
-        .persist()  # feeds sizes + both sides of the candidate self-join
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -407,10 +406,9 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             for i in range(len(bounds) - 1)
         ]
     )
-    blocked = (
+    blocked = persist_tracked(
         sh.select("doc_id", "simhash", F.explode(block_structs).alias("blk"))
         .select("doc_id", "simhash", "blk.block_id", "blk.block_value")
-        .persist()
     )
     a = blocked.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),

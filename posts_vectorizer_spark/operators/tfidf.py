@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..cache import persist_tracked
 from ..functions import text as T
 from ..sources import spread
 
@@ -134,7 +135,7 @@ def term_frequency(documents: DataFrame, base: DataFrame | None = None) -> DataF
     including repeats (A4, worker.py:49-52). total comes from F.size on the
     token array (cheap, no second shuffle)."""
     if base is None:
-        base = token_base(documents).persist()
+        base = persist_tracked(token_base(documents))
     counts = (
         base.select("doc_id", F.explode("toks").alias("word"))
         .groupBy("doc_id", "word")
@@ -234,7 +235,7 @@ def idf_table(
     fully parallel at 100 TB vocab sizes.
     """
     if base is None:
-        base = token_base(documents).persist()
+        base = persist_tracked(token_base(documents))
     eligible = base.where(
         (F.col("lang") == lang) & (F.col("total_tokens") >= ELIGIBLE_MIN_TOKENS)
     )
@@ -365,7 +366,7 @@ def doc_vectors(
     tokenize-once relation instead of re-scanning + re-splitting the corpus
     per branch.
     """
-    base = token_base(documents).persist()
+    base = persist_tracked(token_base(documents))
     docs = base.where(F.col("lang") == lang)
     if apply_flag_filter:
         docs = docs.where(needs_vector("doc_id"))
@@ -449,7 +450,7 @@ def doc_profile(
     guarded division (worker.py:91); has_vector=false marks the NULL-vector
     docs of Q8 (known_tokens = 0 -> worker.py:90 writes None).
     """
-    base = token_base(documents).persist()
+    base = persist_tracked(token_base(documents))
     docs = base.where(F.col("lang") == lang)
     if apply_flag_filter:
         docs = docs.where(needs_vector("doc_id"))

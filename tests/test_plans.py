@@ -73,6 +73,22 @@ def test_plan_build_triggers_no_jobs(spark):
         assert not jobs, f"{name} launched job(s) {sorted(jobs)} at plan build"
 
 
+def test_release_caches_leaves_no_persistent_rdds(spark):
+    """Engine persists are tracked and releasable: after running a
+    cache-heavy query and releasing, no NEW cached RDDs remain (VERDICT r1
+    anti-pattern #5 — leaked caches accumulating in a long session)."""
+    from posts_vectorizer_spark.cache import release_caches
+
+    release_caches()  # drop anything left behind by other tests
+    baseline = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    for name in ("tfidf_doc_vectors", "dedup_minhash_near_dups"):
+        df = E.queries()[name](spark, SF_ORACLE)
+        df.write.mode("overwrite").format("noop").save()
+    assert release_caches() > 0  # the queries did take tracked caches
+    leaked = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()) - baseline
+    assert not leaked
+
+
 def test_whole_stage_codegen_active(spark):
     df = E.queries()["rel_groupby_agg"](spark, SF_ORACLE)
     df.collect()  # AQE finalizes the plan (and codegen annotations) on run

@@ -116,6 +116,9 @@ def main(argv: list[str]) -> int:
             failed.append(name)
         else:
             print(f"OK    {name} ({n} rows)")
+        from posts_vectorizer_spark.cache import release_caches
+
+        release_caches()  # per-query caches don't outlive their comparison
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     return 1 if failed else 0
 
