@@ -234,6 +234,7 @@ def idf_table(
     aggregate: unlike an unpartitioned window, this keeps the vocab relation
     fully parallel at 100 TB vocab sizes.
     """
+    spark = documents.sparkSession
     if base is None:
         base = persist_tracked(token_base(documents))
     eligible = base.where(
@@ -243,16 +244,35 @@ def idf_table(
     # aggregate, not a driver-side .count(): no driver sync point, the
     # whole job stays one declarative plan.
     n_df = eligible.agg(F.count("*").cast("double").alias("n_docs"))
-    occs = (
-        eligible.select(F.explode("toks").alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("occurrences"))
+    # ONE pass over the token stream computes vocabulary membership AND
+    # eligible-doc occurrences together (conditional count on the
+    # eligibility flag). Previously: two exploded passes, two word-keyed
+    # shuffles, plus a vocab-LEFT-JOIN-occurrences shuffle; the fused
+    # groupBy(word) is map-side combinable so its shuffle carries one row
+    # per distinct word per partition — and the join disappears.
+    toks = base.select(
+        F.explode("toks").alias("word"),
+        (
+            (F.col("lang") == lang)
+            & (F.col("total_tokens") >= ELIGIBLE_MIN_TOKENS)
+        ).alias("elig"),
     )
-    vocab = vocabulary(documents, base=base)
+    word_stats = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("elig"), 1).otherwise(0)).alias("occurrences")
+    )
+    corpus_vocab = word_stats.where(F.length("word") >= MIN_WORD_LEN)
+    extras = spark.createDataFrame(
+        [(w, 0) for w in DICTIONARY_EXTRAS], ["word", "occurrences"]
+    )
+    # union + max-merge keeps exact semantics even if an extra ever appears
+    # in the corpus (vocab-sized relation — cheap shuffle).
+    vocab_occ = (
+        corpus_vocab.unionByName(extras)
+        .groupBy("word")
+        .agg(F.max("occurrences").alias("occurrences"))
+    )
     raw = (
-        vocab.join(occs, "word", "left")
-        .na.fill({"occurrences": 0})
-        .crossJoin(F.broadcast(n_df))
+        vocab_occ.crossJoin(F.broadcast(n_df))
         .withColumn(
             "idf_raw",
             F.when(
