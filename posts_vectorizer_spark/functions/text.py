@@ -79,8 +79,14 @@ def char_hash_sql(expr: str, mod: int = HASH_MOD, base: int = HASH_BASE) -> str:
     """DuckDB equivalent of :func:`char_hash`.
 
     ``list_reduce`` seeds from the first element, so prepend the 0 seed.
+    The lambda variable is ``ch_i`` (not ``i``) so this fragment can be
+    nested inside an outer list_transform lambda without shadowing the
+    caller's variable (Spark auto-renames HOF variables; DuckDB doesn't).
     """
-    chars = f"list_transform(generate_series(1, length({expr})), i -> ascii({expr}[i]))"
+    chars = (
+        f"list_transform(generate_series(1, length({expr})),"
+        f" ch_i -> ascii({expr}[ch_i]))"
+    )
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), {chars}),"
         f" (acc, ch) -> (acc * {base} + ch) % {mod})"

@@ -1,0 +1,331 @@
+"""Advanced operators beyond the reference surface (SURVEY.md §2 Tier C
+extensions, second wave): classic multi-join analytics (TPC-H Q3/Q5 shapes),
+an event-time AS-OF join, a salt-based skew-mitigated aggregation, a BPE-ish
+regex tokenizer, and winnowing document fingerprints.
+
+All [Q]: every query here has an exact DuckDB twin. Scale notes sit on each
+operator — the as-of join is the one Spark lacks natively; it's expressed as
+the classic union-merge (one shuffle by key, no range explosion), the shape
+that survives 100 TB where a naive range join quadratically explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..sources import load_table, spread
+from .registry import register
+
+
+def _dec_revenue() -> F.Column:
+    """Exact order-insensitive revenue: decimal×decimal, summed, -> double
+    (same float discipline as queries_relational)."""
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+
+
+_DEC_REVENUE_SQL = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics — multi-join analytics
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_tpch_q3_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {_DEC_REVENUE_SQL} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def rel_tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-table join, filtered on both fact
+    sides, revenue agg, top-10. Scale shape: customer is the small side
+    (broadcast); orders⋈lineitem shuffles on orderkey — the join key equals
+    the agg key, so the aggregation reuses the join's partitioning (one
+    shuffle, verified in tests/test_plans.py)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_revenue().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "rel_tpch_q5_region_volume",
+    oracle=f"""
+SELECT n_name, {_DEC_REVENUE_SQL} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def rel_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): 6-table join where every dimension
+    (region, nation, customer, supplier) broadcasts and only
+    orders⋈lineitem shuffles — the canonical star-join plan at 100 TB. The
+    s_nationkey = c_nationkey residual keeps only same-nation sales."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(_dec_revenue().alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join (event-time point-in-time lookup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_asof_last_purchase",
+    oracle="""
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS last_purchase_ts,
+       p.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — for every click, the user's most recent purchase at or
+    before the click (point-in-time-correct feature lookup; Spark has no
+    native ASOF).
+
+    Spark-first shape: UNION both sides tagged, ONE shuffle by user_id, and
+    a last_value(ignoreNulls) window ordered by (ts, side) carries the most
+    recent purchase forward onto each click row — the sort-merge form. Cost
+    is one shuffle + one sort of clicks+purchases, independent of how many
+    purchases precede each click; a naive range join explodes quadratically
+    per user. Ties (click.ts == purchase.ts) take the purchase, matching
+    DuckDB ASOF's >= bound (purchase sorts first via the side tag).
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(1).alias("side"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "event_id", "user_id", "ts", "side",
+        F.last("p_ts", ignorenulls=True).over(w).alias("last_purchase_ts"),
+        F.last("p_value", ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+    return merged.where(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-mitigated aggregation (salting)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_salted_skew_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def rel_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality (worst-skew) key:
+    phase 1 aggregates (key, salt) — 16-way fan-out spreads each hot key
+    over the cluster — phase 2 merges per key. With 5 distinct keys a plain
+    groupBy would reduce on ≤5 partitions no matter the cluster size; the
+    result is identical (count/sum are associative), which the oracle's
+    plain GROUP BY proves. (Spark's partial aggregation makes this implicit
+    for built-in aggs; the explicit salt is the pattern for the cases that
+    can't partial-combine: collect_list, exact percentiles, UDAFs.)"""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("n_p"),
+        F.sum(F.col("value")).alias("sum_p"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n_p").cast("long").alias("n"),
+        F.round(F.sum("sum_p"), 6).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (LLM token counting)
+# ---------------------------------------------------------------------------
+
+# Letter runs / digit runs / single punctuation marks — mutually exclusive
+# alternatives, so Java (Spark) and RE2 (DuckDB) tokenize identically.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@register(
+    "text_bpe_token_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (WHERE tok ~ '^[0-9]+$') AS BIGINT) AS n_number_runs,
+       CAST(count(*) FILTER (WHERE tok ~ '^[^a-z0-9]$') AS BIGINT) AS n_punct
+FROM toks GROUP BY doc_id
+""",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token counting with a BPE-ish regex (letter runs, digit runs,
+    punctuation marks — the pre-tokenization split every BPE vocabulary
+    applies before merges): per-doc token counts for cost estimation /
+    length filtering. Pure regexp_extract_all + explode, entirely JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    # pattern passed as a Column literal — dodges SQL-string backslash
+    # escaping differences between engines
+    toks = spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("tok"),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_bpe_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+        F.sum(F.col("tok").rlike("^[0-9]+$").cast("long")).alias("n_number_runs"),
+        F.sum(F.col("tok").rlike("^[^a-z0-9]$").cast("long")).alias("n_punct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document sketch)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5  # character k-gram length
+WINNOW_W = 4  # winnowing window (guarantee: every W consecutive k-grams
+#               contribute >= 1 fingerprint — Schleimer et al., SIGMOD'03)
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(lower(text)) - {WINNOW_K - 1}, 0)),
+           gi -> {T.char_hash_sql(f'substr(lower(text), gi, {WINNOW_K})')}
+         ) AS gh
+  FROM documents
+),
+winnowed AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(gh) - {WINNOW_W - 1}, 0)),
+           wi -> list_min(list_slice(gh, wi, wi + {WINNOW_W - 1}))
+         )) AS fp
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM winnowed
+""",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every {WINNOW_K}-char gram of
+    the lowercased text (rolling window), keep the minimum hash of each
+    {WINNOW_W}-gram window, distinct per doc — the MOSS sketch. Guarantees
+    any shared substring of length >= K+W-1 yields a shared fingerprint, at
+    ~1/W the density of full k-gram shingling. All higher-order functions
+    (no UDF); the portable char hash keeps it oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.lower(F.col("text"))
+    # Spark's sequence(1, 0) DESCENDS to [1, 0] instead of yielding empty
+    # (same quirk as functions/text.char_hash) — guard short/empty texts.
+    n_grams = F.length(text) - (WINNOW_K - 1)
+    gh = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: T.char_hash(text.substr(i, F.lit(WINNOW_K))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = spread(docs).select("doc_id", gh.alias("gh"))
+    n_windows = F.size("gh") - (WINNOW_W - 1)
+    fps = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice("gh", i, WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        grams.select("doc_id", F.explode(fps).alias("fp"))
+        .distinct()
+    )

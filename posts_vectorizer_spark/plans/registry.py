@@ -67,7 +67,8 @@ def _ensure_loaded() -> None:
     from . import queries_tfidf  # noqa: F401
 
     for mod in ("queries_relational", "queries_text", "queries_dedup",
-                "queries_similarity", "queries_events", "queries_extras"):
+                "queries_similarity", "queries_events", "queries_advanced",
+                "queries_extras"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:

@@ -130,6 +130,40 @@ def test_multiprobe_lsh_recall_at_least_single_probe(spark):
     assert r_multi > 0
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's core guarantee (Schleimer et al.): two docs sharing a
+    substring of length >= K+W-1 chars share at least one fingerprint."""
+    from posts_vectorizer_spark.plans.queries_advanced import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnowing_fingerprints,
+    )
+
+    shared = "x" * 0 + "the quick brown fox jumps"  # >> K+W-1 = 8 chars
+    docs = spark.createDataFrame(
+        [(1, f"AAA {shared} BBB"), (2, f"zzz 123 {shared} qqq")],
+        "doc_id long, text string",
+    )
+    import posts_vectorizer_spark.sources as S
+
+    orig = S.load_table
+    try:
+        S.load_table = lambda spark, sf_dir, name: docs  # noqa: ARG005
+        import posts_vectorizer_spark.plans.queries_advanced as QA
+
+        QA.load_table = S.load_table
+        fps = text_winnowing_fingerprints(spark, "unused")
+        a = {r["fp"] for r in fps.where(F.col("doc_id") == 1).collect()}
+        b = {r["fp"] for r in fps.where(F.col("doc_id") == 2).collect()}
+    finally:
+        S.load_table = orig
+        import posts_vectorizer_spark.plans.queries_advanced as QA
+
+        QA.load_table = orig
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    assert a & b  # at least one shared fingerprint
+
+
 def test_binary_vec_ingest_matches_array_native_path(spark):
     """F8/F9: the packed-f32 round-trip (encode_f32 -> decode_f32) must be
     bit-exact — the centroid aggregation over round-tripped embeddings
