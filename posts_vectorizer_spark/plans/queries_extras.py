@@ -151,6 +151,28 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann(emb, k=3)
 
 
+@register("stream_stateful_user_totals")
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-custom: per-user running totals via applyInPandasWithState —
+    arbitrary user state in the checkpointed state store, updated per
+    micro-batch (streaming/stateful.py). Rows-only (custom stateful
+    streaming is not SQL); equality with the batch groupBy after a forced
+    multi-batch drain is asserted in tests/test_streaming.py."""
+    from ..streaming import latest_user_totals, stateful_user_totals_stream
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="pv_state_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    events.write.mode("overwrite").parquet(source)
+    q = stateful_user_totals_stream(
+        spark, source, events.schema, target, ckpt
+    )
+    q.awaitTermination(300)
+    return latest_user_totals(spark, target).withColumn(
+        "total_value", F.round("total_value", 4)
+    )
+
+
 @register("mllib_minhash_near_dups")
 def mllib_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD5/§2.12-2 alternate: MLlib MinHashLSH approxSimilarityJoin near-dup

@@ -1,3 +1,11 @@
+from .stateful import latest_user_totals, stateful_user_totals_stream
 from .worker import HeartbeatListener, dedup_stream, tumbling_window_stream, vectorize_stream
 
-__all__ = ["HeartbeatListener", "dedup_stream", "tumbling_window_stream", "vectorize_stream"]
+__all__ = [
+    "HeartbeatListener",
+    "dedup_stream",
+    "latest_user_totals",
+    "stateful_user_totals_stream",
+    "tumbling_window_stream",
+    "vectorize_stream",
+]

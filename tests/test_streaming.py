@@ -163,6 +163,40 @@ def test_watermarked_window_drops_late_data_matches_batch_on_time(spark, tmp_pat
     assert got[("2024-01-01T12:00:00", "a")] == (2, 36.0)
 
 
+def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
+    """ST-custom: applyInPandasWithState keeps per-user state across
+    micro-batches — two forced batches over the same users accumulate, and
+    the final state equals the batch groupBy over all input."""
+    from posts_vectorizer_spark.streaming import (
+        latest_user_totals,
+        stateful_user_totals_stream,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    half_a = events.where(F.col("event_id") % 2 == 0)
+    half_b = events.where(F.col("event_id") % 2 == 1)
+    source = str(tmp_path / "in")
+    half_a.coalesce(1).write.mode("append").parquet(source)
+    half_b.coalesce(1).write.mode("append").parquet(source)
+
+    q = stateful_user_totals_stream(
+        spark, source, events.schema,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    got = latest_user_totals(spark, str(tmp_path / "out")).withColumn(
+        "total_value", F.round("total_value", 4)
+    )
+    expected = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
 def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     target = str(tmp_path / "t")
     base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
