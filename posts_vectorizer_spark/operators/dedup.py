@@ -453,3 +453,84 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster canonicalization (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    documents: DataFrame, pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(doc_id, component) — transitive closure of near-dup pairs: every doc
+    labeled with the MIN doc_id reachable through the pair graph (singletons
+    label themselves). This is the canonicalization step after any near-dup
+    detector: keep one doc per component, drop the rest.
+
+    Iterative min-label propagation (the scalable form — recursive SQL
+    closure materializes |component|² paths; this keeps one label row per
+    node): each round, every node takes the min of its own label and its
+    neighbors' labels; converges in O(graph diameter) rounds, checked with a
+    1-row changed-count action per round. Near-dup graphs have tiny diameter
+    (dup clusters are near-cliques), so 2-3 rounds is typical. Driver-side
+    actions are inherent to iterative fixpoints — this operator is exempt
+    from the no-jobs-at-plan-build guard (tests/test_plans.py).
+    """
+    edges = persist_tracked(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = persist_tracked(
+        documents.select("doc_id", F.col("doc_id").alias("component"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        updated = persist_tracked(
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", "component")
+
+
+def minhash_dedup_components_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    """DuckDB twin: recursive-CTE transitive closure over the same near-dup
+    pairs (fine at oracle scale; the Spark side uses label propagation)."""
+    return f"""
+WITH RECURSIVE nd AS (
+  SELECT doc_a, doc_b FROM ({minhash_near_dups_sql(threshold)})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nd
+  UNION
+  SELECT doc_b, doc_a FROM nd
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS component
+FROM reach GROUP BY src
+"""

@@ -329,3 +329,58 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.select("doc_id", F.explode(fps).alias("fp"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel / conversion (sequential event pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH signups AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+first_purchase AS (
+  SELECT p.user_id, min(p.ts) AS first_purchase_ts
+  FROM events p JOIN signups s
+    ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+  WHERE p.event_type = 'purchase'
+  GROUP BY p.user_id
+)
+SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+       COALESCE(p.first_purchase_ts <= s.signup_ts + INTERVAL 7 DAY, FALSE)
+         AS converted_7d
+FROM signups s LEFT JOIN first_purchase p ON s.user_id = p.user_id
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: per signed-up user, the first purchase AT OR AFTER signup and
+    whether it converted within 7 days — the sequential-pattern shape
+    (step1 -> step2 within horizon) of cohort/retention analytics. Two
+    min-aggregations + one left join, all shuffling on user_id so AQE can
+    coalesce to a single exchange reuse."""
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_purchase = (
+        purchases.join(signups, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return signups.join(first_purchase, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.coalesce(
+            F.col("first_purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"),
+            F.lit(False),
+        ).alias("converted_7d"),
+    )

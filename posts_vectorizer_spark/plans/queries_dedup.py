@@ -53,3 +53,14 @@ def dedup_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3, high-bits blocking)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(docs)
+
+
+@register("dedup_components", oracle=dedup.minhash_dedup_components_sql())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization: connected components over the MinHash near-dup
+    pairs — every doc labeled with the min doc_id of its duplicate cluster
+    (keep one per component = the dedup'd corpus). Iterative min-label
+    propagation on Spark; recursive-CTE closure in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs)
+    return dedup.connected_components(docs, pairs)

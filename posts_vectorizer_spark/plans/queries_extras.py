@@ -99,6 +99,38 @@ def source_binary_vec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(ingested)
 
 
+@register("source_vec_model_table")
+def source_vec_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 model-as-table: round-trip the embeddings fixture through the
+    fastText ``.vec`` text format (the reference's model ingest,
+    enter_wordvecs.py:28-53) — write the file, parse it back with the
+    distributed text reader, return a per-word profile. Rows-only (file
+    I/O); parse-exactness vs the fixture is asserted in tests/test_extras.py."""
+    import os
+
+    from ..sources.model_table import load_vec_model, write_vec_file
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="pv_vec_")
+    path = os.path.join(work, "model.vec")
+    rows = (
+        (f"w{r['vec_id']}", list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding").toLocalIterator()
+    )
+    write_vec_file(path, rows, dims=64)
+    model = load_vec_model(spark, path)
+    return model.select(
+        "word",
+        F.size("embedding").alias("n_dims"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            4,
+        ).alias("checksum"),
+    )
+
+
 @register("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12-4: binary media payload + typed metadata -> mapInPandas

@@ -130,6 +130,34 @@ def test_multiprobe_lsh_recall_at_least_single_probe(spark):
     assert r_multi > 0
 
 
+def test_vec_model_roundtrip_parses_exactly(spark, tmp_path):
+    """S3: .vec write -> distributed parse returns exactly the written
+    vectors (6-decimal text precision) with the header line dropped."""
+    from posts_vectorizer_spark.sources.model_table import (
+        load_vec_model,
+        write_vec_file,
+    )
+
+    rows = [("alpha", [1.5, -2.25]), ("beta", [0.0, 3.125]), ("g", [7.0, -0.5])]
+    path = str(tmp_path / "m.vec")
+    assert write_vec_file(path, rows, dims=2) == 3
+    got = {
+        r["word"]: [float(x) for x in r["embedding"]]
+        for r in load_vec_model(spark, path).collect()
+    }
+    assert got == {w: v for w, v in rows}
+
+
+def test_vec_model_query_matches_fixture_checksums(spark):
+    out = {r["word"]: r for r in _Q["source_vec_model_table"](spark, SF_SMOKE).collect()}
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    assert len(out) == len(emb)
+    for r in emb:
+        row = out[f"w{r['vec_id']}"]
+        assert row["n_dims"] == 64
+        assert abs(row["checksum"] - round(sum(float(x) for x in r["embedding"]), 4)) < 1e-3
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """Winnowing's core guarantee (Schleimer et al.): two docs sharing a
     substring of length >= K+W-1 chars share at least one fingerprint."""
@@ -246,6 +274,23 @@ def test_session_window_exact_gap_boundary_matches_oracle(spark):
     con.register("events", pdf)
     oracle = con.execute(REGISTRY["events_session_window"].oracle).fetchall()
     assert sorted((r[1].isoformat(), r[3]) for r in oracle) == expected
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B and B~C (but no direct A~C pair) must land in ONE component, and
+    unrelated docs stay singletons — the transitivity the pair list alone
+    doesn't give."""
+    from posts_vectorizer_spark.operators.dedup import connected_components
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
 
 
 def test_simhash_near_dups_full_recall_vs_brute_force(spark):

@@ -59,10 +59,13 @@ def test_plan_build_triggers_no_jobs(spark):
         # (documented dimension-table contract; bounded by n_tiles)
         "sim_cosine_topk",
         "sim_cosine_near_dups",
-        # model fits are inherently iterative jobs at build
+        # model fits / fixpoint loops are inherently iterative jobs at build
         "sim_ivf_ann",
         "mllib_minhash_near_dups",
         "mllib_doc_vectors_wide",
+        "dedup_components",
+        # runs a streaming drain by contract
+        "stream_stateful_user_totals",
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():
