@@ -109,11 +109,13 @@ def _doc_shingles_sql() -> str:
     )
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}) — k min-hash values over the doc's distinct
     shingle set. One explode + one groupBy with k min() aggregates: partial
     aggregation makes this a single shuffle of doc-count rows."""
-    sh = _doc_shingles(documents)
+    sh = _doc_shingles(documents) if shingles is None else shingles
     aggs = [
         F.min((F.col("sh") * a + b) % MINHASH_P).alias(f"sig_{i}")
         for i, (a, b) in enumerate(zip(_A, _B))
@@ -141,7 +143,9 @@ def _band_expr(band: int) -> F.Column:
     return F.concat_ws(":", *cols)
 
 
-def minhash_candidates(documents: DataFrame) -> DataFrame:
+def minhash_candidates(
+    documents: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing at least one LSH band.
     The equi-join on (band_id, band_value) is the whole trick — shuffle cost
     is #docs × #bands, never #docs².
@@ -151,7 +155,7 @@ def minhash_candidates(documents: DataFrame) -> DataFrame:
     subtree (tokenize + hash + 16-way min agg) once per band. The tiny
     banded frame (#docs × #bands rows, no text payload) is persisted
     because the self-join scans it twice."""
-    sigs = minhash_signatures(documents)
+    sigs = minhash_signatures(documents, shingles=shingles)
     band_structs = F.array(
         *[
             F.struct(
@@ -194,13 +198,19 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-def jaccard_verify(documents: DataFrame, pairs: DataFrame, round_digits: int = 6) -> DataFrame:
+def jaccard_verify(
+    documents: DataFrame,
+    pairs: DataFrame,
+    round_digits: int = 6,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Exact shingle-set Jaccard for the given (doc_a, doc_b) pairs only.
 
     The distinct shingle set is persisted: it feeds three branches (sizes,
     probe side, left-semi build side) that would otherwise each re-run
     tokenize + shingle + hash + distinct over the full corpus."""
-    shingles = persist_tracked(_doc_shingles(documents))
+    if shingles is None:
+        shingles = persist_tracked(_doc_shingles(documents))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     wa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     wb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -228,9 +238,16 @@ def jaccard_verify(documents: DataFrame, pairs: DataFrame, round_digits: int = 6
 
 
 def minhash_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Full pipeline: LSH candidates -> exact Jaccard -> threshold filter."""
-    cands = persist_tracked(minhash_candidates(documents))
-    return jaccard_verify(documents, cands).where(F.col("jaccard") >= threshold)
+    """Full pipeline: LSH candidates -> exact Jaccard -> threshold filter.
+
+    ONE persisted shingle set feeds both the signature side (tokenize +
+    3-gram + hash + distinct is the dominant cost) and the verify side —
+    previously each recomputed it from the raw text."""
+    shingles = persist_tracked(_doc_shingles(documents))
+    cands = persist_tracked(minhash_candidates(documents, shingles=shingles))
+    return jaccard_verify(documents, cands, shingles=shingles).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_near_dups_sql(threshold: float = JACCARD_THRESHOLD, round_digits: int = 6) -> str:

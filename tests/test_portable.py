@@ -66,3 +66,63 @@ def test_tokens_parity(spark, strings):
     ]
     want = _duck(pdf, f"{T.tokens_sql('s')} AS tk")
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts)
+def test_bpe_pattern_parity(spark, strings):
+    """The BPE-ish pre-tokenization regex must extract identical token
+    sequences under Java regex (Spark) and RE2 (DuckDB) — the alternatives
+    are first-char-disjoint precisely so engine matching-order semantics
+    can't diverge."""
+    from pyspark.sql import functions as F
+
+    from posts_vectorizer_spark.plans.queries_advanced import BPE_PATTERN
+
+    pdf = pd.DataFrame({"i": range(len(strings)), "s": strings})
+    got = [
+        r["tk"]
+        for r in spark.createDataFrame(pdf)
+        .select(
+            "i",
+            F.regexp_extract_all(F.lower("s"), F.lit(BPE_PATTERN), F.lit(0)).alias("tk"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    want = _duck(pdf, f"regexp_extract_all(lower(s), '{BPE_PATTERN}') AS tk")
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts)
+def test_winnowing_gram_hash_parity(spark, strings):
+    """The k-gram hash arrays under the winnowing sketch must be identical —
+    exercises char_hash_sql nested inside an outer lambda (the DuckDB
+    variable-shadowing trap fixed in r2)."""
+    from pyspark.sql import functions as F
+
+    from posts_vectorizer_spark.plans.queries_advanced import WINNOW_K
+
+    pdf = pd.DataFrame({"i": range(len(strings)), "s": strings})
+    text = F.lower(F.col("s"))
+    n_grams = F.length(text) - (WINNOW_K - 1)
+    gh = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: T.char_hash(text.substr(i, F.lit(WINNOW_K))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    got = [
+        r["gh"]
+        for r in spark.createDataFrame(pdf).select("i", gh.alias("gh")).orderBy("i").collect()
+    ]
+    want = _duck(
+        pdf,
+        f"""list_transform(
+              generate_series(1, greatest(length(lower(s)) - {WINNOW_K - 1}, 0)),
+              gi -> {T.char_hash_sql(f'substr(lower(s), gi, {WINNOW_K})')}
+            ) AS gh""",
+    )
+    assert got == want
