@@ -384,3 +384,111 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("converted_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates (quantiles / moments)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_stats_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS median_qty,
+       CAST(round(quantile_cont(l_quantity, 0.9), 6) AS DOUBLE) AS p90_qty,
+       CAST(round(quantile_cont(l_extendedprice, 0.99), 6) AS DOUBLE) AS p99_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def rel_stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark `percentile` == DuckDB
+    `quantile_cont`, both linear interpolation). The exact form needs a
+    per-group sort — at 100 TB swap in approx_percentile (t-digest sketch,
+    mergeable, one pass) and keep this as the accuracy oracle, mirroring the
+    HLL/exact-count pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99_price"),
+    )
+
+
+@register(
+    "rel_stats_moments",
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(stddev_samp(l_quantity), 6) AS DOUBLE) AS sd_qty,
+       CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
+       CAST(round(covar_samp(l_quantity, l_discount), 6) AS DOUBLE) AS cov_qty_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def rel_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev / correlation / covariance) per
+    group — single-pass mergeable accumulators in both engines, so they
+    scale like any hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching (edit-distance typo pairs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_typo_pairs",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest({T.tokens_sql('text')}) AS word FROM documents
+),
+blocked AS (
+  SELECT word, substr(word, 1, 1) AS blk, length(word) AS ln FROM vocab
+)
+SELECT a.word AS word_a, b.word AS word_b,
+       CAST(levenshtein(a.word, b.word) AS INTEGER) AS dist
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND b.ln BETWEEN a.ln - 2 AND a.ln + 2
+WHERE a.word < b.word AND levenshtein(a.word, b.word) <= 2
+""",
+)
+def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/variant clustering: vocabulary word pairs within edit distance 2,
+    blocked on (first char, length ±2) so the self-join never goes
+    quadratic. The blocking trades recall for cost (pairs differing at the
+    first character are missed — full recall needs a deletion-neighborhood
+    join, documented dial); the OCR/typo normalization step of text
+    cleaning."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.tokens("text")).alias("word")).distinct()
+    )
+    blocked = vocab.select(
+        "word",
+        F.substring("word", 1, 1).alias("blk"),
+        F.length("word").alias("ln"),
+    )
+    a = blocked.select(
+        F.col("word").alias("word_a"), "blk", F.col("ln").alias("ln_a")
+    )
+    b = blocked.select(
+        F.col("word").alias("word_b"), "blk", F.col("ln").alias("ln_b")
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("ln_b") >= F.col("ln_a") - 2)
+            & (F.col("ln_b") <= F.col("ln_a") + 2)
+            & (F.col("word_a") < F.col("word_b"))
+            & (F.levenshtein("word_a", "word_b") <= 2)
+        )
+        .select(
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").alias("dist"),
+        )
+    )
