@@ -1,0 +1,305 @@
+"""Training-data quality & curation wave (SURVEY.md §2.12 extensions,
+third wave): Gopher-style repetition signals, deterministic stratified
+sampling, per-document TF-IDF keyword extraction, and int8 embedding
+quantization.
+
+All [Q]: every query has an exact DuckDB twin built from the portable
+expression helpers (``functions/text.py``), so the differential oracle
+checks real values, not just shapes.
+
+Scale notes per operator: the repetition profile is one map-side-combinable
+shuffle keyed by (doc_id, word) plus per-row array math — no driver state,
+no window over the whole corpus. Stratified sampling is a pure filter
+(portable hash mod), pushable below any downstream agg. Keyword extraction
+reuses the shared token_base pass and broadcasts the vocab-sized IDF table.
+Quantization is per-row HOF arithmetic — embarrassingly parallel, stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..operators import tfidf
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (quality filtering)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
+),
+counts AS (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+  GROUP BY doc_id, word
+),
+pd AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         max(cnt) AS top_cnt
+  FROM counts GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          bg_i -> toks[bg_i] || ' ' || toks[bg_i + 1])
+         END AS bigrams
+  FROM t
+)
+SELECT pd.doc_id,
+       pd.n_tokens,
+       CAST(pd.n_distinct AS DOUBLE) / pd.n_tokens AS distinct_ratio,
+       CAST(pd.top_cnt AS DOUBLE) / pd.n_tokens AS top_token_frac,
+       CASE WHEN bg.bigrams IS NOT NULL THEN
+         1 - CAST(len(list_distinct(bg.bigrams)) AS DOUBLE) / len(bg.bigrams)
+       END AS dup_bigram_frac
+FROM pd JOIN bg USING (doc_id)
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile — the Gopher/MassiveText repetition
+    filters (distinct-token ratio, most-frequent-token fraction,
+    duplicate-bigram fraction) used to drop boilerplate / spam before
+    LLM training.
+
+    Scale shape: token stats come from one explode + two map-side-combinable
+    groupBys keyed by doc (the same shuffle shape as term_frequency); the
+    bigram dedup ratio is per-row array math (array_distinct is linear in
+    doc length), so no extra shuffle. At 100 TB this is scan-bound.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens("text").alias("toks"))
+    per_doc = (
+        t.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    # toks[i] is 0-based in Spark SQL (vs DuckDB's 1-based [i]); both twins
+    # pair element i with i+1 over the same 1..n-1 index range.
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " bg_i -> concat(toks[bg_i - 1], ' ', toks[bg_i]))"
+    )
+    bg = t.select(
+        "doc_id",
+        # sequence(1, 0) yields [1, 0] (descending), not empty — guard short
+        # docs explicitly, mirroring the oracle's CASE.
+        F.when(F.size("toks") >= 2, bigrams).alias("bigrams"),
+    )
+    return per_doc.join(bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "distinct_ratio"
+        ),
+        (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
+        F.when(
+            F.col("bigrams").isNotNull(),
+            F.lit(1)
+            - F.size(F.array_distinct("bigrams")).cast("double")
+            / F.size("bigrams"),
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_STRAT_KEEP_SQL = (
+    "(event_type = 'purchase' OR "
+    f"{T.char_hash_sql('CAST(event_id AS VARCHAR)')} % 10 = 0)"
+)
+
+
+@register(
+    "rel_stratified_sample",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS kept,
+       CAST(round(sum(value), 6) AS DOUBLE) AS kept_value
+FROM events
+WHERE {_STRAT_KEEP_SQL}
+GROUP BY event_type
+""",
+)
+def rel_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates: keep every ``purchase``
+    (rare, high-signal) and a deterministic 1-in-10 of everything else,
+    selected by the portable hash of the row key — reproducible across
+    engines and runs, unlike rand()-based sampling.
+
+    Scale shape: the keep-predicate is a pure row-local filter (no shuffle,
+    no state) that Catalyst pushes below the aggregate; at 100 TB the
+    sample costs one scan. This is the curation pattern for class-balanced
+    training subsets (upsample rare strata, downsample common ones).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keep = (F.col("event_type") == "purchase") | (
+        T.char_hash(F.col("event_id").cast("string")) % 10 == 0
+    )
+    return (
+        ev.where(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("kept"),
+            F.round(F.sum("value"), 6).cast("double").alias("kept_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+@register(
+    "tfidf_top_keywords",
+    oracle=f"""
+WITH tf AS ({tfidf.TERM_FREQUENCY_SQL}),
+idf AS ({tfidf.idf_table_sql('en')}),
+weighted AS (
+  SELECT tf.doc_id, tf.word, tf.tf * idf.idf AS weight
+  FROM tf JOIN idf USING (word)
+),
+ranked AS (
+  SELECT doc_id, word,
+         CAST(round(weight, 6) AS DOUBLE) AS weight,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, word) AS rk
+  FROM weighted
+)
+SELECT doc_id, word, weight, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def tfidf_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the keyword-extraction /
+    topic-tagging step a curation pipeline runs after the IDF model exists
+    (same tf and idf definitions as the flagship, quirks included).
+
+    Scale shape: reuses the shared token_base pass (tokenize once), joins
+    the vocab-sized IDF table broadcast, and ranks inside each doc_id
+    partition — the window never sees more rows per partition than one
+    document's vocabulary, so there's no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = tfidf.persist_tracked(tfidf.token_base(docs))
+    tf = tfidf.term_frequency(docs, base)
+    idf = tfidf.idf_table(docs, "en", base)
+    weighted = tf.join(
+        F.broadcast(idf.select("word", "idf")), "word"
+    ).select("doc_id", "word", (F.col("tf") * F.col("idf")).alias("weight"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("word")
+    )
+    return (
+        weighted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            F.round("weight", 6).cast("double").alias("weight"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_embedding_quantize",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, qv -> CAST(qv AS DOUBLE)) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, label, v,
+         list_reduce(list_prepend(0.0, v),
+                     (qa, qx) -> greatest(qa, abs(qx))) / 127 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, label, scale,
+         list_transform(v, qx -> floor(qx / scale + 0.5)) AS qv,
+         v
+  FROM scaled WHERE scale > 0
+)
+SELECT vec_id, label,
+       CAST(round(scale, 9) AS DOUBLE) AS scale,
+       CAST(round(
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(v)),
+                          qi -> abs(v[qi] - qv[qi] * scale))),
+           (qa, qx) -> qa + qx) / len(v), 9) AS DOUBLE) AS mae,
+       CAST(len(list_filter(qv, qx -> abs(qx) = 127)) AS BIGINT) AS n_saturated
+FROM q
+""",
+)
+def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4×-compression step ANN indexes and training-data stores apply before
+    shipping vectors. Per vector: scale = max|x| / 127, codes =
+    round(x / scale), reported with mean-absolute reconstruction error and
+    saturation count.
+
+    Portability: quantization rounding is floor(x + 0.5) spelled explicitly
+    in BOTH twins (engine round() conventions differ on .5 ties); all math
+    runs on doubles after one explicit float->double cast so the fold order
+    and operand types are bit-identical. Scale shape: pure per-row HOF
+    arithmetic — no shuffle, whole-stage codegen, scan-bound at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, qv -> CAST(qv AS DOUBLE))")
+    e = emb.select("vec_id", "label", v.alias("v"))
+    scale = F.aggregate(
+        "v", F.lit(0.0), lambda qa, qx: F.greatest(qa, F.abs(qx))
+    ) / F.lit(127)
+    scaled = e.select("vec_id", "label", "v", scale.alias("scale")).where(
+        F.col("scale") > 0
+    )
+    q = scaled.withColumn(
+        "qv", F.expr("transform(v, qx -> floor(qx / scale + 0.5))")
+    )
+    mae = (
+        F.aggregate(
+            F.expr(
+                "transform(sequence(1, size(v)),"
+                " qi -> abs(v[qi - 1] - qv[qi - 1] * scale))"
+            ),
+            F.lit(0.0),
+            lambda qa, qx: qa + qx,
+        )
+        / F.size("v")
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).cast("double").alias("scale"),
+        F.round(mae, 9).cast("double").alias("mae"),
+        F.size(F.expr("filter(qv, qx -> abs(qx) = 127)"))
+        .cast("bigint")
+        .alias("n_saturated"),
+    )

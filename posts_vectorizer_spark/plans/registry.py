@@ -68,7 +68,7 @@ def _ensure_loaded() -> None:
 
     for mod in ("queries_relational", "queries_text", "queries_dedup",
                 "queries_similarity", "queries_events", "queries_advanced",
-                "queries_extras"):
+                "queries_extras", "queries_quality"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:

@@ -66,6 +66,9 @@ def test_plan_build_triggers_no_jobs(spark):
         "dedup_components",
         # runs a streaming drain by contract
         "stream_stateful_user_totals",
+        # ingest demo: materializes the .vec text file it then reads
+        # distributed — the file write is fixture setup, inherently a job
+        "source_vec_model_table",
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():

@@ -1,0 +1,78 @@
+"""Tests for the training-data quality wave (plans/queries_quality.py):
+golden repetition signals on a handcrafted corpus, stratified-sample
+stratum guarantees, keyword-ranking invariants, and the quantization
+error bound. The value-exactness check is the DuckDB oracle
+(tools/oracle_check.py); these pin semantics the hash can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import SF_SMOKE, make_docs
+
+
+def test_repetition_signals_golden(spark, tmp_path):
+    docs = make_docs(spark, [(1, "a a a b", "en"), (2, "x", "en")])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in E.queries()["text_repetition_signals"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_ratio"] == 0.5        # {a, b} of 4 tokens
+    assert r1["top_token_frac"] == 0.75       # 'a' x3 of 4
+    # bigrams: [a a, a a, a b] -> 2 distinct of 3
+    assert r1["dup_bigram_frac"] == pytest.approx(1 - 2 / 3)
+    # single-token doc: no bigrams -> NULL fraction, not a crash or 0
+    assert out[2]["dup_bigram_frac"] is None
+
+
+def test_stratified_sample_stratum_guarantees(spark):
+    from pyspark.sql import functions as F
+
+    from posts_vectorizer_spark.sources import load_table
+
+    out = {
+        r["event_type"]: r
+        for r in E.queries()["rel_stratified_sample"](spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    # rate-1.0 stratum kept in full
+    assert out["purchase"]["kept"] == totals["purchase"]
+    # downsampled strata keep roughly 1-in-10 (hash-uniform; wide bounds)
+    for t, tot in totals.items():
+        if t == "purchase":
+            continue
+        assert 0 < out[t]["kept"] < tot / 3
+
+
+def test_top_keywords_ranking_invariants(spark):
+    rows = E.queries()["tfidf_top_keywords"](spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc, "no keywords produced"
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        weights = [r["weight"] for r in rs]
+        assert weights == sorted(weights, reverse=True)
+
+
+def test_quantize_error_bound(spark):
+    rows = E.queries()["sim_embedding_quantize"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["scale"] > 0
+        # round-to-nearest reconstruction error is at most scale/2 per dim
+        assert r["mae"] <= r["scale"] / 2 + 1e-9
+        assert 0 <= r["n_saturated"] <= 64
