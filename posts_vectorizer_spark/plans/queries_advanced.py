@@ -492,3 +492,80 @@ def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("word_a", "word_b").alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# range join (binned interval join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_range_join_clicks",
+    oracle="""
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+),
+hits AS (
+  SELECT e.event_id, count(*) AS n
+  FROM errors e JOIN clicks c
+    ON e.user_id = c.user_id
+   AND c.cts >= e.ts - INTERVAL '10 minutes'
+   AND c.cts <  e.ts
+  GROUP BY e.event_id
+)
+SELECT e.event_id, e.user_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS clicks_10m
+FROM errors e LEFT JOIN hits h USING (event_id)
+""",
+)
+def events_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, binned: for every error event, how many clicks the same
+    user made in the preceding 10 minutes (error-attribution shape).
+
+    Spark has no native range join, and the naive theta-join
+    (`ON user_id = user_id AND cts BETWEEN ...`) degenerates to a
+    broadcast-nested-loop or per-key cross product. The scalable form bins
+    time into buckets equal to the window length: each probe row explodes to
+    its own bucket plus the previous one (a (t-10min, t) window spans at
+    most 2 such buckets), the join becomes a plain equi-join on
+    (user_id, bucket) — shuffle ∝ data size, 2× probe fan-out, no
+    quadratic blow-up — and the exact range predicate filters residuals
+    after the equi-join. A click lands in exactly one bucket, so no
+    dedup/double-count is possible. This generalizes to any interval join
+    (IP ranges, genomic intervals) with bucket = max interval length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "10 minutes")["start"]
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", bucket.alias("b0")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), bucket.alias("bin")
+    )
+    probe = errors.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(
+            F.array(F.col("b0"), F.col("b0") - F.expr("INTERVAL 10 MINUTES"))
+        ).alias("bin"),
+    )
+    hits = (
+        probe.join(clicks, ["user_id", "bin"])
+        .where(
+            (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("cts") < F.col("ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        errors.join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("clicks_10m"),
+        )
+    )

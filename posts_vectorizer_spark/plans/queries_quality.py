@@ -303,3 +303,60 @@ def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_saturated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized aggregation (outlier clipping)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_winsorized_agg",
+    oracle="""
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+),
+clipped AS (
+  SELECT li.l_returnflag,
+         greatest(b.p05, least(b.p95, li.l_extendedprice)) AS w
+  FROM lineitem li JOIN bounds b USING (l_returnflag)
+)
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(CAST(sum(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*) AS DOUBLE) AS win_avg_price
+FROM clipped GROUP BY l_returnflag
+""",
+)
+def rel_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — clip values to the group's [p05, p95]
+    before averaging, the robust-statistics step that keeps a handful of
+    corrupt outliers from skewing quality metrics.
+
+    Scale shape: two passes — pass 1 reduces to one (group, p05, p95) row
+    per group (group-count-sized, broadcast back), pass 2 is a map-side
+    clip + hash aggregate. The exact percentile pass sorts per group; at
+    100 TB swap approx_percentile into pass 1 (mergeable sketch, same
+    plan shape). The average sums round-6 decimals so the result is
+    order-insensitive (float sums are not associative across partitions).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest("p05", F.least("p95", F.col("l_extendedprice"))).alias("w"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round("w", 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        )
+        .cast("double")
+        .alias("win_avg_price"),
+    )

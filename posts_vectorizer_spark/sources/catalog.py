@@ -70,7 +70,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Only NANOS columns surface as long under nanosAsLong; an events
+        # file written with standard MICROS precision (e.g. test fixtures)
+        # reads as timestamp already and needs no truncation.
+        if dict(raw.dtypes).get("ts") == "bigint":
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = raw
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _SCAN_CACHE[key] = df
