@@ -148,3 +148,68 @@ def events_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+WITH m AS (
+  SELECT time_bucket(INTERVAL '1 minute', ts) AS ws,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1
+),
+h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ws) AS ws,
+         sum(n) AS n, sum(v) AS v
+  FROM m GROUP BY 1
+),
+d AS (
+  SELECT time_bucket(INTERVAL '1 day', ws) AS ws,
+         sum(n) AS n, sum(v) AS v
+  FROM h GROUP BY 1
+)
+SELECT 'minute' AS level, ws AS window_start,
+       CAST(n AS BIGINT) AS n, CAST(v AS DOUBLE) AS total_value FROM m
+UNION ALL
+SELECT 'hour', ws, CAST(n AS BIGINT), CAST(v AS DOUBLE) FROM h
+UNION ALL
+SELECT 'day', ws, CAST(n AS BIGINT), CAST(v AS DOUBLE) FROM d
+""",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute -> hour -> day
+    continuous aggregates where each coarser level re-aggregates the FINER
+    level's partials (sum-of-sums / sum-of-counts), never the raw events.
+
+    Scale shape: the raw table is touched once (minute grid); the hour
+    rollup shuffles ~1/60th of that, the day rollup ~1/1440th — the
+    TimescaleDB continuous-aggregate / OLAP-cube refresh pattern. Because
+    count and decimal-sum are mergeable, each level is exact, and in
+    production each level would persist as its own partitioned table for
+    incremental refresh. Sums run in decimal so re-aggregation order can't
+    perturb float results across levels.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(F.window("ts", "1 minute")["start"].alias("ws")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    h = m.groupBy(F.window("ws", "1 hour")["start"].alias("ws")).agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    d = h.groupBy(F.window("ws", "1 day")["start"].alias("ws")).agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+
+    def lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            F.col("ws").alias("window_start"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("v").cast("double").alias("total_value"),
+        )
+
+    return lvl(m, "minute").unionByName(lvl(h, "hour")).unionByName(
+        lvl(d, "day")
+    )

@@ -235,3 +235,42 @@ def stream_vectorize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return read_merged(spark, target)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id AS err_id, e.user_id, count(*) AS clicks_10m
+FROM errors e JOIN clicks c
+  ON e.user_id = c.user_id
+ AND c.cts >= e.ts - INTERVAL '10 minutes'
+ AND c.cts <  e.ts
+GROUP BY 1, 2
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9: drain events through the watermarked stream-stream interval
+    join (streaming/worker.py::interval_join_stream), then aggregate the
+    emitted (error, click) pairs per error. Oracle-checkable despite being
+    a streaming query: the source is written as one file, so the
+    availableNow drain is a single micro-batch — the starting watermark
+    drops nothing and the inner join emits exactly the SQL join's pairs."""
+    from ..streaming import interval_join_stream
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="pv_ivj_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    events.coalesce(1).write.mode("overwrite").parquet(source)
+    q = interval_join_stream(spark, source, events.schema, target, ckpt)
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(target)
+        .groupBy("err_id", "user_id")
+        .agg(F.count("*").alias("clicks_10m"))
+    )

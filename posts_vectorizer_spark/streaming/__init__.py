@@ -1,9 +1,16 @@
 from .stateful import latest_user_totals, stateful_user_totals_stream
-from .worker import HeartbeatListener, dedup_stream, tumbling_window_stream, vectorize_stream
+from .worker import (
+    HeartbeatListener,
+    dedup_stream,
+    interval_join_stream,
+    tumbling_window_stream,
+    vectorize_stream,
+)
 
 __all__ = [
     "HeartbeatListener",
     "dedup_stream",
+    "interval_join_stream",
     "latest_user_totals",
     "stateful_user_totals_stream",
     "tumbling_window_stream",

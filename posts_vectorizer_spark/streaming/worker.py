@@ -170,6 +170,67 @@ def tumbling_window_stream(
     )
 
 
+def interval_join_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    checkpoint_dir: str,
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+):
+    """ST9: watermarked stream-stream interval join — the streaming form of
+    the batch binned range join (plans/queries_advanced.py
+    ::events_range_join_clicks): for each error event, the same user's
+    clicks in the preceding ``lookback``.
+
+    Both sides carry a watermark and the join condition bounds click_ts to a
+    closed-open range ending at err_ts, so Spark can size the join state:
+    buffered clicks are evicted once the error-side watermark passes
+    click_ts + lookback, and vice versa — state stays proportional to the
+    lookback window, not the stream length. Inner join in append mode emits
+    each matched pair exactly once.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+    errors = (
+        src.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            f"err_user = click_user"
+            f" AND click_ts >= err_ts - INTERVAL {lookback}"
+            f" AND click_ts < err_ts"
+        ),
+    ).select("err_id", F.col("err_user").alias("user_id"), "click_ts")
+    return (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def vectorize_stream(
     spark: SparkSession,
     source_dir: str,

@@ -66,6 +66,7 @@ def test_plan_build_triggers_no_jobs(spark):
         "dedup_components",
         # runs a streaming drain by contract
         "stream_stateful_user_totals",
+        "stream_interval_join",
         # ingest demo: materializes the .vec text file it then reads
         # distributed — the file write is fixture setup, inherently a job
         "source_vec_model_table",

@@ -273,3 +273,51 @@ def test_merge_crash_between_write_and_commit_recovers(spark, tmp_path):
     assert not os.path.exists(manifest_file + ".tmp_dead")
     got = {r.k: r.v for r in read_merged(spark, target).collect()}
     assert got == {1: "a", 2: "B"}
+
+
+def test_interval_join_stream_joins_across_batches(spark, tmp_path):
+    """ST9: a click buffered in batch 0 must still match an error arriving
+    in batch 1 (stream-stream join state spans micro-batches), and the
+    emitted pairs must equal the batch interval join."""
+    import datetime as dt
+    import time as _time
+
+    from posts_vectorizer_spark.streaming import interval_join_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    files = [
+        # batch 0: clicks only — buffered in join state
+        [(1, t0 - 10 * m, 1, "click", 1.0, "{}"),
+         (2, t0 - 5 * m, 1, "click", 1.0, "{}"),
+         (3, t0 - 5 * m, 2, "click", 1.0, "{}")],
+        # batch 1: the errors arrive later — must join the buffered clicks
+        [(100, t0, 1, "error", 1.0, "{}"),
+         (200, t0 + 30 * m, 2, "error", 1.0, "{}")],
+    ]
+    source = str(tmp_path / "in")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(source)
+        _time.sleep(1.1)  # file source orders batches by mod time
+
+    target = str(tmp_path / "out")
+    q = interval_join_stream(
+        spark, source, spark.createDataFrame(files[0], schema).schema,
+        target, str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    pairs = {
+        (r["err_id"], r["click_ts"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # error 100 (user 1) matches both user-1 clicks (10m edge inclusive,
+    # cross-batch); error 200 (user 2) matches nothing — its user's click
+    # is 35 minutes earlier, outside the lookback
+    assert pairs == {(100, t0 - 10 * m), (100, t0 - 5 * m)}
