@@ -569,3 +569,82 @@ def events_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("clicks_10m"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# salted skew join
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_salted_skew_join",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {_DEC_REVENUE_SQL} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def rel_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-fact join: the anti-skew pattern for a join whose key
+    distribution has hot values. The probe side gets a deterministic salt
+    (pmod of a row attribute, 8-way); the build side replicates each row
+    across all 8 salt values; the join key becomes (key, salt), so one hot
+    key's rows spread over 8 reducers instead of one. The result is
+    bit-identical to the plain join — proved by the oracle's unsalted SQL.
+
+    At 100 TB you'd salt only the keys above a frequency threshold (AQE's
+    skew-join split does the same at runtime); the uniform 8x replication
+    here keeps the demo deterministic and oracle-checkable. The salt uses
+    l_linenumber, not a hash of the key — salting must distribute ROWS OF
+    ONE KEY, which any key-derived value cannot.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    n_salt = 8
+    probe = li.withColumn("salt", F.pmod(F.col("l_linenumber"), F.lit(n_salt)))
+    build = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = probe.join(
+        build,
+        (probe["l_orderkey"] == build["o_orderkey"])
+        & (probe["salt"] == build["salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        _dec_revenue().alias("revenue"),
+    )
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_pri,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 completion: explicit GROUPING SETS (two one-dimension slices plus
+    the grand total — the non-hierarchical shape cube/rollup can't express
+    without computing unwanted combinations). GROUPING() flags distinguish
+    'aggregated over' from a genuine NULL group value. One pass, one
+    shuffle: Spark expands rows per matching set before the hash aggregate,
+    exactly like cube/rollup."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pv_orders_gsets"
+    )
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+               CAST(grouping(o_orderstatus) AS INT) AS g_st,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM pv_orders_gsets
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)

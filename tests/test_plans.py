@@ -122,3 +122,43 @@ def test_whole_stage_codegen_active(spark):
     # plan string; the agg over the scan must be inside one.
     plan = _plan(df)
     assert "*(" in plan and "HashAggregate" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides of a recurring join key lets the join read
+    co-located buckets with NO Exchange — the storage-layout move that
+    turns the biggest repeated shuffle at 100 TB into a scan property.
+    Asserts the physical plan: SortMergeJoin present, zero Exchange."""
+    from pyspark.sql import functions as F
+
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    ords = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    for t in ("b_li", "b_ord"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .option("path", str(tmp_path / "b_li")).saveAsTable("b_li"))
+    (ords.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .option("path", str(tmp_path / "b_ord")).saveAsTable("b_ord"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_li").join(
+            spark.table("b_ord"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it actually runs
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("b_li", "b_ord"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
