@@ -88,25 +88,55 @@ _DOC_WORDS_SQL = (
 # selective because their universe is |vocab|^n.
 # ---------------------------------------------------------------------------
 
+# Combine base for folding per-token hashes into a shingle hash. Max
+# intermediate: (P-1) * SHINGLE_B + (P-1) ≈ 1e15 — safely inside int64.
+SHINGLE_B = 1_000_003
+
+
 def _doc_shingles(documents: DataFrame) -> DataFrame:
     """(doc_id, sh) — the doc's distinct shingle-hash set (int64 keys: the
-    verify join shuffles 8-byte hashes, never the shingle strings)."""
-    from .textstats import ngrams
+    verify join shuffles 8-byte hashes, never the shingle strings).
 
+    Each TOKEN is char-hashed once, then a shingle hash is a polynomial
+    fold of its {SHINGLE_N} token hashes — versus hashing each n-gram
+    string, this touches every character once instead of n times and never
+    materializes the n-gram strings (the dominant cost of the whole MinHash
+    pipeline was exactly that re-hashing)."""
+    toks = T.tokens("text")
+    th = F.transform(toks, lambda t: T.char_hash(t))
+    docs = spread(documents).select("doc_id", th.alias("th"))
+    comb = lambda i: F.aggregate(  # noqa: E731
+        F.slice("th", i, SHINGLE_N),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * SHINGLE_B + h) % T.HASH_MOD,
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("th") - (SHINGLE_N - 1)), comb
+    )
     return (
-        ngrams(documents, SHINGLE_N)
-        .select("doc_id", T.char_hash("ngram").alias("sh"))
+        docs.where(F.size("th") >= SHINGLE_N)
+        .select("doc_id", F.explode(shingles).alias("sh"))
         .distinct()
     )
 
 
 def _doc_shingles_sql() -> str:
-    from .textstats import ngrams_sql
-
-    return (
-        f"SELECT DISTINCT doc_id, {T.char_hash_sql('ngram')} AS sh"
-        f" FROM ({ngrams_sql(SHINGLE_N)})"
+    th = f"list_transform({T.tokens_sql('text')}, sh_t -> {T.char_hash_sql('sh_t')})"
+    comb = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_slice(th, sh_i, sh_i + {SHINGLE_N - 1})),"
+        f" (acc, h) -> (acc * {SHINGLE_B} + h) % {T.HASH_MOD})"
     )
+    return f"""
+SELECT DISTINCT doc_id, sh FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(th) - {SHINGLE_N - 1}), sh_i -> {comb}
+         )) AS sh
+  FROM (SELECT doc_id, {th} AS th FROM documents)
+  WHERE len(th) >= {SHINGLE_N}
+)
+"""
 
 
 def minhash_signatures(
@@ -285,12 +315,8 @@ def shingle_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD
     sharing >= 1 shingle (shingles are selective, unlike single words), then
     exact Jaccard over shingle sets. The candidate join shuffles on shingle
     hash — rare-key blocking, the classic dedup shape."""
-    from .textstats import ngrams
-
     sh = persist_tracked(  # feeds sizes + both sides of the candidate self-join
-        ngrams(documents, SHINGLE_N)
-        .select("doc_id", T.char_hash("ngram").alias("sh"))
-        .distinct()
+        _doc_shingles(documents)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -319,13 +345,8 @@ def shingle_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD
 
 
 def shingle_near_dups_sql(threshold: float = JACCARD_THRESHOLD, round_digits: int = 6) -> str:
-    from .textstats import ngrams_sql
-
     return f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, {T.char_hash_sql('ngram')} AS sh
-  FROM ({ngrams_sql(SHINGLE_N)})
-),
+WITH sh AS ({_doc_shingles_sql()}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
