@@ -648,3 +648,43 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pv_orders_gsets
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """)
+
+
+@register(
+    "rel_custdist_histogram",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def rel_custdist_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): count-per-entity, then a
+    histogram of the counts — the double aggregation that profiles long-tail
+    engagement (customers with 0 non-urgent orders included via the outer
+    join; count(col) skips the NULLs the join fills in).
+
+    Scale shape: shuffle 1 keys c_custkey (fact pre-aggregated map-side),
+    shuffle 2 keys the tiny c_count domain — cardinality collapses at each
+    step, the opposite of a blow-up. The join-condition filter rides INTO
+    the outer join (not a post-filter, which would turn outer into inner).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -213,3 +213,79 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl(m, "minute").unionByName(lvl(h, "hour")).unionByName(
         lvl(d, "day")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, count(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over each user's event sequence (the
+    sequence-mining primitive behind funnel discovery / next-action
+    models). lead() is evaluated inside the per-user partition after one
+    shuffle on user_id; event_id breaks timestamp ties so the sequence —
+    and therefore the matrix — is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(datediff('day', f.cohort_week, a.act_week) / 7 AS INTEGER)
+         AS week_offset,
+       count(*) AS active_users
+FROM firsts f JOIN activity a USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week, counted
+    in each later week they were active — THE product-analytics cohort
+    query. Two aggregations on user_id (first-seen, distinct active weeks)
+    share a single shuffle key; the cohort join is user_id-keyed as well,
+    so at 100 TB the whole plan is one partitioning reused three times.
+    Both engines truncate weeks to Monday, so offsets divide evenly by 7."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
