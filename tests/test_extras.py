@@ -320,3 +320,38 @@ def test_stream_drain_query_matches_flagship(spark):
     batch = _Q["tfidf_doc_vectors"](spark, SF_SMOKE)
     assert drained.count() == batch.count()
     assert drained.exceptAll(batch).count() == 0
+
+
+def test_grouped_zscore_matches_native_window(spark):
+    """applyInPandas grouped-map vs the native window-function form: same
+    z-scores within float tolerance (pandas accumulates in a different
+    order, so exact-hash equality is not the contract here)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import __spark_entry__ as E
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["doc_id"]: r["z"]
+        for r in E.queries()["grouped_zscore_normalize"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    w = Window.partitionBy("lang")
+    native = {
+        r["doc_id"]: r["z"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang", F.col("n_chars").cast("double").alias("x"))
+        .select(
+            "doc_id",
+            (
+                (F.col("x") - F.avg("x").over(w)) / F.stddev_samp("x").over(w)
+            ).alias("z"),
+        )
+        .collect()
+    }
+    assert set(got) == set(native)
+    for k in got:
+        assert abs(got[k] - native[k]) < 1e-9, k

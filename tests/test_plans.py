@@ -67,9 +67,10 @@ def test_plan_build_triggers_no_jobs(spark):
         # runs a streaming drain by contract
         "stream_stateful_user_totals",
         "stream_interval_join",
-        # ingest demo: materializes the .vec text file it then reads
-        # distributed — the file write is fixture setup, inherently a job
+        # ingest demos: materialize the text/CSV/JSON files they then read
+        # distributed — the file writes are fixture setup, inherently jobs
         "source_vec_model_table",
+        "source_csv_json_roundtrip",
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():
