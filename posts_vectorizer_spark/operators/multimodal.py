@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, LongType, StructField, StructType,
+    ArrayType, BinaryType, FloatType, LongType, StructField, StructType,
 )
 
 N_FAKE_FEATURES = 8
@@ -91,3 +91,87 @@ def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFra
             )
 
     return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 64, use_real_codecs: bool = False
+) -> DataFrame:
+    """Resize plumbing (image-thumbnail analog): each payload is re-sampled
+    to exactly ``target_bytes`` by deterministic index interpolation — the
+    byte-level stand-in for PIL's resize; the real codec would decode,
+    resize pixels, and re-encode inside the same iterator. One row in, one
+    smaller row out: at scale this runs BEFORE any shuffle so downstream
+    stages move thumbnails, not originals."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_codecs:
+            raise NotImplementedError(
+                "real image resize needs PIL; not available in this image"
+            )
+        for pdf in batches:
+            def shrink(b: bytes) -> bytes:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if arr.size == 0:
+                    return bytes(target_bytes)
+                idx = np.linspace(0, arr.size - 1, target_bytes).astype(np.int64)
+                return arr[idx].tobytes()
+
+            out = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "n_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_id", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, use_real_codecs: bool = False
+) -> DataFrame:
+    """Frame-sampling plumbing (video analog): each payload fans out to
+    ``n_frames`` evenly-spaced byte windows, one output row per frame —
+    the 1->N mapInPandas shape real frame extraction uses (libav would
+    seek+decode keyframes in the same loop). Fan-out happens map-side;
+    only sampled frames ever reach a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_codecs:
+            raise NotImplementedError(
+                "real frame extraction needs libav/ffmpeg; not in this image"
+            )
+        for pdf in batches:
+            ids, fids, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                window = max(1, arr.size // max(n_frames, 1))
+                for k in range(n_frames):
+                    start = k * window
+                    ids.append(doc_id)
+                    fids.append(k)
+                    frames.append(arr[start:start + window].tobytes())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_id": fids, "frame": frames}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -146,6 +146,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("feature", F.round(F.col("feature").cast("double"), 6))
 
 
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12-4 frame-sampling: each binary payload fans out to 4
+    evenly-spaced byte-window "frames" (the 1->N mapInPandas shape of video
+    keyframe extraction; real libav decode stubbed), then resized to a
+    16-byte thumbnail — the decode -> sample -> resize chain of a media
+    ingest pipeline with the payload never entering a shuffle. Rows-only:
+    binary outputs are not SQL-comparable; shape/determinism tests live in
+    tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs)
+    frames = multimodal.sample_frames(media, n_frames=4)
+    thumbs = multimodal.resize_media(
+        frames.select(
+            # frame-unique id: doc_id * 10 + frame_id (n_frames < 10)
+            (F.col("doc_id") * 10 + F.col("frame_id")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        ),
+        target_bytes=16,
+    )
+    return thumbs.select(
+        "doc_id", "n_bytes", F.crc32("payload").alias("payload_crc")
+    )
+
+
 @register("mllib_doc_vectors_wide")
 def mllib_doc_vectors_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 wide form: Summarizer.sum over tf·idf-scaled MLlib vectors —

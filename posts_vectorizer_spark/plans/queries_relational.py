@@ -540,3 +540,77 @@ def rel_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
         """
     )
+
+
+@register(
+    "rel_unpivot_stack",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric,
+       CAST(amount AS DOUBLE) AS amount
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_orderkey < 100
+)
+UNPIVOT (amount FOR metric IN (l_extendedprice, l_discount, l_tax))
+""",
+)
+def rel_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via the native unpivot/melt — the inverse of
+    rel_pivot, used to normalize per-metric columns into (metric, amount)
+    rows before generic per-metric aggregation. Row-local expansion: no
+    shuffle, 3x fan-out, codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey", "l_linenumber",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "amount",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "metric",
+            F.col("amount").cast("double").alias("amount"),
+        )
+    )
+
+
+@register(
+    "rel_nullsafe_join",
+    oracle="""
+WITH flags AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id % 2 END AS flag
+  FROM documents
+),
+ref AS (
+  SELECT * FROM (VALUES (NULL, 'missing'), (0, 'even'), (1, 'odd'))
+       AS t(flag, label)
+)
+SELECT f.doc_id, r.label
+FROM flags f JOIN ref r ON f.flag IS NOT DISTINCT FROM r.flag
+""",
+)
+def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics needed when NULL is a
+    legitimate category (unknown lang, missing label) that must still find
+    its dimension row. Spark plans <=> as a hash join key like any equality,
+    so the broadcast dim-join shape survives."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id") % 2)
+        .alias("flag"),
+    )
+    ref = docs.sparkSession.createDataFrame(
+        [(None, "missing"), (0, "even"), (1, "odd")], "flag long, label string"
+    )
+    return flags.join(
+        F.broadcast(ref), flags["flag"].eqNullSafe(ref["flag"])
+    ).select("doc_id", "label")

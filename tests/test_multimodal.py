@@ -66,3 +66,42 @@ def test_codec_roundtrip(spark):
         .collect()
     )
     assert all(r.max_diff == 0.0 for r in round_tripped)
+
+
+def test_resize_media_exact_target_and_deterministic(spark):
+    from posts_vectorizer_spark.operators import multimodal
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = multimodal.attach_payload(docs)
+    out1 = {r["doc_id"]: r["payload"] for r in multimodal.resize_media(media, 32).collect()}
+    out2 = {r["doc_id"]: r["payload"] for r in multimodal.resize_media(media, 32).collect()}
+    assert out1 == out2  # deterministic fake codec
+    assert all(len(p) == 32 for p in out1.values())
+
+
+def test_sample_frames_fanout_and_coverage(spark):
+    from posts_vectorizer_spark.operators import multimodal
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    media = multimodal.attach_payload(docs)
+    rows = multimodal.sample_frames(media, n_frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(rows) == 10 * 4  # exact 1 -> n_frames fan-out
+    for doc, rs in by_doc.items():
+        assert sorted(r["frame_id"] for r in rs) == [0, 1, 2, 3]
+        assert all(len(r["frame"]) > 0 for r in rs)
+
+
+def test_frame_sample_query_runs(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_SMOKE
+
+    df = E.queries()["multimodal_frame_sample"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows and all(r["n_bytes"] == 16 for r in rows)
