@@ -614,3 +614,70 @@ def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.join(
         F.broadcast(ref), flags["flag"].eqNullSafe(ref["flag"])
     ).select("doc_id", "label")
+
+
+@register(
+    "rel_window_frames",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(round(avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+         AS avg_last3,
+       first_value(o_orderpriority) OVER w AS first_pri,
+       last_value(o_orderpriority) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_pri,
+       nth_value(o_orderpriority, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_pri
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame completeness: an explicit ROWS sliding frame (trailing
+    3-row average) plus first/last/nth value over the full-partition frame.
+    last/nth need the UNBOUNDED FOLLOWING frame spelled out — the default
+    frame stops at CURRENT ROW, a classic silent-wrong-answer trap in both
+    engines. Deterministic ordering via the (date, key) tie-break."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    sliding = ordered.rowsBetween(-2, Window.currentRow)
+    full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(sliding), 6)
+        .cast("double")
+        .alias("avg_last3"),
+        F.first("o_orderpriority").over(ordered).alias("first_pri"),
+        F.last("o_orderpriority").over(full).alias("last_pri"),
+        F.nth_value("o_orderpriority", 2).over(full).alias("second_pri"),
+    )
+
+
+@register(
+    "rel_array_agg_sorted",
+    oracle="""
+SELECT n_regionkey,
+       list_sort(list(n_name)) AS nations,
+       CAST(len(list(n_name)) AS INTEGER) AS n
+FROM nation GROUP BY n_regionkey
+""",
+)
+def rel_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with a deterministic order: collect_list's arrival
+    order is partition-dependent (never comparable), so the contract sorts
+    the collected array — the only portable form of array_agg. The
+    nested-array column itself participates in the value hash."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.size(F.collect_list("n_name")).cast("int").alias("n"),
+    )
