@@ -171,6 +171,120 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_csv_json_roundtrip",
+    oracle="""
+SELECT r.r_name, count(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 beyond parquet: route region through CSV (header, explicit schema
+    — never inferSchema, which costs an extra full read and guesses) and
+    nation through JSON lines, then run the same join the parquet path
+    would. Int/string dimension tables round-trip losslessly through both
+    text formats, so this carries a real oracle: the SQL twin reads the
+    original parquet — matching proves format fidelity, not just shape.
+    The materializing writes are fixture setup (skip-listed in the
+    no-jobs-at-plan-build guard, like the .vec ingest demo)."""
+    import os
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    work = tempfile.mkdtemp(prefix="pv_fmt_")
+    csv_dir, json_dir = os.path.join(work, "region_csv"), os.path.join(
+        work, "nation_json"
+    )
+    region.write.option("header", True).csv(csv_dir)
+    nation.write.json(json_dir)
+    region_csv = (
+        spark.read.option("header", True)
+        .schema("r_regionkey int, r_name string")
+        .csv(csv_dir)
+    )
+    nation_json = spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).json(json_dir)
+    return (
+        nation_json.join(
+            F.broadcast(region_csv),
+            nation_json["n_regionkey"] == region_csv["r_regionkey"],
+        )
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@register(
+    "udtf_tokenize_lateral",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_T.tokens_sql('text')} AS toks FROM documents)
+SELECT doc_id,
+       unnest(toks) AS word,
+       CAST(unnest(generate_series(1, len(toks))) - 1 AS INTEGER) AS pos
+FROM t
+""",
+)
+def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 as a REAL Python UDTF (Spark 4 `@udtf`) applied via LATERAL —
+    one input row expands to one row per token with its position. The
+    Python tokenizer (lower + whitespace split, empties dropped) matches
+    the portable expression tokenizer exactly on this corpus, so the SQL
+    twin is a genuine value oracle for the UDTF's output.
+
+    This is deliberately the SLOW path — per-row Python, no Arrow batching
+    — registered to prove surface parity; every hot-path query uses the
+    codegen'd explode(split(...)) form instead (functions/text.py)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").lower().split()):
+                yield (w, i)
+
+    spark.udtf.register("pv_tokenize_udtf", TokenizeUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "pv_docs_udtf"
+    )
+    return spark.sql("""
+        SELECT d.doc_id, s.word, s.pos
+        FROM pv_docs_udtf d, LATERAL pv_tokenize_udtf(d.text) s
+    """)
+
+
+@register("grouped_zscore_normalize")
+def grouped_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD-grouped-map: per-language z-score normalization of document
+    lengths via ``applyInPandas`` — the whole group arrives as one pandas
+    DataFrame, the normalization is vectorized numpy, the result keeps the
+    schema declared up front. Rows-only: pandas' mean/std accumulate in a
+    different float order than any SQL engine, so the strong check is the
+    differential-vs-native-window test (tests/test_extras.py) under a
+    tolerance, not a hash.
+
+    Scale note: one shuffle on the group key; each group must fit one
+    executor's memory (fine for per-language groups; for huge groups use
+    the two-pass broadcast-bounds form `rel_winsorized_agg` demonstrates).
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("x")
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["x"].mean()
+        sd = pdf["x"].std(ddof=1)
+        pdf["z"] = 0.0 if sd == 0 else (pdf["x"] - mu) / sd
+        return pdf[["doc_id", "lang", "z"]]
+
+    return docs.groupBy("lang").applyInPandas(
+        normalize, schema="doc_id long, lang string, z double"
+    )
+
+
 @register("mllib_doc_vectors_wide")
 def mllib_doc_vectors_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 wide form: Summarizer.sum over tf·idf-scaled MLlib vectors —
@@ -299,118 +413,4 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(target)
         .groupBy("err_id", "user_id")
         .agg(F.count("*").alias("clicks_10m"))
-    )
-
-
-@register(
-    "source_csv_json_roundtrip",
-    oracle="""
-SELECT r.r_name, count(*) AS n_nations
-FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
-""",
-)
-def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 beyond parquet: route region through CSV (header, explicit schema
-    — never inferSchema, which costs an extra full read and guesses) and
-    nation through JSON lines, then run the same join the parquet path
-    would. Int/string dimension tables round-trip losslessly through both
-    text formats, so this carries a real oracle: the SQL twin reads the
-    original parquet — matching proves format fidelity, not just shape.
-    The materializing writes are fixture setup (skip-listed in the
-    no-jobs-at-plan-build guard, like the .vec ingest demo)."""
-    import os
-
-    region = load_table(spark, sf_dir, "region")
-    nation = load_table(spark, sf_dir, "nation")
-    work = tempfile.mkdtemp(prefix="pv_fmt_")
-    csv_dir, json_dir = os.path.join(work, "region_csv"), os.path.join(
-        work, "nation_json"
-    )
-    region.write.option("header", True).csv(csv_dir)
-    nation.write.json(json_dir)
-    region_csv = (
-        spark.read.option("header", True)
-        .schema("r_regionkey int, r_name string")
-        .csv(csv_dir)
-    )
-    nation_json = spark.read.schema(
-        "n_nationkey int, n_name string, n_regionkey int"
-    ).json(json_dir)
-    return (
-        nation_json.join(
-            F.broadcast(region_csv),
-            nation_json["n_regionkey"] == region_csv["r_regionkey"],
-        )
-        .groupBy("r_name")
-        .agg(F.count("*").alias("n_nations"))
-    )
-
-
-@register(
-    "udtf_tokenize_lateral",
-    oracle=f"""
-WITH t AS (SELECT doc_id, {_T.tokens_sql('text')} AS toks FROM documents)
-SELECT doc_id,
-       unnest(toks) AS word,
-       CAST(unnest(generate_series(1, len(toks))) - 1 AS INTEGER) AS pos
-FROM t
-""",
-)
-def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UD4 as a REAL Python UDTF (Spark 4 `@udtf`) applied via LATERAL —
-    one input row expands to one row per token with its position. The
-    Python tokenizer (lower + whitespace split, empties dropped) matches
-    the portable expression tokenizer exactly on this corpus, so the SQL
-    twin is a genuine value oracle for the UDTF's output.
-
-    This is deliberately the SLOW path — per-row Python, no Arrow batching
-    — registered to prove surface parity; every hot-path query uses the
-    codegen'd explode(split(...)) form instead (functions/text.py)."""
-    from pyspark.sql.functions import udtf
-
-    @udtf(returnType="word: string, pos: int")
-    class TokenizeUdtf:
-        def eval(self, text: str):
-            for i, w in enumerate((text or "").lower().split()):
-                yield (w, i)
-
-    spark.udtf.register("pv_tokenize_udtf", TokenizeUdtf)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "pv_docs_udtf"
-    )
-    return spark.sql("""
-        SELECT d.doc_id, s.word, s.pos
-        FROM pv_docs_udtf d, LATERAL pv_tokenize_udtf(d.text) s
-    """)
-
-
-@register("grouped_zscore_normalize")
-def grouped_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UD-grouped-map: per-language z-score normalization of document
-    lengths via ``applyInPandas`` — the whole group arrives as one pandas
-    DataFrame, the normalization is vectorized numpy, the result keeps the
-    schema declared up front. Rows-only: pandas' mean/std accumulate in a
-    different float order than any SQL engine, so the strong check is the
-    differential-vs-native-window test (tests/test_extras.py) under a
-    tolerance, not a hash.
-
-    Scale note: one shuffle on the group key; each group must fit one
-    executor's memory (fine for per-language groups; for huge groups use
-    the two-pass broadcast-bounds form `rel_winsorized_agg` demonstrates).
-    """
-    import pandas as pd
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.col("n_chars").cast("double").alias("x")
-    )
-
-    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["x"].mean()
-        sd = pdf["x"].std(ddof=1)
-        pdf["z"] = 0.0 if sd == 0 else (pdf["x"] - mu) / sd
-        return pdf[["doc_id", "lang", "z"]]
-
-    return docs.groupBy("lang").applyInPandas(
-        normalize, schema="doc_id long, lang string, z double"
     )

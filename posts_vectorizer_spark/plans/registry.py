@@ -66,9 +66,13 @@ def _ensure_loaded() -> None:
         return
     from . import queries_tfidf  # noqa: F401
 
+    # Cost-ascending across modules too: every cheap oracle-backed module
+    # registers BEFORE queries_extras' streaming/MLlib drains, so a
+    # time-budgeted correctness driver (r1 ran only 50 of 56 entries)
+    # checks the hash-matched surface first.
     for mod in ("queries_relational", "queries_text", "queries_dedup",
                 "queries_similarity", "queries_events", "queries_advanced",
-                "queries_extras", "queries_quality"):
+                "queries_quality", "queries_extras"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:
