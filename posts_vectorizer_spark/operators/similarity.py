@@ -3,9 +3,11 @@
 Brute-force cosine (exactness baseline + oracle anchor) and a
 random-hyperplane LSH bucketing path (the 100 TB shape: candidate
 generation becomes an equi-join on bucket id; only candidates get the exact
-rerank). Dot products are ``zip_with``/``aggregate`` higher-order functions —
-JVM-side, bit-identical to the DuckDB twin because both fold dims
-left-to-right in double precision.
+rerank). Every dot product — HOF ``zip_with``/``aggregate``, the numpy
+block kernel, and the Arrow-batched ``dot_arrow`` rerank — folds dims
+left-to-right in double precision, so all three are bit-identical to the
+DuckDB ``list_reduce`` twin; the fast paths are drop-in under the value
+hash. Per-vector norms are hoisted out of pair loops everywhere.
 
 At cluster scale the brute-force path is the quadratic trap; the LSH path's
 cost is #vectors × #buckets-collisions. An IVF variant is the same plan with
@@ -279,13 +281,20 @@ WHERE cosine >= {threshold}
 def _projection(vec: str | Column, plane: int, dims: int) -> Column:
     """dot(vec, h_plane) where h_plane[d] = sin((plane+1)*131 + d*17) — a
     deterministic pseudo-random hyperplane both engines can reproduce exactly
-    (no stored random state)."""
+    (no stored random state).
+
+    The h_plane entries are constants per (plane, d), so they are computed
+    ONCE here as literals (libm sin — bit-identical to DuckDB's runtime
+    sin(), proved by the oracle hash-match) instead of re-evaluating
+    dims×planes sin() calls per ROW inside the fold, which dominated the
+    bucketing pass."""
+    import math
+
     c = F.col(vec) if isinstance(vec, str) else vec
-    terms = F.transform(
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda d: F.element_at(c, d + 1).cast("double")
-        * F.sin(F.lit(float((plane + 1) * 131)) + d.cast("double") * 17.0),
+    h = F.array(
+        *[F.lit(math.sin((plane + 1) * 131 + d * 17.0)) for d in range(dims)]
     )
+    terms = F.zip_with(c, h, lambda x, hd: x.cast("double") * hd)
     return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -333,11 +342,22 @@ def lsh_ann(
     exact-bucket candidates are a subset) with the same single equi-join
     shuffle shape — the probe side just explodes to planes+1 keys. Each
     neighbor lives in exactly one bucket, so no candidate dedup is needed."""
+    # Norms are computed ONCE per vector here, not per candidate pair: the
+    # per-pair cosine then costs one dot-product fold instead of three.
+    # Values are bit-identical to V.cosine (same per-vector fold), so the
+    # oracle twin — which spells out the full per-pair form — still
+    # hash-matches.
     bucketed = embeddings.select(
-        "vec_id", "embedding", lsh_bucket("embedding", dims, planes).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket("embedding", dims, planes).alias("bucket"),
+        V.norm("embedding").alias("nrm"),
     )
     a = bucketed.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("va"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
     )
     if multiprobe:
         probes = F.array(
@@ -345,18 +365,25 @@ def lsh_ann(
             *[F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(planes)],
         )
         a = a.select(
-            "query_id", "va", F.explode(probes).alias("bucket")
+            "query_id", "va", "na", F.explode(probes).alias("bucket")
         )
     b = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
     )
     cands = a.join(b, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    cosine = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        V.dot_arrow("va", "vb") / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(None))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cands.select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine("va", "vb"), COSINE_ROUND).alias("cosine"),
+            F.round(cosine, COSINE_ROUND).alias("cosine"),
         )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
@@ -453,22 +480,34 @@ def ivf_ann(
         .withColumn("dist2", d2)
         .withColumn("pr", F.row_number().over(w))
         .where(F.col("pr") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("va"), "list_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("va"),
+            V.norm("embedding").alias("na"),
+            "list_id",
+        )
     )
     cand = probes.join(
         assigned.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("vb"),
+            V.norm("embedding").alias("nb"),
             "list_id",
         ),
         "list_id",
     ).where(F.col("query_id") != F.col("neighbor_id"))
+    # per-vector norms hoisted out of the pair loop (same trick as lsh_ann:
+    # one dot fold per pair; values bit-identical to V.cosine)
+    cosine = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        V.dot_arrow("va", "vb") / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(None))
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine("va", "vb"), COSINE_ROUND).alias("cosine"),
+            F.round(cosine, COSINE_ROUND).alias("cosine"),
         )
         .withColumn("rk", F.row_number().over(wr))
         .where(F.col("rk") <= k)
