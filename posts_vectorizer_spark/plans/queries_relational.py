@@ -681,3 +681,55 @@ def rel_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("n_name")).alias("nations"),
         F.size(F.collect_list("n_name")).cast("int").alias("n"),
     )
+
+
+_HIST_LO, _HIST_HI, _HIST_N = 900.0, 105000.0, 20
+
+_HIST_BUCKET_SQL = f"""
+CASE WHEN l_extendedprice < {_HIST_LO} THEN 0
+     WHEN l_extendedprice >= {_HIST_HI} THEN {_HIST_N + 1}
+     ELSE CAST(floor((l_extendedprice - {_HIST_LO})
+               / (({_HIST_HI} - {_HIST_LO}) / {_HIST_N})) AS BIGINT) + 1 END
+"""
+
+
+@register(
+    "rel_histogram_equi_width",
+    oracle=f"""
+SELECT {_HIST_BUCKET_SQL} AS bucket,
+       count(*) AS n,
+       CAST(round(min(l_extendedprice), 2) AS DOUBLE) AS lo,
+       CAST(round(max(l_extendedprice), 2) AS DOUBLE) AS hi
+FROM lineitem
+GROUP BY 1
+""",
+)
+def rel_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width_bucket semantics, spelled as explicit
+    arithmetic because DuckDB has no width_bucket — under/overflow land in
+    buckets 0 and n+1) — the value-distribution profile a pipeline runs
+    before choosing clip bounds or partition ranges. Bucketing is a pure
+    row-local expression: one scan, one tiny-keyed aggregate; data-driven
+    bounds would come from a broadcast 1-row min/max aggregate, same as
+    the engine's other scalar patterns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    bucket = (
+        F.when(x < _HIST_LO, F.lit(0))
+        .when(x >= _HIST_HI, F.lit(_HIST_N + 1))
+        .otherwise(
+            F.floor(
+                (x - _HIST_LO) / ((_HIST_HI - _HIST_LO) / _HIST_N)
+            ).cast("bigint")
+            + 1
+        )
+    )
+    return (
+        li.select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).cast("double").alias("hi"),
+        )
+    )
