@@ -1,0 +1,50 @@
+"""Edge-input robustness: every query family must plan and execute against
+EMPTY tables without crashing (P9's 'natural no-op' claim, proved rather
+than asserted) — the guard against partition files with zero rows, fresh
+streams, and filtered-to-nothing inputs at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import SF_SMOKE
+
+# one representative per family; heavy drains / model fits excluded
+EMPTY_SAFE = [
+    "rel_scan_filter_project",
+    "rel_groupby_agg",
+    "rel_window_topk_per_group",
+    "rel_histogram_equi_width",
+    "text_quality_profile",
+    "text_repetition_signals",
+    "dedup_exact_keep_first",
+    "dedup_minhash_near_dups",
+    "events_tumbling_window",
+    "events_range_join_clicks",
+    "events_hypertable_rollup",
+    "tfidf_term_frequency",
+    "tfidf_vocabulary",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """An sf_dir whose tables have the real schemas but zero rows."""
+    from posts_vectorizer_spark.sources import TABLES, load_table
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        load_table(spark, SF_SMOKE, t).limit(0).write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_query_survives_empty_tables(spark, empty_sf, name):
+    rows = E.queries()[name](spark, empty_sf).collect()
+    # vocabulary still contains the DICTIONARY_EXTRAS seed words; everything
+    # else must be empty, and nothing may raise
+    if name != "tfidf_vocabulary":
+        assert rows == []

@@ -90,6 +90,16 @@ def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str):
 
 
 def main(argv: list[str]) -> int:
+    # Timestamps compare as UTC instants: the engine pins the SESSION TZ to
+    # UTC (registry.prep_session), but PySpark's collect() renders
+    # TimestampType through the PYTHON PROCESS timezone — outside any
+    # query's control. Pin the process TZ so the harness is deterministic
+    # under any shell TZ (the driver runs in UTC; a non-UTC driver process
+    # would need TIMESTAMP_NTZ output columns instead).
+    import time as _time
+
+    os.environ["TZ"] = "UTC"
+    _time.tzset()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     import __spark_entry__ as entry_mod
     from posts_vectorizer_spark.session import get_spark
