@@ -325,12 +325,64 @@ def lsh_bucket_sql(vec: str, dims: int, planes: int = LSH_PLANES) -> str:
     return f"CAST({bits} AS BIGINT)"
 
 
+def _grouped_rerank_kernel(k: int):
+    """Per-bucket rerank kernel for applyInPandas: all probe×build cosines
+    inside one bucket via the numpy block kernel, per-query top-k emitted.
+    Numerics replicate the pair-expression path exactly: _seq_dots folds
+    dims in order, norms arrive precomputed from the JVM column, rounding is
+    half-away — so grouped and pair reranks are interchangeable under the
+    value hash."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        probes = pdf[pdf["is_probe"]]
+        builds = pdf[~pdf["is_probe"]]
+        if len(probes) == 0 or len(builds) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64"})
+        qids = probes["vec_id"].to_numpy(dtype=np.int64)
+        nids = builds["vec_id"].to_numpy(dtype=np.int64)
+        Q = np.array(probes["embedding"].tolist(), dtype=np.float64)
+        B = np.array(builds["embedding"].tolist(), dtype=np.float64)
+        qn = probes["nrm"].to_numpy(dtype=np.float64)
+        nn = builds["nrm"].to_numpy(dtype=np.float64)
+        S = _seq_dots(Q, B)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = _round_half_away(S / (qn[:, None] * nn[None, :]))
+        null = (qn[:, None] <= 0) | (nn[None, :] <= 0)
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(qids)):
+            not_self = nids != qids[i]
+            valid = ~null[i] & not_self
+            nulls = null[i] & not_self
+            order = np.lexsort((nids[valid], -cos[i][valid]))
+            cand_ids = np.concatenate(
+                [nids[valid][order], np.sort(nids[nulls])]
+            )[:k]
+            cand_cos = np.concatenate(
+                [cos[i][valid][order], np.full(int(nulls.sum()), np.nan)]
+            )[:k]
+            out_q.extend([qids[i]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_c.extend(cand_cos.tolist())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "cosine": out_c,
+            }
+        )
+
+    return kernel
+
+
 def lsh_ann(
     embeddings: DataFrame,
     dims: int,
     k: int = 3,
     multiprobe: bool = False,
     planes: int = LSH_PLANES,
+    rerank: str = "grouped",
 ) -> DataFrame:
     """Approximate top-k: bucket every vector with {planes} hyperplane
     sign bits, generate candidates by bucket equi-join, exact-rerank inside
@@ -341,32 +393,71 @@ def lsh_ann(
     query's bucket code (flip one sign bit): recall rises strictly (the
     exact-bucket candidates are a subset) with the same single equi-join
     shuffle shape — the probe side just explodes to planes+1 keys. Each
-    neighbor lives in exactly one bucket, so no candidate dedup is needed."""
-    # Norms are computed ONCE per vector here, not per candidate pair: the
-    # per-pair cosine then costs one dot-product fold instead of three.
-    # Values are bit-identical to V.cosine (same per-vector fold), so the
-    # oracle twin — which spells out the full per-pair form — still
-    # hash-matches.
+    neighbor lives in exactly one bucket, so no candidate dedup is needed.
+
+    ``rerank='grouped'`` (default, the scale path) reranks each bucket's
+    candidates inside ONE applyInPandas group via the numpy block kernel:
+    every vector crosses the shuffle once per probe key, not once per
+    candidate pair — shuffle bytes ∝ vectors × probes instead of
+    candidate pairs × 2. ``rerank='pairs'`` materializes (va, vb) pair
+    rows and evaluates the Arrow dot per pair — the simpler cross-check
+    twin. Both produce bit-identical rows (same fold order, norms from the
+    same JVM column, same half-away rounding), proved by the shared
+    oracle and the equality test."""
+    # Norms are computed ONCE per vector, not per candidate pair.
     bucketed = embeddings.select(
         "vec_id",
         "embedding",
         lsh_bucket("embedding", dims, planes).alias("bucket"),
         V.norm("embedding").alias("nrm"),
     )
+    if multiprobe:
+        probe_keys = F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(2 ** p))
+                    for p in range(planes)
+                ],
+            )
+        )
+    else:
+        probe_keys = F.col("bucket")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+
+    if rerank == "grouped":
+        build = bucketed.select(
+            "bucket", "vec_id", "embedding", "nrm", F.lit(False).alias("is_probe")
+        )
+        probe = bucketed.select(
+            probe_keys.alias("bucket"),
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.lit(True).alias("is_probe"),
+        )
+        per_bucket = (
+            build.unionByName(probe)
+            .groupBy("bucket")
+            .applyInPandas(
+                _grouped_rerank_kernel(k),
+                schema="query_id long, neighbor_id long, cosine double",
+            )
+        )
+        # per-bucket top-k -> global top-k: buckets partition the candidate
+        # set, so the global winners are a subset of the per-bucket top-k
+        # union under the same total order (cosine desc NULLS LAST, id asc)
+        return (
+            per_bucket.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+        )
+
     a = bucketed.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
-        "bucket",
+        probe_keys.alias("bucket"),
     )
-    if multiprobe:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(2 ** p)) for p in range(planes)],
-        )
-        a = a.select(
-            "query_id", "va", "na", F.explode(probes).alias("bucket")
-        )
     b = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("vb"),
@@ -378,7 +469,6 @@ def lsh_ann(
         (F.col("na") > 0) & (F.col("nb") > 0),
         V.dot_arrow("va", "vb") / (F.col("na") * F.col("nb")),
     ).otherwise(F.lit(None))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cands.select(
             "query_id",

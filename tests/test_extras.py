@@ -355,3 +355,28 @@ def test_grouped_zscore_matches_native_window(spark):
     assert set(got) == set(native)
     for k in got:
         assert abs(got[k] - native[k]) < 1e-9, k
+
+
+def test_lsh_rerank_grouped_equals_pairs(spark):
+    """The grouped applyInPandas rerank and the pair-expression rerank must
+    produce IDENTICAL rows (same fold order, same rounding) — the scale
+    path is a drop-in for the reference plan, not an approximation."""
+    from posts_vectorizer_spark.operators import similarity
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for mp in (False, True):
+        got = {
+            (r["query_id"], r["rk"]): (r["neighbor_id"], r["cosine"])
+            for r in similarity.lsh_ann(
+                emb, 64, multiprobe=mp, rerank="grouped"
+            ).collect()
+        }
+        ref = {
+            (r["query_id"], r["rk"]): (r["neighbor_id"], r["cosine"])
+            for r in similarity.lsh_ann(
+                emb, 64, multiprobe=mp, rerank="pairs"
+            ).collect()
+        }
+        assert got == ref, f"multiprobe={mp}"
