@@ -571,35 +571,34 @@ def ivf_ann(
         .withColumn("pr", F.row_number().over(w))
         .where(F.col("pr") <= n_probe)
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("va"),
-            V.norm("embedding").alias("na"),
+            "vec_id",
+            "embedding",
+            V.norm("embedding").alias("nrm"),
             "list_id",
+            F.lit(True).alias("is_probe"),
         )
     )
-    cand = probes.join(
-        assigned.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("vb"),
-            V.norm("embedding").alias("nb"),
-            "list_id",
-        ),
+    build = assigned.select(
+        "vec_id",
+        "embedding",
+        V.norm("embedding").alias("nrm"),
         "list_id",
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    # per-vector norms hoisted out of the pair loop (same trick as lsh_ann:
-    # one dot fold per pair; values bit-identical to V.cosine)
-    cosine = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        V.dot_arrow("va", "vb") / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(None))
+        F.lit(False).alias("is_probe"),
+    )
+    # same grouped rerank as lsh_ann: each list's probe x member cosines
+    # computed in one applyInPandas group by the numpy block kernel —
+    # vectors cross the shuffle once per probe, never once per pair
+    per_list = (
+        build.unionByName(probes)
+        .groupBy("list_id")
+        .applyInPandas(
+            _grouped_rerank_kernel(k),
+            schema="query_id long, neighbor_id long, cosine double",
+        )
+    )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        cand.select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine, COSINE_ROUND).alias("cosine"),
-        )
-        .withColumn("rk", F.row_number().over(wr))
+        per_list.withColumn("rk", F.row_number().over(wr))
         .where(F.col("rk") <= k)
     )
 
