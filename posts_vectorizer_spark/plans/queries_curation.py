@@ -1,0 +1,510 @@
+"""Training-data curation wave 4 (SURVEY.md §2.12 extensions): benchmark
+decontamination, PII redaction, sequence packing, per-column table
+profiling, domain-mixture reweighting, and unigram-LM quality scoring —
+the remaining pipeline stages a 100 TB pretraining-data build runs between
+raw scrape and tokenized shards.
+
+All [Q]: every query has an exact DuckDB twin built from the portable
+expression helpers, so the differential oracle checks real values.
+
+Scale notes per operator (see SCALE.md): decontamination joins 8-byte
+shingle hashes against a broadcast-sized eval-set shingle table (the eval
+benchmark is always tiny vs the corpus); redaction and packing are per-row /
+per-window-partition work with no global state; profiling is one
+full-scan aggregate emitting #columns rows; mixture weights reduce to one
+row per domain before any arithmetic; the unigram LM is vocab-sized and
+broadcast back, the same shape as the TF-IDF idf_table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..operators.dedup import _doc_shingles, _doc_shingles_sql
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_EVAL_MOD = 41       # doc_id % 41 == 0 -> held-out "benchmark" docs
+_DECON_THRESHOLD = 0.5     # flag docs sharing >= 50% of their shingles
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+WITH sh AS ({_doc_shingles_sql()}),
+eval_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0
+),
+train AS (SELECT * FROM sh WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+hits AS (
+  SELECT t.doc_id,
+         count(*) AS n_ngrams,
+         count(e.sh) AS n_hit
+  FROM train t LEFT JOIN eval_sh e ON t.sh = e.sh
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_ngrams, n_hit,
+       CAST(round(CAST(n_hit AS DOUBLE) / n_ngrams, 6) AS DOUBLE)
+         AS overlap_frac,
+       CAST(n_hit AS DOUBLE) / n_ngrams >= {_DECON_THRESHOLD} AS contaminated
+FROM hits
+""",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose token
+    n-gram (shingle) sets overlap a held-out eval set — the standard
+    pre-training hygiene step that removes test-set leakage before
+    training. Eval membership here is the deterministic
+    ``doc_id % {mod} == 0`` subset standing in for the benchmark corpus.
+
+    Scale shape: both sides reduce to distinct int64 shingle hashes (the
+    MinHash pipeline's `_doc_shingles` pass — text is never shuffled). The
+    eval side is benchmark-sized (thousands of docs, not billions), so its
+    distinct-shingle table broadcasts and the overlap count is a broadcast
+    left join + per-doc hash aggregate: one shuffle keyed by doc_id, no
+    candidate-pair blowup. At 100 TB the cost is the corpus shingle scan.
+    """
+    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    eval_sh = (
+        sh.where(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    hits = (
+        train.join(
+            F.broadcast(eval_sh.withColumn("hit", F.lit(1))), "sh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_ngrams")
+    return hits.select(
+        "doc_id",
+        "n_ngrams",
+        "n_hit",
+        F.round(frac, 6).cast("double").alias("overlap_frac"),
+        (frac >= _DECON_THRESHOLD).alias("contaminated"),
+    )
+
+
+dedup_decontaminate.__doc__ = dedup_decontaminate.__doc__.format(
+    mod=_DECON_EVAL_MOD
+)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub before training)
+# ---------------------------------------------------------------------------
+
+# Both engines compile these identically (plain character classes — the
+# portable subset of Java regex and RE2).
+_EMAIL_RE = "[a-z0-9.]+@[a-z][a-z.]+"
+_NUM_RE = "[0-9]+"
+_REDACTED_SQL = f"regexp_replace(no_email, '{_NUM_RE}', '<NUM>', 'g')"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example ref ' || CAST(doc_id * 7 + 13 AS VARCHAR)
+           AS raw
+  FROM documents
+),
+red AS (
+  SELECT doc_id, raw,
+         regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM synth
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{_NUM_RE}')) AS INTEGER)
+         AS n_numbers,
+       {T.char_hash_sql(_REDACTED_SQL)} AS redacted_fp
+FROM red
+""",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub email addresses and digit runs from document
+    text before it can enter a training shard, reporting per-doc redaction
+    counts and a fingerprint of the scrubbed bytes (so the oracle verifies
+    the actual redacted output, not just the counts).
+
+    The fixture corpus contains no organic PII, so each doc is first
+    extended with a deterministic synthetic contact line derived from
+    doc_id — the regexes then have real matches to find, and both engines
+    must scrub the same spans to agree on ``redacted_fp``.
+
+    Scale shape: pure per-row regex work — no shuffle, no state, stays in
+    whole-stage codegen (Spark's regexp_* are JVM built-ins, not UDFs).
+    At 100 TB this is scan-bound and embarrassingly parallel; the regex
+    set is the cost knob, not the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example ref "),
+        (F.col("doc_id") * 7 + 13).cast("string"),
+    )
+    synth = docs.select("doc_id", raw.alias("raw"))
+    no_email = F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>")
+    red = synth.select("doc_id", "raw", no_email.alias("no_email"))
+    return red.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(raw, '{_EMAIL_RE}', 0)"))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(no_email, '{_NUM_RE}', 0)"))
+        .cast("int")
+        .alias("n_numbers"),
+        T.char_hash(F.regexp_replace("no_email", _NUM_RE, "<NUM>")).alias(
+            "redacted_fp"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (context-window shard assembly)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per context window
+_PACK_SHARDS = 8    # parallel packing streams
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         {T.token_count_sql('text')} AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT shard,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+         AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(round(CAST(sum(n_tokens) AS DOUBLE) / {_PACK_BUDGET}, 6)
+            AS DOUBLE) AS fill_ratio
+FROM placed
+GROUP BY shard, pack_id
+""",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget context
+    windows ("packs") — the shard-assembly step that turns a curated
+    corpus into training batches. Each of {shards} deterministic shards
+    packs its documents in doc_id order; a doc starts in the pack where
+    its running token offset lands (offset-bin packing — streaming-order
+    greedy, no global sort).
+
+    Scale shape: one window over (shard, doc_id) — the cumulative sum is
+    per-shard sequential by construction (packing IS an ordered fold), and
+    shard count is the parallelism dial: 100 TB runs thousands of shards,
+    each a bounded partition. The follow-up aggregate shares the shard
+    key, so AQE coalesces without a second shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        T.token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    pack_id = F.floor(
+        (F.col("cum") - F.col("n_tokens")).cast("double") / _PACK_BUDGET
+    )
+    return (
+        placed.select("shard", pack_id.alias("pack_id"), "n_tokens")
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / _PACK_BUDGET, 6
+            )
+            .cast("double")
+            .alias("fill_ratio"),
+        )
+    )
+
+
+text_pack_sequences.__doc__ = text_pack_sequences.__doc__.format(
+    shards=_PACK_SHARDS
+)
+
+
+# ---------------------------------------------------------------------------
+# per-column table profiling (dataset stats / validation)
+# ---------------------------------------------------------------------------
+
+_PROFILE_NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_STR_COLS = ("l_returnflag", "l_linestatus")
+
+
+@register(
+    "rel_table_profile",
+    oracle=" UNION ALL ".join(
+        [
+            f"""
+SELECT '{c}' AS col_name,
+       count(*) AS n,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(round(min({c}), 6) AS DOUBLE) AS min_num,
+       CAST(round(max({c}), 6) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str
+FROM lineitem"""
+            for c in _PROFILE_NUM_COLS
+        ]
+        + [
+            f"""
+SELECT '{c}' AS col_name,
+       count(*) AS n,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num,
+       CAST(NULL AS DOUBLE) AS max_num,
+       min({c}) AS min_str,
+       max({c}) AS max_str
+FROM lineitem"""
+            for c in _PROFILE_STR_COLS
+        ]
+    ),
+)
+def rel_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile — row count, null count, distinct count,
+    min/max per column in one pass — the ANALYZE/validation step a data
+    pipeline runs on every new snapshot to catch schema drift and silent
+    corruption before training consumes it.
+
+    Scale shape: ALL columns profile in a single full-scan aggregate (one
+    job, one shuffle of partial aggregates — not one scan per column like
+    the naive UNION ALL the oracle spells out); the result is #columns
+    rows. count(DISTINCT a, b, c, ...) in one agg rewrites to expand +
+    partial aggs under Catalyst — still one scan. At 100 TB swap
+    approx_count_distinct for the exact distinct to drop the expand;
+    the exact form is kept here because the oracle checks exact values.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = []
+    for c in _PROFILE_NUM_COLS:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__n_null").alias("n_null"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.round(F.col(f"{c}__min"), 6).cast("double").alias("min_num"),
+                F.round(F.col(f"{c}__max"), 6).cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in _PROFILE_STR_COLS:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__n_null").alias("n_null"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture reweighting (temperature-sampled data mix)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA_SQRT = True  # target share ∝ sqrt(actual token mass)
+
+
+@register(
+    "text_domain_mix_weights",
+    oracle=f"""
+WITH mass AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+shares AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS actual_share,
+         sqrt(CAST(n_tokens AS DOUBLE)) / sum(sqrt(CAST(n_tokens AS DOUBLE)))
+           OVER () AS target_share
+  FROM mass
+)
+SELECT source, n_docs, n_tokens,
+       CAST(round(actual_share, 6) AS DOUBLE) AS actual_share,
+       CAST(round(target_share, 6) AS DOUBLE) AS target_share,
+       CAST(round(target_share / actual_share, 6) AS DOUBLE)
+         AS sample_weight
+FROM shares
+""",
+)
+def text_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling weights that move
+    the corpus from its natural token distribution toward a
+    temperature-flattened target (share ∝ sqrt(token mass), the α=0.5
+    multilingual/multi-domain sampling rule) — the knob a pretraining mix
+    uses to upsample rare domains without epochs of duplication.
+
+    Scale shape: the corpus reduces to ONE row per domain (map-side
+    combinable token-count sum) before any share arithmetic; the
+    unpartitioned windows then run over #domains rows — dozens, not
+    billions — so the "global" window is a deliberate non-issue, unlike a
+    window over raw rows. Joining the weights back onto documents for the
+    actual resample is a broadcast join on source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    actual = F.col("n_tokens").cast("double") / F.sum(
+        F.col("n_tokens").cast("double")
+    ).over(w)
+    target = F.sqrt(F.col("n_tokens").cast("double")) / F.sum(
+        F.sqrt(F.col("n_tokens").cast("double"))
+    ).over(w)
+    shares = mass.select(
+        "source", "n_docs", "n_tokens",
+        actual.alias("actual_share"), target.alias("target_share"),
+    )
+    return shares.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("actual_share", 6).cast("double").alias("actual_share"),
+        F.round("target_share", 6).cast("double").alias("target_share"),
+        F.round(F.col("target_share") / F.col("actual_share"), 6)
+        .cast("double")
+        .alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM document scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH doc_toks AS (
+  SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM documents
+),
+lm AS (
+  SELECT word, count(*) AS cnt FROM doc_toks GROUP BY word
+),
+norm AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS vocab
+  FROM lm
+),
+dc AS (
+  SELECT doc_id, word, count(*) AS dcnt FROM doc_toks GROUP BY doc_id, word
+),
+scored AS (
+  SELECT dc.doc_id,
+         dc.dcnt,
+         CAST(round(
+           dc.dcnt * log10((lm.cnt + 1) / (norm.total + norm.vocab)), 6)
+           AS DECIMAL(18,6)) AS lp
+  FROM dc JOIN lm USING (word) CROSS JOIN norm
+)
+SELECT doc_id,
+       CAST(sum(dcnt) AS BIGINT) AS n_tokens,
+       CAST(round(CAST(sum(lp) AS DOUBLE) / sum(dcnt), 6) AS DOUBLE)
+         AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: fit an add-1-smoothed unigram LM on
+    the corpus itself, then score each document by its mean per-token
+    log10 probability — the cheap perplexity-style quality filter that
+    flags gibberish / boilerplate (very low score) and degenerate
+    repetition (very high score) before expensive model-based filtering.
+
+    Scale shape: the LM is vocab-sized, reduced map-side and broadcast
+    back onto the per-(doc, word) counts — the exact idf_table shape; the
+    smoothing normalizer is a broadcast 1-row aggregate cross join, never
+    a driver-side action. Per-doc sums add round-6 decimals so the
+    aggregate is order-insensitive across partitions (float addition is
+    not), keeping the value hash stable under any partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doc_toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("word")
+    )
+    lm = doc_toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    norm = lm.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count("*").cast("double").alias("vocab"),
+    )
+    dc = doc_toks.groupBy("doc_id", "word").agg(F.count("*").alias("dcnt"))
+    lp = F.round(
+        F.col("dcnt")
+        * F.log10((F.col("cnt") + 1) / (F.col("total") + F.col("vocab"))),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        dc.join(F.broadcast(lm), "word")
+        .crossJoin(F.broadcast(norm))
+        .select("doc_id", "dcnt", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("dcnt").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.sum("dcnt"), 6)
+        .cast("double")
+        .alias("avg_logprob"),
+    )

@@ -1,0 +1,138 @@
+"""Tests for the curation wave 4 (plans/queries_curation.py): planted
+contamination recall, redaction byte-exactness on a handcrafted doc,
+packing conservation invariants, profile-vs-pandas agreement, mixture
+weights moving mass the right direction, and unigram-LM score ordering.
+The value-exactness check is the DuckDB oracle (tools/oracle_check.py);
+these pin semantics the hash can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import SF_SMOKE, make_docs
+
+
+def test_decontaminate_flags_planted_copy(spark, tmp_path):
+    # doc 0 is the eval doc (0 % 41 == 0); doc 1 is a verbatim copy of it;
+    # doc 2 shares no 3-gram with the eval side.
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    docs = make_docs(
+        spark,
+        [
+            (0, eval_text, "en"),
+            (1, eval_text, "en"),
+            (2, "one two three four five six", "en"),
+        ],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in E.queries()["dedup_decontaminate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 0 not in out  # eval docs are not scored as training docs
+    assert out[1]["overlap_frac"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+
+
+def test_redact_pii_scrubs_planted_spans(spark, tmp_path):
+    docs = make_docs(spark, [(5, "hello world", "en")])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    row = (
+        E.queries()["text_redact_pii"](spark, str(tmp_path)).collect()[0]
+    )
+    # synthetic tail: " contact user5@mail.example ref 48"
+    assert row["n_emails"] == 1
+    assert row["n_numbers"] == 1  # the ref number; digits in the email are
+    #                               already inside the <EMAIL> placeholder
+    from posts_vectorizer_spark.functions.text import char_hash
+    from pyspark.sql import functions as F
+
+    expected = "hello world contact <EMAIL> ref <NUM>"
+    fp = (
+        spark.range(1)
+        .select(char_hash(F.lit(expected)).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert row["redacted_fp"] == fp
+
+
+def test_pack_sequences_conservation(spark):
+    from posts_vectorizer_spark.functions.text import token_count
+    from posts_vectorizer_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    packs = E.queries()["text_pack_sequences"](spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total = docs.select(
+        F.sum(token_count("text")).alias("t"), F.count("*").alias("n")
+    ).collect()[0]
+    # every token and every doc lands in exactly one pack
+    assert sum(p["pack_tokens"] for p in packs) == total["t"]
+    assert sum(p["n_docs"] for p in packs) == total["n"]
+    # pack ids are contiguous from 0 within each shard (offset binning
+    # cannot skip a bin: bins advance only as the offset crosses budget)
+    by_shard: dict[int, list[int]] = {}
+    for p in packs:
+        by_shard.setdefault(p["shard"], []).append(p["pack_id"])
+    for ids in by_shard.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_table_profile_matches_pandas(spark):
+    import pandas as pd
+
+    rows = {
+        r["col_name"]: r
+        for r in E.queries()["rel_table_profile"](spark, SF_SMOKE).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    assert rows["l_quantity"]["n"] == len(pdf)
+    assert rows["l_quantity"]["n_distinct"] == pdf["l_quantity"].nunique()
+    assert rows["l_quantity"]["min_num"] == pytest.approx(
+        round(pdf["l_quantity"].min(), 6)
+    )
+    assert rows["l_returnflag"]["min_str"] == pdf["l_returnflag"].min()
+    assert rows["l_returnflag"]["n_distinct"] == pdf["l_returnflag"].nunique()
+    assert rows["l_returnflag"]["min_num"] is None
+
+
+def test_domain_mix_weights_flatten_toward_uniform(spark, tmp_path):
+    # srcA holds 4x the token mass of srcB; sqrt-temperature target must
+    # sit strictly between natural and uniform, i.e. downweight srcA
+    # (weight < 1) and upweight srcB (weight > 1), and shares must sum to 1.
+    from pyspark.sql import functions as F
+
+    rows = [(i, "w " * 40, "en") for i in range(4)] + [(9, "w " * 10, "en")]
+    docs = make_docs(spark, rows).withColumn(
+        "source", F.when(F.col("doc_id") < 4, "srcA").otherwise("srcB")
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in E.queries()["text_domain_mix_weights"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["srcA"]["sample_weight"] < 1 < out["srcB"]["sample_weight"]
+    assert sum(r["actual_share"] for r in out.values()) == pytest.approx(1)
+    assert sum(r["target_share"] for r in out.values()) == pytest.approx(1)
+
+
+def test_unigram_logprob_orders_quality(spark, tmp_path):
+    # A doc made of the corpus's most common word scores higher (less
+    # negative) than a doc of one-off words; scores are negative logprobs.
+    common = [(i, "the the the the", "en") for i in range(3)]
+    rare = [(7, "qq zz xx vv", "en")]
+    docs = make_docs(spark, common + rare)
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in E.queries()["text_unigram_logprob"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert all(v < 0 for v in out.values())
+    assert out[0] > out[7]
