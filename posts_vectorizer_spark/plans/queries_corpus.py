@@ -1,0 +1,472 @@
+"""Corpus-index wave 5 (SURVEY.md §2.16 extensions): inverted-index build,
+bigram PMI collocations, repeated-chunk boilerplate detection, random-sign
+projection of embeddings, deterministic train/val/test splitting, and a
+TPC-H Q17-style correlated-subquery decorrelation.
+
+All [Q]: every query has an exact DuckDB twin built from the portable
+expression helpers, so the differential oracle checks real values.
+
+Scale notes per operator (see SCALE.md §Corpus wave 5): the inverted index
+verifies its posting lists via an order-stable fold fingerprint so giant
+arrays never cross the comparison boundary; PMI reduces to vocab-sized
+count tables before any arithmetic; boilerplate chunk frequencies are one
+window over 8-byte chunk hashes; the projection is array-local math with
+zero shuffles; split assignment is pure row-local arithmetic; and Q17 is
+the decorrelated broadcast-join form of the correlated subquery the oracle
+spells out literally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..sources import load_table
+from ..sources.catalog import spread
+from .registry import register
+
+# Fold base for combining sorted ids / chunk token-hashes into one int64
+# fingerprint (same regime as dedup.SHINGLE_B: max intermediate
+# (MOD-1)*B + MOD < 2^63).
+FOLD_B = 1_000_003
+
+
+# ---------------------------------------------------------------------------
+# inverted index (posting lists, fingerprint-verified)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+WITH doc_toks AS (
+  SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM documents
+),
+per AS (
+  SELECT word, doc_id, count(*) AS tf FROM doc_toks GROUP BY word, doc_id
+)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list_sort(list(doc_id))),
+         (acc, d) -> (acc * {FOLD_B} + d % {T.HASH_MOD}) % {T.HASH_MOD}
+       ) AS postings_fp
+FROM per GROUP BY word
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: word -> document frequency, collection
+    frequency, and the posting list itself — the search-engine core
+    structure (and the reference's IDF table is exactly its df column,
+    /root/reference/calculate_idf_scores.py:40-60). The sorted posting
+    list is verified through an order-stable polynomial fold fingerprint,
+    so the oracle checks every doc_id in every list without shipping
+    megabyte arrays through the row comparison.
+
+    Scale shape: one tokenize pass, one (word, doc_id) pre-aggregate (the
+    map-side-combinable shape), one word-keyed aggregate. The posting-list
+    collect is the one deliberately order-sensitive step — sort_array
+    makes it deterministic; at 100 TB posting lists for stopword-class
+    terms are the skew risk, and the df/cf columns are computed BEFORE the
+    list so a df-cap predicate can drop them without a second scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doc_toks = spread(docs).select(
+        "doc_id", F.explode(T.tokens("text")).alias("word")
+    )
+    per = doc_toks.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+    inv = per.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    fp = F.aggregate(
+        "postings",
+        F.lit(0).cast("long"),
+        lambda acc, d: (acc * FOLD_B + d % T.HASH_MOD) % T.HASH_MOD,
+    )
+    return inv.select("word", "df", "cf", fp.alias("postings_fp"))
+
+
+# ---------------------------------------------------------------------------
+# bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT {T.tokens_sql('text')} AS t FROM documents
+),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2),
+uni AS (
+  SELECT word, count(*) AS c FROM (SELECT unnest(t) AS word FROM toks)
+  GROUP BY word
+),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+totb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bc)
+SELECT bc.w1, bc.w2, CAST(bc.c_ab AS BIGINT) AS c_ab,
+       CAST(round(log10((bc.c_ab * tot.n_uni * tot.n_uni)
+                        / (totb.n_bi * u1.c * u2.c)), 6) AS DOUBLE) AS pmi
+FROM bc
+JOIN uni u1 ON bc.w1 = u1.word
+JOIN uni u2 ON bc.w2 = u2.word
+CROSS JOIN tot CROSS JOIN totb
+WHERE bc.c_ab >= {_PMI_MIN_COUNT}
+""",
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocation mining: pointwise mutual information of
+    adjacent word pairs (log p(a,b) / (p(a) p(b))) — the classic
+    phrase-detection signal a tokenizer-training / phrase-merging pipeline
+    computes over the corpus. Pairs seen < {min_count} times are dropped
+    (PMI is noise at tiny counts).
+
+    Scale shape: bigrams reduce to a (w1, w2)-keyed count and unigrams to
+    a vocab-sized count table before any arithmetic; both totals are
+    broadcast 1-row aggregates, and the two unigram lookups are broadcast
+    joins (vocab-sized build side — the idf_table shape). Nothing touches
+    raw rows after the two counting shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(T.tokens("text").alias("t"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni = (
+        toks.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    totb = bc.agg(F.sum("c_ab").cast("double").alias("n_bi"))
+    u1 = uni.withColumnRenamed("word", "w1").withColumnRenamed("c", "c1")
+    u2 = uni.withColumnRenamed("word", "w2").withColumnRenamed("c", "c2")
+    pmi = F.round(
+        F.log10(
+            (F.col("c_ab") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_bi") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    ).cast("double")
+    return (
+        bc.where(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+    )
+
+
+text_pmi_bigrams.__doc__ = text_pmi_bigrams.__doc__.format(
+    min_count=_PMI_MIN_COUNT
+)
+
+
+# ---------------------------------------------------------------------------
+# repeated-chunk boilerplate detection
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 8
+_BOILER_MIN_FREQ = 2
+
+
+@register(
+    "text_chunk_boilerplate",
+    oracle=f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform({T.tokens_sql('text')},
+                        bp_t -> {T.char_hash_sql('bp_t')}) AS th
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, CAST(ceil(len(th) / {_CHUNK_TOKENS}.0)
+                                   AS BIGINT)),
+           c -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                               list_slice(th,
+                                          (c - 1) * {_CHUNK_TOKENS} + 1,
+                                          c * {_CHUNK_TOKENS})),
+                  (acc, h) -> (acc * {FOLD_B} + h) % {T.HASH_MOD})
+         )) AS ch
+  FROM th WHERE len(th) >= 1
+),
+f AS (
+  SELECT doc_id, ch, count(*) OVER (PARTITION BY ch) AS freq FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN freq >= {_BOILER_MIN_FREQ} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       CAST(round(CAST(sum(CASE WHEN freq >= {_BOILER_MIN_FREQ}
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS DOUBLE) AS boiler_frac
+FROM f GROUP BY doc_id
+""",
+)
+def text_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-chunk boilerplate detection: split each document into
+    consecutive {n}-token chunks, hash each chunk, and score docs by the
+    fraction of their chunks that recur anywhere in the corpus — the
+    template/boilerplate signal (nav bars, license headers, mirrored
+    passages) a curation pipeline uses to downweight or strip templated
+    text. The line-level variant is the same plan keyed on line hashes.
+
+    Scale shape: chunks reduce to int64 hashes inside the array (text
+    never leaves the row); corpus-wide chunk frequency is ONE window over
+    the 8-byte hash (a single shuffle) feeding a doc-keyed aggregate. A
+    head-heavy chunk distribution (the whole point: boilerplate repeats)
+    is the skew knob — at 100 TB cap the window with a pre-aggregated
+    (ch, freq) broadcast of the top-frequency chunks, same plan shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.transform(T.tokens("text"), lambda t: T.char_hash(t))
+    base = spread(docs).select("doc_id", th.alias("th")).where(
+        F.size("th") >= 1
+    )
+    n_chunks = F.ceil(F.size("th") / F.lit(float(_CHUNK_TOKENS))).cast(
+        "int"
+    )
+    chunk = lambda c: F.aggregate(  # noqa: E731
+        F.slice("th", (c - 1) * _CHUNK_TOKENS + 1, _CHUNK_TOKENS),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FOLD_B + h) % T.HASH_MOD,
+    )
+    chunks = F.transform(F.sequence(F.lit(1), n_chunks), chunk)
+    exploded = base.select("doc_id", F.explode(chunks).alias("ch"))
+    freq = F.count("*").over(Window.partitionBy("ch"))
+    scored = exploded.withColumn("freq", freq)
+    is_boiler = F.when(F.col("freq") >= _BOILER_MIN_FREQ, 1).otherwise(0)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(is_boiler).cast("bigint").alias("n_boiler"),
+        F.round(
+            F.sum(is_boiler).cast("double") / F.count("*"), 6
+        )
+        .cast("double")
+        .alias("boiler_frac"),
+    )
+
+
+text_chunk_boilerplate.__doc__ = text_chunk_boilerplate.__doc__.format(
+    n=_CHUNK_TOKENS
+)
+
+
+# ---------------------------------------------------------------------------
+# random-sign projection (Achlioptas/JL dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+_PROJ_DIMS = 8
+
+
+@register(
+    "sim_random_projection",
+    oracle=f"""
+SELECT vec_id,
+       CAST(ks.k AS INTEGER) AS k,
+       CAST(round(list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, len(embedding)),
+             d -> CAST(embedding[d] AS DOUBLE)
+                  * (CASE WHEN ((d - 1) * 73 + ks.k * 179) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END))),
+         (a, x) -> a + x), 6) AS DOUBLE) AS proj
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(0, {_PROJ_DIMS - 1})) AS k) ks
+""",
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-sign (Achlioptas-style Johnson-Lindenstrauss) projection of
+    the 64-dim embeddings down to {k} dims — the cheap dimensionality
+    reduction in front of clustering / dedup at corpus scale. The ±1
+    projection matrix is a deterministic function of (dim, k) — pure
+    arithmetic parity, identical in both engines — so no matrix is stored
+    or shipped anywhere.
+
+    Scale shape: entirely array-local math — per row, {k} sequential folds
+    over the embedding array, all inside whole-stage codegen (higher-order
+    functions, no UDF), ZERO shuffles; the fold order is fixed
+    left-to-right so double addition is bit-identical across engines. At
+    100 TB this is scan-bound; the posexplode to (vec_id, k) rows exists
+    only to give the oracle a flat surface — the array form feeds
+    downstream operators directly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    proj_k = lambda k: F.round(  # noqa: E731
+        F.aggregate(
+            F.zip_with(
+                e,
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda v, d: v
+                * F.when((d * 73 + k * 179) % 2 == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    ).cast("double")
+    projs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PROJ_DIMS - 1)), proj_k
+    )
+    return emb.select(
+        "vec_id", F.posexplode(projs).alias("k", "proj")
+    ).select("vec_id", F.col("k").cast("int").alias("k"), "proj")
+
+
+sim_random_projection.__doc__ = sim_random_projection.__doc__.format(
+    k=_PROJ_DIMS
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_A = 40_503
+_SPLIT_C = 7_919
+
+
+@register(
+    "rel_split_assign",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         {T.token_count_sql('text')} AS n_toks,
+         (doc_id * {_SPLIT_A} + {_SPLIT_C}) % {T.HASH_MOD} % 100 AS h
+  FROM documents
+)
+SELECT CASE WHEN h < 80 THEN 'train'
+            WHEN h < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(round(avg(CAST(n_chars AS DOUBLE)), 6) AS DOUBLE) AS avg_chars
+FROM assigned GROUP BY 1
+""",
+)
+def rel_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: each document lands in
+    a split by pure arithmetic on its id (affine hash mod 100) — stable
+    across runs, engines, and partitionings, which is the property a
+    training pipeline needs so that re-running curation never leaks val
+    docs into train. Emits per-split size/token/length stats.
+
+    Scale shape: split assignment is row-local arithmetic (no shuffle, no
+    randomness to coordinate); the stats aggregate has three groups. The
+    same expression used as a filter gives the actual split extraction
+    with full predicate pushdown.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * _SPLIT_A + _SPLIT_C) % T.HASH_MOD % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "n_chars",
+            T.token_count("text").alias("n_toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6)
+            .cast("double")
+            .alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-style correlated scalar subquery, decorrelated
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#1"
+
+
+@register(
+    "rel_subquery_correlated",
+    oracle=f"""
+SELECT l.l_partkey,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = '{_Q17_BRAND}'
+  AND 5 * l.l_quantity
+      * (SELECT count(*) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT sum(l2.l_quantity) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+GROUP BY l.l_partkey
+""",
+)
+def rel_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: lineitems whose
+    quantity is below 20% of their part's average quantity, for one brand
+    — the canonical correlated scalar subquery. The oracle states it
+    literally (a per-row subquery); the engine runs the decorrelated form:
+    one per-part pre-aggregate joined back — WHAT is a correlated
+    subquery, HOW is a join, which is precisely the rewrite Catalyst
+    cannot always pick for you and a 100 TB plan must get right.
+
+    The threshold compares `5 * qty * n < sum_qty` — exact integer-valued
+    double arithmetic on both engines (quantities are integral, and
+    integer-valued doubles add exactly), so no float-boundary row can
+    diverge; revenue sums as DECIMAL(18,2) (prices are 2-decimal), making
+    the aggregate partition-order insensitive.
+
+    Scale shape: the brand filter prunes part to a broadcast-sized build
+    side; lineitem is semi-reduced by that broadcast BEFORE the per-part
+    aggregate, so the stats shuffle only covers the brand's parts; the
+    stats table (one row per part of one brand) broadcasts back. Lineitem
+    is scanned once and shuffled once.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _Q17_BRAND)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(part), "l_partkey")
+    stats = li_b.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n_li"),
+    )
+    small = li_b.join(F.broadcast(stats), "l_partkey").where(
+        F.lit(5) * F.col("l_quantity") * F.col("n_li") < F.col("sum_qty")
+    )
+    return small.groupBy("l_partkey").agg(
+        F.count("*").alias("n_small"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("small_revenue"),
+    )

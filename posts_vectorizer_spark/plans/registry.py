@@ -72,7 +72,8 @@ def _ensure_loaded() -> None:
     # checks the hash-matched surface first.
     for mod in ("queries_relational", "queries_text", "queries_dedup",
                 "queries_similarity", "queries_events", "queries_advanced",
-                "queries_quality", "queries_curation", "queries_extras"):
+                "queries_quality", "queries_curation", "queries_corpus",
+                "queries_extras"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:

@@ -1,0 +1,157 @@
+"""Tests for the corpus-index wave 5 (plans/queries_corpus.py): known
+posting-list fingerprints, PMI sign for planted collocations, boilerplate
+fraction on duplicated chunks, hand-computable projections, exact split
+reproduction, and Q17 threshold semantics on a planted part. The
+value-exactness check is the DuckDB oracle (tools/oracle_check.py); these
+pin semantics the hash can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from posts_vectorizer_spark.functions.text import HASH_MOD
+from posts_vectorizer_spark.plans.queries_corpus import FOLD_B
+from tests.conftest import SF_SMOKE, make_docs
+
+
+def test_inverted_index_fingerprint_and_counts(spark, tmp_path):
+    docs = make_docs(
+        spark,
+        [
+            (3, "apple banana apple", "en"),
+            (7, "banana cherry", "en"),
+            (9, "apple", "en"),
+        ],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["word"]: r
+        for r in E.queries()["text_inverted_index"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["apple"]["df"] == 2 and out["apple"]["cf"] == 3
+    assert out["banana"]["df"] == 2 and out["banana"]["cf"] == 2
+    assert out["cherry"]["df"] == 1
+
+    def fold(ids):
+        acc = 0
+        for d in ids:
+            acc = (acc * FOLD_B + d % HASH_MOD) % HASH_MOD
+        return acc
+
+    assert out["apple"]["postings_fp"] == fold([3, 9])
+    assert out["banana"]["postings_fp"] == fold([3, 7])
+
+
+def test_pmi_sign_for_planted_collocation(spark, tmp_path):
+    # "zig zag" always adjacent (positive association); "aa"/"bb" occur
+    # equally often but never adjacent to each other except rarely.
+    rows = [(i, "zig zag aa bb", "en") for i in range(6)]
+    docs = make_docs(spark, rows)
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in E.queries()["text_pmi_bigrams"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("zig", "zag")]["c_ab"] == 6
+    # perfectly-predictive bigram -> PMI > 0
+    assert out[("zig", "zag")]["pmi"] > 0
+
+
+def test_chunk_boilerplate_fraction(spark, tmp_path):
+    # docs 1 and 2 are byte-identical 16-token docs (2 chunks each, all
+    # repeated); doc 3 is a unique 8-token doc (1 chunk, unrepeated).
+    dup = " ".join(f"w{i}" for i in range(16))
+    uniq = " ".join(f"u{i}" for i in range(8))
+    docs = make_docs(spark, [(1, dup, "en"), (2, dup, "en"), (3, uniq, "en")])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in E.queries()["text_chunk_boilerplate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["boiler_frac"] == 1.0
+    assert out[2]["boiler_frac"] == 1.0
+    assert out[3]["n_chunks"] == 1 and out[3]["n_boiler"] == 0
+    assert out[3]["boiler_frac"] == 0.0
+
+
+def test_random_projection_unit_vector(spark, tmp_path):
+    # e_0 (1 in dim 0): proj_k = sign(0, k) = +1 iff (k*179) % 2 == 0,
+    # i.e. +1 for even k, -1 for odd k.
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("vec_id", ST.LongType()),
+            ST.StructField("embedding", ST.ArrayType(ST.FloatType())),
+            ST.StructField("label", ST.IntegerType()),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * 63, 0)], schema=schema
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["k"]: r["proj"]
+        for r in E.queries()["sim_random_projection"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 8
+    for k, v in out.items():
+        assert v == (1.0 if k % 2 == 0 else -1.0)
+
+
+def test_split_assign_reproduces_python_arithmetic(spark):
+    import pandas as pd
+
+    out = {
+        r["split"]: r["n_docs"]
+        for r in E.queries()["rel_split_assign"](spark, SF_SMOKE).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    expected = {"train": 0, "val": 0, "test": 0}
+    for d in pdf["doc_id"]:
+        h = (int(d) * 40_503 + 7_919) % HASH_MOD % 100
+        expected["train" if h < 80 else "val" if h < 90 else "test"] += 1
+    assert out == {k: v for k, v in expected.items() if v}
+    assert sum(out.values()) == len(pdf)
+
+
+def test_subquery_correlated_threshold_semantics(spark, tmp_path):
+    # One Brand#1 part with quantities [1, 10, 10, 10]: avg = 7.75, so only
+    # qty 1 < 0.2*avg... no — 0.2*7.75 = 1.55, qty 1 qualifies (5*1*4=20 <
+    # 31 = sum). A second part (other brand) must not appear at all.
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "p_partkey": [100, 200],
+            "p_name": ["a", "b"],
+            "p_brand": ["Brand#1", "Brand#2"],
+            "p_type": ["t", "t"],
+            "p_size": [1, 1],
+            "p_retailprice": [1.0, 1.0],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame(
+        {
+            "l_partkey": [100, 100, 100, 100, 200],
+            "l_quantity": [1.0, 10.0, 10.0, 10.0, 1.0],
+            "l_extendedprice": [42.50, 1.0, 1.0, 1.0, 9.0],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    rows = E.queries()["rel_subquery_correlated"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["l_partkey"] == 100
+    assert r["n_small"] == 1
+    assert r["small_revenue"] == pytest.approx(42.50)
