@@ -1,0 +1,462 @@
+"""Sketch & iterative wave 6 (SURVEY.md §2.17 extensions): a portable
+HyperLogLog cardinality sketch, a count-min frequency sketch, TextRank
+(PageRank over the word co-occurrence graph) with unrolled iterations, and
+SCD2 dimension versioning from an event log.
+
+Sketches ARE the 100 TB toolbox — exact distinct/frequency is a luxury at
+petabyte scale — and building them from the portable hash makes them [Q]:
+the sketch contents are a pure function of the data, so DuckDB verifies
+every register and every counter exactly. Iterative graph algorithms are
+normally the "non-SQL-expressible" bucket; a fixed iteration count unrolls
+into plain joins on both engines, so even the iteration is hash-checked.
+
+Float determinism notes: HLL's 2^-M register sum adds exact binary
+fractions (order-insensitive by construction); TextRank contributions are
+rounded to 12 decimals and summed as DECIMAL(28,12) (exact, order-free)
+before the damping arithmetic, so three iterations stay bit-identical
+across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..sources import load_table
+from ..sources.catalog import spread
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# portable HyperLogLog (64 registers, arithmetic-only bit probing)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64          # registers (b = 6 bucket bits)
+_HLL_ALPHA = 0.709   # standard bias constant for m = 64
+_HLL_MAXBIT = 24     # rest = h // 64 < (1e9+7)/64 < 2^24
+_HLL_MULT = 2_654_435_761  # Knuth multiplicative constant
+
+
+@register(
+    "rel_hll_portable",
+    oracle=f"""
+WITH hb AS (
+  SELECT (l_orderkey * {_HLL_MULT} + 7919) % {T.HASH_MOD} AS hb
+  FROM lineitem
+),
+h AS (SELECT (hb * hb) % {T.HASH_MOD} AS h FROM hb),
+reg AS (
+  SELECT h % {_HLL_M} AS bucket,
+         coalesce(
+           list_min(list_filter(generate_series(0, {_HLL_MAXBIT}),
+             k -> (CAST(floor((h // {_HLL_M}) / power(2, k)) AS BIGINT)
+                   % 2) = 1)),
+           {_HLL_MAXBIT}) + 1 AS rho
+  FROM h
+),
+regs AS (
+  SELECT b.bucket, coalesce(max(reg.rho), 0) AS m
+  FROM (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) b
+  LEFT JOIN reg ON reg.bucket = b.bucket
+  GROUP BY b.bucket
+),
+est AS (
+  SELECT CAST(round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                    / sum(power(2.0, -m)), 6) AS DOUBLE) AS hll_estimate
+  FROM regs
+),
+ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+       FROM lineitem)
+SELECT CAST({_HLL_M} AS INTEGER) AS m, hll_estimate, exact_distinct,
+       CAST(round(abs(hll_estimate - exact_distinct) / exact_distinct, 6)
+            AS DOUBLE) AS rel_error
+FROM est CROSS JOIN ex
+""",
+)
+def rel_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog: estimate distinct l_orderkey with 64
+    registers built from the portable hash — unlike `rel_approx_distinct`
+    (Spark's native HLL++, rows-only [R]), this sketch's every register is
+    a pure function of the data, so the oracle verifies the full sketch
+    AND the estimate exactly. rho (first set bit of the remaining hash
+    bits) is probed with division-by-power-of-two arithmetic — exact in
+    both engines, no engine-specific bit intrinsics.
+
+    Scale shape: one scan, one 64-group map-side-combinable max — the
+    whole point of HLL at 100 TB: the shuffle carries at most
+    64 × #partitions rows and registers merge by max, the same merge a
+    multi-day incremental rollup uses. The 2^-M register sum adds exact
+    binary fractions (all representable, total < 2^6), so the estimate is
+    partition-order insensitive.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # Quadratic mixing: a purely linear h = k*A % p keeps sequential keys
+    # on a lattice whose low bits are far from uniform — the register
+    # histogram skews and the estimate biases +40%. Squaring mod p is the
+    # cheapest portable nonlinearity (fits int64: hb < 1e9+7, hb^2 < 2^63).
+    hb = (F.col("l_orderkey") * _HLL_MULT + 7919) % T.HASH_MOD
+    h = (hb * hb) % T.HASH_MOD
+    rest = F.floor(h / _HLL_M).cast("long")
+    rho = (
+        F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.sequence(F.lit(0), F.lit(_HLL_MAXBIT)),
+                    lambda k: (
+                        F.floor(rest / F.pow(F.lit(2.0), k)).cast("long") % 2
+                    )
+                    == 1,
+                )
+            ),
+            F.lit(_HLL_MAXBIT),
+        )
+        + 1
+    )
+    reg = (
+        li.select((h % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    buckets = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    regs = (
+        buckets.join(reg, "bucket", "left")
+        .select(F.coalesce("rho", F.lit(0)).alias("m"))
+    )
+    est = regs.agg(
+        F.round(
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / F.sum(F.pow(F.lit(2.0), -F.col("m"))),
+            6,
+        )
+        .cast("double")
+        .alias("hll_estimate")
+    )
+    ex = li.agg(
+        F.count_distinct(F.col("l_orderkey")).alias("exact_distinct")
+    )
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(_HLL_M).cast("int").alias("m"),
+            "hll_estimate",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            )
+            .cast("double")
+            .alias("rel_error"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_W = 32   # counters per row
+_CMS_D = 3    # independent hash rows
+
+
+def _cms_bucket(h, d):
+    """Row-d counter index derived from the base hash (odd multiplier +
+    offset keeps rows distinct; approximate independence is the standard
+    CMS trade)."""
+    return (h * (2 * d + 1) + 97 * d) % T.HASH_MOD % _CMS_W
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({T.tokens_sql('text')}) AS word FROM documents
+),
+hashed AS (SELECT word, {T.char_hash_sql('word')} AS h FROM toks),
+cells AS (
+  SELECT d.d, (h * (2 * d.d + 1) + 97 * d.d) % {T.HASH_MOD} % {_CMS_W}
+           AS bucket
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1}))
+                          AS d) d
+),
+cms AS (SELECT d, bucket, count(*) AS c FROM cells GROUP BY d, bucket),
+exact AS (SELECT word, max(h) AS h, count(*) AS exact_cnt
+          FROM hashed GROUP BY word)
+SELECT e.word,
+       CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(min(cms.c) AS BIGINT) AS cms_estimate
+FROM exact e
+JOIN cms ON cms.bucket = (e.h * (2 * cms.d + 1) + 97 * cms.d)
+                          % {T.HASH_MOD} % {_CMS_W}
+GROUP BY e.word, e.exact_cnt
+""",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: a {d}x{w} counter grid
+    (three derived portable hashes), then per-word frequency estimates as
+    the min across rows — always >= the true count, which the query emits
+    side-by-side so the oracle checks the sketch, the estimates, AND the
+    overcount structure exactly.
+
+    Scale shape: the sketch build is ONE map-side-combinable aggregate
+    into {d}*{w} cells — constant-size state regardless of corpus size,
+    mergeable by + (the streaming/rollup property that makes CMS the
+    100 TB frequency tool). The probe side is vocab-sized and joins the
+    broadcast-sized cms table; raw tokens are touched exactly once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = spread(docs).select(
+        F.explode(T.tokens("text")).alias("word")
+    ).select("word", T.char_hash("word").alias("h"))
+    cells = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("h"), F.lit(d)).alias("bucket"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    cms = cells.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    exact = hashed.groupBy("word").agg(
+        F.max("h").alias("h"), F.count("*").alias("exact_cnt")
+    )
+    probes = exact.select(
+        "word",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("h"), F.lit(d)).alias("bucket"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("word", "exact_cnt", "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .select("word", "exact_cnt", "cms_estimate")
+    )
+
+
+text_cms_heavy_hitters.__doc__ = text_cms_heavy_hitters.__doc__.format(
+    d=_CMS_D, w=_CMS_W
+)
+
+
+# ---------------------------------------------------------------------------
+# TextRank (PageRank on the word co-occurrence graph), unrolled
+# ---------------------------------------------------------------------------
+
+_TR_DAMP = 0.85
+_TR_ITERS = 3
+
+
+def _tr_edges_sql() -> str:
+    return f"""
+SELECT w1 AS src, w2 AS dst, count(*) AS w FROM (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM (SELECT {T.tokens_sql('text')} AS t FROM documents)
+        WHERE len(t) >= 2)
+  UNION ALL
+  SELECT t[i + 1] AS w1, t[i] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM (SELECT {T.tokens_sql('text')} AS t FROM documents)
+        WHERE len(t) >= 2)
+) GROUP BY w1, w2
+"""
+
+
+def _tr_iter_sql(prev: str) -> str:
+    """One unrolled PageRank step: contributions rounded to 12 decimals and
+    summed as DECIMAL(28,12) for order-insensitive exactness."""
+    return f"""
+SELECT n.word,
+       CAST(round((1 - {_TR_DAMP}) / n.n
+                  + {_TR_DAMP} * CAST(coalesce(s.contrib, 0) AS DOUBLE),
+                  12) AS DOUBLE) AS pr
+FROM nodes n LEFT JOIN (
+  SELECT e.dst AS word,
+         sum(CAST(round({prev}.pr * e.w / od.outw, 12) AS DECIMAL(28,12)))
+           AS contrib
+  FROM edges e
+  JOIN {prev} ON {prev}.word = e.src
+  JOIN outdeg od ON od.word = e.src
+  GROUP BY e.dst
+) s ON s.word = n.word
+"""
+
+
+@register(
+    "text_textrank_unrolled",
+    oracle=f"""
+WITH edges AS ({_tr_edges_sql()}),
+outdeg AS (SELECT src AS word, CAST(sum(w) AS DOUBLE) AS outw
+           FROM edges GROUP BY src),
+vocab AS (
+  SELECT DISTINCT word
+  FROM (SELECT unnest({T.tokens_sql('text')}) AS word FROM documents)
+),
+nodes AS (SELECT word, (SELECT CAST(count(*) AS DOUBLE) FROM vocab) AS n
+          FROM vocab),
+pr0 AS (SELECT word, CAST(1.0 AS DOUBLE) / n AS pr FROM nodes),
+pr1 AS ({_tr_iter_sql('pr0')}),
+pr2 AS ({_tr_iter_sql('pr1')}),
+pr3 AS ({_tr_iter_sql('pr2')})
+SELECT word, CAST(round(pr, 6) AS DOUBLE) AS textrank FROM pr3
+""",
+)
+def text_textrank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword weighting: PageRank (damping {d}) over the
+    symmetric word co-occurrence graph (adjacent-token edges, count
+    weights), unrolled to exactly {it} iterations so the normally
+    "iterative, non-SQL-expressible" algorithm becomes a hash-checked [Q]
+    query — every iteration's ranks verified exactly. Per-step
+    contributions round to 12 decimals and sum as DECIMAL(28,12), so the
+    fixpoint arithmetic is partition-order insensitive across engines.
+
+    Scale shape: the graph reduces to (src, dst, weight) counts and a
+    vocab-sized out-degree table before any iteration; each unrolled step
+    is one edge-keyed broadcast join + one dst-keyed aggregate — the
+    standard distributed PageRank step. Fixed unrolling trades convergence
+    checks for a static plan; at 100 TB the same step runs under a driver
+    loop with convergence measured by a 1-row aggregate per round
+    (documented, not driver-side state inside the plan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(T.tokens("text").alias("t"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    edges = (
+        bi.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionAll(bi.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.sum("w").cast("double").alias("outw")
+    )
+    vocab = toks.select(F.explode("t").alias("word")).distinct()
+    n1 = vocab.agg(F.count("*").cast("double").alias("n"))
+    nodes = vocab.crossJoin(F.broadcast(n1))
+    pr = nodes.select("word", (F.lit(1.0) / F.col("n")).alias("pr"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(
+                F.broadcast(pr.withColumnRenamed("word", "src")), "src"
+            )
+            .join(
+                F.broadcast(outdeg.withColumnRenamed("src", "word")
+                            .withColumnRenamed("word", "src")),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("word"),
+                F.round(F.col("pr") * F.col("w") / F.col("outw"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("word")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(F.broadcast(contrib), "word", "left")
+            .select(
+                "word",
+                F.round(
+                    (1 - _TR_DAMP) / F.col("n")
+                    + _TR_DAMP
+                    * F.coalesce(F.col("contrib"), F.lit(0)).cast("double"),
+                    12,
+                )
+                .cast("double")
+                .alias("pr"),
+            )
+        )
+    return pr.select(
+        "word", F.round("pr", 6).cast("double").alias("textrank")
+    )
+
+
+text_textrank_unrolled.__doc__ = text_textrank_unrolled.__doc__.format(
+    d=_TR_DAMP, it=_TR_ITERS
+)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension versioning from the event log
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_scd2_versions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       event_type AS state,
+       ts AS effective_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS effective_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM changes
+""",
+)
+def events_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's event
+    stream into state versions — a new version whenever event_type changes,
+    with [effective_from, effective_to) validity and an is_current flag on
+    the open version. This is the CDC-log -> warehouse-dimension transform
+    every lakehouse pipeline runs; (ts, event_id) is the total order so
+    ties are deterministic.
+
+    Scale shape: two windows over the SAME (user_id | ts, event_id)
+    partitioning — Spark plans one Exchange + one Sort and runs both
+    windows on it (the change-detect filter is narrow in between). State
+    is bounded per user; at 100 TB the user-keyed shuffle is the cost and
+    skewed power-users are the salting candidates.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eff_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        eff_to.alias("effective_to"),
+        eff_to.isNull().alias("is_current"),
+    )
