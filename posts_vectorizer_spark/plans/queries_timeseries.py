@@ -1,0 +1,375 @@
+"""Time-series & LM wave 7 (SURVEY.md §2.18 extensions): hourly gap-fill
+with forward fill, rolling z-score anomaly flags, FULL OUTER join
+reconciliation, and bigram-LM document scoring — the hypertable-style
+resample/anomaly pair plus the remaining join type and the n-gram upgrade
+of the unigram quality filter.
+
+All [Q]: exact DuckDB twins. Determinism engineering: rolling-window
+moments sum DECIMAL-rounded values (exact, order-free) before any double
+division; per-doc log-prob sums use round-6 decimals (the unigram-LM
+pattern); gap-fill's per-bucket pick is a (ts, event_id) row_number — a
+total order, so engines can't disagree on which event survives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..sources import load_table
+from ..sources.catalog import spread
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# hourly gap-fill + forward fill (time-series resample)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_gap_fill",
+    oracle="""
+WITH span AS (
+  SELECT user_id,
+         date_trunc('hour', min(ts)) AS hmin,
+         date_trunc('hour', max(ts)) AS hmax
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(hmin, hmax, INTERVAL '1 hour')) AS hour
+  FROM span
+),
+obs AS (
+  SELECT user_id, hour, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS hour, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events
+  ) WHERE rk = 1
+)
+SELECT g.user_id, g.hour,
+       CAST(round(last_value(o.value IGNORE NULLS)
+              OVER (PARTITION BY g.user_id ORDER BY g.hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+            AS DOUBLE) AS filled_value,
+       o.value IS NOT NULL AS is_observed
+FROM grid g
+LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with forward fill: densify each user's event stream
+    onto a complete hourly grid between their first and last event, carry
+    the last observed value across silent hours, and flag which grid rows
+    were observed — the resample step every time-series/feature pipeline
+    runs before windowed models. The per-hour survivor is the event with
+    the max (ts, event_id) — a total order, so both engines pick the same
+    row.
+
+    Scale shape: the grid explodes from one row per user (sequence is
+    array-local); observation picking and forward fill share the
+    user-keyed shuffle. Forward fill is last(ignore nulls) over an
+    unbounded-preceding ROWS frame — sequential per user, bounded state.
+    The densification factor (span hours / events) is the cost knob; at
+    100 TB the grid is generated per (user, day) partition instead of per
+    user, same plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("hmin"),
+        F.date_trunc("hour", F.max("ts")).alias("hmax"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id", "hour").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    obs = (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("user_id", "hour", "value")
+    )
+    ffill = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(obs, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.round(F.last("value", ignorenulls=True).over(ffill), 6)
+            .cast("double")
+            .alias("filled_value"),
+            F.col("value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly flags
+# ---------------------------------------------------------------------------
+
+_Z_LOOKBACK = 6      # prior events in the frame
+_Z_MIN_N = 3         # minimum history before scoring
+_Z_THRESHOLD = 2.0   # |z| flag cutoff
+
+
+@register(
+    "events_rolling_zscore",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(round(value, 10) AS DECIMAL(28,10)) AS v10
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, event_id, value,
+         count(v10) OVER w AS n,
+         CAST(sum(v10) OVER w AS DOUBLE) AS s,
+         CAST(sum(CAST(v10 * v10 AS DECIMAL(38,18))) OVER w AS DOUBLE) AS sq
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, ts, event_id, value, n,
+         CASE WHEN n >= {_Z_MIN_N}
+                   AND (sq - s * s / n) / (n - 1) > 0
+              THEN round((value - s / n)
+                         / sqrt((sq - s * s / n) / (n - 1)), 6)
+              END AS zscore
+  FROM m
+)
+SELECT user_id, ts, event_id, value,
+       CAST(n AS BIGINT) AS n_history,
+       CAST(zscore AS DOUBLE) AS zscore,
+       coalesce(abs(zscore) > {_Z_THRESHOLD}, FALSE) AS is_anomaly
+FROM z
+""",
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: score each event's value against
+    the mean/std of that user's previous {k} events (frame excludes the
+    current row — the score is out-of-sample) and flag |z| > {t} — the
+    streaming-friendly outlier gate a metrics/quality pipeline runs before
+    aggregation. Rows with under {m} prior events get a NULL score and no
+    flag.
+
+    Determinism: the frame sums DECIMAL-rounded values and squares
+    (exact, order-free) and only then divides in double, so both engines
+    compute bit-identical moments regardless of how they walk the frame
+    (Spark recomputes per row; DuckDB uses segment trees — float sums
+    would differ in ulps).
+
+    Scale shape: one user-keyed shuffle, one sort, constant per-row frame
+    state ({k} rows). The same expression runs under Structured Streaming
+    as an applyInPandasWithState per-user deque; batch mode is the
+    oracle-checkable twin.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v10 = F.round("value", 10).cast("decimal(28,10)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    base = e.select("user_id", "ts", "event_id", "value", v10.alias("v10"))
+    m = base.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.count("v10").over(w).alias("n"),
+        F.sum("v10").over(w).cast("double").alias("s"),
+        F.sum((F.col("v10") * F.col("v10")).cast("decimal(38,18)"))
+        .over(w)
+        .cast("double")
+        .alias("sq"),
+    )
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.when(
+        (F.col("n") >= _Z_MIN_N) & (var > 0),
+        F.round((F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var), 6),
+    )
+    return m.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.col("n").cast("bigint").alias("n_history"),
+        z.cast("double").alias("zscore"),
+        F.coalesce(F.abs(z) > _Z_THRESHOLD, F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+events_rolling_zscore.__doc__ = events_rolling_zscore.__doc__.format(
+    k=_Z_LOOKBACK, t=_Z_THRESHOLD, m=_Z_MIN_N
+)
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join reconciliation
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_join_full_outer",
+    oracle="""
+SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       max(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END) = 1
+         AS has_customer,
+       CAST(round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0),
+                  2) AS DOUBLE) AS total_spend
+FROM orders o FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY coalesce(o.o_custkey, c.c_custkey)
+""",
+)
+def rel_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation: every customer and every order
+    custkey appears exactly once — customers with no orders surface with
+    zero counts, orders whose custkey is missing from the dimension (the
+    data-quality case) surface with has_customer = false. The one join
+    type the §2 inventory's semi/anti/left-outer family didn't yet
+    exercise, in its standard audit-query role.
+
+    Scale shape: full outer cannot broadcast (both sides must keep
+    unmatched rows), so this is the one deliberate shuffle join in the
+    join family — key-partitioned on custkey, AQE-handled skew. The
+    decimal spend sum is partition-order insensitive.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    joined = o.join(c, o.o_custkey == c.c_custkey, "full_outer")
+    return (
+        joined.groupBy(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey")
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.max(
+                    F.when(F.col("c_custkey").isNull(), 0).otherwise(1)
+                )
+                == 1
+            ).alias("has_customer"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.lit(0),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM document scoring (conditional-probability upgrade)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+),
+tr AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+bc AS (SELECT w1, w2, count(*) AS c_ab FROM tr GROUP BY w1, w2),
+uni AS (
+  SELECT word, count(*) AS c
+  FROM (SELECT unnest(t) AS word FROM toks) GROUP BY word
+),
+vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+scored AS (
+  SELECT tr.doc_id,
+         CAST(round(log10((bc.c_ab + 1) / (uni.c + vs.v)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM tr
+  JOIN bc ON bc.w1 = tr.w1 AND bc.w2 = tr.w2
+  JOIN uni ON uni.word = tr.w1
+  CROSS JOIN vs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS DOUBLE)
+         AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: fit an add-1-smoothed bigram LM on
+    the corpus (p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)) and score each document
+    by its mean transition log-probability — the conditional-probability
+    upgrade of `text_unigram_logprob` that separates plausible word ORDER
+    from plausible word choice, catching shuffled/templated text the
+    unigram filter scores as fluent.
+
+    Scale shape: the LM is bigram-table-sized (|observed bigrams|, far
+    below |V|^2), reduced map-side and broadcast back onto transitions;
+    V is a broadcast 1-row aggregate. Per-doc sums add round-6 decimals
+    (exact, order-free). Two counting shuffles + one doc-keyed aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select("doc_id", T.tokens("text").alias("t"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    tr = (
+        toks.where(F.size("t") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bc = tr.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni = (
+        toks.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    vs = uni.agg(F.count("*").cast("double").alias("v"))
+    lp = F.round(
+        F.log10((F.col("c_ab") + 1) / (F.col("c") + F.col("v"))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        tr.join(F.broadcast(bc), ["w1", "w2"])
+        .join(
+            F.broadcast(uni.withColumnRenamed("word", "w1")), "w1"
+        )
+        .crossJoin(F.broadcast(vs))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_transitions"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+        .cast("double")
+        .alias("avg_logprob"),
+    )

@@ -1,0 +1,112 @@
+"""Tests for the time-series & LM wave 7 (plans/queries_timeseries.py):
+forward-fill across planted gaps, spike flagging with out-of-sample
+history, full-outer unmatched rows on both sides, and bigram-LM ordering
+sensitivity. The value-exactness check is the DuckDB oracle
+(tools/oracle_check.py); these pin semantics the hash can't express."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import make_docs
+
+
+def _write_events(tmp_path, rows):
+    # rows: (event_id, ts_str, user_id, value)
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": ["x"] * len(rows),
+            "value": [float(r[3]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+
+def test_gap_fill_carries_last_value_across_gap(spark, tmp_path):
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:10:00", 5, 10.0),
+            (2, "2024-01-01 00:40:00", 5, 20.0),  # later in same hour wins
+            (3, "2024-01-01 03:30:00", 5, 99.0),
+        ],
+    )
+    rows = sorted(
+        E.queries()["events_gap_fill"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["hour"],
+    )
+    assert len(rows) == 4  # hours 00..03
+    assert [r["is_observed"] for r in rows] == [True, False, False, True]
+    assert [r["filled_value"] for r in rows] == [20.0, 20.0, 20.0, 99.0]
+
+
+def test_rolling_zscore_flags_planted_spike(spark, tmp_path):
+    base = [
+        (i, f"2024-01-01 0{i}:00:00", 9, 10.0 + (i % 2) * 0.5)
+        for i in range(6)
+    ]
+    spike = [(6, "2024-01-01 06:00:00", 9, 1000.0)]
+    _write_events(tmp_path, base + spike)
+    rows = {
+        r["event_id"]: r
+        for r in E.queries()["events_rolling_zscore"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # too little history -> no score
+    assert rows[0]["zscore"] is None and not rows[0]["is_anomaly"]
+    assert rows[1]["zscore"] is None
+    # the spike is scored against PRIOR events only and flagged
+    assert rows[6]["is_anomaly"]
+    assert rows[6]["zscore"] > 2
+    # stable values are not anomalous
+    assert not any(rows[i]["is_anomaly"] for i in range(6))
+
+
+def test_full_outer_keeps_both_unmatched_sides(spark, tmp_path):
+    pd.DataFrame(
+        {"c_custkey": [1, 2]}  # customer 2 has no orders
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {
+            "o_custkey": [1, 99],  # order custkey 99 has no customer row
+            "o_orderkey": [10, 11],
+            "o_totalprice": [100.50, 7.25],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    rows = {
+        r["custkey"]: r
+        for r in E.queries()["rel_join_full_outer"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 99}
+    assert rows[1]["n_orders"] == 1 and rows[1]["has_customer"]
+    assert rows[1]["total_spend"] == pytest.approx(100.50)
+    assert rows[2]["n_orders"] == 0 and rows[2]["has_customer"]
+    assert rows[2]["total_spend"] == 0.0
+    assert rows[99]["n_orders"] == 1 and not rows[99]["has_customer"]
+
+
+def test_bigram_logprob_prefers_dominant_transitions(spark, tmp_path):
+    # corpus transition mass is on "a b"; doc 7 uses a one-off transition
+    # "b a" plus unique words, so its mean transition logprob is lower.
+    common = [(i, "a b a b a b", "en") for i in range(4)]
+    odd = [(7, "qq zz", "en")]
+    docs = make_docs(spark, common + odd)
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in E.queries()["text_bigram_logprob"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0]["n_transitions"] == 5
+    assert out[7]["n_transitions"] == 1
+    assert all(r["avg_logprob"] < 0 for r in out.values())
+    assert out[0]["avg_logprob"] > out[7]["avg_logprob"]
