@@ -1,0 +1,317 @@
+"""Governance & graph wave 8 (SURVEY.md §2.19 extensions): a data-quality
+constraint suite, distribution-rank window functions (ntile /
+percent_rank / cume_dist), triangle counting with the global clustering
+coefficient, and a partitioned-layout source proving partition-pruned
+scans produce byte-identical results.
+
+All [Q]: exact DuckDB twins. `source_partitioned_pruning` materializes a
+partitioned copy as fixture setup (skip-listed in the no-jobs guard, like
+the CSV/JSON round-trip) — its oracle reads the ORIGINAL parquet, so a
+match proves the partitioned layout preserves values, not just shape.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..sources import load_table
+from ..sources.catalog import spread
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint suite
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_dq_constraints",
+    oracle="""
+SELECT 'orders_pk_unique' AS constraint_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_fk',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_quantity_not_null',
+       CAST(count(*) - count(l_quantity) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events_value_finite',
+       CAST(sum(CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+""",
+)
+def rel_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite: the dbt/Great-Expectations-style
+    validation pass a pipeline runs on every snapshot — primary-key
+    uniqueness, referential integrity (orders -> customer), accepted value
+    range, not-null, and float finiteness — emitting one row per
+    constraint with its violation count (0 = pass).
+
+    Scale shape: each constraint is a single-scan aggregate; the FK check
+    is a broadcast LEFT ANTI join (the dimension side broadcasts), never
+    a NOT IN shuffle. The five scans union into one job; at 100 TB
+    constraints over the same table fuse into one shared-scan aggregate
+    exactly like `rel_table_profile`.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    pk = orders.agg(
+        (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias("n")
+    ).select(F.lit("orders_pk_unique").alias("constraint_name"),
+             F.col("n").alias("n_violations"))
+    fk = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("orders_custkey_fk").alias("constraint_name"),
+                F.col("n").alias("n_violations"))
+    )
+    rng = lineitem.agg(
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1
+            ).otherwise(0)
+        ).alias("n")
+    ).select(F.lit("lineitem_discount_range").alias("constraint_name"),
+             F.col("n").alias("n_violations"))
+    nn = lineitem.agg(
+        (F.count("*") - F.count("l_quantity")).alias("n")
+    ).select(F.lit("lineitem_quantity_not_null").alias("constraint_name"),
+             F.col("n").alias("n_violations"))
+    fin = events.agg(
+        F.sum(
+            F.when(
+                F.col("value").isNull()
+                | F.isnan("value")
+                | (F.abs("value") == float("inf")),
+                1,
+            ).otherwise(0)
+        ).alias("n")
+    ).select(F.lit("events_value_finite").alias("constraint_name"),
+             F.col("n").alias("n_violations"))
+    return pk.unionByName(fk).unionByName(rng).unionByName(nn).unionByName(fin)
+
+
+# ---------------------------------------------------------------------------
+# distribution-rank windows (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_window_ntile_ranks",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+       CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cume,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+""",
+)
+def rel_window_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family: quartile assignment (ntile),
+    percentile rank, cumulative distribution, and dense rank per
+    return-flag partition — the spread/rank quartet `rel_window_frames`'
+    value-window family didn't cover. The ORDER BY is a total order
+    (price, orderkey, linenumber), which ntile requires: it splits by row
+    position, so tie order must be pinned or engines legitimately
+    disagree.
+
+    Scale shape: one partition-keyed shuffle + sort serves all four
+    functions (Spark plans a single Window operator); partitions are the
+    3 return flags, so at 100 TB the partition key is the skew concern —
+    the same expressions over a finer key (e.g. flag x month) shard the
+    sort, and ntile stays correct within each partition by definition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+def _tri_edges_sql() -> str:
+    """Undirected distinct word co-occurrence edges with w1 < w2."""
+    return f"""
+SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b FROM (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM (SELECT {T.tokens_sql('text')} AS t FROM documents)
+        WHERE len(t) >= 2)
+) WHERE w1 <> w2
+"""
+
+
+@register(
+    "text_triangle_count",
+    oracle=f"""
+WITH edges AS ({_tri_edges_sql()}),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY node
+),
+tr AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_triads FROM deg)
+SELECT n_triangles, n_triads,
+       CAST(round(3.0 * n_triangles / n_triads, 6) AS DOUBLE)
+         AS clustering_coeff
+FROM tri CROSS JOIN tr
+""",
+)
+def text_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the word co-occurrence graph plus the global
+    clustering coefficient (3 x triangles / connected triads) — the
+    standard graph-density probe, and the canonical multi-way self-join:
+    each triangle (a < b < c) is counted exactly once via the ordered-edge
+    join e(a,b) ⋈ e(b,c) ⋈ e(a,c).
+
+    Scale shape: the graph first reduces to DISTINCT ordered edges (the
+    heavy dedup happens before any join); the two self-joins shuffle on
+    single word keys. The ordered convention (a < b) halves the edge set
+    AND bounds each join's fan-out by forward-degree — the classic
+    trick that keeps triangle counting feasible on skewed graphs; at
+    100 TB the remaining skew fix is degree-ordering edges (orient from
+    low- to high-degree endpoint) with the same plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(T.tokens("text").alias("t"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+    )
+    edges = bi.select(
+        F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+    ).distinct()
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    triads = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_triads")
+    )
+    return tri.crossJoin(F.broadcast(triads)).select(
+        "n_triangles",
+        "n_triads",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_triads"), 6)
+        .cast("double")
+        .alias("clustering_coeff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# partitioned-layout source with partition pruning
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_partitioned_pruning",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+""",
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout: rewrite events partitioned BY
+    event_type, then aggregate two partitions through a filter the scan
+    prunes at the directory level (PartitionFilters — asserted in
+    tests/test_governance.py). The oracle reads the ORIGINAL unpartitioned
+    parquet, so a hash match proves the partitioned layout preserves every
+    value, not just the row count.
+
+    Scale shape: partition-by on the filter column is THE 100 TB scan
+    economizer — a two-partition query touches two directories of a
+    thousand-partition table, no file footers elsewhere. The write
+    shuffles by partition value (repartition before write avoids
+    small-files explosion: one file per partition per task otherwise).
+    The materializing write is fixture setup (skip-listed in the no-jobs
+    guard, like the CSV/JSON round-trip).
+    """
+    import os
+
+    e = load_table(spark, sf_dir, "events")
+    work = os.path.join(
+        tempfile.mkdtemp(prefix="pv_part_"), "events_by_type"
+    )
+    (
+        e.repartition("event_type")
+        .write.partitionBy("event_type")
+        .parquet(work)
+    )
+    part = spark.read.parquet(work)
+    return (
+        part.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 6
+            )
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

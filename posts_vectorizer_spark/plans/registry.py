@@ -73,7 +73,8 @@ def _ensure_loaded() -> None:
     for mod in ("queries_relational", "queries_text", "queries_dedup",
                 "queries_similarity", "queries_events", "queries_advanced",
                 "queries_quality", "queries_curation", "queries_corpus",
-                "queries_sketch", "queries_timeseries", "queries_extras"):
+                "queries_sketch", "queries_timeseries",
+                "queries_governance", "queries_extras"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:

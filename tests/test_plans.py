@@ -71,6 +71,7 @@ def test_plan_build_triggers_no_jobs(spark):
         # distributed — the file writes are fixture setup, inherently jobs
         "source_vec_model_table",
         "source_csv_json_roundtrip",
+        "source_partitioned_pruning",
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():
