@@ -74,7 +74,8 @@ def _ensure_loaded() -> None:
                 "queries_similarity", "queries_events", "queries_advanced",
                 "queries_quality", "queries_curation", "queries_corpus",
                 "queries_sketch", "queries_timeseries",
-                "queries_governance", "queries_extras"):
+                "queries_governance", "queries_lakehouse",
+                "queries_extras"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:

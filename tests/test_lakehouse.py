@@ -1,0 +1,95 @@
+"""Tests for the lakehouse & ML-eval wave 9 (plans/queries_lakehouse.py):
+hand-counted snapshot diff, Morton-order bounding-box bound, the
+zero-missed-rows skipping safety proof, and silhouette on separable
+labels. The value-exactness check is the DuckDB oracle
+(tools/oracle_check.py); these pin semantics the hash can't express."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import SF_SMOKE, make_docs
+
+
+def test_snapshot_diff_counts_planted_changes(spark, tmp_path):
+    docs = make_docs(
+        spark, [(i, f"text number {i}", "en") for i in range(10)]
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["status"]: r["n"]
+        for r in E.queries()["rel_snapshot_diff"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # prev drops doc 0 (added in curr), mutates doc 7 (changed), and has
+    # an extra row 1000001 (removed); docs 1-6, 8, 9 are unchanged.
+    assert out == {"added": 1, "removed": 1, "changed": 1, "unchanged": 8}
+
+
+def test_zorder_buckets_are_aligned_squares(spark):
+    rows = E.queries()["rel_zorder_keys"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # a 1024-aligned z-range covers exactly one 32x32 aligned square:
+        # both bounding-box sides must fit in 32, never a full-width stripe
+        assert r["x_max"] - r["x_min"] <= 31, r
+        assert r["y_max"] - r["y_min"] <= 31, r
+        # and the box is inside its aligned square
+        assert r["x_min"] // 32 == r["x_max"] // 32, r
+        assert r["y_min"] // 32 == r["y_max"] // 32, r
+
+
+def test_zorder_interleave_hand_value(spark, tmp_path):
+    # x=3 (bits 11), y=1 (bit 1): z = 1 + 4 (x bits) + 2 (y bit 0) = 7
+    pd.DataFrame({"l_partkey": [3], "l_suppkey": [1]}).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    r = E.queries()["rel_zorder_keys"](spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0]["z_bucket"] == 0  # z = 7 < 1024
+    assert (r[0]["x_min"], r[0]["y_min"]) == (3, 1)
+
+
+def test_minmax_skipping_is_sound_and_effective(spark):
+    r = E.queries()["rel_minmax_skipping"](spark, SF_SMOKE).collect()[0]
+    # safety: skipped files contain zero matching rows
+    assert r["n_missed_by_skipping"] == 0
+    # accounting: the pruned scan still covers every matching row
+    assert r["n_rows_scanned"] >= r["n_rows_matching"]
+    assert r["n_files"] > 0
+    assert r["n_skipped"] >= 0
+
+
+def test_silhouette_separable_labels_score_high(spark, tmp_path):
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("vec_id", ST.LongType()),
+            ST.StructField("embedding", ST.ArrayType(ST.FloatType())),
+            ST.StructField("label", ST.IntegerType()),
+        ]
+    )
+    # label 0 clusters near e_0, label 1 near e_1 — far apart, tight
+    rows = []
+    for i in range(4):
+        v0 = [10.0 + i * 0.1] + [0.0] * 63
+        v1 = [0.0, 10.0 + i * 0.1] + [0.0] * 62
+        rows.append((i, v0, 0))
+        rows.append((100 + i, v1, 1))
+    spark.createDataFrame(rows, schema=schema).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        r["label"]: r
+        for r in E.queries()["sim_silhouette_labels"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["n"] == 4
+        assert r["avg_silhouette"] > 0.9
