@@ -1,0 +1,426 @@
+"""Statistical-testing & sketch-merge wave 10 (SURVEY.md §2.21
+extensions): an A/B two-proportion z-test, a chi-square independence
+test, HyperLogLog sketch MERGE with union/intersection estimates, and
+reset-segmented running sums.
+
+All [Q]: exact DuckDB twins. The test statistics are closed-form
+arithmetic over exact counts (no float-sum order anywhere: chi-square
+cell terms round to decimals before summing); the HLL merge reuses wave
+6's quadratically-mixed portable hash, so every merged register is
+oracle-verified — the max-merge across sketches is THE property that
+makes HLL distributable, and here it's value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..sources import load_table
+from .registry import register
+
+from .queries_sketch import _HLL_ALPHA, _HLL_M, _HLL_MAXBIT, _HLL_MULT
+
+
+# ---------------------------------------------------------------------------
+# A/B two-proportion z-test
+# ---------------------------------------------------------------------------
+
+_AB_Z_CRIT = 1.96  # two-sided 5%
+
+
+@register(
+    "events_ab_test",
+    oracle=f"""
+WITH assigned AS (
+  SELECT user_id % 2 AS variant, event_type FROM events
+),
+counts AS (
+  SELECT variant,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS n_purchase
+  FROM assigned GROUP BY variant
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 0 THEN n_view END) AS v0,
+    max(CASE WHEN variant = 0 THEN n_purchase END) AS p0,
+    max(CASE WHEN variant = 1 THEN n_view END) AS v1,
+    max(CASE WHEN variant = 1 THEN n_purchase END) AS p1
+  FROM counts
+),
+calc AS (
+  SELECT v0, p0, v1, p1,
+         CAST(p0 AS DOUBLE) / v0 AS r0,
+         CAST(p1 AS DOUBLE) / v1 AS r1,
+         CAST(p0 + p1 AS DOUBLE) / (v0 + v1) AS pp
+  FROM wide
+)
+SELECT CAST(v0 AS BIGINT) AS views_a, CAST(p0 AS BIGINT) AS purchases_a,
+       CAST(v1 AS BIGINT) AS views_b, CAST(p1 AS BIGINT) AS purchases_b,
+       CAST(round(r0, 6) AS DOUBLE) AS rate_a,
+       CAST(round(r1, 6) AS DOUBLE) AS rate_b,
+       CAST(round((r0 - r1)
+            / sqrt(pp * (1 - pp) * (1.0 / v0 + 1.0 / v1)), 6) AS DOUBLE)
+         AS z_stat,
+       abs((r0 - r1)
+           / sqrt(pp * (1 - pp) * (1.0 / v0 + 1.0 / v1)))
+         > {_AB_Z_CRIT} AS significant
+FROM calc
+""",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test readout: split users into two variants (deterministic
+    user_id parity — the hash-assignment every experimentation platform
+    uses), compare purchase-per-view conversion with the two-proportion
+    pooled z-test, and flag two-sided 5% significance — the
+    experimentation-analysis query run over event logs daily.
+
+    Scale shape: the corpus reduces to FOUR counts (one conditional
+    aggregate, map-side combinable) before any statistics; the z
+    arithmetic is closed-form over those counts — exact integer inputs,
+    identical double expression trees in both engines, no float-sum
+    order anywhere. At 100 TB the cost is the scan, full stop.
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.select((F.col("user_id") % 2).alias("variant"), "event_type")
+        .groupBy("variant")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("n_view"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchase"),
+        )
+    )
+    wide = counts.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_view"))).alias("v0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_purchase"))).alias("p0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_view"))).alias("v1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_purchase"))).alias("p1"),
+    )
+    r0 = F.col("p0").cast("double") / F.col("v0")
+    r1 = F.col("p1").cast("double") / F.col("v1")
+    pp = (F.col("p0") + F.col("p1")).cast("double") / (
+        F.col("v0") + F.col("v1")
+    )
+    z = (r0 - r1) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("v0") + 1.0 / F.col("v1"))
+    )
+    return wide.select(
+        F.col("v0").cast("bigint").alias("views_a"),
+        F.col("p0").cast("bigint").alias("purchases_a"),
+        F.col("v1").cast("bigint").alias("views_b"),
+        F.col("p1").cast("bigint").alias("purchases_b"),
+        F.round(r0, 6).cast("double").alias("rate_a"),
+        F.round(r1, 6).cast("double").alias("rate_b"),
+        F.round(z, 6).cast("double").alias("z_stat"),
+        (F.abs(z) > _AB_Z_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test (lang x source)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_chi2_lang_source",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+rows_ AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY lang),
+cols_ AS (SELECT source, sum(o) AS ct FROM obs GROUP BY source),
+cells AS (
+  SELECT CAST(round(
+           (o.o - r.rt * c.ct / t.n) * (o.o - r.rt * c.ct / t.n)
+           / (r.rt * c.ct / t.n), 6) AS DECIMAL(18,6)) AS term
+  FROM obs o
+  JOIN rows_ r ON r.lang = o.lang
+  JOIN cols_ c ON c.source = o.source
+  CROSS JOIN tot t
+)
+SELECT CAST(round(CAST(sum(term) AS DOUBLE), 6) AS DOUBLE) AS chi2,
+       CAST((SELECT count(*) - 1 FROM rows_)
+            * (SELECT count(*) - 1 FROM cols_) AS BIGINT) AS dof,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM cells
+""",
+)
+def text_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the lang x source contingency
+    table: are document languages distributed independently of their
+    sources? — the corpus-composition audit a curation pipeline runs to
+    detect source/language coupling before choosing mixture weights
+    (`text_domain_mix_weights` assumes it knows this structure).
+
+    Scale shape: the contingency table is one groupBy (|langs| x
+    |sources| cells); marginals and the total are aggregates OVER that
+    tiny table, joined back broadcast-style. Cell terms round to
+    DECIMAL(18,6) before summing, so the statistic is partition-order
+    insensitive. At 100 TB the only full-scan work is the first count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    term = (
+        F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 6)
+        .cast("decimal(18,6)")
+    )
+    cells = (
+        obs.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("term"))
+    )
+    nr = rows_.agg((F.count("*") - 1).alias("r1"))
+    nc = cols_.agg((F.count("*") - 1).alias("c1"))
+    return (
+        cells.agg(
+            F.round(F.sum("term").cast("double"), 6)
+            .cast("double")
+            .alias("chi2"),
+            F.count("*").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "chi2",
+            (F.col("r1") * F.col("c1")).cast("bigint").alias("dof"),
+            "n_cells",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch merge: union / intersection of user sets
+# ---------------------------------------------------------------------------
+
+def _hll_regs_sql(pred: str, alias: str) -> str:
+    """64 HLL registers over user_id for rows matching ``pred``."""
+    return f"""
+SELECT b.bucket,
+       coalesce(max(r.rho), 0) AS {alias}
+FROM (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) b
+LEFT JOIN (
+  SELECT h % {_HLL_M} AS bucket,
+         coalesce(
+           list_min(list_filter(generate_series(0, {_HLL_MAXBIT}),
+             k -> (CAST(floor((h // {_HLL_M}) / power(2, k)) AS BIGINT)
+                   % 2) = 1)),
+           {_HLL_MAXBIT}) + 1 AS rho
+  FROM (
+    SELECT (hb * hb) % {T.HASH_MOD} AS h
+    FROM (SELECT (user_id * {_HLL_MULT} + 7919) % {T.HASH_MOD} AS hb
+          FROM events WHERE {pred})
+  )
+) r ON r.bucket = b.bucket
+GROUP BY b.bucket
+"""
+
+
+_HLL_EST = (
+    f"round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / sum(power(2.0, -{{m}})), 6)"
+)
+
+
+@register(
+    "events_hll_set_ops",
+    oracle=f"""
+WITH ca AS ({_hll_regs_sql("event_type = 'click'", 'ma')}),
+cb AS ({_hll_regs_sql("event_type = 'view'", 'mb')}),
+merged AS (
+  SELECT ca.bucket, ca.ma, cb.mb, greatest(ca.ma, cb.mb) AS mu
+  FROM ca JOIN cb ON ca.bucket = cb.bucket
+),
+est AS (
+  SELECT CAST({_HLL_EST.format(m='ma')} AS DOUBLE) AS est_click,
+         CAST({_HLL_EST.format(m='mb')} AS DOUBLE) AS est_view,
+         CAST({_HLL_EST.format(m='mu')} AS DOUBLE) AS est_union
+  FROM merged
+),
+ex AS (
+  SELECT CAST(count(DISTINCT CASE WHEN event_type = 'click'
+                                  THEN user_id END) AS BIGINT)
+           AS exact_click,
+         CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                                  THEN user_id END) AS BIGINT)
+           AS exact_view,
+         CAST(count(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                  THEN user_id END) AS BIGINT)
+           AS exact_union
+  FROM events
+)
+SELECT est_click, est_view, est_union,
+       CAST(round(est_click + est_view - est_union, 6) AS DOUBLE)
+         AS est_intersection,
+       exact_click, exact_view, exact_union
+FROM est CROSS JOIN ex
+""",
+)
+def events_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGE: sketch click-users and view-users separately,
+    merge the two sketches by per-register max to estimate the UNION, and
+    derive the intersection by inclusion-exclusion — the composable
+    set-cardinality algebra (distinct-users-across-segments) that exact
+    counting cannot parallelize cheaply. Exact values ride along so the
+    oracle checks estimates AND truth.
+
+    Scale shape: each sketch is 64 registers built map-side in one
+    conditional aggregate; the MERGE is a 64-row join — this is the whole
+    reason HLL exists: segment sketches compute once, and any union of
+    segments is register-max arithmetic afterwards, no rescan. Register
+    sums add exact binary fractions (order-free).
+    """
+    e = load_table(spark, sf_dir, "events")
+    hb = (F.col("user_id") * _HLL_MULT + 7919) % T.HASH_MOD
+    h = (hb * hb) % T.HASH_MOD
+    rest = F.floor(h / _HLL_M).cast("long")
+    rho = (
+        F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.sequence(F.lit(0), F.lit(_HLL_MAXBIT)),
+                    lambda k: (
+                        F.floor(rest / F.pow(F.lit(2.0), k)).cast("long") % 2
+                    )
+                    == 1,
+                )
+            ),
+            F.lit(_HLL_MAXBIT),
+        )
+        + 1
+    )
+    base = e.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", (h % _HLL_M).alias("bucket"), rho.alias("rho")
+    )
+    regs = base.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("rho"))
+        ).alias("ra"),
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("rho"))
+        ).alias("rb"),
+    )
+    buckets = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    merged = buckets.join(regs, "bucket", "left").select(
+        F.coalesce("ra", F.lit(0)).alias("ma"),
+        F.coalesce("rb", F.lit(0)).alias("mb"),
+    ).withColumn("mu", F.greatest("ma", "mb"))
+
+    def est(col):
+        return F.round(
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / F.sum(F.pow(F.lit(2.0), -F.col(col))),
+            6,
+        ).cast("double")
+
+    ests = merged.agg(
+        est("ma").alias("est_click"),
+        est("mb").alias("est_view"),
+        est("mu").alias("est_union"),
+    )
+    ex = e.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_click"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_view"),
+        F.count_distinct(
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("user_id")
+            )
+        ).alias("exact_union"),
+    )
+    return ests.crossJoin(F.broadcast(ex)).select(
+        "est_click",
+        "est_view",
+        "est_union",
+        F.round(
+            F.col("est_click") + F.col("est_view") - F.col("est_union"), 6
+        )
+        .cast("double")
+        .alias("est_intersection"),
+        "exact_click",
+        "exact_view",
+        "exact_union",
+    )
+
+
+# ---------------------------------------------------------------------------
+# reset-segmented running sums
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_running_reset",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS segment
+  FROM events
+)
+SELECT user_id, ts, event_id, segment,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+              OVER (PARTITION BY user_id, segment ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_since_signup
+FROM seg
+""",
+)
+def events_running_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-segmented running sum: a per-user cumulative value total that
+    RESETS at every signup event — the counter-with-reset shape behind
+    "spend since last top-up", "errors since last deploy", and battery /
+    quota meters. Two stacked windows express it declaratively: a
+    cumulative flag-count assigns segment ids, then the running sum
+    partitions by (user, segment).
+
+    Scale shape: both windows order by the same (ts, event_id) within
+    user, so Spark evaluates them on ONE user-keyed Exchange + sort (the
+    segment id only refines the partition key of the second frame —
+    no second shuffle needed, verified by the single-Exchange plan
+    pattern of `events_scd2_versions`). Decimal summands keep the
+    running values exact under any partitioning.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = e.withColumn(
+        "segment",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).over(w1),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "segment")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "segment",
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .over(w2)
+        .cast("double")
+        .alias("running_since_signup"),
+    )

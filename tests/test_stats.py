@@ -1,0 +1,116 @@
+"""Tests for the stats & sketch-merge wave 10 (plans/queries_stats.py):
+planted A/B lift significance, zero chi-square under exact independence,
+the register-max subset property of HLL union, and reset semantics at the
+signup row. The value-exactness check is the DuckDB oracle
+(tools/oracle_check.py); these pin semantics the hash can't express."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import make_docs
+
+
+def _events(tmp_path, rows):
+    # rows: (event_id, ts, user_id, event_type, value)
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+
+def test_ab_test_detects_planted_lift(spark, tmp_path):
+    rows = []
+    eid = 0
+    # variant 0 (even users): 100 views, 50 purchases
+    # variant 1 (odd users): 100 views, 10 purchases
+    for i in range(100):
+        rows.append((eid := eid + 1, "2024-01-01", i * 2, "view", 1))
+        rows.append((eid := eid + 1, "2024-01-01", i * 2 + 1, "view", 1))
+    for i in range(50):
+        rows.append((eid := eid + 1, "2024-01-01", i * 2, "purchase", 1))
+    for i in range(10):
+        rows.append((eid := eid + 1, "2024-01-01", i * 2 + 1, "purchase", 1))
+    _events(tmp_path, rows)
+    r = E.queries()["events_ab_test"](spark, str(tmp_path)).collect()[0]
+    assert (r["views_a"], r["purchases_a"]) == (100, 50)
+    assert (r["views_b"], r["purchases_b"]) == (100, 10)
+    assert r["rate_a"] == 0.5 and r["rate_b"] == 0.1
+    assert r["z_stat"] > 1.96 and r["significant"]
+
+
+def test_chi2_zero_under_exact_independence(spark, tmp_path):
+    # 2 langs x 2 sources, every cell exactly 5 docs -> observed == expected
+    from pyspark.sql import functions as F
+
+    rows, i = [], 0
+    for lang in ("en", "de"):
+        for src in ("s1", "s2"):
+            for _ in range(5):
+                rows.append((i, "w", lang, src))
+                i += 1
+    docs = make_docs(spark, [(r[0], r[1], r[2]) for r in rows]).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 < 5, "s1").otherwise("s2"),
+    )
+    # rebuild source deterministically matching the planted layout:
+    # ids 0-4 s1/en, 5-9 s2/en, 10-14 s1/de, 15-19 s2/de
+    docs = docs.withColumn(
+        "lang", F.when(F.col("doc_id") < 10, "en").otherwise("de")
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    r = E.queries()["text_chi2_lang_source"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r["n_cells"] == 4
+    assert r["dof"] == 1
+    assert r["chi2"] == 0.0
+
+
+def test_hll_union_equals_superset_sketch(spark, tmp_path):
+    # click users are a strict subset of view users: the merged registers
+    # equal the view registers, so est_union == est_view EXACTLY — the
+    # register-max merge property, not an approximation.
+    rows, eid = [], 0
+    for u in range(1, 301):
+        rows.append((eid := eid + 1, "2024-01-01", u, "view", 1))
+    for u in range(1, 101):
+        rows.append((eid := eid + 1, "2024-01-01", u, "click", 1))
+    _events(tmp_path, rows)
+    r = E.queries()["events_hll_set_ops"](spark, str(tmp_path)).collect()[0]
+    assert r["exact_click"] == 100 and r["exact_view"] == 300
+    assert r["exact_union"] == 300
+    assert r["est_union"] == r["est_view"]
+    assert r["est_intersection"] == pytest.approx(r["est_click"], abs=1e-6)
+
+
+def test_running_reset_restarts_at_signup(spark, tmp_path):
+    _events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:00", 7, "view", 1.0),
+            (2, "2024-01-01 01:00:00", 7, "view", 2.0),
+            (3, "2024-01-01 02:00:00", 7, "signup", 5.0),
+            (4, "2024-01-01 03:00:00", 7, "view", 3.0),
+        ],
+    )
+    rows = {
+        r["event_id"]: r
+        for r in E.queries()["events_running_reset"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[1]["running_since_signup"] == 1.0
+    assert rows[2]["running_since_signup"] == 3.0
+    # the signup row itself opens the new segment
+    assert rows[3]["segment"] == 1
+    assert rows[3]["running_since_signup"] == 5.0
+    assert rows[4]["running_since_signup"] == 8.0
