@@ -164,3 +164,44 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for t in ("b_li", "b_ord"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stacked_windows_share_one_exchange(spark):
+    """SCD2 and reset-segmented sums claim both their windows run on ONE
+    user-keyed Exchange (SCALE.md waves 6/10) — the segment refinement
+    must not introduce a second shuffle."""
+    for name in ("events_scd2_versions", "events_running_reset"):
+        plan = _plan(E.queries()[name](spark, SF_ORACLE))
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange == 1, f"{name}: {n_exchange} hash Exchanges"
+
+
+def test_decorrelated_q17_broadcasts_both_sides(spark):
+    """rel_subquery_correlated claims the brand-pruned part list AND the
+    per-part stats broadcast back (SCALE.md wave 5): two broadcast joins,
+    no sort-merge."""
+    plan = _plan(E.queries()["rel_subquery_correlated"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_dq_fk_check_is_broadcast_anti(spark):
+    plan = _plan(E.queries()["rel_dq_constraints"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_tables_broadcast_back(spark):
+    """The unigram/bigram LMs and PMI claim vocab-sized broadcast joins
+    (idf_table shape) — no sort-merge join may appear."""
+    for name in ("text_unigram_logprob", "text_bigram_logprob",
+                 "text_pmi_bigrams"):
+        plan = _plan(E.queries()[name](spark, SF_ORACLE))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    plan = _plan(E.queries()["dedup_decontaminate"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
