@@ -1,0 +1,301 @@
+"""Fuzzy-matching & trend wave 11 (SURVEY.md §2.22 extensions): exact
+set-similarity join via prefix filtering (the ppjoin family — the
+exact-recall complement to MinHash), SymSpell-style deletion-neighborhood
+typo candidates (the full-recall complement to the blocked edit-distance
+join), and week-over-week trend readout.
+
+All [Q]: exact DuckDB twins. The prefix-filter join carries the classic
+guarantee — if J(A,B) >= t then the two frequency-ordered prefixes share
+an element — so unlike MinHash/SimHash banding it misses NOTHING at the
+threshold; tests/test_fuzzy.py asserts result equality with the
+exhaustive `dedup_shingle_jaccard` pair set.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..operators.dedup import JACCARD_THRESHOLD, _doc_shingles, _doc_shingles_sql
+from ..sources import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering set-similarity join (exact Jaccard, ppjoin-style)
+# ---------------------------------------------------------------------------
+
+_PF_T = JACCARD_THRESHOLD  # same bar as dedup_shingle_jaccard (comparable)
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+WITH sh AS ({_doc_shingles_sql()}),
+freq AS (SELECT sh, count(*) AS f FROM sh GROUP BY sh),
+ranked AS (
+  SELECT s.doc_id, s.sh,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY q.f, s.sh)
+           AS rk,
+         count(*) OVER (PARTITION BY s.doc_id) AS sz
+  FROM sh s JOIN freq q ON q.sh = s.sh
+),
+prefix AS (
+  SELECT doc_id, sh, sz FROM ranked
+  WHERE rk <= sz - CAST(ceil({_PF_T} * sz) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b USING (sh)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+      >= {_PF_T}
+""",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (SSJoin /
+    ppjoin): order every document's shingle set by ascending global
+    frequency and join ONLY each set's first |s| - ceil(t*|s|) + 1
+    elements — pigeonhole guarantees any pair with Jaccard >= t shares a
+    prefix element, so recall is EXACT at the threshold (unlike
+    MinHash/SimHash banding, which are probabilistic). The candidate join
+    keys on the RAREST shingles, which is precisely why it scales: hot
+    shingles never generate candidates.
+
+    Scale shape: frequency table + rank window + prefix self-join on
+    int64 hashes + verify on the candidate pairs only. The rarest-first
+    ordering makes the join key distribution anti-skewed by
+    construction — the most selective keys carry the candidates. At
+    100 TB add ppjoin's positional filter (prune by prefix position
+    before verifying) with the same plan shape.
+    """
+    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    w_rk = Window.partitionBy("doc_id").orderBy("f", "sh")
+    w_sz = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "sh")
+        .select(
+            "doc_id",
+            "sh",
+            F.row_number().over(w_rk).alias("rk"),
+            F.count("*").over(w_sz).alias("sz"),
+        )
+    )
+    prefix = ranked.where(
+        F.col("rk")
+        <= F.col("sz") - F.ceil(_PF_T * F.col("sz")).cast("long") + 1
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    jacc = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        6,
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= _PF_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-neighborhood typo candidates
+# ---------------------------------------------------------------------------
+
+_SS_MIN_LEN = 4  # deletion variants of very short words are all-noise
+
+
+@register(
+    "text_symspell_candidates",
+    oracle=f"""
+WITH corpus AS (
+  SELECT DISTINCT unnest({T.tokens_sql('text')}) AS word FROM documents
+),
+typos AS (
+  -- deterministic misspellings: docs on a % 13 grid contribute their
+  -- first >= 5-char token with its 2nd character deleted
+  SELECT DISTINCT substr(w, 1, 1) || substr(w, 3, length(w)) AS word
+  FROM (
+    SELECT list_filter({T.tokens_sql('text')},
+                       t -> length(t) >= 5)[1] AS w
+    FROM documents WHERE doc_id % 13 = 0
+  ) WHERE w IS NOT NULL
+),
+vocab AS (SELECT word FROM corpus UNION SELECT word FROM typos),
+eligible AS (SELECT word FROM vocab WHERE length(word) >= {_SS_MIN_LEN}),
+variants AS (
+  SELECT word, word AS variant FROM eligible
+  UNION ALL
+  SELECT word,
+         unnest(list_transform(generate_series(1, length(word)),
+           i -> substr(word, 1, i - 1)
+                || substr(word, i + 1, length(word)))) AS variant
+  FROM eligible
+),
+v AS (SELECT DISTINCT word, variant FROM variants)
+SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+       CAST(levenshtein(a.word, b.word) AS INTEGER) AS dist
+FROM v a JOIN v b USING (variant)
+WHERE a.word < b.word AND levenshtein(a.word, b.word) <= 2
+""",
+)
+def text_symspell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style typo candidates: index every vocabulary word under
+    itself plus all single-deletion variants; words sharing an index key
+    are within edit distance 2 by construction (each is <= 1 deletion from
+    the shared variant), verified with exact Levenshtein. This is the
+    full-recall-for-substitutions complement to `text_typo_pairs`' (first
+    char, length) blocking, which that query's docstring names as its
+    known miss: a first-character typo shares a deletion variant and IS
+    found here (pinned by test). The fixture corpus has no organic
+    misspellings, so a deterministic typo set (2nd character deleted from
+    the first long token of every 13th doc) is injected identically in
+    both engines — the candidates found are real (typo, original) pairs.
+
+    Scale shape: the deletion index is |vocab| x (len+1) rows of short
+    strings — generated array-locally, joined on the variant key (the
+    SymSpell trick: candidate generation is a hash join, not an
+    all-pairs edit-distance scan). At 100 TB the index is the thing you
+    precompute and store bucketed by variant; lookup of a query word is
+    then a point join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(F.explode(T.tokens("text")).alias("word"))
+    # F.get (not getItem): NULL on empty arrays even under ANSI mode —
+    # the driver's session runs Spark 4 ANSI defaults.
+    first_long = F.get(
+        F.filter(T.tokens("text"), lambda t: F.length(t) >= 5), 0
+    )
+    typo = F.concat(
+        F.col("w").substr(1, 1), F.col("w").substr(F.lit(3), F.length("w"))
+    )
+    typos = (
+        docs.where(F.col("doc_id") % 13 == 0)
+        .select(first_long.alias("w"))
+        .where(F.col("w").isNotNull())
+        .select(typo.alias("word"))
+    )
+    vocab = corpus.unionByName(typos).distinct()
+    eligible = vocab.where(F.length("word") >= _SS_MIN_LEN)
+    w = F.col("word")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.concat(
+            w.substr(F.lit(1), i - 1),
+            w.substr(i + 1, F.length(w)),
+        ),
+    )
+    variants = eligible.select(
+        "word", F.explode(F.array_union(F.array(w), dels)).alias("variant")
+    ).distinct()
+    a = variants.select(F.col("word").alias("word_a"), "variant")
+    b = variants.select(F.col("word").alias("word_b"), "variant")
+    return (
+        a.join(b, "variant")
+        .where(
+            (F.col("word_a") < F.col("word_b"))
+            & (F.levenshtein("word_a", "word_b") <= 2)
+        )
+        .select(
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").alias("dist"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# week-over-week trend
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_weekly_wow",
+    oracle="""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT week, event_type, CAST(n AS BIGINT) AS n,
+       CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week)
+            AS BIGINT) AS prev_n,
+       CAST(round(
+         (n - lag(n) OVER (PARTITION BY event_type ORDER BY week))
+         * 100.0 / lag(n) OVER (PARTITION BY event_type ORDER BY week), 6)
+         AS DOUBLE) AS wow_pct
+FROM weekly
+""",
+)
+def events_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly event counts per type with the
+    percent change against the previous week — the dashboard trend line
+    every analytics deployment ships first. First weeks have NULL change
+    (no prior), preserved as NULL rather than zero so flat and unknown
+    don't conflate.
+
+    Scale shape: the weekly rollup reduces the scan to (#weeks x #types)
+    rows map-side; the lag window runs over that tiny table. DuckDB's
+    date_trunc('week') returns DATE — the oracle re-casts to TIMESTAMP to
+    match Spark's timestamp-preserving trunc (the §2.9-family portability
+    trap, documented).
+    """
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.date_trunc("week", "ts").alias("week"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "week",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        prev.cast("bigint").alias("prev_n"),
+        F.round((F.col("n") - prev) * 100.0 / prev, 6)
+        .cast("double")
+        .alias("wow_pct"),
+    )

@@ -75,7 +75,7 @@ def _ensure_loaded() -> None:
                 "queries_quality", "queries_curation", "queries_corpus",
                 "queries_sketch", "queries_timeseries",
                 "queries_governance", "queries_lakehouse",
-                "queries_stats", "queries_extras"):
+                "queries_stats", "queries_fuzzy", "queries_extras"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:

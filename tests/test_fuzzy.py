@@ -1,0 +1,82 @@
+"""Tests for the fuzzy-matching & trend wave 11 (plans/queries_fuzzy.py):
+the prefix-filter exact-recall theorem checked against the exhaustive
+join, the first-character-typo recall the blocked join misses, and
+week-over-week arithmetic on planted weeks. The value-exactness check is
+the DuckDB oracle (tools/oracle_check.py); these pin semantics the hash
+can't express."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+from tests.conftest import SF_SMOKE, make_docs
+
+
+def test_prefix_filter_equals_exhaustive_join(spark):
+    """Prefix filtering guarantees exact recall at the threshold: its
+    result set must be IDENTICAL to the exhaustive share-a-shingle join
+    (`dedup_shingle_jaccard`) — same pairs, same jaccard values."""
+    q = E.queries()
+    pf = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q["dedup_prefix_filter_join"](spark, SF_SMOKE).collect()
+    }
+    ex = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q["dedup_shingle_jaccard"](spark, SF_SMOKE).collect()
+    }
+    assert pf == ex
+    assert pf  # the fixture does contain near-dups
+
+
+def test_symspell_finds_first_char_typo(spark, tmp_path):
+    # "wtream" is "stream" with its first char substituted: the (first
+    # char, length) blocking of text_typo_pairs cannot pair them, the
+    # deletion index must (both delete to "tream").
+    docs = make_docs(
+        spark,
+        [(1, "stream window filter", "en"), (2, "wtream window filter", "en")],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    q = E.queries()
+    sym = {
+        (r["word_a"], r["word_b"]): r["dist"]
+        for r in q["text_symspell_candidates"](spark, str(tmp_path)).collect()
+    }
+    blocked = {
+        (r["word_a"], r["word_b"])
+        for r in q["text_typo_pairs"](spark, str(tmp_path)).collect()
+    }
+    assert ("stream", "wtream") in sym
+    assert sym[("stream", "wtream")] == 1
+    assert ("stream", "wtream") not in blocked  # the documented miss
+
+
+def test_weekly_wow_arithmetic(spark, tmp_path):
+    # three ISO weeks with 2, 4, 3 views: +100% then -25%
+    rows, eid = [], 0
+    week_days = {"2024-01-01": 2, "2024-01-08": 4, "2024-01-15": 3}
+    for day, n in week_days.items():
+        for i in range(n):
+            eid += 1
+            rows.append((eid, f"{day} 0{i}:00:00", 1, "view", 1.0))
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = sorted(
+        E.queries()["events_weekly_wow"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["week"],
+    )
+    assert [r["n"] for r in out] == [2, 4, 3]
+    assert out[0]["wow_pct"] is None and out[0]["prev_n"] is None
+    assert out[1]["wow_pct"] == 100.0
+    assert out[2]["wow_pct"] == -25.0
