@@ -31,6 +31,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQueryListener
+from pyspark.sql.types import TimestampNTZType
 
 from ..operators import tfidf
 from ..sources.sinks import merge_upsert_parquet
@@ -91,6 +92,16 @@ def _micro_batch_vectors(
     )
 
 
+def _event_time_ltz(df: DataFrame, col: str) -> DataFrame:
+    """``withWatermark`` requires TIMESTAMP (LTZ), but parquet fixtures with
+    micros/NTZ physical type read back as TIMESTAMP_NTZ. The session timezone
+    is pinned UTC (session.py), so the NTZ->LTZ cast is a stable bijection —
+    the same instant, now watermarkable."""
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def dedup_stream(
     spark: SparkSession,
     source_dir: str,
@@ -118,6 +129,7 @@ def dedup_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
     if event_time_col is not None:
+        stream = _event_time_ltz(stream, event_time_col)
         deduped = stream.withWatermark(event_time_col, watermark)
         deduped = deduped.dropDuplicatesWithinWatermark(list(keys))
     else:
@@ -151,7 +163,7 @@ def tumbling_window_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     agg = (
-        reader.parquet(source_dir)
+        _event_time_ltz(reader.parquet(source_dir), time_col)
         .withWatermark(time_col, watermark)
         .groupBy(F.window(time_col, window).alias("w"), "event_type")
         .agg(
@@ -195,7 +207,7 @@ def interval_join_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.parquet(source_dir)
+    src = _event_time_ltz(reader.parquet(source_dir), "ts")
     errors = (
         src.where(F.col("event_type") == "error")
         .select(
