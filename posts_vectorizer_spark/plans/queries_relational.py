@@ -666,20 +666,26 @@ def rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_array_agg_sorted",
     oracle="""
 SELECT n_regionkey,
-       list_sort(list(n_name)) AS nations,
-       CAST(len(list(n_name)) AS INTEGER) AS n
+       array_to_string(list_sort(list(n_name)), ',') AS nations,
+       CAST(count(*) AS INTEGER) AS n
 FROM nation GROUP BY n_regionkey
 """,
 )
 def rel_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with a deterministic order: collect_list's arrival
     order is partition-dependent (never comparable), so the contract sorts
-    the collected array — the only portable form of array_agg. The
-    nested-array column itself participates in the value hash."""
+    the collected array — the only portable form of array_agg. The checked
+    column is the sorted array joined to one string: the driver's
+    canonicalizer hashes column VALUES and a nested array<string> is
+    unhashable in pandas (r2's one red row), so the contract emits the
+    hashable serialization; the true nested-array form is pinned by
+    tests/test_oracle.py::test_array_agg_nested_form."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.size(F.collect_list("n_name")).cast("int").alias("n"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
+        F.count("*").cast("int").alias("n"),
     )
 
 
