@@ -52,12 +52,58 @@ def force(df) -> int:
     return 0
 
 
+def _stage_snapshot(spark) -> dict:
+    """Completed-stage metrics keyed by (stageId, attemptId), read from the
+    Spark UI REST API (the public face of the app status store). Lets the
+    bench attribute wall-clock to executor task time / shuffle volume, so a
+    regression caused by machine contention (task time flat, wall up) is
+    distinguishable from a plan change (shuffle bytes or task time moved) —
+    r2's +28% total was unexplainable without this."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return {}
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = json.load(r)
+    except Exception:
+        return {}
+    return {(s["stageId"], s["attemptId"]): s for s in stages}
+
+
+def _settled_snapshot(spark) -> dict:
+    """Snapshot after the status store catches up (its listener queue is
+    async w.r.t. job completion): poll until the key set stops growing."""
+    snap = _stage_snapshot(spark)
+    for _ in range(10):
+        time.sleep(0.05)
+        nxt = _stage_snapshot(spark)
+        if set(nxt) == set(snap):
+            return nxt
+        snap = nxt
+    return snap
+
+
+def _diff_metrics(before: dict, after: dict) -> dict:
+    new = [s for k, s in after.items() if k not in before]
+    return {
+        "stages": len(new),
+        "task_time_ms": sum(s.get("executorRunTime", 0) for s in new),
+        "input_bytes": sum(s.get("inputBytes", 0) for s in new),
+        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in new),
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark("bench")
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
@@ -79,17 +125,25 @@ def main() -> None:
     from posts_vectorizer_spark.cache import release_caches
 
     timings: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
+    snap = _settled_snapshot(spark)
     for name in HEADLINE:
         fn = queries[name]
         # best-of-2: the first run pays per-query whole-stage-codegen JIT
         # compile (a per-process cost, amortized away on any long-lived
         # deployment) plus scheduler noise; the min is the stable signal.
+        # Stage metrics recorded for the best run.
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
             release_caches()  # per-query caches don't outlive their run
+            after = _settled_snapshot(spark)
+            if elapsed < best:
+                best = elapsed
+                metrics[name] = _diff_metrics(snap, after)
+            snap = after
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -99,6 +153,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "stage_metrics": metrics,
     }))
 
 

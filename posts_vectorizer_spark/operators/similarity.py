@@ -93,6 +93,28 @@ def _build_tiles(embeddings: DataFrame, n_tiles: int):
     return bcs
 
 
+def _rowwise_lexorder(
+    cls: np.ndarray, cos: np.ndarray, ids: np.ndarray
+) -> np.ndarray:
+    """Per-row argsort of (class asc, cosine desc, id asc) over a 2-D
+    candidate matrix — np.lexsort has no axis argument, so compose stable
+    axis-1 argsorts from least- to most-significant key. Cosine values of
+    non-scored elements (class != 0) are masked to 0 so NaN/inf from
+    zero-norm divisions never reach a sort key."""
+    negs = np.where(cls == 0, -cos, 0.0)
+    order = np.argsort(ids, axis=1, kind="stable")
+    order = np.take_along_axis(
+        order,
+        np.argsort(np.take_along_axis(negs, order, axis=1), axis=1, kind="stable"),
+        axis=1,
+    )
+    return np.take_along_axis(
+        order,
+        np.argsort(np.take_along_axis(cls, order, axis=1), axis=1, kind="stable"),
+        axis=1,
+    )
+
+
 def _probe_blocks(pdf_iter: Iterator[pd.DataFrame]):
     for pdf in pdf_iter:
         if len(pdf) == 0:
@@ -157,10 +179,12 @@ def topk(embeddings: DataFrame, k: int = 5, n_tiles: int = 1) -> DataFrame:
         for qids, Q in _probe_blocks(pdf_iter):
             qnorm = _seq_norms(Q)
             nq = len(qids)
-            # per-probe-row candidate pools: ≤ k survivors per tile
-            pool_n = [[] for _ in range(nq)]
-            pool_c = [[] for _ in range(nq)]
-            pool_null = [[] for _ in range(nq)]
+            # Per-tile top-(k+1) candidates, selected with one vectorized
+            # composed argsort per tile (no per-row python loop — that
+            # lexsort-per-row pool merge was the r2 bench regression).
+            # k+1 because the self pair (class 2, excluded at the end) can
+            # occupy at most one slot per row.
+            cand_ids, cand_cos, cand_cls = [], [], []
             for bc in bcs:
                 nids, M, nnorm = bc.value
                 if len(nids) == 0:
@@ -169,42 +193,41 @@ def topk(embeddings: DataFrame, k: int = 5, n_tiles: int = 1) -> DataFrame:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = _round_half_away(S / (qnorm[:, None] * nnorm[None, :]))
                 null = (qnorm[:, None] <= 0) | (nnorm[None, :] <= 0)
-                for i in range(nq):
-                    row = cos[i]
-                    valid = ~null[i] & (nids != qids[i])
-                    nulls = null[i] & (nids != qids[i])
-                    # non-null scores first (score desc, id asc), then
-                    # null-score neighbors by id — both engines sort NULLS
-                    # LAST. Keep only k per tile: the global top-k is a
-                    # subset of the union of per-tile top-k's.
-                    order = np.lexsort((nids[valid], -row[valid]))
-                    c_ids = np.concatenate([nids[valid][order], np.sort(nids[nulls])])[:k]
-                    c_cos = np.concatenate(
-                        [row[valid][order], np.full(nulls.sum(), np.nan)]
-                    )[:k]
-                    pool_n[i].append(c_ids)
-                    pool_c[i].append(c_cos)
-                    pool_null[i].append(np.isnan(c_cos))
-            out_q, out_n, out_c, out_r = [], [], [], []
-            for i in range(nq):
-                if not pool_n[i]:
-                    continue
-                ids = np.concatenate(pool_n[i])
-                cs = np.concatenate(pool_c[i])
-                isnull = np.concatenate(pool_null[i])
-                # merge tiles under the global order: nulls last, score
-                # desc, id asc (lexsort: last key is primary)
-                order = np.lexsort((ids, -np.where(isnull, -np.inf, cs), isnull))[:k]
-                out_q.extend([qids[i]] * len(order))
-                out_n.extend(ids[order])
-                out_c.extend(cs[order])
-                out_r.extend(range(1, len(order) + 1))
+                # element classes: 0 = scored, 1 = NULL cosine (zero-norm
+                # side; both engines sort NULLS LAST), 2 = self (excluded)
+                cls = np.where(
+                    nids[None, :] == qids[:, None],
+                    np.int8(2),
+                    np.where(null, np.int8(1), np.int8(0)),
+                )
+                ids2 = np.broadcast_to(nids, cls.shape)
+                order = _rowwise_lexorder(cls, cos, ids2)
+                m = min(k + 1, len(nids))
+                sel = order[:, :m]
+                cand_ids.append(np.take_along_axis(ids2, sel, axis=1))
+                cand_cos.append(np.take_along_axis(cos, sel, axis=1))
+                cand_cls.append(np.take_along_axis(cls, sel, axis=1))
+            if not cand_ids:
+                continue
+            # merge tile candidates under the same total order (class asc,
+            # score desc, id asc) — tile-count-invariant by construction
+            ids = np.concatenate(cand_ids, axis=1)
+            cs = np.concatenate(cand_cos, axis=1)
+            cls = np.concatenate(cand_cls, axis=1)
+            order = _rowwise_lexorder(cls, cs, ids)
+            ids = np.take_along_axis(ids, order, axis=1)
+            cs = np.take_along_axis(cs, order, axis=1)
+            cls = np.take_along_axis(cls, order, axis=1)
+            keep = cls < 2
+            rk = np.cumsum(keep, axis=1)
+            keep &= rk <= k
+            qi, ci = np.nonzero(keep)
             yield pd.DataFrame(
                 {
-                    "query_id": np.asarray(out_q, dtype=np.int64),
-                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                    "cosine": np.asarray(out_c, dtype=np.float64),
-                    "rk": np.asarray(out_r, dtype=np.int32),
+                    "query_id": qids[qi],
+                    "neighbor_id": ids[qi, ci],
+                    "cosine": np.where(cls[qi, ci] == 1, np.nan, cs[qi, ci]),
+                    "rk": rk[qi, ci].astype(np.int32),
                 }
             )
 
