@@ -94,10 +94,19 @@ def _micro_batch_vectors(
 
 def _event_time_ltz(df: DataFrame, col: str) -> DataFrame:
     """``withWatermark`` requires TIMESTAMP (LTZ), but parquet fixtures with
-    micros/NTZ physical type read back as TIMESTAMP_NTZ. The session timezone
-    is pinned UTC (session.py), so the NTZ->LTZ cast is a stable bijection —
-    the same instant, now watermarkable."""
+    micros/NTZ physical type read back as TIMESTAMP_NTZ. The NTZ->LTZ cast is
+    instant-preserving ONLY when the session timezone is UTC (session.py pins
+    it, but these functions accept any caller session) — under any other zone
+    the cast would silently shift event times, skewing watermarks and window
+    boundaries, so a misconfigured session fails loudly here instead."""
     if isinstance(df.schema[col].dataType, TimestampNTZType):
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"event-time NTZ->LTZ cast requires session timezone UTC "
+                f"(got {tz!r}); call posts_vectorizer_spark.session."
+                f"prep_session(spark) first"
+            )
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
@@ -129,9 +138,16 @@ def dedup_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
     if event_time_col is not None:
+        src_type = stream.schema[event_time_col].dataType
         stream = _event_time_ltz(stream, event_time_col)
         deduped = stream.withWatermark(event_time_col, watermark)
         deduped = deduped.dropDuplicatesWithinWatermark(list(keys))
+        if isinstance(src_type, TimestampNTZType):
+            # the LTZ cast was only for watermarking — restore the source's
+            # declared NTZ type so sink output unions cleanly with the source
+            deduped = deduped.withColumn(
+                event_time_col, F.col(event_time_col).cast("timestamp_ntz")
+            )
     else:
         deduped = stream.dropDuplicates(list(keys))
     return (

@@ -114,6 +114,62 @@ def test_watermarked_dedup_bounds_state_and_drops_redelivery(spark, tmp_path):
     assert out.select("doc_id").distinct().count() == 20
 
 
+def test_watermarked_dedup_preserves_ntz_sink_schema(spark, tmp_path):
+    """An NTZ event-time source is cast to LTZ only for watermarking; the
+    sink must write the column back as TIMESTAMP_NTZ so downstream readers
+    can union sink output with the source without a type mismatch."""
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampNTZType
+
+    from posts_vectorizer_spark.streaming import dedup_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=i), f"p{i}") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts timestamp_ntz, payload string"
+    )
+    source = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(source)
+
+    q = dedup_stream(
+        spark,
+        source,
+        df.schema,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        keys=("doc_id",),
+        event_time_col="ts",
+        watermark="2 hours",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert isinstance(out.schema["ts"].dataType, TimestampNTZType)
+    assert out.unionByName(spark.read.parquet(source)).count() == 10
+
+
+def test_event_time_cast_rejects_non_utc_session(spark):
+    """The NTZ->LTZ watermark cast is instant-preserving only under a UTC
+    session timezone; any other zone must fail loudly, not shift windows."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from posts_vectorizer_spark.streaming.worker import _event_time_ltz
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "id long, ts timestamp_ntz"
+    )
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with _pytest.raises(ValueError, match="UTC"):
+            _event_time_ltz(df, "ts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert "ts" in _event_time_ltz(df, "ts").columns
+
+
 def test_watermarked_window_drops_late_data_matches_batch_on_time(spark, tmp_path):
     """ST6 under a watermark: windows emit once the watermark passes their
     end; an event arriving after the horizon is dropped. The emitted windows
