@@ -49,8 +49,18 @@ def spread(df: DataFrame) -> DataFrame:
 # analyzed scan relation is memoized per (application, path). This drops the
 # per-read parquet schema-inference job Spark 4 launches — query *builders*
 # stay action-free (asserted by tests/test_plans.py) and repeated builds skip
-# redundant footer reads.
+# redundant footer reads. The memo assumes paths are immutable once read;
+# anything that rewrites a fixture path in-place (tests, a refreshed
+# extract) must call :func:`clear_scan_cache` or the stale analyzed schema
+# wins.
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_scan_cache() -> None:
+    """Drop memoized scan relations — required after rewriting any table
+    path in-place (new columns/schema), since the cache is keyed by path,
+    not file mtime."""
+    _SCAN_CACHE.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

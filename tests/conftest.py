@@ -20,6 +20,17 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _fresh_scan_cache():
+    """The scan memo assumes immutable fixture paths; tests that write
+    their own parquet under tmp_path and re-read via load_table must never
+    see another test's stale relation."""
+    from posts_vectorizer_spark.sources.catalog import clear_scan_cache
+
+    yield
+    clear_scan_cache()
+
+
 @pytest.fixture(scope="session")
 def duck():
     from tools.oracle_check import duckdb_connection

@@ -48,3 +48,26 @@ def test_query_survives_empty_tables(spark, empty_sf, name):
     # else must be empty, and nothing may raise
     if name != "tfidf_vocabulary":
         assert rows == []
+
+
+def test_scan_cache_cleared_on_fixture_rewrite(spark, tmp_path):
+    """_SCAN_CACHE memoizes analyzed scans per path; rewriting a path
+    in-place must be followed by clear_scan_cache() to observe the new
+    schema (keyed by path, not mtime — documented footgun)."""
+    from posts_vectorizer_spark.sources.catalog import (
+        clear_scan_cache,
+        load_table,
+    )
+
+    d = str(tmp_path)
+    spark.range(3).selectExpr("id AS a").write.mode("overwrite").parquet(
+        f"{d}/nation.parquet"
+    )
+    assert load_table(spark, d, "nation").columns == ["a"]
+    spark.range(3).selectExpr("id AS a", "id AS b").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/nation.parquet")
+    # memoized: still the stale single-column relation
+    assert load_table(spark, d, "nation").columns == ["a"]
+    clear_scan_cache()
+    assert load_table(spark, d, "nation").columns == ["a", "b"]
