@@ -207,11 +207,17 @@ def text_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the graph first reduces to DISTINCT ordered edges (the
     heavy dedup happens before any join); the two self-joins shuffle on
-    single word keys. The ordered convention (a < b) halves the edge set
-    AND bounds each join's fan-out by forward-degree — the classic
-    trick that keeps triangle counting feasible on skewed graphs; at
-    100 TB the remaining skew fix is degree-ordering edges (orient from
-    low- to high-degree endpoint) with the same plan.
+    single word keys. Edges are then DEGREE-ORIENTED — from the
+    (degree, id)-smaller endpoint to the larger — before the join, the
+    standard skew fix: every node's out-degree is O(sqrt(m)) in the
+    oriented DAG, so the e1 ⋈ e2 fan-out on the shared middle vertex is
+    bounded even when a hub word appears in millions of co-occurrence
+    pairs (id-ordering alone leaves lexicographically-small hubs with
+    huge forward degree). Each triangle {x,y,z} with orientation ranks
+    x<y<z appears exactly once as x→y, y→z plus the closing x→z probe,
+    so the count — and the id-ordered DuckDB oracle — is unchanged. The
+    degree table is vocabulary-sized here (broadcast); at 100 TB node
+    counts it becomes a shuffle join on the same keys.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = spread(docs).select(T.tokens("text").alias("t"))
@@ -231,19 +237,38 @@ def text_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = bi.select(
         F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
     ).distinct()
-    e1 = edges
-    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tri = (
-        e1.join(e2, "b")
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .agg(F.count("*").alias("n_triangles"))
-    )
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+    )
+    # orient a->b iff (d(a), a) < (d(b), b); edges already have a < b, so
+    # the degree tie falls through to keeping the id order
+    oriented = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))),
+            "b",
+        )
+        .select(
+            F.when(F.col("da") <= F.col("db"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("da") <= F.col("db"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+    )
+    o2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    o3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        oriented.join(o2, "v")
+        .join(o3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .agg(F.count("*").alias("n_triangles"))
     )
     triads = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
