@@ -93,9 +93,13 @@ _DOC_WORDS_SQL = (
 SHINGLE_B = 1_000_003
 
 
-def _doc_shingles(documents: DataFrame) -> DataFrame:
-    """(doc_id, sh) — the doc's distinct shingle-hash set (int64 keys: the
-    verify join shuffles 8-byte hashes, never the shingle strings).
+def _doc_shingle_arrays(documents: DataFrame) -> DataFrame:
+    """(doc_id, shs) — the doc's DISTINCT shingle-hash set as one int64
+    array per row. Fully narrow: ``array_distinct`` dedups within the row,
+    so the set representation costs ZERO shuffle (the old exploded
+    ``.distinct()`` shuffled #docs x #shingles rows — at 100 TB that was
+    the pipeline's largest exchange, and a per-doc set is bounded by doc
+    length, never by corpus size).
 
     Each TOKEN is char-hashed once, then a shingle hash is a polynomial
     fold of its {SHINGLE_N} token hashes — versus hashing each n-gram
@@ -113,11 +117,18 @@ def _doc_shingles(documents: DataFrame) -> DataFrame:
     shingles = F.transform(
         F.sequence(F.lit(1), F.size("th") - (SHINGLE_N - 1)), comb
     )
-    return (
-        docs.where(F.size("th") >= SHINGLE_N)
-        .select("doc_id", F.explode(shingles).alias("sh"))
-        .distinct()
+    return docs.where(F.size("th") >= SHINGLE_N).select(
+        "doc_id", F.array_distinct(shingles).alias("shs")
     )
+
+
+def _doc_shingles(
+    documents: DataFrame, arrays: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, sh) — exploded distinct shingle set (the join-friendly
+    form; rows are already distinct because the array is)."""
+    arr = _doc_shingle_arrays(documents) if arrays is None else arrays
+    return arr.select("doc_id", F.explode("shs").alias("sh"))
 
 
 def _doc_shingles_sql() -> str:
@@ -140,17 +151,23 @@ SELECT DISTINCT doc_id, sh FROM (
 
 
 def minhash_signatures(
-    documents: DataFrame, shingles: DataFrame | None = None
+    documents: DataFrame, arrays: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}) — k min-hash values over the doc's distinct
-    shingle set. One explode + one groupBy with k min() aggregates: partial
-    aggregation makes this a single shuffle of doc-count rows."""
-    sh = _doc_shingles(documents) if shingles is None else shingles
-    aggs = [
-        F.min((F.col("sh") * a + b) % MINHASH_P).alias(f"sig_{i}")
+    shingle set. All k minima are per-row ``array_min`` folds over the
+    shingle ARRAY — zero shuffle (the old explode + groupBy-of-k-mins
+    shuffled one row per (doc, shingle); a signature only ever needs its
+    own row's set)."""
+    arr = _doc_shingle_arrays(documents) if arrays is None else arrays
+
+    def hash_fn(a: int, b: int):
+        return lambda s: (s * a + b) % MINHASH_P
+
+    sig_cols = [
+        F.array_min(F.transform("shs", hash_fn(a, b))).alias(f"sig_{i}")
         for i, (a, b) in enumerate(zip(_A, _B))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return arr.select("doc_id", *sig_cols)
 
 
 def minhash_signatures_sql() -> str:
@@ -174,7 +191,7 @@ def _band_expr(band: int) -> F.Column:
 
 
 def minhash_candidates(
-    documents: DataFrame, shingles: DataFrame | None = None
+    documents: DataFrame, arrays: DataFrame | None = None
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs: docs sharing at least one LSH band.
     The equi-join on (band_id, band_value) is the whole trick — shuffle cost
@@ -182,10 +199,10 @@ def minhash_candidates(
 
     Bands come from ONE explode over an array of (band_id, band_value)
     structs — a per-band union would re-evaluate the whole signature
-    subtree (tokenize + hash + 16-way min agg) once per band. The tiny
+    subtree (tokenize + hash + 16-way min fold) once per band. The tiny
     banded frame (#docs × #bands rows, no text payload) is persisted
     because the self-join scans it twice."""
-    sigs = minhash_signatures(documents, shingles=shingles)
+    sigs = minhash_signatures(documents, arrays=arrays)
     band_structs = F.array(
         *[
             F.struct(
@@ -232,16 +249,18 @@ def jaccard_verify(
     documents: DataFrame,
     pairs: DataFrame,
     round_digits: int = 6,
-    shingles: DataFrame | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for the given (doc_a, doc_b) pairs only.
 
-    The distinct shingle set is persisted: it feeds three branches (sizes,
-    probe side, left-semi build side) that would otherwise each re-run
-    tokenize + shingle + hash + distinct over the full corpus."""
-    if shingles is None:
-        shingles = persist_tracked(_doc_shingles(documents))
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    The per-doc shingle-array relation is persisted: it feeds three
+    branches (sizes — a narrow F.size, no counting shuffle; probe side;
+    left-semi build side) that would otherwise each re-run tokenize +
+    shingle + hash over the full corpus."""
+    if arrays is None:
+        arrays = persist_tracked(_doc_shingle_arrays(documents))
+    shingles = _doc_shingles(documents, arrays=arrays)
+    sizes = arrays.select("doc_id", F.size("shs").cast("long").alias("sz"))
     wa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     wb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
@@ -270,12 +289,12 @@ def jaccard_verify(
 def minhash_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Full pipeline: LSH candidates -> exact Jaccard -> threshold filter.
 
-    ONE persisted shingle set feeds both the signature side (tokenize +
-    3-gram + hash + distinct is the dominant cost) and the verify side —
-    previously each recomputed it from the raw text."""
-    shingles = persist_tracked(_doc_shingles(documents))
-    cands = persist_tracked(minhash_candidates(documents, shingles=shingles))
-    return jaccard_verify(documents, cands, shingles=shingles).where(
+    ONE persisted per-doc shingle-ARRAY relation feeds both the signature
+    side (narrow array_min folds — no shuffle) and the verify side (explode
+    on demand); tokenize + 3-gram + hash runs once over the corpus."""
+    arrays = persist_tracked(_doc_shingle_arrays(documents))
+    cands = persist_tracked(minhash_candidates(documents, arrays=arrays))
+    return jaccard_verify(documents, cands, arrays=arrays).where(
         F.col("jaccard") >= threshold
     )
 
@@ -315,10 +334,11 @@ def shingle_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD
     sharing >= 1 shingle (shingles are selective, unlike single words), then
     exact Jaccard over shingle sets. The candidate join shuffles on shingle
     hash — rare-key blocking, the classic dedup shape."""
-    sh = persist_tracked(  # feeds sizes + both sides of the candidate self-join
-        _doc_shingles(documents)
+    arrays = persist_tracked(  # feeds sizes + both sides of the self-join
+        _doc_shingle_arrays(documents)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh = _doc_shingles(documents, arrays=arrays)
+    sizes = arrays.select("doc_id", F.size("shs").cast("long").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (

@@ -205,3 +205,20 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = _plan(E.queries()["dedup_decontaminate"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    """MinHash signatures are per-row array_min folds over the per-doc
+    shingle array — the plan must contain NO Exchange (the old explode +
+    groupBy-of-k-mins shuffled #docs x #shingles rows, the pipeline's
+    largest exchange at scale). The only allowed exchange source is the
+    spread() rebalance in front of the CPU-heavy tokenizer stage."""
+    from posts_vectorizer_spark.operators import dedup
+    from posts_vectorizer_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    plan = _plan(dedup.minhash_signatures(docs))
+    # one round-robin rebalance from spread(); zero hash-partition
+    # exchanges (i.e. no aggregation/join shuffle anywhere)
+    assert "hashpartitioning" not in plan.lower()
+    assert "HashAggregate" not in plan
