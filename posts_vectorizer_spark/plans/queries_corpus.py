@@ -470,3 +470,74 @@ def rel_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("small_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage at top-K cutoffs (tokenizer/vocab sizing)
+# ---------------------------------------------------------------------------
+
+_COVERAGE_KS = (10, 25, 50, 100)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH tok AS (SELECT unnest({T.tokens_sql('text')}) AS word FROM documents),
+counts AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rk FROM counts
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM counts),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in _COVERAGE_KS)})
+SELECT ks.k,
+       CAST(sum(CASE WHEN r.rk <= ks.k THEN r.c ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       CAST(max(t.total_tokens) AS BIGINT) AS total_tokens,
+       CAST(round(sum(CASE WHEN r.rk <= ks.k THEN r.c ELSE 0 END)
+                  / CAST(max(t.total_tokens) AS DOUBLE), 6) AS DOUBLE)
+         AS coverage
+FROM ks CROSS JOIN ranked r CROSS JOIN tot t
+GROUP BY ks.k
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, covered_tokens, total_tokens, coverage) — what fraction of all
+    token OCCURRENCES the k most frequent words cover, at several cutoffs:
+    the standard diagnostic for sizing a tokenizer vocabulary / estimating
+    OOV rates before committing to a vocab budget.
+
+    Scale shape: one token-count aggregate (map-side combinable), then each
+    cutoff is a TakeOrderedAndProject of k rows + a 1-row sum — the global
+    "rank every word" window the naive form needs (a single-partition sort
+    of the whole vocabulary) never happens; the deterministic (count desc,
+    word) total order makes the top-k sets — and so the sums — engine-
+    independent. The counts table is persisted once and reused by all
+    cutoffs plus the corpus total."""
+    from ..cache import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = persist_tracked(
+        spread(docs)
+        .select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("total_tokens"))
+    covs = None
+    for k in _COVERAGE_KS:
+        topk = counts.orderBy(F.desc("c"), F.asc("word")).limit(k)
+        part = topk.agg(
+            F.lit(k).alias("k"),
+            F.sum("c").cast("long").alias("covered_tokens"),
+        )
+        covs = part if covs is None else covs.unionByName(part)
+    return covs.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens") / F.col("total_tokens").cast("double"), 6
+        )
+        .cast("double")
+        .alias("coverage"),
+    )

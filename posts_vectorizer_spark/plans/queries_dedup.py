@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup
 from ..sources import load_table
@@ -64,3 +64,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dups(docs)
     return dedup.connected_components(docs, pairs)
+
+
+@register(
+    "dedup_keep_longest",
+    oracle=f"""
+WITH comp AS ({dedup.minhash_dedup_components_sql()})
+SELECT c.doc_id, c.component,
+       row_number() OVER (PARTITION BY c.component
+                          ORDER BY d.n_chars DESC, c.doc_id) = 1 AS is_kept
+FROM comp c JOIN documents d USING (doc_id)
+""",
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based canonical selection: within each near-dup cluster keep
+    the LONGEST document (n_chars desc, doc_id tie-break) instead of the
+    min-id one — the curation policy that preserves the most complete
+    variant of a duplicated page (truncated scrapes and snippets drop).
+
+    Scale shape: everything up to the component labels is the bounded
+    MinHash pipeline; the selection itself is one window over
+    (component) — dup clusters are small by construction (post-dedup), so
+    the partition key is never skewed, and the payload carried through the
+    shuffle is (doc_id, component, n_chars), never text."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs)
+    comp = dedup.connected_components(docs, pairs)
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id", "component", (F.row_number().over(w) == 1).alias("is_kept")
+    )
