@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from ..functions import text as T
 from ..operators.dedup import _doc_shingles, _doc_shingles_sql
-from ..sources import load_table
+from ..sources import load_table, spread
 from .registry import register
 
 
@@ -507,4 +507,135 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("lp").cast("double") / F.sum("dcnt"), 6)
         .cast("double")
         .alias("avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed-bigram importance resampling)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256          # hashed n-gram feature buckets
+_DSIR_TARGET_MOD = 13  # doc_id % 13 == 0 -> the "target domain" sample
+_DSIR_SB = 1_000_003   # bigram fold base (same regime as dedup.SHINGLE_B)
+
+
+def _dsir_feats_sql() -> str:
+    th = f"list_transform({T.tokens_sql('text')}, ds_t -> {T.char_hash_sql('ds_t')})"
+    return f"""
+SELECT doc_id,
+       unnest(list_transform(
+         generate_series(1, len(th) - 1),
+         ds_i -> ((th[ds_i] * {_DSIR_SB} + th[ds_i + 1]) % {T.HASH_MOD})
+                 % {_DSIR_B}
+       )) AS b
+FROM (SELECT doc_id, {th} AS th FROM documents)
+WHERE len(th) >= 2
+"""
+
+
+@register(
+    "text_dsir_weights",
+    oracle=f"""
+WITH feats AS ({_dsir_feats_sql()}),
+is_t AS (SELECT doc_id, b, doc_id % {_DSIR_TARGET_MOD} = 0 AS tgt FROM feats),
+spine AS (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b),
+cnt AS (
+  SELECT s.b,
+         CAST(coalesce(sum(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS DOUBLE) AS n_t,
+         CAST(coalesce(sum(CASE WHEN tgt THEN 0 ELSE 1 END), 0) AS DOUBLE) AS n_s
+  FROM spine s LEFT JOIN is_t f ON f.b = s.b
+  GROUP BY s.b
+),
+tot AS (SELECT sum(n_t) AS tot_t, sum(n_s) AS tot_s FROM cnt),
+model AS (
+  SELECT cnt.b,
+         CAST(round(log10((cnt.n_t + 1) / (tot.tot_t + {_DSIR_B}))
+                    - log10((cnt.n_s + 1) / (tot.tot_s + {_DSIR_B})), 6)
+              AS DECIMAL(18,6)) AS llr
+  FROM cnt CROSS JOIN tot
+),
+dc AS (SELECT doc_id, b, count(*) AS n FROM feats GROUP BY doc_id, b)
+SELECT dc.doc_id,
+       CAST(sum(dc.n) AS BIGINT) AS n_feats,
+       CAST(round(CAST(sum(dc.n * model.llr) AS DOUBLE) / sum(dc.n), 6)
+            AS DOUBLE) AS avg_llr,
+       CAST(sum(dc.n * model.llr) AS DOUBLE) / sum(dc.n) > 0 AS selected
+FROM dc JOIN model USING (b)
+GROUP BY dc.doc_id
+""",
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public): fit add-1
+    unigram models over HASHED BIGRAM features for a target-domain sample
+    (``doc_id % {mod} == 0`` stands in for the target corpus) and for the
+    rest, then score every document by its mean per-feature log-likelihood
+    ratio — docs whose n-gram profile looks target-like score > 0 and are
+    ``selected`` for resampling. The standard cheap domain-targeting
+    filter run before training-data selection.
+
+    Scale shape: features hash into a FIXED {B}-bucket space, so both
+    models are {B}-row tables no matter the corpus size — built with one
+    map-side-combinable aggregate each over a spine (`spark.range`), then
+    broadcast back onto the per-(doc, bucket) counts; the normalizers are
+    broadcast 1-row aggregates. Per-bucket LLRs round to decimal(18,6)
+    before the per-doc sum so the aggregate is partition-order-insensitive
+    (the unigram-LM pattern). One corpus scan, one (doc_id, b) shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.transform(T.tokens("text"), lambda t: T.char_hash(t))
+    bigram = lambda i: (  # noqa: E731
+        (F.element_at(F.col("th"), i) * _DSIR_SB
+         + F.element_at(F.col("th"), i + 1)) % T.HASH_MOD
+    ) % _DSIR_B
+    feats = (
+        spread(docs)
+        .select("doc_id", th.alias("th"))
+        .where(F.size("th") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size("th") - 1), bigram)
+            ).alias("b"),
+        )
+    )
+    tagged = feats.withColumn(
+        "tgt", F.col("doc_id") % _DSIR_TARGET_MOD == 0
+    )
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    cnt = (
+        spine.join(tagged, "b", "left")
+        .groupBy("b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("tgt"), 1).otherwise(0)), F.lit(0)
+            ).cast("double").alias("n_t"),
+            F.coalesce(
+                F.sum(F.when(F.col("tgt"), 0).otherwise(1)), F.lit(0)
+            ).cast("double").alias("n_s"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_s").alias("tot_s")
+    )
+    model = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log10((F.col("n_t") + 1) / (F.col("tot_t") + _DSIR_B))
+                - F.log10((F.col("n_s") + 1) / (F.col("tot_s") + _DSIR_B)),
+                6,
+            ).cast("decimal(18,6)").alias("llr"),
+        )
+    )
+    dc = feats.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    avg = F.sum(F.col("n") * F.col("llr")).cast("double") / F.sum("n")
+    return (
+        dc.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.round(avg, 6).cast("double").alias("avg_llr"),
+            (avg > 0).alias("selected"),
+        )
     )
