@@ -47,15 +47,23 @@ SHINGLE_N = 3
 
 def exact_keep_first(documents: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, is_canonical) — keep-first exact dedup keyed on
-    the 8-byte text fingerprint (never shuffles the text payload). Canonical
-    row = lowest doc_id per fingerprint (deterministic)."""
-    fp = spread(documents).select("doc_id", T.char_hash("text").alias("fingerprint"))
+    a 16-byte md5 digest of the text (never shuffles the text payload).
+    Canonical row = lowest doc_id per fingerprint (deterministic).
+
+    The digest is the JVM-intrinsic md5 (functions/text.py::digest), not
+    the per-char polynomial fold — hashing whole documents through an
+    interpreted higher-order lambda was ~95% of this operator's task time
+    (12 s of 12.3 s at sf0.1) for a value that is only an equality key.
+    The polynomial rolling hash remains the contract where integer
+    arithmetic needs it (minhash, simhash, word routing) and in
+    text_fingerprints, the rolling-hash checklist item."""
+    fp = spread(documents).select("doc_id", T.digest("text").alias("fingerprint"))
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return fp.withColumn("is_canonical", F.row_number().over(w) == 1)
 
 
 EXACT_KEEP_FIRST_SQL = f"""
-WITH fp AS (SELECT doc_id, {T.char_hash_sql('text')} AS fingerprint FROM documents)
+WITH fp AS (SELECT doc_id, {T.digest_sql('text')} AS fingerprint FROM documents)
 SELECT doc_id, fingerprint,
        row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1 AS is_canonical
 FROM fp
