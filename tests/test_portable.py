@@ -55,6 +55,23 @@ def test_char_hash_parity(spark, strings):
 
 @settings(max_examples=12, deadline=None)
 @given(texts)
+def test_digest_parity(spark, strings):
+    """Spark md5 over UTF-8-cast binary == DuckDB md5 over the varchar —
+    the exact-dedup fingerprint contract (functions/text.py::digest)."""
+    pdf = pd.DataFrame({"i": range(len(strings)), "s": strings})
+    got = [
+        r["h"]
+        for r in spark.createDataFrame(pdf)
+        .select("i", T.digest("s").alias("h"))
+        .orderBy("i")
+        .collect()
+    ]
+    want = _duck(pdf, f"{T.digest_sql('s')} AS h")
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts)
 def test_tokens_parity(spark, strings):
     pdf = pd.DataFrame({"i": range(len(strings)), "s": strings})
     got = [
