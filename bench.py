@@ -92,6 +92,9 @@ def _diff_metrics(before: dict, after: dict) -> dict:
     return {
         "stages": len(new),
         "task_time_ms": sum(s.get("executorRunTime", 0) for s in new),
+        # run time includes time blocked on broadcast/subquery futures —
+        # CPU time is the actual-work signal when the two diverge
+        "cpu_time_ms": sum(s.get("executorCpuTime", 0) for s in new) // 1_000_000,
         "input_bytes": sum(s.get("inputBytes", 0) for s in new),
         "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in new),
         "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in new),
