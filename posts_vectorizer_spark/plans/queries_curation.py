@@ -639,3 +639,87 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg > 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline funnel (dedup -> quality gate -> split)
+# ---------------------------------------------------------------------------
+
+_PIPE_MIN_TOKS = 15        # same eligibility bar as the reference's IDF job
+_PIPE_MIN_DISTINCT = 0.3   # distinct-token ratio below this = degenerate
+_PIPE_A = 40_503           # split affine hash (same family as rel_split_assign)
+_PIPE_C = 7_919
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH staged AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         len({T.tokens_sql('text')}) AS n_toks,
+         CASE WHEN len({T.tokens_sql('text')}) > 0
+              THEN CAST(len(list_distinct({T.tokens_sql('text')})) AS DOUBLE)
+                   / len({T.tokens_sql('text')})
+              ELSE 0.0 END AS distinct_ratio,
+         (doc_id * {_PIPE_A} + {_PIPE_C}) % {T.HASH_MOD} % 100 AS h
+  FROM documents
+),
+labeled AS (
+  SELECT CASE WHEN rn > 1 THEN 'dropped:duplicate'
+              WHEN n_toks < {_PIPE_MIN_TOKS} THEN 'dropped:quality'
+              WHEN distinct_ratio < {_PIPE_MIN_DISTINCT} THEN 'dropped:quality'
+              WHEN h < 80 THEN 'train'
+              WHEN h < 90 THEN 'val'
+              ELSE 'test' END AS stage,
+         n_toks
+  FROM staged
+)
+SELECT stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM labeled GROUP BY stage
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation flow a training-data pipeline actually runs,
+    as ONE declarative plan: exact dedup (md5 keep-first) -> quality gate
+    (min token count + distinct-token ratio) -> deterministic 80/10/10
+    split — emitted as a funnel: one row per final split plus explicit
+    'dropped:duplicate' / 'dropped:quality' rows, so the output documents
+    both the surviving corpus AND where every removed document went.
+
+    Scale shape: one pass computes every per-doc signal (digest, token
+    stats, split hash — all row-local); the only exchanges are the
+    fingerprint window (hash partition by 16-byte digest, payload is a few
+    ints, never text) and the final 5-group aggregate. Stage labeling is a
+    short-circuiting CASE, so the ratio never divides by zero."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    staged = spread(docs).select(
+        "doc_id",
+        T.digest("text").alias("fp"),
+        F.size(toks).alias("n_toks"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        .otherwise(0.0)
+        .alias("distinct_ratio"),
+        ((F.col("doc_id") * _PIPE_A + _PIPE_C) % T.HASH_MOD % 100).alias("h"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    labeled = staged.withColumn("rn", F.row_number().over(w)).select(
+        F.when(F.col("rn") > 1, "dropped:duplicate")
+        .when(F.col("n_toks") < _PIPE_MIN_TOKS, "dropped:quality")
+        .when(F.col("distinct_ratio") < _PIPE_MIN_DISTINCT, "dropped:quality")
+        .when(F.col("h") < 80, "train")
+        .when(F.col("h") < 90, "val")
+        .otherwise("test")
+        .alias("stage"),
+        "n_toks",
+    )
+    return labeled.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
