@@ -3,6 +3,7 @@ from .worker import (
     HeartbeatListener,
     dedup_stream,
     interval_join_stream,
+    session_window_stream,
     tumbling_window_stream,
     vectorize_stream,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "dedup_stream",
     "interval_join_stream",
     "latest_user_totals",
+    "session_window_stream",
     "stateful_user_totals_stream",
     "tumbling_window_stream",
     "vectorize_stream",

@@ -198,6 +198,54 @@ def tumbling_window_stream(
     )
 
 
+def session_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    gap: str = "6 hours",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+):
+    """ST6 session windows in streaming mode: the SAME ``session_window``
+    expression as the batch events_session_window query, under a
+    watermark. Sessions are the hard case for streaming state — a window's
+    extent isn't known until the inactivity gap closes — so Spark keeps
+    per-(user, open-session) state and only emits (append mode) once the
+    watermark passes session end; state is bounded by watermark + gap,
+    not stream length. Late events inside the horizon still merge/extend
+    their session exactly as in batch."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    agg = (
+        _event_time_ltz(reader.parquet(source_dir), time_col)
+        .withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def interval_join_stream(
     spark: SparkSession,
     source_dir: str,

@@ -219,6 +219,72 @@ def test_watermarked_window_drops_late_data_matches_batch_on_time(spark, tmp_pat
     assert got[("2024-01-01T12:00:00", "a")] == (2, 36.0)
 
 
+def test_session_window_stream_merges_across_batches_matches_batch(spark, tmp_path):
+    """ST6 sessions in streaming mode: events split across micro-batches
+    must merge into the same sessions the batch session_window aggregation
+    produces, and a session only emits once the watermark passes its end
+    (last event + gap)."""
+    import datetime as dt
+    import time as _time
+
+    from posts_vectorizer_spark.streaming import session_window_stream
+
+    d = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    files = [
+        # user 7: two events 30 min apart -> ONE session (gap 1h)
+        [(1, d(10, 0), 7, 1.0), (2, d(10, 30), 7, 2.0)],
+        # same user lands in a LATER micro-batch but within the gap ->
+        # must merge into the open session, not start a new one
+        [(3, d(11, 0), 7, 4.0), (4, d(10, 15), 8, 8.0)],
+        # far-future event closes every watermark -> all sessions emit
+        [(5, d(20, 0), 9, 16.0)],
+    ]
+    source = str(tmp_path / "in")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(source)
+        _time.sleep(1.1)  # file source orders batches by mod time
+
+    target = str(tmp_path / "out")
+    q = session_window_stream(
+        spark, source, spark.createDataFrame(files[0], schema).schema,
+        target, str(tmp_path / "ckpt"),
+        time_col="ts", gap="1 hour", watermark="1 hour",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start"].isoformat()): (
+            r["session_end"].isoformat(), r["n_events"], r["total_value"],
+        )
+        for r in spark.read.parquet(target).collect()
+    }
+    # user 7's three events (spanning two micro-batches) = ONE session
+    # 10:00-12:00 (last event 11:00 + 1h gap), exactly as batch computes
+    assert got[(7, "2024-01-01T10:00:00")] == ("2024-01-01T12:00:00", 3, 7.0)
+    assert got[(8, "2024-01-01T10:15:00")] == ("2024-01-01T11:15:00", 1, 8.0)
+    # batch equivalence on the emitted users
+    from pyspark.sql import functions as F
+
+    batch_rows = (
+        spark.createDataFrame([r for f in files for r in f], schema)
+        .where(F.col("user_id") != 9)  # 9's session never emits (no later watermark)
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    batch = {
+        (r["user_id"], r["w"]["start"].isoformat()): (
+            r["w"]["end"].isoformat(), r["n"], float(r["v"]),
+        )
+        for r in batch_rows
+    }
+    assert batch == got
+
+
 def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
     """ST-custom: applyInPandasWithState keeps per-user state across
     micro-batches — two forced batches over the same users accumulate, and
