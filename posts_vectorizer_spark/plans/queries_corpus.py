@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
+from ..operators.dedup import _doc_shingles_sql
 from ..sources import load_table
 from ..sources.catalog import spread
 from .registry import register
@@ -540,4 +541,89 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token frequency spectrum (count-of-counts, Zipf diagnostic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_freq_spectrum",
+    oracle=f"""
+WITH tok AS (SELECT unnest({T.tokens_sql('text')}) AS word FROM documents),
+counts AS (SELECT word, count(*) AS c FROM tok GROUP BY word)
+SELECT c AS occurrences, CAST(count(*) AS BIGINT) AS n_words
+FROM counts GROUP BY c
+""",
+)
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies: how many distinct words occur exactly k
+    times — the Zipf-curve diagnostic used to sanity-check a corpus (a
+    healthy natural-language corpus shows a long 1-occurrence tail; a
+    deduplicated or templated corpus shows spikes) and to pick Good-Turing
+    smoothing masses.
+
+    Scale shape: two map-side-combinable aggregates back to back — the
+    first shuffles one row per distinct word per partition, the second one
+    row per distinct count value (tiny). Nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        spread(docs)
+        .select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy(F.col("c").alias("occurrences")).agg(
+        F.count("*").alias("n_words")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-source shingle overlap matrix (corpus contamination diagnostics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_source_overlap_matrix",
+    oracle=f"""
+WITH sh AS ({_doc_shingles_sql()}),
+src_sh AS (
+  SELECT DISTINCT d.source, s.sh
+  FROM sh s JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_shingles
+FROM src_sh a JOIN src_sh b ON a.sh = b.sh AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every pair of corpus sources,
+    the number of distinct 3-gram shingles they share — the diagnostic
+    that finds mirror sites, syndicated content, and scrape overlap
+    BETWEEN feeds before per-document dedup even runs.
+
+    Scale shape: documents reduce to DISTINCT (source, shingle-hash)
+    rows first (per-source dedup shrinks the join input to at most
+    #sources copies of the shingle universe); the self-join is an
+    equi-join on the 8-byte hash whose per-key fan-out is bounded by
+    #sources² — independent of corpus size. At thousands of sources the
+    same plan runs with a per-shingle source-set aggregation instead of
+    the pair join; the matrix stays #sources²-bounded either way."""
+    from ..operators.dedup import _doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_sh = (
+        _doc_shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "sh")
+        .distinct()
+    )
+    a = src_sh.select(F.col("source").alias("source_a"), "sh")
+    b = src_sh.select(F.col("source").alias("source_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_shingles"))
     )
