@@ -4,7 +4,7 @@ Exact dedup, word-shingle Jaccard near-dup, SimHash, and a portable
 MinHash+LSH (band-bucket candidate generation -> exact Jaccard verify).
 Everything is hash-groupBy / join shaped — the patterns that scale to 100 TB:
 
-* exact:    fingerprint (8 bytes) -> groupBy — never shuffles full texts.
+* exact:    md5 digest (16 bytes) -> groupBy — never shuffles full texts.
 * MinHash:  per-doc signatures via k portable hash functions, banded so
             candidate generation is an equi-join on band values (shuffle
             proportional to #docs × #bands, NOT #docs²).

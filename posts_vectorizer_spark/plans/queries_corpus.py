@@ -532,15 +532,23 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("covered_tokens"),
         )
         covs = part if covs is None else covs.unionByName(part)
-    return covs.crossJoin(F.broadcast(total)).select(
-        "k",
-        "covered_tokens",
-        "total_tokens",
-        F.round(
-            F.col("covered_tokens") / F.col("total_tokens").cast("double"), 6
+    return (
+        covs.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("coverage"),
         )
-        .cast("double")
-        .alias("coverage"),
+        # empty corpus: the ungrouped sums yield NULL rows while the
+        # oracle's CROSS JOIN over an empty ranked set yields none —
+        # match the oracle's zero-row result
+        .where(F.col("covered_tokens").isNotNull())
     )
 
 
@@ -610,10 +618,13 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     #sources² — independent of corpus size. At thousands of sources the
     same plan runs with a per-shingle source-set aggregation instead of
     the pair join; the matrix stays #sources²-bounded either way."""
+    from ..cache import persist_tracked
     from ..operators.dedup import _doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    src_sh = (
+    # persisted: the self-join scans both sides of this (the heaviest
+    # subtree — full-corpus shingling + distinct) — never recompute it
+    src_sh = persist_tracked(
         _doc_shingles(docs)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "sh")

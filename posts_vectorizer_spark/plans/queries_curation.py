@@ -537,13 +537,18 @@ WHERE len(th) >= 2
     "text_dsir_weights",
     oracle=f"""
 WITH feats AS ({_dsir_feats_sql()}),
-is_t AS (SELECT doc_id, b, doc_id % {_DSIR_TARGET_MOD} = 0 AS tgt FROM feats),
+dc AS (
+  SELECT doc_id, doc_id % {_DSIR_TARGET_MOD} = 0 AS tgt, b, count(*) AS n
+  FROM feats GROUP BY 1, 2, 3
+),
 spine AS (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b),
 cnt AS (
   SELECT s.b,
-         CAST(coalesce(sum(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS DOUBLE) AS n_t,
-         CAST(coalesce(sum(CASE WHEN tgt THEN 0 ELSE 1 END), 0) AS DOUBLE) AS n_s
-  FROM spine s LEFT JOIN is_t f ON f.b = s.b
+         CAST(coalesce(sum(CASE WHEN tgt THEN n ELSE 0 END), 0) AS DOUBLE)
+           AS n_t,
+         CAST(coalesce(sum(CASE WHEN tgt THEN 0 ELSE n END), 0) AS DOUBLE)
+           AS n_s
+  FROM spine s LEFT JOIN dc f ON f.b = s.b
   GROUP BY s.b
 ),
 tot AS (SELECT sum(n_t) AS tot_t, sum(n_s) AS tot_s FROM cnt),
@@ -553,8 +558,7 @@ model AS (
                     - log10((cnt.n_s + 1) / (tot.tot_s + {_DSIR_B})), 6)
               AS DECIMAL(18,6)) AS llr
   FROM cnt CROSS JOIN tot
-),
-dc AS (SELECT doc_id, b, count(*) AS n FROM feats GROUP BY doc_id, b)
+)
 SELECT dc.doc_id,
        CAST(sum(dc.n) AS BIGINT) AS n_feats,
        CAST(round(CAST(sum(dc.n * model.llr) AS DOUBLE) / sum(dc.n), 6)
@@ -573,14 +577,17 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``selected`` for resampling. The standard cheap domain-targeting
     filter run before training-data selection.
 
-    Scale shape: features hash into a FIXED {B}-bucket space, so both
-    models are {B}-row tables no matter the corpus size — built with one
-    map-side-combinable aggregate each over a spine (`spark.range`), then
-    broadcast back onto the per-(doc, bucket) counts; the normalizers are
-    broadcast 1-row aggregates. Per-bucket LLRs round to decimal(18,6)
-    before the per-doc sum so the aggregate is partition-order-insensitive
-    (the unigram-LM pattern). One corpus scan, one (doc_id, b) shuffle.
+    Scale shape: ONE corpus tokenize pass builds the persisted
+    per-(doc, bucket) count relation (bounded by #docs × {B}); the
+    {B}-row models roll up from it (spine LEFT JOIN, so buckets with no
+    features count ZERO on both sides — a NULL-padding row must not
+    inflate the source model), broadcast back for scoring, with the
+    normalizers as broadcast 1-row aggregates. Per-bucket LLRs round to
+    decimal(18,6) before the per-doc sum so the aggregate is
+    partition-order-insensitive (the unigram-LM pattern).
     """
+    from ..cache import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
     th = F.transform(T.tokens("text"), lambda t: T.char_hash(t))
     bigram = lambda i: (  # noqa: E731
@@ -598,19 +605,25 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    tagged = feats.withColumn(
-        "tgt", F.col("doc_id") % _DSIR_TARGET_MOD == 0
+    dc = persist_tracked(
+        feats.groupBy(
+            "doc_id",
+            (F.col("doc_id") % _DSIR_TARGET_MOD == 0).alias("tgt"),
+            "b",
+        ).agg(F.count("*").alias("n"))
     )
     spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
     cnt = (
-        spine.join(tagged, "b", "left")
+        spine.join(dc, "b", "left")
         .groupBy("b")
         .agg(
             F.coalesce(
-                F.sum(F.when(F.col("tgt"), 1).otherwise(0)), F.lit(0)
+                F.sum(F.when(F.col("tgt"), F.col("n")).otherwise(0)),
+                F.lit(0),
             ).cast("double").alias("n_t"),
             F.coalesce(
-                F.sum(F.when(F.col("tgt"), 0).otherwise(1)), F.lit(0)
+                F.sum(F.when(F.col("tgt"), 0).otherwise(F.col("n"))),
+                F.lit(0),
             ).cast("double").alias("n_s"),
         )
     )
@@ -628,7 +641,6 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(18,6)").alias("llr"),
         )
     )
-    dc = feats.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
     avg = F.sum(F.col("n") * F.col("llr")).cast("double") / F.sum("n")
     return (
         dc.join(F.broadcast(model), "b")

@@ -11,7 +11,7 @@ from .registry import register
 
 @register("dedup_exact_keep_first", oracle=dedup.EXACT_KEEP_FIRST_SQL)
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on the 8-byte text fingerprint; canonical = lowest doc_id
+    """Exact dedup on the 16-byte md5 text digest; canonical = lowest doc_id
     per group (deterministic keep-first)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_keep_first(docs)

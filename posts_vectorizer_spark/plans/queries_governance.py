@@ -234,10 +234,18 @@ def text_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .where(F.col("w1") != F.col("w2"))
     )
-    edges = bi.select(
-        F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
-    ).distinct()
-    deg = (
+    from ..cache import persist_tracked
+
+    # persisted: edges feed deg (twice via the union), both orientation
+    # joins, and nothing else should re-run the corpus tokenize; deg feeds
+    # the two orientation broadcasts plus the triads branch; oriented
+    # feeds all three legs of the triangle join
+    edges = persist_tracked(
+        bi.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        ).distinct()
+    )
+    deg = persist_tracked(
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -245,7 +253,7 @@ def text_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # orient a->b iff (d(a), a) < (d(b), b); edges already have a < b, so
     # the degree tie falls through to keeping the id order
-    oriented = (
+    oriented = persist_tracked(
         edges.join(
             F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))),
             "a",
