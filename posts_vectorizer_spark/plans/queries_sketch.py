@@ -460,3 +460,83 @@ def events_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff_to.alias("effective_to"),
         eff_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_scd2_lookup",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+),
+v AS (
+  SELECT user_id,
+         event_type AS state,
+         ts AS effective_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS effective_to
+  FROM changes
+),
+probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, p.user_id, p.ts, v.state
+FROM probes p
+LEFT JOIN v ON v.user_id = p.user_id
+           AND v.effective_from <= p.ts
+           AND (v.effective_to IS NULL OR p.ts < v.effective_to)
+""",
+)
+def events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup: for every probe event (errors), the
+    dimension version valid AT its timestamp — the other half of the SCD2
+    story (events_scd2_versions builds the dimension; this consumes it),
+    and the query every warehouse runs to attach historical attributes to
+    facts without leaking future state.
+
+    Scale shape: the oracle spells out the validity-interval inequality
+    join, which Spark would execute as a nested-loop; the engine instead
+    merges version-change rows and probes into ONE user-keyed stream and
+    takes last-non-null state over the (ts, is_probe, event_id) order —
+    the AS-OF union-window pattern: one shuffle, one sort, no join at
+    all. Same-timestamp ties resolve identically on both sides: all
+    versions at ts sort before probes at ts, and the latest same-ts
+    change is the valid version (empty [t, t) intervals match nothing in
+    the oracle and are superseded in the window by construction).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    vrows = changes.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.lit(0).alias("is_probe"),
+    )
+    probes = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(1).alias("is_probe"),
+    )
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = vrows.unionByName(probes).withColumn(
+        "state_at", F.last("state", ignorenulls=True).over(wu)
+    )
+    return merged.where(F.col("is_probe") == 1).select(
+        "event_id", "user_id", "ts", F.col("state_at").alias("state")
+    )
