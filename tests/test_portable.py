@@ -70,6 +70,49 @@ def test_digest_parity(spark, strings):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(texts)
+def test_dsir_bigram_feature_parity(spark, strings):
+    """The DSIR hashed-bigram feature expression (token-hash affine fold
+    mod bucket count) must agree between engines on arbitrary text — the
+    full-query oracle only exercises fixture prose."""
+    from posts_vectorizer_spark.plans.queries_curation import (
+        _DSIR_B,
+        _DSIR_SB,
+        _dsir_feats_sql,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"doc_id": range(len(strings)), "text": strings})
+    th = F.transform(T.tokens("text"), lambda t: T.char_hash(t))
+    bigram = lambda i: (  # noqa: E731
+        (F.element_at(F.col("th"), i) * _DSIR_SB
+         + F.element_at(F.col("th"), i + 1)) % T.HASH_MOD
+    ) % _DSIR_B
+    got = sorted(
+        (r["doc_id"], r["b"])
+        for r in spark.createDataFrame(pdf)
+        .select("doc_id", th.alias("th"))
+        .where(F.size("th") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size("th") - 1), bigram)
+            ).alias("b"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    try:
+        want = sorted(
+            (r[0], r[1]) for r in con.sql(_dsir_feats_sql()).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+
+
 @settings(max_examples=12, deadline=None)
 @given(texts)
 def test_tokens_parity(spark, strings):
