@@ -99,19 +99,60 @@ def merge_upsert_parquet(
     must be unique per key (caller aggregates first), mirroring the per-_id
     $set. ``n_buckets`` applies on first write; existing tables keep theirs.
     """
+    _merge_parquet(spark, updates, None, target_dir, keys, n_buckets)
+
+
+def apply_cdc_parquet(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    op_col: str = "_op",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Apply a CDC batch (``op_col`` = 'I' insert / 'U' update / 'D'
+    delete) to the bucketed table — the full
+    ``MERGE ... WHEN MATCHED [AND cond] DELETE / UPDATE / WHEN NOT MATCHED
+    INSERT`` shape a changelog consumer needs, with the same O(touched
+    buckets) cost and atomic manifest commit as the upsert path.
+
+    Idempotent on keys like the upsert: re-applying a delivered batch
+    converges (delete of an absent key is a no-op, upserts replace).
+    Changes must be unique per key (caller compacts the changelog to
+    last-op-per-key first — standard CDC compaction).
+    """
+    upserts = changes.where(F.col(op_col) != "D").drop(op_col)
+    delete_keys = changes.where(F.col(op_col) == "D").select(*keys)
+    _merge_parquet(spark, upserts, delete_keys, target_dir, keys, n_buckets)
+
+
+def _merge_parquet(
+    spark: SparkSession,
+    upserts: DataFrame,
+    delete_keys: DataFrame | None,
+    target_dir: str,
+    keys: list[str],
+    n_buckets: int,
+) -> None:
     os.makedirs(target_dir, exist_ok=True)
     manifest = _read_manifest(target_dir)
     _sweep_orphans(target_dir, manifest)
     if manifest is not None:
         n_buckets = manifest["n_buckets"]
-    bucketed_updates = updates.withColumn("_bucket", _bucket_col(keys, n_buckets))
+    bucketed_upserts = upserts.withColumn("_bucket", _bucket_col(keys, n_buckets))
+    change_keys = upserts.select(*keys)
+    if delete_keys is not None:
+        change_keys = change_keys.unionByName(delete_keys)
+    bucketed_keys = change_keys.distinct().withColumn(
+        "_bucket", _bucket_col(keys, n_buckets)
+    )
 
     old_buckets: dict[str, str] = (manifest or {"buckets": {}})["buckets"]
     if old_buckets:
         # Driver-side action by design: a sink runs at action time, and the
         # touched-bucket set is what makes the rewrite O(batch), not O(table).
         touched = sorted(
-            r[0] for r in bucketed_updates.select("_bucket").distinct().collect()
+            r[0] for r in bucketed_keys.select("_bucket").distinct().collect()
         )
         touched_dirs = [
             os.path.join(target_dir, old_buckets[str(b)])
@@ -121,14 +162,14 @@ def merge_upsert_parquet(
         if touched_dirs:
             current = spark.read.parquet(*touched_dirs)
             kept = current.join(
-                bucketed_updates.select(*keys).distinct(), keys, "left_anti"
+                bucketed_keys.select(*keys), keys, "left_anti"
             ).withColumn("_bucket", _bucket_col(keys, n_buckets))
-            merged = kept.unionByName(bucketed_updates)
+            merged = kept.unionByName(bucketed_upserts)
         else:
-            merged = bucketed_updates
+            merged = bucketed_upserts
     else:
-        touched = None  # first write: whatever buckets the updates hash to
-        merged = bucketed_updates
+        touched = None  # first write: whatever buckets the changes hash to
+        merged = bucketed_upserts
 
     # One job writes every touched bucket, partition-per-bucket.
     version = uuid.uuid4().hex[:8]
@@ -136,14 +177,22 @@ def merge_upsert_parquet(
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
 
     new_buckets = dict(old_buckets)
+    staged: set[str] = set()
     for entry in os.listdir(staging):
         if not entry.startswith("_bucket="):
             continue
         b = entry.split("=", 1)[1]
+        staged.add(b)
         dest = f"b{b}_v{version}"
         os.rename(os.path.join(staging, entry), os.path.join(target_dir, dest))
         new_buckets[b] = dest
     shutil.rmtree(staging, ignore_errors=True)
+    if touched is not None:
+        # A touched bucket with no staged output was emptied by deletes —
+        # its manifest entry must go, or the stale version stays readable.
+        for b in touched:
+            if str(b) not in staged:
+                new_buckets.pop(str(b), None)
 
     new_manifest = {"n_buckets": n_buckets, "keys": list(keys), "buckets": new_buckets}
     _write_manifest_atomic(target_dir, new_manifest)  # <- the only commit point

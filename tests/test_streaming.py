@@ -443,3 +443,61 @@ def test_interval_join_stream_joins_across_batches(spark, tmp_path):
     # cross-batch); error 200 (user 2) matches nothing — its user's click
     # is 35 minutes earlier, outside the lookback
     assert pairs == {(100, t0 - 10 * m), (100, t0 - 5 * m)}
+
+
+def test_cdc_apply_insert_update_delete(spark, tmp_path):
+    """S4 full MERGE shape: a compacted CDC batch with I/U/D ops applies
+    atomically — updates replace, inserts add, deletes remove — and
+    re-applying the same batch (at-least-once delivery) converges."""
+    from posts_vectorizer_spark.sources.sinks import apply_cdc_parquet
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    merge_upsert_parquet(spark, base, target, ["k"])
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")],
+        "k long, v string, _op string",
+    )
+    apply_cdc_parquet(spark, changes, target, ["k"])
+    got = {r.k: r.v for r in read_merged(spark, target).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # idempotent re-delivery: same batch again -> same state
+    apply_cdc_parquet(spark, changes, target, ["k"])
+    got = {r.k: r.v for r in read_merged(spark, target).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_cdc_delete_empties_bucket_drops_manifest_entry(spark, tmp_path):
+    """A bucket whose every row is deleted writes no staging output — its
+    manifest entry must be dropped, not left pointing at the stale
+    pre-delete version."""
+    from posts_vectorizer_spark.sources.sinks import (
+        _read_manifest,
+        apply_cdc_parquet,
+    )
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, "v") for k in range(40)], "k long, v string"
+    )
+    merge_upsert_parquet(spark, base, target, ["k"], n_buckets=4)
+    # delete EVERY key in one bucket (recompute the bucket assignment)
+    from pyspark.sql import functions as F
+
+    victims = [
+        r.k
+        for r in base.withColumn("b", F.pmod(F.hash("k"), F.lit(4)))
+        .where(F.col("b") == 0)
+        .collect()
+    ]
+    assert victims  # bucket 0 is non-empty
+    changes = spark.createDataFrame(
+        [(k, None, "D") for k in victims], "k long, v string, _op string"
+    )
+    apply_cdc_parquet(spark, changes, target, ["k"])
+    manifest = _read_manifest(target)
+    assert "0" not in manifest["buckets"]
+    got = {r.k for r in read_merged(spark, target).collect()}
+    assert got == {k for k in range(40) if k not in set(victims)}
