@@ -25,6 +25,13 @@ Iceberg MERGE INTO). The contract that matters for streaming is preserved:
 converges (ST3 — the reference's flag-overwrite gives the same
 at-least-once + idempotent contract). Single-writer, like the reference's
 one worker per collection.
+
+Reader contract: **read-latest, re-resolve after a merge.** ``read_merged``
+binds the DataFrame to the version directories current at call time, and a
+subsequent merge GC's superseded versions eagerly (no retention window,
+unlike Delta's VACUUM grace period) — executing a DataFrame obtained
+BEFORE a later merge may hit deleted paths. Callers that hold results
+across merges must materialize (collect/write) before merging again.
 """
 
 from __future__ import annotations
