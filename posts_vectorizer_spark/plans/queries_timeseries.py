@@ -373,3 +373,55 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_logprob"),
     )
+
+
+@register(
+    "events_debounce_bursts",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+bursts AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS burst_id
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS burst_start,
+       CAST(min(event_id ORDER BY ts, event_id) AS BIGINT) AS kept_event_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+FROM bursts
+GROUP BY user_id, burst_id
+""",
+)
+def events_debounce_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debounce: keep only the FIRST event of each activity burst per
+    user (bursts end after 6 h of inactivity) and count what was
+    suppressed — duplicate-click / retry suppression, the events-side
+    analog of keep-first dedup, expressed with the native session_window
+    instead of the sessionize-by-hand lag + cumulative-sum the oracle
+    spells out.
+
+    Scale shape: one user-keyed shuffle into session_window groups; the
+    kept event is a lexicographic min of (ts, event_id) structs inside the
+    aggregate — no second window pass, no join back. Same state bounds as
+    any session aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id")).alias("first")
+    return (
+        e.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(first, F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("burst_start"),
+            F.col("first.event_id").cast("bigint").alias("kept_event_id"),
+            (F.col("n") - 1).cast("bigint").alias("n_suppressed"),
+        )
+    )
