@@ -1,6 +1,7 @@
 from .stateful import latest_user_totals, stateful_user_totals_stream
 from .worker import (
     HeartbeatListener,
+    cdc_apply_stream,
     dedup_stream,
     interval_join_stream,
     session_window_stream,
@@ -10,6 +11,7 @@ from .worker import (
 
 __all__ = [
     "HeartbeatListener",
+    "cdc_apply_stream",
     "dedup_stream",
     "interval_join_stream",
     "latest_user_totals",

@@ -32,6 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 from pyspark.sql.types import TimestampNTZType
+from pyspark.sql.window import Window
 
 from ..operators import tfidf
 from ..sources.sinks import merge_upsert_parquet
@@ -305,6 +306,59 @@ def interval_join_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_apply_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    op_col: str = "_op",
+    order_col: str | None = None,
+    available_now: bool = True,
+    n_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+):
+    """CDC ingestion: consume a changelog stream (rows tagged ``op_col`` =
+    'I'/'U'/'D') and apply each micro-batch to the bucketed merge target —
+    the standard Debezium/changefeed-to-lakehouse consumer, with the
+    sink's bucket-pruned rewrite + atomic commit per batch.
+
+    Each batch is COMPACTED to last-op-per-key before applying: with
+    ``order_col`` set (a monotonic changelog sequence), the row with the
+    max (order_col, then arbitrary-but-deterministic tiebreak) wins;
+    without it, the batch must already be unique per key. foreachBatch is
+    at-least-once, and apply_cdc_parquet is idempotent on keys, so crash/
+    retry converges (ST3 contract).
+    """
+    from ..sources.sinks import apply_cdc_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", order_col)
+            )
+        apply_cdc_parquet(spark, batch, target_dir, keys, op_col, n_buckets)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="0 seconds")
+    return writer.start()
 
 
 def vectorize_stream(

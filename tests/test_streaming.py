@@ -501,3 +501,39 @@ def test_cdc_delete_empties_bucket_drops_manifest_entry(spark, tmp_path):
     assert "0" not in manifest["buckets"]
     got = {r.k for r in read_merged(spark, target).collect()}
     assert got == {k for k in range(40) if k not in set(victims)}
+
+
+def test_cdc_stream_applies_changelog_across_batches(spark, tmp_path):
+    """CDC ingestion end-to-end: changelog files land as separate
+    micro-batches (insert wave, then update+delete wave with an in-batch
+    superseded op that compaction must discard); the merge target's final
+    state equals replaying the log in order."""
+    import time as _time
+
+    from posts_vectorizer_spark.streaming import cdc_apply_stream
+
+    schema = "k long, v string, _op string, seq long"
+    files = [
+        # batch 0: initial inserts
+        [(1, "a", "I", 1), (2, "b", "I", 2), (3, "c", "I", 3)],
+        # batch 1: update 2, delete 3, insert-then-update 4 in ONE batch
+        # (seq 6 supersedes seq 5 — compaction keeps the later op)
+        [(2, "B", "U", 4), (3, None, "D", 5 + 2), (4, "d", "I", 5),
+         (4, "D4", "U", 6)],
+    ]
+    source = str(tmp_path / "log")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(source)
+        _time.sleep(1.1)
+
+    target = str(tmp_path / "t")
+    q = cdc_apply_stream(
+        spark, source, spark.createDataFrame(files[0], schema).schema,
+        target, str(tmp_path / "ckpt"),
+        keys=["k"], order_col="seq", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in read_merged(spark, target).collect()}
+    assert got == {1: "a", 2: "B", 4: "D4"}
