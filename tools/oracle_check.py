@@ -111,24 +111,33 @@ def main(argv: list[str]) -> int:
     con = duckdb_connection(sf_dir)
 
     failed = []
+    slowest: list[tuple[float, str]] = []
     for name in names:
         if name not in oracles:
             print(f"SKIP  {name} (rows-only [R] query)")
             continue
+        t0 = _time.perf_counter()
         try:
             problems, n = compare_query(spark, con, name, qs[name], oracles[name], sf_dir)
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             failed.append(name)
             continue
+        elapsed = _time.perf_counter() - t0
+        slowest.append((elapsed, name))
         if problems:
             print(f"FAIL  {name}: " + " | ".join(problems))
             failed.append(name)
         else:
-            print(f"OK    {name} ({n} rows)")
+            print(f"OK    {name} ({n} rows, {elapsed:.2f}s)")
         from posts_vectorizer_spark.cache import release_caches
 
         release_caches()  # per-query caches don't outlive their comparison
+    if len(slowest) > 5:
+        top = ", ".join(
+            f"{n}={t:.1f}s" for t, n in sorted(slowest, reverse=True)[:5]
+        )
+        print(f"\nslowest: {top}")
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     return 1 if failed else 0
 
