@@ -76,13 +76,20 @@ def _stage_snapshot(spark) -> dict:
 
 def _settled_snapshot(spark) -> dict:
     """Snapshot after the status store catches up (its listener queue is
-    async w.r.t. job completion): poll until the key set stops growing."""
+    async w.r.t. job completion): poll until the key set is unchanged for
+    TWO consecutive polls — one agreeing poll can race a still-draining
+    listener queue and misattribute late stages to the next query."""
     snap = _stage_snapshot(spark)
-    for _ in range(10):
+    stable = 0
+    for _ in range(20):
         time.sleep(0.05)
         nxt = _stage_snapshot(spark)
         if set(nxt) == set(snap):
-            return nxt
+            stable += 1
+            if stable >= 2:
+                return nxt
+        else:
+            stable = 0
         snap = nxt
     return snap
 
@@ -150,13 +157,23 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Stage metrics go to stderr + a sidecar file, NEVER into the stdout
+    # headline line: the driver's tail capture is ~2000 bytes, and r3's
+    # inlined metrics pushed the line to 2.6 KB, making BENCH_r03 unparseable.
+    # The final stdout line must stay compact (<1 KB) and be the LAST line.
+    sidecar = os.path.join(REPO, "BENCH_STAGES.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({str(k): v for k, v in metrics.items()}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({"stage_metrics": metrics}), file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "stage_metrics": metrics,
     }))
 
 

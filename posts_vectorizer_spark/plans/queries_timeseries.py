@@ -395,7 +395,7 @@ bursts AS (
 )
 SELECT user_id,
        min(ts) AS burst_start,
-       CAST(min(event_id ORDER BY ts, event_id) AS BIGINT) AS kept_event_id,
+       CAST(first(event_id ORDER BY ts, event_id) AS BIGINT) AS kept_event_id,
        CAST(count(*) - 1 AS BIGINT) AS n_suppressed
 FROM bursts
 GROUP BY user_id, burst_id

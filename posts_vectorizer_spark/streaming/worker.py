@@ -328,10 +328,12 @@ def cdc_apply_stream(
 
     Each batch is COMPACTED to last-op-per-key before applying: with
     ``order_col`` set (a monotonic changelog sequence), the row with the
-    max (order_col, then arbitrary-but-deterministic tiebreak) wins;
-    without it, the batch must already be unique per key. foreachBatch is
-    at-least-once, and apply_cdc_parquet is idempotent on keys, so crash/
-    retry converges (ST3 contract).
+    max order_col wins; EQUAL order_col values are broken by every
+    remaining column in name order (desc, nulls last), so the winner is a
+    deterministic function of the batch contents. Without order_col, the
+    batch must already be unique per key. foreachBatch is at-least-once,
+    and apply_cdc_parquet is idempotent on keys, so crash/retry converges
+    (ST3 contract).
     """
     from ..sources.sinks import apply_cdc_parquet
 
@@ -343,7 +345,19 @@ def cdc_apply_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df
         if order_col is not None:
-            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            # Tiebreak under EQUAL order_col values must be deterministic
+            # (a foreachBatch retry of the same batch must pick the same
+            # winner): break ties on every remaining column, name-sorted,
+            # so the winner is a pure function of the batch's row set —
+            # never of partition/arrival order.
+            tiebreak = [
+                F.col(c).desc_nulls_last()
+                for c in sorted(batch.columns)
+                if c not in keys and c != order_col
+            ]
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(order_col).desc(), *tiebreak
+            )
             batch = (
                 batch.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)

@@ -276,6 +276,53 @@ def test_session_window_exact_gap_boundary_matches_oracle(spark):
     assert sorted((r[1].isoformat(), r[3]) for r in oracle) == expected
 
 
+def test_debounce_keeps_earliest_event_not_smallest_id(spark):
+    """Non-monotonic event ids: the burst's FIRST event by (ts, event_id)
+    must win even when a LATER event has a smaller id. The fixture corpus
+    assigns ids monotonically in ts, so a plain min(event_id) oracle would
+    pass by accident — this pins the contract (and the oracle's
+    first(... ORDER BY ts, event_id) form) against both engines."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        # burst 1: earliest ts has the LARGEST id -> kept_event_id = 900
+        (1, 900, "2024-01-01 00:00:00"),
+        (1, 5, "2024-01-01 01:00:00"),
+        (1, 7, "2024-01-01 02:00:00"),
+        # burst 2 (after >6h gap): tie on ts -> smaller id wins
+        (1, 42, "2024-01-02 00:00:00"),
+        (1, 41, "2024-01-02 00:00:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    events = spark.createDataFrame(pdf)
+    first = F.min(F.struct("ts", "event_id")).alias("first")
+    got = sorted(
+        (r["kept_event_id"], r["n_suppressed"])
+        for r in (
+            events.groupBy(
+                F.session_window("ts", "6 hours").alias("w"), "user_id"
+            )
+            .agg(first, F.count("*").alias("n"))
+            .select(
+                F.col("first.event_id").cast("bigint").alias("kept_event_id"),
+                (F.col("n") - 1).cast("bigint").alias("n_suppressed"),
+            )
+            .collect()
+        )
+    )
+    expected = [(41, 1), (900, 2)]
+    assert got == expected
+
+    from posts_vectorizer_spark.plans.registry import REGISTRY
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracle = con.execute(REGISTRY["events_debounce_bursts"].oracle).fetchall()
+    assert sorted((r[2], r[3]) for r in oracle) == expected
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B and B~C (but no direct A~C pair) must land in ONE component, and
     unrelated docs stay singletons — the transitivity the pair list alone

@@ -537,3 +537,39 @@ def test_cdc_stream_applies_changelog_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: r.v for r in read_merged(spark, target).collect()}
     assert got == {1: "a", 2: "B", 4: "D4"}
+
+
+def test_cdc_compaction_tiebreak_deterministic_on_duplicate_seq(
+    spark, tmp_path
+):
+    """Two changelog rows with the SAME key and SAME sequence number must
+    compact to the same winner on every run (a foreachBatch retry replays
+    the identical batch — a partition-order-dependent winner would break
+    at-least-once convergence). The contract: ties break on the remaining
+    columns in name order, descending — here (_op, v), so for key 5 the
+    ('U','y') row beats ('U','x'), and for key 6 'U' beats 'D'."""
+    from posts_vectorizer_spark.streaming import cdc_apply_stream
+
+    schema = "k long, v string, _op string, seq long"
+    rows = [
+        (5, "x", "U", 10), (5, "y", "U", 10),   # tie on seq AND _op
+        (6, None, "D", 20), (6, "kept", "U", 20),  # tie on seq, U > D desc
+        (5, "base", "I", 1), (6, "base", "I", 1),
+    ]
+    expected = {5: "y", 6: "kept"}
+    for run in range(2):
+        source = str(tmp_path / f"log{run}")
+        # shuffle file layout between runs so partition order differs
+        order = rows if run == 0 else rows[::-1]
+        spark.createDataFrame(order, schema).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(source)
+        target = str(tmp_path / f"t{run}")
+        q = cdc_apply_stream(
+            spark, source, spark.createDataFrame(rows, schema).schema,
+            target, str(tmp_path / f"ckpt{run}"),
+            keys=["k"], order_col="seq",
+        )
+        q.awaitTermination(120)
+        got = {r.k: r.v for r in read_merged(spark, target).collect()}
+        assert got == expected, f"run {run} diverged"
