@@ -378,6 +378,110 @@ def stream_vectorize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_drain",
+    oracle="""
+SELECT user_id,
+       CAST(first(event_id ORDER BY event_id DESC) AS BIGINT)
+         AS last_event_id,
+       CAST(first(value ORDER BY event_id DESC) AS DOUBLE) AS last_value
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_upsert_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST3 generic upsert ingest, oracle-checkable: drain the events
+    table (as a keyed record stream: key=user_id, seq=event_id) through
+    streaming/worker.py::upsert_stream — per-batch last-wins compaction,
+    then the idempotent bucketed MERGE — and return the materialized
+    table. Deterministic because the source is ONE file (a single
+    availableNow micro-batch) and event_id is unique, so the final state
+    is exactly 'the row with max event_id per user', which the oracle
+    states as first(... ORDER BY event_id DESC)."""
+    from ..sources.sinks import read_merged
+    from ..streaming import upsert_stream
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="pv_ups_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    # carry event_id twice: once as the (dropped) compaction sequence,
+    # once as payload so the winner is visible in the merged state
+    events.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    ).coalesce(1).write.mode("overwrite").parquet(source)
+    src_schema = spark.read.parquet(source).schema
+    q = upsert_stream(
+        spark, source, src_schema, target, ckpt,
+        keys=["user_id"], order_col="seq",
+    )
+    q.awaitTermination(300)
+    return read_merged(spark, target).select(
+        "user_id", "last_event_id", "last_value"
+    )
+
+
+@register(
+    "stream_cdc_drain",
+    oracle="""
+WITH log AS (
+  SELECT user_id, event_id AS seq, value,
+         CASE event_type
+              WHEN 'error' THEN 'D'
+              WHEN 'view' THEN 'I'
+              WHEN 'signup' THEN 'I'
+              ELSE 'U' END AS op
+  FROM events
+),
+last AS (
+  SELECT user_id,
+         first(op ORDER BY seq DESC) AS op,
+         first(value ORDER BY seq DESC) AS value
+  FROM log GROUP BY user_id
+)
+SELECT user_id, CAST(value AS DOUBLE) AS last_value
+FROM last WHERE op <> 'D'
+""",
+)
+def stream_cdc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST3+S4 CDC ingest, oracle-checkable: synthesize a changelog
+    from events (signup/view->I, click/purchase->U, error->D; seq =
+    event_id), drain it through streaming/worker.py::cdc_apply_stream
+    (per-batch last-op-per-key compaction, then the full I/U/D MERGE
+    against an empty target), and return the final table: exactly the
+    users whose LAST op is not a delete, carrying that op's value.
+    Deterministic by the single-file/single-batch trick and unique seq."""
+    from ..sources.sinks import read_merged
+    from ..streaming import cdc_apply_stream
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="pv_cdcq_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("view", "signup"), "I")
+        .otherwise("U")
+    )
+    events.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.col("value").alias("last_value"),
+        op.alias("_op"),
+    ).coalesce(1).write.mode("overwrite").parquet(source)
+    src_schema = spark.read.parquet(source).schema
+    q = cdc_apply_stream(
+        spark, source, src_schema, target, ckpt,
+        keys=["user_id"], order_col="seq",
+    )
+    q.awaitTermination(300)
+    merged = read_merged(spark, target)
+    if merged is None:  # every user's last op was a delete
+        return spark.createDataFrame([], "user_id long, last_value double")
+    return merged.select("user_id", "last_value")
+
+
+@register(
     "stream_interval_join",
     oracle="""
 WITH errors AS (

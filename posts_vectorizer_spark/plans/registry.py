@@ -54,10 +54,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module lands inside that budget: tfidf (8), a trimmed relational core
 # (13, incl. the r2-red rel_array_agg_sorted), text, dedup, similarity,
 # event-time windows (ST6), the watermarked stream-stream join (ST9), and
-# exactly one flagship from each extension wave (advanced, quality,
-# curation, corpus, sketch, timeseries, governance, lakehouse, stats,
-# fuzzy, UDTF, CSV/JSON source). All 50 are [Q] oracle-backed. Everything
-# not listed follows in registration (cost-ascending) order.
+# 14 ROTATING slots (r4 policy, per the r3 verdict): each round the slots
+# go to [Q] queries that have never had a driver CORRECTNESS row —
+# new-this-round queries first, then the never-checked backlog — so the
+# driver-green union grows every round instead of re-proving green rows.
+# All 50 are [Q] oracle-backed. Everything not listed follows in
+# registration (cost-ascending) order.
 _HEAD_ORDER: tuple[str, ...] = (
     # §2 tfidf pipeline (P2,P5-P8, A1-A10, J1-J5, F6/F7, W2)
     "tfidf_doc_vectors", "tfidf_doc_profile", "tfidf_idf_table",
@@ -81,13 +83,16 @@ _HEAD_ORDER: tuple[str, ...] = (
     "events_first_per_key", "events_hypertable_rollup",
     # ST9 stream-stream interval join — first-ever streaming driver row
     "stream_interval_join",
-    # one flagship per extension wave
-    "rel_tpch_q3_priority", "events_asof_last_purchase",
-    "text_bpe_token_stats", "sim_embedding_quantize",
-    "dedup_decontaminate", "sim_random_projection", "rel_hll_portable",
-    "events_gap_fill", "text_triangle_count", "rel_snapshot_diff",
-    "events_ab_test", "dedup_prefix_filter_join",
-    "udtf_tokenize_lateral", "source_csv_json_roundtrip",
+    # 14 rotating never-driver-checked slots (r4): the r3 additions, the
+    # two new streaming drains (ST1/ST3 finally get oracle-paired driver
+    # rows), and high-value r2 queries. r1-r3 green union stays green —
+    # rotated-out rows keep their recorded driver rows.
+    "curation_pipeline", "text_dsir_weights", "dedup_keep_longest",
+    "events_scd2_versions", "events_scd2_lookup", "events_debounce_bursts",
+    "stream_upsert_drain", "stream_cdc_drain",
+    "rel_tpch_q5_region_volume", "rel_grouping_sets",
+    "text_redact_pii", "text_pack_sequences",
+    "events_funnel_conversion", "text_winnowing_fingerprints",
 )
 
 

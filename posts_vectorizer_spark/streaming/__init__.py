@@ -6,6 +6,7 @@ from .worker import (
     interval_join_stream,
     session_window_stream,
     tumbling_window_stream,
+    upsert_stream,
     vectorize_stream,
 )
 
@@ -18,5 +19,6 @@ __all__ = [
     "session_window_stream",
     "stateful_user_totals_stream",
     "tumbling_window_stream",
+    "upsert_stream",
     "vectorize_stream",
 ]

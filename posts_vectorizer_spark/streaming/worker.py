@@ -308,6 +308,70 @@ def interval_join_stream(
     )
 
 
+def _compact_last_per_key(
+    batch: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """Last-wins changelog compaction: keep the row with max ``order_col``
+    per key. Ties on order_col break on every remaining column, name-sorted
+    descending (nulls last), so the winner is a pure function of the
+    batch's row set — a foreachBatch retry of the same batch picks the
+    same winner (at-least-once + idempotent merge = convergent)."""
+    tiebreak = [
+        F.col(c).desc_nulls_last()
+        for c in sorted(batch.columns)
+        if c not in keys and c != order_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), *tiebreak)
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", order_col)
+    )
+
+
+def upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str | None = None,
+    available_now: bool = True,
+    n_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+):
+    """ST1/ST3 in its generic form: consume a stream of keyed records and
+    maintain a last-write-wins materialized table — readStream ->
+    per-batch last-wins compaction (``order_col`` set) -> idempotent keyed
+    MERGE into the bucketed parquet target. The upsert twin of
+    ``cdc_apply_stream`` for sources without explicit I/U/D ops (the
+    common "entity snapshots on a bus" ingest shape). foreachBatch is
+    at-least-once and merge_upsert_parquet is idempotent on keys, so
+    crash/retry converges (ST3 contract)."""
+    from ..sources.sinks import merge_upsert_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df
+        if order_col is not None:
+            batch = _compact_last_per_key(batch, keys, order_col)
+        merge_upsert_parquet(spark, batch, target_dir, keys, n_buckets)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="0 seconds")
+    return writer.start()
+
+
 def cdc_apply_stream(
     spark: SparkSession,
     source_dir: str,
@@ -345,24 +409,7 @@ def cdc_apply_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df
         if order_col is not None:
-            # Tiebreak under EQUAL order_col values must be deterministic
-            # (a foreachBatch retry of the same batch must pick the same
-            # winner): break ties on every remaining column, name-sorted,
-            # so the winner is a pure function of the batch's row set —
-            # never of partition/arrival order.
-            tiebreak = [
-                F.col(c).desc_nulls_last()
-                for c in sorted(batch.columns)
-                if c not in keys and c != order_col
-            ]
-            w = Window.partitionBy(*keys).orderBy(
-                F.col(order_col).desc(), *tiebreak
-            )
-            batch = (
-                batch.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn", order_col)
-            )
+            batch = _compact_last_per_key(batch, keys, order_col)
         apply_cdc_parquet(spark, batch, target_dir, keys, op_col, n_buckets)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
