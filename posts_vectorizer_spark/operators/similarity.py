@@ -348,13 +348,20 @@ def lsh_bucket_sql(vec: str, dims: int, planes: int = LSH_PLANES) -> str:
     return f"CAST({bits} AS BIGINT)"
 
 
-def _grouped_rerank_kernel(k: int):
+PROBE_BLOCK = 1024
+
+
+def _grouped_rerank_kernel(k: int, probe_block: int = PROBE_BLOCK):
     """Per-bucket rerank kernel for applyInPandas: all probe×build cosines
     inside one bucket via the numpy block kernel, per-query top-k emitted.
     Numerics replicate the pair-expression path exactly: _seq_dots folds
     dims in order, norms arrive precomputed from the JVM column, rounding is
     half-away — so grouped and pair reranks are interchangeable under the
-    value hash."""
+    value hash.
+
+    Probes are processed in ``probe_block``-row chunks so the score matrix
+    is at most probe_block × |builds| regardless of how many probes land in
+    one bucket — per-probe top-k is independent, so chunking is exact."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         probes = pdf[pdf["is_probe"]]
@@ -363,31 +370,35 @@ def _grouped_rerank_kernel(k: int):
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine": []}
             ).astype({"query_id": "int64", "neighbor_id": "int64"})
-        qids = probes["vec_id"].to_numpy(dtype=np.int64)
         nids = builds["vec_id"].to_numpy(dtype=np.int64)
-        Q = np.array(probes["embedding"].tolist(), dtype=np.float64)
         B = np.array(builds["embedding"].tolist(), dtype=np.float64)
-        qn = probes["nrm"].to_numpy(dtype=np.float64)
         nn = builds["nrm"].to_numpy(dtype=np.float64)
-        S = _seq_dots(Q, B)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = _round_half_away(S / (qn[:, None] * nn[None, :]))
-        null = (qn[:, None] <= 0) | (nn[None, :] <= 0)
+        all_qids = probes["vec_id"].to_numpy(dtype=np.int64)
+        all_qn = probes["nrm"].to_numpy(dtype=np.float64)
         out_q, out_n, out_c = [], [], []
-        for i in range(len(qids)):
-            not_self = nids != qids[i]
-            valid = ~null[i] & not_self
-            nulls = null[i] & not_self
-            order = np.lexsort((nids[valid], -cos[i][valid]))
-            cand_ids = np.concatenate(
-                [nids[valid][order], np.sort(nids[nulls])]
-            )[:k]
-            cand_cos = np.concatenate(
-                [cos[i][valid][order], np.full(int(nulls.sum()), np.nan)]
-            )[:k]
-            out_q.extend([qids[i]] * len(cand_ids))
-            out_n.extend(cand_ids.tolist())
-            out_c.extend(cand_cos.tolist())
+        for lo in range(0, len(all_qids), probe_block):
+            chunk = probes.iloc[lo:lo + probe_block]
+            qids = all_qids[lo:lo + probe_block]
+            qn = all_qn[lo:lo + probe_block]
+            Q = np.array(chunk["embedding"].tolist(), dtype=np.float64)
+            S = _seq_dots(Q, B)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _round_half_away(S / (qn[:, None] * nn[None, :]))
+            null = (qn[:, None] <= 0) | (nn[None, :] <= 0)
+            for i in range(len(qids)):
+                not_self = nids != qids[i]
+                valid = ~null[i] & not_self
+                nulls = null[i] & not_self
+                order = np.lexsort((nids[valid], -cos[i][valid]))
+                cand_ids = np.concatenate(
+                    [nids[valid][order], np.sort(nids[nulls])]
+                )[:k]
+                cand_cos = np.concatenate(
+                    [cos[i][valid][order], np.full(int(nulls.sum()), np.nan)]
+                )[:k]
+                out_q.extend([qids[i]] * len(cand_ids))
+                out_n.extend(cand_ids.tolist())
+                out_c.extend(cand_cos.tolist())
         return pd.DataFrame(
             {
                 "query_id": pd.Series(out_q, dtype="int64"),
@@ -399,6 +410,49 @@ def _grouped_rerank_kernel(k: int):
     return kernel
 
 
+def _salt_split(
+    build: DataFrame, probe: DataFrame, key: str, max_build: int
+) -> tuple[DataFrame, list[str]]:
+    """Bound the per-group build side for the grouped rerank: buckets whose
+    build side exceeds ``max_build`` rows are hash-split into
+    ceil(n/max_build) salted sub-groups; probes replicate to every salt of
+    their bucket. Per-salt top-k is a superset of the bucket's top-k
+    (top-k is associative), and the caller's global window re-merges under
+    the same total order — so splitting is EXACT, it only changes the
+    physical grouping. This is the viral-bucket guard: one pathologically
+    hot bucket becomes ceil(n/max_build) bounded tasks instead of one
+    giant pandas group. Probes to buckets with no build rows produce no
+    candidates by definition and are dropped by the inner join.
+
+    The per-salt size bound is statistical, not hard: rows hash to salts
+    uniformly, so a salt holds max_build ± O(sqrt(max_build)) rows (a few
+    percent at real cap values like 8192). A hard bound would need a
+    row_number window — an extra full sort shuffle of the build side —
+    for tail tightness that doesn't change the OOM math.
+
+    Returns (unioned salted frame, new grouping keys)."""
+    counts = build.groupBy(key).agg(F.count("*").alias("_n_build"))
+    salts = counts.select(
+        key,
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_n_build") / F.lit(max_build))
+        ).cast("int").alias("_n_salt"),
+    )
+    build_s = (
+        build.join(F.broadcast(salts), key)
+        .withColumn("_salt", F.pmod(F.hash("vec_id"), F.col("_n_salt")))
+        .drop("_n_salt")
+    )
+    probe_s = (
+        probe.join(F.broadcast(salts), key)
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.col("_n_salt") - 1))
+        )
+        .drop("_n_salt")
+    )
+    return build_s.unionByName(probe_s), [key, "_salt"]
+
+
 def lsh_ann(
     embeddings: DataFrame,
     dims: int,
@@ -406,6 +460,7 @@ def lsh_ann(
     multiprobe: bool = False,
     planes: int = LSH_PLANES,
     rerank: str = "grouped",
+    max_bucket_build: int | None = 8192,
 ) -> DataFrame:
     """Approximate top-k: bucket every vector with {planes} hyperplane
     sign bits, generate candidates by bucket equi-join, exact-rerank inside
@@ -426,13 +481,27 @@ def lsh_ann(
     rows and evaluates the Arrow dot per pair — the simpler cross-check
     twin. Both produce bit-identical rows (same fold order, norms from the
     same JVM column, same half-away rounding), proved by the shared
-    oracle and the equality test."""
-    # Norms are computed ONCE per vector, not per candidate pair.
-    bucketed = embeddings.select(
-        "vec_id",
-        "embedding",
-        lsh_bucket("embedding", dims, planes).alias("bucket"),
-        V.norm("embedding").alias("nrm"),
+    oracle and the equality test.
+
+    ``max_bucket_build`` bounds the grouped rerank's per-task build side
+    (the viral-bucket guard): oversized buckets hash-split into salted
+    sub-groups, probes replicate per salt, and the global top-k window
+    re-merges — exact by associativity of top-k (tests plant a giant
+    bucket and diff against the unsplit result). None disables."""
+    from ..cache import persist_tracked
+
+    # Norms are computed ONCE per vector, not per candidate pair; the
+    # bucketed relation is persisted because build, probe, and (with the
+    # viral-bucket guard) the bucket-count agg all fan out from it — the
+    # planes x dims projection fold is the expensive part of this query
+    # and must run once per vector, not once per consumer.
+    bucketed = persist_tracked(
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            lsh_bucket("embedding", dims, planes).alias("bucket"),
+            V.norm("embedding").alias("nrm"),
+        )
     )
     if multiprobe:
         probe_keys = F.explode(
@@ -459,17 +528,18 @@ def lsh_ann(
             "nrm",
             F.lit(True).alias("is_probe"),
         )
-        per_bucket = (
-            build.unionByName(probe)
-            .groupBy("bucket")
-            .applyInPandas(
-                _grouped_rerank_kernel(k),
-                schema="query_id long, neighbor_id long, cosine double",
-            )
+        if max_bucket_build is not None:
+            grouped, keys = _salt_split(build, probe, "bucket", max_bucket_build)
+        else:
+            grouped, keys = build.unionByName(probe), ["bucket"]
+        per_bucket = grouped.groupBy(*keys).applyInPandas(
+            _grouped_rerank_kernel(k),
+            schema="query_id long, neighbor_id long, cosine double",
         )
-        # per-bucket top-k -> global top-k: buckets partition the candidate
-        # set, so the global winners are a subset of the per-bucket top-k
-        # union under the same total order (cosine desc NULLS LAST, id asc)
+        # per-(bucket[, salt]) top-k -> global top-k: the groups partition
+        # the candidate set, so the global winners are a subset of the
+        # per-group top-k union under the same total order (cosine desc
+        # NULLS LAST, id asc)
         return (
             per_bucket.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
@@ -550,6 +620,7 @@ def ivf_ann(
     n_clusters: int = 16,
     n_probe: int = 2,
     seed: int = 7,
+    max_list_build: int | None = 8192,
 ) -> DataFrame:
     """Approximate top-k via IVF: MLlib KMeans learns {n_clusters} centroids,
     every vector is assigned to its nearest centroid (the inverted list),
@@ -610,14 +681,16 @@ def ivf_ann(
     )
     # same grouped rerank as lsh_ann: each list's probe x member cosines
     # computed in one applyInPandas group by the numpy block kernel —
-    # vectors cross the shuffle once per probe, never once per pair
-    per_list = (
-        build.unionByName(probes)
-        .groupBy("list_id")
-        .applyInPandas(
-            _grouped_rerank_kernel(k),
-            schema="query_id long, neighbor_id long, cosine double",
-        )
+    # vectors cross the shuffle once per probe, never once per pair.
+    # max_list_build salt-splits skewed lists (KMeans lists skew with the
+    # data distribution) exactly like lsh_ann's viral-bucket guard.
+    if max_list_build is not None:
+        grouped, keys = _salt_split(build, probes, "list_id", max_list_build)
+    else:
+        grouped, keys = build.unionByName(probes), ["list_id"]
+    per_list = grouped.groupBy(*keys).applyInPandas(
+        _grouped_rerank_kernel(k),
+        schema="query_id long, neighbor_id long, cosine double",
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -427,3 +427,60 @@ def test_lsh_rerank_grouped_equals_pairs(spark):
             ).collect()
         }
         assert got == ref, f"multiprobe={mp}"
+
+
+def test_lsh_hot_bucket_salt_split_is_exact(spark):
+    """The viral-bucket guard: plant one pathologically hot bucket (60
+    vectors sharing a direction all hash to the SAME LSH bucket) and force
+    splitting with a tiny max_bucket_build. The salted plan must (a)
+    actually bound every rerank group's build side and (b) produce rows
+    IDENTICAL to the unsplit plan — the split is physical, not semantic."""
+    from pyspark.sql import functions as F
+
+    from posts_vectorizer_spark.operators import similarity
+
+    dims = 8
+    base = [float((d % 3) + 1) for d in range(dims)]
+    rows = [
+        # 60 copies of one direction (scaled: same projection signs ->
+        # same bucket), plus a spread of distinct directions
+        *[(i, [c * (1.0 + i / 100.0) for c in base]) for i in range(60)],
+        *[
+            (100 + j, [((j + d) % 5) - 2.0 for d in range(dims)])
+            for j in range(20)
+        ],
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    unsplit = similarity.lsh_ann(emb, dims, k=3, max_bucket_build=None)
+    split = similarity.lsh_ann(emb, dims, k=3, max_bucket_build=8)
+    key = lambda r: (r["query_id"], r["rk"])  # noqa: E731
+    got = {key(r): (r["neighbor_id"], r["cosine"]) for r in split.collect()}
+    ref = {key(r): (r["neighbor_id"], r["cosine"]) for r in unsplit.collect()}
+    assert got == ref
+    assert len(ref) > 0
+
+    # the guard itself: no salted group's build side exceeds the cap
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.lsh_bucket("embedding", dims).alias("bucket"),
+        F.lit(1.0).alias("nrm"),
+    )
+    build = bucketed.select(
+        "bucket", "vec_id", "embedding", "nrm", F.lit(False).alias("is_probe")
+    )
+    probe = build.withColumn("is_probe", F.lit(True))
+    salted, keys = similarity._salt_split(build, probe, "bucket", 8)
+    sizes = (
+        salted.where(~F.col("is_probe"))
+        .groupBy(*keys)
+        .count()
+        .agg(F.max("count").alias("mx"), F.countDistinct(*keys).alias("groups"))
+        .collect()[0]
+    )
+    # hash salting bounds group size statistically (cap ± O(sqrt(cap))):
+    # the 60-row bucket must split into ~8 salted groups, none anywhere
+    # near the original size
+    assert sizes["mx"] <= 2 * 8
+    assert sizes["groups"] >= 60 // 8  # the hot bucket really did split

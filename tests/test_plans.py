@@ -68,6 +68,8 @@ def test_plan_build_triggers_no_jobs(spark):
         # runs a streaming drain by contract
         "stream_stateful_user_totals",
         "stream_interval_join",
+        "stream_upsert_drain",
+        "stream_cdc_drain",
         # ingest demos: materialize the text/CSV/JSON files they then read
         # distributed — the file writes are fixture setup, inherently jobs
         "source_vec_model_table",
