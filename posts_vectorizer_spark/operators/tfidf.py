@@ -132,24 +132,28 @@ def term_counts(documents: DataFrame) -> DataFrame:
 
 def term_frequency(documents: DataFrame, base: DataFrame | None = None) -> DataFrame:
     """(doc_id, word, cnt, total_tokens, tf) — tf = cnt / total occurrences
-    including repeats (A4, worker.py:49-52). total comes from F.size on the
-    token array (cheap, no second shuffle)."""
+    including repeats (A4, worker.py:49-52).
+
+    total_tokens rides THROUGH the explode as an extra grouping key
+    (functionally dependent on doc_id, so the group cardinality is
+    unchanged): the per-(doc,word) count and the per-doc total come out of
+    ONE map-side-combinable shuffle — no counts⋈totals join, no second
+    exchange. 8 bytes more per shuffle row buys a whole join stage."""
     if base is None:
         base = persist_tracked(token_base(documents))
-    counts = (
-        base.select("doc_id", F.explode("toks").alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
-    )
     return (
-        counts
-        .join(base.select("doc_id", "total_tokens"), "doc_id")
-        .withColumn(
-            "tf",
+        base.select("doc_id", "total_tokens", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word", "total_tokens")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            "word",
+            "cnt",
+            "total_tokens",
             F.when(
                 F.col("total_tokens") > 0,
                 F.col("cnt").cast("double") / F.col("total_tokens"),
-            ).otherwise(F.lit(0.0)),
+            ).otherwise(F.lit(0.0)).alias("tf"),
         )
     )
 
