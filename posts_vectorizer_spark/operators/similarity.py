@@ -699,6 +699,65 @@ def ivf_ann(
     )
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    filter_col: str = "label",
+    max_group_build: int | None = 8192,
+) -> DataFrame:
+    """Filtered exact top-k: nearest neighbors restricted to vectors
+    sharing the query's ``filter_col`` value (the metadata-filtered ANN
+    shape — "top-k within the same tenant/category/language"). The filter
+    IS the partitioning: each filter group reranks independently through
+    the same grouped numpy kernel as lsh_ann/ivf_ann, so candidates are
+    generated by an equi-join on the filter value, never a global scan.
+    A hot filter value (one giant category) is bounded by the same salt
+    split as the ANN paths. Returns (query_id, neighbor_id, cosine, rk)
+    like :func:`topk`."""
+    keyed = embeddings.select(
+        F.col(filter_col).alias("grp"),
+        "vec_id",
+        "embedding",
+        V.norm("embedding").alias("nrm"),
+    )
+    build = keyed.withColumn("is_probe", F.lit(False))
+    probe = keyed.withColumn("is_probe", F.lit(True))
+    if max_group_build is not None:
+        grouped, keys = _salt_split(build, probe, "grp", max_group_build)
+    else:
+        grouped, keys = build.unionByName(probe), ["grp"]
+    per_group = grouped.groupBy(*keys).applyInPandas(
+        _grouped_rerank_kernel(k),
+        schema="query_id long, neighbor_id long, cosine double",
+    )
+    # each query lives in exactly one filter group; the window is only the
+    # per-query rank (and the salt re-merge when the guard split a group)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return per_group.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+
+
+def filtered_topk_sql(k: int = 3, filter_col: str = "label") -> str:
+    cos = V.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({cos}, {COSINE_ROUND}) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.{filter_col} = b.{filter_col} AND a.vec_id <> b.vec_id
+)
+SELECT * FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+) WHERE rk <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # vector aggregation (centroids)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,222 @@
+"""r4 wave — pipeline-infrastructure operators a 100 TB curation stack
+needs beyond the core inventory: runtime-filter join pruning, per-domain
+caps, intra-document repetition removal, cohort retention, filtered ANN,
+ORC format coverage, and a driver-checkable streaming dedup drain (ST7).
+
+All [Q]: every query here carries a DuckDB oracle. The streaming/format
+queries use the single-batch determinism trick established by
+stream_interval_join (queries_extras.py)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as _T
+from ..sources import load_table
+from .registry import register
+
+SOURCE_CAP = 10
+CHUNK = 4
+
+
+@register(
+    "rel_bloom_prune_join",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+            AS DECIMAL(18,2)) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+""",
+)
+def rel_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: a broadcast Bloom filter of the selective dim
+    side (urgent orders) prunes the fact scan BEFORE the join shuffle —
+    the public-primitive build of Spark's internal InjectRuntimeFilter
+    shape (operators/runtime_filter.py). The filter is purely physical:
+    false positives die in the exact join, so the oracle is the plain
+    join. At 100 TB this is the difference between shuffling all of
+    lineitem and shuffling the matching slice."""
+    from ..operators.runtime_filter import bloom_prune_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_prune_join(li, orders, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).cast("decimal(18,2)").alias("revenue"),
+    )
+
+
+@register(
+    "dedup_source_cap",
+    oracle=f"""
+SELECT doc_id, source, CAST(rn AS BIGINT) AS source_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {SOURCE_CAP}
+""",
+)
+def dedup_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap — the web-curation guard against any one source
+    dominating the corpus: keep at most {SOURCE_CAP} docs per source,
+    preferring longer docs (n_chars desc, doc_id tiebreak). One
+    source-keyed window; at scale the rank never materializes beyond the
+    cap because row_number + filter pushes the limit into the sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SOURCE_CAP)
+        .select(
+            "doc_id", "source", F.col("rn").cast("bigint").alias("source_rank")
+        )
+    )
+
+
+@register(
+    "text_chunk_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_T.tokens_sql('text')} AS toks FROM documents
+),
+chunked AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST((len(toks) + {CHUNK - 1}) // {CHUNK} AS INT) - 1),
+           c_i -> array_to_string(toks[c_i * {CHUNK} + 1 : c_i * {CHUNK} + {CHUNK}],
+                                  chr(1))
+         ) AS chunks
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(chunks) AS BIGINT) AS n_chunks,
+       CAST(len(list_distinct(chunks)) AS BIGINT) AS n_unique_chunks,
+       CAST(round(CASE WHEN len(chunks) > 0
+                  THEN 1.0 - CAST(len(list_distinct(chunks)) AS DOUBLE)
+                       / len(chunks)
+                  ELSE 0.0 END, 6) AS DOUBLE) AS dup_chunk_ratio
+FROM chunked
+""",
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition profile: segment each doc into
+    non-overlapping {CHUNK}-token chunks and measure how many are exact
+    repeats of an earlier chunk in the SAME doc — the boilerplate /
+    template-spam signal used to trim repetitive documents before
+    training. Entirely narrow (array HOFs inside codegen): no explode, no
+    shuffle — per-doc cost is bounded by doc length, so the pass
+    distributes perfectly at any corpus size. Chunks compare as
+    \\x01-joined strings (tokens never contain control chars — they are
+    whitespace-split text) so both engines dedupe a flat string list."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _T.tokens("text")
+    n_chunks_c = F.ceil(F.size(toks) / F.lit(CHUNK)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks_c - 1),
+            lambda i: F.array_join(F.slice(toks, i * CHUNK + 1, CHUNK), "\x01"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select("doc_id", chunks.alias("chunks"))
+    n = F.size("chunks").cast("bigint")
+    uniq = F.size(F.array_distinct("chunks")).cast("bigint")
+    return out.select(
+        "doc_id",
+        n.alias("n_chunks"),
+        uniq.alias("n_unique_chunks"),
+        F.round(
+            F.when(n > 0, 1.0 - uniq.cast("double") / n).otherwise(0.0), 6
+        ).cast("double").alias("dup_chunk_ratio"),
+    )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source, lang
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 format coverage beyond CSV/JSON: round-trip documents through
+    ORC (Spark-native columnar alternative to parquet; same predicate
+    pushdown and column pruning) and aggregate the read-back side. The
+    roundtrip must be lossless, so the oracle aggregates the original
+    parquet directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="pv_orc_")
+    docs.write.mode("overwrite").orc(work)
+    back = spark.read.orc(work)
+    return back.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "stream_dedup_drain",
+    oracle="""
+SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+FROM events
+""",
+)
+def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 with a driver row: the events table is delivered TWICE (two
+    source files = two forced micro-batches via maxFilesPerTrigger=1);
+    streaming dropDuplicates keys per-event state in the state store, so
+    the second delivery — a different batch — is dropped entirely.
+    Deterministic: duplicate rows are bit-identical, so whichever arrives
+    first yields the same output; the final table is exactly the distinct
+    events, which is the oracle."""
+    from ..streaming import dedup_stream
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="pv_sdd_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    # two identical full deliveries -> two files -> two micro-batches
+    e.coalesce(1).write.mode("append").parquet(source)
+    e.coalesce(1).write.mode("append").parquet(source)
+    q = dedup_stream(
+        spark, source, e.schema, target, ckpt,
+        keys=("event_id",), max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target)
+
+
+from ..operators.similarity import filtered_topk_sql  # noqa: E402
+
+
+@register("sim_filtered_topk", oracle=filtered_topk_sql(k=3))
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered exact ANN: top-3 cosine neighbors restricted to the
+    query's own label (metadata-filtered vector search — "nearest within
+    the same category"). The filter value IS the partition key: candidates
+    come from a label equi-join through the grouped numpy kernel, bounded
+    by the same salt split as lsh_ann/ivf_ann
+    (operators/similarity.py::filtered_topk)."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.filtered_topk(emb, k=3)

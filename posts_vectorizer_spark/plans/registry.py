@@ -89,7 +89,7 @@ _HEAD_ORDER: tuple[str, ...] = (
     # rotated-out rows keep their recorded driver rows.
     "curation_pipeline", "text_dsir_weights", "dedup_keep_longest",
     "events_scd2_versions", "events_scd2_lookup", "events_debounce_bursts",
-    "stream_upsert_drain", "stream_cdc_drain",
+    "stream_upsert_drain", "stream_dedup_drain",
     "rel_tpch_q5_region_volume", "rel_grouping_sets",
     "text_redact_pii", "text_pack_sequences",
     "events_funnel_conversion", "text_winnowing_fingerprints",
@@ -133,7 +133,8 @@ def _ensure_loaded() -> None:
                 "queries_quality", "queries_curation", "queries_corpus",
                 "queries_sketch", "queries_timeseries",
                 "queries_governance", "queries_lakehouse",
-                "queries_stats", "queries_fuzzy", "queries_extras"):
+                "queries_stats", "queries_fuzzy", "queries_pipeline",
+                "queries_extras"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:

@@ -323,6 +323,31 @@ def test_debounce_keeps_earliest_event_not_smallest_id(spark):
     assert sorted((r[2], r[3]) for r in oracle) == expected
 
 
+def test_bloom_runtime_filter_prunes_without_false_negatives(spark):
+    """The Bloom runtime filter must (a) never drop a true match — the
+    exact-join oracle equality depends on it — and (b) actually prune:
+    with a selective dim side, most non-matching fact rows die before the
+    join. Checked directly on the pruned relation, not just end-to-end."""
+    from posts_vectorizer_spark.operators import runtime_filter as RT
+
+    fact = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 10_000, 100).select(F.col("id").alias("d"))  # 100 keys
+    bloom = RT.build_bloom(dim, "d")
+    pruned = (
+        fact.crossJoin(F.broadcast(bloom))
+        .where(RT.might_contain(F.col("bloom"), F.col("k")))
+        .drop("bloom")
+    )
+    kept = {r.k for r in pruned.collect()}
+    true_keys = {r.d for r in dim.collect()}
+    assert true_keys <= kept  # no false negatives, ever
+    # 100 keys in 4096*64 bits -> fp rate well under 1%; allow generous slack
+    assert len(kept) < 100 + 500
+    # and the exact join of the pruned side equals the plain join
+    got = pruned.join(dim, pruned.k == dim.d).count()
+    assert got == 100
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B and B~C (but no direct A~C pair) must land in ONE component, and
     unrelated docs stay singletons — the transitivity the pair list alone
