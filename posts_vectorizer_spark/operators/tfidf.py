@@ -241,40 +241,60 @@ def idf_table(
     spark = documents.sparkSession
     if base is None:
         base = persist_tracked(token_base(documents))
-    eligible = base.where(
-        (F.col("lang") == lang) & (F.col("total_tokens") >= ELIGIBLE_MIN_TOKENS)
+    elig = (
+        (F.col("lang") == lang)
+        & (F.col("total_tokens") >= ELIGIBLE_MIN_TOKENS)
     )
-    # TOTAL_POSTS (calculate_idf_scores.py:74) as a broadcast 1-row
-    # aggregate, not a driver-side .count(): no driver sync point, the
-    # whole job stays one declarative plan.
-    n_df = eligible.agg(F.count("*").cast("double").alias("n_docs"))
-    # ONE pass over the token stream computes vocabulary membership AND
-    # eligible-doc occurrences together (conditional count on the
-    # eligibility flag). Previously: two exploded passes, two word-keyed
-    # shuffles, plus a vocab-LEFT-JOIN-occurrences shuffle; the fused
-    # groupBy(word) is map-side combinable so its shuffle carries one row
-    # per distinct word per partition — and the join disappears.
+    # ONE word-keyed shuffle computes vocabulary membership, eligible-doc
+    # occurrences, the zero-occurrence extras, AND the eligible-doc count
+    # together. The stream unioned into the groupBy carries three row
+    # kinds, discriminated by a boolean marker column (never by a magic
+    # token value — arbitrary text can contain anything):
+    #   (word, marker=false, elig)  one per token passing the vocab length
+    #                               gate (a vocab word's count is
+    #                               unaffected by dropping sub-length
+    #                               tokens, and the filter shrinks the
+    #                               exchange by the Zipf head);
+    #   (extra, marker=false, false) one per dictionary extra — merges
+    #                               with corpus rows of the same word, so
+    #                               extras-in-corpus keep exact counts and
+    #                               absent extras surface with 0;
+    #   (null, marker=true, elig)   one per document — the marker group's
+    #                               conditional count IS TOTAL_POSTS
+    #                               (calculate_idf_scores.py:74), read
+    #                               from the same shuffle instead of a
+    #                               second pass over the corpus.
     toks = base.select(
         F.explode("toks").alias("word"),
-        (
-            (F.col("lang") == lang)
-            & (F.col("total_tokens") >= ELIGIBLE_MIN_TOKENS)
-        ).alias("elig"),
+        F.lit(False).alias("marker"),
+        elig.alias("elig"),
+    ).where(
+        (F.length("word") >= MIN_WORD_LEN)
+        | F.col("word").isin(*DICTIONARY_EXTRAS)
     )
-    word_stats = toks.groupBy("word").agg(
-        F.sum(F.when(F.col("elig"), 1).otherwise(0)).alias("occurrences")
-    )
-    corpus_vocab = word_stats.where(F.length("word") >= MIN_WORD_LEN)
     extras = spark.createDataFrame(
-        [(w, 0) for w in DICTIONARY_EXTRAS], ["word", "occurrences"]
+        [(w, False, False) for w in DICTIONARY_EXTRAS],
+        ["word", "marker", "elig"],
     )
-    # union + max-merge keeps exact semantics even if an extra ever appears
-    # in the corpus (vocab-sized relation — cheap shuffle).
-    vocab_occ = (
-        corpus_vocab.unionByName(extras)
-        .groupBy("word")
-        .agg(F.max("occurrences").alias("occurrences"))
+    doc_markers = base.select(
+        F.lit(None).cast("string").alias("word"),
+        F.lit(True).alias("marker"),
+        elig.alias("elig"),
     )
+    stats = (
+        toks.unionByName(extras)
+        .unionByName(doc_markers)
+        .groupBy("word", "marker")
+        .agg(F.sum(F.when(F.col("elig"), 1).otherwise(0)).alias("occurrences"))
+    )
+    # agg (not a bare filter) so n_df is exactly one row even on an empty
+    # corpus, where the extras must still flow through the sentinel path.
+    n_df = stats.where(F.col("marker")).agg(
+        F.coalesce(F.sum("occurrences"), F.lit(0))
+        .cast("double")
+        .alias("n_docs")
+    )
+    vocab_occ = stats.where(~F.col("marker")).select("word", "occurrences")
     raw = (
         vocab_occ.crossJoin(F.broadcast(n_df))
         .withColumn(
