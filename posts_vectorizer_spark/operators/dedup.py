@@ -261,36 +261,40 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for the given (doc_a, doc_b) pairs only.
 
-    The per-doc shingle-array relation is persisted: it feeds three
-    branches (sizes — a narrow F.size, no counting shuffle; probe side;
-    left-semi build side) that would otherwise each re-run tokenize +
-    shingle + hash over the full corpus."""
+    Each pair fetches BOTH docs' shingle arrays (two doc-keyed equi-joins
+    against the persisted array relation) and intersects them in-row with
+    ``array_intersect`` — O(|a|+|b|) per pair inside codegen. This
+    replaced the exploded-shingle semi-join + count (the one
+    SortMergeJoin the r3 plan audit flagged): that shape shuffled EVERY
+    doc's exploded shingle set to serve the semi-join build side, where
+    this one moves only the candidate docs' arrays. A band-collision pair
+    with zero real overlap still emits (jaccard 0) — the arrays exist for
+    every banded doc, and the intersection is just empty."""
     if arrays is None:
         arrays = persist_tracked(_doc_shingle_arrays(documents))
-    shingles = _doc_shingles(documents, arrays=arrays)
-    sizes = arrays.select("doc_id", F.size("shs").cast("long").alias("sz"))
-    wa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
-    wb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        pairs.join(wa, "doc_a")
-        .join(wb, ["doc_b", "sh"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill({"inter": 0})
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    a = arrays.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = arrays.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    with_counts = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                round_digits,
-            ).alias("jaccard"),
+            F.size(F.array_intersect("shs_a", "shs_b"))
+            .cast("long")
+            .alias("inter"),
+            F.size("shs_a").cast("long").alias("sz_a"),
+            F.size("shs_b").cast("long").alias("sz_b"),
         )
+    )
+    return with_counts.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            round_digits,
+        ).alias("jaccard"),
     )
 
 
