@@ -100,13 +100,28 @@ def merge_upsert_parquet(
     target_dir: str,
     keys: list[str],
     n_buckets: int = DEFAULT_BUCKETS,
+    order_col: str | None = None,
 ) -> None:
     """Upsert ``updates`` into the bucketed parquet table at ``target_dir``
     keyed on ``keys``: matched rows are replaced, new rows inserted. Updates
     must be unique per key (caller aggregates first), mirroring the per-_id
     $set. ``n_buckets`` applies on first write; existing tables keep theirs.
+
+    With ``order_col`` set (a monotone per-key version/sequence column,
+    stored in the table), the merge is ORDERED: an incoming row wins only
+    if its order_col is >= the stored row's — equal orders break on the
+    remaining columns name-sorted desc, the same deterministic rule as
+    streaming compaction. This makes the sink convergent under
+    out-of-order CROSS-batch delivery (a replayed old batch can no longer
+    clobber newer state), the missing half of the at-least-once story —
+    in-batch ordering is the caller's compaction, cross-batch ordering is
+    this merge condition. It is Delta's
+    ``WHEN MATCHED AND s.seq >= t.seq THEN UPDATE`` in the same bucketed
+    mechanics.
     """
-    _merge_parquet(spark, updates, None, target_dir, keys, n_buckets)
+    _merge_parquet(
+        spark, updates, None, target_dir, keys, n_buckets, order_col=order_col
+    )
 
 
 def apply_cdc_parquet(
@@ -140,6 +155,7 @@ def _merge_parquet(
     target_dir: str,
     keys: list[str],
     n_buckets: int,
+    order_col: str | None = None,
 ) -> None:
     os.makedirs(target_dir, exist_ok=True)
     manifest = _read_manifest(target_dir)
@@ -168,10 +184,36 @@ def _merge_parquet(
         ]
         if touched_dirs:
             current = spark.read.parquet(*touched_dirs)
-            kept = current.join(
-                bucketed_keys.select(*keys), keys, "left_anti"
-            ).withColumn("_bucket", _bucket_col(keys, n_buckets))
-            merged = kept.unionByName(bucketed_upserts)
+            if order_col is None:
+                # last-batch-wins: incoming rows replace stored rows
+                kept = current.join(
+                    bucketed_keys.select(*keys), keys, "left_anti"
+                ).withColumn("_bucket", _bucket_col(keys, n_buckets))
+                merged = kept.unionByName(bucketed_upserts)
+            else:
+                # ordered merge: for keys present on both sides, the row
+                # with the greater order_col wins (ties: remaining columns
+                # name-sorted desc, nulls last — deterministic replay).
+                # Window over (key) on current ∪ incoming of the touched
+                # buckets only — cost still O(touched), not O(table).
+                from pyspark.sql.window import Window
+
+                both = current.withColumn(
+                    "_bucket", _bucket_col(keys, n_buckets)
+                ).unionByName(bucketed_upserts)
+                tiebreak = [
+                    F.col(c).desc_nulls_last()
+                    for c in sorted(both.columns)
+                    if c not in keys and c not in (order_col, "_bucket")
+                ]
+                w = Window.partitionBy(*keys).orderBy(
+                    F.col(order_col).desc_nulls_last(), *tiebreak
+                )
+                merged = (
+                    both.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
         else:
             merged = bucketed_upserts
     else:

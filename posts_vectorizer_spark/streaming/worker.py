@@ -309,24 +309,26 @@ def interval_join_stream(
 
 
 def _compact_last_per_key(
-    batch: DataFrame, keys: list[str], order_col: str
+    batch: DataFrame, keys: list[str], order_col: str, keep_order: bool = False
 ) -> DataFrame:
     """Last-wins changelog compaction: keep the row with max ``order_col``
     per key. Ties on order_col break on every remaining column, name-sorted
     descending (nulls last), so the winner is a pure function of the
     batch's row set — a foreachBatch retry of the same batch picks the
-    same winner (at-least-once + idempotent merge = convergent)."""
+    same winner (at-least-once + idempotent merge = convergent).
+    ``keep_order`` retains the order column for an ordered sink merge."""
     tiebreak = [
         F.col(c).desc_nulls_last()
         for c in sorted(batch.columns)
         if c not in keys and c != order_col
     ]
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), *tiebreak)
-    return (
+    out = (
         batch.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", order_col)
+        .drop("_rn")
     )
+    return out if keep_order else out.drop(order_col)
 
 
 def upsert_stream(
@@ -340,6 +342,7 @@ def upsert_stream(
     available_now: bool = True,
     n_buckets: int = 16,
     max_files_per_trigger: int | None = None,
+    ordered_sink: bool = False,
 ):
     """ST1/ST3 in its generic form: consume a stream of keyed records and
     maintain a last-write-wins materialized table — readStream ->
@@ -348,9 +351,18 @@ def upsert_stream(
     ``cdc_apply_stream`` for sources without explicit I/U/D ops (the
     common "entity snapshots on a bus" ingest shape). foreachBatch is
     at-least-once and merge_upsert_parquet is idempotent on keys, so
-    crash/retry converges (ST3 contract)."""
+    crash/retry converges (ST3 contract).
+
+    ``ordered_sink=True`` (requires order_col) stores the order column in
+    the table and merges conditionally — a stored row is replaced only by
+    a >=-ordered incoming row — so convergence holds even when WHOLE
+    BATCHES replay or arrive out of order (a replayed old file can no
+    longer clobber newer state). Plain mode converges only under
+    in-order batch delivery, the default file-source behavior."""
     from ..sources.sinks import merge_upsert_parquet
 
+    if ordered_sink and order_col is None:
+        raise ValueError("ordered_sink requires order_col")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -359,8 +371,13 @@ def upsert_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df
         if order_col is not None:
-            batch = _compact_last_per_key(batch, keys, order_col)
-        merge_upsert_parquet(spark, batch, target_dir, keys, n_buckets)
+            batch = _compact_last_per_key(
+                batch, keys, order_col, keep_order=ordered_sink
+            )
+        merge_upsert_parquet(
+            spark, batch, target_dir, keys, n_buckets,
+            order_col=order_col if ordered_sink else None,
+        )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -539,6 +539,63 @@ def test_cdc_stream_applies_changelog_across_batches(spark, tmp_path):
     assert got == {1: "a", 2: "B", 4: "D4"}
 
 
+def test_ordered_merge_rejects_stale_rows(spark, tmp_path):
+    """merge_upsert_parquet(order_col=...): a stored row is replaced only
+    by a >=-ordered incoming row — replaying an OLD batch after a newer
+    one must not clobber state (the cross-batch half of at-least-once
+    convergence; per-batch compaction only covers within-batch order)."""
+    from posts_vectorizer_spark.sources.sinks import merge_upsert_parquet
+
+    target = str(tmp_path / "t")
+    new = spark.createDataFrame(
+        [(1, "new", 10), (2, "new", 10)], "k long, v string, seq long"
+    )
+    stale = spark.createDataFrame(
+        [(1, "stale", 5), (3, "i", 5)], "k long, v string, seq long"
+    )
+    merge_upsert_parquet(spark, new, target, ["k"], order_col="seq")
+    merge_upsert_parquet(spark, stale, target, ["k"], order_col="seq")
+    got = {r.k: (r.v, r.seq) for r in read_merged(spark, target).collect()}
+    # key 1 keeps the newer row; key 3 (absent before) inserts
+    assert got == {1: ("new", 10), 2: ("new", 10), 3: ("i", 5)}
+    # replaying the new batch is still idempotent (>= keeps determinism)
+    merge_upsert_parquet(spark, new, target, ["k"], order_col="seq")
+    got = {r.k: (r.v, r.seq) for r in read_merged(spark, target).collect()}
+    assert got == {1: ("new", 10), 2: ("new", 10), 3: ("i", 5)}
+
+
+def test_upsert_stream_ordered_sink_survives_out_of_order_batches(
+    spark, tmp_path
+):
+    """upsert_stream(ordered_sink=True) end-to-end: the high-seq file
+    lands FIRST, the low-seq file second (mtime order = batch order, one
+    file per micro-batch) — the final state must keep the high-seq rows.
+    The plain sink would let the second batch overwrite."""
+    import time as _time
+
+    from posts_vectorizer_spark.streaming import upsert_stream
+
+    schema = "k long, v string, seq long"
+    source = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "newer", 20), (2, "newer", 20)], schema
+    ).coalesce(1).write.mode("append").parquet(source)
+    _time.sleep(1.1)  # distinct mtimes pin batch order
+    spark.createDataFrame(
+        [(1, "older", 7), (3, "older", 7)], schema
+    ).coalesce(1).write.mode("append").parquet(source)
+
+    q = upsert_stream(
+        spark, source, spark.createDataFrame([], schema).schema,
+        str(tmp_path / "t"), str(tmp_path / "ckpt"),
+        keys=["k"], order_col="seq", max_files_per_trigger=1,
+        ordered_sink=True,
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in read_merged(spark, str(tmp_path / "t")).collect()}
+    assert got == {1: "newer", 2: "newer", 3: "older"}
+
+
 def test_cdc_compaction_tiebreak_deterministic_on_duplicate_seq(
     spark, tmp_path
 ):
