@@ -205,6 +205,41 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
+SAMPLE_PCT = 10
+
+
+@register(
+    "rel_hash_sample",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS l_quantity
+FROM lineitem
+WHERE ({_T.char_hash_sql(
+        "(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))"
+    )}) % 100 < {SAMPLE_PCT}
+""",
+)
+def rel_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 made reproducible: deterministic ~{SAMPLE_PCT}% Bernoulli sample
+    by portable hash of the row key — the split/sample primitive a
+    training pipeline needs to be RERUNNABLE (same rows on every engine,
+    every run, any partitioning), unlike rel_sample's engine-RNG [R]
+    form. The hash is the shared char_hash, so the oracle selects the
+    identical rows. Fully narrow: the predicate evaluates at the scan,
+    no shuffle, and composes with any downstream op."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.where(_T.char_hash(key) % 100 < SAMPLE_PCT).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+
+
 from ..operators.similarity import filtered_topk_sql  # noqa: E402
 
 
