@@ -596,6 +596,34 @@ def test_upsert_stream_ordered_sink_survives_out_of_order_batches(
     assert got == {1: "newer", 2: "newer", 3: "older"}
 
 
+def test_ordered_merge_converges_under_any_batch_order(spark, tmp_path):
+    """The ordered merge's contract, stated as a property: applying the
+    same set of batches in ANY order (including duplicates — at-least-once
+    redelivery) yields the SAME final state: per key, the globally
+    max-(order, tiebreak) row."""
+    import itertools
+
+    from posts_vectorizer_spark.sources.sinks import merge_upsert_parquet
+
+    batches = [
+        [(1, "a1", 1), (2, "b1", 1)],
+        [(1, "a2", 2), (3, "c2", 2)],
+        [(2, "b3", 3), (3, "c3", 3), (4, "d3", 3)],
+    ]
+    expected = {1: ("a2", 2), 2: ("b3", 3), 3: ("c3", 3), 4: ("d3", 3)}
+    orders = list(itertools.permutations(range(3)))[:4] + [(0, 1, 2, 1, 0)]
+    for i, order in enumerate(orders):
+        target = str(tmp_path / f"t{i}")
+        for b in order:
+            merge_upsert_parquet(
+                spark,
+                spark.createDataFrame(batches[b], "k long, v string, seq long"),
+                target, ["k"], order_col="seq",
+            )
+        got = {r.k: (r.v, r.seq) for r in read_merged(spark, target).collect()}
+        assert got == expected, f"order {order} diverged"
+
+
 def test_cdc_compaction_tiebreak_deterministic_on_duplicate_seq(
     spark, tmp_path
 ):
