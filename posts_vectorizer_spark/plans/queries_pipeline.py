@@ -173,6 +173,61 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_schema_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, source, n_chars, NULL AS quality_tier
+  FROM documents WHERE doc_id % 2 = 0
+),
+v2 AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS quality_tier
+  FROM documents WHERE doc_id % 2 = 1
+),
+unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT source,
+       COALESCE(quality_tier, 'unknown') AS quality_tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM unioned
+GROUP BY source, COALESCE(quality_tier, 'unknown')
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 schema evolution: a dataset written in two generations — v1
+    files lack the later-added ``quality_tier`` column — read back as ONE
+    table via ``mergeSchema``, with v1 rows surfacing NULL for the new
+    column (the additive-evolution contract every long-lived lakehouse
+    table relies on). The aggregate proves the merged read is lossless
+    and the NULL back-fill lands where the oracle's explicit NULLs do.
+    At scale mergeSchema's footer sampling is the cost knob; pinning the
+    merged schema in the metastore amortizes it."""
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="pv_evo_")
+    docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    ).write.mode("overwrite").parquet(f"{work}/gen=1")
+    docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("n_chars") >= 300, "long")
+        .otherwise("short")
+        .alias("quality_tier"),
+    ).write.mode("overwrite").parquet(f"{work}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{work}/gen=1", f"{work}/gen=2"
+    )
+    return merged.groupBy(
+        "source",
+        F.coalesce("quality_tier", F.lit("unknown")).alias("quality_tier"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "stream_dedup_drain",
     oracle="""
 SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value

@@ -73,6 +73,7 @@ def test_plan_build_triggers_no_jobs(spark):
         "stream_dedup_drain",
         # writes the ORC copy it then reads — fixture setup, inherently jobs
         "source_orc_roundtrip",
+        "source_schema_evolution",
         # ingest demos: materialize the text/CSV/JSON files they then read
         # distributed — the file writes are fixture setup, inherently jobs
         "source_vec_model_table",
