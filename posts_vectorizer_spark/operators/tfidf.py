@@ -287,30 +287,48 @@ def idf_table(
         .groupBy("word", "marker")
         .agg(F.sum(F.when(F.col("elig"), 1).otherwise(0)).alias("occurrences"))
     )
-    # agg (not a bare filter) so n_df is exactly one row even on an empty
+    # BOTH broadcast scalars the idf transform needs come from ONE 1-row
+    # aggregate over the same stats relation (previously two separate
+    # broadcast-subquery passes, each re-running the word shuffle):
+    #   n_docs       = the marker group's conditional count;
+    #   min(idf_raw) = log10(n_docs / max_occ) by monotonicity of
+    #                  log10(n/occ) in occ, floored at the -1 sentinel iff
+    #                  any vocab word has zero occurrences — bit-identical
+    #                  to the old explicit min over per-word idf_raw
+    #                  (the minimizing word's value is the same double op).
+    # F.least skips NULLs, so each guard contributes only when defined;
+    # agg (not a bare filter) keeps exactly one row even on an empty
     # corpus, where the extras must still flow through the sentinel path.
-    n_df = stats.where(F.col("marker")).agg(
-        F.coalesce(F.sum("occurrences"), F.lit(0))
-        .cast("double")
-        .alias("n_docs")
-    )
-    vocab_occ = stats.where(~F.col("marker")).select("word", "occurrences")
-    raw = (
-        vocab_occ.crossJoin(F.broadcast(n_df))
-        .withColumn(
-            "idf_raw",
+    not_marker = ~F.col("marker")
+    glob = stats.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("marker"), F.col("occurrences"))), F.lit(0)
+        ).cast("double").alias("n_docs"),
+        F.max(F.when(not_marker, F.col("occurrences"))).alias("max_occ"),
+        F.max(
+            F.when(not_marker & (F.col("occurrences") == 0), 1).otherwise(0)
+        ).alias("has_zero_occ"),
+    ).select(
+        "n_docs",
+        F.least(
+            F.when(F.col("has_zero_occ") == 1, F.lit(IDF_SENTINEL)),
             F.when(
-                F.col("occurrences") > 0,
-                F.log10(F.col("n_docs") / F.col("occurrences")),
-            ).otherwise(F.lit(IDF_SENTINEL)),
-        )
-        .drop("n_docs")
+                F.col("max_occ") > 0,
+                F.log10(F.col("n_docs") / F.col("max_occ")),
+            ),
+        ).alias("min_idf_raw"),
     )
-    min_df = raw.agg(F.min("idf_raw").alias("min_idf_raw"))
-    return raw.crossJoin(F.broadcast(min_df)).select(
+    vocab_occ = stats.where(not_marker).select("word", "occurrences")
+    return vocab_occ.crossJoin(F.broadcast(glob)).select(
         "word",
         "occurrences",
-        F.when(F.col("idf_raw") > 0, F.col("idf_raw"))
+        F.when(
+            F.col("occurrences") > 0,
+            F.when(
+                F.log10(F.col("n_docs") / F.col("occurrences")) > 0,
+                F.log10(F.col("n_docs") / F.col("occurrences")),
+            ).otherwise(F.col("min_idf_raw")),
+        )
         .otherwise(F.col("min_idf_raw"))
         .alias("idf"),
     )
@@ -397,13 +415,19 @@ def doc_vectors(
 
     Plan shape, chosen for 100 TB (see module docstring):
       1. candidate docs: lang + Q1 flag filter — both pushed to the scan;
-      2. per-(doc,word) tf (map-side combinable groupBy);
-      3. broadcast-join the word->(idf, vec_id) table (vocab-sized);
-      4. pre-aggregate weight = Σ tf·idf per (doc_id, vec_id) — hash
+      2. ONE doc_id repartition of the candidate token-ARRAY relation —
+         hash partitioning on doc_id satisfies the clustered distribution
+         of EVERY downstream aggregation key set ((doc,word,total),
+         (doc,vec), (doc,dim): doc_id is a subset of each), so steps 3-6
+         run with ZERO further exchanges; the fact side crosses the wire
+         exactly once, as compact arrays (plan-asserted in
+         tests/test_plans.py);
+      3. per-(doc,word) tf (exchange-free groupBy, exploded post-shuffle);
+      4. broadcast-join the word->(idf, vec_id) table (vocab-sized);
+      5. pre-aggregate weight = Σ tf·idf per (doc_id, vec_id) — hash
          collisions of the word routing sum BEFORE the dim expansion;
-      5. join embeddings on vec_id, posexplode to (dim, val);
-      6. final groupBy (doc_id, dim) — the only row-multiplying step happens
-         on the already-aggregated relation.
+      6. join embeddings on vec_id, posexplode to (dim, val), final
+         groupBy (doc_id, dim) — the row-multiplying step never shuffles.
 
     The whole plan hangs off ONE persisted token_base — tf, totals,
     vocabulary, IDF occurrences, and eligibility all read the cached
@@ -414,6 +438,7 @@ def doc_vectors(
     docs = base.where(F.col("lang") == lang)
     if apply_flag_filter:
         docs = docs.where(needs_vector("doc_id"))
+    docs = docs.repartition("doc_id")
 
     tf = term_frequency(documents, base=docs)
     wv = word_vectors(documents, embeddings, lang, base=base).select(

@@ -89,6 +89,24 @@ def test_plan_build_triggers_no_jobs(spark):
         assert not jobs, f"{name} launched job(s) {sorted(jobs)} at plan build"
 
 
+def test_flagship_fact_side_shuffles_once(spark):
+    """The r4 flagship plan claim: the candidate/token fact side crosses
+    the wire EXACTLY once (the doc_id repartition of the token-array
+    relation); tf, weights, and the final dim agg all run on that one
+    partitioning (doc_id is a subset of every downstream grouping key).
+    Word-keyed exchanges belong to the vocab-sized dimension chain only."""
+    import re
+
+    df = E.queries()["tfidf_doc_vectors"](spark, SF_ORACLE)
+    plan = _plan(df)
+    doc_exchanges = re.findall(r"Exchange hashpartitioning\(doc_id", plan)
+    assert len(doc_exchanges) == 1, plan[:2000]
+    # the aggregations that used to shuffle must not appear as exchanges
+    assert not re.search(r"Exchange hashpartitioning\(doc_id[^)]*, word", plan)
+    assert not re.search(r"Exchange hashpartitioning\(doc_id[^)]*, vec_id", plan)
+    assert not re.search(r"Exchange hashpartitioning\(doc_id[^)]*, dim", plan)
+
+
 def test_tpch_star_joins_broadcast_dims(spark):
     """Q3/Q5: every dimension side broadcasts; only the fact-fact join
     shuffles. No cartesian products."""
