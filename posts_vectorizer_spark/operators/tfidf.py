@@ -523,6 +523,10 @@ def doc_profile(
     docs = base.where(F.col("lang") == lang)
     if apply_flag_filter:
         docs = docs.where(needs_vector("doc_id"))
+    # one doc_id exchange serves the knowns aggregation AND the
+    # totals⋈knowns join (same subset-partitioning argument as
+    # doc_vectors' fact side)
+    docs = docs.repartition("doc_id")
     totals = docs.select("doc_id", "total_tokens")
     vocab = vocabulary(documents, base=base)
     knowns = (
