@@ -688,3 +688,64 @@ def rel_custdist_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(o["o_orderkey"]).alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 — returned-item revenue report (top-k customer ranking)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_tpch_q10_returns",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       {_DEC_REVENUE_SQL} AS revenue
+FROM customer
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def rel_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item revenue): which customers returned the most
+    value in a quarter. Completes the TPC-H trio (Q3 priority, Q5 volume,
+    Q13 custdist) with the top-k-after-join-agg shape.
+
+    Scale shape: both selective predicates (returnflag on the fact,
+    orderdate on orders) push into their scans BEFORE the one
+    orders⋈lineitem shuffle; customer/nation broadcast onto the aggregated
+    side. The final order-by-limit is a TakeOrderedAndProject — per
+    partition top-20 then a single 20-row merge at the driver, never a
+    global sort. Ties at the cut are impossible: (revenue, c_custkey)
+    is a total order on customers."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name", "c_acctbal"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(_dec_revenue().alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -638,3 +638,92 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_shingles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope — power-law fit of the token frequency curve
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+WITH tok AS (SELECT unnest({T.tokens_sql('text')}) AS word FROM documents),
+counts AS (SELECT word, count(*) AS f FROM tok GROUP BY word),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r FROM counts
+),
+logs AS (
+  SELECT CAST(round(ln(r), 6) AS DECIMAL(18,6)) AS lr,
+         CAST(round(ln(f), 6) AS DECIMAL(18,6)) AS lf
+  FROM ranked
+),
+moments AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(lr) AS s1, sum(lf) AS s2,
+         sum(lr * lr) AS s11, sum(lr * lf) AS s12
+  FROM logs
+)
+SELECT n AS n_words,
+       CAST(round(CAST(n * s12 - s1 * s2 AS DOUBLE)
+                  / CAST(n * s11 - s1 * s1 AS DOUBLE), 6) AS DOUBLE)
+         AS zipf_slope,
+       CAST(round((CAST(s2 AS DOUBLE)
+                   - (CAST(n * s12 - s1 * s2 AS DOUBLE)
+                      / CAST(n * s11 - s1 * s1 AS DOUBLE))
+                     * CAST(s1 AS DOUBLE)) / n, 6) AS DOUBLE) AS log_c
+FROM moments
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of log(frequency) vs log(rank) — the Zipf
+    exponent of the corpus (natural text ≈ −1; templated/duplicated
+    corpora flatten, over-deduplicated ones steepen). The single-number
+    companion to text_freq_spectrum's full curve, and the standard
+    corpus-health gate in a curation pipeline.
+
+    Determinism engineering: the regression moments are sums of
+    DECIMAL-quantized logs (round-6 before summing), so every sum is
+    exact and order-free; doubles appear only in the final slope /
+    intercept division. The rank itself is a total order (freq desc,
+    word) — engines cannot disagree on r.
+
+    Scale shape: one word-keyed count shuffle, then a single global sort
+    to rank (one exchange — rank needs a total order), then a one-row
+    moment aggregation. The sort is the scale ceiling; at 100 TB the
+    vocab after the count shuffle is ~1e8 rows — a trivially sortable
+    relation, nothing like the corpus itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        spread(docs)
+        .select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = counts.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("word")))
+    )
+    logs = ranked.select(
+        F.round(F.log("r"), 6).cast("decimal(18,6)").alias("lr"),
+        F.round(F.log("f"), 6).cast("decimal(18,6)").alias("lf"),
+    )
+    m = logs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lr").alias("s1"),
+        F.sum("lf").alias("s2"),
+        F.sum(F.col("lr") * F.col("lr")).alias("s11"),
+        F.sum(F.col("lr") * F.col("lf")).alias("s12"),
+    )
+    n, s1, s2, s11, s12 = (F.col(c) for c in ("n", "s1", "s2", "s11", "s12"))
+    # exact decimal sums; cast to double BEFORE the divisions so both
+    # engines perform the identical IEEE ops on identical operands (decimal
+    # division scale/rounding rules differ between engines)
+    slope = (n * s12 - s1 * s2).cast("double") / (n * s11 - s1 * s1).cast(
+        "double"
+    )
+    return m.select(
+        n.alias("n_words"),
+        F.round(slope, 6).cast("double").alias("zipf_slope"),
+        F.round(
+            (s2.cast("double") - slope * s1.cast("double")) / n, 6
+        ).cast("double").alias("log_c"),
+    )

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
-from ..operators.dedup import JACCARD_THRESHOLD, _doc_shingles, _doc_shingles_sql
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    _doc_shingle_arrays,
+    _doc_shingles,
+    _doc_shingles_sql,
+)
 from ..sources import load_table
 from .registry import register
 
@@ -298,4 +303,93 @@ def events_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - prev) * 100.0 / prev, 6)
         .cast("double")
         .alias("wow_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# containment join (asymmetric set similarity — doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.8   # src is a near-subset of dst
+CONTAIN_B = 2     # blocking: bottom-B shingle hashes per doc
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS ({_doc_shingles_sql()}),
+sets AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id),
+keys AS (
+  SELECT doc_id, unnest(list_slice(list_sort(shs), 1, {CONTAIN_B})) AS k
+  FROM sets
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id <> b.doc_id
+)
+SELECT src, dst,
+       CAST(round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                  / len(sa.shs), 6) AS DOUBLE) AS containment,
+       CAST(len(sa.shs) AS BIGINT) AS n_src,
+       CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_overlap
+FROM cand
+JOIN sets sa ON sa.doc_id = src
+JOIN sets sb ON sb.doc_id = dst
+WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) / len(sa.shs)
+      >= {CONTAIN_T}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join: directional near-subset pairs
+    C(src→dst) = |shingles(src) ∩ shingles(dst)| / |shingles(src)| —
+    the asymmetric complement of the Jaccard near-dup family. Jaccard
+    misses a short doc quoted inside a long one (the union term dilutes
+    it); containment is exactly the quote/wrapper/contamination signal a
+    curation stack needs (keep the container, drop the contained copy).
+
+    Blocking = docs sharing any of their bottom-{CONTAIN_B} shingle
+    hashes (a bottom-k sketch block — deterministic, expressible on both
+    engines, and cheap: {CONTAIN_B} keys/doc regardless of doc length).
+    Like LSH banding it is approximate by design; the SAME blocking runs
+    in the oracle, so the check is exact over the declared candidate set.
+
+    Scale shape: candidate generation is an equi-join on {CONTAIN_B}
+    keys/doc (shuffle ∝ corpus, never corpus²); the verify re-joins the
+    per-doc shingle-set arrays by doc_id and intersects IN-ROW
+    (array_intersect), the same zero-explosion verify as the r4 MinHash
+    plan. A hot block (boilerplate-heavy corpus) is bounded by the r4
+    viral-bucket pattern: key frequency caps compose here unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = _doc_shingle_arrays(docs)
+    keys = arr.select(
+        "doc_id",
+        F.explode(F.slice(F.array_sort("shs"), 1, CONTAIN_B)).alias("k"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+    )
+    sa = arr.select(F.col("doc_id").alias("src"), F.col("shs").alias("shs_a"))
+    sb = arr.select(F.col("doc_id").alias("dst"), F.col("shs").alias("shs_b"))
+    overlap = F.size(F.array_intersect("shs_a", "shs_b"))
+    contain = overlap.cast("double") / F.size("shs_a")
+    return (
+        cand.join(sa, "src")
+        .join(sb, "dst")
+        .where(contain >= CONTAIN_T)
+        .select(
+            "src",
+            "dst",
+            F.round(contain, 6).cast("double").alias("containment"),
+            F.size("shs_a").cast("bigint").alias("n_src"),
+            overlap.cast("bigint").alias("n_overlap"),
+        )
     )

@@ -310,3 +310,50 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.filtered_topk(emb, k=3)
+
+
+@register(
+    "stream_tumbling_drain",
+    oracle="""
+SELECT * FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY 1, 2
+) WHERE window_start <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
+""",
+)
+def stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 in STREAMING mode with a driver row: the same 1-hour tumbling
+    aggregation as the batch events_tumbling_window, but run through
+    readStream + withWatermark + append mode + availableNow drain. Append
+    mode only emits a window once the watermark (max event time − 1 h)
+    passes its END — so the final windows of the stream are still open
+    when the source drains and are deliberately withheld. The oracle
+    states that exact horizon in SQL: windows whose end ≤ max(ts) − 1 h,
+    i.e. window_start ≤ max(ts) − 2 h.
+
+    Single-file delivery keeps the drain deterministic: with one
+    micro-batch nothing can arrive behind a mid-stream watermark, so the
+    emitted set depends only on the data (the multi-batch late-drop path
+    is pinned by tests/test_streaming.py's two-batch watermark test).
+    Scale shape: identical to batch tumbling — map-side partial aggs into
+    a (window, type)-keyed exchange; streaming adds only the bounded
+    window-state store (state ∝ open windows × types, never stream
+    length)."""
+    from ..streaming import tumbling_window_stream
+
+    e = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="pv_std_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    e.coalesce(1).write.mode("append").parquet(source)
+    q = tumbling_window_stream(
+        spark, source, e.schema, target, ckpt,
+        time_col="ts", window="1 hour", watermark="1 hour",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target)

@@ -7,7 +7,7 @@ the dimension as a parameter (it's a config constant, like the reference's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import similarity
 from ..sources import load_table
@@ -59,3 +59,50 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-step shape)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.label_centroids(emb)
+
+
+KNN_GRAPH_K = 5
+
+
+@register(
+    "sim_knn_graph_mutual",
+    oracle=f"""
+WITH t AS ({similarity.topk_sql(KNN_GRAPH_K)})
+SELECT a.query_id AS src, a.neighbor_id AS dst, a.cosine,
+       CAST(a.rk AS INT) AS rk_forward, CAST(b.rk AS INT) AS rk_backward
+FROM t a JOIN t b
+  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+WHERE a.query_id < a.neighbor_id
+""",
+)
+def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph: undirected edges kept only when BOTH endpoints
+    rank each other inside their top-{KNN_GRAPH_K} — the standard
+    symmetrization that turns a kNN list into a clustering / manifold
+    graph (one-directional edges are mostly hub noise: a popular vector is
+    in everyone's top-k without reciprocating).
+
+    Scale shape: the kNN lists come from the tiled brute-force kernel
+    (swap in lsh_ann for the 100 TB path — same output contract); the
+    mutuality check is a self-equi-join of the n*k edge list on the
+    swapped (query, neighbor) pair — a plain shuffle join on a composite
+    key, both sides n*k rows, never n². Edge weight is the forward cosine;
+    the rounded score is symmetric, so orientation cannot change it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = similarity.topk(emb, KNN_GRAPH_K)
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("src"),
+            F.col("a.neighbor_id").alias("dst"),
+            F.col("a.cosine").alias("cosine"),
+            F.col("a.rk").alias("rk_forward"),
+            F.col("b.rk").alias("rk_backward"),
+        )
+    )

@@ -425,3 +425,79 @@ def events_debounce_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - 1).cast("bigint").alias("n_suppressed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robust anomaly detection — median / MAD outlier profile
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0          # flag beyond 3 robust standard deviations
+MAD_SCALE = 1.4826   # MAD -> sigma consistency constant for normal data
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(dev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN CAST(round(d.dev, 6) AS DECIMAL(18,6))
+                        > CAST(round({MAD_K} * {MAD_SCALE} * m.mad, 6)
+                               AS DECIMAL(18,6))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(round(min(d.med), 6) AS DOUBLE) AS med,
+       CAST(round(min(m.mad), 6) AS DOUBLE) AS mad
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median/MAD instead of
+    mean/stddev, so the estimator itself is immune to the outliers it is
+    hunting (rolling_zscore's moments are not). An event is anomalous when
+    |value - median| > {MAD_K} * {MAD_SCALE} * MAD — the {MAD_K}-sigma rule
+    under the normal-consistency scaling of the MAD.
+
+    Scale shape: two exact-percentile aggregations over event_type (a
+    tiny-domain key — the heavy lift is the per-group sort inside
+    `percentile`, parallel across groups) and two BROADCAST joins back to
+    the fact; the fact table itself is never shuffled on a high-cardinality
+    key. Determinism: the >threshold compare runs on round-6 DECIMALs on
+    both engines, so a last-ulp divergence in the interpolated median
+    cannot flip a flag unless it crosses a 1e-6 grid line (and the
+    three-SF oracle sweep would catch that)."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5D)").alias("mad")
+    )
+    thr = F.round(F.lit(MAD_K) * F.lit(MAD_SCALE) * F.col("mad"), 6).cast(
+        "decimal(18,6)"
+    )
+    flagged = F.when(
+        F.round(F.col("dev"), 6).cast("decimal(18,6)") > thr, 1
+    ).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(flagged).cast("bigint").alias("n_outliers"),
+            F.round(F.min("med"), 6).cast("double").alias("med"),
+            F.round(F.min("mad"), 6).cast("double").alias("mad"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Property tests for the round-4 analytics wave: mutual-kNN graph,
+containment join, MAD anomaly profile, streaming tumbling drain horizon,
+and the Zipf slope. The differential oracle sweep (test_oracle.py) checks
+cross-engine equality; these pin the SEMANTICS the oracle pair agrees on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from tests.conftest import SF_SMOKE
+
+_Q = E.queries()
+
+
+def test_mutual_knn_edges_are_reciprocal_topk(spark):
+    """Every mutual edge must appear in BOTH directions of the plain kNN
+    list, with both ranks <= k; and no reported edge may be missing from
+    either direction (mutuality is exactly reciprocity)."""
+    from posts_vectorizer_spark.operators import similarity
+    from posts_vectorizer_spark.plans.queries_similarity import KNN_GRAPH_K
+    from posts_vectorizer_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    knn = {
+        (r["query_id"], r["neighbor_id"]): r["rk"]
+        for r in similarity.topk(emb, KNN_GRAPH_K).collect()
+    }
+    edges = _Q["sim_knn_graph_mutual"](spark, SF_SMOKE).collect()
+    assert edges, "fixture should produce at least one mutual edge"
+    for e in edges:
+        assert e["src"] < e["dst"]
+        assert knn[(e["src"], e["dst"])] == e["rk_forward"] <= KNN_GRAPH_K
+        assert knn[(e["dst"], e["src"])] == e["rk_backward"] <= KNN_GRAPH_K
+    reported = {(e["src"], e["dst"]) for e in edges}
+    for (q, n), _rk in knn.items():
+        if q < n and (n, q) in knn:
+            assert (q, n) in reported
+
+
+def test_containment_matches_python_brute_force(spark):
+    """Recompute blocking + containment in plain Python over the per-doc
+    shingle sets and require EXACT agreement with the query: same pair
+    set, same overlap counts (an engine-independent re-derivation, unlike
+    the SQL oracle which shares the query's relational shape)."""
+    from posts_vectorizer_spark.operators.dedup import _doc_shingle_arrays
+    from posts_vectorizer_spark.plans.queries_fuzzy import (
+        CONTAIN_B,
+        CONTAIN_T,
+    )
+    from posts_vectorizer_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sets = {
+        r["doc_id"]: frozenset(r["shs"])
+        for r in _doc_shingle_arrays(docs).collect()
+    }
+    by_key: dict[int, set[int]] = {}
+    for d, shs in sets.items():
+        for k in sorted(shs)[:CONTAIN_B]:
+            by_key.setdefault(k, set()).add(d)
+    expected = {}
+    for members in by_key.values():
+        for a in members:
+            for b in members:
+                if a == b:
+                    continue
+                ov = len(sets[a] & sets[b])
+                if ov / len(sets[a]) >= CONTAIN_T:
+                    expected[(a, b)] = ov
+    rows = _Q["dedup_containment"](spark, SF_SMOKE).collect()
+    got = {(r["src"], r["dst"]): r["n_overlap"] for r in rows}
+    assert got == expected
+    assert got, "fixture near-dups should produce containment pairs"
+    for r in rows:
+        assert r["n_src"] == len(sets[r["src"]])
+        assert r["containment"] == round(r["n_overlap"] / r["n_src"], 6)
+
+
+def test_anomaly_mad_matches_numpy(spark):
+    """The per-type medians, MADs, and outlier counts must equal a direct
+    numpy computation on the collected values."""
+    from posts_vectorizer_spark.plans.queries_timeseries import (
+        MAD_K,
+        MAD_SCALE,
+    )
+    from posts_vectorizer_spark.sources import load_table
+
+    vals: dict[str, list[float]] = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    out = {r["event_type"]: r for r in _Q["events_anomaly_mad"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(vals)
+    for et, xs in vals.items():
+        a = np.asarray(xs)
+        med = float(np.median(a))
+        dev = np.abs(a - med)
+        mad = float(np.median(dev))
+        n_out = int(
+            np.sum(np.round(dev, 6) > round(MAD_K * MAD_SCALE * mad, 6))
+        )
+        assert out[et]["n"] == len(xs)
+        assert out[et]["med"] == round(med, 6)
+        assert out[et]["mad"] == round(mad, 6)
+        assert out[et]["n_outliers"] == n_out
+
+
+def test_tumbling_drain_withholds_open_windows(spark):
+    """Append mode must emit exactly the windows whose end the final
+    watermark passed — a strict subset of the batch result, with the
+    trailing (still-open) windows withheld."""
+    from posts_vectorizer_spark.sources import load_table
+
+    emitted = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in _Q["stream_tumbling_drain"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in _Q["events_tumbling_window"](spark, SF_SMOKE).collect()
+    }
+    max_ts = (
+        load_table(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    assert emitted
+    assert set(emitted) < set(batch), "some trailing windows must be open"
+    for key, agg in emitted.items():
+        assert batch[key] == agg
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=2)
+    for ws, _et in batch:
+        if (ws, _et) in emitted:
+            assert ws <= horizon
+        else:
+            assert ws > horizon
+
+
+def test_zipf_slope_is_negative_and_counts_vocab(spark):
+    """Token frequencies are Zipf-ish: the fitted slope must be negative,
+    and n_words must equal the distinct-token count."""
+    from posts_vectorizer_spark.functions import text as T
+    from posts_vectorizer_spark.sources import load_table
+    from posts_vectorizer_spark.sources.catalog import spread
+
+    row = _Q["text_zipf_slope"](spark, SF_SMOKE).collect()[0]
+    vocab = (
+        spread(load_table(spark, SF_SMOKE, "documents"))
+        .select(F.explode(T.tokens("text")).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert row["n_words"] == vocab
+    assert row["zipf_slope"] < 0
