@@ -357,3 +357,109 @@ def stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(target)
+
+
+# ---------------------------------------------------------------------------
+# custom Python Data Source (Spark 4 connector API) — batch + stream drain
+# ---------------------------------------------------------------------------
+
+from ..sources.pydatasource import ORACLE_ROW_SQL as _PDS_ROW_SQL  # noqa: E402
+
+PDS_LO, PDS_HI, PDS_N = 1000, 5000, 5000
+PDS_STREAM_N, PDS_STREAM_BATCH = 600, 128
+
+
+@register(
+    "source_python_datasource",
+    oracle=f"""
+WITH src AS (
+  {_PDS_ROW_SQL}
+  FROM generate_series({PDS_LO}, {PDS_HI - 1}) AS t(i)
+)
+SELECT author,
+       CAST(count(*) AS BIGINT) AS n_posts,
+       CAST(sum(CAST(score AS DECIMAL(18,3))) AS DOUBLE) AS total_score,
+       CAST(sum(len(body)) AS BIGINT) AS total_chars
+FROM src GROUP BY author
+""",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A brand-new CONNECTOR, not a file format: the Spark 4 Python Data
+    Source API (`sources/pydatasource.py`) with real partition planning
+    (8 independent range slices — the shape a 1000-executor scan needs)
+    and post_id range-filter pushdown (the predicate narrows the
+    generated range at PLAN time; the Python-source analog of row-group
+    pruning). The source is a pure function of the row id, so the oracle
+    re-states the connector itself in SQL over generate_series — a
+    hash-checked custom connector.
+
+    The reference analog is the polled posts source
+    (/root/reference/worker.py:96-108): an external system feeding rows;
+    here the feed is a planned parallel scan instead of a driver cursor."""
+    from ..sources import pydatasource as P
+
+    # runtime-settable; the vanilla driver session has it off and a
+    # reader implementing pushFilters REQUIRES it on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    P.register(spark)
+    df = (
+        spark.read.format(P.SOURCE_NAME)
+        .option("n_rows", PDS_N)
+        .option("n_partitions", 8)
+        .load()
+        .where((F.col("post_id") >= PDS_LO) & (F.col("post_id") < PDS_HI))
+    )
+    return df.groupBy("author").agg(
+        F.count("*").alias("n_posts"),
+        F.sum(F.col("score").cast("decimal(18,3)"))
+        .cast("double")
+        .alias("total_score"),
+        F.sum(F.length("body")).cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "stream_python_source_drain",
+    oracle=f"""
+{_PDS_ROW_SQL}
+FROM generate_series(0, {PDS_STREAM_N - 1}) AS t(i)
+""",
+)
+def stream_python_source_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same connector as a STREAMING source (SimpleDataSourceStreamReader):
+    offsets are id watermarks, each trigger emits the next
+    {PDS_STREAM_BATCH} ids until {PDS_STREAM_N} are delivered, and
+    `readBetweenOffsets` regenerates any offset range exactly (pure
+    formula) — so checkpointed replay is byte-identical and the drained
+    table is deterministic however the trigger slices the feed. The drain
+    polls the sink until the finite source is exhausted, then stops; the
+    oracle is the full generated range."""
+    from ..sources import pydatasource as P
+
+    P.register(spark)
+    work = tempfile.mkdtemp(prefix="pv_pds_")
+    target, ckpt = f"{work}/out", f"{work}/ckpt"
+    q = (
+        spark.readStream.format(P.SOURCE_NAME)
+        .option("n_rows", PDS_STREAM_N)
+        .option("batch_size", PDS_STREAM_BATCH)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(target).count() >= PDS_STREAM_N:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    return spark.read.parquet(target)

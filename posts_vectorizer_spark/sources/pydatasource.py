@@ -1,0 +1,168 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource`) — the
+engine-native way to add a NEW connector without JVM code, used here to
+model the reference's "posts arriving from an external system" ingest
+(`/root/reference/worker.py:96-108` polls MongoDB; the batch loader
+`/root/reference/tfidf-calculator/enter_wordvecs.py:28-44` iterates an
+in-memory model): a planned, partitioned, filter-pushdown-capable source
+instead of a driver-side loop.
+
+The source is SYNTHETIC and fully deterministic: row ``i`` is a pure
+integer function of ``i``, so (a) every partition generates independently
+— true parallel planning, no shared cursor; and (b) the exact same table
+is expressible in DuckDB via ``generate_series`` — which makes a custom
+*connector* oracle-checkable, something a real network source can never
+be (compare `source_python_datasource` in plans/queries_pipeline.py).
+
+Scale notes: `partitions()` splits the id range evenly — the planner sees
+one InputPartition per slice, so a 1000-executor cluster reads 1000
+slices concurrently. `pushFilters` consumes ``post_id`` range predicates
+(GreaterThan[OrEqual] / LessThan[OrEqual] / EqualTo) by narrowing the
+generated range BEFORE planning — the Python-source equivalent of
+parquet row-group pruning: filtered scans generate fewer rows, not the
+same rows later discarded (asserted by tests/test_pydatasource.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,  # noqa: F401  (re-export for discoverability)
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+SOURCE_NAME = "synthetic_posts"
+SCHEMA_DDL = "post_id bigint, author string, body string, score double"
+
+# mixing constants for the score column (Knuth multiplicative hash mod a
+# prime) — exact in int64 on both engines
+_SCORE_MULT = 2654435761
+_SCORE_MOD = 1000003
+
+
+def row_of(i: int) -> tuple[int, str, str, float]:
+    """The pure generator formula. Kept in ONE place so the reader, the
+    stream reader, and the tests share it; the DuckDB oracle re-states it
+    in SQL (see ORACLE_ROW_SQL)."""
+    return (
+        i,
+        f"user_{i % 97}",
+        "x" * ((i * 37) % 280 + 1),
+        ((i * _SCORE_MULT) % _SCORE_MOD) / 1000.0,
+    )
+
+
+# the same formula in DuckDB SQL over a generate_series alias `i`
+ORACLE_ROW_SQL = f"""
+  SELECT i AS post_id,
+         'user_' || CAST(i % 97 AS VARCHAR) AS author,
+         repeat('x', CAST((i * 37) % 280 + 1 AS INT)) AS body,
+         CAST((i * {_SCORE_MULT}) % {_SCORE_MOD} AS DOUBLE) / 1000.0 AS score
+"""
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int  # exclusive
+
+
+class SyntheticPostsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.lo = 0
+        self.hi = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume post_id range predicates by narrowing [lo, hi); yield
+        everything else back to Spark to evaluate post-scan."""
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col == "post_id" and isinstance(getattr(f, "value", None), int):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            yield f
+
+    def partitions(self) -> list[_RangePartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, min(self.n_partitions, hi - lo or 1))
+        step = (hi - lo + n - 1) // n if hi > lo else 1
+        return [
+            _RangePartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ] or [_RangePartition(lo, lo)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield row_of(i)
+
+
+class SyntheticPostsStreamReader(SimpleDataSourceStreamReader):
+    """Finite micro-batch twin: each trigger emits the next
+    ``batch_size`` ids until ``n_rows`` is exhausted, then empty batches.
+    Offsets are plain id watermarks, so `readBetweenOffsets` replays any
+    batch exactly (the formula is pure) — at-least-once redelivery is
+    byte-identical, which is what makes the drain deterministic."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_size, self.n_rows)
+        return iter([row_of(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([row_of(i) for i in range(start["next"], end["next"])])
+
+
+class SyntheticPostsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> SyntheticPostsReader:
+        return SyntheticPostsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SyntheticPostsStreamReader:
+        return SyntheticPostsStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent session registration."""
+    spark.dataSource.register(SyntheticPostsDataSource)

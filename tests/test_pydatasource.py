@@ -1,0 +1,136 @@
+"""Unit + integration tests for the custom Python Data Source
+(`sources/pydatasource.py`): partition planning, filter pushdown
+narrowing, streaming offset replay, and exactly-once multi-cycle drains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from posts_vectorizer_spark.sources import pydatasource as P
+
+
+def test_partitions_cover_range_disjointly():
+    r = P.SyntheticPostsReader({"n_rows": "1000", "n_partitions": "8"})
+    parts = r.partitions()
+    assert len(parts) == 8
+    covered = []
+    for p in parts:
+        covered.extend(range(p.start, p.end))
+    assert covered == list(range(1000))
+
+
+def test_partitions_never_exceed_rows():
+    r = P.SyntheticPostsReader({"n_rows": "3", "n_partitions": "8"})
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 3
+
+
+def test_push_filters_narrow_planned_range():
+    """Range predicates on post_id must shrink the GENERATED range (the
+    point of pushdown: fewer rows produced, not discarded later); other
+    filters come back unsupported for Spark to evaluate."""
+    r = P.SyntheticPostsReader({"n_rows": "1000"})
+    rest = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("post_id",), 100),
+                LessThan(("post_id",), 110),
+                IsNotNull(("author",)),
+            ]
+        )
+    )
+    assert [type(f) for f in rest] == [IsNotNull]
+    assert (r.lo, r.hi) == (100, 110)
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 10
+
+
+def test_push_filters_strict_and_equality_bounds():
+    r = P.SyntheticPostsReader({"n_rows": "1000"})
+    assert not list(
+        r.pushFilters(
+            [GreaterThan(("post_id",), 5), LessThanOrEqual(("post_id",), 9)]
+        )
+    )
+    assert (r.lo, r.hi) == (6, 10)
+    r2 = P.SyntheticPostsReader({"n_rows": "1000"})
+    assert not list(r2.pushFilters([EqualTo(("post_id",), 42)]))
+    assert (r2.lo, r2.hi) == (42, 43)
+    assert [list(range(p.start, p.end)) for p in r2.partitions()] == [[42]]
+
+
+def test_stream_reader_offsets_and_replay():
+    """read() advances the watermark in batch_size steps and caps at
+    n_rows; readBetweenOffsets regenerates exactly the same rows (the
+    at-least-once replay contract)."""
+    sr = P.SyntheticPostsStreamReader({"n_rows": "300", "batch_size": "128"})
+    assert sr.initialOffset() == {"next": 0}
+    rows1, o1 = sr.read({"next": 0})
+    rows2, o2 = sr.read(o1)
+    rows3, o3 = sr.read(o2)
+    rows4, o4 = sr.read(o3)
+    assert (o1, o2, o3, o4) == (
+        {"next": 128},
+        {"next": 256},
+        {"next": 300},
+        {"next": 300},
+    )
+    assert len(list(rows4)) == 0
+    replay = list(sr.readBetweenOffsets({"next": 128}, {"next": 256}))
+    assert replay == [P.row_of(i) for i in range(128, 256)]
+    assert list(rows2) == replay
+
+
+def test_batch_read_with_pushdown_matches_formula(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    P.register(spark)
+    df = (
+        spark.read.format(P.SOURCE_NAME)
+        .option("n_rows", 200)
+        .option("n_partitions", 4)
+        .load()
+        .where("post_id >= 50 AND post_id < 60")
+    )
+    rows = sorted(df.collect(), key=lambda r: r["post_id"])
+    assert [tuple(r) for r in rows] == [P.row_of(i) for i in range(50, 60)]
+
+
+def test_stream_drain_is_exactly_once_across_restart_cycles(spark, tmp_path):
+    """Two availableNow cycles over the SAME checkpoint resume from the
+    stored offset: the first drains the prefetched batch, the second the
+    next one — no duplicates, no gaps."""
+    P.register(spark)
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def cycle():
+        q = (
+            spark.readStream.format(P.SOURCE_NAME)
+            .option("n_rows", 300)
+            .option("batch_size", 128)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    cycle()
+    ids1 = sorted(
+        r["post_id"] for r in spark.read.parquet(target).collect()
+    )
+    cycle()
+    ids2 = sorted(
+        r["post_id"] for r in spark.read.parquet(target).collect()
+    )
+    assert ids1 == list(range(128))
+    assert ids2 == list(range(256))
