@@ -20,17 +20,22 @@ from .registry import register
 
 
 def _dec_revenue() -> F.Column:
-    """Exact order-insensitive revenue: decimal×decimal, summed, -> double
-    (same float discipline as queries_relational)."""
-    return F.sum(
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    """Exact order-insensitive revenue as a scaled-int64 sum (cents ×
+    discount-hundredths; same pattern and rationale as
+    queries_relational._dec_sum — exact ten-thousandths, ~2x faster than
+    decimal aggregation, identical double result)."""
+    return (
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        )
+        / 10000.0
     ).cast("double")
 
 
 _DEC_REVENUE_SQL = (
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS DOUBLE)"
 )
 
 
