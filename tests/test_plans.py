@@ -59,6 +59,10 @@ def test_plan_build_triggers_no_jobs(spark):
         # (documented dimension-table contract; bounded by n_tiles)
         "sim_cosine_topk",
         "sim_cosine_near_dups",
+        "sim_knn_graph_mutual",  # reciprocity join over the same kernel
+        # streaming drains / finite python stream source run by contract
+        "stream_tumbling_drain",
+        "stream_python_source_drain",
         # model fits / fixpoint loops are inherently iterative jobs at build
         "sim_ivf_ann",
         "mllib_minhash_near_dups",
