@@ -24,7 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, LongType, StructField, StructType,
+    ArrayType, BinaryType, DoubleType, FloatType, LongType, StructField,
+    StructType,
 )
 
 N_FAKE_FEATURES = 8
@@ -175,3 +176,77 @@ def sample_frames(
             )
 
     return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checkable feature slices (the [Q] twin of extract_features)
+# ---------------------------------------------------------------------------
+
+SLICE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("slice", LongType()),
+        StructField("mean_scaled", DoubleType()),
+    ]
+)
+
+
+def extract_feature_slices(
+    media: DataFrame, n_slices: int = N_FAKE_FEATURES
+) -> DataFrame:
+    """Long-form fake-codec features at FULL double precision over the
+    payload's decoded CODEPOINTS — the same Arrow mapInPandas plumbing as
+    :func:`extract_features`, but with every arithmetic step chosen to be
+    re-statable in SQL (codepoints not bytes, float64 not float32,
+    half-away round-6 inside the kernel): the [Q] twin that lets the
+    driver hash-verify the multimodal UDF pipeline end-to-end.
+    np.array_split slicing = first (n % k) slices one longer, mirrored
+    exactly by the oracle's start/length arithmetic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "slice": [], "mean_scaled": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                cps = np.fromiter(
+                    (ord(c) for c in bytes(payload).decode("utf-8")),
+                    dtype=np.float64,
+                )
+                for i, chunk in enumerate(np.array_split(cps, n_slices)):
+                    m = (chunk.sum() / chunk.size) / 255.0 if chunk.size else 0.0
+                    out["doc_id"].append(doc_id)
+                    out["n_bytes"].append(len(payload))
+                    out["slice"].append(i)
+                    out["mean_scaled"].append(
+                        np.floor(m * 1e6 + 0.5) / 1e6  # half-away round-6
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(run, SLICE_SCHEMA)
+
+
+def feature_slices_sql(n_slices: int = N_FAKE_FEATURES) -> str:
+    """The identical computation in DuckDB over documents.text."""
+    return f"""
+WITH chars AS (
+  SELECT doc_id,
+         list_transform(split(text, ''), mm_c -> ord(mm_c)) AS cps,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+sliced AS (
+  SELECT doc_id, n_bytes, CAST(t.i AS BIGINT) AS slice,
+         len(cps) // {n_slices} + CASE WHEN t.i < len(cps) % {n_slices}
+                                       THEN 1 ELSE 0 END AS slice_len,
+         t.i * (len(cps) // {n_slices})
+           + least(t.i, len(cps) % {n_slices}) AS slice_start
+  FROM chars, unnest(generate_series(0, {n_slices - 1})) AS t(i)
+)
+SELECT s.doc_id, s.n_bytes, s.slice,
+       CAST(round(CASE WHEN s.slice_len > 0
+                  THEN (list_sum(c.cps[s.slice_start + 1 :
+                                       s.slice_start + s.slice_len])
+                        / s.slice_len) / 255.0
+                  ELSE 0.0 END, 6) AS DOUBLE) AS mean_scaled
+FROM sliced s JOIN chars c USING (doc_id)
+"""

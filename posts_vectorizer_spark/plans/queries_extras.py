@@ -146,6 +146,22 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("feature", F.round(F.col("feature").cast("double"), 6))
 
 
+@register(
+    "multimodal_feature_slices",
+    oracle=multimodal.feature_slices_sql(),
+)
+def multimodal_feature_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-verifiable face of the multimodal pipeline: the same
+    attach_payload -> mapInPandas extraction as multimodal_features, run
+    at full double precision over codepoints so the DuckDB oracle can
+    re-state the fake codec exactly (operators/multimodal.py::
+    extract_feature_slices) — a hash-checked Arrow UDF pipeline, closing
+    the family's [R]-only gap. The real-codec path stays env-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(docs)
+    return multimodal.extract_feature_slices(media)
+
+
 @register("multimodal_frame_sample")
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12-4 frame-sampling: each binary payload fans out to 4
