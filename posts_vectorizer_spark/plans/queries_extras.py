@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as _T
 from ..operators import mllib_alt, multimodal
+from ..operators.tfidf import doc_vectors_sql as _doc_vectors_sql
 from ..sources import load_table
 from ..sources.http_enrich import enrich_with_text
 from .registry import register
@@ -370,13 +371,16 @@ def mllib_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mllib_alt.minhash_lsh_near_dups(docs)
 
 
-@register("stream_vectorize_drain")
+@register("stream_vectorize_drain", oracle=_doc_vectors_sql())
 def stream_vectorize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1/ST3: drain the documents table through the streaming worker
     (readStream -> foreachBatch -> idempotent keyed merge) with an
-    availableNow trigger, then return the merged sink. Equals the batch
-    flagship on the same input (proved in tests/test_streaming.py) —
-    rows-only here because a streaming query is not a SQL expression."""
+    availableNow trigger, then return the merged sink. The sink state IS
+    the flagship doc-vector relation, so the flagship's oracle verifies
+    the whole streaming path end-to-end (upgraded from rows-only in r4:
+    the oracle describes the drained RESULT, not the mechanism — the
+    stream_upsert_drain pattern); batch-vs-stream equality is also pinned
+    in tests/test_streaming.py."""
     from ..operators import tfidf
     from ..sources.sinks import read_merged
     from ..streaming import vectorize_stream
