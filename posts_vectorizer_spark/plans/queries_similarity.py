@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import similarity
+from ..operators import clustering, similarity
 from ..sources import load_table
 from .registry import register
 
@@ -106,3 +106,15 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.rk").alias("rk_backward"),
         )
     )
+
+
+@register("sim_kmeans_portable", oracle=clustering.kmeans_sql())
+def sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd KMeans with a DuckDB oracle — a distributed
+    ITERATIVE algorithm verified cross-engine (operators/clustering.py:
+    deterministic lowest-id seeding, sequential-fold distances,
+    lexicographic argmin, round-6 DECIMAL means). The [Q] companion to
+    the MLlib-backed sim_ivf_ann, whose library-private KMeans can only
+    be rows-only; the same centroids are exactly the IVF coarse lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans(emb)

@@ -158,3 +158,46 @@ def test_zipf_slope_is_negative_and_counts_vocab(spark):
     )
     assert row["n_words"] == vocab
     assert row["zipf_slope"] < 0
+
+
+def test_portable_kmeans_properties(spark):
+    """Lloyd invariants on the portable KMeans: every vector assigned
+    (sizes sum to n), k clusters survive, result is partition-count
+    invariant, and one more Lloyd step never increases the within-cluster
+    sum of squares (monotonic descent)."""
+    from posts_vectorizer_spark.operators import clustering
+    from posts_vectorizer_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = clustering.kmeans(emb).collect()
+    n = emb.count()
+    sizes = {}
+    for r in out:
+        sizes[r["cluster_id"]] = r["n_members"]
+    assert sum(sizes.values()) == n
+    assert len(sizes) == clustering.K_DEFAULT
+    # partition invariance: identical output from a differently-sliced input
+    re_out = clustering.kmeans(emb.repartition(7)).collect()
+    key = lambda r: (r["cluster_id"], r["dim"])  # noqa: E731
+    assert {key(r): (r["n_members"], r["component"]) for r in out} == {
+        key(r): (r["n_members"], r["component"]) for r in re_out
+    }
+
+    def wcss(iters: int) -> float:
+        rows = clustering.kmeans(emb, iters=iters).collect()
+        cents = {}
+        for r in rows:
+            cents.setdefault(r["cluster_id"], {})[r["dim"]] = r["component"]
+        import numpy as np
+
+        C = {c: np.array([d[i] for i in sorted(d)]) for c, d in cents.items()}
+        X = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()
+        }
+        return sum(
+            min(float(((x - c) ** 2).sum()) for c in C.values())
+            for x in X.values()
+        )
+
+    assert wcss(2) <= wcss(1) + 1e-9
