@@ -26,6 +26,12 @@ from ..sources.http_enrich import enrich_with_text
 from .registry import register
 
 
+def _centroids_sql_for_ingest() -> str:
+    from ..operators.similarity import LABEL_CENTROIDS_SQL
+
+    return LABEL_CENTROIDS_SQL
+
+
 @register(
     "rel_count_distinct_exact",
     oracle="""
@@ -73,23 +79,37 @@ def rel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("source_http_enrich")
+@register(
+    "source_http_enrich",
+    oracle="""
+SELECT doc_id,
+       'sentence ' || CAST(doc_id % 7 AS VARCHAR) || ' of doc '
+         || CAST(doc_id AS VARCHAR) || ' tail '
+         || CAST(doc_id % 3 AS VARCHAR) AS fetched_text
+FROM documents
+""",
+)
 def source_http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: per-row HTTP enrichment (lang-detector, worker.py:24-31) as
     mapInPandas with one session per partition; deterministic local
-    transport stands in for the unavailable network."""
+    transport stands in for the unavailable network. [Q] since r4: the
+    fake envelope is a pure function of doc_id, so the oracle re-states
+    it in SQL and the driver hash-verifies the fetch -> JSON-parse ->
+    sentence-join plumbing end to end (real requests transport stays
+    env-gated)."""
     docs = load_table(spark, sf_dir, "documents")
     return enrich_with_text(docs)
 
 
-@register("source_binary_vec_ingest")
+@register("source_binary_vec_ingest", oracle=_centroids_sql_for_ingest())
 def source_binary_vec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8/F9 end-to-end: embeddings round-trip through the packed-float32
     binary storage form the reference keeps in its store (np.frombuffer /
     .tobytes(), worker.py:64,90) — encode_f32 at egress, decode_f32 at
     ingest — then feed a downstream aggregation (per-label centroids, long
-    form). Rows-only (pandas-UDF codecs are not SQL); bit-exact equality
-    with the array-native path is asserted in tests/test_extras.py."""
+    form). [Q] since r4: the roundtrip is BIT-EXACT (also asserted in
+    tests/test_extras.py), so the array-native centroid oracle must match
+    — a hash-checked proof that the binary codec loses nothing."""
     from ..functions import vectors as V
     from ..operators import similarity
 
@@ -271,31 +291,61 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@register("grouped_zscore_normalize")
+@register(
+    "grouped_zscore_normalize",
+    oracle="""
+WITH m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       CAST(round(CASE WHEN m.n > 1
+                        AND CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE) > 0
+                  THEN (CAST(d.n_chars AS DOUBLE)
+                        - CAST(m.s1 AS DOUBLE) / m.n)
+                       / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                              / (CAST(m.n AS DOUBLE) * (m.n - 1)))
+                  ELSE 0.0 END, 6) AS DOUBLE) AS z
+FROM documents d JOIN m USING (lang)
+""",
+)
 def grouped_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD-grouped-map: per-language z-score normalization of document
     lengths via ``applyInPandas`` — the whole group arrives as one pandas
     DataFrame, the normalization is vectorized numpy, the result keeps the
-    schema declared up front. Rows-only: pandas' mean/std accumulate in a
-    different float order than any SQL engine, so the strong check is the
-    differential-vs-native-window test (tests/test_extras.py) under a
-    tolerance, not a hash.
+    schema declared up front. [Q] since r4: the kernel computes moments
+    as EXACT int64 sums (n_chars is integral) and derives mean/sd through
+    one fixed double formula the oracle re-states verbatim — identical
+    IEEE ops on identical integers, so the hash matches; the pandas
+    mean()/std() accumulation order that forced rows-only is gone.
 
     Scale note: one shuffle on the group key; each group must fit one
     executor's memory (fine for per-language groups; for huge groups use
     the two-pass broadcast-bounds form `rel_winsorized_agg` demonstrates).
     """
+    import numpy as np
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.col("n_chars").cast("double").alias("x")
+        "doc_id", "lang", "n_chars"
     )
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["x"].mean()
-        sd = pdf["x"].std(ddof=1)
-        pdf["z"] = 0.0 if sd == 0 else (pdf["x"] - mu) / sd
-        return pdf[["doc_id", "lang", "z"]]
+        xs = pdf["n_chars"].to_numpy(dtype=np.int64)
+        n = len(xs)
+        s1 = int(xs.sum())
+        s2 = int((xs * xs).sum())
+        disc = n * s2 - s1 * s1  # n^2 * var_pop, exact
+        if n > 1 and float(disc) > 0:
+            mu = float(s1) / n
+            sd = np.sqrt(float(disc) / (float(n) * (n - 1)))
+            z = np.floor((xs - mu) / sd * 1e6 + 0.5) / 1e6
+        else:
+            z = np.zeros(n)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": z}
+        )
 
     return docs.groupBy("lang").applyInPandas(
         normalize, schema="doc_id long, lang string, z double"
@@ -340,13 +390,24 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann(emb, k=3)
 
 
-@register("stream_stateful_user_totals")
+@register(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY user_id
+""",
+)
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST-custom: per-user running totals via applyInPandasWithState —
     arbitrary user state in the checkpointed state store, updated per
-    micro-batch (streaming/stateful.py). Rows-only (custom stateful
-    streaming is not SQL); equality with the batch groupBy after a forced
-    multi-batch drain is asserted in tests/test_streaming.py."""
+    micro-batch (streaming/stateful.py). [Q] since r4: the state
+    accumulates exact int64 micros of round-6-quantized values (order-free,
+    replay-exact), so the drained final view equals the batch decimal
+    aggregate the oracle states; the multi-batch equality test stays in
+    tests/test_streaming.py."""
     from ..streaming import latest_user_totals, stateful_user_totals_stream
 
     events = load_table(spark, sf_dir, "events")
@@ -357,9 +418,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, source, events.schema, target, ckpt
     )
     q.awaitTermination(300)
-    return latest_user_totals(spark, target).withColumn(
-        "total_value", F.round("total_value", 4)
-    )
+    return latest_user_totals(spark, target)
 
 
 @register("mllib_minhash_near_dups")

@@ -36,13 +36,27 @@ def stateful_user_totals_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdf_iter, state):
-        n, total = state.get if state.exists else (0, 0.0)
+        # totals accumulate as exact int64 MICROS of the round-6-quantized
+        # values (half-away-from-zero, the SQL round rule): the running sum
+        # is order-free and replay-exact, and the emitted double equals
+        # CAST(sum(CAST(round(value,6) AS DECIMAL(18,6))) AS DOUBLE) — which
+        # is what makes this stateful stream oracle-checkable (r4 [Q]).
+        import numpy as np
+
+        n, micros = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            n += len(v)
+            micros += int(
+                (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).sum()
+            )
+        state.update((n, micros))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [micros / 1e6],
+            }
         )
 
     reader = spark.readStream.schema(schema)
@@ -54,7 +68,7 @@ def stateful_user_totals_stream(
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, n_events long, total_value double",
-            stateStructType="n bigint, total double",
+            stateStructType="n bigint, micros bigint",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -425,8 +425,10 @@ def test_grouped_zscore_matches_native_window(spark):
         .collect()
     }
     assert set(got) == set(native)
+    # the kernel emits on the round-6 grid (r4 [Q] upgrade), so the
+    # native-window comparison allows half a grid step
     for k in got:
-        assert abs(got[k] - native[k]) < 1e-9, k
+        assert abs(got[k] - native[k]) <= 5.01e-7, k
 
 
 def test_lsh_rerank_grouped_equals_pairs(spark):
