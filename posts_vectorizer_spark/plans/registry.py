@@ -65,34 +65,44 @@ _HEAD_ORDER: tuple[str, ...] = (
     "tfidf_doc_vectors", "tfidf_doc_profile", "tfidf_idf_table",
     "tfidf_term_frequency", "tfidf_vocabulary", "tfidf_oov_tokens",
     "tfidf_candidates", "tfidf_corpus_stats",
-    # §2 relational core (S1/P1, F*, A12, J1-J3, W3, L1/L4, U1/U2)
-    "rel_scan_filter_project", "rel_string_funcs", "rel_groupby_agg",
+    # §2 relational core (S1/P1, F*, A12, J1-J3, W3, L1/L4, U1/U2).
+    # Queries whose code CHANGED this round (cents sums: rel_groupby_agg,
+    # rel_cube) stay to re-prove; multi-green rows whose code is untouched
+    # (rel_string_funcs, rel_orderby_limit, rel_json_extract, rel_join_semi,
+    # rel_join_outer_fill) rotated out mid-r4 — their green rows stand.
+    "rel_scan_filter_project", "rel_groupby_agg",
     "rel_cube", "rel_date_trunc_agg", "rel_join_broadcast_agg",
-    "rel_join_semi", "rel_join_outer_fill", "rel_window_topk_per_group",
-    "rel_orderby_limit", "rel_union_distinct_except", "rel_json_extract",
+    "rel_window_topk_per_group",
+    "rel_union_distinct_except",
     "rel_array_agg_sorted",
-    # text (P3, langid, quality)
-    "text_quality_profile", "text_langid", "text_elemmatch_langarray",
-    # dedup (exact, MinHash, SimHash, components)
+    # text (P3, quality; text_langid rotated out, green r1-r3, untouched)
+    "text_quality_profile", "text_elemmatch_langarray",
+    # dedup (exact, MinHash, components; simhash rotated out, green+untouched)
     "dedup_exact_keep_first", "dedup_minhash_near_dups",
-    "dedup_simhash_near_dups", "dedup_components",
+    "dedup_components",
     # similarity (brute-force oracle, multi-probe LSH, centroids)
     "sim_cosine_topk", "sim_lsh_ann_multiprobe", "sim_label_centroids",
-    # ST6 event-time windows + L5 (green in r1, dropped from r2's budget)
+    # ST6 event-time windows (events_first_per_key rotated out, green+untouched)
     "events_tumbling_window", "events_session_window",
-    "events_first_per_key", "events_hypertable_rollup",
+    "events_hypertable_rollup",
     # ST9 stream-stream interval join — first-ever streaming driver row
     "stream_interval_join",
-    # 14 rotating never-driver-checked slots (r4): the r3 additions, the
-    # two new streaming drains (ST1/ST3 finally get oracle-paired driver
-    # rows), and high-value r2 queries. r1-r3 green union stays green —
-    # rotated-out rows keep their recorded driver rows.
+    # 22 rotating never-driver-checked slots (r4): the r3 additions, the
+    # streaming drains (ST1/ST3 finally get oracle-paired driver rows),
+    # high-value r2 queries, and the mid-r4 wave (custom Python connector,
+    # portable KMeans, containment join, mutual-kNN graph, MAD anomaly,
+    # streaming-mode ST6, the multimodal [Q] upgrade). r1-r3 green union
+    # stays green — rotated-out rows keep their recorded driver rows.
     "curation_pipeline", "text_dsir_weights", "dedup_keep_longest",
     "events_scd2_versions", "events_scd2_lookup", "events_debounce_bursts",
     "stream_upsert_drain", "stream_dedup_drain",
     "rel_tpch_q5_region_volume", "rel_grouping_sets",
     "text_redact_pii", "text_pack_sequences",
     "events_funnel_conversion", "text_winnowing_fingerprints",
+    "source_python_datasource", "stream_python_source_drain",
+    "stream_tumbling_drain", "sim_kmeans_portable",
+    "multimodal_feature_slices", "dedup_containment",
+    "events_anomaly_mad", "sim_knn_graph_mutual",
 )
 
 
