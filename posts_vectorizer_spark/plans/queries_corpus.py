@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
+from ..operators import bpe as _bpe
 from ..operators.dedup import _doc_shingles_sql
 from ..sources import load_table
 from ..sources.catalog import spread
@@ -727,3 +728,19 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s2.cast("double") - slope * s1.cast("double")) / n, 6
         ).cast("double").alias("log_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction — fixed-round merge training
+# ---------------------------------------------------------------------------
+
+@register("text_bpe_merges", oracle=_bpe.merges_sql())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table on the corpus (3 unrolled rounds) — the
+    tokenizer-induction step of an LLM data pipeline, run ON the engine
+    and hash-verified against DuckDB (operators/bpe.py: integer pair
+    counts, lexicographic tiebreaks, and the greedy non-overlapping merge
+    expressed as gaps-and-islands windows instead of a sequential fold).
+    Output: (round, left_sym, right_sym, merged, pair_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.merges(docs)

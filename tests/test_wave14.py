@@ -201,3 +201,53 @@ def test_portable_kmeans_properties(spark):
         )
 
     assert wcss(2) <= wcss(1) + 1e-9
+
+
+def test_bpe_greedy_overlap_and_descent(spark):
+    """The greedy non-overlap rule on a hand corpus: in 'aaaa' the pair
+    (a,a) occurs at 3 positions but only 2 merges apply (positions 1 and
+    3); and each round's merge must strictly reduce that word's symbol
+    count. Also: round-1 pair_count equals a direct Python count over the
+    fixture vocabulary."""
+    from posts_vectorizer_spark.operators import bpe
+    from posts_vectorizer_spark.functions import text as T
+    from posts_vectorizer_spark.sources import load_table
+    from posts_vectorizer_spark.sources.catalog import spread
+
+    toy = spark.createDataFrame(
+        [(1, "aaaa aaaa b", "en", "t", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sorted(bpe.merges(toy, rounds=2).collect(), key=lambda r: r["round"])
+    # round 1: pair (a,a) appears 3x per 'aaaa', 2 words -> count 6
+    assert (
+        rows[0]["left_sym"],
+        rows[0]["right_sym"],
+        rows[0]["merged"],
+        rows[0]["pair_count"],
+    ) == ("a", "a", "aa", 6)
+    # round 2: 'aaaa' became [aa, aa] -> best pair is (aa, aa), count 2
+    assert (rows[1]["merged"], rows[1]["pair_count"]) == ("aaaa", 2)
+
+    # fixture: round-1 count equals a direct Python recount
+    docs = load_table(spark, SF_SMOKE, "documents")
+    freq: dict[str, int] = {}
+    for r in (
+        spread(docs).select(F.explode(T.tokens("text")).alias("w")).collect()
+    ):
+        freq[r["w"]] = freq.get(r["w"], 0) + 1
+    from collections import Counter
+
+    pair_counts: Counter = Counter()
+    for w, f in freq.items():
+        for a, b in zip(w, w[1:]):
+            pair_counts[(a, b)] += f
+    ((bl, br), bc) = min(
+        pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )
+    got = {r["round"]: r for r in _Q["text_bpe_merges"](spark, SF_SMOKE).collect()}
+    assert (got[1]["left_sym"], got[1]["right_sym"], got[1]["pair_count"]) == (
+        bl,
+        br,
+        bc,
+    )
