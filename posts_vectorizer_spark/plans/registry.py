@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module lands inside that budget: tfidf (8), a trimmed relational core
 # (13, incl. the r2-red rel_array_agg_sorted), text, dedup, similarity,
 # event-time windows (ST6), the watermarked stream-stream join (ST9), and
-# 14 ROTATING slots (r4 policy, per the r3 verdict): each round the slots
+# ROTATING slots (r4 policy, per the r3 verdict; 23 this round): the slots
 # go to [Q] queries that have never had a driver CORRECTNESS row —
 # new-this-round queries first, then the never-checked backlog — so the
 # driver-green union grows every round instead of re-proving green rows.
@@ -71,7 +71,7 @@ _HEAD_ORDER: tuple[str, ...] = (
     # (rel_string_funcs, rel_orderby_limit, rel_json_extract, rel_join_semi,
     # rel_join_outer_fill) rotated out mid-r4 — their green rows stand.
     "rel_scan_filter_project", "rel_groupby_agg",
-    "rel_cube", "rel_date_trunc_agg", "rel_join_broadcast_agg",
+    "rel_cube", "rel_join_broadcast_agg",
     "rel_window_topk_per_group",
     "rel_union_distinct_except",
     "rel_array_agg_sorted",
@@ -87,7 +87,8 @@ _HEAD_ORDER: tuple[str, ...] = (
     "events_hypertable_rollup",
     # ST9 stream-stream interval join — first-ever streaming driver row
     "stream_interval_join",
-    # 22 rotating never-driver-checked slots (r4): the r3 additions, the
+    # 23 rotating never-driver-checked slots (r4; rel_date_trunc_agg
+    # rotated out late-round — green r1+r3, untouched): the r3 additions, the
     # streaming drains (ST1/ST3 finally get oracle-paired driver rows),
     # high-value r2 queries, and the mid-r4 wave (custom Python connector,
     # portable KMeans, containment join, mutual-kNN graph, MAD anomaly,
@@ -102,7 +103,7 @@ _HEAD_ORDER: tuple[str, ...] = (
     "source_python_datasource", "stream_python_source_drain",
     "stream_tumbling_drain", "sim_kmeans_portable",
     "multimodal_feature_slices", "dedup_containment",
-    "events_anomaly_mad", "sim_knn_graph_mutual",
+    "events_anomaly_mad", "sim_knn_graph_mutual", "text_bpe_merges",
 )
 
 
