@@ -658,3 +658,55 @@ def test_cdc_compaction_tiebreak_deterministic_on_duplicate_seq(
         q.awaitTermination(120)
         got = {r.k: r.v for r in read_merged(spark, target).collect()}
         assert got == expected, f"run {run} diverged"
+
+
+def test_streaming_dedup_under_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state backend: the same watermarked streaming dedup runs
+    under RocksDBStateStoreProvider (bounded executor memory, spill to
+    local disk — the production choice once keyed state outgrows the heap;
+    provider is a per-query conf, so one session can mix backends).
+    Asserts identical results AND that RocksDB actually backed the state
+    (sst/log artifacts in the checkpoint)."""
+    import os
+
+    from posts_vectorizer_spark.sources import load_table
+    from posts_vectorizer_spark.streaming import dedup_stream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        src, tgt, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        e.coalesce(1).write.mode("append").parquet(src)
+        e.coalesce(1).write.mode("append").parquet(src)  # second delivery
+        q = dedup_stream(
+            spark, src, e.schema, tgt, ckpt,
+            keys=("event_id",), max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        got = spark.read.parquet(tgt)
+        assert got.count() == e.count()  # duplicates dropped exactly
+        rocks_files = []
+        for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+            rocks_files += [
+                f for f in files
+                if f.endswith((".sst", ".zip")) or "rocksdb" in root.lower()
+            ]
+        assert rocks_files, "RocksDB state artifacts expected in checkpoint"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
