@@ -136,7 +136,10 @@ def merges(documents: DataFrame, rounds: int = ROUNDS_DEFAULT) -> DataFrame:
     result = outs[0]
     for b in outs[1:]:
         result = result.unionByName(b)
-    return result
+    # a pair-exhausted corpus makes the min_by aggregate emit one all-NULL
+    # row; the SQL twin's LIMIT 1 over an empty relation emits nothing —
+    # align on nothing
+    return result.where(F.col("left_sym").isNotNull())
 
 
 def _round_sql(prev: str, rnd: int) -> str:

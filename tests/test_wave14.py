@@ -251,3 +251,79 @@ def test_bpe_greedy_overlap_and_descent(spark):
         br,
         bc,
     )
+
+
+def test_bpe_randomized_vs_python_reference(spark):
+    """Randomized differential guard for the windowed merge formulation:
+    tiny alphabets force overlapping runs and count ties; a pure-Python
+    BPE (greedy left-to-right merge, same tiebreaks) must agree with the
+    engine on every round for every seeded corpus."""
+    import random
+
+    from posts_vectorizer_spark.operators import bpe
+
+    def py_bpe(freqs: dict, rounds: int):
+        seqs = {w: list(w) for w in freqs}
+        out = []
+        for rnd in range(1, rounds + 1):
+            counts: dict = {}
+            for w, syms in seqs.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + freqs[w]
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((rnd, l, r, l + r, c))
+            for w, syms in seqs.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                seqs[w] = new
+        return out
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            for _ in range(12)
+        ]
+        text = " ".join(words)
+        df = spark.createDataFrame(
+            [(1, text, "en", "t", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        freqs: dict = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+        expected = py_bpe(freqs, 3)
+        got = sorted(
+            (
+                (r["round"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+                for r in bpe.merges(df, rounds=3).collect()
+            )
+        )
+        assert got == sorted(expected), f"seed {seed}: {got} != {expected}"
+
+
+def test_bpe_pair_exhausted_corpus_is_empty(spark):
+    """A corpus of single-character words has no pairs: the merge table
+    must be EMPTY (not a NULL row) — matching the SQL twin's empty
+    LIMIT 1."""
+    from posts_vectorizer_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "a b a b", "en", "t", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert bpe.merges(df, rounds=2).collect() == []
