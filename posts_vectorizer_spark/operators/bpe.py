@@ -217,3 +217,47 @@ seq0 AS (
         for r in range(1, rounds + 1)
     ]
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def segment_stats(documents: DataFrame, rounds: int = ROUNDS_DEFAULT) -> DataFrame:
+    """One-row corpus segmentation report after applying the learned
+    merges: vocabulary size, corpus token occurrences, total symbols
+    before (characters) and after the merges, and the compression ratio —
+    the train->apply loop of tokenizer induction, on-engine."""
+    syms = _symbols0(documents)
+    first = syms
+    for r in range(1, rounds + 1):
+        _, syms = _one_round(syms, r)
+    before = first.groupBy("word", "freq").agg(F.count("*").alias("n0"))
+    after = syms.groupBy("word", "freq").agg(F.count("*").alias("n1"))
+    joined = before.join(after, ["word", "freq"])
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum("freq").cast("bigint").alias("n_word_occurrences"),
+        F.sum(F.col("n0") * F.col("freq")).cast("bigint").alias("chars_total"),
+        F.sum(F.col("n1") * F.col("freq")).cast("bigint").alias("symbols_total"),
+        F.round(
+            F.sum(F.col("n1") * F.col("freq")).cast("double")
+            / F.sum(F.col("n0") * F.col("freq")),
+            6,
+        ).cast("double").alias("compression"),
+    )
+
+
+def segment_stats_sql(rounds: int = ROUNDS_DEFAULT) -> str:
+    # reuse merges_sql's CTE chain; swap its final UNION for the report
+    with_part = merges_sql(rounds).split("\nSELECT round, left_s")[0]
+    return (
+        with_part
+        + f""",
+before_seg AS (SELECT word, freq, count(*) AS n0 FROM seq0 GROUP BY word, freq),
+after_seg AS (SELECT word, freq, count(*) AS n1 FROM seq{rounds} GROUP BY word, freq)
+SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum(b.freq) AS BIGINT) AS n_word_occurrences,
+       CAST(sum(b.n0 * b.freq) AS BIGINT) AS chars_total,
+       CAST(sum(a.n1 * a.freq) AS BIGINT) AS symbols_total,
+       CAST(round(CAST(sum(a.n1 * a.freq) AS DOUBLE)
+                  / sum(b.n0 * b.freq), 6) AS DOUBLE) AS compression
+FROM before_seg b JOIN after_seg a USING (word, freq)
+"""
+    )

@@ -29,7 +29,7 @@ is scanned once per iteration and never shuffled whole.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 K_DEFAULT = 8
 ITERS_DEFAULT = 2
@@ -203,5 +203,141 @@ FROM {prev} c
 JOIN (SELECT cluster_id, count(*) AS n_members FROM assign{iters}
       GROUP BY cluster_id) s USING (cluster_id),
      generate_series(1, {dims}) AS t(km_j)
+"""
+    )
+
+
+IVF_K_NEIGHBORS = 3
+
+
+def _norm2(emb_col):
+    return F.aggregate(
+        F.transform(emb_col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_search(
+    emb: DataFrame,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    topk: int = IVF_K_NEIGHBORS,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rk): IVF search with nprobe=1 over
+    the PORTABLE KMeans lists — train (kmeans), index (the final
+    assignment IS the inverted list), search (exact cosine inside the
+    query's own list) in one oracle-checkable plan. Zero-norm vectors are
+    excluded on both engines (they have no cosine neighborhood).
+
+    Scale shape: the self-join keys on cluster_id, so candidate volume is
+    Σ|list|² instead of n² — the IVF contract; a hot list is bounded the
+    same way the LSH rerank is (cap or split; see similarity.lsh_ann).
+    Approximate BY DESIGN (a true neighbor in another list is missed);
+    the oracle runs the SAME lists, so the check is exact over the
+    declared candidate set — the sim_lsh_ann pattern."""
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(_quantize("embedding").alias("cvec"))
+        .collect()
+    )
+    centroids = [(i, list(r["cvec"])) for i, r in enumerate(seeds)]
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(emb, centroids)
+        centroids = _update(assigned)
+    # final lists use the LAST updated centroids (one more assign pass —
+    # the index assignment step)
+    assigned = _assign(emb, centroids)
+    lists = assigned.where(_norm2("embedding") > 0).select(
+        "cluster_id", "vec_id", "embedding", _norm2("embedding").alias("n2")
+    )
+    a = lists.select(
+        "cluster_id",
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    b = lists.select(
+        "cluster_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("n2").alias("nn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot / (F.sqrt("qn2") * F.sqrt("nn2")), ROUND
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _sql_fold_sum(items: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, {items}), (iv_a, iv_b) -> iv_a + iv_b)"
+    )
+
+
+def ivf_search_sql(
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    topk: int = IVF_K_NEIGHBORS,
+    dims: int = 64,
+) -> str:
+    base = kmeans_sql(k, iters, dims)
+    with_part = base.split("\nSELECT c.cluster_id")[0]
+    dist = _sql_dist("e.embedding", "c.cvec", dims)
+    sq = _sql_fold_sum(
+        f"list_transform(generate_series(1, {dims}), iv_j -> "
+        f"CAST(embedding[iv_j] AS DOUBLE) * CAST(embedding[iv_j] AS DOUBLE))"
+    )
+    dot = _sql_fold_sum(
+        f"list_transform(generate_series(1, {dims}), iv_j -> "
+        f"CAST(a.embedding[iv_j] AS DOUBLE) * CAST(b.embedding[iv_j] AS DOUBLE))"
+    )
+    return (
+        with_part
+        + f""",
+final_assign AS (
+  SELECT e.vec_id, e.embedding,
+         (min({{'d': {dist}, 'c': c.cluster_id}})).c AS cluster_id
+  FROM embeddings e, cents{iters} c
+  GROUP BY e.vec_id, e.embedding
+),
+lists AS (
+  SELECT cluster_id, vec_id, embedding, {sq} AS n2
+  FROM final_assign
+  WHERE {sq} > 0
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({dot} / (sqrt(a.n2) * sqrt(b.n2)), {ROUND}) AS cosine
+  FROM lists a JOIN lists b USING (cluster_id)
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs
+) WHERE rk <= {topk}
 """
     )

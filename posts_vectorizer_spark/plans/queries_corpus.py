@@ -744,3 +744,14 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (round, left_sym, right_sym, merged, pair_count)."""
     docs = load_table(spark, sf_dir, "documents")
     return _bpe.merges(docs)
+
+
+@register("text_bpe_segment_stats", oracle=_bpe.segment_stats_sql())
+def text_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus and report the
+    segmentation: vocab size, corpus word occurrences, characters vs
+    symbols after 3 merge rounds, and the compression ratio — the
+    train -> apply loop of tokenizer induction in one plan (the inference
+    face of text_bpe_merges)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.segment_stats(docs)

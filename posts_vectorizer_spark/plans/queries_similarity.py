@@ -118,3 +118,16 @@ def sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     be rows-only; the same centroids are exactly the IVF coarse lists."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.kmeans(emb)
+
+
+@register("sim_ivf_portable", oracle=clustering.ivf_search_sql())
+def sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF train -> index -> search in one ORACLE-CHECKED plan: portable
+    KMeans coarse lists (sim_kmeans_portable's centroids), a final
+    assignment pass as the inverted index, and exact cosine top-3 inside
+    each query's own list (nprobe=1). Approximate by design — the oracle
+    runs the SAME lists, so the check is exact over the declared
+    candidate set (the sim_lsh_ann pattern); recall vs brute force is the
+    operator-level test's job (tests/test_wave14.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.ivf_search(emb)

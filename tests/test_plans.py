@@ -66,6 +66,7 @@ def test_plan_build_triggers_no_jobs(spark):
         # model fits / fixpoint loops are inherently iterative jobs at build
         "sim_ivf_ann",
         "sim_kmeans_portable",  # Lloyd iterations are jobs by contract
+        "sim_ivf_portable",  # trains the same lists at build
         "mllib_minhash_near_dups",
         "mllib_doc_vectors_wide",
         "dedup_components",

