@@ -463,3 +463,51 @@ def stream_python_source_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination(60)
     return spark.read.parquet(target)
+
+
+@register(
+    "stream_idf_increment",
+    oracle=f"""
+WITH eligible AS (SELECT * FROM documents WHERE lang = 'en'),
+tok AS (SELECT unnest({_T.tokens_sql('text')}) AS word FROM eligible),
+counts AS (SELECT word, CAST(count(*) AS BIGINT) AS occurrences
+           FROM tok GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM eligible)
+SELECT c.word, c.occurrences,
+       CAST(round(log10(CAST(n.n_docs AS DOUBLE) / c.occurrences), 6)
+            AS DOUBLE) AS idf
+FROM counts c, n
+""",
+)
+def stream_idf_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IDF maintenance with a driver row: documents stream in
+    TWO forced micro-batches (two source files, maxFilesPerTrigger=1);
+    each batch ADDITIVELY merges its word-count and doc-count deltas into
+    bucketed state tables (exactly-once via the sink's batch-id ledger),
+    and the final IDF derives from the merged states — the reference's
+    full-corpus recount (calculate_idf_scores.py:52-85) as O(batch)
+    maintenance. Addition is commutative, so the two-batch split cannot
+    change the result: the oracle is the whole-corpus aggregate."""
+    from ..sources.sinks import read_merged
+    from ..streaming import idf_count_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="pv_idfinc_")
+    src = f"{work}/in"
+    half = F.col("doc_id") % 2
+    docs.where(half == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(half == 1).coalesce(1).write.mode("append").parquet(src)
+    q = idf_count_stream(
+        spark, src, docs.schema, f"{work}/counts", f"{work}/docs",
+        f"{work}/ckpt", lang="en", max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    counts = read_merged(spark, f"{work}/counts")
+    n_docs = read_merged(spark, f"{work}/docs").select("n_docs")
+    return counts.crossJoin(F.broadcast(n_docs)).select(
+        "word",
+        "occurrences",
+        F.round(
+            F.log10(F.col("n_docs").cast("double") / F.col("occurrences")), 6
+        ).cast("double").alias("idf"),
+    )

@@ -148,6 +148,43 @@ def apply_cdc_parquet(
     _merge_parquet(spark, upserts, delete_keys, target_dir, keys, n_buckets)
 
 
+APPLIED_LEDGER_CAP = 64
+
+
+def merge_add_parquet(
+    spark: SparkSession,
+    deltas: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    batch_id: int | None = None,
+) -> None:
+    """ADDITIVE merge: matched rows SUM every non-key column with the
+    incoming delta; unmatched deltas insert. The maintenance primitive for
+    incremental aggregates (word counts, doc counts, per-key totals) —
+    the reference's full-corpus IDF recount (calculate_idf_scores.py:52-66)
+    becomes a per-batch delta merge at O(touched buckets).
+
+    Addition is NOT naturally idempotent, so exactly-once comes from a
+    BATCH-ID LEDGER in the manifest (Delta's txn appId/version pattern):
+    pass foreachBatch's ``batch_id`` and a replayed batch is skipped
+    before any read or write. The ledger keeps the last
+    {APPLIED_LEDGER_CAP} ids — far beyond any realistic replay window
+    (foreachBatch replays only the LAST uncommitted batch). Deltas must be
+    pre-aggregated unique per key (callers groupBy first)."""
+    manifest = _read_manifest(target_dir)
+    if (
+        batch_id is not None
+        and manifest is not None
+        and batch_id in manifest.get("applied", [])
+    ):
+        return
+    _merge_parquet(
+        spark, deltas, None, target_dir, keys, n_buckets,
+        combine="add", batch_id=batch_id,
+    )
+
+
 def _merge_parquet(
     spark: SparkSession,
     upserts: DataFrame,
@@ -156,6 +193,8 @@ def _merge_parquet(
     keys: list[str],
     n_buckets: int,
     order_col: str | None = None,
+    combine: str = "replace",
+    batch_id: int | None = None,
 ) -> None:
     os.makedirs(target_dir, exist_ok=True)
     manifest = _read_manifest(target_dir)
@@ -184,7 +223,19 @@ def _merge_parquet(
         ]
         if touched_dirs:
             current = spark.read.parquet(*touched_dirs)
-            if order_col is None:
+            if combine == "add":
+                # additive: union current + deltas, SUM every value column
+                # per key (unmatched keys pass through the sum unchanged)
+                value_cols = [
+                    c for c in upserts.columns if c not in keys
+                ]
+                both = current.unionByName(upserts.select(*current.columns))
+                merged = (
+                    both.groupBy(*keys)
+                    .agg(*[F.sum(c).alias(c) for c in value_cols])
+                    .withColumn("_bucket", _bucket_col(keys, n_buckets))
+                )
+            elif order_col is None:
                 # last-batch-wins: incoming rows replace stored rows
                 kept = current.join(
                     bucketed_keys.select(*keys), keys, "left_anti"
@@ -244,6 +295,11 @@ def _merge_parquet(
                 new_buckets.pop(str(b), None)
 
     new_manifest = {"n_buckets": n_buckets, "keys": list(keys), "buckets": new_buckets}
+    if batch_id is not None or (manifest or {}).get("applied"):
+        applied = list((manifest or {}).get("applied", []))
+        if batch_id is not None:
+            applied.append(batch_id)
+        new_manifest["applied"] = applied[-APPLIED_LEDGER_CAP:]
     _write_manifest_atomic(target_dir, new_manifest)  # <- the only commit point
     # Old versions of rewritten buckets are now unreachable; GC best-effort.
     _sweep_orphans(target_dir, new_manifest)

@@ -3,6 +3,7 @@ from .worker import (
     HeartbeatListener,
     cdc_apply_stream,
     dedup_stream,
+    idf_count_stream,
     interval_join_stream,
     session_window_stream,
     tumbling_window_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "HeartbeatListener",
     "cdc_apply_stream",
     "dedup_stream",
+    "idf_count_stream",
     "interval_join_stream",
     "latest_user_totals",
     "session_window_stream",

@@ -485,3 +485,58 @@ def vectorize_stream(
     else:
         writer = writer.trigger(processingTime="0 seconds")
     return writer.start()
+
+
+def idf_count_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    counts_dir: str,
+    docs_dir: str,
+    checkpoint_dir: str,
+    lang: str = "en",
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental IDF maintenance: each micro-batch of documents merges
+    its (word, occurrences) delta and its document-count delta ADDITIVELY
+    into two bucketed state tables (sinks.merge_add_parquet) — the
+    reference's full-corpus IDF recount (calculate_idf_scores.py:52-66)
+    as O(batch) maintenance instead of O(corpus) recomputation. The
+    foreachBatch batch_id rides into the sink's ledger, so a replayed
+    batch cannot double-count: addition + ledger = exactly-once.
+
+    At 100 TB: per-batch cost is the batch's own token count plus
+    O(touched buckets) of the word-count table; the IDF read side derives
+    log10(n_docs/occurrences) from the two states at query time."""
+    from ..functions import text as T
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        docs = batch_df.where(F.col("lang") == lang)
+        word_delta = (
+            docs.select(F.explode(T.tokens("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").cast("bigint").alias("occurrences"))
+        )
+        merge_add_parquet(
+            spark, word_delta, counts_dir, ["word"], batch_id=batch_id
+        )
+        doc_delta = docs.agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        ).select(F.lit("corpus").alias("scope"), "n_docs")
+        merge_add_parquet(
+            spark, doc_delta, docs_dir, ["scope"], n_buckets=1,
+            batch_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -77,6 +77,7 @@ def test_plan_build_triggers_no_jobs(spark):
         "stream_upsert_drain",
         "stream_cdc_drain",
         "stream_dedup_drain",
+        "stream_idf_increment",
         # writes the ORC copy it then reads — fixture setup, inherently jobs
         "source_orc_roundtrip",
         "source_schema_evolution",

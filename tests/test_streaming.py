@@ -710,3 +710,77 @@ def test_streaming_dedup_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_merge_add_ledger_makes_addition_exactly_once(spark, tmp_path):
+    """Additive merge is not naturally idempotent; the batch-id ledger
+    must make it so: re-applying a delivered batch_id is a no-op, a new
+    batch_id adds, and matched keys SUM while new keys insert."""
+    from posts_vectorizer_spark.sources.sinks import (
+        merge_add_parquet,
+        read_merged,
+    )
+
+    tgt = str(tmp_path / "counts")
+    d1 = spark.createDataFrame(
+        [("a", 2), ("b", 3)], "word string, occurrences long"
+    )
+    merge_add_parquet(spark, d1, tgt, ["word"], batch_id=0)
+    merge_add_parquet(spark, d1, tgt, ["word"], batch_id=0)  # replay: no-op
+    state = {
+        r["word"]: r["occurrences"] for r in read_merged(spark, tgt).collect()
+    }
+    assert state == {"a": 2, "b": 3}
+    d2 = spark.createDataFrame(
+        [("b", 5), ("c", 7)], "word string, occurrences long"
+    )
+    merge_add_parquet(spark, d2, tgt, ["word"], batch_id=1)
+    state = {
+        r["word"]: r["occurrences"] for r in read_merged(spark, tgt).collect()
+    }
+    assert state == {"a": 2, "b": 8, "c": 7}
+    # replay of batch 1 after batch 1 committed: still a no-op
+    merge_add_parquet(spark, d2, tgt, ["word"], batch_id=1)
+    state2 = {
+        r["word"]: r["occurrences"] for r in read_merged(spark, tgt).collect()
+    }
+    assert state2 == state
+
+
+def test_idf_increment_split_invariance(spark, tmp_path):
+    """The final IDF state must be identical whether documents arrive in
+    one batch or several (addition is commutative and the ledger keeps
+    replays out)."""
+    from posts_vectorizer_spark.sources import load_table
+    from posts_vectorizer_spark.sources.sinks import read_merged
+    from posts_vectorizer_spark.streaming import idf_count_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def drain(split: bool, root: str):
+        src = f"{root}/in"
+        if split:
+            from pyspark.sql import functions as F
+
+            third = F.col("doc_id") % 3
+            for k in range(3):
+                docs.where(third == k).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+        else:
+            docs.coalesce(1).write.mode("append").parquet(src)
+        q = idf_count_stream(
+            spark, src, docs.schema, f"{root}/counts", f"{root}/docs",
+            f"{root}/ckpt", max_files_per_trigger=1 if split else None,
+        )
+        q.awaitTermination(300)
+        counts = {
+            r["word"]: r["occurrences"]
+            for r in read_merged(spark, f"{root}/counts").collect()
+        }
+        n = read_merged(spark, f"{root}/docs").collect()[0]["n_docs"]
+        return counts, n
+
+    one = drain(False, str(tmp_path / "one"))
+    three = drain(True, str(tmp_path / "three"))
+    assert one == three
