@@ -218,6 +218,32 @@ def _norm2(emb_col):
     )
 
 
+def _final_lists(
+    emb: DataFrame, k: int = K_DEFAULT, iters: int = ITERS_DEFAULT
+) -> DataFrame:
+    """(cluster_id, vec_id, embedding, n2): the inverted lists after the
+    portable KMeans train + one final assignment pass (the index step).
+    Zero-norm vectors are excluded on both engines (no cosine
+    neighborhood). Shared by ivf_search and semdedup_prune."""
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(_quantize("embedding").alias("cvec"))
+        .collect()
+    )
+    centroids = [(i, list(r["cvec"])) for i, r in enumerate(seeds)]
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(emb, centroids)
+        centroids = _update(assigned)
+    # final lists use the LAST updated centroids (one more assign pass —
+    # the index assignment step)
+    assigned = _assign(emb, centroids)
+    return assigned.where(_norm2("embedding") > 0).select(
+        "cluster_id", "vec_id", "embedding", _norm2("embedding").alias("n2")
+    )
+
+
 def ivf_search(
     emb: DataFrame,
     k: int = K_DEFAULT,
@@ -236,23 +262,7 @@ def ivf_search(
     Approximate BY DESIGN (a true neighbor in another list is missed);
     the oracle runs the SAME lists, so the check is exact over the
     declared candidate set — the sim_lsh_ann pattern."""
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select(_quantize("embedding").alias("cvec"))
-        .collect()
-    )
-    centroids = [(i, list(r["cvec"])) for i, r in enumerate(seeds)]
-    assigned = None
-    for _ in range(iters):
-        assigned = _assign(emb, centroids)
-        centroids = _update(assigned)
-    # final lists use the LAST updated centroids (one more assign pass —
-    # the index assignment step)
-    assigned = _assign(emb, centroids)
-    lists = assigned.where(_norm2("embedding") > 0).select(
-        "cluster_id", "vec_id", "embedding", _norm2("embedding").alias("n2")
-    )
+    lists = _final_lists(emb, k, iters)
     a = lists.select(
         "cluster_id",
         F.col("vec_id").alias("query_id"),
@@ -297,22 +307,16 @@ def _sql_fold_sum(items: str) -> str:
     )
 
 
-def ivf_search_sql(
-    k: int = K_DEFAULT,
-    iters: int = ITERS_DEFAULT,
-    topk: int = IVF_K_NEIGHBORS,
-    dims: int = 64,
-) -> str:
+def _lists_sql_prefix(k: int, iters: int, dims: int) -> str:
+    """WITH-clause prefix ending at the `lists` CTE (portable KMeans
+    train + final assignment + zero-norm filter) — shared by the IVF and
+    SemDeDup oracles."""
     base = kmeans_sql(k, iters, dims)
     with_part = base.split("\nSELECT c.cluster_id")[0]
     dist = _sql_dist("e.embedding", "c.cvec", dims)
     sq = _sql_fold_sum(
         f"list_transform(generate_series(1, {dims}), iv_j -> "
         f"CAST(embedding[iv_j] AS DOUBLE) * CAST(embedding[iv_j] AS DOUBLE))"
-    )
-    dot = _sql_fold_sum(
-        f"list_transform(generate_series(1, {dims}), iv_j -> "
-        f"CAST(a.embedding[iv_j] AS DOUBLE) * CAST(b.embedding[iv_j] AS DOUBLE))"
     )
     return (
         with_part
@@ -327,10 +331,30 @@ lists AS (
   SELECT cluster_id, vec_id, embedding, {sq} AS n2
   FROM final_assign
   WHERE {sq} > 0
-),
+)"""
+    )
+
+
+def _sql_pair_cosine(dims: int) -> str:
+    dot = _sql_fold_sum(
+        f"list_transform(generate_series(1, {dims}), iv_j -> "
+        f"CAST(a.embedding[iv_j] AS DOUBLE) * CAST(b.embedding[iv_j] AS DOUBLE))"
+    )
+    return f"round({dot} / (sqrt(a.n2) * sqrt(b.n2)), {ROUND})"
+
+
+def ivf_search_sql(
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    topk: int = IVF_K_NEIGHBORS,
+    dims: int = 64,
+) -> str:
+    return (
+        _lists_sql_prefix(k, iters, dims)
+        + f""",
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round({dot} / (sqrt(a.n2) * sqrt(b.n2)), {ROUND}) AS cosine
+         {_sql_pair_cosine(dims)} AS cosine
   FROM lists a JOIN lists b USING (cluster_id)
   WHERE a.vec_id <> b.vec_id
 )
@@ -339,5 +363,109 @@ SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
                                ORDER BY cosine DESC, neighbor_id) AS rk
   FROM pairs
 ) WHERE rk <= {topk}
+"""
+    )
+
+
+SEMDEDUP_TAU = 0.3
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """(vec_id, cluster_id, witness_id, witness_cosine, n_witnesses):
+    SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540 —
+    cluster the embedding space, then drop near-duplicates WITHIN each
+    cluster so the quadratic pair search never crosses cluster
+    boundaries). The reference corpus pipeline has no semantic dedup; this
+    extends its embedding surface (reference worker.py:78 vector columns)
+    with the standard LLM-corpus curation step.
+
+    Deterministic keep-first contract (what makes it oracle-checkable): a
+    vector is PRUNED iff its cluster holds a LOWER-vec_id vector with
+    round-6 cosine > tau; survivors are simply the non-returned ids. Each
+    pruned row carries the smallest such witness (lexicographic struct
+    min — both engines agree) and the total witness count. This is the
+    greedy by-id variant of SemDeDup's keep-one-per-duplicate-group; the
+    paper's keep-farthest-from-centroid rule differs only in the ORDER
+    the group is ranked by, not in the candidate generation.
+
+    Scale shape: identical to ivf_search — pair volume is Σ|list|²
+    (cluster equi-join), never n²; raise k to shrink lists at corpus
+    scale. The witness argmin is a map-side-combinable struct-min keyed
+    by vec_id, so the reduce state per vector is one struct."""
+    lists = _final_lists(emb, k, iters)
+    a = lists.select(
+        "cluster_id",
+        "vec_id",
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    b = lists.select(
+        "cluster_id",
+        F.col("vec_id").alias("witness_id"),
+        F.col("embedding").alias("ne"),
+        F.col("n2").alias("nn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("witness_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "witness_id",
+            F.round(dot / (F.sqrt("qn2") * F.sqrt("nn2")), ROUND).alias("cosine"),
+        )
+        .where(F.col("cosine") > tau)
+    )
+    best = F.min(
+        F.struct(F.col("witness_id").alias("w"), F.col("cosine").alias("c"))
+    )
+    return (
+        pairs.groupBy("vec_id", "cluster_id")
+        .agg(
+            best.alias("best"),
+            F.count("*").alias("n_witnesses"),
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("best.w").alias("witness_id"),
+            F.col("best.c").alias("witness_cosine"),
+            F.col("n_witnesses").cast("bigint").alias("n_witnesses"),
+        )
+    )
+
+
+def semdedup_sql(
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    tau: float = SEMDEDUP_TAU,
+    dims: int = 64,
+) -> str:
+    return (
+        _lists_sql_prefix(k, iters, dims)
+        + f""",
+sd_pairs AS (
+  SELECT a.vec_id, a.cluster_id, b.vec_id AS witness_id,
+         {_sql_pair_cosine(dims)} AS cosine
+  FROM lists a JOIN lists b USING (cluster_id)
+  WHERE b.vec_id < a.vec_id
+)
+SELECT vec_id, cluster_id,
+       (min({{'w': witness_id, 'c': cosine}})).w AS witness_id,
+       (min({{'w': witness_id, 'c': cosine}})).c AS witness_cosine,
+       count(*) AS n_witnesses
+FROM sd_pairs
+WHERE cosine > {tau}
+GROUP BY vec_id, cluster_id
 """
     )

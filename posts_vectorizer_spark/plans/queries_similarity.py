@@ -120,6 +120,18 @@ def sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans(emb)
 
 
+@register("sim_semdedup_prune", oracle=clustering.semdedup_sql())
+def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate pruning (cluster-then-dedup,
+    Abbas et al. 2023): portable-KMeans clusters bound the pair search,
+    then keep-first-by-id inside each cluster at cosine > 0.3. Returns
+    the PRUNED rows with their smallest witness — the drop list a
+    curation pipeline would anti-join against the corpus. Fully
+    oracle-checked including the clustering (operators/clustering.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.semdedup_prune(emb)
+
+
 @register("sim_ivf_portable", oracle=clustering.ivf_search_sql())
 def sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF train -> index -> search in one ORACLE-CHECKED plan: portable

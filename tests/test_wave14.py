@@ -203,6 +203,52 @@ def test_portable_kmeans_properties(spark):
     assert wcss(2) <= wcss(1) + 1e-9
 
 
+def test_semdedup_prune_matches_bruteforce(spark):
+    """SemDeDup drop list == a direct numpy recomputation over the SAME
+    final cluster lists: exact pruned-id set, exact (cluster, smallest
+    witness, witness count), cosine to 1e-6. Pins the keep-first-by-id
+    contract the oracle pair agrees on."""
+    from posts_vectorizer_spark.operators import clustering
+    from posts_vectorizer_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    by_cluster: dict[int, list] = {}
+    for r in clustering._final_lists(emb).collect():
+        by_cluster.setdefault(r["cluster_id"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    tau = clustering.SEMDEDUP_TAU
+    expect = {}
+    for cid, members in by_cluster.items():
+        members.sort(key=lambda t: t[0])
+        for i, (vid, v) in enumerate(members):
+            wits = []
+            for wid, w in members[:i]:
+                cos = round(
+                    float(v @ w) / float(np.linalg.norm(v) * np.linalg.norm(w)), 6
+                )
+                if cos > tau:
+                    wits.append((wid, cos))
+            if wits:
+                best = min(wits)
+                expect[vid] = (cid, best[0], best[1], len(wits))
+    got = {
+        r["vec_id"]: (
+            r["cluster_id"],
+            r["witness_id"],
+            r["witness_cosine"],
+            r["n_witnesses"],
+        )
+        for r in clustering.semdedup_prune(emb).collect()
+    }
+    assert expect, "fixture should prune at least one vector"
+    assert got.keys() == expect.keys()
+    for vid, g in got.items():
+        e = expect[vid]
+        assert (g[0], g[1], g[3]) == (e[0], e[1], e[3])
+        assert abs(g[2] - e[2]) < 2e-6
+
+
 def test_bpe_greedy_overlap_and_descent(spark):
     """The greedy non-overlap rule on a hand corpus: in 'aaaa' the pair
     (a,a) occurs at 3 positions but only 2 merges apply (positions 1 and
