@@ -45,7 +45,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] hosts driver AND all executor threads in ONE JVM, so this
+        # is the whole-engine heap. 8g forced concurrent full GCs mid-query
+        # under 32 threads (observed: identical bench queries swinging 2-3x
+        # run-to-run; 24g removed the swings entirely — 8.7s vs 24.4s
+        # headline total on the same warm machine). On a real cluster this
+        # moves to spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
