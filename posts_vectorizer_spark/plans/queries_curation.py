@@ -735,3 +735,123 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-resampled corpus mix (apply the α=0.5 weights end-to-end)
+# ---------------------------------------------------------------------------
+
+_MIX_PPM = 1_000_000       # hash-rate resolution (parts per million)
+_MIX_BASE_RATE = 0.5       # global downsample so flattening has headroom
+# char_hash is AFFINE in the trailing digits of a numeric key (h(id+1) =
+# h(id)+1 for same-length ids), so `% PPM` against a fine-grained rate
+# would keep contiguous id RANGES, not a pseudo-random subset. One LCG
+# step decorrelates consecutive ids; max intermediate is
+# (HASH_MOD-1)*LCG_A ~ 1.1e18, inside int64 on both engines.
+_MIX_LCG_A = 1_103_515_245
+_MIX_LCG_C = 12_345
+
+
+@register(
+    "curation_mix_resample",
+    oracle=f"""
+WITH mass AS (
+  SELECT source, count(*) AS n_candidates,
+         CAST(sum({T.token_count_sql('text')}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+gridded AS (
+  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS tm
+  FROM mass
+),
+tot AS (SELECT sum(tm) AS tms, sum(n_tokens) AS ns FROM gridded),
+rates AS (
+  SELECT source, n_candidates,
+         least(CAST({_MIX_PPM} AS BIGINT),
+               CAST(round({float(_MIX_PPM) * _MIX_BASE_RATE}
+                    * (CAST(tm AS DOUBLE) / CAST(tms AS DOUBLE))
+                    * (CAST(ns AS DOUBLE) / CAST(n_tokens AS DOUBLE)),
+                    0) AS BIGINT)) AS rate_ppm
+  FROM gridded, tot
+),
+kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE (({T.char_hash_sql("CAST(d.doc_id AS VARCHAR)")})
+         * {_MIX_LCG_A} + {_MIX_LCG_C}) % {T.HASH_MOD} % {_MIX_PPM}
+        < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_candidates, r.rate_ppm,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+""",
+)
+def curation_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mix sampling APPLIED end-to-end: turn the α=0.5
+    flattened target shares (text_domain_mix_weights' rule) into a
+    per-source keep-rate in parts-per-million, then deterministically
+    Bernoulli-sample every document by portable hash of its doc_id — the
+    multilingual/multi-domain resampling step a pretraining mix actually
+    executes, reproducible on any engine / any partitioning (same rows
+    kept everywhere, unlike RNG sampling).
+
+    Determinism contract: per-source sqrt-token-mass is quantized to the
+    round-6 decimal grid BEFORE the cross-source sum (float sum order
+    can't diverge), the rate is ONE fixed-shape double expression of
+    those exact sums rounded to integer ppm, and the keep decision is
+    `lcg(char_hash(doc_id)) % 1e6 < rate_ppm` (the LCG step decorrelates
+    consecutive ids — see _MIX_LCG_A above).
+
+    Scale shape: one map-side-combinable aggregate to #sources rows, a
+    broadcast of the (sources x 2)-value rate table back onto the corpus,
+    and a narrow per-row hash filter — no shuffle of document rows at
+    all; the output is #sources rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(T.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    gridded = mass.withColumn(
+        "tm",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    tot = gridded.agg(
+        F.sum("tm").alias("tms"), F.sum("n_tokens").alias("ns")
+    )
+    rates = gridded.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_candidates",
+        F.least(
+            F.lit(_MIX_PPM).cast("bigint"),
+            F.round(
+                F.lit(float(_MIX_PPM) * _MIX_BASE_RATE)
+                * (F.col("tm").cast("double") / F.col("tms").cast("double"))
+                * (F.col("ns").cast("double") / F.col("n_tokens").cast("double")),
+                0,
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .where(
+            (
+                T.char_hash(F.col("doc_id").cast("string")) * _MIX_LCG_A
+                + _MIX_LCG_C
+            )
+            % T.HASH_MOD
+            % _MIX_PPM
+            < F.col("rate_ppm")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_candidates",
+        "rate_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )

@@ -136,3 +136,37 @@ def test_unigram_logprob_orders_quality(spark, tmp_path):
     }
     assert all(v < 0 for v in out.values())
     assert out[0] > out[7]
+
+
+def test_mix_resample_flattens_toward_small_sources(spark):
+    """The α=0.5 resample must (a) keep rates in [0, 1e6] ppm, (b) never
+    keep more docs than exist, (c) give token-poor sources a HIGHER
+    keep-rate than token-rich ones (flattening is monotone in token
+    mass), and (d) achieve per-source keep fractions near rate_ppm (the
+    hash is uniform over doc_id)."""
+    from posts_vectorizer_spark.sources import load_table
+    from posts_vectorizer_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    rows = E.queries()["curation_mix_resample"](spark, SF_SMOKE).collect()
+    assert rows
+    mass = {
+        r["source"]: r["n_tokens"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(F.sum(T.token_count("text")).cast("bigint").alias("n_tokens"))
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+        assert 0 <= r["n_kept"] <= r["n_candidates"]
+    by_mass = sorted(rows, key=lambda r: mass[r["source"]])
+    for lighter, heavier in zip(by_mass, by_mass[1:]):
+        if mass[lighter["source"]] < mass[heavier["source"]]:
+            assert lighter["rate_ppm"] >= heavier["rate_ppm"]
+    # keep fraction tracks the rate (loose bound: fixture sources hold
+    # only dozens of docs, so allow wide binomial noise)
+    for r in rows:
+        if r["n_candidates"] >= 20 and r["rate_ppm"] < 1_000_000:
+            frac = r["n_kept"] / r["n_candidates"]
+            assert abs(frac - r["rate_ppm"] / 1e6) < 0.35
