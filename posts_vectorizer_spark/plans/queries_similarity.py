@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import clustering, similarity
+from ..operators import clustering, graph, similarity
 from ..sources import load_table
 from .registry import register
 
@@ -106,6 +106,16 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.rk").alias("rk_backward"),
         )
     )
+
+
+@register("sim_pagerank_knn", oracle=graph.pagerank_sql())
+def sim_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (2 unrolled power iterations) over the mutual-kNN
+    similarity graph — hub/centrality scoring of the embedding corpus,
+    with the ITERATION itself oracle-checked cross-engine (round-12
+    decimal contribution grid; see operators/graph.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return graph.pagerank_knn(emb)
 
 
 @register("sim_kmeans_portable", oracle=clustering.kmeans_sql())

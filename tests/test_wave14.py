@@ -393,3 +393,43 @@ def test_portable_ivf_recall_vs_brute_force(spark):
     total = sum(len(t) for t in truth.values())
     recall = hits / total
     assert recall > 0.2, recall  # random near-orthogonal fixture, 8 lists
+
+
+def test_pagerank_knn_matches_python_power_iteration(spark):
+    """PageRank over the mutual-kNN graph == a direct Python replay of the
+    same quantized power iteration (round-12 contributions, round-9
+    ranks), and total rank mass stays ~1 (symmetric graph, no dangling
+    mass)."""
+    from collections import defaultdict
+
+    from posts_vectorizer_spark.operators import graph
+    from posts_vectorizer_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    nbrs: dict[int, list[int]] = defaultdict(list)
+    for e in graph._mutual_edges(emb, graph.PR_K).collect():
+        nbrs[e["src"]].append(e["dst"])
+    n = len(nbrs)
+    pr = {v: round(1.0 / n, graph.PR_ROUND) for v in nbrs}
+    for _ in range(graph.PR_ITERS):
+        s: dict[int, float] = defaultdict(float)
+        for u, vs in nbrs.items():
+            c = round(pr[u] / len(vs), graph.PR_C_ROUND)
+            for v in vs:
+                s[v] += c
+        pr = {
+            v: round(
+                (1.0 - graph.PR_DAMPING) / n + graph.PR_DAMPING * s[v],
+                graph.PR_ROUND,
+            )
+            for v in nbrs
+        }
+    got = {
+        r["vec_id"]: (r["degree"], r["pr"])
+        for r in graph.pagerank_knn(emb).collect()
+    }
+    assert got.keys() == pr.keys() and n > 0
+    for v, (d, p) in got.items():
+        assert d == len(nbrs[v])
+        assert abs(p - pr[v]) < 5e-9
+    assert abs(sum(p for _, p in got.values()) - 1.0) < 1e-4
