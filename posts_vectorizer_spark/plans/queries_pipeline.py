@@ -511,3 +511,47 @@ def stream_idf_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log10(F.col("n_docs").cast("double") / F.col("occurrences")), 6
         ).cast("double").alias("idf"),
     )
+
+
+@register(
+    "stream_static_join_drain",
+    oracle="""
+SELECT * FROM (
+  SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+         c.c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(round(sum(e.value), 6) AS DOUBLE) AS total_value
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
+) WHERE window_start <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
+""",
+)
+def stream_static_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical streaming STAR-JOIN with a driver row: the events
+    stream broadcast-joins the static customer dimension per micro-batch
+    (stateless — no join state store), then aggregates per (1-hour
+    window, market segment) under a watermark in append mode
+    (streaming/worker.py::enriched_window_stream). Same single-batch
+    determinism + watermark-horizon oracle as stream_tumbling_drain:
+    emitted windows are exactly those whose end the final watermark
+    passed (window_start <= max(ts) - 2 h).
+
+    Scale shape: the fact stream never shuffles for the join (the dim
+    broadcasts once per batch); the only exchange is the (window,
+    segment)-keyed aggregation, and state is bounded by open windows x
+    segment cardinality — never stream length."""
+    from ..streaming import enriched_window_stream
+
+    e = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer")
+    work = tempfile.mkdtemp(prefix="pv_ssj_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    e.coalesce(1).write.mode("append").parquet(source)
+    q = enriched_window_stream(
+        spark, source, e.schema, cust,
+        join_keys=("user_id", "c_custkey"), dim_col="c_mktsegment",
+        target_dir=target, checkpoint_dir=ckpt,
+        time_col="ts", window="1 hour", watermark="1 hour",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target)

@@ -3,6 +3,7 @@ from .worker import (
     HeartbeatListener,
     cdc_apply_stream,
     dedup_stream,
+    enriched_window_stream,
     idf_count_stream,
     interval_join_stream,
     session_window_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "HeartbeatListener",
     "cdc_apply_stream",
     "dedup_stream",
+    "enriched_window_stream",
     "idf_count_stream",
     "interval_join_stream",
     "latest_user_totals",

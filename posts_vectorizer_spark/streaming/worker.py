@@ -199,6 +199,64 @@ def tumbling_window_stream(
     )
 
 
+def enriched_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    static_dim: DataFrame,
+    join_keys: tuple[str, str],
+    dim_col: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+):
+    """Stream-STATIC broadcast enrichment feeding a watermarked window
+    aggregate: each micro-batch hash-joins against the broadcast static
+    dimension (stateless — no join state store, unlike stream-stream),
+    then aggregates per (window, dim attribute) under the same append
+    semantics as tumbling_window_stream. This is the canonical streaming
+    star-join: the fact stream never shuffles for the join (broadcast),
+    and state is bounded by open windows x dim cardinality.
+
+    The watermark is declared on the stream BEFORE the join so event-time
+    semantics are unaffected by the enrichment."""
+    stream_key, dim_key = join_keys
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = (
+        _event_time_ltz(reader.parquet(source_dir), time_col)
+        .withWatermark(time_col, watermark)
+    )
+    dim = F.broadcast(
+        static_dim.select(
+            F.col(dim_key).alias(stream_key), F.col(dim_col)
+        )
+    )
+    agg = (
+        src.join(dim, stream_key)
+        .groupBy(F.window(time_col, window).alias("w"), dim_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), dim_col, "n", "total_value"
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_window_stream(
     spark: SparkSession,
     source_dir: str,
