@@ -555,3 +555,82 @@ def stream_static_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(target)
+
+
+# ---------------------------------------------------------------------------
+# native bucketed tables — co-located join without a shuffle
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def _write_bucketed(spark: SparkSession, df: DataFrame, key: str, name: str) -> None:
+    """(Re)create an EXTERNAL bucketed+sorted table in the session catalog.
+    Explicit path keeps data in a temp dir (no spark-warehouse/ pollution
+    in the caller's CWD); DROP first so re-runs relocate cleanly."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    path = tempfile.mkdtemp(prefix=f"pv_bkt_{name}_")
+    (
+        df.write.bucketBy(_BUCKETS, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+
+
+def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and lineitem bucketed by order key (same bucket count
+    on both sides) and return the catalog table names."""
+    _write_bucketed(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "o_orderkey",
+        "pv_bucketed_orders",
+    )
+    _write_bucketed(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ),
+        "l_orderkey",
+        "pv_bucketed_lineitem",
+    )
+    return "pv_bucketed_orders", "pv_bucketed_lineitem"
+
+
+@register(
+    "source_bucketed_colocated_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def source_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing for co-located joins — the table-layout mechanism that
+    removes the shuffle from the biggest recurring join at 100 TB: both
+    fact tables are written `bucketBy(8, order_key).sortBy(order_key)`,
+    so the join reads pre-partitioned, pre-sorted buckets and
+    sort-merge-joins with NO Exchange on either side (plan-asserted in
+    tests/test_plans.py with broadcast disabled; at real scale the probe
+    side is far over any broadcast threshold and this IS the plan).
+    The oracle is the plain join — bucketing must never change results,
+    only the physical plan."""
+    orders_t, lineitem_t = bucketed_join_tables(spark, sf_dir)
+    o = spark.table(orders_t)
+    li = spark.table(lineitem_t)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

@@ -254,3 +254,35 @@ def test_minhash_signatures_shuffle_free(spark):
     # exchanges (i.e. no aggregation/join shuffle anywhere)
     assert "hashpartitioning" not in plan.lower()
     assert "HashAggregate" not in plan
+
+
+def test_bucketed_colocated_join_query_has_no_join_key_exchange(spark):
+    """The registered source_bucketed_colocated_join query must join its
+    bucketed tables WITHOUT an order-key Exchange on either side (the
+    only allowed exchange is the final small groupBy(o_orderpriority));
+    broadcast disabled so the co-location, not a broadcast, removes the
+    shuffle."""
+    import re
+
+    from posts_vectorizer_spark.plans.queries_pipeline import (
+        bucketed_join_tables,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    ot, lt = bucketed_join_tables(spark, SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, li = spark.table(ot), spark.table(lt)
+        j = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"))
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"Exchange hashpartitioning\((o|l)_orderkey", plan), plan
+        assert j.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
