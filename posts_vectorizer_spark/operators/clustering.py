@@ -445,6 +445,179 @@ def semdedup_prune(
     )
 
 
+PQ_M = 2        # subspaces
+PQ_K = 8        # codes per subspace (per-vector storage: M log2(K) bits)
+PQ_ITERS = 2
+
+
+def _assign_with_dist(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, code, d): nearest centroid AND its squared-L2 distance
+    (round-6) — the encode step where the residual distance is the
+    quantization error."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist_to(
+                        F.array(*[F.lit(float(v)) for v in cvec]),
+                        F.col("embedding"),
+                    ).alias("d"),
+                    F.lit(cid).alias("c"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+    )
+    return emb.select(
+        "vec_id",
+        best["c"].alias("code"),
+        F.round(best["d"], ROUND).alias("d"),
+    )
+
+
+def pq_quantize(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dims: int = 64,
+) -> DataFrame:
+    """(code0, code1, n_vectors, avg_sq_error): product quantization
+    (Jegou et al. 2011) — split each embedding into m orthogonal
+    subspaces, train an independent portable KMeans codebook per
+    subspace, encode every vector as its m nearest-code tuple, and
+    profile the quantization distortion per code cell. The encoded
+    corpus stores m·log2(k) BITS per vector instead of dims·32 — the
+    compression layer an IVF-PQ index builds its ADC lookup tables on.
+
+    Every step inherits the clustering.py reproducibility contract
+    (lowest-id seeds, sequential-fold distances, lexicographic argmin,
+    round-6 decimal grid), so the full train→encode→profile pipeline is
+    oracle-checked in :func:`pq_sql`.
+
+    Scale shape: training touches only dims/m-wide slices (narrow
+    projections of the same scan); encoding is one pass with broadcast
+    codebook literals — NO shuffle; the per-vector code join keys on
+    vec_id and the final profile groups by the (k^m)-cell code tuple,
+    both bounded exchanges. Per-iteration driver state is m·k·(dims/m)
+    doubles = one codebook."""
+    sub_len = dims // m
+    encoded: DataFrame | None = None
+    for i in range(m):
+        emb_i = emb.select(
+            "vec_id",
+            F.slice("embedding", i * sub_len + 1, sub_len).alias("embedding"),
+        )
+        seeds = (
+            emb_i.orderBy("vec_id")
+            .limit(k)
+            .select(_quantize("embedding").alias("cvec"))
+            .collect()
+        )
+        cents = [(j, list(r["cvec"])) for j, r in enumerate(seeds)]
+        for _ in range(iters):
+            cents = _update(_assign(emb_i, cents))
+        enc = _assign_with_dist(emb_i, cents).select(
+            "vec_id",
+            F.col("code").alias(f"code{i}"),
+            F.col("d").alias(f"d{i}"),
+        )
+        encoded = enc if encoded is None else encoded.join(enc, "vec_id")
+    total = F.round(
+        sum(F.col(f"d{i}") for i in range(m)), ROUND
+    ).cast("decimal(18,6)")
+    return (
+        encoded.groupBy(*[f"code{i}" for i in range(m)])
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum(total).cast("double") / F.count("*"), ROUND
+            ).alias("avg_sq_error"),
+        )
+    )
+
+
+def _pq_subspace_ctes(
+    i: int, start: int, end: int, k: int, iters: int, sub_len: int
+) -> list[str]:
+    quant = f"list_transform(sub, km_x -> round(CAST(km_x AS DOUBLE), {ROUND}))"
+    dist = _sql_dist("e.sub", "c.cvec", sub_len)
+    parts = [
+        f"""s{i}_sub AS (
+  SELECT vec_id, list_slice(embedding, {start}, {end}) AS sub
+  FROM embeddings
+)""",
+        f"""s{i}_cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+         {quant} AS cvec
+  FROM (SELECT * FROM s{i}_sub ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""s{i}_assign{it} AS (
+  SELECT e.vec_id, e.sub,
+         (min({{'d': {dist}, 'c': c.cluster_id}})).c AS cluster_id
+  FROM s{i}_sub e, s{i}_cents{it - 1} c
+  GROUP BY e.vec_id, e.sub
+)"""
+        )
+        parts.append(
+            f"""s{i}_cents{it} AS (
+  SELECT cluster_id, list(component ORDER BY dim) AS cvec
+  FROM (
+    SELECT cluster_id, km_j - 1 AS dim,
+           round(CAST(sum(CAST(round(CAST(sub[km_j] AS DOUBLE),
+                                     {ROUND}) AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), {ROUND}) AS component
+    FROM s{i}_assign{it}, generate_series(1, {sub_len}) AS t(km_j)
+    GROUP BY cluster_id, km_j
+  ) GROUP BY cluster_id
+)"""
+        )
+    parts.append(
+        f"""s{i}_enc AS (
+  SELECT e.vec_id,
+         (min({{'d': {dist}, 'c': c.cluster_id}})).c AS code{i},
+         round((min({{'d': {dist}, 'c': c.cluster_id}})).d, {ROUND}) AS d{i}
+  FROM s{i}_sub e, s{i}_cents{iters} c
+  GROUP BY e.vec_id, e.sub
+)"""
+    )
+    return parts
+
+
+def pq_sql(
+    m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS, dims: int = 64
+) -> str:
+    sub_len = dims // m
+    parts: list[str] = []
+    for i in range(m):
+        parts.extend(
+            _pq_subspace_ctes(
+                i, i * sub_len + 1, (i + 1) * sub_len, k, iters, sub_len
+            )
+        )
+    codes = ", ".join(f"s{i}_enc.code{i}" for i in range(m))
+    dsum = " + ".join(f"s{i}_enc.d{i}" for i in range(m))
+    joins = "s0_enc" + "".join(
+        f" JOIN s{i}_enc USING (vec_id)" for i in range(1, m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT {codes}, count(*) AS n_vectors,
+       round(CAST(sum(CAST(round({dsum}, {ROUND}) AS DECIMAL(18,6)))
+                  AS DOUBLE) / count(*), {ROUND}) AS avg_sq_error
+FROM {joins}
+GROUP BY {codes}
+"""
+    )
+
+
 def semdedup_sql(
     k: int = K_DEFAULT,
     iters: int = ITERS_DEFAULT,

@@ -130,6 +130,17 @@ def sim_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans(emb)
 
 
+@register("sim_pq_quantize", oracle=clustering.pq_sql())
+def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization train→encode→distortion profile: 2 subspace
+    codebooks (portable KMeans, 8 codes each = 6 bits/vector vs 2048),
+    every vector encoded as its nearest-code tuple, per-cell count +
+    mean squared quantization error. The whole pipeline — including the
+    subspace clustering — is oracle-checked (operators/clustering.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.pq_quantize(emb)
+
+
 @register("sim_semdedup_prune", oracle=clustering.semdedup_sql())
 def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-duplicate pruning (cluster-then-dedup,

@@ -433,3 +433,24 @@ def test_pagerank_knn_matches_python_power_iteration(spark):
         assert d == len(nbrs[v])
         assert abs(p - pr[v]) < 5e-9
     assert abs(sum(p for _, p in got.values()) - 1.0) < 1e-4
+
+
+def test_pq_quantize_properties(spark):
+    """PQ invariants: every vector lands in exactly one code cell (counts
+    sum to n), at most k^m cells exist, distortion is non-negative, and
+    the whole train->encode->profile pipeline is partition-invariant
+    (identical output from a differently-sliced input)."""
+    from posts_vectorizer_spark.operators import clustering
+    from posts_vectorizer_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = clustering.pq_quantize(emb).collect()
+    n = emb.count()
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert len(rows) <= clustering.PQ_K ** clustering.PQ_M
+    assert all(r["avg_sq_error"] >= 0 for r in rows)
+    key = lambda r: (r["code0"], r["code1"])  # noqa: E731
+    re_rows = clustering.pq_quantize(emb.repartition(7)).collect()
+    assert {key(r): (r["n_vectors"], r["avg_sq_error"]) for r in rows} == {
+        key(r): (r["n_vectors"], r["avg_sq_error"]) for r in re_rows
+    }
