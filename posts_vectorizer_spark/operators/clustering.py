@@ -618,6 +618,171 @@ GROUP BY {codes}
     )
 
 
+def _pq_codebooks(
+    emb: DataFrame, m: int, k: int, iters: int, dims: int
+) -> list[tuple[DataFrame, list[tuple[int, list[float]]]]]:
+    """Per subspace: (encoded (vec_id, code) DataFrame, trained centroid
+    list). The train loop is pq_quantize's."""
+    sub_len = dims // m
+    out = []
+    for i in range(m):
+        emb_i = emb.select(
+            "vec_id",
+            F.slice("embedding", i * sub_len + 1, sub_len).alias("embedding"),
+        )
+        seeds = (
+            emb_i.orderBy("vec_id")
+            .limit(k)
+            .select(_quantize("embedding").alias("cvec"))
+            .collect()
+        )
+        cents = [(j, list(r["cvec"])) for j, r in enumerate(seeds)]
+        for _ in range(iters):
+            cents = _update(_assign(emb_i, cents))
+        enc = _assign(emb_i, cents).select(
+            "vec_id", F.col("cluster_id").alias(f"code{i}")
+        )
+        out.append((enc, cents))
+    return out
+
+
+def _col_dist(a_col, b_col):
+    """Sequential-fold squared L2 between two array columns (same order
+    as _dist_to / _sql_dist)."""
+    return F.aggregate(
+        F.zip_with(
+            a_col, b_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    topk: int = IVF_K_NEIGHBORS,
+    dims: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist, rk): IVF-PQ search — the coarse
+    KMeans lists bound the candidate set (nprobe=1, ivf_search's shape)
+    and the ranking distance is ASYMMETRIC: raw query sub-vector vs the
+    PQ centroid of the neighbor's code in each subspace, summed (ADC,
+    Jegou et al. 2011). Neighbors are ranked by (round-6 adc asc, id
+    asc). PQ is trained on raw vectors, not coarse residuals — the
+    residual variant needs per-list codebooks, which would break the
+    shared-codebook broadcast; documented deviation from FAISS's IVFPQ.
+
+    Scale shape: candidates Σ|list|² via the cluster equi-join; the
+    neighbor side carries only its m·log2(k)-bit code tuple (the point
+    of PQ — the raw matrix never joins), codes and centroid tables
+    broadcast; per-pair cost is the m fold distances. Approximate BY
+    DESIGN twice over (coarse pruning + quantized distance); the oracle
+    runs the SAME lists and codebooks so the check is exact, and recall
+    vs brute force is the operator test's job."""
+    lists = _final_lists(emb, k, iters)
+    spark = emb.sparkSession
+    sub_len = dims // m
+    a = lists.select(
+        "cluster_id", F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    b = lists.select("cluster_id", F.col("vec_id").alias("neighbor_id"))
+    pairs = a.join(b, "cluster_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    adc = None
+    for i, (enc, cents) in enumerate(_pq_codebooks(emb, m, pq_k, pq_iters, dims)):
+        cent_df = spark.createDataFrame(
+            [(cid, cvec) for cid, cvec in cents],
+            f"code{i} int, cvec{i} array<double>",
+        )
+        pairs = pairs.join(
+            F.broadcast(enc),
+            enc["vec_id"] == pairs["neighbor_id"],
+        ).drop("vec_id").join(F.broadcast(cent_df), f"code{i}")
+        d = _col_dist(
+            F.slice("qe", i * sub_len + 1, sub_len), F.col(f"cvec{i}")
+        )
+        adc = d if adc is None else adc + d
+    ranked = pairs.select(
+        "query_id", "neighbor_id", F.round(adc, ROUND).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topk)
+        .select(
+            "query_id", "neighbor_id", "adc_dist",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def ivfpq_sql(
+    k: int = K_DEFAULT,
+    iters: int = ITERS_DEFAULT,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    topk: int = IVF_K_NEIGHBORS,
+    dims: int = 64,
+) -> str:
+    sub_len = dims // m
+    parts = [_lists_sql_prefix(k, iters, dims).removeprefix("WITH ")]
+    for i in range(m):
+        parts.extend(
+            _pq_subspace_ctes(
+                i, i * sub_len + 1, (i + 1) * sub_len, pq_k, pq_iters, sub_len
+            )
+        )
+    enc_joins = "".join(
+        f"\n  JOIN s{i}_enc e{i} ON e{i}.vec_id = p.neighbor_id"
+        f"\n  JOIN s{i}_cents{pq_iters} c{i} ON c{i}.cluster_id = e{i}.code{i}"
+        for i in range(m)
+    )
+    dsum = " + ".join(
+        _sql_dist(
+            f"list_slice(p.qe, {i * sub_len + 1}, {(i + 1) * sub_len})",
+            f"c{i}.cvec",
+            sub_len,
+        )
+        for i in range(m)
+    )
+    parts.append(
+        """pq_pairs AS (
+  SELECT a.vec_id AS query_id, a.embedding AS qe, b.vec_id AS neighbor_id,
+         a.cluster_id
+  FROM lists a JOIN lists b USING (cluster_id)
+  WHERE a.vec_id <> b.vec_id
+)"""
+    )
+    parts.append(
+        f"""adc AS (
+  SELECT p.query_id, p.neighbor_id,
+         round({dsum}, {ROUND}) AS adc_dist
+  FROM pq_pairs p{enc_joins}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, adc_dist, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM adc
+) WHERE rk <= {topk}
+"""
+    )
+
+
 def semdedup_sql(
     k: int = K_DEFAULT,
     iters: int = ITERS_DEFAULT,

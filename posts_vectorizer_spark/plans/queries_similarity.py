@@ -141,6 +141,18 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.pq_quantize(emb)
 
 
+@register("sim_ivfpq_search", oracle=clustering.ivfpq_sql())
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search: coarse KMeans lists bound the candidates
+    (nprobe=1), PQ code centroids supply the asymmetric distances, top-3
+    per query — the full compressed-index ANN stack (train coarse, train
+    codebooks, encode, search) in ONE oracle-checked plan. The neighbor
+    side joins only its 6-bit code tuple; raw vectors never join
+    (operators/clustering.py::ivfpq_search)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.ivfpq_search(emb)
+
+
 @register("sim_semdedup_prune", oracle=clustering.semdedup_sql())
 def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-duplicate pruning (cluster-then-dedup,
