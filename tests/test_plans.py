@@ -86,6 +86,14 @@ def test_plan_build_triggers_no_jobs(spark):
         "source_vec_model_table",
         "source_csv_json_roundtrip",
         "source_partitioned_pruning",
+        # late-r4 wave: Lloyd/codebook training and topk-kernel broadcast
+        # builds are jobs at build by the same contracts as above
+        "sim_pagerank_knn",       # topk kernel build side (like knn_graph)
+        "sim_semdedup_prune",     # trains the coarse lists (Lloyd)
+        "sim_pq_quantize",        # trains per-subspace codebooks (Lloyd)
+        "sim_ivfpq_search",       # trains coarse lists + codebooks (Lloyd)
+        "stream_static_join_drain",        # runs the drain by contract
+        "source_bucketed_colocated_join",  # writes the bucketed tables
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():
