@@ -121,13 +121,30 @@ def source_binary_vec_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(ingested)
 
 
-@register("source_vec_model_table")
+@register(
+    "source_vec_model_table",
+    oracle="""
+SELECT 'w' || CAST(vec_id AS VARCHAR) AS word,
+       CAST(len(embedding) AS INT) AS n_dims,
+       CAST(list_sum(list_transform(embedding,
+              vm_x -> CAST(round(CAST(vm_x AS DOUBLE), 6)
+                           AS DECIMAL(18,6)))) AS DOUBLE) AS checksum
+FROM embeddings
+""",
+)
 def source_vec_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 model-as-table: round-trip the embeddings fixture through the
     fastText ``.vec`` text format (the reference's model ingest,
     enter_wordvecs.py:28-53) — write the file, parse it back with the
-    distributed text reader, return a per-word profile. Rows-only (file
-    I/O); parse-exactness vs the fixture is asserted in tests/test_extras.py."""
+    distributed text reader, return a per-word profile. [Q] since late
+    r4: the .vec text roundtrip is parse-EXACT (float32 survives the
+    repr->parse cycle bit-for-bit; pinned by tests/test_extras.py), so
+    the oracle states the same profile directly over the embeddings
+    table — any formatting/parsing loss would hash-mismatch. The
+    checksum follows the repo's grid discipline (round-6 DECIMAL
+    quantize, exact sum): a raw double fold rounds differently at
+    boundary cases because Spark rounds the shortest decimal repr while
+    DuckDB rounds the binary value."""
     import os
 
     from ..sources.model_table import load_vec_model, write_vec_file
@@ -144,12 +161,16 @@ def source_vec_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.select(
         "word",
         F.size("embedding").alias("n_dims"),
-        F.round(
-            F.aggregate(
-                "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double"), 6).cast("decimal(18,6)"),
             ),
-            4,
-        ).alias("checksum"),
+            F.lit(0).cast("decimal(38,6)"),
+            lambda a, x: (a + x).cast("decimal(38,6)"),
+        )
+        .cast("double")
+        .alias("checksum"),
     )
 
 
