@@ -164,6 +164,23 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    emit(timings, metrics, total, sf)
+
+
+def headline_line(timings: dict[str, float], total: float, sf: float) -> str:
+    """The ONE stdout line the driver tail-parses. Kept as a function so
+    tests can pin the <1 KB contract (r3's BENCH artifact was lost to a
+    2.6 KB line overflowing the driver's ~2000-byte tail capture)."""
+    return json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    })
+
+
+def emit(timings: dict, metrics: dict, total: float, sf: float) -> None:
     # Stage metrics go to stderr + a sidecar file, NEVER into the stdout
     # headline line: the driver's tail capture is ~2000 bytes, and r3's
     # inlined metrics pushed the line to 2.6 KB, making BENCH_r03 unparseable.
@@ -175,13 +192,7 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps({"stage_metrics": metrics}), file=sys.stderr)
-    print(json.dumps({
-        "metric": "headline_queries_total_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    print(headline_line(timings, total, sf))
 
 
 if __name__ == "__main__":

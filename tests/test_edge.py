@@ -71,3 +71,26 @@ def test_scan_cache_cleared_on_fixture_rewrite(spark, tmp_path):
     assert load_table(spark, d, "nation").columns == ["a"]
     clear_scan_cache()
     assert load_table(spark, d, "nation").columns == ["a", "b"]
+
+
+def test_bench_headline_line_fits_driver_tail_capture():
+    """The driver tail-captures ~2000 bytes of bench stdout; r3's BENCH
+    artifact was lost when stage metrics pushed the line to 2.6 KB. Pin
+    the contract: the final line built from the real HEADLINE list (with
+    worst-case-width timings) stays under 1 KB, parses back, and stage
+    metrics are NOT in it."""
+    import importlib.util
+    import json as _json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    timings = {name: 123.456 for name in bench.HEADLINE}
+    line = bench.headline_line(timings, round(sum(timings.values()), 3), 0.1)
+    assert len(line.encode()) < 1000, len(line)
+    parsed = _json.loads(line)
+    assert parsed["queries"] == timings
+    assert "stage_metrics" not in parsed
