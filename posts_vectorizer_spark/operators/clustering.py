@@ -450,6 +450,32 @@ PQ_K = 8        # codes per subspace (per-vector storage: M log2(K) bits)
 PQ_ITERS = 2
 
 
+def _subspace(emb: DataFrame, i: int, sub_len: int) -> DataFrame:
+    """The i-th orthogonal slice of the embedding column."""
+    return emb.select(
+        "vec_id",
+        F.slice("embedding", i * sub_len + 1, sub_len).alias("embedding"),
+    )
+
+
+def _train_codebook(
+    emb_i: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """The ONE copy of the seed+Lloyd train loop shared by pq_quantize and
+    ivfpq_search — the cross-engine reproducibility contract (lowest-id
+    seeds, round-6 grid) must not fork between the two oracles."""
+    seeds = (
+        emb_i.orderBy("vec_id")
+        .limit(k)
+        .select(_quantize("embedding").alias("cvec"))
+        .collect()
+    )
+    cents = [(j, list(r["cvec"])) for j, r in enumerate(seeds)]
+    for _ in range(iters):
+        cents = _update(_assign(emb_i, cents))
+    return cents
+
+
 def _assign_with_dist(
     emb: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -506,19 +532,8 @@ def pq_quantize(
     sub_len = dims // m
     encoded: DataFrame | None = None
     for i in range(m):
-        emb_i = emb.select(
-            "vec_id",
-            F.slice("embedding", i * sub_len + 1, sub_len).alias("embedding"),
-        )
-        seeds = (
-            emb_i.orderBy("vec_id")
-            .limit(k)
-            .select(_quantize("embedding").alias("cvec"))
-            .collect()
-        )
-        cents = [(j, list(r["cvec"])) for j, r in enumerate(seeds)]
-        for _ in range(iters):
-            cents = _update(_assign(emb_i, cents))
+        emb_i = _subspace(emb, i, sub_len)
+        cents = _train_codebook(emb_i, k, iters)
         enc = _assign_with_dist(emb_i, cents).select(
             "vec_id",
             F.col("code").alias(f"code{i}"),
@@ -621,24 +636,13 @@ GROUP BY {codes}
 def _pq_codebooks(
     emb: DataFrame, m: int, k: int, iters: int, dims: int
 ) -> list[tuple[DataFrame, list[tuple[int, list[float]]]]]:
-    """Per subspace: (encoded (vec_id, code) DataFrame, trained centroid
-    list). The train loop is pq_quantize's."""
+    """Per subspace: (encoded (vec_id, code{i}) DataFrame, trained
+    centroid list), via the shared :func:`_train_codebook` loop."""
     sub_len = dims // m
     out = []
     for i in range(m):
-        emb_i = emb.select(
-            "vec_id",
-            F.slice("embedding", i * sub_len + 1, sub_len).alias("embedding"),
-        )
-        seeds = (
-            emb_i.orderBy("vec_id")
-            .limit(k)
-            .select(_quantize("embedding").alias("cvec"))
-            .collect()
-        )
-        cents = [(j, list(r["cvec"])) for j, r in enumerate(seeds)]
-        for _ in range(iters):
-            cents = _update(_assign(emb_i, cents))
+        emb_i = _subspace(emb, i, sub_len)
+        cents = _train_codebook(emb_i, k, iters)
         enc = _assign(emb_i, cents).select(
             "vec_id", F.col("cluster_id").alias(f"code{i}")
         )

@@ -566,10 +566,16 @@ _BUCKETS = 8
 
 def _write_bucketed(spark: SparkSession, df: DataFrame, key: str, name: str) -> None:
     """(Re)create an EXTERNAL bucketed+sorted table in the session catalog.
-    Explicit path keeps data in a temp dir (no spark-warehouse/ pollution
-    in the caller's CWD); DROP first so re-runs relocate cleanly."""
+    Explicit FIXED path keeps data in a temp dir (no spark-warehouse/
+    pollution in the caller's CWD) and makes re-runs overwrite in place —
+    a fresh mkdtemp per run would orphan a full copy of both fact tables
+    every invocation (oracle sweeps run this repeatedly)."""
+    import os
+    import shutil
+
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    path = tempfile.mkdtemp(prefix=f"pv_bkt_{name}_")
+    path = os.path.join(tempfile.gettempdir(), f"pv_bkt_{name}")
+    shutil.rmtree(path, ignore_errors=True)
     (
         df.write.bucketBy(_BUCKETS, key)
         .sortBy(key)

@@ -272,22 +272,14 @@ def test_bucketed_colocated_join_query_has_no_join_key_exchange(spark):
     shuffle."""
     import re
 
-    from posts_vectorizer_spark.plans.queries_pipeline import (
-        bucketed_join_tables,
-    )
-    from pyspark.sql import functions as F
     from tests.conftest import SF_SMOKE
 
-    ot, lt = bucketed_join_tables(spark, SF_SMOKE)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        o, li = spark.table(ot), spark.table(lt)
-        j = (
-            o.join(li, o["o_orderkey"] == li["l_orderkey"])
-            .groupBy("o_orderpriority")
-            .agg(F.count("*").alias("n_items"))
-        )
+        # the REGISTERED query, not a lookalike — so edits to the query
+        # itself cannot silently break the no-exchange guarantee
+        j = E.queries()["source_bucketed_colocated_join"](spark, SF_SMOKE)
         plan = _plan(j)
         assert "SortMergeJoin" in plan
         assert not re.search(r"Exchange hashpartitioning\((o|l)_orderkey", plan), plan
