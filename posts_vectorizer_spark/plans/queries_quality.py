@@ -360,3 +360,80 @@ def rel_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("win_avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# readability (Flesch reading ease, portable estimate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+WITH counts AS (
+  SELECT doc_id,
+         CAST({T.token_count_sql('text')} AS BIGINT) AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE 206.835
+                 - (1.015 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE)))
+                 - (84.6 * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)))
+       END AS flesch
+FROM counts
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document — the classic readability gate a
+    quality pipeline thresholds on (very low scores flag boilerplate /
+    machine-generated runs; very high flag fragment spam). Syllables are
+    the standard regex estimate (vowel-group runs), sentences are
+    terminal-punctuation runs clamped to >= 1.
+
+    Determinism contract: the score is ONE fixed-shape expression of
+    exact integer counts using only IEEE-exact ops (+ - * /), so both
+    engines produce bit-identical doubles and the hash compares with NO
+    rounding grid. Zero-word docs yield NULL (ANSI-safe: the division
+    never executes).
+
+    Scale shape: pure per-row regex counting — no shuffle, no state,
+    stays in whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_words"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.regexp_count("text", F.lit(r"[.!?]+")).cast("bigint"),
+        ).alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - (
+            F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        )
+        - (
+            F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+        )
+    )
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(F.col("n_words") == 0, F.lit(None).cast("double"))
+        .otherwise(flesch)
+        .alias("flesch"),
+    )
