@@ -198,6 +198,23 @@ def _band_expr(band: int) -> F.Column:
     return F.concat_ws(":", *cols)
 
 
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_value) from ONE explode over an array of
+    band structs — shared by self-join candidates and the incremental
+    delta-vs-base probe."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"), _band_expr(band).alias("band_value")
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bnd")).select(
+        "doc_id", "bnd.band_id", "bnd.band_value"
+    )
+
+
 def minhash_candidates(
     documents: DataFrame, arrays: DataFrame | None = None
 ) -> DataFrame:
@@ -211,18 +228,7 @@ def minhash_candidates(
     banded frame (#docs × #bands rows, no text payload) is persisted
     because the self-join scans it twice."""
     sigs = minhash_signatures(documents, arrays=arrays)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"), _band_expr(band).alias("band_value")
-            )
-            for band in range(MINHASH_BANDS)
-        ]
-    )
-    bands = persist_tracked(
-        sigs.select("doc_id", F.explode(band_structs).alias("bnd"))
-        .select("doc_id", "bnd.band_id", "bnd.band_value")
-    )
+    bands = persist_tracked(_banded(sigs))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -233,8 +239,8 @@ def minhash_candidates(
     )
 
 
-def minhash_candidates_sql() -> str:
-    band_rows = "\nUNION ALL\n".join(
+def _band_rows_sql() -> str:
+    return "\nUNION ALL\n".join(
         "SELECT doc_id, {band} AS band_id, {expr} AS band_value FROM sigs".format(
             band=band,
             expr=" || ':' || ".join(
@@ -244,9 +250,12 @@ def minhash_candidates_sql() -> str:
         )
         for band in range(MINHASH_BANDS)
     )
+
+
+def minhash_candidates_sql() -> str:
     return f"""
 WITH sigs AS ({minhash_signatures_sql()}),
-bands AS ({band_rows})
+bands AS ({_band_rows_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band_id, band_value)
 WHERE a.doc_id < b.doc_id
@@ -325,6 +334,88 @@ inter AS (
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT c.doc_a, c.doc_b,
+       round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.inter, 0)), {round_digits}) AS jaccard
+FROM cands c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+            / (sa.sz + sb.sz - COALESCE(i.inter, 0)), {round_digits}) >= {threshold}
+"""
+
+
+INCR_MOD = 5   # doc_id % 5 == 0 plays the "newly ingested batch" (~20%)
+
+
+def incremental_minhash_near_dups(
+    documents: DataFrame,
+    mod: int = INCR_MOD,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(new_doc, existing_doc, jaccard): ingestion-time dedup — probe a
+    NEW batch against the EXISTING corpus through the LSH band index
+    instead of re-running the all-pairs self-join. The batch split is a
+    deterministic id partition (doc_id % mod) so the oracle states the
+    same sides.
+
+    This is the incremental shape a 100 TB pipeline actually runs per
+    ingest: band buckets for the base corpus are a standing index (here
+    rebuilt in-plan; at scale they're the persisted table the
+    merge-upsert sink maintains), and each delta only joins its own
+    #delta×#bands band rows against it — candidate volume scales with
+    the BATCH, never the corpus pair count. Verification is the same
+    in-row array_intersect Jaccard as minhash_near_dups."""
+    arrays = persist_tracked(_doc_shingle_arrays(documents))
+    bands = persist_tracked(
+        _banded(minhash_signatures(documents, arrays=arrays))
+    )
+    delta = bands.where(F.col("doc_id") % mod == 0).select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_value"
+    )
+    base = bands.where(F.col("doc_id") % mod != 0).select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_value"
+    )
+    cands = (
+        delta.join(base, ["band_id", "band_value"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        jaccard_verify(documents, cands, arrays=arrays)
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").alias("new_doc"),
+            F.col("doc_b").alias("existing_doc"),
+            "jaccard",
+        )
+    )
+
+
+def incremental_minhash_sql(
+    mod: int = INCR_MOD,
+    threshold: float = JACCARD_THRESHOLD,
+    round_digits: int = 6,
+) -> str:
+    return f"""
+WITH sigs AS ({minhash_signatures_sql()}),
+bands AS ({_band_rows_sql()}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_value)
+  WHERE a.doc_id % {mod} = 0 AND b.doc_id % {mod} <> 0
+),
+shingled AS ({_doc_shingles_sql()}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cands c
+  JOIN shingled wa ON wa.doc_id = c.doc_a
+  WHERE EXISTS (SELECT 1 FROM shingled wb
+                WHERE wb.doc_id = c.doc_b AND wb.sh = wa.sh)
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a AS new_doc, c.doc_b AS existing_doc,
        round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
              / (sa.sz + sb.sz - COALESCE(i.inter, 0)), {round_digits}) AS jaccard
 FROM cands c

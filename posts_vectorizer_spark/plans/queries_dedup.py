@@ -99,3 +99,18 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", "component", (F.row_number().over(w) == 1).alias("is_kept")
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=dedup.incremental_minhash_sql(),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup dedup: probe a new batch (doc_id % 5 == 0)
+    against the existing corpus through the LSH band index — candidate
+    volume scales with the BATCH, never the corpus pair count; the exact
+    Jaccard verify is the same in-row array_intersect as
+    dedup_minhash_near_dups (operators/dedup.py::
+    incremental_minhash_near_dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_minhash_near_dups(docs)

@@ -493,3 +493,27 @@ def test_ivfpq_adc_beats_random_selection(spark):
             base_sum += d2(q, x)
             base_n += 1
     assert sel_sum / sel_n < 0.97 * (base_sum / base_n)
+
+
+def test_incremental_minhash_equals_cross_split_of_full(spark):
+    """The incremental probe must be EXACTLY the cross-split restriction
+    of the full self-join pipeline: same band index, same verify, so a
+    (new, existing) pair appears iff the full near-dup output contains
+    that pair across the id split, with the identical jaccard."""
+    from posts_vectorizer_spark.operators.dedup import INCR_MOD
+    from tests.conftest import SF_ORACLE
+
+    full = _Q["dedup_minhash_near_dups"](spark, SF_ORACLE).collect()
+    incr = _Q["dedup_incremental_minhash"](spark, SF_ORACLE).collect()
+    expect = {}
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        da, db = a % INCR_MOD == 0, b % INCR_MOD == 0
+        if da != db:
+            new, old = (a, b) if da else (b, a)
+            expect[(new, old)] = r["jaccard"]
+    got = {
+        (r["new_doc"], r["existing_doc"]): r["jaccard"] for r in incr
+    }
+    assert got, "fixture should have cross-split near-dups"
+    assert got == expect
