@@ -784,3 +784,52 @@ def test_idf_increment_split_invariance(spark, tmp_path):
     one = drain(False, str(tmp_path / "one"))
     three = drain(True, str(tmp_path / "three"))
     assert one == three
+
+
+def test_enriched_window_stream_joins_dim_and_drops_late(spark, tmp_path):
+    """Stream-static star-join under a watermark: each micro-batch joins
+    the broadcast dimension BEFORE the windowed agg; rows whose key is
+    absent from the dimension vanish (inner join); an event arriving
+    after its window was finalized is dropped by the watermark. Emitted
+    windows must equal the batch join+agg over on-time, dim-matched rows."""
+    import datetime as dt
+    import time as _time
+
+    from posts_vectorizer_spark.streaming import enriched_window_stream
+
+    d = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    dim = spark.createDataFrame(
+        [(7, "BUILDING"), (8, "MACHINERY")], "c_custkey long, c_mktsegment string"
+    )
+    files = [
+        # batch 0: user 7 twice in [10:00), user 99 has NO dim row
+        [(1, d(10, 5), 7, 1.0), (2, d(10, 40), 7, 2.0), (3, d(10, 50), 99, 64.0),
+         (4, d(12, 5), 8, 4.0)],
+        # batch 1: watermark passes 11:00 -> [10:00) windows evicted
+        [(5, d(12, 30), 8, 8.0)],
+        # batch 2: event 6 is LATE for [10:00) -> dropped by watermark
+        [(6, d(10, 30), 7, 16.0), (7, d(14, 5), 7, 32.0)],
+    ]
+    source = str(tmp_path / "in")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(source)
+        _time.sleep(1.1)
+    q = enriched_window_stream(
+        spark, source, spark.createDataFrame(files[0], schema).schema, dim,
+        join_keys=("user_id", "c_custkey"), dim_col="c_mktsegment",
+        target_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        time_col="ts", window="1 hour", watermark="1 hour",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"].isoformat(), r["c_mktsegment"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # [10:00) BUILDING = events 1+2 only: 99 had no dim row, 6 was late
+    assert got[("2024-01-01T10:00:00", "BUILDING")] == (2, 3.0)
+    assert got[("2024-01-01T12:00:00", "MACHINERY")] == (2, 12.0)
+    assert not any(seg not in ("BUILDING", "MACHINERY") for _, seg in got)
