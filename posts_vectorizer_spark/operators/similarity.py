@@ -461,6 +461,7 @@ def lsh_ann(
     planes: int = LSH_PLANES,
     rerank: str = "grouped",
     max_bucket_build: int | None = 8192,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket every vector with {planes} hyperplane
     sign bits, generate candidates by bucket equi-join, exact-rerank inside
@@ -494,7 +495,10 @@ def lsh_ann(
     # bucketed relation is persisted because build, probe, and (with the
     # viral-bucket guard) the bucket-count agg all fan out from it — the
     # planes x dims projection fold is the expensive part of this query
-    # and must run once per vector, not once per consumer.
+    # and must run once per vector, not once per consumer. An ``index``
+    # DataFrame (vec_id, embedding, bucket, nrm — e.g. the table
+    # streaming.lsh_index_stream maintains) skips that computation
+    # entirely: the standing index IS the bucketed relation.
     bucketed = persist_tracked(
         embeddings.select(
             "vec_id",
@@ -502,6 +506,8 @@ def lsh_ann(
             lsh_bucket("embedding", dims, planes).alias("bucket"),
             V.norm("embedding").alias("nrm"),
         )
+        if index is None
+        else index.select("vec_id", "embedding", "bucket", "nrm")
     )
     if multiprobe:
         probe_keys = F.explode(

@@ -295,7 +295,7 @@ def rel_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..operators.similarity import filtered_topk_sql  # noqa: E402
+from ..operators.similarity import filtered_topk_sql, lsh_ann_sql  # noqa: E402
 
 
 @register("sim_filtered_topk", oracle=filtered_topk_sql(k=3))
@@ -640,3 +640,31 @@ def source_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total_qty"),
         )
     )
+
+
+@register(
+    "stream_lsh_index_drain",
+    oracle=lsh_ann_sql(64, 3),
+)
+def stream_lsh_index_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance, end-to-end and hash-checked:
+    drain the embeddings stream into the MATERIALIZED LSH index table
+    (per-row bucket code + norm computed at ingest, keyed MERGE on
+    vec_id — streaming/worker.py::lsh_index_stream), read the standing
+    index back, and serve sim_lsh_ann's top-3 probe FROM THE TABLE
+    (operators/similarity.py::lsh_ann(index=...)). The oracle is the
+    exact same SQL as sim_lsh_ann — the materialized index must answer
+    identically to the in-plan computation, proving the index content is
+    byte-equivalent to a fresh bucketing."""
+    from ..operators import similarity
+    from ..sources.sinks import read_merged
+    from ..streaming import lsh_index_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="pv_lshix_")
+    source, index_dir, ckpt = f"{work}/in", f"{work}/ix", f"{work}/ckpt"
+    emb.coalesce(1).write.mode("append").parquet(source)
+    q = lsh_index_stream(spark, source, emb.schema, index_dir, ckpt, dims=64)
+    q.awaitTermination(300)
+    index = read_merged(spark, index_dir)
+    return similarity.lsh_ann(emb, 64, 3, index=index)

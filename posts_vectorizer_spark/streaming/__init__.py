@@ -6,6 +6,7 @@ from .worker import (
     enriched_window_stream,
     idf_count_stream,
     interval_join_stream,
+    lsh_index_stream,
     session_window_stream,
     tumbling_window_stream,
     upsert_stream,
@@ -19,6 +20,7 @@ __all__ = [
     "enriched_window_stream",
     "idf_count_stream",
     "interval_join_stream",
+    "lsh_index_stream",
     "latest_user_totals",
     "session_window_stream",
     "stateful_user_totals_stream",

@@ -257,6 +257,56 @@ def enriched_window_stream(
     )
 
 
+def lsh_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index_dir: str,
+    checkpoint_dir: str,
+    dims: int,
+    n_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ANN index maintenance: consume a stream of embedding rows
+    and maintain the MATERIALIZED LSH index table — per row the hyperplane
+    bucket code and norm are computed in-stream (the expensive planes×dims
+    projection runs ONCE per vector, at ingest), then keyed-MERGE'd into
+    the bucketed parquet index on vec_id. Re-delivered vectors idempotently
+    replace themselves (ST3 contract); a changed embedding updates its
+    bucket row in place.
+
+    At 100 TB this is how the ANN surface stays queryable without
+    re-bucketing the corpus per query: the index table IS the standing
+    build side, and each probe only pays its own bucket join —
+    sim_lsh_ann's plan with the bucketed relation read instead of
+    recomputed (operators/similarity.py::lsh_ann(index=...))."""
+    from ..operators.similarity import lsh_bucket
+    from ..functions import vectors as V
+    from ..sources.sinks import merge_upsert_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir).select(
+        "vec_id",
+        "embedding",
+        lsh_bucket("embedding", dims).alias("bucket"),
+        V.norm("embedding").alias("nrm"),
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert_parquet(
+            spark, batch_df, index_dir, ["vec_id"], n_buckets
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_window_stream(
     spark: SparkSession,
     source_dir: str,
