@@ -114,3 +114,62 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_minhash_near_dups)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.incremental_minhash_near_dups(docs)
+
+
+@register(
+    "stream_minhash_index_drain",
+    oracle=dedup.incremental_minhash_sql(),
+)
+def stream_minhash_index_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing dedup index, maintained BY A STREAM and probed from
+    the table: drain the existing corpus (doc_id % 5 != 0) through
+    streaming/worker.py::minhash_index_stream (bands computed at ingest,
+    keyed MERGE on (doc_id, band_id)), then probe the newly ingested
+    batch's band rows against the materialized index and Jaccard-verify.
+    The oracle is dedup_incremental_minhash's SQL — the table-served
+    probe must answer identically to in-plan banding of the base corpus."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from ..cache import persist_tracked
+    from ..operators.dedup import (
+        INCR_MOD,
+        JACCARD_THRESHOLD,
+        _banded,
+        _doc_shingle_arrays,
+        jaccard_verify,
+        minhash_signatures,
+    )
+    from ..sources.sinks import read_merged
+    from ..streaming import minhash_index_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % INCR_MOD != 0)
+    delta = docs.where(F.col("doc_id") % INCR_MOD == 0)
+    work = _tf.mkdtemp(prefix="pv_mhix_")
+    source, index_dir, ckpt = f"{work}/in", f"{work}/ix", f"{work}/ckpt"
+    base.coalesce(1).write.mode("append").parquet(source)
+    q = minhash_index_stream(spark, source, base.schema, index_dir, ckpt)
+    q.awaitTermination(300)
+    base_bands = read_merged(spark, index_dir).select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_value"
+    )
+    arrays = persist_tracked(_doc_shingle_arrays(docs))
+    delta_bands = _banded(
+        minhash_signatures(delta, arrays=arrays.join(delta, "doc_id").select("doc_id", "shs"))
+    ).select(F.col("doc_id").alias("doc_a"), "band_id", "band_value")
+    cands = (
+        delta_bands.join(base_bands, ["band_id", "band_value"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        jaccard_verify(docs, cands, arrays=arrays)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("doc_a").alias("new_doc"),
+            F.col("doc_b").alias("existing_doc"),
+            "jaccard",
+        )
+    )

@@ -7,6 +7,7 @@ from .worker import (
     idf_count_stream,
     interval_join_stream,
     lsh_index_stream,
+    minhash_index_stream,
     session_window_stream,
     tumbling_window_stream,
     upsert_stream,
@@ -21,6 +22,7 @@ __all__ = [
     "idf_count_stream",
     "interval_join_stream",
     "lsh_index_stream",
+    "minhash_index_stream",
     "latest_user_totals",
     "session_window_stream",
     "stateful_user_totals_stream",

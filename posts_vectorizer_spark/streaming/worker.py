@@ -307,6 +307,48 @@ def lsh_index_stream(
     )
 
 
+def minhash_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming dedup-index maintenance: consume a stream of documents
+    and maintain the MATERIALIZED MinHash band index — per row the
+    shingle set, signature, and band codes are computed in-stream (the
+    tokenize+hash+min-fold cost is paid once, at ingest), then the
+    (doc_id, band_id, band_value) rows keyed-MERGE into the bucketed
+    index on (doc_id, band_id). Re-delivered docs idempotently replace
+    their own band rows; an edited doc re-bands in place.
+
+    This is the standing index dedup_incremental_minhash probes: each
+    newly ingested batch joins its own band rows against the table and
+    never re-bands the corpus (operators/dedup.py::
+    incremental_minhash_near_dups is the in-plan twin)."""
+    from ..operators.dedup import _banded, minhash_signatures
+    from ..sources.sinks import merge_upsert_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = _banded(minhash_signatures(reader.parquet(source_dir)))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert_parquet(
+            spark, batch_df, index_dir, ["doc_id", "band_id"], n_buckets
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_window_stream(
     spark: SparkSession,
     source_dir: str,
