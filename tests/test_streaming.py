@@ -833,3 +833,38 @@ def test_enriched_window_stream_joins_dim_and_drops_late(spark, tmp_path):
     assert got[("2024-01-01T10:00:00", "BUILDING")] == (2, 3.0)
     assert got[("2024-01-01T12:00:00", "MACHINERY")] == (2, 12.0)
     assert not any(seg not in ("BUILDING", "MACHINERY") for _, seg in got)
+
+
+def test_lsh_index_stream_idempotent_under_redelivery(spark, tmp_path):
+    """Re-draining the SAME source with a fresh checkpoint (full
+    redelivery) must leave the materialized LSH index byte-identical:
+    every vector idempotently replaces its own row (ST3 contract), so
+    index content depends only on the data, never on delivery count."""
+    from posts_vectorizer_spark.sources import load_table
+    from posts_vectorizer_spark.sources.sinks import read_merged
+    from posts_vectorizer_spark.streaming import lsh_index_stream
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    source = str(tmp_path / "in")
+    emb.coalesce(1).write.mode("append").parquet(source)
+    ix = str(tmp_path / "ix")
+    q = lsh_index_stream(
+        spark, source, emb.schema, ix, str(tmp_path / "ckpt1"), dims=64
+    )
+    q.awaitTermination(180)
+    first = {
+        r["vec_id"]: (r["bucket"], r["nrm"])
+        for r in read_merged(spark, ix).collect()
+    }
+    assert len(first) == emb.count()
+    # fresh checkpoint -> the file source re-delivers everything
+    q2 = lsh_index_stream(
+        spark, source, emb.schema, ix, str(tmp_path / "ckpt2"), dims=64
+    )
+    q2.awaitTermination(180)
+    second = {
+        r["vec_id"]: (r["bucket"], r["nrm"])
+        for r in read_merged(spark, ix).collect()
+    }
+    assert second == first
