@@ -668,3 +668,75 @@ def stream_lsh_index_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     index = read_merged(spark, index_dir)
     return similarity.lsh_ann(emb, 64, 3, index=index)
+
+
+@register(
+    "rel_market_basket",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+part_cnt AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY l_partkey),
+pair_cnt AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS pair_count
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.part_a, p.part_b, CAST(p.pair_count AS BIGINT) AS pair_count,
+       (CAST(p.pair_count AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+       / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) AS lift
+FROM pair_cnt p
+JOIN part_cnt ca ON ca.l_partkey = p.part_a
+JOIN part_cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+WHERE p.pair_count >= 2
+""",
+)
+def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity ("frequently bought together"): part pairs
+    co-occurring in >= 2 orders, with lift = P(a,b) / (P(a)·P(b)) over
+    the order universe. Lift is ONE fixed-shape expression of exact
+    integer counts using only IEEE-exact ops, so both engines produce
+    bit-identical doubles — no rounding grid.
+
+    Scale shape: the pair generation self-joins on l_orderkey, so
+    candidate volume is Σ|order|² — bounded by basket size (≤ 13 items
+    in this schema), never #parts²; the part-frequency sides broadcast
+    (dimension-sized), and the order-count scalar is a broadcast 1-row
+    aggregate. This is the co-occurrence shape every recommender /
+    association-rule pipeline starts from."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_cnt = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair_cnt = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= 2)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    lift = (
+        F.col("pair_count").cast("double") * F.col("n_orders").cast("double")
+    ) / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
+    return (
+        pair_cnt.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            lift.alias("lift"),
+        )
+    )
