@@ -176,3 +176,78 @@ def sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator-level test's job (tests/test_wave14.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.ivf_search(emb)
+
+
+def _recall_sql() -> str:
+    """One row per ANN method: hits against the brute-force top-3 truth.
+    Each method's full pipeline SQL nests as a parenthesized WITH
+    subquery, so the report re-states every index end-to-end."""
+    methods = {
+        "lsh": similarity.lsh_ann_sql(DIMS, 3),
+        "lsh_multiprobe": similarity.lsh_ann_sql(DIMS, 3, multiprobe=True),
+        "ivf": clustering.ivf_search_sql(),
+    }
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS method,
+       (SELECT count(*) FROM truth) AS n_expected,
+       (SELECT count(*) FROM truth t
+        JOIN ({sql}) m
+          ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id)
+         AS n_hit
+FROM (SELECT 1)"""
+        for name, sql in methods.items()
+    )
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({similarity.topk_sql(3)}))
+SELECT method, CAST(n_expected AS BIGINT) AS n_expected,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit AS DOUBLE) / CAST(n_expected AS DOUBLE) AS recall
+FROM ({arms})
+"""
+
+
+@register("sim_recall_report", oracle=_recall_sql())
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality report, computed IN-ENGINE: recall@3 of every
+    approximate method (single-bucket LSH, multi-probe LSH, IVF nprobe=1)
+    against the brute-force truth — the monitoring query a production
+    vector platform runs to detect index/recall drift after re-training
+    or data shift. The oracle re-states all four pipelines end-to-end,
+    so the report itself is hash-checked; recall is an exact division of
+    integer counts (bit-identical doubles).
+
+    Scale shape: truth comes from the tiled brute-force kernel over a
+    SAMPLE at real scale (swap the input for a hash-sampled slice — the
+    report needs statistical, not exhaustive, truth); each method arm is
+    its own bounded pipeline, and the hit join keys on (query, neighbor)
+    pairs — n·k rows per side."""
+    from ..cache import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.topk(emb, 3).select("query_id", "neighbor_id")
+    arms = {
+        "lsh": similarity.lsh_ann(emb, DIMS, 3),
+        "lsh_multiprobe": similarity.lsh_ann(emb, DIMS, 3, multiprobe=True),
+        "ivf": clustering.ivf_search(emb),
+    }
+    spark_truth = persist_tracked(truth)
+    out = None
+    for name, df in arms.items():
+        hits = spark_truth.join(
+            df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        row = (
+            spark_truth.agg(F.count("*").alias("n_expected"))
+            .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+            .select(
+                F.lit(name).alias("method"),
+                F.col("n_expected").cast("bigint"),
+                F.col("n_hit").cast("bigint"),
+                (
+                    F.col("n_hit").cast("double")
+                    / F.col("n_expected").cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
