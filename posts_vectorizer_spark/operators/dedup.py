@@ -320,10 +320,14 @@ def minhash_near_dups(documents: DataFrame, threshold: float = JACCARD_THRESHOLD
     )
 
 
-def minhash_near_dups_sql(threshold: float = JACCARD_THRESHOLD, round_digits: int = 6) -> str:
-    return f"""
-WITH cands AS ({minhash_candidates_sql()}),
-shingled AS ({_doc_shingles_sql()}),
+def _jaccard_verify_tail_sql(
+    select_cols: str, threshold: float, round_digits: int
+) -> str:
+    """The ONE copy of the SQL Jaccard-verify tail (shingled/sizes/inter +
+    rounded-division threshold) shared by every oracle that verifies a
+    `cands(doc_a, doc_b)` CTE — the math must not fork between the full,
+    incremental, and table-served pipelines."""
+    return f"""shingled AS ({_doc_shingles_sql()}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -333,7 +337,7 @@ inter AS (
                 WHERE wb.doc_id = c.doc_b AND wb.sh = wa.sh)
   GROUP BY c.doc_a, c.doc_b
 )
-SELECT c.doc_a, c.doc_b,
+SELECT {select_cols},
        round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
              / (sa.sz + sb.sz - COALESCE(i.inter, 0)), {round_digits}) AS jaccard
 FROM cands c
@@ -343,6 +347,12 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
             / (sa.sz + sb.sz - COALESCE(i.inter, 0)), {round_digits}) >= {threshold}
 """
+
+
+def minhash_near_dups_sql(threshold: float = JACCARD_THRESHOLD, round_digits: int = 6) -> str:
+    return f"""
+WITH cands AS ({minhash_candidates_sql()}),
+{_jaccard_verify_tail_sql("c.doc_a, c.doc_b", threshold, round_digits)}"""
 
 
 INCR_MOD = 5   # doc_id % 5 == 0 plays the "newly ingested batch" (~20%)
@@ -376,8 +386,25 @@ def incremental_minhash_near_dups(
     base = bands.where(F.col("doc_id") % mod != 0).select(
         F.col("doc_id").alias("doc_b"), "band_id", "band_value"
     )
+    return probe_bands(documents, delta, base, arrays, threshold)
+
+
+def probe_bands(
+    documents: DataFrame,
+    delta_bands: DataFrame,
+    base_bands: DataFrame,
+    arrays: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """The ONE copy of the incremental probe tail: join delta band rows
+    (doc_a, band_id, band_value) against base band rows (doc_b, ...),
+    dedupe candidates, exact-Jaccard verify, and emit the
+    (new_doc, existing_doc, jaccard) contract — shared by the in-plan
+    split (incremental_minhash_near_dups) and the table-served index
+    (plans/queries_dedup.py::stream_minhash_index_drain), so the probe
+    semantics cannot fork between the two oracle-checked twins."""
     cands = (
-        delta.join(base, ["band_id", "band_value"])
+        delta_bands.join(base_bands, ["band_id", "band_value"])
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -405,26 +432,9 @@ cands AS (
   FROM bands a JOIN bands b USING (band_id, band_value)
   WHERE a.doc_id % {mod} = 0 AND b.doc_id % {mod} <> 0
 ),
-shingled AS ({_doc_shingles_sql()}),
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS inter
-  FROM cands c
-  JOIN shingled wa ON wa.doc_id = c.doc_a
-  WHERE EXISTS (SELECT 1 FROM shingled wb
-                WHERE wb.doc_id = c.doc_b AND wb.sh = wa.sh)
-  GROUP BY c.doc_a, c.doc_b
-)
-SELECT c.doc_a AS new_doc, c.doc_b AS existing_doc,
-       round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
-             / (sa.sz + sb.sz - COALESCE(i.inter, 0)), {round_digits}) AS jaccard
-FROM cands c
-LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
-            / (sa.sz + sb.sz - COALESCE(i.inter, 0)), {round_digits}) >= {threshold}
-"""
+{_jaccard_verify_tail_sql(
+    "c.doc_a AS new_doc, c.doc_b AS existing_doc", threshold, round_digits
+)}"""
 
 
 # ---------------------------------------------------------------------------

@@ -135,18 +135,16 @@ def stream_minhash_index_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import persist_tracked
     from ..operators.dedup import (
         INCR_MOD,
-        JACCARD_THRESHOLD,
         _banded,
         _doc_shingle_arrays,
-        jaccard_verify,
         minhash_signatures,
+        probe_bands,
     )
     from ..sources.sinks import read_merged
     from ..streaming import minhash_index_stream
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % INCR_MOD != 0)
-    delta = docs.where(F.col("doc_id") % INCR_MOD == 0)
     work = _tf.mkdtemp(prefix="pv_mhix_")
     source, index_dir, ckpt = f"{work}/in", f"{work}/ix", f"{work}/ckpt"
     base.coalesce(1).write.mode("append").parquet(source)
@@ -156,20 +154,9 @@ def stream_minhash_index_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), "band_id", "band_value"
     )
     arrays = persist_tracked(_doc_shingle_arrays(docs))
+    # the delta side's shingle arrays are a narrow id-split of the shared
+    # relation -- no join against the document rows needed
     delta_bands = _banded(
-        minhash_signatures(delta, arrays=arrays.join(delta, "doc_id").select("doc_id", "shs"))
+        minhash_signatures(docs, arrays=arrays.where(F.col("doc_id") % INCR_MOD == 0))
     ).select(F.col("doc_id").alias("doc_a"), "band_id", "band_value")
-    cands = (
-        delta_bands.join(base_bands, ["band_id", "band_value"])
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    return (
-        jaccard_verify(docs, cands, arrays=arrays)
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select(
-            F.col("doc_a").alias("new_doc"),
-            F.col("doc_b").alias("existing_doc"),
-            "jaccard",
-        )
-    )
+    return probe_bands(docs, delta_bands, base_bands, arrays)
