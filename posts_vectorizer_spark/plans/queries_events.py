@@ -289,3 +289,68 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register(
+    "events_session_paths",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '6 hours'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_id
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path HAVING count(*) >= 2
+""",
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the ordered event-type sequence of every
+    6-hour-gap session, grouped into repeated paths (>= 2 sessions) —
+    the product-analytics workload behind funnel discovery and
+    navigation-flow dashboards. Sessionization is the native
+    session_window (same boundary semantics the events_session_window
+    oracle pins); the path is a deterministic in-session sort by
+    (ts, event_id) rendered as one string so both engines group on a
+    flat key.
+
+    Scale shape: one (user, session)-keyed aggregation collects each
+    session's own events (bounded by session length, never user
+    history), then one path-keyed count — both map-side combinable; the
+    >= 2 filter bounds the output to genuinely repeated journeys."""
+    e = load_table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        sess.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .where(F.col("n_sessions") >= 2)
+        .select("path", F.col("n_sessions").cast("bigint").alias("n_sessions"))
+    )
