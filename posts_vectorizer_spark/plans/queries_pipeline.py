@@ -740,3 +740,62 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             lift.alias("lift"),
         )
     )
+
+
+@register(
+    "stream_session_drain",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '6 hours'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_id
+  FROM ordered
+)
+SELECT * FROM (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL '6 hours' AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+  FROM sessions
+  GROUP BY user_id, session_id
+) WHERE session_end <= (SELECT max(ts) - INTERVAL '1 hour' FROM events)
+""",
+)
+def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 SESSION windows in streaming mode with a driver row: the same
+    6-hour-gap sessionization as the batch events_session_window, run
+    through readStream + watermark + append + availableNow
+    (streaming/worker.py::session_window_stream). Append mode emits a
+    session only once the watermark (max ts − 1 h) passes its END (last
+    event + gap) — so sessions still open, or closed less than the
+    watermark delay before the stream drained, are withheld. The oracle
+    states that horizon exactly: session_end <= max(ts) − 1 h, over the
+    gaps-and-islands sessionization the session-window oracle family
+    already pins.
+
+    Scale shape: per-(user, open-session) state bounded by watermark +
+    gap, never stream length — the hard case for streaming state, here
+    hash-checked end-to-end."""
+    from ..streaming import session_window_stream
+
+    e = load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "value"
+    )
+    work = tempfile.mkdtemp(prefix="pv_ssd_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    e.coalesce(1).write.mode("append").parquet(source)
+    q = session_window_stream(
+        spark, source, e.schema, target, ckpt,
+        time_col="ts", gap="6 hours", watermark="1 hour",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target)

@@ -94,6 +94,7 @@ def test_plan_build_triggers_no_jobs(spark):
         "sim_ivfpq_search",       # trains coarse lists + codebooks (Lloyd)
         "stream_static_join_drain",        # runs the drain by contract
         "stream_lsh_index_drain",          # runs the index drain by contract
+        "stream_session_drain",            # runs the drain by contract
         "stream_minhash_index_drain",      # runs the index drain by contract
         "sim_recall_report",               # topk kernel + Lloyd train at build
         "source_bucketed_colocated_join",  # writes the bucketed tables
