@@ -501,3 +501,55 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("mad"), 6).cast("double").alias("mad"),
         )
     )
+
+
+@register(
+    "events_trailing_24h",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(epoch(ts) AS BIGINT) AS ep
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       CAST(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w
+                 AS DOUBLE) AS DOUBLE) AS sum_value_24h
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the capability ROWS frames can't express:
+    for every event, the count and value-sum of the SAME user's events in
+    the trailing 24 wall-clock hours (velocity / rate-limit / fraud
+    features). The frame bound is event-time seconds (rangeBetween over
+    epoch), so sparse and bursty users get correct windows without
+    resampling; RANGE semantics include all equal-timestamp peers on both
+    engines. The frame sum runs on the round-6 DECIMAL grid (window float
+    sums are order-sensitive; exact decimals are not).
+
+    Scale shape: one user-keyed exchange + per-partition ordered scan —
+    identical physical shape to any running window; state is the sliding
+    frame, bounded by a user's 24-hour event volume."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "ts", "value",
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-86400, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n_24h"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_24h"),
+    )
