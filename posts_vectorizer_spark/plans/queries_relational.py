@@ -756,3 +756,66 @@ def rel_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).cast("double").alias("hi"),
         )
     )
+
+
+@register(
+    "rel_map_type_ops",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+totals AS (
+  SELECT user_id, sum(n) AS total FROM counts GROUP BY user_id
+)
+SELECT c.user_id, c.event_type, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM counts c JOIN totals t USING (user_id)
+WHERE c.n >= 2
+""",
+)
+def rel_map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type higher-order functions in one plan: per user the
+    event-type histogram is materialized as a MAP column
+    (map_from_entries over collected structs), pruned with map_filter
+    (types seen < 2 drop), reshaped with transform_values (count ->
+    share of the user's total), and exploded back to rows — the
+    map-column manipulation surface (map_from_entries / map_filter /
+    transform_values / explode) a feature-store pipeline uses for
+    per-entity feature bags. The oracle states the same result
+    relationally, so the entire map round-trip is hash-checked; share is
+    one exact integer division (bit-identical doubles).
+
+    Scale shape: one user-keyed aggregation (map per user bounded by
+    #event-types, never event count), then narrow map ops in codegen and
+    a map_entries explode — no extra shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    shaped = as_map.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("m", lambda k, v: v >= 2),
+            lambda k, v: F.struct(
+                v.alias("n"),
+                (v.cast("double") / total.cast("double")).alias("share"),
+            ),
+        ).alias("m"),
+    )
+    return shaped.select(
+        "user_id", F.explode("m").alias("event_type", "val")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("val.n").cast("bigint").alias("n"),
+        F.col("val.share").alias("share"),
+    )
