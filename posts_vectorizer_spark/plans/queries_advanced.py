@@ -754,3 +754,200 @@ def rel_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H subquery shapes — EXISTS decorrelation, NOT IN, disjunctive
+# pushdown, conditional-aggregate ratio (Q4 / Q14 / Q16 / Q19 analogs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def rel_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter-pair
+    with at least one lineitem shipped >30 days after the order date — the
+    canonical correlated EXISTS, decorrelated to a LEFT SEMI join (the
+    rewrite Catalyst applies to EXISTS subqueries; here stated directly).
+    The fixture lacks l_commitdate/l_receiptdate, so "late" is shipdate
+    vs orderdate+30d (same correlated-comparison shape as the original's
+    l_commitdate < l_receiptdate; reference has no subqueries at all —
+    Tier C breadth).
+
+    Scale shape: the date filter prunes orders BEFORE the semi join, the
+    non-equi lateness predicate rides the equi-join on orderkey as a
+    residual (never a range explosion), and a semi join carries no
+    lineitem payload columns and stops probing an order on first match.
+    One shuffle on orderkey; the priority agg is a 5-group hash agg."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "rel_tpch_q14_promo_share",
+    oracle=f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             ELSE 0 END) AS DOUBLE)
+       / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+       AS promo_share_pct,
+       {_DEC_REVENUE_SQL} AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-06-01'
+""",
+)
+def rel_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the revenue share of PROMO-type
+    parts in a shipping quarter — two conditional aggregates folded into
+    ONE pass (CASE inside sum), then a scalar ratio. The fixture's p_type
+    is a single word, so the original's LIKE 'PROMO%' is equality here.
+
+    Scale shape: one broadcast join (part is the dimension), zero extra
+    shuffles — the conditional split costs nothing vs aggregating twice.
+    Exactness: both sums are scaled-int64 (cents × discount-hundredths,
+    see _dec_revenue) so the single double division at the end is the
+    only FP op and is bit-identical across engines and partition orders."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0))
+    total = F.sum(cents)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * promo.cast("double") / total.cast("double")
+            ).alias("promo_share_pct"),
+            (total / 10000.0).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "rel_tpch_q19_disjunctive",
+    oracle=f"""
+SELECT {_DEC_REVENUE_SQL} AS revenue,
+       count(*) AS qualifying_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def rel_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR-of-ANDs predicate whose
+    conjuncts span BOTH join sides — the classic disjunctive-pushdown
+    test. Catalyst cannot push the cross-side disjunction to either scan,
+    but it DOES push each side's projection of it: the brand/size
+    disjunction to the part scan and the quantity-range disjunction to
+    the lineitem scan (tests/test_plans.py asserts both land in
+    PushedFilters). At 100 TB those per-side prefilters are the
+    difference between pruning to 3 brands' row groups and scanning the
+    whole fact table; the exact cross-side disjunction then runs as the
+    post-join residual on the ~100× smaller survivor set."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            _dec_revenue().alias("revenue"),
+            F.count("*").alias("qualifying_lineitems"),
+        )
+    )
+
+
+@register(
+    "rel_tpch_q16_dormant_parts",
+    oracle="""
+SELECT p_brand, count(*) AS dormant_parts
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '2001-04-01')
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def rel_tpch_q16_dormant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier exclusion via NOT IN): parts with NO
+    shipment since a cutoff — a NOT IN subquery. The oracle states NOT IN
+    literally; the engine runs the rewrite every 100 TB plan needs:
+    because l_partkey is non-null (guarded explicitly), NOT IN ≡ LEFT
+    ANTI join. Raw NOT IN forces Spark into a null-aware anti join — a
+    BROADCAST-only plan (null-aware semantics can't shuffle-partition:
+    one null on the build side empties the whole result), which caps the
+    build side at driver memory. The IS NOT NULL guard is what unlocks
+    the shuffleable anti join; at 100 TB that's the difference between
+    running and OOM.
+
+    Scale shape: the date prefilter shrinks the build side to the recent
+    slice before the anti join; anti joins carry no payload and
+    short-circuit per probe key on first match."""
+    p = load_table(spark, sf_dir, "part")
+    recent = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("2001-04-01").cast("timestamp"))
+        .where(F.col("l_partkey").isNotNull())
+        .select("l_partkey")
+    )
+    return (
+        p.join(recent, p.p_partkey == recent.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("dormant_parts"))
+        .orderBy("p_brand")
+    )
