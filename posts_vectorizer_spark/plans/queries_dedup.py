@@ -3,7 +3,9 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+from ..functions import text as T
 from ..operators import dedup
 from ..sources import load_table
 from .registry import register
@@ -160,3 +162,83 @@ def stream_minhash_index_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures(docs, arrays=arrays.where(F.col("doc_id") % INCR_MOD == 0))
     ).select(F.col("doc_id").alias("doc_a"), "band_id", "band_value")
     return probe_bands(docs, delta_bands, base_bands, arrays)
+
+
+SPAN_K = 5  # gram width: every duplicated run of >= SPAN_K tokens is found
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, g_i AS pos,
+         md5(array_to_string(toks[g_i + 1 : g_i + {SPAN_K}], chr(1))) AS gram
+  FROM base, UNNEST(generate_series(0, len(toks) - {SPAN_K})) AS t(g_i)
+  WHERE len(toks) >= {SPAN_K}
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+hits AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM grams WHERE gram IN (SELECT gram FROM dup)
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SPAN_K} - 1 AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {SPAN_K} AS BIGINT) AS span_tokens
+FROM hits
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (the Lee et al. 2022 "dedup makes
+    LMs better" ExactSubstr shape, re-expressed relationally): every
+    maximal token run that appears more than once in the corpus —
+    including twice in the same document — reported as per-doc
+    [span_start, span_end] cut lists. Their suffix-array scan doesn't
+    distribute; the equivalent relational guarantee does: a duplicated
+    run of length L >= SPAN_K produces L-SPAN_K+1 duplicated SPAN_K-grams
+    at consecutive start positions, and merging consecutive duplicated
+    starts (gaps-and-islands) reconstructs exactly the maximal span.
+    Adjacent spans duplicated from DIFFERENT sources merge into one cut
+    region — a superset union that is precisely what a cut list needs.
+
+    Scale: gram hashing is narrow per-row (cost ∝ doc length); the
+    corpus-frequency count shuffles on the 32-hex md5 gram (uniform keys
+    — no skew even when the corpus repeats one phrase, because the GRAM
+    is the key, not the doc); the duplicated-gram set rejoins by semi
+    join; islands are one doc_id-partitioned window. Three shuffles
+    total, all on bounded-width keys, never docs² pairs."""
+    K = SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens("text").alias("toks")).where(
+        F.size("toks") >= K
+    )
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - K),
+        lambda i: F.md5(F.array_join(F.slice("toks", i + 1, K), "\x01")),
+    )
+    grams = base.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    dup = grams.groupBy("gram").count().where(F.col("count") >= 2).select("gram")
+    hits = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + K - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + K).cast("bigint").alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )

@@ -80,3 +80,48 @@ def test_weekly_wow_arithmetic(spark, tmp_path):
     assert out[0]["wow_pct"] is None and out[0]["prev_n"] is None
     assert out[1]["wow_pct"] == 100.0
     assert out[2]["wow_pct"] == -25.0
+
+
+def test_substring_spans_reconstruct_maximal_run(spark, tmp_path):
+    # Docs 1 and 2 share an 8-token run ("the quick brown fox jumps over
+    # the lazy", embedded at different offsets); every other token is
+    # unique. The gram-islands merge must report EXACTLY the maximal run
+    # on both sides — 8 tokens, correct offsets — and nothing else.
+    shared = "the quick brown fox jumps over the lazy"
+    docs = make_docs(
+        spark,
+        [
+            (1, f"alpha beta {shared} gamma delta", "en"),
+            (2, f"{shared} epsilon zeta eta theta iota", "en"),
+            (3, "completely unrelated words only here once", "en"),
+        ],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in E.queries()["dedup_substring_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # doc 1: run starts at token 2 (0-based), 8 tokens -> [2, 9]
+    # doc 2: run starts at token 0 -> [0, 7]; doc 3: no spans
+    assert spans == {1: (2, 9, 8), 2: (0, 7, 8)}
+
+
+def test_substring_spans_intra_document_repeat(spark, tmp_path):
+    # A 5-token phrase repeated twice INSIDE one doc counts as duplicated
+    # (corpus occurrences >= 2), producing two spans in that doc.
+    phrase = "one two three four five"
+    docs = make_docs(
+        spark,
+        [(1, f"{phrase} filler0 filler1 {phrase}", "en"),
+         (2, "nothing shared with the first document at all", "en")],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        (r["span_start"], r["span_end"])
+        for r in E.queries()["dedup_substring_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert rows == [(0, 4), (7, 11)]
