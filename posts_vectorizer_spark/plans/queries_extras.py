@@ -618,3 +618,63 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("err_id", "user_id")
         .agg(F.count("*").alias("clicks_10m"))
     )
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+),
+joined AS (
+  SELECT e.event_id AS err_id, e.user_id, e.ts,
+         CAST(count(c.cts) AS BIGINT) AS clicks_10m
+  FROM errors e LEFT JOIN clicks c
+    ON e.user_id = c.user_id
+   AND c.cts >= e.ts - INTERVAL '10 minutes'
+   AND c.cts <  e.ts
+  GROUP BY 1, 2, 3
+)
+SELECT err_id, user_id, clicks_10m
+FROM joined
+WHERE clicks_10m > 0
+   OR ts <= (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'error'),
+                          (SELECT max(ts) FROM events WHERE event_type = 'click'))
+             - INTERVAL '30 minutes')
+""",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9's outer half: the watermarked stream-stream LEFT OUTER interval
+    join — errors with zero preceding clicks are emitted with a null
+    click side, but only once the global watermark proves no matching
+    click can still arrive. Matched pairs emit as they join (same as the
+    inner form); an unmatched error emits from state eviction, which
+    fires when watermark >= err_ts (a future click must carry
+    click_ts >= watermark and match only if click_ts < err_ts). The
+    oracle states that horizon exactly: zero-click errors appear iff
+    ts <= least(max error ts, max click ts) - 30 min (the global
+    watermark is the min across both sides' per-side watermarks); the
+    <=-boundary is empirically pinned by
+    tests/test_streaming.py::test_outer_interval_join_emission_boundary.
+
+    Scale: identical state bound to the inner form (state ∝ lookback
+    window, never stream length); the null-emission adds no state — it
+    changes only what eviction produces."""
+    from ..streaming import interval_join_stream
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="pv_ivjo_")
+    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    events.coalesce(1).write.mode("overwrite").parquet(source)
+    q = interval_join_stream(
+        spark, source, events.schema, target, ckpt, how="left_outer"
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(target)
+        .groupBy("err_id", "user_id")
+        .agg(F.count("click_ts").alias("clicks_10m"))
+    )

@@ -406,6 +406,7 @@ def interval_join_stream(
     lookback: str = "10 minutes",
     watermark: str = "30 minutes",
     max_files_per_trigger: int | None = None,
+    how: str = "inner",
 ):
     """ST9: watermarked stream-stream interval join — the streaming form of
     the batch binned range join (plans/queries_advanced.py
@@ -418,6 +419,15 @@ def interval_join_stream(
     click_ts + lookback, and vice versa — state stays proportional to the
     lookback window, not the stream length. Inner join in append mode emits
     each matched pair exactly once.
+
+    ``how="left_outer"`` adds the null-emission half of the operator:
+    an error with NO click in its lookback is emitted once — with null
+    click_ts — only when the global watermark passes the point where a
+    matching click is provably impossible (clicks arrive with
+    click_ts >= watermark; a click can still match while
+    watermark < err_ts). Matched pairs still emit as they join; the
+    unmatched row is produced by state eviction, so it appears in the
+    extra finalize batch availableNow runs after the data batches.
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -447,6 +457,7 @@ def interval_join_stream(
             f" AND click_ts >= err_ts - INTERVAL {lookback}"
             f" AND click_ts < err_ts"
         ),
+        how,
     ).select("err_id", F.col("err_user").alias("user_id"), "click_ts")
     return (
         joined.writeStream.format("parquet")

@@ -868,3 +868,45 @@ def test_lsh_index_stream_idempotent_under_redelivery(spark, tmp_path):
         for r in read_merged(spark, ix).collect()
     }
     assert second == first
+
+
+def test_outer_interval_join_emission_boundary(spark, tmp_path):
+    """Pin the left-outer interval join's null-emission horizon at the
+    exact boundary: with max error ts = T+100m and max click ts = T+200m
+    (watermark delay 30m), the global watermark lands at T+70m. A
+    zero-click error AT the watermark emits; one second past it is
+    withheld — emission is err_ts <= watermark, the contract
+    stream_interval_join_outer's oracle states."""
+    import datetime as dt
+
+    from posts_vectorizer_spark.streaming import interval_join_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(mins, secs=0):
+        return t0 + dt.timedelta(minutes=mins, seconds=secs)
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, ts(100), "error", 0.0),    # anchors max error ts
+            (2, 2, ts(200), "click", 0.0),    # anchors max click ts
+            (3, 3, ts(70), "error", 0.0),     # exactly at the watermark
+            (4, 4, ts(69, 59), "error", 0.0),  # below it
+            (5, 5, ts(70, 1), "error", 0.0),   # one second past: withheld
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    source = str(tmp_path / "in")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events.coalesce(1).write.parquet(source)
+    q = interval_join_stream(
+        spark, source, events.schema, target, ckpt, how="left_outer"
+    )
+    q.awaitTermination(300)
+    out = sorted(
+        (r["err_id"], r["click_ts"])
+        for r in spark.read.parquet(target).collect()
+    )
+    assert out == [(3, None), (4, None)]
