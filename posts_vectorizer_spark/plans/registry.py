@@ -61,10 +61,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # All 50 are [Q] oracle-backed. Everything not listed follows in
 # registration (cost-ascending) order.
 _HEAD_ORDER: tuple[str, ...] = (
-    # §2 tfidf pipeline (P2,P5-P8, A1-A10, J1-J5, F6/F7, W2)
+    # §2 tfidf pipeline (P2,P5-P8, A1-A10, J1-J5, F6/F7, W2).
+    # term_frequency/vocabulary/oov_tokens/candidates rotated out late-r4
+    # (green r1+r2+r3, code untouched — their rows stand; the remaining
+    # four keep the family's flagship + quirk coverage in the head).
     "tfidf_doc_vectors", "tfidf_doc_profile", "tfidf_idf_table",
-    "tfidf_term_frequency", "tfidf_vocabulary", "tfidf_oov_tokens",
-    "tfidf_candidates", "tfidf_corpus_stats",
+    "tfidf_corpus_stats",
     # §2 relational core (S1/P1, F*, A12, J1-J3, W3, L1/L4, U1/U2).
     # Queries whose code CHANGED this round (cents sums: rel_groupby_agg,
     # rel_cube) stay to re-prove; multi-green rows whose code is untouched
@@ -73,10 +75,11 @@ _HEAD_ORDER: tuple[str, ...] = (
     "rel_scan_filter_project", "rel_groupby_agg",
     "rel_cube", "rel_join_broadcast_agg",
     "rel_window_topk_per_group",
-    "rel_union_distinct_except",
+    # rel_union_distinct_except + text_elemmatch_langarray rotated out
+    # late-r4 (green r1-r3, untouched)
     "rel_array_agg_sorted",
-    # text (P3, quality; text_langid rotated out, green r1-r3, untouched)
-    "text_quality_profile", "text_elemmatch_langarray",
+    # text (P3 covered by past green rows; text_langid rotated out r4)
+    "text_quality_profile",
     # dedup (exact, MinHash, components; simhash rotated out, green+untouched)
     "dedup_exact_keep_first", "dedup_minhash_near_dups",
     "dedup_components",
@@ -104,6 +107,11 @@ _HEAD_ORDER: tuple[str, ...] = (
     "stream_tumbling_drain", "sim_kmeans_portable",
     "multimodal_feature_slices", "dedup_containment",
     "events_anomaly_mad", "sim_knn_graph_mutual", "text_bpe_merges",
+    # late-r4 wave: TPC-H subquery shapes, ExactSubstr span dedup, and
+    # the outer stream-stream interval join
+    "rel_tpch_q4_order_priority", "rel_tpch_q14_promo_share",
+    "rel_tpch_q19_disjunctive", "rel_tpch_q16_dormant_parts",
+    "dedup_substring_spans", "stream_interval_join_outer",
 )
 
 
