@@ -951,3 +951,44 @@ def rel_tpch_q16_dormant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("dormant_parts"))
         .orderBy("p_brand")
     )
+
+
+@register(
+    "rel_lateral_topk",
+    oracle="""
+SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name
+         LIMIT 2) c
+""",
+)
+def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: for each nation, its top-2 customers by
+    account balance, stated as a per-row subquery with ORDER BY + LIMIT —
+    the lateral decorrelation path (Catalyst's DecorrelateInnerQuery
+    class that rel_subquery_* queries don't reach, because LATERAL
+    correlates a whole RELATION, not a scalar).
+
+    Scale shape: the naive reading is "run a sorted limit per outer row";
+    the decorrelated plan Catalyst produces is the one a 100 TB run
+    needs — the per-row LIMIT becomes a WindowGroupLimit (group-local
+    top-k pushed BELOW the shuffle, partial then final, never a global
+    sort) + row_number filter partitioned by the correlation key, then
+    ONE broadcast equi-join of the 25-row nation side. Stated in SQL on
+    both engines; (c_acctbal DESC, c_name) is a total order per nation,
+    so the top-2 cut is deterministic."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) c
+        """
+    )

@@ -74,6 +74,7 @@ def test_plan_build_triggers_no_jobs(spark):
         # runs a streaming drain by contract
         "stream_stateful_user_totals",
         "stream_interval_join",
+        "stream_interval_join_outer",
         "stream_upsert_drain",
         "stream_cdc_drain",
         "stream_dedup_drain",
@@ -326,3 +327,15 @@ def test_q16_not_in_runs_as_plain_anti_join(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan
     assert "NAAJ" not in plan and "null-aware" not in plan.lower()
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL (ORDER BY + LIMIT per outer row) must
+    decorrelate: per-row sorted limits become a WindowGroupLimit below
+    the shuffle plus one equi-join — never a per-row subquery loop or a
+    cartesian product."""
+    df = E.queries()["rel_lateral_topk"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
