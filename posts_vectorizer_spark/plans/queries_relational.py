@@ -819,3 +819,85 @@ def rel_map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val.n").cast("bigint").alias("n"),
         F.col("val.share").alias("share"),
     )
+
+
+@register(
+    "rel_variant_json",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       o_orderpriority AS priority,
+       CAST(NULL AS DOUBLE) AS status_as_double
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+)
+def rel_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured round-trip (F14 family, Spark 4's native
+    answer to the reference's JSON payload handling, worker.py:28): rows
+    serialize to JSON, parse into the binary VARIANT encoding, and typed
+    fields extract back via variant_get — the oracle recomputes the same
+    columns straight from the table, so a hash match proves the
+    round-trip is lossless. try_variant_get with a deliberately wrong
+    target type ('$.o_orderstatus' as double) pins the null-not-error
+    contract ANSI mode would otherwise break.
+
+    Scale: at 100 TB the win over stringly JSON is that VARIANT parses
+    ONCE at ingest into a binary form whose field reads are O(field),
+    not O(re-parse); this whole pipeline is one narrow codegen'd pass —
+    no shuffle, no UDF."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    payload = F.to_json(
+        F.struct("o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+    v = o.select("o_orderkey", F.parse_json(payload).alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.variant_get("v", "$.o_orderstatus", "string").alias("status"),
+        F.variant_get("v", "$.o_totalprice", "double").alias("price"),
+        F.variant_get("v", "$.o_orderpriority", "string").alias("priority"),
+        F.try_variant_get("v", "$.o_orderstatus", "double").alias(
+            "status_as_double"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "rel_xml_extract",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus AS status,
+       CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+""",
+)
+def rel_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (S6/F14 family): order rows rendered as XML documents,
+    parsed back with from_xml against an explicit schema, fields
+    extracted from the resulting struct. The oracle recomputes the same
+    columns from the base table — a hash match proves parse-extract is
+    lossless. DuckDB has no XML type, which is exactly why the oracle
+    states the ROUND-TRIP property instead of replicating the parser.
+
+    Scale: from_xml is a codegen'd expression over the string column —
+    one narrow pass, the same shape as the JSON path; schema-on-read
+    keeps the scan prunable to the xml column only."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    xml = F.concat(
+        F.lit("<order><status>"), F.col("o_orderstatus"),
+        F.lit("</status><price>"), F.col("o_totalprice").cast("string"),
+        F.lit("</price></order>"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_xml(xml, "status STRING, price DOUBLE").alias("r"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("r.status").alias("status"),
+        F.col("r.price").alias("price"),
+    ).orderBy("o_orderkey")
