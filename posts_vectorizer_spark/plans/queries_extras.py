@@ -678,3 +678,66 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("err_id", "user_id")
         .agg(F.count("click_ts").alias("clicks_10m"))
     )
+
+
+@register(
+    "rel_observe_audit",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS rows_scanned,
+       CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+         AS rows_kept,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents_seen,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+""",
+)
+def rel_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass audit metrics via df.observe (Observation API): counters
+    and extrema collected on rows AS THEY FLOW through a real query —
+    the 100 TB way to audit a scan, where rel_dq_constraints' dedicated
+    audit query would mean a second full pass. The observed metrics are
+    the accumulator path (merged per task, no shuffle, no plan change:
+    CollectMetrics is a pass-through node), so the audit is free beyond
+    the arithmetic.
+
+    The observation sits BELOW the filter, so rows_scanned/rows_kept pin
+    that it sees pre-filter traffic while the main query keeps only
+    discount > 0.05 rows; all metrics are exact ints or exact doubles
+    (min/max of 2-decimal values), so the oracle — the same metrics as
+    plain SQL aggregates — hash-matches bit-for-bit. Runs its action at
+    build by contract (like the streaming drains): the metrics exist
+    only after the pass."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("rows_kept"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("price_cents_seen"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    main = observed.where(F.col("l_discount") > 0.05).groupBy(
+        "l_returnflag"
+    ).count()
+    main.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["rows_scanned"],
+                m["rows_kept"],
+                m["price_cents_seen"],
+                float(m["min_qty"]),
+                float(m["max_qty"]),
+            )
+        ],
+        "rows_scanned bigint, rows_kept bigint, price_cents_seen bigint,"
+        " min_qty double, max_qty double",
+    )
