@@ -741,3 +741,62 @@ def rel_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_scanned bigint, rows_kept bigint, price_cents_seen bigint,"
         " min_qty double, max_qty double",
     )
+
+
+@register(
+    "udtf_polymorphic_firstn",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, toks[1] AS tok_0, toks[2] AS tok_1, toks[3] AS tok_2
+FROM base
+""",
+)
+def udtf_polymorphic_firstn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 depth: a POLYMORPHIC Python UDTF — the output schema is not
+    declared statically but computed by the UDTF's analyze() hook from
+    the constant argument at plan time (`pv_first_n(text, 3)` returns
+    columns tok_0..tok_2; a different literal would give a different
+    relation). This is the Spark 4 API for table functions whose shape
+    depends on their arguments; the static-returnType form is
+    udtf_tokenize_lateral. Out-of-range positions pad with NULL, which
+    the oracle mirrors via DuckDB's NULL-on-out-of-bounds list index.
+
+    Like the static UDTF this is the slow per-row-Python path, registered
+    for surface parity — the hot path stays codegen'd."""
+    from pyspark.sql.functions import (
+        AnalyzeArgument, AnalyzeResult, udtf,
+    )
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class FirstN:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int):
+                raise ValueError("n must be a constant integer literal")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").lower().split()
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    spark.udtf.register("pv_first_n", FirstN)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "pv_docs_udtf_poly"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok_0, s.tok_1, s.tok_2
+        FROM pv_docs_udtf_poly d, LATERAL pv_first_n(d.text, 3) s
+        """
+    )
