@@ -65,7 +65,7 @@ _HEAD_ORDER: tuple[str, ...] = (
     # term_frequency/vocabulary/oov_tokens/candidates rotated out late-r4
     # (green r1+r2+r3, code untouched — their rows stand; the remaining
     # four keep the family's flagship + quirk coverage in the head).
-    "tfidf_doc_vectors", "tfidf_doc_profile", "tfidf_idf_table",
+    "tfidf_doc_vectors", "tfidf_idf_table",
     "tfidf_corpus_stats",
     # §2 relational core (S1/P1, F*, A12, J1-J3, W3, L1/L4, U1/U2).
     # Queries whose code CHANGED this round (cents sums: rel_groupby_agg,
@@ -80,13 +80,14 @@ _HEAD_ORDER: tuple[str, ...] = (
     "rel_array_agg_sorted",
     # text (P3 covered by past green rows; text_langid rotated out r4)
     "text_quality_profile",
-    # dedup (exact, MinHash, components; simhash rotated out, green+untouched)
+    # dedup (exact, MinHash; components/simhash rotated out, green+untouched)
     "dedup_exact_keep_first", "dedup_minhash_near_dups",
-    "dedup_components",
-    # similarity (brute-force oracle, multi-probe LSH, centroids)
-    "sim_cosine_topk", "sim_lsh_ann_multiprobe", "sim_label_centroids",
-    # ST6 event-time windows (events_first_per_key rotated out, green+untouched)
-    "events_tumbling_window", "events_session_window",
+    # similarity (brute-force oracle; multiprobe/centroids rotated out —
+    # green r2+r3 / r1+r3, untouched; tfidf_doc_profile, the tumbling and
+    # session batch windows likewise — all their rows stand, and the
+    # tumbling/session queries stay re-proven every bench run + local sweep)
+    "sim_cosine_topk",
+    # ST6 event-time windows
     "events_hypertable_rollup",
     # ST9 stream-stream interval join — first-ever streaming driver row
     "stream_interval_join",
@@ -107,11 +108,16 @@ _HEAD_ORDER: tuple[str, ...] = (
     "stream_tumbling_drain", "sim_kmeans_portable",
     "multimodal_feature_slices", "dedup_containment",
     "events_anomaly_mad", "sim_knn_graph_mutual", "text_bpe_merges",
-    # late-r4 wave: TPC-H subquery shapes, ExactSubstr span dedup, and
-    # the outer stream-stream interval join
+    # late-r4 wave: TPC-H subquery shapes, ExactSubstr span dedup, the
+    # outer stream-stream interval join, and the API-surface wave
+    # (LATERAL decorrelation, VARIANT/XML round-trips, observe metrics,
+    # polymorphic UDTF, mapInArrow)
     "rel_tpch_q4_order_priority", "rel_tpch_q14_promo_share",
     "rel_tpch_q19_disjunctive", "rel_tpch_q16_dormant_parts",
     "dedup_substring_spans", "stream_interval_join_outer",
+    "rel_lateral_topk", "rel_variant_json", "rel_xml_extract",
+    "rel_observe_audit", "udtf_polymorphic_firstn",
+    "grouped_arrow_vector_stats",
 )
 
 
