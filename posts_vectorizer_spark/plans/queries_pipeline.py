@@ -799,3 +799,43 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(target)
+
+
+@register(
+    "source_python_sink_roundtrip",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+""",
+)
+def source_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer half of the custom Python connector (S4 as a pure-Python
+    SINK): documents flow through the manifest-commit parquet ledger
+    (`sources/pydatasource.py::PostsLedgerWriter`, a Spark 4
+    DataSourceArrowWriter — tasks receive Arrow RecordBatches, write one
+    attempt-unique file each, and the driver's commit() publishes the
+    manifest that IS the commit), then read back resolving files through
+    that manifest. The oracle recomputes the same aggregate from the base
+    table, so a hash match proves the sink round-trip is lossless AND
+    that only committed files are read (a stray parquet dropped in the
+    directory is invisible — pinned in tests/test_pydatasource.py).
+
+    Runs its write at build by contract, like the streaming drains."""
+    from ..sources import pydatasource as P
+
+    P.register(spark)
+    work = tempfile.mkdtemp(prefix="pv_ledger_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs.write.format(P.SOURCE_NAME).mode("append").option(
+        "path", work
+    ).save()
+    back = P.read_ledger(spark, work)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

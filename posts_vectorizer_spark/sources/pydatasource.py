@@ -29,6 +29,7 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,  # noqa: F401  (re-export for discoverability)
     EqualTo,
@@ -39,6 +40,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -162,7 +164,114 @@ class SyntheticPostsDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> SyntheticPostsStreamReader:
         return SyntheticPostsStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "PostsLedgerWriter":
+        return PostsLedgerWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent session registration."""
     spark.dataSource.register(SyntheticPostsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer half (S4 as a custom PYTHON sink): manifest-commit parquet ledger
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LedgerCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class PostsLedgerWriter(DataSourceArrowWriter):
+    """Two-phase-commit parquet sink in pure Python (Spark 4
+    DataSourceArrowWriter — tasks hand the sink Arrow RecordBatches, no
+    Row objects): each task writes ONE parquet file under a name unique
+    to its task ATTEMPT, and the driver-side commit() makes the winning
+    attempts visible by writing the manifest. THE MANIFEST IS THE COMMIT:
+    readers resolve files through it, so uncommitted/failed/speculative
+    attempt files are invisible without any rename or delete — the
+    object-store-safe committer pattern (renames aren't atomic on S3-like
+    stores; a manifest pointer swap is). abort() best-effort deletes; a
+    leaked orphan is garbage, never data corruption.
+
+    Mirrors the reference's bulk upsert sink contract (worker.py:123-124
+    `bulk_write(ordered=False)` + at-least-once batches): task retries
+    re-write under a new attempt name and the commit picks exactly one."""
+
+    MANIFEST = "_LEDGER_MANIFEST.json"
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("posts ledger sink requires a path")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> LedgerCommit:
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        batches = [b for b in iterator if b.num_rows > 0]
+        if not batches:
+            return LedgerCommit(file="", rows=0)
+        os.makedirs(self.path, exist_ok=True)
+        fname = (
+            f"part-{ctx.partitionId():05d}-a{ctx.taskAttemptId()}.parquet"
+        )
+        table = pa.Table.from_batches(batches)
+        pq.write_table(table, os.path.join(self.path, fname))
+        return LedgerCommit(file=fname, rows=table.num_rows)
+
+    def _read_manifest(self) -> dict:
+        import json
+        import os
+
+        p = os.path.join(self.path, self.MANIFEST)
+        if not os.path.exists(p):
+            return {"files": [], "rows": 0}
+        with open(p) as f:
+            return json.load(f)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        files = [m.file for m in messages if m is not None and m.file]
+        rows = sum(m.rows for m in messages if m is not None)
+        if not self.overwrite:
+            prev = self._read_manifest()
+            files = prev["files"] + files
+            rows = prev["rows"] + rows
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": files, "rows": rows}, f)
+        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+
+    def abort(self, messages) -> None:
+        import contextlib
+        import os
+
+        for m in messages or []:
+            if m is not None and m.file:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.path, m.file))
+
+
+def read_ledger(spark, path: str):
+    """Resolve committed files through the manifest (the whole point: a
+    stray .parquet in the directory is NOT data until committed)."""
+    import json
+    import os
+
+    with open(os.path.join(path, PostsLedgerWriter.MANIFEST)) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, name) for name in manifest["files"]]
+    if not files:
+        raise ValueError("empty ledger — nothing committed")
+    return spark.read.parquet(*files)

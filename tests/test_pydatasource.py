@@ -134,3 +134,60 @@ def test_stream_drain_is_exactly_once_across_restart_cycles(spark, tmp_path):
     )
     assert ids1 == list(range(128))
     assert ids2 == list(range(256))
+
+
+def _write_ledger(spark, path, rows):
+    P.register(spark)
+    df = spark.createDataFrame(rows, "k long, v string")
+    df.write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+
+
+def test_ledger_sink_roundtrip_and_manifest_commit(spark, tmp_path):
+    import json
+    import os
+
+    path = tmp_path / "ledger"
+    _write_ledger(spark, path, [(1, "a"), (2, "b"), (3, "c")])
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    # commit messages carried per-task row counts; the manifest sums them
+    assert manifest["rows"] == 3
+    assert manifest["files"]
+    # every committed file exists and is attempt-unique named
+    for name in manifest["files"]:
+        assert os.path.exists(path / name)
+        assert name.startswith("part-") and "-a" in name
+    got = sorted(
+        (r["k"], r["v"]) for r in P.read_ledger(spark, str(path)).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_ledger_reader_ignores_uncommitted_stray_files(spark, tmp_path):
+    path = tmp_path / "ledger"
+    _write_ledger(spark, path, [(1, "a"), (2, "b")])
+    # a failed/speculative attempt leaves an orphan parquet: NOT data
+    stray = spark.createDataFrame([(99, "zz")], "k long, v string")
+    stray.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp"))
+    import glob
+    import shutil
+
+    src = glob.glob(str(tmp_path / "tmp" / "*.parquet"))[0]
+    shutil.copy(src, path / "part-99999-a424242.parquet")
+    got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    assert got == [1, 2]  # the stray file is invisible until committed
+
+
+def test_ledger_append_merges_manifests(spark, tmp_path):
+    import json
+
+    path = tmp_path / "ledger"
+    _write_ledger(spark, path, [(1, "a")])
+    _write_ledger(spark, path, [(2, "b")])
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 2
+    got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    assert got == [1, 2]
