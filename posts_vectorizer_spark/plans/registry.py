@@ -62,11 +62,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # registration (cost-ascending) order.
 _HEAD_ORDER: tuple[str, ...] = (
     # §2 tfidf pipeline (P2,P5-P8, A1-A10, J1-J5, F6/F7, W2).
-    # term_frequency/vocabulary/oov_tokens/candidates rotated out late-r4
-    # (green r1+r2+r3, code untouched — their rows stand; the remaining
-    # four keep the family's flagship + quirk coverage in the head).
+    # term_frequency/vocabulary/oov_tokens/candidates/doc_profile/
+    # corpus_stats rotated out late-r4 (green r1+r2+r3, code untouched —
+    # their rows stand); the flagship + IDF job keep the family's spine
+    # and quirk coverage in the head.
     "tfidf_doc_vectors", "tfidf_idf_table",
-    "tfidf_corpus_stats",
     # §2 relational core (S1/P1, F*, A12, J1-J3, W3, L1/L4, U1/U2).
     # Queries whose code CHANGED this round (cents sums: rel_groupby_agg,
     # rel_cube) stay to re-prove; multi-green rows whose code is untouched
@@ -117,7 +117,7 @@ _HEAD_ORDER: tuple[str, ...] = (
     "dedup_substring_spans", "stream_interval_join_outer",
     "rel_lateral_topk", "rel_variant_json", "rel_xml_extract",
     "rel_observe_audit", "udtf_polymorphic_firstn",
-    "grouped_arrow_vector_stats",
+    "grouped_arrow_vector_stats", "source_python_sink_roundtrip",
 )
 
 
