@@ -839,3 +839,50 @@ def source_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "stream_python_sink_drain",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_python_sink_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of the Python ledger sink (the connector's last
+    quadrant: stream × write). Events drain through writeStream into the
+    custom sink with maxFilesPerTrigger=1 forcing MULTIPLE micro-batches,
+    so the epoch ledger actually exercises per-batch commits; the result
+    reads back through the manifest. Append-only + a batch-invariant
+    final aggregate makes the drain deterministic whatever the batch
+    boundaries; exactness comes from integer-only measures. Replay
+    idempotency (a redelivered epoch leaves the manifest unchanged) is
+    unit-pinned in tests/test_pydatasource.py."""
+    from ..sources import pydatasource as P
+
+    P.register(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    work = tempfile.mkdtemp(prefix="pv_pysink_")
+    source, ledger, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    e.repartition(4).write.mode("overwrite").parquet(source)
+    q = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source)
+        .writeStream.format(P.SOURCE_NAME)
+        .option("path", ledger)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return P.read_ledger(spark, ledger).groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )

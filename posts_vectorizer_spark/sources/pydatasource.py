@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,  # noqa: F401  (re-export for discoverability)
     EqualTo,
     Filter,
@@ -167,6 +168,11 @@ class SyntheticPostsDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "PostsLedgerWriter":
         return PostsLedgerWriter(self.options, overwrite)
 
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "PostsLedgerStreamWriter":
+        return PostsLedgerStreamWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent session registration."""
@@ -275,3 +281,59 @@ def read_ledger(spark, path: str):
     if not files:
         raise ValueError("empty ledger — nothing committed")
     return spark.read.parquet(*files)
+
+
+class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming half of the ledger sink (completes the connector's 2×2:
+    batch/stream × read/write): per micro-batch, tasks write
+    attempt-unique parquet files and the driver's commit(messages,
+    batchId) publishes them — with the batchId recorded in the manifest
+    as an EPOCH LEDGER. A replayed micro-batch (foreachBatch-style
+    at-least-once redelivery after a crash between sink commit and
+    checkpoint advance) hits an already-recorded batchId and is dropped
+    whole: its files stay orphaned, the manifest doesn't change, and the
+    sink converges to exactly-once — the same batch-id-ledger contract
+    as the engine's incremental-IDF merge sink, here at the connector
+    API layer."""
+
+    MANIFEST = "_LEDGER_MANIFEST.json"
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("posts ledger stream sink requires a path")
+        self.path = path
+
+    # task-side: identical file protocol to the batch writer
+    write = PostsLedgerWriter.write
+    _read_manifest = PostsLedgerWriter._read_manifest
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        prev = self._read_manifest()
+        done = set(prev.get("batches", []))
+        if batchId in done:
+            return  # replayed epoch: files stay orphaned, manifest unchanged
+        files = [m.file for m in messages if m is not None and m.file]
+        rows = sum(m.rows for m in messages if m is not None)
+        out = {
+            "files": prev["files"] + files,
+            "rows": prev["rows"] + rows,
+            "batches": sorted(done | {batchId}),
+        }
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+
+    def abort(self, messages, batchId: int) -> None:
+        import contextlib
+        import os
+
+        for m in messages or []:
+            if m is not None and m.file:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.path, m.file))

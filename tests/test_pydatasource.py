@@ -191,3 +191,51 @@ def test_ledger_append_merges_manifests(spark, tmp_path):
     assert manifest["rows"] == 2
     got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
     assert got == [1, 2]
+
+
+def test_stream_ledger_commit_is_idempotent_on_epoch_replay(tmp_path):
+    # Driver-side unit of the epoch ledger: committing the SAME batchId
+    # twice (at-least-once redelivery after a crash between sink commit
+    # and checkpoint advance) must leave the manifest unchanged — the
+    # replayed epoch's files stay orphaned, never double-counted.
+    import json
+
+    w = P.PostsLedgerStreamWriter({"path": str(tmp_path)}, overwrite=False)
+    w.commit([P.LedgerCommit(file="f1.parquet", rows=10)], batchId=0)
+    w.commit([P.LedgerCommit(file="f2.parquet", rows=5)], batchId=1)
+    # replay epoch 0 with a different attempt's file
+    w.commit([P.LedgerCommit(file="f1-retry.parquet", rows=10)], batchId=0)
+    with open(tmp_path / P.PostsLedgerStreamWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 15
+    assert manifest["files"] == ["f1.parquet", "f2.parquet"]
+    assert manifest["batches"] == [0, 1]
+
+
+def test_stream_ledger_drain_commits_one_epoch_per_input_file(spark, tmp_path):
+    import json
+
+    P.register(spark)
+    df = spark.createDataFrame([(i, f"u{i%3}") for i in range(30)], "k long, u string")
+    source = str(tmp_path / "in")
+    ledger = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df.repartition(3).write.parquet(source)
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source)
+        .writeStream.format(P.SOURCE_NAME)
+        .option("path", ledger)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    with open(tmp_path / "out" / P.PostsLedgerStreamWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 30
+    assert len(manifest["batches"]) >= 3  # one epoch per input file
+    got = sorted(r["k"] for r in P.read_ledger(spark, ledger).collect())
+    assert got == list(range(30))
