@@ -221,12 +221,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", T.tokens("text").alias("toks")).where(
         F.size("toks") >= K
     )
+    from ..cache import persist_tracked
+
     gram_arr = F.transform(
         F.sequence(F.lit(0), F.size("toks") - K),
         lambda i: F.md5(F.array_join(F.slice("toks", i + 1, K), "\x01")),
     )
-    grams = base.select(
-        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    # the tokenize -> per-position md5 -> posexplode lineage is the
+    # query's dominant narrow work and feeds BOTH the frequency count and
+    # the semi-join probe; persist it once instead of recomputing twice
+    grams = persist_tracked(
+        base.select("doc_id", F.posexplode(gram_arr).alias("pos", "gram"))
     )
     dup = grams.groupBy("gram").count().where(F.col("count") >= 2).select("gram")
     hits = grams.join(dup, "gram", "left_semi")

@@ -843,19 +843,28 @@ def grouped_arrow_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             offs = col.offsets.to_numpy().astype(np.int64)
             offs = offs - offs[0]  # offsets are absolute into the buffer
             starts, n = offs[:-1], np.diff(offs)
+            # reduceat is wrong for empty segments (it returns the NEXT
+            # segment's head, or raises when the last segment is empty);
+            # reduce only the nonempty starts — empty segments contribute
+            # nothing to flat, so consecutive nonempty starts still bound
+            # each segment exactly — and scatter back, leaving empties at
+            # the DuckDB-parity values (0 positives, NULL max/l1).
+            ne = n > 0
+            n_pos = np.zeros(len(n), dtype=np.int64)
+            mx = np.full(len(n), np.nan)
+            l1 = np.full(len(n), np.nan)
+            if ne.any():
+                s = starts[ne]
+                n_pos[ne] = np.add.reduceat((flat > 0).astype(np.int64), s)
+                mx[ne] = np.round(np.maximum.reduceat(flat, s), 6)
+                l1[ne] = np.round(np.add.reduceat(np.abs(flat), s), 6)
             yield pa.record_batch(
                 [
                     rb.column(rb.schema.get_field_index("vec_id")),
                     pa.array(n.astype(np.int32)),
-                    pa.array(
-                        np.add.reduceat(
-                            (flat > 0).astype(np.int64), starts
-                        ).astype(np.int32)
-                    ),
-                    pa.array(np.round(np.maximum.reduceat(flat, starts), 6)),
-                    pa.array(
-                        np.round(np.add.reduceat(np.abs(flat), starts), 6)
-                    ),
+                    pa.array(n_pos.astype(np.int32)),
+                    pa.array(mx, mask=~ne),
+                    pa.array(l1, mask=~ne),
                 ],
                 names=["vec_id", "n_dims", "n_positive", "max_dim", "l1_norm"],
             )

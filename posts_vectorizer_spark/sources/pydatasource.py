@@ -215,23 +215,39 @@ class PostsLedgerWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> LedgerCommit:
+        import contextlib
         import os
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        batches = [b for b in iterator if b.num_rows > 0]
-        if not batches:
-            return LedgerCommit(file="", rows=0)
         os.makedirs(self.path, exist_ok=True)
         fname = (
             f"part-{ctx.partitionId():05d}-a{ctx.taskAttemptId()}.parquet"
         )
-        table = pa.Table.from_batches(batches)
-        pq.write_table(table, os.path.join(self.path, fname))
-        return LedgerCommit(file=fname, rows=table.num_rows)
+        # stream batches straight into one parquet file — memory stays
+        # bounded by a batch, never the partition (the committer claim
+        # is only honest if a multi-GB partition can't OOM the worker)
+        writer, rows = None, 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self.path, fname), batch.schema
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            with contextlib.suppress(OSError):  # nothing written
+                os.remove(os.path.join(self.path, fname))
+            return LedgerCommit(file="", rows=0)
+        return LedgerCommit(file=fname, rows=rows)
 
     def _read_manifest(self) -> dict:
         import json
@@ -296,13 +312,17 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
     as the engine's incremental-IDF merge sink, here at the connector
     API layer."""
 
-    MANIFEST = "_LEDGER_MANIFEST.json"
+    MANIFEST = PostsLedgerWriter.MANIFEST  # one constant, one reader
 
     def __init__(self, options: dict, overwrite: bool) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("posts ledger stream sink requires a path")
         self.path = path
+        # truncate-per-epoch modes (outputMode("complete") re-emits the
+        # whole result every epoch) hand overwrite=True: each committed
+        # epoch REPLACES the manifest's files instead of appending
+        self.overwrite = overwrite
 
     # task-side: identical file protocol to the batch writer
     write = PostsLedgerWriter.write
@@ -318,9 +338,12 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
             return  # replayed epoch: files stay orphaned, manifest unchanged
         files = [m.file for m in messages if m is not None and m.file]
         rows = sum(m.rows for m in messages if m is not None)
+        if not self.overwrite:
+            files = prev["files"] + files
+            rows = prev["rows"] + rows
         out = {
-            "files": prev["files"] + files,
-            "rows": prev["rows"] + rows,
+            "files": files,
+            "rows": rows,
             "batches": sorted(done | {batchId}),
         }
         os.makedirs(self.path, exist_ok=True)
@@ -330,10 +353,4 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
         os.replace(tmp, os.path.join(self.path, self.MANIFEST))
 
     def abort(self, messages, batchId: int) -> None:
-        import contextlib
-        import os
-
-        for m in messages or []:
-            if m is not None and m.file:
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(self.path, m.file))
+        PostsLedgerWriter.abort(self, messages)

@@ -24,11 +24,15 @@ def spark():
 def _fresh_scan_cache():
     """The scan memo assumes immutable fixture paths; tests that write
     their own parquet under tmp_path and re-read via load_table must never
-    see another test's stale relation."""
+    see another test's stale relation. Tracked persists likewise must not
+    accumulate across the 185-query sweep (each test re-persists what it
+    needs; a leaked cache would pin executor memory for the whole run)."""
+    from posts_vectorizer_spark.cache import release_caches
     from posts_vectorizer_spark.sources.catalog import clear_scan_cache
 
     yield
     clear_scan_cache()
+    release_caches()
 
 
 @pytest.fixture(scope="session")

@@ -511,3 +511,26 @@ def test_lsh_hot_bucket_salt_split_is_exact(spark):
     # near the original size
     assert sizes["mx"] <= 2 * 8
     assert sizes["groups"] >= 60 // 8  # the hot bucket really did split
+
+
+def test_arrow_vector_stats_handles_empty_embeddings(spark, tmp_path):
+    # Empty lists are reduceat's trap (it returns the next segment's head,
+    # or raises on a trailing empty); the kernel must emit the DuckDB
+    # parity values instead: 0 positives, NULL max/l1.
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, []), (3, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    df = df.withColumn("label", F.lit(0))
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    import __spark_entry__ as E
+
+    rows = {
+        r["vec_id"]: (r["n_dims"], r["n_positive"], r["max_dim"], r["l1_norm"])
+        for r in E.queries()["grouped_arrow_vector_stats"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[1] == (2, 1, 0.5, 0.75)
+    assert rows[2] == (0, 0, None, None)
+    assert rows[3] == (1, 1, 1.0, 1.0)

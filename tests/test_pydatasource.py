@@ -239,3 +239,20 @@ def test_stream_ledger_drain_commits_one_epoch_per_input_file(spark, tmp_path):
     assert len(manifest["batches"]) >= 3  # one epoch per input file
     got = sorted(r["k"] for r in P.read_ledger(spark, ledger).collect())
     assert got == list(range(30))
+
+
+def test_stream_ledger_overwrite_replaces_manifest_per_epoch(tmp_path):
+    # outputMode("complete") hands the stream writer overwrite=True:
+    # each epoch's commit REPLACES the visible file set (latest snapshot),
+    # while the epoch ledger still drops replays.
+    import json
+
+    w = P.PostsLedgerStreamWriter({"path": str(tmp_path)}, overwrite=True)
+    w.commit([P.LedgerCommit(file="e0.parquet", rows=4)], batchId=0)
+    w.commit([P.LedgerCommit(file="e1.parquet", rows=7)], batchId=1)
+    w.commit([P.LedgerCommit(file="e1-retry.parquet", rows=7)], batchId=1)
+    with open(tmp_path / P.PostsLedgerStreamWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    assert manifest["files"] == ["e1.parquet"]
+    assert manifest["rows"] == 7
+    assert manifest["batches"] == [0, 1]
