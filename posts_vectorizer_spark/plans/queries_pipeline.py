@@ -886,3 +886,41 @@ def stream_python_sink_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("event_id").cast("bigint").alias("sum_event_id"),
     )
+
+
+@register(
+    "source_ledger_compaction",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def source_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger OPTIMIZE: documents land in the Python sink as 8 small task
+    files, compaction rewrites them as 2 and swaps the manifest
+    generation atomically — old files stay on disk so a reader holding
+    the previous manifest keeps working mid-compaction (readers pin a
+    snapshot; GC of orphans is a separate step). The post-compaction
+    aggregate hash-matches the base table, proving the rewrite is
+    lossless end-to-end. Small-file compaction is the maintenance half
+    every manifest-committed 100 TB table needs: task files arrive at
+    micro-batch granularity and read amplification grows until an
+    OPTIMIZE folds them. Runs its write at build by contract."""
+    from ..sources import pydatasource as P
+
+    P.register(spark)
+    work = tempfile.mkdtemp(prefix="pv_compact_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.repartition(8).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", work
+    ).save()
+    P.compact_ledger(spark, work, target_files=2)
+    return P.read_ledger(spark, work).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

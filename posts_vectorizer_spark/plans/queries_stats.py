@@ -424,3 +424,115 @@ def events_running_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_since_signup"),
     )
+
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period = [start, split), post = [split, end)
+
+
+@register(
+    "events_ab_cuped",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS variant,
+         sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+gmom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS th
+  FROM gmom
+)
+SELECT v.variant,
+       CAST(v.n_users AS BIGINT) AS n_users,
+       CAST(round(CAST(v.sy_g AS DOUBLE) / v.n_users / 100.0, 6) AS DOUBLE)
+         AS mean_post,
+       CAST(round((CAST(v.sy_g AS DOUBLE) / v.n_users
+                   - t.th * (CAST(v.sx_g AS DOUBLE) / v.n_users
+                             - CAST(t.sx AS DOUBLE) / t.n)) / 100.0, 6)
+            AS DOUBLE) AS mean_post_cuped,
+       CAST(round(t.th, 6) AS DOUBLE) AS theta
+FROM (SELECT variant, count(*) AS n_users, sum(x) AS sx_g, sum(y) AS sy_g
+      FROM per_user GROUP BY variant) v
+CROSS JOIN theta t
+ORDER BY v.variant
+""",
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al. 2013,
+    'Improving the Sensitivity of Online Controlled Experiments'): adjust
+    each variant's post-period mean by theta x its pre-period deviation,
+    theta = cov(pre, post) / var(pre) over ALL users — pre-period
+    behavior is experiment-independent, so the adjustment removes
+    between-user variance without biasing the contrast. Complements
+    events_ab_test (raw two-proportion z) with the estimator production
+    experimentation systems actually ship.
+
+    Exactness: all moments are int64 cents sums (exact at any corpus
+    size until ~9e18), and theta/means are ONE shared double expression
+    over those integers — identical IEEE ops on identical inputs in both
+    engines, rounded at 6. Scale shape: one user-keyed shuffle for the
+    per-user pre/post split, a 1-row global-moments broadcast (J5), and
+    a 2-row variant aggregate — no second pass over events."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias("y"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    glob = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = glob.select(
+        "n", "sx",
+        (
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (d("n") * d("sxx") - d("sx") * d("sx"))
+        ).alias("th"),
+    )
+    variants = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sx_g"),
+        F.sum("y").alias("sy_g"),
+    )
+    out = variants.crossJoin(F.broadcast(theta))
+    return out.select(
+        "variant",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(d("sy_g") / F.col("n_users") / 100.0, 6)
+        .cast("double")
+        .alias("mean_post"),
+        F.round(
+            (
+                d("sy_g") / F.col("n_users")
+                - F.col("th")
+                * (d("sx_g") / F.col("n_users") - d("sx") / F.col("n"))
+            )
+            / 100.0,
+            6,
+        )
+        .cast("double")
+        .alias("mean_post_cuped"),
+        F.round(F.col("th"), 6).cast("double").alias("theta"),
+    ).orderBy("variant")

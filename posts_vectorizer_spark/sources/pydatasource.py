@@ -354,3 +354,42 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         PostsLedgerWriter.abort(self, messages)
+
+
+def compact_ledger(spark, path: str, target_files: int) -> dict:
+    """Small-file compaction for the ledger sink (the OPTIMIZE half of a
+    lakehouse table's lifecycle): read the committed files, rewrite them
+    as ``target_files`` parquet files, and atomically swap the manifest
+    to the new generation. Old files are left ON DISK — a reader that
+    resolved the previous manifest keeps working mid-compaction (readers
+    pin a snapshot, compaction never deletes under them); orphan GC is a
+    separate, safe-by-construction step. Returns the new manifest."""
+    import json
+    import os
+    import shutil
+
+    manifest_path = os.path.join(path, PostsLedgerWriter.MANIFEST)
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if not manifest["files"]:
+        raise ValueError("empty ledger — nothing to compact")
+    gen = int(manifest.get("compactions", 0)) + 1
+    df = read_ledger(spark, path)
+    tmp = os.path.join(path, f"_compact_g{gen}_tmp")
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    parts = sorted(
+        name for name in os.listdir(tmp) if name.endswith(".parquet")
+    )
+    new_files = []
+    for i, name in enumerate(parts):
+        new = f"compact-g{gen}-{i:05d}.parquet"
+        os.replace(os.path.join(tmp, name), os.path.join(path, new))
+        new_files.append(new)
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = dict(manifest)
+    out.update(files=new_files, compactions=gen)
+    tmp_manifest = manifest_path + ".tmp"
+    with open(tmp_manifest, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp_manifest, manifest_path)
+    return out

@@ -256,3 +256,33 @@ def test_stream_ledger_overwrite_replaces_manifest_per_epoch(tmp_path):
     assert manifest["files"] == ["e1.parquet"]
     assert manifest["rows"] == 7
     assert manifest["batches"] == [0, 1]
+
+
+def test_compact_ledger_rewrites_files_and_keeps_old_generation(spark, tmp_path):
+    import json
+    import os
+
+    path = tmp_path / "ledger"
+    P.register(spark)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k long, v string")
+    # 8 task files
+    df.repartition(8).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        before = json.load(f)
+    assert len(before["files"]) == 8
+    out = P.compact_ledger(spark, str(path), target_files=2)
+    assert len(out["files"]) == 2 and out["compactions"] == 1
+    assert out["rows"] == 40
+    # old generation stays on disk for in-flight readers
+    for name in before["files"]:
+        assert os.path.exists(path / name)
+    got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    assert got == list(range(40))
+    # a second compaction generation doesn't collide
+    out2 = P.compact_ledger(spark, str(path), target_files=1)
+    assert out2["compactions"] == 2 and len(out2["files"]) == 1
+    assert sorted(
+        r["k"] for r in P.read_ledger(spark, str(path)).collect()
+    ) == list(range(40))
