@@ -924,3 +924,40 @@ def source_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "source_ledger_skipping",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id >= 400
+""",
+)
+def source_ledger_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping on the Python sink (the Delta/Iceberg
+    min/max pattern at the connector layer): documents land
+    range-partitioned by doc_id, so each task file carries a disjoint
+    [min, max] in the manifest; a selective read prunes every file whose
+    range cannot match BEFORE opening it — a selective query touches
+    O(matching files), never O(table). Pruning is a superset pre-filter;
+    the exact predicate still applies to rows, so the hash match proves
+    skipping dropped no qualifying data. The skipped-file count itself is
+    pinned in tests/test_pydatasource.py. Runs its write at build by
+    contract."""
+    from ..sources import pydatasource as P
+
+    P.register(spark)
+    work = tempfile.mkdtemp(prefix="pv_skip_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    docs.repartitionByRange(8, "doc_id").write.format(P.SOURCE_NAME).mode(
+        "append"
+    ).option("path", work).save()
+    pruned = P.read_ledger(spark, work, prune=("doc_id", ">=", 400))
+    return pruned.where(F.col("doc_id") >= 400).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

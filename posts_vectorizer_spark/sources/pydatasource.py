@@ -187,6 +187,28 @@ def register(spark) -> None:
 class LedgerCommit(WriterCommitMessage):
     file: str
     rows: int
+    # per-numeric-column [min, max] over the file's rows; None when the
+    # file is empty or stats weren't collected (absent stats = no pruning)
+    stats: dict | None = None
+
+
+def _merge_minmax(acc: dict, batch) -> None:
+    """Fold one Arrow batch's numeric min/max into ``acc`` in place."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for field in batch.schema:
+        if not (pa.types.is_integer(field.type) or pa.types.is_floating(field.type)):
+            continue
+        mm = pc.min_max(batch.column(field.name))
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:  # all-null column in this batch
+            continue
+        prev = acc.get(field.name)
+        if prev is None:
+            acc[field.name] = [lo, hi]
+        else:
+            acc[field.name] = [min(prev[0], lo), max(prev[1], hi)]
 
 
 class PostsLedgerWriter(DataSourceArrowWriter):
@@ -229,7 +251,7 @@ class PostsLedgerWriter(DataSourceArrowWriter):
         # stream batches straight into one parquet file — memory stays
         # bounded by a batch, never the partition (the committer claim
         # is only honest if a multi-GB partition can't OOM the worker)
-        writer, rows = None, 0
+        writer, rows, stats = None, 0, {}
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
@@ -240,6 +262,7 @@ class PostsLedgerWriter(DataSourceArrowWriter):
                     )
                 writer.write_batch(batch)
                 rows += batch.num_rows
+                _merge_minmax(stats, batch)  # file-level skipping stats
         finally:
             if writer is not None:
                 writer.close()
@@ -247,7 +270,7 @@ class PostsLedgerWriter(DataSourceArrowWriter):
             with contextlib.suppress(OSError):  # nothing written
                 os.remove(os.path.join(self.path, fname))
             return LedgerCommit(file="", rows=0)
-        return LedgerCommit(file=fname, rows=rows)
+        return LedgerCommit(file=fname, rows=rows, stats=stats or None)
 
     def _read_manifest(self) -> dict:
         import json
@@ -255,9 +278,11 @@ class PostsLedgerWriter(DataSourceArrowWriter):
 
         p = os.path.join(self.path, self.MANIFEST)
         if not os.path.exists(p):
-            return {"files": [], "rows": 0}
+            return {"files": [], "rows": 0, "file_stats": {}}
         with open(p) as f:
-            return json.load(f)
+            m = json.load(f)
+        m.setdefault("file_stats", {})
+        return m
 
     def commit(self, messages) -> None:
         import json
@@ -265,14 +290,22 @@ class PostsLedgerWriter(DataSourceArrowWriter):
 
         files = [m.file for m in messages if m is not None and m.file]
         rows = sum(m.rows for m in messages if m is not None)
+        file_stats = {
+            m.file: m.stats
+            for m in messages
+            if m is not None and m.file and m.stats
+        }
         if not self.overwrite:
             prev = self._read_manifest()
             files = prev["files"] + files
             rows = prev["rows"] + rows
+            file_stats = {**prev["file_stats"], **file_stats}
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"files": files, "rows": rows}, f)
+            json.dump(
+                {"files": files, "rows": rows, "file_stats": file_stats}, f
+            )
         os.replace(tmp, os.path.join(self.path, self.MANIFEST))
 
     def abort(self, messages) -> None:
@@ -285,18 +318,86 @@ class PostsLedgerWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self.path, m.file))
 
 
-def read_ledger(spark, path: str):
+_PRUNE_OPS = {
+    ">=": lambda lo, hi, v: hi >= v,
+    ">": lambda lo, hi, v: hi > v,
+    "<=": lambda lo, hi, v: lo <= v,
+    "<": lambda lo, hi, v: lo < v,
+    "==": lambda lo, hi, v: lo <= v <= hi,
+}
+
+
+def read_ledger(spark, path: str, prune: tuple | None = None):
     """Resolve committed files through the manifest (the whole point: a
-    stray .parquet in the directory is NOT data until committed)."""
+    stray .parquet in the directory is NOT data until committed).
+
+    ``prune=(col, op, value)`` with op in {>=, >, <=, <, ==} applies
+    FILE-LEVEL data skipping from the manifest's per-file min/max stats
+    — the Delta/Iceberg pattern: a file whose [min, max] range cannot
+    satisfy the predicate is never opened, so a selective query touches
+    O(matching files), not O(table). Files without stats are kept
+    (absence of stats can only cost I/O, never correctness). The pruning
+    is a superset pre-filter — the caller still applies the exact
+    predicate to the rows."""
     import json
     import os
 
     with open(os.path.join(path, PostsLedgerWriter.MANIFEST)) as f:
         manifest = json.load(f)
-    files = [os.path.join(path, name) for name in manifest["files"]]
+    names = manifest["files"]
+    if prune is not None:
+        col, op, value = prune
+        keep = _PRUNE_OPS[op]
+        stats = manifest.get("file_stats", {})
+        names = [
+            n for n in names
+            if (s := stats.get(n, {}).get(col)) is None
+            or keep(s[0], s[1], value)
+        ]
+    files = [os.path.join(path, name) for name in names]
     if not files:
-        raise ValueError("empty ledger — nothing committed")
+        raise ValueError("empty ledger — nothing committed (or all pruned)")
     return spark.read.parquet(*files)
+
+
+def pruned_file_count(path: str, prune: tuple) -> tuple[int, int]:
+    """(kept, total) under the same skipping rule — for tests/telemetry."""
+    import json
+    import os
+
+    with open(os.path.join(path, PostsLedgerWriter.MANIFEST)) as f:
+        manifest = json.load(f)
+    col, op, value = prune
+    keep = _PRUNE_OPS[op]
+    stats = manifest.get("file_stats", {})
+    kept = [
+        n for n in manifest["files"]
+        if (s := stats.get(n, {}).get(col)) is None or keep(s[0], s[1], value)
+    ]
+    return len(kept), len(manifest["files"])
+
+
+def vacuum_ledger(path: str) -> list[str]:
+    """Delete orphaned parquet files — anything on disk the CURRENT
+    manifest doesn't reference (failed attempts, replayed epochs,
+    pre-compaction generations). Safe by construction: the manifest is
+    the commit, so nothing referenced is ever touched; run it only after
+    in-flight readers of older generations have drained (the same
+    retention contract as Delta's VACUUM). Returns the deleted names."""
+    import contextlib
+    import json
+    import os
+
+    with open(os.path.join(path, PostsLedgerWriter.MANIFEST)) as f:
+        manifest = json.load(f)
+    live = set(manifest["files"])
+    deleted = []
+    for name in os.listdir(path):
+        if name.endswith(".parquet") and name not in live:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, name))
+                deleted.append(name)
+    return sorted(deleted)
 
 
 class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
@@ -338,12 +439,19 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
             return  # replayed epoch: files stay orphaned, manifest unchanged
         files = [m.file for m in messages if m is not None and m.file]
         rows = sum(m.rows for m in messages if m is not None)
+        file_stats = {
+            m.file: m.stats
+            for m in messages
+            if m is not None and m.file and m.stats
+        }
         if not self.overwrite:
             files = prev["files"] + files
             rows = prev["rows"] + rows
+            file_stats = {**prev["file_stats"], **file_stats}
         out = {
             "files": files,
             "rows": rows,
+            "file_stats": file_stats,
             "batches": sorted(done | {batchId}),
         }
         os.makedirs(self.path, exist_ok=True)
@@ -354,6 +462,36 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         PostsLedgerWriter.abort(self, messages)
+
+
+def _footer_minmax(file_path: str) -> dict:
+    """Numeric min/max per column from the parquet footer's row-group
+    stats — compaction regains skipping stats without re-reading data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(file_path)
+    schema = pq.read_schema(file_path)
+    numeric = {
+        f.name
+        for f in schema
+        if pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+    }
+    acc: dict = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if name not in numeric or st is None or not st.has_min_max:
+                continue
+            prev = acc.get(name)
+            if prev is None:
+                acc[name] = [st.min, st.max]
+            else:
+                acc[name] = [min(prev[0], st.min), max(prev[1], st.max)]
+    return acc
 
 
 def compact_ledger(spark, path: str, target_files: int) -> dict:
@@ -380,14 +518,17 @@ def compact_ledger(spark, path: str, target_files: int) -> dict:
     parts = sorted(
         name for name in os.listdir(tmp) if name.endswith(".parquet")
     )
-    new_files = []
+    new_files, new_stats = [], {}
     for i, name in enumerate(parts):
         new = f"compact-g{gen}-{i:05d}.parquet"
         os.replace(os.path.join(tmp, name), os.path.join(path, new))
         new_files.append(new)
+        stats = _footer_minmax(os.path.join(path, new))
+        if stats:
+            new_stats[new] = stats
     shutil.rmtree(tmp, ignore_errors=True)
     out = dict(manifest)
-    out.update(files=new_files, compactions=gen)
+    out.update(files=new_files, compactions=gen, file_stats=new_stats)
     tmp_manifest = manifest_path + ".tmp"
     with open(tmp_manifest, "w") as f:
         json.dump(out, f)

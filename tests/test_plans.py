@@ -79,6 +79,7 @@ def test_plan_build_triggers_no_jobs(spark):
         "source_python_sink_roundtrip",  # runs its ledger write by contract
         "stream_python_sink_drain",  # runs its stream drain by contract
         "source_ledger_compaction",  # runs its write+OPTIMIZE by contract
+        "source_ledger_skipping",  # runs its range-partitioned write by contract
         "stream_upsert_drain",
         "stream_cdc_drain",
         "stream_dedup_drain",

@@ -286,3 +286,57 @@ def test_compact_ledger_rewrites_files_and_keeps_old_generation(spark, tmp_path)
     assert sorted(
         r["k"] for r in P.read_ledger(spark, str(path)).collect()
     ) == list(range(40))
+
+
+def test_ledger_stats_prune_skips_incompatible_files(spark, tmp_path):
+    import json
+
+    path = tmp_path / "ledger"
+    P.register(spark)
+    # two disjoint key ranges land as separate commits -> separate files
+    a = spark.createDataFrame([(i, "lo") for i in range(0, 10)], "k long, v string")
+    b = spark.createDataFrame([(i, "hi") for i in range(100, 110)], "k long, v string")
+    for df in (a, b):
+        df.coalesce(1).write.format(P.SOURCE_NAME).mode("append").option(
+            "path", str(path)
+        ).save()
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    assert len(manifest["files"]) == 2
+    assert all(n in manifest["file_stats"] for n in manifest["files"])
+    kept, total = P.pruned_file_count(str(path), ("k", ">=", 50))
+    assert (kept, total) == (1, 2)  # the lo-range file is skipped
+    got = sorted(
+        r["k"]
+        for r in P.read_ledger(spark, str(path), prune=("k", ">=", 50))
+        .where("k >= 50")
+        .collect()
+    )
+    assert got == list(range(100, 110))
+    # pruning is a superset pre-filter: no predicate -> all files
+    assert P.pruned_file_count(str(path), ("k", ">=", 0)) == (2, 2)
+
+
+def test_compaction_regains_stats_and_vacuum_removes_orphans(spark, tmp_path):
+    import json
+    import os
+
+    path = tmp_path / "ledger"
+    P.register(spark)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k long, v string")
+    df.repartition(4).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    P.compact_ledger(spark, str(path), target_files=1)
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    # footer-derived stats survive the generation swap
+    [only] = manifest["files"]
+    assert manifest["file_stats"][only]["k"] == [0, 39]
+    # vacuum removes the 4 old-generation orphans, keeps the live file
+    deleted = P.vacuum_ledger(str(path))
+    assert len(deleted) == 4 and only not in deleted
+    on_disk = [n for n in os.listdir(path) if n.endswith(".parquet")]
+    assert on_disk == [only]
+    got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    assert got == list(range(40))
