@@ -54,7 +54,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module lands inside that budget: tfidf (8), a trimmed relational core
 # (13, incl. the r2-red rel_array_agg_sorted), text, dedup, similarity,
 # event-time windows (ST6), the watermarked stream-stream join (ST9), and
-# ROTATING slots (r4 policy, per the r3 verdict; 23 this round): the slots
+# ROTATING slots (r4 policy, per the r3 verdict; 39 this round): the slots
 # go to [Q] queries that have never had a driver CORRECTNESS row —
 # new-this-round queries first, then the never-checked backlog — so the
 # driver-green union grows every round instead of re-proving green rows.
@@ -73,14 +73,14 @@ _HEAD_ORDER: tuple[str, ...] = (
     # (rel_string_funcs, rel_orderby_limit, rel_json_extract, rel_join_semi,
     # rel_join_outer_fill) rotated out mid-r4 — their green rows stand.
     "rel_scan_filter_project", "rel_groupby_agg",
-    "rel_cube", "rel_join_broadcast_agg",
-    "rel_window_topk_per_group",
+    "rel_cube",
+    # rel_join_broadcast_agg + rel_window_topk_per_group rotated out at
+    # round end (green r1-r3, untouched, still re-proven every bench run)
     # rel_union_distinct_except + text_elemmatch_langarray rotated out
     # late-r4 (green r1-r3, untouched)
     "rel_array_agg_sorted",
-    # text (P3 covered by past green rows; text_langid rotated out r4)
-    "text_quality_profile",
-    # dedup (exact, MinHash; components/simhash rotated out, green+untouched)
+    # dedup (exact, MinHash; components/simhash rotated out, green+untouched;
+    # text_quality_profile likewise at round end — bench re-proves it)
     "dedup_exact_keep_first", "dedup_minhash_near_dups",
     # similarity (brute-force oracle; multiprobe/centroids rotated out —
     # green r2+r3 / r1+r3, untouched; tfidf_doc_profile, the tumbling and
@@ -91,7 +91,7 @@ _HEAD_ORDER: tuple[str, ...] = (
     "events_hypertable_rollup",
     # ST9 stream-stream interval join — first-ever streaming driver row
     "stream_interval_join",
-    # 23 rotating never-driver-checked slots (r4; rel_date_trunc_agg
+    # 39 rotating never-driver-checked slots (r4; rel_date_trunc_agg
     # rotated out late-round — green r1+r3, untouched): the r3 additions, the
     # streaming drains (ST1/ST3 finally get oracle-paired driver rows),
     # high-value r2 queries, and the mid-r4 wave (custom Python connector,
@@ -118,6 +118,7 @@ _HEAD_ORDER: tuple[str, ...] = (
     "rel_lateral_topk", "rel_variant_json", "rel_xml_extract",
     "rel_observe_audit", "udtf_polymorphic_firstn",
     "grouped_arrow_vector_stats", "source_python_sink_roundtrip",
+    "events_ab_cuped", "source_ledger_compaction", "source_ledger_skipping",
 )
 
 
