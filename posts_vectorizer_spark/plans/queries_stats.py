@@ -443,7 +443,8 @@ WITH per_user AS (
 gmom AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(x * y) AS sxy
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
   FROM per_user
 ),
 theta AS (
@@ -479,10 +480,13 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_ab_test (raw two-proportion z) with the estimator production
     experimentation systems actually ship.
 
-    Exactness: all moments are int64 cents sums (exact at any corpus
-    size until ~9e18), and theta/means are ONE shared double expression
-    over those integers — identical IEEE ops on identical inputs in both
-    engines, rounded at 6. Scale shape: one user-keyed shuffle for the
+    Exactness: linear moments are int64 cents sums; the SQUARED moments
+    go through DECIMAL(19,0) products (an int64 x*x wraps once a
+    per-user cents sum passes ~3e9 — DECIMAL sums stay exact to ~1e38,
+    and Spark/DuckDB agree on decimal arithmetic where int64 overflow
+    diverges: Spark wraps, DuckDB promotes). theta/means are then ONE
+    shared double expression over exact values — identical IEEE ops in
+    both engines, rounded at 6. Scale shape: one user-keyed shuffle for the
     per-user pre/post split, a 1-row global-moments broadcast (J5), and
     a 2-row variant aggregate — no second pass over events."""
     e = load_table(spark, sf_dir, "events")
@@ -496,12 +500,14 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("variant", F.col("user_id") % 2)
     )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     glob = per_user.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     theta = glob.select(

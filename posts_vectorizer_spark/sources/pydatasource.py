@@ -192,23 +192,54 @@ class LedgerCommit(WriterCommitMessage):
     stats: dict | None = None
 
 
+def _swap_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest swap via a writer-unique temp name (a shared .tmp
+    name would let two concurrent swappers truncate each other's
+    half-written temp; the final os.replace stays last-writer-wins)."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(
+        path, f"{PostsLedgerWriter.MANIFEST}.{uuid.uuid4().hex}.tmp"
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, PostsLedgerWriter.MANIFEST))
+
+
 def _merge_minmax(acc: dict, batch) -> None:
-    """Fold one Arrow batch's numeric min/max into ``acc`` in place."""
+    """Fold one Arrow batch's numeric min/max into ``acc`` in place.
+
+    Float columns containing NaN are POISONED (``acc[name] = None``,
+    never resurrected): pc.min_max ignores NaN while Spark orders NaN
+    above every number, so a NaN-blind range could prune a file whose
+    NaN rows satisfy the predicate. No stats = never pruned = safe."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     for field in batch.schema:
         if not (pa.types.is_integer(field.type) or pa.types.is_floating(field.type)):
             continue
-        mm = pc.min_max(batch.column(field.name))
+        name = field.name
+        if name in acc and acc[name] is None:
+            continue  # poisoned by an earlier NaN batch
+        col = batch.column(name)
+        if pa.types.is_floating(field.type) and pc.any(
+            pc.is_nan(col)
+        ).as_py():
+            acc[name] = None
+            continue
+        mm = pc.min_max(col)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if lo is None:  # all-null column in this batch
             continue
-        prev = acc.get(field.name)
+        prev = acc.get(name)
         if prev is None:
-            acc[field.name] = [lo, hi]
+            acc[name] = [lo, hi]
         else:
-            acc[field.name] = [min(prev[0], lo), max(prev[1], hi)]
+            acc[name] = [min(prev[0], lo), max(prev[1], hi)]
 
 
 class PostsLedgerWriter(DataSourceArrowWriter):
@@ -270,7 +301,8 @@ class PostsLedgerWriter(DataSourceArrowWriter):
             with contextlib.suppress(OSError):  # nothing written
                 os.remove(os.path.join(self.path, fname))
             return LedgerCommit(file="", rows=0)
-        return LedgerCommit(file=fname, rows=rows, stats=stats or None)
+        usable = {k: v for k, v in stats.items() if v is not None}
+        return LedgerCommit(file=fname, rows=rows, stats=usable or None)
 
     def _read_manifest(self) -> dict:
         import json
@@ -285,9 +317,6 @@ class PostsLedgerWriter(DataSourceArrowWriter):
         return m
 
     def commit(self, messages) -> None:
-        import json
-        import os
-
         files = [m.file for m in messages if m is not None and m.file]
         rows = sum(m.rows for m in messages if m is not None)
         file_stats = {
@@ -295,18 +324,19 @@ class PostsLedgerWriter(DataSourceArrowWriter):
             for m in messages
             if m is not None and m.file and m.stats
         }
+        prev = self._read_manifest()
         if not self.overwrite:
-            prev = self._read_manifest()
             files = prev["files"] + files
             rows = prev["rows"] + rows
             file_stats = {**prev["file_stats"], **file_stats}
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {"files": files, "rows": rows, "file_stats": file_stats}, f
-            )
-        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+        # start from the previous manifest so keys owned by the OTHER
+        # halves of the lifecycle survive a batch commit: dropping
+        # "compactions" would reset the generation namespace (a later
+        # compact would os.replace LIVE compact-gN files), and dropping
+        # the stream sink's "batches" would erase its replay protection.
+        out = dict(prev)
+        out.update(files=files, rows=rows, file_stats=file_stats)
+        _swap_manifest(self.path, out)
 
     def abort(self, messages) -> None:
         import contextlib
@@ -327,6 +357,32 @@ _PRUNE_OPS = {
 }
 
 
+def _load_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, PostsLedgerWriter.MANIFEST)) as f:
+        return json.load(f)
+
+
+def _kept_files(manifest: dict, prune: tuple | None) -> list[str]:
+    """The ONE pruning rule (shared by read_ledger and pruned_file_count
+    so a fix to either can't drift): keep a file unless its recorded
+    [min, max] range for the predicate column provably excludes it;
+    files without stats are always kept — absent stats can only cost
+    I/O, never correctness."""
+    names = manifest["files"]
+    if prune is None:
+        return names
+    col, op, value = prune
+    keep = _PRUNE_OPS[op]
+    stats = manifest.get("file_stats", {})
+    return [
+        n for n in names
+        if (s := stats.get(n, {}).get(col)) is None or keep(s[0], s[1], value)
+    ]
+
+
 def read_ledger(spark, path: str, prune: tuple | None = None):
     """Resolve committed files through the manifest (the whole point: a
     stray .parquet in the directory is NOT data until committed).
@@ -335,67 +391,57 @@ def read_ledger(spark, path: str, prune: tuple | None = None):
     FILE-LEVEL data skipping from the manifest's per-file min/max stats
     — the Delta/Iceberg pattern: a file whose [min, max] range cannot
     satisfy the predicate is never opened, so a selective query touches
-    O(matching files), not O(table). Files without stats are kept
-    (absence of stats can only cost I/O, never correctness). The pruning
-    is a superset pre-filter — the caller still applies the exact
-    predicate to the rows."""
-    import json
+    O(matching files), not O(table). The pruning is a superset
+    pre-filter — the caller still applies the exact predicate to the
+    rows. A predicate excluding EVERY file returns an empty DataFrame
+    with the table's schema (an empty result is an answer, not an
+    error); only a never-committed ledger raises."""
     import os
 
-    with open(os.path.join(path, PostsLedgerWriter.MANIFEST)) as f:
-        manifest = json.load(f)
-    names = manifest["files"]
-    if prune is not None:
-        col, op, value = prune
-        keep = _PRUNE_OPS[op]
-        stats = manifest.get("file_stats", {})
-        names = [
-            n for n in names
-            if (s := stats.get(n, {}).get(col)) is None
-            or keep(s[0], s[1], value)
-        ]
-    files = [os.path.join(path, name) for name in names]
-    if not files:
-        raise ValueError("empty ledger — nothing committed (or all pruned)")
-    return spark.read.parquet(*files)
+    manifest = _load_manifest(path)
+    if not manifest["files"]:
+        raise ValueError("empty ledger — nothing committed")
+    names = _kept_files(manifest, prune)
+    if not names:
+        schema_donor = os.path.join(path, manifest["files"][0])
+        return spark.read.parquet(schema_donor).limit(0)
+    return spark.read.parquet(*(os.path.join(path, n) for n in names))
 
 
 def pruned_file_count(path: str, prune: tuple) -> tuple[int, int]:
     """(kept, total) under the same skipping rule — for tests/telemetry."""
-    import json
-    import os
-
-    with open(os.path.join(path, PostsLedgerWriter.MANIFEST)) as f:
-        manifest = json.load(f)
-    col, op, value = prune
-    keep = _PRUNE_OPS[op]
-    stats = manifest.get("file_stats", {})
-    kept = [
-        n for n in manifest["files"]
-        if (s := stats.get(n, {}).get(col)) is None or keep(s[0], s[1], value)
-    ]
-    return len(kept), len(manifest["files"])
+    manifest = _load_manifest(path)
+    return len(_kept_files(manifest, prune)), len(manifest["files"])
 
 
-def vacuum_ledger(path: str) -> list[str]:
+def vacuum_ledger(path: str, min_age_seconds: float = 24 * 3600) -> list[str]:
     """Delete orphaned parquet files — anything on disk the CURRENT
     manifest doesn't reference (failed attempts, replayed epochs,
-    pre-compaction generations). Safe by construction: the manifest is
-    the commit, so nothing referenced is ever touched; run it only after
-    in-flight readers of older generations have drained (the same
-    retention contract as Delta's VACUUM). Returns the deleted names."""
-    import contextlib
-    import json
-    import os
+    pre-compaction generations) AND older than ``min_age_seconds``.
 
-    with open(os.path.join(path, PostsLedgerWriter.MANIFEST)) as f:
-        manifest = json.load(f)
+    The retention window is load-bearing, not politeness (the same
+    contract as Delta's VACUUM retention hours): a CONCURRENT in-flight
+    write's task files are on disk before its driver commit publishes
+    them — without the age gate they'd look like orphans, and deleting
+    them would let the subsequent commit publish a manifest pointing at
+    missing files. Age-gating makes vacuum safe against any writer whose
+    write-to-commit latency is below the window; referenced files are
+    never touched regardless. Returns the deleted names."""
+    import contextlib
+    import os
+    import time as _time
+
+    manifest = _load_manifest(path)
     live = set(manifest["files"])
+    cutoff = _time.time() - min_age_seconds
     deleted = []
     for name in os.listdir(path):
-        if name.endswith(".parquet") and name not in live:
-            with contextlib.suppress(OSError):
-                os.remove(os.path.join(path, name))
+        if not name.endswith(".parquet") or name in live:
+            continue
+        full = os.path.join(path, name)
+        with contextlib.suppress(OSError):
+            if os.path.getmtime(full) <= cutoff:
+                os.remove(full)
                 deleted.append(name)
     return sorted(deleted)
 
@@ -430,9 +476,6 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
     _read_manifest = PostsLedgerWriter._read_manifest
 
     def commit(self, messages, batchId: int) -> None:
-        import json
-        import os
-
         prev = self._read_manifest()
         done = set(prev.get("batches", []))
         if batchId in done:
@@ -448,17 +491,14 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
             files = prev["files"] + files
             rows = prev["rows"] + rows
             file_stats = {**prev["file_stats"], **file_stats}
-        out = {
-            "files": files,
-            "rows": rows,
-            "file_stats": file_stats,
-            "batches": sorted(done | {batchId}),
-        }
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, self.MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(out, f)
-        os.replace(tmp, os.path.join(self.path, self.MANIFEST))
+        out = dict(prev)  # preserve keys owned by other lifecycle halves
+        out.update(
+            files=files,
+            rows=rows,
+            file_stats=file_stats,
+            batches=sorted(done | {batchId}),
+        )
+        _swap_manifest(self.path, out)
 
     def abort(self, messages, batchId: int) -> None:
         PostsLedgerWriter.abort(self, messages)
@@ -501,16 +541,19 @@ def compact_ledger(spark, path: str, target_files: int) -> dict:
     to the new generation. Old files are left ON DISK — a reader that
     resolved the previous manifest keeps working mid-compaction (readers
     pin a snapshot, compaction never deletes under them); orphan GC is a
-    separate, safe-by-construction step. Returns the new manifest."""
-    import json
+    separate step (vacuum_ledger, age-gated). Appends COMMITTED DURING
+    the rewrite survive: the final swap re-reads the manifest and carries
+    forward any file the snapshot didn't contain (shrinking the
+    lost-append window from table-rewrite minutes to the microseconds
+    between re-read and swap; run one maintenance writer at a time — the
+    swap itself is last-writer-wins, not OCC). Returns the new manifest."""
     import os
     import shutil
 
-    manifest_path = os.path.join(path, PostsLedgerWriter.MANIFEST)
-    with open(manifest_path) as f:
-        manifest = json.load(f)
+    manifest = _load_manifest(path)
     if not manifest["files"]:
         raise ValueError("empty ledger — nothing to compact")
+    snapshot_files = set(manifest["files"])
     gen = int(manifest.get("compactions", 0)) + 1
     df = read_ledger(spark, path)
     tmp = os.path.join(path, f"_compact_g{gen}_tmp")
@@ -527,10 +570,19 @@ def compact_ledger(spark, path: str, target_files: int) -> dict:
         if stats:
             new_stats[new] = stats
     shutil.rmtree(tmp, ignore_errors=True)
-    out = dict(manifest)
-    out.update(files=new_files, compactions=gen, file_stats=new_stats)
-    tmp_manifest = manifest_path + ".tmp"
-    with open(tmp_manifest, "w") as f:
-        json.dump(out, f)
-    os.replace(tmp_manifest, manifest_path)
+    # carry forward anything committed while we were rewriting
+    current = _load_manifest(path)
+    late = [n for n in current["files"] if n not in snapshot_files]
+    late_rows = current["rows"] - manifest["rows"]
+    late_stats = {
+        n: s for n, s in current.get("file_stats", {}).items() if n in late
+    }
+    out = dict(current)
+    out.update(
+        files=new_files + late,
+        rows=manifest["rows"] + max(late_rows, 0),
+        compactions=gen,
+        file_stats={**new_stats, **late_stats},
+    )
+    _swap_manifest(path, out)
     return out

@@ -334,9 +334,76 @@ def test_compaction_regains_stats_and_vacuum_removes_orphans(spark, tmp_path):
     [only] = manifest["files"]
     assert manifest["file_stats"][only]["k"] == [0, 39]
     # vacuum removes the 4 old-generation orphans, keeps the live file
-    deleted = P.vacuum_ledger(str(path))
+    # fresh orphans survive the default retention window...
+    assert P.vacuum_ledger(str(path)) == []
+    # ...and are collected once the caller waives it
+    deleted = P.vacuum_ledger(str(path), min_age_seconds=0)
     assert len(deleted) == 4 and only not in deleted
     on_disk = [n for n in os.listdir(path) if n.endswith(".parquet")]
     assert on_disk == [only]
     got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
     assert got == list(range(40))
+
+
+def test_nan_poisons_stats_so_file_is_never_pruned(spark, tmp_path):
+    import json
+
+    path = tmp_path / "ledger"
+    P.register(spark)
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "k long, score double"
+    )
+    df.coalesce(1).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    [only] = manifest["files"]
+    stats = manifest["file_stats"].get(only, {})
+    # Spark orders NaN above every number; a NaN-blind [1.0, 1.0] range
+    # would wrongly prune this file for score >= 100 — so the column's
+    # stats must be absent, keeping the file under every predicate.
+    assert "score" not in stats
+    assert "k" in stats  # the clean column still prunes
+    kept, total = P.pruned_file_count(str(path), ("score", ">=", 100.0))
+    assert (kept, total) == (1, 1)
+
+
+def test_batch_commit_preserves_other_lifecycle_manifest_keys(spark, tmp_path):
+    import json
+
+    path = tmp_path / "ledger"
+    P.register(spark)
+    df = spark.createDataFrame([(i, "a") for i in range(8)], "k long, v string")
+    df.repartition(2).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    P.compact_ledger(spark, str(path), target_files=1)
+    # a later batch append must NOT reset the generation counter — a
+    # reset would let the next compaction reuse compact-g1-* names and
+    # os.replace files the live manifest still references
+    spark.createDataFrame([(99, "z")], "k long, v string").coalesce(
+        1
+    ).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    assert manifest.get("compactions") == 1
+    out = P.compact_ledger(spark, str(path), target_files=1)
+    assert out["compactions"] == 2  # generation namespace advanced
+    got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    assert got == list(range(8)) + [99]
+
+
+def test_read_ledger_all_pruned_returns_empty_with_schema(spark, tmp_path):
+    path = tmp_path / "ledger"
+    P.register(spark)
+    spark.createDataFrame([(1, "a")], "k long, v string").coalesce(
+        1
+    ).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    out = P.read_ledger(spark, str(path), prune=("k", ">=", 10**9))
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]  # an empty result is an answer
