@@ -961,3 +961,84 @@ def source_ledger_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "source_ledger_quarantine",
+    oracle="""
+SELECT CAST(count(CASE WHEN doc_id % 50 <> 0 THEN 1 END) AS BIGINT)
+         AS valid_docs,
+       CAST(count(CASE WHEN doc_id % 50 = 0 THEN 1 END) AS BIGINT)
+         AS quarantined_docs,
+       CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN n_chars END) AS BIGINT)
+         AS valid_chars
+FROM documents
+""",
+)
+def source_ledger_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter quarantine on the Python sink: rows violating the
+    writer's expectations (here: a NULL text, injected on every 50th
+    doc) are split into a quarantine file at write time instead of
+    poisoning the table OR failing the job — ingest keeps flowing and
+    the rejects stay inspectable as data (read_quarantine). The result
+    reads BOTH sides back and the oracle recomputes the same split from
+    the base table, so the hash match proves the router dropped nothing
+    and mixed nothing. Vacuum treats dead letters as data, never
+    orphans (unit-pinned). Runs its write at build by contract."""
+    from ..sources import pydatasource as P
+
+    P.register(spark)
+    work = tempfile.mkdtemp(prefix="pv_quar_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 != 0, F.col("text")).alias("text"),
+        "n_chars",
+    )
+    docs.write.format(P.SOURCE_NAME).mode("append").option(
+        "path", work
+    ).option("require_not_null", "text").save()
+    valid = P.read_ledger(spark, work)
+    quarantined = P.read_quarantine(spark, work)
+    q_count = (
+        quarantined.count() if quarantined is not None else 0
+    )
+    return valid.agg(
+        F.count("*").alias("valid_docs"),
+        F.lit(q_count).cast("bigint").alias("quarantined_docs"),
+        F.sum("n_chars").cast("bigint").alias("valid_chars"),
+    )
+
+
+@register(
+    "source_ledger_time_travel",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id < 250
+""",
+)
+def source_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the Python sink: two commits land as
+    manifest versions 1 and 2; reading ``version=1`` resolves through
+    the superseded snapshot and sees ONLY the first commit — the head
+    keeps both. Every manifest swap (commit, epoch, compaction) leaves
+    its predecessor behind as an immutable version file, so any
+    committed state stays readable until vacuum's retention passes
+    (Delta's time-travel model at the connector layer). The oracle
+    recomputes version 1's content from the base table. Runs its writes
+    at build by contract."""
+    from ..sources import pydatasource as P
+
+    P.register(spark)
+    work = tempfile.mkdtemp(prefix="pv_tt_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    for half in (docs.where(F.col("doc_id") < 250),
+                 docs.where(F.col("doc_id") >= 250)):
+        half.coalesce(1).write.format(P.SOURCE_NAME).mode("append").option(
+            "path", work
+        ).save()
+    return P.read_ledger(spark, work, version=1).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -190,23 +190,64 @@ class LedgerCommit(WriterCommitMessage):
     # per-numeric-column [min, max] over the file's rows; None when the
     # file is empty or stats weren't collected (absent stats = no pruning)
     stats: dict | None = None
+    # dead-letter half: rows failing the writer's expectations land in a
+    # separate quarantine file instead of poisoning the table or failing
+    # the job (empty string / 0 when everything passed)
+    quarantine_file: str = ""
+    quarantine_rows: int = 0
+
+
+def _quarantine_of(messages) -> dict:
+    return {
+        "files": [
+            m.quarantine_file
+            for m in messages
+            if m is not None and getattr(m, "quarantine_file", "")
+        ],
+        "rows": sum(
+            getattr(m, "quarantine_rows", 0)
+            for m in messages
+            if m is not None
+        ),
+    }
+
+
+def _merge_quarantine(prev: dict, new: dict) -> dict:
+    old = prev.get("quarantine", {"files": [], "rows": 0})
+    return {
+        "files": old["files"] + new["files"],
+        "rows": old["rows"] + new["rows"],
+    }
 
 
 def _swap_manifest(path: str, manifest: dict) -> None:
     """Atomic manifest swap via a writer-unique temp name (a shared .tmp
     name would let two concurrent swappers truncate each other's
-    half-written temp; the final os.replace stays last-writer-wins)."""
+    half-written temp; the final os.replace stays last-writer-wins).
+
+    Every swap also bumps ``version`` and leaves the superseded state
+    behind as ``_LEDGER_MANIFEST.v{N}.json`` — the snapshot history that
+    makes time travel (``read_ledger(version=N)``) a pure manifest
+    lookup. Old-version FILES live until vacuum's retention window
+    passes, exactly Delta's model: travel beyond retention may 404."""
     import json
     import os
     import uuid
 
     os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(
-        path, f"{PostsLedgerWriter.MANIFEST}.{uuid.uuid4().hex}.tmp"
+    manifest = dict(manifest)
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    head = os.path.join(path, PostsLedgerWriter.MANIFEST)
+    snap = os.path.join(
+        path, f"{PostsLedgerWriter.MANIFEST}.v{manifest['version']}.json"
     )
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, PostsLedgerWriter.MANIFEST))
+    for target in (snap, head):
+        tmp = os.path.join(
+            path, f"{PostsLedgerWriter.MANIFEST}.{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, target)
 
 
 def _merge_minmax(acc: dict, batch) -> None:
@@ -266,6 +307,25 @@ class PostsLedgerWriter(DataSourceArrowWriter):
             raise ValueError("posts ledger sink requires a path")
         self.path = path
         self.overwrite = overwrite
+        # dead-letter expectations: rows with a NULL in any listed column
+        # are quarantined instead of committed (or failing the job) —
+        # the ingest keeps flowing, the bad rows stay inspectable
+        req = options.get("require_not_null", "")
+        self.require_not_null = [c for c in req.split(",") if c]
+
+    def _split_valid(self, batch):
+        """(valid, invalid) halves of a batch under the expectations."""
+        import pyarrow.compute as pc
+
+        if not self.require_not_null:
+            return batch, None
+        bad = None
+        for col in self.require_not_null:
+            isnull = pc.is_null(batch.column(col))
+            bad = isnull if bad is None else pc.or_(bad, isnull)
+        if not pc.any(bad).as_py():
+            return batch, None
+        return batch.filter(pc.invert(bad)), batch.filter(bad)
 
     def write(self, iterator) -> LedgerCommit:
         import contextlib
@@ -276,33 +336,52 @@ class PostsLedgerWriter(DataSourceArrowWriter):
 
         ctx = TaskContext.get()
         os.makedirs(self.path, exist_ok=True)
-        fname = (
-            f"part-{ctx.partitionId():05d}-a{ctx.taskAttemptId()}.parquet"
-        )
+        stem = f"{ctx.partitionId():05d}-a{ctx.taskAttemptId()}"
+        fname = f"part-{stem}.parquet"
+        qname = f"quarantine-{stem}.parquet"
         # stream batches straight into one parquet file — memory stays
         # bounded by a batch, never the partition (the committer claim
         # is only honest if a multi-GB partition can't OOM the worker)
         writer, rows, stats = None, 0, {}
+        qwriter, qrows = None, 0
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
+                good, bad = self._split_valid(batch)
+                if bad is not None and bad.num_rows > 0:
+                    if qwriter is None:
+                        qwriter = pq.ParquetWriter(
+                            os.path.join(self.path, qname), bad.schema
+                        )
+                    qwriter.write_batch(bad)
+                    qrows += bad.num_rows
+                if good.num_rows == 0:
+                    continue
                 if writer is None:
                     writer = pq.ParquetWriter(
-                        os.path.join(self.path, fname), batch.schema
+                        os.path.join(self.path, fname), good.schema
                     )
-                writer.write_batch(batch)
-                rows += batch.num_rows
-                _merge_minmax(stats, batch)  # file-level skipping stats
+                writer.write_batch(good)
+                rows += good.num_rows
+                _merge_minmax(stats, good)  # file-level skipping stats
         finally:
             if writer is not None:
                 writer.close()
+            if qwriter is not None:
+                qwriter.close()
         if rows == 0:
             with contextlib.suppress(OSError):  # nothing written
                 os.remove(os.path.join(self.path, fname))
-            return LedgerCommit(file="", rows=0)
+            fname = ""
         usable = {k: v for k, v in stats.items() if v is not None}
-        return LedgerCommit(file=fname, rows=rows, stats=usable or None)
+        return LedgerCommit(
+            file=fname,
+            rows=rows,
+            stats=usable or None,
+            quarantine_file=qname if qrows else "",
+            quarantine_rows=qrows,
+        )
 
     def _read_manifest(self) -> dict:
         import json
@@ -324,18 +403,23 @@ class PostsLedgerWriter(DataSourceArrowWriter):
             for m in messages
             if m is not None and m.file and m.stats
         }
+        quarantine = _quarantine_of(messages)
         prev = self._read_manifest()
         if not self.overwrite:
             files = prev["files"] + files
             rows = prev["rows"] + rows
             file_stats = {**prev["file_stats"], **file_stats}
+            quarantine = _merge_quarantine(prev, quarantine)
         # start from the previous manifest so keys owned by the OTHER
         # halves of the lifecycle survive a batch commit: dropping
         # "compactions" would reset the generation namespace (a later
         # compact would os.replace LIVE compact-gN files), and dropping
         # the stream sink's "batches" would erase its replay protection.
         out = dict(prev)
-        out.update(files=files, rows=rows, file_stats=file_stats)
+        out.update(
+            files=files, rows=rows, file_stats=file_stats,
+            quarantine=quarantine,
+        )
         _swap_manifest(self.path, out)
 
     def abort(self, messages) -> None:
@@ -343,9 +427,12 @@ class PostsLedgerWriter(DataSourceArrowWriter):
         import os
 
         for m in messages or []:
-            if m is not None and m.file:
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(self.path, m.file))
+            if m is None:
+                continue
+            for name in (m.file, getattr(m, "quarantine_file", "")):
+                if name:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(self.path, name))
 
 
 _PRUNE_OPS = {
@@ -357,11 +444,16 @@ _PRUNE_OPS = {
 }
 
 
-def _load_manifest(path: str) -> dict:
+def _load_manifest(path: str, version: int | None = None) -> dict:
     import json
     import os
 
-    with open(os.path.join(path, PostsLedgerWriter.MANIFEST)) as f:
+    name = (
+        PostsLedgerWriter.MANIFEST
+        if version is None
+        else f"{PostsLedgerWriter.MANIFEST}.v{version}.json"
+    )
+    with open(os.path.join(path, name)) as f:
         return json.load(f)
 
 
@@ -383,7 +475,9 @@ def _kept_files(manifest: dict, prune: tuple | None) -> list[str]:
     ]
 
 
-def read_ledger(spark, path: str, prune: tuple | None = None):
+def read_ledger(
+    spark, path: str, prune: tuple | None = None, version: int | None = None
+):
     """Resolve committed files through the manifest (the whole point: a
     stray .parquet in the directory is NOT data until committed).
 
@@ -395,10 +489,15 @@ def read_ledger(spark, path: str, prune: tuple | None = None):
     pre-filter — the caller still applies the exact predicate to the
     rows. A predicate excluding EVERY file returns an empty DataFrame
     with the table's schema (an empty result is an answer, not an
-    error); only a never-committed ledger raises."""
+    error); only a never-committed ledger raises.
+
+    ``version=N`` time-travels: resolve through the N-th manifest
+    snapshot instead of the head — committed-but-later-compacted or
+    later-appended states stay readable until vacuum's retention passes
+    (reading past retention raises on the missing files, Delta-style)."""
     import os
 
-    manifest = _load_manifest(path)
+    manifest = _load_manifest(path, version)
     if not manifest["files"]:
         raise ValueError("empty ledger — nothing committed")
     names = _kept_files(manifest, prune)
@@ -412,6 +511,20 @@ def pruned_file_count(path: str, prune: tuple) -> tuple[int, int]:
     """(kept, total) under the same skipping rule — for tests/telemetry."""
     manifest = _load_manifest(path)
     return len(_kept_files(manifest, prune)), len(manifest["files"])
+
+
+def read_quarantine(spark, path: str):
+    """The dead-letter side of the ledger: rows the writer's expectations
+    rejected, readable for inspection/repair exactly like data (they ARE
+    data — just not table data). Returns None when nothing was ever
+    quarantined."""
+    import os
+
+    manifest = _load_manifest(path)
+    names = manifest.get("quarantine", {}).get("files", [])
+    if not names:
+        return None
+    return spark.read.parquet(*(os.path.join(path, n) for n in names))
 
 
 def vacuum_ledger(path: str, min_age_seconds: float = 24 * 3600) -> list[str]:
@@ -432,7 +545,9 @@ def vacuum_ledger(path: str, min_age_seconds: float = 24 * 3600) -> list[str]:
     import time as _time
 
     manifest = _load_manifest(path)
-    live = set(manifest["files"])
+    live = set(manifest["files"]) | set(
+        manifest.get("quarantine", {}).get("files", [])
+    )  # dead-letter rows are data too — only the manifest forgets them
     cutoff = _time.time() - min_age_seconds
     deleted = []
     for name in os.listdir(path):
@@ -470,9 +585,12 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
         # whole result every epoch) hand overwrite=True: each committed
         # epoch REPLACES the manifest's files instead of appending
         self.overwrite = overwrite
+        req = options.get("require_not_null", "")
+        self.require_not_null = [c for c in req.split(",") if c]
 
     # task-side: identical file protocol to the batch writer
     write = PostsLedgerWriter.write
+    _split_valid = PostsLedgerWriter._split_valid
     _read_manifest = PostsLedgerWriter._read_manifest
 
     def commit(self, messages, batchId: int) -> None:
@@ -487,15 +605,18 @@ class PostsLedgerStreamWriter(DataSourceStreamArrowWriter):
             for m in messages
             if m is not None and m.file and m.stats
         }
+        quarantine = _quarantine_of(messages)
         if not self.overwrite:
             files = prev["files"] + files
             rows = prev["rows"] + rows
             file_stats = {**prev["file_stats"], **file_stats}
+            quarantine = _merge_quarantine(prev, quarantine)
         out = dict(prev)  # preserve keys owned by other lifecycle halves
         out.update(
             files=files,
             rows=rows,
             file_stats=file_stats,
+            quarantine=quarantine,
             batches=sorted(done | {batchId}),
         )
         _swap_manifest(self.path, out)

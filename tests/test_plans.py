@@ -80,6 +80,8 @@ def test_plan_build_triggers_no_jobs(spark):
         "stream_python_sink_drain",  # runs its stream drain by contract
         "source_ledger_compaction",  # runs its write+OPTIMIZE by contract
         "source_ledger_skipping",  # runs its range-partitioned write by contract
+        "source_ledger_quarantine",  # runs its write + dead-letter count by contract
+        "source_ledger_time_travel",  # runs its two commits by contract
         "stream_upsert_drain",
         "stream_cdc_drain",
         "stream_dedup_drain",

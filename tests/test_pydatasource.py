@@ -407,3 +407,54 @@ def test_read_ledger_all_pruned_returns_empty_with_schema(spark, tmp_path):
     out = P.read_ledger(spark, str(path), prune=("k", ">=", 10**9))
     assert out.count() == 0
     assert out.columns == ["k", "v"]  # an empty result is an answer
+
+
+def test_time_travel_reads_prior_manifest_versions(spark, tmp_path):
+    path = tmp_path / "ledger"
+    P.register(spark)
+    first = spark.createDataFrame([(i, "a") for i in range(5)], "k long, v string")
+    second = spark.createDataFrame([(i, "b") for i in range(5, 8)], "k long, v string")
+    first.coalesce(1).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    second.coalesce(1).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    head = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    v1 = sorted(
+        r["k"] for r in P.read_ledger(spark, str(path), version=1).collect()
+    )
+    assert head == list(range(8))
+    assert v1 == list(range(5))  # the pre-append snapshot, still readable
+    # compaction bumps the version too; the pre-compaction head survives
+    P.compact_ledger(spark, str(path), target_files=1)
+    v2 = sorted(
+        r["k"] for r in P.read_ledger(spark, str(path), version=2).collect()
+    )
+    assert v2 == list(range(8))
+
+
+def test_quarantine_dead_letters_null_rows(spark, tmp_path):
+    import json
+
+    path = tmp_path / "ledger"
+    P.register(spark)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "k long, v string"
+    )
+    df.coalesce(1).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).option("require_not_null", "v").save()
+    good = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    assert good == [1, 3]
+    bad = sorted(
+        r["k"] for r in P.read_quarantine(spark, str(path)).collect()
+    )
+    assert bad == [2, 4]
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    assert manifest["quarantine"]["rows"] == 2
+    assert manifest["rows"] == 2  # table rows exclude the dead letters
+    # vacuum never collects dead letters — they're data, not orphans
+    assert P.vacuum_ledger(str(path), min_age_seconds=0) == []
+    assert P.read_quarantine(spark, str(path)).count() == 2
