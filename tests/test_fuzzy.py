@@ -125,3 +125,57 @@ def test_substring_spans_intra_document_repeat(spark, tmp_path):
         ).collect()
     )
     assert rows == [(0, 4), (7, 11)]
+
+
+def _spans_reference(docs_tokens, k=5):
+    """Brute-force Python reference for dedup_substring_spans: every
+    K-gram occurring >= 2 times in the corpus, merged per doc into
+    maximal consecutive-start islands."""
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for doc_id, toks in docs_tokens.items():
+        pos = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        per_doc[doc_id] = pos
+        grams.update(pos)
+    out = set()
+    for doc_id, pos in per_doc.items():
+        dup = [i for i, g in enumerate(pos) if grams[g] >= 2]
+        if not dup:
+            continue
+        start = prev = dup[0]
+        for i in dup[1:]:
+            if i == prev + 1:
+                prev = i
+                continue
+            out.add((doc_id, start, prev + k - 1, prev - start + k))
+            start = prev = i
+        out.add((doc_id, start, prev + k - 1, prev - start + k))
+    return out
+
+
+def test_substring_spans_match_python_reference_randomized(spark, tmp_path):
+    # Randomized differential: a small alphabet forces plenty of
+    # accidental duplicated runs with ragged overlaps — exactly the
+    # regime where an off-by-one in the islands merge would diverge.
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = [f"w{i}" for i in range(7)]
+    docs_tokens = {
+        doc_id: [rng.choice(alphabet) for _ in range(rng.randint(0, 40))]
+        for doc_id in range(1, 13)
+    }
+    docs = make_docs(
+        spark,
+        [(d, " ".join(t), "en") for d, t in docs_tokens.items()],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in E.queries()["dedup_substring_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == _spans_reference(docs_tokens)
