@@ -458,3 +458,41 @@ def test_quarantine_dead_letters_null_rows(spark, tmp_path):
     # vacuum never collects dead letters — they're data, not orphans
     assert P.vacuum_ledger(str(path), min_age_seconds=0) == []
     assert P.read_quarantine(spark, str(path)).count() == 2
+
+
+def test_compaction_carries_forward_concurrent_append(spark, tmp_path, monkeypatch):
+    # Deterministic replay of the rewrite-window race: compaction took its
+    # snapshot (and read the table) BEFORE a concurrent append committed;
+    # the final swap must carry the appended file forward instead of
+    # silently dropping it from the manifest.
+    import copy
+
+    path = tmp_path / "ledger"
+    P.register(spark)
+    spark.createDataFrame(
+        [(i, "base") for i in range(6)], "k long, v string"
+    ).repartition(2).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    pre_append = copy.deepcopy(P._load_manifest(str(path)))
+    # the concurrent writer commits while the (simulated) rewrite runs
+    spark.createDataFrame([(99, "late")], "k long, v string").coalesce(
+        1
+    ).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    real_load = P._load_manifest
+    calls = {"n": 0}
+
+    def stale_then_real(p, version=None):
+        calls["n"] += 1
+        # compaction's snapshot + its read_ledger see the PRE-append
+        # state; the re-read at swap time sees reality
+        return pre_append if calls["n"] <= 2 else real_load(p, version)
+
+    monkeypatch.setattr(P, "_load_manifest", stale_then_real)
+    out = P.compact_ledger(spark, str(path), target_files=1)
+    monkeypatch.undo()
+    assert out["rows"] == 7
+    got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 99]  # nothing lost, nothing doubled
