@@ -114,3 +114,52 @@ def test_running_reset_restarts_at_signup(spark, tmp_path):
     assert rows[3]["segment"] == 1
     assert rows[3]["running_since_signup"] == 5.0
     assert rows[4]["running_since_signup"] == 8.0
+
+
+def test_cuped_matches_independent_numpy_derivation(spark):
+    """The CUPED oracle shares the engine's formula, so a formula bug
+    would pass the hash check; this derives theta and the adjusted means
+    INDEPENDENTLY (numpy covariance over per-user pre/post sums) and
+    also pins the property CUPED exists for: the adjustment moves each
+    variant's mean by theta x its pre-period imbalance, so a variant
+    whose users pre-spent above average is corrected DOWN."""
+    import numpy as np
+
+    import __spark_entry__ as E
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    split = np.datetime64("2024-01-16")
+    rows = load_table(spark, SF_ORACLE, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    per_user: dict[int, list[float]] = {}
+    for r in rows:
+        x, y = per_user.setdefault(r["user_id"], [0, 0])
+        cents = round(r["value"] * 100)
+        if np.datetime64(r["ts"]) < split:
+            per_user[r["user_id"]][0] = x + cents
+        else:
+            per_user[r["user_id"]][1] = y + cents
+    users = sorted(per_user)
+    x = np.array([per_user[u][0] for u in users], dtype=float)
+    y = np.array([per_user[u][1] for u in users], dtype=float)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    got = {
+        r["variant"]: r
+        for r in E.queries()["events_ab_cuped"](spark, SF_ORACLE).collect()
+    }
+    assert abs(got[0]["theta"] - theta) < 1e-4
+    for v in (0, 1):
+        mask = np.array([u % 2 == v for u in users])
+        mean_post = y[mask].mean() / 100.0
+        adj = (y[mask].mean() - theta * (x[mask].mean() - x.mean())) / 100.0
+        assert abs(got[v]["mean_post"] - mean_post) < 1e-4
+        assert abs(got[v]["mean_post_cuped"] - adj) < 1e-4
+        # direction: above-average pre-period spend corrects downward
+        expected_sign = -np.sign(x[mask].mean() - x.mean()) * np.sign(theta)
+        if expected_sign != 0:
+            assert (
+                np.sign(got[v]["mean_post_cuped"] - got[v]["mean_post"])
+                == expected_sign
+            )
