@@ -992,3 +992,77 @@ def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@register(
+    "rel_tpch_q7_nation_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       {_DEC_REVENUE_SQL} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, o_year
+ORDER BY supp_nation, cust_nation, o_year
+""",
+)
+def rel_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): cross-border trade between two
+    nations by year — the DUAL-ROLE dimension (nation joined twice under
+    different aliases, once for the supplier side, once for the
+    customer side) with the symmetric OR-pair residual that cannot
+    collapse to either single equi-join. The only §2.3 join shape the
+    surface lacked: every prior star query joins each dimension once.
+
+    Scale shape: nation broadcasts twice (two tiny hashed relations —
+    dual-role never forces a self-join shuffle); the per-alias halves of
+    the OR (n_name IN (N1, N2)) push into each broadcast BEFORE the
+    join, so the residual evaluates on the ~2-nation survivor set; the
+    one real shuffle stays orders⋈lineitem. Revenue is the scaled-int64
+    sum; year() agrees cross-engine under the pinned UTC session."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = n.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            _dec_revenue().alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    )
