@@ -1066,3 +1066,49 @@ def rel_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "o_year")
     )
+
+
+@register(
+    "rel_tpch_q11_important_customers",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(cents / 100.0 AS DOUBLE) AS total_value
+FROM per_cust
+WHERE cents > (SELECT sum(cents) * 0.001 FROM per_cust)
+ORDER BY total_value DESC, o_custkey
+""",
+)
+def rel_tpch_q11_important_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 shape (important stock): groups whose aggregate exceeds
+    a FRACTION OF THE GLOBAL aggregate of the same relation — the
+    HAVING-vs-global-scalar pattern, distinct from
+    rel_subquery_above_avg (row-level vs a scalar): here BOTH sides of
+    the comparison are aggregates of the same grouped relation, so the
+    plan must reuse one aggregation for the groups and broadcast a 1-row
+    reaggregation of it for the threshold, never scanning orders twice.
+
+    Exactness: per-customer sums are int64 cents; the threshold is the
+    same exact bigint total pushed through identical double arithmetic
+    (* 0.001) in both engines, so the > cut is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    threshold = per_cust.agg(
+        (F.sum("cents") * 0.001).alias("thr")
+    )
+    return (
+        per_cust.join(F.broadcast(threshold))
+        .where(F.col("cents") > F.col("thr"))
+        .select(
+            "o_custkey",
+            (F.col("cents") / 100.0).cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "o_custkey")
+    )
