@@ -496,3 +496,62 @@ def test_compaction_carries_forward_concurrent_append(spark, tmp_path, monkeypat
     assert out["rows"] == 7
     got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
     assert got == [0, 1, 2, 3, 4, 5, 99]  # nothing lost, nothing doubled
+
+
+def test_full_ledger_lifecycle_batch_stream_compact_vacuum(spark, tmp_path):
+    """Capstone: every lifecycle stage interleaved on ONE table — batch
+    commit, streaming epochs, OPTIMIZE, VACUUM — with the cross-stage
+    manifest keys (generation counter, epoch ledger, version history)
+    surviving each other's swaps. This is the mixed workload the
+    manifest-key-preservation fix exists for."""
+    import json
+
+    path = tmp_path / "ledger"
+    P.register(spark)
+    # 1. batch commit
+    spark.createDataFrame(
+        [(i, "batch") for i in range(10)], "k long, v string"
+    ).repartition(2).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    # 2. streaming epochs into the SAME table
+    src = spark.createDataFrame(
+        [(i, "stream") for i in range(10, 16)], "k long, v string"
+    )
+    src.repartition(2).write.parquet(str(tmp_path / "in"))
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+        .writeStream.format(P.SOURCE_NAME)
+        .option("path", str(path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        mid = json.load(f)
+    assert len(mid.get("batches", [])) >= 2  # epochs recorded
+    # 3. OPTIMIZE — must preserve the epoch ledger through its swap
+    P.compact_ledger(spark, str(path), target_files=1)
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        after = json.load(f)
+    assert after["compactions"] == 1
+    assert after.get("batches") == mid["batches"]  # epochs survive
+    # 4. another batch commit — must preserve BOTH counters
+    spark.createDataFrame([(99, "late")], "k long, v string").coalesce(
+        1
+    ).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        final = json.load(f)
+    assert final["compactions"] == 1 and final["batches"] == mid["batches"]
+    # 5. VACUUM the pre-compaction generation; table intact afterwards
+    deleted = P.vacuum_ledger(str(path), min_age_seconds=0)
+    assert deleted  # the old generation's files went
+    got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    assert got == list(range(16)) + [99]
+    assert final["rows"] == 17
