@@ -555,3 +555,25 @@ def test_full_ledger_lifecycle_batch_stream_compact_vacuum(spark, tmp_path):
     got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
     assert got == list(range(16)) + [99]
     assert final["rows"] == 17
+
+
+def test_empty_partitions_commit_no_files(spark, tmp_path):
+    # A write whose tasks include EMPTY partitions must commit only the
+    # nonempty ones: empty tasks return a no-file commit message, and
+    # the quarantine path likewise stays absent.
+    import json
+
+    path = tmp_path / "ledger"
+    P.register(spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # 8 partitions, 2 rows -> at least 6 empty tasks
+    df.repartition(8).write.format(P.SOURCE_NAME).mode("append").option(
+        "path", str(path)
+    ).save()
+    with open(path / P.PostsLedgerWriter.MANIFEST) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 2
+    assert 1 <= len(manifest["files"]) <= 2
+    assert manifest.get("quarantine", {"files": []})["files"] == []
+    got = sorted(r["k"] for r in P.read_ledger(spark, str(path)).collect())
+    assert got == [1, 2]
