@@ -91,3 +91,43 @@ def test_scd2_collapses_runs_and_flags_current(spark, tmp_path):
     assert rows[0]["effective_to"] == rows[1]["effective_from"]
     assert [r["is_current"] for r in rows] == [False, False, True]
     assert rows[2]["effective_to"] is None
+
+
+def test_scd2_lookup_boundary_semantics(spark, tmp_path):
+    # Same-timestamp tie rules on a crafted dimension. Probes are events
+    # too (the query derives versions from ALL events), so each probe's
+    # own 'error' change opens a version at its timestamp; the contract
+    # is: a probe sees the LATEST change at-or-before its ts, with all
+    # same-ts changes (including higher event_ids) sorting before it.
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 01:00",  # version A opens (id 1)
+            "2024-01-01 03:00",  # probe (id 2) AND version B (id 3)
+            "2024-01-01 03:00",
+            "2024-01-01 00:30",  # probe before any other version (id 4)
+        ]
+    )
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [ts[0], ts[1], ts[2], ts[3]],
+            "user_id": [7] * 4,
+            "event_type": ["A", "error", "B", "error"],
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r["event_id"]: r["state"]
+        for r in E.queries()["events_scd2_lookup"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # the 00:30 probe precedes every OTHER event; its own change opens
+    # an 'error' version at 00:30, which is the valid state then
+    assert got[4] == "error"
+    # the 03:00 probe (id 2) shares its ts with version B (id 3): ALL
+    # same-ts changes sort before the probe, so it sees B — the latest
+    # same-ts change supersedes both A and the probe's own lower-id
+    # 'error' change (closed-open [from, to) boundary semantics)
+    assert got[2] == "B"
