@@ -110,3 +110,41 @@ def test_bigram_logprob_prefers_dominant_transitions(spark, tmp_path):
     assert out[7]["n_transitions"] == 1
     assert all(r["avg_logprob"] < 0 for r in out.values())
     assert out[0]["avg_logprob"] > out[7]["avg_logprob"]
+
+
+def test_asof_tie_takes_same_timestamp_purchase(spark, tmp_path):
+    # The >= bound: a click at EXACTLY the purchase's timestamp matches
+    # that purchase (purchase sorts first via the side tag); one second
+    # earlier it must fall back to the prior purchase or null.
+    import pandas as pd
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 01:00:00",  # purchase P1
+            "2024-01-01 02:00:00",  # purchase P2
+            "2024-01-01 02:00:00",  # click exactly at P2
+            "2024-01-01 01:59:59",  # click one second before P2
+            "2024-01-01 00:30:00",  # click before any purchase
+        ]
+    )
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 10, 11, 12],
+            "ts": ts,
+            "user_id": [7] * 5,
+            "event_type": ["purchase", "purchase", "click", "click", "click"],
+            "value": [100.0, 200.0, 0.0, 0.0, 0.0],
+            "props": ["{}"] * 5,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    import __spark_entry__ as E
+
+    got = {
+        r["event_id"]: r["last_purchase_value"]
+        for r in E.queries()["events_asof_last_purchase"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[10] == 200.0  # tie: the same-instant purchase wins
+    assert got[11] == 100.0  # one second earlier: the prior purchase
+    assert got[12] is None   # nothing at or before: null fill
