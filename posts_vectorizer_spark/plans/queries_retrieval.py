@@ -1,0 +1,408 @@
+"""Retrieval wave (round 4): BM25 ranked search over the document corpus,
+plus the three TPC-H decorrelation shapes the suite still lacked — Q18
+(IN over a grouped HAVING), Q21 (EXISTS + NOT EXISTS pair with a
+same-key / different-key residual), and Q22 (scalar-subquery threshold +
+NOT EXISTS anti join).
+
+BM25 is the natural next step past the reference's TF-IDF pipeline: the
+reference builds exactly the document-frequency table BM25's idf term
+needs (/root/reference/calculate_idf_scores.py:40-60) and scores
+documents by summed term weights (/root/reference/vectorize_posts.py);
+BM25 adds the saturating tf and length normalization that make the score
+a ranking function. All four queries are [Q]: exact DuckDB twins, with
+every floating-point aggregate rounded to fixed decimals before an exact
+decimal/integer sum so the value hash is partition-order independent.
+
+Scale notes (SCALE.md §Retrieval wave): BM25 filters the exploded token
+stream to the query vocabulary BEFORE any aggregation — the shuffled
+volume is bounded by postings of the queried terms, never corpus token
+count — and doc length rides the explode so no corpus-wide doc_id join
+is ever made; the per-query top-k is a WindowGroupLimit (partial top-k
+below the shuffle). Q18's HAVING filter reduces the fact table to the
+qualifying-order set before either dimension join; Q21's EXISTS /
+NOT EXISTS pair becomes one semi + one anti join, both equi on orderkey
+with the supplier inequality as a residual; Q22's scalar threshold is an
+exact cents-average broadcast, and the dormancy test is an anti join
+against the date-pruned orders slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..cache import persist_tracked
+from ..functions import text as T
+from ..sources import load_table
+from ..sources.catalog import spread
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+# Fixed benchmark query set (terms drawn from the synthetic corpus vocab).
+_BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("hash", "join", "merge")),
+    (2, ("window", "sort", "order")),
+    (3, ("stream", "batch", "spark")),
+)
+
+_BM25_VALUES_SQL = ",".join(
+    f"({qid},'{w}')" for qid, ws in _BM25_QUERIES for w in ws
+)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH qterms(query_id, word) AS (VALUES {_BM25_VALUES_SQL}),
+toks AS (
+  SELECT doc_id, len({T.tokens_sql('text')}) AS dl,
+         unnest({T.tokens_sql('text')}) AS word
+  FROM documents
+),
+stats AS (
+  -- over documents, not toks: a zero-token doc must still count in N/avgdl
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum({T.token_count_sql('text')}) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf,
+         CAST(any_value(dl) AS DOUBLE) AS dl
+  FROM toks
+  WHERE word IN (SELECT DISTINCT word FROM qterms)
+  GROUP BY doc_id, word
+),
+df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * {_BM25_K1 + 1.0}
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                    + {_BM25_B} * tf.dl / stats.avgdl)),
+           6) AS DECIMAL(18,6)) AS c
+  FROM tf
+  JOIN qterms q USING (word)
+  JOIN df USING (word)
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, rk FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= {_BM25_TOPK}
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a fixed set of
+    keyword queries with Lucene-variant BM25 (idf = ln((N-df+.5)/(df+.5)+1),
+    saturating tf, length normalization b=0.75) and keep the top-10 per
+    query. Extends the reference's TF-IDF weighting
+    (/root/reference/calculate_idf_scores.py:40-60, vectorize_posts.py)
+    into a ranking function over the same document-frequency statistics.
+
+    Scale shape: doc length (dl) is computed per row and RIDES the token
+    explode, so tf and dl come out of one grouped pass with no corpus-wide
+    doc_id join; the exploded stream is filtered to the query vocabulary
+    before the shuffle, bounding shuffled rows by the queried terms'
+    postings (stopword-class terms are the skew watch item — a df cap
+    drops them before scoring if needed). N and avgdl are a broadcast
+    1-row aggregate; df is vocabulary-sized and broadcast; the per-query
+    top-k is rank-over-window, which Spark executes as WindowGroupLimit
+    (partial top-k below the final shuffle). Every per-term contribution
+    is rounded to 6 decimals and summed as DECIMAL(18,6), so the score is
+    bit-identical across engines and partition orders."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    exploded = spread(docs).select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("word"),
+    )
+    vocab = sorted({w for _, ws in _BM25_QUERIES for w in ws})
+    # persisted: tf is query-vocabulary-bounded (tiny next to the corpus)
+    # and feeds BOTH the df aggregate and the scoring join — without the
+    # persist, the df branch re-tokenizes the whole corpus a second time.
+    tf = persist_tracked(
+        exploded.where(F.col("word").isin(vocab))
+        .groupBy("doc_id", "word")
+        .agg(
+            F.count("*").cast("double").alias("tf"),
+            F.any_value("dl").cast("double").alias("dl"),
+        )
+    )
+    df_t = tf.groupBy("word").agg(F.count("*").cast("double").alias("df"))
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _BM25_QUERIES for w in ws],
+        "query_id int, word string",
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0) - F.lit(_BM25_B)
+        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / denom, 6)
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 — large-volume orders (IN over grouped HAVING)
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 200
+
+
+@register(
+    "rel_tpch_q18_large_orders",
+    oracle=f"""
+SELECT c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_MIN_QTY})
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+""",
+)
+def rel_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds a threshold, with their customer — the
+    canonical IN-over-grouped-HAVING subquery (reference has no
+    subqueries; Tier C breadth). The oracle states the IN literally; the
+    engine runs the decorrelated form: aggregate once, filter on the
+    aggregate, and reuse THAT row as both the filter and the total_qty
+    payload, so the fact table is scanned and aggregated exactly once
+    (the oracle's restated join+group-by provably regroups to the same
+    per-order row).
+
+    Scale shape: the HAVING filter cuts the per-order aggregate to the
+    rare heavy tail before either dimension join, so the join probe side
+    is tiny (AQE turns both into broadcasts at runtime); quantities are
+    integral by fixture contract and summed as int64, so total_qty is
+    exact under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .where(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        orders.join(qty, orders.o_orderkey == qty.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 — lone late supplier (EXISTS + NOT EXISTS pair)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_tpch_q21_late_suppliers",
+    oracle="""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late w
+JOIN supplier ON w.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = w.l_orderkey
+                AND l2.l_suppkey <> w.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = w.l_orderkey
+                    AND l3.l_suppkey <> w.l_suppkey)
+GROUP BY s_name
+""",
+)
+def rel_tpch_q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per supplier,
+    the number of multi-supplier orders where it was the ONLY late
+    supplier — the hardest decorrelation pair in the TPC-H suite: a
+    correlated EXISTS (some OTHER supplier participated) and a correlated
+    NOT EXISTS (no OTHER supplier was late), both correlating on the
+    outer row's orderkey AND suppkey. "Late" is shipdate > orderdate+30d,
+    the same fixture adaptation rel_tpch_q4 pins (no l_commitdate /
+    l_receiptdate columns).
+
+    Scale shape: EXISTS → LEFT SEMI and NOT EXISTS → LEFT ANTI, both equi
+    joins on orderkey with the supplier inequality as a residual — never
+    a per-row subquery and never a range explosion; the anti join's build
+    side is the late set itself (already distinct pairs). Both joins
+    carry no payload, short-circuit per probe key, and shuffle on the
+    same orderkey, so the exchange is reused across the pair. The final
+    supplier join is a broadcast; the numwait agg is supplier-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select(
+        F.col("l_orderkey").alias("p_orderkey"),
+        F.col("l_suppkey").alias("p_suppkey"),
+    ).distinct()
+    others_late = late.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    )
+    lone = (
+        late.join(
+            pairs,
+            (late.l_orderkey == pairs.p_orderkey)
+            & (late.l_suppkey != pairs.p_suppkey),
+            "left_semi",
+        )
+        .join(
+            others_late,
+            (late.l_orderkey == others_late.x_orderkey)
+            & (late.l_suppkey != others_late.x_suppkey),
+            "left_anti",
+        )
+    )
+    return (
+        lone.join(F.broadcast(supp), lone.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 — dormant high-balance accounts (scalar threshold + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q22_NATIONS = (1, 3, 5, 7, 9)
+_Q22_CUTOFF = "2001-01-01"
+
+
+@register(
+    "rel_tpch_q22_dormant_accounts",
+    oracle=f"""
+WITH pool AS (
+  SELECT * FROM customer
+  WHERE c_nationkey IN {_Q22_NATIONS}
+),
+avg_bal AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) / 100 AS a
+  FROM pool WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS totacctbal
+FROM pool c CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+GROUP BY c_nationkey
+""",
+)
+def rel_tpch_q22_dormant_accounts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers in a nation
+    pool with above-average positive balance and NO recent orders,
+    aggregated per nation. Fixture adaptations: the original's phone-
+    prefix segments become a nationkey IN-list, and because every fixture
+    customer has at least one order, "never ordered" becomes "no order
+    since the cutoff" — the same correlated NOT EXISTS, now with a
+    pushable date predicate inside the subquery.
+
+    Scale shape: the scalar threshold is computed as an EXACT cents
+    average (int64 sum, two deterministic divisions) and broadcast as a
+    1-row cross join — a float avg() would make the `>` threshold
+    partition-order dependent at the boundary. NOT EXISTS → LEFT ANTI
+    against the date-pruned orders projection (the cutoff filter reaches
+    the parquet scan, so the anti build side is the recent slice, not
+    order history); the nation agg is pool-sized. totacctbal uses the
+    same cents trick, so the hash is stable under any partitioning."""
+    pool = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(list(_Q22_NATIONS))
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    avg_bal = (
+        pool.where(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(cents).cast("double") / F.count("*") / 100).alias("a")
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(cents).cast("double") / 100).alias("totacctbal"),
+        )
+    )

@@ -72,25 +72,34 @@ _HEAD_ORDER: tuple[str, ...] = (
     # rel_cube) stay to re-prove; multi-green rows whose code is untouched
     # (rel_string_funcs, rel_orderby_limit, rel_json_extract, rel_join_semi,
     # rel_join_outer_fill) rotated out mid-r4 — their green rows stand.
-    "rel_scan_filter_project", "rel_groupby_agg",
+    "rel_groupby_agg",
     "rel_cube",
     # rel_join_broadcast_agg + rel_window_topk_per_group rotated out at
     # round end (green r1-r3, untouched, still re-proven every bench run)
     # rel_union_distinct_except + text_elemmatch_langarray rotated out
-    # late-r4 (green r1-r3, untouched)
-    "rel_array_agg_sorted",
-    # dedup (exact, MinHash; components/simhash rotated out, green+untouched;
-    # text_quality_profile likewise at round end — bench re-proves it)
-    "dedup_exact_keep_first", "dedup_minhash_near_dups",
+    # late-r4 (green r1-r3, untouched); rel_scan_filter_project +
+    # rel_array_agg_sorted likewise for the retrieval wave (green
+    # r1-r3 / r3, untouched — scan_filter also re-proven every bench run)
+    # dedup (MinHash stays — its verify join changed this round;
+    # dedup_exact_keep_first rotated out for the retrieval wave, green
+    # r1-r3 and the md5 path untouched since r3; components/simhash
+    # rotated out earlier, green+untouched; text_quality_profile likewise
+    # at round end — bench re-proves it)
+    "dedup_minhash_near_dups",
     # similarity (brute-force oracle; multiprobe/centroids rotated out —
     # green r2+r3 / r1+r3, untouched; tfidf_doc_profile, the tumbling and
     # session batch windows likewise — all their rows stand, and the
     # tumbling/session queries stay re-proven every bench run + local sweep)
     "sim_cosine_topk",
-    # ST6 event-time windows
-    "events_hypertable_rollup",
+    # ST6's events_hypertable_rollup rotated out for the retrieval wave
+    # (green r3, untouched; the family keeps stream_tumbling_drain +
+    # stream_session_drain head slots and three past-green batch rows)
     # ST9 stream-stream interval join — first-ever streaming driver row
     "stream_interval_join",
+    # retrieval wave (new this session): BM25 ranked search + the three
+    # remaining TPC-H decorrelation shapes
+    "text_bm25_topk", "rel_tpch_q18_large_orders",
+    "rel_tpch_q21_late_suppliers", "rel_tpch_q22_dormant_accounts",
     # 39 rotating never-driver-checked slots (r4; rel_date_trunc_agg
     # rotated out late-round — green r1+r3, untouched): the r3 additions, the
     # streaming drains (ST1/ST3 finally get oracle-paired driver rows),
@@ -160,7 +169,7 @@ def _ensure_loaded() -> None:
                 "queries_sketch", "queries_timeseries",
                 "queries_governance", "queries_lakehouse",
                 "queries_stats", "queries_fuzzy", "queries_pipeline",
-                "queries_extras"):
+                "queries_retrieval", "queries_extras"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:

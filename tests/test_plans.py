@@ -346,3 +346,26 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_vocab_before_shuffle_and_uses_group_limit(spark):
+    """text_bm25_topk's scale contract: the query-vocabulary filter must
+    run BEFORE the (doc_id, word) aggregation shuffle (shuffled volume ∝
+    queried-term postings, not corpus tokens), the df/stats/qterms sides
+    must broadcast, and the per-query top-k must execute as a
+    WindowGroupLimit (partial top-k below the final shuffle), never a
+    global sort of all scored docs."""
+    import re as _re
+
+    df = E.queries()["text_bm25_topk"](spark, SF_ORACLE)
+    plan = _plan(df)
+    # partial top-k below the final per-query shuffle
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the vocab IN-filter sits directly on the explode output, pre-shuffle
+    assert _re.search(r"Filter word#\d+ IN \(", plan), plan
+    # tf is persisted and read by BOTH the scoring join and the df branch
+    # (without it the df aggregate re-tokenizes the whole corpus); the
+    # plan prints one cache scan per consumer.
+    assert plan.count("InMemoryTableScan") >= 2, plan
