@@ -855,3 +855,63 @@ def curation_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_ppm",
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+_WS_PER_SOURCE = 10
+
+
+@register(
+    "curation_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(ln(({T.char_hash_sql("concat('ws:', CAST(doc_id AS VARCHAR))")}
+                   + 1.0) / {T.HASH_MOD + 1}.0)
+               / ln(1.0 + n_chars), 9) AS k
+  FROM documents
+)
+SELECT source, doc_id, n_chars, k, rk FROM (
+  SELECT source, doc_id, n_chars, k,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY k DESC, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= {_WS_PER_SOURCE}
+""",
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, per source: the
+    Efraimidis–Spirakis A-ES scheme — each doc draws a uniform u and
+    ranks by ln(u)/w (monotone-equivalent to u^(1/w)); the top-k per
+    stratum is an exact weighted sample without replacement. Here the
+    weight is ln(1+n_chars) (longer docs proportionally likelier — the
+    length-weighted quota draw a pretraining mix uses), and u is a
+    DETERMINISTIC pseudo-uniform from the portable char hash of a salted
+    doc_id, so both engines and any two cluster runs draw the identical
+    sample — seeded reproducibility without engine RNG (the same trick
+    as rel_hash_sample, upgraded from uniform to weighted).
+
+    Scale shape: the key is row-local arithmetic on the scan (no join,
+    no pre-aggregation); the per-source top-k is rank-over-window →
+    WindowGroupLimit, partial top-k below the source-keyed exchange, so
+    the shuffle carries ≤ k rows per source per input partition. Skewed
+    source cardinality is irrelevant — the partial cut bounds every
+    partition's contribution. Rank key rounded to 9 decimals with a
+    doc_id tiebreak: a total order both engines agree on."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        T.char_hash(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+        + F.lit(1.0)
+    ) / F.lit(float(T.HASH_MOD + 1))
+    k = F.round(F.log(u) / F.log(F.lit(1.0) + F.col("n_chars")), 9)
+    w = Window.partitionBy("source").orderBy(
+        F.col("k").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", k.alias("k"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _WS_PER_SOURCE)
+    )

@@ -56,10 +56,11 @@ _BM25_VALUES_SQL = ",".join(
 )
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
-WITH qterms(query_id, word) AS (VALUES {_BM25_VALUES_SQL}),
+# CTE chain ending in `bm25_scored(query_id, doc_id, score)` — shared by the
+# plain top-k oracle and the hybrid-fusion oracle so both engines score from
+# ONE definition of BM25.
+_BM25_SCORED_CTES = f"""
+qterms(query_id, word) AS (VALUES {_BM25_VALUES_SQL}),
 toks AS (
   SELECT doc_id, len({T.tokens_sql('text')}) AS dl,
          unnest({T.tokens_sql('text')}) AS word
@@ -92,37 +93,16 @@ contrib AS (
   JOIN df USING (word)
   CROSS JOIN stats
 ),
-scored AS (
+bm25_scored AS (
   SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
   FROM contrib GROUP BY query_id, doc_id
-)
-SELECT query_id, doc_id, score, rk FROM (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS rk
-  FROM scored
-) WHERE rk <= {_BM25_TOPK}
-""",
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval: score every document against a fixed set of
-    keyword queries with Lucene-variant BM25 (idf = ln((N-df+.5)/(df+.5)+1),
-    saturating tf, length normalization b=0.75) and keep the top-10 per
-    query. Extends the reference's TF-IDF weighting
-    (/root/reference/calculate_idf_scores.py:40-60, vectorize_posts.py)
-    into a ranking function over the same document-frequency statistics.
+)"""
 
-    Scale shape: doc length (dl) is computed per row and RIDES the token
-    explode, so tf and dl come out of one grouped pass with no corpus-wide
-    doc_id join; the exploded stream is filtered to the query vocabulary
-    before the shuffle, bounding shuffled rows by the queried terms'
-    postings (stopword-class terms are the skew watch item — a df cap
-    drops them before scoring if needed). N and avgdl are a broadcast
-    1-row aggregate; df is vocabulary-sized and broadcast; the per-query
-    top-k is rank-over-window, which Spark executes as WindowGroupLimit
-    (partial top-k below the final shuffle). Every per-term contribution
-    is rounded to 6 decimals and summed as DECIMAL(18,6), so the score is
-    bit-identical across engines and partition orders."""
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score) BM25 relation — the Spark twin of
+    ``_BM25_SCORED_CTES``; see text_bm25_topk's docstring for the plan
+    shape (vocab prefilter, dl riding the explode, persisted tf)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
     exploded = spread(docs).select(
@@ -170,9 +150,43 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
+    return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").cast("double").alias("score")
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH {_BM25_SCORED_CTES}
+SELECT query_id, doc_id, score, rk FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM bm25_scored
+) WHERE rk <= {_BM25_TOPK}
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a fixed set of
+    keyword queries with Lucene-variant BM25 (idf = ln((N-df+.5)/(df+.5)+1),
+    saturating tf, length normalization b=0.75) and keep the top-10 per
+    query. Extends the reference's TF-IDF weighting
+    (/root/reference/calculate_idf_scores.py:40-60, vectorize_posts.py)
+    into a ranking function over the same document-frequency statistics.
+
+    Scale shape: doc length (dl) is computed per row and RIDES the token
+    explode, so tf and dl come out of one grouped pass with no corpus-wide
+    doc_id join; the exploded stream is filtered to the query vocabulary
+    before the shuffle, bounding shuffled rows by the queried terms'
+    postings (stopword-class terms are the skew watch item — a df cap
+    drops them before scoring if needed). N and avgdl are a broadcast
+    1-row aggregate; df is vocabulary-sized and broadcast; the per-query
+    top-k is rank-over-window, which Spark executes as WindowGroupLimit
+    (partial top-k below the final shuffle). Every per-term contribution
+    is rounded to 6 decimals and summed as DECIMAL(18,6), so the score is
+    bit-identical across engines and partition orders."""
+    scored = _bm25_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -405,4 +419,186 @@ def rel_tpch_q22_dormant_accounts(
             F.count("*").alias("numcust"),
             (F.sum(cents).cast("double") / 100).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval — BM25 + pseudo-relevance-feedback cosine, RRF-fused
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+_PRF_DEPTH = 10
+
+from ..functions import vectors as _V  # noqa: E402  (module-order: after T)
+
+_HYBRID_COS_SQL = _V.cosine_sql("c.centroid", "e.embedding")
+
+
+@register(
+    "sim_hybrid_rrf_fusion",
+    oracle=f"""
+WITH {_BM25_SCORED_CTES},
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM bm25_scored
+  QUALIFY rk <= {_RRF_DEPTH}
+),
+feedback AS (SELECT query_id, doc_id FROM lex WHERE rk <= {_PRF_DEPTH}),
+cparts AS (
+  SELECT f.query_id, u.pos,
+         CAST(round(CAST(u.val AS DOUBLE), 9) AS DECIMAL(18,9)) AS cval
+  FROM feedback f
+  JOIN embeddings emb ON emb.vec_id = f.doc_id,
+  LATERAL (SELECT unnest(list_transform(emb.embedding,
+                  (v, i) -> {{'pos': i, 'val': v}})) AS u)
+),
+centroids AS (
+  SELECT query_id,
+         list(CAST(sum_val AS DOUBLE) / cnt ORDER BY pos) AS centroid
+  FROM (SELECT query_id, pos, CAST(sum(cval) AS DOUBLE) AS sum_val,
+               count(*) AS cnt
+        FROM cparts GROUP BY query_id, pos)
+  GROUP BY query_id
+),
+sem AS (
+  SELECT c.query_id, e.vec_id AS doc_id,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY round({_HYBRID_COS_SQL}, 6) DESC,
+                                     e.vec_id) AS rk
+  FROM centroids c CROSS JOIN embeddings e
+  QUALIFY rk <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(COALESCE(CAST(round(1.0 / ({_RRF_K} + l.rk), 6)
+                            AS DECIMAL(18,6)), 0)
+            + COALESCE(CAST(round(1.0 / ({_RRF_K} + s.rk), 6)
+                            AS DECIMAL(18,6)), 0)
+            AS DOUBLE) AS rrf
+  FROM lex l
+  FULL OUTER JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, rrf, rk FROM (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= {_BM25_TOPK}
+""",
+)
+def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking with a semantic
+    ranking by reciprocal-rank fusion (RRF, k=60). The semantic query
+    vector is built by pseudo-relevance feedback (Rocchio): the centroid
+    of the BM25 top-10 documents' embeddings, ranked against the whole
+    embedding table by cosine. Docs without an embedding row (sf0.1 has
+    5000 docs but 2000 vectors) simply can't appear in the semantic
+    ranking — RRF's COALESCE handles one-sided hits, which is exactly
+    its production use.
+
+    Scale shape: both rankings are top-20 cuts (WindowGroupLimit) before
+    the fusion join, so the full-outer join is 2×depth×queries rows —
+    trivially broadcastable no matter the corpus size. The centroid is
+    dimension-keyed (queries×dims rows) and collected into an ordered
+    array per query (index-ordered fold both engines); the semantic scan
+    is ONE pass over embeddings against a broadcast centroid set — the
+    brute-force baseline; at 100 TB the LSH/IVF index paths
+    (operators/similarity.py) replace it with a bucket equi-join.
+    Exactness: centroid components are rounded-decimal means; every
+    rank contribution is round-6 decimal; cosine folds dims in index
+    order — all partition-order independent, so the fused ranking is
+    bit-stable across engines."""
+    scored = _bm25_scored(spark, sf_dir)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    # persisted: lex feeds the feedback centroid AND the fusion join
+    lex = persist_tracked(
+        scored.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "rk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    feedback = lex.where(F.col("rk") <= _PRF_DEPTH).select(
+        "query_id", "doc_id"
+    )
+    cparts = (
+        feedback.join(F.broadcast(emb), feedback.doc_id == emb.vec_id)
+        .select(
+            "query_id",
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .select(
+            "query_id",
+            "pos",
+            F.round(F.col("val").cast("double"), 9)
+            .cast("decimal(18,9)")
+            .alias("cval"),
+        )
+    )
+    centroids = (
+        cparts.groupBy("query_id", "pos")
+        .agg(
+            (F.sum("cval").cast("double") / F.count("*")).alias("cdim")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cdim"))),
+                lambda s: s.cdim,
+            ).alias("centroid")
+        )
+    )
+    cos = _V.cosine("centroid", "embedding")
+    wsem = Window.partitionBy("query_id").orderBy(
+        F.round(cos, 6).desc(), F.col("vec_id")
+    )
+    sem = (
+        F.broadcast(centroids)
+        .crossJoin(emb)
+        .withColumn("rk", F.row_number().over(wsem))
+        .where(F.col("rk") <= _RRF_DEPTH)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rk")
+    )
+
+    def _contrib(rk: F.Column) -> F.Column:
+        return F.coalesce(
+            F.round(F.lit(1.0) / (F.lit(_RRF_K) + rk), 6).cast(
+                "decimal(18,6)"
+            ),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+
+    l = lex.select(
+        F.col("query_id").alias("l_qid"),
+        F.col("doc_id").alias("l_did"),
+        F.col("rk").alias("l_rk"),
+    )
+    s = sem.select(
+        F.col("query_id").alias("s_qid"),
+        F.col("doc_id").alias("s_did"),
+        F.col("rk").alias("s_rk"),
+    )
+    fused = l.join(
+        s,
+        (l.l_qid == s.s_qid) & (l.l_did == s.s_did),
+        "full_outer",
+    ).select(
+        F.coalesce("l_qid", "s_qid").alias("query_id"),
+        F.coalesce("l_did", "s_did").alias("doc_id"),
+        (_contrib(F.col("l_rk")) + _contrib(F.col("s_rk")))
+        .cast("double")
+        .alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rrf", "rk")
     )

@@ -553,3 +553,91 @@ def events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value_24h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# half-life decayed activity (EWMA-style feature-store score)
+# ---------------------------------------------------------------------------
+
+_DECAY_LOOKBACK_DAYS = 14
+
+
+@register(
+    "events_halflife_decay",
+    oracle=f"""
+WITH buckets AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+)
+SELECT b.user_id, b.day, any_value(b.x) AS x,
+       CAST(sum(CAST(round(a.x * pow(0.5, date_diff('day', a.day, b.day)), 9)
+                     AS DECIMAL(18,9))) AS DOUBLE) AS decayed
+FROM buckets b
+JOIN buckets a
+  ON a.user_id = b.user_id
+ AND a.day <= b.day
+ AND a.day >= b.day - INTERVAL {_DECAY_LOOKBACK_DAYS} DAY
+GROUP BY b.user_id, b.day
+""",
+)
+def events_halflife_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed activity score: per (user, day), the sum of the
+    user's daily event counts over a 14-day lookback, each weighted by
+    0.5^(days ago) — the exponentially-decayed engagement feature every
+    feature store derives from an event stream (recency-weighted activity;
+    a 1-day half-life here so the decay is visible in a 30-day fixture).
+
+    Scale shape: the event table reduces to per-(user, day) buckets FIRST
+    (map-side combinable count — the only corpus-sized aggregation), so
+    the decayed sum runs on the bucket table: a self-join bounded by the
+    lookback interval, equi on user_id with the 14-day band as residual —
+    at most 15 partner rows per bucket, never a windowed O(span²) or an
+    unbounded range explosion; one user_id-keyed exchange feeds both
+    sides. Exactness: 0.5^k is an exact power of two in IEEE double
+    (pow is bit-exact in both engines on these args), each term rounds
+    to 9 decimals, and the per-bucket sum is an exact DECIMAL(18,9) —
+    partition-order independent."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    b = buckets.select(
+        F.col("user_id").alias("b_uid"),
+        F.col("day").alias("b_day"),
+        F.col("x").alias("b_x"),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("a_uid"),
+        F.col("day").alias("a_day"),
+        F.col("x").alias("a_x"),
+    )
+    term = F.round(
+        F.col("a_x") * F.pow(F.lit(0.5), F.datediff("b_day", "a_day")), 9
+    ).cast("decimal(18,9)")
+    return (
+        b.join(
+            a,
+            (F.col("a_uid") == F.col("b_uid"))
+            & (F.col("a_day") <= F.col("b_day"))
+            & (
+                F.col("a_day")
+                >= F.col("b_day")
+                - F.expr(f"INTERVAL {_DECAY_LOOKBACK_DAYS} DAYS")
+            ),
+        )
+        .groupBy("b_uid", "b_day")
+        .agg(
+            F.any_value("b_x").alias("x"),
+            F.sum(term).cast("double").alias("decayed"),
+        )
+        .select(
+            F.col("b_uid").alias("user_id"),
+            F.col("b_day").alias("day"),
+            "x",
+            "decayed",
+        )
+    )

@@ -147,3 +147,172 @@ def test_q21_matches_python_loop(spark):
         for r in rel_tpch_q21_late_suppliers(spark, SF_SMOKE).collect()
     }
     assert got == dict(want)
+
+
+def test_hybrid_rrf_matches_python_recount(spark):
+    """Full from-scratch recount of the hybrid pipeline: BM25 ranking →
+    top-10 centroid (rounded-decimal means) → cosine ranking → RRF — in
+    numpy/Decimal, sharing no code with either engine."""
+    import numpy as np
+
+    from posts_vectorizer_spark.plans.queries_retrieval import (
+        _PRF_DEPTH,
+        _RRF_DEPTH,
+        _RRF_K,
+        sim_hybrid_rrf_fusion,
+    )
+
+    emb_t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb_t.itertuples()
+    }
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    toks = {
+        int(r.doc_id): [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in docs.itertuples()
+    }
+    n_docs = float(len(toks))
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    vocab = {w for _, ws in _BM25_QUERIES for w in ws}
+    tf = {d: Counter(t for t in ts if t in vocab) for d, ts in toks.items()}
+    df = Counter(w for c in tf.values() for w in c)
+
+    want = {}
+    for qid, words in _BM25_QUERIES:
+        # lexical ranking to depth 20 (recompute; _py_bm25 cuts at 10)
+        scores = {}
+        for d, c in tf.items():
+            total = Decimal(0)
+            hit = False
+            for w in words:
+                if c[w] == 0:
+                    continue
+                hit = True
+                idf = math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+                dl = float(len(toks[d]))
+                denom = c[w] + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+                total += _round6(idf * c[w] * (_BM25_K1 + 1.0) / denom)
+            if hit:
+                scores[d] = float(total)
+        lex = [
+            d for d, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        ][:_RRF_DEPTH]
+        # PRF centroid of the top-10 docs that have embeddings
+        fb = [d for d in lex[:_PRF_DEPTH] if d in vecs]
+        comps = np.stack([vecs[d] for d in fb])
+        cent = np.array(
+            [
+                float(
+                    sum(
+                        Decimal(repr(round(float(x), 9))).quantize(
+                            Decimal("0.000000001"), ROUND_HALF_UP
+                        )
+                        for x in comps[:, j]
+                    )
+                    / len(fb)
+                )
+                for j in range(comps.shape[1])
+            ]
+        )
+        # semantic ranking by rounded cosine
+        cn = math.sqrt(float((cent * cent).sum()))
+        sems = {}
+        for vid, v in vecs.items():
+            vn = math.sqrt(float((v * v).sum()))
+            if cn > 0 and vn > 0:
+                sems[vid] = float(
+                    Decimal(repr(float((cent * v).sum()) / (cn * vn))).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                )
+        sem = [
+            d for d, _ in sorted(sems.items(), key=lambda kv: (-kv[1], kv[0]))
+        ][:_RRF_DEPTH]
+        # RRF fusion
+        fused = {}
+        for rk, d in enumerate(lex, 1):
+            fused[d] = fused.get(d, Decimal(0)) + _round6(1.0 / (_RRF_K + rk))
+        for rk, d in enumerate(sem, 1):
+            fused[d] = fused.get(d, Decimal(0)) + _round6(1.0 / (_RRF_K + rk))
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        for rk, (d, s) in enumerate(top, 1):
+            want[(qid, d, rk)] = float(s)
+
+    got = {
+        (r.query_id, r.doc_id, r.rk): r.rrf
+        for r in sim_hybrid_rrf_fusion(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for key, s in want.items():
+        assert abs(got[key] - s) < 1e-9, (key, got[key], s)
+
+
+def test_halflife_decay_matches_python_recount(spark):
+    import pandas as pd
+
+    from posts_vectorizer_spark.plans.queries_timeseries import (
+        _DECAY_LOOKBACK_DAYS,
+        events_halflife_decay,
+    )
+
+    ev = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    buckets = Counter(
+        (int(r.user_id), pd.Timestamp(r.ts).normalize())
+        for r in ev.itertuples()
+    )
+    want = {}
+    for (uid, day), x in buckets.items():
+        total = Decimal(0)
+        for (uid2, day2), x2 in buckets.items():
+            if uid2 != uid:
+                continue
+            delta = (day - day2).days
+            if 0 <= delta <= _DECAY_LOOKBACK_DAYS:
+                # x2 * 0.5^delta is an exact dyadic (delta <= 14), so repr
+                # is its exact decimal expansion; quantize half-up like the
+                # engines — Python's round() is banker's and flips the
+                # boundary digits of 0.5^10 etc.
+                total += Decimal(repr(x2 * 0.5**delta)).quantize(
+                    Decimal("0.000000001"), ROUND_HALF_UP
+                )
+        want[(uid, day.to_pydatetime())] = (x, float(total))
+    rows = events_halflife_decay(spark, SF_SMOKE).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        x, decayed = want[(r.user_id, r.day)]
+        assert r.x == x
+        assert abs(r.decayed - decayed) < 1e-9
+
+
+def test_weighted_sample_matches_python_recount(spark):
+    """Independent A-ES draw: portable char hash reimplemented in plain
+    Python, ln(u)/w keys, top-10 per source."""
+    from posts_vectorizer_spark.functions.text import HASH_BASE, HASH_MOD
+    from posts_vectorizer_spark.plans.queries_curation import (
+        _WS_PER_SOURCE,
+        curation_weighted_sample,
+    )
+
+    def char_hash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+        return h
+
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    keyed = {}
+    for r in docs.itertuples():
+        u = (char_hash(f"ws:{int(r.doc_id)}") + 1.0) / (HASH_MOD + 1)
+        k = round(math.log(u) / math.log(1.0 + int(r.n_chars)), 9)
+        keyed.setdefault(r.source, []).append((k, int(r.doc_id)))
+    want = set()
+    for src, items in keyed.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (k, d) in enumerate(items[:_WS_PER_SOURCE], 1):
+            want.add((src, d, rk))
+    got = {
+        (r.source, r.doc_id, r.rk)
+        for r in curation_weighted_sample(spark, SF_SMOKE).collect()
+    }
+    assert got == want
