@@ -873,6 +873,7 @@ WITH keyed AS (
                    + 1.0) / {T.HASH_MOD + 1}.0)
                / ln(1.0 + n_chars), 9) AS k
   FROM documents
+  WHERE n_chars > 0
 )
 SELECT source, doc_id, n_chars, k, rk FROM (
   SELECT source, doc_id, n_chars, k,
@@ -900,8 +901,15 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries ≤ k rows per source per input partition. Skewed
     source cardinality is irrelevant — the partial cut bounds every
     partition's contribution. Rank key rounded to 9 decimals with a
-    doc_id tiebreak: a total order both engines agree on."""
-    docs = load_table(spark, sf_dir, "documents")
+    doc_id tiebreak: a total order both engines agree on.
+
+    Zero-length docs are excluded up front: A-ES is defined for w > 0,
+    and without the filter ln(1+0)=0 divides by zero — an ANSI-mode
+    exception on Spark but NULL on DuckDB, so the engines could never
+    agree on such a row."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") > 0
+    )
     u = (
         T.char_hash(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
         + F.lit(1.0)

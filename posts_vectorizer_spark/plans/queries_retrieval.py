@@ -527,7 +527,9 @@ def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id"
     )
     cparts = (
-        feedback.join(F.broadcast(emb), feedback.doc_id == emb.vec_id)
+        # broadcast the queries×10 feedback set and STREAM the corpus-sized
+        # embeddings scan — broadcasting emb would invert the scale shape
+        F.broadcast(feedback).join(emb, feedback.doc_id == emb.vec_id)
         .select(
             "query_id",
             F.posexplode("embedding").alias("pos", "val"),

@@ -198,37 +198,47 @@ def test_hybrid_rrf_matches_python_recount(spark):
         lex = [
             d for d, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         ][:_RRF_DEPTH]
-        # PRF centroid of the top-10 docs that have embeddings
+        # PRF centroid of the top-10 docs that have embeddings; if none
+        # has one, the product degrades to lexical-only fusion (no
+        # centroid row) — mirror that with an empty semantic ranking.
         fb = [d for d in lex[:_PRF_DEPTH] if d in vecs]
-        comps = np.stack([vecs[d] for d in fb])
-        cent = np.array(
-            [
-                float(
-                    sum(
-                        Decimal(repr(round(float(x), 9))).quantize(
-                            Decimal("0.000000001"), ROUND_HALF_UP
+        sem: list[int] = []
+        if fb:
+            comps = np.stack([vecs[d] for d in fb])
+            # mirror the engines exactly: half-up decimal per component
+            # (NOT Python's banker's round), exact decimal sum, cast to
+            # double BEFORE the division (engines do sum::DOUBLE / cnt)
+            cent = np.array(
+                [
+                    float(
+                        sum(
+                            Decimal(repr(float(x))).quantize(
+                                Decimal("0.000000001"), ROUND_HALF_UP
+                            )
+                            for x in comps[:, j]
                         )
-                        for x in comps[:, j]
                     )
                     / len(fb)
-                )
-                for j in range(comps.shape[1])
-            ]
-        )
-        # semantic ranking by rounded cosine
-        cn = math.sqrt(float((cent * cent).sum()))
-        sems = {}
-        for vid, v in vecs.items():
-            vn = math.sqrt(float((v * v).sum()))
-            if cn > 0 and vn > 0:
-                sems[vid] = float(
-                    Decimal(repr(float((cent * v).sum()) / (cn * vn))).quantize(
-                        Decimal("0.000001"), ROUND_HALF_UP
+                    for j in range(comps.shape[1])
+                ]
+            )
+            # semantic ranking by rounded cosine
+            cn = math.sqrt(float((cent * cent).sum()))
+            sems = {}
+            for vid, v in vecs.items():
+                vn = math.sqrt(float((v * v).sum()))
+                if cn > 0 and vn > 0:
+                    sems[vid] = float(
+                        Decimal(
+                            repr(float((cent * v).sum()) / (cn * vn))
+                        ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
                     )
+            sem = [
+                d
+                for d, _ in sorted(
+                    sems.items(), key=lambda kv: (-kv[1], kv[0])
                 )
-        sem = [
-            d for d, _ in sorted(sems.items(), key=lambda kv: (-kv[1], kv[0]))
-        ][:_RRF_DEPTH]
+            ][:_RRF_DEPTH]
         # RRF fusion
         fused = {}
         for rk, d in enumerate(lex, 1):
@@ -303,8 +313,15 @@ def test_weighted_sample_matches_python_recount(spark):
     docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
     keyed = {}
     for r in docs.itertuples():
+        if int(r.n_chars) <= 0:  # A-ES needs w > 0 (query filters these)
+            continue
         u = (char_hash(f"ws:{int(r.doc_id)}") + 1.0) / (HASH_MOD + 1)
-        k = round(math.log(u) / math.log(1.0 + int(r.n_chars)), 9)
+        # half-up like the engines' round(), not Python's banker's round()
+        k = float(
+            Decimal(
+                repr(math.log(u) / math.log(1.0 + int(r.n_chars)))
+            ).quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+        )
         keyed.setdefault(r.source, []).append((k, int(r.doc_id)))
     want = set()
     for src, items in keyed.items():
