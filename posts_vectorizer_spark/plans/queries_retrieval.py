@@ -435,6 +435,42 @@ from ..functions import vectors as _V  # noqa: E402  (module-order: after T)
 _HYBRID_COS_SQL = _V.cosine_sql("c.centroid", "e.embedding")
 
 
+def _prf_centroids(feedback: DataFrame, emb: DataFrame) -> DataFrame:
+    """(query_id, centroid) — per-query mean of the feedback docs'
+    embeddings. Dimension-keyed exact-decimal means (sum cast to double
+    BEFORE the divide), re-assembled as an index-ordered array so the
+    downstream cosine folds dims identically on both engines."""
+    cparts = (
+        # broadcast the queries×10 feedback set and STREAM the corpus-sized
+        # embeddings scan — broadcasting emb would invert the scale shape
+        F.broadcast(feedback).join(emb, feedback.doc_id == emb.vec_id)
+        .select(
+            "query_id",
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .select(
+            "query_id",
+            "pos",
+            F.round(F.col("val").cast("double"), 9)
+            .cast("decimal(18,9)")
+            .alias("cval"),
+        )
+    )
+    return (
+        cparts.groupBy("query_id", "pos")
+        .agg(
+            (F.sum("cval").cast("double") / F.count("*")).alias("cdim")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cdim"))),
+                lambda s: s.cdim,
+            ).alias("centroid")
+        )
+    )
+
+
 @register(
     "sim_hybrid_rrf_fusion",
     oracle=f"""
@@ -526,35 +562,7 @@ def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     feedback = lex.where(F.col("rk") <= _PRF_DEPTH).select(
         "query_id", "doc_id"
     )
-    cparts = (
-        # broadcast the queries×10 feedback set and STREAM the corpus-sized
-        # embeddings scan — broadcasting emb would invert the scale shape
-        F.broadcast(feedback).join(emb, feedback.doc_id == emb.vec_id)
-        .select(
-            "query_id",
-            F.posexplode("embedding").alias("pos", "val"),
-        )
-        .select(
-            "query_id",
-            "pos",
-            F.round(F.col("val").cast("double"), 9)
-            .cast("decimal(18,9)")
-            .alias("cval"),
-        )
-    )
-    centroids = (
-        cparts.groupBy("query_id", "pos")
-        .agg(
-            (F.sum("cval").cast("double") / F.count("*")).alias("cdim")
-        )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cdim"))),
-                lambda s: s.cdim,
-            ).alias("centroid")
-        )
-    )
+    centroids = _prf_centroids(feedback, emb)
     cos = _V.cosine("centroid", "embedding")
     wsem = Window.partitionBy("query_id").orderBy(
         F.round(cos, 6).desc(), F.col("vec_id")
@@ -604,3 +612,255 @@ def sim_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _BM25_TOPK)
         .select("query_id", "doc_id", "rrf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (greedy, unrolled)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 10
+_MMR_PAIR_COS_SQL = _V.cosine_sql("ea.embedding", "eb.embedding")
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=f"""
+WITH {_BM25_SCORED_CTES},
+feedback AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rk
+    FROM bm25_scored) WHERE rk <= {_PRF_DEPTH}
+),
+cparts AS (
+  SELECT f.query_id, u.pos,
+         CAST(round(CAST(u.val AS DOUBLE), 9) AS DECIMAL(18,9)) AS cval
+  FROM feedback f
+  JOIN embeddings emb ON emb.vec_id = f.doc_id,
+  LATERAL (SELECT unnest(list_transform(emb.embedding,
+                  (v, i) -> {{'pos': i, 'val': v}})) AS u)
+),
+centroids AS (
+  SELECT query_id,
+         list(CAST(sum_val AS DOUBLE) / cnt ORDER BY pos) AS centroid
+  FROM (SELECT query_id, pos, CAST(sum(cval) AS DOUBLE) AS sum_val,
+               count(*) AS cnt
+        FROM cparts GROUP BY query_id, pos)
+  GROUP BY query_id
+),
+cand AS (
+  SELECT query_id, doc_id, rel, rk FROM (
+    SELECT c.query_id, e.vec_id AS doc_id,
+           round({_HYBRID_COS_SQL}, 6) AS rel,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY round({_HYBRID_COS_SQL}, 6) DESC,
+                                       e.vec_id) AS rk
+    FROM centroids c CROSS JOIN embeddings e) WHERE rk <= {_MMR_CAND}
+),
+sims AS (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+         round({_MMR_PAIR_COS_SQL}, 6) AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+  JOIN embeddings ea ON ea.vec_id = a.doc_id
+  JOIN embeddings eb ON eb.vec_id = b.doc_id
+),
+p1 AS (SELECT query_id, doc_id, rel FROM cand WHERE rk = 1),
+r2 AS (
+  SELECT c.query_id, c.doc_id,
+         round({_MMR_LAMBDA} * c.rel - {1.0 - _MMR_LAMBDA} * s.sim, 6)
+           AS mmr
+  FROM cand c
+  JOIN p1 ON p1.query_id = c.query_id AND c.doc_id <> p1.doc_id
+  JOIN sims s ON s.query_id = c.query_id AND s.da = c.doc_id
+             AND s.db = p1.doc_id
+),
+p2 AS (
+  SELECT query_id, doc_id, mmr FROM (
+    SELECT query_id, doc_id, mmr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, doc_id) AS rk
+    FROM r2) WHERE rk = 1
+),
+r3 AS (
+  SELECT c.query_id, c.doc_id,
+         round({_MMR_LAMBDA} * c.rel
+               - {1.0 - _MMR_LAMBDA} * max(s.sim), 6) AS mmr
+  FROM cand c
+  JOIN p1 ON p1.query_id = c.query_id AND c.doc_id <> p1.doc_id
+  JOIN p2 ON p2.query_id = c.query_id AND c.doc_id <> p2.doc_id
+  JOIN sims s ON s.query_id = c.query_id AND s.da = c.doc_id
+             AND s.db IN (p1.doc_id, p2.doc_id)
+  GROUP BY c.query_id, c.doc_id, c.rel
+),
+p3 AS (
+  SELECT query_id, doc_id, mmr FROM (
+    SELECT query_id, doc_id, mmr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, doc_id) AS rk
+    FROM r3) WHERE rk = 1
+)
+SELECT query_id, 1 AS pick, doc_id, rel AS mmr FROM p1
+UNION ALL SELECT query_id, 2, doc_id, mmr FROM p2
+UNION ALL SELECT query_id, 3, doc_id, mmr FROM p3
+""",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified reranking: greedily pick 3
+    results per query maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-picked (λ=0.7) from the top-10 semantic candidates of the
+    hybrid pipeline's PRF centroid. MMR is inherently sequential; the
+    greedy loop is UNROLLED to its fixed depth as three plan stages —
+    the same trick text_textrank_unrolled pins for iterative algorithms,
+    keeping the whole operator declarative (and oracle-expressible)
+    instead of a driver-side loop.
+
+    Scale shape: the candidate set is a per-query top-k cut
+    (WindowGroupLimit) BEFORE any pairwise work, so the pairwise
+    similarity matrix is queries × k² rows — independent of corpus
+    size — and each greedy round is a join against the ≤2-row picked
+    set. The candidate relevance scan is the same single embeddings
+    pass as the hybrid query (broadcast centroids); everything after it
+    is candidate-bounded. Exactness: rel/sim/mmr are all round-6 with
+    doc_id tiebreaks — a total order per round, so both engines pick
+    identical chains (a first-pick tie changes every later round;
+    round-6 + id tiebreak makes that impossible to diverge)."""
+    scored = _bm25_scored(spark, sf_dir)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    feedback = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= _PRF_DEPTH)
+        .select("query_id", "doc_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _prf_centroids(feedback, emb)
+    cos = _V.cosine("centroid", "embedding")
+    wsem = Window.partitionBy("query_id").orderBy(
+        F.round(cos, 6).desc(), F.col("vec_id")
+    )
+    # persisted: cand feeds p1, both greedy rounds, and the sim matrix
+    cand = persist_tracked(
+        F.broadcast(centroids)
+        .crossJoin(emb)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cos, 6).alias("rel"),
+            F.row_number().over(wsem).alias("rk"),
+        )
+        .where(F.col("rk") <= _MMR_CAND)
+    )
+    a = cand.select(
+        F.col("query_id").alias("s_qid"), F.col("doc_id").alias("da")
+    )
+    b = cand.select(
+        F.col("query_id").alias("b_qid"), F.col("doc_id").alias("db")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("ea_id"), F.col("embedding").alias("ea_emb")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("eb_id"), F.col("embedding").alias("eb_emb")
+    )
+    sims = persist_tracked(
+        a.join(b, (a.s_qid == b.b_qid) & (a.da != b.db))
+        .join(F.broadcast(ea), F.col("da") == F.col("ea_id"))
+        .join(F.broadcast(eb), F.col("db") == F.col("eb_id"))
+        .select(
+            F.col("s_qid").alias("query_id"),
+            "da",
+            "db",
+            F.round(_V.cosine("ea_emb", "eb_emb"), 6).alias("sim"),
+        )
+    )
+    p1 = cand.where(F.col("rk") == 1).select(
+        F.col("query_id").alias("p1_qid"),
+        F.col("doc_id").alias("p1_did"),
+        F.col("rel").alias("p1_rel"),
+    )
+
+    def _pick(r: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("doc_id")
+        )
+        return (
+            r.withColumn("prk", F.row_number().over(w))
+            .where(F.col("prk") == 1)
+            .select("query_id", "doc_id", "mmr")
+        )
+
+    lam, lam1 = F.lit(_MMR_LAMBDA), F.lit(1.0 - _MMR_LAMBDA)
+    r2 = (
+        cand.join(
+            F.broadcast(p1),
+            (cand.query_id == F.col("p1_qid"))
+            & (cand.doc_id != F.col("p1_did")),
+        )
+        .join(
+            sims,
+            (sims.query_id == F.col("p1_qid"))
+            & (sims.da == cand.doc_id)
+            & (sims.db == F.col("p1_did")),
+        )
+        .select(
+            cand.query_id,
+            cand.doc_id,
+            F.round(lam * cand.rel - lam1 * sims.sim, 6).alias("mmr"),
+        )
+    )
+    p2 = _pick(r2).select(
+        F.col("query_id").alias("p2_qid"),
+        F.col("doc_id").alias("p2_did"),
+        "mmr",
+    )
+    r3 = (
+        cand.join(
+            F.broadcast(p1),
+            (cand.query_id == F.col("p1_qid"))
+            & (cand.doc_id != F.col("p1_did")),
+        )
+        .join(
+            F.broadcast(p2),
+            (cand.query_id == F.col("p2_qid"))
+            & (cand.doc_id != F.col("p2_did")),
+        )
+        .join(
+            sims,
+            (sims.query_id == cand.query_id)
+            & (sims.da == cand.doc_id)
+            & (
+                (sims.db == F.col("p1_did"))
+                | (sims.db == F.col("p2_did"))
+            ),
+        )
+        .groupBy(cand.query_id, cand.doc_id, cand.rel)
+        .agg(F.max("sim").alias("maxsim"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(lam * F.col("rel") - lam1 * F.col("maxsim"), 6).alias(
+                "mmr"
+            ),
+        )
+    )
+    p3 = _pick(r3)
+    out1 = p1.select(
+        F.col("p1_qid").alias("query_id"),
+        F.lit(1).alias("pick"),
+        F.col("p1_did").alias("doc_id"),
+        F.col("p1_rel").alias("mmr"),
+    )
+    out2 = p2.select(
+        F.col("p2_qid").alias("query_id"),
+        F.lit(2).alias("pick"),
+        F.col("p2_did").alias("doc_id"),
+        "mmr",
+    )
+    out3 = p3.select(
+        "query_id", F.lit(3).alias("pick"), "doc_id", "mmr"
+    )
+    return out1.unionByName(out2).unionByName(out3)

@@ -98,9 +98,10 @@ _HEAD_ORDER: tuple[str, ...] = (
     "stream_interval_join",
     # retrieval wave (new this session): BM25 ranked search + the three
     # remaining TPC-H decorrelation shapes. Wave 2's sim_hybrid_rrf_fusion,
-    # events_halflife_decay, curation_weighted_sample stay OUTSIDE the full
-    # 50-slot budget this round (local oracle + independent Python recounts
-    # only) — first-priority r5 rotation candidates.
+    # events_halflife_decay, curation_weighted_sample, sim_mmr_rerank stay
+    # OUTSIDE the full 50-slot budget this round (local oracle +
+    # independent Python recounts only) — first-priority r5 rotation
+    # candidates.
     "text_bm25_topk", "rel_tpch_q18_large_orders",
     "rel_tpch_q21_late_suppliers", "rel_tpch_q22_dormant_accounts",
     # 39 rotating never-driver-checked slots (r4; rel_date_trunc_agg

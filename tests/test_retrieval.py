@@ -333,3 +333,117 @@ def test_weighted_sample_matches_python_recount(spark):
         for r in curation_weighted_sample(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_mmr_matches_python_greedy(spark):
+    """From-scratch greedy MMR: recompute the BM25→centroid→candidate
+    pipeline in numpy/Decimal, then run the textbook sequential greedy
+    loop (not unrolled SQL) and compare the 3-pick chain."""
+    import numpy as np
+
+    from posts_vectorizer_spark.plans.queries_retrieval import (
+        _MMR_CAND,
+        _MMR_LAMBDA,
+        _PRF_DEPTH,
+        sim_mmr_rerank,
+    )
+
+    def _round_hu(x: float, places: str) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal(places), ROUND_HALF_UP))
+
+    emb_t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb_t.itertuples()
+    }
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    toks = {
+        int(r.doc_id): [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in docs.itertuples()
+    }
+    n_docs = float(len(toks))
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    vocab = {w for _, ws in _BM25_QUERIES for w in ws}
+    tf = {d: Counter(t for t in ts if t in vocab) for d, ts in toks.items()}
+    df = Counter(w for c in tf.values() for w in c)
+
+    def cos(a: np.ndarray, b: np.ndarray) -> float | None:
+        na = math.sqrt(float((a * a).sum()))
+        nb = math.sqrt(float((b * b).sum()))
+        if na <= 0 or nb <= 0:
+            return None
+        return _round_hu(float((a * b).sum()) / (na * nb), "0.000001")
+
+    want = {}
+    for qid, words in _BM25_QUERIES:
+        scores = {}
+        for d, c in tf.items():
+            total = Decimal(0)
+            hit = False
+            for w in words:
+                if c[w] == 0:
+                    continue
+                hit = True
+                idf = math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+                dl = float(len(toks[d]))
+                denom = c[w] + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+                total += _round6(idf * c[w] * (_BM25_K1 + 1.0) / denom)
+            if hit:
+                scores[d] = float(total)
+        fb = [
+            d
+            for d, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :_PRF_DEPTH
+            ]
+            if d in vecs
+        ]
+        comps = np.stack([vecs[d] for d in fb])
+        cent = np.array(
+            [
+                float(
+                    sum(
+                        Decimal(repr(float(x))).quantize(
+                            Decimal("0.000000001"), ROUND_HALF_UP
+                        )
+                        for x in comps[:, j]
+                    )
+                )
+                / len(fb)
+                for j in range(comps.shape[1])
+            ]
+        )
+        rels = {
+            vid: c for vid, v in vecs.items() if (c := cos(cent, v)) is not None
+        }
+        cand = [
+            d for d, _ in sorted(rels.items(), key=lambda kv: (-kv[1], kv[0]))
+        ][:_MMR_CAND]
+        # textbook sequential greedy
+        picked: list[tuple[int, float]] = []
+        while len(picked) < 3 and len(picked) < len(cand):
+            best = None
+            for d in cand:
+                if any(d == p for p, _ in picked):
+                    continue
+                if not picked:
+                    mmr = rels[d]
+                else:
+                    maxsim = max(cos(vecs[d], vecs[p]) for p, _ in picked)
+                    mmr = _round_hu(
+                        _MMR_LAMBDA * rels[d] - (1.0 - _MMR_LAMBDA) * maxsim,
+                        "0.000001",
+                    )
+                if best is None or (mmr, -d) > (best[1], -best[0]):
+                    best = (d, mmr)
+            picked.append(best)
+        for pick, (d, mmr) in enumerate(picked, 1):
+            want[(qid, pick)] = (d, mmr)
+
+    got = {
+        (r.query_id, r.pick): (r.doc_id, r.mmr)
+        for r in sim_mmr_rerank(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for key, (d, mmr) in want.items():
+        assert got[key][0] == d, (key, got[key], (d, mmr))
+        assert abs(got[key][1] - mmr) < 1e-9
