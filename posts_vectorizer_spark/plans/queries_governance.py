@@ -348,3 +348,159 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy audits: k-anonymity / l-diversity ladder, DP noisy release
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+
+
+@register(
+    "rel_k_anonymity_ladder",
+    oracle=f"""
+WITH qi AS (
+  SELECT c.c_custkey, n.n_regionkey AS region, c.c_nationkey AS nation,
+         c.c_mktsegment AS segment,
+         CAST(floor(CAST(round(c.c_acctbal) AS BIGINT) / 1000.0) AS BIGINT)
+           AS bal_band
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ladder AS (
+  SELECT CASE WHEN grouping(nation) = 0 THEN 0
+              WHEN grouping(region) = 0 THEN 1 ELSE 2 END AS level,
+         count(*) AS group_size,
+         count(DISTINCT bal_band) AS l_div
+  FROM qi
+  GROUP BY GROUPING SETS ((nation, region, segment),
+                          (region, segment), (segment))
+)
+SELECT level,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(group_size) AS BIGINT) AS min_group,
+       CAST(sum(CASE WHEN group_size < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS unsafe_groups,
+       CAST(min(l_div) AS BIGINT) AS min_ldiversity
+FROM ladder GROUP BY level ORDER BY level
+""",
+)
+def rel_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit across a generalization ladder:
+    k-anonymity (smallest quasi-identifier group, count of groups under
+    k=10) and l-diversity (fewest distinct sensitive values — banded
+    account balance — inside any QI group) at three generalization
+    levels of the quasi-identifier (nation+segment → region+segment →
+    segment). The release-readiness check a training-data pipeline runs
+    before publishing user-derived tables: pick the coarsest level whose
+    unsafe_groups is 0 and min_ldiversity clears policy.
+
+    Scale shape: ONE aggregation pass computes all three levels via
+    GROUPING SETS (the native expand operator — A12's machinery reused
+    for privacy), with grouping() disambiguating the level; the ladder
+    table is group-count-sized, so the risk rollup is trivial. The
+    nation dimension broadcasts. count(DISTINCT band) inside grouping
+    sets runs as Spark's expand+two-phase distinct aggregate — map-side
+    partials, no row explosion beyond levels×rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    qi = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_regionkey").alias("region"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(
+            F.round(F.col("c_acctbal")).cast("bigint") / F.lit(1000.0)
+        )
+        .cast("bigint")
+        .alias("bal_band"),
+    )
+    level = (
+        F.when(F.grouping("nation") == 0, F.lit(0))
+        .when(F.grouping("region") == 0, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    ladder = (
+        qi.groupingSets(
+            [["nation", "region", "segment"], ["region", "segment"],
+             ["segment"]],
+            "nation", "region", "segment",
+        )
+        .agg(
+            level.alias("level"),
+            F.count("*").alias("group_size"),
+            F.countDistinct("bal_band").alias("l_div"),
+        )
+    )
+    return (
+        ladder.groupBy("level")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.min("group_size").cast("bigint").alias("min_group"),
+            F.sum(
+                F.when(F.col("group_size") < _KANON_K, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("unsafe_groups"),
+            F.min("l_div").cast("bigint").alias("min_ldiversity"),
+        )
+        .orderBy("level")
+    )
+
+
+_DP_EPSILON = 0.5  # Laplace scale b = 1/epsilon = 2.0 (sensitivity-1 count)
+
+
+@register(
+    "rel_dp_noisy_counts",
+    oracle=f"""
+WITH counts AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS true_count,
+         ({T.char_hash_sql("concat('dp:', CAST(c_nationkey AS VARCHAR))")}
+          + 1.0) / {T.HASH_MOD + 1}.0 AS u
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       round(true_count + CASE WHEN u < 0.5
+              THEN {1.0 / _DP_EPSILON} * ln(2.0 * u)
+              ELSE -{1.0 / _DP_EPSILON} * ln(2.0 * (1.0 - u)) END, 6)
+         AS noisy_count
+FROM counts
+""",
+)
+def rel_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity-1 counts, ε=0.5): per-nation customer counts plus
+    Laplace(1/ε) noise drawn by inverse-CDF. The noise uniform comes
+    from the portable char hash of the salted group key — DETERMINISTIC
+    so the oracle can verify the mechanism's arithmetic end-to-end; a
+    production release must substitute a secure RNG for the hash (the
+    mechanism, sensitivity accounting, and plan shape are unchanged —
+    only the uniform's source differs). u ∈ (0,1) strictly: (h+1)/(M+1)
+    with h < M, so neither ln() argument can hit zero.
+
+    Scale shape: one map-side-combinable count per group, noise as
+    row-local arithmetic on the group-sized result — nothing beyond the
+    count's own exchange. Inverse-CDF branches on u<0.5 with the same
+    literal association in both engines; output rounded to 6 decimals."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    u = (
+        T.char_hash(
+            F.concat(F.lit("dp:"), F.col("c_nationkey").cast("string"))
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(T.HASH_MOD + 1))
+    b = F.lit(1.0 / _DP_EPSILON)
+    noise = F.when(
+        u < 0.5, b * F.log(F.lit(2.0) * u)
+    ).otherwise(-b * F.log(F.lit(2.0) * (F.lit(1.0) - u)))
+    return counts.select(
+        "c_nationkey",
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+    )

@@ -111,3 +111,90 @@ def test_partitioned_scan_prunes_partitions(spark):
         )
     }
     assert out == exact
+
+
+def test_k_anonymity_ladder_matches_python_loop(spark):
+    """Recount the generalization ladder with plain dict grouping."""
+    import math as _math
+    from collections import Counter as _Counter
+
+    import pyarrow.parquet as _pq
+
+    from posts_vectorizer_spark.plans.queries_governance import _KANON_K
+
+    cust = _pq.read_table(f"{SF_SMOKE}/customer.parquet").to_pandas()
+    nat = _pq.read_table(f"{SF_SMOKE}/nation.parquet").to_pandas()
+    region_of = dict(zip(nat.n_nationkey.astype(int), nat.n_regionkey.astype(int)))
+
+    def band(bal: float) -> int:
+        # round half-away like the engines, then floor-divide by 1000
+        r = _math.floor(abs(bal) + 0.5) * (1 if bal >= 0 else -1)
+        return _math.floor(r / 1000.0)
+
+    levels = {0: {}, 1: {}, 2: {}}
+    for r in cust.itertuples():
+        nk, seg, bal = int(r.c_nationkey), r.c_mktsegment, float(r.c_acctbal)
+        keys = {
+            0: (nk, region_of[nk], seg),
+            1: (region_of[nk], seg),
+            2: (seg,),
+        }
+        for lv, key in keys.items():
+            g = levels[lv].setdefault(key, {"n": 0, "bands": set()})
+            g["n"] += 1
+            g["bands"].add(band(bal))
+    want = {}
+    for lv, groups in levels.items():
+        sizes = [g["n"] for g in groups.values()]
+        ldivs = [len(g["bands"]) for g in groups.values()]
+        want[lv] = (
+            len(groups),
+            min(sizes),
+            sum(1 for s in sizes if s < _KANON_K),
+            min(ldivs),
+        )
+    got = {
+        r.level: (r.n_groups, r.min_group, r.unsafe_groups, r.min_ldiversity)
+        for r in E.queries()["rel_k_anonymity_ladder"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_dp_noisy_counts_noise_properties(spark):
+    """The Laplace noise must be mean-bounded, deterministic across runs,
+    and recoverable: noisy - true inverts through the Laplace CDF to the
+    hash uniform each group key implies."""
+    import math as _math
+
+    from posts_vectorizer_spark.functions.text import HASH_BASE, HASH_MOD
+    from posts_vectorizer_spark.plans.queries_governance import _DP_EPSILON
+
+    true = {
+        r.c_nationkey: r.n
+        for r in (
+            spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+            .groupBy("c_nationkey")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        )
+    }
+
+    def char_hash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+        return h
+
+    rows1 = E.queries()["rel_dp_noisy_counts"](spark, SF_SMOKE).collect()
+    rows2 = E.queries()["rel_dp_noisy_counts"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    b = 1.0 / _DP_EPSILON
+    for r in rows1:
+        u = (char_hash(f"dp:{r.c_nationkey}") + 1.0) / (HASH_MOD + 1)
+        noise = (
+            b * _math.log(2.0 * u)
+            if u < 0.5
+            else -b * _math.log(2.0 * (1.0 - u))
+        )
+        assert abs(r.noisy_count - (true[r.c_nationkey] + noise)) < 1e-5
