@@ -1112,3 +1112,139 @@ def rel_tpch_q11_important_customers(
         )
         .orderBy(F.desc("total_value"), "o_custkey")
     )
+
+
+@register(
+    "rel_tpch_q6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0
+            AS DOUBLE) AS revenue,
+       count(*) AS qualifying_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def rel_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the revenue that
+    would be recovered by eliminating small discounts on low-quantity
+    orders in one year — a pure scan-filter-aggregate with THREE
+    range predicates and no join, the canonical predicate-pushdown /
+    row-group-pruning benchmark (reference has no predicate pushdown at
+    all — Tier C breadth).
+
+    Scale shape: every predicate is scan-pushable (date range, discount
+    band, quantity cap all land in PushedFilters → parquet min/max
+    row-group pruning); the aggregate is a 1-row map-side-combinable
+    sum. At 100 TB this query is I/O-bound by exactly the row groups
+    the date range admits — the plan has nothing else in it. Revenue is
+    the exact cents×discount-hundredths int64 sum (price*discount, Q6's
+    definition — not the (1-discount) revenue of Q5/Q14)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        F.col("l_discount") * 100
+    ).cast("bigint")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents) / 10000.0).cast("double").alias("revenue"),
+            F.count("*").alias("qualifying_lineitems"),
+        )
+    )
+
+
+@register(
+    "rel_tpch_q8_market_share",
+    oracle="""
+WITH volumes AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol,
+         s.s_nationkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE cn.n_regionkey = 1
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN s_nationkey = 3 THEN vol ELSE 0 END) AS DOUBLE)
+       / CAST(sum(vol) AS DOUBLE) AS mkt_share
+FROM volumes GROUP BY o_year ORDER BY o_year
+""",
+)
+def rel_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the yearly share of one
+    supplier nation's revenue within one customer region's market — a
+    five-table star join whose aggregate is a conditional-sum ratio
+    (CASE inside sum, the Q14 device, over a grouped year instead of a
+    global scalar). Fixture adaptation: no p_type market segment filter
+    (the part dimension adds no selectivity here), region stated via
+    the customer nation's regionkey.
+
+    Scale shape: orders⋈lineitem is the one fact-fact join (orderkey
+    shuffle); customer/nation/supplier broadcast; the region filter
+    applies at the nation dimension BEFORE the join, pruning whole
+    customer nations from the probe. Both sums are exact int64 revenue
+    units aggregated in one pass; the single double division per year
+    is the only FP op — bit-identical across engines and partition
+    orders."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    vol = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    cust_in_region = cust.join(
+        F.broadcast(nation.where(F.col("n_regionkey") == 1)),
+        cust.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
+    volumes = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust_in_region),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            "s_nationkey",
+        )
+    )
+    return (
+        volumes.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("s_nationkey") == 3, F.col("vol"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum("vol").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

@@ -369,3 +369,19 @@ def test_bm25_filters_vocab_before_shuffle_and_uses_group_limit(spark):
     # (without it the df aggregate re-tokenizes the whole corpus); the
     # plan prints one cache scan per consumer.
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_q6_pushes_all_three_predicates_to_scan(spark):
+    """rel_tpch_q6_forecast_revenue is the pure pushdown benchmark: the
+    date range, discount band, and quantity cap must ALL reach the
+    parquet scan's PushedFilters (row-group min/max pruning), leaving a
+    join-free single-aggregate plan."""
+    df = E.queries()["rel_tpch_q6_forecast_revenue"](spark, SF_ORACLE)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    pushed = scan.split("PushedFilters:")[1]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
