@@ -718,10 +718,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a driver-side loop.
 
     Scale shape: the candidate set is a per-query top-k cut
-    (WindowGroupLimit) BEFORE any pairwise work, so the pairwise
-    similarity matrix is queries × k² rows — independent of corpus
-    size — and each greedy round is a join against the ≤2-row picked
-    set. The candidate relevance scan is the same single embeddings
+    (WindowGroupLimit) BEFORE any pairwise work; candidate embeddings
+    are fetched once (broadcast id list, streamed corpus scan) and each
+    greedy round computes only the ~k cosines against that round's
+    1-row-per-query picked set — never the full k² pairwise matrix, and
+    never a corpus-sized broadcast. The candidate relevance scan is the same single embeddings
     pass as the hybrid query (broadcast centroids); everything after it
     is candidate-bounded. Exactness: rel/sim/mmr are all round-6 with
     doc_id tiebreaks — a total order per round, so both engines pick
@@ -742,7 +743,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsem = Window.partitionBy("query_id").orderBy(
         F.round(cos, 6).desc(), F.col("vec_id")
     )
-    # persisted: cand feeds p1, both greedy rounds, and the sim matrix
+    # persisted: cand feeds p1, both greedy rounds, and cand_emb
     cand = persist_tracked(
         F.broadcast(centroids)
         .crossJoin(emb)
@@ -754,29 +755,46 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= _MMR_CAND)
     )
-    a = cand.select(
-        F.col("query_id").alias("s_qid"), F.col("doc_id").alias("da")
+    # candidate embeddings: restrict the corpus scan to the ≤ queries×k
+    # candidate set ONCE (broadcast the tiny id list, STREAM emb — never
+    # broadcast the corpus side); every pairwise cosine below runs on
+    # this candidate-bounded relation.
+    cand_emb = persist_tracked(
+        F.broadcast(cand.select("query_id", "doc_id"))
+        .join(emb, F.col("doc_id") == emb.vec_id)
+        .select("query_id", "doc_id", "embedding")
     )
-    b = cand.select(
-        F.col("query_id").alias("b_qid"), F.col("doc_id").alias("db")
-    )
-    ea = emb.select(
-        F.col("vec_id").alias("ea_id"), F.col("embedding").alias("ea_emb")
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("eb_id"), F.col("embedding").alias("eb_emb")
-    )
-    sims = persist_tracked(
-        a.join(b, (a.s_qid == b.b_qid) & (a.da != b.db))
-        .join(F.broadcast(ea), F.col("da") == F.col("ea_id"))
-        .join(F.broadcast(eb), F.col("db") == F.col("eb_id"))
-        .select(
-            F.col("s_qid").alias("query_id"),
-            "da",
-            "db",
-            F.round(_V.cosine("ea_emb", "eb_emb"), 6).alias("sim"),
+
+    def _sims_to(picked: DataFrame) -> DataFrame:
+        """Round-6 cosine of every candidate to ONE picked doc per query
+        (picked: p_qid, p_did). Computing sims per greedy round against
+        the 1-row-per-query picked set costs ~k cosines per round — the
+        full k×(k-1) pairwise matrix would evaluate ~k²/2 folds of which
+        the depth-3 greedy reads only the two picked slices."""
+        pe = (
+            F.broadcast(picked)
+            .join(
+                cand_emb,
+                (F.col("p_qid") == cand_emb.query_id)
+                & (F.col("p_did") == cand_emb.doc_id),
+            )
+            .select("p_qid", "p_did", F.col("embedding").alias("p_emb"))
         )
-    )
+        ce = cand_emb.select(
+            F.col("query_id").alias("c_qid"),
+            F.col("doc_id").alias("c_did"),
+            F.col("embedding").alias("c_emb"),
+        )
+        return ce.join(
+            F.broadcast(pe),
+            (F.col("c_qid") == F.col("p_qid"))
+            & (F.col("c_did") != F.col("p_did")),
+        ).select(
+            F.col("c_qid").alias("query_id"),
+            F.col("c_did").alias("doc_id"),
+            F.round(_V.cosine("c_emb", "p_emb"), 6).alias("sim"),
+        )
+
     p1 = cand.where(F.col("rk") == 1).select(
         F.col("query_id").alias("p1_qid"),
         F.col("doc_id").alias("p1_did"),
@@ -794,51 +812,41 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     lam, lam1 = F.lit(_MMR_LAMBDA), F.lit(1.0 - _MMR_LAMBDA)
-    r2 = (
-        cand.join(
-            F.broadcast(p1),
-            (cand.query_id == F.col("p1_qid"))
-            & (cand.doc_id != F.col("p1_did")),
+    s1 = _sims_to(
+        p1.select(
+            F.col("p1_qid").alias("p_qid"), F.col("p1_did").alias("p_did")
         )
-        .join(
-            sims,
-            (sims.query_id == F.col("p1_qid"))
-            & (sims.da == cand.doc_id)
-            & (sims.db == F.col("p1_did")),
-        )
-        .select(
-            cand.query_id,
-            cand.doc_id,
-            F.round(lam * cand.rel - lam1 * sims.sim, 6).alias("mmr"),
-        )
+    )
+    r2 = cand.join(s1, ["query_id", "doc_id"]).select(
+        "query_id",
+        "doc_id",
+        F.round(lam * F.col("rel") - lam1 * F.col("sim"), 6).alias("mmr"),
     )
     p2 = _pick(r2).select(
         F.col("query_id").alias("p2_qid"),
         F.col("doc_id").alias("p2_did"),
         "mmr",
     )
+    s2 = _sims_to(
+        p2.select(
+            F.col("p2_qid").alias("p_qid"), F.col("p2_did").alias("p_did")
+        )
+    )
     r3 = (
-        cand.join(
+        s1.unionByName(s2)
+        .join(
             F.broadcast(p1),
-            (cand.query_id == F.col("p1_qid"))
-            & (cand.doc_id != F.col("p1_did")),
+            (F.col("query_id") == F.col("p1_qid"))
+            & (F.col("doc_id") != F.col("p1_did")),
         )
         .join(
-            F.broadcast(p2),
-            (cand.query_id == F.col("p2_qid"))
-            & (cand.doc_id != F.col("p2_did")),
+            F.broadcast(p2.select("p2_qid", "p2_did")),
+            (F.col("query_id") == F.col("p2_qid"))
+            & (F.col("doc_id") != F.col("p2_did")),
         )
-        .join(
-            sims,
-            (sims.query_id == cand.query_id)
-            & (sims.da == cand.doc_id)
-            & (
-                (sims.db == F.col("p1_did"))
-                | (sims.db == F.col("p2_did"))
-            ),
-        )
-        .groupBy(cand.query_id, cand.doc_id, cand.rel)
+        .groupBy("query_id", "doc_id")
         .agg(F.max("sim").alias("maxsim"))
+        .join(cand, ["query_id", "doc_id"])
         .select(
             "query_id",
             "doc_id",

@@ -377,11 +377,17 @@ def test_q6_pushes_all_three_predicates_to_scan(spark):
     parquet scan's PushedFilters (row-group min/max pruning), leaving a
     join-free single-aggregate plan."""
     df = E.queries()["rel_tpch_q6_forecast_revenue"](spark, SF_ORACLE)
+    # toString() truncates the PushedFilters list mid-token and the same
+    # line carries ReadSchema (so bare column names match vacuously);
+    # formatted explain prints the full pushed-filter list.
+    plan_fmt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = plan_fmt.split("PushedFilters:")[1].split("\n")[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    assert "LessThanOrEqual(l_discount" in pushed
+    assert "LessThan(l_quantity" in pushed
     plan = _plan(df)
-    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
-    pushed = scan.split("PushedFilters:")[1]
-    assert "l_shipdate" in pushed
-    assert "l_discount" in pushed
-    assert "l_quantity" in pushed
     assert "Join" not in plan
     assert "HashAggregate" in plan
