@@ -641,3 +641,97 @@ def events_halflife_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interval-union coverage (overlapping-interval merge, gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_interval_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         ts + INTERVAL (CAST(round(value * 60) AS BIGINT)) SECOND AS e
+  FROM events WHERE value > 0
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e) AS island_id
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island_id, min(s) AS s, max(e) AS e
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(date_diff('second', s, e)) AS BIGINT) AS covered_seconds
+FROM merged GROUP BY user_id
+""",
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: treat each event as an activity interval
+    [ts, ts + value minutes), merge overlapping (and abutting: s == prev
+    end joins the island) intervals per user, and report per user how
+    many disjoint activity islands remain and the total seconds covered —
+    the utilization / watch-time primitive. Distinct from
+    events_debounce_bursts (fixed-gap sessionization of POINT events):
+    here every event carries its own variable-length DURATION, so islands
+    are defined by actual interval overlap, not a gap parameter.
+
+    Shape: the classic gaps-and-islands plan — a running max(end) over
+    (user, start) marks island starts (an interval opens a new island iff
+    it starts after everything before it has ended), a running sum of the
+    marks numbers the islands, and one grouped pass merges each island.
+    Scale: one shuffle on user_id serves both window passes AND the final
+    two aggregations (same key, Exchange reuse); state per task is one
+    running max — nothing corpus-sized. Skew bound: a user's partition is
+    its event count, the same bound every per-user window in the suite
+    carries. Exactness: interval ends are whole-second timestamps
+    (round(value*60) is exact in both engines at these magnitudes) and
+    covered_seconds is an integer sum — no floating point anywhere."""
+    events = load_table(spark, sf_dir, "events")
+    iv = spread(events.where(F.col("value") > 0)).select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add(
+            "SECOND", F.round(F.col("value") * 60).cast("long"), F.col("ts")
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max("e").over(w_prev)
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn(
+        "island_id", F.sum("new_island").over(w_run)
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(
+            F.unix_timestamp("e") - F.unix_timestamp("s")
+        ).cast("bigint").alias("covered_seconds"),
+    )

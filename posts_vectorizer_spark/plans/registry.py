@@ -73,7 +73,10 @@ _HEAD_ORDER: tuple[str, ...] = (
     # (rel_string_funcs, rel_orderby_limit, rel_json_extract, rel_join_semi,
     # rel_join_outer_fill) rotated out mid-r4 — their green rows stand.
     "rel_groupby_agg",
-    "rel_cube",
+    # rel_cube rotated out for the eval wave (green r1-r3; its r4 change —
+    # scaled-int64 money sums — is shared with rel_groupby_agg which stays
+    # to re-prove it, the cube expand is separately exercised by the
+    # never-checked rel_grouping_sets below, and bench re-runs it clean)
     # rel_join_broadcast_agg + rel_window_topk_per_group rotated out at
     # round end (green r1-r3, untouched, still re-proven every bench run)
     # rel_union_distinct_except + text_elemmatch_langarray rotated out
@@ -86,16 +89,21 @@ _HEAD_ORDER: tuple[str, ...] = (
     # rotated out earlier, green+untouched; text_quality_profile likewise
     # at round end — bench re-proves it)
     "dedup_minhash_near_dups",
-    # similarity (brute-force oracle; multiprobe/centroids rotated out —
-    # green r2+r3 / r1+r3, untouched; tfidf_doc_profile, the tumbling and
-    # session batch windows likewise — all their rows stand, and the
-    # tumbling/session queries stay re-proven every bench run + local sweep)
-    "sim_cosine_topk",
-    # ST6's events_hypertable_rollup rotated out for the retrieval wave
-    # (green r3, untouched; the family keeps stream_tumbling_drain +
-    # stream_session_drain head slots and three past-green batch rows)
-    # ST9 stream-stream interval join — first-ever streaming driver row
-    "stream_interval_join",
+    # sim_cosine_topk rotated out for the eval wave (green r1-r3; the r4
+    # similarity.py edits were LSH/IVF-path only, bench re-runs the brute
+    # force every round, and the local sweep hash-checks it per pytest;
+    # multiprobe/centroids rotated out earlier — green r2+r3 / r1+r3,
+    # untouched; tfidf_doc_profile, the tumbling and session batch windows
+    # likewise — all their rows stand)
+    # stream_interval_join (ST9, green r3, untouched r4) rotated out for
+    # the eval wave — its LEFT OUTER sibling stays below and exercises the
+    # same watermarked join machinery plus the emission horizon.
+    # eval wave (new late-r4): NDCG@10 rank-quality evaluation, sparse
+    # TF-IDF posting-list all-pairs cosine, interval-union coverage —
+    # rotated in per the r3 ADVICE policy (new [Q] queries get a driver
+    # row the round they are introduced).
+    "text_bm25_ndcg_eval", "sim_sparse_tfidf_pairs",
+    "events_interval_coverage",
     # retrieval wave (new this session): BM25 ranked search + the three
     # remaining TPC-H decorrelation shapes. Wave 2's sim_hybrid_rrf_fusion,
     # events_halflife_decay, curation_weighted_sample, sim_mmr_rerank stay

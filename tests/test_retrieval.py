@@ -447,3 +447,125 @@ def test_mmr_matches_python_greedy(spark):
     for key, (d, mmr) in want.items():
         assert got[key][0] == d, (key, got[key], (d, mmr))
         assert abs(got[key][1] - mmr) < 1e-9
+
+
+def _py_bm25_graded(sf_dir: str) -> dict[int, list[tuple[int, float, int]]]:
+    """Full scored set per query (not just top-k) with the NDCG grade:
+    (doc_id, score, grade) where grade = #distinct query terms with
+    tf >= 2. Same from-scratch tokenize/round contract as _py_bm25."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    toks = {
+        int(r.doc_id): [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in docs.itertuples()
+    }
+    n_docs = float(len(toks))
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    vocab = {w for _, ws in _BM25_QUERIES for w in ws}
+    tf = {d: Counter(t for t in ts if t in vocab) for d, ts in toks.items()}
+    df = Counter(w for c in tf.values() for w in c)
+    out: dict[int, list[tuple[int, float, int]]] = {}
+    for qid, words in _BM25_QUERIES:
+        scored = []
+        for d, c in tf.items():
+            total, grade, hit = Decimal(0), 0, False
+            for w in words:
+                if c[w] == 0:
+                    continue
+                hit = True
+                grade += 1 if c[w] >= 2 else 0
+                idf = math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+                dl = float(len(toks[d]))
+                denom = c[w] + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+                total += _round6(idf * c[w] * (_BM25_K1 + 1.0) / denom)
+            if hit:
+                scored.append((d, float(total), grade))
+        out[qid] = scored
+    return out
+
+
+def _round9(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+
+
+def test_ndcg_matches_python_recount(spark):
+    from posts_vectorizer_spark.plans.queries_retrieval import (
+        _NDCG_K,
+        text_bm25_ndcg_eval,
+    )
+
+    want = {}
+    for qid, scored in _py_bm25_graded(SF_SMOKE).items():
+        ranked = sorted(scored, key=lambda t: (-t[1], t[0]))[:_NDCG_K]
+        ideal = sorted(scored, key=lambda t: (-t[2], t[0]))[:_NDCG_K]
+        dcg = sum(
+            (_round9((2.0 ** g - 1) / math.log2(i + 2)) for i, (_, _, g) in
+             enumerate(ranked)), Decimal(0)
+        )
+        idcg = sum(
+            (_round9((2.0 ** g - 1) / math.log2(i + 2)) for i, (_, _, g) in
+             enumerate(ideal)), Decimal(0)
+        )
+        if float(idcg) > 0:
+            want[qid] = float(_round6(float(dcg) / float(idcg)))
+    got = {
+        r.query_id: r.ndcg_at_10
+        for r in text_bm25_ndcg_eval(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for qid in want:
+        assert abs(got[qid] - want[qid]) < 1e-9, (qid, got[qid], want[qid])
+    # the metric must be non-degenerate on the fixture: bounded by 1 and
+    # NOT identically 1 across queries (saturating tf vs tf>=2 grade)
+    assert all(0 < v <= 1 for v in got.values())
+
+
+def test_sparse_pairs_match_python_recount(spark):
+    from posts_vectorizer_spark.plans.queries_retrieval import (
+        _SPARSE_COS_MIN,
+        _SPARSE_MAX_DF_FRAC,
+        _SPARSE_MIN_DF,
+        sim_sparse_tfidf_pairs,
+    )
+
+    docs = pq.read_table(f"{SF_SMOKE}/documents.parquet").to_pandas()
+    toks = {
+        int(r.doc_id): [t for t in re.split(r"\s+", r.text.lower()) if t]
+        for r in docs.itertuples()
+    }
+    n = float(len(toks))
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    df = Counter(w for c in tf.values() for w in set(c))
+    keep = {
+        w for w, k in df.items()
+        if _SPARSE_MIN_DF <= k <= _SPARSE_MAX_DF_FRAC * n
+    }
+    wt = {
+        d: {
+            w: _round6(c[w] * math.log(n / df[w]))
+            for w in c if w in keep
+        }
+        for d, c in tf.items()
+    }
+    nrm = {
+        d: math.sqrt(float(sum(v * v for v in ws.values())))
+        for d, ws in wt.items() if ws
+    }
+    want = {}
+    ids = sorted(nrm)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(wt[a]) & set(wt[b])
+            if not shared:
+                continue
+            dot = float(sum(wt[a][w] * wt[b][w] for w in shared))
+            cos = float(_round6(dot / (nrm[a] * nrm[b])))
+            if cos >= _SPARSE_COS_MIN:
+                want[(a, b)] = cos
+    got = {
+        (r.doc_a, r.doc_b): r.cos
+        for r in sim_sparse_tfidf_pairs(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert want, "fixture must produce at least one qualifying pair"

@@ -148,3 +148,31 @@ def test_asof_tie_takes_same_timestamp_purchase(spark, tmp_path):
     assert got[10] == 200.0  # tie: the same-instant purchase wins
     assert got[11] == 100.0  # one second earlier: the prior purchase
     assert got[12] is None   # nothing at or before: null fill
+
+
+def test_interval_coverage_merges_overlap_abut_and_nested(spark, tmp_path):
+    """Crafted intervals pin the union semantics the oracle hash can't
+    localize: overlap merges, ABUTTING (s == prev end) merges, a nested
+    interval adds nothing, value <= 0 rows are dropped, and a disjoint
+    interval opens a new island."""
+    rows = [
+        # user 1: [0,60) + [30,90) overlap; [90,120) abuts -> one island
+        (1, "2024-01-01 00:00:00", 1, 1.0),
+        (2, "2024-01-01 00:00:30", 1, 1.0),
+        (3, "2024-01-01 00:01:30", 1, 0.5),
+        # nested inside [30,90): adds nothing
+        (4, "2024-01-01 00:00:40", 1, 1 / 6),
+        # disjoint second island [300,360)
+        (5, "2024-01-01 00:05:00", 1, 1.0),
+        # zero-duration row: filtered out entirely
+        (6, "2024-01-01 00:10:00", 1, 0.0),
+        # user 2: one interval
+        (7, "2024-01-01 00:00:00", 2, 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    q = E.queries()["events_interval_coverage"]
+    got = {
+        r.user_id: (r.n_islands, r.covered_seconds)
+        for r in q(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 180), 2: (1, 60)}
