@@ -1093,11 +1093,14 @@ def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
     )
+    # norms is corpus-cardinality (one row per surviving doc) — no
+    # broadcast hint: AQE picks broadcast at small SF and shuffle join at
+    # scale, unlike the genuinely vocabulary-sized df_t above.
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     return (
-        dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

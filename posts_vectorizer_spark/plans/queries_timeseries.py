@@ -653,7 +653,7 @@ def events_halflife_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH iv AS (
   SELECT user_id, ts AS s,
          ts + INTERVAL (CAST(round(value * 60) AS BIGINT)) SECOND AS e
-  FROM events WHERE value > 0
+  FROM events WHERE CAST(round(value * 60) AS BIGINT) >= 1
 ),
 marked AS (
   SELECT user_id, s, e,
@@ -701,7 +701,11 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(value*60) is exact in both engines at these magnitudes) and
     covered_seconds is an integer sum — no floating point anywhere."""
     events = load_table(spark, sf_dir, "events")
-    iv = spread(events.where(F.col("value") > 0)).select(
+    # >= 1 whole second, not value > 0: a duration that rounds to zero
+    # would make an empty [s, s) interval that still counts as an island.
+    iv = spread(
+        events.where(F.round(F.col("value") * 60).cast("long") >= 1)
+    ).select(
         "user_id",
         F.col("ts").alias("s"),
         F.timestamp_add(

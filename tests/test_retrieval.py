@@ -36,42 +36,13 @@ def _round6(x: float) -> Decimal:
 
 
 def _py_bm25(sf_dir: str) -> list[tuple[int, int, float, int]]:
-    """From-scratch BM25 over the raw parquet: plain dict/Counter, no
-    Spark, no SQL. Mirrors the engine's rounding contract (per-term
-    contribution rounded to 6 decimals, exact decimal sum)."""
-    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
-    toks = {
-        int(r.doc_id): [t for t in re.split(r"\s+", r.text.lower()) if t]
-        for r in docs.itertuples()
-    }
-    n_docs = float(len(toks))
-    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
-    vocab = {w for _, ws in _BM25_QUERIES for w in ws}
-    tf = {
-        d: Counter(t for t in ts if t in vocab) for d, ts in toks.items()
-    }
-    df = Counter(w for c in tf.values() for w in c)
+    """Top-k view over the single from-scratch scorer (_py_bm25_graded,
+    below) — one hand-maintained copy of the BM25 rounding contract."""
     out = []
-    for qid, words in _BM25_QUERIES:
-        scores = {}
-        for d, c in tf.items():
-            total = Decimal(0)
-            hit = False
-            for w in words:
-                if c[w] == 0:
-                    continue
-                hit = True
-                idf = math.log(
-                    (n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0
-                )
-                dl = float(len(toks[d]))
-                denom = c[w] + _BM25_K1 * (
-                    1.0 - _BM25_B + _BM25_B * dl / avgdl
-                )
-                total += _round6(idf * c[w] * (_BM25_K1 + 1.0) / denom)
-            if hit:
-                scores[d] = float(total)
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    for qid, scored in _py_bm25_graded(sf_dir).items():
+        ranked = sorted(
+            ((d, s) for d, s, _ in scored), key=lambda kv: (-kv[1], kv[0])
+        )
         out.extend(
             (qid, d, s, rk + 1)
             for rk, (d, s) in enumerate(ranked[:_BM25_TOPK])
@@ -515,8 +486,11 @@ def test_ndcg_matches_python_recount(spark):
     for qid in want:
         assert abs(got[qid] - want[qid]) < 1e-9, (qid, got[qid], want[qid])
     # the metric must be non-degenerate on the fixture: bounded by 1 and
-    # NOT identically 1 across queries (saturating tf vs tf>=2 grade)
+    # NOT identically 1 across queries (saturating tf vs tf>=2 grade) —
+    # a grade definition that collapses into the score ordering would
+    # make every NDCG exactly 1.0 and void the evaluator
     assert all(0 < v <= 1 for v in got.values())
+    assert any(v < 1 for v in got.values())
 
 
 def test_sparse_pairs_match_python_recount(spark):

@@ -153,7 +153,8 @@ def test_asof_tie_takes_same_timestamp_purchase(spark, tmp_path):
 def test_interval_coverage_merges_overlap_abut_and_nested(spark, tmp_path):
     """Crafted intervals pin the union semantics the oracle hash can't
     localize: overlap merges, ABUTTING (s == prev end) merges, a nested
-    interval adds nothing, value <= 0 rows are dropped, and a disjoint
+    interval adds nothing, durations that round below one whole second
+    are dropped (no phantom zero-coverage islands), and a disjoint
     interval opens a new island."""
     rows = [
         # user 1: [0,60) + [30,90) overlap; [90,120) abuts -> one island
@@ -166,6 +167,9 @@ def test_interval_coverage_merges_overlap_abut_and_nested(spark, tmp_path):
         (5, "2024-01-01 00:05:00", 1, 1.0),
         # zero-duration row: filtered out entirely
         (6, "2024-01-01 00:10:00", 1, 0.0),
+        # sub-half-second duration (0.24s rounds to 0): also filtered —
+        # would otherwise count as a disjoint zero-coverage island
+        (8, "2024-01-01 00:20:00", 1, 0.004),
         # user 2: one interval
         (7, "2024-01-01 00:00:00", 2, 1.0),
     ]
