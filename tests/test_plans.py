@@ -391,3 +391,36 @@ def test_q6_pushes_all_three_predicates_to_scan(spark):
     plan = _plan(df)
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_interval_coverage_single_user_exchange(spark):
+    """events_interval_coverage claims ONE user_id hash Exchange serves
+    both gaps-and-islands windows and both grouped aggregations
+    (SCALE.md eval wave) — the island refinement must not re-shuffle."""
+    plan = _plan(E.queries()["events_interval_coverage"](spark, SF_ORACLE))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"{n_exchange} hash Exchanges"
+    # duration filter pushed into the scan's data filters, not a
+    # post-scan Filter over the full table
+    assert "PushedFilters: [" in plan
+
+
+def test_sparse_pairs_join_on_word_no_cartesian(spark):
+    """sim_sparse_tfidf_pairs' pair generation must be an equi-join on
+    word (shuffle bounded by Sum df^2 of the CAPPED vocabulary), with
+    the doc_a < doc_b cut as a join residual — never a cartesian
+    product, and the only nested-loop join allowed is the 1-row
+    n_docs scalar broadcast."""
+    plan = _plan(E.queries()["sim_sparse_tfidf_pairs"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    # the pair join is keyed on word (hash or sort-merge — AQE's pick),
+    # never nested-loop
+    assert ("BroadcastHashJoin [word" in plan
+            or "SortMergeJoin [word" in plan
+            or "ShuffledHashJoin [word" in plan)
+    # every nested-loop join in the tree is the 1-row scalar cross
+    # (n_docs broadcast), textually repeated under each occurrence of
+    # the persisted weight relation — all must be Cross builds
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
