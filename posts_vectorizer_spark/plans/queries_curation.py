@@ -463,8 +463,11 @@ scored AS (
 )
 SELECT doc_id,
        CAST(sum(dcnt) AS BIGINT) AS n_tokens,
-       CAST(round(CAST(sum(lp) AS DOUBLE) / sum(dcnt), 6) AS DOUBLE)
-         AS avg_logprob
+       -- raw quotient, not rounded: the exact-decimal numerator makes the
+       -- division bit-identical; rounding it is not portable (quotients of
+       -- a 1e-6-grid sum by small integers land ON rounding boundaries,
+       -- where the engines' rounding algorithms disagree — sf0.1 lesson)
+       CAST(sum(lp) AS DOUBLE) / sum(dcnt) AS avg_logprob
 FROM scored GROUP BY doc_id
 """,
 )
@@ -504,7 +507,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.sum("dcnt").cast("bigint").alias("n_tokens"),
-        F.round(F.sum("lp").cast("double") / F.sum("dcnt"), 6)
+        (F.sum("lp").cast("double") / F.sum("dcnt"))
         .cast("double")
         .alias("avg_logprob"),
     )
@@ -561,8 +564,8 @@ model AS (
 )
 SELECT dc.doc_id,
        CAST(sum(dc.n) AS BIGINT) AS n_feats,
-       CAST(round(CAST(sum(dc.n * model.llr) AS DOUBLE) / sum(dc.n), 6)
-            AS DOUBLE) AS avg_llr,
+       -- raw quotient, not rounded (portability: see text_unigram_logprob)
+       CAST(sum(dc.n * model.llr) AS DOUBLE) / sum(dc.n) AS avg_llr,
        CAST(sum(dc.n * model.llr) AS DOUBLE) / sum(dc.n) > 0 AS selected
 FROM dc JOIN model USING (b)
 GROUP BY dc.doc_id
@@ -647,7 +650,7 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("bigint").alias("n_feats"),
-            F.round(avg, 6).cast("double").alias("avg_llr"),
+            avg.cast("double").alias("avg_llr"),
             (avg > 0).alias("selected"),
         )
     )

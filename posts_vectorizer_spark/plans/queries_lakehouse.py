@@ -332,8 +332,9 @@ s AS (
 )
 SELECT label,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(round(CAST(sum(sil) AS DOUBLE) / count(*), 6) AS DOUBLE)
-         AS avg_silhouette
+       -- raw quotient, not rounded (portability: quotients of a decimal
+       -- grid sum by small n land on rounding boundaries — sf0.1 lesson)
+       CAST(sum(sil) AS DOUBLE) / count(*) AS avg_silhouette
 FROM s GROUP BY label
 """,
 )
@@ -415,7 +416,7 @@ def sim_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("sil").cast("double") / F.count("*"), 6)
+            (F.sum("sil").cast("double") / F.count("*"))
             .cast("double")
             .alias("avg_silhouette"),
         )

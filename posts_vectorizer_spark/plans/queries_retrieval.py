@@ -918,8 +918,10 @@ idcg AS (
   FROM ideal WHERE rnk <= {_NDCG_K} GROUP BY query_id
 )
 SELECT d.query_id,
-       round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
-         AS ndcg_at_10
+       -- raw IEEE quotient of two exact decimals, deliberately not
+       -- rounded: the division of identical doubles is bit-identical,
+       -- rounding a ratio of grid values is not (sf0.1 lesson)
+       CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) AS ndcg_at_10
 FROM dcg d JOIN idcg i USING (query_id)
 WHERE CAST(i.idcg AS DOUBLE) > 0
 """,
@@ -941,9 +943,11 @@ def text_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, then a per-query 10-row aggregate. Exactness: each DCG
     contribution (2^grade - 1)/log2(rank+1) is rounded to 9 decimals and
     summed as DECIMAL(18,9) — partition-order independent — and the final
-    ratio is round-6 double, so the metric is bit-identical across
-    engines. The idcg > 0 guard drops all-zero-grade queries identically
-    in both engines instead of dividing by zero."""
+    ratio is the RAW IEEE quotient of those exact decimals (bit-identical
+    across engines; rounding a ratio of grid values is the one
+    non-portable step — see the oracle comment). The idcg > 0 guard drops
+    all-zero-grade queries identically in both engines instead of
+    dividing by zero."""
     scored = _bm25_scored(spark, sf_dir)
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
@@ -973,9 +977,8 @@ def text_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("idcg").cast("double") > 0)
         .select(
             "query_id",
-            F.round(
-                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
-            ).alias("ndcg_at_10"),
+            (F.col("dcg").cast("double") / F.col("idcg").cast("double"))
+            .alias("ndcg_at_10"),
         )
     )
 

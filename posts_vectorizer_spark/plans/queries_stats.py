@@ -33,40 +33,42 @@ _AB_Z_CRIT = 1.96  # two-sided 5%
 @register(
     "events_ab_test",
     oracle=f"""
-WITH assigned AS (
-  SELECT user_id % 2 AS variant, event_type FROM events
+WITH per_sess AS (
+  SELECT user_id % 2 AS variant,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM events GROUP BY user_id, date_trunc('day', ts)
 ),
 counts AS (
   SELECT variant,
-         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-           AS n_purchase
-  FROM assigned GROUP BY variant
+         sum(saw) AS n,
+         sum(saw * bought) AS x
+  FROM per_sess GROUP BY variant
 ),
 wide AS (
   SELECT
-    max(CASE WHEN variant = 0 THEN n_view END) AS v0,
-    max(CASE WHEN variant = 0 THEN n_purchase END) AS p0,
-    max(CASE WHEN variant = 1 THEN n_view END) AS v1,
-    max(CASE WHEN variant = 1 THEN n_purchase END) AS p1
+    max(CASE WHEN variant = 0 THEN n END) AS n0,
+    max(CASE WHEN variant = 0 THEN x END) AS x0,
+    max(CASE WHEN variant = 1 THEN n END) AS n1,
+    max(CASE WHEN variant = 1 THEN x END) AS x1
   FROM counts
 ),
 calc AS (
-  SELECT v0, p0, v1, p1,
-         CAST(p0 AS DOUBLE) / v0 AS r0,
-         CAST(p1 AS DOUBLE) / v1 AS r1,
-         CAST(p0 + p1 AS DOUBLE) / (v0 + v1) AS pp
+  SELECT n0, x0, n1, x1,
+         CAST(x0 AS DOUBLE) / n0 AS r0,
+         CAST(x1 AS DOUBLE) / n1 AS r1,
+         CAST(x0 + x1 AS DOUBLE) / (n0 + n1) AS pp
   FROM wide
 )
-SELECT CAST(v0 AS BIGINT) AS views_a, CAST(p0 AS BIGINT) AS purchases_a,
-       CAST(v1 AS BIGINT) AS views_b, CAST(p1 AS BIGINT) AS purchases_b,
+SELECT CAST(n0 AS BIGINT) AS exposed_a, CAST(x0 AS BIGINT) AS converted_a,
+       CAST(n1 AS BIGINT) AS exposed_b, CAST(x1 AS BIGINT) AS converted_b,
        CAST(round(r0, 6) AS DOUBLE) AS rate_a,
        CAST(round(r1, 6) AS DOUBLE) AS rate_b,
        CAST(round((r0 - r1)
-            / sqrt(pp * (1 - pp) * (1.0 / v0 + 1.0 / v1)), 6) AS DOUBLE)
+            / sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)), 6) AS DOUBLE)
          AS z_stat,
        abs((r0 - r1)
-           / sqrt(pp * (1 - pp) * (1.0 / v0 + 1.0 / v1)))
+           / sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)))
          > {_AB_Z_CRIT} AS significant
 FROM calc
 """,
@@ -74,48 +76,64 @@ FROM calc
 def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B test readout: split users into two variants (deterministic
     user_id parity — the hash-assignment every experimentation platform
-    uses), compare purchase-per-view conversion with the two-proportion
-    pooled z-test, and flag two-sided 5% significance — the
-    experimentation-analysis query run over event logs daily.
+    uses), compare per-user view->purchase conversion with the
+    two-proportion pooled z-test, and flag two-sided 5% significance.
 
-    Scale shape: the corpus reduces to FOUR counts (one conditional
-    aggregate, map-side combinable) before any statistics; the z
+    Unit of analysis is the USER-DAY session (exposed = a user-day with
+    >= 1 view; converted = that user-day also purchased), not raw event
+    counts — a proportion needs successes to be a subset of trials. The
+    original events-as-trials form divided purchase events by view
+    events, and at sf0.1 variant 0 logs MORE purchases than views
+    (10237 vs 9995), so the pooled "proportion" exceeded 1 and
+    sqrt(pp*(1-pp)) went negative (DuckDB raised; Spark silently
+    produced NaN). Whole-user grain is degenerate the other way on this
+    fixture (every user eventually converts -> pp = 1, zero variance);
+    user-day sessions give the real experimentation readout
+    (fixture rates ~0.33-0.40 at every SF). Degenerate pp in {{0, 1}}
+    would divide by zero identically in both engines.
+
+    Scale shape: one (user, day)-keyed aggregate (map-side combinable
+    flags) reduces the corpus to session bits, then FOUR counts; the z
     arithmetic is closed-form over those counts — exact integer inputs,
     identical double expression trees in both engines, no float-sum
     order anywhere. At 100 TB the cost is the scan, full stop.
     """
     e = load_table(spark, sf_dir, "events")
-    counts = (
-        e.select((F.col("user_id") % 2).alias("variant"), "event_type")
-        .groupBy("variant")
+    per_sess = (
+        e.groupBy("user_id", F.date_trunc("day", "ts"))
         .agg(
-            F.sum(
+            F.max(
                 F.when(F.col("event_type") == "view", 1).otherwise(0)
-            ).alias("n_view"),
-            F.sum(
+            ).alias("saw"),
+            F.max(
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("n_purchase"),
+            ).alias("bought"),
         )
+        .select((F.col("user_id") % 2).alias("variant"), "saw", "bought")
+    )
+    counts = per_sess.groupBy("variant").agg(
+        F.sum("saw").alias("n"),
+        F.sum(F.col("saw") * F.col("bought")).alias("x"),
     )
     wide = counts.agg(
-        F.max(F.when(F.col("variant") == 0, F.col("n_view"))).alias("v0"),
-        F.max(F.when(F.col("variant") == 0, F.col("n_purchase"))).alias("p0"),
-        F.max(F.when(F.col("variant") == 1, F.col("n_view"))).alias("v1"),
-        F.max(F.when(F.col("variant") == 1, F.col("n_purchase"))).alias("p1"),
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
     )
-    r0 = F.col("p0").cast("double") / F.col("v0")
-    r1 = F.col("p1").cast("double") / F.col("v1")
-    pp = (F.col("p0") + F.col("p1")).cast("double") / (
-        F.col("v0") + F.col("v1")
+    r0 = F.col("x0").cast("double") / F.col("n0")
+    r1 = F.col("x1").cast("double") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
     )
     z = (r0 - r1) / F.sqrt(
-        pp * (1 - pp) * (1.0 / F.col("v0") + 1.0 / F.col("v1"))
+        pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
     )
     return wide.select(
-        F.col("v0").cast("bigint").alias("views_a"),
-        F.col("p0").cast("bigint").alias("purchases_a"),
-        F.col("v1").cast("bigint").alias("views_b"),
-        F.col("p1").cast("bigint").alias("purchases_b"),
+        F.col("n0").cast("bigint").alias("exposed_a"),
+        F.col("x0").cast("bigint").alias("converted_a"),
+        F.col("n1").cast("bigint").alias("exposed_b"),
+        F.col("x1").cast("bigint").alias("converted_b"),
         F.round(r0, 6).cast("double").alias("rate_a"),
         F.round(r1, 6).cast("double").alias("rate_b"),
         F.round(z, 6).cast("double").alias("z_stat"),

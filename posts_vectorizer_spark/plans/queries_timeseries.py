@@ -317,8 +317,13 @@ scored AS (
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_transitions,
-       CAST(round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS DOUBLE)
-         AS avg_logprob
+       -- raw IEEE quotient, deliberately NOT rounded: the numerator is an
+       -- exact decimal (identical in both engines), so the division is
+       -- bit-identical — but round() is not: quotients of a 1e-6-grid sum
+       -- by small n land ON rounding boundaries every ~2n values, where
+       -- Spark's decimal-string rounding and DuckDB's scaled-multiply
+       -- rounding disagree (caught at sf0.1: doc 2540, sum -71.349240/48)
+       CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
 FROM scored GROUP BY doc_id
 """,
 )
@@ -369,7 +374,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_transitions"),
-        F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+        # raw quotient — see the oracle comment on why rounding here is
+        # the one non-portable step
+        (F.sum("lp").cast("double") / F.count("*"))
         .cast("double")
         .alias("avg_logprob"),
     )
@@ -508,7 +515,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
   SELECT event_id, user_id, ts, value,
-         CAST(epoch(ts) AS BIGINT) AS ep
+         -- floor, not a bare CAST: DuckDB epoch() is DOUBLE with the
+         -- fractional second, and double->bigint CASTs ROUND — Spark's
+         -- unix_timestamp truncates, so a .5+ fractional second shifted
+         -- the frame boundary by one second (caught at sf0.1)
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
   FROM events
 )
 SELECT event_id, user_id, ts,

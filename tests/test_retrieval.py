@@ -477,7 +477,7 @@ def test_ndcg_matches_python_recount(spark):
              enumerate(ideal)), Decimal(0)
         )
         if float(idcg) > 0:
-            want[qid] = float(_round6(float(dcg) / float(idcg)))
+            want[qid] = float(dcg) / float(idcg)
     got = {
         r.query_id: r.ndcg_at_10
         for r in text_bm25_ndcg_eval(spark, SF_SMOKE).collect()

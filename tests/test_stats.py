@@ -41,8 +41,10 @@ def test_ab_test_detects_planted_lift(spark, tmp_path):
         rows.append((eid := eid + 1, "2024-01-01", i * 2 + 1, "purchase", 1))
     _events(tmp_path, rows)
     r = E.queries()["events_ab_test"](spark, str(tmp_path)).collect()[0]
-    assert (r["views_a"], r["purchases_a"]) == (100, 50)
-    assert (r["views_b"], r["purchases_b"]) == (100, 10)
+    # one user-day session per user here, so exposed/converted counts
+    # equal the planted per-user view/purchase counts
+    assert (r["exposed_a"], r["converted_a"]) == (100, 50)
+    assert (r["exposed_b"], r["converted_b"]) == (100, 10)
     assert r["rate_a"] == 0.5 and r["rate_b"] == 0.1
     assert r["z_stat"] > 1.96 and r["significant"]
 
