@@ -560,3 +560,191 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_post_cuped"),
         F.round(F.col("th"), 6).cast("double").alias("theta"),
     ).orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto frontier) with grid pruning
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_skyline_pareto",
+    oracle="""
+WITH per_price AS (
+  SELECT p_retailprice, max(p_size) AS best_size
+  FROM part GROUP BY p_retailprice
+),
+flagged AS (
+  SELECT p_retailprice, best_size,
+         max(best_size) OVER (
+           ORDER BY p_retailprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+  FROM per_price
+),
+frontier AS (
+  SELECT p_retailprice, best_size
+  FROM flagged
+  WHERE run_max IS NULL OR best_size > run_max
+)
+SELECT f.p_retailprice,
+       CAST(f.best_size AS INT) AS p_size,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM frontier f
+JOIN part p
+  ON p.p_retailprice = f.p_retailprice AND p.p_size = f.best_size
+GROUP BY f.p_retailprice, f.best_size
+ORDER BY f.p_retailprice
+""",
+)
+def rel_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (reference analytics surface: the
+    "best trade-off" scan every catalog UI runs): the set of parts no other
+    part dominates, minimizing p_retailprice while maximizing p_size.
+    Dominance: p dominates q iff p is no more expensive AND no smaller,
+    strictly better on at least one axis.
+
+    Spark-first shape (the 2D skyline is a SORT, not an O(n^2) anti-join):
+    collapse to one row per distinct price (max size — same-price smaller
+    parts are dominated within the group), then a single ordered running
+    max: a price is on the frontier iff its best size strictly exceeds the
+    running max over all strictly-cheaper prices.
+
+    100 TB path: before the ordered pass, a coarse price-bucket grid
+    (floor(price)) computes per-bucket max sizes — a tiny broadcast — and
+    every row whose size <= the running bucket max over strictly-cheaper
+    buckets is provably dominated and pruned map-side. The global window
+    then sorts only the surviving candidate band (bounded by the frontier's
+    staircase width), not the table. Pruning is conservative: any pruned
+    row's dominator chain terminates at a surviving row, so the running max
+    over survivors equals the running max over all rows and the result is
+    exact (pinned by the crafted-fixture test and the DuckDB twin, which
+    skips pruning entirely).
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_retailprice", "p_size"
+    )
+    per_price = parts.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    # Grid prune: per-bucket best size, running max over strictly-cheaper
+    # buckets (floor buckets => every price in a lower bucket is strictly
+    # smaller). Tiny relation: one row per distinct floor(price).
+    buckets = per_price.groupBy(
+        F.floor("p_retailprice").alias("bucket")
+    ).agg(F.max("best_size").alias("bucket_best"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = buckets.select(
+        "bucket", F.max("bucket_best").over(wb).alias("prev_bucket_max")
+    )
+    survivors = (
+        per_price.join(
+            F.broadcast(cum),
+            F.floor("p_retailprice") == F.col("bucket"),
+        )
+        .where(
+            F.col("prev_bucket_max").isNull()
+            | (F.col("best_size") > F.col("prev_bucket_max"))
+        )
+        .select("p_retailprice", "best_size")
+    )
+    # Exact pass over the pruned candidate band only.
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        survivors.withColumn("run_max", F.max("best_size").over(w))
+        .where(F.col("run_max").isNull() | (F.col("best_size") > F.col("run_max")))
+        .select("p_retailprice", "best_size")
+    )
+    out = (
+        frontier.join(
+            parts,
+            (parts["p_retailprice"] == frontier["p_retailprice"])
+            & (parts["p_size"] == frontier["best_size"]),
+        )
+        .groupBy(frontier["p_retailprice"], frontier["best_size"])
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            frontier["p_retailprice"],
+            F.col("best_size").cast("int").alias("p_size"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+        )
+        .orderBy("p_retailprice")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# grouped weighted median
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_weighted_median",
+    oracle="""
+WITH per_val AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+cum AS (
+  SELECT l_returnflag, l_extendedprice, w,
+         sum(w) OVER (
+           PARTITION BY l_returnflag ORDER BY l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM per_val
+)
+SELECT l_returnflag,
+       CAST(min(l_extendedprice) AS DOUBLE) AS weighted_median,
+       CAST(max(totw) AS DOUBLE) AS total_qty
+FROM cum
+WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted median: the l_extendedprice at which half the
+    total l_quantity mass sits at-or-below, per l_returnflag (the
+    inventory-weighted "typical price" readout; lower weighted median —
+    smallest value whose cumulative weight reaches half).
+
+    Shape: collapse to one row per (group, value) with an exact DECIMAL
+    weight sum (one shuffle), then a per-group ordered cumulative-weight
+    window and a min() over values where 2*cum >= total. Exactly one
+    exchange on the group key serves the groupBy, both window frames, and
+    the final agg. Weights stay DECIMAL end-to-end, so the half-mass
+    boundary (2*cumw == totw exactly at a tie) is bit-identical across
+    engines — no float accumulation anywhere.
+
+    100 TB: the window sorts |distinct values| rows per group, the classic
+    exact-median bound. The engine's approximate path for wide groups is
+    rel_stats_quantiles' percentile_approx (mergeable sketch); this query
+    is the exact twin.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    per_val = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = per_val.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wtot).alias("totw"),
+    )
+    return (
+        cum.where(F.lit(2) * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").cast("double").alias("weighted_median"),
+            F.max("totw").cast("double").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -750,3 +750,125 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("e") - F.unix_timestamp("s")
         ).cast("bigint").alias("covered_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS x
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+series AS (
+  SELECT event_type, day, x,
+         sum(x) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         sum(x) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day, n,
+         abs(CAST(n AS DECIMAL(38,0)) * CAST(prefix AS DECIMAL(38,0))
+             - CAST(i AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)))
+           AS ns_abs
+  FROM series
+),
+ranked AS (
+  SELECT event_type, day, n, ns_abs,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ns_abs DESC, day) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(day AS DATE) AS change_day,
+       CAST(round(CAST(ns_abs AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+            AS DOUBLE) AS cusum_stat
+FROM ranked WHERE rk = 1
+ORDER BY event_type
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event_type: build the daily value
+    series, accumulate deviations from the series mean, and report the day
+    where |S_i| = |sum_{j<=i}(x_j - mean)| peaks — the classic single
+    change-point estimator (the monitoring primitive behind drift alarms).
+
+    Determinism engineering: the mean is never materialized (decimal/BIGINT
+    division isn't exact). Instead n*S_i = n*prefix_i - i*total is computed
+    in scaled integer units (micro-units via round(value*1e6), the repo's
+    money-sum pattern — explicit round() in BOTH engines, never a bare
+    double->BIGINT cast, whose rounding direction differs between Spark and
+    DuckDB), promoted to DECIMAL(38,0) for the products so nothing
+    overflows, and only the final reported statistic divides back to a
+    double. Peak ties break on earliest day — a total order.
+
+    Shape: one hash agg on (event_type, day), then one event_type exchange
+    serving ALL FOUR window functions, the argmax rank, and the final
+    projection. 100 TB: the agg collapses to |types| x |days| rows before
+    the ordered pass; per-type state is a single sort of its day count.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint")).alias("x")
+    )
+    word = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    series = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(word).alias("prefix"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        ).alias("i"),
+        F.sum("x").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    scored = series.select(
+        "event_type",
+        "day",
+        "n",
+        F.abs(
+            d38("n") * d38("prefix") - d38("i") * d38("total")
+        ).alias("ns_abs"),
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("ns_abs").desc(), F.col("day")
+            )
+        ),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("day").cast("date").alias("change_day"),
+            F.round(
+                F.col("ns_abs").cast("double")
+                / F.col("n").cast("double")
+                / 1000000.0,
+                6,
+            )
+            .cast("double")
+            .alias("cusum_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -109,7 +109,8 @@ _HEAD_ORDER: tuple[str, ...] = (
     # events_halflife_decay, curation_weighted_sample, sim_mmr_rerank stay
     # OUTSIDE the full 50-slot budget this round (local oracle +
     # independent Python recounts only) — first-priority r5 rotation
-    # candidates.
+    # candidates, together with the end-of-round analytics wave
+    # (rel_skyline_pareto, rel_weighted_median, events_cusum_changepoint).
     "text_bm25_topk", "rel_tpch_q18_large_orders",
     "rel_tpch_q21_late_suppliers", "rel_tpch_q22_dormant_accounts",
     # 39 rotating never-driver-checked slots (r4; rel_date_trunc_agg

@@ -165,3 +165,49 @@ def test_cuped_matches_independent_numpy_derivation(spark):
                 np.sign(got[v]["mean_post_cuped"] - got[v]["mean_post"])
                 == expected_sign
             )
+
+
+def test_skyline_dominance_edge_cases(spark, tmp_path):
+    # Crafted frontier: same-price smaller part dominated, same-size
+    # pricier part dominated, duplicate (price,size) parts both counted.
+    prices = [1.0, 1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0]
+    sizes = [5, 3, 5, 7, 7, 9, 9, 8]
+    pd.DataFrame(
+        {
+            "p_partkey": list(range(len(prices))),
+            "p_name": ["p"] * len(prices),
+            "p_brand": ["B"] * len(prices),
+            "p_type": ["t"] * len(prices),
+            "p_size": sizes,
+            "p_retailprice": prices,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    rows = [
+        (r["p_retailprice"], r["p_size"], r["n_parts"])
+        for r in E.queries()["rel_skyline_pareto"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    # (1.0,3) loses to (1.0,5); (2.0,5) to (1.0,5); (3.0,7) to (2.0,7);
+    # (5.0,8) to (4.0,9); the two (4.0,9) parts share one frontier row.
+    assert rows == [(1.0, 5, 1), (2.0, 7, 1), (4.0, 9, 2)]
+
+
+def test_weighted_median_half_mass_boundary(spark, tmp_path):
+    # Group A: weights 1/1 over values 10,20 -> 2*cumw==totw exactly AT
+    # 10, so the lower weighted median (10.0) must win the boundary.
+    # Group B: weights 1,2,1 over 10,20,30 -> half-mass lands inside 20.
+    pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "B", "B", "B"],
+            "l_extendedprice": [10.0, 20.0, 10.0, 20.0, 30.0],
+            "l_quantity": [1.0, 1.0, 1.0, 2.0, 1.0],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["weighted_median"], r["total_qty"])
+        for r in E.queries()["rel_weighted_median"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"A": (10.0, 2.0), "B": (20.0, 4.0)}

@@ -180,3 +180,31 @@ def test_interval_coverage_merges_overlap_abut_and_nested(spark, tmp_path):
         for r in q(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 180), 2: (1, 60)}
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    # 10 days, one event/day: 10.0 for days 1-5, 20.0 after. The CUSUM
+    # |S_i| of deviations from the series mean (15) peaks at the shift
+    # boundary, day 5, with |S_5| = 5*5 = 25.
+    import datetime
+
+    import pandas as pd
+
+    days = [f"2024-01-{d:02d}" for d in range(1, 11)]
+    pd.DataFrame(
+        {
+            "event_id": list(range(10)),
+            "ts": pd.to_datetime(days),
+            "user_id": [1] * 10,
+            "event_type": ["click"] * 10,
+            "value": [10.0] * 5 + [20.0] * 5,
+            "props": ["{}"] * 10,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    r = E.queries()["events_cusum_changepoint"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(r) == 1
+    assert r[0]["n_days"] == 10
+    assert r[0]["change_day"] == datetime.date(2024, 1, 5)
+    assert r[0]["cusum_stat"] == 25.0
