@@ -294,7 +294,9 @@ SELECT vec_id,
          list_prepend(CAST(0.0 AS DOUBLE),
            list_transform(generate_series(1, len(embedding)),
              d -> CAST(embedding[d] AS DOUBLE)
-                  * (CASE WHEN ((d - 1) * 73 + ks.k * 179) % 2 = 0
+                  * (CASE WHEN floor(((d * 73 + (ks.k + 1) * 1009)
+                                      * (d * 73 + (ks.k + 1) * 1009)
+                                      * 12289) / 65536) % 2 = 0
                           THEN 1.0 ELSE -1.0 END))),
          (a, x) -> a + x), 6) AS DOUBLE) AS proj
 FROM embeddings
@@ -305,9 +307,18 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-sign (Achlioptas-style Johnson-Lindenstrauss) projection of
     the 64-dim embeddings down to {k} dims — the cheap dimensionality
     reduction in front of clustering / dedup at corpus scale. The ±1
-    projection matrix is a deterministic function of (dim, k) — pure
-    arithmetic parity, identical in both engines — so no matrix is stored
-    or shipped anywhere.
+    projection matrix is a deterministic function of (dim, k) — bit 16 of
+    m²·12289 for the combined index m = d·73 + (k+1)·1009 (exact in both
+    engines: products stay under 2^53 and /65536 is a power-of-two
+    division, lossless in doubles) — so no matrix is stored or shipped
+    anywhere. The QUADRATIC mix matters: the original linear parity
+    (d*73 + k*179) only complemented the sign pattern as k stepped,
+    collapsing all 8 output dims to ±one projection (rank 1, no distance
+    preservation at all), and any mix linear in the index leaves the
+    bit-16 sequence Weyl-structured (pairwise |corr| up to 0.84 measured);
+    m² breaks the arithmetic progression and lands pairwise correlations
+    at the ~1/sqrt(64) random baseline. Pinned by the off-diagonal
+    correlation test (tests/test_corpus.py).
 
     Scale shape: entirely array-local math — per row, {k} sequential folds
     over the embedding array, all inside whole-stage codegen (higher-order
@@ -325,7 +336,17 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e,
                 F.sequence(F.lit(0), F.size("embedding") - 1),
                 lambda v, d: v
-                * F.when((d * 73 + k * 179) % 2 == 0, 1.0).otherwise(-1.0),
+                * F.when(
+                    F.floor(
+                        ((d + 1) * 73 + (k + 1) * 1009).cast("long")
+                        * ((d + 1) * 73 + (k + 1) * 1009).cast("long")
+                        * F.lit(12289).cast("long")
+                        / 65536
+                    )
+                    % 2
+                    == 0,
+                    1.0,
+                ).otherwise(-1.0),
             ),
             F.lit(0.0),
             lambda a, x: a + x,

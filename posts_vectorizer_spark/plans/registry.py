@@ -138,7 +138,12 @@ _HEAD_ORDER: tuple[str, ...] = (
     "rel_tpch_q19_disjunctive", "rel_tpch_q16_dormant_parts",
     "dedup_substring_spans", "stream_interval_join_outer",
     "rel_lateral_topk", "rel_variant_json", "rel_xml_extract",
-    "rel_observe_audit", "udtf_polymorphic_firstn",
+    # sim_random_projection re-enters (green r1/r3 rows are STALE: the
+    # late-r4 sign-matrix fix — rank-1 linear parity -> quadratic mix —
+    # changed its values, so it must re-prove); udtf_polymorphic_firstn
+    # yields the slot (the UDTF family keeps driver coverage through
+    # udtf_tokenize_lateral's green r3 row) — first r5 rotation priority.
+    "rel_observe_audit", "sim_random_projection",
     "grouped_arrow_vector_stats", "source_python_sink_roundtrip",
     "events_ab_cuped", "source_ledger_compaction", "source_ledger_skipping",
 )

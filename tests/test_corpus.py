@@ -81,9 +81,17 @@ def test_chunk_boilerplate_fraction(spark, tmp_path):
     assert out[3]["boiler_frac"] == 0.0
 
 
+def _proj_sign(d1: int, k: int) -> float:
+    """Independent Python derivation of the ±1 projection matrix entry
+    (d1 is the 1-based embedding dim): bit 16 of m²·12289 for the combined
+    index m = d1·73 + (k+1)·1009."""
+    m = d1 * 73 + (k + 1) * 1009
+    return 1.0 if ((m * m * 12289) // 65536) % 2 == 0 else -1.0
+
+
 def test_random_projection_unit_vector(spark, tmp_path):
-    # e_0 (1 in dim 0): proj_k = sign(0, k) = +1 iff (k*179) % 2 == 0,
-    # i.e. +1 for even k, -1 for odd k.
+    # e_0 (1 in dim 0): proj_k must equal the sign-matrix entry for
+    # (d1=1, k), recomputed independently in Python.
     from pyspark.sql import types as ST
 
     schema = ST.StructType(
@@ -105,7 +113,24 @@ def test_random_projection_unit_vector(spark, tmp_path):
     }
     assert len(out) == 8
     for k, v in out.items():
-        assert v == (1.0 if k % 2 == 0 else -1.0)
+        assert v == _proj_sign(1, k)
+
+
+def test_random_projection_signs_are_not_degenerate():
+    # Regression pin for the rank-1 collapse: the original linear parity
+    # (d*73 + k*179) made every k-row the complement or copy of row 0, so
+    # all 8 projections were ±one number. The quadratic mix must keep the
+    # sign matrix full-rank with pairwise row correlations near the
+    # 1/sqrt(64) random baseline.
+    import numpy as np
+
+    signs = np.array(
+        [[_proj_sign(d1, k) for d1 in range(1, 65)] for k in range(8)]
+    )
+    gram = signs @ signs.T / 64
+    off = np.abs(gram[~np.eye(8, dtype=bool)])
+    assert np.linalg.matrix_rank(signs) == 8
+    assert off.max() < 0.5
 
 
 def test_split_assign_reproduces_python_arithmetic(spark):
