@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..cache import persist_tracked
+
 K_DEFAULT = 8
 ITERS_DEFAULT = 2
 ROUND = 6
@@ -811,3 +813,283 @@ WHERE cosine > {tau}
 GROUP BY vec_id, cluster_id
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (grid-accelerated density clustering on the 2D JL projection)
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS = 0.3
+DBSCAN_MINPTS = 5
+
+
+def _proj_sign_case(k: int, dim_sql: str) -> str:
+    """SQL ±1 sign for (1-based dim, k): bit 16 of m²·12289 over the
+    combined index m = dim·73 + (k+1)·1009 — MUST stay in lockstep with
+    sim_random_projection (plans/queries_corpus.py); a parity test pins
+    the two implementations against each other (tests/test_wave14.py)."""
+    m = f"({dim_sql} * 73 + {(k + 1) * 1009})"
+    return (
+        f"(CASE WHEN floor(({m} * {m} * 12289) / 65536) % 2 = 0"
+        " THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def proj2d_expr(k: int):
+    """Spark column: round-6 projection of `embedding` onto sign row k
+    (same quadratic-mix matrix as sim_random_projection)."""
+    e = F.col("embedding").cast("array<double>")
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                e,
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda v, d: v
+                * F.when(
+                    F.floor(
+                        ((d + 1) * 73 + (k + 1) * 1009).cast("long")
+                        * ((d + 1) * 73 + (k + 1) * 1009).cast("long")
+                        * F.lit(12289).cast("long")
+                        / 65536
+                    )
+                    % 2
+                    == 0,
+                    1.0,
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    ).cast("double")
+
+
+def _proj2d_sql(k: int) -> str:
+    return f"""round(list_reduce(
+  list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(generate_series(1, len(embedding)),
+      d -> CAST(embedding[d] AS DOUBLE) * {_proj_sign_case(k, 'd')})),
+  (a, x) -> a + x), 6)"""
+
+
+def dbscan(
+    emb: DataFrame,
+    eps: float = DBSCAN_EPS,
+    min_pts: int = DBSCAN_MINPTS,
+    max_iterations: int = 60,
+) -> DataFrame:
+    """(vec_id, role, cluster) — DBSCAN over the 2D JL projection of the
+    embedding column: role in {'core','border','noise'}; cluster is the
+    MIN core vec_id of the density-connected component (NULL for noise).
+    Classic semantics: |N_eps(p)| counts p itself; border points attach
+    to the MIN cluster id among their core neighbors (deterministic tie
+    rule); boundary distance uses <= eps.
+
+    Spark-first shape (the 100 TB density-clustering plan):
+    1. Project to 2D with the shared quadratic-mix sign matrix — array-
+       local math, zero shuffle (see sim_random_projection).
+    2. Grid-bucket at cell size eps; each point probes its 3x3 cell
+       neighborhood via ONE equi-join on the cell key (explode to 9
+       neighbor keys). Any pair within eps shares adjacent cells, so
+       recall is exact; shuffle is 9n rows, never n². Per-task pair work
+       is bounded by cell occupancy (eps-packing), the grid analog of the
+       LSH viral-bucket guard.
+    3. Exact distance filter + per-point neighbor count (one hash agg)
+       -> core flags.
+    4. Density connectivity = connected components over CORE-CORE
+       eps-edges, reusing dedup's min-label propagation (O(component
+       diameter) rounds; the fixture blob converges in ~14).
+    5. Border points take min(component) over adjacent cores with one
+       more equi-join; everything else is noise.
+
+    The DuckDB oracle (dbscan_sql) is the unpruned O(n²) brute force with
+    a recursive-CTE closure — the grid path must reproduce it exactly.
+    """
+    from . import dedup as _dedup
+
+    pts = persist_tracked(
+        emb.select(
+            "vec_id",
+            proj2d_expr(0).alias("px"),
+            proj2d_expr(1).alias("py"),
+        ).select(
+            "vec_id",
+            "px",
+            "py",
+            F.floor(F.col("px") / eps).cast("long").alias("cx"),
+            F.floor(F.col("py") / eps).cast("long").alias("cy"),
+        )
+    )
+    offsets = F.expr(
+        "array(-1L, 0L, 1L)"
+    )
+    probes = (
+        pts.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("px").alias("ax"),
+            F.col("py").alias("ay"),
+            F.explode(offsets).alias("dx"),
+            "cx",
+            "cy",
+        )
+        .select(
+            "a_id",
+            "ax",
+            "ay",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            "cy",
+        )
+        .select(
+            "a_id", "ax", "ay", "jx",
+            F.explode(offsets).alias("dy"),
+            "cy",
+        )
+        .select(
+            "a_id", "ax", "ay", "jx",
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    build = pts.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = persist_tracked(
+        probes.join(build, ["jx", "jy"])
+        .where(F.col("a_id") != F.col("b_id"))
+        .where(d2 <= F.lit(eps) * F.lit(eps))
+        .select("a_id", "b_id")
+    )
+    flags = persist_tracked(
+        pts.select("vec_id")
+        .join(
+            pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_others")),
+            pts["vec_id"] == F.col("a_id"),
+            "left",
+        )
+        .select(
+            "vec_id",
+            (F.coalesce(F.col("n_others"), F.lit(0)) + 1 >= min_pts).alias(
+                "is_core"
+            ),
+        )
+    )
+    cores = flags.where("is_core").select(F.col("vec_id").alias("doc_id"))
+    a_core = flags.select(
+        F.col("vec_id").alias("a_id"), F.col("is_core").alias("a_core")
+    )
+    b_core = flags.select(
+        F.col("vec_id").alias("b_id"), F.col("is_core").alias("b_core")
+    )
+    tagged = persist_tracked(
+        pairs.join(a_core, "a_id").join(b_core, "b_id")
+    )
+    core_edges = (
+        tagged.where(F.col("a_core") & F.col("b_core") & (F.col("a_id") < F.col("b_id")))
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    )
+    comp = _dedup.connected_components(
+        cores, core_edges, max_iterations=max_iterations
+    ).select(F.col("doc_id").alias("core_id"), F.col("component").alias("cluster"))
+    core_rows = (
+        flags.where("is_core")
+        .join(comp, flags["vec_id"] == F.col("core_id"))
+        .select("vec_id", F.lit("core").alias("role"), "cluster")
+    )
+    border_rows = (
+        tagged.where(~F.col("a_core") & F.col("b_core"))
+        .join(comp, F.col("b_id") == F.col("core_id"))
+        .groupBy("a_id")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.lit("border").alias("role"),
+            "cluster",
+        )
+    )
+    noise_rows = (
+        flags.where(~F.col("is_core"))
+        .join(border_rows.select("vec_id"), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster"),
+        )
+    )
+    return (
+        core_rows.unionByName(border_rows)
+        .unionByName(noise_rows)
+        .select(
+            "vec_id",
+            "role",
+            F.col("cluster").cast("bigint").alias("cluster"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def dbscan_sql(eps: float = DBSCAN_EPS, min_pts: int = DBSCAN_MINPTS) -> str:
+    """DuckDB twin: unpruned O(n²) neighbor join + recursive-CTE closure
+    over core-core edges (fine at oracle scale; the Spark side is the
+    grid-pruned form)."""
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT vec_id, {_proj2d_sql(0)} AS px, {_proj2d_sql(1)} AS py
+  FROM embeddings
+),
+prs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM pts a JOIN pts b
+    ON a.vec_id != b.vec_id
+   AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+       <= {eps} * {eps}
+),
+flags AS (
+  SELECT p.vec_id,
+         (coalesce(n.n_others, 0) + 1 >= {min_pts}) AS is_core
+  FROM pts p
+  LEFT JOIN (SELECT a_id, count(*) AS n_others FROM prs GROUP BY a_id) n
+    ON p.vec_id = n.a_id
+),
+core_edges AS (
+  SELECT a_id AS src, b_id AS dst FROM prs
+  JOIN flags fa ON prs.a_id = fa.vec_id AND fa.is_core
+  JOIN flags fb ON prs.b_id = fb.vec_id AND fb.is_core
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM flags WHERE is_core
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN core_edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS core_id, min(dst) AS cluster FROM reach GROUP BY src
+),
+core_rows AS (
+  SELECT f.vec_id, 'core' AS role, c.cluster
+  FROM flags f JOIN comp c ON f.vec_id = c.core_id
+  WHERE f.is_core
+),
+border_rows AS (
+  SELECT p.a_id AS vec_id, 'border' AS role, min(c.cluster) AS cluster
+  FROM prs p
+  JOIN flags fa ON p.a_id = fa.vec_id AND NOT fa.is_core
+  JOIN flags fb ON p.b_id = fb.vec_id AND fb.is_core
+  JOIN comp c ON p.b_id = c.core_id
+  GROUP BY p.a_id
+),
+noise_rows AS (
+  SELECT f.vec_id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
+  FROM flags f
+  WHERE NOT f.is_core
+    AND f.vec_id NOT IN (SELECT vec_id FROM border_rows)
+)
+SELECT vec_id, role, CAST(cluster AS BIGINT) AS cluster FROM core_rows
+UNION ALL SELECT * FROM border_rows
+UNION ALL SELECT * FROM noise_rows
+ORDER BY vec_id
+"""

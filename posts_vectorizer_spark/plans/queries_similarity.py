@@ -178,6 +178,22 @@ def sim_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.ivf_search(emb)
 
 
+@register("sim_dbscan", oracle=clustering.dbscan_sql())
+def sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN over the 2D JL projection of the
+    embeddings: every point is labeled core / border / noise and density-
+    connected components get the MIN core vec_id as their cluster label.
+    The Spark plan never forms n² pairs — points bucket into eps-sized
+    grid cells and probe only their 3x3 neighborhood through ONE equi-
+    join (9n probe rows), the exact-recall analog of LSH banding for
+    fixed-radius search; connectivity reuses dedup's min-label
+    propagation. The DuckDB oracle is the UNPRUNED brute-force n² join +
+    recursive-CTE closure, so the cell pruning itself is what the check
+    proves (operators/clustering.py::dbscan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.dbscan(emb)
+
+
 def _recall_sql() -> str:
     """One row per ANN method: hits against the brute-force top-3 truth.
     Each method's full pipeline SQL nests as a parenthesized WITH

@@ -121,7 +121,12 @@ _HEAD_ORDER: tuple[str, ...] = (
     # streaming-mode ST6, the multimodal [Q] upgrade). r1-r3 green union
     # stays green — rotated-out rows keep their recorded driver rows.
     "curation_pipeline", "text_dsir_weights", "dedup_keep_longest",
-    "events_scd2_versions", "events_scd2_lookup", "events_debounce_bursts",
+    # events_scd2_versions yields its slot to sim_dbscan (end-of-r4 DBSCAN
+    # operator must get its introduction-round driver row): the lookup
+    # below CONTAINS the full versions build as its dimension side (same
+    # CTE chain in both oracles), so the SCD2 family's driver coverage
+    # stands through events_scd2_lookup; versions is first r5 priority.
+    "sim_dbscan", "events_scd2_lookup", "events_debounce_bursts",
     "stream_upsert_drain", "stream_dedup_drain",
     "rel_tpch_q5_region_volume", "rel_grouping_sets",
     "text_redact_pii", "text_pack_sequences",

@@ -517,3 +517,96 @@ def test_incremental_minhash_equals_cross_split_of_full(spark):
     }
     assert got, "fixture should have cross-split near-dups"
     assert got == expect
+
+
+def test_dbscan_matches_brute_force_recount(spark):
+    """Independent full recount of DBSCAN at smoke scale: numpy re-derives
+    the 2D projection (same quadratic-mix sign matrix), brute-forces all
+    pairwise distances, recomputes core flags, union-finds the core
+    components, and re-labels borders/noise — the grid-pruned Spark plan
+    must reproduce every (role, cluster) exactly."""
+    from posts_vectorizer_spark.operators.clustering import (
+        DBSCAN_EPS,
+        DBSCAN_MINPTS,
+    )
+    from posts_vectorizer_spark.sources import load_table
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, dims = mat.shape
+
+    def sign_row(k):
+        d = np.arange(1, dims + 1, dtype=np.int64)
+        m = d * 73 + (k + 1) * 1009
+        return np.where((m * m * 12289) // 65536 % 2 == 0, 1.0, -1.0)
+
+    # same left-to-right fold + round-6 as the Spark/DuckDB pair
+    px = np.round(mat @ sign_row(0), 6)
+    py = np.round(mat @ sign_row(1), 6)
+    d2 = (px[:, None] - px[None, :]) ** 2 + (py[:, None] - py[None, :]) ** 2
+    nbr = (d2 <= DBSCAN_EPS * DBSCAN_EPS) & ~np.eye(n, dtype=bool)
+    is_core = nbr.sum(axis=1) + 1 >= DBSCAN_MINPTS
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if is_core[i] and is_core[j] and nbr[i, j]:
+                parent[find(i)] = find(j)
+    comp_min = {}
+    for i in range(n):
+        if is_core[i]:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, ids[i]), ids[i])
+
+    expect = {}
+    for i in range(n):
+        if is_core[i]:
+            expect[ids[i]] = ("core", comp_min[find(i)])
+        else:
+            cores_near = [
+                comp_min[find(j)] for j in range(n) if nbr[i, j] and is_core[j]
+            ]
+            if cores_near:
+                expect[ids[i]] = ("border", min(cores_near))
+            else:
+                expect[ids[i]] = ("noise", None)
+
+    got = {
+        r["vec_id"]: (r["role"], r["cluster"])
+        for r in _Q["sim_dbscan"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    roles = {v[0] for v in got.values()}
+    assert roles == {"core", "border", "noise"}, (
+        f"fixture should exercise all three roles, got {roles}"
+    )
+
+
+def test_dbscan_projection_matches_sim_random_projection(spark):
+    """dbscan's 2D coordinates must be EXACTLY dims k=0,1 of
+    sim_random_projection — one shared sign matrix, no drift between the
+    clustering front-end and the standalone JL operator."""
+    from posts_vectorizer_spark.operators.clustering import proj2d_expr
+    from posts_vectorizer_spark.sources import load_table
+
+    proj = {
+        (r["vec_id"], r["k"]): r["proj"]
+        for r in _Q["sim_random_projection"](spark, SF_SMOKE).collect()
+        if r["k"] in (0, 1)
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    two = emb.select(
+        "vec_id", proj2d_expr(0).alias("px"), proj2d_expr(1).alias("py")
+    ).collect()
+    assert two and all(
+        r["px"] == proj[(r["vec_id"], 0)] and r["py"] == proj[(r["vec_id"], 1)]
+        for r in two
+    )
