@@ -897,8 +897,9 @@ def dbscan(
     3. Exact distance filter + per-point neighbor count (one hash agg)
        -> core flags.
     4. Density connectivity = connected components over CORE-CORE
-       eps-edges, reusing dedup's min-label propagation (O(component
-       diameter) rounds; the fixture blob converges in ~14).
+       eps-edges, reusing dedup's min-label propagation with pointer
+       jumping (~O(log diameter) rounds; the diameter-18 fixture blob
+       converges in 7).
     5. Border points take min(component) over adjacent cores with one
        more equi-join; everything else is noise.
 
