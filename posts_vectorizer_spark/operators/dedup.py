@@ -711,10 +711,14 @@ def connected_components(
             )
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
+        # Existence probe, not a full count: only ==0 is ever consulted, so
+        # limit(1) lets the round's driver action short-circuit on the first
+        # changed row instead of scanning the whole label join.
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc_id")
             .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
             .count()
         )
         labels = updated

@@ -472,13 +472,15 @@ FROM counts
 """,
 )
 def rel_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private count release (Laplace mechanism,
-    sensitivity-1 counts, ε=0.5): per-nation customer counts plus
-    Laplace(1/ε) noise drawn by inverse-CDF. The noise uniform comes
-    from the portable char hash of the salted group key — DETERMINISTIC
-    so the oracle can verify the mechanism's arithmetic end-to-end; a
-    production release must substitute a secure RNG for the hash (the
-    mechanism, sensitivity accounting, and plan shape are unchanged —
+    """Laplace-mechanism ARITHMETIC CHECK — NOT a private release: the
+    noise is derived deterministically from a hash of the group key, so
+    it is recoverable by anyone who knows the key and this query offers
+    NO differential privacy as configured. What it verifies end-to-end
+    is the mechanism's plumbing (sensitivity-1 counts, ε=0.5, Laplace
+    noise b=1/ε by inverse-CDF) — per-nation customer counts plus the
+    noise term, hash-uniform so the oracle can check the arithmetic
+    exactly. A production release must substitute a secure RNG for the
+    hash (mechanism, sensitivity accounting, and plan shape unchanged —
     only the uniform's source differs). u ∈ (0,1) strictly: (h+1)/(M+1)
     with h < M, so neither ln() argument can hit zero.
 

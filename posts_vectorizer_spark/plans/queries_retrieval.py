@@ -6,8 +6,9 @@ NOT EXISTS anti join).
 
 BM25 is the natural next step past the reference's TF-IDF pipeline: the
 reference builds exactly the document-frequency table BM25's idf term
-needs (/root/reference/calculate_idf_scores.py:40-60) and scores
-documents by summed term weights (/root/reference/vectorize_posts.py);
+needs (/root/reference/tfidf-calculator/calculate_idf_scores.py:40-60)
+and scores documents by summed term weights
+(/root/reference/worker.py:76-84);
 BM25 adds the saturating tf and length normalization that make the score
 a ranking function. All four queries are [Q]: exact DuckDB twins, with
 every floating-point aggregate rounded to fixed decimals before an exact
@@ -180,8 +181,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword queries with Lucene-variant BM25 (idf = ln((N-df+.5)/(df+.5)+1),
     saturating tf, length normalization b=0.75) and keep the top-10 per
     query. Extends the reference's TF-IDF weighting
-    (/root/reference/calculate_idf_scores.py:40-60, vectorize_posts.py)
-    into a ranking function over the same document-frequency statistics.
+    (/root/reference/tfidf-calculator/calculate_idf_scores.py:40-60,
+    /root/reference/worker.py:76-84) into a ranking function over the same
+    document-frequency statistics.
 
     Scale shape: doc length (dl) is computed per row and RIDES the token
     explode, so tf and dl come out of one grouped pass with no corpus-wide

@@ -541,9 +541,18 @@ def test_dbscan_matches_brute_force_recount(spark):
         m = d * 73 + (k + 1) * 1009
         return np.where((m * m * 12289) // 65536 % 2 == 0, 1.0, -1.0)
 
-    # same left-to-right fold + round-6 as the Spark/DuckDB pair
-    px = np.round(mat @ sign_row(0), 6)
-    py = np.round(mat @ sign_row(1), 6)
+    # same left-to-right fold + round-6 as the Spark/DuckDB pair. An
+    # explicit per-dimension accumulation (NOT mat @ v: BLAS may reorder
+    # the summation, and a sum landing ~1 ulp from a 0.5e-6 rounding
+    # boundary would flake the exact-equality assertion below).
+    def fold_proj(sr: np.ndarray) -> np.ndarray:
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(dims):
+            acc = acc + mat[:, d] * sr[d]
+        return np.round(acc, 6)
+
+    px = fold_proj(sign_row(0))
+    py = fold_proj(sign_row(1))
     d2 = (px[:, None] - px[None, :]) ** 2 + (py[:, None] - py[None, :]) ** 2
     nbr = (d2 <= DBSCAN_EPS * DBSCAN_EPS) & ~np.eye(n, dtype=bool)
     is_core = nbr.sum(axis=1) + 1 >= DBSCAN_MINPTS
