@@ -115,12 +115,32 @@ def _rowwise_lexorder(
     )
 
 
-def _probe_blocks(pdf_iter: Iterator[pd.DataFrame]):
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
+def _probe_blocks_arrow(batch_iter):
+    """(qids, Q) per Arrow batch, zero-copy: the list<float> embedding
+    column is read as its flat values buffer and reshaped — no pandas
+    object-array of per-row numpy arrays, no per-row tolist(). At bench
+    scale this is noise; at 10^8 rows the object-array materialization
+    is the dominant Python-side cost, so the Arrow path is the one that
+    survives the scale-up. Row-major reshape gives the exact same
+    (row, dim) float64 values as np.array(tolist()), so the seq-fold
+    dots/norms stay bit-identical to the SQL twins."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batch_iter:
+        if batch.num_rows == 0:
             continue
-        qids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        Q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        qids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = batch.column("embedding")
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        if emb.null_count or (len(lens) and not (lens == lens[0]).all()):
+            # ragged/null rows can't come from the embeddings table; fall
+            # back to the per-row path rather than mis-reshape
+            Q = np.array(emb.to_pylist(), dtype=np.float64)
+        else:
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            dims = int(lens[0]) if len(lens) else 0
+            Q = flat.astype(np.float64, copy=False).reshape(len(qids), dims)
         yield qids, Q
 
 
@@ -175,8 +195,10 @@ def topk(embeddings: DataFrame, k: int = 5, n_tiles: int = 1) -> DataFrame:
     spark = embeddings.sparkSession
     bcs = _build_tiles(embeddings, n_tiles)
 
-    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for qids, Q in _probe_blocks(pdf_iter):
+    def gen(batch_iter):
+        import pyarrow as pa
+
+        for qids, Q in _probe_blocks_arrow(batch_iter):
             qnorm = _seq_norms(Q)
             nq = len(qids)
             # Per-tile top-(k+1) candidates, selected with one vectorized
@@ -222,17 +244,25 @@ def topk(embeddings: DataFrame, k: int = 5, n_tiles: int = 1) -> DataFrame:
             rk = np.cumsum(keep, axis=1)
             keep &= rk <= k
             qi, ci = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "query_id": qids[qi],
-                    "neighbor_id": ids[qi, ci],
-                    "cosine": np.where(cls[qi, ci] == 1, np.nan, cs[qi, ci]),
-                    "rk": rk[qi, ci].astype(np.int32),
-                }
+            # class-1 (zero-norm) cosines are NULL: an explicit Arrow
+            # validity mask — the pandas path's NaN->null coercion does
+            # not happen when building RecordBatches directly
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[qi], type=pa.int64()),
+                    pa.array(ids[qi, ci], type=pa.int64()),
+                    pa.array(
+                        np.ascontiguousarray(cs[qi, ci]),
+                        type=pa.float64(),
+                        mask=cls[qi, ci] == 1,
+                    ),
+                    pa.array(rk[qi, ci].astype(np.int32), type=pa.int32()),
+                ],
+                names=["query_id", "neighbor_id", "cosine", "rk"],
             )
 
     probe = embeddings.repartition(spark.sparkContext.defaultParallelism)
-    return probe.mapInPandas(
+    return probe.mapInArrow(
         gen, "query_id long, neighbor_id long, cosine double, rk int"
     )
 
@@ -260,8 +290,10 @@ def neighbors_above(
     spark = embeddings.sparkSession
     bcs = _build_tiles(embeddings, n_tiles)
 
-    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for qids, Q in _probe_blocks(pdf_iter):
+    def gen(batch_iter):
+        import pyarrow as pa
+
+        for qids, Q in _probe_blocks_arrow(batch_iter):
             qnorm = _seq_norms(Q)
             for bc in bcs:
                 nids, M, nnorm = bc.value
@@ -277,16 +309,20 @@ def neighbors_above(
                     & (cos >= threshold)
                 )
                 qi, ni = np.nonzero(hit)
-                yield pd.DataFrame(
-                    {
-                        "vec_a": qids[qi],
-                        "vec_b": nids[ni],
-                        "cosine": cos[qi, ni],
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids[qi], type=pa.int64()),
+                        pa.array(nids[ni], type=pa.int64()),
+                        pa.array(
+                            np.ascontiguousarray(cos[qi, ni]),
+                            type=pa.float64(),
+                        ),
+                    ],
+                    names=["vec_a", "vec_b", "cosine"],
                 )
 
     probe = embeddings.repartition(spark.sparkContext.defaultParallelism)
-    return probe.mapInPandas(gen, "vec_a long, vec_b long, cosine double")
+    return probe.mapInArrow(gen, "vec_a long, vec_b long, cosine double")
 
 
 def neighbors_above_sql(threshold: float) -> str:
