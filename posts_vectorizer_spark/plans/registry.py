@@ -61,96 +61,58 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # All 50 are [Q] oracle-backed. Everything not listed follows in
 # registration (cost-ascending) order.
 _HEAD_ORDER: tuple[str, ...] = (
-    # §2 tfidf pipeline (P2,P5-P8, A1-A10, J1-J5, F6/F7, W2).
-    # term_frequency/vocabulary/oov_tokens/candidates/doc_profile/
-    # corpus_stats rotated out late-r4 (green r1+r2+r3, code untouched —
-    # their rows stand); the flagship + IDF job keep the family's spine
-    # and quirk coverage in the head.
-    "tfidf_doc_vectors", "tfidf_idf_table",
-    # §2 relational core (S1/P1, F*, A12, J1-J3, W3, L1/L4, U1/U2).
-    # Queries whose code CHANGED this round (cents sums: rel_groupby_agg,
-    # rel_cube) stay to re-prove; multi-green rows whose code is untouched
-    # (rel_string_funcs, rel_orderby_limit, rel_json_extract, rel_join_semi,
-    # rel_join_outer_fill) rotated out mid-r4 — their green rows stand.
-    "rel_groupby_agg",
-    # rel_cube rotated out for the eval wave (green r1-r3; its r4 change —
-    # scaled-int64 money sums — is shared with rel_groupby_agg which stays
-    # to re-prove it, the cube expand is separately exercised by the
-    # never-checked rel_grouping_sets below, and bench re-runs it clean)
-    # rel_join_broadcast_agg + rel_window_topk_per_group rotated out at
-    # round end (green r1-r3, untouched, still re-proven every bench run)
-    # rel_union_distinct_except + text_elemmatch_langarray rotated out
-    # late-r4 (green r1-r3, untouched); rel_scan_filter_project +
-    # rel_array_agg_sorted likewise for the retrieval wave (green
-    # r1-r3 / r3, untouched — scan_filter also re-proven every bench run)
-    # dedup (MinHash stays — its verify join changed this round;
-    # dedup_exact_keep_first rotated out for the retrieval wave, green
-    # r1-r3 and the md5 path untouched since r3; components/simhash
-    # rotated out earlier, green+untouched; text_quality_profile likewise
-    # at round end — bench re-proves it)
-    "dedup_minhash_near_dups",
-    # sim_cosine_topk rotated out for the eval wave (green r1-r3; the r4
-    # similarity.py edits were LSH/IVF-path only, bench re-runs the brute
-    # force every round, and the local sweep hash-checks it per pytest;
-    # multiprobe/centroids rotated out earlier — green r2+r3 / r1+r3,
-    # untouched; tfidf_doc_profile, the tumbling and session batch windows
-    # likewise — all their rows stand)
-    # stream_interval_join (ST9, green r3, untouched r4) rotated out for
-    # the eval wave — its LEFT OUTER sibling stays below and exercises the
-    # same watermarked join machinery plus the emission horizon.
-    # eval wave (new late-r4): NDCG@10 rank-quality evaluation, sparse
-    # TF-IDF posting-list all-pairs cosine, interval-union coverage —
-    # rotated in per the r3 ADVICE policy (new [Q] queries get a driver
-    # row the round they are introduced).
-    "text_bm25_ndcg_eval", "sim_sparse_tfidf_pairs",
-    "events_interval_coverage",
-    # retrieval wave (new this session): BM25 ranked search + the three
-    # remaining TPC-H decorrelation shapes. Wave 2's sim_hybrid_rrf_fusion,
-    # events_halflife_decay, curation_weighted_sample, sim_mmr_rerank stay
-    # OUTSIDE the full 50-slot budget this round (local oracle +
-    # independent Python recounts only) — first-priority r5 rotation
-    # candidates, together with the end-of-round analytics wave
-    # (rel_skyline_pareto, rel_weighted_median, events_cusum_changepoint).
-    "text_bm25_topk", "rel_tpch_q18_large_orders",
-    "rel_tpch_q21_late_suppliers", "rel_tpch_q22_dormant_accounts",
-    # 39 rotating never-driver-checked slots (r4; rel_date_trunc_agg
-    # rotated out late-round — green r1+r3, untouched): the r3 additions, the
-    # streaming drains (ST1/ST3 finally get oracle-paired driver rows),
-    # high-value r2 queries, and the mid-r4 wave (custom Python connector,
-    # portable KMeans, containment join, mutual-kNN graph, MAD anomaly,
-    # streaming-mode ST6, the multimodal [Q] upgrade). r1-r3 green union
-    # stays green — rotated-out rows keep their recorded driver rows.
-    "curation_pipeline", "text_dsir_weights", "dedup_keep_longest",
-    # events_scd2_versions yields its slot to sim_dbscan (end-of-r4 DBSCAN
-    # operator must get its introduction-round driver row): the lookup
-    # below CONTAINS the full versions build as its dimension side (same
-    # CTE chain in both oracles), so the SCD2 family's driver coverage
-    # stands through events_scd2_lookup; versions is first r5 priority.
-    "sim_dbscan", "events_scd2_lookup", "events_debounce_bursts",
-    "stream_upsert_drain", "stream_dedup_drain",
-    "rel_tpch_q5_region_volume", "rel_grouping_sets",
-    "text_redact_pii", "text_pack_sequences",
-    "events_funnel_conversion", "text_winnowing_fingerprints",
-    "source_python_datasource", "stream_python_source_drain",
-    "stream_tumbling_drain", "sim_kmeans_portable",
-    "multimodal_feature_slices", "dedup_containment",
-    "events_anomaly_mad", "sim_knn_graph_mutual", "text_bpe_merges",
-    # late-r4 wave: TPC-H subquery shapes, ExactSubstr span dedup, the
-    # outer stream-stream interval join, and the API-surface wave
-    # (LATERAL decorrelation, VARIANT/XML round-trips, observe metrics,
-    # polymorphic UDTF, mapInArrow)
-    "rel_tpch_q4_order_priority", "rel_tpch_q14_promo_share",
-    "rel_tpch_q19_disjunctive", "rel_tpch_q16_dormant_parts",
-    "dedup_substring_spans", "stream_interval_join_outer",
-    "rel_lateral_topk", "rel_variant_json", "rel_xml_extract",
-    # sim_random_projection re-enters (green r1/r3 rows are STALE: the
-    # late-r4 sign-matrix fix — rank-1 linear parity -> quadratic mix —
-    # changed its values, so it must re-prove); udtf_polymorphic_firstn
-    # yields the slot (the UDTF family keeps driver coverage through
-    # udtf_tokenize_lateral's green r3 row) — first r5 rotation priority.
-    "rel_observe_audit", "sim_random_projection",
-    "grouped_arrow_vector_stats", "source_python_sink_roundtrip",
-    "events_ab_cuped", "source_ledger_compaction", "source_ledger_skipping",
+    # ---- r5 spine (4): queries whose CODE changed this round re-prove;
+    # everything else green r1-r4 with untouched code keeps its standing
+    # driver row (rotation policy, r3 verdict / r4 policy note above).
+    # tfidf_doc_vectors: the flagship — carries the §2 tfidf family spine
+    # (P2,P5-P8, A1-A10, J1-J5, F6/F7, W2) and the Q1-Q8 quirk coverage;
+    # also re-proven every bench run.
+    "tfidf_doc_vectors",
+    # sim_cosine_topk + sim_cosine_near_dups: the brute-force kernel moved
+    # to mapInArrow with zero-copy probe ingestion this round
+    # (operators/similarity.py::_probe_blocks_arrow) — both consumers of
+    # the changed code path re-prove. The kernel's other green consumers
+    # (sim_knn_graph_mutual r4, sim_dbscan r4) share exactly this code and
+    # are additionally re-proven by the committed sf0.1 sweep (SWEEPS.md).
+    "sim_cosine_topk", "sim_cosine_near_dups",
+    # dedup_components: the convergence probe gained limit(1) this round
+    # (driver-action change only, results unchanged) — re-prove anyway.
+    "dedup_components",
+    # ---- 46 rotating slots: ALL go to [Q] queries that have never had a
+    # driver CORRECTNESS row (r4 end: 95 such; this head drains 46, the
+    # ~49 remaining are r6's batch). Ordered by the r4 verdict's priority
+    # list, then family-diverse fill.
+    # (1) the explicitly deferred / self-flagged set:
+    "events_scd2_versions", "udtf_polymorphic_firstn",
+    "sim_hybrid_rrf_fusion", "events_halflife_decay",
+    "curation_weighted_sample", "sim_mmr_rerank",
+    "rel_skyline_pareto", "rel_weighted_median", "events_cusum_changepoint",
+    # (2) the worker loop end-to-end (ST1/ST3 over the flagship relation;
+    # oracle = the flagship SQL — upgraded from rows-only in r4):
+    "stream_vectorize_drain",
+    # (3) the never-checked TPC-H set:
+    "rel_tpch_q6_forecast_revenue", "rel_tpch_q7_nation_volume",
+    "rel_tpch_q8_market_share", "rel_tpch_q10_returns",
+    "rel_tpch_q11_important_customers",
+    # (4) the ANN/quantization family:
+    "sim_ivf_portable", "sim_semdedup_prune", "sim_pq_quantize",
+    "sim_ivfpq_search", "sim_recall_report",
+    # (5) streaming index maintenance + graph:
+    "dedup_incremental_minhash", "stream_minhash_index_drain",
+    "sim_pagerank_knn",
+    # (6) events analytics:
+    "events_transition_matrix", "events_retention_cohorts",
+    "events_session_paths", "events_range_join_clicks",
+    # (7) relational/stats:
+    "rel_salted_skew_agg", "rel_salted_skew_join", "rel_stats_quantiles",
+    "rel_stats_moments", "rel_custdist_histogram", "rel_subquery_correlated",
+    "rel_table_profile", "rel_stratified_sample", "rel_winsorized_agg",
+    # (8) text/corpus analytics:
+    "text_inverted_index", "text_pmi_bigrams", "text_unigram_logprob",
+    "text_typo_pairs", "text_repetition_signals", "text_vocab_coverage",
+    "text_readability", "text_domain_mix_weights",
+    # (9) tfidf + curation leftovers:
+    "tfidf_top_keywords", "curation_mix_resample",
 )
 
 
