@@ -134,13 +134,16 @@ def _probe_blocks_arrow(batch_iter):
         emb = batch.column("embedding")
         lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
         if emb.null_count or (len(lens) and not (lens == lens[0]).all()):
-            # ragged/null rows can't come from the embeddings table; fall
-            # back to the per-row path rather than mis-reshape
-            Q = np.array(emb.to_pylist(), dtype=np.float64)
-        else:
-            flat = emb.flatten().to_numpy(zero_copy_only=False)
-            dims = int(lens[0]) if len(lens) else 0
-            Q = flat.astype(np.float64, copy=False).reshape(len(qids), dims)
+            # the matmul kernel needs a rectangular matrix; null/ragged
+            # embedding rows are a data bug (the old pandas path crashed
+            # on them with an inscrutable reshape error) — fail loudly
+            raise ValueError(
+                "cosine kernel requires a non-null fixed-length embedding "
+                "column; got null or ragged rows"
+            )
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        dims = int(lens[0]) if len(lens) else 0
+        Q = flat.astype(np.float64, copy=False).reshape(len(qids), dims)
         yield qids, Q
 
 

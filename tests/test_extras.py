@@ -110,6 +110,52 @@ def test_neighbors_above_tiled_matches_untiled(spark):
     assert tiled.exceptAll(one).count() == 0
 
 
+def test_probe_blocks_arrow_zero_copy_matches_tolist():
+    """The r5 zero-copy Arrow ingestion (flat values buffer reshaped) must
+    produce the exact float64 matrix of the old per-row tolist() path,
+    honor batch slices (list offsets not starting at 0), and fail loudly —
+    never mis-reshape — on null/ragged rows the kernel can't represent."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from posts_vectorizer_spark.operators.similarity import _probe_blocks_arrow
+
+    def run(batch):
+        out = list(_probe_blocks_arrow([batch]))
+        assert len(out) == 1
+        return out[0]
+
+    def batch_of(ids, embs, emb_type=pa.list_(pa.float32())):
+        return pa.RecordBatch.from_arrays(
+            [pa.array(ids, type=pa.int64()), pa.array(embs, type=emb_type)],
+            names=["vec_id", "embedding"],
+        )
+
+    # fast path: uniform float32 lists -> row-major reshape
+    embs = [[1.5, -2.25, 3.0], [0.0, 4.5, -1.0], [7.0, 8.0, 9.5]]
+    qids, Q = run(batch_of([10, 11, 12], embs))
+    assert Q.dtype == np.float64 and Q.shape == (3, 3)
+    assert (Q == np.array([np.array(e, dtype=np.float32) for e in embs],
+                          dtype=np.float64)).all()
+    assert list(qids) == [10, 11, 12]
+
+    # sliced batch: offsets start mid-buffer; values must follow the slice
+    sliced = batch_of([10, 11, 12], embs).slice(1, 2)
+    qids_s, Q_s = run(sliced)
+    assert list(qids_s) == [11, 12]
+    assert (Q_s == Q[1:]).all()
+
+    # ragged or null rows -> loud error, never a silent mis-reshape
+    with pytest.raises(ValueError, match="fixed-length"):
+        run(batch_of([1, 2], [[1.0, 2.0], [3.0]]))
+    with pytest.raises(ValueError, match="non-null"):
+        run(batch_of([5, 6], [[1.0, 2.0], None]))
+
+    # empty batch is skipped entirely
+    assert list(_probe_blocks_arrow([batch_of([], [])])) == []
+
+
 def test_multiprobe_lsh_recall_at_least_single_probe(spark):
     """Hamming-1 multiprobe candidates are a superset of exact-bucket
     candidates, so recall vs the brute-force top-3 may only go up."""
