@@ -9,6 +9,10 @@ is exactly the driver's environment. Verify recipe step 4.
 Usage:
     python tools/head_check.py            # all _HEAD_ORDER queries
     python tools/head_check.py 37 50      # slice [37:50) of the head
+    python tools/head_check.py --backlog  # every [Q] query with no driver
+                                          # row yet and no head slot (the
+                                          # next round's rotation, de-risked
+                                          # under driver conditions early)
 """
 
 from __future__ import annotations
@@ -35,10 +39,32 @@ def main(argv: list[str]) -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
-    lo, hi = 0, len(_HEAD_ORDER)
-    if len(argv) == 2:
-        lo, hi = int(argv[0]), int(argv[1])
-    names = list(_HEAD_ORDER)[lo:hi]
+    if argv and argv[0] == "--backlog":
+        # vanilla-session check of every [Q] query NOT in the current head
+        # and with no driver CORRECTNESS row yet — de-risks the next
+        # round's rotation before it happens
+        import glob
+        import json
+
+        green = set()
+        for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+            for k, v in json.load(open(f)).items():
+                if (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match")
+                ):
+                    green.add(k)
+        names = [
+            n for n in qs
+            if n in oracles and n not in green and n not in _HEAD_ORDER
+        ]
+        print(f"backlog: {len(names)} never-driver-checked [Q] queries")
+    else:
+        lo, hi = 0, len(_HEAD_ORDER)
+        if len(argv) == 2:
+            lo, hi = int(argv[0]), int(argv[1])
+        names = list(_HEAD_ORDER)[lo:hi]
 
     spark = (
         SparkSession.builder.master("local[16]")
