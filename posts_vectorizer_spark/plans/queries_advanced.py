@@ -419,6 +419,113 @@ def rel_stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BISECT_PS = (0.5, 0.9, 0.99)
+_BISECT_BUCKETS = 4096
+
+
+@register(
+    "rel_quantile_bisect",
+    oracle=f"""
+WITH stats AS (SELECT count(*) AS n FROM lineitem),
+ks AS (
+  SELECT p, CAST(floor((n - 1) * p) AS BIGINT) + 1 AS k
+  FROM stats, (VALUES {", ".join(f"({p})" for p in _BISECT_PS)}) t(p)
+),
+ordered AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem
+)
+SELECT CAST(ks.p AS DOUBLE) AS p, ks.k AS k, ordered.v AS value
+FROM ks JOIN ordered ON ordered.rn = ks.k
+ORDER BY p
+""",
+)
+def rel_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic quantiles WITHOUT a global sort — the 100 TB
+    exact path that completes the quantile triple (rel_stats_quantiles =
+    exact-by-sort; its docstring's approx_percentile = sketch; this =
+    exact-by-bisection). Two bounded passes:
+
+      1. count/min/max (one 1-row aggregate); the k-th-smallest targets are
+         k = floor((n-1)*p) + 1 — the discrete lower quantile, stated
+         explicitly so both engines compute the same order statistic;
+      2. a 4096-bucket histogram of the value range (one map-side-combinable
+         groupBy producing <= 4096 rows); the driver walks the cumulative
+         counts to find each k's bucket and in-bucket rank — driver state is
+         O(buckets), never O(rows);
+      3. rows of the (<= |ps|) candidate buckets join a broadcast target
+         list and rank inside their bucket only — expected n/4096 rows per
+         bucket cross the final exchange instead of n. A pathological
+         single-value bucket degrades to that value's duplicate count, at
+         which point every duplicate IS the answer and ranking ties are
+         value-identical.
+
+    Matches DuckDB's full-sort row_number twin exactly: the k-th smallest is
+    well-defined under ties, and bucket boundaries only route rows (they
+    never enter the answer), so internal float bucketing needs no
+    cross-engine portability. Driver actions are bounded by construction
+    (1 row + <= 4096 rows) — documented exception to the
+    no-jobs-at-plan-build guard, like the KMeans/IVF fits."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    return quantiles_bisect(spark, li)
+
+
+def quantiles_bisect(
+    spark: SparkSession,
+    li: DataFrame,
+    ps: tuple[float, ...] = _BISECT_PS,
+    nb: int = _BISECT_BUCKETS,
+) -> DataFrame:
+    """Core of rel_quantile_bisect over any single-column ``v`` relation
+    (exposed for the crafted-distribution tests)."""
+    import math
+
+    out_schema = "p double, k bigint, value double"
+    stats = li.agg(
+        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    n = stats["n"]
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    ks = {p: int(math.floor((n - 1) * p)) + 1 for p in ps}
+    if lo == hi:  # degenerate range: every order statistic is the value
+        return spark.createDataFrame(
+            [(p, ks[p], lo) for p in sorted(ps)], out_schema
+        )
+    width = (hi - lo) / nb
+    bucket = F.least(
+        F.lit(nb - 1), F.floor((F.col("v") - F.lit(lo)) / F.lit(width))
+    ).cast("long")
+    hist = sorted(
+        (r["b"], r["count"])
+        for r in li.groupBy(bucket.alias("b")).count().collect()
+    )
+    targets = []  # (p, k, bucket, rank inside bucket)
+    cum = 0
+    it = iter(hist)
+    b, c = next(it)
+    for p in sorted(ps):
+        k = ks[p]
+        while cum + c < k:
+            cum += c
+            b, c = next(it)
+        targets.append((p, k, b, k - cum))
+    need = spark.createDataFrame(targets, "p double, k bigint, b long, r long")
+    w = Window.partitionBy("p").orderBy("v")
+    return (
+        li.withColumn("b", bucket)
+        .join(F.broadcast(need), "b")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == F.col("r"))
+        .select("p", "k", F.col("v").alias("value"))
+        .orderBy("p")
+    )
+
+
 @register(
     "rel_stats_moments",
     oracle="""

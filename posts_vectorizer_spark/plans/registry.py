@@ -111,8 +111,12 @@ _HEAD_ORDER: tuple[str, ...] = (
     "text_inverted_index", "text_pmi_bigrams", "text_unigram_logprob",
     "text_typo_pairs", "text_repetition_signals", "text_vocab_coverage",
     "text_readability", "text_domain_mix_weights",
-    # (9) tfidf + curation leftovers:
-    "tfidf_top_keywords", "curation_mix_resample",
+    # (9) tfidf leftovers + the r5-new query (introduction-round rule:
+    # new [Q] queries get a driver row the round they appear;
+    # curation_mix_resample yields the slot — backlog-checked 49/49 under
+    # driver conditions this round (SWEEPS.md), first r6 priority with the
+    # rest of the drained backlog):
+    "tfidf_top_keywords", "rel_quantile_bisect",
 )
 
 

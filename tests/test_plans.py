@@ -67,6 +67,9 @@ def test_plan_build_triggers_no_jobs(spark):
         "sim_ivf_ann",
         "sim_kmeans_portable",  # Lloyd iterations are jobs by contract
         "sim_ivf_portable",  # trains the same lists at build
+        # histogram-bisection passes are bounded driver actions by contract
+        # (1-row stats + <=4096-row histogram)
+        "rel_quantile_bisect",
         "mllib_minhash_near_dups",
         "mllib_doc_vectors_wide",
         "dedup_components",

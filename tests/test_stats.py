@@ -211,3 +211,43 @@ def test_weighted_median_half_mass_boundary(spark, tmp_path):
         ).collect()
     }
     assert got == {"A": (10.0, 2.0), "B": (20.0, 4.0)}
+
+
+def test_quantile_bisect_matches_numpy_order_statistic(spark):
+    """quantiles_bisect must return EXACTLY sorted(v)[k-1] with
+    k = floor((n-1)*p)+1 on distributions built to stress the bucket walk:
+    heavy duplicate spikes (a bucket holding >25% of rows), negatives, a
+    tiny bucket count (nb=8) so several targets share buckets, and values
+    landing exactly on bucket boundaries."""
+    import math
+
+    from posts_vectorizer_spark.plans.queries_advanced import quantiles_bisect
+
+    vals = (
+        [-50.0] * 40                      # duplicate spike at the min
+        + [float(i) for i in range(100)]  # spread
+        + [25.0] * 300                    # dominant spike mid-range
+        + [99.5] * 7                      # spike near the max
+        + [100.0]                         # exact max boundary
+    )
+    ps = (0.1, 0.5, 0.9, 0.99)
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["p"]: (r["k"], r["value"])
+        for r in quantiles_bisect(spark, df, ps=ps, nb=8).collect()
+    }
+    srt = sorted(vals)
+    n = len(vals)
+    for p in ps:
+        k = math.floor((n - 1) * p) + 1
+        assert got[p] == (k, srt[k - 1]), (p, got[p], (k, srt[k - 1]))
+
+    # degenerate range (all rows one value) takes the short-circuit branch
+    one = spark.createDataFrame([(7.25,)] * 9, "v double")
+    rows = quantiles_bisect(spark, one, ps=(0.5, 0.99), nb=8).collect()
+    assert [(r["p"], r["value"]) for r in rows] == [(0.5, 7.25), (0.99, 7.25)]
+
+    # empty input -> empty result with the contract schema
+    empty = spark.createDataFrame([], "v double")
+    out = quantiles_bisect(spark, empty, ps=(0.5,), nb=8)
+    assert out.columns == ["p", "k", "value"] and out.count() == 0
