@@ -242,6 +242,11 @@ def test_quantile_bisect_matches_numpy_order_statistic(spark):
         k = math.floor((n - 1) * p) + 1
         assert got[p] == (k, srt[k - 1]), (p, got[p], (k, srt[k - 1]))
 
+    # the candidate-bucket join must broadcast the tiny target list — a
+    # shuffle there would defeat the whole candidate-row bound
+    plan = quantiles_bisect(spark, df, ps=ps, nb=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
     # degenerate range (all rows one value) takes the short-circuit branch
     one = spark.createDataFrame([(7.25,)] * 9, "v double")
     rows = quantiles_bisect(spark, one, ps=(0.5, 0.99), nb=8).collect()
