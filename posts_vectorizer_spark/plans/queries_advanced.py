@@ -481,7 +481,7 @@ def quantiles_bisect(
 ) -> DataFrame:
     """Core of rel_quantile_bisect over any single-column ``v`` relation
     (exposed for the crafted-distribution tests)."""
-    import math
+    from fractions import Fraction
 
     out_schema = "p double, k bigint, value double"
     stats = li.agg(
@@ -491,7 +491,12 @@ def quantiles_bisect(
     if n == 0:
         return spark.createDataFrame([], out_schema)
     lo, hi = float(stats["lo"]), float(stats["hi"])
-    ks = {p: int(math.floor((n - 1) * p)) + 1 for p in ps}
+    # k in EXACT rational arithmetic (Fraction(str(p)) is the decimal
+    # literal, not the binary double): the oracle floors an exact DECIMAL
+    # product, and binary floor((n-1)*p) sits within 1 ulp of the boundary
+    # whenever (n-1)*p is an exact integer (e.g. p=.99, n-1 a multiple of
+    # 100) — exactness here must not hinge on product-rounding luck.
+    ks = {p: int((n - 1) * Fraction(str(p))) + 1 for p in ps}
     if lo == hi:  # degenerate range: every order statistic is the value
         return spark.createDataFrame(
             [(p, ks[p], lo) for p in sorted(ps)], out_schema

@@ -219,9 +219,12 @@ def test_quantile_bisect_matches_numpy_order_statistic(spark):
     heavy duplicate spikes (a bucket holding >25% of rows), negatives, a
     tiny bucket count (nb=8) so several targets share buckets, and values
     landing exactly on bucket boundaries."""
-    import math
+    from fractions import Fraction
 
     from posts_vectorizer_spark.plans.queries_advanced import quantiles_bisect
+
+    def exact_k(n, p):
+        return int((n - 1) * Fraction(str(p))) + 1
 
     vals = (
         [-50.0] * 40                      # duplicate spike at the min
@@ -239,8 +242,20 @@ def test_quantile_bisect_matches_numpy_order_statistic(spark):
     srt = sorted(vals)
     n = len(vals)
     for p in ps:
-        k = math.floor((n - 1) * p) + 1
+        k = exact_k(n, p)
         assert got[p] == (k, srt[k - 1]), (p, got[p], (k, srt[k - 1]))
+
+    # rank-boundary case: (n-1)*p an exact integer in decimal arithmetic
+    # (n=101, p=.99 -> k must be 100, not 99: binary floor(100*0.99) sits
+    # one ulp from the boundary; the implementation must use exact k)
+    bvals = [float(i) for i in range(101)]
+    bdf = spark.createDataFrame([(v,) for v in bvals], "v double")
+    brows = {
+        r["p"]: (r["k"], r["value"])
+        for r in quantiles_bisect(spark, bdf, ps=(0.5, 0.99), nb=8).collect()
+    }
+    assert brows[0.99] == (100, 99.0), brows
+    assert brows[0.5] == (51, 50.0), brows
 
     # the candidate-bucket join must broadcast the tiny target list — a
     # shuffle there would defeat the whole candidate-row bound
