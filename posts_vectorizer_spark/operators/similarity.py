@@ -17,7 +17,6 @@ bucket-join/rerank plumbing here is unchanged).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -33,7 +32,7 @@ COSINE_ROUND = 6
 # ---------------------------------------------------------------------------
 # numpy block kernel (shared by the brute-force paths)
 #
-# The probe side streams through mapInPandas partition-by-partition; the
+# The probe side streams through mapInArrow partition-by-partition; the
 # build side (a dimension-table-sized matrix) is broadcast to every task —
 # the same broadcast-small-side decision Catalyst makes for J1. At cluster
 # scale the build side is a *block*: tile the build matrix and union the
