@@ -113,9 +113,10 @@ _HEAD_ORDER: tuple[str, ...] = (
     "text_readability", "text_domain_mix_weights",
     # (9) tfidf leftovers + the r5-new query (introduction-round rule:
     # new [Q] queries get a driver row the round they appear;
-    # curation_mix_resample yields the slot — backlog-checked 49/49 under
-    # driver conditions this round (SWEEPS.md), first r6 priority with the
-    # rest of the drained backlog):
+    # curation_mix_resample yields the slot — it passed this round's
+    # 50/50 vanilla-session head check before the swap, and the other 49
+    # r6 candidates passed the --backlog check (SWEEPS.md), so r6 can
+    # drain the entire remaining backlog pre-verified):
     "tfidf_top_keywords", "rel_quantile_bisect",
 )
 
