@@ -271,3 +271,32 @@ def test_quantile_bisect_matches_numpy_order_statistic(spark):
     empty = spark.createDataFrame([], "v double")
     out = quantiles_bisect(spark, empty, ps=(0.5,), nb=8)
     assert out.columns == ["p", "k", "value"] and out.count() == 0
+
+
+@pytest.mark.parametrize("seed", [11, 29, 47, 83])
+def test_quantile_bisect_seeded_fuzz(spark, seed):
+    """Seeded random distributions (mixed scales, duplicate mass, negative
+    offsets) against the numpy sorted-array order statistic — the recount
+    uses exact rational k like the implementation and the DECIMAL oracle."""
+    import random
+    from fractions import Fraction
+
+    from posts_vectorizer_spark.plans.queries_advanced import quantiles_bisect
+
+    rng = random.Random(seed)
+    n = rng.randint(50, 400)
+    pool = [rng.uniform(-1e6, 1e6) for _ in range(max(3, n // 10))]
+    vals = [
+        rng.choice(pool) if rng.random() < 0.6 else rng.uniform(-1e6, 1e6)
+        for _ in range(n)
+    ]
+    ps = (0.01, 0.25, 0.5, 0.75, 0.99)
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["p"]: (r["k"], r["value"])
+        for r in quantiles_bisect(spark, df, ps=ps, nb=16).collect()
+    }
+    srt = sorted(vals)
+    for p in ps:
+        k = int((n - 1) * Fraction(str(p))) + 1
+        assert got[p] == (k, srt[k - 1]), (seed, p, got[p], (k, srt[k - 1]))
