@@ -103,6 +103,70 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_A = 40_503  # shared with rel_split_assign (queries_corpus.py)
+_SPLIT_C = 7_919
+
+
+@register(
+    "dedup_split_leakage_safe",
+    oracle=f"""
+WITH comp AS ({dedup.minhash_dedup_components_sql()}),
+sizes AS (
+  SELECT component, count(*) AS n_members FROM comp GROUP BY component
+),
+assigned AS (
+  SELECT n_members,
+         (component * {_SPLIT_A} + {_SPLIT_C}) % {T.HASH_MOD} % 100 AS h
+  FROM sizes
+)
+SELECT CASE WHEN h < 80 THEN 'train'
+            WHEN h < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(sum(n_members) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(CASE WHEN n_members > 1 THEN n_members ELSE 0 END)
+            AS BIGINT) AS n_dup_docs
+FROM assigned GROUP BY 1
+""",
+)
+def dedup_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment hashes the near-dup
+    COMPONENT id, not the doc id, so every near-duplicate cluster lands in
+    ONE split by construction — the dedup-aware split that keeps eval sets
+    uncontaminated by training-set near-copies (plain per-doc splitting,
+    rel_split_assign, can put two 95%-identical scrapes on opposite sides
+    of the train/test wall). Emits per-split docs / components / docs-in-
+    multi-doc-components; the oracle derives the same numbers from ITS OWN
+    independently-computed closure, so the hash match proves the composed
+    pipeline (pairs → components → assignment) end-to-end.
+
+    Scale shape: everything up to the labels is the bounded MinHash +
+    label-propagation pipeline (SCALE.md); the split is row-local affine
+    arithmetic on the component id (same constants as rel_split_assign)
+    and the stats are one component-keyed aggregate whose output is
+    #components rows, then three groups. No new shuffle class is
+    introduced; text never moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs)
+    comp = dedup.connected_components(docs, pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    h = (F.col("component") * _SPLIT_A + _SPLIT_C) % T.HASH_MOD % 100
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    return (
+        sizes.select(split.alias("split"), "n_members")
+        .groupBy("split")
+        .agg(
+            F.sum("n_members").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_components"),
+            F.sum(
+                F.when(F.col("n_members") > 1, F.col("n_members")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+    )
+
+
 @register(
     "dedup_incremental_minhash",
     oracle=dedup.incremental_minhash_sql(),

@@ -111,13 +111,13 @@ _HEAD_ORDER: tuple[str, ...] = (
     "text_inverted_index", "text_pmi_bigrams", "text_unigram_logprob",
     "text_typo_pairs", "text_repetition_signals", "text_vocab_coverage",
     "text_readability", "text_domain_mix_weights",
-    # (9) tfidf leftovers + the r5-new query (introduction-round rule:
-    # new [Q] queries get a driver row the round they appear;
-    # curation_mix_resample yields the slot — it passed this round's
-    # 50/50 vanilla-session head check before the swap, and the other 49
-    # r6 candidates passed the --backlog check (SWEEPS.md), so r6 can
-    # drain the entire remaining backlog pre-verified):
-    "tfidf_top_keywords", "rel_quantile_bisect",
+    # (9) the r5-new queries (introduction-round rule: new [Q] queries get
+    # a driver row the round they appear; curation_mix_resample and
+    # tfidf_top_keywords yield the slots — both passed this round's 50/50
+    # vanilla-session head check before the swap, and the other 49 r6
+    # candidates passed the --backlog check (SWEEPS.md), so r6 can drain
+    # the entire remaining 51-query backlog pre-verified):
+    "rel_quantile_bisect", "dedup_split_leakage_safe",
 )
 
 

@@ -179,3 +179,35 @@ def test_substring_spans_match_python_reference_randomized(spark, tmp_path):
         ).collect()
     }
     assert got == _spans_reference(docs_tokens)
+
+
+def test_leakage_safe_split_coassigns_near_dups(spark, tmp_path):
+    """Two near-duplicate docs (one word differs over a 20-word text) must
+    land in ONE split as a 2-doc component; the singletons split by their
+    own (component = doc_id) hash. Totals must tie out exactly."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = make_docs(
+        spark,
+        [
+            (1, base + " one", "en"),
+            (2, base + " two", "en"),  # near-dup of 1 (Jaccard ~0.9)
+            (3, "totally different words in this third document here", "en"),
+            (4, "and a fourth with its own unrelated vocabulary set", "en"),
+        ],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["split"]: (r["n_docs"], r["n_components"], r["n_dup_docs"])
+        for r in E.queries()["dedup_split_leakage_safe"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert sum(v[0] for v in rows.values()) == 4  # every doc exactly once
+    assert sum(v[1] for v in rows.values()) == 3  # {1,2}, {3}, {4}
+    # the near-dup pair is whole in exactly one split, never straddling
+    assert sorted(v[2] for v in rows.values()) == [0] * (len(rows) - 1) + [2]
+    two_dup_split = next(s for s, v in rows.items() if v[2] == 2)
+    assert rows[two_dup_split][0] >= 2

@@ -74,6 +74,7 @@ def test_plan_build_triggers_no_jobs(spark):
         "mllib_doc_vectors_wide",
         "dedup_components",
         "dedup_keep_longest",  # builds on the components fixpoint
+        "dedup_split_leakage_safe",  # likewise (components -> split)
         "sim_dbscan",  # core-core connectivity runs the same fixpoint
         # runs a streaming drain by contract
         "stream_stateful_user_totals",
