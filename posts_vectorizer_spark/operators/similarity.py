@@ -129,7 +129,17 @@ def _probe_blocks_arrow(batch_iter):
     for batch in batch_iter:
         if batch.num_rows == 0:
             continue
-        qids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = batch.column("vec_id")
+        if vid.null_count:
+            # to_numpy would turn a null id into NaN and .astype(int64)
+            # into a garbage id (the old pandas path raised here) — keep
+            # the loud failure the rectangularity check already gives the
+            # embedding column
+            raise ValueError(
+                "cosine kernel requires a non-null vec_id column; got "
+                f"{vid.null_count} null rows"
+            )
+        qids = vid.to_numpy(zero_copy_only=False).astype(np.int64)
         emb = batch.column("embedding")
         lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
         if emb.null_count or (len(lens) and not (lens == lens[0]).all()):

@@ -480,13 +480,31 @@ def quantiles_bisect(
     nb: int = _BISECT_BUCKETS,
 ) -> DataFrame:
     """Core of rel_quantile_bisect over any single-column ``v`` relation
-    (exposed for the crafted-distribution tests)."""
+    (exposed for the crafted-distribution tests).
+
+    NULL ``v`` rows are ignored (SQL order-statistic semantics: n counts
+    non-null values only — previously count('*') included NULLs while
+    min/max and ranking excluded them, silently skewing every k for a
+    nullable caller). NaN raises loudly: NaN has engine-dependent sort
+    order (Spark sorts it above +inf) and would corrupt the min/max range
+    every bucket boundary derives from, so there is no portable answer to
+    return."""
     from fractions import Fraction
 
     out_schema = "p double, k bigint, value double"
+    li = li.where(F.col("v").isNotNull())
     stats = li.agg(
-        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        F.count("*").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum(F.when(F.isnan("v"), 1).otherwise(0)).alias("nans"),
     ).first()
+    if stats["nans"]:
+        raise ValueError(
+            "quantiles_bisect requires NaN-free v: NaN sort order is "
+            f"engine-dependent and corrupts the bucket range ({stats['nans']}"
+            " NaN rows)"
+        )
     n = stats["n"]
     if n == 0:
         return spark.createDataFrame([], out_schema)

@@ -152,6 +152,12 @@ def test_probe_blocks_arrow_zero_copy_matches_tolist():
     with pytest.raises(ValueError, match="non-null"):
         run(batch_of([5, 6], [[1.0, 2.0], None]))
 
+    # null vec_id -> loud error too: to_numpy would coerce it to NaN and
+    # astype(int64) to a garbage id (the r5 advisory's silent-corruption
+    # path — the old pandas ingestion raised here)
+    with pytest.raises(ValueError, match="vec_id"):
+        run(batch_of([5, None], [[1.0, 2.0], [3.0, 4.0]]))
+
     # empty batch is skipped entirely
     assert list(_probe_blocks_arrow([batch_of([], [])])) == []
 

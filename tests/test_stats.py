@@ -273,6 +273,36 @@ def test_quantile_bisect_matches_numpy_order_statistic(spark):
     assert out.columns == ["p", "k", "value"] and out.count() == 0
 
 
+def test_quantile_bisect_null_and_nan_inputs(spark):
+    """r5 advisory: NULL rows previously inflated n (count('*')) while
+    min/max and ranking excluded them, skewing every k for a nullable
+    caller; NaN silently corrupted the bucket range. Now NULLs are ignored
+    (SQL order-statistic semantics) and NaN raises loudly."""
+    import math
+
+    from posts_vectorizer_spark.plans.queries_advanced import quantiles_bisect
+
+    # NULLs ignored: answer identical to the null-free relation
+    vals = [float(i) for i in range(20)]
+    with_nulls = [(v,) for v in vals] + [(None,)] * 7
+    df = spark.createDataFrame(with_nulls, "v double")
+    got = {
+        r["p"]: (r["k"], r["value"])
+        for r in quantiles_bisect(spark, df, ps=(0.5, 0.9), nb=8).collect()
+    }
+    # n = 20 non-null values -> k = floor(19*p)+1 over sorted(vals)
+    assert got == {0.5: (10, 9.0), 0.9: (18, 17.0)}, got
+
+    # all-NULL input behaves like empty input
+    allnull = spark.createDataFrame([(None,)] * 4, "v double")
+    assert quantiles_bisect(spark, allnull, ps=(0.5,), nb=8).count() == 0
+
+    # NaN -> loud error, never a corrupted bucket range
+    nan_df = spark.createDataFrame([(1.0,), (math.nan,)], "v double")
+    with pytest.raises(ValueError, match="NaN"):
+        quantiles_bisect(spark, nan_df, ps=(0.5,), nb=8)
+
+
 @pytest.mark.parametrize("seed", [11, 29, 47, 83])
 def test_quantile_bisect_seeded_fuzz(spark, seed):
     """Seeded random distributions (mixed scales, duplicate mass, negative

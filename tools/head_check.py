@@ -48,11 +48,17 @@ def main(argv: list[str]) -> int:
 
         green = set()
         for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-            for k, v in json.load(open(f)).items():
+            with open(f) as fh:
+                rows = json.load(fh)
+            for k, v in rows.items():
+                # all three matches AND a clean error field — a row that
+                # "matched" while recording an error must stay in the
+                # backlog, not silently drop out of it forever
                 if (
                     v.get("rows_match")
                     and v.get("schema_match")
                     and v.get("hash_match")
+                    and not v.get("err")
                 ):
                     green.add(k)
         names = [
