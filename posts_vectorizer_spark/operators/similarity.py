@@ -190,7 +190,12 @@ WHERE {where}
 """
 
 
-def topk(embeddings: DataFrame, k: int = 5, n_tiles: int = 1) -> DataFrame:
+def topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_tiles: int = 1,
+    probe: DataFrame | None = None,
+) -> DataFrame:
     """Exact top-k neighbors per query by cosine (W3 ranking shape;
     deterministic: rounded score desc, neighbor_id asc).
 
@@ -203,9 +208,17 @@ def topk(embeddings: DataFrame, k: int = 5, n_tiles: int = 1) -> DataFrame:
     ``n_tiles > 1`` splits the build side into hash tiles broadcast
     independently; per-tile top-k candidates merge under the same total
     order (NULL-cosine last, then score desc, id asc), so the result is
-    tile-count-invariant — asserted by tests/test_extras.py."""
+    tile-count-invariant — asserted by tests/test_extras.py.
+
+    ``probe`` (default: ``embeddings``) queries a different relation
+    against the same broadcast build side — the real serving asymmetry
+    (few index vectors, a firehose of queries) and what
+    ``tools/cosine_scale_probe.py`` scales to measure the Arrow-handshake
+    amortization trend. Self-pairs are still excluded by vec_id equality,
+    which with a disjoint probe id space excludes nothing."""
     spark = embeddings.sparkSession
     bcs = _build_tiles(embeddings, n_tiles)
+    probe_side = probe if probe is not None else embeddings
 
     def gen(batch_iter):
         import pyarrow as pa
@@ -273,8 +286,8 @@ def topk(embeddings: DataFrame, k: int = 5, n_tiles: int = 1) -> DataFrame:
                 names=["query_id", "neighbor_id", "cosine", "rk"],
             )
 
-    probe = embeddings.repartition(spark.sparkContext.defaultParallelism)
-    return probe.mapInArrow(
+    probe_side = probe_side.repartition(spark.sparkContext.defaultParallelism)
+    return probe_side.mapInArrow(
         gen, "query_id long, neighbor_id long, cosine double, rk int"
     )
 

