@@ -11,8 +11,12 @@ the serving asymmetry `similarity.topk(probe=...)` exists for) and
 records wall / task_time / cpu_time / per-probe-row wall at 1x/3x/10x.
 
 If the amortization claim is right: wall grows sublinearly at first
-(fixed per-task cost spread over more rows), the task/cpu ratio falls,
-and wall-per-probe-row drops toward the pure-compute floor.
+(fixed per-task cost spread over more rows) and wall-per-probe-row drops
+toward the pure-compute floor. (Measured r6: both hold — 10x rows costs
+1.7x wall, per-row cost falls 6x. The task/cpu ratio does NOT fall and
+never will for a Python kernel: executorRunTime includes the JVM thread
+blocked on the Python worker, which grows with the real work, while JVM
+cpu stays flat — the ratio carries no scale signal; see SCALE.md.)
 
 Usage:  python tools/cosine_scale_probe.py   # prints one JSON line
 Result table lives in SCALE.md (cosine-kernel scale trend).
@@ -37,11 +41,12 @@ def main() -> None:
 
     import bench
     from posts_vectorizer_spark.operators import similarity
-    from posts_vectorizer_spark.session import get_session
+    from posts_vectorizer_spark.session import get_spark
     from posts_vectorizer_spark.sources import load_table
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_session()
+    # UI on: _settled_snapshot reads stage metrics from the UI REST API
+    spark = get_spark("cosine_scale_probe", extra_conf={"spark.ui.enabled": "true"})
     emb = load_table(spark, sf_dir, "embeddings")
 
     def probe_at(scale: int):
