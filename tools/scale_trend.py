@@ -1,0 +1,155 @@
+"""Measured scaling curves for the headline operators at 1x/3x/10x.
+
+The sandbox caps generated data at sf0.1, so every 100 TB argument in
+SCALE.md is an extrapolation from plan shape. This tool replaces the
+extrapolation's first decade with measurement: it materializes 1x/3x/10x
+variants of the sf0.1 inputs to parquet (so the timed path includes the
+real scan, like bench.py) and times each operator best-of-2 after warmup,
+recording wall / executor task + cpu time / shuffle bytes.
+
+Input scaling is semantics-preserving:
+- documents for DEDUP ops: each copy k suffixes every word with `_k`
+  (regexp on \\S+), so copies are content-disjoint — duplicate groups and
+  near-dup pairs replicate per copy instead of exploding quadratically
+  across copies (10x data => ~10x pairs, the honest scaling shape).
+- documents for TF-IDF: plain copies with shifted doc_ids — same
+  vocabulary, 10x docs; the vocab-sized broadcast side stays FIXED while
+  the fact side grows, exactly the 100 TB asymmetry the plan argues for.
+- lineitem: plain copies with shifted l_orderkey (Q1-shape aggregation
+  has a fixed 4-group key space at any scale).
+
+Expected if the SCALE.md arguments hold: wall grows ~linearly (or better,
+while fixed per-query constants still amortize) and shuffle bytes grow
+~linearly for the shuffling ops; any super-linear bend is a real finding.
+
+Usage:  python tools/scale_trend.py            # one JSON line on stdout
+Results table lives in SCALE.md (measured operator scaling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCALES = (1, 3, 10)
+ID_OFFSET = 10_000_000
+WORKDIR = "/tmp/scale_trend"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import bench
+    from posts_vectorizer_spark.operators import dedup, tfidf
+    from posts_vectorizer_spark.session import get_spark
+    from posts_vectorizer_spark.sources import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale_trend", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+
+    def copies(df, id_col, k, text_suffix=False):
+        parts = []
+        for i in range(k):
+            p = df.withColumn(id_col, F.col(id_col) + F.lit(i * ID_OFFSET))
+            if text_suffix and i > 0:
+                # word-suffix => copies are content-disjoint (see module doc)
+                p = p.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1_{i}")
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    def materialize(name, df):
+        path = f"{WORKDIR}/{name}.parquet"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    inputs = {}
+    for k in SCALES:
+        inputs[("docs_disjoint", k)] = materialize(
+            f"docs_disjoint_{k}x", copies(docs, "doc_id", k, text_suffix=True)
+        )
+        inputs[("docs_plain", k)] = materialize(
+            f"docs_plain_{k}x", copies(docs, "doc_id", k)
+        )
+        inputs[("lineitem", k)] = materialize(
+            f"lineitem_{k}x", copies(lineitem, "l_orderkey", k)
+        )
+
+    def q1_shape(li):
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    operators = {
+        "dedup_exact_keep_first": lambda k: dedup.exact_keep_first(
+            inputs[("docs_disjoint", k)]
+        ),
+        "dedup_minhash_near_dups": lambda k: dedup.minhash_near_dups(
+            inputs[("docs_disjoint", k)]
+        ),
+        "tfidf_doc_vectors": lambda k: tfidf.doc_vectors(
+            inputs[("docs_plain", k)], emb, "en"
+        ),
+        "groupby_agg_q1_shape": lambda k: q1_shape(inputs[("lineitem", k)]),
+    }
+
+    results = {}
+    for name, build in operators.items():
+        bench.force(build(1))  # warmup, unmeasured
+        runs = []
+        for k in SCALES:
+            best = None
+            for _ in range(2):
+                before = bench._settled_snapshot(spark)
+                t0 = time.perf_counter()
+                bench.force(build(k))
+                wall = time.perf_counter() - t0
+                m = bench._diff_metrics(before, bench._settled_snapshot(spark))
+                if best is None or wall < best["wall_s"]:
+                    best = {
+                        "wall_s": round(wall, 3),
+                        "task_time_ms": m["task_time_ms"],
+                        "cpu_time_ms": m["cpu_time_ms"],
+                        "shuffle_write_bytes": m["shuffle_write_bytes"],
+                    }
+            runs.append({"scale": k, **best})
+            print(f"# {name} {k}x: {runs[-1]}", file=sys.stderr)
+        r1, r10 = runs[0], runs[-1]
+        results[name] = {
+            "runs": runs,
+            # wall growth per 10x data; ~<=10 means at-worst-linear
+            "wall_x_at_10x": round(r10["wall_s"] / max(r1["wall_s"], 1e-9), 1),
+            "shuffle_x_at_10x": round(
+                r10["shuffle_write_bytes"] / max(r1["shuffle_write_bytes"], 1), 1
+            ),
+        }
+
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+    print(json.dumps({"sf_dir": sf_dir, "scales": SCALES, "operators": results}))
+
+
+if __name__ == "__main__":
+    main()
