@@ -27,8 +27,20 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+# Queries built mid-round AFTER the round's head-50 was locked. The
+# introduction-round rule says a new [Q] query takes a head slot the round
+# it first appears in queries(); staged entries therefore stay OUT of
+# queries()/oracle_sql() until the next round opens, when the flag is
+# dropped and they get head slots. They are fully built (code + oracle +
+# tests) and are exercised by the local oracle sweep (tools/oracle_check.py
+# includes them) — staging defers only the DRIVER-VISIBLE registration,
+# never the verification.
+STAGED: dict[str, QueryDef] = {}
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+
+def register(
+    name: str, oracle: str | None = None, staged: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The driver hands us ITS session; pin the runtime-settable conf
@@ -39,9 +51,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         wrapped.__module__ = fn.__module__
-        if name in REGISTRY:
+        if name in REGISTRY or name in STAGED:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(name, wrapped, oracle, fn.__doc__ or "")
+        target = STAGED if staged else REGISTRY
+        target[name] = QueryDef(name, wrapped, oracle, fn.__doc__ or "")
         return fn
 
     return deco
@@ -156,6 +169,18 @@ def oracle_sql() -> dict[str, str]:
     return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
+def staged_queries() -> dict[str, QueryFn]:
+    """Built-but-not-yet-introduced queries (see STAGED). Consumed by
+    tools/oracle_check.py and tests; invisible to the driver contract."""
+    _ensure_loaded()
+    return {q.name: q.fn for q in STAGED.values()}
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {q.name: q.oracle for q in STAGED.values() if q.oracle is not None}
+
+
 _LOADED = False
 
 
@@ -176,7 +201,11 @@ def _ensure_loaded() -> None:
                 "queries_sketch", "queries_timeseries",
                 "queries_governance", "queries_lakehouse",
                 "queries_stats", "queries_fuzzy", "queries_pipeline",
-                "queries_retrieval", "queries_extras"):
+                "queries_retrieval", "queries_extras",
+                # staged-for-r7 modules load too: their queries land in
+                # STAGED, not REGISTRY, so the driver surface is unchanged
+                # but tools/oracle_check.py --staged and tests see them.
+                "queries_tpch2"):
         try:
             __import__(f"{__package__}.{mod}")
         except ModuleNotFoundError as e:

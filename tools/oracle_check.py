@@ -106,7 +106,23 @@ def main(argv: list[str]) -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    names = argv or sorted(oracles)
+    # Staged queries (built after the round's head lock; registry.STAGED)
+    # are part of the verified surface even before the driver sees them:
+    # included by name, via --staged (staged only), or in the no-arg sweep.
+    from posts_vectorizer_spark.plans.registry import (
+        staged_oracle_sql,
+        staged_queries,
+    )
+
+    staged = staged_queries()
+    staged_or = staged_oracle_sql()
+    if argv and argv[0] == "--staged":
+        qs, oracles = staged, staged_or
+        names = argv[1:] or sorted(staged_or)
+    else:
+        qs = {**qs, **staged}
+        oracles = {**oracles, **staged_or}
+        names = argv or sorted(oracles)
     spark = get_spark("oracle-check", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     con = duckdb_connection(sf_dir)
 
