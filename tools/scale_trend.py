@@ -17,6 +17,10 @@ Input scaling is semantics-preserving:
   the fact side grows, exactly the 100 TB asymmetry the plan argues for.
 - lineitem: plain copies with shifted l_orderkey (Q1-shape aggregation
   has a fixed 4-group key space at any scale).
+- events: copies shift user_id (and event_id), so the per-user window /
+  session operators see k-times MORE groups of the SAME size — the shape
+  a 100 TB user-event table actually has (users grow, per-user history
+  doesn't).
 
 Expected if the SCALE.md arguments hold: wall grows ~linearly (or better,
 while fixed per-query constants still amortize) and shuffle bytes grow
@@ -57,6 +61,7 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
 
     shutil.rmtree(WORKDIR, ignore_errors=True)
 
@@ -91,6 +96,17 @@ def main() -> None:
         inputs[("lineitem", k)] = materialize(
             f"lineitem_{k}x", copies(lineitem, "l_orderkey", k)
         )
+        # shift BOTH ids: user_id scales the group count, event_id keeps
+        # rows globally unique
+        ev_parts = [
+            events.withColumn("event_id", F.col("event_id") + F.lit(i * ID_OFFSET))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * ID_OFFSET))
+            for i in range(k)
+        ]
+        ev = ev_parts[0]
+        for part in ev_parts[1:]:
+            ev = ev.unionAll(part)
+        inputs[("events", k)] = materialize(f"events_{k}x", ev)
 
     def q1_shape(li):
         return (
@@ -101,6 +117,29 @@ def main() -> None:
                 F.avg("l_discount").alias("avg_disc"),
                 F.count("*").alias("n"),
             )
+        )
+
+    def session_window(ev):
+        # mirrors the registered events_session_window (ST6)
+        return (
+            ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).cast("double").alias("total_value"),
+            )
+        )
+
+    def window_topk(ev):
+        # mirrors the W3 top-k-per-group shape (rank within user by value)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("value"), F.asc("event_id")
+        )
+        return (
+            ev.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("user_id", "event_id", "value", "rk")
         )
 
     operators = {
@@ -114,6 +153,8 @@ def main() -> None:
             inputs[("docs_plain", k)], emb, "en"
         ),
         "groupby_agg_q1_shape": lambda k: q1_shape(inputs[("lineitem", k)]),
+        "events_session_window": lambda k: session_window(inputs[("events", k)]),
+        "events_window_topk": lambda k: window_topk(inputs[("events", k)]),
     }
 
     results = {}
