@@ -748,3 +748,144 @@ def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (STAGED for r7)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 200                 # bootstrap replicates
+_BOOT_MULT = 2_654_435_761    # Knuth multiplicative constant (wave-6 hash)
+# Poisson(1) cumulative probabilities P(X <= k), k = 0..6; weights cap at 7.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+_BOOT_LO_RANK = 5     # 2.5th percentile of 200 sorted means (floor(0.025*B))
+_BOOT_HI_RANK = 196   # 97.5th percentile (ceil(0.975*B) + 1)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "\n         ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches}\n         ELSE 7 END"
+
+
+@register(
+    "rel_bootstrap_ci",
+    staged=True,
+    oracle=f"""
+WITH pop AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS x_cents
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+),
+pairs AS (
+  SELECT p.x_cents, b.b,
+         ((p.id * 211 + b.b) % {T.HASH_MOD} * {_BOOT_MULT} + 7919)
+           % {T.HASH_MOD} AS hb
+  FROM pop p, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+),
+weighted AS (
+  SELECT b, x_cents,
+         {_pois_case_sql(f"((hb * hb) % {T.HASH_MOD} + 1.0) / {T.HASH_MOD + 1}.0")} AS w
+  FROM pairs
+),
+reps AS (
+  SELECT b, sum(w * x_cents) AS swx, sum(w) AS sw
+  FROM weighted GROUP BY b HAVING sum(w) > 0
+),
+means AS (
+  SELECT round(swx / (100.0 * sw), 6) AS mean_b,
+         row_number() OVER (ORDER BY round(swx / (100.0 * sw), 6), b) AS rk
+  FROM reps
+),
+pop_stat AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         round(sum(x_cents) / (100.0 * count(*)), 6) AS point_mean
+  FROM pop
+)
+SELECT s.n_rows, s.point_mean,
+       (SELECT mean_b FROM means WHERE rk = {_BOOT_LO_RANK}) AS ci_lo,
+       (SELECT mean_b FROM means WHERE rk = {_BOOT_HI_RANK}) AS ci_hi,
+       (SELECT CAST(count(*) AS BIGINT) FROM means) AS n_replicates
+FROM pop_stat s
+""",
+)
+def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for a mean — THE bootstrap that works at
+    100 TB: classical resampling needs B global samples-with-replacement
+    (B full shuffles of the dataset); the Poisson trick replaces each
+    row's resample count with an independent Poisson(1) draw, so ONE
+    pass emits (replicate, weight) contributions map-side and the only
+    shuffle is the B-group aggregation (200 groups, map-side combined).
+
+    Like rel_dp_noisy_counts, this is an ARITHMETIC CHECK of the
+    mechanism, not statistical-grade randomness: the per-(row, replicate)
+    uniform comes from the wave-6 quadratically-mixed portable hash so
+    the oracle can verify every draw, weight, replicate mean, and the
+    percentile cut exactly. Production swaps a counter-based RNG
+    (Philox-style) for the hash — plan shape, exactness discipline, and
+    the percentile convention (sorted means, ranks 5/196 of 200 = 2.5th
+    and 97.5th) unchanged.
+
+    Exactness: weights and cents are integers, so replicate sums are
+    exact; the ONLY doubles are the final quotients, rounded to 6 in both
+    engines; the rank order ties-break on replicate id (total order).
+
+    Scale shape: explode ×B happens map-side with no row wider than
+    (int, int, int); the aggregate is 200 groups with partial combine;
+    the percentile cut sorts B values, not data. At 10^9 input rows and
+    B=200 this is 2·10^11 skinny intermediate rows — streamed, never
+    materialized, exactly how production Poisson bootstraps run."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    pop = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x_cents"),
+    )
+    pairs = pop.select(
+        "id",
+        "x_cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    hb = (
+        (F.col("id") * 211 + F.col("b")) % T.HASH_MOD * _BOOT_MULT + 7919
+    ) % T.HASH_MOD
+    u = ((hb * hb) % T.HASH_MOD + F.lit(1.0)) / F.lit(float(T.HASH_MOD + 1))
+    w = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], k).otherwise(w)
+    reps = (
+        pairs.select("b", "x_cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("x_cents")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+    )
+    mean_b = F.round(F.col("swx") / (100.0 * F.col("sw")), 6)
+    means = reps.select(
+        mean_b.alias("mean_b"),
+        F.row_number()
+        .over(Window.orderBy(mean_b, F.col("b")))
+        .alias("rk"),
+    )
+    ci = means.agg(
+        F.max(F.when(F.col("rk") == _BOOT_LO_RANK, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == _BOOT_HI_RANK, F.col("mean_b"))).alias("ci_hi"),
+        F.count("*").cast("bigint").alias("n_replicates"),
+    )
+    pop_stat = pop.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("x_cents") / (100.0 * F.count("*")), 6).alias("point_mean"),
+    )
+    return pop_stat.join(F.broadcast(ci))

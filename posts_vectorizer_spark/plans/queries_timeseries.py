@@ -872,3 +872,102 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition (STAGED for r7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_seasonal_decompose",
+    staged=True,
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS v_u
+  FROM events GROUP BY 1
+),
+trend AS (
+  SELECT day, v_u,
+         sum(v_u)  OVER w AS t7_u,
+         count(*)  OVER w AS n7,
+         date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full7 AS (SELECT * FROM trend WHERE n7 = 7),
+seas AS (
+  SELECT dow, sum(7 * v_u - t7_u) AS sd_u,
+         CAST(count(*) AS BIGINT) AS n_dow
+  FROM full7 GROUP BY dow
+)
+SELECT f.day,
+       round(f.v_u / 1000000.0, 6) AS observed,
+       round(f.t7_u / 7000000.0, 6) AS trend,
+       round(s.sd_u / (7000000.0 * s.n_dow), 6) AS seasonal,
+       round(round(f.v_u / 1000000.0, 6) - round(f.t7_u / 7000000.0, 6)
+             - round(s.sd_u / (7000000.0 * s.n_dow), 6), 6) AS residual
+FROM full7 f JOIN seas s USING (dow)
+ORDER BY day
+""",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily event-value series:
+    trend = centered 7-day moving average, weekly seasonal = per-weekday
+    mean deviation from trend, residual = observed − trend − seasonal —
+    the classical-decomposition core of STL without the loess smoothing
+    passes (which need iterative local regression; the averaging form is
+    the one that states as two window frames + one tiny-key aggregate).
+
+    Determinism engineering: the daily series is micro-unit integers
+    (round(value·1e6) summed as BIGINT — exact, order-free), the 7-day
+    trend window is an exact integer sum, and the per-weekday seasonal
+    numerator 7·v−t7 stays integer; every double is a final quotient
+    rounded to 6 identically in both engines. Weekday comes from
+    epoch-day mod 7 (NOT dayofweek(): Spark counts Sunday=1, DuckDB
+    Sunday=0 — the epoch arithmetic is engine-free). Edge rows without a
+    full 7-day window are excluded by the count(*)-over guard, not by
+    assuming calendar density.
+
+    Scale shape: the daily collapse is the only data-sized shuffle
+    (map-side combinable); the trend window orders ~365·years rows per
+    series — driver-scale, not data-scale; the seasonal join is a 7-row
+    broadcast. For per-entity decomposition the same plan partitions
+    every window and aggregate by the entity key — nothing in the shape
+    changes."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("v_u")
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trend = daily.select(
+        "day",
+        "v_u",
+        F.sum("v_u").over(w7).alias("t7_u"),
+        F.count("*").over(w7).alias("n7"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+    )
+    full7 = trend.where(F.col("n7") == 7)
+    seas = full7.groupBy("dow").agg(
+        F.sum(F.lit(7) * F.col("v_u") - F.col("t7_u")).alias("sd_u"),
+        F.count("*").cast("bigint").alias("n_dow"),
+    )
+    observed = F.round(F.col("v_u") / 1_000_000.0, 6)
+    trend_d = F.round(F.col("t7_u") / 7_000_000.0, 6)
+    seasonal = F.round(F.col("sd_u") / (7_000_000.0 * F.col("n_dow")), 6)
+    return (
+        full7.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            observed.alias("observed"),
+            trend_d.alias("trend"),
+            seasonal.alias("seasonal"),
+            F.round(observed - trend_d - seasonal, 6).alias("residual"),
+        )
+        .orderBy("day")
+    )
