@@ -27,8 +27,9 @@ CHUNK = 4
     oracle="""
 SELECT l.l_returnflag,
        CAST(count(*) AS BIGINT) AS n_items,
-       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-            AS DECIMAL(18,2)) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            / 10000.0 AS DOUBLE) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY l.l_returnflag
@@ -41,7 +42,12 @@ def rel_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (operators/runtime_filter.py). The filter is purely physical:
     false positives die in the exact join, so the oracle is the plain
     join. At 100 TB this is the difference between shuffling all of
-    lineitem and shuffling the matching slice."""
+    lineitem and shuffling the matching slice.
+
+    Revenue is the repo's exact scaled-int64 sum (cents x
+    discount-hundredths / 10000 — queries_advanced._dec_revenue): the r6
+    driver hash-fail proved the earlier double `round(sum(...), 2)` was
+    partition-order dependent at a half-cent boundary."""
     from ..operators.runtime_filter import bloom_prune_join
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -51,9 +57,16 @@ def rel_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bloom_prune_join(li, orders, "l_orderkey", "o_orderkey")
     return joined.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).cast("decimal(18,2)").alias("revenue"),
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100).cast("bigint")
+                )
+            )
+            / 10000.0
+        ).cast("double").alias("revenue"),
     )
 
 

@@ -392,7 +392,7 @@ WITH seg AS (
            AS segment
   FROM events
 )
-SELECT user_id, ts, event_id, segment,
+SELECT user_id, ts, event_id, CAST(segment AS BIGINT) AS segment,
        CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
               OVER (PARTITION BY user_id, segment ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -751,7 +751,7 @@ def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Poisson bootstrap confidence interval (STAGED for r7)
+# Poisson bootstrap confidence interval (staged r6, introduced r7)
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 200                 # bootstrap replicates
@@ -779,7 +779,6 @@ def _pois_case_sql(u: str) -> str:
 
 @register(
     "rel_bootstrap_ci",
-    staged=True,
     oracle=f"""
 WITH pop AS (
   SELECT l_orderkey * 8 + l_linenumber AS id,

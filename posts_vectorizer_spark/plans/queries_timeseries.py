@@ -875,12 +875,11 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STL-lite seasonal decomposition (STAGED for r7)
+# STL-lite seasonal decomposition (staged r6, introduced r7)
 # ---------------------------------------------------------------------------
 
 @register(
     "events_seasonal_decompose",
-    staged=True,
     oracle="""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,

@@ -12,12 +12,10 @@ so like the earlier q11/q16 adaptations these state supplier-part economics
 over lineitem (the (l_partkey, l_suppkey) pairs ARE the supply relation)
 and cost over p_retailprice.
 
-All six are STAGED for r7 (registry.STAGED): they were built after the r6
-head-50 was locked for the backlog drain, and the introduction-round rule
-(registry.py) says new [Q] queries take a head slot the round they first
-appear in queries(). They are fully verified this round by the local
-oracle sweep (tools/oracle_check.py --staged) and tests/test_tpch2.py;
-r7 drops the flag and gives them head slots.
+Built in r6 after that round's head-50 was locked (staged via
+registry.STAGED, verified by the local oracle sweep + tests/test_tpch2.py);
+introduced to the driver surface in r7 with head slots per the
+introduction-round rule (registry.py).
 
 Exactness policy (the reason every comparison below is integer): money is
 summed as round(x*100)::BIGINT cents (FP *100 is NOT integral on this
@@ -59,7 +57,6 @@ def _qty() -> F.Column:
 
 @register(
     "rel_tpch_q2_min_cost_supplier",
-    staged=True,
     oracle=f"""
 WITH supply AS (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
@@ -135,7 +132,6 @@ def rel_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "rel_tpch_q9_product_profit",
-    staged=True,
     oracle=f"""
 SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
        CAST(sum({_PRICE_CENTS} * (100 - {_DISC_H})
@@ -193,7 +189,6 @@ def rel_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_tpch_q12_late_shipments",
-    staged=True,
     oracle="""
 SELECT CASE
          WHEN date_diff('day', CAST(o_orderdate AS DATE),
@@ -252,7 +247,6 @@ def rel_tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_tpch_q15_top_supplier",
-    staged=True,
     oracle=f"""
 WITH revenue AS (
   SELECT l_suppkey AS suppkey,
@@ -304,7 +298,6 @@ def rel_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_tpch_q17_small_quantity",
-    staged=True,
     oracle=f"""
 SELECT CAST(round(sum({_PRICE_CENTS}) / 700.0, 4) AS DOUBLE)
          AS avg_yearly,
@@ -354,7 +347,6 @@ def rel_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_tpch_q20_excess_stock",
-    staged=True,
     oracle=f"""
 WITH flows AS (
   SELECT l_suppkey AS suppkey, l_partkey AS partkey,

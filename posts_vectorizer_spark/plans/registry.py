@@ -72,82 +72,61 @@ def register(
 # oracle-backed. Everything not listed follows in registration
 # (cost-ascending) order.
 #
-# r6 state: 51 [Q] queries entered the round with no driver row ever (the
-# 49 `tools/head_check.py --backlog` pre-verified 49/49 in r5, plus
-# curation_mix_resample and tfidf_top_keywords, whose introduction-round
-# slots were yielded in r5 — both head-checked before the swap). 47 rotate
-# in below; the 4 stragglers that don't fit are chosen for maximal family
-# redundancy (each family already has multiple driver-green members and a
-# named strong local test) and take r7's FIRST slots:
-#   rel_join_full_outer      (J-family green J1-J5; test_relational)
-#   rel_hash_sample          (L2 family green via rel_stratified_sample r6
-#                             candidate + seeded test_extras coverage)
-#   rel_count_distinct_exact (A9/A11 distinct family green r1-r3;
-#                             test_relational)
-#   grouped_zscore_normalize (W1 per-group frame family green since r1;
-#                             test_pipeline recount)
+# FRESHNESS POLICY (standing, from r7): with the never-checked backlog
+# drained, rotating slots re-prove the OLDEST standing green rows first
+# (a batch per round, last-green round ascending), so no driver row ages
+# past ~4 rounds without a re-proof.
 #
-# FRESHNESS POLICY (from r7): once the never-checked backlog drains, the
-# rotating slots re-prove the OLDEST standing green rows first (the r1-r2
-# cohort, ~30 queries with code unchanged since), a batch per round, so no
-# standing driver row ages past ~4 rounds. r7's head = the 4 stragglers
-# above + the r7 spine + oldest-first freshness fill.
+# r7 state: the never-checked backlog is DRAINED. r7's head executes the
+# r6 verdict's plan exactly:
+#   (a) FIRST 4 slots — the 4 documented stragglers (the only [Q] queries
+#       that had never had a driver row; promised these slots in r6).
+#   (b) 8 introduction slots — the r6-staged wave (TPC-H completion
+#       Q2/Q9/Q12/Q15/Q17/Q20, rel_bootstrap_ci,
+#       events_seasonal_decompose), un-staged this round per the
+#       introduction-round rule.
+#   (c) r7 spine — the two r6 hash-FAIL queries, re-proved after their
+#       fixes (rel_bloom_prune_join: double revenue sum -> exact
+#       scaled-int cents; events_running_reset: oracle segment cast
+#       BIGINT so DuckDB doesn't emit HUGEINT), the flagship (also under
+#       the r7 bench-regression investigation), and sim_cosine_near_dups
+#       (the r6-touched cosine kernel's sibling the verdict asked to see
+#       driver-fresh rather than sweep-proved).
+#   (d) FRESHNESS fill (34 slots) — the oldest-standing green rows,
+#       oldest-first: the entire r1-r2 cohort (20: every green row last
+#       proved in 2024-era rounds 1-2) plus 14 of the r3 cohort,
+#       preferring the tfidf family (the bench-investigation path — if
+#       perf work touches it this round, these rows re-prove the
+#       consumers) and one representative per big r3 family.
 _HEAD_ORDER: tuple[str, ...] = (
-    # ---- r6 spine (3): the flagship + the two direct consumers of code
-    # changed this round. The r6 diff touched exactly two query-bearing
-    # code paths (the r5 advisory fixes): quantiles_bisect gained a
-    # NULL-filter/NaN-guard (queries_advanced.py) and _probe_blocks_arrow
-    # gained a vec_id null check (similarity.py) — both pure input-
-    # validation, results unchanged for valid input, and both re-proven
-    # against their DuckDB oracles at sf0.01 this round before commit.
-    # tfidf_doc_vectors: the flagship — carries the §2 tfidf family spine
-    # (P2,P5-P8, A1-A10, J1-J5, F6/F7, W2) and the Q1-Q8 quirk coverage;
-    # also re-proven every bench run.
-    "tfidf_doc_vectors",
-    # sim_cosine_topk: driver-level representative for the touched cosine
-    # kernel. Its shared-kernel siblings (sim_cosine_near_dups r5,
-    # sim_knn_graph_mutual r4, sim_dbscan r4) re-prove via the committed
-    # post-change sf0.1 differential sweep (SWEEPS.md) — the same
-    # spine-representative + sweep-for-siblings treatment the r5 verdict
-    # accepted for this kernel's consumers.
-    "sim_cosine_topk",
-    # rel_quantile_bisect: sole [Q] consumer of the touched bisection
-    # helper.
-    "rel_quantile_bisect",
-    # ---- 47 rotating slots: ALL go to [Q] queries that have never had a
-    # driver CORRECTNESS row, draining the 51-query backlog to the 4
-    # documented stragglers. Cheap in-plan queries first, streaming drains
-    # last (a time-budgeted driver truncates the tail, not the bulk).
-    # (1) the two whose introduction-round rule was waived in r5 — named
-    # first so the rule doesn't rot:
-    "curation_mix_resample", "tfidf_top_keywords",
-    # (2) relational / governance / layout:
-    "rel_map_type_ops", "rel_split_assign", "rel_dq_constraints",
-    "rel_window_ntile_ranks", "rel_k_anonymity_ladder",
-    "rel_dp_noisy_counts", "rel_zorder_keys", "rel_minmax_skipping",
-    "rel_bloom_prune_join", "rel_market_basket",
-    # (3) text/corpus analytics:
-    "text_chunk_boilerplate", "text_freq_spectrum",
-    "text_source_overlap_matrix", "text_zipf_slope",
-    "text_bpe_segment_stats", "text_cms_heavy_hitters",
-    "text_textrank_unrolled", "text_bigram_logprob",
-    "text_chi2_lang_source", "text_symspell_candidates", "text_chunk_dedup",
-    # (4) events analytics:
-    "events_rolling_zscore", "events_trailing_24h", "events_hll_set_ops",
-    "events_running_reset", "events_weekly_wow",
-    # (5) similarity + dedup:
-    "sim_silhouette_labels", "sim_filtered_topk", "dedup_source_cap",
-    # (6) sources / formats / lakehouse:
-    "source_partitioned_pruning", "source_orc_roundtrip",
-    "source_schema_evolution", "source_bucketed_colocated_join",
-    "source_ledger_quarantine", "source_ledger_time_travel",
-    "source_http_enrich", "source_binary_vec_ingest",
-    "source_vec_model_table",
-    # (7) streaming drains (slowest — keep at the tail):
-    "stream_idf_increment", "stream_static_join_drain",
-    "stream_lsh_index_drain", "stream_session_drain",
-    "stream_python_sink_drain", "stream_stateful_user_totals",
-    "stream_cdc_drain",
+    # ---- (a) the 4 stragglers — first slots, as promised in r6:
+    "rel_join_full_outer", "rel_hash_sample", "rel_count_distinct_exact",
+    "grouped_zscore_normalize",
+    # ---- (b) the 8 introductions (r6-staged, locally swept + tested):
+    "rel_tpch_q2_min_cost_supplier", "rel_tpch_q9_product_profit",
+    "rel_tpch_q12_late_shipments", "rel_tpch_q15_top_supplier",
+    "rel_tpch_q17_small_quantity", "rel_tpch_q20_excess_stock",
+    "rel_bootstrap_ci", "events_seasonal_decompose",
+    # ---- (c) r7 spine:
+    "rel_bloom_prune_join", "events_running_reset",
+    "tfidf_doc_vectors", "sim_cosine_near_dups",
+    # ---- (d) freshness fill, oldest-first. r1-r2 cohort (20):
+    "events_sliding_window",
+    "dedup_minhash_signatures", "dedup_shingle_jaccard", "dedup_simhash",
+    "rel_case_in_length", "rel_histogram_equi_width", "rel_join_anti",
+    "rel_nullsafe_join", "rel_pivot", "rel_rollup_dates",
+    "rel_scalar_broadcast", "rel_subquery_above_avg", "rel_unpivot_stack",
+    "rel_window_frames", "rel_window_running", "sim_lsh_ann",
+    "text_bigram_counts", "text_fingerprints", "text_langid_confusion",
+    "text_token_stats_by_lang",
+    # r3 cohort picks (14): the six tfidf-family rows (flagship's direct
+    # siblings — the bench-investigation path), then one cheap
+    # representative per r3 family:
+    "tfidf_candidates", "tfidf_corpus_stats", "tfidf_doc_profile",
+    "tfidf_oov_tokens", "tfidf_term_frequency", "tfidf_vocabulary",
+    "rel_scan_filter_project", "rel_orderby_limit", "rel_cube",
+    "rel_join_semi", "rel_join_outer_fill", "rel_string_funcs",
+    "events_tumbling_window", "dedup_exact_keep_first",
 )
 
 
@@ -202,9 +181,8 @@ def _ensure_loaded() -> None:
                 "queries_governance", "queries_lakehouse",
                 "queries_stats", "queries_fuzzy", "queries_pipeline",
                 "queries_retrieval", "queries_extras",
-                # staged-for-r7 modules load too: their queries land in
-                # STAGED, not REGISTRY, so the driver surface is unchanged
-                # but tools/oracle_check.py --staged and tests see them.
+                # introduced r7 (was STAGED in r6 under the
+                # introduction-round rule):
                 "queries_tpch2"):
         try:
             __import__(f"{__package__}.{mod}")

@@ -135,3 +135,160 @@ def test_coverage_doc_totals_match_registry():
         n_q,
         n_total - n_q,
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 oracle-hygiene gates — the two r6 driver hash-fails were representation
+# and FP-order defects the value-level sweep could not see. These make both
+# classes permanently un-reintroducible.
+
+def _all_oracles() -> dict[str, str]:
+    """Registered + staged [Q] oracles — the full verified surface."""
+    from posts_vectorizer_spark.plans.registry import staged_oracle_sql
+
+    return {**_ORACLES, **staged_oracle_sql()}
+
+
+def test_oracle_output_types_no_hugeint(duck):
+    """DuckDB types sum(integer) as HUGEINT (int128) by default; Spark has
+    no int128, so a HUGEINT output column hashes differently driver-side
+    even when every value fits in int64 (r6: events_running_reset's
+    `segment`). Binder-only check (con.sql is lazy — no execution), so the
+    whole registry costs < 1 s."""
+    bad = {}
+    for name, sql in sorted(_all_oracles().items()):
+        rel = duck.sql(sql)
+        wide = [
+            f"{c}: {t}"
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT")
+        ]
+        if wide:
+            bad[name] = wide
+    assert not bad, f"oracles with int128 output columns: {bad}"
+
+
+_DOUBLE_COLS = (
+    "c_acctbal", "s_acctbal", "p_retailprice", "o_totalprice",
+    "l_extendedprice", "l_discount", "l_tax", "value",
+)
+# l_quantity is a double column but integral 1..50 by data construction,
+# so its sums are exact in both engines (< 2^53).
+_INTEGRAL_DOUBLES = ("l_quantity",)
+
+
+def _balanced_arg(sql: str, start: int) -> tuple[str, int]:
+    """sql[start] == '(' — return (inner text, index past close paren)."""
+    depth, j = 1, start + 1
+    while depth and j < len(sql):
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    return sql[start + 1 : j - 1], j
+
+
+def test_oracle_no_fp_order_dependent_sums():
+    """FP-sum lint: a double `sum` is partition-order dependent, so a [Q]
+    oracle may sum a true double column ONLY as `round(sum(col), k>=4)` of
+    a BARE column (the events `value` convention — rounding absorbs the
+    order-dependent ulps), never a product/quotient of doubles (magnitude
+    amplification voids the round bound — the exact r6
+    rel_bloom_prune_join failure). Arithmetic over money columns must use
+    the scaled-int64 cents pattern (CAST(round(x*100) AS BIGINT)) or an
+    explicit DECIMAL cast. CASE...THEN <int> sums are integer sums and
+    exempt regardless of what the condition references."""
+    import re
+
+    violations = []
+    for name, sql in sorted(_all_oracles().items()):
+        low = sql.lower()
+        # spans of round(X, k) with k >= 4 — the sanctioned wrappers
+        round_spans = []
+        for m in re.finditer(r"\bround\s*\(", low):
+            arg, end = _balanced_arg(low, m.end() - 1)
+            km = re.search(r",\s*(\d+)\s*$", arg)
+            if km and int(km.group(1)) >= 4:
+                round_spans.append((m.start(), end))
+        for m in re.finditer(r"\bsum\s*\(", low):
+            arg, _end = _balanced_arg(low, m.end() - 1)
+            a = arg.strip()
+            compact = a.replace(" ", "").replace("\n", "")
+            refs = [
+                c for c in _DOUBLE_COLS if re.search(rf"\b{c}\b", a)
+            ]
+            if not refs:
+                continue  # no true-double column involved
+            if "cast(round(" in compact or "decimal" in compact:
+                continue  # scaled-int cents or decimal-exact pattern
+            if re.fullmatch(
+                r"case\s+when\s+.*\s+then\s+\d+\s+else\s+\d+\s+end",
+                a, re.S,
+            ):
+                continue  # integer-valued CASE sum
+            bare = re.fullmatch(r"(\w+\.)?(\w+)", a)
+            wrapped = any(
+                s <= m.start() and _end <= e for s, e in round_spans
+            )
+            if bare and bare.group(2) in _DOUBLE_COLS and wrapped:
+                continue  # round(sum(value), k>=4) convention
+            violations.append(f"{name}: sum({a[:80]})")
+    assert not violations, (
+        "order-dependent double sums in [Q] oracles (use scaled-int "
+        "cents or round(sum(bare_col), k>=4)): " + "; ".join(violations)
+    )
+
+
+def test_canon_type_regressions():
+    """Anchor the r6 counterexamples at the type-canonicalization level:
+    the checker must distinguish exactly the representations the driver's
+    hash distinguishes, and collapse the ones driver rows prove it
+    collapses (int32 row_number vs BIGINT oracle — green since r2)."""
+    from tools.oracle_check import _canon_type
+
+    assert _canon_type("HUGEINT") == "i128" != _canon_type("bigint")
+    assert _canon_type("int") == _canon_type("BIGINT") == "i"
+    assert _canon_type("DECIMAL(18,2)") == _canon_type("decimal(38,2)")
+    assert _canon_type("DECIMAL(18,2)") != _canon_type("DECIMAL(18,6)")
+    assert _canon_type("DECIMAL(18,2)") != _canon_type("double")
+    assert _canon_type("DOUBLE") == _canon_type("float") == "f"
+    assert _canon_type("DOUBLE[]") == _canon_type("array<double>") == "f[]"
+    assert _canon_type("VARCHAR") == _canon_type("string")
+    assert _canon_type("TIMESTAMP WITH TIME ZONE") == _canon_type("timestamp")
+    assert _canon_type("STRUCT(a INTEGER)") == _canon_type("struct<a:int>")
+
+
+def test_r6_failures_reproduce_under_fixed_checker(duck):
+    """The r6-failing oracle SHAPES, replayed against the hardened checker
+    legs: the old events_running_reset oracle (un-cast window sum) must
+    now FAIL type parity, and the old rel_bloom_prune_join oracle (double
+    product sum) must FAIL the FP lint's classification. Proves the local
+    gates would have caught both before rotation."""
+    import re
+
+    from tools.oracle_check import _canon_type
+
+    old_segment_sql = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS segment
+FROM events LIMIT 1
+"""
+    rel = duck.sql(old_segment_sql)
+    types = {c: _canon_type(str(t)) for c, t in zip(rel.columns, rel.types)}
+    assert types["segment"] == "i128", (
+        "DuckDB no longer widens window sum(int) to HUGEINT — "
+        "revisit the type-parity rationale"
+    )
+    # and the FIXED oracle shape lands on i64
+    rel2 = duck.sql(
+        "SELECT CAST(sum(1) OVER () AS BIGINT) AS segment FROM events LIMIT 1"
+    )
+    assert _canon_type(str(rel2.types[0])) == "i"
+
+    old_bloom_arg = "l.l_extendedprice * (1 - l.l_discount)"
+    compact = old_bloom_arg.replace(" ", "")
+    assert "cast(round(" not in compact and "decimal" not in compact
+    assert not re.fullmatch(r"(\w+\.)?(\w+)", old_bloom_arg.strip())
+    # => the lint classifies it as a violation (non-bare double product)

@@ -330,3 +330,26 @@ def test_quantile_bisect_seeded_fuzz(spark, seed):
     for p in ps:
         k = int((n - 1) * Fraction(str(p))) + 1
         assert got[p] == (k, srt[k - 1]), (seed, p, got[p], (k, srt[k - 1]))
+
+
+def test_bootstrap_ci_mechanism(spark):
+    """rel_bootstrap_ci (introduced r7): the Poisson-bootstrap readout is
+    a single row whose interval brackets the point mean, with all B=200
+    replicates surviving the sw>0 guard at this data size, and whose
+    width is non-degenerate (the replicate means genuinely vary) but far
+    smaller than the mean itself (n is large, so the standard error is
+    small). The value-level draws/weights are oracle-verified in
+    test_oracle.py; this pins the STATISTICAL semantics."""
+    from tests.conftest import SF_ORACLE
+
+    rows = E.queries()["rel_bootstrap_ci"](spark, SF_ORACLE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_replicates"] == 200
+    assert r["n_rows"] > 1000
+    assert r["ci_lo"] < r["ci_hi"], "degenerate interval"
+    assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    width = r["ci_hi"] - r["ci_lo"]
+    assert width < 0.2 * r["point_mean"], (
+        "CI implausibly wide for n>1000 — weight mechanism broken"
+    )

@@ -208,3 +208,46 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path):
     assert r[0]["n_days"] == 10
     assert r[0]["change_day"] == datetime.date(2024, 1, 5)
     assert r[0]["cusum_stat"] == 25.0
+
+
+def test_seasonal_decompose_planted(spark, tmp_path):
+    """events_seasonal_decompose (introduced r7) on a PLANTED series:
+    constant level + pure weekly pattern, one event per day. Every
+    centered 7-day window then contains each weekday exactly once, so the
+    decomposition is EXACT: trend == level + mean(amplitude), seasonal ==
+    amplitude - mean(amplitude) per weekday, residual == 0 — recovered to
+    the 6-decimal output rounding."""
+    import datetime
+
+    amps = [0.0, 0.7, 1.4, -0.7, 2.1, -1.4, 0.35]  # by epoch-day mod 7
+    level = 100.0
+    start = datetime.date(2024, 1, 7)
+    rows = []
+    for i in range(35):
+        day = start + datetime.timedelta(days=i)
+        dow = (day - datetime.date(1970, 1, 1)).days % 7
+        rows.append(
+            (
+                datetime.datetime.combine(day, datetime.time(12, 0)),
+                level + amps[dow],
+            )
+        )
+    spark.createDataFrame(rows, "ts timestamp, value double").repartition(
+        4
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        r["day"]: r
+        for r in E.queries()["events_seasonal_decompose"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # full-window guard: first and last 3 days excluded
+    assert len(out) == 35 - 6
+    mean_amp = sum(amps) / 7
+    for day, r in out.items():
+        dow = (day - datetime.date(1970, 1, 1)).days % 7
+        assert abs(r["trend"] - (level + mean_amp)) < 2e-6, (day, r)
+        assert abs(r["seasonal"] - (amps[dow] - mean_amp)) < 2e-6, (day, r)
+        assert abs(r["residual"]) < 4e-6, (day, r)
+        assert abs(r["observed"] - (level + amps[dow])) < 1e-6, (day, r)

@@ -1,20 +1,15 @@
-"""TPC-H completion wave (queries_tpch2, STAGED for r7): differential
-oracle sweep, staging bookkeeping, selectivity pins, and plan shape."""
+"""TPC-H completion wave (queries_tpch2 — staged in r6, introduced to
+the driver surface in r7): introduction bookkeeping, selectivity pins,
+and plan shape. The per-query differential oracle sweep lives in
+tests/test_oracle.py::test_oracle_match now that the wave is registered
+(it parametrizes over every [Q] oracle, these included)."""
 
 from __future__ import annotations
 
-import pytest
-
 import __spark_entry__ as E
-from posts_vectorizer_spark.plans.registry import (
-    staged_oracle_sql,
-    staged_queries,
-)
 from tests.conftest import SF_ORACLE
-from tools.oracle_check import compare_query
 
-_STAGED_Q = staged_queries()
-_STAGED_OR = staged_oracle_sql()
+_STAGED_Q = E.queries()
 
 _WAVE = (
     "rel_tpch_q2_min_cost_supplier",
@@ -26,23 +21,19 @@ _WAVE = (
 )
 
 
-def test_staging_bookkeeping():
-    """Staged queries are fully oracle-backed but invisible to the driver
-    contract until r7 flips the flag (the introduction-round rule)."""
-    assert set(_WAVE) <= set(_STAGED_Q)
-    assert set(_WAVE) <= set(_STAGED_OR), "every staged query is [Q]"
-    driver_surface = E.queries()
-    assert not set(_STAGED_Q) & set(driver_surface)
-    assert not set(_STAGED_OR) & set(E.oracle_sql())
-
-
-@pytest.mark.parametrize("name", sorted(_WAVE))
-def test_staged_oracle_match(spark, duck, name):
-    problems, n_rows = compare_query(
-        spark, duck, name, _STAGED_Q[name], _STAGED_OR[name], SF_ORACLE
+def test_introduction_bookkeeping():
+    """r7 introduced the wave per the introduction-round rule: every
+    query is on the driver surface, oracle-backed, and holds an
+    introduction-round head slot; nothing remains staged."""
+    from posts_vectorizer_spark.plans.registry import (
+        _HEAD_ORDER,
+        staged_queries,
     )
-    assert not problems, f"{name}: {problems}"
-    assert n_rows > 0
+
+    assert set(_WAVE) <= set(E.queries())
+    assert set(_WAVE) <= set(E.oracle_sql()), "every wave query is [Q]"
+    assert set(_WAVE) <= set(_HEAD_ORDER)
+    assert not set(_WAVE) & set(staged_queries())
 
 
 def test_q20_majority_floor_discriminates(spark):

@@ -52,7 +52,10 @@ def main() -> None:
     def probe_at(scale: int):
         parts = [
             emb.select(
-                (F.col("vec_id") + F.lit(i * ID_OFFSET)).alias("vec_id"),
+                # i+1, not i: copy 0 at offset 0 would collide with the
+                # build side's ids and exclude self-pairs for that slice
+                # only — per-copy work must be uniform across scales
+                (F.col("vec_id") + F.lit((i + 1) * ID_OFFSET)).alias("vec_id"),
                 "embedding",
             )
             for i in range(scale)

@@ -1,13 +1,22 @@
 """Local replica of the driver's differential-oracle check.
 
 Runs a registered Spark query and its DuckDB oracle side-by-side on the same
-parquet tables and compares row count, schema (column names), and
+parquet tables and compares row count, schema (column names),
 order-insensitive values (columns sorted by name, rows sorted, exact equality
-after canonicalization). Stricter-or-equal to any value-hash the driver
-computes — if this passes at sf0.01, the driver's hash match passes.
+after canonicalization), AND per-column engine output types (canonicalized —
+see _canon_type). The type-parity leg exists because value canonicalization
+alone is NOT stricter than the driver's hash: round 6 produced two
+counterexamples (DuckDB HUGEINT vs Spark BIGINT in events_running_reset's
+segment column hashed differently driver-side while `.item()` masked it here;
+an FP-order-dependent double sum in rel_bloom_prune_join landed on opposite
+half-cent sides only under the driver's partitioning). Passing here is strong
+evidence, not proof, of a driver hash pass — type parity closes the known
+representation gaps, value equality at one partitioning cannot close
+FP-order dependence (the FP-sum lint in tests/test_oracle.py does).
 
 Usage:
     python tools/oracle_check.py [query ...]      # default: all [Q] queries
+    python tools/oracle_check.py --staged [query ...]   # staged-only surface
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/oracle_check.py
 """
 
@@ -36,6 +45,51 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+def _canon_type(t: str) -> str:
+    """Map a Spark dtype string / DuckDB type string to the lattice of
+    hash-visible representations. Engines agreeing here means the driver's
+    serialized values (pandas/Arrow-side) have the same dtype; disagreeing
+    means a latent hash mismatch even when Python-level values compare
+    equal (Decimal("1.5") == 1.5, HUGEINT.item() == int — both masked by
+    value comparison alone).
+
+    Collapsed on purpose: all <=64-bit ints are one kind "i" (driver rows
+    since r2 prove int32 row_number vs BIGINT oracle hashes identically);
+    float/double are "f"; decimals keep their SCALE (the rendered-digits
+    part) but not precision. HUGEINT maps to its own kind so DuckDB's
+    default sum(integer) widening is always flagged. struct/map types
+    compare as opaque "complex" (engine spellings differ irreconcilably;
+    their element values still hit the value leg)."""
+    import re
+
+    t = t.strip().lower()
+    if t.endswith("[]"):
+        return _canon_type(t[:-2]) + "[]"
+    if t.startswith("array<") and t.endswith(">"):
+        return _canon_type(t[6:-1]) + "[]"
+    if t.startswith(("struct", "map", "row", "union", "variant")):
+        return "complex"
+    if t.startswith(("decimal", "numeric")):
+        m = re.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", t)
+        return f"dec(s={m.group(1)})" if m else "dec(s=?)"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint",
+             "utinyint", "usmallint", "uinteger", "long", "short", "byte"):
+        return "i"
+    if t in ("hugeint", "uhugeint", "ubigint"):
+        return "i128"
+    if t in ("float", "double", "real"):
+        return "f"
+    if t in ("varchar", "string", "text", "char", "bpchar"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t in ("binary", "blob", "bytea", "varbinary"):
+        return "bin"
+    return t
 
 
 def _canon(v):
@@ -68,14 +122,26 @@ def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str):
     sdf = fn(spark, sf_dir)
     spark_rows = [r.asDict() for r in sdf.collect()]
     spark_cols = list(sdf.columns)
+    spark_types = {c: _canon_type(t) for c, t in sdf.dtypes}
 
-    res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = [dict(zip(duck_cols, row)) for row in res.fetchall()]
+    rel = con.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_types = {
+        c: _canon_type(str(t)) for c, t in zip(duck_cols, rel.types)
+    }
+    duck_rows = [dict(zip(duck_cols, row)) for row in rel.fetchall()]
 
     problems = []
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    else:
+        type_diffs = [
+            f"{c}: spark={spark_types[c]} duck={duck_types[c]}"
+            for c in sorted(spark_cols)
+            if spark_types[c] != duck_types[c]
+        ]
+        if type_diffs:
+            problems.append("type mismatch: " + "; ".join(type_diffs))
     if len(spark_rows) != len(duck_rows):
         problems.append(f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}")
     if not problems:
@@ -116,9 +182,10 @@ def main(argv: list[str]) -> int:
 
     staged = staged_queries()
     staged_or = staged_oracle_sql()
-    if argv and argv[0] == "--staged":
+    if "--staged" in argv:
+        argv = [a for a in argv if a != "--staged"]
         qs, oracles = staged, staged_or
-        names = argv[1:] or sorted(staged_or)
+        names = argv or sorted(staged_or)
     else:
         qs = {**qs, **staged}
         oracles = {**oracles, **staged_or}
