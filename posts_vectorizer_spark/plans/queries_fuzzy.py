@@ -393,3 +393,114 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             overlap.cast("bigint").alias("n_overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (SNM; staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 3   # compare each record with the next w-1 in sort order
+_SNM_KEY_TOKENS = 3
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         list_distinct(toks) AS tset,
+         toks[1] AS block,
+         array_to_string(list_slice(toks, 1, {_SNM_KEY_TOKENS}), ' ')
+           AS skey
+  FROM t
+),
+neigh AS (
+  SELECT doc_id, tset, skey,
+         lead(doc_id, 1) OVER w AS id_1, lead(tset, 1) OVER w AS ts_1,
+         lead(doc_id, 2) OVER w AS id_2, lead(tset, 2) OVER w AS ts_2
+  FROM keyed
+  WINDOW w AS (PARTITION BY block ORDER BY skey, doc_id)
+),
+cand AS (
+  SELECT doc_id AS doc_a, id_1 AS doc_b, tset AS sa, ts_1 AS sb,
+         1 AS gap FROM neigh WHERE id_1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id_2, tset, ts_2, 2 FROM neigh WHERE id_2 IS NOT NULL
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(gap AS BIGINT) AS gap,
+       CAST(round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+            / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6)
+            AS DOUBLE) AS jaccard
+FROM cand
+WHERE len(sa) + len(sb) - len(list_intersect(sa, sb)) > 0
+  AND CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+      / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+      >= {JACCARD_THRESHOLD}
+""",
+    staged=True,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (SNM, Hernandez-Stolfo): sort
+    records by a dup-clustering key (first {_SNM_KEY_TOKENS} tokens),
+    compare each record only with the next {_SNM_WINDOW - 1} in sort
+    order, verify candidates with exact distinct-token Jaccard at the
+    corpus threshold ({JACCARD_THRESHOLD}). The third classic blocking
+    family alongside the repo's LSH banding (probabilistic) and prefix
+    filtering (exact-recall): SNM trades recall for a HARD O(w*n)
+    candidate bound — the shape used when the pipeline must guarantee
+    its own cost envelope.
+
+    Scale shape: candidates come from TWO lead() frames over one
+    block-keyed exchange+sort (block = first token keeps windows
+    hash-distributed, the standard multi-pass SNM adaptation — a global
+    sort would serialize); verification is in-row array math. No
+    pair-explosion anywhere: exactly 2n candidate rows pre-filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    keyed = docs.select(
+        "doc_id",
+        F.array_distinct(toks).alias("tset"),
+        F.element_at(toks, 1).alias("block"),
+        F.array_join(F.slice(toks, 1, _SNM_KEY_TOKENS), " ").alias("skey"),
+    )
+    w = Window.partitionBy("block").orderBy("skey", "doc_id")
+    neigh = keyed.select(
+        "doc_id",
+        "tset",
+        F.lead("doc_id", 1).over(w).alias("id_1"),
+        F.lead("tset", 1).over(w).alias("ts_1"),
+        F.lead("doc_id", 2).over(w).alias("id_2"),
+        F.lead("tset", 2).over(w).alias("ts_2"),
+    )
+    cand = (
+        neigh.where(F.col("id_1").isNotNull())
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("id_1").alias("doc_b"),
+            F.col("tset").alias("sa"),
+            F.col("ts_1").alias("sb"),
+            F.lit(1).cast("bigint").alias("gap"),
+        )
+        .unionAll(
+            neigh.where(F.col("id_2").isNotNull()).select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("id_2").alias("doc_b"),
+                F.col("tset").alias("sa"),
+                F.col("ts_2").alias("sb"),
+                F.lit(2).cast("bigint").alias("gap"),
+            )
+        )
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size("sa") + F.size("sb") - inter
+    jac = F.round(inter.cast("double") / uni, 6)
+    return cand.where(
+        (uni > 0) & (inter.cast("double") / uni >= JACCARD_THRESHOLD)
+    ).select("doc_a", "doc_b", "gap", jac.alias("jaccard"))

@@ -437,3 +437,101 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(flesch)
         .alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-doc character entropy (gibberish / repetition gate; staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+_ENT_CHARS = "abcdefghijklmnopqrstuvwxyz "   # 27 named classes + 'other'
+_ENT_LOW = 3.0   # bits; natural English text sits ~4.0-4.3 incl. space
+
+
+def _entropy_sql() -> str:
+    """DuckDB twin: per-class counts via replace-shrinkage, entropy as an
+    exact DECIMAL sum of 6dp-rounded -p*log2(p) terms."""
+    s = "lower(text)"
+    counts = [
+        f"length({s}) - length(replace({s}, '{c}', ''))" for c in _ENT_CHARS
+    ]
+    named = ",\n         ".join(
+        f"CAST({expr} AS BIGINT) AS c{i}" for i, expr in enumerate(counts)
+    )
+    sum_named = " + ".join(f"c{i}" for i in range(len(counts)))
+    terms = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN CAST(round(-(CAST(c{i} AS DOUBLE) / n)"
+        f" * log2(CAST(c{i} AS DOUBLE) / n), 6) AS DECIMAL(18,6))"
+        f" ELSE CAST(0 AS DECIMAL(18,6)) END"
+        for i in range(len(counts) + 1)  # +1: the 'other' class
+    )
+    return f"""
+WITH counted AS (
+  SELECT doc_id,
+         {named},
+         CAST(length({s}) AS BIGINT) AS n
+  FROM documents
+),
+classed AS (
+  SELECT doc_id, n, * EXCLUDE (doc_id, n),
+         n - ({sum_named}) AS c{len(counts)}
+  FROM counted
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       n AS n_chars_lc,
+       CAST(CASE WHEN n > 0 THEN ({terms}) END AS DOUBLE) AS entropy,
+       CASE WHEN n > 0
+            THEN CAST(({terms}) AS DOUBLE) < {_ENT_LOW} END AS low_entropy
+FROM classed
+"""
+
+
+@register("text_char_entropy", oracle=_entropy_sql(), staged=True)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class Shannon entropy — the cheapest
+    gibberish/repetition gate a curation pipeline runs (keyboard-mash,
+    base64 blobs, and 'aaaa...' spam all sit far below natural text's
+    ~4.0-4.3 bits over letters+space). Classes: 26 letters, space, and
+    one 'other' bucket; counts come from replace-shrinkage
+    (len(s) - len(replace(s, c, ''))), entropy = -sum p*log2 p with each
+    term rounded to DECIMAL(18,6) before the (in-row, fixed-order) sum —
+    the chi2/PSI exactness pattern, so the only cross-engine FP surface
+    is log2 over identical doubles, absorbed by the rounding.
+
+    Scale shape: pure per-row expression work, zero shuffles, stays
+    inside whole-stage codegen end-to-end — scan-bound at any corpus
+    size, the ideal first gate in a quality cascade (cheapest filter
+    first, feeds `text_quality_profile`'s token-level scoring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.lower(F.col("text"))
+    n = F.length(s).cast("bigint")
+    counts = [
+        (F.length(s) - F.length(F.expr(f"replace(lower(text), '{c}', '')")))
+        .cast("bigint")
+        .alias(f"c{i}")
+        for i, c in enumerate(_ENT_CHARS)
+    ]
+    classed = docs.select("doc_id", n.alias("n"), *counts)
+    other = F.col("n") - sum(
+        F.col(f"c{i}") for i in range(len(_ENT_CHARS))
+    )
+    classed = classed.withColumn("c27", other)
+    zero = F.lit(0).cast("decimal(18,6)")
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c) > 0,
+        F.round(
+            -(F.col(c).cast("double") / F.col("n"))
+            * F.log2(F.col(c).cast("double") / F.col("n")),
+            6,
+        ).cast("decimal(18,6)"),
+    ).otherwise(zero)
+    ent = term("c0")
+    for i in range(1, len(_ENT_CHARS) + 1):
+        ent = ent + term(f"c{i}")
+    return classed.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n").alias("n_chars_lc"),
+        F.when(F.col("n") > 0, ent.cast("double")).alias("entropy"),
+        F.when(F.col("n") > 0, ent.cast("double") < _ENT_LOW).alias(
+            "low_entropy"
+        ),
+    )

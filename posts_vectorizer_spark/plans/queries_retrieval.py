@@ -1115,3 +1115,100 @@ def sim_sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos") >= _SPARSE_COS_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka prefix-dimension recall eval (staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+_MRL_PREFIX = 16   # prefix dims scored against the full 64
+_MRL_K = 10
+
+
+def _mrl_recall_sql() -> str:
+    cos_full = _V.cosine_sql("a.embedding", "b.embedding")
+    cos_pre = _V.cosine_sql(
+        f"list_slice(a.embedding, 1, {_MRL_PREFIX})",
+        f"list_slice(b.embedding, 1, {_MRL_PREFIX})",
+    )
+    return f"""
+WITH full_rk AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({cos_full}, 6) DESC, b.vec_id)
+             AS rk
+    FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+  ) WHERE rk <= {_MRL_K}
+),
+pre_rk AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round({cos_pre}, 6) DESC, b.vec_id)
+             AS rk
+    FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+  ) WHERE rk <= {_MRL_K}
+),
+hits AS (
+  SELECT f.query_id, count(*) AS n_overlap
+  FROM full_rk f JOIN pre_rk p
+    ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+  GROUP BY f.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(round(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / {_MRL_K}, 4)
+            AS DOUBLE) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM full_rk) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+@register("sim_dim_prefix_recall", oracle=_mrl_recall_sql(), staged=True)
+def sim_dim_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension recall eval: rank top-{_MRL_K}
+    neighbors by the FIRST {_MRL_PREFIX} dims only, diff against the
+    full-dimension ground truth, report per-query recall@k — the offline
+    eval that decides how many leading dims an MRL-trained embedding can
+    shed for cheap first-stage retrieval (these fixtures' embeddings are
+    random, so the measured recall is the no-structure baseline an MRL
+    model must beat). Both rankings reuse the exact broadcast-tile
+    mapInArrow kernel (operators/similarity.py::topk) — the prefix pass
+    just slices the array column first, paying {_MRL_PREFIX}/64 of the
+    FLOPs, which is the entire point of prefix retrieval at serving time.
+
+    Scale shape: two kernel passes (no n^2 shuffle — top-k selected
+    inside the kernel against broadcast build tiles), one equi-join of
+    two k*n_query-row rankings on (query, neighbor), one query-keyed
+    count. The left join from the full-rank query list keeps
+    zero-overlap queries in the report (recall 0, not a dropped row)."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_PREFIX).alias("embedding")
+    )
+    full_rk = similarity.topk(emb, _MRL_K).select("query_id", "neighbor_id")
+    pre_rk = similarity.topk(pre, _MRL_K).select("query_id", "neighbor_id")
+    hits = (
+        full_rk.join(pre_rk, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        full_rk.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / _MRL_K,
+                4,
+            ).alias("recall_at_k"),
+        )
+    )

@@ -540,3 +540,131 @@ def events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where(F.col("is_probe") == 1).select(
         "event_id", "user_id", "ts", F.col("state_at").alias("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable log-linear quantile sketch (DDSketch-style; staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+# Quantile levels as exact rationals (num, den, label): FP q*n can land on
+# the wrong side of ceil for some n; integer ceil((n*num)/den) cannot.
+_DDQ_LEVELS = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+
+@register(
+    "rel_ddsketch_quantiles",
+    oracle=f"""
+WITH pop AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+keyed AS (
+  SELECT length(CAST(cents AS VARCHAR)) AS d,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 2) AS BIGINT) AS f2
+  FROM pop
+),
+sketch AS (
+  SELECT d, f2, count(*) AS cnt FROM keyed GROUP BY d, f2
+),
+cum AS (
+  SELECT d, f2, cnt,
+         sum(cnt) OVER (ORDER BY d, f2
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cnt,
+         CAST(f2 AS VARCHAR) || repeat('0', CAST(d - 2 AS INT)) AS lower_str,
+         '1' || repeat('0', CAST(d - 2 AS INT)) AS width_str
+  FROM sketch
+),
+tot AS (SELECT sum(cnt) AS n FROM sketch),
+lv(num, den, label) AS (VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99'))
+SELECT lv.label AS quantile,
+       CAST((2 * CAST(c.lower_str AS BIGINT) + CAST(c.width_str AS BIGINT))
+            / 200.0 AS DOUBLE) AS est_value,
+       CAST(c.cnt AS BIGINT) AS bucket_count,
+       CAST(t.n AS BIGINT) AS n,
+       CAST(round(CAST(c.width_str AS BIGINT)
+            / CAST(2 * CAST(c.lower_str AS BIGINT)
+                   + CAST(c.width_str AS BIGINT) AS DOUBLE), 6)
+            AS DOUBLE) AS rel_err_bound
+FROM lv, tot t, cum c
+WHERE c.cum_cnt >= (t.n * lv.num + lv.den - 1) // lv.den
+  AND c.cum_cnt - c.cnt < (t.n * lv.num + lv.den - 1) // lv.den
+""",
+    staged=True,
+)
+def rel_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-linear quantile sketch (the DDSketch idea with
+    two-leading-decimal-digit buckets): every value maps to bucket
+    (n_digits, first_two_digits) of its integer cents, the sketch is the
+    per-bucket count vector, and any quantile reads out as the first
+    bucket whose cumulative count crosses ceil(q*n). Relative error is
+    structurally bounded by half the bucket width over its midpoint
+    (<= 1/21 at f2=10, reported per readout as rel_err_bound).
+
+    This is the 100 TB quantile: exact quantiles need a global sort
+    (rel_stats_quantiles) or multi-pass bisection (rel_quantile_bisect);
+    the sketch needs ONE map-side-combinable groupBy over O(hundreds) of
+    bucket keys — and sketches MERGE by adding counts, so per-partition /
+    per-day sketches roll up associatively (the property
+    tests/test_sketch.py pins by rebuilding the readout from per-flag
+    partial sketches). Bucket bounds are built from digit STRINGS
+    (f2 || zeros), never pow(10, k) floats, so both engines place every
+    value in the same bucket and compute bit-identical estimates; ceil
+    ranks are integer arithmetic over exact rational q.
+
+    Scale shape: one exchange (the tiny bucket-key groupBy, partial
+    aggregation upstream); the cumulative window orders ~400 buckets —
+    driver-size, not data-size; the quantile-level join is a 3-row
+    broadcast cross."""
+    pop = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    keyed = pop.select(
+        F.length(F.col("cents").cast("string")).alias("d"),
+        F.substring(F.col("cents").cast("string"), 1, 2)
+        .cast("bigint")
+        .alias("f2"),
+    )
+    sketch = keyed.groupBy("d", "f2").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("d", "f2").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    zeros = F.expr("repeat('0', CAST(d - 2 AS INT))")
+    cum = sketch.select(
+        "d",
+        "f2",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.concat(F.col("f2").cast("string"), zeros)
+        .cast("bigint")
+        .alias("lower_c"),
+        F.concat(F.lit("1"), zeros).cast("bigint").alias("width_c"),
+    )
+    tot = sketch.agg(F.sum("cnt").alias("n"))
+    lv = spark.createDataFrame(
+        list(_DDQ_LEVELS), "num BIGINT, den BIGINT, label STRING"
+    )
+    # integer ceil((n*num)/den) — `div` keeps it in BIGINT arithmetic
+    # (bigint `/` is DOUBLE in Spark; an FP quotient could floor wrong)
+    target = F.expr("(n * num + den - 1) div den")
+    return (
+        lv.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cum))
+        .where(
+            (F.col("cum_cnt") >= target)
+            & (F.col("cum_cnt") - F.col("cnt") < target)
+        )
+        .select(
+            F.col("label").alias("quantile"),
+            (
+                (2 * F.col("lower_c") + F.col("width_c")) / 200.0
+            ).alias("est_value"),
+            F.col("cnt").cast("bigint").alias("bucket_count"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("width_c")
+                / (2 * F.col("lower_c") + F.col("width_c")).cast("double"),
+                6,
+            ).alias("rel_err_bound"),
+        )
+    )

@@ -888,3 +888,131 @@ def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("x_cents") / (100.0 * F.count("*")), 6).alias("point_mean"),
     )
     return pop_stat.join(F.broadcast(ci))
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution-drift monitor (staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16"   # events fixture spans 2024-01; ref = first half
+_PSI_BUCKETS = 10
+_PSI_ALERT = 0.1            # industry convention: <0.1 stable, >0.25 major
+
+
+@register(
+    "events_psi_drift",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         ts < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+  FROM events
+),
+ref_stats AS (
+  SELECT min(v) AS mn, max(v) AS mx FROM base WHERE is_ref
+),
+bucketed AS (
+  SELECT least({_PSI_BUCKETS - 1},
+               greatest(0, ((v - mn) * {_PSI_BUCKETS}) // (mx - mn + 1)))
+           AS bucket,
+         is_ref
+  FROM base, ref_stats
+),
+counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts),
+terms AS (
+  SELECT bucket, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) / tr AS p,
+         CAST(n_cur AS DOUBLE) / tc AS q,
+         CASE WHEN n_ref > 0 AND n_cur > 0
+              THEN CAST(round((CAST(n_ref AS DOUBLE) / tr
+                               - CAST(n_cur AS DOUBLE) / tc)
+                              * ln((CAST(n_ref AS DOUBLE) / tr)
+                                   / (CAST(n_cur AS DOUBLE) / tc)), 6)
+                        AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END AS term
+  FROM counts, tot
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
+       CAST(round(p, 6) AS DOUBLE) AS share_ref,
+       CAST(round(q, 6) AS DOUBLE) AS share_cur,
+       CAST(term AS DOUBLE) AS psi_term,
+       CAST(sum(term) OVER () AS DOUBLE) AS psi_total,
+       sum(term) OVER () > {_PSI_ALERT} AS drifted
+FROM terms
+""",
+    staged=True,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor — the standard pre-retrain
+    check that a feature's serving distribution still matches the training
+    reference. Reference window = the fixture's first half; PSI =
+    sum((p_i - q_i) * ln(p_i / q_i)) over {_PSI_BUCKETS} equal-width
+    buckets whose bounds come from the REFERENCE min/max (integer
+    micro-units, so bucket assignment is exact in both engines; current
+    rows outside the reference range clamp to the edge buckets, the
+    standard convention). Empty-cell terms are excluded (the no-smoothing
+    convention); each term rounds to DECIMAL(18,6) before the sum — the
+    chi2 exactness pattern — so the statistic is partition-order free and
+    the only cross-engine FP surface is ln() over identical doubles,
+    absorbed by the rounding.
+
+    Scale shape: the reference min/max is a scalar broadcast (J5); bucket
+    assignment is in-row arithmetic; ONE {_PSI_BUCKETS}-group aggregate
+    (map-side combinable) reduces the corpus, and the PSI window runs
+    over {_PSI_BUCKETS} rows. At 100 TB this is scan-bound, exactly like
+    a production drift job over daily feature logs."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v"),
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"),
+    )
+    ref_stats = base.where("is_ref").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    bucket = F.least(
+        F.lit(_PSI_BUCKETS - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(f"((v - mn) * {_PSI_BUCKETS}) div (mx - mn + 1)"),
+        ),
+    )
+    counts = (
+        base.crossJoin(F.broadcast(ref_stats))
+        .select(bucket.alias("bucket"), "is_ref")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p = F.col("n_ref").cast("double") / F.col("tr")
+    q = F.col("n_cur").cast("double") / F.col("tc")
+    term = (
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round((p - q) * F.log(p / q), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    )
+    w_all = Window.partitionBy()
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("term", term)
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.round(p, 6).alias("share_ref"),
+            F.round(q, 6).alias("share_cur"),
+            F.col("term").cast("double").alias("psi_term"),
+            F.sum("term").over(w_all).cast("double").alias("psi_total"),
+            (F.sum("term").over(w_all) > _PSI_ALERT).alias("drifted"),
+        )
+    )

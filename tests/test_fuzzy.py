@@ -211,3 +211,34 @@ def test_leakage_safe_split_coassigns_near_dups(spark, tmp_path):
     assert sorted(v[2] for v in rows.values()) == [0] * (len(rows) - 1) + [2]
     two_dup_split = next(s for s, v in rows.items() if v[2] == 2)
     assert rows[two_dup_split][0] >= 2
+
+
+def test_sorted_neighborhood_semantics(spark, tmp_path):
+    """dedup_sorted_neighborhood (staged r7) on a crafted corpus: three
+    docs sharing the 3-token sort key are pairwise found (gap-1 AND gap-2
+    frames), with exact distinct-token Jaccards; a true near-dup whose
+    FIRST token differs lands in another block and is missed — the
+    documented SNM recall trade-off for its hard O(w*n) candidate bound
+    (LSH banding / prefix filtering are the recall-complete paths)."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+    from tests.conftest import make_docs
+
+    make_docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon", "en"),
+            (2, "alpha beta gamma delta zeta", "en"),
+            (3, "alpha beta gamma delta epsilon extra", "en"),
+            (4, "zzz alpha beta gamma delta epsilon", "en"),
+        ],
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = staged_queries()["dedup_sorted_neighborhood"](
+        spark, str(tmp_path)
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): (r["gap"], r["jaccard"]) for r in rows}
+    assert set(got) == {(1, 2), (2, 3), (1, 3)}
+    assert got[(1, 2)] == (1, 0.666667)
+    assert got[(2, 3)] == (1, 0.571429)
+    assert got[(1, 3)] == (2, 0.833333)
+    assert not any(4 in pair for pair in got), "cross-block dup is missed"

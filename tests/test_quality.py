@@ -76,3 +76,31 @@ def test_quantize_error_bound(spark):
         # round-to-nearest reconstruction error is at most scale/2 per dim
         assert r["mae"] <= r["scale"] / 2 + 1e-9
         assert 0 <= r["n_saturated"] <= 64
+
+
+def test_char_entropy_crafted(spark, tmp_path):
+    """text_char_entropy (staged r7) on analytic cases: a single repeated
+    character has entropy 0; four equally-frequent classes give exactly
+    2 bits; natural English clears the 3-bit gate."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+    from tests.conftest import make_docs
+
+    make_docs(
+        spark,
+        [
+            (1, "aaaaaaaa", "en"),
+            (2, "ab cab c", "en"),  # a,b,c,space x2 each -> 2.0 bits
+            (3, "the quick brown fox jumps over the lazy dog", "en"),
+            (4, "", "en"),
+        ],
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in staged_queries()["text_char_entropy"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[1]["entropy"] == 0.0 and rows[1]["low_entropy"]
+    assert rows[2]["entropy"] == 2.0 and rows[2]["low_entropy"]
+    assert rows[3]["entropy"] > 3.0 and not rows[3]["low_entropy"]
+    assert rows[4]["entropy"] is None and rows[4]["low_entropy"] is None

@@ -543,3 +543,44 @@ def test_sparse_pairs_match_python_recount(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
     assert want, "fixture must produce at least one qualifying pair"
+
+
+def test_dim_prefix_recall_planted(spark, tmp_path):
+    """sim_dim_prefix_recall (staged r7): embeddings whose dims beyond the
+    16-dim prefix are ALL ZERO make the prefix ranking provably identical
+    to the full ranking — recall@k must be exactly 1.0 for every query.
+    Then corrupting the tail (identical prefixes, discriminative tails)
+    collapses prefix scores into id-order ties, so recall must drop below
+    1 for at least some queries — the metric genuinely measures prefix
+    informativeness, not plumbing."""
+    import random
+
+    from posts_vectorizer_spark.plans.registry import staged_queries
+
+    q = staged_queries()["sim_dim_prefix_recall"]
+    rng = random.Random(7)
+
+    informative = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)] + [0.0] * 4, i % 3)
+        for i in range(30)
+    ]
+    d1 = tmp_path / "informative"
+    d1.mkdir()
+    spark.createDataFrame(
+        informative, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d1 / "embeddings.parquet"))
+    rows = q(spark, str(d1)).collect()
+    assert len(rows) == 30
+    assert all(r["recall_at_k"] == 1.0 for r in rows)
+
+    flat = [
+        (i, [1.0] * 16 + [rng.uniform(-1, 1) for _ in range(4)], i % 3)
+        for i in range(30)
+    ]
+    d2 = tmp_path / "flat"
+    d2.mkdir()
+    spark.createDataFrame(
+        flat, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d2 / "embeddings.parquet"))
+    rows2 = q(spark, str(d2)).collect()
+    assert any(r["recall_at_k"] < 1.0 for r in rows2)

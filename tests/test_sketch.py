@@ -131,3 +131,64 @@ def test_scd2_lookup_boundary_semantics(spark, tmp_path):
     # same-ts change supersedes both A and the probe's own lower-id
     # 'error' change (closed-open [from, to) boundary semantics)
     assert got[2] == "B"
+
+
+def test_ddsketch_partial_sketches_merge_exactly(spark):
+    """The property that makes the log-linear quantile sketch a 100 TB
+    operator: per-group partial sketches (here: one per l_returnflag)
+    merge by ADDING bucket counts, and the merged readout is bit-identical
+    to the single-pass global readout — no re-scan, no approximation
+    drift. Rebuilds the merge in pandas and diffs the registered query."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    pop = load_table(spark, SF_ORACLE, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    rows = pop.groupBy(
+        "flag",
+        F.length(F.col("cents").cast("string")).alias("d"),
+        F.substring(F.col("cents").cast("string"), 1, 2)
+        .cast("bigint")
+        .alias("f2"),
+    ).count().collect()
+
+    merged: Counter = Counter()
+    per_flag: dict[str, Counter] = {}
+    for r in rows:
+        per_flag.setdefault(r["flag"], Counter())[(r["d"], r["f2"])] += r["count"]
+        merged[(r["d"], r["f2"])] += r["count"]
+    assert len(per_flag) >= 2, "need several partial sketches to merge"
+    # associativity: summing the partials IS the global sketch
+    total_from_partials: Counter = Counter()
+    for c in per_flag.values():
+        total_from_partials.update(c)
+    assert total_from_partials == merged
+
+    # readout from the merged counts == the registered query's output
+    n = sum(merged.values())
+    ordered = sorted(merged.items())
+    out = {}
+    for num, den, label in ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")):
+        target = (n * num + den - 1) // den
+        cum = 0
+        for (d, f2), cnt in ordered:
+            cum += cnt
+            if cum >= target:
+                lower = int(str(f2) + "0" * (d - 2))
+                width = int("1" + "0" * (d - 2))
+                out[label] = (2 * lower + width) / 200.0
+                break
+    got = {
+        r["quantile"]: r["est_value"]
+        for r in staged_queries()["rel_ddsketch_quantiles"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert got == out

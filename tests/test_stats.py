@@ -353,3 +353,62 @@ def test_bootstrap_ci_mechanism(spark):
     assert width < 0.2 * r["point_mean"], (
         "CI implausibly wide for n>1000 — weight mechanism broken"
     )
+
+
+def _write_psi_events(spark, path, cur_offset: float):
+    """Synthetic events: reference half (Jan 1-15) uniform over [0, 100);
+    current half (Jan 16-30) the same grid shifted by cur_offset."""
+    import datetime
+
+    rows = []
+    for i in range(2000):
+        v = (i % 100) + 0.25
+        rows.append(
+            (datetime.datetime(2024, 1, 2, 0, 0, i % 60, i % 1000), float(v))
+        )
+        rows.append(
+            (
+                datetime.datetime(2024, 1, 20, 0, 0, i % 60, i % 1000),
+                float(v + cur_offset),
+            )
+        )
+    spark.createDataFrame(rows, "ts timestamp, value double").repartition(
+        4
+    ).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+
+def test_psi_drift_planted(spark, tmp_path):
+    """events_psi_drift (staged r7): identical ref/current distributions
+    give PSI == 0 and no alert; shifting the current window by half the
+    range concentrates mass in the top buckets and must alert. Also pins
+    the edge-clamp convention: shifted values beyond the reference max
+    land in bucket 9, never a phantom bucket 10."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+
+    q = staged_queries()["events_psi_drift"]
+
+    # distinct dirs per scenario: Spark caches file listings per path, so
+    # overwriting one path mid-test races the second read
+    d_same = tmp_path / "same"
+    d_drift = tmp_path / "drift"
+    d_same.mkdir()
+    d_drift.mkdir()
+
+    _write_psi_events(spark, d_same, cur_offset=0.0)
+    same = q(spark, str(d_same)).collect()
+    assert len(same) == 10
+    assert all(r["psi_term"] == 0.0 for r in same)
+    assert all(r["psi_total"] == 0.0 and not r["drifted"] for r in same)
+
+    _write_psi_events(spark, d_drift, cur_offset=50.0)
+    drifted = q(spark, str(d_drift)).collect()
+    assert all(r["drifted"] for r in drifted)
+    # hand-computable: ref is uniform (p=.1 everywhere); the +50 shift
+    # empties buckets 0-4 of current mass (excluded: q=0), leaves 5-8 at
+    # q=.1 (zero terms), and clamps the overflow into bucket 9 (q=.6):
+    # PSI = (0.1 - 0.6) * ln(0.1 / 0.6) = 0.8958797..., rounded 0.89588
+    assert abs(drifted[0]["psi_total"] - 0.89588) < 1e-9
+    by_bucket = {r["bucket"]: r for r in drifted}
+    assert max(by_bucket) == 9, "clamp keeps overflow in the top bucket"
+    # overflowed mass doubles the top bucket's current share
+    assert by_bucket[9]["share_cur"] > 2 * by_bucket[9]["share_ref"] * 0.9
