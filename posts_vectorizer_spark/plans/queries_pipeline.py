@@ -1055,3 +1055,40 @@ def source_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+from .queries_sketch import DDSKETCH_QUANTILES_SQL
+
+
+@register(
+    "stream_ddsketch_drain",
+    oracle=DDSKETCH_QUANTILES_SQL,
+    staged=True,
+)
+def stream_ddsketch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile-sketch maintenance with a driver row: lineitem
+    streams in TWO forced micro-batches (two source files,
+    maxFilesPerTrigger=1); each batch additively merges its (d, f2)
+    bucket-count delta into the standing sketch state
+    (streaming/worker.py::ddsketch_count_stream, exactly-once via the
+    sink's batch-id ledger), and the final quantiles read out from the
+    merged state (queries_sketch.ddsketch_readout). Count addition is
+    commutative, so the batch split cannot change the result — the
+    oracle is rel_ddsketch_quantiles' whole-corpus readout, making the
+    sketch's merge property driver-hash-checked end to end."""
+    from ..sources.sinks import read_merged
+    from ..streaming.worker import ddsketch_count_stream
+    from .queries_sketch import ddsketch_readout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    work = tempfile.mkdtemp(prefix="pv_ddsk_")
+    src = f"{work}/in"
+    half = F.col("l_orderkey") % 2
+    li.where(half == 0).coalesce(1).write.mode("append").parquet(src)
+    li.where(half == 1).coalesce(1).write.mode("append").parquet(src)
+    q = ddsketch_count_stream(
+        spark, src, li.schema, f"{work}/sketch", f"{work}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    return ddsketch_readout(spark, read_merged(spark, f"{work}/sketch"))

@@ -551,9 +551,10 @@ def events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DDQ_LEVELS = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
 
 
-@register(
-    "rel_ddsketch_quantiles",
-    oracle=f"""
+# Shared with stream_ddsketch_drain (queries_pipeline.py): the readout
+# is a pure function of the bucket counts, so single-pass and
+# stream-merged sketches verify against the SAME whole-corpus oracle.
+DDSKETCH_QUANTILES_SQL = f"""
 WITH pop AS (
   SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
   FROM lineitem
@@ -589,7 +590,12 @@ SELECT lv.label AS quantile,
 FROM lv, tot t, cum c
 WHERE c.cum_cnt >= (t.n * lv.num + lv.den - 1) // lv.den
   AND c.cum_cnt - c.cnt < (t.n * lv.num + lv.den - 1) // lv.den
-""",
+"""
+
+
+@register(
+    "rel_ddsketch_quantiles",
+    oracle=DDSKETCH_QUANTILES_SQL,
     staged=True,
 )
 def rel_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,13 +625,28 @@ def rel_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
     )
-    keyed = pop.select(
+    sketch = ddsketch_buckets(pop).groupBy("d", "f2").agg(
+        F.count("*").alias("cnt")
+    )
+    return ddsketch_readout(spark, sketch)
+
+
+def ddsketch_buckets(cents_df: DataFrame) -> DataFrame:
+    """(d, f2) bucket key per row of a `cents` BIGINT column — the
+    map-side half of the sketch, shared with the streaming maintenance
+    drain (stream_ddsketch_drain)."""
+    return cents_df.select(
         F.length(F.col("cents").cast("string")).alias("d"),
         F.substring(F.col("cents").cast("string"), 1, 2)
         .cast("bigint")
         .alias("f2"),
     )
-    sketch = keyed.groupBy("d", "f2").agg(F.count("*").alias("cnt"))
+
+
+def ddsketch_readout(spark: SparkSession, sketch: DataFrame) -> DataFrame:
+    """Quantile readout from a (d, f2, cnt) sketch — pure function of the
+    bucket counts, so it reads identically from a single-pass sketch, a
+    merged per-group sketch, or the streaming state table."""
     w_cum = Window.orderBy("d", "f2").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -701,3 +701,54 @@ def idf_count_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ddsketch_count_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental quantile-sketch maintenance: each micro-batch of
+    lineitem rows merges its (d, f2) bucket-count delta ADDITIVELY into
+    the standing sketch state table (sinks.merge_add_parquet) — the
+    DDSketch merge property (counts add) exercised in the real streaming
+    path, with the sink's batch-id ledger making the addition
+    exactly-once. The quantile READOUT stays a pure function of the
+    state (plans/queries_sketch.py::ddsketch_readout), so any reader
+    gets monotone-fresher quantiles without ever rescanning history.
+
+    At 100 TB: per-batch cost is one map-side-combinable groupBy over
+    the batch plus O(touched buckets) of a few-hundred-row state table —
+    quantiles over an unbounded stream for the price of the batch."""
+    from ..plans.queries_sketch import ddsketch_buckets
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        cents = batch_df.select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        delta = (
+            ddsketch_buckets(cents)
+            .groupBy("d", "f2")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        merge_add_parquet(
+            spark, delta, sketch_dir, ["d", "f2"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
