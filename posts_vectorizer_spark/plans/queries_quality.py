@@ -501,32 +501,52 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside whole-stage codegen end-to-end — scan-bound at any corpus
     size, the ideal first gate in a quality cascade (cheapest filter
     first, feeds `text_quality_profile`'s token-level scoring)."""
+    # HOF-array formulation, not a 28-column expression tree: the r7
+    # scale-trend measurement caught the column form spending ~14 s in
+    # whole-stage-codegen COMPILATION (Janino on the giant generated
+    # method) before the first row moved. transform/aggregate keep the
+    # generated code O(1) in class count; iteration order is the literal
+    # array order (letters, space, then other), identical to the SQL
+    # twin's fixed term order, and the decimal accumulator keeps the sum
+    # exact.
     docs = load_table(spark, sf_dir, "documents")
     s = F.lower(F.col("text"))
     n = F.length(s).cast("bigint")
-    counts = [
-        (F.length(s) - F.length(F.expr(f"replace(lower(text), '{c}', '')")))
-        .cast("bigint")
-        .alias(f"c{i}")
-        for i, c in enumerate(_ENT_CHARS)
-    ]
-    classed = docs.select("doc_id", n.alias("n"), *counts)
-    other = F.col("n") - sum(
-        F.col(f"c{i}") for i in range(len(_ENT_CHARS))
+    chars = F.array(*[F.lit(c) for c in _ENT_CHARS])
+    counts = F.transform(
+        chars, lambda c: (F.length(s) - F.length(F.replace(s, c))).cast("bigint")
     )
-    classed = classed.withColumn("c27", other)
+    classed = docs.select(
+        "doc_id", n.alias("n"), counts.alias("counts")
+    ).select(
+        "doc_id",
+        "n",
+        F.concat(
+            "counts",
+            F.array(
+                F.col("n")
+                - F.aggregate(
+                    "counts", F.lit(0).cast("bigint"), lambda a, x: a + x
+                )
+            ),
+        ).alias("counts"),
+    )
     zero = F.lit(0).cast("decimal(18,6)")
-    term = lambda c: F.when(  # noqa: E731
-        F.col(c) > 0,
-        F.round(
-            -(F.col(c).cast("double") / F.col("n"))
-            * F.log2(F.col(c).cast("double") / F.col("n")),
-            6,
+    ent = F.aggregate(
+        "counts",
+        zero,
+        lambda acc, c: (
+            acc
+            + F.when(
+                c > 0,
+                F.round(
+                    -(c.cast("double") / F.col("n"))
+                    * F.log2(c.cast("double") / F.col("n")),
+                    6,
+                ).cast("decimal(18,6)"),
+            ).otherwise(zero)
         ).cast("decimal(18,6)"),
-    ).otherwise(zero)
-    ent = term("c0")
-    for i in range(1, len(_ENT_CHARS) + 1):
-        ent = ent + term(f"c{i}")
+    )
     return classed.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("n").alias("n_chars_lc"),

@@ -572,24 +572,24 @@ cum AS (
          sum(cnt) OVER (ORDER BY d, f2
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum_cnt,
+         sum(cnt) OVER () AS n,
          CAST(f2 AS VARCHAR) || repeat('0', CAST(d - 2 AS INT)) AS lower_str,
          '1' || repeat('0', CAST(d - 2 AS INT)) AS width_str
   FROM sketch
 ),
-tot AS (SELECT sum(cnt) AS n FROM sketch),
 lv(num, den, label) AS (VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99'))
 SELECT lv.label AS quantile,
        CAST((2 * CAST(c.lower_str AS BIGINT) + CAST(c.width_str AS BIGINT))
             / 200.0 AS DOUBLE) AS est_value,
        CAST(c.cnt AS BIGINT) AS bucket_count,
-       CAST(t.n AS BIGINT) AS n,
+       CAST(c.n AS BIGINT) AS n,
        CAST(round(CAST(c.width_str AS BIGINT)
             / CAST(2 * CAST(c.lower_str AS BIGINT)
                    + CAST(c.width_str AS BIGINT) AS DOUBLE), 6)
             AS DOUBLE) AS rel_err_bound
-FROM lv, tot t, cum c
-WHERE c.cum_cnt >= (t.n * lv.num + lv.den - 1) // lv.den
-  AND c.cum_cnt - c.cnt < (t.n * lv.num + lv.den - 1) // lv.den
+FROM lv, cum c
+WHERE c.cum_cnt >= (c.n * lv.num + lv.den - 1) // lv.den
+  AND c.cum_cnt - c.cnt < (c.n * lv.num + lv.den - 1) // lv.den
 """
 
 
@@ -646,22 +646,29 @@ def ddsketch_buckets(cents_df: DataFrame) -> DataFrame:
 def ddsketch_readout(spark: SparkSession, sketch: DataFrame) -> DataFrame:
     """Quantile readout from a (d, f2, cnt) sketch — pure function of the
     bucket counts, so it reads identically from a single-pass sketch, a
-    merged per-group sketch, or the streaming state table."""
+    merged per-group sketch, or the streaming state table.
+
+    The total rides the SAME window pass as the cumulative count
+    (sum over the full frame) instead of a second aggregate: one upstream
+    sketch computation, one tiny single-partition window, one broadcast —
+    the r7 scale-trend measurement caught the original two-aggregate form
+    recomputing the whole sketch (and its scan) for a 1-row total."""
     w_cum = Window.orderBy("d", "f2").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    w_all = Window.partitionBy()
     zeros = F.expr("repeat('0', CAST(d - 2 AS INT))")
     cum = sketch.select(
         "d",
         "f2",
         "cnt",
         F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("n"),
         F.concat(F.col("f2").cast("string"), zeros)
         .cast("bigint")
         .alias("lower_c"),
         F.concat(F.lit("1"), zeros).cast("bigint").alias("width_c"),
     )
-    tot = sketch.agg(F.sum("cnt").alias("n"))
     lv = spark.createDataFrame(
         list(_DDQ_LEVELS), "num BIGINT, den BIGINT, label STRING"
     )
@@ -669,8 +676,7 @@ def ddsketch_readout(spark: SparkSession, sketch: DataFrame) -> DataFrame:
     # (bigint `/` is DOUBLE in Spark; an FP quotient could floor wrong)
     target = F.expr("(n * num + den - 1) div den")
     return (
-        lv.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(cum))
+        lv.crossJoin(F.broadcast(cum))
         .where(
             (F.col("cum_cnt") >= target)
             & (F.col("cum_cnt") - F.col("cnt") < target)

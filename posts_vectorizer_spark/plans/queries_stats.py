@@ -923,7 +923,11 @@ counts AS (
          CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
   FROM bucketed GROUP BY bucket
 ),
-tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts),
+totals AS (
+  SELECT bucket, n_ref, n_cur,
+         sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+  FROM counts
+),
 terms AS (
   SELECT bucket, n_ref, n_cur,
          CAST(n_ref AS DOUBLE) / tr AS p,
@@ -935,7 +939,7 @@ terms AS (
                                    / (CAST(n_cur AS DOUBLE) / tc)), 6)
                         AS DECIMAL(18,6))
               ELSE CAST(0 AS DECIMAL(18,6)) END AS term
-  FROM counts, tot
+  FROM totals
 )
 SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
        CAST(round(p, 6) AS DOUBLE) AS share_ref,
@@ -990,7 +994,10 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
         )
     )
-    tot = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    # totals ride a full-frame window over the 10-bucket counts instead of
+    # a second aggregate: the r7 scale-trend measurement caught the
+    # two-aggregate form recomputing the counts (and their events scan)
+    w_all = Window.partitionBy()
     p = F.col("n_ref").cast("double") / F.col("tr")
     q = F.col("n_cur").cast("double") / F.col("tc")
     term = (
@@ -1001,9 +1008,9 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .cast("decimal(18,6)")
     )
-    w_all = Window.partitionBy()
     return (
-        counts.crossJoin(F.broadcast(tot))
+        counts.withColumn("tr", F.sum("n_ref").over(w_all))
+        .withColumn("tc", F.sum("n_cur").over(w_all))
         .withColumn("term", term)
         .select(
             F.col("bucket").cast("bigint").alias("bucket"),

@@ -27,6 +27,8 @@ while fixed per-query constants still amortize) and shuffle bytes grow
 ~linearly for the shuffling ops; any super-linear bend is a real finding.
 
 Usage:  python tools/scale_trend.py            # one JSON line on stdout
+        python tools/scale_trend.py ddsketch_quantiles psi_drift
+                                               # subset by operator name
 Results table lives in SCALE.md (measured operator scaling).
 """
 
@@ -46,7 +48,7 @@ ID_OFFSET = 10_000_000
 WORKDIR = "/tmp/scale_trend"
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     import bench
@@ -142,6 +144,21 @@ def main() -> None:
             .select("user_id", "event_id", "value", "rk")
         )
 
+    # r7 staged family: reuse the EXACT registered plan code by laying the
+    # scaled inputs out as {dir}/{table}.parquet (symlinks to the already
+    # materialized copies) and calling the staged query builders on them.
+    from posts_vectorizer_spark.plans.registry import staged_queries
+
+    SQ = staged_queries()
+
+    def table_dir(kind: str, k: int, table: str) -> str:
+        d = f"{WORKDIR}/dir_{kind}_{k}x"
+        os.makedirs(d, exist_ok=True)
+        link = f"{d}/{table}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{WORKDIR}/{kind}_{k}x.parquet", link)
+        return d
+
     operators = {
         "dedup_exact_keep_first": lambda k: dedup.exact_keep_first(
             inputs[("docs_disjoint", k)]
@@ -155,7 +172,22 @@ def main() -> None:
         "groupby_agg_q1_shape": lambda k: q1_shape(inputs[("lineitem", k)]),
         "events_session_window": lambda k: session_window(inputs[("events", k)]),
         "events_window_topk": lambda k: window_topk(inputs[("events", k)]),
+        # r7 staged family (sketch / drift / entropy / SNM):
+        "ddsketch_quantiles": lambda k: SQ["rel_ddsketch_quantiles"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
+        "psi_drift": lambda k: SQ["events_psi_drift"](
+            spark, table_dir("events", k, "events")
+        ),
+        "char_entropy": lambda k: SQ["text_char_entropy"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "sorted_neighborhood": lambda k: SQ["dedup_sorted_neighborhood"](
+            spark, table_dir("docs_disjoint", k, "documents")
+        ),
     }
+    if only:
+        operators = {n: f for n, f in operators.items() if n in only}
 
     results = {}
     for name, build in operators.items():
@@ -193,4 +225,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:] or None)
