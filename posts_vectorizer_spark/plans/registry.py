@@ -36,6 +36,12 @@ REGISTRY: dict[str, QueryDef] = {}
 # includes them) — staging defers only the DRIVER-VISIBLE registration,
 # never the verification.
 STAGED: dict[str, QueryDef] = {}
+# r7 staged (r8 gets their introduction slots): rel_ddsketch_quantiles,
+# events_psi_drift, dedup_sorted_neighborhood, text_char_entropy,
+# sim_dim_prefix_recall, stream_ddsketch_drain — all swept at sf0.01 AND
+# sf0.1 (SWEEPS.md r7) with named tests. r8 head plan: 6 introduction
+# slots + the r7 spine re-proof + freshness fill from the REMAINING r3
+# cohort (last-green r3, ~29 queries not covered by r7's fill).
 
 
 def register(

@@ -194,10 +194,12 @@ def main(argv: list[str]) -> int:
     con = duckdb_connection(sf_dir)
 
     failed = []
+    skipped = 0
     slowest: list[tuple[float, str]] = []
     for name in names:
         if name not in oracles:
-            print(f"SKIP  {name} (rows-only [R] query)")
+            print(f"SKIP  {name} (no oracle on this surface)")
+            skipped += 1
             continue
         t0 = _time.perf_counter()
         try:
@@ -221,7 +223,9 @@ def main(argv: list[str]) -> int:
             f"{n}={t:.1f}s" for t, n in sorted(slowest, reverse=True)[:5]
         )
         print(f"\nslowest: {top}")
-    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    n_ran = len(names) - skipped
+    suffix = f" ({skipped} skipped)" if skipped else ""
+    print(f"\n{n_ran - len(failed)}/{n_ran} passed{suffix}")
     return 1 if failed else 0
 
 
