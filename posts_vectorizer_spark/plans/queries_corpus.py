@@ -776,3 +776,144 @@ def text_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     face of text_bpe_merges)."""
     docs = load_table(spark, sf_dir, "documents")
     return _bpe.segment_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# (staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+_LN2 = "0.6931471805599453"  # ln(2), the only transcendental constant needed
+
+
+@register(
+    "text_jsd_source_divergence",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest({T.tokens_sql('text')}) AS word FROM documents
+),
+counts AS (
+  SELECT source, word, count(*) AS cnt FROM toks GROUP BY source, word
+),
+dist AS (
+  SELECT source, word, cnt,
+         sum(cnt) OVER (PARTITION BY source) AS tot
+  FROM counts
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM counts) a,
+       (SELECT DISTINCT source FROM counts) b
+  WHERE a.source < b.source
+),
+shared AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(count(*) AS BIGINT) AS n_shared_words,
+         sum(a.cnt) AS ca, sum(b.cnt) AS cb,
+         max(a.tot) AS tot_a, max(b.tot) AS tot_b,
+         sum(CAST(round(
+           0.5 * (CAST(a.cnt AS DOUBLE) / a.tot)
+               * ln(2.0 * (CAST(a.cnt AS DOUBLE) / a.tot)
+                    / (CAST(a.cnt AS DOUBLE) / a.tot
+                       + CAST(b.cnt AS DOUBLE) / b.tot))
+           + 0.5 * (CAST(b.cnt AS DOUBLE) / b.tot)
+               * ln(2.0 * (CAST(b.cnt AS DOUBLE) / b.tot)
+                    / (CAST(a.cnt AS DOUBLE) / a.tot
+                       + CAST(b.cnt AS DOUBLE) / b.tot)), 8)
+           AS DECIMAL(18,8))) AS both_terms
+  FROM dist a JOIN dist b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       COALESCE(s.n_shared_words, 0) AS n_shared_words,
+       CAST(round(
+         COALESCE(CAST(s.both_terms AS DOUBLE), 0)
+         + 0.5 * {_LN2} * ((1.0 - COALESCE(CAST(s.ca AS DOUBLE) / s.tot_a, 0))
+                           + (1.0 - COALESCE(CAST(s.cb AS DOUBLE) / s.tot_b, 0))),
+         6) AS DOUBLE) AS jsd
+FROM pairs p LEFT JOIN shared s ON s.sa = p.sa AND s.sb = p.sb
+""",
+    staged=True,
+)
+def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of per-source unigram
+    distributions — the symmetric, bounded (<= ln 2) corpus-composition
+    distance used to pick mixture weights and spot near-identical feeds
+    (complements text_source_overlap_matrix's SET overlap with a
+    frequency-aware distance).
+
+    Exactness engineering: the word-level sum runs only over SHARED words
+    (inner join); disjoint-support mass enters in closed form — a word in
+    only one source contributes 0.5*p*ln2, so those tails sum to
+    0.5*ln2*((1-cp)+(1-cq)) where cp/cq are the shared-mass fractions,
+    computed as EXACT integer count sums divided once. Shared-word terms
+    round to DECIMAL(18,8) before the sum (the chi2/PSI pattern). Nothing
+    order-dependent survives; ln() drift is absorbed by the rounding.
+
+    Scale shape: one (source, word) aggregate (map-side combinable), a
+    source-partitioned window over vocab-sized data, one word-keyed
+    self-join bounded by shared vocabulary x source pairs, and a
+    |sources|^2-row readout. At 100 TB the scan dominates; no
+    corpus-sized shuffle exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(T.tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dist = counts.withColumn(
+        "tot", F.sum("cnt").over(Window.partitionBy("source"))
+    )
+    srcs = counts.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .where(F.col("sa") < F.col("sb"))
+    )
+    a = dist.select(
+        F.col("source").alias("sa"),
+        "word",
+        F.col("cnt").alias("cnt_a"),
+        F.col("tot").alias("tot_a"),
+    )
+    b = dist.select(
+        F.col("source").alias("sb"),
+        "word",
+        F.col("cnt").alias("cnt_b"),
+        F.col("tot").alias("tot_b"),
+    )
+    p = F.col("cnt_a").cast("double") / F.col("tot_a")
+    q = F.col("cnt_b").cast("double") / F.col("tot_b")
+    word_term = F.round(
+        0.5 * p * F.log(2.0 * p / (p + q)) + 0.5 * q * F.log(2.0 * q / (p + q)),
+        8,
+    ).cast("decimal(18,8)")
+    shared = (
+        a.join(b, "word")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared_words"),
+            F.sum("cnt_a").alias("ca"),
+            F.sum("cnt_b").alias("cb"),
+            F.max("tot_a").alias("tot_a"),
+            F.max("tot_b").alias("tot_b"),
+            F.sum(word_term).alias("both_terms"),
+        )
+    )
+    ln2 = float(_LN2)
+    jsd = (
+        F.coalesce(F.col("both_terms").cast("double"), F.lit(0.0))
+        + 0.5
+        * ln2
+        * (
+            (1.0 - F.coalesce(F.col("ca").cast("double") / F.col("tot_a"), F.lit(0.0)))
+            + (1.0 - F.coalesce(F.col("cb").cast("double") / F.col("tot_b"), F.lit(0.0)))
+        )
+    )
+    return pairs.join(shared, ["sa", "sb"], "left").select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.coalesce("n_shared_words", F.lit(0)).alias("n_shared_words"),
+        F.round(jsd, 6).cast("double").alias("jsd"),
+    )

@@ -311,3 +311,79 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "span_tokens")
         .orderBy("doc_id", "span_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality eval (staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+_MH_K = 16  # len(dedup._A): sig components
+
+
+def _mh_eval_sql() -> str:
+    from ..operators.dedup import minhash_signatures_sql, shingle_near_dups_sql
+
+    matches = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(_MH_K)
+    )
+    return f"""
+WITH sigs AS ({minhash_signatures_sql()}),
+pairs AS ({shingle_near_dups_sql()})
+SELECT p.doc_a, p.doc_b,
+       p.jaccard AS exact_jaccard,
+       CAST(({matches}) AS BIGINT) AS n_matches,
+       CAST(({matches}) / {float(_MH_K)} AS DOUBLE) AS est_jaccard,
+       CAST(round(abs(({matches}) / {float(_MH_K)} - p.jaccard), 6)
+            AS DOUBLE) AS abs_err
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+"""
+
+
+@register("dedup_minhash_estimate_eval", oracle=_mh_eval_sql(), staged=True)
+def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality report: for every EXACT near-dup pair
+    (the exhaustive shingle-Jaccard set), compare the sketch's Jaccard
+    estimate — matching signature components / {_MH_K} — against the true
+    Jaccard. E[est] = J is the MinHash guarantee; this query turns it
+    into a measurable per-pair error table (the dedup analog of
+    sim_recall_report: it grades the SKETCH, so threshold choices for
+    the banded LSH path are informed by data, not folklore).
+
+    Scale shape: signatures are the zero-shuffle array folds
+    (operators/dedup.py::minhash_signatures); the pair set is the
+    shingle-blocked join; the eval adds two doc_id-keyed broadcast-able
+    joins of signature rows — nothing quadratic, nothing new shuffles at
+    corpus scale."""
+    from ..operators.dedup import minhash_signatures, shingle_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = shingle_near_dups(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(_MH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(_MH_K)],
+    )
+    n_matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(_MH_K)
+    )
+    est = n_matches.cast("double") / _MH_K
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").alias("exact_jaccard"),
+            n_matches.cast("bigint").alias("n_matches"),
+            est.alias("est_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )

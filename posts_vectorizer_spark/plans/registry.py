@@ -38,10 +38,11 @@ REGISTRY: dict[str, QueryDef] = {}
 STAGED: dict[str, QueryDef] = {}
 # r7 staged (r8 gets their introduction slots): rel_ddsketch_quantiles,
 # events_psi_drift, dedup_sorted_neighborhood, text_char_entropy,
-# sim_dim_prefix_recall, stream_ddsketch_drain — all swept at sf0.01 AND
-# sf0.1 (SWEEPS.md r7) with named tests. r8 head plan: 6 introduction
-# slots + the r7 spine re-proof + freshness fill from the REMAINING r3
-# cohort (last-green r3, ~29 queries not covered by r7's fill).
+# sim_dim_prefix_recall, stream_ddsketch_drain, text_jsd_source_divergence,
+# dedup_minhash_estimate_eval — all swept at sf0.01 AND sf0.1 (SWEEPS.md
+# r7) with named tests. r8 head plan: 8 introduction slots + the r7
+# spine re-proof + freshness fill from the REMAINING r3 cohort
+# (last-green r3, ~29 queries not covered by r7's fill).
 
 
 def register(

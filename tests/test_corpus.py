@@ -180,3 +180,33 @@ def test_subquery_correlated_threshold_semantics(spark, tmp_path):
     assert r["l_partkey"] == 100
     assert r["n_small"] == 1
     assert r["small_revenue"] == pytest.approx(42.50)
+
+
+def test_jsd_source_divergence_bounds(spark, tmp_path):
+    """text_jsd_source_divergence (staged r7) analytic anchors: two
+    sources with IDENTICAL unigram distributions have JSD exactly 0;
+    disjoint-vocabulary sources hit the ln 2 upper bound (0.693147 at
+    the 6dp output rounding); a partial overlap lands strictly between."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+
+    rows = [
+        (1, "alpha beta beta gamma", "en", "sA", 21),
+        (2, "alpha beta beta gamma", "en", "sB", 21),
+        (3, "delta epsilon zeta eta", "en", "sC", 22),
+        (4, "alpha beta delta delta", "en", "sD", 22),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in staged_queries()["text_jsd_source_divergence"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 6  # C(4,2) source pairs
+    assert out[("sA", "sB")]["jsd"] == 0.0
+    assert out[("sA", "sB")]["n_shared_words"] == 3
+    assert out[("sA", "sC")]["jsd"] == 0.693147
+    assert out[("sA", "sC")]["n_shared_words"] == 0
+    assert 0.0 < out[("sA", "sD")]["jsd"] < 0.693147

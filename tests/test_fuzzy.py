@@ -242,3 +242,35 @@ def test_sorted_neighborhood_semantics(spark, tmp_path):
     assert got[(2, 3)] == (1, 0.571429)
     assert got[(1, 3)] == (2, 0.833333)
     assert not any(4 in pair for pair in got), "cross-block dup is missed"
+
+
+def test_minhash_estimate_eval_calibration(spark, tmp_path):
+    """dedup_minhash_estimate_eval (staged r7): identical docs estimate
+    J=1 exactly (all 16 components match — a sketch invariant, not a
+    probability); and on the fixture corpus the mean |est - exact| stays
+    within the k=16 sketch's theoretical scale (std <= 0.5/sqrt(16) =
+    0.125; mean abs err well under 2x that), i.e. the estimator is
+    calibrated, not just plumbed."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+    from tests.conftest import SF_ORACLE, make_docs
+
+    q = staged_queries()["dedup_minhash_estimate_eval"]
+
+    make_docs(
+        spark,
+        [
+            (1, "one two three four five six seven eight", "en"),
+            (2, "one two three four five six seven eight", "en"),
+        ],
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    twin = q(spark, str(tmp_path)).collect()
+    assert len(twin) == 1
+    assert twin[0]["n_matches"] == 16
+    assert twin[0]["est_jaccard"] == 1.0
+    assert twin[0]["exact_jaccard"] == 1.0
+    assert twin[0]["abs_err"] == 0.0
+
+    rows = q(spark, SF_ORACLE).collect()
+    assert len(rows) > 10
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.25, f"mean abs err {mean_err} — estimator miscalibrated"

@@ -192,3 +192,46 @@ def test_ddsketch_partial_sketches_merge_exactly(spark):
         ).collect()
     }
     assert got == out
+
+
+@pytest.mark.parametrize("seed", [3, 17, 101])
+def test_ddsketch_order_statistic_in_selected_bucket(spark, tmp_path, seed):
+    """The sketch's correctness guarantee, fuzzed: buckets partition the
+    value axis in order, so the bucket whose cumulative count crosses
+    ceil(q*n) must CONTAIN the exact ceil-rank order statistic — the
+    estimate is off by at most half the bucket width, which is what
+    rel_err_bound reports. Seeded random prices across four orders of
+    magnitude (cents 1e2..1e6), exact order statistics from a sorted
+    array."""
+    import math
+    import random
+
+    from posts_vectorizer_spark.plans.registry import staged_queries
+
+    rng = random.Random(seed)
+    prices = [
+        round(math.exp(rng.uniform(math.log(1.0), math.log(10_000.0))), 2)
+        for _ in range(4000)
+    ]
+    d = tmp_path / f"s{seed}"
+    d.mkdir()
+    spark.createDataFrame(
+        [(p,) for p in prices], "l_extendedprice double"
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    cents = sorted(round(p * 100) for p in prices)
+    n = len(cents)
+    rows = staged_queries()["rel_ddsketch_quantiles"](spark, str(d)).collect()
+    assert {r["quantile"] for r in rows} == {"p50", "p90", "p99"}
+    for r in rows:
+        num, den = {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}[
+            r["quantile"]
+        ]
+        exact = cents[(n * num + den - 1) // den - 1]
+        s = str(exact)
+        lower = int(s[:2] + "0" * (len(s) - 2))
+        width = int("1" + "0" * (len(s) - 2))
+        est_cents = r["est_value"] * 100
+        assert lower <= exact < lower + width, (r, exact)
+        assert abs(est_cents - exact) <= width / 2 + 1e-6, (r, exact)
+        assert r["n"] == n
