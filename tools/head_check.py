@@ -13,6 +13,8 @@ Usage:
                                           # row yet and no head slot (the
                                           # next round's rotation, de-risked
                                           # under driver conditions early)
+    python tools/head_check.py q1 q2 ...  # explicit query names (e.g. the
+                                          # next round's freshness cohort)
 """
 
 from __future__ import annotations
@@ -66,6 +68,8 @@ def main(argv: list[str]) -> int:
             if n in oracles and n not in green and n not in _HEAD_ORDER
         ]
         print(f"backlog: {len(names)} never-driver-checked [Q] queries")
+    elif argv and not argv[0].isdigit():
+        names = list(argv)   # explicit query names
     else:
         lo, hi = 0, len(_HEAD_ORDER)
         if len(argv) == 2:
