@@ -1378,3 +1378,102 @@ def rel_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution (staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_DAYS = 3
+
+
+@register(
+    "events_funnel_attribution",
+    oracle=f"""
+WITH conv AS (
+  SELECT user_id, ts AS conv_ts, event_id AS conv_id
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT t.event_type, t.ts, t.event_id, c.conv_id,
+         count(*) OVER (PARTITION BY c.conv_id) AS n_touches,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rk
+  FROM touch t JOIN conv c
+    ON t.user_id = c.user_id
+   AND t.ts <= c.conv_ts
+   AND t.ts >= c.conv_ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_touch_assignments,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions_reached,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch_conversions,
+       CAST(sum(CAST(round(1.0 / n_touches, 8) AS DECIMAL(18,8)))
+            AS DOUBLE) AS linear_credit
+FROM pairs GROUP BY event_type
+""",
+    staged=True,
+)
+def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase's credit is assigned to
+    the click/view touchpoints in its {_ATTR_LOOKBACK_DAYS}-day lookback
+    window under BOTH standard models at once — last-touch (the latest
+    touchpoint takes 1.0, (ts, event_id)-tiebroken) and linear (each of
+    the n touchpoints takes 1/n) — the marketing-analytics readout that
+    decides channel budgets. A touchpoint may serve several conversions
+    (standard MTA); conversions with no preceding touch take no credit.
+
+    Exactness: linear credits are round(1/n, 8) DECIMALs (integer n, so
+    the quotient is bit-identical cross-engine) summed exactly;
+    last-touch counts are integers. Nothing order-dependent.
+
+    Scale shape: one user-keyed range join (per-user touch x conversion
+    pairs, bounded by the lookback horizon — the events_range_join_clicks
+    shape), one conv_id-keyed window for n/last, one tiny event_type
+    aggregate. At 100 TB the range join dominates and partitions cleanly
+    by user."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touch = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pairs = touch.join(
+        conv,
+        (touch["user_id"] == conv["user_id"])
+        & (touch["ts"] <= conv["conv_ts"])
+        & (
+            touch["ts"]
+            >= conv["conv_ts"] - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")
+        ),
+    ).select("event_type", "ts", "event_id", "conv_id")
+    w_n = Window.partitionBy("conv_id")
+    w_rk = Window.partitionBy("conv_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    scored = pairs.select(
+        "event_type",
+        F.count("*").over(w_n).alias("n_touches"),
+        F.row_number().over(w_rk).alias("rk"),
+        "conv_id",
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_touch_assignments"),
+        F.count_distinct("conv_id").cast("bigint").alias(
+            "n_conversions_reached"
+        ),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("last_touch_conversions"),
+        F.sum(F.round(1.0 / F.col("n_touches"), 8).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("linear_credit"),
+    )

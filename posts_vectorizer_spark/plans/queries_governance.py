@@ -506,3 +506,80 @@ def rel_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew diagnostics (staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_skew_gini",
+    oracle="""
+WITH freqs AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt, user_id) AS i,
+         count(*) OVER () AS n,
+         sum(cnt) OVER () AS s,
+         max(cnt) OVER () AS mx
+  FROM freqs
+)
+SELECT CAST(max(n) AS BIGINT) AS n_keys,
+       CAST(max(s) AS BIGINT) AS n_rows,
+       CAST(max(mx) AS BIGINT) AS max_freq,
+       CAST(round(CAST(max(mx) AS DOUBLE) * max(n) / max(s), 6) AS DOUBLE)
+         AS max_over_mean,
+       CAST(round(CAST(sum((2 * i - n - 1) * cnt) AS DOUBLE)
+                  / (CAST(max(n) AS DOUBLE) * max(s)), 6) AS DOUBLE) AS gini
+FROM ranked
+""",
+    staged=True,
+)
+def rel_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight check before shuffling
+    on a key at scale: key count, max key frequency, max/mean ratio (the
+    straggler multiplier a shuffle on this key risks), and the Gini
+    coefficient of the key-frequency distribution
+    (sum((2i-n-1)*x_i)/(n*sum x) over ascending-sorted frequencies —
+    0 = uniform, ->1 = one key owns everything). Feeds the choice
+    between a plain shuffle, salting (rel_salted_skew_agg/join), or an
+    AQE skew-join hint.
+
+    Exactness: every Gini term is INTEGER arithmetic (rank, count) summed
+    as integers; the only doubles are two final quotients — nothing
+    order-dependent anywhere.
+
+    Scale shape: one map-side-combinable key count reduces the corpus to
+    the key-frequency table; the rank window sorts THAT table (|keys|
+    rows — orders of magnitude below |rows|; for billion-key tables run
+    the same query on a hash-sampled key subset). Single-row output."""
+    freqs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_rank = Window.orderBy("cnt", "user_id")
+    w_all = Window.partitionBy()
+    ranked = freqs.select(
+        "cnt",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("cnt").over(w_all).alias("s"),
+        F.max("cnt").over(w_all).alias("mx"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_keys"),
+        F.max("s").cast("bigint").alias("n_rows"),
+        F.max("mx").cast("bigint").alias("max_freq"),
+        F.round(
+            F.max("mx").cast("double") * F.max("n") / F.max("s"), 6
+        ).cast("double").alias("max_over_mean"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cnt"))
+            .cast("double")
+            / (F.max("n").cast("double") * F.max("s")),
+            6,
+        ).cast("double").alias("gini"),
+    )

@@ -198,3 +198,45 @@ def test_dp_noisy_counts_noise_properties(spark):
             else -b * _math.log(2.0 * (1.0 - u))
         )
         assert abs(r.noisy_count - (true[r.c_nationkey] + noise)) < 1e-5
+
+
+def test_skew_gini_analytic(spark, tmp_path):
+    """rel_skew_gini (staged r7) on crafted key frequencies: uniform
+    frequencies give Gini exactly 0; frequencies [1,1,1,97] give the
+    hand-computed 288/(4*100) = 0.72 and max/mean = 97/25."""
+    import datetime
+
+    from posts_vectorizer_spark.plans.registry import staged_queries
+
+    q = staged_queries()["rel_skew_gini"]
+
+    def write_events(d, freqs):
+        rows = []
+        eid = 0
+        for uid, k in enumerate(freqs):
+            for _ in range(k):
+                rows.append(
+                    (eid, uid, datetime.datetime(2024, 1, 2), "click", 1.0)
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp,"
+            " event_type string, value double",
+        ).write.parquet(str(d / "events.parquet"))
+
+    d1 = tmp_path / "uniform"
+    d1.mkdir()
+    write_events(d1, [5, 5, 5, 5])
+    r = q(spark, str(d1)).collect()[0]
+    assert r["gini"] == 0.0
+    assert r["max_over_mean"] == 1.0
+    assert (r["n_keys"], r["n_rows"], r["max_freq"]) == (4, 20, 5)
+
+    d2 = tmp_path / "skewed"
+    d2.mkdir()
+    write_events(d2, [1, 1, 1, 97])
+    r2 = q(spark, str(d2)).collect()[0]
+    assert r2["gini"] == 0.72
+    assert r2["max_over_mean"] == 3.88  # 97 / (100/4)
+    assert r2["max_freq"] == 97
