@@ -1421,7 +1421,7 @@ FROM pairs GROUP BY event_type
 )
 def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution: every purchase's credit is assigned to
-    the click/view touchpoints in its {_ATTR_LOOKBACK_DAYS}-day lookback
+    the click/view touchpoints in its 3-day lookback
     window under BOTH standard models at once — last-touch (the latest
     touchpoint takes 1.0, (ts, event_id)-tiebroken) and linear (each of
     the n touchpoints takes 1/n) — the marketing-analytics readout that

@@ -346,7 +346,7 @@ JOIN sigs sb ON sb.doc_id = p.doc_b
 def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator-quality report: for every EXACT near-dup pair
     (the exhaustive shingle-Jaccard set), compare the sketch's Jaccard
-    estimate — matching signature components / {_MH_K} — against the true
+    estimate — matching signature components / 16 — against the true
     Jaccard. E[est] = J is the MinHash guarantee; this query turns it
     into a measurable per-pair error table (the dedup analog of
     sim_recall_report: it grades the SKETCH, so threshold choices for

@@ -448,10 +448,9 @@ WHERE len(sa) + len(sb) - len(list_intersect(sa, sb)) > 0
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood near-dup blocking (SNM, Hernandez-Stolfo): sort
-    records by a dup-clustering key (first {_SNM_KEY_TOKENS} tokens),
-    compare each record only with the next {_SNM_WINDOW - 1} in sort
-    order, verify candidates with exact distinct-token Jaccard at the
-    corpus threshold ({JACCARD_THRESHOLD}). The third classic blocking
+    records by a dup-clustering key (first 3 tokens), compare each
+    record only with the next 2 in sort order, verify candidates with
+    exact distinct-token Jaccard at the corpus threshold (0.5). The third classic blocking
     family alongside the repo's LSH banding (probabilistic) and prefix
     filtering (exact-recall): SNM trades recall for a HARD O(w*n)
     candidate bound — the shape used when the pipeline must guarantee
@@ -467,7 +466,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "doc_id",
         F.array_distinct(toks).alias("tset"),
-        F.element_at(toks, 1).alias("block"),
+        # F.get (0-based) is NULL-on-missing like the oracle's toks[1];
+        # element_at THROWS under ANSI (Spark 4 default) on empty arrays
+        F.get(toks, 0).alias("block"),
         F.array_join(F.slice(toks, 1, _SNM_KEY_TOKENS), " ").alias("skey"),
     )
     w = Window.partitionBy("block").orderBy("skey", "doc_id")

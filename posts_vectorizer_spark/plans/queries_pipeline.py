@@ -22,14 +22,15 @@ SOURCE_CAP = 10
 CHUNK = 4
 
 
+from .queries_advanced import _DEC_REVENUE_SQL, _dec_revenue
+
+
 @register(
     "rel_bloom_prune_join",
-    oracle="""
+    oracle=f"""
 SELECT l.l_returnflag,
        CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-            / 10000.0 AS DOUBLE) AS revenue
+       {_DEC_REVENUE_SQL} AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY l.l_returnflag
@@ -57,16 +58,7 @@ def rel_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bloom_prune_join(li, orders, "l_orderkey", "o_orderkey")
     return joined.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
-        (
-            F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("bigint")
-                * (
-                    F.lit(100)
-                    - F.round(F.col("l_discount") * 100).cast("bigint")
-                )
-            )
-            / 10000.0
-        ).cast("double").alias("revenue"),
+        _dec_revenue().alias("revenue"),
     )
 
 
@@ -1090,5 +1082,10 @@ def stream_ddsketch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, li.schema, f"{work}/sketch", f"{work}/ckpt",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
-    return ddsketch_readout(spark, read_merged(spark, f"{work}/sketch"))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("ddsketch drain did not finish within 300s")
+    state = read_merged(spark, f"{work}/sketch")
+    if state is None:
+        raise RuntimeError("ddsketch drain committed no batches")
+    return ddsketch_readout(spark, state)

@@ -1167,15 +1167,15 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 
 @register("sim_dim_prefix_recall", oracle=_mrl_recall_sql(), staged=True)
 def sim_dim_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka-style prefix-dimension recall eval: rank top-{_MRL_K}
-    neighbors by the FIRST {_MRL_PREFIX} dims only, diff against the
+    """Matryoshka-style prefix-dimension recall eval: rank top-10
+    neighbors by the FIRST 16 dims only, diff against the
     full-dimension ground truth, report per-query recall@k — the offline
     eval that decides how many leading dims an MRL-trained embedding can
     shed for cheap first-stage retrieval (these fixtures' embeddings are
     random, so the measured recall is the no-structure baseline an MRL
     model must beat). Both rankings reuse the exact broadcast-tile
     mapInArrow kernel (operators/similarity.py::topk) — the prefix pass
-    just slices the array column first, paying {_MRL_PREFIX}/64 of the
+    just slices the array column first, paying 16/64 of the
     FLOPs, which is the entire point of prefix retrieval at serving time.
 
     Scale shape: two kernel passes (no n^2 shuffle — top-k selected

@@ -955,7 +955,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift monitor — the standard pre-retrain
     check that a feature's serving distribution still matches the training
     reference. Reference window = the fixture's first half; PSI =
-    sum((p_i - q_i) * ln(p_i / q_i)) over {_PSI_BUCKETS} equal-width
+    sum((p_i - q_i) * ln(p_i / q_i)) over 10 equal-width
     buckets whose bounds come from the REFERENCE min/max (integer
     micro-units, so bucket assignment is exact in both engines; current
     rows outside the reference range clamp to the edge buckets, the
@@ -966,9 +966,9 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed by the rounding.
 
     Scale shape: the reference min/max is a scalar broadcast (J5); bucket
-    assignment is in-row arithmetic; ONE {_PSI_BUCKETS}-group aggregate
-    (map-side combinable) reduces the corpus, and the PSI window runs
-    over {_PSI_BUCKETS} rows. At 100 TB this is scan-bound, exactly like
+    assignment is in-row arithmetic; ONE 10-group aggregate (map-side
+    combinable) reduces the corpus, and the PSI window runs over 10
+    rows. At 100 TB this is scan-bound, exactly like
     a production drift job over daily feature logs."""
     e = load_table(spark, sf_dir, "events")
     base = e.select(

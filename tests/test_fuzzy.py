@@ -230,6 +230,7 @@ def test_sorted_neighborhood_semantics(spark, tmp_path):
             (2, "alpha beta gamma delta zeta", "en"),
             (3, "alpha beta gamma delta epsilon extra", "en"),
             (4, "zzz alpha beta gamma delta epsilon", "en"),
+            (5, "", "en"),  # empty text: NULL block, must not crash (ANSI)
         ],
     ).write.parquet(str(tmp_path / "documents.parquet"))
 
@@ -242,6 +243,7 @@ def test_sorted_neighborhood_semantics(spark, tmp_path):
     assert got[(2, 3)] == (1, 0.571429)
     assert got[(1, 3)] == (2, 0.833333)
     assert not any(4 in pair for pair in got), "cross-block dup is missed"
+    assert not any(5 in pair for pair in got)
 
 
 def test_minhash_estimate_eval_calibration(spark, tmp_path):

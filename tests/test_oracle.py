@@ -189,6 +189,15 @@ def _balanced_arg(sql: str, start: int) -> tuple[str, int]:
     return sql[start + 1 : j - 1], j
 
 
+def test_fp_lint_column_lists_disjoint():
+    """The lint's exemption mechanism is list membership: a double column
+    is order-UNSAFE iff it is in _DOUBLE_COLS; _INTEGRAL_DOUBLES names
+    the double-typed-but-integral columns deliberately excluded (their
+    sums are exact below 2^53). The two lists must stay disjoint or the
+    exemption silently breaks."""
+    assert not set(_DOUBLE_COLS) & set(_INTEGRAL_DOUBLES)
+
+
 def test_oracle_no_fp_order_dependent_sums():
     """FP-sum lint: a double `sum` is partition-order dependent, so a [Q]
     oracle may sum a true double column ONLY as `round(sum(col), k>=4)` of
@@ -219,7 +228,7 @@ def test_oracle_no_fp_order_dependent_sums():
                 c for c in _DOUBLE_COLS if re.search(rf"\b{c}\b", a)
             ]
             if not refs:
-                continue  # no true-double column involved
+                continue  # only integral doubles / non-doubles involved
             if "cast(round(" in compact or "decimal" in compact:
                 continue  # scaled-int cents or decimal-exact pattern
             if re.fullmatch(
@@ -238,6 +247,28 @@ def test_oracle_no_fp_order_dependent_sums():
         "order-dependent double sums in [Q] oracles (use scaled-int "
         "cents or round(sum(bare_col), k>=4)): " + "; ".join(violations)
     )
+
+
+_STAGED_ORACLES = __import__(
+    "posts_vectorizer_spark.plans.registry", fromlist=["staged_oracle_sql"]
+).staged_oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_STAGED_ORACLES))
+def test_staged_oracle_match(spark, duck, name):
+    """Staged [Q] queries (built after this round's head lock) get the
+    same automated Spark-vs-DuckDB differential as registered ones — the
+    r6 wave had this while staged; without it a regression between
+    staging and introduction would pass CI and first surface as a driver
+    hash fail."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+
+    problems, n_rows = compare_query(
+        spark, duck, name, staged_queries()[name], _STAGED_ORACLES[name],
+        SF_ORACLE,
+    )
+    assert not problems, f"{name}: {problems}"
+    assert n_rows >= 0
 
 
 def test_canon_type_regressions():
