@@ -40,6 +40,16 @@ def main(argv: list[str]) -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # staged queries are addressable by explicit name (they face this
+    # exact harness at their introduction round — de-risk them NOW; the
+    # r7 SNM ANSI crash was only reachable under a vanilla session)
+    from posts_vectorizer_spark.plans.registry import (
+        staged_oracle_sql,
+        staged_queries,
+    )
+
+    qs = {**qs, **staged_queries()}
+    oracles = {**oracles, **staged_oracle_sql()}
 
     if argv and argv[0] == "--backlog":
         # vanilla-session check of every [Q] query NOT in the current head
