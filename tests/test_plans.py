@@ -429,3 +429,32 @@ def test_sparse_pairs_join_on_word_no_cartesian(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line
+
+
+def test_r7_staged_plan_shapes(spark):
+    """Physical-plan pins for the r7 staged wave's scale claims:
+    char_entropy is shuffle-free (no Exchange — pure per-row work);
+    the ddsketch readout has no second aggregate pass over the sketch
+    (a single bucket groupBy feeds the window; the level join is a
+    broadcast nested loop over 3 rows, never a SortMergeJoin); SNM's
+    candidates come from window frames, not a self-join (no Cartesian,
+    no SortMergeJoin)."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+
+    SQ = staged_queries()
+
+    ent = _plan(SQ["text_char_entropy"](spark, SF_ORACLE))
+    assert "Exchange" not in ent
+    assert "transform" in ent and "aggregate" in ent  # the HOF pair
+
+    dds = _plan(SQ["rel_ddsketch_quantiles"](spark, SF_ORACLE))
+    assert dds.count("HashAggregate") <= 2, (
+        "more than partial+final of ONE aggregate — the second-total "
+        "regression the r7 trend measurement removed"
+    )
+    assert "SortMergeJoin" not in dds
+
+    snm = _plan(SQ["dedup_sorted_neighborhood"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in snm
+    assert "SortMergeJoin" not in snm
+    assert "Window" in snm

@@ -185,6 +185,18 @@ def main(only: list[str] | None = None) -> None:
         "sorted_neighborhood": lambda k: SQ["dedup_sorted_neighborhood"](
             spark, table_dir("docs_disjoint", k, "documents")
         ),
+        "jsd_source_divergence": lambda k: SQ["text_jsd_source_divergence"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "minhash_estimate_eval": lambda k: SQ["dedup_minhash_estimate_eval"](
+            spark, table_dir("docs_disjoint", k, "documents")
+        ),
+        "skew_gini": lambda k: SQ["rel_skew_gini"](
+            spark, table_dir("events", k, "events")
+        ),
+        "funnel_attribution": lambda k: SQ["events_funnel_attribution"](
+            spark, table_dir("events", k, "events")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
