@@ -46,3 +46,23 @@ def test_funnel_attribution_crafted(spark, tmp_path):
     assert c["last_touch_conversions"] == 0
     assert v["last_touch_conversions"] == 2
     assert c["linear_credit"] == 1.0 and v["linear_credit"] == 1.0
+
+
+def test_funnel_attribution_credit_conservation(spark):
+    """Attribution models must CONSERVE credit: each touched conversion
+    hands out exactly 1.0 under last-touch (one rk==1 row) and exactly
+    1.0 under linear (n * 1/n). So across all touch types, the two
+    models' totals must agree with each other (within the 1e-8-grid
+    rounding of 1/n) — the invariant that catches double-counting or
+    dropped conversions in either window."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+    from tests.conftest import SF_ORACLE
+
+    rows = staged_queries()["events_funnel_attribution"](
+        spark, SF_ORACLE
+    ).collect()
+    assert rows, "fixture has purchases with preceding touches"
+    last_total = sum(r["last_touch_conversions"] for r in rows)
+    linear_total = sum(r["linear_credit"] for r in rows)
+    assert last_total > 0
+    assert abs(linear_total - last_total) < 1e-4 * last_total
