@@ -1212,3 +1212,95 @@ def sim_dim_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining for retrieval training (staged r7 -> r8)
+# ---------------------------------------------------------------------------
+
+def _hard_neg_sql() -> str:
+    cos = _V.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH pr AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, a.label AS la, b.label AS lb,
+         round({cos}, 6) AS c
+  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+),
+pos AS (
+  SELECT qid, nid, c FROM (
+    SELECT qid, nid, c,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+    FROM pr WHERE la = lb
+  ) WHERE rk = 1
+),
+neg AS (
+  SELECT qid, nid, c FROM (
+    SELECT qid, nid, c,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rk
+    FROM pr WHERE la <> lb
+  ) WHERE rk = 1
+)
+SELECT p.qid AS query_id,
+       p.nid AS positive_id, CAST(p.c AS DOUBLE) AS pos_cosine,
+       n.nid AS negative_id, CAST(n.c AS DOUBLE) AS neg_cosine,
+       CAST(round(p.c - n.c, 6) AS DOUBLE) AS margin
+FROM pos p JOIN neg n USING (qid)
+"""
+
+
+@register("sim_hard_negatives", oracle=_hard_neg_sql(), staged=True)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the training-data op behind every modern
+    retrieval/embedding model: for each vector, emit its most similar
+    SAME-label neighbor (the positive) and its most similar
+    DIFFERENT-label neighbor (the hard negative), plus the margin between
+    them. Small/negative margins are exactly the triplets contrastive
+    training needs most; labels play the role of relevance groups.
+
+    Physical plan: one exact broadcast-tile kernel pass PER (label,
+    side) — positives probe label L against the label-L build side,
+    negatives against the complement — so the work is 2*|labels| kernel
+    calls with k=1, never an n^2 shuffle; label values come from a
+    |labels|-sized bounded collect (the clustering-ops pattern). At
+    serving scale the same mining runs per label shard with the build
+    tiles broadcast once each."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = [r["label"] for r in emb.select("label").distinct().collect()]
+
+    def side(pos: bool):
+        parts = []
+        for lab in sorted(labels):
+            probe = emb.where(F.col("label") == lab)
+            build = emb.where(
+                F.col("label") == lab if pos else F.col("label") != lab
+            )
+            parts.append(
+                similarity.topk(build, 1, probe=probe).select(
+                    "query_id", "neighbor_id", "cosine"
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    pos = side(True).select(
+        "query_id",
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = side(False).select(
+        "query_id",
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("cosine").alias("neg_cosine"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "positive_id",
+        "pos_cosine",
+        "negative_id",
+        "neg_cosine",
+        F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6).alias("margin"),
+    )

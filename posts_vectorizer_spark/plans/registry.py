@@ -39,9 +39,10 @@ STAGED: dict[str, QueryDef] = {}
 # r7 staged (r8 gets their introduction slots): rel_ddsketch_quantiles,
 # events_psi_drift, dedup_sorted_neighborhood, text_char_entropy,
 # sim_dim_prefix_recall, stream_ddsketch_drain, text_jsd_source_divergence,
-# dedup_minhash_estimate_eval, rel_skew_gini, events_funnel_attribution —
+# dedup_minhash_estimate_eval, rel_skew_gini, events_funnel_attribution,
+# sim_hard_negatives —
 # all swept at sf0.01 AND sf0.1 (SWEEPS.md r7) with named tests. r8 head
-# plan: 10 introduction slots + the r7 spine re-proof + freshness fill
+# plan: 11 introduction slots + the r7 spine re-proof + freshness fill
 # from the REMAINING r3 cohort (last-green r3, 29 queries — ALL
 # pre-verified under a vanilla session, SWEEPS.md r8-de-risk section).
 

@@ -584,3 +584,35 @@ def test_dim_prefix_recall_planted(spark, tmp_path):
     ).write.parquet(str(d2 / "embeddings.parquet"))
     rows2 = q(spark, str(d2)).collect()
     assert any(r["recall_at_k"] < 1.0 for r in rows2)
+
+
+def test_hard_negatives_crafted(spark, tmp_path):
+    """sim_hard_negatives (staged r7) on a planted geometry: the
+    same-label positive and cross-label hard negative are chosen by
+    cosine argmax within/outside the label, and a negative MORE similar
+    than the positive yields a negative margin — the triplet contrastive
+    training wants surfaced."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),   # query
+        (2, [0.9, 0.4359, 0.0, 0.0], 0), # same-label, cos ~0.9
+        (3, [0.0, 1.0, 0.0, 0.0], 0),    # same-label, orthogonal
+        (4, [0.999, 0.0447, 0.0, 0.0], 1),  # cross-label, cos ~0.999
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["query_id"]: r
+        for r in staged_queries()["sim_hard_negatives"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    q = out[1]
+    assert q["positive_id"] == 2
+    assert q["negative_id"] == 4
+    assert q["neg_cosine"] > q["pos_cosine"]
+    assert q["margin"] < 0, "harder-than-positive negative -> negative margin"
+    assert len(out) == 5  # every vector gets a triplet (both labels populated)
