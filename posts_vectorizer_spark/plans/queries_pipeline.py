@@ -1087,5 +1087,11 @@ def stream_ddsketch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("ddsketch drain did not finish within 300s")
     state = read_merged(spark, f"{work}/sketch")
     if state is None:
-        raise RuntimeError("ddsketch drain committed no batches")
+        # empty input: batches ran but carried no rows, so the merge sink
+        # never materialized state — an empty readout, not an error
+        return spark.createDataFrame(
+            [],
+            "quantile string, est_value double, bucket_count bigint,"
+            " n bigint, rel_err_bound double",
+        )
     return ddsketch_readout(spark, state)

@@ -1268,6 +1268,12 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     labels = [r["label"] for r in emb.select("label").distinct().collect()]
+    if not labels:  # empty input: empty triplet table, not an IndexError
+        return spark.createDataFrame(
+            [],
+            "query_id long, positive_id long, pos_cosine double,"
+            " negative_id long, neg_cosine double, margin double",
+        )
 
     def side(pos: bool):
         parts = []

@@ -94,3 +94,26 @@ def test_bench_headline_line_fits_driver_tail_capture():
     parsed = _json.loads(line)
     assert parsed["queries"] == timings
     assert "stage_metrics" not in parsed
+
+
+def test_staged_queries_survive_empty_tables(spark, tmp_path):
+    """P9 (empty-input guard) extended to the staged wave: every staged
+    query must return an empty (or degenerate-diagnostic) result on
+    schema-correct zero-row tables, never crash. The r7 empty-input
+    smoke caught two real ones: sim_hard_negatives IndexError'd on an
+    empty label list, and stream_ddsketch_drain raised on the merge
+    sink's never-materialized state."""
+    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        load_table(spark, SF_SMOKE, t).limit(0).write.parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    for name, fn in staged_queries().items():
+        n = fn(spark, str(tmp_path)).count()
+        assert n <= 1, f"{name}: unexpected rows on empty input"
