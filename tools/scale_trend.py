@@ -109,6 +109,9 @@ def main(only: list[str] | None = None) -> None:
         for part in ev_parts[1:]:
             ev = ev.unionAll(part)
         inputs[("events", k)] = materialize(f"events_{k}x", ev)
+        inputs[("emb", k)] = materialize(
+            f"emb_{k}x", copies(emb, "vec_id", k)
+        )
 
     def q1_shape(li):
         return (
@@ -196,6 +199,15 @@ def main(only: list[str] | None = None) -> None:
         ),
         "funnel_attribution": lambda k: SQ["events_funnel_attribution"](
             spark, table_dir("events", k, "events")
+        ),
+        # exact kernel evals over a scaled embedding corpus: expected
+        # QUADRATIC (probe x build both grow) — the honest measurement of
+        # why serving paths mine from ANN candidates/shards instead
+        "dim_prefix_recall": lambda k: SQ["sim_dim_prefix_recall"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "hard_negatives": lambda k: SQ["sim_hard_negatives"](
+            spark, table_dir("emb", k, "embeddings")
         ),
     }
     if only:
