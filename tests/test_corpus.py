@@ -209,4 +209,9 @@ def test_jsd_source_divergence_bounds(spark, tmp_path):
     assert out[("sA", "sB")]["n_shared_words"] == 3
     assert out[("sA", "sC")]["jsd"] == 0.693147
     assert out[("sA", "sC")]["n_shared_words"] == 0
+    # hand-computed partial overlap: sA = {alpha:.25, beta:.5, gamma:.25},
+    # sD = {alpha:.25, beta:.25, delta:.5}; shared terms: alpha 0,
+    # beta .25*ln(4/3) + .125*ln(2/3) = .02123736; tails: .5*ln2*.25
+    # (gamma) + .5*ln2*.5 (delta) = .08664340 + .17328680 -> 0.281168
+    assert out[("sA", "sD")]["jsd"] == 0.281168
     assert 0.0 < out[("sA", "sD")]["jsd"] < 0.693147
