@@ -65,17 +65,28 @@ def _round_half_away(x: np.ndarray, digits: int = COSINE_ROUND) -> np.ndarray:
     return np.where(x >= 0, np.floor(x * s + 0.5), np.ceil(x * s - 0.5)) / s
 
 
-def _build_side(embeddings: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(ids, matrix float64, seq-fold norms) of the broadcast build side."""
-    pdf = embeddings.select("vec_id", "embedding").toPandas()
+def _build_side(
+    embeddings: DataFrame, label_col: str | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """(ids, matrix float64, seq-fold norms, labels|None) of the broadcast
+    build side. Labels ride along as float64 (NULL -> NaN) so the kernel's
+    label mask is one vectorized compare; numeric label columns only —
+    the training-data fixtures key relevance groups by int label."""
+    cols = ["vec_id", "embedding"] + ([label_col] if label_col else [])
+    pdf = embeddings.select(*cols).toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     if M.ndim != 2:  # empty tile: keep a (0, d)-shaped matrix
         M = M.reshape(0, 0)
-    return ids, M, _seq_norms(M)
+    labels = (
+        pdf[label_col].to_numpy(dtype=np.float64) if label_col else None
+    )
+    return ids, M, _seq_norms(M), labels
 
 
-def _build_tiles(embeddings: DataFrame, n_tiles: int):
+def _build_tiles(
+    embeddings: DataFrame, n_tiles: int, label_col: str | None = None
+):
     """Collect and broadcast the build side in ``n_tiles`` hash slices
     (``vec_id % n_tiles``). Driver peak memory is one tile, not the whole
     table — the tiling answer to the driver-memory wall: per-block top-k is
@@ -88,7 +99,7 @@ def _build_tiles(embeddings: DataFrame, n_tiles: int):
         tile = embeddings
         if n_tiles > 1:
             tile = tile.where(F.pmod(F.col("vec_id"), F.lit(n_tiles)) == t)
-        bcs.append(spark.sparkContext.broadcast(_build_side(tile)))
+        bcs.append(spark.sparkContext.broadcast(_build_side(tile, label_col)))
     return bcs
 
 
@@ -114,8 +125,8 @@ def _rowwise_lexorder(
     )
 
 
-def _probe_blocks_arrow(batch_iter):
-    """(qids, Q) per Arrow batch, zero-copy: the list<float> embedding
+def _probe_blocks_arrow(batch_iter, label_col=None):
+    """(qids, Q, labels|None) per Arrow batch, zero-copy: the list<float> embedding
     column is read as its flat values buffer and reshaped — no pandas
     object-array of per-row numpy arrays, no per-row tolist(). At bench
     scale this is noise; at 10^8 rows the object-array materialization
@@ -153,7 +164,17 @@ def _probe_blocks_arrow(batch_iter):
         flat = emb.flatten().to_numpy(zero_copy_only=False)
         dims = int(lens[0]) if len(lens) else 0
         Q = flat.astype(np.float64, copy=False).reshape(len(qids), dims)
-        yield qids, Q
+        labels = None
+        if label_col is not None:
+            # NULL -> NaN (float64), mirroring _build_side — NaN never
+            # equals anything, so SQL's NULL-label three-valued logic
+            # (la = lb and la <> lb both fail) falls out of the compare
+            labels = (
+                batch.column(label_col)
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
+        yield qids, Q, labels
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +216,8 @@ def topk(
     k: int = 5,
     n_tiles: int = 1,
     probe: DataFrame | None = None,
+    label_col: str | None = None,
+    label_mode: str | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (W3 ranking shape;
     deterministic: rounded score desc, neighbor_id asc).
@@ -215,25 +238,40 @@ def topk(
     (few index vectors, a firehose of queries) and what
     ``tools/cosine_scale_probe.py`` scales to measure the Arrow-handshake
     amortization trend. Self-pairs are still excluded by vec_id equality,
-    which with a disjoint probe id space excludes nothing."""
+    which with a disjoint probe id space excludes nothing.
+
+    ``label_col`` + ``label_mode`` ('same' | 'diff') restrict candidates
+    INSIDE the kernel: 'same' keeps build rows whose label equals the
+    probe row's, 'diff' keeps label-mismatched rows — the hard-negative
+    mining shapes. One kernel pass regardless of label cardinality (the
+    r7-flagged alternative was 2·|labels| driver-looped passes); masked
+    elements join the self-pair exclusion class, so ranking/NULL
+    semantics are unchanged. NULL labels (NaN after the float64 ride-
+    along) match nothing on either side, exactly SQL's ``la = lb`` /
+    ``la <> lb`` three-valued logic."""
+    if (label_col is None) != (label_mode is None):
+        raise ValueError("label_col and label_mode come together")
+    if label_mode not in (None, "same", "diff"):
+        raise ValueError(f"unknown label_mode: {label_mode}")
     spark = embeddings.sparkSession
-    bcs = _build_tiles(embeddings, n_tiles)
+    bcs = _build_tiles(embeddings, n_tiles, label_col)
     probe_side = probe if probe is not None else embeddings
 
     def gen(batch_iter):
         import pyarrow as pa
 
-        for qids, Q in _probe_blocks_arrow(batch_iter):
+        for qids, Q, plabels in _probe_blocks_arrow(batch_iter, label_col):
             qnorm = _seq_norms(Q)
             nq = len(qids)
             # Per-tile top-(k+1) candidates, selected with one vectorized
             # composed argsort per tile (no per-row python loop — that
             # lexsort-per-row pool merge was the r2 bench regression).
-            # k+1 because the self pair (class 2, excluded at the end) can
-            # occupy at most one slot per row.
+            # k+1 slots suffice for any number of class-2 (excluded)
+            # elements: they sort LAST, so they never displace a scored
+            # candidate — they only pad rows with < k+1 keepable elements.
             cand_ids, cand_cos, cand_cls = [], [], []
             for bc in bcs:
-                nids, M, nnorm = bc.value
+                nids, M, nnorm, blabels = bc.value
                 if len(nids) == 0:
                     continue
                 S = _seq_dots(Q, M)
@@ -241,9 +279,22 @@ def topk(
                     cos = _round_half_away(S / (qnorm[:, None] * nnorm[None, :]))
                 null = (qnorm[:, None] <= 0) | (nnorm[None, :] <= 0)
                 # element classes: 0 = scored, 1 = NULL cosine (zero-norm
-                # side; both engines sort NULLS LAST), 2 = self (excluded)
+                # side; both engines sort NULLS LAST), 2 = excluded (self
+                # pair, or label-mask miss)
+                excl = nids[None, :] == qids[:, None]
+                if label_mode is not None:
+                    same = plabels[:, None] == blabels[None, :]
+                    if label_mode == "same":
+                        excl |= ~same
+                    else:  # 'diff': NaN != NaN is True, so also require
+                        # both labels non-NaN (SQL: la <> lb is NULL)
+                        valid = ~(
+                            np.isnan(plabels)[:, None]
+                            | np.isnan(blabels)[None, :]
+                        )
+                        excl |= same | ~valid
                 cls = np.where(
-                    nids[None, :] == qids[:, None],
+                    excl,
                     np.int8(2),
                     np.where(null, np.int8(1), np.int8(0)),
                 )
@@ -318,10 +369,10 @@ def neighbors_above(
     def gen(batch_iter):
         import pyarrow as pa
 
-        for qids, Q in _probe_blocks_arrow(batch_iter):
+        for qids, Q, _ in _probe_blocks_arrow(batch_iter):
             qnorm = _seq_norms(Q)
             for bc in bcs:
-                nids, M, nnorm = bc.value
+                nids, M, nnorm, _labels = bc.value
                 if len(nids) == 0:
                     continue
                 S = _seq_dots(Q, M)

@@ -1417,7 +1417,7 @@ SELECT event_type,
             AS DOUBLE) AS linear_credit
 FROM pairs GROUP BY event_type
 """,
-    staged=True,
+
 )
 def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution: every purchase's credit is assigned to

@@ -833,7 +833,7 @@ SELECT p.sa AS source_a, p.sb AS source_b,
          6) AS DOUBLE) AS jsd
 FROM pairs p LEFT JOIN shared s ON s.sa = p.sa AND s.sb = p.sb
 """,
-    staged=True,
+
 )
 def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between every pair of per-source unigram

@@ -342,7 +342,7 @@ JOIN sigs sb ON sb.doc_id = p.doc_b
 """
 
 
-@register("dedup_minhash_estimate_eval", oracle=_mh_eval_sql(), staged=True)
+@register("dedup_minhash_estimate_eval", oracle=_mh_eval_sql())
 def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator-quality report: for every EXACT near-dup pair
     (the exhaustive shingle-Jaccard set), compare the sketch's Jaccard

@@ -444,7 +444,7 @@ WHERE len(sa) + len(sb) - len(list_intersect(sa, sb)) > 0
       / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
       >= {JACCARD_THRESHOLD}
 """,
-    staged=True,
+
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood near-dup blocking (SNM, Hernandez-Stolfo): sort

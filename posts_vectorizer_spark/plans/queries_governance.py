@@ -535,7 +535,7 @@ SELECT CAST(max(n) AS BIGINT) AS n_keys,
                   / (CAST(max(n) AS DOUBLE) * max(s)), 6) AS DOUBLE) AS gini
 FROM ranked
 """,
-    staged=True,
+
 )
 def rel_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostics — the pre-flight check before shuffling

@@ -1055,7 +1055,7 @@ from .queries_sketch import DDSKETCH_QUANTILES_SQL
 @register(
     "stream_ddsketch_drain",
     oracle=DDSKETCH_QUANTILES_SQL,
-    staged=True,
+
 )
 def stream_ddsketch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quantile-sketch maintenance with a driver row: lineitem

@@ -485,7 +485,7 @@ FROM classed
 """
 
 
-@register("text_char_entropy", oracle=_entropy_sql(), staged=True)
+@register("text_char_entropy", oracle=_entropy_sql())
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-class Shannon entropy — the cheapest
     gibberish/repetition gate a curation pipeline runs (keyboard-mash,

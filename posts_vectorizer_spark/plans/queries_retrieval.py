@@ -1165,7 +1165,7 @@ LEFT JOIN hits h ON h.query_id = q.query_id
 """
 
 
-@register("sim_dim_prefix_recall", oracle=_mrl_recall_sql(), staged=True)
+@register("sim_dim_prefix_recall", oracle=_mrl_recall_sql())
 def sim_dim_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style prefix-dimension recall eval: rank top-10
     neighbors by the FIRST 16 dims only, diff against the
@@ -1248,7 +1248,7 @@ FROM pos p JOIN neg n USING (qid)
 """
 
 
-@register("sim_hard_negatives", oracle=_hard_neg_sql(), staged=True)
+@register("sim_hard_negatives", oracle=_hard_neg_sql())
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining — the training-data op behind every modern
     retrieval/embedding model: for each vector, emit its most similar
@@ -1257,47 +1257,29 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     them. Small/negative margins are exactly the triplets contrastive
     training needs most; labels play the role of relevance groups.
 
-    Physical plan: one exact broadcast-tile kernel pass PER (label,
-    side) — positives probe label L against the label-L build side,
-    negatives against the complement — so the work is 2*|labels| kernel
-    calls with k=1, never an n^2 shuffle; label values come from a
-    |labels|-sized bounded collect (the clustering-ops pattern). At
-    serving scale the same mining runs per label shard with the build
-    tiles broadcast once each."""
+    Physical plan: exactly TWO broadcast-tile kernel passes — one with a
+    same-label candidate mask (positives), one with a diff-label mask
+    (negatives) — applied INSIDE the kernel (labels ride the broadcast
+    tiles and the probe batches; masked elements join the self-pair
+    exclusion class). Kernel-pass count is independent of label
+    cardinality: the r7 verdict flagged the previous 2·|labels|
+    driver-looped form as quadratic pain at thousands of labels, and
+    this is its fold-into-the-kernel fix (same hash output, asserted by
+    tests/test_retrieval.py). No n^2 shuffle, no driver collect of
+    label values at all."""
     from ..operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    labels = [r["label"] for r in emb.select("label").distinct().collect()]
-    if not labels:  # empty input: empty triplet table, not an IndexError
-        return spark.createDataFrame(
-            [],
-            "query_id long, positive_id long, pos_cosine double,"
-            " negative_id long, neg_cosine double, margin double",
-        )
-
-    def side(pos: bool):
-        parts = []
-        for lab in sorted(labels):
-            probe = emb.where(F.col("label") == lab)
-            build = emb.where(
-                F.col("label") == lab if pos else F.col("label") != lab
-            )
-            parts.append(
-                similarity.topk(build, 1, probe=probe).select(
-                    "query_id", "neighbor_id", "cosine"
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out
-
-    pos = side(True).select(
+    pos = similarity.topk(
+        emb, 1, label_col="label", label_mode="same"
+    ).select(
         "query_id",
         F.col("neighbor_id").alias("positive_id"),
         F.col("cosine").alias("pos_cosine"),
     )
-    neg = side(False).select(
+    neg = similarity.topk(
+        emb, 1, label_col="label", label_mode="diff"
+    ).select(
         "query_id",
         F.col("neighbor_id").alias("negative_id"),
         F.col("cosine").alias("neg_cosine"),

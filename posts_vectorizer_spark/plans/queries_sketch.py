@@ -596,7 +596,7 @@ WHERE c.cum_cnt >= (c.n * lv.num + lv.den - 1) // lv.den
 @register(
     "rel_ddsketch_quantiles",
     oracle=DDSKETCH_QUANTILES_SQL,
-    staged=True,
+
 )
 def rel_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (the DDSketch idea with

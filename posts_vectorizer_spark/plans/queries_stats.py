@@ -949,7 +949,7 @@ SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
        sum(term) OVER () > {_PSI_ALERT} AS drifted
 FROM terms
 """,
-    staged=True,
+
 )
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift monitor — the standard pre-retrain

@@ -36,15 +36,13 @@ REGISTRY: dict[str, QueryDef] = {}
 # includes them) — staging defers only the DRIVER-VISIBLE registration,
 # never the verification.
 STAGED: dict[str, QueryDef] = {}
-# r7 staged (r8 gets their introduction slots): rel_ddsketch_quantiles,
-# events_psi_drift, dedup_sorted_neighborhood, text_char_entropy,
-# sim_dim_prefix_recall, stream_ddsketch_drain, text_jsd_source_divergence,
-# dedup_minhash_estimate_eval, rel_skew_gini, events_funnel_attribution,
-# sim_hard_negatives —
-# all swept at sf0.01 AND sf0.1 (SWEEPS.md r7) with named tests. r8 head
-# plan: 11 introduction slots + the r7 spine re-proof + freshness fill
-# from the REMAINING r3 cohort (last-green r3, 29 queries — ALL
-# pre-verified under a vanilla session, SWEEPS.md r8-de-risk section).
+# r8: the r7-staged wave of 11 was introduced (head slots a-block); any
+# query built mid-r8 after the head locks registers here with
+# staged=True and takes an introduction slot in r9. Staging checklist
+# (memory + r7 practice): oracle sweep at sf0.01 AND sf0.1, vanilla
+# head_check pass, a named semantic test, an empty-input pass
+# (tests/test_edge.py), a scale_trend measurement, COVERAGE/README/
+# registry-comment updates.
 
 
 def register(
@@ -86,56 +84,53 @@ def register(
 # (a batch per round, last-green round ascending), so no driver row ages
 # past ~4 rounds without a re-proof.
 #
-# r7 state: the never-checked backlog is DRAINED. r7's head executes the
-# r6 verdict's plan exactly:
-#   (a) FIRST 4 slots — the 4 documented stragglers (the only [Q] queries
-#       that had never had a driver row; promised these slots in r6).
-#   (b) 8 introduction slots — the r6-staged wave (TPC-H completion
-#       Q2/Q9/Q12/Q15/Q17/Q20, rel_bootstrap_ci,
-#       events_seasonal_decompose), un-staged this round per the
-#       introduction-round rule.
-#   (c) r7 spine — the two r6 hash-FAIL queries, re-proved after their
-#       fixes (rel_bloom_prune_join: double revenue sum -> exact
-#       scaled-int cents; events_running_reset: oracle segment cast
-#       BIGINT so DuckDB doesn't emit HUGEINT), the flagship (also under
-#       the r7 bench-regression investigation), and sim_cosine_near_dups
-#       (the r6-touched cosine kernel's sibling the verdict asked to see
-#       driver-fresh rather than sweep-proved).
-#   (d) FRESHNESS fill (34 slots) — the oldest-standing green rows,
-#       oldest-first: the entire r1-r2 cohort (20: every green row last
-#       proved in 2024-era rounds 1-2) plus 14 of the r3 cohort,
-#       preferring the tfidf family (the bench-investigation path — if
-#       perf work touches it this round, these rows re-prove the
-#       consumers) and one representative per big r3 family.
+# r8 state: executes the r7 verdict's plan exactly (VERDICT.md "Next
+# round" item 1):
+#   (a) 11 introduction slots — the r7-staged wave (DDSketch quantiles +
+#       streaming drain, PSI drift, sorted-neighborhood blocking, char
+#       entropy, Matryoshka prefix recall, JSD source divergence, MinHash
+#       estimator eval, Gini skew, funnel attribution, hard-negative
+#       mining), un-staged this round per the introduction-round rule.
+#       All were swept at sf0.01+sf0.1 AND vanilla-session pre-verified
+#       in r7 (SWEEPS.md r8-de-risk).
+#   (b) r8 spine — the flagship (its contract + DuckDB-crossover
+#       measurement is this round's perf item).
+#   (c) FRESHNESS fill — the 29 remaining r3-cohort rows (drains the r3
+#       cohort entirely; oldest standing green row becomes r4), then the
+#       9 oldest r4 rows prioritising the bench spine (tfidf_idf_table,
+#       dedup_minhash_near_dups), consumers of files touched this round
+#       (text_bm25_topk — queries_retrieval.py hard-negative kernel
+#       fold), streaming representatives, and one pick per big r4
+#       family.
 _HEAD_ORDER: tuple[str, ...] = (
-    # ---- (a) the 4 stragglers — first slots, as promised in r6:
-    "rel_join_full_outer", "rel_hash_sample", "rel_count_distinct_exact",
-    "grouped_zscore_normalize",
-    # ---- (b) the 8 introductions (r6-staged, locally swept + tested):
-    "rel_tpch_q2_min_cost_supplier", "rel_tpch_q9_product_profit",
-    "rel_tpch_q12_late_shipments", "rel_tpch_q15_top_supplier",
-    "rel_tpch_q17_small_quantity", "rel_tpch_q20_excess_stock",
-    "rel_bootstrap_ci", "events_seasonal_decompose",
-    # ---- (c) r7 spine:
-    "rel_bloom_prune_join", "events_running_reset",
-    "tfidf_doc_vectors", "sim_cosine_near_dups",
-    # ---- (d) freshness fill, oldest-first. r1-r2 cohort (20):
-    "events_sliding_window",
-    "dedup_minhash_signatures", "dedup_shingle_jaccard", "dedup_simhash",
-    "rel_case_in_length", "rel_histogram_equi_width", "rel_join_anti",
-    "rel_nullsafe_join", "rel_pivot", "rel_rollup_dates",
-    "rel_scalar_broadcast", "rel_subquery_above_avg", "rel_unpivot_stack",
-    "rel_window_frames", "rel_window_running", "sim_lsh_ann",
-    "text_bigram_counts", "text_fingerprints", "text_langid_confusion",
-    "text_token_stats_by_lang",
-    # r3 cohort picks (14): the six tfidf-family rows (flagship's direct
-    # siblings — the bench-investigation path), then one cheap
-    # representative per r3 family:
-    "tfidf_candidates", "tfidf_corpus_stats", "tfidf_doc_profile",
-    "tfidf_oov_tokens", "tfidf_term_frequency", "tfidf_vocabulary",
-    "rel_scan_filter_project", "rel_orderby_limit", "rel_cube",
-    "rel_join_semi", "rel_join_outer_fill", "rel_string_funcs",
-    "events_tumbling_window", "dedup_exact_keep_first",
+    # ---- (a) the 11 introductions (r7-staged, swept + tested):
+    "rel_ddsketch_quantiles", "events_psi_drift",
+    "dedup_sorted_neighborhood", "text_char_entropy",
+    "sim_dim_prefix_recall", "stream_ddsketch_drain",
+    "text_jsd_source_divergence", "dedup_minhash_estimate_eval",
+    "rel_skew_gini", "events_funnel_attribution", "sim_hard_negatives",
+    # ---- (b) r8 spine:
+    "tfidf_doc_vectors",
+    # ---- (c) freshness fill: the full remaining r3 cohort (29):
+    "dedup_decontaminate", "dedup_prefix_filter_join",
+    "dedup_simhash_near_dups", "events_ab_test",
+    "events_asof_last_purchase", "events_first_per_key",
+    "events_gap_fill", "events_hypertable_rollup",
+    "events_session_window", "rel_array_agg_sorted",
+    "rel_date_trunc_agg", "rel_hll_portable",
+    "rel_join_broadcast_agg", "rel_json_extract", "rel_snapshot_diff",
+    "rel_tpch_q3_priority", "rel_union_distinct_except",
+    "rel_window_topk_per_group", "sim_embedding_quantize",
+    "sim_label_centroids", "sim_lsh_ann_multiprobe",
+    "source_csv_json_roundtrip", "stream_interval_join",
+    "text_bpe_token_stats", "text_elemmatch_langarray", "text_langid",
+    "text_quality_profile", "text_triangle_count",
+    "udtf_tokenize_lateral",
+    # r4 cohort picks (9), oldest-first preference within r4:
+    "tfidf_idf_table", "dedup_minhash_near_dups", "text_bm25_topk",
+    "stream_upsert_drain", "stream_dedup_drain",
+    "rel_tpch_q4_order_priority", "sim_kmeans_portable",
+    "multimodal_feature_slices", "curation_pipeline",
 )
 
 
@@ -167,6 +162,19 @@ def staged_queries() -> dict[str, QueryFn]:
 def staged_oracle_sql() -> dict[str, str]:
     _ensure_loaded()
     return {q.name: q.oracle for q in STAGED.values() if q.oracle is not None}
+
+
+def resolve_query(name: str) -> QueryFn:
+    """Look a query up by name whether registered or still staged.
+    Semantic tests pin behavior by NAME and must not break on the
+    introduction round when a query moves STAGED -> REGISTRY (the r8
+    transition broke nine r7-written tests that hardcoded
+    ``staged_queries()[...]``)."""
+    _ensure_loaded()
+    q = REGISTRY.get(name) or STAGED.get(name)
+    if q is None:
+        raise KeyError(f"unknown query: {name}")
+    return q.fn
 
 
 _LOADED = False

@@ -187,7 +187,7 @@ def test_jsd_source_divergence_bounds(spark, tmp_path):
     sources with IDENTICAL unigram distributions have JSD exactly 0;
     disjoint-vocabulary sources hit the ln 2 upper bound (0.693147 at
     the 6dp output rounding); a partial overlap lands strictly between."""
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
 
     rows = [
         (1, "alpha beta beta gamma", "en", "sA", 21),
@@ -200,7 +200,7 @@ def test_jsd_source_divergence_bounds(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     out = {
         (r["source_a"], r["source_b"]): r
-        for r in staged_queries()["text_jsd_source_divergence"](
+        for r in resolve_query("text_jsd_source_divergence")(
             spark, str(tmp_path)
         ).collect()
     }

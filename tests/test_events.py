@@ -12,7 +12,7 @@ def test_funnel_attribution_crafted(spark, tmp_path):
     stale touch outside the lookback attributes nothing."""
     import datetime as dt
 
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
 
     D = dt.datetime
     rows = [
@@ -35,7 +35,7 @@ def test_funnel_attribution_crafted(spark, tmp_path):
 
     out = {
         r["event_type"]: r
-        for r in staged_queries()["events_funnel_attribution"](
+        for r in resolve_query("events_funnel_attribution")(
             spark, str(tmp_path)
         ).collect()
     }
@@ -55,10 +55,10 @@ def test_funnel_attribution_credit_conservation(spark):
     models' totals must agree with each other (within the 1e-8-grid
     rounding of 1/n) — the invariant that catches double-counting or
     dropped conversions in either window."""
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
     from tests.conftest import SF_ORACLE
 
-    rows = staged_queries()["events_funnel_attribution"](
+    rows = resolve_query("events_funnel_attribution")(
         spark, SF_ORACLE
     ).collect()
     assert rows, "fixture has purchases with preceding touches"

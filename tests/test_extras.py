@@ -134,7 +134,7 @@ def test_probe_blocks_arrow_zero_copy_matches_tolist():
 
     # fast path: uniform float32 lists -> row-major reshape
     embs = [[1.5, -2.25, 3.0], [0.0, 4.5, -1.0], [7.0, 8.0, 9.5]]
-    qids, Q = run(batch_of([10, 11, 12], embs))
+    qids, Q, _ = run(batch_of([10, 11, 12], embs))
     assert Q.dtype == np.float64 and Q.shape == (3, 3)
     assert (Q == np.array([np.array(e, dtype=np.float32) for e in embs],
                           dtype=np.float64)).all()
@@ -142,7 +142,7 @@ def test_probe_blocks_arrow_zero_copy_matches_tolist():
 
     # sliced batch: offsets start mid-buffer; values must follow the slice
     sliced = batch_of([10, 11, 12], embs).slice(1, 2)
-    qids_s, Q_s = run(sliced)
+    qids_s, Q_s, _ = run(sliced)
     assert list(qids_s) == [11, 12]
     assert (Q_s == Q[1:]).all()
 

@@ -220,7 +220,7 @@ def test_sorted_neighborhood_semantics(spark, tmp_path):
     FIRST token differs lands in another block and is missed — the
     documented SNM recall trade-off for its hard O(w*n) candidate bound
     (LSH banding / prefix filtering are the recall-complete paths)."""
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
     from tests.conftest import make_docs
 
     make_docs(
@@ -234,7 +234,7 @@ def test_sorted_neighborhood_semantics(spark, tmp_path):
         ],
     ).write.parquet(str(tmp_path / "documents.parquet"))
 
-    rows = staged_queries()["dedup_sorted_neighborhood"](
+    rows = resolve_query("dedup_sorted_neighborhood")(
         spark, str(tmp_path)
     ).collect()
     got = {(r["doc_a"], r["doc_b"]): (r["gap"], r["jaccard"]) for r in rows}
@@ -253,10 +253,10 @@ def test_minhash_estimate_eval_calibration(spark, tmp_path):
     within the k=16 sketch's theoretical scale (std <= 0.5/sqrt(16) =
     0.125; mean abs err well under 2x that), i.e. the estimator is
     calibrated, not just plumbed."""
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
     from tests.conftest import SF_ORACLE, make_docs
 
-    q = staged_queries()["dedup_minhash_estimate_eval"]
+    q = resolve_query("dedup_minhash_estimate_eval")
 
     make_docs(
         spark,

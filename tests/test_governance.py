@@ -206,9 +206,9 @@ def test_skew_gini_analytic(spark, tmp_path):
     hand-computed 288/(4*100) = 0.72 and max/mean = 97/25."""
     import datetime
 
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
 
-    q = staged_queries()["rel_skew_gini"]
+    q = resolve_query("rel_skew_gini")
 
     def write_events(d, freqs):
         rows = []

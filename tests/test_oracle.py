@@ -137,6 +137,46 @@ def test_coverage_doc_totals_match_registry():
     )
 
 
+def test_every_R_query_names_an_existing_strong_test():
+    """Registry lint (VERDICT r7 item 8): every [R] query — registered OR
+    staged, no oracle by design — must have a row in COVERAGE.md's [R]
+    table that cites at least one `tests/test_*.py` file, and every cited
+    file must exist. The totals test above checks only COUNTS; this one
+    fails when a future [R] entry lands without its documented named
+    test, or when a cited test file is renamed away."""
+    import os
+    import re
+
+    from posts_vectorizer_spark.plans import registry
+
+    registry._ensure_loaded()
+    r_names = sorted(
+        q.name
+        for q in list(registry.REGISTRY.values())
+        + list(registry.STAGED.values())
+        if q.oracle is None
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        text = f.read()
+    problems = []
+    for name in r_names:
+        # its row in the [R] table: "| `name` | why | strong test |"
+        m = re.search(rf"^\| `{re.escape(name)}` \|([^|]*)\|([^|]*)\|",
+                      text, re.M)
+        if not m:
+            problems.append(f"{name}: no [R]-table row in COVERAGE.md")
+            continue
+        cited = re.findall(r"tests/(test_\w+\.py)", m.group(2))
+        if not cited:
+            problems.append(f"{name}: [R] row cites no tests/test_*.py")
+            continue
+        for fn in cited:
+            if not os.path.exists(os.path.join(repo, "tests", fn)):
+                problems.append(f"{name}: cited {fn} does not exist")
+    assert not problems, "; ".join(problems)
+
+
 # ---------------------------------------------------------------------------
 # r7 oracle-hygiene gates — the two r6 driver hash-fails were representation
 # and FP-order defects the value-level sweep could not see. These make both

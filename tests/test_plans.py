@@ -111,6 +111,11 @@ def test_plan_build_triggers_no_jobs(spark):
         "stream_minhash_index_drain",      # runs the index drain by contract
         "sim_recall_report",               # topk kernel + Lloyd train at build
         "source_bucketed_colocated_join",  # writes the bucketed tables
+        # r8 introduction wave: topk-kernel broadcast builds / stream
+        # drains are jobs at build by the same contracts as above
+        "sim_dim_prefix_recall",   # two topk kernel passes (prefix + full)
+        "sim_hard_negatives",      # two label-masked topk kernel passes
+        "stream_ddsketch_drain",   # runs its micro-batch drain by contract
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():
@@ -439,22 +444,23 @@ def test_r7_staged_plan_shapes(spark):
     broadcast nested loop over 3 rows, never a SortMergeJoin); SNM's
     candidates come from window frames, not a self-join (no Cartesian,
     no SortMergeJoin)."""
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
 
-    SQ = staged_queries()
+    def SQ(name):
+        return resolve_query(name)
 
-    ent = _plan(SQ["text_char_entropy"](spark, SF_ORACLE))
+    ent = _plan(SQ("text_char_entropy")(spark, SF_ORACLE))
     assert "Exchange" not in ent
     assert "transform" in ent and "aggregate" in ent  # the HOF pair
 
-    dds = _plan(SQ["rel_ddsketch_quantiles"](spark, SF_ORACLE))
+    dds = _plan(SQ("rel_ddsketch_quantiles")(spark, SF_ORACLE))
     assert dds.count("HashAggregate") <= 2, (
         "more than partial+final of ONE aggregate — the second-total "
         "regression the r7 trend measurement removed"
     )
     assert "SortMergeJoin" not in dds
 
-    snm = _plan(SQ["dedup_sorted_neighborhood"](spark, SF_ORACLE))
+    snm = _plan(SQ("dedup_sorted_neighborhood")(spark, SF_ORACLE))
     assert "CartesianProduct" not in snm
     assert "SortMergeJoin" not in snm
     assert "Window" in snm

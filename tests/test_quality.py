@@ -82,7 +82,7 @@ def test_char_entropy_crafted(spark, tmp_path):
     """text_char_entropy (staged r7) on analytic cases: a single repeated
     character has entropy 0; four equally-frequent classes give exactly
     2 bits; natural English clears the 3-bit gate."""
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
     from tests.conftest import make_docs
 
     make_docs(
@@ -96,7 +96,7 @@ def test_char_entropy_crafted(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     rows = {
         r["doc_id"]: r
-        for r in staged_queries()["text_char_entropy"](
+        for r in resolve_query("text_char_entropy")(
             spark, str(tmp_path)
         ).collect()
     }

@@ -555,9 +555,9 @@ def test_dim_prefix_recall_planted(spark, tmp_path):
     informativeness, not plumbing."""
     import random
 
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
 
-    q = staged_queries()["sim_dim_prefix_recall"]
+    q = resolve_query("sim_dim_prefix_recall")
     rng = random.Random(7)
 
     informative = [
@@ -592,7 +592,7 @@ def test_hard_negatives_crafted(spark, tmp_path):
     cosine argmax within/outside the label, and a negative MORE similar
     than the positive yields a negative margin — the triplet contrastive
     training wants surfaced."""
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
 
     vecs = [
         (1, [1.0, 0.0, 0.0, 0.0], 0),   # query
@@ -606,7 +606,7 @@ def test_hard_negatives_crafted(spark, tmp_path):
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
     out = {
         r["query_id"]: r
-        for r in staged_queries()["sim_hard_negatives"](
+        for r in resolve_query("sim_hard_negatives")(
             spark, str(tmp_path)
         ).collect()
     }

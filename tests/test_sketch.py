@@ -143,7 +143,7 @@ def test_ddsketch_partial_sketches_merge_exactly(spark):
 
     from pyspark.sql import functions as F
 
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
     from posts_vectorizer_spark.sources import load_table
     from tests.conftest import SF_ORACLE
 
@@ -187,7 +187,7 @@ def test_ddsketch_partial_sketches_merge_exactly(spark):
                 break
     got = {
         r["quantile"]: r["est_value"]
-        for r in staged_queries()["rel_ddsketch_quantiles"](
+        for r in resolve_query("rel_ddsketch_quantiles")(
             spark, SF_ORACLE
         ).collect()
     }
@@ -206,7 +206,7 @@ def test_ddsketch_order_statistic_in_selected_bucket(spark, tmp_path, seed):
     import math
     import random
 
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
 
     rng = random.Random(seed)
     prices = [
@@ -221,7 +221,7 @@ def test_ddsketch_order_statistic_in_selected_bucket(spark, tmp_path, seed):
 
     cents = sorted(round(p * 100) for p in prices)
     n = len(cents)
-    rows = staged_queries()["rel_ddsketch_quantiles"](spark, str(d)).collect()
+    rows = resolve_query("rel_ddsketch_quantiles")(spark, str(d)).collect()
     assert {r["quantile"] for r in rows} == {"p50", "p90", "p99"}
     for r in rows:
         num, den = {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}[

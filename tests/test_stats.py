@@ -383,9 +383,9 @@ def test_psi_drift_planted(spark, tmp_path):
     range concentrates mass in the top buckets and must alert. Also pins
     the edge-clamp convention: shifted values beyond the reference max
     land in bucket 9, never a phantom bucket 10."""
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    from posts_vectorizer_spark.plans.registry import resolve_query
 
-    q = staged_queries()["events_psi_drift"]
+    q = resolve_query("events_psi_drift")
 
     # distinct dirs per scenario: Spark caches file listings per path, so
     # overwriting one path mid-test races the second read

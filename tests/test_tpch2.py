@@ -23,16 +23,13 @@ _WAVE = (
 
 def test_introduction_bookkeeping():
     """r7 introduced the wave per the introduction-round rule: every
-    query is on the driver surface, oracle-backed, and holds an
-    introduction-round head slot; nothing remains staged."""
-    from posts_vectorizer_spark.plans.registry import (
-        _HEAD_ORDER,
-        staged_queries,
-    )
+    query is on the driver surface, oracle-backed, and no longer staged.
+    (The introduction-round head slots were an r7-only property — head
+    slots rotate to freshness fill in later rounds.)"""
+    from posts_vectorizer_spark.plans.registry import staged_queries
 
     assert set(_WAVE) <= set(E.queries())
     assert set(_WAVE) <= set(E.oracle_sql()), "every wave query is [Q]"
-    assert set(_WAVE) <= set(_HEAD_ORDER)
     assert not set(_WAVE) & set(staged_queries())
 
 

@@ -147,12 +147,18 @@ def main(only: list[str] | None = None) -> None:
             .select("user_id", "event_id", "value", "rk")
         )
 
-    # r7 staged family: reuse the EXACT registered plan code by laying the
+    # r7-wave family: reuse the EXACT registered plan code by laying the
     # scaled inputs out as {dir}/{table}.parquet (symlinks to the already
-    # materialized copies) and calling the staged query builders on them.
-    from posts_vectorizer_spark.plans.registry import staged_queries
+    # materialized copies) and calling the query builders on them.
+    # resolve_query spans REGISTRY and STAGED, so this keeps working
+    # across each wave's staging transition.
+    from posts_vectorizer_spark.plans.registry import resolve_query
 
-    SQ = staged_queries()
+    class _SQ:
+        def __getitem__(self, name):
+            return resolve_query(name)
+
+    SQ = _SQ()
 
     def table_dir(kind: str, k: int, table: str) -> str:
         d = f"{WORKDIR}/dir_{kind}_{k}x"
