@@ -410,6 +410,171 @@ WHERE cosine >= {threshold}
 
 
 # ---------------------------------------------------------------------------
+# ColBERT-style maxsim late interaction (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+def _tok_seq_norms(X: np.ndarray) -> np.ndarray:
+    """(n, t) seq-fold norms of an (n, t, td) token-vector tensor — the
+    per-token twin of :func:`_seq_norms` (same fold order as the SQL
+    list_reduce, so the oracle match does not rest on an epsilon)."""
+    acc = np.zeros(X.shape[:2])
+    for i in range(X.shape[2]):
+        acc += X[:, :, i] * X[:, :, i]
+    return np.sqrt(acc)
+
+
+def maxsim_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_tok: int = 8,
+    tok_dim: int = 8,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) maxsim retrieval: each vector is
+    read as ``n_tok`` token-vectors of ``tok_dim`` dims (a row-major
+    reshape of the leading n_tok*tok_dim entries); score(q, d) is the
+    mean over q's tokens of the MAX cosine against d's tokens — the
+    multi-vector relevance model that keeps per-token matching without
+    storing an interaction matrix. Emits the top-``k`` build vectors per
+    probe, self-pairs excluded.
+
+    Exactness contract: per-token cosines use the seq-fold dots/norms
+    (bit-identical to the DuckDB list_reduce twin); zero-norm token
+    pairs contribute 0 (not NULL — a missing token simply never wins a
+    max). Each per-query-token max cosine converts to integer
+    MICRO-UNITS (round-half-away x 1e6) and the per-pair score is the
+    exact integer sum of those — ranking compares integers, so
+    tie-handling (score desc, neighbor_id asc) is engine-free, and the
+    emitted double is total/(n_tok*1e6) rounded once at the end.
+
+    Scale shape: one broadcast build side (the same dimension-table
+    contract as :func:`topk`; shard with its n_tiles pattern when the
+    index outgrows one broadcast), probes stream through mapInArrow.
+    The kernel chunks probe rows so the (chunk, n_tok, nb, n_tok)
+    interaction tensor stays O(100 MB) regardless of Arrow batch size.
+    The n^2-by-token-pair form exists ONLY as the DuckDB oracle."""
+    spark = embeddings.sparkSession
+    d_tot = n_tok * tok_dim
+    build = embeddings.where(F.size("embedding") >= d_tot).select(
+        "vec_id", F.slice("embedding", 1, d_tot).alias("embedding")
+    )
+    bc = spark.sparkContext.broadcast(_build_side(build))
+    probe_side = probe if probe is not None else embeddings
+    probe_side = probe_side.where(F.size("embedding") >= d_tot).select(
+        "vec_id", F.slice("embedding", 1, d_tot).alias("embedding")
+    )
+
+    def gen(batch_iter):
+        import pyarrow as pa
+
+        nids, M, _, _labels = bc.value
+        nb = len(nids)
+        if nb:
+            Mt = M.reshape(nb, n_tok, tok_dim)
+            bnorm = _tok_seq_norms(Mt)
+        for qids_all, Q_all, _pl in _probe_blocks_arrow(batch_iter):
+            if nb == 0:
+                continue
+            # chunk probes: tensor is chunk*n_tok*nb*n_tok float64
+            chunk = max(1, int(2e8 / (n_tok * n_tok * nb * 8)))
+            for lo in range(0, len(qids_all), chunk):
+                qids = qids_all[lo : lo + chunk]
+                Qt = Q_all[lo : lo + chunk].reshape(-1, n_tok, tok_dim)
+                nq = len(qids)
+                qnorm = _tok_seq_norms(Qt)
+                S = np.zeros((nq, n_tok, nb, n_tok))
+                for i in range(tok_dim):
+                    S += Qt[:, :, None, None, i] * Mt[None, None, :, :, i]
+                denom = qnorm[:, :, None, None] * bnorm[None, None, :, :]
+                cos = np.where(denom > 0, S / np.where(denom > 0, denom, 1.0), 0.0)
+                mc = cos.max(axis=3)  # (nq, n_tok, nb)
+                micro = _round_half_away(mc * 1e6, 0).astype(np.int64)
+                total = micro.sum(axis=1)  # (nq, nb) exact integers
+                cls = np.where(
+                    nids[None, :] == qids[:, None], np.int8(2), np.int8(0)
+                )
+                order = _rowwise_lexorder(
+                    cls,
+                    total.astype(np.float64),
+                    np.broadcast_to(nids[None, :], (nq, nb)),
+                )
+                kk = min(k + 1, nb)  # self occupies at most one slot
+                sel = order[:, :kk]
+                qi = np.repeat(np.arange(nq), kk)
+                ci = sel.reshape(-1)
+                keep2d = (cls[np.arange(nq)[:, None], sel] == 0)
+                rk2d = np.cumsum(keep2d, axis=1)
+                keep = (keep2d & (rk2d <= k)).reshape(-1)
+                qi, ci, rk = qi[keep], ci[keep], rk2d.reshape(-1)[keep]
+                score = _round_half_away(
+                    total[qi, ci] / (n_tok * 1e6), 6
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qids[qi], type=pa.int64()),
+                        pa.array(nids[ci], type=pa.int64()),
+                        pa.array(score, type=pa.float64()),
+                        pa.array(rk.astype(np.int32), type=pa.int32()),
+                    ],
+                    names=["query_id", "neighbor_id", "maxsim", "rk"],
+                )
+
+    probe_side = probe_side.repartition(spark.sparkContext.defaultParallelism)
+    return probe_side.mapInArrow(
+        gen, "query_id long, neighbor_id long, maxsim double, rk int"
+    )
+
+
+def maxsim_topk_sql(
+    k: int = 3,
+    n_tok: int = 8,
+    tok_dim: int = 8,
+    probe_pred: str = "q.vec_id % 50 = 0",
+) -> str:
+    """DuckDB oracle twin of :func:`maxsim_topk` — deliberately the naive
+    token-pair expansion (probes x builds x n_tok^2 rows), kept obviously
+    correct; the Spark side never materializes it."""
+    from ..functions import vectors as V
+
+    d_tot = n_tok * tok_dim
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE len(embedding) >= {d_tot}
+),
+toks AS (
+  SELECT vec_id, CAST(r.t AS INT) AS ti,
+         list_slice(embedding, CAST(r.t * {tok_dim} + 1 AS INT),
+                    CAST(r.t * {tok_dim} + {tok_dim} AS INT)) AS tv
+  FROM base, range(0, {n_tok}) r(t)
+),
+tnorm AS (SELECT vec_id, ti, tv, {V.norm_sql('tv')} AS nrm FROM toks),
+cand AS (
+  SELECT q.vec_id AS qid, d.vec_id AS nid, q.ti AS qt,
+         max(CASE WHEN q.nrm > 0 AND d.nrm > 0
+                  THEN {V.dot_sql('q.tv', 'd.tv')} / (q.nrm * d.nrm)
+                  ELSE 0 END) AS mc
+  FROM tnorm q JOIN tnorm d ON d.vec_id <> q.vec_id
+  WHERE {probe_pred}
+  GROUP BY q.vec_id, d.vec_id, q.ti
+),
+scored AS (
+  SELECT qid, nid,
+         sum(CAST(round(mc * 1000000, 0) AS BIGINT)) AS micro
+  FROM cand GROUP BY qid, nid
+)
+SELECT qid AS query_id, nid AS neighbor_id,
+       CAST(round(CAST(micro AS DOUBLE) / {n_tok * 1000000}, 6) AS DOUBLE)
+         AS maxsim,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY micro DESC, nid) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------
 

@@ -926,3 +926,125 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _WS_PER_SOURCE)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM scoring (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+
+_KN_BIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+),
+tr0 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS k
+  FROM tok WHERE len(t) >= 2
+),
+tr AS (
+  SELECT doc_id, t[CAST(k AS INT)] AS w1, t[CAST(k AS INT) + 1] AS w2
+  FROM tr0
+),
+dbg AS (
+  SELECT doc_id, w1, w2, count(*) AS c_doc FROM tr GROUP BY doc_id, w1, w2
+),
+bg AS (SELECT w1, w2, CAST(sum(c_doc) AS BIGINT) AS c FROM dbg GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
+  FROM bg GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS ty FROM bg),
+scored AS (
+  SELECT d.doc_id, d.c_doc,
+         CAST(round(log10(
+           (CAST(b.c AS DOUBLE) - {_KN_D}) / CAST(ctx.c1 AS DOUBLE)
+           + ({_KN_D} * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+             * (CAST(cont.n1b AS DOUBLE) / CAST(tot.ty AS DOUBLE))
+         ), 6) AS DECIMAL(18,6)) AS lp
+  FROM dbg d
+  JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+  JOIN ctx ON ctx.w1 = d.w1
+  JOIN cont ON cont.w2 = d.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_transitions,
+       CAST(CAST(sum(c_doc * lp) AS DOUBLE) / sum(c_doc) AS DOUBLE)
+         AS kn_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_kneser_ney_bigram", oracle=_KN_BIGRAM_SQL, staged=True)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — the smoothing upgrade
+    over `text_bigram_logprob`'s add-1: probability mass discounted from
+    observed bigrams is redistributed via the CONTINUATION probability
+    (how many distinct contexts a word completes), the property that
+    stops high-frequency-but-context-bound words ("francisco") from
+    stealing mass from genuinely versatile words. Per doc: transition
+    count and mean log10 p_KN(w2|w1) over its transitions —
+      p = max(c(w1,w2)-D, 0)/c(w1·) + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/T
+    with D={_KN_D} (c >= 1 for every scored transition, so the max never
+    binds). Docs with < 2 tokens have no transitions and are absent.
+
+    Exactness: every LM statistic is an exact integer count; p is one
+    identical double expression in both engines over those integers;
+    per-transition log10 rounds to 6dp DECIMAL before the per-doc sum
+    (weighted by integer in-doc multiplicity) — nothing order-dependent.
+
+    Scale shape: transitions reduce map-side to per-(doc, w1, w2) counts
+    (the fact side crosses the wire once, (doc_id,w1,w2)-keyed); the LM
+    tables are |observed bigrams| / |vocab|-sized reductions OF that
+    relation — at fixture scale they broadcast back; at 100 TB AQE
+    shuffles the bigram join while ctx/cont/T stay broadcast-sized. The
+    type count T is a 1-row broadcast cross join, never a driver action.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens("text").alias("t")).where(
+        F.size("t") >= 2
+    )
+    trans = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), k -> "
+                "struct(element_at(t, k) AS w1, element_at(t, k + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    dbg = trans.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("c_doc")
+    )
+    bg = dbg.groupBy("w1", "w2").agg(F.sum("c_doc").cast("bigint").alias("c"))
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1f"),
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1b"))
+    tot = bg.agg(F.count("*").cast("bigint").alias("ty"))
+    p = (
+        (F.col("c").cast("double") - F.lit(_KN_D)) / F.col("c1").cast("double")
+    ) + (
+        F.lit(_KN_D) * F.col("n1f").cast("double") / F.col("c1").cast("double")
+    ) * (
+        F.col("n1b").cast("double") / F.col("ty").cast("double")
+    )
+    scored = (
+        dbg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "c_doc",
+            F.round(F.log10(p), 6).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c_doc").cast("bigint").alias("n_transitions"),
+        (F.sum(F.col("c_doc") * F.col("lp")).cast("double") / F.sum("c_doc"))
+        .cast("double")
+        .alias("kn_logprob"),
+    )

@@ -1095,3 +1095,95 @@ def stream_ddsketch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n bigint, rel_err_bound double",
         )
     return ddsketch_readout(spark, state)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window RAG chunk emission (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_SLIDE_W = 64   # chunk size (tokens)
+_SLIDE_S = 48   # stride (tokens) -> 16-token overlap between neighbors
+
+_CHUNK_SLIDING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_T.tokens_sql('text')} AS t FROM documents
+),
+sized AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) >= 1),
+idx AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= {_SLIDE_W} THEN 0
+                ELSE (n - {_SLIDE_W} + {_SLIDE_S} - 1) // {_SLIDE_S} END
+         )) AS c
+  FROM sized
+),
+chunks AS (
+  SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+         CAST(c * {_SLIDE_S} AS INT) AS start_tok,
+         array_to_string(
+           list_slice(t, CAST(c * {_SLIDE_S} + 1 AS INT),
+                      CAST(least(c * {_SLIDE_S} + {_SLIDE_W}, n) AS INT)),
+           ' ') AS chunk_text,
+         CAST(least(c * {_SLIDE_S} + {_SLIDE_W}, n) - c * {_SLIDE_S} AS INT)
+           AS n_tokens
+  FROM idx
+)
+SELECT doc_id, chunk_idx, start_tok, n_tokens,
+       {_T.digest_sql('chunk_text')} AS chunk_hash, chunk_text
+FROM chunks
+"""
+
+
+@register("text_chunk_sliding", oracle=_CHUNK_SLIDING_SQL, staged=True)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk EMISSION — the RAG/serving ETL output stage
+    (vs `text_chunk_dedup`/`text_chunk_boilerplate`, which consume
+    non-overlapping chunks as signals): every document becomes
+    overlapping {_SLIDE_W}-token windows at stride {_SLIDE_S}
+    ({_SLIDE_W - _SLIDE_S}-token overlap so no sentence is orphaned at a
+    boundary), each row carrying its position (chunk_idx, start_tok),
+    actual token count (the tail chunk may be short), the md5 content
+    key downstream indexes/dedup join on, and the chunk text itself.
+    Chunk count for an n-token doc: 1 if n <= {_SLIDE_W}, else
+    ceil((n-{_SLIDE_W})/{_SLIDE_S}) + 1 — pure integer arithmetic,
+    identical in both engines.
+
+    Scale shape: entirely narrow — tokenize, one nested-transform
+    emitting each doc's chunk structs inside codegen, one explode; ZERO
+    shuffles at any corpus size (the output inherits the scan's
+    partitioning, which is exactly what a chunk-shard writer wants).
+    Per-row output is ~n/{_SLIDE_S} chunks of {_SLIDE_W} tokens — the
+    ~{_SLIDE_W / _SLIDE_S:.2f}x text amplification is the op's
+    definition, not a plan artifact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", _T.tokens("text").alias("t")
+    ).withColumn("n", F.size("t")).where(F.col("n") >= 1)
+    chunks = sized.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+        transform(sequence(0,
+            CASE WHEN n <= {_SLIDE_W} THEN 0
+                 ELSE CAST((n - {_SLIDE_W} + {_SLIDE_S} - 1)
+                           DIV {_SLIDE_S} AS INT) END),
+          c -> struct(
+            CAST(c AS INT) AS chunk_idx,
+            CAST(c * {_SLIDE_S} AS INT) AS start_tok,
+            CAST(least(c * {_SLIDE_S} + {_SLIDE_W}, n)
+                 - c * {_SLIDE_S} AS INT) AS n_tokens,
+            array_join(slice(t, c * {_SLIDE_S} + 1, {_SLIDE_W}), ' ')
+              AS chunk_text))
+    """
+            )
+        ).alias("ch"),
+    ).select("doc_id", "ch.*")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_tokens",
+        _T.digest("chunk_text").alias("chunk_hash"),
+        "chunk_text",
+    )

@@ -1292,3 +1292,141 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cosine",
         F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# margin-based bitext mining (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_BTX_C = 16  # forward candidates considered per source vector
+_BTX_K = 4   # top-k depth of the margin normalizer averages
+
+
+def _bitext_margin_sql() -> str:
+    from ..functions import vectors as V
+
+    cos = f"round({V.cosine_sql('a.embedding', 'b.embedding')}, 6)"
+    micro = f"CAST(round({cos} * 1000000, 0) AS BIGINT)"
+    denom = 2 * _BTX_K * 1_000_000
+    return f"""
+WITH sa AS (SELECT * FROM embeddings WHERE label <= 4),
+sb AS (SELECT * FROM embeddings WHERE label >= 5),
+fwd AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, {micro} AS cmu,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos} DESC, b.vec_id) AS rk
+    FROM sa a, sb b
+  ) WHERE rk <= {_BTX_C}
+),
+fa AS (
+  SELECT qid, CAST(sum(cmu) AS BIGINT) AS sa_mu
+  FROM fwd WHERE rk <= {_BTX_K} GROUP BY qid
+),
+bwd AS (
+  SELECT * FROM (
+    SELECT b.vec_id AS bq, {micro} AS cmu,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {cos} DESC, a.vec_id) AS rk
+    FROM sa a, sb b
+  ) WHERE rk <= {_BTX_K}
+),
+fb AS (
+  SELECT bq AS nid, CAST(sum(cmu) AS BIGINT) AS sb_mu
+  FROM bwd GROUP BY bq
+),
+scored AS (
+  SELECT f.qid, f.nid, f.cmu,
+         2 * {_BTX_K} * f.cmu - fa.sa_mu - fb.sb_mu AS m_int
+  FROM fwd f JOIN fa ON fa.qid = f.qid JOIN fb ON fb.nid = f.nid
+)
+SELECT qid AS src, nid AS dst,
+       CAST(CAST(cmu AS DOUBLE) / 1000000 AS DOUBLE) AS cosine,
+       CAST(CAST(m_int AS DOUBLE) / {denom} AS DOUBLE) AS margin
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY m_int DESC, nid) AS mrk
+  FROM scored
+) WHERE mrk = 1
+"""
+
+
+@register("sim_margin_bitext_mining", oracle=_bitext_margin_sql(), staged=True)
+def sim_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext/pair mining (the LASER/CCMatrix criterion that
+    builds parallel-corpus training data): the label space splits into
+    two "languages" (labels 0-4 vs 5-9); for each source vector, score
+    every forward candidate by its MARGIN over the neighborhood —
+    cos(x,y) minus the mean of x's forward top-{_BTX_K} and y's backward
+    top-{_BTX_K} cosines — and keep the best-margin mate. Margin beats
+    raw cosine because hub vectors (high cosine to everything) get their
+    neighborhood average subtracted away; absolute-cosine thresholds
+    can't separate hubs from true pairs.
+
+    Exactness: both directions' cosines are the kernel's round-6 values,
+    carried as INTEGER micro-units; the normalizers are exact integer
+    sums of each side's top-{_BTX_K} micro-cosines over the FIXED
+    divisor 2K (k-occupancy normalization — corpora smaller than K
+    shrink the normalizer toward zero), so the margin's rank key
+    m = 2K*c - sum_fwd - sum_bwd is a pure BIGINT: ranking ties are
+    engine-free and no double is ever rounded (the first draft rounded
+    the double margin at 6dp and hit a half-boundary at sf0.1 — Spark's
+    BigDecimal HALF_UP and DuckDB's binary-double round disagree
+    exactly there). The emitted doubles are single divisions of those
+    integers.
+
+    Scale shape: TWO broadcast-tile kernel passes (forward k={_BTX_C},
+    backward k={_BTX_K}) — margin is evaluated only on forward kNN
+    candidates (the production shape: mine within ANN neighborhoods,
+    never score n^2 pairs); the normalizer joins are n*k-row relations
+    keyed by vector id. The n^2 appears ONLY in the DuckDB oracle twin."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side_a = emb.where(F.col("label") <= 4)
+    side_b = emb.where(F.col("label") >= 5)
+
+    micro = F.round(F.col("cosine") * 1_000_000, 0).cast("bigint")
+    fwd = similarity.topk(side_b, _BTX_C, probe=side_a).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("nid"),
+        micro.alias("cmu"),
+        "rk",
+    )
+    fa = (
+        fwd.where(F.col("rk") <= _BTX_K)
+        .groupBy("qid")
+        .agg(F.sum("cmu").cast("bigint").alias("sa_mu"))
+    )
+    fb = (
+        similarity.topk(side_a, _BTX_K, probe=side_b)
+        .select(F.col("query_id").alias("b_nid"), micro.alias("b_cmu"))
+        .groupBy("b_nid")
+        .agg(F.sum("b_cmu").cast("bigint").alias("sb_mu"))
+    )
+    scored = (
+        fwd.join(fa, "qid")
+        .join(fb, fwd["nid"] == fb["b_nid"])
+        .select(
+            "qid",
+            "nid",
+            "cmu",
+            (
+                F.lit(2 * _BTX_K) * F.col("cmu")
+                - F.col("sa_mu")
+                - F.col("sb_mu")
+            ).alias("m_int"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("m_int"), F.asc("nid"))
+    denom = float(2 * _BTX_K * 1_000_000)
+    return (
+        scored.withColumn("mrk", F.row_number().over(w))
+        .where(F.col("mrk") == 1)
+        .select(
+            F.col("qid").alias("src"),
+            F.col("nid").alias("dst"),
+            (F.col("cmu").cast("double") / 1_000_000).alias("cosine"),
+            (F.col("m_int").cast("double") / denom).alias("margin"),
+        )
+    )

@@ -267,3 +267,150 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the mutual-kNN graph (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_AA_SQL = f"""
+WITH t AS ({similarity.topk_sql(KNN_GRAPH_K)}),
+edges AS (
+  SELECT a.query_id AS src, a.neighbor_id AS dst
+  FROM t a JOIN t b
+    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+  WHERE a.query_id < a.neighbor_id
+),
+und AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+cand AS (
+  SELECT e1.u AS u, e2.v AS v, e1.v AS z
+  FROM und e1 JOIN und e2 ON e1.v = e2.u
+  WHERE e1.u < e2.v
+),
+noedge AS (
+  SELECT c.u, c.v, c.z
+  FROM cand c LEFT JOIN edges e ON e.src = c.u AND e.dst = c.v
+  WHERE e.src IS NULL
+)
+SELECT n.u AS src, n.v AS dst, CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(CAST(round(1.0 / log10(CAST(d.deg AS DOUBLE)), 8)
+                     AS DECIMAL(20,8))) AS DOUBLE) AS aa_score
+FROM noedge n JOIN deg d ON d.node = n.z
+GROUP BY n.u, n.v
+"""
+
+
+@register("sim_adamic_adar_links", oracle=_AA_SQL, staged=True)
+def sim_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the mutual-kNN similarity graph:
+    for every non-adjacent pair (u, v) sharing at least one common
+    neighbor, score sum_z 1/log10(deg(z)) over the common neighbors z —
+    rare shared neighbors say more than hub ones. This is the
+    graph-side near-duplicate/recommendation miner that complements the
+    geometric ones: it predicts which vectors WOULD be neighbors from
+    graph structure alone (no new kernel passes), the basis of
+    cluster-repair and candidate augmentation over kNN indexes.
+
+    Exactness: degrees are exact integers from the mutual edge list;
+    each 1/log10(deg) term rounds to 8dp DECIMAL before the exact sum
+    (deg >= 2 by construction — a common neighbor is adjacent to both u
+    and v — so log10 never sees 1). Ranking-free output: every scored
+    pair is emitted.
+
+    Scale shape: the edge list is n*k rows (k={KNN_GRAPH_K}); the
+    triangle-path join und><und on the shared endpoint is bounded by
+    sum_z deg(z)^2 <= n*k^2 candidates — a bounded-degree self equi-join,
+    never n^2; the existing-edge removal is a left-anti hash join and
+    degrees reduce map-side. The kernel-built edge list is persisted so
+    its 5 consumers (two join sides, degrees, anti probe, build) reuse
+    one materialization instead of re-running the broadcast-tile kernel."""
+    from ..cache import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = similarity.topk(emb, KNN_GRAPH_K)
+    a, b = t.alias("a"), t.alias("b")
+    edges = persist_tracked(
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("src"),
+            F.col("a.neighbor_id").alias("dst"),
+        )
+    )
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    e1 = und.select(F.col("u"), F.col("v").alias("z"))
+    e2 = und.select(F.col("u").alias("z2"), F.col("v"))
+    cand = e1.join(e2, e1["z"] == e2["z2"]).where(
+        F.col("u") < F.col("v")
+    ).select("u", "v", "z")
+    noedge = cand.join(
+        edges,
+        (cand["u"] == edges["src"]) & (cand["v"] == edges["dst"]),
+        "left_anti",
+    )
+    term = F.round(
+        F.lit(1.0) / F.log10(F.col("deg").cast("double")), 8
+    ).cast("decimal(20,8)")
+    return (
+        noedge.join(deg, noedge["z"] == deg["node"])
+        .select("u", "v", term.alias("term"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum("term").cast("double").alias("aa_score"),
+        )
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            "n_common",
+            "aa_score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style maxsim late interaction (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_MAXSIM_K = 3
+_MAXSIM_PROBE_MOD = 50  # every 50th vector plays the query role
+
+
+@register(
+    "sim_maxsim_late_interaction",
+    oracle=similarity.maxsim_topk_sql(
+        _MAXSIM_K, probe_pred=f"q.vec_id % {_MAXSIM_PROBE_MOD} = 0"
+    ),
+    staged=True,
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector (late-interaction / ColBERT-style) retrieval: every
+    embedding is read as 8 token-vectors of 8 dims; relevance is the
+    mean over query tokens of the max cosine against the candidate's
+    tokens, and each probe (every {_MAXSIM_PROBE_MOD}th vector — the
+    query-vs-corpus asymmetry retrieval actually has) gets its
+    top-{_MAXSIM_K}. Maxsim is the standard upgrade over single-vector
+    cosine when queries and documents match on PARTS (a query token
+    should find its best-matching doc token, not be averaged away).
+
+    Exactness + scale: see operators/similarity.py::maxsim_topk — exact
+    integer micro-unit scores (rank ties engine-free), seq-fold token
+    cosines, broadcast build side with probe streaming, probe-chunked
+    interaction tensor; the n^2-by-token-pair expansion exists only in
+    the DuckDB oracle twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") % _MAXSIM_PROBE_MOD == 0)
+    return similarity.maxsim_topk(emb, _MAXSIM_K, probe=probe)

@@ -898,10 +898,10 @@ _PSI_SPLIT = "2024-01-16"   # events fixture spans 2024-01; ref = first half
 _PSI_BUCKETS = 10
 _PSI_ALERT = 0.1            # industry convention: <0.1 stable, >0.25 major
 
-
-@register(
-    "events_psi_drift",
-    oracle=f"""
+# Shared with stream_psi_drift_drain: the readout is a pure function of
+# the per-bucket (n_ref, n_cur) counts, so the single-pass and
+# stream-maintained forms verify against the SAME whole-corpus oracle.
+_PSI_DRIFT_SQL = f"""
 WITH base AS (
   SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
          ts < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
@@ -948,9 +948,10 @@ SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
        CAST(sum(term) OVER () AS DOUBLE) AS psi_total,
        sum(term) OVER () > {_PSI_ALERT} AS drifted
 FROM terms
-""",
+"""
 
-)
+
+@register("events_psi_drift", oracle=_PSI_DRIFT_SQL)
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift monitor — the standard pre-retrain
     check that a feature's serving distribution still matches the training
@@ -994,9 +995,18 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
         )
     )
-    # totals ride a full-frame window over the 10-bucket counts instead of
-    # a second aggregate: the r7 scale-trend measurement caught the
-    # two-aggregate form recomputing the counts (and their events scan)
+    return psi_readout(counts)
+
+
+def psi_readout(counts: DataFrame) -> DataFrame:
+    """PSI terms + total from a per-bucket (bucket, n_ref, n_cur) counts
+    relation — a pure function of the counts, shared by the single-pass
+    form above and the stream-maintained form (stream_psi_drift_drain),
+    so both verify against the SAME whole-corpus oracle.
+
+    Totals ride a full-frame window over the 10-bucket counts instead of
+    a second aggregate: the r7 scale-trend measurement caught the
+    two-aggregate form recomputing the counts (and their events scan)."""
     w_all = Window.partitionBy()
     p = F.col("n_ref").cast("double") / F.col("tr")
     q = F.col("n_cur").cast("double") / F.col("tc")
@@ -1023,3 +1033,220 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("term").over(w_all) > _PSI_ALERT).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding dimension covariance / correlation matrix (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_COV_D = 16  # leading dims profiled (full matrix = swap in the array length)
+
+_DIM_COVARIANCE_SQL = f"""
+WITH base AS (
+  SELECT embedding FROM embeddings WHERE len(embedding) >= {_COV_D}
+),
+terms AS (
+  SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+         CAST(round(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+                    * CAST(embedding[CAST(j.j AS INT)] AS DOUBLE), 8)
+              AS DECIMAL(27,8)) AS xy,
+         CAST(round(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE), 7)
+              AS DECIMAL(22,7)) AS xi,
+         CAST(round(CAST(embedding[CAST(j.j AS INT)] AS DOUBLE), 7)
+              AS DECIMAL(22,7)) AS xj
+  FROM base, range(1, {_COV_D + 1}) i(i), range(1, {_COV_D + 1}) j(j)
+  WHERE j.j >= i.i
+),
+stats AS (
+  SELECT i, j, count(*) AS n, sum(xy) AS sxy, sum(xi) AS sxi, sum(xj) AS sxj
+  FROM terms GROUP BY i, j
+),
+cov AS (
+  SELECT i, j, n,
+         (CAST(sxy AS DOUBLE)
+          - CAST(sxi AS DOUBLE) * CAST(sxj AS DOUBLE) / n) / (n - 1) AS cov
+  FROM stats WHERE n >= 2
+),
+diag AS (SELECT i, cov AS var FROM cov WHERE i = j)
+SELECT c.i AS dim_i, c.j AS dim_j, CAST(c.n AS BIGINT) AS n,
+       CAST(round(c.cov, 6) AS DOUBLE) AS cov,
+       CAST(CASE WHEN di.var > 0 AND dj.var > 0
+                 THEN round(c.cov / sqrt(di.var * dj.var), 6) END
+            AS DOUBLE) AS corr
+FROM cov c JOIN diag di ON di.i = c.i JOIN diag dj ON dj.i = c.j
+"""
+
+
+@register("sim_dim_covariance", oracle=_DIM_COVARIANCE_SQL, staged=True)
+def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance + correlation matrix of the leading {_COV_D} embedding
+    dimensions — the embedding-health profile behind whitening, PCA
+    dimensionality decisions, and anisotropy diagnosis (a trained
+    embedding whose dims are highly correlated wastes capacity; random
+    fixtures read near-diagonal). Output: one row per unordered dim pair
+    (i <= j) with n, cov, corr.
+
+    Exactness: every sufficient statistic is an exact DECIMAL sum of
+    per-element ROUNDED contributions (xy to 8dp, x to 7dp) — the only
+    doubles are the final covariance/correlation quotients, computed
+    with the identical expression shape in both engines, so nothing is
+    partition-order dependent.
+
+    Scale shape (the 100 TB argument): NO self-join and NO per-vector
+    explode-join — each row emits its D*(D+1)/2 = {_COV_D * (_COV_D + 1) // 2}
+    (i, j, products) terms from one nested-transform expression entirely
+    inside codegen, and the ONLY exchange is the map-side-combinable
+    groupBy over that fixed tiny key space. Sufficient statistics then
+    reduce to a {_COV_D}x{_COV_D} matrix regardless of corpus size; the
+    corr normalization joins the 136-row stats relation against its own
+    16-row diagonal (broadcast). Full-width matrices at higher D trade
+    per-row term count quadratically — at D=256 move the same fold into
+    the mapInArrow Gram-accumulate kernel (grouped_arrow_vector_stats
+    pattern) and keep THIS query as its cross-engine witness."""
+    D = _COV_D
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") >= D
+    )
+    terms = emb.select(
+        F.explode(
+            F.expr(
+                f"""
+      flatten(transform(sequence(1, {D}), i ->
+        transform(sequence(i, {D}), j -> struct(
+          CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+          CAST(round(CAST(element_at(embedding, i) AS DOUBLE)
+                     * CAST(element_at(embedding, j) AS DOUBLE), 8)
+               AS DECIMAL(27,8)) AS xy,
+          CAST(round(CAST(element_at(embedding, i) AS DOUBLE), 7)
+               AS DECIMAL(22,7)) AS xi,
+          CAST(round(CAST(element_at(embedding, j) AS DOUBLE), 7)
+               AS DECIMAL(22,7)) AS xj))))
+    """
+            )
+        ).alias("t")
+    ).select("t.*")
+    stats = terms.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xi").alias("sxi"),
+        F.sum("xj").alias("sxj"),
+    )
+    cov = stats.where(F.col("n") >= 2).select(
+        "i",
+        "j",
+        "n",
+        (
+            (
+                F.col("sxy").cast("double")
+                - F.col("sxi").cast("double")
+                * F.col("sxj").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("cov"),
+    )
+    diag = cov.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov").alias("var")
+    )
+    di = diag.select(F.col("d").alias("di_d"), F.col("var").alias("var_i"))
+    dj = diag.select(F.col("d").alias("dj_d"), F.col("var").alias("var_j"))
+    return (
+        cov.join(F.broadcast(di), cov["i"] == di["di_d"])
+        .join(F.broadcast(dj), cov["j"] == dj["dj_d"])
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("cov", 6).cast("double").alias("cov"),
+            F.when(
+                (F.col("var_i") > 0) & (F.col("var_j") > 0),
+                F.round(
+                    F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")), 6
+                ),
+            )
+            .cast("double")
+            .alias("corr"),
+        )
+    )
+
+
+@register("stream_psi_drift_drain", oracle=_PSI_DRIFT_SQL, staged=True)
+def stream_psi_drift_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift maintenance with a driver row: the
+    reference-window stats (min/max micro-units, bucket bounds) are
+    PINNED from the static reference half — exactly the production
+    shape, where training-time bounds are frozen and serving traffic
+    streams — then the CURRENT half streams in TWO forced micro-batches
+    (two source files, maxFilesPerTrigger=1), each additively merging
+    its per-bucket count delta into the standing state
+    (streaming/worker.py::psi_current_stream, exactly-once via the merge
+    sink's batch-id ledger). The final PSI reads out from (static ref
+    counts, streamed cur counts) through the SAME psi_readout as the
+    batch form; count addition is commutative, so the batch split cannot
+    change the result — the oracle is events_psi_drift's whole-corpus
+    SQL, making the drift monitor's merge property driver-hash-checked
+    end to end."""
+    import tempfile
+
+    from ..sources.sinks import read_merged
+    from ..streaming.worker import psi_current_stream
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v"),
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"),
+    )
+    ref = base.where("is_ref")
+    stats = ref.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
+    if stats["mn"] is None:
+        # empty reference window: bucket bounds undefined — same
+        # zero-row outcome as the batch form's empty-reference case
+        return spark.createDataFrame(
+            [],
+            "bucket bigint, n_ref bigint, n_cur bigint, share_ref double,"
+            " share_cur double, psi_term double, psi_total double,"
+            " drifted boolean",
+        )
+    mn, mx = int(stats["mn"]), int(stats["mx"])
+
+    work = tempfile.mkdtemp(prefix="pv_psi_")
+    src = f"{work}/in"
+    cur = base.where(~F.col("is_ref")).select("v")
+    cur.where(F.pmod("v", F.lit(2)) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    cur.where(F.pmod("v", F.lit(2)) == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = psi_current_stream(
+        spark, src, cur.schema, f"{work}/state", f"{work}/ckpt",
+        mn, mx, _PSI_BUCKETS, max_files_per_trigger=1,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("psi drift drain did not finish within 300s")
+
+    bucket = F.least(
+        F.lit(_PSI_BUCKETS - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(f"((v - {mn}) * {_PSI_BUCKETS}) div ({mx} - {mn} + 1)"),
+        ),
+    )
+    ref_counts = (
+        ref.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_ref"))
+    )
+    state = read_merged(spark, f"{work}/state")
+    if state is None:  # current half empty: zero-count cur side
+        state = spark.createDataFrame([], "bucket bigint, n_cur bigint")
+    counts = (
+        ref_counts.join(state.select("bucket", "n_cur"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    return psi_readout(counts)

@@ -36,13 +36,15 @@ REGISTRY: dict[str, QueryDef] = {}
 # includes them) — staging defers only the DRIVER-VISIBLE registration,
 # never the verification.
 STAGED: dict[str, QueryDef] = {}
-# r8: the r7-staged wave of 11 was introduced (head slots a-block); any
-# query built mid-r8 after the head locks registers here with
-# staged=True and takes an introduction slot in r9. Staging checklist
-# (memory + r7 practice): oracle sweep at sf0.01 AND sf0.1, vanilla
-# head_check pass, a named semantic test, an empty-input pass
-# (tests/test_edge.py), a scale_trend measurement, COVERAGE/README/
-# registry-comment updates.
+# r8: the r7-staged wave of 11 was introduced (head slots a-block).
+# r8 staged (r9 gets their introduction slots): sim_dim_covariance,
+# text_kneser_ney_bigram, text_chunk_sliding, sim_adamic_adar_links,
+# sim_maxsim_late_interaction, sim_margin_bitext_mining,
+# stream_psi_drift_drain — all swept at sf0.01 AND sf0.1 with named
+# tests (SWEEPS.md r8 section). Staging checklist (memory + r7
+# practice): oracle sweep at sf0.01 AND sf0.1, vanilla head_check pass,
+# a named semantic test, an empty-input pass (tests/test_edge.py), a
+# scale_trend measurement, COVERAGE/README/registry-comment updates.
 
 
 def register(

@@ -752,3 +752,60 @@ def ddsketch_count_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def psi_current_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    mn: int,
+    mx: int,
+    n_buckets: int,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental PSI drift maintenance, current-window side: the
+    reference-window stats (``mn``/``mx`` integer micro-units) are
+    PINNED at stream start — exactly how production drift monitors work
+    (training-time bucket bounds are frozen; serving traffic streams) —
+    so each micro-batch's bucket counts are a pure additive delta merged
+    exactly-once into the standing per-bucket state
+    (sinks.merge_add_parquet batch-id ledger). The PSI READOUT stays a
+    pure function of (ref counts, streamed cur counts)
+    (plans/queries_stats.py::psi_readout), so any reader gets a
+    monotone-fresher drift statistic without rescanning history.
+
+    At 100 TB: per-batch cost is one map-side-combinable {n_buckets}-key
+    groupBy over the batch plus O(touched buckets) of a 10-row state
+    table — continuous drift monitoring for the price of the batch."""
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.expr(f"((v - {mn}) * {n_buckets}) div ({mx} - {mn} + 1)"),
+            ),
+        )
+        delta = (
+            batch_df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n_cur"))
+        )
+        merge_add_parquet(
+            spark, delta, state_dir, ["bucket"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -215,3 +215,58 @@ def test_jsd_source_divergence_bounds(spark, tmp_path):
     # (gamma) + .5*ln2*.5 (delta) = .08664340 + .17328680 -> 0.281168
     assert out[("sA", "sD")]["jsd"] == 0.281168
     assert 0.0 < out[("sA", "sD")]["jsd"] < 0.693147
+
+
+def _write_docs(spark, d, texts):
+    rows = [
+        (i + 1, t, "en", "src", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+
+def test_kneser_ney_hand_computed(spark, tmp_path):
+    """text_kneser_ney_bigram (staged r9): two-doc corpus {"a b", "a c"}
+    gives p_KN(b|a) = (1-0.75)/2 + (0.75*2/2)*(1/2) = 0.5 exactly —
+    each doc's one transition scores log10(0.5)."""
+    import math
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "kn1"
+    d.mkdir()
+    _write_docs(spark, d, ["a b", "a c"])
+    rows = resolve_query("text_kneser_ney_bigram")(spark, str(d)).collect()
+    assert len(rows) == 2
+    want = round(math.log10(0.5), 6)
+    for r in rows:
+        assert r["n_transitions"] == 1
+        assert abs(r["kn_logprob"] - want) < 1e-9
+
+
+def test_kneser_ney_continuation_beats_frequency(spark, tmp_path):
+    """The property that distinguishes KN from add-k: a word completing
+    MANY contexts ("b" after a, c, d) carries more continuation mass
+    than an equally-frequent-after-"a" word seen in one context ("e"),
+    so doc "a b" must outscore doc "a e" even though c(a,b) = c(a,e).
+    Hand-computed: p(b|a) = 0.6875 vs p(e|a) = 0.3125. Single-token and
+    empty docs produce no transitions and are absent."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "kn2"
+    d.mkdir()
+    _write_docs(spark, d, ["a b", "c b", "d b", "a e", "solo", ""])
+    by_doc = {
+        r["doc_id"]: r
+        for r in resolve_query("text_kneser_ney_bigram")(
+            spark, str(d)
+        ).collect()
+    }
+    assert set(by_doc) == {1, 2, 3, 4}, "no-transition docs are absent"
+    import math
+
+    assert abs(by_doc[1]["kn_logprob"] - round(math.log10(0.6875), 6)) < 1e-9
+    assert abs(by_doc[4]["kn_logprob"] - round(math.log10(0.3125), 6)) < 1e-9
+    assert by_doc[1]["kn_logprob"] > by_doc[4]["kn_logprob"]

@@ -116,6 +116,11 @@ def test_plan_build_triggers_no_jobs(spark):
         "sim_dim_prefix_recall",   # two topk kernel passes (prefix + full)
         "sim_hard_negatives",      # two label-masked topk kernel passes
         "stream_ddsketch_drain",   # runs its micro-batch drain by contract
+        # r8-built wave (staged r9) — listed ahead of introduction:
+        "sim_maxsim_late_interaction",  # maxsim kernel broadcast build
+        "sim_margin_bitext_mining",     # two topk kernel passes
+        "sim_adamic_adar_links",        # topk kernel edge list at build
+        "stream_psi_drift_drain",       # pins ref stats + runs its drain
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():

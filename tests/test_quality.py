@@ -104,3 +104,47 @@ def test_char_entropy_crafted(spark, tmp_path):
     assert rows[2]["entropy"] == 2.0 and rows[2]["low_entropy"]
     assert rows[3]["entropy"] > 3.0 and not rows[3]["low_entropy"]
     assert rows[4]["entropy"] is None and rows[4]["low_entropy"] is None
+
+
+def test_chunk_sliding_positions_and_overlap(spark, tmp_path):
+    """text_chunk_sliding (staged r9): a 200-token doc at W=64/S=48
+    yields exactly 4 chunks starting at 0/48/96/144 with sizes
+    64/64/64/56; consecutive chunks overlap by exactly 16 tokens; the
+    chunk set covers every token; a short doc yields one whole-doc
+    chunk; md5 keys match the chunk text."""
+    import hashlib
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    toks = [f"t{i}" for i in range(200)]
+    d = tmp_path / "chunks"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, " ".join(toks), "en", "s", 0), (2, "a b c", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = resolve_query("text_chunk_sliding")(spark, str(d)).collect()
+
+    doc1 = sorted(
+        (r for r in rows if r["doc_id"] == 1), key=lambda r: r["chunk_idx"]
+    )
+    assert [(r["start_tok"], r["n_tokens"]) for r in doc1] == [
+        (0, 64), (48, 64), (96, 64), (144, 56),
+    ]
+    for r in doc1:
+        want = toks[r["start_tok"] : r["start_tok"] + r["n_tokens"]]
+        assert r["chunk_text"] == " ".join(want)
+        assert r["chunk_hash"] == hashlib.md5(
+            r["chunk_text"].encode()
+        ).hexdigest()
+    # stride overlap: each chunk's first 16 tokens repeat the previous tail
+    for prev, cur in zip(doc1, doc1[1:]):
+        assert prev["chunk_text"].split()[-16:] == cur["chunk_text"].split()[:16]
+    # full coverage, in order
+    assert doc1[0]["start_tok"] == 0
+    assert doc1[-1]["start_tok"] + doc1[-1]["n_tokens"] == 200
+
+    doc2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(doc2) == 1
+    assert (doc2[0]["chunk_idx"], doc2[0]["n_tokens"]) == (0, 3)
+    assert doc2[0]["chunk_text"] == "a b c"

@@ -616,3 +616,143 @@ def test_hard_negatives_crafted(spark, tmp_path):
     assert q["neg_cosine"] > q["pos_cosine"]
     assert q["margin"] < 0, "harder-than-positive negative -> negative margin"
     assert len(out) == 5  # every vector gets a triplet (both labels populated)
+
+
+def test_maxsim_ranks_token_matches_above_flat_cosine(spark, tmp_path):
+    """sim_maxsim_late_interaction (staged r9): planted token structure
+    where maxsim and flat cosine DISAGREE. Query q has two active
+    token-vectors (e0 in token slot 0, e1 in slot 1). Doc A matches
+    token 0 perfectly and nothing else -> maxsim 1/8 = 0.125. Doc B
+    spreads (e0+e1)/sqrt(2) across all 8 token slots -> both query
+    tokens max at 1/sqrt(2) -> maxsim 2*0.707107/8 = 0.176777 > A. Flat
+    64-dim cosine ranks A (0.707) over B (0.354), so a pass proves the
+    late-interaction semantics, not a cosine rerun. Zero-norm query
+    tokens contribute exactly 0."""
+    import math
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    t = 1.0 / math.sqrt(2.0)
+    e0 = [1.0] + [0.0] * 7
+    e1 = [0.0, 1.0] + [0.0] * 6
+    zero = [0.0] * 8
+    q_vec = e0 + e1 + zero * 6
+    a_vec = e0 + zero * 7
+    b_vec = [t, t, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] * 8
+    d = tmp_path / "maxsim"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, q_vec, 0), (1, a_vec, 1), (2, b_vec, 2)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(d / "embeddings.parquet"))
+    rows = resolve_query("sim_maxsim_late_interaction")(
+        spark, str(d)
+    ).collect()
+    # only vec_id 0 satisfies the probe predicate (% 50 == 0)
+    assert {r["query_id"] for r in rows} == {0}
+    got = {r["neighbor_id"]: (r["maxsim"], r["rk"]) for r in rows}
+    assert got[2] == (0.176777, 1), "token-spread doc wins under maxsim"
+    assert got[1] == (0.125, 2)
+
+
+def test_margin_bitext_demotes_hub_vectors(spark, tmp_path):
+    """sim_margin_bitext_mining (staged r9): planted hub geometry where
+    raw cosine and margin DISAGREE for source a1. The hub sits at the
+    center of side A (high cosine to every A vector, including a1); b1
+    is slightly farther from a1 but unrelated to the rest of A. Raw
+    cosine picks the hub; the margin subtracts each candidate's
+    backward neighborhood average, so the hub's inflated normalizer
+    demotes it and b1 wins — the exact failure mode margin scoring
+    exists to fix. The winning margin must equal the formula replayed
+    in Python from the rounded cosines."""
+    import math
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * 62
+
+    rows = [
+        (1, vec(0), 0), (2, vec(40), 0), (3, vec(44), 0),   # side A
+        (10, vec(28), 5), (11, vec(-30), 5),                # hub, b1
+    ]
+    d = tmp_path / "bitext"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    out = {
+        r["src"]: r
+        for r in resolve_query("sim_margin_bitext_mining")(
+            spark, str(d)
+        ).collect()
+    }
+
+    import numpy as np
+
+    V = {vid: np.array(v, dtype=np.float32).astype(np.float64)
+         for vid, v, _ in rows}
+
+    def cos6(x, y):
+        a, b = V[x], V[y]
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    # raw cosine prefers the hub for a1...
+    assert cos6(1, 10) > cos6(1, 11)
+    # ...but the engine's margin pick is b1
+    assert out[1]["dst"] == 11
+
+    # replay the integer-exact margin: m = 2K*c - sum_fwd_K - sum_bwd_K
+    # in micro-units over the fixed divisor 2K*1e6 (K = 4)
+    def mu(x, y):
+        return round(cos6(x, y) * 1_000_000)
+
+    sa_mu = mu(1, 10) + mu(1, 11)                  # a1's fwd top-K sum
+    sb_mu = mu(11, 1) + mu(11, 2) + mu(11, 3)      # b1's bwd top-K sum
+    m_int = 2 * 4 * mu(1, 11) - sa_mu - sb_mu
+    assert out[1]["margin"] == m_int / (2 * 4 * 1_000_000)
+
+
+def test_adamic_adar_matches_edge_replay(spark):
+    """sim_adamic_adar_links (staged r9): replay the computation in
+    Python from the driver-green mutual-kNN edge list
+    (sim_knn_graph_mutual, same kernel/k): degrees, common-neighbor
+    paths, existing-edge exclusion, and the rounded-term score must all
+    match exactly — pinning the graph algebra independently of the
+    kernel it rides on."""
+    import math
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in resolve_query("sim_knn_graph_mutual")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = defaultdict(lambda: [0, 0.0])
+    for z, nbrs in adj.items():
+        term = round(1.0 / math.log10(len(nbrs)), 8) if len(nbrs) > 1 else None
+        for u in nbrs:
+            for v in nbrs:
+                if u < v and (u, v) not in edges:
+                    want[(u, v)][0] += 1
+                    want[(u, v)][1] += term
+    got = {
+        (r["src"], r["dst"]): (r["n_common"], r["aa_score"])
+        for r in resolve_query("sim_adamic_adar_links")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(want) and got
+    for k, (n, s) in want.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - s) < 1e-9, k

@@ -412,3 +412,55 @@ def test_psi_drift_planted(spark, tmp_path):
     assert max(by_bucket) == 9, "clamp keeps overflow in the top bucket"
     # overflowed mass doubles the top bucket's current share
     assert by_bucket[9]["share_cur"] > 2 * by_bucket[9]["share_ref"] * 0.9
+
+
+def test_dim_covariance_planted_linear_relation(spark, tmp_path):
+    """sim_dim_covariance (staged r9): dims with an exact linear relation
+    (y = 2x) must report the hand-computed covariance and corr == 1.0;
+    constant (zero-variance) dims get corr NULL, cov 0. x = 1,2,3 and
+    y = 2,4,6: cov = (28 - 6*12/3)/2 = 2.0; var_x = 1, var_y = 4."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    q = resolve_query("sim_dim_covariance")
+    rows = [
+        (i + 1, [float(x), float(2 * x)] + [0.0] * 14, 0)
+        for i, x in enumerate((1, 2, 3))
+    ]
+    d = tmp_path / "cov"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    out = {(r["dim_i"], r["dim_j"]): r for r in q(spark, str(d)).collect()}
+    assert len(out) == 16 * 17 // 2
+    assert out[(1, 1)]["cov"] == 1.0 and out[(1, 1)]["corr"] == 1.0
+    assert out[(2, 2)]["cov"] == 4.0
+    assert out[(1, 2)]["cov"] == 2.0 and out[(1, 2)]["corr"] == 1.0
+    # zero-variance dims: cov 0 against everything, corr undefined (NULL)
+    assert out[(3, 3)]["cov"] == 0.0 and out[(3, 3)]["corr"] is None
+    assert out[(1, 3)]["cov"] == 0.0 and out[(1, 3)]["corr"] is None
+
+
+def test_psi_drain_matches_batch_form(spark):
+    """stream_psi_drift_drain (staged r9): the stream-maintained PSI (ref
+    stats pinned, current half merged additively across two forced
+    micro-batches) must equal the single-pass events_psi_drift readout
+    row-for-row — the merge property that makes the monitor maintainable
+    is EXACT, not approximate."""
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    batch = {
+        r["bucket"]: r
+        for r in resolve_query("events_psi_drift")(spark, SF_SMOKE).collect()
+    }
+    streamed = {
+        r["bucket"]: r
+        for r in resolve_query("stream_psi_drift_drain")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert batch.keys() == streamed.keys() and batch
+    for b in batch:
+        assert batch[b] == streamed[b], (b, batch[b], streamed[b])

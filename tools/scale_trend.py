@@ -215,6 +215,28 @@ def main(only: list[str] | None = None) -> None:
         "hard_negatives": lambda k: SQ["sim_hard_negatives"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        # r8-built wave (staged r9):
+        "dim_covariance": lambda k: SQ["sim_dim_covariance"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "kneser_ney": lambda k: SQ["text_kneser_ney_bigram"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "chunk_sliding": lambda k: SQ["text_chunk_sliding"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        # graph + kernel evals over scaled embeddings: kernel side is
+        # quadratic by the same argument as above; the AA path join is
+        # bounded-degree (n*k^2) so IT should stay linear past the kernel
+        "adamic_adar": lambda k: SQ["sim_adamic_adar_links"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "maxsim": lambda k: SQ["sim_maxsim_late_interaction"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "margin_bitext": lambda k: SQ["sim_margin_bitext_mining"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
