@@ -43,6 +43,12 @@ HEADLINE = [
     "dedup_minhash_near_dups",
     "sim_cosine_topk",
     "text_quality_profile",
+    # r8 widening (VERDICT r7 item 5): one query per newest operator
+    # family so the contract tracks them — committed numbers from
+    # tools/solo_floor.py converged floors + ~10%
+    "rel_ddsketch_quantiles",      # sketch family
+    "dedup_sorted_neighborhood",   # blocking family
+    "events_funnel_attribution",   # attribution / range-join family
 ]
 
 
