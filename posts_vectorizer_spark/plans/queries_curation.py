@@ -1014,10 +1014,20 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    dbg = trans.groupBy("doc_id", "w1", "w2").agg(
-        F.count("*").alias("c_doc")
+    from ..cache import persist_tracked
+
+    # persisted: dbg feeds the scored join AND the whole LM chain; bg
+    # feeds four consumers (bigram join, ctx, cont, T). Without the two
+    # persists every consumer re-runs the scan + tokenize + explode —
+    # the plan probe counted 15 exchanges (≈5 corpus scans); with them,
+    # the corpus crosses the wire once and the LM reductions run over
+    # the cached per-doc bigram counts.
+    dbg = persist_tracked(
+        trans.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c_doc"))
     )
-    bg = dbg.groupBy("w1", "w2").agg(F.sum("c_doc").cast("bigint").alias("c"))
+    bg = persist_tracked(
+        dbg.groupBy("w1", "w2").agg(F.sum("c_doc").cast("bigint").alias("c"))
+    )
     ctx = bg.groupBy("w1").agg(
         F.sum("c").cast("bigint").alias("c1"),
         F.count("*").cast("bigint").alias("n1f"),

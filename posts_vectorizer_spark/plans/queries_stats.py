@@ -1131,19 +1131,26 @@ def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xi").alias("sxi"),
         F.sum("xj").alias("sxj"),
     )
-    cov = stats.where(F.col("n") >= 2).select(
-        "i",
-        "j",
-        "n",
-        (
+    from ..cache import persist_tracked
+
+    # persisted: the 136-row cov relation feeds three consumers (output,
+    # both diagonal sides) — without it each one re-runs the corpus scan
+    # + term explode (the plan probe showed 3 shuffle exchanges)
+    cov = persist_tracked(
+        stats.where(F.col("n") >= 2).select(
+            "i",
+            "j",
+            "n",
             (
-                F.col("sxy").cast("double")
-                - F.col("sxi").cast("double")
-                * F.col("sxj").cast("double")
-                / F.col("n")
-            )
-            / (F.col("n") - 1)
-        ).alias("cov"),
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("sxi").cast("double")
+                    * F.col("sxj").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ).alias("cov"),
+        )
     )
     diag = cov.where(F.col("i") == F.col("j")).select(
         F.col("i").alias("d"), F.col("cov").alias("var")

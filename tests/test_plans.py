@@ -469,3 +469,31 @@ def test_r7_staged_plan_shapes(spark):
     assert "CartesianProduct" not in snm
     assert "SortMergeJoin" not in snm
     assert "Window" in snm
+
+
+def test_r8_staged_plan_shapes(spark):
+    """Physical-plan pins for the r8-built wave's scale claims:
+    chunk_sliding is shuffle-free (no Exchange anywhere — tokenize +
+    transform + explode inherit the scan partitioning, the property the
+    scale trend measured as 0 shuffle bytes); dim_covariance and
+    kneser_ney persist their multiply-consumed relations (the plan
+    probe caught 3 and ~5 corpus re-scans respectively before the
+    persists landed) and neither ever needs a SortMergeJoin or
+    Cartesian product at oracle scale."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    ch = _plan(resolve_query("text_chunk_sliding")(spark, SF_ORACLE))
+    assert "Exchange" not in ch
+    assert "Generate" in ch  # the explode — narrow, not a join
+
+    cov = _plan(resolve_query("sim_dim_covariance")(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in cov and "CartesianProduct" not in cov
+    assert cov.count("InMemoryTableScan") >= 3, (
+        "cov relation must be cache-reused by its three consumers"
+    )
+
+    kn = _plan(resolve_query("text_kneser_ney_bigram")(spark, SF_ORACLE))
+    assert "SortMergeJoin" not in kn and "CartesianProduct" not in kn
+    assert kn.count("InMemoryTableScan") >= 5, (
+        "dbg/bg must be cache-reused across the LM chain"
+    )
