@@ -1058,3 +1058,97 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("kn_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder eval-budget apportionment (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_LRA_BUDGET = 1000  # eval rows to apportion across (lang, source) strata
+
+_LRA_SQL = f"""
+WITH strata AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT lang, source, n_docs,
+         sum(n_docs) OVER () AS c,
+         ({_LRA_BUDGET} * n_docs) // sum(n_docs) OVER () AS base,
+         ({_LRA_BUDGET} * n_docs) % sum(n_docs) OVER () AS rem
+  FROM strata
+),
+ranked AS (
+  SELECT lang, source, n_docs, c, base, rem,
+         {_LRA_BUDGET} - sum(base) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+  FROM tot
+)
+SELECT lang, source, n_docs,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc,
+       CAST(round(CAST(n_docs AS DOUBLE) / c, 6) AS DOUBLE) AS share
+FROM ranked
+"""
+
+
+@register("rel_largest_remainder_alloc", oracle=_LRA_SQL, staged=True)
+def rel_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed eval budget
+    ({_LRA_BUDGET} rows) across (lang, source) strata — the exact
+    integer answer to "build a proportionally stratified eval set":
+    naive round(N*share) over- or under-shoots the total; Hamilton's
+    method gives every stratum floor(N*n/C) and hands the leftover
+    seats to the largest fractional remainders, so the allocations sum
+    to N EXACTLY. Downstream, `rel_stratified_sample`'s per-stratum
+    hash gate takes these counts.
+
+    Exactness: everything before the final share column is pure integer
+    arithmetic (integer quota, div/mod, remainder ranking with a
+    lang/source tiebreak) — nothing floats, so the oracle match is
+    trivial by construction.
+
+    Scale shape: one map-side-combinable groupBy reduces the corpus to
+    |strata| rows; both windows (total, remainder rank) run over that
+    tiny relation in one single-partition pass. Scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w_all = Window.partitionBy()
+    quota = F.lit(_LRA_BUDGET) * F.col("n_docs")
+    tot = strata.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(w_all).alias("c"),
+    ).select(
+        "lang",
+        "source",
+        "n_docs",
+        "c",
+        F.expr(f"({_LRA_BUDGET} * n_docs) div c").alias("base"),
+        (quota % F.col("c")).alias("rem"),
+    )
+    w_rk = Window.orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
+    ranked = tot.select(
+        "lang",
+        "source",
+        "n_docs",
+        "c",
+        "base",
+        (F.lit(_LRA_BUDGET) - F.sum("base").over(w_all)).alias("leftover"),
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc"),
+        F.round(F.col("n_docs").cast("double") / F.col("c"), 6)
+        .cast("double")
+        .alias("share"),
+    )

@@ -505,3 +505,325 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(
         (uni > 0) & (inter.cast("double") / uni >= JACCARD_THRESHOLD)
     ).select("doc_a", "doc_b", "gap", jac.alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verified near-dups over SNM blocking (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_EDV_PREFIX = 120   # chars of text fed to Levenshtein (banded-verify cap)
+_EDV_SIM_MIN = 0.5  # keep pairs with normalized similarity >= this
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks,
+         substr(lower(text), 1, {_EDV_PREFIX}) AS head
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, head,
+         toks[1] AS block,
+         array_to_string(list_slice(toks, 1, {_SNM_KEY_TOKENS}), ' ')
+           AS skey
+  FROM t
+),
+neigh AS (
+  SELECT doc_id, head, skey,
+         lead(doc_id, 1) OVER w AS id_1, lead(head, 1) OVER w AS h_1,
+         lead(doc_id, 2) OVER w AS id_2, lead(head, 2) OVER w AS h_2
+  FROM keyed
+  WINDOW w AS (PARTITION BY block ORDER BY skey, doc_id)
+),
+cand AS (
+  SELECT doc_id AS doc_a, id_1 AS doc_b, head AS ha, h_1 AS hb
+  FROM neigh WHERE id_1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id_2, head, h_2 FROM neigh WHERE id_2 IS NOT NULL
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(levenshtein(ha, hb) AS BIGINT) AS edit_dist,
+         greatest(length(ha), length(hb)) AS mx
+  FROM cand
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       edit_dist,
+       CAST(round(1 - CAST(edit_dist AS DOUBLE) / mx, 6) AS DOUBLE) AS sim
+FROM scored
+WHERE mx > 0 AND 1 - CAST(edit_dist AS DOUBLE) / mx >= {_EDV_SIM_MIN}
+""",
+    staged=True,
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: SNM blocking (same block +
+    sort-key + two lead() frames as `dedup_sorted_neighborhood` — the
+    hard O(w*n) candidate bound) verified with EXACT Levenshtein
+    distance over each text's first {_EDV_PREFIX} chars, keeping pairs
+    whose normalized similarity 1 - d/max_len >= {_EDV_SIM_MIN}. The
+    character-level complement of the token-Jaccard verify: catches
+    near-dups token sets miss (in-word edits, whitespace damage,
+    truncation) and is the verify stage fuzzy-matching pipelines run
+    after any blocker.
+
+    Exactness: Levenshtein is the classic integer DP — both engines'
+    built-ins agree exactly; the similarity is one double division of
+    integers, identical expression both sides.
+
+    Scale shape: identical to SNM — one block-keyed exchange+sort, 2n
+    candidate rows, per-pair cost capped at {_EDV_PREFIX}^2 DP cells by
+    the prefix (the banded-verify convention: unbounded-length
+    Levenshtein is quadratic in DOCUMENT length, which no 100 TB verify
+    stage pays; the prefix cap bounds it to a constant). Distance runs
+    JVM-side (codegen'd built-in), never Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, _EDV_PREFIX).alias("head"),
+        F.get(toks, 0).alias("block"),
+        F.array_join(F.slice(toks, 1, _SNM_KEY_TOKENS), " ").alias("skey"),
+    )
+    w = Window.partitionBy("block").orderBy("skey", "doc_id")
+    neigh = keyed.select(
+        "doc_id",
+        "head",
+        F.lead("doc_id", 1).over(w).alias("id_1"),
+        F.lead("head", 1).over(w).alias("h_1"),
+        F.lead("doc_id", 2).over(w).alias("id_2"),
+        F.lead("head", 2).over(w).alias("h_2"),
+    )
+    cand = (
+        neigh.where(F.col("id_1").isNotNull())
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("id_1").alias("doc_b"),
+            F.col("head").alias("ha"),
+            F.col("h_1").alias("hb"),
+        )
+        .unionAll(
+            neigh.where(F.col("id_2").isNotNull()).select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("id_2").alias("doc_b"),
+                F.col("head").alias("ha"),
+                F.col("h_2").alias("hb"),
+            )
+        )
+    )
+    d = F.levenshtein("ha", "hb").cast("bigint")
+    mx = F.greatest(F.length("ha"), F.length("hb"))
+    sim = F.lit(1) - d.cast("double") / mx
+    return (
+        cand.select("doc_a", "doc_b", d.alias("edit_dist"), mx.alias("mx"))
+        .where(
+            (F.col("mx") > 0)
+            & (
+                F.lit(1) - F.col("edit_dist").cast("double") / F.col("mx")
+                >= _EDV_SIM_MIN
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            F.round(
+                F.lit(1) - F.col("edit_dist").cast("double") / F.col("mx"), 6
+            ).cast("double").alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# banded-LSH parameter planner (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+# (bands, rows) splits of the repo's 16-component MinHash signature
+_LSH_GRID = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def _pow_chain(expr: str, n: int) -> str:
+    """x^n as an explicit multiplication chain (exponentiation by
+    squaring), emitted as the SAME literal string into both engines'
+    SQL — IEEE multiplication in identical order, so the collision
+    curve needs no libm pow() parity assumption."""
+    if n == 1:
+        return expr
+    if n % 2 == 0:
+        h = _pow_chain(expr, n // 2)
+        return f"({h}*{h})"
+    return f"({_pow_chain(expr, n - 1)}*{expr})"
+
+
+def _lsh_planner_cases() -> str:
+    """One UNION ALL arm per grid config: the s-curve collision
+    probability p(j) = 1 - (1 - j^r)^b with j the pair's round-6
+    Jaccard, plus the config's threshold s* = (1/b)^(1/r) precomputed
+    here as a Python literal (never a runtime pow)."""
+    import math
+
+    arms = []
+    for b, r in _LSH_GRID:
+        inner = _pow_chain("j", r)
+        p = f"(1 - {_pow_chain(f'(1 - {inner})', b)})"
+        s_star = repr(math.pow(1.0 / b, 1.0 / r))
+        arms.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band,"
+            f" CAST({s_star} AS DOUBLE) AS s_star,"
+            f" j, CAST(round({p}, 8) AS DECIMAL(12,8)) AS pcoll,"
+            f" is_dup FROM pairs"
+        )
+    return " UNION ALL ".join(arms)
+
+
+_LSH_PLANNER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, list_distinct(toks) AS tset, toks[1] AS block,
+         array_to_string(list_slice(toks, 1, {_SNM_KEY_TOKENS}), ' ')
+           AS skey
+  FROM t
+),
+neigh AS (
+  SELECT doc_id, tset,
+         lead(doc_id, 1) OVER w AS id_1, lead(tset, 1) OVER w AS ts_1,
+         lead(doc_id, 2) OVER w AS id_2, lead(tset, 2) OVER w AS ts_2
+  FROM keyed
+  WINDOW w AS (PARTITION BY block ORDER BY skey, doc_id)
+),
+cand AS (
+  SELECT tset AS sa, ts_1 AS sb FROM neigh WHERE id_1 IS NOT NULL
+  UNION ALL
+  SELECT tset, ts_2 FROM neigh WHERE id_2 IS NOT NULL
+),
+pairs AS (
+  SELECT round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS j,
+         CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+           / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+           >= {JACCARD_THRESHOLD} AS is_dup
+  FROM cand
+  WHERE len(sa) + len(sb) - len(list_intersect(sa, sb)) > 0
+),
+curves AS ({_lsh_planner_cases()})
+SELECT CAST(bands AS INT) AS bands, CAST(rows_per_band AS INT)
+         AS rows_per_band,
+       CAST(round(s_star, 6) AS DOUBLE) AS s_star,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_pairs,
+       CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_nondup_pairs,
+       CAST(round(CAST(sum(CASE WHEN is_dup THEN pcoll END) AS DOUBLE)
+                  / nullif(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0), 6)
+            AS DOUBLE) AS recall_est,
+       CAST(round(CAST(sum(CASE WHEN NOT is_dup THEN pcoll END) AS DOUBLE)
+                  / nullif(sum(CASE WHEN is_dup THEN 0 ELSE 1 END), 0), 6)
+            AS DOUBLE) AS fp_est
+FROM curves
+GROUP BY bands, rows_per_band, s_star
+"""
+
+
+@register("sim_lsh_param_planner", oracle=_LSH_PLANNER_SQL, staged=True)
+def sim_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH parameter planner: for every (bands, rows) split of
+    the 16-component MinHash signature, estimate ON THIS CORPUS the
+    expected duplicate recall and false-candidate rate by pushing each
+    observed candidate pair's Jaccard through the banding s-curve
+    p(j) = 1 - (1 - j^r)^b, plus the config's threshold
+    s* = (1/b)^(1/r). The table a pipeline reads to pick its banding
+    before paying for a full LSH pass — planner output, not a dedup
+    pass itself. Pairs come from the SNM candidate generator (hard
+    O(w*n) bound), split dup/non-dup at the corpus threshold
+    {JACCARD_THRESHOLD}.
+
+    Exactness: the s-curve is evaluated as explicit multiplication
+    CHAINS (exponentiation by squaring, the same literal expression
+    string in both engines) over the round-6 Jaccard — no runtime
+    pow(), no libm parity assumption; s* values are Python-computed
+    literals; per-pair curve values round to 8dp DECIMAL before the
+    exact sums.
+
+    Scale shape: one SNM exchange+sort produces <= 2n pairs; the grid
+    multiplies rows by {len(_LSH_GRID)} INSIDE the same stage (a union
+    of projections, no new scan — Spark sees one shuffle, the grid is
+    free); the readout is a {len(_LSH_GRID)}-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    keyed = docs.select(
+        "doc_id",
+        F.array_distinct(toks).alias("tset"),
+        F.get(toks, 0).alias("block"),
+        F.array_join(F.slice(toks, 1, _SNM_KEY_TOKENS), " ").alias("skey"),
+    )
+    w = Window.partitionBy("block").orderBy("skey", "doc_id")
+    neigh = keyed.select(
+        "tset",
+        F.lead("doc_id", 1).over(w).alias("id_1"),
+        F.lead("tset", 1).over(w).alias("ts_1"),
+        F.lead("doc_id", 2).over(w).alias("id_2"),
+        F.lead("tset", 2).over(w).alias("ts_2"),
+    )
+    cand = (
+        neigh.where(F.col("id_1").isNotNull())
+        .select(F.col("tset").alias("sa"), F.col("ts_1").alias("sb"))
+        .unionAll(
+            neigh.where(F.col("id_2").isNotNull()).select(
+                F.col("tset").alias("sa"), F.col("ts_2").alias("sb")
+            )
+        )
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size("sa") + F.size("sb") - inter
+    pairs = cand.where(uni > 0).select(
+        F.round(inter.cast("double") / uni, 6).alias("j"),
+        (inter.cast("double") / uni >= JACCARD_THRESHOLD).alias("is_dup"),
+    )
+    import math
+
+    arms = []
+    for b, r in _LSH_GRID:
+        inner = _pow_chain("j", r)
+        p = f"(1 - {_pow_chain(f'(1 - {inner})', b)})"
+        arms.append(
+            pairs.select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(math.pow(1.0 / b, 1.0 / r)).alias("s_star"),
+                F.expr(f"CAST(round({p}, 8) AS DECIMAL(12,8))").alias(
+                    "pcoll"
+                ),
+                "is_dup",
+            )
+        )
+    curves = arms[0]
+    for a in arms[1:]:
+        curves = curves.unionAll(a)
+    n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    n_non = F.sum(F.when(F.col("is_dup"), 0).otherwise(1))
+    return curves.groupBy("bands", "rows_per_band", "s_star").agg(
+        n_dup.cast("bigint").alias("n_dup_pairs"),
+        n_non.cast("bigint").alias("n_nondup_pairs"),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), F.col("pcoll"))).cast("double")
+            / F.nullif(n_dup, F.lit(0)),
+            6,
+        ).cast("double").alias("recall_est"),
+        F.round(
+            F.sum(F.when(~F.col("is_dup"), F.col("pcoll"))).cast("double")
+            / F.nullif(n_non, F.lit(0)),
+            6,
+        ).cast("double").alias("fp_est"),
+    ).select(
+        "bands", "rows_per_band",
+        F.round("s_star", 6).cast("double").alias("s_star"),
+        "n_dup_pairs", "n_nondup_pairs", "recall_est", "fp_est",
+    )

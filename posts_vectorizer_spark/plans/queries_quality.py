@@ -555,3 +555,124 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "low_entropy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# code-mixing detector: per-token language votes -> mixture entropy
+# (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_MIX_H_ALERT = 0.5  # nats; above this a doc is flagged language-mixed
+
+_CODE_MIXING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM documents
+),
+word_lang AS (
+  SELECT t.word, d.lang, count(*) AS c
+  FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY t.word, d.lang
+),
+votes AS (
+  SELECT word, lang AS vote_lang FROM (
+    SELECT word, lang,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY c DESC, lang) AS rk
+    FROM word_lang
+  ) WHERE rk = 1
+),
+doc_votes AS (
+  SELECT t.doc_id, v.vote_lang, CAST(count(*) AS BIGINT) AS n_l
+  FROM tok t JOIN votes v ON v.word = t.word
+  GROUP BY t.doc_id, v.vote_lang
+),
+sized AS (
+  SELECT doc_id, vote_lang, n_l,
+         sum(n_l) OVER (PARTITION BY doc_id) AS n,
+         CAST(round((CAST(n_l AS DOUBLE) / sum(n_l) OVER (PARTITION BY doc_id))
+                    * ln(CAST(n_l AS DOUBLE)
+                         / sum(n_l) OVER (PARTITION BY doc_id)), 6)
+              AS DECIMAL(18,6)) AS hterm,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_l DESC, vote_lang) AS rk
+  FROM doc_votes
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       max(CASE WHEN rk = 1 THEN vote_lang END) AS top_lang,
+       CAST(round(CAST(max(CASE WHEN rk = 1 THEN n_l END) AS DOUBLE)
+                  / max(n), 6) AS DOUBLE) AS top_frac,
+       CAST(-CAST(sum(hterm) AS DOUBLE) AS DOUBLE) AS mix_entropy,
+       -CAST(sum(hterm) AS DOUBLE) > {_MIX_H_ALERT} AS mixed
+FROM sized GROUP BY doc_id
+"""
+
+
+@register("text_code_mixing_entropy", oracle=_CODE_MIXING_SQL, staged=True)
+def text_code_mixing_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-mixing detector: every token votes for the language whose
+    corpus slice uses it most (majority vote over the (word, lang)
+    count table, deterministic lang tiebreak), and each document is
+    scored by the Shannon entropy of its vote mixture — 0 for
+    monolingual text, rising as a second language's tokens blend in
+    (flagged above {_MIX_H_ALERT} nats). The curation gate for
+    code-mixed documents, which single-label language ID (text_langid)
+    by construction cannot see: it must pick ONE language even when the
+    doc is half-and-half.
+
+    Exactness: votes and vote counts are integers end-to-end (the
+    argmax ranks integer counts with a string tiebreak); each entropy
+    term p*ln(p) is computed from an integer ratio and rounded to 6dp
+    DECIMAL before the exact per-doc sum; top_frac is one double
+    division of integers.
+
+    Scale shape: the (word, lang) vote table is vocab-sized — reduced
+    map-side from the token stream, then broadcast back onto it (the
+    idf_table shape); per-doc vote counts are one doc-keyed aggregate
+    and the entropy window runs over <= |langs| rows per doc. Tokens
+    with no vote cannot exist (every token came from some doc's lang
+    slice), so the join is inner with no mass loss."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("word"))
+    word_lang = (
+        tok.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("word", "lang")
+        .agg(F.count("*").alias("c"))
+    )
+    w_vote = Window.partitionBy("word").orderBy(F.desc("c"), F.asc("lang"))
+    votes = (
+        word_lang.withColumn("rk", F.row_number().over(w_vote))
+        .where(F.col("rk") == 1)
+        .select("word", F.col("lang").alias("vote_lang"))
+    )
+    doc_votes = (
+        tok.join(F.broadcast(votes), "word")
+        .groupBy("doc_id", "vote_lang")
+        .agg(F.count("*").cast("bigint").alias("n_l"))
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_rk = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_l"), F.asc("vote_lang")
+    )
+    p = F.col("n_l").cast("double") / F.sum("n_l").over(w_doc)
+    sized = doc_votes.select(
+        "doc_id",
+        "vote_lang",
+        "n_l",
+        F.sum("n_l").over(w_doc).alias("n"),
+        F.round(p * F.log(p), 6).cast("decimal(18,6)").alias("hterm"),
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    return sized.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.max(F.when(F.col("rk") == 1, F.col("vote_lang"))).alias("top_lang"),
+        F.round(
+            F.max(F.when(F.col("rk") == 1, F.col("n_l"))).cast("double")
+            / F.max("n"),
+            6,
+        ).cast("double").alias("top_frac"),
+        (-F.sum("hterm").cast("double")).cast("double").alias("mix_entropy"),
+        (-F.sum("hterm").cast("double") > _MIX_H_ALERT).alias("mixed"),
+    )

@@ -414,3 +414,135 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.where(F.col("vec_id") % _MAXSIM_PROBE_MOD == 0)
     return similarity.maxsim_topk(emb, _MAXSIM_K, probe=probe)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling profile of the mutual-kNN graph (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3       # minimum in-subgraph degree to survive a peel round
+_KCORE_ROUNDS = 3  # unrolled peel rounds (the pagerank/kmeans convention)
+
+_KCORE_SQL = f"""
+WITH t AS ({similarity.topk_sql(KNN_GRAPH_K)}),
+edges AS (
+  SELECT a.query_id AS src, a.neighbor_id AS dst
+  FROM t a JOIN t b
+    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+  WHERE a.query_id < a.neighbor_id
+),
+und AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+d0 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+a1 AS (SELECT node FROM d0 WHERE deg >= {_KCORE_K}),
+d1 AS (
+  SELECT e.u AS node, count(*) AS deg FROM und e
+  JOIN a1 x ON x.node = e.u JOIN a1 y ON y.node = e.v
+  GROUP BY e.u
+),
+a2 AS (SELECT node FROM d1 WHERE deg >= {_KCORE_K}),
+d2 AS (
+  SELECT e.u AS node, count(*) AS deg FROM und e
+  JOIN a2 x ON x.node = e.u JOIN a2 y ON y.node = e.v
+  GROUP BY e.u
+),
+a3 AS (SELECT node FROM d2 WHERE deg >= {_KCORE_K})
+SELECT d0.node, d0.deg AS deg0,
+       CAST(CASE WHEN a3.node IS NOT NULL THEN 3
+                 WHEN a2.node IS NOT NULL THEN 2
+                 WHEN a1.node IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS rounds_survived,
+       a3.node IS NOT NULL AS in_core
+FROM d0
+LEFT JOIN a1 ON a1.node = d0.node
+LEFT JOIN a2 ON a2.node = d0.node
+LEFT JOIN a3 ON a3.node = d0.node
+"""
+
+
+@register("sim_kcore_peeling", oracle=_KCORE_SQL, staged=True)
+def sim_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling profile of the mutual-kNN similarity graph:
+    {_KCORE_ROUNDS} unrolled rounds of "remove nodes with fewer than
+    {_KCORE_K} surviving neighbors", reporting each node's initial
+    degree, how many rounds it survived, and whether it sits in the
+    {_KCORE_ROUNDS}-round {_KCORE_K}-core approximation. Dense cores of
+    a near-dup/similarity graph are template clusters and SEO farms
+    (peel-resistant); genuinely diverse content peels early — the graph
+    complement to the dedup family's content signals, and the same
+    distributed-iteration shape as the repo's unrolled PageRank (each
+    round is one bounded join+aggregate, verified cross-engine rather
+    than run to a data-dependent fixpoint).
+
+    Exactness: degrees and survival are integers end-to-end; there is
+    no floating point anywhere past the kernel's round-6 cosines.
+
+    Scale shape: the edge list is n*k rows (persisted once for all
+    {_KCORE_ROUNDS} rounds + the output joins); each peel round is a
+    semi-join of the edge list against the surviving-node set (alive
+    sets only shrink) and a map-side-combinable degree count — cost is
+    O(rounds * |E|), never quadratic. The exact-kNN edge build is the
+    eval-sized form; at corpus scale swap in lsh_ann (identical output
+    contract), as with sim_knn_graph_mutual."""
+    from ..cache import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = similarity.topk(emb, KNN_GRAPH_K)
+    a, b = t.alias("a"), t.alias("b")
+    edges = persist_tracked(
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("src"),
+            F.col("a.neighbor_id").alias("dst"),
+        )
+    )
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+
+    def degrees(alive):
+        au = alive.select(F.col("node").alias("au"))
+        av = alive.select(F.col("node").alias("av"))
+        return (
+            und.join(F.broadcast(au), und["u"] == au["au"])
+            .join(F.broadcast(av), und["v"] == av["av"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("deg"))
+        )
+
+    d0 = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    alive = d0
+    survivors = []
+    for _ in range(_KCORE_ROUNDS):
+        alive = alive.where(F.col("deg") >= _KCORE_K).select("node")
+        survivors.append(alive)
+        alive = degrees(alive)
+    a1, a2, a3 = (
+        s.select(F.col("node").alias(f"n{i}"), F.lit(True).alias(f"s{i}"))
+        for i, s in enumerate(survivors, 1)
+    )
+    return (
+        d0.join(a1, d0["node"] == a1["n1"], "left")
+        .join(a2, d0["node"] == a2["n2"], "left")
+        .join(a3, d0["node"] == a3["n3"], "left")
+        .select(
+            "node",
+            F.col("deg").alias("deg0"),
+            F.when(F.col("s3"), 3)
+            .when(F.col("s2"), 2)
+            .when(F.col("s1"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("rounds_survived"),
+            F.coalesce(F.col("s3"), F.lit(False)).alias("in_core"),
+        )
+    )

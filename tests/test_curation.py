@@ -170,3 +170,36 @@ def test_mix_resample_flattens_toward_small_sources(spark):
         if r["n_candidates"] >= 20 and r["rate_ppm"] < 1_000_000:
             frac = r["n_kept"] / r["n_candidates"]
             assert abs(frac - r["rate_ppm"] / 1e6) < 0.35
+
+
+def test_largest_remainder_alloc_hand_computed(spark, tmp_path):
+    """rel_largest_remainder_alloc (staged r9): 3/3/1 strata under the
+    1000-row budget -> integer quotas 428/428/142 with remainders
+    4/4/6; the 2 leftover seats go to the largest remainders (the
+    singleton stratum first, then the lang/source tiebreak), and the
+    allocations sum to the budget EXACTLY — the property naive
+    round(N*share) violates."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+    for i in range(3):
+        rows.append((i, "x", "en", "sa", 0))
+    for i in range(3, 6):
+        rows.append((i, "x", "en", "sb", 0))
+    rows.append((6, "x", "fr", "sa", 0))
+    d = tmp_path / "lra"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {
+        (r["lang"], r["source"]): r["alloc"]
+        for r in resolve_query("rel_largest_remainder_alloc")(
+            spark, str(d)
+        ).collect()
+    }
+    # quotas: en/sa 3000/7 -> 428 r4; en/sb 428 r4; fr/sa 1000/7 -> 142 r6
+    # leftover 2 -> fr/sa (rem 6) then en/sa (rem 4, tiebreak over en/sb)
+    assert out == {("en", "sa"): 429, ("en", "sb"): 428, ("fr", "sa"): 143}
+    assert sum(out.values()) == 1000

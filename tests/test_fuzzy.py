@@ -276,3 +276,71 @@ def test_minhash_estimate_eval_calibration(spark, tmp_path):
     assert len(rows) > 10
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err < 0.25, f"mean abs err {mean_err} — estimator miscalibrated"
+
+
+def test_edit_distance_verify_planted(spark, tmp_path):
+    """dedup_edit_distance_verify (staged r9): docs sharing a block and
+    sort key with one in-word character edit must surface with the
+    hand-counted distance; token-identical docs score distance 0 and
+    sim 1; a differently-blocked doc can never pair. Pins the verify
+    semantics (character DP over the 120-char prefix) independent of
+    the blocker."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "s", 0),
+        (2, "alpha beta gamma delta epsilom", "en", "s", 0),  # 1 sub
+        (3, "alpha beta gamma delta epsilon", "en", "s", 0),  # exact dup
+        (4, "zeta eta theta iota kappa", "en", "s", 0),       # other block
+    ]
+    d = tmp_path / "edv"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in resolve_query("dedup_edit_distance_verify")(
+            spark, str(d)
+        ).collect()
+    }
+    assert all(4 not in k for k in got), "cross-block pairs impossible"
+    # shared skey "alpha beta gamma", doc_id tiebreak -> sort order 1,2,3:
+    # gap-1 pairs (1,2),(2,3); gap-2 pair (1,3)
+    assert set(got) == {(1, 2), (2, 3), (1, 3)}
+    assert got[(1, 2)]["edit_dist"] == 1  # the single n->m substitution
+    assert got[(2, 3)]["edit_dist"] == 1
+    assert got[(1, 3)]["edit_dist"] == 0  # byte-identical texts
+    assert got[(1, 3)]["sim"] == 1.0
+    n = len("alpha beta gamma delta epsilon")
+    assert abs(got[(1, 2)]["sim"] - round(1 - 1 / n, 6)) < 1e-9
+
+
+def test_lsh_param_planner_scurve_properties(spark):
+    """sim_lsh_param_planner (staged r9): structural truths of the
+    banding s-curve on the fixture corpus — one row per grid config;
+    thresholds s* ordered by rows-per-band ((16,1) lowest, (1,16)
+    highest); for every config the estimated recall on >=0.5-Jaccard
+    pairs must exceed the false-candidate rate on <0.5 pairs (the curve
+    is monotone in j); and the (16,1) config (OR over 16 single-hash
+    bands) must have the highest fp_est while (1,16) (AND over all 16)
+    has the lowest."""
+    from tests.conftest import SF_ORACLE
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in resolve_query("sim_lsh_param_planner")(
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert set(rows) == {(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)}
+    s_stars = [rows[k]["s_star"] for k in [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]]
+    assert s_stars == sorted(s_stars)
+    for k, r in rows.items():
+        if r["n_dup_pairs"] and r["n_nondup_pairs"]:
+            assert r["recall_est"] > r["fp_est"], k
+    assert rows[(16, 1)]["fp_est"] == max(r["fp_est"] for r in rows.values())
+    assert rows[(1, 16)]["fp_est"] == min(r["fp_est"] for r in rows.values())

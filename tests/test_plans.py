@@ -121,6 +121,7 @@ def test_plan_build_triggers_no_jobs(spark):
         "sim_margin_bitext_mining",     # two topk kernel passes
         "sim_adamic_adar_links",        # topk kernel edge list at build
         "stream_psi_drift_drain",       # pins ref stats + runs its drain
+        "sim_kcore_peeling",            # topk kernel edge list at build
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():

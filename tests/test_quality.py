@@ -148,3 +148,43 @@ def test_chunk_sliding_positions_and_overlap(spark, tmp_path):
     assert len(doc2) == 1
     assert (doc2[0]["chunk_idx"], doc2[0]["n_tokens"]) == (0, 3)
     assert doc2[0]["chunk_text"] == "a b c"
+
+
+def test_code_mixing_entropy_planted(spark, tmp_path):
+    """text_code_mixing_entropy (staged r9): pure-language docs score
+    exactly 0 entropy with top_frac 1.0; a half-and-half doc scores the
+    round-6-term two-way entropy (2 * round6(0.5*ln 0.5) = 0.693148)
+    and trips the mixed flag. Vote majorities survive the mixed doc's
+    cross-language token counts."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = [
+        (1, "hello world good hello", "en", "s", 0),
+        (2, "good world hello world", "en", "s", 0),
+        (3, "bonjour monde bien monde", "fr", "s", 0),
+        (4, "bien bonjour monde bien", "fr", "s", 0),
+        (5, "hello world good bonjour monde bien", "en", "s", 0),  # mixed
+    ]
+    d = tmp_path / "mix"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in resolve_query("text_code_mixing_entropy")(
+            spark, str(d)
+        ).collect()
+    }
+    for pure in (1, 2, 3, 4):
+        assert out[pure]["n_langs"] == 1
+        assert out[pure]["mix_entropy"] == 0.0
+        assert out[pure]["top_frac"] == 1.0
+        assert not out[pure]["mixed"]
+    m = out[5]
+    assert m["n_langs"] == 2
+    assert m["top_frac"] == 0.5
+    assert m["top_lang"] == "en"  # 3-3 vote tie broken by lang asc
+    assert m["mix_entropy"] == 0.693148  # 2 * round6(0.5*ln 0.5)
+    assert m["mixed"]

@@ -756,3 +756,46 @@ def test_adamic_adar_matches_edge_replay(spark):
     for k, (n, s) in want.items():
         assert got[k][0] == n, k
         assert abs(got[k][1] - s) < 1e-9, k
+
+
+def test_kcore_peeling_matches_edge_replay(spark):
+    """sim_kcore_peeling (staged r9): replay the 3-round k=3 peel in
+    Python from the driver-green mutual-kNN edge list — initial
+    degrees, per-round survival, and core membership must match
+    exactly (pure integer graph algebra over the same kernel edges)."""
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in resolve_query("sim_knn_graph_mutual")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg0 = {n: len(ns) for n, ns in adj.items()}
+    alive = set(adj)
+    rounds = {n: 0 for n in adj}
+    cur_deg = dict(deg0)
+    for rnd in (1, 2, 3):
+        alive = {n for n in alive if cur_deg.get(n, 0) >= 3}
+        for n in alive:
+            rounds[n] = rnd
+        cur_deg = {
+            n: sum(1 for v in adj[n] if v in alive) for n in alive
+        }
+    got = {
+        r["node"]: (r["deg0"], r["rounds_survived"], r["in_core"])
+        for r in resolve_query("sim_kcore_peeling")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(adj) and got
+    for n in adj:
+        assert got[n] == (deg0[n], rounds[n], rounds[n] == 3), n

@@ -237,6 +237,22 @@ def main(only: list[str] | None = None) -> None:
         "margin_bitext": lambda k: SQ["sim_margin_bitext_mining"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        # r8 second wave (staged r9):
+        "edit_distance_verify": lambda k: SQ["dedup_edit_distance_verify"](
+            spark, table_dir("docs_disjoint", k, "documents")
+        ),
+        "lsh_param_planner": lambda k: SQ["sim_lsh_param_planner"](
+            spark, table_dir("docs_disjoint", k, "documents")
+        ),
+        "largest_remainder_alloc": lambda k: SQ[
+            "rel_largest_remainder_alloc"
+        ](spark, table_dir("docs_plain", k, "documents")),
+        "code_mixing_entropy": lambda k: SQ["text_code_mixing_entropy"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "kcore_peeling": lambda k: SQ["sim_kcore_peeling"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
