@@ -986,7 +986,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stealing mass from genuinely versatile words. Per doc: transition
     count and mean log10 p_KN(w2|w1) over its transitions —
       p = max(c(w1,w2)-D, 0)/c(w1·) + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/T
-    with D={_KN_D} (c >= 1 for every scored transition, so the max never
+    with D=0.75 (c >= 1 for every scored transition, so the max never
     binds). Docs with < 2 tokens have no transitions and are absent.
 
     Exactness: every LM statistic is an exact integer count; p is one
@@ -1095,7 +1095,7 @@ FROM ranked
 @register("rel_largest_remainder_alloc", oracle=_LRA_SQL, staged=True)
 def rel_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder (Hamilton) apportionment of a fixed eval budget
-    ({_LRA_BUDGET} rows) across (lang, source) strata — the exact
+    (1000 rows) across (lang, source) strata — the exact
     integer answer to "build a proportionally stratified eval set":
     naive round(N*share) over- or under-shoots the total; Hamilton's
     method gives every stratum floor(N*n/C) and hands the leftover

@@ -563,8 +563,8 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup verification: SNM blocking (same block +
     sort-key + two lead() frames as `dedup_sorted_neighborhood` — the
     hard O(w*n) candidate bound) verified with EXACT Levenshtein
-    distance over each text's first {_EDV_PREFIX} chars, keeping pairs
-    whose normalized similarity 1 - d/max_len >= {_EDV_SIM_MIN}. The
+    distance over each text's first 120 chars, keeping pairs
+    whose normalized similarity 1 - d/max_len >= 0.5. The
     character-level complement of the token-Jaccard verify: catches
     near-dups token sets miss (in-word edits, whitespace damage,
     truncation) and is the verify stage fuzzy-matching pipelines run
@@ -575,7 +575,7 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, identical expression both sides.
 
     Scale shape: identical to SNM — one block-keyed exchange+sort, 2n
-    candidate rows, per-pair cost capped at {_EDV_PREFIX}^2 DP cells by
+    candidate rows, per-pair cost capped at 120^2 DP cells by
     the prefix (the banded-verify convention: unbounded-length
     Levenshtein is quadratic in DOCUMENT length, which no 100 TB verify
     stage pays; the prefix cap bounds it to a constant). Distance runs
@@ -743,7 +743,7 @@ def sim_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     before paying for a full LSH pass — planner output, not a dedup
     pass itself. Pairs come from the SNM candidate generator (hard
     O(w*n) bound), split dup/non-dup at the corpus threshold
-    {JACCARD_THRESHOLD}.
+    0.5.
 
     Exactness: the s-curve is evaluated as explicit multiplication
     CHAINS (exponentiation by squaring, the same literal expression
@@ -753,9 +753,9 @@ def sim_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums.
 
     Scale shape: one SNM exchange+sort produces <= 2n pairs; the grid
-    multiplies rows by {len(_LSH_GRID)} INSIDE the same stage (a union
+    multiplies rows by 5 INSIDE the same stage (a union
     of projections, no new scan — Spark sees one shuffle, the grid is
-    free); the readout is a {len(_LSH_GRID)}-group aggregate."""
+    free); the readout is a 5-group aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
     keyed = docs.select(

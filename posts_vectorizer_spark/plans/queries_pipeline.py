@@ -1139,21 +1139,21 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunk EMISSION — the RAG/serving ETL output stage
     (vs `text_chunk_dedup`/`text_chunk_boilerplate`, which consume
     non-overlapping chunks as signals): every document becomes
-    overlapping {_SLIDE_W}-token windows at stride {_SLIDE_S}
-    ({_SLIDE_W - _SLIDE_S}-token overlap so no sentence is orphaned at a
+    overlapping 64-token windows at stride 48
+    (16-token overlap so no sentence is orphaned at a
     boundary), each row carrying its position (chunk_idx, start_tok),
     actual token count (the tail chunk may be short), the md5 content
     key downstream indexes/dedup join on, and the chunk text itself.
-    Chunk count for an n-token doc: 1 if n <= {_SLIDE_W}, else
-    ceil((n-{_SLIDE_W})/{_SLIDE_S}) + 1 — pure integer arithmetic,
+    Chunk count for an n-token doc: 1 if n <= 64, else
+    ceil((n-64)/48) + 1 — pure integer arithmetic,
     identical in both engines.
 
     Scale shape: entirely narrow — tokenize, one nested-transform
     emitting each doc's chunk structs inside codegen, one explode; ZERO
     shuffles at any corpus size (the output inherits the scan's
     partitioning, which is exactly what a chunk-shard writer wants).
-    Per-row output is ~n/{_SLIDE_S} chunks of {_SLIDE_W} tokens — the
-    ~{_SLIDE_W / _SLIDE_S:.2f}x text amplification is the op's
+    Per-row output is ~n/48 chunks of 64 tokens — the
+    ~1.33x text amplification is the op's
     definition, not a plan artifact."""
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(

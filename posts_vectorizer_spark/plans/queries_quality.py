@@ -616,7 +616,7 @@ def text_code_mixing_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     count table, deterministic lang tiebreak), and each document is
     scored by the Shannon entropy of its vote mixture — 0 for
     monolingual text, rising as a second language's tokens blend in
-    (flagged above {_MIX_H_ALERT} nats). The curation gate for
+    (flagged above 0.5 nats). The curation gate for
     code-mixed documents, which single-label language ID (text_langid)
     by construction cannot see: it must pick ONE language even when the
     doc is half-and-half.

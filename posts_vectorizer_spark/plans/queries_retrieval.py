@@ -1357,15 +1357,15 @@ def sim_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds parallel-corpus training data): the label space splits into
     two "languages" (labels 0-4 vs 5-9); for each source vector, score
     every forward candidate by its MARGIN over the neighborhood —
-    cos(x,y) minus the mean of x's forward top-{_BTX_K} and y's backward
-    top-{_BTX_K} cosines — and keep the best-margin mate. Margin beats
+    cos(x,y) minus the mean of x's forward top-4 and y's backward
+    top-4 cosines — and keep the best-margin mate. Margin beats
     raw cosine because hub vectors (high cosine to everything) get their
     neighborhood average subtracted away; absolute-cosine thresholds
     can't separate hubs from true pairs.
 
     Exactness: both directions' cosines are the kernel's round-6 values,
     carried as INTEGER micro-units; the normalizers are exact integer
-    sums of each side's top-{_BTX_K} micro-cosines over the FIXED
+    sums of each side's top-4 micro-cosines over the FIXED
     divisor 2K (k-occupancy normalization — corpora smaller than K
     shrink the normalizer toward zero), so the margin's rank key
     m = 2K*c - sum_fwd - sum_bwd is a pure BIGINT: ranking ties are
@@ -1375,8 +1375,8 @@ def sim_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly there). The emitted doubles are single divisions of those
     integers.
 
-    Scale shape: TWO broadcast-tile kernel passes (forward k={_BTX_C},
-    backward k={_BTX_K}) — margin is evaluated only on forward kNN
+    Scale shape: TWO broadcast-tile kernel passes (forward k=16,
+    backward k=4) — margin is evaluated only on forward kNN
     candidates (the production shape: mine within ANN neighborhoods,
     never score n^2 pairs); the normalizer joins are n*k-row relations
     keyed by vector id. The n^2 appears ONLY in the DuckDB oracle twin."""

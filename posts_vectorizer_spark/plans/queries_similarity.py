@@ -400,9 +400,9 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-vector (late-interaction / ColBERT-style) retrieval: every
     embedding is read as 8 token-vectors of 8 dims; relevance is the
     mean over query tokens of the max cosine against the candidate's
-    tokens, and each probe (every {_MAXSIM_PROBE_MOD}th vector — the
+    tokens, and each probe (every 50th vector — the
     query-vs-corpus asymmetry retrieval actually has) gets its
-    top-{_MAXSIM_K}. Maxsim is the standard upgrade over single-vector
+    top-3. Maxsim is the standard upgrade over single-vector
     cosine when queries and documents match on PARTS (a query token
     should find its best-matching doc token, not be averaged away).
 
@@ -465,10 +465,10 @@ LEFT JOIN a3 ON a3.node = d0.node
 @register("sim_kcore_peeling", oracle=_KCORE_SQL, staged=True)
 def sim_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-core peeling profile of the mutual-kNN similarity graph:
-    {_KCORE_ROUNDS} unrolled rounds of "remove nodes with fewer than
-    {_KCORE_K} surviving neighbors", reporting each node's initial
+    3 unrolled rounds of "remove nodes with fewer than
+    3 surviving neighbors", reporting each node's initial
     degree, how many rounds it survived, and whether it sits in the
-    {_KCORE_ROUNDS}-round {_KCORE_K}-core approximation. Dense cores of
+    3-round 3-core approximation. Dense cores of
     a near-dup/similarity graph are template clusters and SEO farms
     (peel-resistant); genuinely diverse content peels early — the graph
     complement to the dedup family's content signals, and the same
@@ -480,7 +480,7 @@ def sim_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     no floating point anywhere past the kernel's round-6 cosines.
 
     Scale shape: the edge list is n*k rows (persisted once for all
-    {_KCORE_ROUNDS} rounds + the output joins); each peel round is a
+    3 rounds + the output joins); each peel round is a
     semi-join of the edge list against the surviving-node set (alive
     sets only shrink) and a map-side-combinable degree count — cost is
     O(rounds * |E|), never quadratic. The exact-kNN edge build is the

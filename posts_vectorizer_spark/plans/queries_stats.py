@@ -1079,7 +1079,7 @@ FROM cov c JOIN diag di ON di.i = c.i JOIN diag dj ON dj.i = c.j
 
 @register("sim_dim_covariance", oracle=_DIM_COVARIANCE_SQL, staged=True)
 def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Covariance + correlation matrix of the leading {_COV_D} embedding
+    """Covariance + correlation matrix of the leading 16 embedding
     dimensions — the embedding-health profile behind whitening, PCA
     dimensionality decisions, and anisotropy diagnosis (a trained
     embedding whose dims are highly correlated wastes capacity; random
@@ -1093,11 +1093,11 @@ def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order dependent.
 
     Scale shape (the 100 TB argument): NO self-join and NO per-vector
-    explode-join — each row emits its D*(D+1)/2 = {_COV_D * (_COV_D + 1) // 2}
+    explode-join — each row emits its D*(D+1)/2 = 136
     (i, j, products) terms from one nested-transform expression entirely
     inside codegen, and the ONLY exchange is the map-side-combinable
     groupBy over that fixed tiny key space. Sufficient statistics then
-    reduce to a {_COV_D}x{_COV_D} matrix regardless of corpus size; the
+    reduce to a 16x16 matrix regardless of corpus size; the
     corr normalization joins the 136-row stats relation against its own
     16-row diagonal (broadcast). Full-width matrices at higher D trade
     per-row term count quadratically — at D=256 move the same fold into
