@@ -1,4 +1,4 @@
-"""Spark-vs-DuckDB scaling crossover for the flagship (VERDICT r7 item 2).
+"""Spark-vs-DuckDB scaling crossover (VERDICT r7 item 2, generalized r8).
 
 r7's one standing perf-weak flag: at sf0.1 the flagship `tfidf_doc_vectors`
 is ~5x slower than the DuckDB 32-thread comparator — but the evidence says
@@ -15,9 +15,15 @@ vocab-sized broadcast/dimension side stays FIXED while the fact side grows
 parquet file so both engines scan identical bytes; all other tables are
 symlinked unscaled.
 
-Usage:  python tools/crossover.py          # one JSON line on stdout
+Usage:  python tools/crossover.py                       # flagship, plain copies
+        python tools/crossover.py dedup_minhash_near_dups disjoint
         CROSSOVER_SCALES=1,3,10 python tools/crossover.py
-Results table lives in BASELINE.md (flagship crossover section).
+The second arg picks the documents-scaling recipe: "plain" (doc_id-shifted
+copies — fixed vocabulary, the TF-IDF asymmetry) or "disjoint" (every word
+of copy k suffixed _k — copies are content-disjoint, so duplicate GROUPS
+replicate per copy instead of exploding quadratically across copies: the
+honest dedup scaling from tools/scale_trend.py).
+Results table lives in BASELINE.md (crossover section).
 """
 
 from __future__ import annotations
@@ -39,12 +45,12 @@ TABLES = (
 )
 
 
-def _scaled_dir(sf_dir: str, k: int) -> str:
+def _scaled_dir(sf_dir: str, k: int, mode: str = "plain") -> str:
     """Directory with documents scaled k-x (single parquet file, written
     by DuckDB) and every other table symlinked unscaled."""
     import duckdb
 
-    d = f"{WORKDIR}/sf_{k}x"
+    d = f"{WORKDIR}/sf_{mode}_{k}x"
     os.makedirs(d, exist_ok=True)
     for t in TABLES:
         if t == "documents":
@@ -55,11 +61,17 @@ def _scaled_dir(sf_dir: str, k: int) -> str:
     out = f"{d}/documents.parquet"
     if not os.path.exists(out):
         con = duckdb.connect()
-        union = " UNION ALL ".join(
-            f"SELECT doc_id + {i * ID_OFFSET} AS doc_id,"
-            " text, lang, source, n_chars FROM src"
-            for i in range(k)
-        )
+        def arm(i):
+            text = (
+                "text" if (mode == "plain" or i == 0)
+                else rf"regexp_replace(text, '(\S+)', '\1_{i}', 'g')"
+            )
+            return (
+                f"SELECT doc_id + {i * ID_OFFSET} AS doc_id,"
+                f" {text} AS text, lang, source, n_chars FROM src"
+            )
+
+        union = " UNION ALL ".join(arm(i) for i in range(k))
         con.execute(
             f"COPY (WITH src AS (SELECT * FROM"
             f" read_parquet('{sf_dir}/documents.parquet')) {union})"
@@ -84,18 +96,21 @@ def main() -> int:
     from posts_vectorizer_spark.plans.registry import resolve_query
     from posts_vectorizer_spark.session import get_spark
 
+    qname = sys.argv[1] if len(sys.argv) > 1 else "tfidf_doc_vectors"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "plain"
+
     shutil.rmtree(WORKDIR, ignore_errors=True)
-    flagship = resolve_query("tfidf_doc_vectors")
-    oracle = entry_mod.oracle_sql()["tfidf_doc_vectors"]
+    flagship = resolve_query(qname)
+    oracle = entry_mod.oracle_sql()[qname]
 
     spark = get_spark("crossover")
     spark.sparkContext.setLogLevel("ERROR")
     n_threads = os.cpu_count() or 32
 
     runs = []
-    bench.force(flagship(spark, _scaled_dir(sf_dir, scales[0])))  # warmup
+    bench.force(flagship(spark, _scaled_dir(sf_dir, scales[0], mode)))  # warmup
     for k in scales:
-        d = _scaled_dir(sf_dir, k)
+        d = _scaled_dir(sf_dir, k, mode)
 
         spark_best = None
         for _ in range(2):
@@ -128,8 +143,9 @@ def main() -> int:
 
     crossed = [r["scale"] for r in runs if r["spark_s"] <= r["duckdb_s"]]
     result = {
-        "metric": "flagship_spark_vs_duckdb_crossover",
-        "query": "tfidf_doc_vectors",
+        "metric": "spark_vs_duckdb_crossover",
+        "query": qname,
+        "scaling_mode": mode,
         "sf_dir": sf_dir,
         "threads": n_threads,
         "runs": runs,
