@@ -117,3 +117,44 @@ def test_staged_queries_survive_empty_tables(spark, tmp_path):
     for name, fn in staged_queries().items():
         n = fn(spark, str(tmp_path)).count()
         assert n <= 1, f"{name}: unexpected rows on empty input"
+
+
+def test_kernel_graph_queries_survive_tiny_inputs(spark, tmp_path):
+    """Single-row and two-row embedding tables through the r8 kernel/graph
+    wave: one vector has no possible neighbor (every query must return 0
+    rows without crashing — the self-pair exclusion leaves an empty
+    candidate set); two vectors produce at most the trivial pair where
+    the semantics allow one."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    one = tmp_path / "one"
+    two = tmp_path / "two"
+    for d, rows in (
+        (one, [(1, [1.0] * 64, 0)]),
+        (two, [(1, [1.0] * 64, 0), (2, [0.5] * 64, 7)]),
+    ):
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(str(d / "embeddings.parquet"))
+
+    for name in (
+        "sim_maxsim_late_interaction",
+        "sim_adamic_adar_links",
+        "sim_kcore_peeling",
+        "sim_margin_bitext_mining",
+    ):
+        q = resolve_query(name)
+        assert q(spark, str(one)).count() == 0, f"{name} on 1 row"
+
+    # two rows: maxsim pairs them (probe vec_id 1 % 50 != 0 -> no probes
+    # actually qualify except none; margin pairs label 0 with label 7);
+    # the graph queries see a single mutual edge -> no common neighbors,
+    # no 3-core
+    assert resolve_query("sim_adamic_adar_links")(spark, str(two)).count() == 0
+    kc = {r["node"]: r for r in
+          resolve_query("sim_kcore_peeling")(spark, str(two)).collect()}
+    assert set(kc) == {1, 2}
+    assert all(r["deg0"] == 1 and not r["in_core"] for r in kc.values())
+    btx = resolve_query("sim_margin_bitext_mining")(spark, str(two)).collect()
+    assert len(btx) == 1 and btx[0]["src"] == 1 and btx[0]["dst"] == 2
