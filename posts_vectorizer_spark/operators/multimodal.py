@@ -250,3 +250,117 @@ SELECT s.doc_id, s.n_bytes, s.slice,
                   ELSE 0.0 END, 6) AS DOUBLE) AS mean_scaled
 FROM sliced s JOIN chars c USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec path: WAV/PCM16 (built r8, staged r9)
+# ---------------------------------------------------------------------------
+# The compressed-format codecs above stay env-gated (no PIL/libav in this
+# image), but WAV is a container this repo CAN decode for real with zero
+# dependencies: the writer is the stdlib `wave` module, the reader a
+# hand-rolled RIFF chunk walker (it must skip unknown chunks — the part
+# naive offset-44 "parsers" get wrong). Synthesis uses an integer sample
+# formula both engines can state, so the end-to-end encode -> REAL decode
+# -> feature pipeline is hash-checked against a DuckDB oracle computing
+# the same features straight from the formula: any header/layout/parse
+# bug changes the decoded samples and fails the hash.
+
+def synth_samples(doc_id: int, n: int) -> np.ndarray:
+    """Deterministic int16 test signal: s_i = ((doc_id*31 + i*17) % 65536)
+    - 32768 — pure nonnegative-integer arithmetic, statable in SQL."""
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 31 + i * 17) % 65536) - 32768).astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """PCM16 mono WAV via the stdlib encoder (a REAL container writer,
+    not a fake): RIFF/WAVE + fmt + data chunks."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) from WAV bytes — a real RIFF parser:
+    verifies the RIFF/WAVE magic, WALKS chunks (skipping unknown ones,
+    honoring the odd-size pad byte) to find fmt/data, and checks the
+    format is uncompressed PCM16 mono before interpreting the payload."""
+    import struct
+
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, size = raw[pos : pos + 4], struct.unpack(
+            "<I", raw[pos + 4 : pos + 8]
+        )[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byterate, _align, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(f"unsupported format: {fmt}")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, peak_abs int,"
+    " sum_sq long, zero_crossings int, rms double"
+)
+
+
+def wav_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, n, rate) -> synthesize -> ENCODE to real WAV bytes ->
+    DECODE with the RIFF parser -> integer-exact audio features. The
+    encode and decode happen back-to-back per Arrow batch (the storage
+    boundary pattern of vectors.encode_f32/decode_f32): n_samples and
+    sample_rate in the OUTPUT come from the PARSED container, so a
+    header bug cannot hide; sum_sq/peak/zero-crossings are exact
+    integers over the decoded samples and rms is one double from them.
+
+    At 100 TB: payloads never shuffle — features extract in the scan
+    stage and only the 7-column profile moves (the multimodal rule
+    above)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, n, rate in zip(
+                pdf["doc_id"], pdf["n"], pdf["rate"]
+            ):
+                raw = encode_wav(synth_samples(int(doc_id), int(n)), int(rate))
+                prate, s = decode_wav(raw)
+                s64 = s.astype(np.int64)
+                sum_sq = int((s64 * s64).sum())
+                zc = int(((s64[:-1] < 0) != (s64[1:] < 0)).sum()) if len(s64) > 1 else 0
+                peak = int(np.abs(s64).max()) if len(s64) else 0
+                # half-away-from-zero at 6dp (Spark/DuckDB ROUND), not Python's
+                # banker's round — rms >= 0 so floor(x*1e6+0.5)
+                rms = (
+                    float(np.floor(np.sqrt(sum_sq / len(s64)) * 1e6 + 0.5) / 1e6)
+                    if len(s64) else 0.0
+                )
+                out.append(
+                    (int(doc_id), prate, len(s64), peak, sum_sq, zc, rms)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "peak_abs",
+                    "sum_sq", "zero_crossings", "rms",
+                ],
+            )
+
+    return base.mapInPandas(run, WAV_FEATURE_SCHEMA)

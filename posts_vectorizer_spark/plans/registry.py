@@ -37,15 +37,17 @@ REGISTRY: dict[str, QueryDef] = {}
 # never the verification.
 STAGED: dict[str, QueryDef] = {}
 # r8: the r7-staged wave of 11 was introduced (head slots a-block).
-# r8 staged (r9 gets their introduction slots), TWELVE queries:
+# r8 staged (r9 gets their introduction slots), THIRTEEN queries:
 # sim_dim_covariance, text_kneser_ney_bigram, text_chunk_sliding,
 # sim_adamic_adar_links, sim_maxsim_late_interaction,
 # sim_margin_bitext_mining, stream_psi_drift_drain,
 # dedup_edit_distance_verify, sim_lsh_param_planner,
 # rel_largest_remainder_alloc, text_code_mixing_entropy,
-# sim_kcore_peeling — all swept at sf0.01 AND sf0.1, vanilla-session
+# sim_kcore_peeling, multimodal_wav_ingest (a REAL RIFF/WAV codec
+# path — stdlib-wave writer, hand-rolled chunk-walking parser) — all
+# swept at sf0.01 AND sf0.1, vanilla-session
 # checked, named-tested, empty-input checked (SWEEPS.md r8 sections).
-# r9 head plan: 12 introduction slots + spine + the 40-query r4
+# r9 head plan: 13 introduction slots + spine + the 40-query r4
 # freshness cohort (ALL pre-verified vanilla, SWEEPS.md) fills ~50. Staging checklist (memory + r7
 # practice): oracle sweep at sf0.01 AND sf0.1, vanilla head_check pass,
 # a named semantic test, an empty-input pass (tests/test_edge.py), a

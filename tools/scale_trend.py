@@ -253,6 +253,9 @@ def main(only: list[str] | None = None) -> None:
         "kcore_peeling": lambda k: SQ["sim_kcore_peeling"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        "wav_ingest": lambda k: SQ["multimodal_wav_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
