@@ -364,3 +364,131 @@ def wav_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, WAV_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec path: BMP 24-bit (built r8, staged r9)
+# ---------------------------------------------------------------------------
+# Same posture as the WAV path: compressed image formats stay env-gated,
+# but uncompressed 24-bit BMP decodes for real with zero dependencies —
+# and it carries two genuine parsing subtleties a fake codec never
+# exercises: rows are stored BOTTOM-UP, and every row pads to a 4-byte
+# boundary (any width not divisible by 4 breaks a naive reshape).
+
+def synth_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 RGB test image from an integer formula both
+    engines can state: r=(doc_id+3x+7y)%256, g=(2x+5y+doc_id)%256,
+    b=(x*y+doc_id*11)%256 (x = column, y = TOP-DOWN row index)."""
+    y, x = np.mgrid[0:h, 0:w]
+    d = int(doc_id)
+    return np.stack(
+        [
+            (d + 3 * x + 7 * y) % 256,
+            (2 * x + 5 * y + d) % 256,
+            (x * y + d * 11) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER):
+    BGR byte order, rows bottom-up, 4-byte row padding."""
+    import struct
+
+    h, w, _ = rgb.shape
+    pad = (4 - (3 * w) % 4) % 4
+    row_bytes = 3 * w + pad
+    data_size = row_bytes * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += rgb[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    return header + bytes(body)
+
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from 24-bit BMP bytes — verifies the magic,
+    reads the pixel-data offset from the file header (not assumed 54),
+    requires BI_RGB 24bpp, and undoes bottom-up order, BGR, and row
+    padding."""
+    import struct
+
+    if len(raw) < 54 or raw[0:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack("<I", raw[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", raw[14:26])
+    planes, bpp = struct.unpack("<HH", raw[26:30])
+    compression = struct.unpack("<I", raw[30:34])[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: hdr={hdr_size} bpp={bpp}")
+    if h <= 0 or w <= 0:
+        raise ValueError("top-down or degenerate BMP not supported")
+    pad = (4 - (3 * w) % 4) % 4
+    row_bytes = 3 * w + pad
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        start = data_off + i * row_bytes
+        row = np.frombuffer(raw[start : start + 3 * w], dtype=np.uint8)
+        out[h - 1 - i] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB, bottom-up
+    return out
+
+
+def resize_nearest(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with the floor sampling grid
+    (sy = j*h // out_h, sx = i*w // out_w) — integer arithmetic only,
+    statable in SQL."""
+    h, w, _ = rgb.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return rgb[ys[:, None], xs[None, :]]
+
+
+BMP_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int,"
+    " sum_r long, sum_g long, sum_b long,"
+    " rsum_r long, rsum_g long, rsum_b long"
+)
+
+_BMP_THUMB = 8  # thumbnail side for the resize stage
+
+
+def bmp_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, w, h) -> synthesize -> ENCODE to real BMP bytes ->
+    DECODE with the header-driven parser -> features: parsed
+    dimensions, exact per-channel sums over the FULL decoded image
+    (proves decode incl. padding/bottom-up/BGR), and per-channel sums
+    over the 8x8 nearest-neighbor thumbnail (proves the resize sampling
+    grid). All integers; payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                raw = encode_bmp(synth_pixels(int(doc_id), int(w), int(h)))
+                img = decode_bmp(raw)
+                th = resize_nearest(img, _BMP_THUMB, _BMP_THUMB)
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rs = th.astype(np.int64).sum(axis=(0, 1))
+                out.append(
+                    (
+                        int(doc_id), img.shape[1], img.shape[0],
+                        int(s[0]), int(s[1]), int(s[2]),
+                        int(rs[0]), int(rs[1]), int(rs[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                    "rsum_r", "rsum_g", "rsum_b",
+                ],
+            )
+
+    return base.mapInPandas(run, BMP_FEATURE_SCHEMA)

