@@ -492,3 +492,177 @@ def bmp_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, BMP_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video container path: uncompressed AVI (DIB frames) (built r8,
+# staged r9)
+# ---------------------------------------------------------------------------
+# Completes the audio/image/video triple: AVI is RIFF (the same chunk
+# grammar as WAV) with a LIST hierarchy — hdrl(avih, strl(strh, strf))
+# then movi(00db raw DIB frames). Frames are bottom-up BGR padded rows
+# (the BMP pixel layout without the file header). Built to the published
+# spec; unlike WAV there is no stdlib second reader in this image, so
+# the cross-checks are the formula oracle (any layout bug changes the
+# sampled-frame sums) plus spec-pinned header tests.
+
+def synth_frame(doc_id: int, t: int, w: int, h: int) -> np.ndarray:
+    """Frame t of the synthetic clip: the BMP formula with the frame
+    index folded into the doc term (statable in SQL)."""
+    return synth_pixels(int(doc_id) + 1000 * int(t), w, h)
+
+
+def _dib_body(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    pad = (4 - (3 * w) % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += rgb[y, :, ::-1].tobytes()
+        body += b"\x00" * pad
+    return bytes(body)
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+
+    return cid + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def encode_avi(frames: list[np.ndarray], fps: int) -> bytes:
+    """Minimal spec-correct uncompressed AVI: RIFF('AVI ') containing
+    LIST hdrl (avih + LIST strl(strh vids/DIB, strf BITMAPINFOHEADER))
+    and LIST movi with one 00db DIB chunk per frame."""
+    import struct
+
+    h, w, _ = frames[0].shape
+    pad = (4 - (3 * w) % 4) % 4
+    frame_bytes = (3 * w + pad) * h
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        frame_bytes, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00db", _dib_body(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(raw: bytes) -> tuple[int, list[np.ndarray]]:
+    """(fps, frames RGB) — walks the RIFF tree: verifies 'AVI ', reads
+    w/h/bpp from strf, rate/scale from strh, then every 00db chunk in
+    LIST movi becomes a bottom-up BGR padded DIB frame."""
+    import struct
+
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    def walk(buf, pos, end):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            yield cid, pos + 8, size
+            pos += 8 + size + (size % 2)
+
+    w = h = bpp = None
+    rate = scale = None
+    frames: list[np.ndarray] = []
+
+    def handle(cid, off, size, depth):
+        nonlocal w, h, bpp, rate, scale
+        if cid == b"LIST":
+            for c2, o2, s2 in walk(raw, off + 4, off + size):
+                handle(c2, o2, s2, depth + 1)
+        elif cid == b"strh":
+            body = raw[off : off + size]
+            if body[0:4] == b"vids":
+                scale, rate = struct.unpack("<II", body[20:28])
+        elif cid == b"strf" and w is None:
+            _hs, w, h, _planes, bpp = struct.unpack(
+                "<IiiHH", raw[off : off + 16]
+            )
+        elif cid == b"00db":
+            frames.append((off, size))
+
+    for cid, off, size in walk(raw, 12, len(raw)):
+        handle(cid, off, size, 0)
+    if w is None or bpp != 24 or h is None or h <= 0:
+        raise ValueError("unsupported AVI (need 24bpp bottom-up DIB)")
+    if not rate or not scale:
+        raise ValueError("missing vids stream header")
+    pad = (4 - (3 * w) % 4) % 4
+    row_bytes = 3 * w + pad
+    out = []
+    for off, size in frames:
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            start = off + i * row_bytes
+            row = np.frombuffer(raw[start : start + 3 * w], dtype=np.uint8)
+            img[h - 1 - i] = row.reshape(w, 3)[:, ::-1]
+        out.append(img)
+    return rate // scale, out
+
+
+AVI_SAMPLE_SCHEMA = (
+    "doc_id long, fps int, n_frames int, n_sampled int,"
+    " frame_t int, fsum_r long, fsum_g long, fsum_b long"
+)
+
+
+def avi_frame_sample_features(
+    base: DataFrame, stride: int
+) -> DataFrame:
+    """(doc_id, n_frames, w, h, fps) -> synthesize frames -> ENCODE a
+    real AVI -> DECODE it -> sample every ``stride``-th frame -> one
+    output row per SAMPLED frame with its exact per-channel sums. fps
+    and frame count in the output come from the PARSED container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, nf, w, h, fps in zip(
+                pdf["doc_id"], pdf["nf"], pdf["w"], pdf["h"], pdf["fps"]
+            ):
+                frames = [
+                    synth_frame(int(doc_id), t, int(w), int(h))
+                    for t in range(int(nf))
+                ]
+                raw = encode_avi(frames, int(fps))
+                pfps, decoded = decode_avi(raw)
+                sampled = list(range(0, len(decoded), stride))
+                for t in sampled:
+                    s = decoded[t].astype(np.int64).sum(axis=(0, 1))
+                    out.append(
+                        (
+                            int(doc_id), pfps, len(decoded), len(sampled),
+                            t, int(s[0]), int(s[1]), int(s[2]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "fps", "n_frames", "n_sampled",
+                    "frame_t", "fsum_r", "fsum_g", "fsum_b",
+                ],
+            )
+
+    return base.mapInPandas(run, AVI_SAMPLE_SCHEMA)

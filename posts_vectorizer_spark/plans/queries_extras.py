@@ -1024,3 +1024,80 @@ def multimodal_bmp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(12) + F.col("doc_id") % 7).cast("int").alias("h"),
     )
     return bmp_ingest_features(base)
+
+
+# ---------------------------------------------------------------------------
+# REAL AVI frame sampling (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_AVI_MOD = 10     # every 10th doc carries a clip (video is the fat modality)
+_AVI_STRIDE = 2   # sample every 2nd frame
+
+_AVI_SAMPLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS nf,
+         16 + doc_id % 9 AS w,
+         12 + doc_id % 7 AS h,
+         CAST(10 + (doc_id % 4) * 5 AS INT) AS fps
+  FROM documents WHERE doc_id % {_AVI_MOD} = 0
+),
+sampled AS (
+  SELECT doc_id, nf, w, h, fps,
+         unnest(generate_series(0, nf - 1, {_AVI_STRIDE})) AS t
+  FROM base
+),
+cells AS (
+  SELECT doc_id, nf, w, h, fps, t,
+         doc_id + 1000 * t AS d2,
+         unnest(generate_series(0, w * h - 1)) AS c
+  FROM sampled
+),
+px AS (
+  SELECT doc_id, nf, w, h, fps, t, d2, c % w AS x, c // w AS y FROM cells
+)
+SELECT doc_id, fps,
+       CAST(nf AS INT) AS n_frames,
+       CAST((nf + {_AVI_STRIDE} - 1) // {_AVI_STRIDE} AS INT) AS n_sampled,
+       CAST(t AS INT) AS frame_t,
+       CAST(sum((d2 + 3 * x + 7 * y) % 256) AS BIGINT) AS fsum_r,
+       CAST(sum((2 * x + 5 * y + d2) % 256) AS BIGINT) AS fsum_g,
+       CAST(sum((x * y + d2 * 11) % 256) AS BIGINT) AS fsum_b
+FROM px GROUP BY doc_id, fps, nf, t
+"""
+
+
+@register("multimodal_avi_frame_sample", oracle=_AVI_SAMPLE_SQL, staged=True)
+def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container frame sampling — completes the
+    audio/image/video codec triple: every 10th document carries a
+    synthetic clip (4-8 formula frames, the BMP pixel layout); the
+    engine ENCODES a spec-correct uncompressed AVI (RIFF 'AVI ' with
+    LIST hdrl(avih, strl(strh vids/DIB, strf)) + LIST movi of 00db DIB
+    frames — the same chunk grammar the WAV path walks, now with a
+    nested LIST tree), DECODES it back (fps from strh rate/scale,
+    geometry from strf, frames from the movi list, undoing
+    bottom-up/BGR/row padding), samples every 2nd decoded frame, and
+    emits one row per sampled frame with exact per-channel sums. fps
+    and frame count come from the PARSED container.
+
+    No second AVI reader exists in this image (WAV had stdlib `wave`
+    for cross-validation), so the evidence is the formula oracle — any
+    header, index, layout, or sampling bug changes a sampled frame's
+    sums — plus spec-pinned header tests (tests/test_multimodal.py).
+
+    Scale shape: per-row scan-stage codec work over the clip-bearing
+    1/{_AVI_MOD} of the corpus; only sampled-frame profiles leave the
+    stage (video payloads NEVER shuffle — the rule that matters most
+    for the fattest modality)."""
+    from ..operators.multimodal import avi_frame_sample_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % _AVI_MOD == 0).select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("nf"),
+        (F.lit(16) + F.col("doc_id") % 9).cast("int").alias("w"),
+        (F.lit(12) + F.col("doc_id") % 7).cast("int").alias("h"),
+        (F.lit(10) + (F.col("doc_id") % 4) * 5).cast("int").alias("fps"),
+    )
+    return avi_frame_sample_features(base, _AVI_STRIDE)

@@ -259,6 +259,9 @@ def main(only: list[str] | None = None) -> None:
         "bmp_ingest": lambda k: SQ["multimodal_bmp_ingest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "avi_frame_sample": lambda k: SQ["multimodal_avi_frame_sample"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
