@@ -4,11 +4,16 @@ typed metadata, plus feature-extraction plumbing over ``mapInPandas``.
 Design (SURVEY.md §2.12-4): media rows are
 ``(doc_id, media_type, payload: binary, meta: struct)``. The engine treats
 payloads as opaque bytes end-to-end — schema, partitioning, Arrow batch
-shapes, and UDF signatures are real and tested; only the *codec* step is
-stubbed, because no image/audio libraries exist in this container. The stub
-is a clearly-marked NotImplementedError behind ``use_real_codecs=True``,
-with a deterministic byte-level fake as the default so the distributed
-plumbing is exercised honestly (prompt-mandated stub pattern).
+shapes, and UDF signatures are real and tested. COMPRESSED codecs
+(JPEG/MP4/...) are stubbed behind a clearly-marked NotImplementedError
+(``use_real_codecs=True``) because no image/audio libraries exist in this
+container, with a deterministic byte-level fake as the default. Since r8
+the UNCOMPRESSED containers decode for REAL with zero dependencies:
+WAV/PCM16 (stdlib writer + RIFF chunk walker), 24-bit BMP (bottom-up/BGR/
+padded-row parser + nearest-neighbor resize), and uncompressed AVI
+(hdrl/movi tree walk + DIB frame sampling) — each hash-checked end to end
+against a formula oracle (`multimodal_{wav,bmp}_ingest`,
+`multimodal_avi_frame_sample`).
 
 At 100 TB: payload columns dominate bytes — keep them OUT of shuffles
 (extract features first, then join features; never groupBy a payload), and
