@@ -671,3 +671,186 @@ def avi_frame_sample_features(
             )
 
     return base.mapInPandas(run, AVI_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image codec path: PNG truecolor (built r8, staged r9)
+# ---------------------------------------------------------------------------
+# The compressed-format gate was "no codec libraries in this image" — but
+# PNG's compression is DEFLATE, and zlib is the Python STANDARD LIBRARY.
+# This is a real PNG codec with no external dependencies: chunk framing
+# with verified CRC32s, IHDR validation, IDAT concatenation + inflate,
+# and full scanline-filter reconstruction (None/Sub/Up/Average/Paeth —
+# the part that distinguishes a PNG decoder from a zlib call). The
+# encoder VARIES the filter per row (y % 5) so every filter type is
+# exercised on every image, not just stored.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Truecolor 8-bit PNG; row y uses filter y % 5, so a decoder that
+    mishandles ANY filter type fails the roundtrip."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+    bpp = 3
+    raw = rgb.astype(np.int16)
+    prev = np.zeros((w, 3), dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        row = raw[y]
+        f = y % 5
+        left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+        upleft = np.vstack([np.zeros((1, 3), np.int16), prev[:-1]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:
+            pred = np.empty_like(row)
+            for x in range(w):
+                for c in range(3):
+                    pred[x, c] = _paeth(
+                        int(left[x, c]), int(prev[x, c]), int(upleft[x, c])
+                    )
+            filt = row - pred
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from truecolor PNG bytes: signature + CRC
+    verification, IHDR validation (8-bit, color type 2, no interlace),
+    IDAT concatenation, inflate, and per-scanline unfiltering."""
+    import struct
+    import zlib
+
+    if raw[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(raw):
+        ln = struct.unpack(">I", raw[pos : pos + 4])[0]
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack(">I", raw[pos + 8 + ln : pos + 12 + ln])[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color}"
+                    f" interlace={inter}"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    plain = zlib.decompress(bytes(idat))
+    stride = 1 + 3 * w
+    if len(plain) != stride * h:
+        raise ValueError("scanline payload size mismatch")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    prev = np.zeros((w, 3), dtype=np.int16)
+    for y in range(h):
+        f = plain[y * stride]
+        row = np.frombuffer(
+            plain[y * stride + 1 : (y + 1) * stride], dtype=np.uint8
+        ).reshape(w, 3).astype(np.int16)
+        if f == 0:
+            rec = row
+        elif f == 2:
+            rec = (row + prev) % 256
+        elif f in (1, 3, 4):
+            rec = np.empty_like(row)
+            for x in range(w):
+                for c in range(3):
+                    a = int(rec[x - 1, c]) if x else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:
+                        pred = _paeth(a, b, cc)
+                    rec[x, c] = (int(row[x, c]) + pred) % 256
+        else:
+            raise ValueError(f"unknown filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, sum_r long, sum_g long, sum_b long"
+)
+
+
+def png_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, w, h) -> formula pixels -> ENCODE real PNG (every filter
+    type in rotation) -> DECODE (CRC check, inflate, unfilter) ->
+    integer-exact per-channel sums over the decoded image. Dimensions
+    come from the PARSED IHDR."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                img = decode_png(
+                    encode_png(synth_pixels(int(doc_id), int(w), int(h)))
+                )
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                out.append(
+                    (
+                        int(doc_id), img.shape[1], img.shape[0],
+                        int(s[0]), int(s[1]), int(s[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return base.mapInPandas(run, PNG_FEATURE_SCHEMA)

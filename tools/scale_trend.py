@@ -262,6 +262,9 @@ def main(only: list[str] | None = None) -> None:
         "avi_frame_sample": lambda k: SQ["multimodal_avi_frame_sample"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "png_ingest": lambda k: SQ["multimodal_png_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
