@@ -733,12 +733,17 @@ def encode_png(rgb: np.ndarray) -> bytes:
         elif f == 3:
             filt = row - (left + prev) // 2
         else:
-            pred = np.empty_like(row)
-            for x in range(w):
-                for c in range(3):
-                    pred[x, c] = _paeth(
-                        int(left[x, c]), int(prev[x, c]), int(upleft[x, c])
-                    )
+            # encoder Paeth vectorizes: predictors read RAW neighbors
+            # (left/up/up-left), no recursion — unlike the decoder side
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
             filt = row - pred
         out.append(f)
         out += (filt % 256).astype(np.uint8).tobytes()
@@ -802,7 +807,12 @@ def decode_png(raw: bytes) -> np.ndarray:
             rec = row
         elif f == 2:
             rec = (row + prev) % 256
-        elif f in (1, 3, 4):
+        elif f == 1:
+            # Sub's recurrence rec[x] = row[x] + rec[x-1] is a modular
+            # prefix sum — vectorize with cumsum instead of the x loop
+            rec = np.cumsum(row, axis=0, dtype=np.int64) % 256
+            rec = rec.astype(np.int16)
+        elif f in (3, 4):
             rec = np.empty_like(row)
             for x in range(w):
                 for c in range(3):
