@@ -1152,3 +1152,208 @@ def rel_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Platt-scaling classifier calibration (built r8, staged r9)
+# ---------------------------------------------------------------------------
+
+_PLATT_STEPS_SQL = f"""
+WITH scored AS (
+  SELECT round(CAST(len(list_distinct({T.tokens_sql('text')})) AS DOUBLE)
+               / len({T.tokens_sql('text')}), 6) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE len({T.tokens_sql('text')}) > 0
+),
+sums1 AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(round((1/(1+exp(-(1.0*s + 0.0))) - y) * s, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS ga,
+         CAST(sum(CAST(round(1/(1+exp(-(1.0*s + 0.0))) - y, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS gb,
+         CAST(sum(CAST(round((1/(1+exp(-(1.0*s + 0.0))))
+                             * (1 - 1/(1+exp(-(1.0*s + 0.0)))) * s * s, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS haa,
+         CAST(sum(CAST(round((1/(1+exp(-(1.0*s + 0.0))))
+                             * (1 - 1/(1+exp(-(1.0*s + 0.0)))) * s, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS hab,
+         CAST(sum(CAST(round((1/(1+exp(-(1.0*s + 0.0))))
+                             * (1 - 1/(1+exp(-(1.0*s + 0.0)))), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS hbb
+  FROM scored
+),
+p1 AS (
+  SELECT n,
+         round(1.0 - (hbb*ga - hab*gb) / (haa*hbb - hab*hab), 6) AS a,
+         round(0.0 - (haa*gb - hab*ga) / (haa*hbb - hab*hab), 6) AS b
+  FROM sums1
+),
+ll1 AS (
+  SELECT CAST(round(CAST(sum(CAST(round(
+           -(y * ln(1/(1+exp(-(p1.a*s + p1.b))))
+             + (1-y) * ln(1 - 1/(1+exp(-(p1.a*s + p1.b))))), 9)
+           AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS logloss
+  FROM scored, p1
+),
+sums2 AS (
+  SELECT p1.a AS a0, p1.b AS b0, count(*) AS n,
+         CAST(sum(CAST(round((1/(1+exp(-(p1.a*s + p1.b))) - y) * s, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS ga,
+         CAST(sum(CAST(round(1/(1+exp(-(p1.a*s + p1.b))) - y, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS gb,
+         CAST(sum(CAST(round((1/(1+exp(-(p1.a*s + p1.b))))
+                             * (1 - 1/(1+exp(-(p1.a*s + p1.b)))) * s * s, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS haa,
+         CAST(sum(CAST(round((1/(1+exp(-(p1.a*s + p1.b))))
+                             * (1 - 1/(1+exp(-(p1.a*s + p1.b)))) * s, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS hab,
+         CAST(sum(CAST(round((1/(1+exp(-(p1.a*s + p1.b))))
+                             * (1 - 1/(1+exp(-(p1.a*s + p1.b)))), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS hbb
+  FROM scored, p1 GROUP BY p1.a, p1.b
+),
+p2 AS (
+  SELECT n,
+         round(a0 - (hbb*ga - hab*gb) / (haa*hbb - hab*hab), 6) AS a,
+         round(b0 - (haa*gb - hab*ga) / (haa*hbb - hab*hab), 6) AS b
+  FROM sums2
+),
+ll2 AS (
+  SELECT CAST(round(CAST(sum(CAST(round(
+           -(y * ln(1/(1+exp(-(p2.a*s + p2.b))))
+             + (1-y) * ln(1 - 1/(1+exp(-(p2.a*s + p2.b))))), 9)
+           AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS logloss
+  FROM scored, p2
+)
+SELECT CAST(1 AS INT) AS step, CAST(p1.n AS BIGINT) AS n_docs,
+       CAST(p1.a AS DOUBLE) AS a, CAST(p1.b AS DOUBLE) AS b,
+       ll1.logloss AS logloss
+FROM p1, ll1 WHERE p1.n > 0
+UNION ALL
+SELECT CAST(2 AS INT), CAST(p2.n AS BIGINT),
+       CAST(p2.a AS DOUBLE), CAST(p2.b AS DOUBLE), ll2.logloss
+FROM p2, ll2 WHERE p2.n > 0
+"""
+
+
+@register("curation_platt_calibration", oracle=_PLATT_STEPS_SQL, staged=True)
+def curation_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt-scaling calibration of a quality signal — the step every
+    filtering pipeline needs between "classifier score" and "keep
+    probability": fit p = sigmoid(a*s + b) by TWO unrolled
+    Newton-Raphson steps on the log-loss (the kmeans/pagerank unrolled-
+    iteration convention, so the ITERATION itself is oracle-checked
+    cross-engine), reporting per step the fitted (a, b) and the mean
+    log-loss at those parameters. Signal s = per-doc distinct-token
+    ratio (round-6); label y = lang == 'en' — a deterministic stand-in
+    for "human-rated good" that makes the calibration measurable.
+
+    Exactness: every gradient/Hessian/log-loss CONTRIBUTION rounds to
+    9dp DECIMAL before its exact sum (the chi2/PSI discipline — at
+    ~1e5 exp()/ln() terms this is what makes the statistic partition-
+    order-free); the 2x2 Newton solve and sigmoid are identical double
+    expressions over those sums in both engines (exp parity precedent:
+    events_halflife_decay's pow, psi/logprob's ln/log10); parameters
+    round to 6dp between steps so each step's inputs are pinned.
+
+    Scale shape: per step, ONE map-side-combinable aggregate over the
+    scored corpus (5 decimal sums + a count) and a 1-row broadcast of
+    the params back — no driver-side action, no collect; the scored
+    relation is persisted once for the 4 passes (2 sum + 2 log-loss).
+    At 100 TB each Newton step is exactly one scan-shaped reduce —
+    cheaper than the classifier that produced the scores."""
+    from ..cache import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    scored = persist_tracked(
+        docs.where(F.size(toks) > 0).select(
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks),
+                6,
+            ).alias("s"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+    )
+
+    def dec9(col):
+        return F.round(col, 9).cast("decimal(28,9)")
+
+    def newton(rel, a_col, b_col):
+        """One Newton step: 1-row (n, a, b) from sums at (a_col, b_col);
+        the incoming params ride the aggregate (max over the constant
+        column) so the post-agg update can reference them."""
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(a_col * F.col("s") + b_col)))
+        w = p * (1 - p)
+        sums = rel.agg(
+            F.count("*").alias("n"),
+            F.max(a_col).alias("a0"),
+            F.max(b_col).alias("b0"),
+            F.sum(dec9((p - F.col("y")) * F.col("s"))).cast("double").alias("ga"),
+            F.sum(dec9(p - F.col("y"))).cast("double").alias("gb"),
+            F.sum(dec9(w * F.col("s") * F.col("s"))).cast("double").alias("haa"),
+            F.sum(dec9(w * F.col("s"))).cast("double").alias("hab"),
+            F.sum(dec9(w)).cast("double").alias("hbb"),
+        )
+        det = F.col("haa") * F.col("hbb") - F.col("hab") * F.col("hab")
+        return sums.select(
+            "n",
+            F.round(
+                F.col("a0")
+                - (F.col("hbb") * F.col("ga") - F.col("hab") * F.col("gb"))
+                / det,
+                6,
+            ).alias("a"),
+            F.round(
+                F.col("b0")
+                - (F.col("haa") * F.col("gb") - F.col("hab") * F.col("ga"))
+                / det,
+                6,
+            ).alias("b"),
+        )
+
+    def logloss(rel_with_params):
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.col("a") * F.col("s") + F.col("b")))
+        )
+        ll = -(
+            F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p)
+        )
+        return rel_with_params.agg(
+            F.round(
+                F.sum(dec9(ll)).cast("double") / F.count("*"), 6
+            ).cast("double").alias("logloss")
+        )
+
+    p1 = newton(scored, F.lit(1.0), F.lit(0.0))
+    s1 = scored.crossJoin(F.broadcast(p1))
+    ll1 = logloss(s1)
+    p2 = newton(s1, F.col("a"), F.col("b"))
+    s2 = scored.crossJoin(F.broadcast(p2))
+    ll2 = logloss(s2)
+
+    row1 = (
+        p1.crossJoin(F.broadcast(ll1))
+        .where(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("int").alias("step"),
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("a").cast("double").alias("a"),
+            F.col("b").cast("double").alias("b"),
+            "logloss",
+        )
+    )
+    row2 = (
+        p2.crossJoin(F.broadcast(ll2))
+        .where(F.col("n") > 0)
+        .select(
+            F.lit(2).cast("int").alias("step"),
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("a").cast("double").alias("a"),
+            F.col("b").cast("double").alias("b"),
+            "logloss",
+        )
+    )
+    return row1.unionAll(row2)

@@ -37,7 +37,7 @@ REGISTRY: dict[str, QueryDef] = {}
 # never the verification.
 STAGED: dict[str, QueryDef] = {}
 # r8: the r7-staged wave of 11 was introduced (head slots a-block).
-# r8 staged (r9 gets their introduction slots), SIXTEEN queries:
+# r8 staged (r9 gets their introduction slots), SEVENTEEN queries:
 # sim_dim_covariance, text_kneser_ney_bigram, text_chunk_sliding,
 # sim_adamic_adar_links, sim_maxsim_late_interaction,
 # sim_margin_bitext_mining, stream_psi_drift_drain,
@@ -47,10 +47,12 @@ STAGED: dict[str, QueryDef] = {}
 # codec paths for all three modalities: RIFF/WAV chunk walker, 24-bit
 # BMP bottom-up/BGR/padded-row parser + nearest resize, uncompressed
 # AVI hdrl/movi tree walk + frame sampling, PNG with stdlib-zlib
-# DEFLATE + full scanline-filter reconstruction) — all
+# DEFLATE + full scanline-filter reconstruction), and
+# curation_platt_calibration (2 unrolled oracle-checked Newton
+# steps) — all
 # swept at sf0.01 AND sf0.1, vanilla-session
 # checked, named-tested, empty-input checked (SWEEPS.md r8 sections).
-# r9 head plan: 16 introduction slots + spine + the 40-query r4
+# r9 head plan: 17 introduction slots + spine + the 40-query r4
 # freshness cohort (ALL pre-verified vanilla, SWEEPS.md) fills ~50. Staging checklist (memory + r7
 # practice): oracle sweep at sf0.01 AND sf0.1, vanilla head_check pass,
 # a named semantic test, an empty-input pass (tests/test_edge.py), a

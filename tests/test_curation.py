@@ -203,3 +203,42 @@ def test_largest_remainder_alloc_hand_computed(spark, tmp_path):
     # leftover 2 -> fr/sa (rem 6) then en/sa (rem 4, tiebreak over en/sb)
     assert out == {("en", "sa"): 429, ("en", "sb"): 428, ("fr", "sa"): 143}
     assert sum(out.values()) == 1000
+
+
+def test_platt_calibration_learns_and_improves(spark, tmp_path):
+    """curation_platt_calibration (staged r9): on planted data where a
+    high distinct-token ratio mostly implies lang='en' (with two noise
+    docs so the MLE stays finite), the fitted slope must be positive
+    (score UP -> P(en) UP) and growing across Newton steps, and the
+    log-loss at the step-2 parameters must beat step 1 — the iteration
+    genuinely descends the loss, it doesn't just produce rows."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+    did = 0
+    for _ in range(5):  # en docs: all-distinct tokens -> s = 1.0
+        did += 1
+        rows.append((did, f"w{did}a w{did}b w{did}c w{did}d", "en", "s", 0))
+    for _ in range(5):  # fr docs: one token repeated -> s = 0.25
+        did += 1
+        rows.append((did, "rep rep rep rep", "fr", "s", 0))
+    did += 1
+    rows.append((did, "nx nx nx nx", "en", "s", 0))          # noise en, low s
+    did += 1
+    rows.append((did, "qa qb qc qd", "fr", "s", 0))          # noise fr, high s
+    d = tmp_path / "platt"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["step"]: r
+        for r in resolve_query("curation_platt_calibration")(
+            spark, str(d)
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_docs"] == 12 and out[2]["n_docs"] == 12
+    assert out[1]["a"] > 0 and out[2]["a"] > out[1]["a"]
+    assert out[2]["logloss"] < out[1]["logloss"]

@@ -265,6 +265,9 @@ def main(only: list[str] | None = None) -> None:
         "png_ingest": lambda k: SQ["multimodal_png_ingest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "platt_calibration": lambda k: SQ["curation_platt_calibration"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
