@@ -819,12 +819,7 @@ def decode_png(raw: bytes) -> np.ndarray:
                     a = int(rec[x - 1, c]) if x else 0
                     b = int(prev[x, c])
                     cc = int(prev[x - 1, c]) if x else 0
-                    if f == 1:
-                        pred = a
-                    elif f == 3:
-                        pred = (a + b) // 2
-                    else:
-                        pred = _paeth(a, b, cc)
+                    pred = (a + b) // 2 if f == 3 else _paeth(a, b, cc)
                     rec[x, c] = (int(row[x, c]) + pred) % 256
         else:
             raise ValueError(f"unknown filter {f}")
