@@ -590,18 +590,22 @@ def decode_avi(raw: bytes) -> tuple[int, list[np.ndarray]]:
 
     w = h = bpp = None
     rate = scale = None
+    in_vids = False  # most recent strh in this strl declared 'vids'
     frames: list[np.ndarray] = []
 
     def handle(cid, off, size, depth):
-        nonlocal w, h, bpp, rate, scale
+        nonlocal w, h, bpp, rate, scale, in_vids
         if cid == b"LIST":
             for c2, o2, s2 in walk(raw, off + 4, off + size):
                 handle(c2, o2, s2, depth + 1)
         elif cid == b"strh":
             body = raw[off : off + size]
-            if body[0:4] == b"vids":
+            in_vids = body[0:4] == b"vids"
+            if in_vids:
                 scale, rate = struct.unpack("<II", body[20:28])
-        elif cid == b"strf" and w is None:
+        elif cid == b"strf" and w is None and in_vids:
+            # only the vids stream's format chunk describes frames — a
+            # foreign AVI listing an audio strl first must not bind w/h
             _hs, w, h, _planes, bpp = struct.unpack(
                 "<IiiHH", raw[off : off + 16]
             )
@@ -618,6 +622,10 @@ def decode_avi(raw: bytes) -> tuple[int, list[np.ndarray]]:
     row_bytes = 3 * w + pad
     out = []
     for off, size in frames:
+        if size != row_bytes * h:
+            raise ValueError(
+                f"frame chunk size {size} != {row_bytes * h} for {w}x{h}"
+            )
         img = np.empty((h, w, 3), dtype=np.uint8)
         for i in range(h):
             start = off + i * row_bytes
@@ -698,14 +706,6 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
         + data
         + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
     )
-
-
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
 
 
 def encode_png(rgb: np.ndarray) -> bytes:
@@ -796,36 +796,54 @@ def decode_png(raw: bytes) -> np.ndarray:
     stride = 1 + 3 * w
     if len(plain) != stride * h:
         raise ValueError("scanline payload size mismatch")
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    prev = np.zeros((w, 3), dtype=np.int16)
+    # Unfilter in the FLAT BYTE domain: Sub/Average/Paeth are sequential
+    # in x by spec (each byte's predictor reads the reconstructed left
+    # neighbor), so the recurrence can't vectorize — but a bytearray DP
+    # with plain int arithmetic beats per-element numpy indexing ~20x
+    # (numpy scalar reads dominated the r8 profile; SCALE.md r9 note).
+    n = 3 * w
+    bpp = 3
+    recon = bytearray(n * h)
+    prev = bytes(n)  # zero row above the image
     for y in range(h):
         f = plain[y * stride]
-        row = np.frombuffer(
-            plain[y * stride + 1 : (y + 1) * stride], dtype=np.uint8
-        ).reshape(w, 3).astype(np.int16)
+        rec = bytearray(plain[y * stride + 1 : (y + 1) * stride])
         if f == 0:
-            rec = row
-        elif f == 2:
-            rec = (row + prev) % 256
-        elif f == 1:
-            # Sub's recurrence rec[x] = row[x] + rec[x-1] is a modular
-            # prefix sum — vectorize with cumsum instead of the x loop
-            rec = np.cumsum(row, axis=0, dtype=np.int64) % 256
-            rec = rec.astype(np.int16)
-        elif f in (3, 4):
-            rec = np.empty_like(row)
-            for x in range(w):
-                for c in range(3):
-                    a = int(rec[x - 1, c]) if x else 0
-                    b = int(prev[x, c])
-                    cc = int(prev[x - 1, c]) if x else 0
-                    pred = (a + b) // 2 if f == 3 else _paeth(a, b, cc)
-                    rec[x, c] = (int(row[x, c]) + pred) % 256
+            pass
+        elif f == 1:  # Sub: pred = reconstructed left
+            for i in range(bpp, n):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif f == 2:  # Up: pred = reconstructed above
+            for i in range(n):
+                rec[i] = (rec[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average: pred = (left + up) // 2
+            for i in range(bpp):
+                rec[i] = (rec[i] + (prev[i] >> 1)) & 0xFF
+            for i in range(bpp, n):
+                rec[i] = (rec[i] + ((rec[i - bpp] + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth; first pixel reduces to pred = up
+            for i in range(bpp):
+                rec[i] = (rec[i] + prev[i]) & 0xFF
+            for i in range(bpp, n):
+                a = rec[i - bpp]
+                b = prev[i]
+                c = prev[i - bpp]
+                # pa = |p-a| = |b-c|, pb = |p-b| = |a-c|, pc = |a+b-2c|
+                pa = abs(b - c)
+                pb = abs(a - c)
+                pc = abs(a + b - 2 * c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[i] = (rec[i] + pred) & 0xFF
         else:
             raise ValueError(f"unknown filter {f}")
-        out[y] = rec.astype(np.uint8)
+        recon[y * n : (y + 1) * n] = rec
         prev = rec
-    return out
+    return np.frombuffer(bytes(recon), dtype=np.uint8).reshape(h, w, 3)
 
 
 PNG_FEATURE_SCHEMA = (
@@ -859,3 +877,265 @@ def png_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL LZW-compressed image codec path: GIF87a (built r9, staged r10)
+# ---------------------------------------------------------------------------
+# PNG proved DEFLATE; GIF's compression is LZW — a genuinely different
+# algorithm (adaptive dictionary, variable-width codes, 12-bit cap with
+# mid-stream CLEAR resets, LSB-first bit packing, 255-byte sub-block
+# framing) implemented here from the published GIF87a spec with zero
+# dependencies. The decoder follows the standard width rule (grow when
+# next_code reaches 1<<width; stop adding at 4096 — deferred-clear
+# tolerant), so it reads spec-conforming foreign GIFs, not just its own.
+
+_GIF_SIG = b"GIF87a"
+_GIF_MCS = 8  # 8-bit indexed pixels -> min LZW code size 8
+
+
+def _lzw_encode(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: emitted code widths exactly track what a
+    spec-standard decoder expects (encoder threshold next_code-1 for
+    string codes — the decoder's table lags one entry — and next_code
+    for END; derivation in the r9 notes). CLEAR+reset at table cap."""
+    clear = 1 << mcs
+    end = clear + 1
+    first = end + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def w_for(v: int) -> int:
+        return max(mcs + 1, min(12, v.bit_length()))
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = first
+    put(clear, mcs + 1)
+    s = b""
+    for ch in data:
+        sc = s + bytes([ch])
+        if sc in table:
+            s = sc
+            continue
+        put(table[s], w_for(next_code - 1))
+        if next_code < 4096:
+            table[sc] = next_code
+            next_code += 1
+        else:
+            put(clear, w_for(next_code))  # 12 bits
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = first
+        s = bytes([ch])
+    if s:
+        put(table[s], w_for(next_code - 1))
+    put(end, w_for(next_code))
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> bytes:
+    """Standard GIF LZW decoder: width = bits(next_code) before every
+    read (clamped to 12), KwKwK case, entry adds stop at 4096 until a
+    CLEAR (deferred-clear tolerant)."""
+    clear = 1 << mcs
+    end = clear + 1
+    first = end + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def get(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    def w_for(v: int) -> int:
+        return max(mcs + 1, min(12, v.bit_length()))
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = first
+    prev: bytes | None = None
+    while True:
+        code = get(w_for(next_code if prev is not None else end))
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code = first
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first LZW code not a literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code and next_code < 4096:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("LZW output exceeds pixel count")
+    if len(out) != n_expected:
+        raise ValueError("LZW output short of pixel count")
+    return bytes(out)
+
+
+def synth_palette() -> np.ndarray:
+    """(256, 3) uint8 formula palette both engines can state:
+    r=(7i+3)%256, g=(11i+5)%256, b=(13i+7)%256."""
+    i = np.arange(256)
+    return np.stack(
+        [(7 * i + 3) % 256, (11 * i + 5) % 256, (13 * i + 7) % 256], axis=1
+    ).astype(np.uint8)
+
+
+def synth_indices(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w) uint8 palette indices: idx=(3*doc_id + 5x + 11y) % 256."""
+    y, x = np.mgrid[0:h, 0:w]
+    return ((3 * int(doc_id) + 5 * x + 11 * y) % 256).astype(np.uint8)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """GIF87a, single image, 256-color global color table, real LZW."""
+    import struct
+
+    h, w = indices.shape
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    # packed: GCT flag(1) | color-res 7 | sort 0 | GCT size 7 (2^8 colors)
+    lsd = struct.pack("<HHBBB", w, h, 0b1_111_0_111, 0, 0)
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    lzw = _lzw_encode(indices.tobytes(), _GIF_MCS)
+    blocks = bytearray([_GIF_MCS])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        _GIF_SIG + lsd + pal.tobytes() + img_desc + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif(raw: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(palette (n,3) uint8, indices (h,w) uint8) from GIF bytes:
+    header validation (87a or 89a), logical screen descriptor, global
+    color table, extension-block skipping, single non-interlaced image
+    without a local color table, sub-block LZW reassembly + decode."""
+    import struct
+
+    if len(raw) < 13 or (raw[:6] not in (b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    palette = np.frombuffer(
+        raw[pos : pos + 3 * n_colors], dtype=np.uint8
+    ).reshape(n_colors, 3)
+    pos += 3 * n_colors
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", raw[pos + 1 : pos + 10]
+            )
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if (left, top, w, h) != (0, 0, sw, sh):
+                raise ValueError("sub-rectangle image unsupported")
+            pos += 10
+            mcs = raw[pos]
+            pos += 1
+            lzw = bytearray()
+            while raw[pos]:
+                ln = raw[pos]
+                lzw += raw[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), mcs, w * h), dtype=np.uint8
+            ).reshape(h, w)
+            if idx.max(initial=0) >= n_colors:
+                raise ValueError("pixel index outside color table")
+            return palette, idx
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("no image data in GIF")
+
+
+GIF_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_colors int,"
+    " sum_r long, sum_g long, sum_b long"
+)
+
+
+def gif_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, w, h) -> formula indices + palette -> ENCODE real GIF
+    (real LZW) -> DECODE (header walk, sub-block reassembly, LZW) ->
+    palette-mapped integer channel sums + distinct-color count over the
+    DECODED image, dimensions from the PARSED screen descriptor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal_master = synth_palette()
+        for pdf in batches:
+            out = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                raw = encode_gif(
+                    synth_indices(int(doc_id), int(w), int(h)), pal_master
+                )
+                pal, idx = decode_gif(raw)
+                rgb = pal[idx]  # palette mapping via the PARSED table
+                s = rgb.astype(np.int64).sum(axis=(0, 1))
+                out.append(
+                    (
+                        int(doc_id), idx.shape[1], idx.shape[0],
+                        int(np.unique(idx).size),
+                        int(s[0]), int(s[1]), int(s[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_colors",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return base.mapInPandas(run, GIF_FEATURE_SCHEMA)

@@ -976,7 +976,7 @@ FROM scored GROUP BY doc_id
 """
 
 
-@register("text_kneser_ney_bigram", oracle=_KN_BIGRAM_SQL, staged=True)
+@register("text_kneser_ney_bigram", oracle=_KN_BIGRAM_SQL)
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM scoring — the smoothing upgrade
     over `text_bigram_logprob`'s add-1: probability mass discounted from
@@ -1092,7 +1092,7 @@ FROM ranked
 """
 
 
-@register("rel_largest_remainder_alloc", oracle=_LRA_SQL, staged=True)
+@register("rel_largest_remainder_alloc", oracle=_LRA_SQL)
 def rel_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder (Hamilton) apportionment of a fixed eval budget
     (1000 rows) across (lang, source) strata — the exact
@@ -1236,7 +1236,7 @@ FROM p2, ll2 WHERE p2.n > 0
 """
 
 
-@register("curation_platt_calibration", oracle=_PLATT_STEPS_SQL, staged=True)
+@register("curation_platt_calibration", oracle=_PLATT_STEPS_SQL)
 def curation_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Platt-scaling calibration of a quality signal — the step every
     filtering pipeline needs between "classifier score" and "keep

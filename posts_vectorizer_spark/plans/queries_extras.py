@@ -915,7 +915,7 @@ FROM sgn GROUP BY doc_id, n, rate
 """
 
 
-@register("multimodal_wav_ingest", oracle=_WAV_INGEST_SQL, staged=True)
+@register("multimodal_wav_ingest", oracle=_WAV_INGEST_SQL)
 def multimodal_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec ingest — the multimodal family's upgrade from
     "codec stubbed, plumbing tested" to a genuinely decoded container:
@@ -991,7 +991,7 @@ FROM fullsum f JOIN tsum t ON t.doc_id = f.doc_id
 """
 
 
-@register("multimodal_bmp_ingest", oracle=_BMP_INGEST_SQL, staged=True)
+@register("multimodal_bmp_ingest", oracle=_BMP_INGEST_SQL)
 def multimodal_bmp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image codec ingest + resize: per document, synthesize an RGB
     image from an integer formula (width 16-24 so row padding hits every
@@ -1067,7 +1067,7 @@ FROM px GROUP BY doc_id, fps, nf, t
 """
 
 
-@register("multimodal_avi_frame_sample", oracle=_AVI_SAMPLE_SQL, staged=True)
+@register("multimodal_avi_frame_sample", oracle=_AVI_SAMPLE_SQL)
 def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video container frame sampling — completes the
     audio/image/video codec triple: every 10th document carries a
@@ -1123,7 +1123,7 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
-@register("multimodal_png_ingest", oracle=_PNG_INGEST_SQL, staged=True)
+@register("multimodal_png_ingest", oracle=_PNG_INGEST_SQL)
 def multimodal_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL COMPRESSED image codec ingest — the gate said "no codec
     libraries in this image", but PNG's compression is DEFLATE and zlib
@@ -1151,3 +1151,55 @@ def multimodal_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(12) + F.col("doc_id") % 7).cast("int").alias("h"),
     )
     return png_ingest_features(base)
+
+
+_GIF_INGEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 20 + doc_id % 11 AS w, 14 + doc_id % 9 AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS c FROM base
+),
+px AS (
+  SELECT doc_id, w, h,
+         (3 * doc_id + 5 * (c % w) + 11 * (c // w)) % 256 AS idx
+  FROM cells
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(count(DISTINCT idx) AS INT) AS n_colors,
+       CAST(sum((7 * idx + 3) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((11 * idx + 5) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((13 * idx + 7) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+@register("multimodal_gif_ingest", oracle=_GIF_INGEST_SQL, staged=True)
+def multimodal_gif_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image codec ingest (built r9, staged r10) —
+    PNG proved DEFLATE; GIF87a's compression is LZW, a genuinely
+    different algorithm implemented here from the published spec with
+    zero dependencies: adaptive dictionary, variable-width codes with
+    the standard growth rule, 12-bit cap with mid-stream CLEAR resets
+    (exercised by test), LSB-first bit packing, 255-byte sub-block
+    framing, indexed color through a parsed 256-entry global color
+    table. Decode walks header/LSD/GCT, skips extension blocks,
+    validates the image descriptor (no interlace, no local table), and
+    is deferred-clear tolerant — it reads spec-conforming foreign GIFs,
+    not just its own output. Features are integer-exact palette-mapped
+    channel sums + the distinct-color count over the DECODED indices
+    with dimensions from the PARSED screen descriptor; the oracle
+    states them from the synthesis formula, so any LZW-table, width, or
+    framing bug hash-mismatches.
+
+    Scale shape: per-row scan-stage codec work (zero shuffle for the
+    payload); only the 7-column profile leaves the stage."""
+    from ..operators.multimodal import gif_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.lit(20) + F.col("doc_id") % 11).cast("int").alias("w"),
+        (F.lit(14) + F.col("doc_id") % 9).cast("int").alias("h"),
+    )
+    return gif_ingest_features(base)

@@ -557,7 +557,6 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
 FROM scored
 WHERE mx > 0 AND 1 - CAST(edit_dist AS DOUBLE) / mx >= {_EDV_SIM_MIN}
 """,
-    staged=True,
 )
 def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup verification: SNM blocking (same block +
@@ -732,7 +731,7 @@ GROUP BY bands, rows_per_band, s_star
 """
 
 
-@register("sim_lsh_param_planner", oracle=_LSH_PLANNER_SQL, staged=True)
+@register("sim_lsh_param_planner", oracle=_LSH_PLANNER_SQL)
 def sim_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH parameter planner: for every (bands, rows) split of
     the 16-component MinHash signature, estimate ON THIS CORPUS the

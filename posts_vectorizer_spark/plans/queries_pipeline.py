@@ -1134,7 +1134,7 @@ FROM chunks
 """
 
 
-@register("text_chunk_sliding", oracle=_CHUNK_SLIDING_SQL, staged=True)
+@register("text_chunk_sliding", oracle=_CHUNK_SLIDING_SQL)
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunk EMISSION — the RAG/serving ETL output stage
     (vs `text_chunk_dedup`/`text_chunk_boilerplate`, which consume

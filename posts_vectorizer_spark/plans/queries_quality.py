@@ -609,7 +609,7 @@ FROM sized GROUP BY doc_id
 """
 
 
-@register("text_code_mixing_entropy", oracle=_CODE_MIXING_SQL, staged=True)
+@register("text_code_mixing_entropy", oracle=_CODE_MIXING_SQL)
 def text_code_mixing_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-mixing detector: every token votes for the language whose
     corpus slice uses it most (majority vote over the (word, lang)

@@ -1351,7 +1351,7 @@ FROM (
 """
 
 
-@register("sim_margin_bitext_mining", oracle=_bitext_margin_sql(), staged=True)
+@register("sim_margin_bitext_mining", oracle=_bitext_margin_sql())
 def sim_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext/pair mining (the LASER/CCMatrix criterion that
     builds parallel-corpus training data): the label space splits into

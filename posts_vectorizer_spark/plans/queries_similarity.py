@@ -273,8 +273,32 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Adamic-Adar link prediction over the mutual-kNN graph (built r8, staged r9)
 # ---------------------------------------------------------------------------
 
-_AA_SQL = f"""
-WITH t AS ({similarity.topk_sql(KNN_GRAPH_K)}),
+
+def _mutual_edges(t: DataFrame) -> DataFrame:
+    """src<dst mutual edges from any kNN list (query_id, neighbor_id, ...).
+
+    The kNN producer is pluggable: the exact broadcast-tile `topk` kernel
+    for eval-sized ground truth, or `lsh_ann` for the corpus-scale path —
+    both emit the same (query_id, neighbor_id) contract, so the graph
+    algebra downstream is producer-agnostic."""
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("src"),
+            F.col("a.neighbor_id").alias("dst"),
+        )
+    )
+
+
+def _aa_sql(t_sql: str) -> str:
+    return f"""
+WITH t AS ({t_sql}),
 edges AS (
   SELECT a.query_id AS src, a.neighbor_id AS dst
   FROM t a JOIN t b
@@ -304,47 +328,12 @@ GROUP BY n.u, n.v
 """
 
 
-@register("sim_adamic_adar_links", oracle=_AA_SQL, staged=True)
-def sim_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adamic-Adar link prediction on the mutual-kNN similarity graph:
-    for every non-adjacent pair (u, v) sharing at least one common
-    neighbor, score sum_z 1/log10(deg(z)) over the common neighbors z —
-    rare shared neighbors say more than hub ones. This is the
-    graph-side near-duplicate/recommendation miner that complements the
-    geometric ones: it predicts which vectors WOULD be neighbors from
-    graph structure alone (no new kernel passes), the basis of
-    cluster-repair and candidate augmentation over kNN indexes.
-
-    Exactness: degrees are exact integers from the mutual edge list;
-    each 1/log10(deg) term rounds to 8dp DECIMAL before the exact sum
-    (deg >= 2 by construction — a common neighbor is adjacent to both u
-    and v — so log10 never sees 1). Ranking-free output: every scored
-    pair is emitted.
-
-    Scale shape: the edge list is n*k rows (k={KNN_GRAPH_K}); the
-    triangle-path join und><und on the shared endpoint is bounded by
-    sum_z deg(z)^2 <= n*k^2 candidates — a bounded-degree self equi-join,
-    never n^2; the existing-edge removal is a left-anti hash join and
-    degrees reduce map-side. The kernel-built edge list is persisted so
-    its 5 consumers (two join sides, degrees, anti probe, build) reuse
-    one materialization instead of re-running the broadcast-tile kernel."""
+def _adamic_adar(edges_in: DataFrame) -> DataFrame:
+    """The AA graph algebra over a src<dst edge list — shared verbatim by
+    the exact-kNN and lsh_ann edge producers (identical output contract)."""
     from ..cache import persist_tracked
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    t = similarity.topk(emb, KNN_GRAPH_K)
-    a, b = t.alias("a"), t.alias("b")
-    edges = persist_tracked(
-        a.join(
-            b,
-            (F.col("a.query_id") == F.col("b.neighbor_id"))
-            & (F.col("a.neighbor_id") == F.col("b.query_id")),
-        )
-        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
-        .select(
-            F.col("a.query_id").alias("src"),
-            F.col("a.neighbor_id").alias("dst"),
-        )
-    )
+    edges = persist_tracked(edges_in)
     und = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -381,6 +370,64 @@ def sim_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_adamic_adar_links", oracle=_aa_sql(similarity.topk_sql(KNN_GRAPH_K)))
+def sim_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the mutual-kNN similarity graph:
+    for every non-adjacent pair (u, v) sharing at least one common
+    neighbor, score sum_z 1/log10(deg(z)) over the common neighbors z —
+    rare shared neighbors say more than hub ones. This is the
+    graph-side near-duplicate/recommendation miner that complements the
+    geometric ones: it predicts which vectors WOULD be neighbors from
+    graph structure alone (no new kernel passes), the basis of
+    cluster-repair and candidate augmentation over kNN indexes.
+
+    Exactness: degrees are exact integers from the mutual edge list;
+    each 1/log10(deg) term rounds to 8dp DECIMAL before the exact sum
+    (deg >= 2 by construction — a common neighbor is adjacent to both u
+    and v — so log10 never sees 1). Ranking-free output: every scored
+    pair is emitted.
+
+    Scale shape: the edge list is n*k rows (k={KNN_GRAPH_K}); the
+    triangle-path join und><und on the shared endpoint is bounded by
+    sum_z deg(z)^2 <= n*k^2 candidates — a bounded-degree self equi-join,
+    never n^2; the existing-edge removal is a left-anti hash join and
+    degrees reduce map-side. The kernel-built edge list is persisted so
+    its 5 consumers (two join sides, degrees, anti probe, build) reuse
+    one materialization instead of re-running the broadcast-tile kernel.
+
+    This EXACT form is the eval-sized ground-truth witness: the kNN edge
+    build is the tiled brute-force kernel (probe x build — measured 54x
+    wall under 10x data, SCALE.md r8). The registered corpus-scale form
+    is sim_adamic_adar_links_ann (lsh_ann edge build, linear shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _adamic_adar(_mutual_edges(similarity.topk(emb, KNN_GRAPH_K)))
+
+
+@register(
+    "sim_adamic_adar_links_ann",
+    oracle=_aa_sql(similarity.lsh_ann_sql(DIMS, KNN_GRAPH_K)),
+)
+def sim_adamic_adar_links_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction with the edge list built from lsh_ann
+    (bucketed approximate kNN) instead of the exact broadcast-tile kernel —
+    the 100 TB form. The graph algebra (_adamic_adar) is shared verbatim
+    with the exact witness sim_adamic_adar_links; only the kNN producer
+    differs, and the producer is the scale story: lsh_ann's candidate
+    generation is a bucket equi-join (shuffle ~ vectors x probes), so the
+    whole query is linear-shuffle end-to-end where the exact form's
+    kernel was probe x build quadratic (SCALE.md r8: 54x wall at 10x).
+
+    The oracle re-states the SAME lsh_ann pipeline in DuckDB (the pairing
+    proved bit-identical by the green sim_lsh_ann row since r2), so this
+    is a full [Q] hash-checked query, not a weaker recall-only check —
+    recall vs the exact edge list is additionally bounded in
+    tests/test_retrieval.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _adamic_adar(
+        _mutual_edges(similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K))
+    )
+
+
 # ---------------------------------------------------------------------------
 # ColBERT-style maxsim late interaction (built r8, staged r9)
 # ---------------------------------------------------------------------------
@@ -394,7 +441,6 @@ _MAXSIM_PROBE_MOD = 50  # every 50th vector plays the query role
     oracle=similarity.maxsim_topk_sql(
         _MAXSIM_K, probe_pred=f"q.vec_id % {_MAXSIM_PROBE_MOD} = 0"
     ),
-    staged=True,
 )
 def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-vector (late-interaction / ColBERT-style) retrieval: every
@@ -423,8 +469,9 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KCORE_K = 3       # minimum in-subgraph degree to survive a peel round
 _KCORE_ROUNDS = 3  # unrolled peel rounds (the pagerank/kmeans convention)
 
-_KCORE_SQL = f"""
-WITH t AS ({similarity.topk_sql(KNN_GRAPH_K)}),
+def _kcore_sql(t_sql: str) -> str:
+    return f"""
+WITH t AS ({t_sql}),
 edges AS (
   SELECT a.query_id AS src, a.neighbor_id AS dst
   FROM t a JOIN t b
@@ -462,47 +509,12 @@ LEFT JOIN a3 ON a3.node = d0.node
 """
 
 
-@register("sim_kcore_peeling", oracle=_KCORE_SQL, staged=True)
-def sim_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core peeling profile of the mutual-kNN similarity graph:
-    3 unrolled rounds of "remove nodes with fewer than
-    3 surviving neighbors", reporting each node's initial
-    degree, how many rounds it survived, and whether it sits in the
-    3-round 3-core approximation. Dense cores of
-    a near-dup/similarity graph are template clusters and SEO farms
-    (peel-resistant); genuinely diverse content peels early — the graph
-    complement to the dedup family's content signals, and the same
-    distributed-iteration shape as the repo's unrolled PageRank (each
-    round is one bounded join+aggregate, verified cross-engine rather
-    than run to a data-dependent fixpoint).
-
-    Exactness: degrees and survival are integers end-to-end; there is
-    no floating point anywhere past the kernel's round-6 cosines.
-
-    Scale shape: the edge list is n*k rows (persisted once for all
-    3 rounds + the output joins); each peel round is a
-    semi-join of the edge list against the surviving-node set (alive
-    sets only shrink) and a map-side-combinable degree count — cost is
-    O(rounds * |E|), never quadratic. The exact-kNN edge build is the
-    eval-sized form; at corpus scale swap in lsh_ann (identical output
-    contract), as with sim_knn_graph_mutual."""
+def _kcore(edges_in: DataFrame) -> DataFrame:
+    """The unrolled peel algebra over a src<dst edge list — shared by the
+    exact-kNN witness and the lsh_ann corpus-scale form."""
     from ..cache import persist_tracked
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    t = similarity.topk(emb, KNN_GRAPH_K)
-    a, b = t.alias("a"), t.alias("b")
-    edges = persist_tracked(
-        a.join(
-            b,
-            (F.col("a.query_id") == F.col("b.neighbor_id"))
-            & (F.col("a.neighbor_id") == F.col("b.query_id")),
-        )
-        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
-        .select(
-            F.col("a.query_id").alias("src"),
-            F.col("a.neighbor_id").alias("dst"),
-        )
-    )
+    edges = persist_tracked(edges_in)
     und = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -546,3 +558,53 @@ def sim_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("s3"), F.lit(False)).alias("in_core"),
         )
     )
+
+
+@register("sim_kcore_peeling", oracle=_kcore_sql(similarity.topk_sql(KNN_GRAPH_K)))
+def sim_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling profile of the mutual-kNN similarity graph:
+    3 unrolled rounds of "remove nodes with fewer than
+    3 surviving neighbors", reporting each node's initial
+    degree, how many rounds it survived, and whether it sits in the
+    3-round 3-core approximation. Dense cores of
+    a near-dup/similarity graph are template clusters and SEO farms
+    (peel-resistant); genuinely diverse content peels early — the graph
+    complement to the dedup family's content signals, and the same
+    distributed-iteration shape as the repo's unrolled PageRank (each
+    round is one bounded join+aggregate, verified cross-engine rather
+    than run to a data-dependent fixpoint).
+
+    Exactness: degrees and survival are integers end-to-end; there is
+    no floating point anywhere past the kernel's round-6 cosines.
+
+    Scale shape: the edge list is n*k rows (persisted once for all
+    3 rounds + the output joins); each peel round is a
+    semi-join of the edge list against the surviving-node set (alive
+    sets only shrink) and a map-side-combinable degree count — cost is
+    O(rounds * |E|), never quadratic. This EXACT form is the eval-sized
+    ground-truth witness (tiled kernel edge build — 19x wall under 10x
+    data, SCALE.md r8); the registered corpus-scale form is
+    sim_kcore_peeling_ann (lsh_ann edge build, linear shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _kcore(_mutual_edges(similarity.topk(emb, KNN_GRAPH_K)))
+
+
+@register(
+    "sim_kcore_peeling_ann",
+    oracle=_kcore_sql(similarity.lsh_ann_sql(DIMS, KNN_GRAPH_K)),
+)
+def sim_kcore_peeling_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling with the mutual edge list built from lsh_ann
+    (bucketed approximate kNN) — the 100 TB form of sim_kcore_peeling.
+    The peel algebra (_kcore) is shared verbatim; only the kNN producer
+    differs. lsh_ann candidates come from a bucket equi-join (shuffle ~
+    vectors x probes, never vectors²), so every stage of this plan is a
+    linear-shuffle join/aggregate where the exact witness pays the
+    probe x build kernel (19x wall at 10x data, SCALE.md r8).
+
+    Full [Q] hash check: the oracle re-states the lsh_ann pipeline + peel
+    rounds in DuckDB (same pairing the green sim_lsh_ann row proves);
+    edge-set recall vs the exact witness is bounded in
+    tests/test_retrieval.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _kcore(_mutual_edges(similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K)))

@@ -1077,7 +1077,7 @@ FROM cov c JOIN diag di ON di.i = c.i JOIN diag dj ON dj.i = c.j
 """
 
 
-@register("sim_dim_covariance", oracle=_DIM_COVARIANCE_SQL, staged=True)
+@register("sim_dim_covariance", oracle=_DIM_COVARIANCE_SQL)
 def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariance + correlation matrix of the leading 16 embedding
     dimensions — the embedding-health profile behind whitening, PCA
@@ -1177,7 +1177,7 @@ def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_psi_drift_drain", oracle=_PSI_DRIFT_SQL, staged=True)
+@register("stream_psi_drift_drain", oracle=_PSI_DRIFT_SQL)
 def stream_psi_drift_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PSI drift maintenance with a driver row: the
     reference-window stats (min/max micro-units, bucket bounds) are

