@@ -436,9 +436,12 @@ def text_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unigram-LM document scoring (perplexity-style quality filter)
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_unigram_logprob",
-    oracle=f"""
+# Per-doc scored form INCLUDING the exact DECIMAL numerator (lp_sum) —
+# consumed by text_perplexity_buckets, whose tier-level means must divide
+# exact sums rather than re-round per-doc quotient doubles (the r4/sf0.1
+# rounding-boundary lesson; a round(avg_logprob, 9) variant hash-
+# mismatched at sf0.1 in r9 development).
+_UNIGRAM_SCORED_SQL = f"""
 WITH doc_toks AS (
   SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM documents
 ),
@@ -463,14 +466,21 @@ scored AS (
 )
 SELECT doc_id,
        CAST(sum(dcnt) AS BIGINT) AS n_tokens,
+       CAST(sum(lp) AS DECIMAL(28,6)) AS lp_sum,
        -- raw quotient, not rounded: the exact-decimal numerator makes the
        -- division bit-identical; rounding it is not portable (quotients of
        -- a 1e-6-grid sum by small integers land ON rounding boundaries,
        -- where the engines' rounding algorithms disagree — sf0.1 lesson)
        CAST(sum(lp) AS DOUBLE) / sum(dcnt) AS avg_logprob
 FROM scored GROUP BY doc_id
-""",
+"""
+
+_UNIGRAM_LP_SQL = (
+    f"SELECT doc_id, n_tokens, avg_logprob FROM ({_UNIGRAM_SCORED_SQL})"
 )
+
+
+@register("text_unigram_logprob", oracle=_UNIGRAM_LP_SQL)
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring: fit an add-1-smoothed unigram LM on
     the corpus itself, then score each document by its mean per-token
@@ -485,6 +495,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is order-insensitive across partitions (float addition is
     not), keeping the value hash stable under any partitioning.
     """
+    return unigram_scored(spark, sf_dir).select(
+        "doc_id", "n_tokens", "avg_logprob"
+    )
+
+
+def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM scores WITH the exact DECIMAL numerator
+    (lp_sum) — text_unigram_logprob's pipeline, shared with
+    text_perplexity_buckets whose tier means divide exact sums."""
     docs = load_table(spark, sf_dir, "documents")
     doc_toks = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("word")
@@ -507,6 +526,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.sum("dcnt").cast("bigint").alias("n_tokens"),
+        F.sum("lp").cast("decimal(28,6)").alias("lp_sum"),
         (F.sum("lp").cast("double") / F.sum("dcnt"))
         .cast("double")
         .alias("avg_logprob"),
@@ -1357,3 +1377,224 @@ def curation_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row1.unionAll(row2)
+
+
+# ---------------------------------------------------------------------------
+# multiplicative-weights domain reweighting (built r9, staged r10)
+# ---------------------------------------------------------------------------
+
+_MW_ETA = 0.5
+
+
+_MW_REWEIGHT_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         round(1 - CAST(len(list_distinct({T.tokens_sql('text')})) AS DOUBLE)
+                   / len({T.tokens_sql('text')}), 6) AS loss
+  FROM documents WHERE len({T.tokens_sql('text')}) > 0
+),
+dom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(round(CAST(sum(CAST(round(loss, 9) AS DECIMAL(28,9)))
+                         AS DOUBLE) / count(*), 6) AS DOUBLE) AS domain_loss
+  FROM scored GROUP BY source
+),
+k AS (SELECT round(1.0 / count(*), 9) AS w0 FROM dom),
+a1 AS (
+  SELECT CAST(sum(CAST(round(k.w0 * d.domain_loss, 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS avg1
+  FROM dom d, k
+),
+s1 AS (
+  SELECT d.source, d.n_docs, d.domain_loss, k.w0,
+         k.w0 * (1 + {_MW_ETA} * (d.domain_loss - a1.avg1)) AS w1r
+  FROM dom d, k, a1
+),
+n1 AS (
+  SELECT CAST(sum(CAST(round(w1r, 12) AS DECIMAL(28,12))) AS DOUBLE) AS norm1
+  FROM s1
+),
+t1 AS (
+  SELECT s1.source, s1.n_docs, s1.domain_loss, s1.w0,
+         round(s1.w1r / n1.norm1, 6) AS w1
+  FROM s1, n1
+),
+a2 AS (
+  SELECT CAST(sum(CAST(round(t.w1 * t.domain_loss, 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS avg2
+  FROM t1 t
+),
+s2 AS (
+  SELECT t.source, t.n_docs, t.domain_loss, t.w0, t.w1,
+         t.w1 * (1 + {_MW_ETA} * (t.domain_loss - a2.avg2)) AS w2r
+  FROM t1 t, a2
+),
+n2 AS (
+  SELECT CAST(sum(CAST(round(w2r, 12) AS DECIMAL(28,12))) AS DOUBLE) AS norm2
+  FROM s2
+)
+SELECT s2.source, s2.n_docs, s2.domain_loss,
+       CAST(s2.w0 AS DOUBLE) AS w0, CAST(s2.w1 AS DOUBLE) AS w1,
+       CAST(round(s2.w2r / n2.norm2, 6) AS DOUBLE) AS w2
+FROM s2, n2
+"""
+
+
+@register("curation_mw_domain_reweight", oracle=_MW_REWEIGHT_SQL, staged=True)
+def curation_mw_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored domain mixture reweighting by TWO unrolled
+    multiplicative-weights steps (built r9, staged r10): each domain's
+    proxy loss is its mean token-repetition rate; each step computes the
+    mixture-average loss under the CURRENT weights, moves every weight by
+    w *= 1 + eta * (loss_d - mixture_avg) (linearized Hedge — polynomial,
+    no libm pow parity assumption), and renormalizes. The steps are
+    genuinely coupled (the mixture average changes as weights move), so
+    like Platt/KMeans/PageRank the OPTIMIZER itself is oracle-checked,
+    not just one update. Domains above the current mixture loss gain
+    weight — the DoReMi excess-loss signal for training-mixture design.
+
+    Numeric conventions (the Platt precedent): per-doc losses round-9 to
+    DECIMAL before the exact per-domain sum; per-domain scalars reduce
+    over round-12 DECIMAL terms; weight updates are IEEE double
+    arithmetic on identical operands; renormalized weights round-6.
+
+    Scale shape: ONE corpus scan builds the k-row domain table (map-side
+    combinable sum/count per source); both steps are arithmetic over the
+    persisted k rows with 1-row broadcast scalars — at 100 TB the
+    optimizer costs one aggregation pass, exactly like the production
+    DoReMi reweighting loop per epoch."""
+    from ..cache import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    loss = F.round(
+        F.lit(1)
+        - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        6,
+    )
+    dom = persist_tracked(
+        docs.where(F.size(toks) > 0)
+        .select("source", loss.alias("loss"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.round(F.col("loss"), 9).cast("decimal(28,9)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).cast("double").alias("domain_loss"),
+        )
+    )
+    k = dom.agg(F.round(F.lit(1.0) / F.count("*"), 9).alias("w0"))
+    d0 = dom.crossJoin(F.broadcast(k))
+
+    def mix_avg(df: DataFrame, wcol: str, alias: str) -> DataFrame:
+        return df.agg(
+            F.sum(
+                F.round(F.col(wcol) * F.col("domain_loss"), 12)
+                .cast("decimal(28,12)")
+            ).cast("double").alias(alias)
+        )
+
+    def step(df: DataFrame, wcol: str, avg_alias: str, raw: str) -> DataFrame:
+        stepped = df.crossJoin(F.broadcast(mix_avg(df, wcol, avg_alias)))
+        return stepped.withColumn(
+            raw,
+            F.col(wcol)
+            * (1 + _MW_ETA * (F.col("domain_loss") - F.col(avg_alias))),
+        )
+
+    def renorm(df: DataFrame, raw: str, out: str) -> DataFrame:
+        norm = df.agg(
+            F.sum(F.round(F.col(raw), 12).cast("decimal(28,12)"))
+            .cast("double").alias("_norm")
+        )
+        return df.crossJoin(F.broadcast(norm)).withColumn(
+            out, F.round(F.col(raw) / F.col("_norm"), 6)
+        ).drop("_norm")
+
+    s1 = renorm(step(d0, "w0", "_avg1", "_w1r"), "_w1r", "w1")
+    s1 = persist_tracked(
+        s1.select("source", "n_docs", "domain_loss", "w0", "w1")
+    )
+    s2 = renorm(step(s1, "w1", "_avg2", "_w2r"), "_w2r", "w2")
+    return s2.select(
+        "source", "n_docs", "domain_loss",
+        F.col("w0").cast("double").alias("w0"),
+        F.col("w1").cast("double").alias("w1"),
+        F.col("w2").cast("double").alias("w2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# perplexity-tier bucketing (built r9, staged r10)
+# ---------------------------------------------------------------------------
+
+_PPL_TIERS = 4
+
+
+_PPL_BUCKETS_SQL = f"""
+WITH ulp AS ({_UNIGRAM_SCORED_SQL}),
+tiered AS (
+  SELECT doc_id, n_tokens, lp_sum, avg_logprob,
+         ntile({_PPL_TIERS}) OVER (ORDER BY avg_logprob, doc_id) AS tier
+  FROM ulp
+)
+SELECT CAST(tier AS INT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       -- token-weighted tier score: exact-DECIMAL numerator over integer
+       -- tokens, emitted as the raw quotient (never round a computed
+       -- double at output precision — the sf0.1 boundary lesson)
+       CAST(sum(lp_sum) AS DOUBLE) / sum(n_tokens) AS tier_logprob,
+       min(avg_logprob) AS min_logprob,
+       max(avg_logprob) AS max_logprob
+FROM tiered GROUP BY tier
+"""
+
+
+@register("text_perplexity_buckets", oracle=_PPL_BUCKETS_SQL, staged=True)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiering (built r9, staged r10): score every
+    document with the corpus-fit unigram LM (text_unigram_logprob's exact
+    pipeline, reused verbatim), split the corpus into {_PPL_TIERS}
+    NTILE tiers by score, and profile each tier (doc/token mass, mean and
+    range of the score). This is the head/middle/tail quality
+    partitioning CCNet popularized for web-corpus curation — downstream
+    mixtures sample tiers at different rates rather than hard-filtering.
+
+    Exactness: the tier score is TOKEN-WEIGHTED — the exact DECIMAL
+    per-doc numerators (lp_sum) sum exactly and divide the integer token
+    total once, emitted as the raw quotient (a per-doc-mean variant that
+    re-rounded quotient doubles at 9dp hash-mismatched at sf0.1 — the
+    standing boundary lesson); min/max compare identical doubles.
+    NTILE's total order is (score, doc_id) — tie-free.
+
+    Scale shape: the LM fit + scoring is the broadcast idf_table shape
+    (one corpus scan, vocab-sized LM); only the 3-column per-doc score
+    table reaches the global NTILE sort (eval-exact form; the production
+    cut at 100 TB comes from rel_ddsketch_quantiles' mergeable sketch
+    over the same scores, trading exact tile edges for a bounded-error
+    streaming cut)."""
+    from pyspark.sql.window import Window as W
+
+    scored = unigram_scored(spark, sf_dir)
+    tiered = scored.select(
+        "doc_id", "n_tokens", "lp_sum", "avg_logprob",
+        F.ntile(_PPL_TIERS)
+        .over(W.orderBy("avg_logprob", "doc_id"))
+        .alias("tier"),
+    )
+    return tiered.groupBy("tier").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            F.sum("lp_sum").cast("double") / F.sum("n_tokens")
+        ).alias("tier_logprob"),
+        F.min("avg_logprob").alias("min_logprob"),
+        F.max("avg_logprob").alias("max_logprob"),
+    ).select(
+        F.col("tier").cast("int").alias("tier"),
+        "n_docs", "n_tokens", "tier_logprob", "min_logprob", "max_logprob",
+    )

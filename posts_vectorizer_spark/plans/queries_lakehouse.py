@@ -421,3 +421,73 @@ def sim_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_silhouette"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# partition integrity checksums (Merkle-style audit, built r9, staged r10)
+# ---------------------------------------------------------------------------
+
+_CHK_BUCKETS = 32
+
+
+_PARTITION_CHECKSUMS_SQL = f"""
+WITH rows_c AS (
+  SELECT o_orderkey % {_CHK_BUCKETS} AS bucket, o_orderkey,
+         {T.char_hash_sql(
+             "concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
+             " CAST(o_orderdate AS VARCHAR))"
+         )} AS h
+  FROM orders
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            % {T.HASH_MOD} AS BIGINT) AS checksum,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM rows_c GROUP BY bucket
+"""
+
+
+@register(
+    "rel_partition_checksums", oracle=_PARTITION_CHECKSUMS_SQL, staged=True
+)
+def rel_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level integrity fingerprints (built r9, staged r10):
+    every row folds to a portable content hash over its canonical
+    pipe-joined representation; per hash-bucket the audit emits row
+    count, an ORDER-INDEPENDENT additive checksum (DECIMAL(38) exact sum
+    mod the hash prime — replay/copy/migration verification can compare
+    fingerprints without ever comparing rows), and the zone-map min/max
+    key. Every aggregate is mergeable (sum/count/min/max), so partial
+    fingerprints from 10k files combine into table fingerprints without
+    a rescan — the Merkle-tree leaf level of a 100 TB table audit, and
+    the check a lakehouse runs after every compaction/migration
+    (COPYCHECK-style dataset equality at warehouse scale).
+
+    Scale shape: one scan, one {_CHK_BUCKETS}-key map-side-combinable
+    aggregate; the only data-sized work is the in-row hash fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("string"),
+    )
+    return (
+        orders.select(
+            (F.col("o_orderkey") % _CHK_BUCKETS).alias("bucket"),
+            F.col("o_orderkey"),
+            T.char_hash(row_str).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr(
+                f"CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+                f" % {T.HASH_MOD} AS BIGINT)"
+            ).alias("checksum"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )

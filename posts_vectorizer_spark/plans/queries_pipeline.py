@@ -1187,3 +1187,51 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         _T.digest("chunk_text").alias("chunk_hash"),
         "chunk_text",
     )
+
+
+from .queries_sketch import CMS_HEAVY_HITTERS_SQL
+
+
+@register("stream_cms_drain", oracle=CMS_HEAVY_HITTERS_SQL, staged=True)
+def stream_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min-sketch maintenance with a driver row (built
+    r9, staged r10): documents stream in TWO forced micro-batches (two
+    source files, maxFilesPerTrigger=1); each batch tokenizes, hashes,
+    and additively merges its (d, bucket) counter delta into the
+    standing sketch (streaming/worker.py::cms_count_stream, exactly-once
+    via the merge sink's batch-id ledger); per-word estimates read out
+    from the MERGED state beside the exact counts. Counter addition is
+    commutative, so the batch split cannot change the sketch — the
+    oracle is text_cms_heavy_hitters' one-pass twin, making the CMS
+    merge property driver-hash-checked end to end (the frequency
+    companion to stream_ddsketch_drain's quantile sketch)."""
+    from ..functions import text as _T2
+    from ..sources.sinks import read_merged
+    from ..streaming.worker import cms_count_stream
+    from .queries_sketch import cms_estimates
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="pv_cms_")
+    src = f"{work}/in"
+    half = F.col("doc_id") % 2
+    docs.where(half == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(half == 1).coalesce(1).write.mode("append").parquet(src)
+    q = cms_count_stream(
+        spark, src, docs.schema, f"{work}/sketch", f"{work}/ckpt",
+        max_files_per_trigger=1,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("cms drain did not finish within 300s")
+    state = read_merged(spark, f"{work}/sketch")
+    if state is None:
+        return spark.createDataFrame(
+            [], "word string, exact_cnt bigint, cms_estimate bigint"
+        )
+    exact = (
+        docs.select(F.explode(_T2.tokens("text")).alias("word"))
+        .select("word", _T2.char_hash("word").alias("h"))
+        .groupBy("word")
+        .agg(F.max("h").alias("h"), F.count("*").alias("exact_cnt"))
+    )
+    return cms_estimates(exact, state.select("d", "bucket", "c"))

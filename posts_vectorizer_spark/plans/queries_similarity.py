@@ -608,3 +608,104 @@ def sim_kcore_peeling_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_retrieval.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _kcore(_mutual_edges(similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K)))
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient over the ANN mutual-kNN graph
+# (built r9, staged r10)
+# ---------------------------------------------------------------------------
+
+def _cc_sql(t_sql: str) -> str:
+    return f"""
+WITH t AS ({t_sql}),
+edges AS (
+  SELECT a.query_id AS src, a.neighbor_id AS dst
+  FROM t a JOIN t b
+    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+  WHERE a.query_id < a.neighbor_id
+),
+und AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+wedge AS (
+  SELECT e1.u AS z, e1.v AS a, e2.v AS b
+  FROM und e1 JOIN und e2 ON e1.u = e2.u
+  WHERE e1.v < e2.v
+),
+tri AS (
+  SELECT w.z AS node, CAST(count(*) AS BIGINT) AS triangles
+  FROM wedge w JOIN edges e ON e.src = w.a AND e.dst = w.b
+  GROUP BY w.z
+)
+SELECT d.node, d.deg,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.deg >= 2 THEN
+         CAST(2 * coalesce(t.triangles, 0) AS DOUBLE) / (d.deg * (d.deg - 1))
+       END AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+"""
+
+
+@register(
+    "sim_clustering_coefficient",
+    oracle=_cc_sql(similarity.lsh_ann_sql(DIMS, KNN_GRAPH_K)),
+    staged=True,
+)
+def sim_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the mutual-kNN graph
+    with the lsh_ann edge build (built r9, staged r10) — completes the
+    graph-eval family: Adamic-Adar predicts missing edges, k-core finds
+    peel-resistant density, the clustering coefficient measures how
+    template-like each node's NEIGHBORHOOD is (near-1 = its neighbors
+    are all near-dups of each other — SEO farms and boilerplate
+    clusters; near-0 = hub stitching unrelated content). Coefficient =
+    2*triangles / (deg*(deg-1)), NULL when deg < 2; the double is a
+    single IEEE division of exact integers, bit-identical cross-engine.
+
+    Scale shape: lsh_ann edge build (bucket equi-join, linear shuffle —
+    the measured r9 trend of the shared producer); wedges are a
+    bounded-degree self-join on the center node (sum deg(z)^2 <= n*k^2
+    rows); triangle closure is one hash semi-join of wedges against the
+    edge list. No stage is quadratic in the corpus."""
+    from ..cache import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = persist_tracked(
+        _mutual_edges(similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K))
+    )
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    e1 = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    e2 = und.select(F.col("u").alias("z2"), F.col("v").alias("b"))
+    wedge = e1.join(e2, e1["z"] == e2["z2"]).where(
+        F.col("a") < F.col("b")
+    ).select("z", "a", "b")
+    tri = (
+        wedge.join(
+            edges,
+            (wedge["a"] == edges["src"]) & (wedge["b"] == edges["dst"]),
+            "left_semi",
+        )
+        .groupBy(F.col("z").alias("tnode"))
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    return (
+        deg.join(tri, deg["node"] == tri["tnode"], "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).cast("bigint")
+            .alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                (2 * F.coalesce("triangles", F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)),
+            ).alias("clustering_coeff"),
+        )
+    )

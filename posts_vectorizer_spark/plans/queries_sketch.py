@@ -167,9 +167,50 @@ def _cms_bucket(h, d):
     return (h * (2 * d + 1) + 97 * d) % T.HASH_MOD % _CMS_W
 
 
-@register(
-    "text_cms_heavy_hitters",
-    oracle=f"""
+def _cms_explode() -> F.Column:
+    """The d-row (d, bucket) probe array for a hash column ``h`` — the
+    map-side half of the sketch, shared by the batch query and the
+    streaming maintenance drain (stream_cms_drain)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cms_bucket(F.col("h"), F.lit(d)).alias("bucket"),
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+    )
+
+
+def cms_delta(hashed: DataFrame) -> DataFrame:
+    """(d, bucket, cnt) counter increments for a batch of hashed tokens —
+    additive, so partial sketches from any batch split merge by +."""
+    return (
+        hashed.select(_cms_explode().alias("c"))
+        .select("c.d", "c.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_estimates(exact: DataFrame, cms: DataFrame) -> DataFrame:
+    """Per-word min-across-rows estimates from a (d, bucket, c) sketch,
+    joined beside the exact counts — pure function of the sketch state,
+    identical over a one-pass build or merged streaming state."""
+    probes = exact.select(
+        "word", "exact_cnt", _cms_explode().alias("p")
+    ).select("word", "exact_cnt", "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .select("word", "exact_cnt", "cms_estimate")
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = f"""
 WITH toks AS (
   SELECT unnest({T.tokens_sql('text')}) AS word FROM documents
 ),
@@ -190,8 +231,10 @@ FROM exact e
 JOIN cms ON cms.bucket = (e.h * (2 * cms.d + 1) + 97 * cms.d)
                           % {T.HASH_MOD} % {_CMS_W}
 GROUP BY e.word, e.exact_cnt
-""",
-)
+"""
+
+
+@register("text_cms_heavy_hitters", oracle=CMS_HEAVY_HITTERS_SQL)
 def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the token stream: a {d}x{w} counter grid
     (three derived portable hashes), then per-word frequency estimates as
@@ -209,44 +252,11 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = spread(docs).select(
         F.explode(T.tokens("text")).alias("word")
     ).select("word", T.char_hash("word").alias("h"))
-    cells = hashed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _cms_bucket(F.col("h"), F.lit(d)).alias("bucket"),
-                    )
-                    for d in range(_CMS_D)
-                ]
-            )
-        ).alias("c")
-    ).select("c.d", "c.bucket")
-    cms = cells.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    cms = cms_delta(hashed)
     exact = hashed.groupBy("word").agg(
         F.max("h").alias("h"), F.count("*").alias("exact_cnt")
     )
-    probes = exact.select(
-        "word",
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _cms_bucket(F.col("h"), F.lit(d)).alias("bucket"),
-                    )
-                    for d in range(_CMS_D)
-                ]
-            )
-        ).alias("p"),
-    ).select("word", "exact_cnt", "p.d", "p.bucket")
-    return (
-        probes.join(F.broadcast(cms), ["d", "bucket"])
-        .groupBy("word", "exact_cnt")
-        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
-        .select("word", "exact_cnt", "cms_estimate")
-    )
+    return cms_estimates(exact, cms)
 
 
 text_cms_heavy_hitters.__doc__ = text_cms_heavy_hitters.__doc__.format(
@@ -693,5 +703,196 @@ def ddsketch_readout(spark: SparkSession, sketch: DataFrame) -> DataFrame:
                 / (2 * F.col("lower_c") + F.col("width_c")).cast("double"),
                 6,
             ).alias("rel_err_bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union by register max-merge + inclusion-exclusion
+# (built r9, staged r10)
+# ---------------------------------------------------------------------------
+
+_HSO_A = "purchase"   # set A: users with a purchase valued > threshold
+_HSO_B = "click"      # set B: users with a click valued > threshold
+_HSO_VMIN = 500.0
+
+
+def _hso_readout_sql(regs: str, alias: str) -> str:
+    """DuckDB HLL readout over a dense (bucket, m) register CTE."""
+    return (
+        f"SELECT CAST(round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M}"
+        f" / sum(power(2.0, -m)), 6) AS DOUBLE) AS {alias} FROM {regs}"
+    )
+
+
+_HLL_SET_OPS_SQL = f"""
+WITH a_users AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = '{_HSO_A}' AND value > {_HSO_VMIN}
+),
+b_users AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = '{_HSO_B}' AND value > {_HSO_VMIN}
+),
+tagged AS (
+  SELECT 0 AS s, user_id FROM a_users
+  UNION ALL SELECT 1, user_id FROM b_users
+),
+h AS (
+  SELECT s, ((user_id * {_HLL_MULT} + 7919) % {T.HASH_MOD})
+             * ((user_id * {_HLL_MULT} + 7919) % {T.HASH_MOD})
+             % {T.HASH_MOD} AS h
+  FROM tagged
+),
+rho AS (
+  SELECT s, h % {_HLL_M} AS bucket,
+         coalesce(
+           list_min(list_filter(generate_series(0, {_HLL_MAXBIT}),
+             k -> (CAST(floor((h // {_HLL_M}) / power(2, k)) AS BIGINT)
+                   % 2) = 1)),
+           {_HLL_MAXBIT}) + 1 AS rho
+  FROM h
+),
+sparse AS (SELECT s, bucket, max(rho) AS rho FROM rho GROUP BY s, bucket),
+grid AS (
+  SELECT s, bucket
+  FROM (SELECT unnest([0, 1]) AS s),
+       (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket)
+),
+dense AS (
+  SELECT g.s, g.bucket, coalesce(sp.rho, 0) AS m
+  FROM grid g LEFT JOIN sparse sp
+    ON sp.s = g.s AND sp.bucket = g.bucket
+),
+regs_a AS (SELECT bucket, m FROM dense WHERE s = 0),
+regs_b AS (SELECT bucket, m FROM dense WHERE s = 1),
+regs_u AS (SELECT bucket, max(m) AS m FROM dense GROUP BY bucket),
+est_a AS ({_hso_readout_sql('regs_a', 'est_a')}),
+est_b AS ({_hso_readout_sql('regs_b', 'est_b')}),
+est_u AS ({_hso_readout_sql('regs_u', 'est_union')}),
+ex AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a_users) AS exact_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b_users) AS exact_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT user_id FROM a_users
+             UNION SELECT user_id FROM b_users)) AS exact_union,
+         (SELECT CAST(count(*) AS BIGINT) FROM a_users
+          WHERE user_id IN (SELECT user_id FROM b_users))
+           AS exact_intersection
+)
+SELECT exact_a, exact_b, exact_union, exact_intersection,
+       est_a, est_b, est_union,
+       CAST(round(est_a + est_b - est_union, 6) AS DOUBLE)
+         AS est_intersection
+FROM ex, est_a, est_b, est_u
+"""
+
+
+@register("rel_hll_set_ops", oracle=_HLL_SET_OPS_SQL, staged=True)
+def rel_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (built r9, staged r10): two user populations
+    (high-value purchasers / high-value clickers) are sketched into
+    64-register portable HLLs; the UNION cardinality comes from merging
+    the two register sets BY MAX — the exact merge a 100 TB rollup uses
+    (sketch once per partition/day, merge registers, never re-scan) —
+    and the intersection estimate falls out of inclusion-exclusion.
+    Every register, both estimates, and the exact counterparts are
+    hash-checked cross-engine (same quadratic-mixing hash as
+    rel_hll_portable).
+
+    Scale shape: one events scan feeds both tagged sketch branches; the
+    only shuffles are the (set, bucket) max-combine (<= 128 keys,
+    map-side combinable) and the exact-count distincts kept as the
+    eval-sized truth column. The union merge reads the PER-SET sketch
+    output, not the raw data — the mergeability is in the plan, not
+    just claimed."""
+    from ..cache import persist_tracked
+
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.where(
+            (F.col("event_type") == _HSO_A) & (F.col("value") > _HSO_VMIN)
+        )
+        .select("user_id").distinct()
+    )
+    b = (
+        ev.where(
+            (F.col("event_type") == _HSO_B) & (F.col("value") > _HSO_VMIN)
+        )
+        .select("user_id").distinct()
+    )
+    ap = persist_tracked(a)
+    bp = persist_tracked(b)
+    tagged = ap.select(F.lit(0).alias("s"), "user_id").unionAll(
+        bp.select(F.lit(1).alias("s"), "user_id")
+    )
+    hb = (F.col("user_id") * _HLL_MULT + 7919) % T.HASH_MOD
+    h = (hb * hb) % T.HASH_MOD
+    rest = F.floor(h / _HLL_M).cast("long")
+    rho = (
+        F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.sequence(F.lit(0), F.lit(_HLL_MAXBIT)),
+                    lambda k: (
+                        F.floor(rest / F.pow(F.lit(2.0), k)).cast("long") % 2
+                    )
+                    == 1,
+                )
+            ),
+            F.lit(_HLL_MAXBIT),
+        )
+        + 1
+    )
+    sparse = (
+        tagged.select("s", (h % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("s", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    grid = spark.range(2).select(F.col("id").alias("s")).crossJoin(
+        spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    )
+    dense = persist_tracked(
+        grid.join(sparse, ["s", "bucket"], "left").select(
+            "s", "bucket", F.coalesce("rho", F.lit(0)).alias("m")
+        )
+    )
+
+    def readout(regs: DataFrame, alias: str) -> DataFrame:
+        return regs.agg(
+            F.round(
+                F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+                / F.sum(F.pow(F.lit(2.0), -F.col("m"))),
+                6,
+            ).cast("double").alias(alias)
+        )
+
+    est_a = readout(dense.where(F.col("s") == 0), "est_a")
+    est_b = readout(dense.where(F.col("s") == 1), "est_b")
+    est_u = readout(
+        dense.groupBy("bucket").agg(F.max("m").alias("m")), "est_union"
+    )
+    exact = (
+        ap.agg(F.count("*").cast("bigint").alias("exact_a"))
+        .crossJoin(bp.agg(F.count("*").cast("bigint").alias("exact_b")))
+        .crossJoin(
+            ap.select("user_id").union(bp.select("user_id")).distinct()
+            .agg(F.count("*").cast("bigint").alias("exact_union"))
+        )
+        .crossJoin(
+            ap.join(bp, "user_id", "left_semi")
+            .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .select(
+            "exact_a", "exact_b", "exact_union", "exact_intersection",
+            "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).cast("double").alias("est_intersection"),
         )
     )

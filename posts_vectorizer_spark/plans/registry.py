@@ -44,6 +44,23 @@ STAGED: dict[str, QueryDef] = {}
 # sf0.01 AND sf0.1, vanilla head_check pass, a named semantic test, an
 # empty-input pass (tests/test_edge.py), a scale_trend measurement,
 # COVERAGE/README/registry-comment updates.
+#
+# r9 staged (r10 gets their introduction slots), SEVEN queries — all
+# four-way gated (both-tier sweeps, vanilla head_check 7/7, named
+# tests, staged empty-input pass, measured 1x/3x/10x trends in
+# SCALE.md):
+#   multimodal_gif_ingest        (REAL LZW codec — GIF87a end to end)
+#   rel_hll_set_ops              (HLL union by register max-merge +
+#                                 inclusion-exclusion intersection)
+#   sim_clustering_coefficient   (lsh_ann graph, wedge+closure algebra)
+#   curation_mw_domain_reweight  (2 coupled unrolled MW steps)
+#   rel_partition_checksums      (mergeable Merkle-leaf audit)
+#   text_perplexity_buckets      (CCNet tiering; token-weighted exact
+#                                 DECIMAL tier scores)
+#   stream_cms_drain             (CMS maintenance through the ledgered
+#                                 merge sink; batch-equality test)
+# r10 head plan: 7 introduction slots + spine + the 10 spilled r4 rows
+# + the oldest r5-cohort rows fill the remaining ~32 slots.
 
 
 def register(

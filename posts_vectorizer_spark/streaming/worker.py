@@ -809,3 +809,49 @@ def psi_current_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_count_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental count-min-sketch maintenance: each micro-batch of
+    documents tokenizes, hashes, and merges its (d, bucket) counter
+    delta ADDITIVELY into the standing sketch state
+    (sinks.merge_add_parquet, exactly-once via the batch-id ledger).
+    Counter addition is commutative — the CMS merge property — so any
+    batch split yields the same sketch as one pass, and per-word
+    frequency estimates read out from the state as a pure function
+    (plans/queries_sketch.py::cms_estimates).
+
+    At 100 TB: per-batch cost is one map-side-combinable groupBy into
+    d*w cells plus O(touched cells) of a constant-size state table —
+    stream-wide token frequencies for the price of the batch."""
+    from ..functions import text as T
+    from ..plans.queries_sketch import cms_delta
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        hashed = batch_df.select(
+            F.explode(T.tokens("text")).alias("word")
+        ).select(T.char_hash("word").alias("h"))
+        delta = cms_delta(hashed)
+        merge_add_parquet(
+            spark, delta, sketch_dir, ["d", "bucket"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

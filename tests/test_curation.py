@@ -242,3 +242,82 @@ def test_platt_calibration_learns_and_improves(spark, tmp_path):
     assert out[1]["n_docs"] == 12 and out[2]["n_docs"] == 12
     assert out[1]["a"] > 0 and out[2]["a"] > out[1]["a"]
     assert out[2]["logloss"] < out[1]["logloss"]
+
+
+def test_mw_domain_reweight_planted_two_steps(spark, tmp_path):
+    """curation_mw_domain_reweight (staged r10): two planted domains —
+    'clean' (all-distinct tokens, loss 0) and 'spam' (heavy repetition)
+    — replayed through both multiplicative-weights steps in Python with
+    the exact numeric conventions. The high-loss domain must GAIN
+    weight each step, weights stay normalized, and every emitted value
+    matches the replay bit-for-bit."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    docs = []
+    for i in range(4):
+        docs.append((i, "alpha beta gamma delta", "en", "clean", 20))
+    for i in range(4, 8):
+        docs.append((i, "spam spam spam spam spam", "en", "spam", 25))
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["source"]: r
+        for r in resolve_query("curation_mw_domain_reweight")(
+            spark, str(d)
+        ).collect()
+    }
+    assert set(rows) == {"clean", "spam"}
+    # domain losses: clean 1-4/4=0, spam 1-1/5=0.8
+    assert rows["clean"]["domain_loss"] == 0.0
+    assert rows["spam"]["domain_loss"] == 0.8
+
+    # replay with the exact conventions (round-12 DECIMAL mixture terms,
+    # IEEE double updates, round-6 renormalized weights)
+    from decimal import Decimal
+
+    eta = 0.5
+    losses = {"clean": 0.0, "spam": 0.8}
+    w = {s: round(1.0 / 2, 9) for s in losses}
+    hist = []
+    for _ in range(2):
+        avg = float(sum(Decimal(str(round(w[s] * losses[s], 12)))
+                        for s in losses))
+        raw = {s: w[s] * (1 + eta * (losses[s] - avg)) for s in losses}
+        norm = float(sum(Decimal(str(round(raw[s], 12))) for s in losses))
+        w = {s: round(raw[s] / norm, 6) for s in losses}
+        hist.append(dict(w))
+    for s in losses:
+        assert rows[s]["w0"] == 0.5
+        assert rows[s]["w1"] == hist[0][s], s
+        assert rows[s]["w2"] == hist[1][s], s
+    assert rows["spam"]["w1"] > 0.5 > rows["clean"]["w1"]
+    assert rows["spam"]["w2"] > rows["spam"]["w1"]
+    assert abs(rows["clean"]["w2"] + rows["spam"]["w2"] - 1.0) < 2e-6
+
+
+def test_perplexity_buckets_invariants(spark):
+    """text_perplexity_buckets (staged r10): the four tiers partition
+    the corpus (doc counts sum to the scored-doc total), tier score
+    ranges are ordered and non-overlapping (NTILE over a total order),
+    and each tier's token-weighted score lies within its [min, max]
+    per-doc band (weighted mean of member scores)."""
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    tiers = sorted(
+        resolve_query("text_perplexity_buckets")(spark, SF_SMOKE).collect(),
+        key=lambda r: r["tier"],
+    )
+    scored = resolve_query("text_unigram_logprob")(spark, SF_SMOKE)
+    assert [t["tier"] for t in tiers] == [1, 2, 3, 4]
+    assert sum(t["n_docs"] for t in tiers) == scored.count()
+    for a, b in zip(tiers, tiers[1:]):
+        assert a["max_logprob"] <= b["min_logprob"]
+    for t in tiers:
+        assert t["min_logprob"] - 1e-12 <= t["tier_logprob"] \
+            <= t["max_logprob"] + 1e-12

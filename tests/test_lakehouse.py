@@ -93,3 +93,73 @@ def test_silhouette_separable_labels_score_high(spark, tmp_path):
     for r in out.values():
         assert r["n"] == 4
         assert r["avg_silhouette"] > 0.9
+
+
+def test_partition_checksums_perturbation_and_merge(spark, tmp_path):
+    """rel_partition_checksums (staged r10): (a) identical data =>
+    identical fingerprints; (b) perturbing ONE row changes exactly that
+    row's bucket checksum and nothing else; (c) the additive checksum
+    merges — fingerprints computed over two disjoint halves combine
+    (sum mod p, count-sum, min/min, max/max) into exactly the
+    whole-table fingerprint, the property a file-level audit relies
+    on."""
+    from pyspark.sql import functions as F
+
+    from posts_vectorizer_spark.functions.text import HASH_MOD
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    q = resolve_query("rel_partition_checksums")
+
+    def fp(sf):
+        return {
+            r["bucket"]: (r["n_rows"], r["checksum"], r["min_key"],
+                          r["max_key"])
+            for r in q(spark, sf).collect()
+        }
+
+    base = fp(SF_SMOKE)
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    # (a) byte-identical copy
+    d1 = tmp_path / "copy"
+    d1.mkdir()
+    orders.write.parquet(str(d1 / "orders.parquet"))
+    assert fp(str(d1)) == base
+
+    # (b) perturb one row's status
+    d2 = tmp_path / "tampered"
+    d2.mkdir()
+    victim = orders.limit(1).collect()[0]["o_orderkey"]
+    orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == victim, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).write.parquet(str(d2 / "orders.parquet"))
+    tampered = fp(str(d2))
+    vb = victim % 32
+    assert tampered[vb][1] != base[vb][1]
+    assert {b: v for b, v in tampered.items() if b != vb} == {
+        b: v for b, v in base.items() if b != vb
+    }
+
+    # (c) merge two halves into the whole
+    d3, d4 = tmp_path / "h0", tmp_path / "h1"
+    for dd, pred in ((d3, 0), (d4, 1)):
+        dd.mkdir()
+        orders.where(F.col("o_custkey") % 2 == pred).write.parquet(
+            str(dd / "orders.parquet")
+        )
+    h0, h1 = fp(str(d3)), fp(str(d4))
+    merged = {}
+    for b in set(h0) | set(h1):
+        parts = [h for h in (h0.get(b), h1.get(b)) if h]
+        merged[b] = (
+            sum(p[0] for p in parts),
+            sum(p[1] for p in parts) % HASH_MOD,
+            min(p[2] for p in parts),
+            max(p[3] for p in parts),
+        )
+    assert merged == base

@@ -889,3 +889,56 @@ def test_ann_graph_variants_replay_and_recall(spark):
     assert set(got_k) == set(adj) and got_k
     for n in adj:
         assert got_k[n] == (deg0[n], rounds[n], rounds[n] == 3), n
+
+
+def test_clustering_coefficient_matches_edge_replay(spark):
+    """sim_clustering_coefficient (staged r10): replay degrees, per-node
+    triangle counts, and 2T/(d(d-1)) from the same lsh_ann mutual edge
+    list the query builds — pinning the wedge-join + semi-join closure
+    algebra independently of the producer (which sim_lsh_ann's oracle
+    row already pins)."""
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.operators import similarity
+    from posts_vectorizer_spark.plans.queries_similarity import (
+        DIMS,
+        KNN_GRAPH_K,
+        _mutual_edges,
+    )
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from posts_vectorizer_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    edges = {
+        (r["src"], r["dst"])
+        for r in _mutual_edges(
+            similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K)
+        ).collect()
+    }
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    got = {
+        r["node"]: (r["deg"], r["triangles"], r["clustering_coeff"])
+        for r in resolve_query("sim_clustering_coefficient")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(adj) and got
+    for n, nbrs in adj.items():
+        deg = len(nbrs)
+        tri = sum(
+            1
+            for a in nbrs
+            for b in nbrs
+            if a < b and ((a, b) in edges or (b, a) in edges)
+        )
+        want_c = 2 * tri / (deg * (deg - 1)) if deg >= 2 else None
+        assert got[n][0] == deg and got[n][1] == tri, n
+        if want_c is None:
+            assert got[n][2] is None, n
+        else:
+            assert got[n][2] == want_c, n

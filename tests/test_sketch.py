@@ -235,3 +235,92 @@ def test_ddsketch_order_statistic_in_selected_bucket(spark, tmp_path, seed):
         assert lower <= exact < lower + width, (r, exact)
         assert abs(est_cents - exact) <= width / 2 + 1e-6, (r, exact)
         assert r["n"] == n
+
+
+def test_hll_set_ops_planted_and_invariants(spark, tmp_path):
+    """rel_hll_set_ops (staged r10): planted events make A={1,2,3},
+    B={3,4} — exact counts and the intersection must be hand-exact;
+    the union estimate must dominate both per-set estimates (union
+    registers are the per-set max-merge, so registers only grow) and
+    inclusion-exclusion must tie out arithmetically."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        rows.append((eid, "2024-01-01 00:00:00", u, "purchase", 900.0, "{}"))
+        eid += 1
+    for u in (3, 4):
+        rows.append((eid, "2024-01-01 00:00:00", u, "click", 900.0, "{}"))
+        eid += 1
+    # below-threshold noise that must NOT join any set
+    rows.append((eid, "2024-01-01 00:00:00", 9, "purchase", 10.0, "{}"))
+    d = tmp_path / "ev"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+    [r] = resolve_query("rel_hll_set_ops")(spark, str(d)).collect()
+    assert (r["exact_a"], r["exact_b"]) == (3, 2)
+    assert (r["exact_union"], r["exact_intersection"]) == (4, 1)
+    assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-9
+    assert r["est_intersection"] == round(
+        r["est_a"] + r["est_b"] - r["est_union"], 6
+    )
+    # exact replay: rebuild registers + the raw readout in Python (the
+    # query deliberately has NO small-range correction — it is the raw
+    # alpha*m^2/sum form, which overestimates tiny sets; the replay pins
+    # that definition rather than a regime guess)
+    from posts_vectorizer_spark.functions.text import HASH_MOD
+    from posts_vectorizer_spark.plans.queries_sketch import (
+        _HLL_ALPHA, _HLL_M, _HLL_MAXBIT, _HLL_MULT,
+    )
+
+    def est(users):
+        regs = [0] * _HLL_M
+        for u in users:
+            hb = (u * _HLL_MULT + 7919) % HASH_MOD
+            h = (hb * hb) % HASH_MOD
+            rest = h // _HLL_M
+            rho = next(
+                (k for k in range(_HLL_MAXBIT + 1) if (rest >> k) & 1),
+                _HLL_MAXBIT,
+            ) + 1
+            b = h % _HLL_M
+            regs[b] = max(regs[b], rho)
+        return round(
+            _HLL_ALPHA * _HLL_M * _HLL_M
+            / sum(2.0 ** -m for m in regs), 6
+        )
+
+    assert r["est_a"] == est({1, 2, 3})
+    assert r["est_b"] == est({3, 4})
+    assert r["est_union"] == est({1, 2, 3, 4})
+
+
+def test_stream_cms_drain_equals_batch(spark):
+    """stream_cms_drain (staged r10): the two-micro-batch merged sketch
+    must yield EXACTLY the one-pass batch query's rows — counter
+    addition is commutative, so any batch split is invisible."""
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    batch = {
+        (r["word"], r["exact_cnt"], r["cms_estimate"])
+        for r in resolve_query("text_cms_heavy_hitters")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    streamed = {
+        (r["word"], r["exact_cnt"], r["cms_estimate"])
+        for r in resolve_query("stream_cms_drain")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert batch and streamed == batch

@@ -112,6 +112,10 @@ def main(only: list[str] | None = None) -> None:
         inputs[("emb", k)] = materialize(
             f"emb_{k}x", copies(emb, "vec_id", k)
         )
+        inputs[("orders", k)] = materialize(
+            f"orders_{k}x",
+            copies(load_table(spark, sf_dir, "orders"), "o_orderkey", k),
+        )
 
     def q1_shape(li):
         return (
@@ -275,6 +279,28 @@ def main(only: list[str] | None = None) -> None:
             spark, table_dir("docs_plain", k, "documents")
         ),
         "platt_calibration": lambda k: SQ["curation_platt_calibration"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        # r9-built wave (staged r10):
+        "gif_ingest": lambda k: SQ["multimodal_gif_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "hll_set_ops": lambda k: SQ["rel_hll_set_ops"](
+            spark, table_dir("events", k, "events")
+        ),
+        "clustering_coefficient": lambda k: SQ["sim_clustering_coefficient"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "mw_domain_reweight": lambda k: SQ["curation_mw_domain_reweight"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "partition_checksums": lambda k: SQ["rel_partition_checksums"](
+            spark, table_dir("orders", k, "orders")
+        ),
+        "perplexity_buckets": lambda k: SQ["text_perplexity_buckets"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "cms_drain": lambda k: SQ["stream_cms_drain"](
             spark, table_dir("docs_plain", k, "documents")
         ),
     }
