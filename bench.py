@@ -49,6 +49,11 @@ HEADLINE = [
     "rel_ddsketch_quantiles",      # sketch family
     "dedup_sorted_neighborhood",   # blocking family
     "events_funnel_attribution",   # attribution / range-join family
+    # r9 widening (VERDICT r8 item 5): one query per newest family of
+    # the r9 introduction wave, same solo-floor methodology
+    "sim_dim_covariance",          # vector-stats family
+    "text_kneser_ney_bigram",      # LM-scoring family
+    "multimodal_png_ingest",       # real-codec family (compressed)
 ]
 
 
