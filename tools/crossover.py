@@ -46,35 +46,54 @@ TABLES = (
 
 
 def _scaled_dir(sf_dir: str, k: int, mode: str = "plain") -> str:
-    """Directory with documents scaled k-x (single parquet file, written
-    by DuckDB) and every other table symlinked unscaled."""
+    """Directory with ONE table scaled k-x (single parquet file, written
+    by DuckDB) and every other table symlinked unscaled. Modes "plain" /
+    "disjoint" scale documents (see module doc); "events" scales events
+    with BOTH ids shifted (k-times more users of the same history — the
+    100 TB user-event shape, as in tools/scale_trend.py); "lineitem"
+    scales lineitem with shifted l_orderkey (fixed Q1 key space)."""
     import duckdb
 
+    scaled = "documents" if mode in ("plain", "disjoint") else mode
     d = f"{WORKDIR}/sf_{mode}_{k}x"
     os.makedirs(d, exist_ok=True)
     for t in TABLES:
-        if t == "documents":
+        if t == scaled:
             continue
         link = f"{d}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{sf_dir}/{t}.parquet", link)
-    out = f"{d}/documents.parquet"
+    out = f"{d}/{scaled}.parquet"
     if not os.path.exists(out):
         con = duckdb.connect()
+
         def arm(i):
-            text = (
-                "text" if (mode == "plain" or i == 0)
-                else rf"regexp_replace(text, '(\S+)', '\1_{i}', 'g')"
-            )
-            return (
-                f"SELECT doc_id + {i * ID_OFFSET} AS doc_id,"
-                f" {text} AS text, lang, source, n_chars FROM src"
-            )
+            if scaled == "documents":
+                text = (
+                    "text" if (mode == "plain" or i == 0)
+                    else rf"regexp_replace(text, '(\S+)', '\1_{i}', 'g')"
+                )
+                return (
+                    f"SELECT doc_id + {i * ID_OFFSET} AS doc_id,"
+                    f" {text} AS text, lang, source, n_chars FROM src"
+                )
+            if scaled == "events":
+                return (
+                    f"SELECT event_id + {i * ID_OFFSET} AS event_id, ts,"
+                    f" user_id + {i * ID_OFFSET} AS user_id,"
+                    f" event_type, value, props FROM src"
+                )
+            if scaled == "lineitem":
+                return (
+                    f"SELECT * REPLACE (l_orderkey + {i * ID_OFFSET}"
+                    f" AS l_orderkey) FROM src"
+                )
+            raise SystemExit(f"unknown crossover mode: {mode}")
 
         union = " UNION ALL ".join(arm(i) for i in range(k))
         con.execute(
             f"COPY (WITH src AS (SELECT * FROM"
-            f" read_parquet('{sf_dir}/documents.parquet')) {union})"
+            f" read_parquet('{sf_dir}/{scaled}.parquet')) {union})"
             f" TO '{out}' (FORMAT PARQUET)"
         )
         con.close()
