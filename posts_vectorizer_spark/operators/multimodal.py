@@ -1139,3 +1139,148 @@ def gif_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, GIF_FEATURE_SCHEMA)
+
+
+def encode_gif_anim(
+    frames: list[np.ndarray], palette: np.ndarray, delay_cs: int = 10
+) -> bytes:
+    """Animated GIF89a: NETSCAPE2.0 looping extension, then per frame a
+    graphic-control extension (delay in centiseconds) + image descriptor
+    + real-LZW data. Same LZW core as the single-image path."""
+    import struct
+
+    h, w = frames[0].shape
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    lsd = struct.pack("<HHBBB", w, h, 0b1_111_0_111, 0, 0)
+    out = bytearray(b"GIF89a" + lsd + pal.tobytes())
+    # NETSCAPE looping application extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("animated GIF frames must share dimensions")
+        # graphic control: disposal none, no transparency, delay
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        lzw = _lzw_encode(fr.tobytes(), _GIF_MCS)
+        out.append(_GIF_MCS)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(
+    raw: bytes,
+) -> tuple[np.ndarray, int, list[np.ndarray]]:
+    """(palette, delay_cs, frames) from an animated (or single-image)
+    GIF: walks every block; graphic-control extensions supply the delay
+    (last one wins, matching the per-frame layout this encoder writes);
+    other extensions are skipped; every image descriptor decodes through
+    the shared LZW core."""
+    import struct
+
+    if len(raw) < 13 or (raw[:6] not in (b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    palette = np.frombuffer(
+        raw[pos : pos + 3 * n_colors], dtype=np.uint8
+    ).reshape(n_colors, 3)
+    pos += 3 * n_colors
+    frames: list[np.ndarray] = []
+    delay_cs = 0
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x21:
+            label = raw[pos + 1]
+            pos += 2
+            if label == 0xF9 and raw[pos] >= 3:
+                delay_cs = struct.unpack(
+                    "<H", raw[pos + 2 : pos + 4]
+                )[0]
+            while raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", raw[pos + 1 : pos + 10]
+            )
+            if ipacked & 0xC0:
+                raise ValueError("interlace/local color table unsupported")
+            if (left, top, w, h) != (0, 0, sw, sh):
+                raise ValueError("sub-rectangle frame unsupported")
+            pos += 10
+            mcs = raw[pos]
+            pos += 1
+            lzw = bytearray()
+            while raw[pos]:
+                ln = raw[pos]
+                lzw += raw[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(lzw), mcs, w * h), dtype=np.uint8
+            ).reshape(h, w)
+            if idx.max(initial=0) >= n_colors:
+                raise ValueError("pixel index outside color table")
+            frames.append(idx)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return palette, delay_cs, frames
+
+
+GIF_SAMPLE_SCHEMA = (
+    "doc_id long, n_frames int, delay_cs int, frame_t int,"
+    " fsum_r long, fsum_g long, fsum_b long"
+)
+
+
+def gif_frame_sample_features(base: DataFrame, stride: int) -> DataFrame:
+    """(doc_id, nf, w, h) -> synthesize index frames -> ENCODE an
+    animated GIF (real LZW per frame) -> DECODE -> sample every
+    ``stride``-th frame -> one row per sampled frame with its exact
+    palette-mapped channel sums; frame count and delay from the PARSED
+    container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal_master = synth_palette()
+        for pdf in batches:
+            out = []
+            for doc_id, nf, w, h in zip(
+                pdf["doc_id"], pdf["nf"], pdf["w"], pdf["h"]
+            ):
+                src = [
+                    synth_indices(int(doc_id) + 1000 * t, int(w), int(h))
+                    for t in range(int(nf))
+                ]
+                raw = encode_gif_anim(src, pal_master, delay_cs=7)
+                pal, delay, frames = decode_gif_frames(raw)
+                for t in range(0, len(frames), stride):
+                    rgb = pal[frames[t]]
+                    s = rgb.astype(np.int64).sum(axis=(0, 1))
+                    out.append(
+                        (
+                            int(doc_id), len(frames), int(delay), t,
+                            int(s[0]), int(s[1]), int(s[2]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_frames", "delay_cs", "frame_t",
+                    "fsum_r", "fsum_g", "fsum_b",
+                ],
+            )
+
+    return base.mapInPandas(run, GIF_SAMPLE_SCHEMA)

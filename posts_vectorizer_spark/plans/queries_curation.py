@@ -1598,3 +1598,90 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tier").cast("int").alias("tier"),
         "n_docs", "n_tokens", "tier_logprob", "min_logprob", "max_logprob",
     )
+
+
+# ---------------------------------------------------------------------------
+# composed quality gate (built r9, staged r10)
+# ---------------------------------------------------------------------------
+
+_QG_MIN_TOKENS = 10
+_QG_MAX_TOKENS = 100
+_QG_MAX_REP = 0.45
+_QG_MIN_LM = -1.479
+
+
+_QUALITY_GATE_SQL = f"""
+WITH ulp AS ({_UNIGRAM_SCORED_SQL}),
+stats AS (
+  SELECT doc_id,
+         len({T.tokens_sql('text')}) AS n,
+         len(list_distinct({T.tokens_sql('text')})) AS nd
+  FROM documents
+),
+joined AS (
+  SELECT u.doc_id, u.n_tokens, u.avg_logprob,
+         1 - CAST(s.nd AS DOUBLE) / s.n AS repetition
+  FROM ulp u JOIN stats s ON s.doc_id = u.doc_id
+)
+SELECT doc_id, n_tokens, repetition, avg_logprob,
+       n_tokens < {_QG_MIN_TOKENS} OR n_tokens > {_QG_MAX_TOKENS}
+         AS fail_length,
+       repetition > {_QG_MAX_REP} AS fail_repetition,
+       avg_logprob < {_QG_MIN_LM} AS fail_lm,
+       NOT (n_tokens < {_QG_MIN_TOKENS} OR n_tokens > {_QG_MAX_TOKENS}
+            OR repetition > {_QG_MAX_REP}
+            OR avg_logprob < {_QG_MIN_LM}) AS keep
+FROM joined
+"""
+
+
+@register("curation_quality_gate", oracle=_QUALITY_GATE_SQL, staged=True)
+def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop decision table a curation pipeline
+    actually ships (built r9, staged r10): three independent signals —
+    token-count bounds, token-repetition rate, corpus-fit unigram-LM
+    score (text_unigram_logprob's exact pipeline) — each emitted as its
+    own fail flag beside the final conjunction, so downstream audits
+    can attribute every drop to its reason. Empty-token docs carry no
+    LM row and are excluded by construction (they fail upstream
+    tokenize gates).
+
+    Exactness: repetition and the LM score are UNROUNDED quotients of
+    exact integers/DECIMALs (identical IEEE operands cross-engine —
+    the boundary-free convention); every flag is a comparison of those
+    identical doubles against literal constants, so the booleans can
+    never straddle an engine boundary.
+
+    Scale shape: the LM fit is the broadcast idf shape; the stats side
+    is one scan with in-row token math; one doc_id-keyed join. At
+    100 TB this is two passes over text + a co-partitioned join —
+    exactly the production gate's cost."""
+    toks = T.tokens("text")
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+    )
+    joined = (
+        unigram_scored(spark, sf_dir)
+        .select("doc_id", "n_tokens", "avg_logprob")
+        .join(stats, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "avg_logprob",
+            (F.lit(1) - F.col("nd").cast("double") / F.col("n"))
+            .alias("repetition"),
+        )
+    )
+    fail_len = (F.col("n_tokens") < _QG_MIN_TOKENS) | (
+        F.col("n_tokens") > _QG_MAX_TOKENS
+    )
+    fail_rep = F.col("repetition") > _QG_MAX_REP
+    fail_lm = F.col("avg_logprob") < _QG_MIN_LM
+    return joined.select(
+        "doc_id", "n_tokens", "repetition", "avg_logprob",
+        fail_len.alias("fail_length"),
+        fail_rep.alias("fail_repetition"),
+        fail_lm.alias("fail_lm"),
+        (~(fail_len | fail_rep | fail_lm)).alias("keep"),
+    )

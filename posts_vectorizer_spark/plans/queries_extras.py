@@ -1203,3 +1203,59 @@ def multimodal_gif_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(14) + F.col("doc_id") % 9).cast("int").alias("h"),
     )
     return gif_ingest_features(base)
+
+
+_GIF_ANIM_STRIDE = 2
+
+_GIF_SAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id, 4 + doc_id % 5 AS nf, 14 + doc_id % 7 AS w,
+         10 + doc_id % 5 AS h
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, nf, w, h, unnest(generate_series(0, nf - 1, 2)) AS t
+  FROM base
+),
+cells AS (
+  SELECT doc_id, nf, t, w, h, unnest(generate_series(0, w * h - 1)) AS c
+  FROM samp
+),
+px AS (
+  SELECT doc_id, nf, t,
+         (3 * (doc_id + 1000 * t) + 5 * (c % w) + 11 * (c // w)) % 256 AS idx
+  FROM cells
+)
+SELECT doc_id, CAST(nf AS INT) AS n_frames, CAST(7 AS INT) AS delay_cs,
+       CAST(t AS INT) AS frame_t,
+       CAST(sum((7 * idx + 3) % 256) AS BIGINT) AS fsum_r,
+       CAST(sum((11 * idx + 5) % 256) AS BIGINT) AS fsum_g,
+       CAST(sum((13 * idx + 7) % 256) AS BIGINT) AS fsum_b
+FROM px GROUP BY doc_id, nf, t
+"""
+
+
+@register("multimodal_gif_frame_sample", oracle=_GIF_SAMPLE_SQL, staged=True)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF frame sampling (built r9, staged r10): every doc
+    synthesizes 4-8 index frames, encodes a real animated GIF89a
+    (NETSCAPE looping extension, per-frame graphic-control + image
+    descriptor, real LZW per frame), decodes the whole container back,
+    and emits every 2nd DECODED frame's palette-mapped channel sums —
+    the compressed-format counterpart of multimodal_avi_frame_sample
+    (AVI frames are raw DIBs; these are LZW streams). Frame count and
+    the delay come from the PARSED container, so a control-block or
+    framing bug hash-mismatches every row.
+
+    Scale shape: per-row scan-stage codec work; one output row per
+    sampled frame, payloads never shuffle."""
+    from ..operators.multimodal import gif_frame_sample_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("nf"),
+        (F.lit(14) + F.col("doc_id") % 7).cast("int").alias("w"),
+        (F.lit(10) + F.col("doc_id") % 5).cast("int").alias("h"),
+    )
+    return gif_frame_sample_features(base, _GIF_ANIM_STRIDE)

@@ -676,3 +676,78 @@ def text_code_mixing_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.sum("hterm").cast("double")).cast("double").alias("mix_entropy"),
         (-F.sum("hterm").cast("double") > _MIX_H_ALERT).alias("mixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DEFLATE compression-ratio quality signal (built r9, staged r10) — [R]
+# ---------------------------------------------------------------------------
+
+_CR_LEVEL = 6  # fixed zlib level: deterministic output for a given build
+
+
+@register("text_compression_ratio", staged=True)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression-ratio profile (built r9, staged r10): each
+    document's zlib/DEFLATE ratio (compressed bytes / raw utf-8 bytes) —
+    the Gopher-style redundancy signal (near-duplicate boilerplate and
+    template spam compress far below natural text; random noise sits
+    near 1.0) — aggregated per source with round-6 DECIMAL exact sums
+    and the unrounded-quotient mean.
+
+    [R] rows-only BY DESIGN: a DEFLATE stream's length is not
+    ANSI-SQL-expressible (the signal IS the compressor's dictionary
+    behavior). Strong check: tests/test_quality.py recomputes every
+    planted ratio with zlib directly and pins the repetition<natural<
+    noise ordering. Compression runs inside mapInPandas with the fixed
+    level {lvl} (deterministic for a given zlib build).
+
+    Scale shape: scan-stage Arrow-batched compression (the payload
+    never shuffles); the per-source combine is map-side over |sources|
+    keys."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n_raw = raw.map(len)
+            n_c = raw.map(lambda b: len(zlib.compress(b, _CR_LEVEL)))
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "n_raw": n_raw.astype("int64"),
+                    "n_compressed": n_c.astype("int64"),
+                }
+            )
+
+    per_doc = docs.select("source", "text").mapInPandas(
+        run, "source string, n_raw long, n_compressed long"
+    )
+    ratio = F.when(
+        F.col("n_raw") > 0,
+        F.col("n_compressed").cast("double") / F.col("n_raw"),
+    )
+    return (
+        per_doc.select(
+            "source", "n_raw", "n_compressed",
+            F.round(ratio, 6).cast("decimal(18,6)").alias("r6"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_raw").cast("bigint").alias("raw_bytes"),
+            F.sum("n_compressed").cast("bigint").alias("compressed_bytes"),
+            (F.sum("r6").cast("double") / F.count("*")).alias("mean_ratio"),
+            F.min("r6").cast("double").alias("min_ratio"),
+            F.max("r6").cast("double").alias("max_ratio"),
+        )
+    )
+
+
+text_compression_ratio.__doc__ = text_compression_ratio.__doc__.format(
+    lvl=_CR_LEVEL
+)

@@ -59,8 +59,16 @@ STAGED: dict[str, QueryDef] = {}
 #                                 DECIMAL tier scores)
 #   stream_cms_drain             (CMS maintenance through the ledgered
 #                                 merge sink; batch-equality test)
-# r10 head plan: 7 introduction slots + spine + the 10 spilled r4 rows
-# + the oldest r5-cohort rows fill the remaining ~32 slots.
+# ...plus a second batch of THREE (same full gate):
+#   multimodal_gif_frame_sample  (ANIMATED GIF89a — per-frame LZW,
+#                                 graphic-control delay, loop ext)
+#   curation_quality_gate        (composed keep/drop decision table —
+#                                 length/repetition/LM flags)
+#   text_compression_ratio       ([R] — DEFLATE ratio quality signal;
+#                                 zlib-exact named test, R-table row)
+# r10 head plan: 10 introduction slots ([Q]: 9) + spine + the 10
+# spilled r4 rows + the oldest r5-cohort rows (ALL 46 pre-verified
+# vanilla this round, SWEEPS.md) fill the remaining ~29 slots.
 
 
 def register(

@@ -321,3 +321,41 @@ def test_perplexity_buckets_invariants(spark):
     for t in tiers:
         assert t["min_logprob"] - 1e-12 <= t["tier_logprob"] \
             <= t["max_logprob"] + 1e-12
+
+
+def test_quality_gate_flags_and_conjunction(spark, tmp_path):
+    """curation_quality_gate (staged r10): planted docs trip each gate
+    independently — too short, too repetitive, in-range clean — and
+    keep is exactly the conjunction of the three fail flags. The LM
+    threshold is corpus-fit, so the test asserts flag CONSISTENCY
+    (keep == not any(fail)) plus the two structurally-determined
+    flags."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    docs = [
+        (1, "one two", "en", "s", 1),                       # too short
+        (2, "spam " * 50, "en", "s", 1),                    # repetitive
+        (3, " ".join(f"w{i} x{i} y{i} z{i}" for i in range(8)),
+         "en", "s", 1),                # in range, all-distinct tokens
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("curation_quality_gate")(
+            spark, str(d)
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["fail_length"] and not rows[1]["fail_repetition"]
+    assert rows[2]["fail_repetition"]
+    assert rows[2]["repetition"] == 1 - 1 / 50
+    assert not rows[3]["fail_length"] and not rows[3]["fail_repetition"]
+    for r in rows.values():
+        assert r["keep"] == (
+            not (r["fail_length"] or r["fail_repetition"] or r["fail_lm"])
+        )

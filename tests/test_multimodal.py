@@ -526,3 +526,34 @@ def test_gif_ingest_hand_computed(spark, tmp_path):
         assert r["sum_r"] == sum((7 * i + 3) % 256 for i in idxs)
         assert r["sum_g"] == sum((11 * i + 5) % 256 for i in idxs)
         assert r["sum_b"] == sum((13 * i + 7) % 256 for i in idxs)
+
+
+def test_gif_anim_frame_sample_hand_computed(spark, tmp_path):
+    """multimodal_gif_frame_sample (staged r10): frame count and delay
+    from the parsed container, stride-2 sampled frame ids, and each
+    sampled frame's palette-mapped channel sums recomputed by hand."""
+    from posts_vectorizer_spark.operators import multimodal as M
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "gifa"
+    d.mkdir()
+    spark.createDataFrame(
+        [(6, "x", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = sorted(
+        resolve_query("multimodal_gif_frame_sample")(
+            spark, str(d)
+        ).collect(),
+        key=lambda r: r["frame_t"],
+    )
+    nf, w, h = 4 + 6 % 5, 14 + 6 % 7, 10 + 6 % 5
+    assert [r["frame_t"] for r in rows] == list(range(0, nf, 2))
+    pal = M.synth_palette()
+    for r in rows:
+        assert r["n_frames"] == nf and r["delay_cs"] == 7
+        idx = M.synth_indices(6 + 1000 * r["frame_t"], w, h)
+        rgb = pal[idx].astype("int64").sum(axis=(0, 1))
+        assert (r["fsum_r"], r["fsum_g"], r["fsum_b"]) == tuple(
+            int(x) for x in rgb
+        )

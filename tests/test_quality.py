@@ -188,3 +188,66 @@ def test_code_mixing_entropy_planted(spark, tmp_path):
     assert m["top_lang"] == "en"  # 3-3 vote tie broken by lang asc
     assert m["mix_entropy"] == 0.693148  # 2 * round6(0.5*ln 0.5)
     assert m["mixed"]
+
+
+def test_compression_ratio_planted_and_ordering(spark, tmp_path):
+    """text_compression_ratio (staged r10, [R]): recompute every planted
+    ratio with zlib directly — the engine's mapInPandas output must be
+    byte-count exact — and pin the quality ordering the signal exists
+    for: heavy repetition compresses far below natural text, which
+    compresses below incompressible noise."""
+    import random
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from posts_vectorizer_spark.plans.queries_quality import _CR_LEVEL
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = random.Random(7)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(8))
+        for _ in range(40)
+    )
+    natural = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors watch from a distant harbor and argue about weather "
+        "patterns in late october near the rocky coastline of maine"
+    )
+    docs = [
+        (1, "spam spam spam " * 30, "en", "rep", 1),
+        (2, natural, "en", "nat", 1),
+        (3, noise, "en", "noise", 1),
+        (4, "", "en", "empty", 0),
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["source"]: r
+        for r in resolve_query("text_compression_ratio")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc_id, text, _l, src, _n in docs:
+        raw = text.encode("utf-8")
+        assert rows[src]["raw_bytes"] == len(raw)
+        assert rows[src]["compressed_bytes"] == len(
+            zlib.compress(raw, _CR_LEVEL)
+        )
+        if raw:
+            want = round(len(zlib.compress(raw, _CR_LEVEL)) / len(raw), 6)
+            assert abs(rows[src]["mean_ratio"] - want) < 1e-9
+        else:
+            assert rows[src]["mean_ratio"] is None  # guarded division
+    assert (
+        rows["rep"]["mean_ratio"]
+        < rows["nat"]["mean_ratio"]
+        < rows["noise"]["mean_ratio"]
+    )
+    assert rows["noise"]["mean_ratio"] > 0.5
+    assert rows["rep"]["mean_ratio"] < 0.1

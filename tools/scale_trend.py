@@ -303,6 +303,15 @@ def main(only: list[str] | None = None) -> None:
         "cms_drain": lambda k: SQ["stream_cms_drain"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "gif_frame_sample": lambda k: SQ["multimodal_gif_frame_sample"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "compression_ratio": lambda k: SQ["text_compression_ratio"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "quality_gate": lambda k: SQ["curation_quality_gate"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
