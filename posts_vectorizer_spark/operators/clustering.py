@@ -473,6 +473,8 @@ def _train_codebook(
         .collect()
     )
     cents = [(j, list(r["cvec"])) for j, r in enumerate(seeds)]
+    if not cents:
+        return []  # empty corpus: no seeds (callers return empty profiles)
     for _ in range(iters):
         cents = _update(_assign(emb_i, cents))
     return cents
@@ -536,6 +538,13 @@ def pq_quantize(
     for i in range(m):
         emb_i = _subspace(emb, i, sub_len)
         cents = _train_codebook(emb_i, k, iters)
+        if not cents:
+            # empty corpus (P9): empty profile, matching rq_quantize
+            return emb.sparkSession.createDataFrame(
+                [],
+                ", ".join(f"code{j} int" for j in range(m))
+                + ", n_vectors bigint, avg_sq_error double",
+            )
         enc = _assign_with_dist(emb_i, cents).select(
             "vec_id",
             F.col("code").alias(f"code{i}"),
@@ -556,54 +565,66 @@ def pq_quantize(
     )
 
 
-def _pq_subspace_ctes(
-    i: int, start: int, end: int, k: int, iters: int, sub_len: int
+def _lloyd_chain_ctes(
+    tag: str, k: int, iters: int, sub_len: int,
+    code_col: str, d_col: str,
 ) -> list[str]:
+    """CTE chain `{tag}_cents0..{iters}` + `{tag}_enc(vec_id, code, d)`
+    over an EXISTING CTE named `{tag}_sub(vec_id, sub)` — the one Lloyd
+    train+encode text shared by PQ (per-subspace slices) and RQ (full
+    vectors, then stage-1 residuals)."""
     quant = f"list_transform(sub, km_x -> round(CAST(km_x AS DOUBLE), {ROUND}))"
     dist = _sql_dist("e.sub", "c.cvec", sub_len)
     parts = [
-        f"""s{i}_sub AS (
-  SELECT vec_id, list_slice(embedding, {start}, {end}) AS sub
-  FROM embeddings
-)""",
-        f"""s{i}_cents0 AS (
+        f"""{tag}_cents0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
          {quant} AS cvec
-  FROM (SELECT * FROM s{i}_sub ORDER BY vec_id LIMIT {k})
+  FROM (SELECT * FROM {tag}_sub ORDER BY vec_id LIMIT {k})
 )""",
     ]
     for it in range(1, iters + 1):
         parts.append(
-            f"""s{i}_assign{it} AS (
+            f"""{tag}_assign{it} AS (
   SELECT e.vec_id, e.sub,
          (min({{'d': {dist}, 'c': c.cluster_id}})).c AS cluster_id
-  FROM s{i}_sub e, s{i}_cents{it - 1} c
+  FROM {tag}_sub e, {tag}_cents{it - 1} c
   GROUP BY e.vec_id, e.sub
 )"""
         )
         parts.append(
-            f"""s{i}_cents{it} AS (
+            f"""{tag}_cents{it} AS (
   SELECT cluster_id, list(component ORDER BY dim) AS cvec
   FROM (
     SELECT cluster_id, km_j - 1 AS dim,
            round(CAST(sum(CAST(round(CAST(sub[km_j] AS DOUBLE),
                                      {ROUND}) AS DECIMAL(18,6))) AS DOUBLE)
                  / count(*), {ROUND}) AS component
-    FROM s{i}_assign{it}, generate_series(1, {sub_len}) AS t(km_j)
+    FROM {tag}_assign{it}, generate_series(1, {sub_len}) AS t(km_j)
     GROUP BY cluster_id, km_j
   ) GROUP BY cluster_id
 )"""
         )
     parts.append(
-        f"""s{i}_enc AS (
+        f"""{tag}_enc AS (
   SELECT e.vec_id,
-         (min({{'d': {dist}, 'c': c.cluster_id}})).c AS code{i},
-         round((min({{'d': {dist}, 'c': c.cluster_id}})).d, {ROUND}) AS d{i}
-  FROM s{i}_sub e, s{i}_cents{iters} c
+         (min({{'d': {dist}, 'c': c.cluster_id}})).c AS {code_col},
+         round((min({{'d': {dist}, 'c': c.cluster_id}})).d, {ROUND}) AS {d_col}
+  FROM {tag}_sub e, {tag}_cents{iters} c
   GROUP BY e.vec_id, e.sub
 )"""
     )
     return parts
+
+
+def _pq_subspace_ctes(
+    i: int, start: int, end: int, k: int, iters: int, sub_len: int
+) -> list[str]:
+    return [
+        f"""s{i}_sub AS (
+  SELECT vec_id, list_slice(embedding, {start}, {end}) AS sub
+  FROM embeddings
+)""",
+    ] + _lloyd_chain_ctes(f"s{i}", k, iters, sub_len, f"code{i}", f"d{i}")
 
 
 def pq_sql(
@@ -1094,3 +1115,113 @@ UNION ALL SELECT * FROM border_rows
 UNION ALL SELECT * FROM noise_rows
 ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# residual quantization (2-stage, built r9, staged r10)
+# ---------------------------------------------------------------------------
+
+RQ_K = 8
+RQ_ITERS = 2
+
+
+def rq_quantize(
+    emb: DataFrame, k: int = RQ_K, iters: int = RQ_ITERS, dims: int = 64
+) -> DataFrame:
+    """(code0, code1, n_vectors, avg_sq_error): residual quantization —
+    stage 1 trains a portable-KMeans codebook on the FULL vectors and
+    encodes each; stage 2 trains a second codebook on the stage-1
+    RESIDUALS (x - c1) and encodes those. Where PQ splits dimensions
+    orthogonally, RQ composes codebooks SEQUENTIALLY — the reconstruction
+    c1 + c2 refines additively, the compression family behind modern
+    additive/residual ANN indexes. Distortion (mean round-6 squared L2 of
+    the FINAL residual) falls monotonically-in-expectation vs stage 1
+    alone, which the named test pins on planted clusters.
+
+    Same reproducibility contract as pq_quantize (lowest-id seeds,
+    sequential-fold distances, lexicographic argmin, round-6 grid);
+    residual components are x(float32-exact) minus round-6 centroid
+    literals — identical IEEE operands cross-engine.
+
+    Scale shape: two Lloyd trains (each one scan per iteration with a
+    k-row broadcast state), two broadcast-literal encode passes, one
+    vec_id join, one (k*k)-cell profile combine. No stage shuffles
+    vectors by anything but vec_id."""
+    full = emb.select("vec_id", "embedding")
+    c1 = _train_codebook(full, k, iters)
+    if not c1:
+        # empty corpus: no seeds, no codebook — an empty profile, not a
+        # crash (array_min over zero centroid literals is untyped VOID)
+        return emb.sparkSession.createDataFrame(
+            [],
+            "code0 int, code1 int, n_vectors bigint, avg_sq_error double",
+        )
+    enc1 = _assign_with_dist(full, c1).select(
+        "vec_id", F.col("code").alias("code0")
+    )
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in cvec])
+            for _cid, cvec in sorted(c1)
+        ]
+    )
+    res = (
+        full.join(enc1, "vec_id")
+        .select(
+            "vec_id",
+            "code0",
+            F.zip_with(
+                "embedding",
+                F.element_at(cent_arr, F.col("code0") + 1),
+                lambda x, c: x.cast("double") - c,
+            ).alias("embedding"),
+        )
+    )
+    c2 = _train_codebook(res.select("vec_id", "embedding"), k, iters)
+    enc2 = _assign_with_dist(res.select("vec_id", "embedding"), c2).select(
+        "vec_id", F.col("code").alias("code1"), "d"
+    )
+    return (
+        res.select("vec_id", "code0")
+        .join(enc2, "vec_id")
+        .groupBy("code0", "code1")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("d").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                ROUND,
+            ).alias("avg_sq_error"),
+        )
+    )
+
+
+def rq_sql(k: int = RQ_K, iters: int = RQ_ITERS, dims: int = 64) -> str:
+    parts = [
+        """r0_sub AS (
+  SELECT vec_id, embedding AS sub FROM embeddings
+)""",
+    ]
+    parts += _lloyd_chain_ctes("r0", k, iters, dims, "code0", "d0")
+    parts.append(
+        f"""r1_sub AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, {dims}),
+           rq_j -> CAST(e.sub[rq_j] AS DOUBLE) - c.cvec[rq_j]) AS sub
+  FROM r0_sub e
+  JOIN r0_enc x ON x.vec_id = e.vec_id
+  JOIN r0_cents{iters} c ON c.cluster_id = x.code0
+)"""
+    )
+    parts += _lloyd_chain_ctes("r1", k, iters, dims, "code1", "d1")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT x0.code0, x1.code1, count(*) AS n_vectors,
+       round(CAST(sum(CAST(x1.d1 AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), {ROUND}) AS avg_sq_error
+FROM r0_enc x0 JOIN r1_enc x1 USING (vec_id)
+GROUP BY x0.code0, x1.code1
+"""
+    )

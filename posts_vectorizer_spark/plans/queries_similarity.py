@@ -709,3 +709,16 @@ def sim_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register("sim_rq_quantize", oracle=clustering.rq_sql(), staged=True)
+def sim_rq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual quantization train→encode→distortion profile (built r9,
+    staged r10): a full-vector codebook, then a second codebook fit on
+    the stage-1 residuals — SEQUENTIAL composition (vs sim_pq_quantize's
+    orthogonal split), the additive-codebook family modern ANN indexes
+    compress with. Both Lloyd trains, both encodes, and the per-cell
+    distortion profile are oracle-checked end to end
+    (operators/clustering.py::rq_quantize / rq_sql)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.rq_quantize(emb)

@@ -66,7 +66,9 @@ STAGED: dict[str, QueryDef] = {}
 #                                 length/repetition/LM flags)
 #   text_compression_ratio       ([R] — DEFLATE ratio quality signal;
 #                                 zlib-exact named test, R-table row)
-# r10 head plan: 10 introduction slots ([Q]: 9) + spine + the 10
+#   sim_rq_quantize              (residual quantization — sequential
+#                                 2-stage codebooks, full oracle)
+# r10 head plan: 11 introduction slots ([Q]: 10) + spine + the 10
 # spilled r4 rows + the oldest r5-cohort rows (ALL 46 pre-verified
 # vanilla this round, SWEEPS.md) fill the remaining ~29 slots.
 

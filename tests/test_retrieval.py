@@ -942,3 +942,39 @@ def test_clustering_coefficient_matches_edge_replay(spark):
             assert got[n][2] is None, n
         else:
             assert got[n][2] == want_c, n
+
+
+def test_rq_quantize_planted_refinement(spark, tmp_path):
+    """sim_rq_quantize (staged r10): two tight planted clusters — stage 1
+    must separate them (every vector's cell groups by its cluster) and
+    the stage-2 residual codebook must drive distortion far below the
+    raw cluster radius; the profile is deterministic across runs."""
+    import numpy as np
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(24):
+        base = 1.0 if i % 2 == 0 else -1.0
+        vec = (base + rng.normal(0, 0.01, 64)).astype("float32")
+        rows.append((i, [float(x) for x in vec], i % 2))
+    d = tmp_path / "emb"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    out1 = resolve_query("sim_rq_quantize")(spark, str(d)).collect()
+    out2 = resolve_query("sim_rq_quantize")(spark, str(d)).collect()
+    key = lambda r: (r["code0"], r["code1"])
+    assert sorted(map(key, out1)) == sorted(map(key, out2))
+    assert {tuple(sorted(r)) for r in
+            [(x["code0"], x["code1"], x["n_vectors"], x["avg_sq_error"])
+             for x in out1]} == \
+           {tuple(sorted(r)) for r in
+            [(x["code0"], x["code1"], x["n_vectors"], x["avg_sq_error"])
+             for x in out2]}
+    assert sum(r["n_vectors"] for r in out1) == 24
+    # residual distortion far below the between-cluster scale (~4.0*64)
+    worst = max(r["avg_sq_error"] for r in out1)
+    assert worst < 1.0, worst

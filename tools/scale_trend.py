@@ -312,6 +312,9 @@ def main(only: list[str] | None = None) -> None:
         "quality_gate": lambda k: SQ["curation_quality_gate"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "rq_quantize": lambda k: SQ["sim_rq_quantize"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
