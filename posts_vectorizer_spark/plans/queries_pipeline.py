@@ -1235,3 +1235,57 @@ def stream_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("h").alias("h"), F.count("*").alias("exact_cnt"))
     )
     return cms_estimates(exact, state.select("d", "bucket", "c"))
+
+
+from .queries_sketch import HLL_PORTABLE_SQL
+
+
+@register("stream_hll_drain", oracle=HLL_PORTABLE_SQL, staged=True)
+def stream_hll_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog maintenance with a driver row (built r9,
+    staged r10): lineitem streams in TWO forced micro-batches; each
+    batch MAX-merges its sparse (bucket, rho) registers into the
+    standing state (streaming/worker.py::hll_register_stream through
+    the r9 merge_max_parquet dominance sink); the cardinality estimate
+    reads out from the MERGED registers beside the exact distinct.
+    Register max is idempotent and commutative, so the batch split
+    cannot change a single register — the oracle is rel_hll_portable's
+    one-pass twin, completing the mergeable-sketch streaming trio
+    (DDSketch/CMS counts merge by +, HLL registers merge by max)."""
+    from ..sources.sinks import read_merged
+    from ..streaming.worker import hll_register_stream
+    from .queries_sketch import hll_estimate_readout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    work = tempfile.mkdtemp(prefix="pv_hll_")
+    src = f"{work}/in"
+    half = F.col("l_orderkey") % 2
+    # PARALLEL source writes (8 files per half, 8 per trigger => exactly
+    # two batches): register max is split-invariant, so the batch
+    # composition is free to follow file order — unlike the coalesce(1)
+    # pattern of the additive drains, the harness write stays parallel
+    # and off the measured-trend critical path (a coalesce(1) draft
+    # measured 5.9x wall under 10x data, ALL of it the single-threaded
+    # source write, none of it the sketch)
+    li.where(half == 0).repartition(8).write.mode("append").parquet(src)
+    li.where(half == 1).repartition(8).write.mode("append").parquet(src)
+    q = hll_register_stream(
+        spark, src, li.schema, f"{work}/regs", f"{work}/ckpt",
+        max_files_per_trigger=8,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("hll drain did not finish within 300s")
+    state = read_merged(spark, f"{work}/regs")
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "m int, hll_estimate double, exact_distinct bigint,"
+            " rel_error double",
+        )
+    ex = li.agg(
+        F.count_distinct(F.col("l_orderkey")).alias("exact_distinct")
+    )
+    return hll_estimate_readout(
+        spark, state.select("bucket", "rho"), ex
+    )

@@ -38,9 +38,7 @@ _HLL_MAXBIT = 24     # rest = h // 64 < (1e9+7)/64 < 2^24
 _HLL_MULT = 2_654_435_761  # Knuth multiplicative constant
 
 
-@register(
-    "rel_hll_portable",
-    oracle=f"""
+HLL_PORTABLE_SQL = f"""
 WITH hb AS (
   SELECT (l_orderkey * {_HLL_MULT} + 7919) % {T.HASH_MOD} AS hb
   FROM lineitem
@@ -72,30 +70,14 @@ SELECT CAST({_HLL_M} AS INTEGER) AS m, hll_estimate, exact_distinct,
        CAST(round(abs(hll_estimate - exact_distinct) / exact_distinct, 6)
             AS DOUBLE) AS rel_error
 FROM est CROSS JOIN ex
-""",
-)
-def rel_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable HyperLogLog: estimate distinct l_orderkey with 64
-    registers built from the portable hash — unlike `rel_approx_distinct`
-    (Spark's native HLL++, rows-only [R]), this sketch's every register is
-    a pure function of the data, so the oracle verifies the full sketch
-    AND the estimate exactly. rho (first set bit of the remaining hash
-    bits) is probed with division-by-power-of-two arithmetic — exact in
-    both engines, no engine-specific bit intrinsics.
+"""
 
-    Scale shape: one scan, one 64-group map-side-combinable max — the
-    whole point of HLL at 100 TB: the shuffle carries at most
-    64 × #partitions rows and registers merge by max, the same merge a
-    multi-day incremental rollup uses. The 2^-M register sum adds exact
-    binary fractions (all representable, total < 2^6), so the estimate is
-    partition-order insensitive.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    # Quadratic mixing: a purely linear h = k*A % p keeps sequential keys
-    # on a lattice whose low bits are far from uniform — the register
-    # histogram skews and the estimate biases +40%. Squaring mod p is the
-    # cheapest portable nonlinearity (fits int64: hb < 1e9+7, hb^2 < 2^63).
-    hb = (F.col("l_orderkey") * _HLL_MULT + 7919) % T.HASH_MOD
+
+def hll_sparse_registers(df: DataFrame, key: str) -> DataFrame:
+    """(bucket, rho) sparse HLL registers (max-grouped) for an integer
+    key column — the map-side half of the sketch, shared by the batch
+    query and the streaming max-merge drain (stream_hll_drain)."""
+    hb = (F.col(key) * _HLL_MULT + 7919) % T.HASH_MOD
     h = (hb * hb) % T.HASH_MOD
     rest = F.floor(h / _HLL_M).cast("long")
     rho = (
@@ -113,14 +95,22 @@ def rel_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 1
     )
-    reg = (
-        li.select((h % _HLL_M).alias("bucket"), rho.alias("rho"))
+    return (
+        df.select((h % _HLL_M).alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def hll_estimate_readout(
+    spark: SparkSession, sparse: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """Dense-registers → raw estimate → error vs the exact count — a
+    pure function of sparse (bucket, rho) state, identical over a
+    one-pass sketch or merged streaming state."""
     buckets = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
     regs = (
-        buckets.join(reg, "bucket", "left")
+        buckets.join(sparse, "bucket", "left")
         .select(F.coalesce("rho", F.lit(0)).alias("m"))
     )
     est = regs.agg(
@@ -132,11 +122,8 @@ def rel_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hll_estimate")
     )
-    ex = li.agg(
-        F.count_distinct(F.col("l_orderkey")).alias("exact_distinct")
-    )
     return (
-        est.crossJoin(F.broadcast(ex))
+        est.crossJoin(F.broadcast(exact))
         .select(
             F.lit(_HLL_M).cast("int").alias("m"),
             "hll_estimate",
@@ -150,6 +137,36 @@ def rel_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_error"),
         )
     )
+
+
+@register("rel_hll_portable", oracle=HLL_PORTABLE_SQL)
+def rel_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog: estimate distinct l_orderkey with 64
+    registers built from the portable hash — unlike `rel_approx_distinct`
+    (Spark's native HLL++, rows-only [R]), this sketch's every register is
+    a pure function of the data, so the oracle verifies the full sketch
+    AND the estimate exactly. rho (first set bit of the remaining hash
+    bits) is probed with division-by-power-of-two arithmetic — exact in
+    both engines, no engine-specific bit intrinsics.
+
+    Scale shape: one scan, one 64-group map-side-combinable max — the
+    whole point of HLL at 100 TB: the shuffle carries at most
+    64 × #partitions rows and registers merge by max, the same merge a
+    multi-day incremental rollup uses. The 2^-M register sum adds exact
+    binary fractions (all representable, total < 2^6), so the estimate is
+    partition-order insensitive.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # Quadratic mixing (inside hll_sparse_registers): a purely linear
+    # h = k*A % p keeps sequential keys on a lattice whose low bits are
+    # far from uniform — the register histogram skews and the estimate
+    # biases +40%. Squaring mod p is the cheapest portable nonlinearity
+    # (fits int64: hb < 1e9+7, hb^2 < 2^63).
+    sparse = hll_sparse_registers(li, "l_orderkey")
+    ex = li.agg(
+        F.count_distinct(F.col("l_orderkey")).alias("exact_distinct")
+    )
+    return hll_estimate_readout(spark, sparse, ex)
 
 
 # ---------------------------------------------------------------------------

@@ -68,7 +68,9 @@ STAGED: dict[str, QueryDef] = {}
 #                                 zlib-exact named test, R-table row)
 #   sim_rq_quantize              (residual quantization — sequential
 #                                 2-stage codebooks, full oracle)
-# r10 head plan: 11 introduction slots ([Q]: 10) + spine + the 10
+#   stream_hll_drain             (HLL registers through the NEW
+#                                 merge_max_parquet dominance sink)
+# r10 head plan: 12 introduction slots ([Q]: 11) + spine + the 10
 # spilled r4 rows + the oldest r5-cohort rows (ALL 46 pre-verified
 # vanilla this round, SWEEPS.md) fill the remaining ~29 slots.
 

@@ -185,6 +185,34 @@ def merge_add_parquet(
     )
 
 
+def merge_max_parquet(
+    spark: SparkSession,
+    deltas: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    batch_id: int | None = None,
+) -> None:
+    """DOMINANCE merge (r9): matched rows take the MAX of every non-key
+    column; unmatched deltas insert. The maintenance primitive for
+    max-mergeable sketch state — HLL registers, per-key high-water
+    marks, zone-map maxima. Max is idempotent (re-applying a batch is a
+    no-op on values), but the batch-id ledger is kept anyway so replay
+    semantics are identical across all three sink combiners
+    (replace/add/max). Deltas must be pre-aggregated unique per key."""
+    manifest = _read_manifest(target_dir)
+    if (
+        batch_id is not None
+        and manifest is not None
+        and batch_id in manifest.get("applied", [])
+    ):
+        return
+    _merge_parquet(
+        spark, deltas, None, target_dir, keys, n_buckets,
+        combine="max", batch_id=batch_id,
+    )
+
+
 def _merge_parquet(
     spark: SparkSession,
     upserts: DataFrame,
@@ -223,16 +251,19 @@ def _merge_parquet(
         ]
         if touched_dirs:
             current = spark.read.parquet(*touched_dirs)
-            if combine == "add":
-                # additive: union current + deltas, SUM every value column
-                # per key (unmatched keys pass through the sum unchanged)
+            if combine in ("add", "max"):
+                # combining merge: union current + deltas, SUM (additive
+                # state: counters) or MAX (dominance state: HLL registers,
+                # high-water marks) every value column per key — unmatched
+                # keys pass through either combiner unchanged
                 value_cols = [
                     c for c in upserts.columns if c not in keys
                 ]
+                comb = F.sum if combine == "add" else F.max
                 both = current.unionByName(upserts.select(*current.columns))
                 merged = (
                     both.groupBy(*keys)
-                    .agg(*[F.sum(c).alias(c) for c in value_cols])
+                    .agg(*[comb(c).alias(c) for c in value_cols])
                     .withColumn("_bucket", _bucket_col(keys, n_buckets))
                 )
             elif order_col is None:

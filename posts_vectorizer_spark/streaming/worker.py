@@ -855,3 +855,46 @@ def cms_count_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental HyperLogLog maintenance: each micro-batch of lineitem
+    rows computes its sparse (bucket, rho) registers and MAX-merges them
+    into the standing register table (sinks.merge_max_parquet — the
+    r9 dominance-combine sink mode). Register max is commutative,
+    associative, AND idempotent, so any batch split — or replay — yields
+    the same registers as one pass; the cardinality readout stays a pure
+    function of the state (plans/queries_sketch.py::
+    hll_estimate_readout).
+
+    At 100 TB: per-batch cost is one map-side-combinable 64-key max
+    plus O(touched registers) of a 64-row state table — running
+    distinct-count over an unbounded stream for the price of the batch,
+    the rollup shape HLL exists for."""
+    from ..plans.queries_sketch import hll_sparse_registers
+    from ..sources.sinks import merge_max_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = hll_sparse_registers(batch_df, "l_orderkey")
+        merge_max_parquet(
+            spark, delta, state_dir, ["bucket"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -324,3 +324,56 @@ def test_stream_cms_drain_equals_batch(spark):
         ).collect()
     }
     assert batch and streamed == batch
+
+
+def test_stream_hll_drain_equals_batch_and_max_merge_idempotent(spark):
+    """stream_hll_drain (staged r10): the two-micro-batch max-merged
+    registers must yield EXACTLY rel_hll_portable's row (register max
+    is split-invariant); and the r9 max-merge sink is idempotent —
+    re-applying the same delta with a NEW batch id leaves values
+    unchanged (dominance), while a REPLAYED batch id is skipped by the
+    ledger before any work."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from posts_vectorizer_spark.sources.sinks import (
+        merge_max_parquet,
+        read_merged,
+    )
+
+    batch = resolve_query("rel_hll_portable")(spark, SF_SMOKE).collect()
+    streamed = resolve_query("stream_hll_drain")(spark, SF_SMOKE).collect()
+    assert len(batch) == len(streamed) == 1
+    assert batch[0].asDict() == streamed[0].asDict()
+
+    # max-merge semantics on a tiny hand state
+    d = tempfile.mkdtemp(prefix="pv_maxmerge_")
+    delta1 = spark.createDataFrame(
+        [(0, 3), (1, 5)], "bucket long, rho long"
+    )
+    delta2 = spark.createDataFrame(
+        [(0, 7), (2, 1)], "bucket long, rho long"
+    )
+    merge_max_parquet(spark, delta1, d, ["bucket"], batch_id=1)
+    merge_max_parquet(spark, delta2, d, ["bucket"], batch_id=2)
+    got = {
+        r["bucket"]: r["rho"] for r in read_merged(spark, d).collect()
+    }
+    assert got == {0: 7, 1: 5, 2: 1}
+    # dominance: same values under a new id -> no change
+    merge_max_parquet(spark, delta1, d, ["bucket"], batch_id=3)
+    got2 = {
+        r["bucket"]: r["rho"] for r in read_merged(spark, d).collect()
+    }
+    assert got2 == got
+    # ledger: replayed id skipped even with different (higher!) values
+    bigger = spark.createDataFrame([(0, 99)], "bucket long, rho long")
+    merge_max_parquet(spark, bigger, d, ["bucket"], batch_id=2)
+    got3 = {
+        r["bucket"]: r["rho"] for r in read_merged(spark, d).collect()
+    }
+    assert got3 == got

@@ -315,6 +315,9 @@ def main(only: list[str] | None = None) -> None:
         "rq_quantize": lambda k: SQ["sim_rq_quantize"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        "hll_drain": lambda k: SQ["stream_hll_drain"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
