@@ -751,3 +751,187 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_compression_ratio.__doc__ = text_compression_ratio.__doc__.format(
     lvl=_CR_LEVEL
 )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1/2 lead-k summary eval (built r9, staged r10)
+# ---------------------------------------------------------------------------
+
+_ROUGE_LEAD_K = 30  # the classic lead-k extractive baseline
+
+
+def _rouge_arm_sql(n: int, tag: str) -> str:
+    """CTEs computing clipped-count ROUGE-n sums per doc for the lead-k
+    candidate vs the full-document reference."""
+    if n == 1:
+        ref_grams = "toks"
+        cand_grams = f"list_slice(toks, 1, {_ROUGE_LEAD_K})"
+    else:
+        ref_grams = (
+            "list_transform(generate_series(1, len(toks) - 1),"
+            " rg_i -> toks[rg_i] || ' ' || toks[rg_i + 1])"
+        )
+        cand_grams = (
+            f"list_transform(generate_series(1,"
+            f" least(len(toks), {_ROUGE_LEAD_K}) - 1),"
+            " rg_i -> toks[rg_i] || ' ' || toks[rg_i + 1])"
+        )
+    return f"""{tag}_ref AS (
+  SELECT doc_id, unnest({ref_grams}) AS g FROM tok
+),
+{tag}_cand AS (
+  SELECT doc_id, unnest({cand_grams}) AS g FROM tok
+),
+{tag}_rc AS (
+  SELECT doc_id, g, count(*) AS c FROM {tag}_ref GROUP BY doc_id, g
+),
+{tag}_cc AS (
+  SELECT doc_id, g, count(*) AS c FROM {tag}_cand GROUP BY doc_id, g
+),
+{tag}_sums AS (
+  SELECT r.doc_id,
+         sum(least(r.c, coalesce(c.c, 0))) AS overlap,
+         sum(r.c) AS n_ref
+  FROM {tag}_rc r LEFT JOIN {tag}_cc c
+    ON c.doc_id = r.doc_id AND c.g = r.g
+  GROUP BY r.doc_id
+),
+{tag}_csum AS (
+  SELECT doc_id, sum(c) AS n_cand FROM {tag}_cc GROUP BY doc_id
+)"""
+
+
+_ROUGE_LEAD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents
+  WHERE len({T.tokens_sql('text')}) > 0
+),
+{_rouge_arm_sql(1, 'u')},
+{_rouge_arm_sql(2, 'b')}
+SELECT u_sums.doc_id,
+       CAST(u_sums.overlap AS BIGINT) AS n1_overlap,
+       CAST(u_sums.n_ref AS BIGINT) AS n1_ref,
+       CAST(u_csum.n_cand AS BIGINT) AS n1_cand,
+       CAST(u_sums.overlap AS DOUBLE) / u_sums.n_ref AS rouge1_recall,
+       CAST(u_sums.overlap AS DOUBLE) / u_csum.n_cand AS rouge1_precision,
+       CAST(coalesce(b_sums.overlap, 0) AS BIGINT) AS n2_overlap,
+       CAST(coalesce(b_sums.n_ref, 0) AS BIGINT) AS n2_ref,
+       CAST(coalesce(b_csum.n_cand, 0) AS BIGINT) AS n2_cand,
+       CASE WHEN b_sums.n_ref > 0 THEN
+         CAST(b_sums.overlap AS DOUBLE) / b_sums.n_ref END AS rouge2_recall,
+       CASE WHEN b_csum.n_cand > 0 THEN
+         CAST(b_sums.overlap AS DOUBLE) / b_csum.n_cand
+       END AS rouge2_precision
+FROM u_sums
+JOIN u_csum ON u_csum.doc_id = u_sums.doc_id
+LEFT JOIN b_sums ON b_sums.doc_id = u_sums.doc_id
+LEFT JOIN b_csum ON b_csum.doc_id = u_sums.doc_id
+"""
+
+
+@register("text_rouge_lead_eval", oracle=_ROUGE_LEAD_SQL, staged=True)
+def text_rouge_lead_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 of the lead-{k} extractive baseline against the
+    full document (built r9, staged r10) — the standard summarization
+    eval in its clipped-count form (overlap = sum over grams of
+    min(candidate count, reference count), Lin 2004), computed
+    per document for unigrams AND bigrams. Lead-k is the baseline every
+    real summarizer must beat, and this query is the eval harness shape:
+    swap the candidate CTE for a model's output table and the metric
+    pipeline is unchanged.
+
+    Exactness: overlaps and gram totals are exact integers;
+    recall/precision are unrounded quotients of identical operands
+    (the boundary-free convention); sub-2-token docs carry NULL bigram
+    metrics via explicit guards in both engines.
+
+    Scale shape: gram explode → per-(doc, gram) map-side counts → one
+    doc+gram join (candidate grams are a subset slice of the same
+    tokenization, co-keyed by doc_id) → per-doc combine. Everything
+    keys on doc_id; nothing is corpus-quadratic."""
+    toks = T.tokens("text")
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+
+    def grams(n: int, lead: bool):
+        src = (
+            F.slice(F.col("toks"), 1, _ROUGE_LEAD_K)
+            if lead
+            else F.col("toks")
+        )
+        if n == 1:
+            return src
+        # sequence(1, 0) DESCENDS in Spark (the char_hash footgun) — a
+        # 1-token doc must yield an EMPTY bigram list like DuckDB's
+        # empty generate_series, not two bogus grams
+        return F.when(
+            F.size(src) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(src) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(src, i), F.element_at(src, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def arm(n: int):
+        rc = (
+            tok.select("doc_id", F.explode(grams(n, False)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("rc"))
+        )
+        cc = (
+            tok.select("doc_id", F.explode(grams(n, True)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cc"))
+        )
+        sums = (
+            rc.join(cc, ["doc_id", "g"], "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.least(F.col("rc"), F.coalesce(F.col("cc"), F.lit(0)))
+                ).alias("overlap"),
+                F.sum("rc").alias("n_ref"),
+            )
+        )
+        csum = cc.groupBy("doc_id").agg(F.sum("cc").alias("n_cand"))
+        return sums, csum
+
+    u_sums, u_csum = arm(1)
+    b_sums, b_csum = arm(2)
+    b = b_sums.join(b_csum, "doc_id").select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("overlap").alias("b_overlap"),
+        F.col("n_ref").alias("b_ref"),
+        F.col("n_cand").alias("b_cand"),
+    )
+    return (
+        u_sums.join(u_csum, "doc_id")
+        .join(b, u_sums["doc_id"] == b["b_doc"], "left")
+        .select(
+            "doc_id",
+            F.col("overlap").cast("bigint").alias("n1_overlap"),
+            F.col("n_ref").cast("bigint").alias("n1_ref"),
+            F.col("n_cand").cast("bigint").alias("n1_cand"),
+            (F.col("overlap").cast("double") / F.col("n_ref"))
+            .alias("rouge1_recall"),
+            (F.col("overlap").cast("double") / F.col("n_cand"))
+            .alias("rouge1_precision"),
+            F.coalesce("b_overlap", F.lit(0)).cast("bigint")
+            .alias("n2_overlap"),
+            F.coalesce("b_ref", F.lit(0)).cast("bigint").alias("n2_ref"),
+            F.coalesce("b_cand", F.lit(0)).cast("bigint").alias("n2_cand"),
+            F.when(
+                F.col("b_ref") > 0,
+                F.col("b_overlap").cast("double") / F.col("b_ref"),
+            ).alias("rouge2_recall"),
+            F.when(
+                F.col("b_cand") > 0,
+                F.col("b_overlap").cast("double") / F.col("b_cand"),
+            ).alias("rouge2_precision"),
+        )
+    )

@@ -70,7 +70,9 @@ STAGED: dict[str, QueryDef] = {}
 #                                 2-stage codebooks, full oracle)
 #   stream_hll_drain             (HLL registers through the NEW
 #                                 merge_max_parquet dominance sink)
-# r10 head plan: 12 introduction slots ([Q]: 11) + spine + the 10
+#   text_rouge_lead_eval         (clipped-count ROUGE-1/2 of the
+#                                 lead-30 baseline — eval harness)
+# r10 head plan: 13 introduction slots ([Q]: 12) + spine + the 10
 # spilled r4 rows + the oldest r5-cohort rows (ALL 46 pre-verified
 # vanilla this round, SWEEPS.md) fill the remaining ~29 slots.
 

@@ -122,6 +122,10 @@ def test_plan_build_triggers_no_jobs(spark):
         "sim_adamic_adar_links",        # topk kernel edge list at build
         "stream_psi_drift_drain",       # pins ref stats + runs its drain
         "sim_kcore_peeling",            # topk kernel edge list at build
+        # r9-built wave (staged r10) — listed ahead of introduction:
+        "sim_rq_quantize",              # two Lloyd trains at build
+        "stream_cms_drain",             # runs its micro-batch drain
+        "stream_hll_drain",             # runs its micro-batch drain
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():

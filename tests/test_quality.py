@@ -251,3 +251,69 @@ def test_compression_ratio_planted_and_ordering(spark, tmp_path):
     )
     assert rows["noise"]["mean_ratio"] > 0.5
     assert rows["rep"]["mean_ratio"] < 0.1
+
+
+def test_rouge_lead_eval_hand_computed(spark, tmp_path):
+    """text_rouge_lead_eval (staged r10): hand-computed clipped-count
+    ROUGE on planted docs — a short doc (lead covers everything →
+    recall 1), a long repetitive doc where clipping bites, and a
+    1-token doc whose bigram metrics must be NULL with zero counts
+    (the Spark sequence(1,0) descent guard)."""
+    from collections import Counter
+
+    from posts_vectorizer_spark.plans.queries_quality import _ROUGE_LEAD_K
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    long_doc = "a b " * 40  # 80 tokens, heavy repetition
+    docs = [
+        (1, "alpha beta gamma", "en", "s", 1),
+        (2, long_doc.strip(), "en", "s", 1),
+        (3, "solo", "en", "s", 1),
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("text_rouge_lead_eval")(
+            spark, str(d)
+        ).collect()
+    }
+
+    def rouge(toks, n):
+        cand = toks[:_ROUGE_LEAD_K]
+        if n == 2:
+            toks = [" ".join(p) for p in zip(toks, toks[1:])]
+            cand = [" ".join(p) for p in zip(cand, cand[1:])]
+        rc, cc = Counter(toks), Counter(cand)
+        overlap = sum(min(c, cc.get(g, 0)) for g, c in rc.items())
+        return overlap, sum(rc.values()), sum(cc.values())
+
+    for doc_id, text, *_ in docs:
+        toks = text.split()
+        o1, r1, c1 = rouge(toks, 1)
+        row = rows[doc_id]
+        assert (row["n1_overlap"], row["n1_ref"], row["n1_cand"]) == (
+            o1, r1, c1
+        )
+        assert row["rouge1_recall"] == o1 / r1
+        assert row["rouge1_precision"] == o1 / c1
+        o2, r2, c2 = rouge(toks, 2)
+        assert (row["n2_overlap"], row["n2_ref"], row["n2_cand"]) == (
+            o2, r2, c2
+        )
+        if r2:
+            assert row["rouge2_recall"] == o2 / r2
+        else:
+            assert row["rouge2_recall"] is None
+
+    # short doc: lead covers all -> perfect recall & precision
+    assert rows[1]["rouge1_recall"] == 1.0 == rows[1]["rouge1_precision"]
+    # long repetitive doc: clipping bites -> recall < 1, precision 1
+    assert rows[2]["rouge1_recall"] < 1.0
+    assert rows[2]["rouge1_precision"] == 1.0
+    # 1-token doc: no bigrams anywhere
+    assert rows[3]["n2_ref"] == 0 and rows[3]["rouge2_recall"] is None
