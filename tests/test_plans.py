@@ -502,3 +502,27 @@ def test_r8_staged_plan_shapes(spark):
     assert kn.count("InMemoryTableScan") >= 5, (
         "dbg/bg must be cache-reused across the LM chain"
     )
+
+
+def test_r9_wave_plan_shapes(spark):
+    """Structural twins of the r9-wave SCALE.md claims: the GIF codec
+    queries are shuffle-free scan-stage maps (zero Exchange); the
+    partition-checksum audit reads only its four columns and combines
+    map-side (exactly one Exchange); the quality gate broadcasts the
+    vocab-sized LM side rather than sort-merging it."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    gif = _plan(resolve_query("multimodal_gif_ingest")(spark, SF_ORACLE))
+    assert "Exchange" not in gif
+    anim = _plan(
+        resolve_query("multimodal_gif_frame_sample")(spark, SF_ORACLE)
+    )
+    assert "Exchange" not in anim
+
+    chk = _plan(resolve_query("rel_partition_checksums")(spark, SF_ORACLE))
+    assert chk.count("Exchange") == 1  # the 32-key partial->final combine
+    assert "o_orderdate" in chk and "o_totalprice" not in chk
+
+    gate = _plan(resolve_query("curation_quality_gate")(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in gate
+    assert "CartesianProduct" not in gate
