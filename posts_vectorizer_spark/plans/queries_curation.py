@@ -500,11 +500,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc unigram-LM scores WITH the exact DECIMAL numerator
-    (lp_sum) — text_unigram_logprob's pipeline, shared with
-    text_perplexity_buckets whose tier means divide exact sums."""
-    docs = load_table(spark, sf_dir, "documents")
+def unigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(lm(word, cnt), norm(total, vocab)) fit on a corpus — the
+    pinnable model state: the streaming gate drain computes this ONCE
+    from the static corpus and scores every micro-batch against it."""
     doc_toks = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("word")
     )
@@ -513,7 +512,20 @@ def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("double").alias("total"),
         F.count("*").cast("double").alias("vocab"),
     )
-    dc = doc_toks.groupBy("doc_id", "word").agg(F.count("*").alias("dcnt"))
+    return lm, norm
+
+
+def unigram_score_against(
+    docs: DataFrame, lm: DataFrame, norm: DataFrame
+) -> DataFrame:
+    """Per-doc scores for ``docs`` under a GIVEN (possibly pinned) LM —
+    identical math whether the LM came from the same corpus (the batch
+    queries) or standing state (the streaming drain)."""
+    dc = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("dcnt"))
+    )
     lp = F.round(
         F.col("dcnt")
         * F.log10((F.col("cnt") + 1) / (F.col("total") + F.col("vocab"))),
@@ -531,6 +543,15 @@ def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_logprob"),
     )
+
+
+def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM scores WITH the exact DECIMAL numerator
+    (lp_sum) — text_unigram_logprob's pipeline, shared with
+    text_perplexity_buckets whose tier means divide exact sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm, norm = unigram_lm(docs)
+    return unigram_score_against(docs, lm, norm)
 
 
 # ---------------------------------------------------------------------------
@@ -1656,16 +1677,21 @@ def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one scan with in-row token math; one doc_id-keyed join. At
     100 TB this is two passes over text + a co-partitioned join —
     exactly the production gate's cost."""
-    toks = T.tokens("text")
     docs = load_table(spark, sf_dir, "documents")
+    return quality_gate_rows(docs, unigram_scored(spark, sf_dir))
+
+
+def quality_gate_rows(docs: DataFrame, scored: DataFrame) -> DataFrame:
+    """The flag/conjunction layer over per-doc LM scores — shared by
+    the batch gate and the pinned-LM streaming drain."""
+    toks = T.tokens("text")
     stats = docs.select(
         "doc_id",
         F.size(toks).alias("n"),
         F.size(F.array_distinct(toks)).alias("nd"),
     )
     joined = (
-        unigram_scored(spark, sf_dir)
-        .select("doc_id", "n_tokens", "avg_logprob")
+        scored.select("doc_id", "n_tokens", "avg_logprob")
         .join(stats, "doc_id")
         .select(
             "doc_id", "n_tokens", "avg_logprob",

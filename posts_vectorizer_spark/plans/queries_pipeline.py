@@ -1289,3 +1289,58 @@ def stream_hll_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_readout(
         spark, state.select("bucket", "rho"), ex
     )
+
+
+from .queries_curation import _QUALITY_GATE_SQL
+
+
+@register("stream_quality_gate_drain", oracle=_QUALITY_GATE_SQL, staged=True)
+def stream_quality_gate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission control with a driver row (built r9, staged
+    r10): the unigram LM is fit ONCE on the static corpus (the pinned
+    model state — psi_current_stream's pattern applied to SCORING, not
+    monitoring); documents then stream in TWO forced micro-batches and
+    each batch's per-doc gate verdicts (length/repetition/LM fail flags
+    + keep) upsert into the standing decision table. Per-doc decisions
+    are independent and the LM is pinned, so the batch split cannot
+    change a single verdict — the oracle is curation_quality_gate's
+    whole-corpus twin, hash-checking the streaming scoring path end to
+    end."""
+    from ..sources.sinks import read_merged
+    from ..streaming.worker import quality_gate_stream
+    from .queries_curation import unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    # pin the model: materialize the vocab-sized LM + its 1-row norm so
+    # every micro-batch scores against IDENTICAL state (not a live
+    # recompute over the stream source) — the bounded collect is the
+    # model itself, the same k-row contract as the KMeans centroids
+    lm_df, norm_df = unigram_lm(docs)
+    lm = spark.createDataFrame(lm_df.collect(), "word string, cnt bigint")
+    norm = spark.createDataFrame(
+        norm_df.collect(), "total double, vocab double"
+    )
+    work = tempfile.mkdtemp(prefix="pv_qgate_")
+    src = f"{work}/in"
+    half = F.col("doc_id") % 2
+    docs.where(half == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(half == 1).coalesce(1).write.mode("append").parquet(src)
+    q = quality_gate_stream(
+        spark, src, docs.schema, lm, norm,
+        f"{work}/verdicts", f"{work}/ckpt", max_files_per_trigger=1,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("quality gate drain did not finish within 300s")
+    state = read_merged(spark, f"{work}/verdicts")
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_tokens bigint, repetition double,"
+            " avg_logprob double, fail_length boolean,"
+            " fail_repetition boolean, fail_lm boolean, keep boolean",
+        )
+    return state.select(
+        "doc_id", "n_tokens", "repetition", "avg_logprob",
+        "fail_length", "fail_repetition", "fail_lm", "keep",
+    )

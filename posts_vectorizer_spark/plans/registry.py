@@ -72,7 +72,9 @@ STAGED: dict[str, QueryDef] = {}
 #                                 merge_max_parquet dominance sink)
 #   text_rouge_lead_eval         (clipped-count ROUGE-1/2 of the
 #                                 lead-30 baseline — eval harness)
-# r10 head plan: 13 introduction slots ([Q]: 12) + spine + the 10
+#   stream_quality_gate_drain    (pinned-LM streaming admission
+#                                 control through the upsert sink)
+# r10 head plan: 14 introduction slots ([Q]: 13) + spine + the 10
 # spilled r4 rows + the oldest r5-cohort rows (ALL 46 pre-verified
 # vanilla this round, SWEEPS.md) fill the remaining ~29 slots.
 

@@ -898,3 +898,49 @@ def hll_register_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quality_gate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    lm: DataFrame,
+    norm: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming curation gate with a PINNED language model (the
+    production model-as-state shape, like psi_current_stream's pinned
+    reference): the LM statistics are fit ONCE on the static training
+    corpus and broadcast into every micro-batch; each batch of incoming
+    documents is scored + gated and its per-doc decision rows upsert
+    into the standing verdicts table keyed by doc_id (idempotent — a
+    replayed batch rewrites identical rows).
+
+    At 100 TB: per-batch cost is the batch's tokenize + one broadcast
+    join against the vocab-sized LM + O(touched buckets) of the verdict
+    table — admission control over an unbounded ingest stream without
+    ever refitting or rescanning the corpus."""
+    from ..plans.queries_curation import (
+        quality_gate_rows,
+        unigram_score_against,
+    )
+    from ..sources.sinks import merge_upsert_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        scored = unigram_score_against(batch_df, lm, norm)
+        rows = quality_gate_rows(batch_df, scored)
+        merge_upsert_parquet(spark, rows, state_dir, ["doc_id"])
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -359,3 +359,27 @@ def test_quality_gate_flags_and_conjunction(spark, tmp_path):
         assert r["keep"] == (
             not (r["fail_length"] or r["fail_repetition"] or r["fail_lm"])
         )
+
+
+def test_stream_quality_gate_drain_equals_batch(spark):
+    """stream_quality_gate_drain (staged r10): the two-micro-batch
+    pinned-LM verdicts must equal curation_quality_gate's whole-corpus
+    rows exactly — per-doc decisions are independent and the model is
+    pinned, so the split is invisible."""
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in resolve_query("curation_quality_gate")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    streamed = {
+        r["doc_id"]: tuple(r)
+        for r in resolve_query("stream_quality_gate_drain")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert batch and streamed == batch

@@ -126,6 +126,7 @@ def test_plan_build_triggers_no_jobs(spark):
         "sim_rq_quantize",              # two Lloyd trains at build
         "stream_cms_drain",             # runs its micro-batch drain
         "stream_hll_drain",             # runs its micro-batch drain
+        "stream_quality_gate_drain",    # pins the LM + runs its drain
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():

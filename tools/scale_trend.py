@@ -321,6 +321,9 @@ def main(only: list[str] | None = None) -> None:
         "rouge_lead_eval": lambda k: SQ["text_rouge_lead_eval"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "quality_gate_drain": lambda k: SQ["stream_quality_gate_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
