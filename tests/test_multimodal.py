@@ -557,3 +557,42 @@ def test_gif_anim_frame_sample_hand_computed(spark, tmp_path):
         assert (r["fsum_r"], r["fsum_g"], r["fsum_b"]) == tuple(
             int(x) for x in rgb
         )
+
+
+def test_codec_roundtrip_properties():
+    """Hypothesis sweep: RANDOM images roundtrip bit-exact through both
+    real compressed codecs (PNG/DEFLATE with the per-row filter
+    rotation; GIF/LZW with variable-width codes) — beyond the formula
+    images the queries use, any uint8 content must survive."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    pal = M.synth_palette()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 30),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def png_case(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (M.decode_png(M.encode_png(img)) == img).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 30),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def gif_case(w, h, seed):
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        p2, i2 = M.decode_gif(M.encode_gif(idx, pal))
+        assert (i2 == idx).all() and (p2 == pal).all()
+
+    png_case()
+    gif_case()
