@@ -596,3 +596,59 @@ def test_codec_roundtrip_properties():
 
     png_case()
     gif_case()
+
+
+def test_gif_lzw_deferred_clear_foreign_stream():
+    """Foreign-encoder compatibility: some real GIF writers never emit a
+    CLEAR when the LZW table fills — they freeze the dictionary and keep
+    coding (the 'deferred clear' the spec allows). Our encoder resets
+    instead, so build a frozen-table stream by hand and require the
+    decoder (which stops adding entries at 4096 and keeps reading
+    12-bit codes) to reproduce the pixels exactly."""
+    import numpy as np
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    data = bytes(rng.integers(0, 256, size=12000, dtype=np.uint8))
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def w_for(v):
+        return max(mcs + 1, min(12, v.bit_length()))
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    put(clear, mcs + 1)
+    s = b""
+    for ch in data:
+        sc = s + bytes([ch])
+        if sc in table:
+            s = sc
+            continue
+        put(table[s], w_for(next_code - 1))
+        if next_code < 4096:
+            table[sc] = next_code
+            next_code += 1
+        # else: FROZEN — no reset, no new entries (the deferred path)
+        s = bytes([ch])
+    if s:
+        put(table[s], w_for(next_code - 1))
+    put(end, w_for(next_code))
+    if nbits:
+        out.append(acc & 0xFF)
+
+    assert next_code == 4096  # the freeze genuinely engaged
+    got = M._lzw_decode(bytes(out), mcs, len(data))
+    assert got == data
