@@ -722,3 +722,43 @@ def sim_rq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/clustering.py::rq_quantize / rq_sql)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.rq_quantize(emb)
+
+
+@register(
+    "sim_knn_graph_mutual_ann",
+    oracle=f"""
+WITH t AS ({similarity.lsh_ann_sql(DIMS, KNN_GRAPH_K)})
+SELECT a.query_id AS src, a.neighbor_id AS dst, a.cosine,
+       CAST(a.rk AS INT) AS rk_forward, CAST(b.rk AS INT) AS rk_backward
+FROM t a JOIN t b
+  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+WHERE a.query_id < a.neighbor_id
+""",
+    staged=True,
+)
+def sim_knn_graph_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over lsh_ann lists (built r9, staged r10) — the
+    corpus-scale twin of sim_knn_graph_mutual, completing the ANN-backed
+    graph family (edges / Adamic-Adar / k-core / clustering coefficient
+    all now have both an exact eval-sized witness and a linear-shuffle
+    production form). Emits the full edge payload (forward cosine, both
+    ranks); the mutuality check is the same n*k self-join on the swapped
+    key pair, never n²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K)
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("src"),
+            F.col("a.neighbor_id").alias("dst"),
+            F.col("a.cosine").alias("cosine"),
+            F.col("a.rk").cast("int").alias("rk_forward"),
+            F.col("b.rk").cast("int").alias("rk_backward"),
+        )
+    )

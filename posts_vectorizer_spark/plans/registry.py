@@ -74,7 +74,9 @@ STAGED: dict[str, QueryDef] = {}
 #                                 lead-30 baseline — eval harness)
 #   stream_quality_gate_drain    (pinned-LM streaming admission
 #                                 control through the upsert sink)
-# r10 head plan: 14 introduction slots ([Q]: 13) + spine + the 10
+#   sim_knn_graph_mutual_ann     (ANN mutual graph — completes the
+#                                 exact-witness/ANN-form pairing)
+# r10 head plan: 15 introduction slots ([Q]: 14) + spine + the 10
 # spilled r4 rows + the oldest r5-cohort rows (ALL 46 pre-verified
 # vanilla this round, SWEEPS.md) fill the remaining ~29 slots.
 

@@ -845,6 +845,17 @@ def test_ann_graph_variants_replay_and_recall(spark):
     recall = len(edges & exact) / len(exact)
     assert recall > 0.03, recall  # random-noise floor; see docstring
 
+    # the registered ANN mutual-graph twin emits exactly this edge set
+    # (plus per-edge payload), tying all four ANN graph queries to one
+    # producer contract
+    ann_graph = {
+        (r["src"], r["dst"])
+        for r in resolve_query("sim_knn_graph_mutual_ann")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert ann_graph == edges
+
     adj = defaultdict(set)
     for u, v in edges:
         adj[u].add(v)

@@ -324,6 +324,9 @@ def main(only: list[str] | None = None) -> None:
         "quality_gate_drain": lambda k: SQ["stream_quality_gate_drain"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "knn_graph_mutual_ann": lambda k: SQ["sim_knn_graph_mutual_ann"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
