@@ -762,3 +762,127 @@ def sim_knn_graph_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.rk").cast("int").alias("rk_backward"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# diagonal-Mahalanobis embedding outliers (built r9, staged r10)
+# ---------------------------------------------------------------------------
+
+_ZS_TOPK = 25
+
+
+_ZSCORE_SQL = f"""
+WITH longf AS (
+  SELECT vec_id, km_j AS dim, CAST(embedding[km_j] AS DOUBLE) AS v
+  FROM embeddings, generate_series(1, {DIMS}) AS t(km_j)
+),
+stats AS (
+  SELECT dim,
+         CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / count(*) AS mean,
+         CAST(sum(CAST(round(v * v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / count(*) AS m2
+  FROM longf GROUP BY dim
+),
+arrs AS (
+  SELECT list(mean ORDER BY dim) AS means,
+         list(sqrt(m2 - mean * mean) ORDER BY dim) AS stds
+  FROM stats
+),
+scored AS (
+  SELECT e.vec_id,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, {DIMS}), zs_j ->
+             CASE WHEN a.stds[zs_j] > 0 THEN
+               ((CAST(e.embedding[zs_j] AS DOUBLE) - a.means[zs_j])
+                / a.stds[zs_j])
+               * ((CAST(e.embedding[zs_j] AS DOUBLE) - a.means[zs_j])
+                  / a.stds[zs_j])
+             ELSE 0.0 END)),
+           (zs_a, zs_b) -> zs_a + zs_b) AS md2
+  FROM embeddings e, arrs a
+)
+SELECT vec_id, md2, CAST(rk AS INT) AS rk
+FROM (
+  SELECT vec_id, md2,
+         row_number() OVER (ORDER BY md2 DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {_ZS_TOPK}
+"""
+
+
+@register("sim_zscore_outliers", oracle=_ZSCORE_SQL, staged=True)
+def sim_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OOD scoring by diagonal Mahalanobis distance (built r9,
+    staged r10): per-dimension mean/std from exact DECIMAL sufficient
+    statistics; each vector's score = sum of squared z-scores across dims,
+    top-{k} outliers ranked (score desc, vec_id). The cheap
+    whole-corpus out-of-distribution sweep a curation pipeline runs
+    before expensive model-based OOD — mixed-modality contamination,
+    corrupt embeddings, and scale bugs all surface as extreme diagonal
+    Mahalanobis scores.
+
+    Exactness: moment sums reduce round-9 DECIMAL terms (v is
+    float32-exact, v*v exact in double — 48-bit product); mean/m2 are
+    unrounded quotients; sqrt is IEEE-correctly-rounded; the per-row
+    fold is the sequential zip order both engines share; zero-variance
+    dims contribute 0 by explicit guard (ANSI division guard + the
+    planted test). No rounding anywhere past the DECIMAL grid.
+
+    Scale shape: ONE map-side-combinable 64-key moment aggregate (the
+    dim_covariance shape), one 1-row broadcast of the stat arrays, one
+    in-codegen fold per row, and a global top-k (TakeOrderedAndProject
+    — never a full sort at the driver)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    longf = emb.select(
+        F.posexplode("embedding").alias("dim0", "v32")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("v32").cast("double").alias("v")
+    )
+    stats = longf.groupBy("dim").agg(
+        (
+            F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)"))
+            .cast("double") / F.count("*")
+        ).alias("mean"),
+        (
+            F.sum(F.round(F.col("v") * F.col("v"), 9).cast("decimal(28,9)"))
+            .cast("double") / F.count("*")
+        ).alias("m2"),
+    )
+    arrs = stats.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s["mean"],
+        ).alias("means"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mean", "m2"))),
+            lambda s: F.sqrt(s["m2"] - s["mean"] * s["mean"]),
+        ).alias("stds"),
+    )
+    z2 = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("means"),
+                lambda x, m: x.cast("double") - m,
+            ),
+            F.col("stds"),
+            lambda d, s: F.when(s > 0, (d / s) * (d / s)).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = emb.crossJoin(F.broadcast(arrs)).select(
+        "vec_id", z2.alias("md2")
+    )
+    from pyspark.sql.window import Window as W
+
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("md2"), F.asc("vec_id")))
+        )
+        .where(F.col("rk") <= _ZS_TOPK)
+        .select("vec_id", "md2", F.col("rk").cast("int").alias("rk"))
+    )

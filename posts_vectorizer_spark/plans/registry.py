@@ -76,7 +76,9 @@ STAGED: dict[str, QueryDef] = {}
 #                                 control through the upsert sink)
 #   sim_knn_graph_mutual_ann     (ANN mutual graph — completes the
 #                                 exact-witness/ANN-form pairing)
-# r10 head plan: 15 introduction slots ([Q]: 14) + spine + the 10
+#   sim_zscore_outliers          (diagonal-Mahalanobis OOD sweep —
+#                                 moments + broadcast + in-row fold)
+# r10 head plan: 16 introduction slots ([Q]: 15) + spine + the 10
 # spilled r4 rows + the oldest r5-cohort rows (ALL 46 pre-verified
 # vanilla this round, SWEEPS.md) fill the remaining ~29 slots.
 

@@ -989,3 +989,40 @@ def test_rq_quantize_planted_refinement(spark, tmp_path):
     # residual distortion far below the between-cluster scale (~4.0*64)
     worst = max(r["avg_sq_error"] for r in out1)
     assert worst < 1.0, worst
+
+
+def test_zscore_outliers_planted_and_zero_variance(spark, tmp_path):
+    """sim_zscore_outliers (staged r10): a planted 10x-scaled vector must
+    rank first by a wide margin; a CONSTANT dimension (std 0) must
+    contribute exactly 0 rather than raise under ANSI division; scores
+    replay from numpy within fp tolerance."""
+    import numpy as np
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(0, 1, (40, 64)).astype("float32")
+    base[:, 7] = 1.25  # constant dim -> std exactly 0
+    base[3] *= 10.0    # the planted outlier
+    d = tmp_path / "emb"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, [float(x) for x in base[i]], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(d / "embeddings.parquet"))
+    rows = sorted(
+        resolve_query("sim_zscore_outliers")(spark, str(d)).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert rows[0]["vec_id"] == 3
+    assert rows[0]["md2"] > 2 * rows[1]["md2"]
+
+    # replay in float64 numpy (same moment definitions, round-9 terms
+    # approximated by the raw moments — tolerance covers the grid)
+    x = base.astype("float64")
+    mean = x.mean(axis=0)
+    std = np.sqrt((x * x).mean(axis=0) - mean * mean)
+    z2 = np.where(std > 0, ((x - mean) / std) ** 2, 0.0).sum(axis=1)
+    got = {r["vec_id"]: r["md2"] for r in rows}
+    for vid, v in got.items():
+        assert abs(v - z2[vid]) < 1e-5 * max(1.0, z2[vid]), vid

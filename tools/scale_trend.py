@@ -327,6 +327,9 @@ def main(only: list[str] | None = None) -> None:
         "knn_graph_mutual_ann": lambda k: SQ["sim_knn_graph_mutual_ann"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        "zscore_outliers": lambda k: SQ["sim_zscore_outliers"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
