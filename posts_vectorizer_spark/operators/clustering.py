@@ -1159,11 +1159,19 @@ def rq_quantize(
     enc1 = _assign_with_dist(full, c1).select(
         "vec_id", F.col("code").alias("code0")
     )
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in cvec])
-            for _cid, cvec in sorted(c1)
-        ]
+    # centroid lookup keyed BY CLUSTER ID, not position: _update drops
+    # empty clusters, so ids can be non-contiguous (two seeds quantizing
+    # identically empties one) — a positional element_at(code0+1) would
+    # fetch the wrong centroid or NULL while the SQL twin joins on
+    # cluster_id and stays right (r9 review finding)
+    cent_map = F.map_from_arrays(
+        F.array(*[F.lit(int(cid)) for cid, _ in c1]),
+        F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in cvec])
+                for _cid, cvec in c1
+            ]
+        ),
     )
     res = (
         full.join(enc1, "vec_id")
@@ -1172,7 +1180,7 @@ def rq_quantize(
             "code0",
             F.zip_with(
                 "embedding",
-                F.element_at(cent_arr, F.col("code0") + 1),
+                F.element_at(cent_map, F.col("code0")),
                 lambda x, c: x.cast("double") - c,
             ).alias("embedding"),
         )

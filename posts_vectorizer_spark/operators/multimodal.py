@@ -1044,60 +1044,11 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
 
 
 def decode_gif(raw: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """(palette (n,3) uint8, indices (h,w) uint8) from GIF bytes:
-    header validation (87a or 89a), logical screen descriptor, global
-    color table, extension-block skipping, single non-interlaced image
-    without a local color table, sub-block LZW reassembly + decode."""
-    import struct
-
-    if len(raw) < 13 or (raw[:6] not in (b"GIF87a", b"GIF89a")):
-        raise ValueError("not a GIF file")
-    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
-    if not packed & 0x80:
-        raise ValueError("missing global color table")
-    n_colors = 2 << (packed & 0x07)
-    pos = 13
-    palette = np.frombuffer(
-        raw[pos : pos + 3 * n_colors], dtype=np.uint8
-    ).reshape(n_colors, 3)
-    pos += 3 * n_colors
-    while pos < len(raw):
-        b = raw[pos]
-        if b == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while raw[pos]:
-                pos += 1 + raw[pos]
-            pos += 1
-        elif b == 0x2C:
-            left, top, w, h, ipacked = struct.unpack(
-                "<HHHHB", raw[pos + 1 : pos + 10]
-            )
-            if ipacked & 0x80:
-                raise ValueError("local color tables unsupported")
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF unsupported")
-            if (left, top, w, h) != (0, 0, sw, sh):
-                raise ValueError("sub-rectangle image unsupported")
-            pos += 10
-            mcs = raw[pos]
-            pos += 1
-            lzw = bytearray()
-            while raw[pos]:
-                ln = raw[pos]
-                lzw += raw[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
-            idx = np.frombuffer(
-                _lzw_decode(bytes(lzw), mcs, w * h), dtype=np.uint8
-            ).reshape(h, w)
-            if idx.max(initial=0) >= n_colors:
-                raise ValueError("pixel index outside color table")
-            return palette, idx
-        elif b == 0x3B:
-            break
-        else:
-            raise ValueError(f"unknown GIF block 0x{b:02x}")
-    raise ValueError("no image data in GIF")
+    """(palette (n,3) uint8, indices (h,w) uint8) — the single-image
+    view over :func:`decode_gif_frames` (ONE container walk in this
+    file, not two drifting copies — r9 review finding)."""
+    palette, _delay, frames = decode_gif_frames(raw)
+    return palette, frames[0]
 
 
 GIF_FEATURE_SCHEMA = (
@@ -1190,25 +1141,43 @@ def decode_gif_frames(
         raise ValueError("missing global color table")
     n_colors = 2 << (packed & 0x07)
     pos = 13
+    if len(raw) < pos + 3 * n_colors:
+        raise ValueError("truncated GIF (inside color table)")
     palette = np.frombuffer(
         raw[pos : pos + 3 * n_colors], dtype=np.uint8
     ).reshape(n_colors, 3)
     pos += 3 * n_colors
+
+    # every read below bounds-checks so any truncation offset raises the
+    # SAME loud ValueError, never a stray IndexError or a silently-short
+    # slice (r9 review finding)
+    def need(end: int) -> None:
+        if end > len(raw):
+            raise ValueError("truncated GIF")
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        out = bytearray()
+        while True:
+            need(p + 1)
+            ln = raw[p]
+            if ln == 0:
+                return bytes(out), p + 1
+            need(p + 1 + ln)
+            out += raw[p + 1 : p + 1 + ln]
+            p += 1 + ln
+
     frames: list[np.ndarray] = []
     delay_cs = 0
     while pos < len(raw):
         b = raw[pos]
         if b == 0x21:
+            need(pos + 2)
             label = raw[pos + 1]
-            pos += 2
-            if label == 0xF9 and raw[pos] >= 3:
-                delay_cs = struct.unpack(
-                    "<H", raw[pos + 2 : pos + 4]
-                )[0]
-            while raw[pos]:
-                pos += 1 + raw[pos]
-            pos += 1
+            body, pos = sub_blocks(pos + 2)
+            if label == 0xF9 and len(body) >= 3:
+                delay_cs = struct.unpack("<H", body[1:3])[0]
         elif b == 0x2C:
+            need(pos + 11)
             left, top, w, h, ipacked = struct.unpack(
                 "<HHHHB", raw[pos + 1 : pos + 10]
             )
@@ -1216,17 +1185,10 @@ def decode_gif_frames(
                 raise ValueError("interlace/local color table unsupported")
             if (left, top, w, h) != (0, 0, sw, sh):
                 raise ValueError("sub-rectangle frame unsupported")
-            pos += 10
-            mcs = raw[pos]
-            pos += 1
-            lzw = bytearray()
-            while raw[pos]:
-                ln = raw[pos]
-                lzw += raw[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
+            mcs = raw[pos + 10]
+            lzw, pos = sub_blocks(pos + 11)
             idx = np.frombuffer(
-                _lzw_decode(bytes(lzw), mcs, w * h), dtype=np.uint8
+                _lzw_decode(lzw, mcs, w * h), dtype=np.uint8
             ).reshape(h, w)
             if idx.max(initial=0) >= n_colors:
                 raise ValueError("pixel index outside color table")

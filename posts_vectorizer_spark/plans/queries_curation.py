@@ -520,7 +520,15 @@ def unigram_score_against(
 ) -> DataFrame:
     """Per-doc scores for ``docs`` under a GIVEN (possibly pinned) LM —
     identical math whether the LM came from the same corpus (the batch
-    queries) or standing state (the streaming drain)."""
+    queries) or standing state (the streaming drain).
+
+    The LM join is LEFT with cnt defaulting to 0: under a PINNED model,
+    stream-time tokens absent from the training vocabulary must receive
+    the add-1 smoothed unseen-word probability 1/(total+vocab), not
+    vanish — an inner join undercounted n_tokens and dropped all-OOV
+    docs from the verdict table entirely (r9 review finding; invisible
+    to the batch oracles, whose LM is fit on the same corpus so no OOV
+    exists and LEFT ≡ INNER)."""
     dc = (
         docs.select("doc_id", F.explode(T.tokens("text")).alias("word"))
         .groupBy("doc_id", "word")
@@ -528,11 +536,14 @@ def unigram_score_against(
     )
     lp = F.round(
         F.col("dcnt")
-        * F.log10((F.col("cnt") + 1) / (F.col("total") + F.col("vocab"))),
+        * F.log10(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+            / (F.col("total") + F.col("vocab"))
+        ),
         6,
     ).cast("decimal(18,6)")
     scored = (
-        dc.join(F.broadcast(lm), "word")
+        dc.join(F.broadcast(lm), "word", "left")
         .crossJoin(F.broadcast(norm))
         .select("doc_id", "dcnt", lp.alias("lp"))
     )

@@ -73,10 +73,15 @@ FROM est CROSS JOIN ex
 """
 
 
-def hll_sparse_registers(df: DataFrame, key: str) -> DataFrame:
-    """(bucket, rho) sparse HLL registers (max-grouped) for an integer
-    key column — the map-side half of the sketch, shared by the batch
-    query and the streaming max-merge drain (stream_hll_drain)."""
+def hll_sparse_registers(
+    df: DataFrame, key: str, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """(*extra_keys, bucket, rho) sparse HLL registers (max-grouped) for
+    an integer key column — the ONE copy of the quadratic-mix hash +
+    rho probe, shared by the batch query, the streaming max-merge drain
+    (stream_hll_drain), and the set-algebra query (rel_hll_set_ops via
+    its per-set tag in ``extra_keys`` — r9 review finding: the pipeline
+    had been inlined there a second time)."""
     hb = (F.col(key) * _HLL_MULT + 7919) % T.HASH_MOD
     h = (hb * hb) % T.HASH_MOD
     rest = F.floor(h / _HLL_M).cast("long")
@@ -96,8 +101,10 @@ def hll_sparse_registers(df: DataFrame, key: str) -> DataFrame:
         + 1
     )
     return (
-        df.select((h % _HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        df.select(
+            *extra_keys, (h % _HLL_M).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy(*extra_keys, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -843,29 +850,7 @@ def rel_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ap.select(F.lit(0).alias("s"), "user_id").unionAll(
         bp.select(F.lit(1).alias("s"), "user_id")
     )
-    hb = (F.col("user_id") * _HLL_MULT + 7919) % T.HASH_MOD
-    h = (hb * hb) % T.HASH_MOD
-    rest = F.floor(h / _HLL_M).cast("long")
-    rho = (
-        F.coalesce(
-            F.array_min(
-                F.filter(
-                    F.sequence(F.lit(0), F.lit(_HLL_MAXBIT)),
-                    lambda k: (
-                        F.floor(rest / F.pow(F.lit(2.0), k)).cast("long") % 2
-                    )
-                    == 1,
-                )
-            ),
-            F.lit(_HLL_MAXBIT),
-        )
-        + 1
-    )
-    sparse = (
-        tagged.select("s", (h % _HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("s", "bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    sparse = hll_sparse_registers(tagged, "user_id", extra_keys=("s",))
     grid = spark.range(2).select(F.col("id").alias("s")).crossJoin(
         spark.range(_HLL_M).select(F.col("id").alias("bucket"))
     )

@@ -383,3 +383,40 @@ def test_stream_quality_gate_drain_equals_batch(spark):
         ).collect()
     }
     assert batch and streamed == batch
+
+
+def test_pinned_lm_stream_scores_oov_docs(spark, tmp_path):
+    """r9 review finding: under a PINNED LM, stream-time tokens outside
+    the training vocabulary must receive the add-1 smoothed unseen
+    probability — not be dropped by an inner join. Pin an LM on one
+    tiny corpus, score a batch containing a fully-OOV doc through
+    unigram_score_against, and check the exact smoothed value and that
+    the doc gets a row at all."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from posts_vectorizer_spark.plans.queries_curation import (
+        unigram_lm,
+        unigram_score_against,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta alpha")], "doc_id long, text string"
+    )
+    lm, norm = unigram_lm(train)
+    # total=3 tokens, vocab=2 types
+    batch = spark.createDataFrame(
+        [(10, "alpha zzz"), (11, "qqq rrr qqq")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in unigram_score_against(batch, lm, norm).collect()
+    }
+    assert set(rows) == {10, 11}  # the all-OOV doc 11 gets a row
+    assert rows[10]["n_tokens"] == 2 and rows[11]["n_tokens"] == 3
+    p_alpha = round(math.log10((2 + 1) / (3 + 2)), 6)   # cnt=2
+    p_oov = round(math.log10((0 + 1) / (3 + 2)), 6)     # cnt->0
+    assert abs(rows[10]["avg_logprob"] - (p_alpha + p_oov) / 2) < 1e-9
+    assert abs(rows[11]["avg_logprob"] - p_oov) < 1e-9  # 3 identical terms

@@ -652,3 +652,30 @@ def test_gif_lzw_deferred_clear_foreign_stream():
     assert next_code == 4096  # the freeze genuinely engaged
     got = M._lzw_decode(bytes(out), mcs, len(data))
     assert got == data
+
+
+def test_gif_truncation_always_valueerror():
+    """r9 review finding: every truncation offset of a valid animated
+    GIF must raise the loud ValueError — never IndexError, never a
+    silent short read."""
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    pal = M.synth_palette()
+    frames = [M.synth_indices(4 + 1000 * t, 15, 11) for t in range(3)]
+    raw = M.encode_gif_anim(frames, pal, delay_cs=7)
+    for cut in range(1, len(raw)):
+        try:
+            p, d, fr = M.decode_gif_frames(raw[:cut])
+            # a prefix may parse only if it ends exactly after a full
+            # frame (missing trailer is tolerated by the walk loop)
+            assert fr and all(f.shape == (11, 15) for f in fr)
+        except ValueError:
+            pass  # the only acceptable failure mode
+    # and the untruncated container still decodes exactly
+    p, d, fr = M.decode_gif_frames(raw)
+    assert d == 7 and len(fr) == 3
+    for a, b in zip(frames, fr):
+        assert (a == b).all()

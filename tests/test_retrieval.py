@@ -1026,3 +1026,64 @@ def test_zscore_outliers_planted_and_zero_variance(spark, tmp_path):
     got = {r["vec_id"]: r["md2"] for r in rows}
     for vid, v in got.items():
         assert abs(v - z2[vid]) < 1e-5 * max(1.0, z2[vid]), vid
+
+
+def test_rq_quantize_noncontiguous_cluster_ids(spark, tmp_path):
+    """r9 review finding: _update drops empty clusters, so stage-1
+    cluster ids can be NON-CONTIGUOUS (duplicate seed vectors empty one
+    of the 8 seed clusters). The centroid lookup must key by cluster
+    id — a positional lookup fetches the wrong centroid or NULL. Plant
+    exactly that shape and diff the full query against its own DuckDB
+    oracle."""
+    import duckdb
+    import numpy as np
+
+    from posts_vectorizer_spark.operators.clustering import (
+        _train_codebook,
+    )
+    from posts_vectorizer_spark.plans.registry import STAGED, resolve_query
+
+    rng = np.random.default_rng(21)
+    rows = []
+    dup = [0.5] * 64
+    # vec_ids 0 and 1 are IDENTICAL -> two identical seeds -> one seed
+    # cluster gets no members after the first assignment
+    rows.append((0, dup, 0))
+    rows.append((1, list(dup), 0))
+    for i in range(2, 40):
+        rows.append(
+            (i, [float(x) for x in rng.normal(0, 1, 64)], i % 3)
+        )
+    d = tmp_path / "emb"
+    d.mkdir()
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(str(d / "embeddings.parquet"))
+
+    cents = _train_codebook(
+        spark.read.parquet(str(d / "embeddings.parquet")).select(
+            "vec_id", "embedding"
+        ),
+        8,
+        2,
+    )
+    ids = [cid for cid, _ in cents]
+    assert ids != list(range(len(ids))), (
+        "fixture failed to produce non-contiguous cluster ids: " + str(ids)
+    )
+
+    got = {
+        (r["code0"], r["code1"]): (r["n_vectors"], r["avg_sq_error"])
+        for r in resolve_query("sim_rq_quantize")(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{d}/embeddings.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(STAGED["sim_rq_quantize"].oracle).fetchall()
+    }
+    assert got == want
