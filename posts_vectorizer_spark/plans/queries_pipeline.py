@@ -1344,3 +1344,44 @@ def stream_quality_gate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "repetition", "avg_logprob",
         "fail_length", "fail_repetition", "fail_lm", "keep",
     )
+
+
+from .queries_similarity import _ZSCORE_SQL
+
+
+@register("stream_zscore_drain", oracle=_ZSCORE_SQL, staged=True)
+def stream_zscore_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OOD-moment maintenance with a driver row (built r9,
+    staged r10): embeddings stream in TWO forced micro-batches; each
+    batch additively merges its (dim, s1, s2, n) exact-DECIMAL moment
+    deltas into the standing state (streaming/worker.py::
+    zscore_moment_stream through the ledgered add sink); the top-k
+    diagonal-Mahalanobis readout runs from the MERGED state. Extends
+    the additive-state streaming family from bucket counts (DDSketch /
+    CMS) and max-registers (HLL) to real-valued sufficient statistics —
+    sums of round-9 DECIMALs are exact, so the split cannot move a
+    single moment and the oracle is sim_zscore_outliers' one-pass
+    twin."""
+    from ..sources.sinks import read_merged
+    from ..streaming.worker import zscore_moment_stream
+    from .queries_similarity import zscore_readout
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="pv_zs_")
+    src = f"{work}/in"
+    half = F.col("vec_id") % 2
+    emb.where(half == 0).repartition(4).write.mode("append").parquet(src)
+    emb.where(half == 1).repartition(4).write.mode("append").parquet(src)
+    q = zscore_moment_stream(
+        spark, src, emb.schema, f"{work}/moments", f"{work}/ckpt",
+        max_files_per_trigger=4,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("zscore drain did not finish within 300s")
+    state = read_merged(spark, f"{work}/moments")
+    if state is None:
+        return spark.createDataFrame(
+            [], "vec_id long, md2 double, rk int"
+        )
+    return zscore_readout(emb, state.select("dim", "s1", "s2", "n"))

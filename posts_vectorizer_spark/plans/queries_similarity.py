@@ -834,22 +834,38 @@ def sim_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-codegen fold per row, and a global top-k (TakeOrderedAndProject
     — never a full sort at the driver)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return zscore_readout(emb, zscore_moment_deltas(emb))
+
+
+def zscore_moment_deltas(emb: DataFrame) -> DataFrame:
+    """(dim, s1, s2, n) ADDITIVE sufficient statistics — the mergeable
+    state: batch splits (or streaming micro-batches through the add
+    sink) sum component-wise into exactly the one-pass moments."""
     longf = emb.select(
         F.posexplode("embedding").alias("dim0", "v32")
     ).select(
-        (F.col("dim0") + 1).alias("dim"), F.col("v32").cast("double").alias("v")
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v32").cast("double").alias("v"),
     )
-    stats = longf.groupBy("dim").agg(
-        (
-            F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)"))
-            .cast("double") / F.count("*")
-        ).alias("mean"),
-        (
-            F.sum(F.round(F.col("v") * F.col("v"), 9).cast("decimal(28,9)"))
-            .cast("double") / F.count("*")
-        ).alias("m2"),
+    return longf.groupBy("dim").agg(
+        F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).alias("s1"),
+        F.sum(
+            F.round(F.col("v") * F.col("v"), 9).cast("decimal(28,9)")
+        ).alias("s2"),
+        F.count("*").cast("bigint").alias("n"),
     )
-    arrs = stats.groupBy().agg(
+
+
+def zscore_readout(emb: DataFrame, stats: DataFrame) -> DataFrame:
+    """Top-k diagonal-Mahalanobis outliers from (dim, s1, s2, n) state —
+    a pure function of the moments, identical over a one-pass build or
+    merged streaming state."""
+    divided = stats.select(
+        "dim",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        (F.col("s2").cast("double") / F.col("n")).alias("m2"),
+    )
+    arrs = divided.groupBy().agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("dim", "mean"))),
             lambda s: s["mean"],

@@ -78,7 +78,9 @@ STAGED: dict[str, QueryDef] = {}
 #                                 exact-witness/ANN-form pairing)
 #   sim_zscore_outliers          (diagonal-Mahalanobis OOD sweep —
 #                                 moments + broadcast + in-row fold)
-# r10 head plan: 16 introduction slots ([Q]: 15) + spine + the 10
+#   stream_zscore_drain          (the same moments maintained as
+#                                 additive DECIMAL state in-stream)
+# r10 head plan: 17 introduction slots ([Q]: 16) + spine + the 10
 # spilled r4 rows + the oldest r5-cohort rows (ALL 46 pre-verified
 # vanilla this round, SWEEPS.md) fill the remaining ~29 slots.
 

@@ -944,3 +944,45 @@ def quality_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def zscore_moment_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental per-dimension moment maintenance for the diagonal-
+    Mahalanobis OOD sweep: each micro-batch of embeddings additively
+    merges its (dim, s1, s2, n) sufficient-statistic deltas into the
+    standing state (sinks.merge_add_parquet — DECIMAL sums and counts
+    all merge by +, exactly-once via the batch-id ledger). Extends the
+    additive-state family beyond bucket counts to real-valued exact
+    statistics; the outlier readout stays a pure function of the state
+    (plans/queries_similarity.py::zscore_readout).
+
+    At 100 TB: per-batch cost is one map-side-combinable 64-key moment
+    aggregate plus O(64) state rows — corpus-wide distribution tracking
+    for the price of the batch."""
+    from ..plans.queries_similarity import zscore_moment_deltas
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = zscore_moment_deltas(batch_df)
+        merge_add_parquet(
+            spark, delta, state_dir, ["dim"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

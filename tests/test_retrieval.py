@@ -1087,3 +1087,26 @@ def test_rq_quantize_noncontiguous_cluster_ids(spark, tmp_path):
         for r in con.execute(STAGED["sim_rq_quantize"].oracle).fetchall()
     }
     assert got == want
+
+
+def test_stream_zscore_drain_equals_batch(spark):
+    """stream_zscore_drain (staged r10): the two-micro-batch merged
+    moments must yield EXACTLY sim_zscore_outliers' rows — DECIMAL
+    moment sums are exact, so the split cannot move a single score."""
+    from tests.conftest import SF_SMOKE
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    batch = {
+        r["vec_id"]: (r["md2"], r["rk"])
+        for r in resolve_query("sim_zscore_outliers")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    streamed = {
+        r["vec_id"]: (r["md2"], r["rk"])
+        for r in resolve_query("stream_zscore_drain")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert batch and streamed == batch

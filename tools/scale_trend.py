@@ -330,6 +330,9 @@ def main(only: list[str] | None = None) -> None:
         "zscore_outliers": lambda k: SQ["sim_zscore_outliers"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        "zscore_drain": lambda k: SQ["stream_zscore_drain"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
