@@ -918,26 +918,35 @@ def _lzw_encode(data: bytes, mcs: int) -> bytes:
     def w_for(v: int) -> int:
         return max(mcs + 1, min(12, v.bit_length()))
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    # dictionary keyed by (prefix_code << 8) | next_byte: every table
+    # string is some existing code plus one byte, so the int pair is a
+    # complete key — no per-step bytes concatenation/hashing (2-3x
+    # faster than a bytes-keyed dict; literals 0..clear-1 are their own
+    # codes and never need entries)
+    table: dict[int, int] = {}
     next_code = first
     put(clear, mcs + 1)
-    s = b""
+    cur = -1  # current prefix CODE; -1 = empty
     for ch in data:
-        sc = s + bytes([ch])
-        if sc in table:
-            s = sc
+        if cur < 0:
+            cur = ch
             continue
-        put(table[s], w_for(next_code - 1))
+        key = (cur << 8) | ch
+        nxt = table.get(key)
+        if nxt is not None:
+            cur = nxt
+            continue
+        put(cur, w_for(next_code - 1))
         if next_code < 4096:
-            table[sc] = next_code
+            table[key] = next_code
             next_code += 1
         else:
             put(clear, w_for(next_code))  # 12 bits
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = first
-        s = bytes([ch])
-    if s:
-        put(table[s], w_for(next_code - 1))
+        cur = ch
+    if cur >= 0:
+        put(cur, w_for(next_code - 1))
     put(end, w_for(next_code))
     if nbits:
         out.append(acc & 0xFF)
