@@ -1651,18 +1651,23 @@ stats AS (
   FROM documents
 ),
 joined AS (
-  SELECT u.doc_id, u.n_tokens, u.avg_logprob,
-         1 - CAST(s.nd AS DOUBLE) / s.n AS repetition
-  FROM ulp u JOIN stats s ON s.doc_id = u.doc_id
+  -- anchored on stats (every doc), LEFT join scores: zero-token docs
+  -- must appear with n_tokens=0 / keep=false, never vanish
+  SELECT s.doc_id,
+         CAST(coalesce(u.n_tokens, 0) AS BIGINT) AS n_tokens,
+         u.avg_logprob,
+         CASE WHEN s.n > 0
+           THEN 1 - CAST(s.nd AS DOUBLE) / s.n END AS repetition
+  FROM stats s LEFT JOIN ulp u ON u.doc_id = s.doc_id
 )
 SELECT doc_id, n_tokens, repetition, avg_logprob,
        n_tokens < {_QG_MIN_TOKENS} OR n_tokens > {_QG_MAX_TOKENS}
          AS fail_length,
-       repetition > {_QG_MAX_REP} AS fail_repetition,
-       avg_logprob < {_QG_MIN_LM} AS fail_lm,
+       coalesce(repetition > {_QG_MAX_REP}, false) AS fail_repetition,
+       coalesce(avg_logprob < {_QG_MIN_LM}, false) AS fail_lm,
        NOT (n_tokens < {_QG_MIN_TOKENS} OR n_tokens > {_QG_MAX_TOKENS}
-            OR repetition > {_QG_MAX_REP}
-            OR avg_logprob < {_QG_MIN_LM}) AS keep
+            OR coalesce(repetition > {_QG_MAX_REP}, false)
+            OR coalesce(avg_logprob < {_QG_MIN_LM}, false)) AS keep
 FROM joined
 """
 
@@ -1694,7 +1699,14 @@ def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_gate_rows(docs: DataFrame, scored: DataFrame) -> DataFrame:
     """The flag/conjunction layer over per-doc LM scores — shared by
-    the batch gate and the pinned-LM streaming drain."""
+    the batch gate and the pinned-LM streaming drain.
+
+    Anchored on the DOCS side (stats LEFT JOIN scored): a zero-token
+    document has no LM rows at all, and an inner join silently dropped
+    it from the verdict table — the same admit-by-omission failure the
+    OOV left-join closed, one layer up (r9 second-review finding). Such
+    docs now get n_tokens=0, NULL repetition/score, fail_length=true,
+    keep=false."""
     toks = T.tokens("text")
     stats = docs.select(
         "doc_id",
@@ -1702,19 +1714,29 @@ def quality_gate_rows(docs: DataFrame, scored: DataFrame) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("nd"),
     )
     joined = (
-        scored.select("doc_id", "n_tokens", "avg_logprob")
-        .join(stats, "doc_id")
+        stats.join(
+            scored.select("doc_id", "n_tokens", "avg_logprob"),
+            "doc_id",
+            "left",
+        )
         .select(
-            "doc_id", "n_tokens", "avg_logprob",
-            (F.lit(1) - F.col("nd").cast("double") / F.col("n"))
-            .alias("repetition"),
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+            "avg_logprob",
+            F.when(
+                F.col("n") > 0,
+                F.lit(1) - F.col("nd").cast("double") / F.col("n"),
+            ).alias("repetition"),
         )
     )
     fail_len = (F.col("n_tokens") < _QG_MIN_TOKENS) | (
         F.col("n_tokens") > _QG_MAX_TOKENS
     )
-    fail_rep = F.col("repetition") > _QG_MAX_REP
-    fail_lm = F.col("avg_logprob") < _QG_MIN_LM
+    fail_rep = F.coalesce(
+        F.col("repetition") > _QG_MAX_REP, F.lit(False)
+    )
+    fail_lm = F.coalesce(F.col("avg_logprob") < _QG_MIN_LM, F.lit(False))
     return joined.select(
         "doc_id", "n_tokens", "repetition", "avg_logprob",
         fail_len.alias("fail_length"),

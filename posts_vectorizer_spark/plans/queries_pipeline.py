@@ -1192,6 +1192,41 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_sketch import CMS_HEAVY_HITTERS_SQL
 
 
+def _forced_drain(spark, df, split_col, start, files_per_half: int = 1):
+    """Shared harness for the forced-two-batch streaming drains (r9
+    second-review finding: the scaffold had been copy-pasted per drain,
+    and its tempdirs were never cleaned): write the input as two
+    halves, run the availableNow stream via ``start(src, state_dir,
+    ckpt_dir, max_files_per_trigger)``, await, delete the source copy +
+    checkpoint (the STATE dir must outlive the returned lazy plan), and
+    return the merged state DataFrame (None on empty input)."""
+    import shutil
+
+    from ..sources.sinks import read_merged
+
+    work = tempfile.mkdtemp(prefix="pv_drain_")
+    src = f"{work}/in"
+    half = F.col(split_col) % 2
+    for h in (0, 1):
+        part = df.where(half == h)
+        part = (
+            part.coalesce(1)
+            if files_per_half == 1
+            else part.repartition(files_per_half)
+        )
+        part.write.mode("append").parquet(src)
+    q = start(src, f"{work}/state", f"{work}/ckpt", files_per_half)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("drain did not finish within 300s")
+    state = read_merged(spark, f"{work}/state")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    if state is None:
+        shutil.rmtree(work, ignore_errors=True)
+    return state
+
+
 @register("stream_cms_drain", oracle=CMS_HEAVY_HITTERS_SQL, staged=True)
 def stream_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min-sketch maintenance with a driver row (built
@@ -1206,24 +1241,16 @@ def stream_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge property driver-hash-checked end to end (the frequency
     companion to stream_ddsketch_drain's quantile sketch)."""
     from ..functions import text as _T2
-    from ..sources.sinks import read_merged
     from ..streaming.worker import cms_count_stream
     from .queries_sketch import cms_estimates
 
     docs = load_table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="pv_cms_")
-    src = f"{work}/in"
-    half = F.col("doc_id") % 2
-    docs.where(half == 0).coalesce(1).write.mode("append").parquet(src)
-    docs.where(half == 1).coalesce(1).write.mode("append").parquet(src)
-    q = cms_count_stream(
-        spark, src, docs.schema, f"{work}/sketch", f"{work}/ckpt",
-        max_files_per_trigger=1,
+    state = _forced_drain(
+        spark, docs, "doc_id",
+        lambda src, st, ck, mft: cms_count_stream(
+            spark, src, docs.schema, st, ck, max_files_per_trigger=mft
+        ),
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("cms drain did not finish within 300s")
-    state = read_merged(spark, f"{work}/sketch")
     if state is None:
         return spark.createDataFrame(
             [], "word string, exact_cnt bigint, cms_estimate bigint"
@@ -1252,31 +1279,21 @@ def stream_hll_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot change a single register — the oracle is rel_hll_portable's
     one-pass twin, completing the mergeable-sketch streaming trio
     (DDSketch/CMS counts merge by +, HLL registers merge by max)."""
-    from ..sources.sinks import read_merged
     from ..streaming.worker import hll_register_stream
     from .queries_sketch import hll_estimate_readout
 
     li = load_table(spark, sf_dir, "lineitem")
-    work = tempfile.mkdtemp(prefix="pv_hll_")
-    src = f"{work}/in"
-    half = F.col("l_orderkey") % 2
     # PARALLEL source writes (8 files per half, 8 per trigger => exactly
-    # two batches): register max is split-invariant, so the batch
-    # composition is free to follow file order — unlike the coalesce(1)
-    # pattern of the additive drains, the harness write stays parallel
-    # and off the measured-trend critical path (a coalesce(1) draft
-    # measured 5.9x wall under 10x data, ALL of it the single-threaded
-    # source write, none of it the sketch)
-    li.where(half == 0).repartition(8).write.mode("append").parquet(src)
-    li.where(half == 1).repartition(8).write.mode("append").parquet(src)
-    q = hll_register_stream(
-        spark, src, li.schema, f"{work}/regs", f"{work}/ckpt",
-        max_files_per_trigger=8,
+    # two batches): merge state is split-invariant, so batch composition
+    # is free to follow file order — a coalesce(1) draft measured 5.9x
+    # wall under 10x data, all of it the single-threaded source write
+    state = _forced_drain(
+        spark, li, "l_orderkey",
+        lambda src, st, ck, mft: hll_register_stream(
+            spark, src, li.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=8,
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("hll drain did not finish within 300s")
-    state = read_merged(spark, f"{work}/regs")
     if state is None:
         return spark.createDataFrame(
             [],
@@ -1306,7 +1323,6 @@ def stream_quality_gate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     change a single verdict — the oracle is curation_quality_gate's
     whole-corpus twin, hash-checking the streaming scoring path end to
     end."""
-    from ..sources.sinks import read_merged
     from ..streaming.worker import quality_gate_stream
     from .queries_curation import unigram_lm
 
@@ -1320,19 +1336,13 @@ def stream_quality_gate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = spark.createDataFrame(
         norm_df.collect(), "total double, vocab double"
     )
-    work = tempfile.mkdtemp(prefix="pv_qgate_")
-    src = f"{work}/in"
-    half = F.col("doc_id") % 2
-    docs.where(half == 0).coalesce(1).write.mode("append").parquet(src)
-    docs.where(half == 1).coalesce(1).write.mode("append").parquet(src)
-    q = quality_gate_stream(
-        spark, src, docs.schema, lm, norm,
-        f"{work}/verdicts", f"{work}/ckpt", max_files_per_trigger=1,
+    state = _forced_drain(
+        spark, docs, "doc_id",
+        lambda src, st, ck, mft: quality_gate_stream(
+            spark, src, docs.schema, lm, norm, st, ck,
+            max_files_per_trigger=mft,
+        ),
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("quality gate drain did not finish within 300s")
-    state = read_merged(spark, f"{work}/verdicts")
     if state is None:
         return spark.createDataFrame(
             [],
@@ -1362,24 +1372,17 @@ def stream_zscore_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums of round-9 DECIMALs are exact, so the split cannot move a
     single moment and the oracle is sim_zscore_outliers' one-pass
     twin."""
-    from ..sources.sinks import read_merged
     from ..streaming.worker import zscore_moment_stream
     from .queries_similarity import zscore_readout
 
     emb = load_table(spark, sf_dir, "embeddings")
-    work = tempfile.mkdtemp(prefix="pv_zs_")
-    src = f"{work}/in"
-    half = F.col("vec_id") % 2
-    emb.where(half == 0).repartition(4).write.mode("append").parquet(src)
-    emb.where(half == 1).repartition(4).write.mode("append").parquet(src)
-    q = zscore_moment_stream(
-        spark, src, emb.schema, f"{work}/moments", f"{work}/ckpt",
-        max_files_per_trigger=4,
+    state = _forced_drain(
+        spark, emb, "vec_id",
+        lambda src, st, ck, mft: zscore_moment_stream(
+            spark, src, emb.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("zscore drain did not finish within 300s")
-    state = read_merged(spark, f"{work}/moments")
     if state is None:
         return spark.createDataFrame(
             [], "vec_id long, md2 double, rk int"

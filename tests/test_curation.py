@@ -337,6 +337,7 @@ def test_quality_gate_flags_and_conjunction(spark, tmp_path):
         (2, "spam " * 50, "en", "s", 1),                    # repetitive
         (3, " ".join(f"w{i} x{i} y{i} z{i}" for i in range(8)),
          "en", "s", 1),                # in range, all-distinct tokens
+        (4, "   ", "en", "s", 0),      # zero tokens -> must still row
     ]
     d = tmp_path / "docs"
     d.mkdir()
@@ -350,7 +351,13 @@ def test_quality_gate_flags_and_conjunction(spark, tmp_path):
             spark, str(d)
         ).collect()
     }
-    assert set(rows) == {1, 2, 3}
+    assert set(rows) == {1, 2, 3, 4}
+    # the zero-token doc gets a verdict row (r9 second-review fix):
+    # counted length 0, NULL metrics, rejected on length alone
+    assert rows[4]["n_tokens"] == 0 and rows[4]["fail_length"]
+    assert rows[4]["repetition"] is None and rows[4]["avg_logprob"] is None
+    assert not rows[4]["fail_repetition"] and not rows[4]["fail_lm"]
+    assert rows[4]["keep"] is False
     assert rows[1]["fail_length"] and not rows[1]["fail_repetition"]
     assert rows[2]["fail_repetition"]
     assert rows[2]["repetition"] == 1 - 1 / 50
