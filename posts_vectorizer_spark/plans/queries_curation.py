@@ -1679,9 +1679,10 @@ def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-count bounds, token-repetition rate, corpus-fit unigram-LM
     score (text_unigram_logprob's exact pipeline) — each emitted as its
     own fail flag beside the final conjunction, so downstream audits
-    can attribute every drop to its reason. Empty-token docs carry no
-    LM row and are excluded by construction (they fail upstream
-    tokenize gates).
+    can attribute every drop to its reason. Zero-token docs get a
+    verdict row too — n_tokens=0, NULL metrics, rejected on length
+    (the docs-anchored LEFT join in quality_gate_rows; a draft that
+    excluded them was the admit-by-omission failure mode).
 
     Exactness: repetition and the LM score are UNROUNDED quotients of
     exact integers/DECIMALs (identical IEEE operands cross-engine —
