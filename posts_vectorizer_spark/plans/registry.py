@@ -80,9 +80,35 @@ STAGED: dict[str, QueryDef] = {}
 #                                 moments + broadcast + in-row fold)
 #   stream_zscore_drain          (the same moments maintained as
 #                                 additive DECIMAL state in-stream)
-# r10 head plan: 17 introduction slots ([Q]: 16) + spine + the 10
-# spilled r4 rows + the oldest r5-cohort rows (ALL 46 pre-verified
-# vanilla this round, SWEEPS.md) fill the remaining ~29 slots.
+# r10 head plan (EXACT draft, 50 slots — every name pre-verified
+# vanilla this round, SWEEPS.md):
+#  (a) 16 introductions (the [Q] staged wave; text_compression_ratio
+#      is [R] and takes no slot): multimodal_gif_ingest,
+#      multimodal_gif_frame_sample, rel_hll_set_ops,
+#      sim_clustering_coefficient, curation_mw_domain_reweight,
+#      rel_partition_checksums, text_perplexity_buckets,
+#      stream_cms_drain, curation_quality_gate, sim_rq_quantize,
+#      stream_hll_drain, text_rouge_lead_eval,
+#      stream_quality_gate_drain, sim_knn_graph_mutual_ann,
+#      sim_zscore_outliers, stream_zscore_drain
+#  (b) spine: tfidf_doc_vectors (+ text_unigram_logprob — its module
+#      was refactored this round; cheap re-proof)
+#  (c) the 10 spilled r4 rows: rel_tpch_q16_dormant_parts,
+#      rel_tpch_q18_large_orders, rel_tpch_q19_disjunctive,
+#      rel_tpch_q21_late_suppliers, rel_tpch_q22_dormant_accounts,
+#      events_ab_cuped, events_interval_coverage, text_bm25_ndcg_eval,
+#      text_winnowing_fingerprints, dedup_substring_spans
+#  (d) 22 oldest-r5 rows (family spread; the other 24 r5 go to r11):
+#      curation_weighted_sample, dedup_components,
+#      dedup_incremental_minhash, dedup_split_leakage_safe,
+#      events_cusum_changepoint, events_halflife_decay,
+#      events_retention_cohorts, events_scd2_versions,
+#      events_session_paths, rel_custdist_histogram,
+#      rel_salted_skew_join, rel_stats_quantiles,
+#      rel_subquery_correlated, rel_tpch_q6_forecast_revenue,
+#      rel_tpch_q8_market_share, rel_weighted_median,
+#      sim_hybrid_rrf_fusion, sim_pagerank_knn, sim_semdedup_prune,
+#      stream_vectorize_drain, text_pmi_bigrams, text_readability
 
 
 def register(
