@@ -307,7 +307,11 @@ def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
             "<I", raw[pos + 4 : pos + 8]
         )[0]
         body = raw[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -1255,3 +1259,364 @@ def gif_frame_sample_features(base: DataFrame, stride: int) -> DataFrame:
             )
 
     return base.mapInPandas(run, GIF_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL QOI codec (built r9, staged r10) — the "Quite OK Image" format
+# (qoiformat.org, public spec). A genuinely different compression family
+# from DEFLATE (PNG) and LZW (GIF): a single-pass byte-oriented scheme
+# with a 64-slot running color index, biased wraparound channel deltas
+# (DIFF/LUMA), and run-length packing. Zero dependencies; every op type
+# the 3-channel spec can emit (RUN / INDEX / DIFF / LUMA / RGB) is
+# exercised by the synthesis formula and asserted present by test.
+# ---------------------------------------------------------------------------
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(px: tuple[int, int, int, int]) -> int:
+    return (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+
+
+def encode_qoi(rgb: np.ndarray) -> bytes:
+    """Spec-conforming greedy QOI encoder for (h, w, 3) uint8 RGB
+    (channels=3, linear colorspace): run-length first, then index hit,
+    then 2-bit DIFF, then LUMA, else a literal RGB op. Deltas wrap mod
+    256 into [-128, 127] exactly as the reference implementation's
+    signed-char arithmetic does, so a 255->4 step is still a +5 delta."""
+    h, w, _ = rgb.shape
+    out = bytearray(_QOI_MAGIC)
+    out += w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([3, 0])
+    index: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = rgb.reshape(-1, 3)
+    for r, g, b in flat.tolist():
+        cur = (r, g, b, 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        ih = _qoi_hash(cur)
+        if index[ih] == cur:
+            out.append(ih)
+        else:
+            index[ih] = cur
+            dr = ((r - prev[0] + 128) % 256) - 128
+            dg = ((g - prev[1] + 128) % 256) - 128
+            db = ((b - prev[2] + 128) % 256) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else:
+                dr_dg = dr - dg
+                db_dg = db - dg
+                if -32 <= dg <= 31 and -8 <= dr_dg <= 7 and -8 <= db_dg <= 7:
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr_dg + 8) << 4) | (db_dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(raw: bytes) -> np.ndarray:
+    """Decode a 3-channel QOI stream with the loud-reject posture the
+    other codecs pin: bad magic / channels / colorspace, a missing end
+    marker, a truncated chunk, a run overshooting w*h, or trailing ops
+    after the last pixel all raise ValueError (never IndexError)."""
+    if len(raw) < 14 + len(_QOI_END) or raw[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI stream")
+    w = int.from_bytes(raw[4:8], "big")
+    h = int.from_bytes(raw[8:12], "big")
+    channels, colorspace = raw[12], raw[13]
+    if channels != 3 or colorspace != 0:
+        raise ValueError(f"unsupported QOI layout {channels}/{colorspace}")
+    if raw[-8:] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    data = raw[14:-8]
+    n_px = w * h
+    out: list[tuple[int, int, int, int]] = []
+    index: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    i = 0
+    end = len(data)
+    while i < end:
+        if len(out) >= n_px:
+            raise ValueError("ops continue past the last pixel")
+        b0 = data[i]
+        i += 1
+        if b0 == 0xFE:  # QOI_OP_RGB
+            if i + 3 > end:
+                raise ValueError("truncated RGB op")
+            px = (data[i], data[i + 1], data[i + 2], px[3])
+            i += 3
+        elif b0 == 0xFF:  # QOI_OP_RGBA (valid in foreign streams)
+            if i + 4 > end:
+                raise ValueError("truncated RGBA op")
+            px = (data[i], data[i + 1], data[i + 2], data[i + 3])
+            i += 4
+        else:
+            tag = b0 >> 6
+            if tag == 0:  # QOI_OP_INDEX
+                px = index[b0 & 0x3F]
+            elif tag == 1:  # QOI_OP_DIFF
+                px = (
+                    (px[0] + ((b0 >> 4) & 3) - 2) % 256,
+                    (px[1] + ((b0 >> 2) & 3) - 2) % 256,
+                    (px[2] + (b0 & 3) - 2) % 256,
+                    px[3],
+                )
+            elif tag == 2:  # QOI_OP_LUMA
+                if i >= end:
+                    raise ValueError("truncated LUMA op")
+                dg = (b0 & 0x3F) - 32
+                b1 = data[i]
+                i += 1
+                px = (
+                    (px[0] + dg + (b1 >> 4) - 8) % 256,
+                    (px[1] + dg) % 256,
+                    (px[2] + dg + (b1 & 0x0F) - 8) % 256,
+                    px[3],
+                )
+            else:  # QOI_OP_RUN
+                run = (b0 & 0x3F) + 1
+                if len(out) + run > n_px:
+                    raise ValueError("run overshoots the pixel count")
+                out.extend([px] * run)
+                continue
+        index[_qoi_hash(px)] = px
+        out.append(px)
+    if len(out) != n_px:
+        raise ValueError(f"decoded {len(out)} pixels, header says {n_px}")
+    return np.array(out, dtype=np.uint8)[:, :3].reshape(h, w, 3)
+
+
+def qoi_op_histogram(raw: bytes) -> dict[str, int]:
+    """Walk a QOI stream counting op kinds (test support: the synthesis
+    corpus must exercise RUN, INDEX, DIFF, LUMA and RGB)."""
+    if raw[:4] != _QOI_MAGIC or raw[-8:] != _QOI_END:
+        raise ValueError("not a QOI stream")
+    data = raw[14:-8]
+    hist = {"rgb": 0, "rgba": 0, "index": 0, "diff": 0, "luma": 0, "run": 0}
+    i = 0
+    while i < len(data):
+        b0 = data[i]
+        i += 1
+        if b0 == 0xFE:
+            hist["rgb"] += 1
+            i += 3
+        elif b0 == 0xFF:
+            hist["rgba"] += 1
+            i += 4
+        else:
+            tag = b0 >> 6
+            if tag == 0:
+                hist["index"] += 1
+            elif tag == 1:
+                hist["diff"] += 1
+            elif tag == 2:
+                hist["luma"] += 1
+                i += 1
+            else:
+                hist["run"] += 1
+    return hist
+
+
+def synth_pixels_qoi(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from an integer formula both engines can
+    state, shaped so a greedy QOI encoder emits every 3-channel op:
+    row class y%4==0 plateaus x in threes (RUN), y%4==1 alternates two
+    colors (INDEX), y%4==2 steps by 5 (LUMA), y%4==3 steps by 1 (DIFF);
+    row starts jump (RGB). xq = CASE above; yb = y%6;
+    r=(doc_id+xq+2yb)%256, g=(2*doc_id+xq+3yb)%256, b=(3*doc_id+xq+yb)%256."""
+    y, x = np.mgrid[0:h, 0:w]
+    xq = np.where(
+        y % 4 == 0,
+        x - (x % 3),
+        np.where(y % 4 == 1, x % 2, np.where(y % 4 == 2, 5 * x, x)),
+    )
+    d = int(doc_id)
+    yb = y % 6
+    return np.stack(
+        [
+            (d + xq + 2 * yb) % 256,
+            (2 * d + xq + 3 * yb) % 256,
+            (3 * d + xq + yb) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+QOI_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, sum_r long, sum_g long, sum_b long"
+)
+
+
+def qoi_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, w, h) -> formula pixels -> ENCODE real QOI -> DECODE
+    (magic/layout/end-marker checks, index/diff/luma/run reconstruction)
+    -> integer-exact per-channel sums over the decoded image, dimensions
+    from the PARSED header. Scale shape: per-row scan-stage codec work;
+    only the 6-column profile leaves the stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                img = decode_qoi(
+                    encode_qoi(synth_pixels_qoi(int(doc_id), int(w), int(h)))
+                )
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                out.append(
+                    (
+                        int(doc_id), img.shape[1], img.shape[0],
+                        int(s[0]), int(s[1]), int(s[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return base.mapInPandas(run, QOI_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL G.711 mu-law telephony codec (built r9, staged r10) — the ITU-T
+# logarithmic companding standard: 16-bit linear PCM -> 8-bit mu-law
+# (segment/mantissa format, bias 132, clip 32635) and back, carried in a
+# hand-written RIFF/WAVE container with format tag 7 (WAVE_FORMAT_MULAW —
+# the stdlib `wave` module cannot write it, so the container writer here
+# is real byte-level code too). Encode/decode are fully vectorized
+# integer numpy; the whole transform is statable in SQL, so the oracle
+# re-derives the decoded samples end-to-end from the synthesis formula.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> uint8 mu-law, vectorized: sign + clipped
+    biased magnitude, segment = #{thresholds 256*2^k, k=0..6 passed},
+    4-bit mantissa, ones-complement per the G.711 wire format."""
+    s = samples.astype(np.int32)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), _ULAW_CLIP) + _ULAW_BIAS
+    exponent = np.zeros_like(mag)
+    for k in range(7):
+        exponent += (mag >= (256 << k)).astype(np.int32)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def ulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """uint8 mu-law -> int16 linear PCM (the exact integer inverse the
+    spec defines — segment-midpoint reconstruction)."""
+    u = (~codes.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def encode_ulaw_wav(samples: np.ndarray, rate: int) -> bytes:
+    """mu-law WAV: RIFF/WAVE + fmt (tag 7, mono, 8-bit) + data chunk,
+    written by hand — format tag 7 is outside the stdlib wave module."""
+    import struct
+
+    payload = ulaw_compress(samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_ulaw_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """(rate, int16 samples) from a mu-law WAV: RIFF walk (word-aligned,
+    unknown chunks skipped), format tag MUST be 7/mono/8-bit — loud
+    reject otherwise — then vectorized mu-law expansion."""
+    import struct
+
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byterate, _align, bits = fmt
+    if (audio_format, channels, bits) != (7, 1, 8):
+        raise ValueError(f"not mono 8-bit mu-law: {fmt}")
+    return rate, ulaw_expand(np.frombuffer(data, dtype=np.uint8))
+
+
+def synth_samples_ulaw(doc_id: int, n: int) -> np.ndarray:
+    """Deterministic int16 test signal with constants distinct from the
+    PCM16 WAV query's: s_i = ((doc_id*37 + i*23) % 65536) - 32768."""
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 37 + i * 23) % 65536) - 32768).astype(np.int16)
+
+
+ULAW_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sum_pcm long, sum_abs_pcm long,"
+    " max_quant_err long"
+)
+
+
+def ulaw_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, n) -> formula PCM16 -> ENCODE real mu-law WAV (tag-7
+    container) -> DECODE (RIFF walk + format check + expansion) ->
+    integer-exact sums over the DECODED samples plus the max
+    quantization error vs the original signal. The oracle states the
+    same numbers from the companding algebra in SQL, so a segment
+    threshold, mantissa shift, bias, or container bug hash-mismatches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                orig = synth_samples_ulaw(int(doc_id), int(n))
+                _rate, dec = decode_ulaw_wav(encode_ulaw_wav(orig, 8000))
+                d = dec.astype(np.int64)
+                err = np.abs(orig.astype(np.int64) - d)
+                out.append(
+                    (
+                        int(doc_id), int(d.size), int(d.sum()),
+                        int(np.abs(d).sum()), int(err.max()) if d.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sum_pcm", "sum_abs_pcm",
+                    "max_quant_err",
+                ],
+            )
+
+    return base.mapInPandas(run, ULAW_FEATURE_SCHEMA)

@@ -1259,3 +1259,127 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(10) + F.col("doc_id") % 5).cast("int").alias("h"),
     )
     return gif_frame_sample_features(base, _GIF_ANIM_STRIDE)
+
+
+_QOI_INGEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 18 + doc_id % 7 AS w, 12 + doc_id % 6 AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS c FROM base
+),
+px AS (
+  SELECT doc_id, w, h,
+         CASE WHEN (c // w) % 4 = 0 THEN (c % w) - ((c % w) % 3)
+              WHEN (c // w) % 4 = 1 THEN (c % w) % 2
+              WHEN (c // w) % 4 = 2 THEN 5 * (c % w)
+              ELSE c % w END AS xq,
+         (c // w) % 6 AS yb
+  FROM cells
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sum((doc_id + xq + 2 * yb) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((2 * doc_id + xq + 3 * yb) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((3 * doc_id + xq + yb) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+@register("multimodal_qoi_ingest", oracle=_QOI_INGEST_SQL, staged=True)
+def multimodal_qoi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI codec ingest (built r9, staged r10) — a third distinct
+    compression family alongside PNG/DEFLATE and GIF/LZW: the "Quite OK
+    Image" single-pass scheme (public spec, qoiformat.org) with a
+    64-slot running color index, biased wraparound DIFF/LUMA channel
+    deltas, and run-length packing, implemented from the spec with zero
+    dependencies. The synthesis formula's four row classes force every
+    3-channel op (plateaus -> RUN, two-color alternation -> INDEX,
+    step-5 -> LUMA, step-1 -> DIFF, row starts -> RGB; asserted by
+    test). Features are integer-exact per-channel sums over the DECODED
+    image with dimensions from the PARSED header; the oracle states
+    them from the formula, so any index-hash, delta-bias, or run bug
+    hash-mismatches.
+
+    Scale shape: per-row scan-stage codec work (payloads never
+    shuffle); only the 6-column profile leaves the stage."""
+    from ..operators.multimodal import qoi_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.lit(18) + F.col("doc_id") % 7).cast("int").alias("w"),
+        (F.lit(12) + F.col("doc_id") % 6).cast("int").alias("h"),
+    )
+    return qoi_ingest_features(base)
+
+
+_ULAW_INGEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 256 + doc_id % 100 AS n FROM documents
+),
+samp AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM base
+),
+lin AS (
+  SELECT doc_id, ((doc_id * 37 + i * 23) % 65536) - 32768 AS s FROM samp
+),
+seg AS (
+  SELECT doc_id, s,
+         CASE WHEN s < 0 THEN 1 ELSE 0 END AS neg,
+         LEAST(ABS(s), 32635) + 132 AS m
+  FROM lin
+),
+enc AS (
+  SELECT doc_id, s, neg, m,
+         (CASE WHEN m >= 256 THEN 1 ELSE 0 END
+          + CASE WHEN m >= 512 THEN 1 ELSE 0 END
+          + CASE WHEN m >= 1024 THEN 1 ELSE 0 END
+          + CASE WHEN m >= 2048 THEN 1 ELSE 0 END
+          + CASE WHEN m >= 4096 THEN 1 ELSE 0 END
+          + CASE WHEN m >= 8192 THEN 1 ELSE 0 END
+          + CASE WHEN m >= 16384 THEN 1 ELSE 0 END) AS e
+  FROM seg
+),
+dec AS (
+  SELECT doc_id, s, neg,
+         ((((m >> (e + 3)) & 15) << 3) + 132 << e) - 132 AS dmag
+  FROM enc
+),
+fin AS (
+  SELECT doc_id, s, CASE WHEN neg = 1 THEN -dmag ELSE dmag END AS d
+  FROM dec
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(d) AS BIGINT) AS sum_pcm,
+       CAST(sum(ABS(d)) AS BIGINT) AS sum_abs_pcm,
+       CAST(max(ABS(s - d)) AS BIGINT) AS max_quant_err
+FROM fin GROUP BY doc_id
+"""
+
+
+@register("multimodal_ulaw_ingest", oracle=_ULAW_INGEST_SQL, staged=True)
+def multimodal_ulaw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law telephony codec ingest (built r9, staged r10):
+    every doc synthesizes a formula PCM16 signal, compands it to 8-bit
+    mu-law (ITU-T segment/mantissa format: bias 132, clip 32635,
+    ones-complement wire bytes), writes a format-tag-7 RIFF/WAVE
+    container BY HAND (the stdlib wave module cannot), walks it back,
+    expands to PCM16, and emits integer-exact sums over the DECODED
+    samples plus the max quantization error vs the original. The oracle
+    re-derives the full compand/expand algebra in SQL (threshold CASEs
+    for the segment, bit shifts for the mantissa), so any bias, clip,
+    segment, or container bug hash-mismatches. The numpy encode/expand
+    kernels are exhaustively tested against a per-sample reference over
+    ALL 65536 int16 values.
+
+    Scale shape: per-row scan-stage codec work (payloads never
+    shuffle); only the 5-column profile leaves the stage."""
+    from ..operators.multimodal import ulaw_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.lit(256) + F.col("doc_id") % 100).cast("int").alias("n"),
+    )
+    return ulaw_ingest_features(base)

@@ -1257,3 +1257,177 @@ def stream_psi_drift_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return psi_readout(counts)
+
+
+# ---------------------------------------------------------------------------
+# Rank-correlation eval: Spearman rho (all items, linear) + Kendall
+# tau-b over the top-K head (bounded pairs)
+# ---------------------------------------------------------------------------
+
+_RANKCORR_TOPK = 30
+
+_RANKCORR_SQL = f"""
+WITH it AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS a,
+         CAST({T.token_count_sql('text')} AS BIGINT) AS b
+  FROM documents
+),
+rk AS (
+  SELECT source, a, b,
+         2 * rank() OVER (PARTITION BY source ORDER BY a)
+           + count(*) OVER (PARTITION BY source, a) - 1 AS ra,
+         2 * rank() OVER (PARTITION BY source ORDER BY b)
+           + count(*) OVER (PARTITION BY source, b) - 1 AS rb
+  FROM it
+),
+sp AS (
+  SELECT source, count(*) AS n, sum(ra) AS sx, sum(rb) AS sy,
+         sum(ra * rb) AS sxy, sum(ra * ra) AS sxx, sum(rb * rb) AS syy
+  FROM rk GROUP BY source
+),
+rho AS (
+  SELECT source, n,
+         CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         END AS spearman_rho
+  FROM sp
+),
+topk AS (
+  SELECT source, doc_id, a, b FROM (
+    SELECT source, doc_id, a, b,
+           row_number() OVER (
+             PARTITION BY source ORDER BY a DESC, doc_id
+           ) AS rn
+    FROM it
+  ) t WHERE rn <= {_RANKCORR_TOPK}
+),
+pairs AS (
+  SELECT i.source,
+         CASE WHEN (i.a - j.a) * (i.b - j.b) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (i.a - j.a) * (i.b - j.b) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN i.a = j.a THEN 1 ELSE 0 END AS tie_a,
+         CASE WHEN i.b = j.b THEN 1 ELSE 0 END AS tie_b
+  FROM topk i JOIN topk j ON i.source = j.source AND i.doc_id < j.doc_id
+),
+tau AS (
+  SELECT source, count(*) AS n0, sum(conc) AS c, sum(disc) AS d,
+         sum(tie_a) AS n1, sum(tie_b) AS n2
+  FROM pairs GROUP BY source
+)
+SELECT r.source, CAST(r.n AS BIGINT) AS n_items, r.spearman_rho,
+       CAST(t.c AS BIGINT) AS concordant, CAST(t.d AS BIGINT) AS discordant,
+       CASE WHEN t.n0 > t.n1 AND t.n0 > t.n2 THEN
+         CAST(t.c - t.d AS DOUBLE)
+         / sqrt(CAST((t.n0 - t.n1) * (t.n0 - t.n2) AS DOUBLE))
+       END AS tau_b
+FROM rho r JOIN tau t ON r.source = t.source
+"""
+
+
+@register("text_rank_correlation_eval", oracle=_RANKCORR_SQL, staged=True)
+def text_rank_correlation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-correlation eval harness (built r9, staged r10): per source,
+    how well does the cheap ranking signal (n_chars metadata) agree
+    with the computed one (portable token count)? Two estimators with
+    deliberately different scale shapes:
+
+    - SPEARMAN rho over ALL items — Pearson over tie-averaged ranks on
+      the exact 2x-rank integer grid (2*rank + ties - 1, so .5 average
+      ranks never touch floats); every sum is an exact BIGINT and the
+      only FP is one final quotient with IEEE-exact sqrt. Linear: two
+      rank windows + one map-side-combinable aggregate. Int64-exact up
+      to ~38k items per group (4n^4 < 2^63); beyond that, pre-scale the
+      ranks or lift the sums to DECIMAL(38).
+    - KENDALL tau-b over the TOP-K=30 head per group (tau@k, the form
+      ranking evals actually report) — concordant/discordant/tie pair
+      counts over a BOUNDED K(K-1)/2 = 435-pair self-join, so the
+      quadratic term is a constant at any corpus scale.
+
+    Both engines state the final quotients in the same operator order
+    (num / (sqrt(da) * sqrt(db))), so the doubles are bit-identical.
+    Degenerate groups (all-tied axis) yield NULL, never a div-by-zero.
+
+    Scale shape: two source-keyed sort windows + one aggregate for rho;
+    a 30-row-per-group self-join for tau. No data-sized pair join
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    it = docs.select(
+        "source", "doc_id",
+        F.col("n_chars").cast("long").alias("a"),
+        T.token_count("text").cast("long").alias("b"),
+    )
+    rk = it.select(
+        "source",
+        (
+            2 * F.rank().over(Window.partitionBy("source").orderBy("a"))
+            + F.count("*").over(Window.partitionBy("source", "a")) - 1
+        ).cast("long").alias("ra"),
+        (
+            2 * F.rank().over(Window.partitionBy("source").orderBy("b"))
+            + F.count("*").over(Window.partitionBy("source", "b")) - 1
+        ).cast("long").alias("rb"),
+    )
+    sp = rk.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ra").alias("sx"), F.sum("rb").alias("sy"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+        F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+    )
+    da = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    db = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = sp.select(
+        "source",
+        F.col("n").alias("n_items"),
+        F.when(
+            (da > 0) & (db > 0),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))),
+        ).alias("spearman_rho"),
+    )
+    topk = (
+        it.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("a").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _RANKCORR_TOPK)
+        .drop("rn")
+    )
+    i, j = topk.alias("i"), topk.alias("j")
+    sgn = (F.col("i.a") - F.col("j.a")) * (F.col("i.b") - F.col("j.b"))
+    pairs = i.join(
+        j,
+        (F.col("i.source") == F.col("j.source"))
+        & (F.col("i.doc_id") < F.col("j.doc_id")),
+    ).select(
+        F.col("i.source").alias("source"),
+        F.when(sgn > 0, 1).otherwise(0).alias("conc"),
+        F.when(sgn < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("i.a") == F.col("j.a"), 1).otherwise(0).alias("tie_a"),
+        F.when(F.col("i.b") == F.col("j.b"), 1).otherwise(0).alias("tie_b"),
+    )
+    tau = pairs.groupBy("source").agg(
+        F.count("*").alias("n0"),
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("d"),
+        F.sum("tie_a").alias("n1"),
+        F.sum("tie_b").alias("n2"),
+    )
+    n0, n1, n2 = F.col("n0"), F.col("n1"), F.col("n2")
+    return rho.join(tau, "source").select(
+        "source", "n_items", "spearman_rho",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.when(
+            (n0 > n1) & (n0 > n2),
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(((n0 - n1) * (n0 - n2)).cast("double")),
+        ).alias("tau_b"),
+    )

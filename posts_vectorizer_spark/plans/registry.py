@@ -80,9 +80,16 @@ STAGED: dict[str, QueryDef] = {}
 #                                 moments + broadcast + in-row fold)
 #   stream_zscore_drain          (the same moments maintained as
 #                                 additive DECIMAL state in-stream)
+# ...plus a late-r9 continuation batch (same full gate):
+#   multimodal_qoi_ingest        (REAL QOI codec — a third compression
+#                                 family: index/delta/run byte coding)
+#   multimodal_ulaw_ingest       (REAL G.711 mu-law companding in a
+#                                 hand-written tag-7 WAV container)
+#   text_rank_correlation_eval   (Spearman on the exact 2x-rank grid
+#                                 + bounded Kendall tau-b@30)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):
-#  (a) 16 introductions (the [Q] staged wave; text_compression_ratio
+#  (a) 19 introductions (the [Q] staged wave; text_compression_ratio
 #      is [R] and takes no slot): multimodal_gif_ingest,
 #      multimodal_gif_frame_sample, rel_hll_set_ops,
 #      sim_clustering_coefficient, curation_mw_domain_reweight,
@@ -90,7 +97,9 @@ STAGED: dict[str, QueryDef] = {}
 #      stream_cms_drain, curation_quality_gate, sim_rq_quantize,
 #      stream_hll_drain, text_rouge_lead_eval,
 #      stream_quality_gate_drain, sim_knn_graph_mutual_ann,
-#      sim_zscore_outliers, stream_zscore_drain
+#      sim_zscore_outliers, stream_zscore_drain, multimodal_qoi_ingest,
+#      multimodal_ulaw_ingest, text_rank_correlation_eval
+#      (late-r9 batch queries displace (d) rows to r11 one-for-one)
 #  (b) spine: tfidf_doc_vectors (+ text_unigram_logprob — its module
 #      was refactored this round; cheap re-proof)
 #  (c) the 10 spilled r4 rows: rel_tpch_q16_dormant_parts,
@@ -98,7 +107,9 @@ STAGED: dict[str, QueryDef] = {}
 #      rel_tpch_q21_late_suppliers, rel_tpch_q22_dormant_accounts,
 #      events_ab_cuped, events_interval_coverage, text_bm25_ndcg_eval,
 #      text_winnowing_fingerprints, dedup_substring_spans
-#  (d) 22 oldest-r5 rows (family spread; the other 24 r5 go to r11):
+#  (d) 19 oldest-r5 rows (family spread; the rest of r5 go to r11 —
+#      drop names from the END below, one per (a) late-batch
+#      introduction):
 #      curation_weighted_sample, dedup_components,
 #      dedup_incremental_minhash, dedup_split_leakage_safe,
 #      events_cusum_changepoint, events_halflife_decay,

@@ -679,3 +679,224 @@ def test_gif_truncation_always_valueerror():
     assert d == 7 and len(fr) == 3
     for a, b in zip(frames, fr):
         assert (a == b).all()
+
+
+def test_qoi_codec_roundtrip_op_coverage_and_rejects():
+    """The REAL QOI path (built r9, staged r10): encode->decode is the
+    identity over the synthesis corpus, the corpus exercises every
+    3-channel op kind (RUN/INDEX/DIFF/LUMA/RGB — RGBA impossible at
+    channels=3), and malformed streams reject loudly."""
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    totals = {"rgb": 0, "rgba": 0, "index": 0, "diff": 0, "luma": 0, "run": 0}
+    for doc in range(24):
+        w, h = 18 + doc % 7, 12 + doc % 6
+        img = M.synth_pixels_qoi(doc, w, h)
+        raw = M.encode_qoi(img)
+        assert (M.decode_qoi(raw) == img).all()
+        for k, v in M.qoi_op_histogram(raw).items():
+            totals[k] += v
+    for op in ("rgb", "index", "diff", "luma", "run"):
+        assert totals[op] > 0, f"corpus never emitted {op}"
+    assert totals["rgba"] == 0  # channels=3 can't change alpha
+
+    raw = M.encode_qoi(M.synth_pixels_qoi(5, 20, 14))
+    with pytest.raises(ValueError):
+        M.decode_qoi(b"QOIF" + raw[4:])  # bad magic (case-sensitive)
+    with pytest.raises(ValueError):
+        M.decode_qoi(raw[:12] + bytes([4, 0]) + raw[14:])  # RGBA layout
+    with pytest.raises(ValueError):
+        M.decode_qoi(raw[:-1] + b"\x02")  # corrupted end marker
+    # a run op pushed past w*h must reject, not silently truncate
+    body = raw[14:-8] + bytes([0xC0 | 5])
+    with pytest.raises(ValueError):
+        M.decode_qoi(raw[:14] + body + M._QOI_END)
+    # every truncation offset: ValueError is the only acceptable failure
+    for cut in range(1, len(raw)):
+        with pytest.raises(ValueError):
+            M.decode_qoi(raw[:cut])
+
+
+def test_qoi_foreign_stream_hand_built():
+    """Decoder vs a BY-HAND byte stream (not our encoder's output): a
+    2x3 image written op-by-op from the published spec, including an
+    RGBA op (legal in a channels=3 stream's op vocabulary — it just
+    carries alpha our profile ignores) and an INDEX hit on a slot the
+    hand stream seeded earlier."""
+    import numpy as np
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    # pixels: p0=(10,20,30) RGB op; p1=p0+(1,1,1) DIFF; p2 run of 1 from
+    # p1... spec run covers repeats: use RUN(2) for p2,p3; p4=(10,20,30)
+    # INDEX hit (hash slot seeded by p0); p5 = LUMA dg=+4,dr_dg=0,db_dg=1
+    p0 = (10, 20, 30)
+    p1 = (11, 21, 31)
+    p4 = p0
+    p5 = ((p4[0] + 4) % 256, (p4[1] + 4) % 256, (p4[2] + 5) % 256)
+    slot = (10 * 3 + 20 * 5 + 30 * 7 + 255 * 11) % 64
+    stream = bytes(
+        [
+            0xFE, 10, 20, 30,                    # RGB p0
+            0x40 | (3 << 4) | (3 << 2) | 3,      # DIFF +1,+1,+1 -> p1
+            0xC0 | 1,                            # RUN 2 -> p2,p3
+            slot,                                # INDEX -> p4 == p0
+            0x80 | (4 + 32), ((0 + 8) << 4) | (1 + 8),  # LUMA -> p5
+        ]
+    )
+    raw = (
+        M._QOI_MAGIC
+        + (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([3, 0])
+        + stream + M._QOI_END
+    )
+    img = M.decode_qoi(raw)
+    expect = np.array([[p0, p1, p1], [p1, p4, p5]], dtype=np.uint8)
+    assert (img == expect).all()
+
+
+def test_qoi_random_roundtrip_property():
+    """Hypothesis sweep: RANDOM uint8 images roundtrip bit-exact through
+    the QOI encoder/decoder — beyond the formula corpus."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 30),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def qoi_case(w, h, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (M.decode_qoi(M.encode_qoi(img)) == img).all()
+
+    qoi_case()
+
+
+def test_qoi_ingest_features_hand_computed(spark, tmp_path):
+    """multimodal_qoi_ingest for two docs: width/height from the parsed
+    header and channel sums equal the hand-evaluated formulas."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "qoi"
+    d.mkdir()
+    spark.createDataFrame(
+        [(4, "x", "en", "s", 1), (9, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_qoi_ingest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (4, 9):
+        w, h = 18 + doc % 7, 12 + doc % 6
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                if y % 4 == 0:
+                    xq = x - (x % 3)
+                elif y % 4 == 1:
+                    xq = x % 2
+                elif y % 4 == 2:
+                    xq = 5 * x
+                else:
+                    xq = x
+                yb = y % 6
+                sr += (doc + xq + 2 * yb) % 256
+                sg += (2 * doc + xq + 3 * yb) % 256
+                sb += (3 * doc + xq + yb) % 256
+        r = rows[doc]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sr, sg, sb)
+
+
+def test_ulaw_codec_exhaustive_and_container():
+    """G.711 mu-law (built r9, staged r10): the vectorized compress is
+    checked against a per-sample reference over ALL 65536 int16 values;
+    expansion is value-idempotent; the hand-written tag-7 RIFF
+    container roundtrips and rejects loudly."""
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    def ref_enc(s: int) -> int:
+        sign = 0x80 if s < 0 else 0
+        m = min(abs(s), 32635) + 132
+        e = 0
+        while m >= (256 << e) and e < 7:
+            e += 1
+        return (~(sign | (e << 4) | ((m >> (e + 3)) & 15))) & 0xFF
+
+    allv = np.arange(-32768, 32768, dtype=np.int16)
+    enc = M.ulaw_compress(allv)
+    assert (enc == np.array([ref_enc(int(v)) for v in allv])).all()
+    dec = M.ulaw_expand(enc)
+    err = np.abs(allv.astype(np.int64) - dec.astype(np.int64))
+    # error bound: half of 2^(e+3) rounding + the clip region's 644
+    assert err.max() == 644
+    nonclip = np.abs(allv.astype(np.int32)) <= 32635
+    assert err[nonclip].max() < 1024  # < the widest segment step
+    # companding is idempotent on DECODED values (not on wire bytes:
+    # +0/-0 share a decoded value but differ in the sign bit)
+    assert (M.ulaw_expand(M.ulaw_compress(dec)) == dec).all()
+
+    s = M.synth_samples_ulaw(7, 301)  # odd payload -> pad byte path
+    raw = M.encode_ulaw_wav(s, 8000)
+    rate, d = M.decode_ulaw_wav(raw)
+    assert rate == 8000 and (d == M.ulaw_expand(M.ulaw_compress(s))).all()
+    with pytest.raises(ValueError):
+        M.decode_ulaw_wav(b"RIFX" + raw[4:])
+    with pytest.raises(ValueError):
+        # a PCM16 (tag 1) container must not expand as mu-law
+        M.decode_ulaw_wav(M.encode_wav(s, 8000))
+    with pytest.raises(ValueError):
+        M.decode_ulaw_wav(raw[:20])  # truncated before fmt/data
+
+
+def test_ulaw_ingest_features_hand_computed(spark, tmp_path):
+    """multimodal_ulaw_ingest for two docs equals the hand-evaluated
+    compand/expand algebra."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "ulaw"
+    d.mkdir()
+    spark.createDataFrame(
+        [(4, "x", "en", "s", 1), (11, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_ulaw_ingest")(
+            spark, str(d)
+        ).collect()
+    }
+
+    def compand(s: int) -> int:
+        neg = s < 0
+        m = min(abs(s), 32635) + 132
+        e = 0
+        while m >= (256 << e) and e < 7:
+            e += 1
+        dm = ((((m >> (e + 3)) & 15) << 3) + 132 << e) - 132
+        return -dm if neg else dm
+
+    for doc in (4, 11):
+        n = 256 + doc % 100
+        orig = [((doc * 37 + i * 23) % 65536) - 32768 for i in range(n)]
+        dec = [compand(s) for s in orig]
+        r = rows[doc]
+        assert r["n_samples"] == n
+        assert r["sum_pcm"] == sum(dec)
+        assert r["sum_abs_pcm"] == sum(abs(v) for v in dec)
+        assert r["max_quant_err"] == max(
+            abs(a - b) for a, b in zip(orig, dec)
+        )

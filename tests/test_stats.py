@@ -464,3 +464,66 @@ def test_psi_drain_matches_batch_form(spark):
     assert batch.keys() == streamed.keys() and batch
     for b in batch:
         assert batch[b] == streamed[b], (b, batch[b], streamed[b])
+
+
+def test_rank_correlation_eval_planted(spark, tmp_path):
+    """text_rank_correlation_eval vs an independent pure-Python
+    computation (naive tie-averaged-rank Pearson + full pair-loop
+    tau-b) on a planted single-source fixture with ties on both axes,
+    plus a degenerate all-tied source that must yield NULLs."""
+    import math
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    a_vals = [100, 200, 200, 150, 300, 100, 250]  # n_chars, ties at 100/200
+    b_toks = [3, 5, 5, 2, 7, 4, 5]                # token counts, ties at 5
+    rows = [
+        (i, " ".join(["w"] * b), "en", "s0", a)
+        for i, (a, b) in enumerate(zip(a_vals, b_toks))
+    ] + [(100 + i, "x y", "en", "s1", 42) for i in range(3)]  # all tied
+    d = tmp_path / "rc"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["source"]: r
+        for r in resolve_query("text_rank_correlation_eval")(
+            spark, str(d)
+        ).collect()
+    }
+
+    def avg_ranks(v):
+        return [
+            (sum(1 for x in v if x < y) + (sum(1 for x in v if x == y) + 1) / 2)
+            for y in v
+        ]
+
+    ra, rb = avg_ranks(a_vals), avg_ranks(b_toks)
+    n = len(a_vals)
+    mx, my = sum(ra) / n, sum(rb) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(ra, rb))
+    den = math.sqrt(sum((x - mx) ** 2 for x in ra)) * math.sqrt(
+        sum((y - my) ** 2 for y in rb)
+    )
+    r0 = got["s0"]
+    assert r0["n_items"] == n
+    assert abs(r0["spearman_rho"] - num / den) < 1e-12
+
+    c = d_ = n1 = n2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (a_vals[i] - a_vals[j]) * (b_toks[i] - b_toks[j])
+            c += s > 0
+            d_ += s < 0
+            n1 += a_vals[i] == a_vals[j]
+            n2 += b_toks[i] == b_toks[j]
+    n0 = n * (n - 1) // 2
+    tau = (c - d_) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert (r0["concordant"], r0["discordant"]) == (c, d_)
+    assert abs(r0["tau_b"] - tau) < 1e-12
+
+    r1 = got["s1"]  # both axes fully tied -> NULL rho and tau
+    assert r1["spearman_rho"] is None and r1["tau_b"] is None

@@ -285,6 +285,15 @@ def main(only: list[str] | None = None) -> None:
         "gif_ingest": lambda k: SQ["multimodal_gif_ingest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "qoi_ingest": lambda k: SQ["multimodal_qoi_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "ulaw_ingest": lambda k: SQ["multimodal_ulaw_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "rank_correlation_eval": lambda k: SQ["text_rank_correlation_eval"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "hll_set_ops": lambda k: SQ["rel_hll_set_ops"](
             spark, table_dir("events", k, "events")
         ),
