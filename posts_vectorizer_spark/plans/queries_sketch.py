@@ -898,3 +898,168 @@ def rel_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SALT = 32  # partial top-k fan-in groups on the Spark side
+
+
+_KMV_SET_OPS_SQL = f"""
+WITH sets AS (
+  SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS s,
+         user_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+h AS (
+  SELECT DISTINCT s,
+         (((user_id * {_HLL_MULT} + 7919) % {T.HASH_MOD})
+          * ((user_id * {_HLL_MULT} + 7919) % {T.HASH_MOD}))
+          % {T.HASH_MOD} AS h
+  FROM sets
+),
+sk AS (
+  SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY s) AS n_distinct
+  FROM h
+),
+kmv AS (SELECT * FROM sk WHERE r <= {_KMV_K}),
+est AS (
+  SELECT s, max(n_distinct) AS nd, count(*) AS kk, max(h) AS hk
+  FROM kmv GROUP BY s
+),
+uni AS (
+  SELECT h, count(*) AS sides,
+         row_number() OVER (ORDER BY h) AS r
+  FROM (SELECT DISTINCT s, h FROM kmv) GROUP BY h
+),
+ukmv AS (SELECT * FROM uni WHERE r <= {_KMV_K}),
+uest AS (
+  SELECT count(*) AS uk, max(h) AS uhk,
+         sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS both_k
+  FROM ukmv
+),
+wide AS (
+  SELECT max(CASE WHEN s = 0 THEN kk END) AS ka,
+         max(CASE WHEN s = 0 THEN hk END) AS ha,
+         max(CASE WHEN s = 0 THEN nd END) AS nda,
+         max(CASE WHEN s = 1 THEN kk END) AS kb,
+         max(CASE WHEN s = 1 THEN hk END) AS hb,
+         max(CASE WHEN s = 1 THEN nd END) AS ndb
+  FROM est
+)
+SELECT CAST(wide.ka AS BIGINT) AS k_a, CAST(wide.kb AS BIGINT) AS k_b,
+       CAST(uest.uk AS BIGINT) AS k_union,
+       CAST(uest.both_k AS BIGINT) AS both_in_union,
+       CASE WHEN wide.ka < {_KMV_K} THEN CAST(wide.nda AS DOUBLE)
+            ELSE CAST(({_KMV_K} - 1) * CAST({T.HASH_MOD} AS BIGINT)
+                      AS DOUBLE) / wide.ha END AS est_a,
+       CASE WHEN wide.kb < {_KMV_K} THEN CAST(wide.ndb AS DOUBLE)
+            ELSE CAST(({_KMV_K} - 1) * CAST({T.HASH_MOD} AS BIGINT)
+                      AS DOUBLE) / wide.hb END AS est_b,
+       CASE WHEN uest.uk < {_KMV_K} THEN CAST(uest.uk AS DOUBLE)
+            ELSE CAST(({_KMV_K} - 1) * CAST({T.HASH_MOD} AS BIGINT)
+                      AS DOUBLE) / uest.uhk END AS est_union,
+       CAST(uest.both_k AS DOUBLE) / uest.uk AS jaccard
+FROM wide, uest
+"""
+
+
+@register("events_kmv_set_ops", oracle=_KMV_SET_OPS_SQL, staged=True)
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch with UNION
+    and Jaccard set operations (built r9, staged r10) — the third
+    mergeable-cardinality family next to HLL (`rel_hll_portable`) and
+    the MinHash estimator (`dedup_minhash_estimate_eval`). Each side's
+    sketch is its k=64 smallest quadratic-mix portable hashes of
+    distinct user_ids; the estimator (k-1)*M/h_(k) is exact-count
+    below k by the KMV convention. Set algebra happens ON THE
+    SKETCHES: the union sketch is the k smallest of the two sketches'
+    value union (bounded 2k rows), and both_in_union/k is the standard
+    KMV Jaccard estimator. Every value is integer until the final
+    per-column double division, so the readout hashes bit-identically
+    cross-engine.
+
+    Scale shape: one (side, hash) distinct aggregate (the only
+    data-sized shuffle), then a SALTED two-level top-k — k smallest
+    per (side, hash%32) group, then k smallest of the 32k survivors —
+    so no data-sized single-partition sort exists on the Spark side
+    (the naive global window lives only in the DuckDB twin). Sketch
+    algebra downstream touches <= 2k rows."""
+    events = load_table(spark, sf_dir, "events")
+    hb = (F.col("user_id") * _HLL_MULT + 7919) % T.HASH_MOD
+    h = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "click", 0).otherwise(1).alias("s"),
+            (hb * hb % T.HASH_MOD).alias("h"),
+        )
+        .distinct()
+    )
+    # two-level top-k: per-salt partial rank bounds every window group,
+    # then the global per-side rank runs over <= SALT*K survivors
+    part = (
+        h.withColumn("salt", F.col("h") % _KMV_SALT)
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("s", "salt").orderBy("h")
+            ),
+        )
+        .filter(F.col("pr") <= _KMV_K)
+    )
+    counts = h.groupBy("s").agg(F.count("*").alias("n_distinct"))
+    sk = (
+        part.withColumn(
+            "r", F.row_number().over(Window.partitionBy("s").orderBy("h"))
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .join(F.broadcast(counts), "s")
+    )
+    est = sk.groupBy("s").agg(
+        F.max("n_distinct").alias("nd"),
+        F.count("*").alias("kk"),
+        F.max("h").alias("hk"),
+    )
+    uni = (
+        sk.select("s", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("sides"))
+        .withColumn("r", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("r") <= _KMV_K)
+    )
+    uest = uni.agg(
+        F.count("*").alias("uk"),
+        F.max("h").alias("uhk"),
+        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).alias("both_k"),
+    )
+    s0 = F.col("s") == 0
+    wide = est.agg(
+        F.max(F.when(s0, F.col("kk"))).alias("ka"),
+        F.max(F.when(s0, F.col("hk"))).alias("ha"),
+        F.max(F.when(s0, F.col("nd"))).alias("nda"),
+        F.max(F.when(~s0, F.col("kk"))).alias("kb"),
+        F.max(F.when(~s0, F.col("hk"))).alias("hb"),
+        F.max(F.when(~s0, F.col("nd"))).alias("ndb"),
+    )
+    km1m = F.lit((_KMV_K - 1) * T.HASH_MOD).cast("double")
+    return wide.crossJoin(F.broadcast(uest)).select(
+        F.col("ka").cast("long").alias("k_a"),
+        F.col("kb").cast("long").alias("k_b"),
+        F.col("uk").cast("long").alias("k_union"),
+        F.col("both_k").cast("long").alias("both_in_union"),
+        F.when(
+            F.col("ka") < _KMV_K, F.col("nda").cast("double")
+        ).otherwise(km1m / F.col("ha")).alias("est_a"),
+        F.when(
+            F.col("kb") < _KMV_K, F.col("ndb").cast("double")
+        ).otherwise(km1m / F.col("hb")).alias("est_b"),
+        F.when(
+            F.col("uk") < _KMV_K, F.col("uk").cast("double")
+        ).otherwise(km1m / F.col("uhk")).alias("est_union"),
+        (F.col("both_k").cast("double") / F.col("uk")).alias("jaccard"),
+    )

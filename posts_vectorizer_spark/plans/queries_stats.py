@@ -1431,3 +1431,492 @@ def text_rank_correlation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(((n0 - n1) * (n0 - n2)).cast("double")),
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) A/B test — value-level formulation
+# ---------------------------------------------------------------------------
+
+_MW_Z_CRIT = 1.96  # two-sided 5%, same convention as events_ab_test
+
+_MANNWHITNEY_SQL = f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS variant,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS m
+  FROM events GROUP BY user_id
+),
+vals AS (
+  SELECT m,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1
+  FROM per_user GROUP BY m
+),
+cum AS (
+  SELECT m, c0, c1,
+         coalesce(sum(c1) OVER (
+           ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS c1_below
+  FROM vals
+),
+agg AS (
+  SELECT sum(c0) AS n1, sum(c1) AS n2, sum(c0) + sum(c1) AS nn,
+         sum(c0 * (2 * c1_below + c1)) AS u1_x2,
+         sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS tsum
+  FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(u1_x2 AS BIGINT) AS u1_x2,
+       CASE WHEN n1 > 0 AND n2 > 0 AND nn > 1
+                 AND (nn * nn * nn - nn) > tsum THEN
+         CAST(u1_x2 - n1 * n2 AS DOUBLE)
+         / (2 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                     * CAST((nn * nn * nn - nn) - tsum AS DOUBLE)
+                     / (12.0 * nn * (nn - 1))))
+       END AS z,
+       CASE WHEN n1 > 0 AND n2 > 0 AND nn > 1
+                 AND (nn * nn * nn - nn) > tsum THEN
+         abs(CAST(u1_x2 - n1 * n2 AS DOUBLE)
+             / (2 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                         * CAST((nn * nn * nn - nn) - tsum AS DOUBLE)
+                         / (12.0 * nn * (nn - 1))))) > {_MW_Z_CRIT}
+       END AS significant
+FROM agg
+"""
+
+
+@register("events_mannwhitney_ab", oracle=_MANNWHITNEY_SQL, staged=True)
+def events_mannwhitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum A/B test (built r9, staged
+    r10) — the NONPARAMETRIC companion to events_ab_test's z-test:
+    does variant 0's per-user click count stochastically dominate
+    variant 1's? Deliberately NOT the textbook per-user global rank
+    window (a single-partition sort over every user — a 100 TB
+    scale-killer): U is computed at the VALUE level instead.
+    U1 = sum_a c0(a) * (#below(a) + ties(a)/2) over distinct metric
+    values, so the only window runs over the bounded value-level table
+    (19 distinct click counts here; always << users), kept on the exact
+    2x integer grid (u1_x2) so no .5 ever touches a float. The
+    tie-corrected normal z uses exact integer tie mass
+    T = sum(t^3 - t) and is stated in the same operator order in both
+    engines (one sqrt of a double quotient), so the doubles are
+    bit-identical. Degenerate inputs (one-sided, all-tied, <2 users)
+    yield NULL, never div-by-zero.
+
+    Scale shape: one user-keyed aggregate (the only data-sized
+    shuffle), one tiny value-level aggregate + window, one 1-row
+    readout."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("m"),
+    ).select((F.col("user_id") % 2).alias("variant"), "m")
+    vals = per_user.groupBy("m").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = (
+        Window.orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.withColumn(
+        "c1_below", F.coalesce(F.sum("c1").over(w), F.lit(0))
+    )
+    t = F.col("c0") + F.col("c1")
+    agg = cum.agg(
+        F.sum("c0").alias("n1"),
+        F.sum("c1").alias("n2"),
+        (F.sum("c0") + F.sum("c1")).alias("nn"),
+        F.sum(
+            F.col("c0") * (2 * F.col("c1_below") + F.col("c1"))
+        ).alias("u1_x2"),
+        F.sum(t * t * t - t).alias("tsum"),
+    )
+    n1, n2, nn = F.col("n1"), F.col("n2"), F.col("nn")
+    u1x2, tsum = F.col("u1_x2"), F.col("tsum")
+    ok = (n1 > 0) & (n2 > 0) & (nn > 1) & ((nn * nn * nn - nn) > tsum)
+    z = (u1x2 - n1 * n2).cast("double") / (
+        2
+        * F.sqrt(
+            (n1 * n2).cast("double")
+            * ((nn * nn * nn - nn) - tsum).cast("double")
+            / (F.lit(12.0) * nn * (nn - 1))
+        )
+    )
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        u1x2.cast("long").alias("u1_x2"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > _MW_Z_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal calibration gate (finite-sample coverage guarantee)
+# ---------------------------------------------------------------------------
+
+_CONF_A = 40_503   # affine split hash, shared family with rel_split_assign
+_CONF_C = 7_919
+_CONF_CAL_PCT = 40  # calibration share
+# alpha = 0.1: q_rank = ceil(0.9 * (n_cal + 1)), kept in pure integers
+
+_CONFORMAL_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         abs(n_chars - 7 * {T.token_count_sql('text')}) AS s,
+         (doc_id * {_CONF_A} + {_CONF_C}) % {T.HASH_MOD} % 100
+           < {_CONF_CAL_PCT} AS is_cal
+  FROM documents
+),
+par AS (
+  SELECT sum(CASE WHEN is_cal THEN 1 ELSE 0 END) AS n_cal,
+         sum(CASE WHEN is_cal THEN 0 ELSE 1 END) AS n_test
+  FROM scored
+),
+qk AS (
+  SELECT n_cal, n_test, (9 * (n_cal + 1) + 9) // 10 AS q_rank FROM par
+),
+calv AS (
+  SELECT s, count(*) AS c FROM scored WHERE is_cal GROUP BY s
+),
+calc AS (
+  SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM calv
+),
+thr AS (
+  SELECT min(calc.s) AS threshold FROM calc, qk WHERE calc.cum >= qk.q_rank
+),
+cov AS (
+  SELECT sum(CASE WHEN thr.threshold IS NULL
+                    OR scored.s <= thr.threshold THEN 1 ELSE 0 END) AS covered
+  FROM scored, thr WHERE NOT is_cal
+)
+SELECT CAST(qk.n_cal AS BIGINT) AS n_cal,
+       CAST(qk.n_test AS BIGINT) AS n_test,
+       CAST(qk.q_rank AS BIGINT) AS q_rank,
+       CAST(thr.threshold AS BIGINT) AS threshold,
+       CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
+       CASE WHEN qk.n_test > 0 THEN
+         CAST(coalesce(cov.covered, 0) AS DOUBLE) / qk.n_test
+       END AS coverage
+FROM qk, thr, cov
+"""
+
+
+@register(
+    "curation_conformal_threshold", oracle=_CONFORMAL_SQL, staged=True
+)
+def curation_conformal_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction gate (built r9, staged r10): the
+    distribution-free way to turn ANY quality score into a keep/flag
+    threshold with a finite-sample guarantee. A deterministic affine
+    id-hash routes 40% of docs to calibration; the nonconformity score
+    (|n_chars - 7*tokens|, an integer residual of a trivial length
+    model) is ranked there, and the threshold is the
+    ceil(0.9*(n_cal+1))-th smallest calibration score — computed as
+    pure integer arithmetic ((9*(n+1)+9) div 10, no float quantiles),
+    selected via a VALUE-LEVEL cumulative window (bounded distinct
+    integer scores; never a data-sized single-partition sort). Test
+    coverage then checks the >=90% guarantee empirically; the one
+    double is the final coverage quotient. When q_rank exceeds n_cal
+    (tiny calibration sets) the threshold is +infinity by the conformal
+    convention — surfaced as NULL with full coverage, mirrored in both
+    engines.
+
+    Scale shape: one scan-stage score + split, one tiny value-level
+    aggregate + window, 1-row broadcasts for threshold and readout."""
+    from ..cache import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one persisted score base serves all three branches (stats /
+    # calibration histogram / test coverage) — the tokenizer fold is
+    # the dominant cost and must run once, not three times
+    scored = persist_tracked(
+        docs.select(
+            "doc_id",
+            F.abs(
+                F.col("n_chars") - 7 * T.token_count("text")
+            ).cast("long").alias("s"),
+            (
+                (F.col("doc_id") * _CONF_A + _CONF_C) % T.HASH_MOD % 100
+                < _CONF_CAL_PCT
+            ).alias("is_cal"),
+        )
+    )
+    par = scored.agg(
+        F.sum(F.when(F.col("is_cal"), 1).otherwise(0)).alias("n_cal"),
+        F.sum(F.when(F.col("is_cal"), 0).otherwise(1)).alias("n_test"),
+    ).select(
+        "n_cal", "n_test",
+        ((9 * (F.col("n_cal") + 1) + 9) / 10).cast("long").alias("q_rank"),
+    )
+    calv = (
+        scored.filter("is_cal").groupBy("s").agg(F.count("*").alias("c"))
+    )
+    calc = calv.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    thr = (
+        calc.crossJoin(F.broadcast(par))
+        .filter(F.col("cum") >= F.col("q_rank"))
+        .agg(F.min("s").alias("threshold"))
+    )
+    cov = (
+        scored.filter(~F.col("is_cal"))
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("threshold").isNull()
+                    | (F.col("s") <= F.col("threshold")),
+                    1,
+                ).otherwise(0)
+            ).alias("covered")
+        )
+    )
+    return (
+        par.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("q_rank").cast("long").alias("q_rank"),
+            F.col("threshold").cast("long").alias("threshold"),
+            F.coalesce(F.col("covered"), F.lit(0))
+            .cast("long").alias("covered"),
+            F.when(
+                F.col("n_test") > 0,
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_test"),
+            ).alias("coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test — value-level ECDF formulation
+# ---------------------------------------------------------------------------
+
+_KS_C_ALPHA = 1.358  # two-sided 5% asymptotic critical coefficient
+
+_KS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS variant,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m
+  FROM events GROUP BY user_id
+),
+vals AS (
+  SELECT m,
+         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1
+  FROM per_user GROUP BY m
+),
+cum AS (
+  SELECT m,
+         sum(c0) OVER (ORDER BY m) AS cum0,
+         sum(c1) OVER (ORDER BY m) AS cum1
+  FROM vals
+),
+tot AS (SELECT sum(c0) AS n1, sum(c1) AS n2 FROM vals),
+agg AS (
+  SELECT max(abs(cum0 * tot.n2 - cum1 * tot.n1)) AS d_num
+  FROM cum, tot
+)
+SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+       CAST(agg.d_num AS BIGINT) AS d_num,
+       CASE WHEN tot.n1 > 0 AND tot.n2 > 0 THEN
+         CAST(agg.d_num AS DOUBLE) / (tot.n1 * tot.n2)
+       END AS d,
+       CASE WHEN tot.n1 > 0 AND tot.n2 > 0 THEN
+         CAST(agg.d_num AS DOUBLE) / (tot.n1 * tot.n2)
+           > {_KS_C_ALPHA} * sqrt(
+               CAST(tot.n1 + tot.n2 AS DOUBLE)
+               / (CAST(tot.n1 AS DOUBLE) * tot.n2))
+       END AS significant
+FROM tot, agg
+"""
+
+
+@register("events_ks_ab", oracle=_KS_SQL, staged=True)
+def events_ks_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample test (built r9, staged r10) —
+    the DISTRIBUTION-level A/B companion to events_ab_test (means) and
+    events_mannwhitney_ab (stochastic dominance): does variant 0's
+    per-user purchase-count distribution differ ANYWHERE from variant
+    1's? D = sup_x |ECDF0(x) - ECDF1(x)| is computed on the VALUE
+    level: one user-keyed aggregate (the only data-sized shuffle),
+    then cumulative counts over the bounded distinct-value grid, with
+    the sup taken on the exact integer lattice |cum0*n2 - cum1*n1| so
+    no float ever enters the argmax — D itself is ONE double division
+    of exact integers, and the asymptotic 5% threshold
+    c(alpha)*sqrt((n1+n2)/(n1*n2)) is stated in the same operator
+    order in both engines. Degenerate one-sided inputs yield NULL.
+
+    Scale shape: one user-keyed aggregate, one bounded value-level
+    window, a 1-row readout. The single-partition window holds only
+    distinct per-user counts (dozens of rows at any scale)."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("m"),
+    ).select((F.col("user_id") % 2).alias("variant"), "m")
+    vals = per_user.groupBy("m").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+    )
+    tot = vals.agg(
+        F.sum("c0").alias("n1"), F.sum("c1").alias("n2")
+    )
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("cum0") * F.col("n2") - F.col("cum1") * F.col("n1"))
+        ).alias("d_num"),
+    )
+    n1, n2, d_num = F.col("n1"), F.col("n2"), F.col("d_num")
+    ok = (n1 > 0) & (n2 > 0)
+    d = d_num.cast("double") / (n1 * n2)
+    crit = F.lit(_KS_C_ALPHA) * F.sqrt(
+        (n1 + n2).cast("double") / (n1.cast("double") * n2)
+    )
+    return tot.crossJoin(F.broadcast(agg)).select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        d_num.cast("long").alias("d_num"),
+        F.when(ok, d).alias("d"),
+        F.when(ok, d > crit).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test — exact integer moments
+# ---------------------------------------------------------------------------
+
+_WELCH_T_CRIT = 1.96  # normal approx, df >> 30 at every tested scale
+
+_WELCH_SQL = f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS variant,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY user_id
+),
+mom AS (
+  SELECT variant, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+  FROM per_user GROUP BY variant
+),
+wide AS (
+  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 0 THEN s1 END) AS a1,
+         max(CASE WHEN variant = 0 THEN s2 END) AS a2,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 1 THEN s1 END) AS b1,
+         max(CASE WHEN variant = 1 THEN s2 END) AS b2
+  FROM mom
+),
+calc AS (
+  SELECT n0, n1,
+         CAST(a1 AS DOUBLE) / n0 AS m0,
+         CAST(b1 AS DOUBLE) / n1 AS m1,
+         CAST(n0 * a2 - a1 * a1 AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1)) AS se0,
+         CAST(n1 * b2 - b1 * b1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS se1
+  FROM wide
+  WHERE n0 > 1 AND n1 > 1
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       m0 AS mean0, m1 AS mean1,
+       CASE WHEN se0 + se1 > 0 THEN
+         (m0 - m1) / sqrt(se0 + se1)
+       END AS t,
+       CASE WHEN se0 + se1 > 0 THEN
+         (se0 + se1) * (se0 + se1)
+         / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1))
+       END AS df,
+       CASE WHEN se0 + se1 > 0 THEN
+         abs((m0 - m1) / sqrt(se0 + se1)) > {_WELCH_T_CRIT}
+       END AS significant
+FROM calc
+"""
+
+
+@register("events_welch_ttest", oracle=_WELCH_SQL, staged=True)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (built r9, staged r10) — the
+    mean-difference A/B test that does NOT assume equal group
+    variances (events_ab_test's pooled z does). Per-variant moments
+    (n, sum x, sum x^2) are EXACT INTEGERS from one user-keyed
+    aggregate, so the sample variance n*S2 - S1^2 never sees a float
+    sum; each standard-error term se_i = var_i/n_i is one double
+    division of exact integers, and t, the Welch-Satterthwaite df, and
+    the significance readout are stated in the same operator order in
+    both engines. Groups with n <= 1 or zero spread yield an empty /
+    NULL readout rather than div-by-zero. significant uses the normal
+    1.96 (df > 70 at the smallest tier; documented approximation).
+
+    Scale shape: one user-keyed aggregate (the only data-sized
+    shuffle), a 2-row pivot, a 1-row readout."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+    ).select((F.col("user_id") % 2).alias("variant"), "x")
+    mom = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    v0 = F.col("variant") == 0
+    wide = mom.agg(
+        F.max(F.when(v0, F.col("n"))).alias("n0"),
+        F.max(F.when(v0, F.col("s1"))).alias("a1"),
+        F.max(F.when(v0, F.col("s2"))).alias("a2"),
+        F.max(F.when(~v0, F.col("n"))).alias("n1"),
+        F.max(F.when(~v0, F.col("s1"))).alias("b1"),
+        F.max(F.when(~v0, F.col("s2"))).alias("b2"),
+    ).filter((F.col("n0") > 1) & (F.col("n1") > 1))
+    n0, n1 = F.col("n0"), F.col("n1")
+    m0 = F.col("a1").cast("double") / n0
+    m1 = F.col("b1").cast("double") / n1
+    se0 = (n0 * F.col("a2") - F.col("a1") * F.col("a1")).cast("double") / (
+        n0.cast("double") * n0 * (n0 - 1)
+    )
+    se1 = (n1 * F.col("b2") - F.col("b1") * F.col("b1")).cast("double") / (
+        n1.cast("double") * n1 * (n1 - 1)
+    )
+    calc = wide.select(
+        n0.alias("n0"), n1.alias("n1"),
+        m0.alias("m0"), m1.alias("m1"),
+        se0.alias("se0"), se1.alias("se1"),
+    )
+    s = F.col("se0") + F.col("se1")
+    t = (F.col("m0") - F.col("m1")) / F.sqrt(s)
+    return calc.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("m0").alias("mean0"),
+        F.col("m1").alias("mean1"),
+        F.when(s > 0, t).alias("t"),
+        F.when(
+            s > 0,
+            s * s
+            / (
+                F.col("se0") * F.col("se0") / (F.col("n0") - 1)
+                + F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+            ),
+        ).alias("df"),
+        F.when(s > 0, F.abs(t) > _WELCH_T_CRIT).alias("significant"),
+    )

@@ -970,3 +970,104 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function of the daily series at lags 1..7
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+         count(*) AS x
+  FROM events GROUP BY 1
+),
+st AS (SELECT count(*) AS n, sum(x) AS s FROM daily),
+den AS (
+  SELECT sum(CAST(st.n * d.x - st.s AS HUGEINT)
+             * CAST(st.n * d.x - st.s AS HUGEINT)) AS den_u
+  FROM daily d, st
+),
+lags AS (
+  SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS l(k)
+),
+num AS (
+  SELECT l.k, count(*) AS pairs,
+         sum(CAST(st.n * a.x - st.s AS HUGEINT)
+             * CAST(st.n * b.x - st.s AS HUGEINT)) AS num_u
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.t = a.t + l.k
+  CROSS JOIN st
+  GROUP BY l.k
+)
+SELECT CAST(num.k AS BIGINT) AS lag,
+       CAST(num.pairs AS BIGINT) AS pairs,
+       CASE WHEN den.den_u > 0 THEN
+         CAST(num.num_u AS DOUBLE) / CAST(den.den_u AS DOUBLE)
+       END AS acf
+FROM num, den
+ORDER BY lag
+"""
+
+
+@register("events_acf_lags", oracle=_ACF_SQL, staged=True)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    calendar lags 1..7 (built r9, staged r10) — the seasonality PROBE
+    that tells a pipeline whether events_seasonal_decompose's weekly
+    model is even warranted (a weekly cycle shows as an acf peak at
+    lag 7). r_k = sum_t (x_t - mu)(x_t+k - mu) / sum_t (x_t - mu)^2 is
+    kept exact by multiplying through by n^2: every deviation is the
+    INTEGER n*x_t - S, products/sums ride 128-bit integers (HUGEINT in
+    DuckDB, DECIMAL(38,0) in Spark), and each r_k is ONE double
+    division at the end. Calendar-lagged: a pair exists only when both
+    day t and day t+k are present; all-constant series yield NULL acf
+    (den = 0), lags with no pairs are absent rather than 0/0.
+
+    Scale shape: one day-keyed count aggregate (map-side combinable;
+    the only data-sized pass), then self-joins on the bounded
+    day-level table (n days * 7 lags rows) with the 1-row stats
+    broadcast. 10x data means 10x counts per day, not more days, so
+    everything after the first aggregate is constant-size."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("t")
+    ).agg(F.count("*").alias("x"))
+    st = daily.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    # (18,0)*(18,0) -> decimal(37,0): stays inside Spark's 38-digit cap
+    # with no precision-loss path; the deviations themselves fit 18
+    # digits at any plausible day count x per-day volume
+    dev = lambda x: (F.col("n") * x - F.col("s")).cast("decimal(18,0)")
+    den = daily.crossJoin(F.broadcast(st)).agg(
+        F.sum(dev(F.col("x")) * dev(F.col("x"))).alias("den_u")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("k"))
+        .crossJoin(F.broadcast(st))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("pairs"),
+            F.sum(dev(F.col("a.x")) * dev(F.col("b.x"))).alias("num_u"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").cast("long").alias("lag"),
+            F.col("pairs").cast("long").alias("pairs"),
+            F.when(
+                F.col("den_u") > 0,
+                F.col("num_u").cast("double") / F.col("den_u").cast("double"),
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -87,6 +87,22 @@ STAGED: dict[str, QueryDef] = {}
 #                                 hand-written tag-7 WAV container)
 #   text_rank_correlation_eval   (Spearman on the exact 2x-rank grid
 #                                 + bounded Kendall tau-b@30)
+# ...plus a session-3 continuation batch (same full gate: both-tier +
+# sf0.1 sweeps, vanilla head_check, staged empty-input pass, named
+# planted tests, measured 1x/3x/10x trends in SCALE.md):
+#   events_mannwhitney_ab        (nonparametric rank-sum A/B — value-
+#                                 level U on the exact 2x grid)
+#   curation_conformal_threshold (split-conformal keep/flag gate —
+#                                 integer order-statistic threshold)
+#   events_ks_ab                 (Kolmogorov-Smirnov two-sample D on
+#                                 the integer ECDF lattice)
+#   events_welch_ttest           (unequal-variance t + Welch df from
+#                                 exact integer moments)
+#   events_acf_lags              (daily-series autocorrelation at
+#                                 lags 1..7, 128-bit exact deviations)
+#   events_kmv_set_ops           (bottom-k KMV sketch: union +
+#                                 jaccard set algebra, salted top-k)
+#   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):
 #  (a) 19 introductions (the [Q] staged wave; text_compression_ratio

@@ -377,3 +377,71 @@ def test_stream_hll_drain_equals_batch_and_max_merge_idempotent(spark):
         r["bucket"]: r["rho"] for r in read_merged(spark, d).collect()
     }
     assert got3 == got
+
+
+def _write_kmv_events(tmp_path, clickers, buyers):
+    rows = [(u, "click") for u in clickers] + [(u, "purchase") for u in buyers]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * len(rows)),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+
+def test_kmv_below_k_is_exact_set_algebra(spark, tmp_path):
+    """With both sides below k=64 the KMV sketch IS the set: estimates
+    are exact distinct counts and jaccard is the true |A∩B|/|A∪B|."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    t = tmp_path / "kmv1"
+    t.mkdir()
+    _write_kmv_events(t, clickers=range(30), buyers=range(15, 35))
+    [r] = resolve_query("events_kmv_set_ops")(spark, str(t)).collect()
+    assert (r["k_a"], r["k_b"], r["k_union"]) == (30, 20, 35)
+    assert (r["est_a"], r["est_b"], r["est_union"]) == (30.0, 20.0, 35.0)
+    assert r["both_in_union"] == 15
+    assert r["jaccard"] == 15 / 35
+
+
+def test_kmv_above_k_matches_python_replica_and_error_bound(spark, tmp_path):
+    """Above k the sketch must equal an independent Python replica of
+    the bottom-k construction value-for-value, and the estimator must
+    land within the ~3/sqrt(k) relative-error regime on 500/400-sized
+    sets with a 200-user overlap."""
+    from posts_vectorizer_spark.functions.text import HASH_MOD
+    from posts_vectorizer_spark.plans.queries_sketch import _HLL_MULT, _KMV_K
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    clickers = list(range(500))
+    buyers = list(range(300, 700))
+    t = tmp_path / "kmv2"
+    t.mkdir()
+    _write_kmv_events(t, clickers, buyers)
+    [r] = resolve_query("events_kmv_set_ops")(spark, str(t)).collect()
+
+    def h(u):
+        b = (u * _HLL_MULT + 7919) % HASH_MOD
+        return b * b % HASH_MOD
+
+    sk_a = sorted(h(u) for u in clickers)[:_KMV_K]
+    sk_b = sorted(h(u) for u in buyers)[:_KMV_K]
+    union_k = sorted(set(sk_a) | set(sk_b))[:_KMV_K]
+    both = sum(1 for v in union_k if v in set(sk_a) and v in set(sk_b))
+    assert (r["k_a"], r["k_b"], r["k_union"]) == (
+        len(sk_a), len(sk_b), len(union_k),
+    )
+    assert r["est_a"] == (_KMV_K - 1) * HASH_MOD / sk_a[-1]
+    assert r["est_b"] == (_KMV_K - 1) * HASH_MOD / sk_b[-1]
+    assert r["est_union"] == (_KMV_K - 1) * HASH_MOD / union_k[-1]
+    assert r["both_in_union"] == both
+    assert r["jaccard"] == both / len(union_k)
+    # statistical sanity: 3/sqrt(64) = 37.5% relative error envelope
+    assert abs(r["est_a"] - 500) / 500 < 0.375
+    assert abs(r["est_b"] - 400) / 400 < 0.375
+    assert abs(r["est_union"] - 700) / 700 < 0.375
+    assert abs(r["jaccard"] - 200 / 700) < 0.2

@@ -527,3 +527,192 @@ def test_rank_correlation_eval_planted(spark, tmp_path):
 
     r1 = got["s1"]  # both axes fully tied -> NULL rho and tau
     assert r1["spearman_rho"] is None and r1["tau_b"] is None
+
+
+def test_mannwhitney_ab_planted_vs_rank_formula(spark, tmp_path):
+    """events_mannwhitney_ab's value-level U against the CLASSIC
+    per-item rank-sum formula computed independently in Python
+    (tie-averaged ranks, tie-corrected sigma) on a planted fixture."""
+    import math
+    from datetime import datetime
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    # users 0..9: even -> variant 0, odd -> variant 1; clicks per user:
+    clicks = {0: 3, 2: 5, 4: 5, 6: 8, 8: 2, 1: 5, 3: 1, 5: 7, 7: 5, 9: 5}
+    rows = []
+    eid = 0
+    for u, k in clicks.items():
+        for _ in range(k):
+            rows.append(
+                (eid, datetime(2024, 1, 1, 0, 0, eid % 60), u, "click",
+                 1.0, "{}")
+            )
+            eid += 1
+        rows.append(
+            (eid, datetime(2024, 1, 1, 1, 0, eid % 60), u, "view", 1.0, "{}")
+        )
+        eid += 1
+    d = tmp_path / "mw"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    [r] = resolve_query("events_mannwhitney_ab")(spark, str(d)).collect()
+
+    xs = [clicks[u] for u in clicks if u % 2 == 0]
+    ys = [clicks[u] for u in clicks if u % 2 == 1]
+    allv = xs + ys
+    ranks = {
+        v: sum(1 for w_ in allv if w_ < v)
+        + (sum(1 for w_ in allv if w_ == v) + 1) / 2
+        for v in set(allv)
+    }
+    r1 = sum(ranks[v] for v in xs)
+    n1, n2 = len(xs), len(ys)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    nn = n1 + n2
+    tsum = sum(
+        t**3 - t for t in (allv.count(v) for v in set(allv))
+    )
+    sigma = math.sqrt(n1 * n2 * ((nn**3 - nn) - tsum) / (12 * nn * (nn - 1)))
+    z = (u1 - n1 * n2 / 2) / sigma
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["u1_x2"] == int(2 * u1)
+    assert abs(r["z"] - z) < 1e-12
+    assert r["significant"] == (abs(z) > 1.96)
+
+
+def test_conformal_threshold_planted_guarantee(spark, tmp_path):
+    """curation_conformal_threshold on a planted fixture: hand-derive
+    the calibration split, the integer q_rank, the order-statistic
+    threshold, and the empirical coverage; assert the >=90% finite-
+    sample guarantee holds on the planted test docs."""
+    from posts_vectorizer_spark.functions.text import HASH_MOD
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    # text with k tokens ("w " * k) and n_chars chosen so the score
+    # s = |n_chars - 7k| is a known integer per doc
+    docs = []
+    for i in range(40):
+        k = 1 + i % 5
+        n_chars = 7 * k + (i % 11)  # scores 0..10
+        docs.append((i, " ".join(["w"] * k), "en", "s", n_chars))
+    d = tmp_path / "conf"
+    d.mkdir()
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    [r] = resolve_query("curation_conformal_threshold")(
+        spark, str(d)
+    ).collect()
+
+    cal = [i for i in range(40) if (i * 40503 + 7919) % HASH_MOD % 100 < 40]
+    test = [i for i in range(40) if i not in cal]
+    s = {i: i % 11 for i in range(40)}
+    n_cal = len(cal)
+    q_rank = (9 * (n_cal + 1) + 9) // 10
+    assert (r["n_cal"], r["n_test"], r["q_rank"]) == (
+        n_cal, len(test), q_rank,
+    )
+    if q_rank <= n_cal:
+        thr = sorted(s[i] for i in cal)[q_rank - 1]
+        covered = sum(1 for i in test if s[i] <= thr)
+        assert r["threshold"] == thr
+    else:
+        covered = len(test)
+        assert r["threshold"] is None
+    assert r["covered"] == covered
+    assert r["coverage"] == covered / len(test)
+
+
+def test_ks_ab_planted_vs_ecdf(spark, tmp_path):
+    """events_ks_ab's integer-lattice D against the textbook two-sample
+    ECDF sup computed independently in Python on a planted fixture."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    # per-user purchase counts; even users variant 0, odd variant 1
+    buys = {0: 1, 2: 1, 4: 2, 6: 5, 8: 5, 1: 2, 3: 3, 5: 3, 7: 3, 9: 6}
+    rows, eid = [], 0
+    for u, k in buys.items():
+        for _ in range(k):
+            rows.append((eid, f"2024-01-01 00:{eid % 60:02d}:00", u,
+                         "purchase", 1.0))
+            eid += 1
+        rows.append((eid, f"2024-01-01 01:{eid % 60:02d}:00", u, "view", 1.0))
+        eid += 1
+    d = tmp_path / "ks"
+    d.mkdir()
+    _events(d, rows)
+
+    [r] = resolve_query("events_ks_ab")(spark, str(d)).collect()
+
+    xs = sorted(buys[u] for u in buys if u % 2 == 0)
+    ys = sorted(buys[u] for u in buys if u % 2 == 1)
+    n1, n2 = len(xs), len(ys)
+    grid = sorted(set(xs + ys))
+    d_num = max(
+        abs(
+            sum(1 for v in xs if v <= g) * n2
+            - sum(1 for v in ys if v <= g) * n1
+        )
+        for g in grid
+    )
+    assert (r["n1"], r["n2"], r["d_num"]) == (n1, n2, d_num)
+    dd = d_num / (n1 * n2)
+    assert r["d"] == dd
+    crit = 1.358 * ((n1 + n2) / (n1 * n2)) ** 0.5
+    assert r["significant"] == (dd > crit)
+
+
+def test_welch_ttest_planted_vs_formula(spark, tmp_path):
+    """events_welch_ttest against the textbook Welch t / Welch-
+    Satterthwaite df computed independently in Python."""
+    import math
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    clicks = {0: 9, 2: 9, 4: 8, 6: 10, 8: 9, 1: 2, 3: 1, 5: 3, 7: 2, 9: 1}
+    rows, eid = [], 0
+    for u, k in clicks.items():
+        for _ in range(k):
+            rows.append((eid, f"2024-01-01 00:{eid % 60:02d}:00", u,
+                         "click", 1.0))
+            eid += 1
+    d = tmp_path / "welch"
+    d.mkdir()
+    _events(d, rows)
+
+    [r] = resolve_query("events_welch_ttest")(spark, str(d)).collect()
+
+    xs = [clicks[u] for u in clicks if u % 2 == 0]
+    ys = [clicks[u] for u in clicks if u % 2 == 1]
+    n0, n1 = len(xs), len(ys)
+    m0, m1 = sum(xs) / n0, sum(ys) / n1
+    v0 = sum((x - m0) ** 2 for x in xs) / (n0 - 1)
+    v1 = sum((y - m1) ** 2 for y in ys) / (n1 - 1)
+    se0, se1 = v0 / n0, v1 / n1
+    t = (m0 - m1) / math.sqrt(se0 + se1)
+    df = (se0 + se1) ** 2 / (se0**2 / (n0 - 1) + se1**2 / (n1 - 1))
+    assert (r["n0"], r["n1"]) == (n0, n1)
+    assert abs(r["mean0"] - m0) < 1e-12 and abs(r["mean1"] - m1) < 1e-12
+    assert abs(r["t"] - t) < 1e-9 and abs(r["df"] - df) < 1e-9
+    assert r["significant"] == (abs(t) > 1.96)
+    assert r["significant"]  # the lift is planted
+
+
+def test_welch_ttest_degenerate_groups_empty(spark, tmp_path):
+    """n<=1 on either side yields an empty readout, not div-by-zero."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = [(0, "2024-01-01 00:00:00", 0, "click", 1.0),
+            (1, "2024-01-01 00:01:00", 1, "click", 1.0)]
+    d = tmp_path / "welch1"
+    d.mkdir()
+    _events(d, rows)
+    assert resolve_query("events_welch_ttest")(spark, str(d)).count() == 0

@@ -251,3 +251,61 @@ def test_seasonal_decompose_planted(spark, tmp_path):
         assert abs(r["seasonal"] - (amps[dow] - mean_amp)) < 2e-6, (day, r)
         assert abs(r["residual"]) < 4e-6, (day, r)
         assert abs(r["observed"] - (level + amps[dow])) < 1e-6, (day, r)
+
+
+def test_acf_lags_planted_weekly_cycle(spark, tmp_path):
+    """events_acf_lags against the textbook sample ACF computed
+    independently in Python on a planted weekly cycle: peak at lag 7,
+    trough near lag 3/4, and the calendar-gap pair-count semantics."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    # 21 days, counts follow a weekly pattern with a planted hole at
+    # day 10 (missing day -> lag pairs touching it vanish)
+    weekly = [5, 9, 13, 9, 5, 2, 1]
+    counts = {d: weekly[d % 7] for d in range(21) if d != 10}
+    rows, eid = [], 0
+    for d, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{d + 1:02d} 03:00:00", eid % 7, 1.0))
+            eid += 1
+    t = tmp_path / "acf"
+    t.mkdir()
+    _write_events(t, rows)
+
+    got = {
+        r["lag"]: r
+        for r in resolve_query("events_acf_lags")(spark, str(t)).collect()
+    }
+
+    n = len(counts)
+    s = sum(counts.values())
+    den = sum((n * x - s) ** 2 for x in counts.values())
+    for k in range(1, 8):
+        pairs = [
+            (counts[d], counts[d + k])
+            for d in counts
+            if d + k in counts
+        ]
+        num = sum((n * a - s) * (n * b - s) for a, b in pairs)
+        assert got[k]["pairs"] == len(pairs)
+        assert abs(got[k]["acf"] - num / den) < 1e-12, k
+    assert got[7]["acf"] > 0.5          # weekly cycle peaks at lag 7
+    assert got[7]["acf"] == max(got[k]["acf"] for k in range(1, 8))
+    assert got[3]["acf"] < 0            # anti-phase mid-week
+
+
+def test_acf_lags_constant_series_null(spark, tmp_path):
+    """An all-constant daily series has zero variance -> NULL acf at
+    every lag (den = 0), never a div-by-zero."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = [
+        (d * 2 + i, f"2024-02-{d + 1:02d} 0{i}:00:00", i, 1.0)
+        for d in range(10)
+        for i in range(2)
+    ]
+    t = tmp_path / "acfc"
+    t.mkdir()
+    _write_events(t, rows)
+    out = resolve_query("events_acf_lags")(spark, str(t)).collect()
+    assert len(out) == 7 and all(r["acf"] is None for r in out)

@@ -294,6 +294,24 @@ def main(only: list[str] | None = None) -> None:
         "rank_correlation_eval": lambda k: SQ["text_rank_correlation_eval"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "mannwhitney_ab": lambda k: SQ["events_mannwhitney_ab"](
+            spark, table_dir("events", k, "events")
+        ),
+        "conformal_threshold": lambda k: SQ["curation_conformal_threshold"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "ks_ab": lambda k: SQ["events_ks_ab"](
+            spark, table_dir("events", k, "events")
+        ),
+        "welch_ttest": lambda k: SQ["events_welch_ttest"](
+            spark, table_dir("events", k, "events")
+        ),
+        "acf_lags": lambda k: SQ["events_acf_lags"](
+            spark, table_dir("events", k, "events")
+        ),
+        "kmv_set_ops": lambda k: SQ["events_kmv_set_ops"](
+            spark, table_dir("events", k, "events")
+        ),
         "hll_set_ops": lambda k: SQ["rel_hll_set_ops"](
             spark, table_dir("events", k, "events")
         ),
