@@ -1620,3 +1620,208 @@ def ulaw_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, ULAW_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL IMA ADPCM codec (built r9, staged r10) — the adaptive DIFFERENTIAL
+# compression family next to DEFLATE (PNG), LZW (GIF), byte-wise
+# index/delta/run (QOI), and logarithmic companding (mu-law): 16-bit PCM
+# -> 4-bit nibbles via an 89-entry adaptive step-size table, carried in a
+# hand-written RIFF/WAVE container with format tag 0x11 (canonical block
+# layout: 4-byte block header stores the first sample + step index, the
+# nibble stream encodes the rest, low nibble first). The predictor
+# recursion is inherently sequential, so the DuckDB oracle states it as
+# a RECURSIVE CTE over the same integer algebra.
+# ---------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, idx: int, s: int) -> tuple[int, int, int]:
+    """One canonical IMA quantize+reconstruct step: returns (nibble,
+    new predictor, new step index). The encoder tracks the DECODER's
+    reconstruction, so both sides walk the same state sequence."""
+    st = _IMA_STEP_TABLE[idx]
+    diff = s - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= st:
+        nib |= 4
+        diff -= st
+    if diff >= st >> 1:
+        nib |= 2
+        diff -= st >> 1
+    if diff >= st >> 2:
+        nib |= 1
+    delta = st >> 3
+    if nib & 4:
+        delta += st
+    if nib & 2:
+        delta += st >> 1
+    if nib & 1:
+        delta += st >> 2
+    pred = pred - delta if nib & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+    return nib, pred, idx
+
+
+def encode_adpcm_wav(samples: np.ndarray, rate: int) -> bytes:
+    """IMA ADPCM WAV (format tag 0x11), single canonical block: the
+    4-byte block header stores sample 0 verbatim (int16) + the initial
+    step index + a zero reserved byte; samples 1..n-1 become 4-bit
+    nibbles, LOW nibble first per the IMA WAV spec. A fact chunk
+    records the true sample count (required for compressed WAVE)."""
+    import struct
+
+    s = [int(v) for v in samples]
+    if not s:
+        raise ValueError("empty signal")
+    pred, idx = s[0], 0
+    nibs = []
+    for v in s[1:]:
+        nib, pred, idx = _ima_step(pred, idx, v)
+        nibs.append(nib)
+    if len(nibs) % 2:
+        nibs.append(0)
+    payload = struct.pack("<hBB", s[0], 0, 0) + bytes(
+        nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2)
+    )
+    block_align = len(payload)
+    # cbSize=2 extension carries samples-per-block, as the spec requires
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate // 2, block_align, 4, 2, len(s)
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(s))
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_adpcm_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """(rate, int16 samples) from an IMA ADPCM WAV: RIFF walk (unknown
+    chunks skipped, truncation loud-rejected), format tag MUST be
+    0x11/mono/4-bit, fact chunk mandatory, block header validated
+    (step index <= 88, reserved byte zero), then the nibble-driven
+    predictor recursion."""
+    import struct
+
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data, nsamp = 12, None, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact":
+            if size < 4:
+                raise ValueError("short fact chunk")
+            nsamp = struct.unpack("<I", body[:4])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None or nsamp is None:
+        raise ValueError("missing fmt/fact/data chunk")
+    audio_format, channels, rate, _byterate, _align, bits = fmt
+    if (audio_format, channels, bits) != (0x11, 1, 4):
+        raise ValueError(f"not mono 4-bit IMA ADPCM: {fmt}")
+    if len(data) < 4:
+        raise ValueError("truncated block header")
+    pred, idx, reserved = struct.unpack("<hBB", data[:4])
+    if idx > 88 or reserved != 0:
+        raise ValueError(f"bad block header: index={idx} reserved={reserved}")
+    need = (nsamp - 1 + 1) // 2
+    if len(data) - 4 < need:
+        raise ValueError("data chunk shorter than fact sample count")
+    out = [pred]
+    st_t, adj_t = _IMA_STEP_TABLE, _IMA_INDEX_ADJ
+    for k in range(nsamp - 1):
+        byte = data[4 + (k >> 1)]
+        nib = (byte >> 4) & 0x0F if k & 1 else byte & 0x0F
+        st = st_t[idx]
+        delta = st >> 3
+        if nib & 4:
+            delta += st
+        if nib & 2:
+            delta += st >> 1
+        if nib & 1:
+            delta += st >> 2
+        pred = pred - delta if nib & 8 else pred + delta
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + adj_t[nib & 7]))
+        out.append(pred)
+    return rate, np.asarray(out, dtype=np.int16), idx
+
+
+def synth_samples_adpcm(doc_id: int, n: int) -> np.ndarray:
+    """Deterministic int16 test signal, constants distinct from both
+    WAV queries': s_i = ((doc_id*29 + i*140) % 65536) - 32768 — a
+    140/sample ramp the adaptive step tracker locks onto, with modulo
+    wraps that force re-adaptation."""
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 29 + i * 140) % 65536) - 32768).astype(np.int16)
+
+
+ADPCM_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sum_pcm long, sum_abs_pcm long,"
+    " max_quant_err long, end_index long"
+)
+
+
+def adpcm_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, n) -> formula PCM16 -> ENCODE real IMA ADPCM WAV
+    (tag-0x11 canonical block) -> DECODE (RIFF walk + header checks +
+    nibble-driven predictor recursion) -> integer-exact sums over the
+    DECODED samples, max quantization error vs the original, and the
+    final adaptive step index (pins the whole adaptation trajectory).
+    The oracle restates the recursion as a DuckDB RECURSIVE CTE, so a
+    step-table, index-clamp, nibble-packing, or container bug
+    hash-mismatches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                orig = synth_samples_adpcm(int(doc_id), int(n))
+                _rate, dec, end_idx = decode_adpcm_wav(
+                    encode_adpcm_wav(orig, 8000)
+                )
+                d = dec.astype(np.int64)
+                err = np.abs(orig.astype(np.int64) - d)
+                out.append(
+                    (
+                        int(doc_id), int(d.size), int(d.sum()),
+                        int(np.abs(d).sum()),
+                        int(err.max()) if d.size else 0, int(end_idx),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sum_pcm", "sum_abs_pcm",
+                    "max_quant_err", "end_index",
+                ],
+            )
+
+    return base.mapInPandas(run, ADPCM_FEATURE_SCHEMA)

@@ -1383,3 +1383,105 @@ def multimodal_ulaw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(256) + F.col("doc_id") % 100).cast("int").alias("n"),
     )
     return ulaw_ingest_features(base)
+
+
+_ADPCM_STEPS_VALUES = ",".join(
+    f"({i},{s})" for i, s in enumerate(multimodal._IMA_STEP_TABLE)
+)
+
+_ADPCM_INGEST_SQL = f"""
+WITH RECURSIVE steps(si, st) AS (
+  SELECT * FROM (VALUES {_ADPCM_STEPS_VALUES}) t(si, st)
+),
+base AS (
+  SELECT doc_id, 96 + doc_id % 32 AS n,
+         ((doc_id * 29) % 65536) - 32768 AS s0
+  FROM documents
+),
+rec AS (
+  SELECT doc_id, n, 1 AS i, s0 AS pred, 0 AS idx,
+         CAST(s0 AS BIGINT) AS sum_dec,
+         CAST(ABS(s0) AS BIGINT) AS sum_abs,
+         CAST(0 AS BIGINT) AS max_err
+  FROM base
+  UNION ALL
+  SELECT doc_id, n, i + 1, predn, idxn,
+         sum_dec + predn, sum_abs + ABS(predn),
+         GREATEST(max_err, ABS(s - predn))
+  FROM (
+    SELECT doc_id, n, i, s, sum_dec, sum_abs, max_err,
+           GREATEST(-32768, LEAST(32767,
+             pred + CASE WHEN neg THEN -delta ELSE delta END)) AS predn,
+           GREATEST(0, LEAST(88, idx +
+             CASE WHEN mag < 4 THEN -1 WHEN mag = 4 THEN 2
+                  WHEN mag = 5 THEN 4 WHEN mag = 6 THEN 6
+                  ELSE 8 END)) AS idxn
+    FROM (
+      SELECT *,
+             (st // 8) + CASE WHEN b4 THEN st ELSE 0 END
+               + CASE WHEN b2 THEN st // 2 ELSE 0 END
+               + CASE WHEN b1 THEN st // 4 ELSE 0 END AS delta,
+             CASE WHEN b4 THEN 4 ELSE 0 END
+               + CASE WHEN b2 THEN 2 ELSE 0 END
+               + CASE WHEN b1 THEN 1 ELSE 0 END AS mag
+      FROM (
+        SELECT *,
+               (ad - CASE WHEN b4 THEN st ELSE 0 END
+                   - CASE WHEN b2 THEN st // 2 ELSE 0 END) >= st // 4 AS b1
+        FROM (
+          SELECT *,
+                 (ad - CASE WHEN b4 THEN st ELSE 0 END) >= st // 2 AS b2
+          FROM (
+            SELECT *, ad >= st AS b4
+            FROM (
+              SELECT rec.*, steps.st,
+                     ((rec.doc_id * 29 + rec.i * 140) % 65536) - 32768 AS s,
+                     ((rec.doc_id * 29 + rec.i * 140) % 65536) - 32768
+                       - rec.pred < 0 AS neg,
+                     ABS(((rec.doc_id * 29 + rec.i * 140) % 65536) - 32768
+                         - rec.pred) AS ad
+              FROM rec JOIN steps ON steps.si = rec.idx
+              WHERE rec.i < rec.n
+            )
+          )
+        )
+      )
+    )
+  )
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       sum_dec AS sum_pcm, sum_abs AS sum_abs_pcm,
+       max_err AS max_quant_err,
+       CAST(idx AS BIGINT) AS end_index
+FROM rec WHERE i = n
+"""
+
+
+@register("multimodal_adpcm_ingest", oracle=_ADPCM_INGEST_SQL, staged=True)
+def multimodal_adpcm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA ADPCM codec ingest (built r9, staged r10) — the
+    adaptive DIFFERENTIAL compression family, completing the codec
+    pentad: DEFLATE (PNG), LZW (GIF), index/delta/run (QOI),
+    companding (mu-law), and now adaptive prediction (ADPCM). Every
+    doc synthesizes a formula PCM16 ramp, quantizes it to 4-bit
+    nibbles against the 89-entry adaptive step table, writes a
+    format-tag-0x11 RIFF/WAVE with the canonical IMA block layout
+    (header = first sample + step index, low nibble first, fact chunk
+    mandatory), walks it back with loud rejects, and emits
+    integer-exact sums over the DECODED samples, the max quantization
+    error, and the FINAL step index — one wrong table entry, clamp,
+    or nibble order anywhere in the trajectory shifts the state and
+    hash-mismatches. The predictor recursion is inherently
+    sequential, so the oracle states it as a DuckDB RECURSIVE CTE
+    over the same integer algebra (validated step-for-step against
+    the wire-format decoder).
+
+    Scale shape: per-row scan-stage codec work (payloads never
+    shuffle); only the 6-column profile leaves the stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.lit(96) + F.col("doc_id") % 32).cast("int").alias("n"),
+    )
+    return multimodal.adpcm_ingest_features(base)

@@ -102,6 +102,8 @@ STAGED: dict[str, QueryDef] = {}
 #                                 lags 1..7, 128-bit exact deviations)
 #   events_kmv_set_ops           (bottom-k KMV sketch: union +
 #                                 jaccard set algebra, salted top-k)
+#   multimodal_adpcm_ingest      (REAL IMA ADPCM — adaptive 4-bit
+#                                 coding, recursive-CTE oracle)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

@@ -900,3 +900,120 @@ def test_ulaw_ingest_features_hand_computed(spark, tmp_path):
         assert r["max_quant_err"] == max(
             abs(a - b) for a, b in zip(orig, dec)
         )
+
+
+def test_adpcm_codec_roundtrip_and_rejects():
+    """IMA ADPCM (built r9, staged r10): the wire-format decoder must
+    reproduce the encoder's tracked predictor sequence exactly; the
+    tag-0x11 container rejects loudly on foreign tags, bad block
+    headers, and truncation at EVERY offset."""
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    s = M.synth_samples_adpcm(7, 97)  # odd nibble count -> pad path
+    raw = M.encode_adpcm_wav(s, 8000)
+    rate, dec, end_idx = M.decode_adpcm_wav(raw)
+    assert rate == 8000 and dec.size == 97 and 0 <= end_idx <= 88
+    # decoded sample 0 is the header-stored sample, bit-exact
+    assert int(dec[0]) == int(s[0])
+    # an independent pure-Python state walk must agree sample-for-sample
+    pred, idx = int(s[0]), 0
+    expect = [pred]
+    for v in [int(x) for x in s[1:]]:
+        _nib, pred, idx = M._ima_step(pred, idx, v)
+        expect.append(pred)
+    assert [int(x) for x in dec] == expect and end_idx == idx
+    # quantization error is bounded once the step tracker locks on: the
+    # 140/sample ramp sits inside step-table range within a few samples
+    err = np.abs(s.astype(np.int64) - dec.astype(np.int64))
+    assert err[20:].max() < 4096
+
+    with pytest.raises(ValueError):
+        M.decode_adpcm_wav(b"RIFX" + raw[4:])
+    with pytest.raises(ValueError):
+        M.decode_adpcm_wav(M.encode_wav(s, 8000))       # PCM16 tag 1
+    with pytest.raises(ValueError):
+        M.decode_adpcm_wav(M.encode_ulaw_wav(s, 8000))  # mu-law tag 7
+    with pytest.raises(ValueError):
+        M.encode_adpcm_wav(np.array([], dtype=np.int16), 8000)
+    # bad block header: step index 89 and nonzero reserved byte
+    di = raw.index(b"data") + 8
+    for patch in (
+        raw[:di + 2] + bytes([89]) + raw[di + 3 :],
+        raw[:di + 3] + bytes([1]) + raw[di + 4 :],
+    ):
+        with pytest.raises(ValueError):
+            M.decode_adpcm_wav(patch)
+    # truncation at EVERY offset must raise, never mis-decode
+    for cut in range(len(raw)):
+        with pytest.raises(ValueError):
+            M.decode_adpcm_wav(raw[:cut])
+
+
+def test_adpcm_random_roundtrip_property():
+    """Hypothesis: arbitrary int16 content (white noise — the codec's
+    worst case) still decodes to the encoder's tracked predictor
+    sequence; determinism of the wire bytes."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1, max_size=200,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(vals):
+        s = np.asarray(vals, dtype=np.int16)
+        raw = M.encode_adpcm_wav(s, 8000)
+        assert raw == M.encode_adpcm_wav(s, 8000)
+        _rate, dec, idx = M.decode_adpcm_wav(raw)
+        pred, i = int(s[0]), 0
+        expect = [pred]
+        for v in [int(x) for x in s[1:]]:
+            _n, pred, i = M._ima_step(pred, i, v)
+            expect.append(pred)
+        assert [int(x) for x in dec] == expect and idx == i
+
+    check()
+
+
+def test_adpcm_ingest_features_hand_computed(spark, tmp_path):
+    """multimodal_adpcm_ingest for two docs equals the hand-walked
+    encode/decode recursion."""
+    from posts_vectorizer_spark.operators import multimodal as M
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "adpcm"
+    d.mkdir()
+    spark.createDataFrame(
+        [(5, "x", "en", "s", 1), (18, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_adpcm_ingest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (5, 18):
+        n = 96 + doc % 32
+        orig = [((doc * 29 + i * 140) % 65536) - 32768 for i in range(n)]
+        pred, idx = orig[0], 0
+        dec = [pred]
+        for v in orig[1:]:
+            _nib, pred, idx = M._ima_step(pred, idx, v)
+            dec.append(pred)
+        r = rows[doc]
+        assert r["n_samples"] == n
+        assert r["sum_pcm"] == sum(dec)
+        assert r["sum_abs_pcm"] == sum(abs(v) for v in dec)
+        assert r["max_quant_err"] == max(
+            abs(a - b) for a, b in zip(orig, dec)
+        )
+        assert r["end_index"] == idx

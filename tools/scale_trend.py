@@ -291,6 +291,9 @@ def main(only: list[str] | None = None) -> None:
         "ulaw_ingest": lambda k: SQ["multimodal_ulaw_ingest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "adpcm_ingest": lambda k: SQ["multimodal_adpcm_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "rank_correlation_eval": lambda k: SQ["text_rank_correlation_eval"](
             spark, table_dir("docs_plain", k, "documents")
         ),
