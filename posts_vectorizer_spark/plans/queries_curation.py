@@ -1745,3 +1745,98 @@ def quality_gate_rows(docs: DataFrame, scored: DataFrame) -> DataFrame:
         fail_lm.alias("fail_lm"),
         (~(fail_len | fail_rep | fail_lm)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency smoothing over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_GOOD_TURING_SQL = f"""
+WITH doc_toks AS (
+  SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM documents
+),
+wc AS (SELECT word, count(*) AS r FROM doc_toks GROUP BY word),
+coc AS (SELECT r, count(*) AS n_r FROM wc GROUP BY r),
+tot AS (SELECT sum(r * n_r) AS n_tokens FROM coc),
+nxt AS (
+  SELECT r, n_r,
+         lead(r)   OVER (ORDER BY r) AS r_next,
+         lead(n_r) OVER (ORDER BY r) AS n_next
+  FROM coc
+),
+gt AS (
+  SELECT r, n_r,
+         CASE WHEN r_next = r + 1 THEN n_next ELSE 0 END AS n_r1
+  FROM nxt
+)
+SELECT CAST(gt.r AS BIGINT) AS r,
+       CAST(gt.n_r AS BIGINT) AS n_r,
+       CAST(gt.n_r1 AS BIGINT) AS n_r_plus_1,
+       CASE WHEN gt.n_r1 > 0 THEN
+         CAST((gt.r + 1) * gt.n_r1 AS DOUBLE) / gt.n_r
+       END AS r_star,
+       CASE WHEN gt.n_r1 > 0 THEN
+         CAST((gt.r + 1) * gt.n_r1 AS DOUBLE)
+           / (CAST(gt.n_r AS DOUBLE) * tot.n_tokens)
+       END AS p_gt,
+       CASE WHEN gt.r = 1 THEN
+         CAST(gt.n_r AS DOUBLE) / tot.n_tokens
+       END AS unseen_mass
+FROM gt, tot
+"""
+
+
+@register("text_good_turing", oracle=_GOOD_TURING_SQL, staged=True)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing (built r9, staged r10) — the
+    classical estimator behind Katz backoff and the SGT family: for
+    every observed corpus frequency r, the adjusted count
+    r* = (r+1)·N_{r+1}/N_r from the count-of-counts table, the
+    smoothed per-word probability r*/N, and (on the r=1 row) the
+    total UNSEEN mass N_1/N that a backoff LM redistributes to
+    out-of-vocabulary words. N_{r+1} means the count at EXACTLY r+1
+    (lead() + adjacency check, 0 on tail holes — plain GT without
+    tail regression, so every output is a ratio of exact integers:
+    one double division per column, bit-identical cross-engine).
+
+    Scale shape: one word-keyed count (the idf_table shuffle), one
+    tiny r-keyed count-of-counts aggregate (map-side combinable to
+    ~hundreds of distinct frequencies), a bounded value-level window,
+    and a 1-row total broadcast. The vocabulary never reaches the
+    driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("r"))
+    )
+    coc = wc.groupBy("r").agg(F.count("*").alias("n_r"))
+    tot = coc.agg(F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"))
+    w = Window.orderBy("r")
+    nxt = coc.select(
+        "r", "n_r",
+        F.lead("r").over(w).alias("r_next"),
+        F.lead("n_r").over(w).alias("n_next"),
+    )
+    gt = nxt.select(
+        "r", "n_r",
+        F.when(F.col("r_next") == F.col("r") + 1, F.col("n_next"))
+        .otherwise(F.lit(0)).alias("n_r1"),
+    )
+    r, n_r, n_r1 = F.col("r"), F.col("n_r"), F.col("n_r1")
+    return gt.crossJoin(F.broadcast(tot)).select(
+        r.cast("long").alias("r"),
+        n_r.cast("long").alias("n_r"),
+        n_r1.cast("long").alias("n_r_plus_1"),
+        F.when(
+            n_r1 > 0, ((r + 1) * n_r1).cast("double") / n_r
+        ).alias("r_star"),
+        F.when(
+            n_r1 > 0,
+            ((r + 1) * n_r1).cast("double")
+            / (n_r.cast("double") * F.col("n_tokens")),
+        ).alias("p_gt"),
+        F.when(
+            r == 1, n_r.cast("double") / F.col("n_tokens")
+        ).alias("unseen_mass"),
+    )

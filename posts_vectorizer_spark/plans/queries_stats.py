@@ -1920,3 +1920,333 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("df"),
         F.when(s > 0, F.abs(t) > _WELCH_T_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified A/B test
+# ---------------------------------------------------------------------------
+
+_CMH_CHI_CRIT = 3.841  # chi-square(1), 5%
+
+_CMH_SQL = """
+WITH per_sess AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         user_id % 2 AS variant,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE), user_id
+),
+cells AS (
+  SELECT day, variant,
+         sum(saw) AS n, sum(saw * bought) AS x
+  FROM per_sess GROUP BY day, variant
+),
+strata AS (
+  SELECT day,
+         max(CASE WHEN variant = 0 THEN x END) AS a,
+         max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 1 THEN x END) AS b,
+         max(CASE WHEN variant = 1 THEN n END) AS n1
+  FROM cells GROUP BY day
+  HAVING max(CASE WHEN variant = 0 THEN n END) > 0
+     AND max(CASE WHEN variant = 1 THEN n END) > 0
+     AND max(CASE WHEN variant = 0 THEN n END)
+       + max(CASE WHEN variant = 1 THEN n END) > 1
+),
+terms AS (
+  SELECT day, a, n0, b, n1, n0 + n1 AS t, a + b AS m1,
+         CAST(round(a - CAST(n0 * (a + b) AS DOUBLE) / (n0 + n1), 9)
+              AS DECIMAL(28,9)) AS dev,
+         CAST(round(
+           CAST(n0 AS DOUBLE) * n1 * (a + b) * (n0 + n1 - a - b)
+             / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1) * (n0 + n1 - 1)), 9)
+           AS DECIMAL(28,9)) AS var_k,
+         CAST(round(CAST(a * (n1 - b) AS DOUBLE) / (n0 + n1), 9)
+              AS DECIMAL(28,9)) AS or_num,
+         CAST(round(CAST(b * (n0 - a) AS DOUBLE) / (n0 + n1), 9)
+              AS DECIMAL(28,9)) AS or_den
+  FROM strata
+),
+agg AS (
+  SELECT count(*) AS n_strata,
+         CAST(sum(dev) AS DECIMAL(38,9)) AS sdev,
+         CAST(sum(var_k) AS DECIMAL(38,9)) AS svar,
+         CAST(sum(or_num) AS DECIMAL(38,9)) AS sor_num,
+         CAST(sum(or_den) AS DECIMAL(38,9)) AS sor_den
+  FROM terms
+)
+SELECT CAST(n_strata AS BIGINT) AS n_strata,
+       CASE WHEN svar > 0 THEN
+         CAST(sdev AS DOUBLE) * CAST(sdev AS DOUBLE)
+           / CAST(svar AS DOUBLE)
+       END AS chi2,
+       CASE WHEN svar > 0 THEN
+         CAST(sdev AS DOUBLE) * CAST(sdev AS DOUBLE)
+           / CAST(svar AS DOUBLE) > 3.841
+       END AS significant,
+       CASE WHEN sor_den > 0 THEN
+         CAST(sor_num AS DOUBLE) / CAST(sor_den AS DOUBLE)
+       END AS odds_ratio_mh
+FROM agg
+"""
+
+
+@register("events_cmh_stratified_ab", oracle=_CMH_SQL, staged=True)
+def events_cmh_stratified_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified A/B test (built r9, staged
+    r10) — the Simpson's-paradox-safe companion to events_ab_test:
+    conversion is compared WITHIN each day stratum and the evidence
+    pooled, so a traffic-mix shift across days cannot fabricate or
+    mask a lift the way it can in the pooled 2x2. Per stratum the
+    deviation a_k - E[a_k], the hypergeometric variance, and the
+    Mantel-Haenszel odds-ratio terms a_k*d_k/t_k, b_k*c_k/t_k are
+    each ONE double expression rounded to the 9dp DECIMAL grid before
+    summing (the chi-square cell-term pattern — exact, order-free
+    sums; float += across strata is partitioning-dependent), and the
+    final chi2 / OR_MH are double quotients of those exact sums.
+    Degenerate strata (a side unobserved, t<=1) are excluded by the
+    CMH convention; all-degenerate inputs yield NULL readouts.
+
+    Scale shape: one (day, user) aggregate (the only data-sized
+    shuffle, map-side combinable), a day-keyed pivot (one row per
+    stratum), a 1-row readout. Strata count is calendar-bounded."""
+    events = load_table(spark, sf_dir, "events")
+    per_sess = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("saw"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("bought"),
+    ).select(
+        "day", (F.col("user_id") % 2).alias("variant"), "saw", "bought"
+    )
+    cells = per_sess.groupBy("day", "variant").agg(
+        F.sum("saw").alias("n"),
+        F.sum(F.col("saw") * F.col("bought")).alias("x"),
+    )
+    v0 = F.col("variant") == 0
+    strata = (
+        cells.groupBy("day")
+        .agg(
+            F.max(F.when(v0, F.col("x"))).alias("a"),
+            F.max(F.when(v0, F.col("n"))).alias("n0"),
+            F.max(F.when(~v0, F.col("x"))).alias("b"),
+            F.max(F.when(~v0, F.col("n"))).alias("n1"),
+        )
+        .filter(
+            (F.col("n0") > 0)
+            & (F.col("n1") > 0)
+            & (F.col("n0") + F.col("n1") > 1)
+        )
+    )
+    a, n0, b, n1 = F.col("a"), F.col("n0"), F.col("b"), F.col("n1")
+    t = n0 + n1
+    m1 = a + b
+    dec = "decimal(28,9)"
+    terms = strata.select(
+        F.round(
+            a - (n0 * m1).cast("double") / t, 9
+        ).cast(dec).alias("dev"),
+        F.round(
+            n0.cast("double") * n1 * m1 * (t - m1)
+            / (t.cast("double") * t * (t - 1)),
+            9,
+        ).cast(dec).alias("var_k"),
+        F.round(
+            (a * (n1 - b)).cast("double") / t, 9
+        ).cast(dec).alias("or_num"),
+        F.round(
+            (b * (n0 - a)).cast("double") / t, 9
+        ).cast(dec).alias("or_den"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("n_strata"),
+        F.sum("dev").cast("decimal(38,9)").alias("sdev"),
+        F.sum("var_k").cast("decimal(38,9)").alias("svar"),
+        F.sum("or_num").cast("decimal(38,9)").alias("sor_num"),
+        F.sum("or_den").cast("decimal(38,9)").alias("sor_den"),
+    )
+    sdev, svar = F.col("sdev").cast("double"), F.col("svar").cast("double")
+    chi2 = sdev * sdev / svar
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.when(F.col("svar") > 0, chi2).alias("chi2"),
+        F.when(F.col("svar") > 0, chi2 > _CMH_CHI_CRIT).alias("significant"),
+        F.when(
+            F.col("sor_den") > 0,
+            F.col("sor_num").cast("double") / F.col("sor_den").cast("double"),
+        ).alias("odds_ratio_mh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference ranking — unrolled MM iterations
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 3
+
+_BT_SQL = """
+WITH per_ut AS (
+  SELECT user_id, event_type AS item, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+duels AS (
+  SELECT a.item AS i, b.item AS j,
+         sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS w,
+         sum(CASE WHEN a.c <> b.c THEN 1 ELSE 0 END) AS n
+  FROM per_ut a JOIN per_ut b
+    ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY a.item, b.item
+),
+pairs AS (SELECT i, j, n FROM duels WHERE n > 0),
+wins AS (SELECT i, sum(w) AS wi, sum(n) AS ni FROM duels GROUP BY i),
+p0 AS (SELECT i, CAST(1 AS DECIMAL(18,6)) AS p FROM wins),
+d1 AS (
+  SELECT pairs.i,
+         CAST(sum(CAST(round(CAST(pairs.n AS DOUBLE)
+           / CAST(pi.p + pj.p AS DOUBLE), 9) AS DECIMAL(28,9)))
+           AS DECIMAL(38,9)) AS den
+  FROM pairs JOIN p0 pi ON pi.i = pairs.i JOIN p0 pj ON pj.i = pairs.j
+  GROUP BY pairs.i
+),
+p1 AS (
+  SELECT wins.i, CAST(round(CAST(wins.wi AS DOUBLE)
+           / CAST(d1.den AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+  FROM wins JOIN d1 ON d1.i = wins.i WHERE d1.den > 0 AND wins.wi > 0
+),
+d2 AS (
+  SELECT pairs.i,
+         CAST(sum(CAST(round(CAST(pairs.n AS DOUBLE)
+           / CAST(pi.p + pj.p AS DOUBLE), 9) AS DECIMAL(28,9)))
+           AS DECIMAL(38,9)) AS den
+  FROM pairs JOIN p1 pi ON pi.i = pairs.i JOIN p1 pj ON pj.i = pairs.j
+  GROUP BY pairs.i
+),
+p2 AS (
+  SELECT wins.i, CAST(round(CAST(wins.wi AS DOUBLE)
+           / CAST(d2.den AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+  FROM wins JOIN d2 ON d2.i = wins.i WHERE d2.den > 0 AND wins.wi > 0
+),
+d3 AS (
+  SELECT pairs.i,
+         CAST(sum(CAST(round(CAST(pairs.n AS DOUBLE)
+           / CAST(pi.p + pj.p AS DOUBLE), 9) AS DECIMAL(28,9)))
+           AS DECIMAL(38,9)) AS den
+  FROM pairs JOIN p2 pi ON pi.i = pairs.i JOIN p2 pj ON pj.i = pairs.j
+  GROUP BY pairs.i
+),
+p3 AS (
+  SELECT wins.i, CAST(round(CAST(wins.wi AS DOUBLE)
+           / CAST(d3.den AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+  FROM wins JOIN d3 ON d3.i = wins.i WHERE d3.den > 0 AND wins.wi > 0
+),
+tot AS (SELECT CAST(sum(p) AS DECIMAL(38,6)) AS sp FROM p3)
+SELECT p3.i AS item,
+       CAST(wins.wi AS BIGINT) AS wins,
+       CAST(wins.ni AS BIGINT) AS comparisons,
+       CAST(p3.p AS DOUBLE) AS p_raw,
+       CAST(p3.p AS DOUBLE) / CAST(tot.sp AS DOUBLE) AS strength
+FROM p3 JOIN wins ON wins.i = p3.i, tot
+"""
+
+
+@register("events_bradley_terry", oracle=_BT_SQL, staged=True)
+def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference ranking by THREE unrolled MM
+    iterations (built r9, staged r10) — the model behind pairwise
+    preference data (RLHF comparisons, arena-style evals): each user's
+    per-event-type activity counts duel pairwise (i beats j for a user
+    when c_i > c_j; ties are undecided and drop from n_ij), and the
+    minorize-maximize update p_i <- W_i / sum_j n_ij/(p_i+p_j) runs
+    three plan-side steps from p=1 (the kmeans/pagerank/Platt
+    unrolled-iteration convention — the ITERATION itself is
+    oracle-checked). Every per-pair term rounds to 9dp DECIMAL before
+    its exact sum and every parameter re-pins to the 6dp grid between
+    steps, so both engines walk the same trajectory bit-for-bit; the
+    readout reports raw and sum-normalized strengths. Items with zero
+    wins (or no decided duel) drop from the ranking by the MM
+    convention (their update is degenerate at 0).
+
+    Scale shape: one (user, item) count, one user-keyed self-join with
+    bounded fan-out (|item-domain|^2 pairs per user), reduced
+    map-side to the |items|^2 duel table — the ONLY data-sized work.
+    All three MM steps run on the <= |items|^2-row duel/param tables
+    via broadcast joins; nothing iterative touches the events again."""
+    events = load_table(spark, sf_dir, "events")
+    per_ut = events.groupBy(
+        "user_id", F.col("event_type").alias("item")
+    ).agg(F.count("*").alias("c"))
+    a, b = per_ut.alias("a"), per_ut.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.c") > F.col("b.c"), 1).otherwise(0)
+            ).alias("w"),
+            F.sum(
+                F.when(F.col("a.c") != F.col("b.c"), 1).otherwise(0)
+            ).alias("n"),
+        )
+    )
+    from ..cache import persist_tracked
+
+    duels = persist_tracked(duels)
+    pairs = duels.filter(F.col("n") > 0).select("i", "j", "n")
+    wins = duels.groupBy("i").agg(
+        F.sum("w").alias("wi"), F.sum("n").alias("ni")
+    )
+    p = wins.select("i", F.lit(1).cast("decimal(18,6)").alias("p"))
+
+    def mm_step(p):
+        pi = p.select(F.col("i").alias("pi_i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("i").alias("pj_i"), F.col("p").alias("p_j"))
+        den = (
+            pairs.join(F.broadcast(pi), F.col("i") == F.col("pi_i"))
+            .join(F.broadcast(pj), F.col("j") == F.col("pj_i"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("n").cast("double")
+                        / (F.col("p_i") + F.col("p_j")).cast("double"),
+                        9,
+                    ).cast("decimal(28,9)")
+                ).cast("decimal(38,9)").alias("den")
+            )
+        )
+        return (
+            wins.join(den, "i")
+            .filter((F.col("den") > 0) & (F.col("wi") > 0))
+            .select(
+                "i",
+                F.round(
+                    F.col("wi").cast("double") / F.col("den").cast("double"),
+                    6,
+                ).cast("decimal(18,6)").alias("p"),
+            )
+        )
+
+    for _ in range(_BT_ITERS):
+        p = mm_step(p)
+    tot = p.agg(F.sum("p").cast("decimal(38,6)").alias("sp"))
+    return (
+        p.join(wins, "i")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").alias("item"),
+            F.col("wi").cast("long").alias("wins"),
+            F.col("ni").cast("long").alias("comparisons"),
+            F.col("p").cast("double").alias("p_raw"),
+            (F.col("p").cast("double") / F.col("sp").cast("double")).alias(
+                "strength"
+            ),
+        )
+    )

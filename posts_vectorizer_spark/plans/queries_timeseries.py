@@ -1071,3 +1071,147 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen robust slope on the daily series
+# ---------------------------------------------------------------------------
+
+_MK_Z_CRIT = 1.96
+
+_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+         count(*) AS x
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.t AS ti, b.t AS tj, a.x AS xi, b.x AS xj,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+         CAST(b.x - a.x AS DOUBLE) / (b.t - a.t) AS slope
+  FROM daily a JOIN daily b ON b.t > a.t
+),
+s AS (SELECT count(*) AS n_pairs, sum(sgn) AS s FROM pairs),
+nn AS (SELECT count(*) AS n FROM daily),
+ties AS (
+  SELECT coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS tie_mass
+  FROM (SELECT x, count(*) AS c FROM daily GROUP BY x) WHERE c > 1
+),
+var_s AS (
+  SELECT (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_mass) AS v18
+  FROM nn, ties
+),
+med AS (
+  SELECT slope
+  FROM (
+    SELECT slope,
+           row_number() OVER (ORDER BY slope, ti, tj) AS r,
+           count(*) OVER () AS m
+    FROM pairs WHERE sgn <> 0
+  ) WHERE r = (m + 1) // 2
+)
+SELECT CAST(nn.n AS BIGINT) AS n_days,
+       CAST(s.s AS BIGINT) AS s,
+       CASE WHEN var_s.v18 > 0 THEN
+         CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(var_s.v18 / 18.0)
+              WHEN s.s < 0 THEN (s.s + 1) / sqrt(var_s.v18 / 18.0)
+              ELSE 0.0 END
+       END AS z,
+       CASE WHEN var_s.v18 > 0 THEN
+         abs(CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(var_s.v18 / 18.0)
+                  WHEN s.s < 0 THEN (s.s + 1) / sqrt(var_s.v18 / 18.0)
+                  ELSE 0.0 END) > 1.96
+       END AS significant,
+       (SELECT slope FROM med) AS theil_sen_slope
+FROM nn, s, var_s
+"""
+
+
+@register("events_mann_kendall_trend", oracle=_MANN_KENDALL_SQL, staged=True)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Theil-Sen robust slope over
+    the daily event-count series (built r9, staged r10) — the
+    distribution-free "is traffic drifting?" monitor that pairs with
+    events_acf_lags (seasonality) and events_cusum_changepoint (level
+    shifts): S = sum of pairwise sign(x_j - x_i) over ordered day
+    pairs is an exact integer, its tie-corrected variance
+    (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18 stays integer until ONE
+    sqrt of /18.0, and the continuity-corrected z uses the same
+    operator order in both engines. The Theil-Sen slope is the LOWER
+    MEDIAN of the nonzero pairwise slopes, picked by deterministic
+    rank (slope, then day pair) rather than an engine-specific
+    percentile function. All-tied series yield NULL z/significant;
+    the slope row is absent only when every pair ties.
+
+    Scale shape: one day-keyed count (the only data-sized, map-side
+    combinable pass); the pairwise grid is n_days^2 on the BOUNDED
+    day-level table (30 days -> 435 pairs at any data scale), the
+    rank window runs over those pairs only."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("t")
+    ).agg(F.count("*").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        F.col("a.t").alias("ti"),
+        F.col("b.t").alias("tj"),
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+    )
+    s = pairs.agg(F.sum("sgn").alias("s"))
+    nn = daily.agg(F.count("*").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)),
+                F.lit(0),
+            ).alias("tie_mass")
+        )
+    )
+    nonzero = pairs.filter(F.col("sgn") != 0)
+    ranked = nonzero.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope", "ti", "tj")).alias("r"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    # aggregate the single median row so an all-tied (or empty) pair set
+    # still yields ONE readout row with a NULL slope, matching the SQL
+    # scalar subquery's empty->NULL convention
+    med = (
+        ranked.filter(F.col("r") == F.floor((F.col("m") + 1) / 2))
+        .agg(F.min("slope").alias("theil_sen_slope"))
+    )
+    sc, n = F.col("s"), F.col("n")
+    v18 = n * (n - 1) * (2 * n + 5) - F.col("tie_mass")
+    z = (
+        F.when(sc > 0, (sc - 1) / F.sqrt(v18 / F.lit(18.0)))
+        .when(sc < 0, (sc + 1) / F.sqrt(v18 / F.lit(18.0)))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nn.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(med))
+        .select(
+            n.cast("long").alias("n_days"),
+            sc.cast("long").alias("s"),
+            F.when(v18 > 0, z).alias("z"),
+            F.when(v18 > 0, F.abs(z) > _MK_Z_CRIT).alias("significant"),
+            "theil_sen_slope",
+        )
+    )

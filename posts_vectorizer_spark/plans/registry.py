@@ -104,6 +104,14 @@ STAGED: dict[str, QueryDef] = {}
 #                                 jaccard set algebra, salted top-k)
 #   multimodal_adpcm_ingest      (REAL IMA ADPCM — adaptive 4-bit
 #                                 coding, recursive-CTE oracle)
+#   text_good_turing             (count-of-counts smoothing: r*,
+#                                 smoothed p, unseen mass)
+#   events_cmh_stratified_ab     (Cochran-Mantel-Haenszel stratified
+#                                 A/B — Simpson's-paradox-safe)
+#   events_bradley_terry         (pairwise-preference MM ranking,
+#                                 3 unrolled oracle-checked steps)
+#   events_mann_kendall_trend    (monotone-trend S + Theil-Sen
+#                                 lower-median slope)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

@@ -716,3 +716,106 @@ def test_welch_ttest_degenerate_groups_empty(spark, tmp_path):
     d.mkdir()
     _events(d, rows)
     assert resolve_query("events_welch_ttest")(spark, str(d)).count() == 0
+
+
+def test_cmh_stratified_detects_planted_within_stratum_lift(spark, tmp_path):
+    """events_cmh_stratified_ab on a 2-day planted fixture: hand-derive
+    the per-stratum deviations, variances, and MH odds-ratio terms and
+    compare; the planted within-stratum lift must be significant."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows, eid = [], 0
+    # day 1: v0 converts 8/10, v1 converts 2/10; day 2: 9/10 vs 3/10
+    plan = {("2024-01-01", 0): (10, 8), ("2024-01-01", 1): (10, 2),
+            ("2024-01-02", 0): (10, 9), ("2024-01-02", 1): (10, 3)}
+    uid = 0
+    for (day, variant), (n, x) in plan.items():
+        for k in range(n):
+            u = uid * 2 + variant
+            uid += 1
+            rows.append((eid, f"{day} 10:00:00", u, "view", 1.0)); eid += 1
+            if k < x:
+                rows.append((eid, f"{day} 11:00:00", u, "purchase", 1.0))
+                eid += 1
+    d = tmp_path / "cmh"
+    d.mkdir()
+    _events(d, rows)
+
+    [r] = resolve_query("events_cmh_stratified_ab")(spark, str(d)).collect()
+
+    sdev = svar = sor_n = sor_d = 0.0
+    for day in ("2024-01-01", "2024-01-02"):
+        a = plan[(day, 0)][1]; n0 = plan[(day, 0)][0]
+        b = plan[(day, 1)][1]; n1 = plan[(day, 1)][0]
+        t, m1 = n0 + n1, a + b
+        sdev += round(a - n0 * m1 / t, 9)
+        svar += round(n0 * n1 * m1 * (t - m1) / (t * t * (t - 1)), 9)
+        sor_n += round(a * (n1 - b) / t, 9)
+        sor_d += round(b * (n0 - a) / t, 9)
+    assert r["n_strata"] == 2
+    assert abs(r["chi2"] - sdev * sdev / svar) < 1e-9
+    assert r["significant"]
+    assert abs(r["odds_ratio_mh"] - sor_n / sor_d) < 1e-9
+    assert r["odds_ratio_mh"] > 1
+
+
+def test_bradley_terry_recovers_planted_order(spark, tmp_path):
+    """events_bradley_terry on a planted dominance hierarchy: users
+    emit a>b>c counts, so the MM strengths must rank a > b > c, wins
+    must match the duel algebra, and strengths must sum to 1."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows, eid = [], 0
+    for u in range(12):
+        counts = {"a": 5, "b": 3, "c": 1}
+        if u % 4 == 0:
+            counts = {"a": 2, "b": 4, "c": 1}  # some b>a upsets
+        for item, c in counts.items():
+            for _ in range(c):
+                rows.append((eid, f"2024-01-01 00:{eid % 60:02d}:00",
+                             u, item, 1.0))
+                eid += 1
+    d = tmp_path / "bt"
+    d.mkdir()
+    _events(d, rows)
+
+    out = {r["item"]: r for r in
+           resolve_query("events_bradley_terry")(spark, str(d)).collect()}
+    # c never wins a duel -> it drops from the ranking by the MM
+    # convention (its update is degenerate at 0)
+    assert set(out) == {"a", "b"}
+    # duel algebra: a beats b in 9/12 users, everyone beats c
+    assert out["a"]["wins"] == 9 + 12
+    assert out["b"]["wins"] == 3 + 12
+    assert out["a"]["comparisons"] == 12 + 12
+    assert abs(sum(r["strength"] for r in out.values()) - 1.0) < 1e-9
+    assert out["a"]["strength"] > out["b"]["strength"]
+
+
+def test_good_turing_count_of_counts_algebra(spark, tmp_path):
+    """text_good_turing on a planted vocabulary: hand-build the
+    count-of-counts table and check r*, p_gt, unseen mass, and the
+    adjacency-hole convention (no r+1 bucket -> NULL r_star)."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # vocabulary: 4 words once, 2 words twice, 1 word five times
+    text = " ".join(["w1", "w2", "w3", "w4"] + ["x1", "x2"] * 2
+                    + ["z"] * 5)
+    docs = make_docs(spark, [(0, text, "en")])
+    d = tmp_path / "gt"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+
+    out = {r["r"]: r for r in
+           resolve_query("text_good_turing")(spark, str(d)).collect()}
+    n = 4 * 1 + 2 * 2 + 1 * 5
+    assert set(out) == {1, 2, 5}
+    assert (out[1]["n_r"], out[2]["n_r"], out[5]["n_r"]) == (4, 2, 1)
+    # r=1: N_2=2 -> r* = 2*2/4 = 1.0; p_gt = 1/n; unseen = 4/n
+    assert out[1]["r_star"] == 1.0
+    assert out[1]["p_gt"] == 2 * 2 / (4 * n)
+    assert out[1]["unseen_mass"] == 4 / n
+    # r=2: N_3=0 (hole) -> NULL r_star/p_gt
+    assert out[2]["n_r_plus_1"] == 0 and out[2]["r_star"] is None
+    assert out[5]["r_star"] is None and out[5]["unseen_mass"] is None

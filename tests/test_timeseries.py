@@ -309,3 +309,75 @@ def test_acf_lags_constant_series_null(spark, tmp_path):
     _write_events(t, rows)
     out = resolve_query("events_acf_lags")(spark, str(t)).collect()
     assert len(out) == 7 and all(r["acf"] is None for r in out)
+
+
+def test_mann_kendall_planted_trend_and_theil_sen(spark, tmp_path):
+    """events_mann_kendall_trend on a planted rising series with ties:
+    hand-compute S, the tie-corrected variance, the continuity-
+    corrected z, and the lower-median pairwise slope."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    counts = {0: 2, 1: 4, 2: 4, 3: 7, 4: 9, 5: 9, 6: 12, 7: 15}
+    rows, eid = [], 0
+    for d, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{d + 1:02d} 05:00:00", eid % 3, 1.0))
+            eid += 1
+    t = tmp_path / "mk"
+    t.mkdir()
+    _write_events(t, rows)
+
+    [r] = resolve_query("events_mann_kendall_trend")(
+        spark, str(t)
+    ).collect()
+
+    days = sorted(counts)
+    import math
+    s_stat = sum(
+        (counts[j] > counts[i]) - (counts[j] < counts[i])
+        for a_, i in enumerate(days) for j in days[a_ + 1:]
+    )
+    n = len(days)
+    from collections import Counter
+    tie_mass = sum(
+        c * (c - 1) * (2 * c + 5)
+        for c in Counter(counts.values()).values() if c > 1
+    )
+    v18 = n * (n - 1) * (2 * n + 5) - tie_mass
+    z = (s_stat - 1) / math.sqrt(v18 / 18.0)
+    slopes = sorted(
+        (
+            (counts[j] - counts[i]) / (j - i),
+            i, j,
+        )
+        for a_, i in enumerate(days) for j in days[a_ + 1:]
+        if counts[j] != counts[i]
+    )
+    med = slopes[(len(slopes) + 1) // 2 - 1][0]
+    assert (r["n_days"], r["s"]) == (n, s_stat)
+    assert abs(r["z"] - z) < 1e-12
+    assert r["significant"]
+    assert r["theil_sen_slope"] == med
+    assert med > 0
+
+
+def test_mann_kendall_all_tied_null(spark, tmp_path):
+    """A constant daily series: S=0, variance reduces to 0 when every
+    day ties in one group -> NULL z, NULL slope, single readout row."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = [
+        (d * 3 + i, f"2024-03-{d + 1:02d} 0{i}:00:00", i, 1.0)
+        for d in range(6)
+        for i in range(3)
+    ]
+    t = tmp_path / "mkt"
+    t.mkdir()
+    _write_events(t, rows)
+    [r] = resolve_query("events_mann_kendall_trend")(
+        spark, str(t)
+    ).collect()
+    assert r["n_days"] == 6 and r["s"] == 0
+    assert r["theil_sen_slope"] is None
+    # n=6 all in one tie group: tie_mass == n(n-1)(2n+5) -> v18 = 0
+    assert r["z"] is None and r["significant"] is None

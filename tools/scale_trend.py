@@ -300,6 +300,18 @@ def main(only: list[str] | None = None) -> None:
         "mannwhitney_ab": lambda k: SQ["events_mannwhitney_ab"](
             spark, table_dir("events", k, "events")
         ),
+        "mann_kendall": lambda k: SQ["events_mann_kendall_trend"](
+            spark, table_dir("events", k, "events")
+        ),
+        "good_turing": lambda k: SQ["text_good_turing"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "cmh_stratified_ab": lambda k: SQ["events_cmh_stratified_ab"](
+            spark, table_dir("events", k, "events")
+        ),
+        "bradley_terry": lambda k: SQ["events_bradley_terry"](
+            spark, table_dir("events", k, "events")
+        ),
         "conformal_threshold": lambda k: SQ["curation_conformal_threshold"](
             spark, table_dir("docs_plain", k, "documents")
         ),
@@ -368,12 +380,21 @@ def main(only: list[str] | None = None) -> None:
         operators = {n: f for n, f in operators.items() if n in only}
 
     results = {}
+    from posts_vectorizer_spark.cache import release_caches
+
     for name, build in operators.items():
         bench.force(build(1))  # warmup, unmeasured
+        release_caches()
         runs = []
         for k in SCALES:
             best = None
             for _ in range(2):
+                # drop tracked persists from prior runs: Spark's
+                # CacheManager matches canonicalized plans, so a fresh
+                # build(k) would otherwise silently reuse the previous
+                # run's cached mid-plan relation and the trend would
+                # measure warm-cache cost, not the per-run plan
+                release_caches()
                 before = bench._settled_snapshot(spark)
                 t0 = time.perf_counter()
                 bench.force(build(k))
