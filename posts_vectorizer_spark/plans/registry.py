@@ -112,6 +112,8 @@ STAGED: dict[str, QueryDef] = {}
 #                                 3 unrolled oracle-checked steps)
 #   events_mann_kendall_trend    (monotone-trend S + Theil-Sen
 #                                 lower-median slope)
+#   events_holt_winters          (triple exponential smoothing in
+#                                 exact decimal, recursive oracle)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

@@ -381,3 +381,69 @@ def test_mann_kendall_all_tied_null(spark, tmp_path):
     assert r["theil_sen_slope"] is None
     # n=6 all in one tie group: tie_mass == n(n-1)(2n+5) -> v18 = 0
     assert r["z"] is None and r["significant"] is None
+
+
+def test_holt_winters_planted_vs_decimal_reference(spark, tmp_path):
+    """events_holt_winters against an independent exact-decimal
+    reference fold on a planted weekly series with trend; the fit
+    must track the cycle (fit error << seasonal amplitude)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    weekly = [5, 9, 13, 9, 6, 3, 1]
+    counts = {d: weekly[d % 7] + d // 7 for d in range(23)}  # trend +1/wk
+    rows, eid = [], 0
+    for d, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{d + 1:02d} 04:00:00", eid % 5, 1.0))
+            eid += 1
+    t = tmp_path / "hw"
+    t.mkdir()
+    _write_events(t, rows)
+
+    got = {
+        str(r["day"]): r
+        for r in resolve_query("events_holt_winters")(
+            spark, str(t)
+        ).collect()
+    }
+
+    m, q = 7, Decimal("0.000001")
+    r6 = lambda v: v.quantize(q, rounding=ROUND_HALF_UP)
+    xs = [Decimal(counts[d]) for d in range(23)]
+    a1, a2 = r6(sum(xs[:m]) / m), r6(sum(xs[m : 2 * m]) / m)
+    lv, b = a1, r6((a2 - a1) / m)
+    s = [r6(x - a1) for x in xs[:m]]
+    al, be, ga = Decimal("0.3"), Decimal("0.1"), Decimal("0.2")
+    assert len(got) == 23 - m
+    for t_ in range(m, 23):
+        fitted = r6(lv + b + s[0])
+        lvp = r6(al * (xs[t_] - s[0]) + (1 - al) * (lv + b))
+        bp = r6(be * (lvp - lv) + (1 - be) * b)
+        st = r6(ga * (xs[t_] - lvp) + (1 - ga) * s[0])
+        s = s[1:] + [st]
+        lv, b = lvp, bp
+        r = got[f"2024-01-{t_ + 1:02d}"]
+        assert r["x"] == int(xs[t_])
+        assert r["fitted"] == float(fitted)
+        assert r["residual"] == float(r6(xs[t_] - fitted))
+    # the weekly cycle + linear trend is exactly the model's shape:
+    # every one-step-ahead residual stays well inside the amplitude
+    assert max(abs(r["residual"]) for r in got.values()) < 4.0
+
+
+def test_holt_winters_short_series_empty(spark, tmp_path):
+    """Under two full seasons there is nothing to initialize from:
+    the readout is empty, matching the oracle's n >= 2m guard."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = [
+        (d * 2 + i, f"2024-02-{d + 1:02d} 0{i}:00:00", i, 1.0)
+        for d in range(13)
+        for i in range(2)
+    ]
+    t = tmp_path / "hws"
+    t.mkdir()
+    _write_events(t, rows)
+    assert resolve_query("events_holt_winters")(spark, str(t)).count() == 0

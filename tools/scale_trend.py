@@ -300,6 +300,9 @@ def main(only: list[str] | None = None) -> None:
         "mannwhitney_ab": lambda k: SQ["events_mannwhitney_ab"](
             spark, table_dir("events", k, "events")
         ),
+        "holt_winters": lambda k: SQ["events_holt_winters"](
+            spark, table_dir("events", k, "events")
+        ),
         "mann_kendall": lambda k: SQ["events_mann_kendall_trend"](
             spark, table_dir("events", k, "events")
         ),
