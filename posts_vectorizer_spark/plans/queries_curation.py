@@ -1840,3 +1840,182 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             r == 1, n_r.cast("double") / F.col("n_tokens")
         ).alias("unseen_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget waterfill across sources (3 unrolled redistribution rounds)
+# ---------------------------------------------------------------------------
+
+_WF_BUDGET_NUM, _WF_BUDGET_DEN = 1, 2  # budget = floor(total_tokens / 2)
+
+_WATERFILL_SQL = f"""
+WITH supply AS (
+  SELECT source, sum({T.token_count_sql('text')}) AS supply
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(supply) AS total,
+         sum(supply) * {_WF_BUDGET_NUM} // {_WF_BUDGET_DEN} AS budget
+  FROM supply
+),
+-- round 1
+a1 AS (
+  SELECT s.source, s.supply,
+         row_number() OVER (ORDER BY s.source) AS rk,
+         count(*) OVER () AS k, tot.budget AS r
+  FROM supply s, tot WHERE s.supply > 0
+),
+g1 AS (
+  SELECT source, supply,
+         LEAST(supply, r // k + CASE WHEN rk <= r % k THEN 1 ELSE 0 END)
+           AS give
+  FROM a1
+),
+s1 AS (
+  SELECT source, supply, give AS alloc, supply - give AS lft FROM g1
+),
+r1 AS (SELECT tot.budget - (SELECT sum(give) FROM g1) AS r FROM tot),
+-- round 2
+a2 AS (
+  SELECT s1.source, s1.supply, s1.alloc, s1.lft,
+         row_number() OVER (ORDER BY s1.source) AS rk,
+         count(*) OVER () AS k, r1.r
+  FROM s1, r1 WHERE s1.lft > 0 AND r1.r > 0
+),
+g2 AS (
+  SELECT source,
+         LEAST(lft, r // k + CASE WHEN rk <= r % k THEN 1 ELSE 0 END) AS give
+  FROM a2
+),
+s2 AS (
+  SELECT s1.source, s1.supply,
+         s1.alloc + coalesce(g2.give, 0) AS alloc,
+         s1.lft - coalesce(g2.give, 0) AS lft
+  FROM s1 LEFT JOIN g2 USING (source)
+),
+r2 AS (SELECT r1.r - coalesce((SELECT sum(give) FROM g2), 0) AS r FROM r1),
+-- round 3
+a3 AS (
+  SELECT s2.source, s2.supply, s2.alloc, s2.lft,
+         row_number() OVER (ORDER BY s2.source) AS rk,
+         count(*) OVER () AS k, r2.r
+  FROM s2, r2 WHERE s2.lft > 0 AND r2.r > 0
+),
+g3 AS (
+  SELECT source,
+         LEAST(lft, r // k + CASE WHEN rk <= r % k THEN 1 ELSE 0 END) AS give
+  FROM a3
+),
+s3 AS (
+  SELECT s2.source, s2.supply,
+         s2.alloc + coalesce(g3.give, 0) AS alloc,
+         s2.lft - coalesce(g3.give, 0) AS lft
+  FROM s2 LEFT JOIN g3 USING (source)
+),
+r3 AS (SELECT r2.r - coalesce((SELECT sum(give) FROM g3), 0) AS r FROM r2)
+SELECT s3.source,
+       CAST(s3.supply AS BIGINT) AS supply_tokens,
+       CAST(s3.alloc AS BIGINT) AS allocated_tokens,
+       s3.lft = 0 AS exhausted,
+       CAST(tot.budget AS BIGINT) AS budget,
+       CAST(r3.r AS BIGINT) AS budget_left
+FROM s3, tot, r3
+"""
+
+
+@register("curation_token_waterfill", oracle=_WATERFILL_SQL, staged=True)
+def curation_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfill across sources (built r9, staged r10) —
+    the allocation step of training-data mixing: given a token budget
+    (here floor(total/2)) and an equal target share per source, give
+    each source its share, cap at what the source actually has, and
+    redistribute the shortfall among non-exhausted sources — THREE
+    unrolled redistribution rounds (the unrolled-iteration
+    convention). Everything is EXACT INTEGER arithmetic: each round
+    splits the remaining budget by floor-division with the
+    largest-remainder extra token going to the first (budget mod k)
+    active sources in source-name order (the deterministic tiebreak
+    rel_largest_remainder_alloc established), so both engines produce
+    identical allocations token-for-token with no float anywhere.
+
+    Scale shape: one source-keyed token-count aggregate (map-side
+    combinable; the only data-sized pass); all three rounds run on the
+    bounded source-level table with 1-row budget broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    supply = docs.groupBy("source").agg(
+        F.sum(T.token_count("text")).alias("supply")
+    )
+    tot = supply.agg(
+        F.sum("supply").alias("total"),
+        F.floor(
+            F.sum("supply") * _WF_BUDGET_NUM / _WF_BUDGET_DEN
+        ).alias("budget"),
+    )
+
+    def one_round(state, r_df):
+        """state: (source, supply, alloc, lft); r_df: 1-row (r)."""
+        active = (
+            state.crossJoin(F.broadcast(r_df))
+            .filter((F.col("lft") > 0) & (F.col("r") > 0))
+            .withColumn(
+                "rk", F.row_number().over(Window.orderBy("source"))
+            )
+            .withColumn(
+                "k",
+                F.count("*").over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding,
+                        Window.unboundedFollowing,
+                    )
+                ),
+            )
+        )
+        give = active.select(
+            "source",
+            F.least(
+                F.col("lft"),
+                F.floor(F.col("r") / F.col("k"))
+                + F.when(
+                    F.col("rk") <= F.col("r") % F.col("k"), 1
+                ).otherwise(0),
+            ).alias("give"),
+        )
+        new_state = (
+            state.join(F.broadcast(give), "source", "left")
+            .select(
+                "source", "supply",
+                (F.col("alloc") + F.coalesce(F.col("give"), F.lit(0)))
+                .alias("alloc"),
+                (F.col("lft") - F.coalesce(F.col("give"), F.lit(0)))
+                .alias("lft"),
+            )
+        )
+        spent = give.agg(
+            F.coalesce(F.sum("give"), F.lit(0)).alias("spent")
+        )
+        new_r = (
+            r_df.crossJoin(F.broadcast(spent))
+            .select((F.col("r") - F.col("spent")).alias("r"))
+        )
+        return new_state, new_r
+
+    state = supply.filter(F.col("supply") > 0).select(
+        "source", "supply",
+        F.lit(0).cast("long").alias("alloc"),
+        F.col("supply").alias("lft"),
+    )
+    r_df = tot.select(F.col("budget").alias("r"))
+    for _ in range(3):
+        state, r_df = one_round(state, r_df)
+    return (
+        state.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(r_df))
+        .select(
+            "source",
+            F.col("supply").cast("long").alias("supply_tokens"),
+            F.col("alloc").cast("long").alias("allocated_tokens"),
+            (F.col("lft") == 0).alias("exhausted"),
+            F.col("budget").cast("long").alias("budget"),
+            F.col("r").cast("long").alias("budget_left"),
+        )
+    )

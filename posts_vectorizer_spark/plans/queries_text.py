@@ -154,3 +154,92 @@ def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("n_chars").cast("double") / F.ceil(F.col("n_chars") / 4.0)), 6
         ).cast("double").alias("avg_chars_per_bpe_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# word burstiness (Fano factor) over per-doc occurrence counts
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_TOTAL = 8  # report words with at least this many occurrences
+
+
+_BURSTINESS_SQL = f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+dc AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest({textstats.T.tokens_sql('text')}) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+),
+wm AS (
+  SELECT word,
+         count(*) AS n_present,
+         sum(c) AS s1,
+         sum(c * c) AS s2
+  FROM dc GROUP BY word
+  HAVING sum(c) >= {_BURST_MIN_TOTAL}
+)
+SELECT wm.word,
+       CAST(wm.n_present AS BIGINT) AS n_docs_present,
+       CAST(wm.s1 AS BIGINT) AS total_count,
+       CAST(wm.s1 AS DOUBLE) / n.n_docs AS mean_per_doc,
+       CASE WHEN wm.s1 > 0 THEN
+         CAST(n.n_docs * wm.s2 - wm.s1 * wm.s1 AS DOUBLE)
+           / (CAST(wm.s1 AS DOUBLE) * (n.n_docs - 1))
+       END AS fano
+FROM wm, n WHERE n.n_docs > 1
+"""
+
+
+@register("text_burstiness", oracle=_BURSTINESS_SQL, staged=True)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness via the Fano factor (built r9, staged r10) —
+    the corpus-linguistics dispersion signal that separates FUNCTION
+    words (Poisson-like, fano ~= 1: their count just tracks doc
+    length) from bursty CONTENT/boilerplate words (fano >> 1: absent
+    almost everywhere, piled up where they occur). Over per-doc
+    occurrence counts c_d (zero-inflated across all n docs), the
+    sample variance-to-mean ratio reduces to
+    (n*S2 - S1^2) / (S1*(n-1)) with S1 = sum c, S2 = sum c^2 — EXACT
+    integers from one (doc, word) count, so fano is ONE double
+    division, bit-identical cross-engine. Words below {_BURST_MIN_TOTAL}
+    total occurrences are left out (their Fano estimate is noise).
+
+    Scale shape: one (doc, word) count then one word-keyed moment
+    aggregate — the idf_table shuffle pair, both map-side combinable;
+    the 1-row doc count broadcasts. Output is vocab-sized (a table,
+    like the IDF table), never collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    dc = (
+        docs.select(
+            "doc_id", F.explode(textstats.T.tokens("text")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    wm = (
+        dc.groupBy("word")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .filter(F.col("s1") >= _BURST_MIN_TOTAL)
+    )
+    nd, s1, s2 = F.col("n_docs"), F.col("s1"), F.col("s2")
+    return (
+        wm.crossJoin(F.broadcast(n))
+        .filter(nd > 1)
+        .select(
+            "word",
+            F.col("n_present").cast("long").alias("n_docs_present"),
+            s1.cast("long").alias("total_count"),
+            (s1.cast("double") / nd).alias("mean_per_doc"),
+            F.when(
+                s1 > 0,
+                (nd * s2 - s1 * s1).cast("double")
+                / (s1.cast("double") * (nd - 1)),
+            ).alias("fano"),
+        )
+    )

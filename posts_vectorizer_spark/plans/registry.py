@@ -114,6 +114,10 @@ STAGED: dict[str, QueryDef] = {}
 #                                 lower-median slope)
 #   events_holt_winters          (triple exponential smoothing in
 #                                 exact decimal, recursive oracle)
+#   text_burstiness              (Fano-factor word dispersion from
+#                                 exact integer moments)
+#   curation_token_waterfill     (integer waterfill token budgeter,
+#                                 3 unrolled redistribution rounds)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

@@ -317,3 +317,98 @@ def test_rouge_lead_eval_hand_computed(spark, tmp_path):
     assert rows[2]["rouge1_precision"] == 1.0
     # 1-token doc: no bigrams anywhere
     assert rows[3]["n2_ref"] == 0 and rows[3]["rouge2_recall"] is None
+
+
+def test_burstiness_separates_uniform_from_bursty(spark, tmp_path):
+    """text_burstiness on a planted corpus: a word spread evenly over
+    every doc scores fano < 1 (sub-Poisson), a word piled into one doc
+    scores fano >> 1; values match the exact integer moment algebra."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    n = 10
+    rows = []
+    for d in range(n):
+        words = ["the"] * 2                     # uniform: 2 in EVERY doc
+        if d == 0:
+            words += ["spam"] * 20              # bursty: all in doc 0
+        words += [f"pad{d}"]                    # below the min-total bar
+        rows.append((d, " ".join(words), "en"))
+    docs = make_docs(spark, rows)
+    t = tmp_path / "burst"
+    t.mkdir()
+    docs.write.parquet(str(t / "documents.parquet"))
+
+    out = {r["word"]: r for r in
+           resolve_query("text_burstiness")(spark, str(t)).collect()}
+    assert set(out) == {"the", "spam"}  # pads filtered by min-total
+
+    def fano(counts):
+        s1 = sum(counts)
+        s2 = sum(c * c for c in counts)
+        return (n * s2 - s1 * s1) / (s1 * (n - 1))
+
+    the = out["the"]
+    assert (the["n_docs_present"], the["total_count"]) == (n, 2 * n)
+    assert the["mean_per_doc"] == 2.0
+    assert the["fano"] == fano([2] * n) == 0.0  # constant -> zero variance
+    spam = out["spam"]
+    assert (spam["n_docs_present"], spam["total_count"]) == (1, 20)
+    assert spam["fano"] == fano([20] + [0] * (n - 1))
+    assert spam["fano"] > 15  # maximally bursty
+
+
+def test_token_waterfill_exhaustion_and_redistribution(spark, tmp_path):
+    """curation_token_waterfill against an independent Python replica
+    of the integer waterfill on a fixture where one source exhausts in
+    round 1 and another in round 2, forcing real redistribution."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # supplies: a=4, b=30, c=100 tokens -> budget = 67
+    sizes = {"a": 4, "b": 30, "c": 100}
+    rows, did = [], 0
+    for src, tok in sizes.items():
+        rows.append((did, " ".join(["w"] * tok), "en", src))
+        did += 1
+    docs = make_docs(spark, [(i, t, lg) for i, t, lg, _ in rows])
+    import pandas as pd
+    pdf = docs.toPandas()
+    pdf["source"] = [r[3] for r in rows]
+    t = tmp_path / "wf"
+    t.mkdir()
+    pdf.to_parquet(t / "documents.parquet")
+
+    out = {r["source"]: r for r in
+           resolve_query("curation_token_waterfill")(
+               spark, str(t)
+           ).collect()}
+
+    def waterfill(supply, budget, rounds=3):
+        alloc = {s: 0 for s in supply}
+        left = dict(supply)
+        r = budget
+        for _ in range(rounds):
+            active = sorted(s for s in left if left[s] > 0)
+            if not active or r <= 0:
+                break
+            base, rem = divmod(r, len(active))
+            for rk, s in enumerate(active, 1):
+                give = min(left[s], base + (1 if rk <= rem else 0))
+                alloc[s] += give
+                left[s] -= give
+                r -= give
+        return alloc, r
+
+    budget = sum(sizes.values()) // 2
+    exp_alloc, exp_left = waterfill(sizes, budget)
+    assert exp_alloc == {"a": 4, "b": 30, "c": 33}  # fixture sanity
+    for s in sizes:
+        r = out[s]
+        assert r["supply_tokens"] == sizes[s]
+        assert r["allocated_tokens"] == exp_alloc[s]
+        assert r["exhausted"] == (exp_alloc[s] == sizes[s])
+        assert r["budget"] == budget
+        assert r["budget_left"] == exp_left
+    assert sum(r["allocated_tokens"] for r in out.values()) + exp_left \
+        == budget

@@ -306,6 +306,12 @@ def main(only: list[str] | None = None) -> None:
         "mann_kendall": lambda k: SQ["events_mann_kendall_trend"](
             spark, table_dir("events", k, "events")
         ),
+        "burstiness": lambda k: SQ["text_burstiness"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "token_waterfill": lambda k: SQ["curation_token_waterfill"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "good_turing": lambda k: SQ["text_good_turing"](
             spark, table_dir("docs_plain", k, "documents")
         ),
