@@ -1388,3 +1388,39 @@ def stream_zscore_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id long, md2 double, rk int"
         )
     return zscore_readout(emb, state.select("dim", "s1", "s2", "n"))
+
+
+from .queries_sketch import _KMV_SET_OPS_SQL
+
+
+@register("stream_kmv_drain", oracle=_KMV_SET_OPS_SQL, staged=True)
+def stream_kmv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV bottom-k maintenance with a driver row (built r9
+    session 3, staged r10): events stream in TWO forced micro-batches;
+    each batch unions its side-tagged distinct hashes with the standing
+    bottom-k state and re-takes the bottom-k, REPLACE-merged under
+    (side, rank) keys (streaming/worker.py::kmv_bottomk_stream). The
+    set-ops readout (per-side estimates, union estimate, KMV Jaccard)
+    is a pure function of the sketch state shared verbatim with the
+    batch query, and bottomk(state ∪ delta) is monotone + idempotent,
+    so the batch split cannot move a single sketch value — the oracle
+    is events_kmv_set_ops' one-pass twin, making the ORDER-STATISTIC
+    merge the fourth driver-hash-checked sketch-maintenance family
+    (DDSketch/CMS merge by +, HLL by max, KMV by bottom-k)."""
+    from ..streaming.worker import kmv_bottomk_stream
+    from .queries_sketch import kmv_set_ops_readout
+
+    events = load_table(spark, sf_dir, "events")
+    state = _forced_drain(
+        spark, events, "event_id",
+        lambda src, st, ck, mft: kmv_bottomk_stream(
+            spark, src, events.schema, st, ck, max_files_per_trigger=mft
+        ),
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "k_a long, k_b long, k_union long, both_in_union long,"
+            " est_a double, est_b double, est_union double, jaccard double",
+        )
+    return kmv_set_ops_readout(state.select("s", "h"))

@@ -990,8 +990,15 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the naive global window lives only in the DuckDB twin). Sketch
     algebra downstream touches <= 2k rows."""
     events = load_table(spark, sf_dir, "events")
+    return kmv_set_ops_readout(kmv_bottomk(kmv_event_hashes(events)))
+
+
+def kmv_event_hashes(events: DataFrame) -> DataFrame:
+    """(s, h) distinct side-tagged portable hashes for the KMV pair
+    (side 0 = clickers, side 1 = purchasers) — the ONE copy of the
+    hash+filter, shared by the batch query and the streaming drain."""
     hb = (F.col("user_id") * _HLL_MULT + 7919) % T.HASH_MOD
-    h = (
+    return (
         events.filter(F.col("event_type").isin("click", "purchase"))
         .select(
             F.when(F.col("event_type") == "click", 0).otherwise(1).alias("s"),
@@ -999,8 +1006,13 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # two-level top-k: per-salt partial rank bounds every window group,
-    # then the global per-side rank runs over <= SALT*K survivors
+
+
+def kmv_bottomk(h: DataFrame) -> DataFrame:
+    """(s, h) distinct hashes -> the bottom-k sketch (s, r, h) per side
+    via the salted two-level top-k (no data-sized single-partition
+    window). Shared by the batch query and the streaming maintenance
+    path."""
     part = (
         h.withColumn("salt", F.col("h") % _KMV_SALT)
         .withColumn(
@@ -1011,16 +1023,22 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pr") <= _KMV_K)
     )
-    counts = h.groupBy("s").agg(F.count("*").alias("n_distinct"))
-    sk = (
+    return (
         part.withColumn(
             "r", F.row_number().over(Window.partitionBy("s").orderBy("h"))
         )
         .filter(F.col("r") <= _KMV_K)
-        .join(F.broadcast(counts), "s")
+        .select("s", "r", "h")
     )
+
+
+def kmv_set_ops_readout(sk: DataFrame) -> DataFrame:
+    """1-row KMV set-ops readout from bottom-k sketches (s, h) — a pure
+    function of the sketch state, so the batch query and the streaming
+    drain share it verbatim. Below k the sketch IS the side's distinct
+    set, so the sketch size doubles as the exact count; above k the
+    (k-1)*M/h_(k) estimator applies."""
     est = sk.groupBy("s").agg(
-        F.max("n_distinct").alias("nd"),
         F.count("*").alias("kk"),
         F.max("h").alias("hk"),
     )
@@ -1041,10 +1059,8 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = est.agg(
         F.max(F.when(s0, F.col("kk"))).alias("ka"),
         F.max(F.when(s0, F.col("hk"))).alias("ha"),
-        F.max(F.when(s0, F.col("nd"))).alias("nda"),
         F.max(F.when(~s0, F.col("kk"))).alias("kb"),
         F.max(F.when(~s0, F.col("hk"))).alias("hb"),
-        F.max(F.when(~s0, F.col("nd"))).alias("ndb"),
     )
     km1m = F.lit((_KMV_K - 1) * T.HASH_MOD).cast("double")
     return wide.crossJoin(F.broadcast(uest)).select(
@@ -1053,10 +1069,10 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uk").cast("long").alias("k_union"),
         F.col("both_k").cast("long").alias("both_in_union"),
         F.when(
-            F.col("ka") < _KMV_K, F.col("nda").cast("double")
+            F.col("ka") < _KMV_K, F.col("ka").cast("double")
         ).otherwise(km1m / F.col("ha")).alias("est_a"),
         F.when(
-            F.col("kb") < _KMV_K, F.col("ndb").cast("double")
+            F.col("kb") < _KMV_K, F.col("kb").cast("double")
         ).otherwise(km1m / F.col("hb")).alias("est_b"),
         F.when(
             F.col("uk") < _KMV_K, F.col("uk").cast("double")

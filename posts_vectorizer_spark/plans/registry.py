@@ -118,6 +118,8 @@ STAGED: dict[str, QueryDef] = {}
 #                                 exact integer moments)
 #   curation_token_waterfill     (integer waterfill token budgeter,
 #                                 3 unrolled redistribution rounds)
+#   stream_kmv_drain             (bottom-k sketch maintenance —
+#                                 the 4th merge family: order stats)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

@@ -986,3 +986,54 @@ def zscore_moment_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kmv_bottomk_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental KMV (bottom-k) sketch maintenance: each micro-batch
+    of events computes its side-tagged distinct hashes, unions them
+    with the standing bottom-k state, and re-takes the bottom-k —
+    state re-keyed (s, rank) and REPLACE-merged (the rank set only
+    ever grows toward k, so no deletes arise). bottomk(state ∪ delta)
+    is monotone and idempotent: a replayed batch's values are already
+    at-or-above the standing kth minimum, so replay is a structural
+    no-op even before the sink ledger — the same split-invariance
+    argument as HLL's register max, for an order-statistic sketch.
+
+    At 100 TB: per-batch cost is the batch's salted two-level top-k
+    plus a union with a <= 2k-row state table; the standing state
+    never exceeds k rows per side no matter how many events streamed."""
+    from ..plans.queries_sketch import (
+        kmv_bottomk,
+        kmv_event_hashes,
+    )
+    from ..sources.sinks import merge_upsert_parquet, read_merged
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = kmv_event_hashes(batch_df).select("s", "h")
+        state = read_merged(spark, state_dir)
+        pool = (
+            delta
+            if state is None
+            else delta.unionByName(state.select("s", "h")).distinct()
+        )
+        new_state = kmv_bottomk(pool)
+        merge_upsert_parquet(spark, new_state, state_dir, ["s", "r"])
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

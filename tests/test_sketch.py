@@ -445,3 +445,24 @@ def test_kmv_above_k_matches_python_replica_and_error_bound(spark, tmp_path):
     assert abs(r["est_b"] - 400) / 400 < 0.375
     assert abs(r["est_union"] - 700) / 700 < 0.375
     assert abs(r["jaccard"] - 200 / 700) < 0.2
+
+
+def test_stream_kmv_drain_equals_batch(spark, tmp_path):
+    """stream_kmv_drain's merged-state readout must equal the one-pass
+    batch query exactly: bottomk(state ∪ delta) is monotone and
+    idempotent, so the forced two-batch split cannot move a value.
+    Fixture crosses k=64 on one side so the estimator path (not just
+    the exact below-k path) is exercised through the stream."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    t = tmp_path / "kmvd"
+    t.mkdir()
+    _write_kmv_events(t, clickers=range(200), buyers=range(150, 190))
+
+    batch = resolve_query("events_kmv_set_ops")(spark, str(t)).collect()
+    drain = resolve_query("stream_kmv_drain")(spark, str(t)).collect()
+    assert [r.asDict() for r in drain] == [r.asDict() for r in batch]
+    [r] = drain
+    assert r["k_a"] == 64          # clicker side crossed k
+    assert r["k_b"] == 40          # buyer side still exact
+    assert r["est_b"] == 40.0

@@ -333,6 +333,9 @@ def main(only: list[str] | None = None) -> None:
         "acf_lags": lambda k: SQ["events_acf_lags"](
             spark, table_dir("events", k, "events")
         ),
+        "kmv_drain": lambda k: SQ["stream_kmv_drain"](
+            spark, table_dir("events", k, "events")
+        ),
         "kmv_set_ops": lambda k: SQ["events_kmv_set_ops"](
             spark, table_dir("events", k, "events")
         ),
