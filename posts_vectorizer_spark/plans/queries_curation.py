@@ -2019,3 +2019,113 @@ def curation_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("long").alias("budget_left"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# reliability diagram + expected calibration error
+# ---------------------------------------------------------------------------
+
+_RELIA_BINS = 10
+
+_RELIABILITY_SQL = f"""
+WITH scored AS (
+  SELECT CAST(round(
+           CAST(len(list_distinct({T.tokens_sql('text')})) AS DOUBLE)
+             / len({T.tokens_sql('text')}), 6) AS DECIMAL(18,6)) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE len({T.tokens_sql('text')}) > 0
+),
+binned AS (
+  SELECT LEAST(CAST(floor(s * {_RELIA_BINS}) AS BIGINT),
+               {_RELIA_BINS - 1}) AS bin,
+         s, y
+  FROM scored
+),
+bins AS (
+  SELECT bin, count(*) AS n,
+         CAST(sum(s) AS DECIMAL(38,6)) AS s_sum,
+         sum(y) AS y_sum
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT sum(n) AS total FROM bins),
+per AS (
+  SELECT bin, n,
+         CAST(s_sum AS DOUBLE) / n AS mean_score,
+         CAST(y_sum AS DOUBLE) / n AS frac_positive,
+         CAST(round(
+           n * abs(CAST(s_sum AS DOUBLE) / n
+                   - CAST(y_sum AS DOUBLE) / n), 9)
+           AS DECIMAL(28,9)) AS ece_term
+  FROM bins
+)
+SELECT per.bin, CAST(per.n AS BIGINT) AS n,
+       per.mean_score, per.frac_positive,
+       CAST((SELECT CAST(sum(ece_term) AS DECIMAL(38,9)) FROM per)
+            AS DOUBLE) / tot.total AS ece
+FROM per, tot
+"""
+
+
+@register("curation_reliability_diagram", oracle=_RELIABILITY_SQL,
+          staged=True)
+def curation_reliability_diagram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (built r9
+    session 3, staged r10) — the eval that tells a pipeline whether a
+    confidence-like score MEANS what it says before the score gates
+    anything (the measurement companion to curation_platt_calibration,
+    which FIXES miscalibration, and curation_conformal_threshold,
+    which sidesteps it): scores (per-doc distinct-token ratio, round-6
+    like Platt's signal) bucket into {_RELIA_BINS} equal-width bins;
+    each bin reports its mean score (confidence) beside its empirical
+    positive rate, and ECE = sum_b n_b/N * |conf_b - acc_b| rides
+    every row. Per-bin sums add round-6 DECIMALs (exact, order-free);
+    each |conf - acc| gap is a double expression over those exact
+    sums, and the ECE terms round to 9dp DECIMAL before their exact
+    sum — the chi2/PSI discipline — so the one readout double is ONE
+    division, bit-identical cross-engine. The top bin is closed
+    (score 1.0 joins bin {_RELIA_BINS - 1}).
+
+    Scale shape: one scan-stage score, one {_RELIA_BINS}-key map-side
+    combinable aggregate, a 1-row total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    scored = docs.where(F.size(toks) > 0).select(
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).cast("decimal(18,6)").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("s") * _RELIA_BINS).cast("long"),
+            F.lit(_RELIA_BINS - 1),
+        ).alias("bin"),
+        "s", "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("s").cast("decimal(38,6)").alias("s_sum"),
+        F.sum("y").alias("y_sum"),
+    )
+    mean_score = F.col("s_sum").cast("double") / F.col("n")
+    frac_pos = F.col("y_sum").cast("double") / F.col("n")
+    per = bins.select(
+        "bin", "n",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_positive"),
+        F.round(
+            F.col("n") * F.abs(mean_score - frac_pos), 9
+        ).cast("decimal(28,9)").alias("ece_term"),
+    )
+    ece = per.agg(
+        F.sum("ece_term").cast("decimal(38,9)").alias("ece_num"),
+        F.sum("n").alias("total"),
+    )
+    return per.crossJoin(F.broadcast(ece)).select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        "mean_score", "frac_positive",
+        (F.col("ece_num").cast("double") / F.col("total")).alias("ece"),
+    )

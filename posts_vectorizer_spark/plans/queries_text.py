@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..operators import textstats
 from ..sources import load_table
@@ -242,4 +243,158 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (s1.cast("double") * (nd - 1)),
             ).alias("fano"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (stopword-delimited phrases, degree/frequency)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "you", "that", "it",
+    "he", "was", "for", "on", "are", "as", "with", "his", "they",
+    "at", "be", "this", "have", "from", "or", "an", "by", "we",
+)
+_RAKE_TOPK = 3
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+
+_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {textstats.T.tokens_sql('text')} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+  FROM toks WHERE len(t) > 0
+),
+w AS (
+  SELECT doc_id, p, t[p] AS word,
+         CASE WHEN t[p] IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS stop
+  FROM pos
+),
+g AS (
+  SELECT doc_id, p, word, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM w
+),
+member AS (SELECT doc_id, grp, p, word FROM g WHERE stop = 0),
+phrase AS (
+  SELECT doc_id, grp,
+         string_agg(word, ' ' ORDER BY p) AS phrase,
+         count(*) AS n_words
+  FROM member GROUP BY doc_id, grp
+),
+ws AS (
+  SELECT m.doc_id, m.word,
+         count(*) AS freq,
+         sum(ph.n_words) AS deg
+  FROM member m JOIN phrase ph USING (doc_id, grp)
+  GROUP BY m.doc_id, m.word
+),
+pscore AS (
+  SELECT m.doc_id, m.grp,
+         CAST(sum(CAST(round(CAST(ws.deg AS DOUBLE) / ws.freq, 9)
+                  AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS score
+  FROM member m JOIN ws ON ws.doc_id = m.doc_id AND ws.word = m.word
+  GROUP BY m.doc_id, m.grp
+),
+ranked AS (
+  SELECT ph.doc_id, ph.phrase, ph.n_words,
+         CAST(ps.score AS DOUBLE) AS score,
+         row_number() OVER (
+           PARTITION BY ph.doc_id
+           ORDER BY ps.score DESC, ph.phrase, ph.grp
+         ) AS rank
+  FROM phrase ph JOIN pscore ps USING (doc_id, grp)
+)
+SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words, score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_RAKE_TOPK}
+"""
+
+
+@register("text_rake_keywords", oracle=_RAKE_SQL, staged=True)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010; built r9 session 3,
+    staged r10) — the phrase-level complement to tfidf_top_keywords:
+    candidate phrases are maximal stopword-delimited token runs, each
+    word scores deg/freq within ITS document (deg = summed length of
+    the phrases it joins — co-occurrence degree including self), and a
+    phrase scores the sum of its members' scores; top-{_RAKE_TOPK}
+    phrases per doc win. Word scores round to 9dp DECIMAL before the
+    exact per-phrase sum (order-free), rank ties break on (phrase,
+    phrase-position) — fully deterministic cross-engine.
+
+    Scale shape: position explode (fan-out ∝ tokens, scan-stage), one
+    doc-keyed window for run-grouping, then (doc, grp) / (doc, word)
+    aggregates and a doc-keyed top-k window — every shuffle is keyed
+    by doc_id (or finer), nothing corpus-global."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", textstats.T.tokens("text").alias("t")
+    ).where(F.size("t") > 0)
+    w = toks.select(
+        "doc_id",
+        F.posexplode("t").alias("p0", "word"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("p"),
+        "word",
+        F.when(
+            F.col("word").isin(*_RAKE_STOPWORDS), 1
+        ).otherwise(0).alias("stop"),
+    )
+    g = w.withColumn(
+        "grp",
+        F.sum("stop").over(
+            Window.partitionBy("doc_id").orderBy("p")
+        ),
+    )
+    member = g.filter(F.col("stop") == 0).select(
+        "doc_id", "grp", "p", "word"
+    )
+    phrase = member.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("n_words"),
+    )
+    ws = (
+        member.join(phrase.select("doc_id", "grp", "n_words"),
+                    ["doc_id", "grp"])
+        .groupBy("doc_id", "word")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("n_words").alias("deg"),
+        )
+    )
+    pscore = (
+        member.join(ws, ["doc_id", "word"])
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("deg").cast("double") / F.col("freq"), 9
+                ).cast("decimal(28,9)")
+            ).cast("decimal(38,9)").alias("score")
+        )
+    )
+    ranked = phrase.join(pscore, ["doc_id", "grp"]).select(
+        "doc_id", "phrase", "n_words",
+        F.col("score").cast("double").alias("score"),
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("phrase"), F.col("grp")
+            )
+        ).alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= _RAKE_TOPK).select(
+        "doc_id", "phrase",
+        F.col("n_words").cast("long").alias("n_words"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -120,6 +120,9 @@ STAGED: dict[str, QueryDef] = {}
 #                                 3 unrolled redistribution rounds)
 #   stream_kmv_drain             (bottom-k sketch maintenance —
 #                                 the 4th merge family: order stats)
+#   curation_reliability_diagram (calibration bins + ECE readout)
+#   text_rake_keywords           (RAKE phrase keywords, per-doc
+#                                 deg/freq on the 9dp grid)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

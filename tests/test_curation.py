@@ -427,3 +427,35 @@ def test_pinned_lm_stream_scores_oov_docs(spark, tmp_path):
     p_oov = round(math.log10((0 + 1) / (3 + 2)), 6)     # cnt->0
     assert abs(rows[10]["avg_logprob"] - (p_alpha + p_oov) / 2) < 1e-9
     assert abs(rows[11]["avg_logprob"] - p_oov) < 1e-9  # 3 identical terms
+
+
+def test_reliability_diagram_planted_bins_and_ece(spark, tmp_path):
+    """curation_reliability_diagram on docs engineered into known bins:
+    hand-compute per-bin confidence/accuracy and the ECE."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # score = distinct/total ratio; craft ratios 0.5 (bin 5) and 1.0
+    # (closed top bin 9); labels: bin5 25% en, bin9 100% en
+    rows = []
+    for i in range(8):
+        lang = "en" if i % 4 == 0 else "de"
+        rows.append((i, "w w x x", lang))           # ratio 0.5 -> bin 5
+    for i in range(8, 12):
+        rows.append((i, "a b c d", "en"))           # ratio 1.0 -> bin 9
+    t = tmp_path / "rel"
+    t.mkdir()
+    make_docs(spark, rows).write.parquet(str(t / "documents.parquet"))
+
+    out = {r["bin"]: r for r in
+           resolve_query("curation_reliability_diagram")(
+               spark, str(t)
+           ).collect()}
+    assert set(out) == {5, 9}
+    b5, b9 = out[5], out[9]
+    assert (b5["n"], b9["n"]) == (8, 4)
+    assert b5["mean_score"] == 0.5 and b9["mean_score"] == 1.0
+    assert b5["frac_positive"] == 0.25 and b9["frac_positive"] == 1.0
+    # ECE = (8*|0.5-0.25| + 4*|1-1|) / 12
+    ece = (8 * 0.25 + 0) / 12
+    assert abs(b5["ece"] - ece) < 1e-12 and b5["ece"] == b9["ece"]

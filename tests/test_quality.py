@@ -412,3 +412,43 @@ def test_token_waterfill_exhaustion_and_redistribution(spark, tmp_path):
         assert r["budget_left"] == exp_left
     assert sum(r["allocated_tokens"] for r in out.values()) + exp_left \
         == budget
+
+
+def test_rake_keywords_planted_phrases(spark, tmp_path):
+    """text_rake_keywords on the RAKE paper's scoring shape: a doc
+    whose stopword-delimited phrases are known; deg/freq word scores
+    and phrase ranking hand-computed."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # phrases after stopword split ("of", "and", "the", "is" are stops):
+    #   "linear diophantine equations", "strict inequations",
+    #   "nonstrict inequations", "solutions"
+    text = ("linear diophantine equations of strict inequations and "
+            "nonstrict inequations is solutions")
+    t = tmp_path / "rake"
+    t.mkdir()
+    make_docs(spark, [(0, text, "en")]).write.parquet(
+        str(t / "documents.parquet")
+    )
+
+    out = resolve_query("text_rake_keywords")(spark, str(t)).collect()
+    got = {r["phrase"]: r for r in out}
+    # word stats within the doc:
+    #   linear/diophantine/equations: freq 1, deg 3 -> 3.0 each
+    #   strict: freq 1 deg 2 -> 2; nonstrict: freq 1 deg 2 -> 2
+    #   inequations: freq 2, deg 4 -> 2.0
+    #   solutions: freq 1 deg 1 -> 1
+    exp = {
+        "linear diophantine equations": 9.0,
+        "strict inequations": 4.0,
+        "nonstrict inequations": 4.0,
+    }
+    assert len(out) == 3  # top-3 of the 4 candidates ("solutions"=1 drops)
+    for ph, sc in exp.items():
+        assert got[ph]["score"] == sc
+        assert got[ph]["n_words"] == len(ph.split())
+    assert got["linear diophantine equations"]["rank"] == 1
+    # tie at 4.0 breaks alphabetically: nonstrict < strict
+    assert got["nonstrict inequations"]["rank"] == 2
+    assert got["strict inequations"]["rank"] == 3

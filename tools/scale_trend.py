@@ -306,6 +306,12 @@ def main(only: list[str] | None = None) -> None:
         "mann_kendall": lambda k: SQ["events_mann_kendall_trend"](
             spark, table_dir("events", k, "events")
         ),
+        "reliability_diagram": lambda k: SQ["curation_reliability_diagram"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "rake_keywords": lambda k: SQ["text_rake_keywords"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "burstiness": lambda k: SQ["text_burstiness"](
             spark, table_dir("docs_plain", k, "documents")
         ),
