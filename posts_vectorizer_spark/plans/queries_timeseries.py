@@ -1364,3 +1364,150 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy(F.lit(1).alias("g"))
         .applyInPandas(lambda _key, pdf: fold(pdf), schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (time to first purchase, right-censored)
+# ---------------------------------------------------------------------------
+
+_KM_SQL = """
+WITH obs_end AS (SELECT CAST(max(ts) AS DATE) AS end_day FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(min(ts) AS DATE) AS entry,
+         CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+              AS DATE) AS conv
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT u.user_id,
+         CASE WHEN u.conv IS NOT NULL AND u.conv >= u.entry
+              THEN date_diff('day', u.entry, u.conv)
+              ELSE date_diff('day', u.entry, o.end_day) END AS t,
+         (u.conv IS NOT NULL AND u.conv >= u.entry) AS is_event
+  FROM per_user u, obs_end o
+),
+grid AS (
+  SELECT t,
+         count(*) AS c_t,
+         sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS d_t
+  FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, c_t, d_t,
+         (SELECT count(*) FROM dur)
+           - coalesce(sum(c_t) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_t
+  FROM grid
+),
+terms AS (
+  SELECT t, n_t, d_t,
+         CASE WHEN d_t > 0 AND n_t > d_t THEN
+           CAST(round(CAST(n_t - d_t AS DOUBLE) / n_t, 9)
+                AS DECIMAL(18,9))
+         ELSE CAST(1 AS DECIMAL(18,9)) END AS factor,
+         CASE WHEN d_t > 0 AND n_t = d_t THEN 1 ELSE 0 END AS hit_zero
+  FROM risk
+),
+cum AS (
+  SELECT t, n_t, d_t,
+         list(factor) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs,
+         max(hit_zero) OVER (ORDER BY t) AS zeroed
+  FROM terms
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_t AS BIGINT) AS n_at_risk,
+       CAST(d_t AS BIGINT) AS d_events,
+       CASE WHEN zeroed = 1 THEN 0.0
+            ELSE CAST(list_reduce(
+                   list_prepend(CAST(1 AS DECIMAL(18,9)), fs),
+                   (acc, x) -> CAST(round(acc * x, 9) AS DECIMAL(18,9)))
+                 AS DOUBLE) END AS survival
+FROM cum WHERE d_t > 0
+"""
+
+
+@register("events_kaplan_meier", oracle=_KM_SQL, staged=True)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over time-to-first-purchase with
+    right censoring (built r9 session 3, staged r10) — the
+    retention-analytics member of the events family: each user enters
+    at their first event; the duration is days to first purchase
+    (event) or to the global observation end (censored); the KM curve
+    S(t) = prod_{s<=t} (1 - d_s/n_s) steps only at event times. The
+    product is an EXACT DECIMAL FOLD: each factor rounds to the 9dp
+    grid (one double division, bit-identical), the cumulative window
+    collects the bounded factor list in t-order, and both engines fold
+    it with round-9 decimal multiplication (F.aggregate /
+    list_reduce) — no transcendental anywhere. An exp(sum(round(ln)))
+    draft mismatched at the last ulp (JVM Math.exp vs libm exp), which
+    is exactly why the product form was chosen. A time where the whole
+    risk set converts pins S to exactly 0 from there on (the zeroed
+    flag). Risk sets come from the complement cumulative
+    (N - #departed-before-t), so no per-user window exists.
+
+    Scale shape: one user-keyed aggregate (the only data-sized
+    shuffle), a duration-keyed count (bounded by the calendar), and a
+    value-level cumulative window over ~30 rows at any data scale."""
+    events = load_table(spark, sf_dir, "events")
+    obs_end = events.agg(F.max("ts").cast("date").alias("end_day"))
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("entry"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).cast("date").alias("conv"),
+    )
+    is_event = F.col("conv").isNotNull() & (F.col("conv") >= F.col("entry"))
+    dur = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.when(is_event, F.datediff("conv", "entry"))
+        .otherwise(F.datediff("end_day", "entry"))
+        .alias("t"),
+        is_event.alias("is_event"),
+    )
+    grid = dur.groupBy("t").agg(
+        F.count("*").alias("c_t"),
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d_t"),
+    )
+    total = dur.agg(F.count("*").alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grid.crossJoin(F.broadcast(total)).select(
+        "t", "c_t", "d_t",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c_t").over(wprev), F.lit(0))
+        ).alias("n_t"),
+    )
+    n_t, d_t = F.col("n_t"), F.col("d_t")
+    terms = risk.select(
+        "t", "n_t", "d_t",
+        F.when(
+            (d_t > 0) & (n_t > d_t),
+            F.round((n_t - d_t).cast("double") / n_t, 9),
+        ).otherwise(F.lit(1)).cast("decimal(18,9)").alias("factor"),
+        F.when((d_t > 0) & (n_t == d_t), 1).otherwise(0).alias("hit_zero"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = terms.select(
+        "t", "n_t", "d_t",
+        F.collect_list("factor").over(wcum).alias("fs"),
+        F.max("hit_zero").over(wcum).alias("zeroed"),
+    )
+    one = F.lit(1).cast("decimal(18,9)")
+    prod = F.aggregate(
+        F.col("fs"), one,
+        lambda acc, x: F.round(acc * x, 9).cast("decimal(18,9)"),
+    )
+    return cum.filter(F.col("d_t") > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        n_t.cast("long").alias("n_at_risk"),
+        d_t.cast("long").alias("d_events"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(prod.cast("double"))
+        .alias("survival"),
+    )

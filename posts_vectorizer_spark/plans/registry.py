@@ -123,6 +123,8 @@ STAGED: dict[str, QueryDef] = {}
 #   curation_reliability_diagram (calibration bins + ECE readout)
 #   text_rake_keywords           (RAKE phrase keywords, per-doc
 #                                 deg/freq on the 9dp grid)
+#   events_kaplan_meier          (KM survival curve via an exact
+#                                 decimal product fold)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

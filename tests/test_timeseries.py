@@ -270,7 +270,7 @@ def test_acf_lags_planted_weekly_cycle(spark, tmp_path):
             eid += 1
     t = tmp_path / "acf"
     t.mkdir()
-    _write_events(t, rows)
+    _write_events_typed(t, rows)
 
     got = {
         r["lag"]: r
@@ -306,7 +306,7 @@ def test_acf_lags_constant_series_null(spark, tmp_path):
     ]
     t = tmp_path / "acfc"
     t.mkdir()
-    _write_events(t, rows)
+    _write_events_typed(t, rows)
     out = resolve_query("events_acf_lags")(spark, str(t)).collect()
     assert len(out) == 7 and all(r["acf"] is None for r in out)
 
@@ -325,7 +325,7 @@ def test_mann_kendall_planted_trend_and_theil_sen(spark, tmp_path):
             eid += 1
     t = tmp_path / "mk"
     t.mkdir()
-    _write_events(t, rows)
+    _write_events_typed(t, rows)
 
     [r] = resolve_query("events_mann_kendall_trend")(
         spark, str(t)
@@ -373,7 +373,7 @@ def test_mann_kendall_all_tied_null(spark, tmp_path):
     ]
     t = tmp_path / "mkt"
     t.mkdir()
-    _write_events(t, rows)
+    _write_events_typed(t, rows)
     [r] = resolve_query("events_mann_kendall_trend")(
         spark, str(t)
     ).collect()
@@ -400,7 +400,7 @@ def test_holt_winters_planted_vs_decimal_reference(spark, tmp_path):
             eid += 1
     t = tmp_path / "hw"
     t.mkdir()
-    _write_events(t, rows)
+    _write_events_typed(t, rows)
 
     got = {
         str(r["day"]): r
@@ -445,5 +445,75 @@ def test_holt_winters_short_series_empty(spark, tmp_path):
     ]
     t = tmp_path / "hws"
     t.mkdir()
-    _write_events(t, rows)
+    _write_events_typed(t, rows)
     assert resolve_query("events_holt_winters")(spark, str(t)).count() == 0
+
+
+def _events_typed(tmp_path, rows):
+    # rows: (event_id, ts_str, user_id, event_type, value)
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+
+def test_kaplan_meier_planted_textbook_curve(spark, tmp_path):
+    """events_kaplan_meier on a hand-built cohort: 6 users enter on day
+    1; conversions on days 2,2,4; censoring at the observation end.
+    Textbook KM: S(1)=., S(3)=(1-2/6), S(3 after day-3 event)..."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows, eid = [], 0
+    # all users' first event on 2024-01-01; observation ends 2024-01-11
+    convs = {0: 3, 1: 3, 2: 5}          # users 0,1 convert day idx 2; u2 day 4
+    for u in range(6):
+        rows.append((eid, "2024-01-01 08:00:00", u, "view", 1.0)); eid += 1
+        if u in convs:
+            rows.append(
+                (eid, f"2024-01-{convs[u]:02d} 09:00:00", u, "purchase", 1.0)
+            )
+            eid += 1
+    rows.append((eid, "2024-01-11 10:00:00", 0, "view", 1.0))  # obs end
+
+    t = tmp_path / "km"
+    t.mkdir()
+    _events_typed(t, rows)
+
+    out = {r["t_days"]: r for r in
+           resolve_query("events_kaplan_meier")(spark, str(t)).collect()}
+    # durations: u0,u1 -> 2 (event); u2 -> 4 (event); u3,u4,u5 -> 10 (censored)
+    assert set(out) == {2, 4}
+    r2 = out[2]
+    assert (r2["n_at_risk"], r2["d_events"]) == (6, 2)
+    assert r2["survival"] == round((6 - 2) / 6, 9)
+    r4 = out[4]
+    assert (r4["n_at_risk"], r4["d_events"]) == (4, 1)
+    # S(4) = round(round(4/6,9) * round(3/4,9), 9)
+    import decimal
+    f1 = decimal.Decimal(str(round(4 / 6, 9)))
+    f2 = decimal.Decimal(str(round(3 / 4, 9)))
+    exp_s = float((f1 * f2).quantize(decimal.Decimal("1e-9")))
+    assert r4["survival"] == exp_s
+
+
+def test_kaplan_meier_full_conversion_pins_zero(spark, tmp_path):
+    """When the entire remaining risk set converts at one time, S drops
+    to exactly 0.0 (the zeroed flag, not a float underflow)."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows, eid = [], 0
+    for u in range(3):
+        rows.append((eid, "2024-02-01 08:00:00", u, "view", 1.0)); eid += 1
+        rows.append((eid, "2024-02-03 09:00:00", u, "purchase", 1.0)); eid += 1
+    t = tmp_path / "kmz"
+    t.mkdir()
+    _events_typed(t, rows)
+    out = {r["t_days"]: r for r in
+           resolve_query("events_kaplan_meier")(spark, str(t)).collect()}
+    assert out[2]["survival"] == 0.0 and out[2]["d_events"] == 3

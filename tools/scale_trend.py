@@ -300,6 +300,9 @@ def main(only: list[str] | None = None) -> None:
         "mannwhitney_ab": lambda k: SQ["events_mannwhitney_ab"](
             spark, table_dir("events", k, "events")
         ),
+        "kaplan_meier": lambda k: SQ["events_kaplan_meier"](
+            spark, table_dir("events", k, "events")
+        ),
         "holt_winters": lambda k: SQ["events_holt_winters"](
             spark, table_dir("events", k, "events")
         ),
