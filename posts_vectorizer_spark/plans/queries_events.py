@@ -354,3 +354,177 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_sessions") >= 2)
         .select("path", F.col("n_sessions").cast("bigint").alias("n_sessions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via value-level quintile cuts
+# ---------------------------------------------------------------------------
+
+_RFM_Q = 5
+
+
+def _rfm_cuts_sql(metric_cte: str, col: str) -> str:
+    """Value-level quintile cutpoints for one metric: cut_k = the
+    ceil(k*N/5)-th smallest value, k = 1..4, from the bounded
+    distinct-value grid (the conformal-threshold pattern)."""
+    return f"""
+  SELECT list(cut ORDER BY k) AS cuts FROM (
+    SELECT k, min({col}) AS cut FROM (
+      SELECT {col}, sum(c) OVER (ORDER BY {col}) AS cum, t.n
+      FROM (SELECT {col}, count(*) AS c FROM {metric_cte} GROUP BY {col}),
+           (SELECT count(*) AS n FROM {metric_cte}) t
+    ), (SELECT unnest(generate_series(1, {_RFM_Q - 1})) AS k)
+    WHERE cum >= (k * n + {_RFM_Q - 1}) // {_RFM_Q}
+    GROUP BY k
+  )
+"""
+
+
+_RFM_SQL = f"""
+WITH obs_end AS (SELECT CAST(max(ts) AS DATE) AS end_day FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', CAST(max(ts) AS DATE),
+                   (SELECT end_day FROM obs_end)) AS rec,
+         count(*) AS freq,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN
+           CAST(round(value, 6) AS DECIMAL(18,6)) END),
+           CAST(0 AS DECIMAL(18,6))) AS mon
+  FROM events GROUP BY user_id
+),
+rcuts AS ({_rfm_cuts_sql('per_user', 'rec')}),
+fcuts AS ({_rfm_cuts_sql('per_user', 'freq')}),
+mcuts AS ({_rfm_cuts_sql('per_user', 'mon')}),
+scored AS (
+  SELECT u.user_id, u.rec, u.freq, u.mon,
+         {_RFM_Q} - len(list_filter(rcuts.cuts, c -> u.rec > c))
+           AS r_score,
+         1 + len(list_filter(fcuts.cuts, c -> u.freq > c)) AS f_score,
+         1 + len(list_filter(mcuts.cuts, c -> u.mon > c)) AS m_score
+  FROM per_user u, rcuts, fcuts, mcuts
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(rec) AS DOUBLE) / count(*) AS avg_recency_days,
+       CAST(sum(freq) AS DOUBLE) / count(*) AS avg_frequency,
+       CAST(CAST(sum(mon) AS DECIMAL(38,6)) AS DOUBLE) AS total_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("events_rfm_segments", oracle=_RFM_SQL, staged=True)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation (built r9
+    session 3, staged r10) — the classic customer-analytics grid:
+    each user scores 1..5 on how recently they acted, how often, and
+    how much purchase value they carry, and the readout aggregates the
+    (r, f, m) segments. Quintile boundaries are VALUE-LEVEL order
+    statistics — cut_k = the ceil(k*N/5)-th smallest value from the
+    bounded distinct-value grid (the conformal-threshold pattern), and
+    a score is 1 + #cuts strictly below the value (recency inverted:
+    recent = high) — pure value logic, so ties land identically in
+    both engines with NO global row-order sort (a plain ntile would
+    need one — the scale-killer this formulation avoids). Monetary
+    sums add round-6 DECIMALs (exact, order-free).
+
+    Scale shape: one user-keyed aggregate (the only data-sized
+    shuffle), three bounded value-grid windows, three 1-row cut-list
+    broadcasts, one <=125-key segment aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    obs_end = events.agg(F.max("ts").cast("date").alias("end_day"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max("ts").cast("date").alias("last_day"),
+            F.count("*").alias("freq"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round("value", 6).cast("decimal(18,6)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("mon"),
+        )
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            "user_id",
+            F.datediff("end_day", "last_day").alias("rec"),
+            "freq", "mon",
+        )
+    )
+    from ..cache import persist_tracked
+
+    per_user = persist_tracked(per_user)
+
+    def cuts(col):
+        grid = per_user.groupBy(col).agg(F.count("*").alias("c"))
+        n = per_user.agg(F.count("*").alias("n"))
+        cum = grid.withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy(col).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        ks = spark.range(1, _RFM_Q).select(F.col("id").alias("k"))
+        return (
+            cum.crossJoin(F.broadcast(n))
+            .crossJoin(F.broadcast(ks))
+            .filter(
+                F.col("cum")
+                >= F.floor(
+                    (F.col("k") * F.col("n") + _RFM_Q - 1) / _RFM_Q
+                )
+            )
+            .groupBy("k")
+            .agg(F.min(col).alias("cut"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("k", "cut"))
+                ).alias("kc")
+            )
+            .select(
+                F.transform(F.col("kc"), lambda x: x["cut"]).alias("cuts")
+            )
+        )
+
+    def score(vcol, cuts_col):
+        return 1 + F.size(F.filter(cuts_col, lambda c: vcol > c))
+
+    scored = (
+        per_user.crossJoin(F.broadcast(cuts("rec").select(
+            F.col("cuts").alias("rc"))))
+        .crossJoin(F.broadcast(cuts("freq").select(
+            F.col("cuts").alias("fc"))))
+        .crossJoin(F.broadcast(cuts("mon").select(
+            F.col("cuts").alias("mc"))))
+        .select(
+            "rec", "freq", "mon",
+            (_RFM_Q + 1 - score(F.col("rec"), F.col("rc"))).alias("r_score"),
+            score(F.col("freq"), F.col("fc")).alias("f_score"),
+            score(F.col("mon"), F.col("mc")).alias("m_score"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        (F.sum("rec").cast("double") / F.count("*")).alias(
+            "avg_recency_days"
+        ),
+        (F.sum("freq").cast("double") / F.count("*")).alias(
+            "avg_frequency"
+        ),
+        F.sum("mon").cast("decimal(38,6)").cast("double").alias(
+            "total_monetary"
+        ),
+    ).select(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        F.col("n_users").cast("long").alias("n_users"),
+        "avg_recency_days", "avg_frequency", "total_monetary",
+    )

@@ -125,6 +125,8 @@ STAGED: dict[str, QueryDef] = {}
 #                                 deg/freq on the 9dp grid)
 #   events_kaplan_meier          (KM survival curve via an exact
 #                                 decimal product fold)
+#   events_rfm_segments          (RFM grid over value-level quintile
+#                                 cuts — no global ntile sort)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

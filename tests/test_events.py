@@ -66,3 +66,83 @@ def test_funnel_attribution_credit_conservation(spark):
     linear_total = sum(r["linear_credit"] for r in rows)
     assert last_total > 0
     assert abs(linear_total - last_total) < 1e-4 * last_total
+
+
+def test_rfm_segments_planted_quintiles(spark, tmp_path):
+    """events_rfm_segments against an independent Python replica of the
+    value-level quintile cuts on a planted 10-user cohort."""
+    import math
+
+    import pandas as pd
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    # user u: last event on day u+1 (rec = 9-u), freq = u+2 events,
+    # monetary = u purchases of value 10.5 each
+    rows, eid = [], 0
+    for u in range(10):
+        for i in range(u + 1):
+            rows.append((eid, f"2024-03-{u + 1:02d} 0{i % 10}:30:00",
+                         u, "view", 1.0))
+            eid += 1
+        rows.append((eid, f"2024-03-{u + 1:02d} 23:00:00", u,
+                     "purchase", 10.5 * u))
+        eid += 1
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = resolve_query("events_rfm_segments")(
+        spark, str(tmp_path)
+    ).collect()
+
+    rec = {u: 9 - u for u in range(10)}
+    freq = {u: u + 2 for u in range(10)}
+    mon = {u: 10.5 * u for u in range(10)}
+
+    def cuts(vals):
+        sv = sorted(vals)
+        n = len(sv)
+        out_c = []
+        for k in range(1, 5):
+            rank = math.ceil(k * n / 5)
+            # cut = min value whose cum count >= rank
+            seen = 0
+            for v in sv:
+                seen += 1
+                if seen >= rank:
+                    # min value at that cum position: walk grid properly
+                    break
+            # value-level: cumulative over distinct values
+            cum = 0
+            for v in sorted(set(sv)):
+                cum += sv.count(v)
+                if cum >= rank:
+                    out_c.append(v)
+                    break
+        return out_c
+
+    rc, fc, mc = cuts(rec.values()), cuts(freq.values()), cuts(mon.values())
+    seg = {}
+    for u in range(10):
+        r_s = 5 - sum(1 for c in rc if rec[u] > c)
+        f_s = 1 + sum(1 for c in fc if freq[u] > c)
+        m_s = 1 + sum(1 for c in mc if mon[u] > c)
+        seg.setdefault((r_s, f_s, m_s), []).append(u)
+
+    got = {(r["r_score"], r["f_score"], r["m_score"]): r for r in out}
+    assert set(got) == set(seg)
+    for key, users in seg.items():
+        g = got[key]
+        assert g["n_users"] == len(users)
+        assert g["avg_recency_days"] == sum(rec[u] for u in users) / len(users)
+        assert g["total_monetary"] == sum(mon[u] for u in users)
+    # the most recent, most frequent, biggest spender lands in (5,5,5)
+    assert (5, 5, 5) in got and 9 in seg[(5, 5, 5)]
