@@ -528,3 +528,169 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n_users"),
         "avg_recency_days", "avg_frequency", "total_monetary",
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution — 3 unrolled power-iteration steps
+# ---------------------------------------------------------------------------
+
+_MKV_STEPS = 3
+
+_MKV_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+tm AS (
+  SELECT event_type AS i, next_type AS j, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+rowsum AS (SELECT i, sum(n) AS ni FROM tm GROUP BY i),
+p AS (
+  SELECT tm.i, tm.j,
+         CAST(round(CAST(tm.n AS DOUBLE) / rowsum.ni, 9)
+              AS DECIMAL(18,9)) AS pij
+  FROM tm JOIN rowsum USING (i)
+),
+states AS (SELECT i AS state FROM rowsum),
+k AS (SELECT count(*) AS k FROM states),
+pi0 AS (
+  SELECT state, CAST(round(1.0 / k.k, 6) AS DECIMAL(18,6)) AS pi
+  FROM states, k
+),
+r1 AS (
+  SELECT p.j AS state,
+         CAST(sum(CAST(round(CAST(pi0.pi * p.pij AS DOUBLE), 9)
+              AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS raw
+  FROM pi0 JOIN p ON p.i = pi0.state GROUP BY p.j
+),
+pi1 AS (
+  SELECT state, CAST(round(CAST(raw AS DOUBLE)
+         / (SELECT CAST(sum(raw) AS DOUBLE) FROM r1), 6)
+         AS DECIMAL(18,6)) AS pi
+  FROM r1
+),
+r2 AS (
+  SELECT p.j AS state,
+         CAST(sum(CAST(round(CAST(pi1.pi * p.pij AS DOUBLE), 9)
+              AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS raw
+  FROM pi1 JOIN p ON p.i = pi1.state GROUP BY p.j
+),
+pi2 AS (
+  SELECT state, CAST(round(CAST(raw AS DOUBLE)
+         / (SELECT CAST(sum(raw) AS DOUBLE) FROM r2), 6)
+         AS DECIMAL(18,6)) AS pi
+  FROM r2
+),
+r3 AS (
+  SELECT p.j AS state,
+         CAST(sum(CAST(round(CAST(pi2.pi * p.pij AS DOUBLE), 9)
+              AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS raw
+  FROM pi2 JOIN p ON p.i = pi2.state GROUP BY p.j
+),
+pi3 AS (
+  SELECT state, CAST(round(CAST(raw AS DOUBLE)
+         / (SELECT CAST(sum(raw) AS DOUBLE) FROM r3), 6)
+         AS DECIMAL(18,6)) AS pi
+  FROM r3
+)
+SELECT pi3.state,
+       CAST(pi1.pi AS DOUBLE) AS pi_step1,
+       CAST(pi2.pi AS DOUBLE) AS pi_step2,
+       CAST(pi3.pi AS DOUBLE) AS pi_step3
+FROM pi3 JOIN pi2 USING (state) JOIN pi1 USING (state)
+"""
+
+
+@register("events_markov_stationary", oracle=_MKV_SQL, staged=True)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain by
+    THREE unrolled power-iteration steps (built r9 session 3, staged
+    r10) — the long-run where-do-users-end-up readout on top of
+    events_transition_matrix's counts: row-normalize to P (round-9
+    DECIMAL), start uniform, and iterate pi <- normalize(pi P),
+    reporting all three steps so convergence itself is
+    oracle-checked (the kmeans/pagerank/Platt/Bradley-Terry unrolled
+    convention). Each pi_i*P_ij term rounds to 9dp DECIMAL before its
+    exact sum; each step's vector re-pins to the 6dp grid after one
+    double renormalization division (the DoReMi weight pattern).
+    States whose row sum is zero cannot occur (a state appears in P's
+    rows only if it has an outgoing transition); absorbing mass
+    flowing to never-emitting states is renormalized away per step.
+
+    Scale shape: one user-keyed window + (i, j) count (the only
+    data-sized work, shared shape with events_transition_matrix);
+    all three steps run on the |states|^2 matrix via broadcast
+    joins."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    tm = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("i"), F.col("next_type").alias("j")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    from ..cache import persist_tracked
+
+    # the matrix is |states|^2 rows: collapse it to ONE partition before
+    # the persisted reuse so the three iteration joins/aggregates run as
+    # 1-task stages under ANY shuffle-partition setting (a vanilla-200
+    # session paid ~20 s of empty-task scheduling here before this)
+    tm = persist_tracked(tm.coalesce(1))
+    rowsum = tm.groupBy("i").agg(F.sum("n").alias("ni"))
+    p = tm.join(F.broadcast(rowsum), "i").select(
+        "i", "j",
+        F.round(F.col("n").cast("double") / F.col("ni"), 9)
+        .cast("decimal(18,9)").alias("pij"),
+    )
+    k = rowsum.agg(F.count("*").alias("k"))
+    pi = rowsum.crossJoin(F.broadcast(k)).select(
+        F.col("i").alias("state"),
+        F.round(F.lit(1.0) / F.col("k"), 6).cast("decimal(18,6)").alias("pi"),
+    )
+
+    def step(pi):
+        raw = (
+            p.join(
+                F.broadcast(pi.withColumnRenamed("state", "i")), "i"
+            )
+            .groupBy(F.col("j").alias("state"))
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("pi") * F.col("pij")).cast("double"), 9
+                    ).cast("decimal(28,9)")
+                ).cast("decimal(38,9)").alias("raw")
+            )
+            .coalesce(1)
+        )
+        tot = raw.agg(F.sum("raw").cast("double").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "state",
+            F.round(F.col("raw").cast("double") / F.col("tot"), 6)
+            .cast("decimal(18,6)").alias("pi"),
+        )
+
+    steps = []
+    for _ in range(_MKV_STEPS):
+        pi = step(pi)
+        steps.append(pi)
+    p1, p2, p3 = steps
+    return (
+        p3.select("state", F.col("pi").cast("double").alias("pi_step3"))
+        .join(
+            p2.select("state", F.col("pi").cast("double").alias("pi_step2")),
+            "state",
+        )
+        .join(
+            p1.select("state", F.col("pi").cast("double").alias("pi_step1")),
+            "state",
+        )
+        .select("state", "pi_step1", "pi_step2", "pi_step3")
+    )

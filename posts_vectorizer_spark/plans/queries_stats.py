@@ -2198,7 +2198,10 @@ def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..cache import persist_tracked
 
-    duels = persist_tracked(duels)
+    # |items|^2 rows: one partition, so the three MM-step joins and
+    # aggregates run as 1-task stages under any shuffle-partition
+    # setting (the markov-stationary scheduling-constant lesson)
+    duels = persist_tracked(duels.coalesce(1))
     pairs = duels.filter(F.col("n") > 0).select("i", "j", "n")
     wins = duels.groupBy("i").agg(
         F.sum("w").alias("wi"), F.sum("n").alias("ni")
@@ -2221,6 +2224,7 @@ def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("decimal(28,9)")
                 ).cast("decimal(38,9)").alias("den")
             )
+            .coalesce(1)
         )
         return (
             wins.join(den, "i")

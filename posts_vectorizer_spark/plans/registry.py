@@ -127,6 +127,8 @@ STAGED: dict[str, QueryDef] = {}
 #                                 decimal product fold)
 #   events_rfm_segments          (RFM grid over value-level quintile
 #                                 cuts — no global ntile sort)
+#   events_markov_stationary     (3 unrolled power-iteration steps
+#                                 over the journey transition matrix)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

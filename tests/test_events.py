@@ -146,3 +146,67 @@ def test_rfm_segments_planted_quintiles(spark, tmp_path):
         assert g["total_monetary"] == sum(mon[u] for u in users)
     # the most recent, most frequent, biggest spender lands in (5,5,5)
     assert (5, 5, 5) in got and 9 in seg[(5, 5, 5)]
+
+
+def test_markov_stationary_planted_two_state_chain(spark, tmp_path):
+    """events_markov_stationary on a planted 2-state chain whose true
+    stationary distribution is known: P(a->b)=0.5, P(b->a)=1 gives
+    pi = (2/3, 1/3); verify the three pinned-decimal steps against an
+    independent Python replica of the rounding discipline."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    # user sequences: "a a b a a b ..." -> from a: half to a, half to b;
+    # from b: always to a
+    rows, eid = [], 0
+    for u in range(4):
+        seq = ["a", "a", "b"] * 4 + ["a"]
+        for i, s in enumerate(seq):
+            rows.append((eid, f"2024-04-01 {8 + u:02d}:{i:02d}:00", u, s, 1.0))
+            eid += 1
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = {r["state"]: r for r in
+           resolve_query("events_markov_stationary")(
+               spark, str(tmp_path)
+           ).collect()}
+    assert set(out) == {"a", "b"}
+
+    # independent replica of the P build + 3 pinned steps
+    def d(x, q):
+        return Decimal(x).quantize(Decimal(q), rounding=ROUND_HALF_UP)
+
+    # transition counts per user: a->a 4x, a->b 4x, b->a 4x (x4 users)
+    p = {("a", "a"): d(str(round(16 / 32, 9)), "1e-9"),
+         ("a", "b"): d(str(round(16 / 32, 9)), "1e-9"),
+         ("b", "a"): d(str(round(16 / 16, 9)), "1e-9")}
+    pi = {"a": d(str(round(1 / 2, 6)), "1e-6"),
+          "b": d(str(round(1 / 2, 6)), "1e-6")}
+    hist = []
+    for _ in range(3):
+        raw = {}
+        for (i, j), pij in p.items():
+            raw[j] = raw.get(j, Decimal(0)) + d(str(float(pi[i] * pij)),
+                                                "1e-9")
+        tot = float(sum(raw.values()))
+        pi = {s: d(str(round(float(v) / tot, 6)), "1e-6")
+              for s, v in raw.items()}
+        hist.append({s: float(v) for s, v in pi.items()})
+    for step, key in enumerate(["pi_step1", "pi_step2", "pi_step3"]):
+        for s in ("a", "b"):
+            assert out[s][key] == hist[step][s], (key, s)
+    # converging toward (2/3, 1/3)
+    assert abs(out["a"]["pi_step3"] - 2 / 3) < 0.05
+    assert abs(out["b"]["pi_step3"] - 1 / 3) < 0.05

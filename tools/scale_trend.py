@@ -300,6 +300,9 @@ def main(only: list[str] | None = None) -> None:
         "mannwhitney_ab": lambda k: SQ["events_mannwhitney_ab"](
             spark, table_dir("events", k, "events")
         ),
+        "markov_stationary": lambda k: SQ["events_markov_stationary"](
+            spark, table_dir("events", k, "events")
+        ),
         "rfm_segments": lambda k: SQ["events_rfm_segments"](
             spark, table_dir("events", k, "events")
         ),
