@@ -2254,3 +2254,176 @@ def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# top principal component — 3 unrolled power-iteration steps on the
+# dim-covariance matrix
+# ---------------------------------------------------------------------------
+
+_PCA_SQL = f"""
+WITH covmat AS ({_DIM_COVARIANCE_SQL}),
+m AS (
+  SELECT dim_i AS i, dim_j AS j,
+         CAST(cov AS DECIMAL(18,6)) AS cov FROM covmat
+  UNION ALL
+  SELECT dim_j, dim_i, CAST(cov AS DECIMAL(18,6))
+  FROM covmat WHERE dim_i <> dim_j
+),
+v0 AS (
+  SELECT DISTINCT dim_i AS dim,
+         CAST(round(1.0 / {_COV_D}, 6) AS DECIMAL(18,6)) AS v
+  FROM covmat
+),
+w1 AS (
+  SELECT m.i AS dim,
+         CAST(sum(CAST(round(m.cov * v0.v, 9)
+              AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS w
+  FROM m JOIN v0 ON v0.dim = m.j GROUP BY m.i
+),
+n1 AS (
+  SELECT sqrt(CAST(sum(CAST(round(
+           CAST(w AS DECIMAL(18,9)) * CAST(w AS DECIMAL(18,9)), 9)
+           AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w1
+),
+v1 AS (
+  SELECT dim, CAST(round(CAST(w AS DOUBLE) / n1.nrm, 6)
+         AS DECIMAL(18,6)) AS v
+  FROM w1, n1 WHERE n1.nrm > 0
+),
+w2 AS (
+  SELECT m.i AS dim,
+         CAST(sum(CAST(round(m.cov * v1.v, 9)
+              AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS w
+  FROM m JOIN v1 ON v1.dim = m.j GROUP BY m.i
+),
+n2 AS (
+  SELECT sqrt(CAST(sum(CAST(round(
+           CAST(w AS DECIMAL(18,9)) * CAST(w AS DECIMAL(18,9)), 9)
+           AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w2
+),
+v2 AS (
+  SELECT dim, CAST(round(CAST(w AS DOUBLE) / n2.nrm, 6)
+         AS DECIMAL(18,6)) AS v
+  FROM w2, n2 WHERE n2.nrm > 0
+),
+w3 AS (
+  SELECT m.i AS dim,
+         CAST(sum(CAST(round(m.cov * v2.v, 9)
+              AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS w
+  FROM m JOIN v2 ON v2.dim = m.j GROUP BY m.i
+),
+n3 AS (
+  SELECT sqrt(CAST(sum(CAST(round(
+           CAST(w AS DECIMAL(18,9)) * CAST(w AS DECIMAL(18,9)), 9)
+           AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w3
+),
+v3 AS (
+  SELECT dim, CAST(round(CAST(w AS DOUBLE) / n3.nrm, 6)
+         AS DECIMAL(18,6)) AS v
+  FROM w3, n3 WHERE n3.nrm > 0
+)
+SELECT v3.dim,
+       CAST(v1.v AS DOUBLE) AS v_step1,
+       CAST(v2.v AS DOUBLE) AS v_step2,
+       CAST(v3.v AS DOUBLE) AS v_step3,
+       n3.nrm AS eigenvalue_est
+FROM v3 JOIN v2 USING (dim) JOIN v1 USING (dim), n3
+"""
+
+
+@register("sim_pca_power_iteration", oracle=_PCA_SQL, staged=True)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the leading-{_COV_D} embedding
+    dimensions by THREE unrolled power-iteration steps on
+    sim_dim_covariance's matrix (built r9 session 3, staged r10) —
+    the spectral readout behind whitening and anisotropy diagnosis:
+    v <- normalize(C v) from a uniform start, reporting the vector at
+    every step plus the final ||C v|| Rayleigh-style eigenvalue
+    estimate. C is PSD, so the iteration cannot flip sign and the
+    all-positive start pins the direction. The matrix rides as
+    DECIMAL(18,6), so every C_ij * v_j product and every norm square
+    is EXACT decimal before its 9dp re-pin (a double-product round-9
+    draft hit a true half boundary — DuckDB rounds doubles half-even,
+    Spark half-up — and diverged at step 3); the vector re-pins to
+    the 6dp grid after one double division per entry (sqrt is
+    IEEE-identical cross-engine).
+
+    Scale shape: the covariance sufficient statistics are the only
+    data-sized work (one map-side-combinable aggregate over 136 fixed
+    keys — sim_dim_covariance's plan); all three iteration steps run
+    on the {_COV_D}x{_COV_D} matrix coalesced to one partition."""
+    cov = sim_dim_covariance(spark, sf_dir).select(
+        "dim_i", "dim_j", F.col("cov").cast("decimal(18,6)").alias("cov")
+    )
+    from ..cache import persist_tracked
+
+    m = persist_tracked(
+        cov.unionByName(
+            cov.filter(F.col("dim_i") != F.col("dim_j")).select(
+                F.col("dim_j").alias("dim_i"),
+                F.col("dim_i").alias("dim_j"),
+                "cov",
+            )
+        )
+        .select(
+            F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov"
+        )
+        .coalesce(1)
+    )
+    v = m.select(F.col("i").alias("dim")).distinct().select(
+        "dim",
+        F.round(F.lit(1.0) / _COV_D, 6).cast("decimal(18,6)").alias("v"),
+    )
+
+    def step(v):
+        w = (
+            m.join(
+                F.broadcast(v.withColumnRenamed("dim", "j")),
+                "j",
+            )
+            .groupBy(F.col("i").alias("dim"))
+            .agg(
+                F.sum(
+                    F.round(F.col("cov") * F.col("v"), 9)
+                    .cast("decimal(28,9)")
+                ).cast("decimal(38,9)").alias("w")
+            )
+            .coalesce(1)
+        )
+        w9 = F.col("w").cast("decimal(18,9)")
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(w9 * w9, 9).cast("decimal(28,9)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        vn = (
+            w.crossJoin(F.broadcast(nrm))
+            .filter(F.col("nrm") > 0)
+            .select(
+                "dim",
+                F.round(F.col("w").cast("double") / F.col("nrm"), 6)
+                .cast("decimal(18,6)").alias("v"),
+            )
+        )
+        return vn, nrm
+
+    v1, _ = step(v)
+    v2, _ = step(v1)
+    v3, n3 = step(v2)
+    return (
+        v3.select("dim", F.col("v").cast("double").alias("v_step3"))
+        .join(
+            v2.select("dim", F.col("v").cast("double").alias("v_step2")),
+            "dim",
+        )
+        .join(
+            v1.select("dim", F.col("v").cast("double").alias("v_step1")),
+            "dim",
+        )
+        .crossJoin(F.broadcast(n3.select(F.col("nrm").alias(
+            "eigenvalue_est"))))
+        .select("dim", "v_step1", "v_step2", "v_step3", "eigenvalue_est")
+    )

@@ -129,6 +129,8 @@ STAGED: dict[str, QueryDef] = {}
 #                                 cuts — no global ntile sort)
 #   events_markov_stationary     (3 unrolled power-iteration steps
 #                                 over the journey transition matrix)
+#   sim_pca_power_iteration      (top principal component — exact-
+#                                 decimal spectral power iteration)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head plan (EXACT draft, 50 slots — every name pre-verified
 # vanilla this round, SWEEPS.md):

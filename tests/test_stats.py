@@ -819,3 +819,43 @@ def test_good_turing_count_of_counts_algebra(spark, tmp_path):
     # r=2: N_3=0 (hole) -> NULL r_star/p_gt
     assert out[2]["n_r_plus_1"] == 0 and out[2]["r_star"] is None
     assert out[5]["r_star"] is None and out[5]["unseen_mass"] is None
+
+
+def test_pca_power_iteration_planted_dominant_direction(spark, tmp_path):
+    """sim_pca_power_iteration on embeddings with a planted dominant
+    direction: dim 1 carries variance ~100x the rest, so the top
+    component must concentrate on dim 1 and the eigenvalue estimate
+    must approach dim 1's variance; numpy replica cross-check."""
+    import numpy as np
+    import pandas as pd
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.RandomState(7)
+    n, d = 400, 16
+    x = rng.normal(0, 0.1, size=(n, d))
+    x[:, 0] += rng.normal(0, 3.0, size=n)       # dominant dim 1 (1-based)
+    pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [row.astype("float32").tolist() for row in x],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    out = {r["dim"]: r for r in
+           resolve_query("sim_pca_power_iteration")(
+               spark, str(tmp_path)
+           ).collect()}
+    assert set(out) == set(range(1, d + 1))
+    v3 = np.array([out[i]["v_step3"] for i in range(1, d + 1)])
+    lam = out[1]["eigenvalue_est"]
+    # dominant coordinate captured
+    assert abs(v3[0]) > 0.99
+    assert np.abs(v3[1:]).max() < 0.1
+    # eigenvalue approaches the true top eigenvalue of the sample cov
+    cov = np.cov(np.round(x.astype(np.float64), 7), rowvar=False)
+    top = np.linalg.eigvalsh(cov).max()
+    assert abs(lam - top) / top < 0.05
+    # steps converge: step3 at least as concentrated as step1
+    v1 = np.array([out[i]["v_step1"] for i in range(1, d + 1)])
+    assert abs(v3[0]) >= abs(v1[0]) - 1e-9

@@ -339,6 +339,9 @@ def main(only: list[str] | None = None) -> None:
         "conformal_threshold": lambda k: SQ["curation_conformal_threshold"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "pca_power_iteration": lambda k: SQ["sim_pca_power_iteration"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
         "ks_ab": lambda k: SQ["events_ks_ab"](
             spark, table_dir("events", k, "events")
         ),
