@@ -132,8 +132,17 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_pca_power_iteration      (top principal component — exact-
 #                                 decimal spectral power iteration)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
-# r10 head plan (EXACT draft, 50 slots — every name pre-verified
-# vanilla this round, SWEEPS.md):
+# r10 head arithmetic AFTER the session-3 batch: staged [Q]
+# introductions now number 39 (40 staged minus the [R]
+# text_compression_ratio). 39 + the 2 spine re-proofs = 41 slots,
+# leaving 9 for block (c): NINE of the ten spilled r4 rows take
+# slots and the tenth (dedup_substring_spans, last in the list)
+# slips to r11 with block (d), whose rows all defer to r11 as well.
+# Freshness stays bounded: after r10 the oldest standing green rows
+# are r5's, drained across r11/r12 by the standing policy.
+# r10 head plan (original EXACT draft, 50 slots — every name
+# pre-verified vanilla this round, SWEEPS.md; apply the arithmetic
+# above when locking):
 #  (a) 19 introductions (the [Q] staged wave; text_compression_ratio
 #      is [R] and takes no slot): multimodal_gif_ingest,
 #      multimodal_gif_frame_sample, rel_hll_set_ops,
