@@ -270,7 +270,7 @@ def test_acf_lags_planted_weekly_cycle(spark, tmp_path):
             eid += 1
     t = tmp_path / "acf"
     t.mkdir()
-    _write_events_typed(t, rows)
+    _write_events(t, rows)
 
     got = {
         r["lag"]: r
@@ -306,7 +306,7 @@ def test_acf_lags_constant_series_null(spark, tmp_path):
     ]
     t = tmp_path / "acfc"
     t.mkdir()
-    _write_events_typed(t, rows)
+    _write_events(t, rows)
     out = resolve_query("events_acf_lags")(spark, str(t)).collect()
     assert len(out) == 7 and all(r["acf"] is None for r in out)
 
@@ -325,7 +325,7 @@ def test_mann_kendall_planted_trend_and_theil_sen(spark, tmp_path):
             eid += 1
     t = tmp_path / "mk"
     t.mkdir()
-    _write_events_typed(t, rows)
+    _write_events(t, rows)
 
     [r] = resolve_query("events_mann_kendall_trend")(
         spark, str(t)
@@ -373,7 +373,7 @@ def test_mann_kendall_all_tied_null(spark, tmp_path):
     ]
     t = tmp_path / "mkt"
     t.mkdir()
-    _write_events_typed(t, rows)
+    _write_events(t, rows)
     [r] = resolve_query("events_mann_kendall_trend")(
         spark, str(t)
     ).collect()
@@ -400,7 +400,7 @@ def test_holt_winters_planted_vs_decimal_reference(spark, tmp_path):
             eid += 1
     t = tmp_path / "hw"
     t.mkdir()
-    _write_events_typed(t, rows)
+    _write_events(t, rows)
 
     got = {
         str(r["day"]): r
@@ -445,7 +445,7 @@ def test_holt_winters_short_series_empty(spark, tmp_path):
     ]
     t = tmp_path / "hws"
     t.mkdir()
-    _write_events_typed(t, rows)
+    _write_events(t, rows)
     assert resolve_query("events_holt_winters")(spark, str(t)).count() == 0
 
 
