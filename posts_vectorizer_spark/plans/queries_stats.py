@@ -2427,3 +2427,109 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eigenvalue_est"))))
         .select("dim", "v_step1", "v_step2", "v_step3", "eigenvalue_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit conformance test
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) pinned to 9dp as shared literals: no log() parity in
+# the hot path, and both engines consume the identical decimal grid
+_BENFORD_P = {
+    1: "0.301029996", 2: "0.176091259", 3: "0.124938737",
+    4: "0.096910013", 5: "0.079181246", 6: "0.066946790",
+    7: "0.057991947", 8: "0.051152522", 9: "0.045757491",
+}
+_BENFORD_CHI_CRIT = 15.507  # chi-square(8), 5%
+
+_BENFORD_VALUES = ",".join(
+    f"({d}, {p})" for d, p in _BENFORD_P.items()
+)
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM lineitem WHERE l_extendedprice > 0
+),
+obs AS (SELECT d, count(*) AS o FROM digits GROUP BY d),
+exp_p AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) t(d, p)),
+tot AS (SELECT sum(o) AS n FROM obs),
+cells AS (
+  SELECT exp_p.d, coalesce(obs.o, 0) AS o,
+         CAST(exp_p.p AS DECIMAL(12,9)) AS p,
+         CAST(round(
+           (coalesce(obs.o, 0) - CAST(exp_p.p AS DOUBLE) * tot.n)
+           * (coalesce(obs.o, 0) - CAST(exp_p.p AS DOUBLE) * tot.n)
+           / (CAST(exp_p.p AS DOUBLE) * tot.n), 9) AS DECIMAL(28,9))
+           AS term
+  FROM exp_p LEFT JOIN obs USING (d), tot WHERE tot.n > 0
+)
+SELECT CAST(cells.d AS BIGINT) AS digit,
+       CAST(cells.o AS BIGINT) AS observed,
+       CAST(cells.p AS DOUBLE) AS benford_p,
+       CAST(cells.o AS DOUBLE) / tot.n AS observed_p,
+       CAST((SELECT CAST(sum(term) AS DECIMAL(38,9)) FROM cells)
+            AS DOUBLE) AS chi2,
+       CAST((SELECT CAST(sum(term) AS DECIMAL(38,9)) FROM cells)
+            AS DOUBLE) > {_BENFORD_CHI_CRIT} AS nonconforming
+FROM cells, tot
+"""
+
+
+@register("rel_benford_digit_test", oracle=_BENFORD_SQL, staged=True)
+def rel_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance test (built r9 session 3,
+    staged r10) — the fraud / synthetic-data / unit-mixup smell test
+    every financial data-quality pipeline runs: the leading digit of
+    l_extendedprice (taken from the exact cent-integer's decimal
+    string — no float log10 in the digit path) is tallied against the
+    Benford distribution log10(1+1/d), PINNED as shared 9dp literal
+    constants so no transcendental parity is involved anywhere. The
+    chi-square statistic sums round-9 DECIMAL cell terms (exact,
+    order-free — the chi2/PSI discipline) and rides every row beside
+    the per-digit observed shares; TPC-H prices are uniform-ish, so
+    the fixture legitimately flags nonconforming (that is the test
+    working, and the planted-fixture test covers the conforming side).
+
+    Scale shape: one scan-stage digit extraction, one 9-key map-side
+    combinable count, 1-row total broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.filter(F.col("l_extendedprice") > 0).select(
+        # explicit round() on BOTH sides: a bare double->BIGINT cast
+        # ROUNDS in DuckDB but TRUNCATES in Spark, and at a power-of-ten
+        # boundary (9999.99997 cents) that flips the leading digit
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long").cast("string"),
+            1, 1,
+        ).cast("long").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("o"))
+    exp_p = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "d long, p string"
+    ).select("d", F.col("p").cast("decimal(12,9)").alias("p"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    o = F.coalesce(F.col("o"), F.lit(0))
+    e = F.col("p").cast("double") * F.col("n")
+    cells = (
+        exp_p.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > 0)
+        .select(
+            "d", o.alias("o"), "p", "n",
+            F.round((o - e) * (o - e) / e, 9)
+            .cast("decimal(28,9)").alias("term"),
+        )
+    )
+    chi = cells.agg(
+        F.sum("term").cast("decimal(38,9)").cast("double").alias("chi2")
+    )
+    return cells.crossJoin(F.broadcast(chi)).select(
+        F.col("d").cast("long").alias("digit"),
+        F.col("o").cast("long").alias("observed"),
+        F.col("p").cast("double").alias("benford_p"),
+        (F.col("o").cast("double") / F.col("n")).alias("observed_p"),
+        "chi2",
+        (F.col("chi2") > _BENFORD_CHI_CRIT).alias("nonconforming"),
+    )

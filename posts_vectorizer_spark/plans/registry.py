@@ -131,6 +131,8 @@ STAGED: dict[str, QueryDef] = {}
 #                                 over the journey transition matrix)
 #   sim_pca_power_iteration      (top principal component — exact-
 #                                 decimal spectral power iteration)
+#   rel_benford_digit_test       (Benford first-digit conformance,
+#                                 pinned-literal expected probs)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head arithmetic AFTER the session-3 batch: staged [Q]
 # introductions now number 39 (40 staged minus the [R]

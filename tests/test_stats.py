@@ -859,3 +859,50 @@ def test_pca_power_iteration_planted_dominant_direction(spark, tmp_path):
     # steps converge: step3 at least as concentrated as step1
     v1 = np.array([out[i]["v_step1"] for i in range(1, d + 1)])
     assert abs(v3[0]) >= abs(v1[0]) - 1e-9
+
+
+def test_benford_conforming_and_nonconforming_fixtures(spark, tmp_path):
+    """rel_benford_digit_test on a PLANTED Benford-conforming sample
+    (log-uniform magnitudes) must NOT flag, and on a uniform sample it
+    MUST; chi2 cross-checked against an independent computation."""
+    import math
+
+    import pandas as pd
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def run(vals, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        pd.DataFrame({"l_extendedprice": vals}).to_parquet(
+            d / "lineitem.parquet"
+        )
+        return resolve_query("rel_benford_digit_test")(spark, str(d))
+
+    # log-uniform over 4 decades -> Benford-distributed leading digits
+    n = 3000
+    benford_vals = [10 ** (1 + 4 * ((i * 0.6180339887) % 1)) for i in range(n)]
+    rows = run(benford_vals, "benford").collect()
+    assert len(rows) == 9
+    assert not rows[0]["nonconforming"]
+
+    # uniform [100, 1000) -> grossly non-Benford
+    uni_vals = [100 + 900 * (i / n) for i in range(n)]
+    rows_u = {r["digit"]: r for r in run(uni_vals, "uniform").collect()}
+    assert rows_u[1]["nonconforming"]
+
+    # independent chi2 replica on the uniform sample
+    from collections import Counter
+    digs = Counter(
+        int(str(int(round(v * 100)))[0]) for v in uni_vals
+    )
+    ps = {1: 0.301029996, 2: 0.176091259, 3: 0.124938737, 4: 0.096910013,
+          5: 0.079181246, 6: 0.066946790, 7: 0.057991947, 8: 0.051152522,
+          9: 0.045757491}
+    chi = sum(
+        round((digs.get(d, 0) - p * n) ** 2 / (p * n), 9)
+        for d, p in ps.items()
+    )
+    assert abs(rows_u[1]["chi2"] - chi) < 1e-6
+    for d in range(1, 10):
+        assert rows_u[d]["observed"] == digs.get(d, 0)
