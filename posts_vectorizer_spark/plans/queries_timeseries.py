@@ -1511,3 +1511,137 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(prod.cast("double"))
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift detector over the daily mean-value series
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = "0.5"   # magnitude tolerance (value scale ~50)
+_PH_LAMBDA = "5.0"  # alarm threshold
+
+_PAGE_HINKLEY_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS x
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT day, x,
+         CAST(sum(x) OVER w AS DECIMAL(38,6)) AS sx,
+         row_number() OVER (ORDER BY day) AS t
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+terms AS (
+  SELECT day, x, t,
+         CAST(round(CAST(sx AS DOUBLE) / t, 6) AS DECIMAL(18,6)) AS xbar,
+         CAST(x - CAST(round(CAST(sx AS DOUBLE) / t, 6) AS DECIMAL(18,6))
+              - CAST({_PH_DELTA} AS DECIMAL(18,6)) AS DECIMAL(28,6))
+           AS inc_pos,
+         CAST(CAST(round(CAST(sx AS DOUBLE) / t, 6) AS DECIMAL(18,6)) - x
+              - CAST({_PH_DELTA} AS DECIMAL(18,6)) AS DECIMAL(28,6))
+           AS inc_neg
+  FROM cum
+),
+ph AS (
+  SELECT day, x, t, xbar,
+         CAST(sum(inc_pos) OVER w AS DECIMAL(38,6)) AS m_pos,
+         CAST(sum(inc_neg) OVER w AS DECIMAL(38,6)) AS m_neg
+  FROM terms
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+mm AS (
+  SELECT day, x, t, xbar, m_pos, m_neg,
+         min(m_pos) OVER w AS min_pos,
+         min(m_neg) OVER w AS min_neg
+  FROM ph
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT day, CAST(x AS DOUBLE) AS daily_mean,
+       CAST(xbar AS DOUBLE) AS running_mean,
+       CAST(m_pos - min_pos AS DOUBLE) AS ph_up,
+       CAST(m_neg - min_neg AS DOUBLE) AS ph_down,
+       m_pos - min_pos > {_PH_LAMBDA} AS drift_up,
+       m_neg - min_neg > {_PH_LAMBDA} AS drift_down
+FROM mm
+"""
+
+
+@register("events_page_hinkley", oracle=_PAGE_HINKLEY_SQL, staged=True)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift detector over the daily mean-value
+    series, both directions (built r9 session 3, staged r10) — the
+    sequential-monitoring member of the drift trio (PSI compares
+    distributions batch-to-reference, CUSUM tracks a KNOWN baseline;
+    Page-Hinkley needs no baseline: it tracks the RUNNING mean and
+    alarms when the cumulative deviation m_T leaves its own historical
+    minimum by more than lambda). Although the textbook states it as a
+    sequential recursion, every quantity is a cumulative-window
+    expression over the bounded day grid: the daily means are round-6
+    DECIMALs (per-day sums add round-6 decimals — the segment-tree
+    float-association hazard the rolling-zscore query documented), the
+    running mean re-pins to the 6dp grid once per row, and the PH
+    increments are EXACT decimal subtractions from there (a
+    round-9-of-double draft diverged on 25/30 rows — small-t division
+    quotients land on genuine half-even vs half-up double ties), so
+    the whole trajectory is bit-identical cross-engine with no
+    recursion at all.
+
+    Scale shape: one day-keyed aggregate (map-side combinable; the
+    only data-sized pass); four cumulative windows over ~30 value-
+    level rows at any data scale."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(
+            F.sum(F.round("value", 6).cast("decimal(18,6)"))
+            .cast("double") / F.count("*"),
+            6,
+        ).cast("decimal(18,6)").alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day", "x",
+        F.sum("x").over(w).cast("decimal(38,6)").alias("sx"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+    )
+    # the running mean re-pins to the 6dp DECIMAL grid ONCE per row; the
+    # PH increments are then EXACT decimal subtractions with no further
+    # rounding — a round-9-of-double draft hit genuine half-even vs
+    # half-up boundaries on 25 of 30 rows (small-t divisions make short
+    # decimal expansions land on ties)
+    xbar6 = F.round(F.col("sx").cast("double") / F.col("t"), 6).cast(
+        "decimal(18,6)"
+    )
+    delta6 = F.lit(_PH_DELTA).cast("decimal(18,6)")
+    terms = cum.select(
+        "day", "x", "t", xbar6.alias("xbar"),
+        (F.col("x") - xbar6 - delta6).cast("decimal(28,6)").alias("inc_pos"),
+        (xbar6 - F.col("x") - delta6).cast("decimal(28,6)").alias("inc_neg"),
+    )
+    ph = terms.select(
+        "day", "x", "t", "xbar",
+        F.sum("inc_pos").over(w).cast("decimal(38,6)").alias("m_pos"),
+        F.sum("inc_neg").over(w).cast("decimal(38,6)").alias("m_neg"),
+    )
+    mm = ph.select(
+        "day", "x", "xbar", "m_pos", "m_neg",
+        F.min("m_pos").over(w).alias("min_pos"),
+        F.min("m_neg").over(w).alias("min_neg"),
+    )
+    lam = float(_PH_LAMBDA)
+    return mm.select(
+        "day",
+        F.col("x").cast("double").alias("daily_mean"),
+        F.col("xbar").cast("double").alias("running_mean"),
+        (F.col("m_pos") - F.col("min_pos")).cast("double").alias("ph_up"),
+        (F.col("m_neg") - F.col("min_neg")).cast("double").alias("ph_down"),
+        ((F.col("m_pos") - F.col("min_pos")) > lam).alias("drift_up"),
+        ((F.col("m_neg") - F.col("min_neg")) > lam).alias("drift_down"),
+    )

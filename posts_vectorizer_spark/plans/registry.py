@@ -133,6 +133,8 @@ STAGED: dict[str, QueryDef] = {}
 #                                 decimal spectral power iteration)
 #   rel_benford_digit_test       (Benford first-digit conformance,
 #                                 pinned-literal expected probs)
+#   events_page_hinkley          (baseline-free PH mean drift — the
+#                                 drift trio member, window-only)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head arithmetic AFTER the session-3 batch: staged [Q]
 # introductions now number 39 (40 staged minus the [R]

@@ -517,3 +517,48 @@ def test_kaplan_meier_full_conversion_pins_zero(spark, tmp_path):
     out = {r["t_days"]: r for r in
            resolve_query("events_kaplan_meier")(spark, str(t)).collect()}
     assert out[2]["survival"] == 0.0 and out[2]["d_events"] == 3
+
+
+def test_page_hinkley_planted_level_shift(spark, tmp_path):
+    """events_page_hinkley on a planted upward level shift: flat
+    ~10/day for 12 days then ~40/day; drift_up must fire after the
+    shift and never before; trajectory cross-checked against an
+    independent pinned-decimal replica."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    vals = [10.0] * 12 + [40.0] * 8
+    rows, eid = [], 0
+    for d, v in enumerate(vals):
+        for i in range(3):
+            rows.append((eid, f"2024-05-{d + 1:02d} 0{i}:00:00", i, v))
+            eid += 1
+    t = tmp_path / "ph"
+    t.mkdir()
+    _write_events(t, rows)
+
+    out = {str(r["day"]): r for r in
+           resolve_query("events_page_hinkley")(spark, str(t)).collect()}
+    assert len(out) == 20
+
+    # replica: x_t exact (constant per day), xbar pinned to 6dp
+    q6 = Decimal("0.000001")
+    sx, m_pos, min_pos = Decimal(0), Decimal(0), Decimal(0)
+    delta = Decimal("0.5")
+    fired_at = None
+    for d, v in enumerate(vals):
+        x = Decimal(str(v))
+        sx += x
+        xbar = (sx / (d + 1)).quantize(q6)  # exact here (terminating)
+        m_pos += x - xbar - delta
+        min_pos = min(min_pos, m_pos)
+        r = out[f"2024-05-{d + 1:02d}"]
+        assert r["daily_mean"] == float(x)
+        assert r["running_mean"] == float(xbar)
+        assert r["ph_up"] == float(m_pos - min_pos)
+        if r["drift_up"] and fired_at is None:
+            fired_at = d
+    assert fired_at is not None and fired_at >= 12  # fires after the shift
+    assert not out["2024-05-12"]["drift_up"]        # never before
+    assert not any(out[k]["drift_down"] for k in out)
