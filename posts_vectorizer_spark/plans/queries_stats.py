@@ -2533,3 +2533,145 @@ def rel_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2",
         (F.col("chi2") > _BENFORD_CHI_CRIT).alias("nonconforming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences estimator (pre/post x treat/control)
+# ---------------------------------------------------------------------------
+
+_DID_CUTOVER = "2024-01-16"  # policy date splitting pre/post
+_DID_Z_CRIT = 1.96
+
+_DID_SQL = f"""
+WITH per_cell AS (
+  SELECT user_id % 2 = 0 AS treated,
+         ts >= TIMESTAMP '{_DID_CUTOVER}' AS post,
+         user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1, 2, user_id
+),
+mom AS (
+  SELECT treated, post, count(*) AS n,
+         sum(y) AS s1, sum(y * y) AS s2
+  FROM per_cell GROUP BY treated, post
+),
+wide AS (
+  SELECT
+    max(CASE WHEN treated AND post THEN n END) AS n_tp,
+    max(CASE WHEN treated AND post THEN s1 END) AS s1_tp,
+    max(CASE WHEN treated AND post THEN s2 END) AS s2_tp,
+    max(CASE WHEN treated AND NOT post THEN n END) AS n_tr,
+    max(CASE WHEN treated AND NOT post THEN s1 END) AS s1_tr,
+    max(CASE WHEN treated AND NOT post THEN s2 END) AS s2_tr,
+    max(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+    max(CASE WHEN NOT treated AND post THEN s1 END) AS s1_cp,
+    max(CASE WHEN NOT treated AND post THEN s2 END) AS s2_cp,
+    max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_cr,
+    max(CASE WHEN NOT treated AND NOT post THEN s1 END) AS s1_cr,
+    max(CASE WHEN NOT treated AND NOT post THEN s2 END) AS s2_cr
+  FROM mom
+),
+calc AS (
+  SELECT *,
+         CAST(s1_tp AS DOUBLE) / n_tp AS m_tp,
+         CAST(s1_tr AS DOUBLE) / n_tr AS m_tr,
+         CAST(s1_cp AS DOUBLE) / n_cp AS m_cp,
+         CAST(s1_cr AS DOUBLE) / n_cr AS m_cr,
+         CAST(n_tp * s2_tp - s1_tp * s1_tp AS DOUBLE)
+           / (CAST(n_tp AS DOUBLE) * n_tp * (n_tp - 1)) AS v_tp,
+         CAST(n_tr * s2_tr - s1_tr * s1_tr AS DOUBLE)
+           / (CAST(n_tr AS DOUBLE) * n_tr * (n_tr - 1)) AS v_tr,
+         CAST(n_cp * s2_cp - s1_cp * s1_cp AS DOUBLE)
+           / (CAST(n_cp AS DOUBLE) * n_cp * (n_cp - 1)) AS v_cp,
+         CAST(n_cr * s2_cr - s1_cr * s1_cr AS DOUBLE)
+           / (CAST(n_cr AS DOUBLE) * n_cr * (n_cr - 1)) AS v_cr
+  FROM wide
+  WHERE n_tp > 1 AND n_tr > 1 AND n_cp > 1 AND n_cr > 1
+)
+SELECT CAST(n_tp AS BIGINT) AS n_treat_post,
+       CAST(n_cr AS BIGINT) AS n_control_pre,
+       m_tp - m_tr AS delta_treat,
+       m_cp - m_cr AS delta_control,
+       (m_tp - m_tr) - (m_cp - m_cr) AS did,
+       CASE WHEN v_tp + v_tr + v_cp + v_cr > 0 THEN
+         ((m_tp - m_tr) - (m_cp - m_cr))
+           / sqrt(v_tp + v_tr + v_cp + v_cr)
+       END AS z,
+       CASE WHEN v_tp + v_tr + v_cp + v_cr > 0 THEN
+         abs(((m_tp - m_tr) - (m_cp - m_cr))
+             / sqrt(v_tp + v_tr + v_cp + v_cr)) > {_DID_Z_CRIT}
+       END AS significant
+FROM calc
+"""
+
+
+@register("events_diff_in_diff", oracle=_DID_SQL, staged=True)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (built r9 session 3, staged
+    r10) — the causal-inference workhorse the plain A/B family can't
+    replace when treatment wasn't randomized: per-user click outcomes
+    in a 2x2 of (treated, pre/post a fixed policy date), with
+    DiD = (T_post - T_pre) - (C_post - C_pre) differencing away both
+    the group baseline and the common time trend. All four cells'
+    moments (n, sum y, sum y^2) are EXACT INTEGERS from one
+    (treated, post, user) aggregate; means, variances, the DiD, and
+    the z against the four-cell Welch-style standard error are stated
+    in the same operator order in both engines. Any empty-ish cell
+    (n <= 1) empties the readout rather than dividing by zero.
+
+    Scale shape: one user-cell aggregate (the only data-sized
+    shuffle, map-side combinable), a 4-row pivot, a 1-row readout."""
+    events = load_table(spark, sf_dir, "events")
+    per_cell = events.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts") >= F.lit(_DID_CUTOVER).cast("timestamp")).alias("post"),
+        "user_id",
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("y")
+    )
+    mom = per_cell.groupBy("treated", "post").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+
+    def cell(tr, po, col):
+        cond = (F.col("treated") == tr) & (F.col("post") == po)
+        return F.max(F.when(cond, F.col(col)))
+
+    names = {"tp": (True, True), "tr": (True, False),
+             "cp": (False, True), "cr": (False, False)}
+    wide = mom.agg(
+        *[
+            cell(tr, po, c).alias(f"{c}_{k}")
+            for k, (tr, po) in names.items()
+            for c in ("n", "s1", "s2")
+        ]
+    ).filter(
+        (F.col("n_tp") > 1) & (F.col("n_tr") > 1)
+        & (F.col("n_cp") > 1) & (F.col("n_cr") > 1)
+    )
+
+    def mean(k):
+        return F.col(f"s1_{k}").cast("double") / F.col(f"n_{k}")
+
+    def var_of_mean(k):
+        n, s1, s2 = (F.col(f"{c}_{k}") for c in ("n", "s1", "s2"))
+        return (n * s2 - s1 * s1).cast("double") / (
+            n.cast("double") * n * (n - 1)
+        )
+
+    did = (mean("tp") - mean("tr")) - (mean("cp") - mean("cr"))
+    vsum = sum(var_of_mean(k) for k in names)
+    z = did / F.sqrt(vsum)
+    return wide.select(
+        F.col("n_tp").cast("long").alias("n_treat_post"),
+        F.col("n_cr").cast("long").alias("n_control_pre"),
+        (mean("tp") - mean("tr")).alias("delta_treat"),
+        (mean("cp") - mean("cr")).alias("delta_control"),
+        did.alias("did"),
+        F.when(vsum > 0, z).alias("z"),
+        F.when(vsum > 0, F.abs(z) > _DID_Z_CRIT).alias("significant"),
+    )

@@ -135,13 +135,15 @@ STAGED: dict[str, QueryDef] = {}
 #                                 pinned-literal expected probs)
 #   events_page_hinkley          (baseline-free PH mean drift — the
 #                                 drift trio member, window-only)
+#   events_diff_in_diff          (DiD causal estimator over a fixed
+#                                 policy cutover, exact cell moments)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head arithmetic AFTER the session-3 batch: staged [Q]
-# introductions now number 39 (40 staged minus the [R]
-# text_compression_ratio). 39 + the 2 spine re-proofs = 41 slots,
-# leaving 9 for block (c): NINE of the ten spilled r4 rows take
-# slots and the tenth (dedup_substring_spans, last in the list)
-# slips to r11 with block (d), whose rows all defer to r11 as well.
+# introductions now number 43 (44 staged minus the [R]
+# text_compression_ratio). 43 + the 2 spine re-proofs = 45 slots,
+# leaving 5 for block (c): FIVE of the ten spilled r4 rows take
+# slots (keep list order) and the remaining five slip to r11 with
+# block (d), whose rows all defer to r11 as well.
 # Freshness stays bounded: after r10 the oldest standing green rows
 # are r5's, drained across r11/r12 by the standing policy.
 # r10 head plan (original EXACT draft, 50 slots — every name

@@ -906,3 +906,55 @@ def test_benford_conforming_and_nonconforming_fixtures(spark, tmp_path):
     assert abs(rows_u[1]["chi2"] - chi) < 1e-6
     for d in range(1, 10):
         assert rows_u[d]["observed"] == digs.get(d, 0)
+
+
+def test_diff_in_diff_removes_common_trend(spark, tmp_path):
+    """events_diff_in_diff on a planted design with a common time trend
+    (+2 clicks for everyone post) and a true treatment effect (+3 on
+    top for treated): DiD must recover ~3 while the naive post-minus-
+    pre treated delta reads ~5; formula cross-checked in Python."""
+    import math
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    # pre period: all users 2 clicks (+noise by u); post: control 4,
+    # treated 7. treated = even user ids. 12 users.
+    rows, eid = [], 0
+    y = {}
+    for u in range(12):
+        treated = u % 2 == 0
+        pre = 2 + (u % 3 == 0)            # mild heterogeneity
+        post = pre + 2 + (3 if treated else 0)
+        y[(u, False)], y[(u, True)] = pre, post
+        for k in range(pre):
+            rows.append((eid, f"2024-01-{5 + k:02d} 10:00:00", u,
+                         "click", 1.0)); eid += 1
+        for k in range(post):
+            rows.append((eid, f"2024-01-{20 + k:02d} 10:00:00", u,
+                         "click", 1.0)); eid += 1
+    d = tmp_path / "did"
+    d.mkdir()
+    _events(d, rows)
+
+    [r] = resolve_query("events_diff_in_diff")(spark, str(d)).collect()
+
+    def stats(vals):
+        n = len(vals)
+        m = sum(vals) / n
+        v = sum((x - m) ** 2 for x in vals) / (n - 1) / n
+        return n, m, v
+
+    cells = {}
+    for tr in (True, False):
+        for po in (True, False):
+            vals = [y[(u, po)] for u in range(12) if (u % 2 == 0) == tr]
+            cells[(tr, po)] = stats(vals)
+    did = (cells[(True, True)][1] - cells[(True, False)][1]) - (
+        cells[(False, True)][1] - cells[(False, False)][1]
+    )
+    se = math.sqrt(sum(c[2] for c in cells.values()))
+    assert abs(r["did"] - did) < 1e-12
+    assert abs(did - 3.0) < 1e-9                 # trend differenced away
+    assert abs(r["delta_treat"] - 5.0) < 1e-9    # naive delta is biased
+    assert abs(r["z"] - did / se) < 1e-9
+    assert r["significant"]

@@ -312,6 +312,9 @@ def main(only: list[str] | None = None) -> None:
         "holt_winters": lambda k: SQ["events_holt_winters"](
             spark, table_dir("events", k, "events")
         ),
+        "diff_in_diff": lambda k: SQ["events_diff_in_diff"](
+            spark, table_dir("events", k, "events")
+        ),
         "page_hinkley": lambda k: SQ["events_page_hinkley"](
             spark, table_dir("events", k, "events")
         ),
