@@ -2129,3 +2129,74 @@ def curation_reliability_diagram(
         "mean_score", "frac_positive",
         (F.col("ece_num").cast("double") / F.col("total")).alias("ece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 vocabulary-richness estimator (from the count-of-counts table)
+# ---------------------------------------------------------------------------
+
+_CHAO1_SQL = f"""
+WITH wc AS (
+  SELECT word, count(*) AS r
+  FROM (SELECT unnest({T.tokens_sql('text')}) AS word FROM documents)
+  GROUP BY word
+),
+coc AS (
+  SELECT count(*) AS s_obs,
+         sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS f2,
+         sum(r) AS n_tokens
+  FROM wc
+)
+SELECT CAST(s_obs AS BIGINT) AS s_obs,
+       CAST(f1 AS BIGINT) AS singletons,
+       CAST(f2 AS BIGINT) AS doubletons,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       s_obs + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1))
+         AS chao1,
+       CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1))
+         / (s_obs + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)))
+         AS unseen_vocab_share
+FROM coc WHERE s_obs > 0
+"""
+
+
+@register("text_chao1_richness", oracle=_CHAO1_SQL, staged=True)
+def text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimator (bias-corrected form; built
+    r9 session 3, staged r10) — the how-much-vocabulary-haven't-we-
+    seen readout that pairs with text_good_turing's unseen MASS: from
+    the singleton/doubleton counts alone,
+    S_chao1 = S_obs + f1(f1-1)/(2(f2+1)) lower-bounds the true
+    vocabulary size, and the unseen-vocab share tells a crawl whether
+    more of the same source still buys new types. The bias-corrected
+    denominator (f2+1) makes the estimator total (no doubleton
+    div-by-zero); every output is one double expression over exact
+    integer counts, identical operator order in both engines.
+
+    Scale shape: one word-keyed count (the idf_table shuffle) reduced
+    map-side to a single sufficient-statistics row."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("r"))
+    )
+    coc = wc.agg(
+        F.count("*").alias("s_obs"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).alias("f2"),
+        F.sum("r").alias("n_tokens"),
+    ).filter(F.col("s_obs") > 0)
+    extra = (F.col("f1") * (F.col("f1") - 1)).cast("double") / (
+        2 * (F.col("f2") + 1)
+    )
+    chao1 = F.col("s_obs") + extra
+    return coc.select(
+        F.col("s_obs").cast("long").alias("s_obs"),
+        F.col("f1").cast("long").alias("singletons"),
+        F.col("f2").cast("long").alias("doubletons"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        chao1.alias("chao1"),
+        (extra / chao1).alias("unseen_vocab_share"),
+    )

@@ -398,3 +398,92 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MATTR — moving-average type-token ratio (windowed lexical diversity)
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25  # window width in tokens
+
+_MATTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {textstats.T.tokens_sql('text')} AS t FROM documents
+),
+docs_ok AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+wins AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {_MATTR_W} THEN 1 ELSE n - {_MATTR_W} + 1 END
+           AS n_windows,
+         CASE WHEN n <= {_MATTR_W}
+              THEN list_value(CAST(round(
+                     CAST(len(list_distinct(t)) AS DOUBLE) / n, 9)
+                     AS DECIMAL(18,9)))
+              ELSE list_transform(
+                     generate_series(1, n - {_MATTR_W} + 1),
+                     i -> CAST(round(
+                       CAST(len(list_distinct(t[i:i + {_MATTR_W} - 1]))
+                            AS DOUBLE) / {_MATTR_W}, 9) AS DECIMAL(18,9)))
+         END AS ratios
+  FROM docs_ok
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(CAST(list_sum(ratios) AS DECIMAL(38,9)) AS DOUBLE) / n_windows
+         AS mattr
+FROM wins
+"""
+
+
+@register("text_mattr_diversity", oracle=_MATTR_SQL, staged=True)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — moving-average type-token ratio at window {_MATTR_W}
+    (Covington & McFall 2010; built r9 session 3, staged r10) — the
+    lexical-diversity signal that, unlike the raw TTR the quality
+    profile carries, does NOT collapse as documents get longer: the
+    type-token ratio is computed over every {_MATTR_W}-token sliding
+    window and averaged, so a long document is judged by its LOCAL
+    vocabulary churn. Degenerate repetition scores near 1/{_MATTR_W};
+    fully novel text scores 1. Each window ratio is one double
+    division rounded to the 9dp grid; the per-doc mean divides the
+    EXACT decimal sum of those ratios by the window count (both
+    in-row — no float accumulation crosses rows). Docs at or under
+    the window width fall back to their plain TTR in one window.
+
+    Scale shape: entirely scan-stage — the sliding windows live
+    INSIDE each row as an array transform in codegen (no explode, no
+    shuffle); output is one row per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = textstats.T.tokens("text")
+    base = docs.select("doc_id", t.alias("t")).where(F.size("t") > 0)
+    n = F.size("t")
+    w = _MATTR_W
+    single = F.array(
+        F.round(
+            F.size(F.array_distinct("t")).cast("double") / n, 9
+        ).cast("decimal(18,9)")
+    )
+    slid = F.transform(
+        F.sequence(F.lit(1), n - w + 1),
+        lambda i: F.round(
+            F.size(F.array_distinct(F.slice("t", i, w))).cast("double") / w,
+            9,
+        ).cast("decimal(18,9)"),
+    )
+    wins = base.select(
+        "doc_id",
+        n.alias("n"),
+        F.when(n <= w, F.lit(1)).otherwise(n - w + 1).alias("n_windows"),
+        F.when(n <= w, single).otherwise(slid).alias("ratios"),
+    )
+    ratio_sum = F.aggregate(
+        F.col("ratios"),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, x: (acc + x).cast("decimal(28,9)"),
+    )
+    return wins.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        (ratio_sum.cast("double") / F.col("n_windows")).alias("mattr"),
+    )

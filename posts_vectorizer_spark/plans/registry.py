@@ -137,12 +137,16 @@ STAGED: dict[str, QueryDef] = {}
 #                                 drift trio member, window-only)
 #   events_diff_in_diff          (DiD causal estimator over a fixed
 #                                 policy cutover, exact cell moments)
+#   text_mattr_diversity         (windowed lexical diversity — MATTR,
+#                                 zero-shuffle in-row windows)
+#   text_chao1_richness          (Chao1 unseen-vocabulary lower
+#                                 bound from singletons/doubletons)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head arithmetic AFTER the session-3 batch: staged [Q]
-# introductions now number 43 (44 staged minus the [R]
-# text_compression_ratio). 43 + the 2 spine re-proofs = 45 slots,
-# leaving 5 for block (c): FIVE of the ten spilled r4 rows take
-# slots (keep list order) and the remaining five slip to r11 with
+# introductions now number 45 (46 staged minus the [R]
+# text_compression_ratio). 45 + the 2 spine re-proofs = 47 slots,
+# leaving 3 for block (c): THREE of the ten spilled r4 rows take
+# slots (keep list order) and the remaining seven slip to r11 with
 # block (d), whose rows all defer to r11 as well.
 # Freshness stays bounded: after r10 the oldest standing green rows
 # are r5's, drained across r11/r12 by the standing policy.

@@ -452,3 +452,66 @@ def test_rake_keywords_planted_phrases(spark, tmp_path):
     # tie at 4.0 breaks alphabetically: nonstrict < strict
     assert got["nonstrict inequations"]["rank"] == 2
     assert got["strict inequations"]["rank"] == 3
+
+
+def test_mattr_planted_diversity_ordering(spark, tmp_path):
+    """text_mattr_diversity: degenerate repetition scores ~1/W, fully
+    novel text scores 1.0, and the sliding-window values match an
+    independent Python computation on a mixed doc."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    w = 25
+    novel = " ".join(f"w{i}" for i in range(60))
+    degen = " ".join(["spam"] * 60)
+    mixed = " ".join(f"w{i % 7}" for i in range(40))
+    short = "a b c a"
+    t = tmp_path / "mattr"
+    t.mkdir()
+    make_docs(
+        spark,
+        [(0, novel, "en"), (1, degen, "en"), (2, mixed, "en"),
+         (3, short, "en")],
+    ).write.parquet(str(t / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in
+           resolve_query("text_mattr_diversity")(spark, str(t)).collect()}
+    assert out[0]["mattr"] == 1.0
+    assert out[1]["mattr"] == 1 / w
+    assert out[3]["n_windows"] == 1 and out[3]["mattr"] == 3 / 4
+
+    toks = [f"w{i % 7}" for i in range(40)]
+    ratios = [
+        Decimal(str(round(len(set(toks[i:i + w])) / w, 9)))
+        for i in range(0, 40 - w + 1)
+    ]
+    exp = float(sum(ratios)) / len(ratios)
+    assert abs(out[2]["mattr"] - exp) < 1e-12
+    assert out[2]["n_windows"] == 16
+    # ordering: novel > mixed > degenerate
+    assert out[0]["mattr"] > out[2]["mattr"] > out[1]["mattr"]
+
+
+def test_chao1_planted_count_of_counts(spark, tmp_path):
+    """text_chao1_richness: hand-built singleton/doubleton structure
+    gives the textbook bias-corrected estimate."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # 6 singletons, 2 doubletons, 1 word x5 -> S_obs 9
+    text = " ".join(
+        [f"s{i}" for i in range(6)] + ["d1", "d2"] * 2 + ["z"] * 5
+    )
+    t = tmp_path / "chao"
+    t.mkdir()
+    make_docs(spark, [(0, text, "en")]).write.parquet(
+        str(t / "documents.parquet")
+    )
+    [r] = resolve_query("text_chao1_richness")(spark, str(t)).collect()
+    assert (r["s_obs"], r["singletons"], r["doubletons"]) == (9, 6, 2)
+    assert r["n_tokens"] == 15
+    chao1 = 9 + 6 * 5 / (2 * 3)
+    assert r["chao1"] == chao1
+    assert r["unseen_vocab_share"] == (chao1 - 9) / chao1

@@ -324,6 +324,12 @@ def main(only: list[str] | None = None) -> None:
         "mann_kendall": lambda k: SQ["events_mann_kendall_trend"](
             spark, table_dir("events", k, "events")
         ),
+        "mattr_diversity": lambda k: SQ["text_mattr_diversity"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "chao1_richness": lambda k: SQ["text_chao1_richness"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "reliability_diagram": lambda k: SQ["curation_reliability_diagram"](
             spark, table_dir("docs_plain", k, "documents")
         ),
