@@ -2090,6 +2090,14 @@ def curation_reliability_diagram(
     Scale shape: one scan-stage score, one {_RELIA_BINS}-key map-side
     combinable aggregate, a 1-row total broadcast."""
     docs = load_table(spark, sf_dir, "documents")
+    return reliability_readout(reliability_bin_counts(docs))
+
+
+def reliability_bin_counts(docs: DataFrame) -> DataFrame:
+    """(bin, n, s_sum, y_sum) sufficient statistics for the reliability
+    diagram — ADDITIVE (exact decimal + integer sums), so per-batch
+    deltas merge through the add-sink into exactly the one-pass state.
+    Shared by the batch query and stream_reliability_drain."""
     toks = T.tokens("text")
     scored = docs.where(F.size(toks) > 0).select(
         F.round(
@@ -2104,11 +2112,16 @@ def curation_reliability_diagram(
         ).alias("bin"),
         "s", "y",
     )
-    bins = binned.groupBy("bin").agg(
-        F.count("*").alias("n"),
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
         F.sum("s").cast("decimal(38,6)").alias("s_sum"),
-        F.sum("y").alias("y_sum"),
+        F.sum("y").cast("long").alias("y_sum"),
     )
+
+
+def reliability_readout(bins: DataFrame) -> DataFrame:
+    """Per-bin confidence/accuracy + ECE from the additive bin
+    statistics — a pure function of the state, shared by both paths."""
     mean_score = F.col("s_sum").cast("double") / F.col("n")
     frac_pos = F.col("y_sum").cast("double") / F.col("n")
     per = bins.select(

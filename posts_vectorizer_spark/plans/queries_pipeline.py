@@ -1424,3 +1424,42 @@ def stream_kmv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             " est_a double, est_b double, est_union double, jaccard double",
         )
     return kmv_set_ops_readout(state.select("s", "h"))
+
+
+from .queries_curation import _RELIABILITY_SQL
+
+
+@register(
+    "stream_reliability_drain", oracle=_RELIABILITY_SQL, staged=True
+)
+def stream_reliability_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming calibration monitoring with a driver row (built r9
+    session 3, staged r10): documents stream in TWO forced
+    micro-batches; each batch's (bin, n, s_sum, y_sum) reliability
+    statistics merge ADDITIVELY into the standing state
+    (streaming/worker.py::reliability_bins_stream through the
+    batch-id-ledgered add sink), and the diagram + ECE read out from
+    the MERGED bins via the same pure readout the batch query uses.
+    Decimal score sums and integer counts are commutative, so the
+    batch split cannot move a single bin — the oracle is
+    curation_reliability_diagram's one-pass twin, putting live
+    calibration-drift monitoring beside the quantile (DDSketch),
+    frequency (CMS), cardinality (HLL), and order-statistic (KMV)
+    maintenance families."""
+    from ..streaming.worker import reliability_bins_stream
+    from .queries_curation import reliability_readout
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = _forced_drain(
+        spark, docs, "doc_id",
+        lambda src, st, ck, mft: reliability_bins_stream(
+            spark, src, docs.schema, st, ck, max_files_per_trigger=mft
+        ),
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "bin long, n long, mean_score double, frac_positive double,"
+            " ece double",
+        )
+    return reliability_readout(state.select("bin", "n", "s_sum", "y_sum"))

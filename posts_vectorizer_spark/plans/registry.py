@@ -141,12 +141,14 @@ STAGED: dict[str, QueryDef] = {}
 #                                 zero-shuffle in-row windows)
 #   text_chao1_richness          (Chao1 unseen-vocabulary lower
 #                                 bound from singletons/doubletons)
+#   stream_reliability_drain     (additive calibration-bin state —
+#                                 live ECE monitoring in-stream)
 #   (each displaces one more (d) row to r11, same one-for-one rule)
 # r10 head arithmetic AFTER the session-3 batch: staged [Q]
-# introductions now number 45 (46 staged minus the [R]
-# text_compression_ratio). 45 + the 2 spine re-proofs = 47 slots,
-# leaving 3 for block (c): THREE of the ten spilled r4 rows take
-# slots (keep list order) and the remaining seven slip to r11 with
+# introductions now number 46 (47 staged minus the [R]
+# text_compression_ratio). 46 + the 2 spine re-proofs = 48 slots,
+# leaving 2 for block (c): TWO of the ten spilled r4 rows take
+# slots (keep list order) and the remaining eight slip to r11 with
 # block (d), whose rows all defer to r11 as well.
 # Freshness stays bounded: after r10 the oldest standing green rows
 # are r5's, drained across r11/r12 by the standing policy.

@@ -1037,3 +1037,46 @@ def kmv_bottomk_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def reliability_bins_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental calibration monitoring: each micro-batch of
+    documents scores, bins, and ADDITIVELY merges its (bin, n, s_sum,
+    y_sum) sufficient statistics into the standing reliability state
+    (sinks.merge_add_parquet, exactly-once via the batch-id ledger).
+    The decimal score sums and integer counts are commutative
+    additive state — the stream_zscore_drain precedent — so any batch
+    split yields exactly the one-pass bins, and the diagram + ECE
+    read out as a pure function of the state
+    (plans/queries_curation.py::reliability_readout).
+
+    At 100 TB: per-batch cost is one map-side-combinable 10-key
+    aggregate plus O(touched bins) of a 10-row state table — live
+    calibration drift monitoring for the price of the batch."""
+    from ..plans.queries_curation import reliability_bin_counts
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = reliability_bin_counts(batch_df)
+        merge_add_parquet(
+            spark, delta, state_dir, ["bin"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

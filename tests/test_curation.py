@@ -459,3 +459,33 @@ def test_reliability_diagram_planted_bins_and_ece(spark, tmp_path):
     # ECE = (8*|0.5-0.25| + 4*|1-1|) / 12
     ece = (8 * 0.25 + 0) / 12
     assert abs(b5["ece"] - ece) < 1e-12 and b5["ece"] == b9["ece"]
+
+
+def test_stream_reliability_drain_equals_batch(spark, tmp_path):
+    """stream_reliability_drain's merged-state readout must equal the
+    one-pass batch diagram exactly: the bin statistics are additive
+    decimal/integer state, so the forced two-batch split is invisible."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    rows = []
+    for i in range(24):
+        lang = "en" if i % 3 == 0 else "de"
+        body = "w w x x" if i % 2 else "a b c d"   # bins 5 and 9
+        rows.append((i, body, lang))
+    t = tmp_path / "reld"
+    t.mkdir()
+    make_docs(spark, rows).write.parquet(str(t / "documents.parquet"))
+
+    batch = sorted(
+        (r.asDict() for r in resolve_query("curation_reliability_diagram")(
+            spark, str(t)).collect()),
+        key=lambda r: r["bin"],
+    )
+    drain = sorted(
+        (r.asDict() for r in resolve_query("stream_reliability_drain")(
+            spark, str(t)).collect()),
+        key=lambda r: r["bin"],
+    )
+    assert drain == batch
+    assert {r["bin"] for r in drain} == {5, 9}

@@ -324,6 +324,9 @@ def main(only: list[str] | None = None) -> None:
         "mann_kendall": lambda k: SQ["events_mann_kendall_trend"](
             spark, table_dir("events", k, "events")
         ),
+        "reliability_drain": lambda k: SQ["stream_reliability_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "mattr_diversity": lambda k: SQ["text_mattr_diversity"](
             spark, table_dir("docs_plain", k, "documents")
         ),
