@@ -1069,9 +1069,14 @@ cov AS (
 ),
 diag AS (SELECT i, cov AS var FROM cov WHERE i = j)
 SELECT c.i AS dim_i, c.j AS dim_j, CAST(c.n AS BIGINT) AS n,
-       CAST(round(c.cov, 6) AS DOUBLE) AS cov,
+       -- "+ 0.0" canonicalizes IEEE signed zero: round() of a tiny
+       -- negative quotient yields -0.0 (value-equal to +0.0 but a
+       -- different serialized sign bit, hence a different driver hash —
+       -- the r9 CORRECTNESS fail at cell (6,10)); -0.0 + 0.0 = +0.0
+       -- under round-to-nearest, identically in both engines.
+       CAST(round(c.cov, 6) + 0.0 AS DOUBLE) AS cov,
        CAST(CASE WHEN di.var > 0 AND dj.var > 0
-                 THEN round(c.cov / sqrt(di.var * dj.var), 6) END
+                 THEN round(c.cov / sqrt(di.var * dj.var), 6) + 0.0 END
             AS DOUBLE) AS corr
 FROM cov c JOIN diag di ON di.i = c.i JOIN diag dj ON dj.i = c.j
 """
@@ -1164,12 +1169,15 @@ def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").alias("dim_i"),
             F.col("j").alias("dim_j"),
             F.col("n").cast("bigint").alias("n"),
-            F.round("cov", 6).cast("double").alias("cov"),
+            # + 0.0 canonicalizes -0.0 to +0.0 (matches the oracle's
+            # identical canonicalization; see _DIM_COVARIANCE_SQL note)
+            (F.round("cov", 6) + F.lit(0.0)).cast("double").alias("cov"),
             F.when(
                 (F.col("var_i") > 0) & (F.col("var_j") > 0),
                 F.round(
                     F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")), 6
-                ),
+                )
+                + F.lit(0.0),
             )
             .cast("double")
             .alias("corr"),

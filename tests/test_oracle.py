@@ -363,3 +363,52 @@ FROM events LIMIT 1
     assert "cast(round(" not in compact and "decimal" not in compact
     assert not re.fullmatch(r"(\w+\.)?(\w+)", old_bloom_arg.strip())
     # => the lint classifies it as a violation (non-bare double product)
+
+
+def test_signed_zero_canon_distinct():
+    """r9's third value-equal/hash-different class: IEEE -0.0 == +0.0 in
+    Python, but the driver hashes serialized doubles and the sign bit
+    differs. The checker canon must keep them DISTINCT (the r9 checker
+    collapsed them, so local sweeps passed while the driver flagged
+    sim_dim_covariance)."""
+    from tools.oracle_check import _canon
+
+    assert _canon(float("-0.0")) != _canon(0.0)
+    assert _canon(0.0) == 0.0
+    # nested containers inherit the leg
+    assert _canon([-0.0]) != _canon([0.0])
+    # and genuine nonzero values are untouched
+    assert _canon(-1.5) == -1.5
+
+
+def test_r9_signed_zero_reproduces_under_fixed_checker(duck):
+    """Replay the r9-failing oracle SHAPE: the OLD sim_dim_covariance
+    readout (bare round() of a double covariance quotient) emits -0.0 at
+    sf0.01 cell (6,10); the FIXED shape (round() + 0.0) emits none.
+    Proves (a) the planted -0.0 exists so the new canon leg has teeth,
+    and (b) the shipped canonicalization removes it."""
+    import math
+
+    from posts_vectorizer_spark.plans.queries_stats import (
+        _DIM_COVARIANCE_SQL,
+    )
+
+    old_sql = _DIM_COVARIANCE_SQL.replace("round(c.cov, 6) + 0.0",
+                                          "round(c.cov, 6)")
+    assert old_sql != _DIM_COVARIANCE_SQL, "fixture drifted: +0.0 gone"
+
+    def neg_zeros(sql: str) -> int:
+        rows = duck.sql(sql).fetchall()
+        return sum(
+            1
+            for r in rows
+            for v in r
+            if isinstance(v, float) and v == 0.0
+            and math.copysign(1.0, v) < 0
+        )
+
+    assert neg_zeros(old_sql) >= 1, (
+        "DuckDB round() no longer emits -0.0 here — planted regression "
+        "fixture needs a new -0.0 source"
+    )
+    assert neg_zeros(_DIM_COVARIANCE_SQL) == 0
