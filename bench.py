@@ -54,6 +54,11 @@ HEADLINE = [
     "sim_dim_covariance",          # vector-stats family
     "text_kneser_ney_bigram",      # LM-scoring family
     "multimodal_png_ingest",       # real-codec family (compressed)
+    # r10 widening (VERDICT r9 item 5): the heaviest r10-introduced
+    # codec and one streaming sketch-maintenance drain, so the contract
+    # tracks the ledgered-sink family; committed = solo_floor + ~10%
+    "multimodal_gif_ingest",       # adaptive-dictionary LZW codec
+    "stream_cms_drain",            # streaming sketch maintenance
 ]
 
 

@@ -1472,7 +1472,7 @@ FROM s2, n2
 """
 
 
-@register("curation_mw_domain_reweight", oracle=_MW_REWEIGHT_SQL, staged=True)
+@register("curation_mw_domain_reweight", oracle=_MW_REWEIGHT_SQL)
 def curation_mw_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-flavored domain mixture reweighting by TWO unrolled
     multiplicative-weights steps (built r9, staged r10): each domain's
@@ -1586,7 +1586,7 @@ FROM tiered GROUP BY tier
 """
 
 
-@register("text_perplexity_buckets", oracle=_PPL_BUCKETS_SQL, staged=True)
+@register("text_perplexity_buckets", oracle=_PPL_BUCKETS_SQL)
 def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity tiering (built r9, staged r10): score every
     document with the corpus-fit unigram LM (text_unigram_logprob's exact
@@ -1672,7 +1672,7 @@ FROM joined
 """
 
 
-@register("curation_quality_gate", oracle=_QUALITY_GATE_SQL, staged=True)
+@register("curation_quality_gate", oracle=_QUALITY_GATE_SQL)
 def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed keep/drop decision table a curation pipeline
     actually ships (built r9, staged r10): three independent signals —
@@ -1786,7 +1786,7 @@ FROM gt, tot
 """
 
 
-@register("text_good_turing", oracle=_GOOD_TURING_SQL, staged=True)
+@register("text_good_turing", oracle=_GOOD_TURING_SQL)
 def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing frequency smoothing (built r9, staged r10) — the
     classical estimator behind Katz backoff and the SGT family: for
@@ -1923,7 +1923,7 @@ FROM s3, tot, r3
 """
 
 
-@register("curation_token_waterfill", oracle=_WATERFILL_SQL, staged=True)
+@register("curation_token_waterfill", oracle=_WATERFILL_SQL)
 def curation_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget waterfill across sources (built r9, staged r10) —
     the allocation step of training-data mixing: given a token budget
@@ -2066,8 +2066,7 @@ FROM per, tot
 """
 
 
-@register("curation_reliability_diagram", oracle=_RELIABILITY_SQL,
-          staged=True)
+@register("curation_reliability_diagram", oracle=_RELIABILITY_SQL)
 def curation_reliability_diagram(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2174,7 +2173,7 @@ FROM coc WHERE s_obs > 0
 """
 
 
-@register("text_chao1_richness", oracle=_CHAO1_SQL, staged=True)
+@register("text_chao1_richness", oracle=_CHAO1_SQL)
 def text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chao1 vocabulary-richness estimator (bias-corrected form; built
     r9 session 3, staged r10) — the how-much-vocabulary-haven't-we-

@@ -414,7 +414,7 @@ FROM scored GROUP BY r_score, f_score, m_score
 """
 
 
-@register("events_rfm_segments", oracle=_RFM_SQL, staged=True)
+@register("events_rfm_segments", oracle=_RFM_SQL)
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) segmentation (built r9
     session 3, staged r10) — the classic customer-analytics grid:
@@ -604,7 +604,7 @@ FROM pi3 JOIN pi2 USING (state) JOIN pi1 USING (state)
 """
 
 
-@register("events_markov_stationary", oracle=_MKV_SQL, staged=True)
+@register("events_markov_stationary", oracle=_MKV_SQL)
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the user-journey Markov chain by
     THREE unrolled power-iteration steps (built r9 session 3, staged

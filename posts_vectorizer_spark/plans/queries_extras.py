@@ -1174,7 +1174,7 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
-@register("multimodal_gif_ingest", oracle=_GIF_INGEST_SQL, staged=True)
+@register("multimodal_gif_ingest", oracle=_GIF_INGEST_SQL)
 def multimodal_gif_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL LZW-compressed image codec ingest (built r9, staged r10) —
     PNG proved DEFLATE; GIF87a's compression is LZW, a genuinely
@@ -1235,7 +1235,7 @@ FROM px GROUP BY doc_id, nf, t
 """
 
 
-@register("multimodal_gif_frame_sample", oracle=_GIF_SAMPLE_SQL, staged=True)
+@register("multimodal_gif_frame_sample", oracle=_GIF_SAMPLE_SQL)
 def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANIMATED GIF frame sampling (built r9, staged r10): every doc
     synthesizes 4-8 index frames, encodes a real animated GIF89a
@@ -1285,7 +1285,7 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
-@register("multimodal_qoi_ingest", oracle=_QOI_INGEST_SQL, staged=True)
+@register("multimodal_qoi_ingest", oracle=_QOI_INGEST_SQL)
 def multimodal_qoi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL QOI codec ingest (built r9, staged r10) — a third distinct
     compression family alongside PNG/DEFLATE and GIF/LZW: the "Quite OK
@@ -1358,7 +1358,7 @@ FROM fin GROUP BY doc_id
 """
 
 
-@register("multimodal_ulaw_ingest", oracle=_ULAW_INGEST_SQL, staged=True)
+@register("multimodal_ulaw_ingest", oracle=_ULAW_INGEST_SQL)
 def multimodal_ulaw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL G.711 mu-law telephony codec ingest (built r9, staged r10):
     every doc synthesizes a formula PCM16 signal, compands it to 8-bit
@@ -1458,7 +1458,7 @@ FROM rec WHERE i = n
 """
 
 
-@register("multimodal_adpcm_ingest", oracle=_ADPCM_INGEST_SQL, staged=True)
+@register("multimodal_adpcm_ingest", oracle=_ADPCM_INGEST_SQL)
 def multimodal_adpcm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL IMA ADPCM codec ingest (built r9, staged r10) — the
     adaptive DIFFERENTIAL compression family, completing the codec

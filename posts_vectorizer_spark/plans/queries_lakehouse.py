@@ -449,7 +449,7 @@ FROM rows_c GROUP BY bucket
 
 
 @register(
-    "rel_partition_checksums", oracle=_PARTITION_CHECKSUMS_SQL, staged=True
+    "rel_partition_checksums", oracle=_PARTITION_CHECKSUMS_SQL
 )
 def rel_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-level integrity fingerprints (built r9, staged r10):

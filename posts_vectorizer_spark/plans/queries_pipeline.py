@@ -1227,7 +1227,7 @@ def _forced_drain(spark, df, split_col, start, files_per_half: int = 1):
     return state
 
 
-@register("stream_cms_drain", oracle=CMS_HEAVY_HITTERS_SQL, staged=True)
+@register("stream_cms_drain", oracle=CMS_HEAVY_HITTERS_SQL)
 def stream_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min-sketch maintenance with a driver row (built
     r9, staged r10): documents stream in TWO forced micro-batches (two
@@ -1267,7 +1267,7 @@ def stream_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_sketch import HLL_PORTABLE_SQL
 
 
-@register("stream_hll_drain", oracle=HLL_PORTABLE_SQL, staged=True)
+@register("stream_hll_drain", oracle=HLL_PORTABLE_SQL)
 def stream_hll_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HyperLogLog maintenance with a driver row (built r9,
     staged r10): lineitem streams in TWO forced micro-batches; each
@@ -1311,7 +1311,7 @@ def stream_hll_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_curation import _QUALITY_GATE_SQL
 
 
-@register("stream_quality_gate_drain", oracle=_QUALITY_GATE_SQL, staged=True)
+@register("stream_quality_gate_drain", oracle=_QUALITY_GATE_SQL)
 def stream_quality_gate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming admission control with a driver row (built r9, staged
     r10): the unigram LM is fit ONCE on the static corpus (the pinned
@@ -1366,7 +1366,7 @@ def stream_quality_gate_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_similarity import _ZSCORE_SQL
 
 
-@register("stream_zscore_drain", oracle=_ZSCORE_SQL, staged=True)
+@register("stream_zscore_drain", oracle=_ZSCORE_SQL)
 def stream_zscore_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OOD-moment maintenance with a driver row (built r9,
     staged r10): embeddings stream in TWO forced micro-batches; each
@@ -1400,7 +1400,7 @@ def stream_zscore_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_sketch import _KMV_SET_OPS_SQL
 
 
-@register("stream_kmv_drain", oracle=_KMV_SET_OPS_SQL, staged=True)
+@register("stream_kmv_drain", oracle=_KMV_SET_OPS_SQL)
 def stream_kmv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV bottom-k maintenance with a driver row (built r9
     session 3, staged r10): events stream in TWO forced micro-batches;
@@ -1437,7 +1437,7 @@ from .queries_curation import _RELIABILITY_SQL
 
 
 @register(
-    "stream_reliability_drain", oracle=_RELIABILITY_SQL, staged=True
+    "stream_reliability_drain", oracle=_RELIABILITY_SQL
 )
 def stream_reliability_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming calibration monitoring with a driver row (built r9

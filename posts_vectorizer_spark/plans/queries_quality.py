@@ -685,7 +685,7 @@ def text_code_mixing_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CR_LEVEL = 6  # fixed zlib level: deterministic output for a given build
 
 
-@register("text_compression_ratio", staged=True)
+@register("text_compression_ratio")
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source compression-ratio profile (built r9, staged r10): each
     document's zlib/DEFLATE ratio (compressed bytes / raw utf-8 bytes) —
@@ -829,7 +829,7 @@ LEFT JOIN b_csum ON b_csum.doc_id = u_sums.doc_id
 """
 
 
-@register("text_rouge_lead_eval", oracle=_ROUGE_LEAD_SQL, staged=True)
+@register("text_rouge_lead_eval", oracle=_ROUGE_LEAD_SQL)
 def text_rouge_lead_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-1/ROUGE-2 of the lead-{k} extractive baseline against the
     full document (built r9, staged r10) — the standard summarization

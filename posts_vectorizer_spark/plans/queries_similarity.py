@@ -651,7 +651,6 @@ FROM deg d LEFT JOIN tri t ON t.node = d.node
 @register(
     "sim_clustering_coefficient",
     oracle=_cc_sql(similarity.lsh_ann_sql(DIMS, KNN_GRAPH_K)),
-    staged=True,
 )
 def sim_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per node of the mutual-kNN graph
@@ -711,7 +710,7 @@ def sim_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_rq_quantize", oracle=clustering.rq_sql(), staged=True)
+@register("sim_rq_quantize", oracle=clustering.rq_sql())
 def sim_rq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual quantization train→encode→distortion profile (built r9,
     staged r10): a full-vector codebook, then a second codebook fit on
@@ -734,7 +733,6 @@ FROM t a JOIN t b
   ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
 WHERE a.query_id < a.neighbor_id
 """,
-    staged=True,
 )
 def sim_knn_graph_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN graph over lsh_ann lists (built r9, staged r10) — the
@@ -811,7 +809,7 @@ FROM (
 """
 
 
-@register("sim_zscore_outliers", oracle=_ZSCORE_SQL, staged=True)
+@register("sim_zscore_outliers", oracle=_ZSCORE_SQL)
 def sim_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding OOD scoring by diagonal Mahalanobis distance (built r9,
     staged r10): per-dimension mean/std from exact DECIMAL sufficient

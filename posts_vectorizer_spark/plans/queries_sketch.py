@@ -812,7 +812,7 @@ FROM ex, est_a, est_b, est_u
 """
 
 
-@register("rel_hll_set_ops", oracle=_HLL_SET_OPS_SQL, staged=True)
+@register("rel_hll_set_ops", oracle=_HLL_SET_OPS_SQL)
 def rel_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (built r9, staged r10): two user populations
     (high-value purchasers / high-value clickers) are sketched into
@@ -968,7 +968,7 @@ FROM wide, uest
 """
 
 
-@register("events_kmv_set_ops", oracle=_KMV_SET_OPS_SQL, staged=True)
+@register("events_kmv_set_ops", oracle=_KMV_SET_OPS_SQL)
 def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values / bottom-k) distinct sketch with UNION
     and Jaccard set operations (built r9, staged r10) — the third

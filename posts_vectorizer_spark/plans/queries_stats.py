@@ -1334,7 +1334,7 @@ FROM rho r JOIN tau t ON r.source = t.source
 """
 
 
-@register("text_rank_correlation_eval", oracle=_RANKCORR_SQL, staged=True)
+@register("text_rank_correlation_eval", oracle=_RANKCORR_SQL)
 def text_rank_correlation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-correlation eval harness (built r9, staged r10): per source,
     how well does the cheap ranking signal (n_chars metadata) agree
@@ -1492,7 +1492,7 @@ FROM agg
 """
 
 
-@register("events_mannwhitney_ab", oracle=_MANNWHITNEY_SQL, staged=True)
+@register("events_mannwhitney_ab", oracle=_MANNWHITNEY_SQL)
 def events_mannwhitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U / Wilcoxon rank-sum A/B test (built r9, staged
     r10) — the NONPARAMETRIC companion to events_ab_test's z-test:
@@ -1612,7 +1612,7 @@ FROM qk, thr, cov
 
 
 @register(
-    "curation_conformal_threshold", oracle=_CONFORMAL_SQL, staged=True
+    "curation_conformal_threshold", oracle=_CONFORMAL_SQL
 )
 def curation_conformal_threshold(
     spark: SparkSession, sf_dir: str
@@ -1752,7 +1752,7 @@ FROM tot, agg
 """
 
 
-@register("events_ks_ab", oracle=_KS_SQL, staged=True)
+@register("events_ks_ab", oracle=_KS_SQL)
 def events_ks_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kolmogorov-Smirnov two-sample test (built r9, staged r10) —
     the DISTRIBUTION-level A/B companion to events_ab_test (means) and
@@ -1860,7 +1860,7 @@ FROM calc
 """
 
 
-@register("events_welch_ttest", oracle=_WELCH_SQL, staged=True)
+@register("events_welch_ttest", oracle=_WELCH_SQL)
 def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test (built r9, staged r10) — the
     mean-difference A/B test that does NOT assume equal group
@@ -1999,7 +1999,7 @@ FROM agg
 """
 
 
-@register("events_cmh_stratified_ab", oracle=_CMH_SQL, staged=True)
+@register("events_cmh_stratified_ab", oracle=_CMH_SQL)
 def events_cmh_stratified_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran-Mantel-Haenszel stratified A/B test (built r9, staged
     r10) — the Simpson's-paradox-safe companion to events_ab_test:
@@ -2161,7 +2161,7 @@ FROM p3 JOIN wins ON wins.i = p3.i, tot
 """
 
 
-@register("events_bradley_terry", oracle=_BT_SQL, staged=True)
+@register("events_bradley_terry", oracle=_BT_SQL)
 def events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference ranking by THREE unrolled MM
     iterations (built r9, staged r10) — the model behind pairwise
@@ -2340,7 +2340,7 @@ FROM v3 JOIN v2 USING (dim) JOIN v1 USING (dim), n3
 """
 
 
-@register("sim_pca_power_iteration", oracle=_PCA_SQL, staged=True)
+@register("sim_pca_power_iteration", oracle=_PCA_SQL)
 def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the leading-{_COV_D} embedding
     dimensions by THREE unrolled power-iteration steps on
@@ -2485,7 +2485,7 @@ FROM cells, tot
 """
 
 
-@register("rel_benford_digit_test", oracle=_BENFORD_SQL, staged=True)
+@register("rel_benford_digit_test", oracle=_BENFORD_SQL)
 def rel_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit conformance test (built r9 session 3,
     staged r10) — the fraud / synthetic-data / unit-mixup smell test
@@ -2613,7 +2613,7 @@ FROM calc
 """
 
 
-@register("events_diff_in_diff", oracle=_DID_SQL, staged=True)
+@register("events_diff_in_diff", oracle=_DID_SQL)
 def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences estimator (built r9 session 3, staged
     r10) — the causal-inference workhorse the plain A/B family can't

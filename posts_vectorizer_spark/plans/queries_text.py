@@ -192,7 +192,7 @@ FROM wm, n WHERE n.n_docs > 1
 """
 
 
-@register("text_burstiness", oracle=_BURSTINESS_SQL, staged=True)
+@register("text_burstiness", oracle=_BURSTINESS_SQL)
 def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word burstiness via the Fano factor (built r9, staged r10) —
     the corpus-linguistics dispersion signal that separates FUNCTION
@@ -313,7 +313,7 @@ FROM ranked WHERE rank <= {_RAKE_TOPK}
 """
 
 
-@register("text_rake_keywords", oracle=_RAKE_SQL, staged=True)
+@register("text_rake_keywords", oracle=_RAKE_SQL)
 def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction (Rose et al. 2010; built r9 session 3,
     staged r10) — the phrase-level complement to tfidf_top_keywords:
@@ -435,7 +435,7 @@ FROM wins
 """
 
 
-@register("text_mattr_diversity", oracle=_MATTR_SQL, staged=True)
+@register("text_mattr_diversity", oracle=_MATTR_SQL)
 def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATTR — moving-average type-token ratio at window {_MATTR_W}
     (Covington & McFall 2010; built r9 session 3, staged r10) — the

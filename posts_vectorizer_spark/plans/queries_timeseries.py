@@ -1013,7 +1013,7 @@ ORDER BY lag
 """
 
 
-@register("events_acf_lags", oracle=_ACF_SQL, staged=True)
+@register("events_acf_lags", oracle=_ACF_SQL)
 def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of the daily event-count series at
     calendar lags 1..7 (built r9, staged r10) — the seasonality PROBE
@@ -1127,7 +1127,7 @@ FROM nn, s, var_s
 """
 
 
-@register("events_mann_kendall_trend", oracle=_MANN_KENDALL_SQL, staged=True)
+@register("events_mann_kendall_trend", oracle=_MANN_KENDALL_SQL)
 def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test + Theil-Sen robust slope over
     the daily event-count series (built r9, staged r10) — the
@@ -1281,7 +1281,7 @@ FROM rec WHERE x IS NOT NULL
 """
 
 
-@register("events_holt_winters", oracle=_HOLT_WINTERS_SQL, staged=True)
+@register("events_holt_winters", oracle=_HOLT_WINTERS_SQL)
 def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive triple exponential smoothing over the
     daily event-count series, weekly season m=7 (built r9, staged
@@ -1429,7 +1429,7 @@ FROM cum WHERE d_t > 0
 """
 
 
-@register("events_kaplan_meier", oracle=_KM_SQL, staged=True)
+@register("events_kaplan_meier", oracle=_KM_SQL)
 def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimator over time-to-first-purchase with
     right censoring (built r9 session 3, staged r10) — the
@@ -1572,7 +1572,7 @@ FROM mm
 """
 
 
-@register("events_page_hinkley", oracle=_PAGE_HINKLEY_SQL, staged=True)
+@register("events_page_hinkley", oracle=_PAGE_HINKLEY_SQL)
 def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-Hinkley mean-drift detector over the daily mean-value
     series, both directions (built r9 session 3, staged r10) — the

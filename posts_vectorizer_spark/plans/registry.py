@@ -36,156 +36,29 @@ REGISTRY: dict[str, QueryDef] = {}
 # includes them) — staging defers only the DRIVER-VISIBLE registration,
 # never the verification.
 STAGED: dict[str, QueryDef] = {}
-# r9: the r8-staged wave of 17 was introduced (head slots a-block),
-# plus the two r9-built ANN graph forms (introduced same-round — built
-# and fully gated BEFORE the head locked, so no staging deferral was
-# needed). Queries built mid-r9 after the head locks stage here for
-# r10. Staging checklist (memory + r7/r8 practice): oracle sweep at
+# r10: the full r9-staged wave of 47 (46 [Q] + the [R]
+# text_compression_ratio) was introduced — every staged=True flag
+# dropped, the 46 [Q] took head a-block slots, and the two r9
+# perf/correctness flags were fixed before introduction
+# (sim_dim_covariance signed zero; stream_quality_gate_drain LM
+# de-collect). Queries built mid-r10 after the head locks stage here
+# for r11. Staging checklist (memory + r7-r9 practice): oracle sweep at
 # sf0.01 AND sf0.1, vanilla head_check pass, a named semantic test, an
 # empty-input pass (tests/test_edge.py), a scale_trend measurement,
 # COVERAGE/README/registry-comment updates.
 #
-# r9 staged (r10 gets their introduction slots), SEVEN queries — all
-# four-way gated (both-tier sweeps, vanilla head_check 7/7, named
-# tests, staged empty-input pass, measured 1x/3x/10x trends in
-# SCALE.md):
-#   multimodal_gif_ingest        (REAL LZW codec — GIF87a end to end)
-#   rel_hll_set_ops              (HLL union by register max-merge +
-#                                 inclusion-exclusion intersection)
-#   sim_clustering_coefficient   (lsh_ann graph, wedge+closure algebra)
-#   curation_mw_domain_reweight  (2 coupled unrolled MW steps)
-#   rel_partition_checksums      (mergeable Merkle-leaf audit)
-#   text_perplexity_buckets      (CCNet tiering; token-weighted exact
-#                                 DECIMAL tier scores)
-#   stream_cms_drain             (CMS maintenance through the ledgered
-#                                 merge sink; batch-equality test)
-# ...plus a second batch of THREE (same full gate):
-#   multimodal_gif_frame_sample  (ANIMATED GIF89a — per-frame LZW,
-#                                 graphic-control delay, loop ext)
-#   curation_quality_gate        (composed keep/drop decision table —
-#                                 length/repetition/LM flags)
-#   text_compression_ratio       ([R] — DEFLATE ratio quality signal;
-#                                 zlib-exact named test, R-table row)
-#   sim_rq_quantize              (residual quantization — sequential
-#                                 2-stage codebooks, full oracle)
-#   stream_hll_drain             (HLL registers through the NEW
-#                                 merge_max_parquet dominance sink)
-#   text_rouge_lead_eval         (clipped-count ROUGE-1/2 of the
-#                                 lead-30 baseline — eval harness)
-#   stream_quality_gate_drain    (pinned-LM streaming admission
-#                                 control through the upsert sink)
-#   sim_knn_graph_mutual_ann     (ANN mutual graph — completes the
-#                                 exact-witness/ANN-form pairing)
-#   sim_zscore_outliers          (diagonal-Mahalanobis OOD sweep —
-#                                 moments + broadcast + in-row fold)
-#   stream_zscore_drain          (the same moments maintained as
-#                                 additive DECIMAL state in-stream)
-# ...plus a late-r9 continuation batch (same full gate):
-#   multimodal_qoi_ingest        (REAL QOI codec — a third compression
-#                                 family: index/delta/run byte coding)
-#   multimodal_ulaw_ingest       (REAL G.711 mu-law companding in a
-#                                 hand-written tag-7 WAV container)
-#   text_rank_correlation_eval   (Spearman on the exact 2x-rank grid
-#                                 + bounded Kendall tau-b@30)
-# ...plus a session-3 continuation batch (same full gate: both-tier +
-# sf0.1 sweeps, vanilla head_check, staged empty-input pass, named
-# planted tests, measured 1x/3x/10x trends in SCALE.md):
-#   events_mannwhitney_ab        (nonparametric rank-sum A/B — value-
-#                                 level U on the exact 2x grid)
-#   curation_conformal_threshold (split-conformal keep/flag gate —
-#                                 integer order-statistic threshold)
-#   events_ks_ab                 (Kolmogorov-Smirnov two-sample D on
-#                                 the integer ECDF lattice)
-#   events_welch_ttest           (unequal-variance t + Welch df from
-#                                 exact integer moments)
-#   events_acf_lags              (daily-series autocorrelation at
-#                                 lags 1..7, 128-bit exact deviations)
-#   events_kmv_set_ops           (bottom-k KMV sketch: union +
-#                                 jaccard set algebra, salted top-k)
-#   multimodal_adpcm_ingest      (REAL IMA ADPCM — adaptive 4-bit
-#                                 coding, recursive-CTE oracle)
-#   text_good_turing             (count-of-counts smoothing: r*,
-#                                 smoothed p, unseen mass)
-#   events_cmh_stratified_ab     (Cochran-Mantel-Haenszel stratified
-#                                 A/B — Simpson's-paradox-safe)
-#   events_bradley_terry         (pairwise-preference MM ranking,
-#                                 3 unrolled oracle-checked steps)
-#   events_mann_kendall_trend    (monotone-trend S + Theil-Sen
-#                                 lower-median slope)
-#   events_holt_winters          (triple exponential smoothing in
-#                                 exact decimal, recursive oracle)
-#   text_burstiness              (Fano-factor word dispersion from
-#                                 exact integer moments)
-#   curation_token_waterfill     (integer waterfill token budgeter,
-#                                 3 unrolled redistribution rounds)
-#   stream_kmv_drain             (bottom-k sketch maintenance —
-#                                 the 4th merge family: order stats)
-#   curation_reliability_diagram (calibration bins + ECE readout)
-#   text_rake_keywords           (RAKE phrase keywords, per-doc
-#                                 deg/freq on the 9dp grid)
-#   events_kaplan_meier          (KM survival curve via an exact
-#                                 decimal product fold)
-#   events_rfm_segments          (RFM grid over value-level quintile
-#                                 cuts — no global ntile sort)
-#   events_markov_stationary     (3 unrolled power-iteration steps
-#                                 over the journey transition matrix)
-#   sim_pca_power_iteration      (top principal component — exact-
-#                                 decimal spectral power iteration)
-#   rel_benford_digit_test       (Benford first-digit conformance,
-#                                 pinned-literal expected probs)
-#   events_page_hinkley          (baseline-free PH mean drift — the
-#                                 drift trio member, window-only)
-#   events_diff_in_diff          (DiD causal estimator over a fixed
-#                                 policy cutover, exact cell moments)
-#   text_mattr_diversity         (windowed lexical diversity — MATTR,
-#                                 zero-shuffle in-row windows)
-#   text_chao1_richness          (Chao1 unseen-vocabulary lower
-#                                 bound from singletons/doubletons)
-#   stream_reliability_drain     (additive calibration-bin state —
-#                                 live ECE monitoring in-stream)
-#   (each displaces one more (d) row to r11, same one-for-one rule)
-# r10 head arithmetic AFTER the session-3 batch: staged [Q]
-# introductions now number 46 (47 staged minus the [R]
-# text_compression_ratio). 46 + the 2 spine re-proofs = 48 slots,
-# leaving 2 for block (c): TWO of the ten spilled r4 rows take
-# slots (keep list order) and the remaining eight slip to r11 with
-# block (d), whose rows all defer to r11 as well.
-# Freshness stays bounded: after r10 the oldest standing green rows
-# are r5's, drained across r11/r12 by the standing policy.
-# r10 head plan (original EXACT draft, 50 slots — every name
-# pre-verified vanilla this round, SWEEPS.md; apply the arithmetic
-# above when locking):
-#  (a) 19 introductions (the [Q] staged wave; text_compression_ratio
-#      is [R] and takes no slot): multimodal_gif_ingest,
-#      multimodal_gif_frame_sample, rel_hll_set_ops,
-#      sim_clustering_coefficient, curation_mw_domain_reweight,
-#      rel_partition_checksums, text_perplexity_buckets,
-#      stream_cms_drain, curation_quality_gate, sim_rq_quantize,
-#      stream_hll_drain, text_rouge_lead_eval,
-#      stream_quality_gate_drain, sim_knn_graph_mutual_ann,
-#      sim_zscore_outliers, stream_zscore_drain, multimodal_qoi_ingest,
-#      multimodal_ulaw_ingest, text_rank_correlation_eval
-#      (late-r9 batch queries displace (d) rows to r11 one-for-one)
-#  (b) spine: tfidf_doc_vectors (+ text_unigram_logprob — its module
-#      was refactored this round; cheap re-proof)
-#  (c) the 10 spilled r4 rows: rel_tpch_q16_dormant_parts,
-#      rel_tpch_q18_large_orders, rel_tpch_q19_disjunctive,
-#      rel_tpch_q21_late_suppliers, rel_tpch_q22_dormant_accounts,
-#      events_ab_cuped, events_interval_coverage, text_bm25_ndcg_eval,
-#      text_winnowing_fingerprints, dedup_substring_spans
-#  (d) 19 oldest-r5 rows (family spread; the rest of r5 go to r11 —
-#      drop names from the END below, one per (a) late-batch
-#      introduction):
-#      curation_weighted_sample, dedup_components,
-#      dedup_incremental_minhash, dedup_split_leakage_safe,
-#      events_cusum_changepoint, events_halflife_decay,
-#      events_retention_cohorts, events_scd2_versions,
-#      events_session_paths, rel_custdist_histogram,
-#      rel_salted_skew_join, rel_stats_quantiles,
-#      rel_subquery_correlated, rel_tpch_q6_forecast_revenue,
-#      rel_tpch_q8_market_share, rel_weighted_median,
-#      sim_hybrid_rrf_fusion, sim_pagerank_knn, sim_semdedup_prune,
-#      stream_vectorize_drain, text_pmi_bigrams, text_readability
+# r11 head planning (draft; lock next round):
+#   (b) spine: tfidf_doc_vectors (+ direct consumers of any r11 code
+#       changes).
+#   (c) freshness: the NINE spilled r4 rows (rel_tpch_q18_large_orders,
+#       rel_tpch_q19_disjunctive, rel_tpch_q21_late_suppliers,
+#       rel_tpch_q22_dormant_accounts, events_ab_cuped,
+#       events_interval_coverage, text_bm25_ndcg_eval,
+#       text_winnowing_fingerprints, dedup_substring_spans) go FIRST,
+#       then the r5 cohort (oldest standing green after r10) in
+#       tools/cohorts.py order, family-spread, to fill the slots that
+#       r10-staged introductions leave free (one-for-one rule).
+
 
 
 def register(
@@ -227,56 +100,59 @@ def register(
 # (a batch per round, last-green round ascending), so no driver row ages
 # past ~4 rounds without a re-proof.
 #
-# r9 state: executes the r8 verdict's plan (VERDICT.md "Next round"
-# items 1-2):
-#   (a) 19 introduction slots — the 17-query r8-staged wave (dim
-#       covariance, Kneser-Ney bigram LM, sliding chunker, Adamic-Adar,
-#       maxsim late interaction, margin bitext mining, PSI drift drain,
-#       edit-distance verify, LSH param planner, largest-remainder
-#       alloc, code-mixing entropy, k-core peeling, the four REAL
-#       zero-dependency codec queries WAV/BMP/AVI/PNG, Platt
-#       calibration), all swept at sf0.01+sf0.1 AND vanilla-session
-#       pre-verified in r8 (SWEEPS.md), PLUS the two r9-built ANN-backed
-#       graph forms (sim_adamic_adar_links_ann, sim_kcore_peeling_ann —
-#       verdict item 2: they clear the only two scale-weak flags; swept
-#       both tiers + named-tested + empty-input + measured 1.1x/1.3x
-#       wall at 10x data this round).
-#   (b) r9 spine — the flagship.
-#   (c) FRESHNESS fill — 30 of the 40 r4-cohort rows (oldest standing
-#       cohort), prioritising the touched-file consumer
-#       (sim_knn_graph_mutual — queries_similarity.py graph refactor),
-#       streaming/source representatives and family spread; the 10
-#       spilled to r10 are all standalone plans untouched this round
-#       (5 TPC-H + events_ab_cuped, events_interval_coverage,
-#       text_bm25_ndcg_eval, text_winnowing_fingerprints,
-#       dedup_substring_spans).
+# r10 state: executes the r9 verdict's plan (VERDICT.md "Next round"
+# items 1-3) and the pinned r10 head arithmetic drafted in r9:
+#   (0) sim_dim_covariance — the r9 round's single red row, re-proved
+#       first after the signed-zero fix (round()+0.0 canonicalization on
+#       both engine sides; oracle_check._canon now keeps -0.0 distinct).
+#   (b) spine — tfidf_doc_vectors + text_unigram_logprob (its module's
+#       unigram_lm path is consumed by the de-collected
+#       stream_quality_gate_drain this round; cheap re-proof).
+#   (a) 46 introduction slots — the full r9-staged [Q] wave
+#       (text_compression_ratio is [R] and takes no slot), all
+#       pre-verified in r9: sf0.01+sf0.1 sweeps, vanilla head_check,
+#       named tests, empty-input gate, scale trends (SWEEPS.md; judge
+#       spot-check 6/6). stream_quality_gate_drain was re-swept this
+#       round after the LM de-collect (persist+broadcast, no driver
+#       collect on the path).
+#   (c) ONE spilled r4 row takes the remaining slot
+#       (rel_tpch_q16_dormant_parts — list order); the other nine r4
+#       rows (rel_tpch_q18_large_orders, rel_tpch_q19_disjunctive,
+#       rel_tpch_q21_late_suppliers, rel_tpch_q22_dormant_accounts,
+#       events_ab_cuped, events_interval_coverage, text_bm25_ndcg_eval,
+#       text_winnowing_fingerprints, dedup_substring_spans) spill to
+#       r11 AHEAD of the r5 cohort (oldest standing green after r10;
+#       enumerate cohorts with tools/cohorts.py).
 _HEAD_ORDER: tuple[str, ...] = (
-    # ---- (a) the 19 introductions:
-    "sim_dim_covariance", "text_kneser_ney_bigram", "text_chunk_sliding",
-    "sim_adamic_adar_links", "sim_adamic_adar_links_ann",
-    "sim_maxsim_late_interaction", "sim_margin_bitext_mining",
-    "stream_psi_drift_drain", "dedup_edit_distance_verify",
-    "sim_lsh_param_planner", "rel_largest_remainder_alloc",
-    "text_code_mixing_entropy", "sim_kcore_peeling",
-    "sim_kcore_peeling_ann", "multimodal_wav_ingest",
-    "multimodal_bmp_ingest", "multimodal_avi_frame_sample",
-    "multimodal_png_ingest", "curation_platt_calibration",
-    # ---- (b) r9 spine:
-    "tfidf_doc_vectors",
-    # ---- (c) freshness fill: 30 of the r4 cohort:
-    "sim_knn_graph_mutual", "dedup_containment", "dedup_keep_longest",
-    "events_anomaly_mad", "events_debounce_bursts",
-    "events_funnel_conversion", "events_scd2_lookup",
-    "grouped_arrow_vector_stats", "rel_groupby_agg",
-    "rel_grouping_sets", "rel_lateral_topk", "rel_observe_audit",
-    "rel_tpch_q14_promo_share", "rel_tpch_q5_region_volume",
-    "rel_variant_json", "rel_xml_extract", "sim_dbscan",
-    "sim_random_projection", "sim_sparse_tfidf_pairs",
-    "source_ledger_compaction", "source_ledger_skipping",
-    "source_python_datasource", "source_python_sink_roundtrip",
-    "stream_interval_join_outer", "stream_python_source_drain",
-    "stream_tumbling_drain", "text_bpe_merges", "text_dsir_weights",
-    "text_pack_sequences", "text_redact_pii",
+    # ---- (0) the r9 red row, fixed this round:
+    "sim_dim_covariance",
+    # ---- (b) r10 spine:
+    "tfidf_doc_vectors", "text_unigram_logprob",
+    # ---- (a) the 46 introductions (r9-staged wave):
+    "multimodal_gif_ingest", "multimodal_gif_frame_sample",
+    "rel_hll_set_ops", "sim_clustering_coefficient",
+    "curation_mw_domain_reweight", "rel_partition_checksums",
+    "text_perplexity_buckets", "stream_cms_drain",
+    "curation_quality_gate", "sim_rq_quantize", "stream_hll_drain",
+    "text_rouge_lead_eval", "stream_quality_gate_drain",
+    "sim_knn_graph_mutual_ann", "sim_zscore_outliers",
+    "stream_zscore_drain", "multimodal_qoi_ingest",
+    "multimodal_ulaw_ingest", "text_rank_correlation_eval",
+    "events_mannwhitney_ab", "curation_conformal_threshold",
+    "events_ks_ab", "events_welch_ttest", "events_acf_lags",
+    "events_kmv_set_ops", "multimodal_adpcm_ingest",
+    "text_good_turing", "events_cmh_stratified_ab",
+    "events_bradley_terry", "events_mann_kendall_trend",
+    "events_holt_winters", "text_burstiness",
+    "curation_token_waterfill", "stream_kmv_drain",
+    "curation_reliability_diagram", "text_rake_keywords",
+    "events_kaplan_meier", "events_rfm_segments",
+    "events_markov_stationary", "sim_pca_power_iteration",
+    "rel_benford_digit_test", "events_page_hinkley",
+    "events_diff_in_diff", "text_mattr_diversity",
+    "text_chao1_richness", "stream_reliability_drain",
+    # ---- (c) freshness: the first spilled r4 row:
+    "rel_tpch_q16_dormant_parts",
 )
 
 
@@ -321,6 +197,19 @@ def resolve_query(name: str) -> QueryFn:
     if q is None:
         raise KeyError(f"unknown query: {name}")
     return q.fn
+
+
+def resolve_oracle(name: str) -> str:
+    """resolve_query's oracle twin: the DuckDB SQL for a query whether
+    registered or still staged (the r10 transition broke a test that
+    hardcoded ``STAGED[...]``.oracle — same class as resolve_query's
+    r8 rationale). Raises KeyError for unknown names AND for [R]
+    queries, which have no oracle by design."""
+    _ensure_loaded()
+    q = REGISTRY.get(name) or STAGED.get(name)
+    if q is None or q.oracle is None:
+        raise KeyError(f"no oracle for query: {name}")
+    return q.oracle
 
 
 _LOADED = False

@@ -128,6 +128,8 @@ def test_plan_build_triggers_no_jobs(spark):
         "stream_hll_drain",             # runs its micro-batch drain
         "stream_quality_gate_drain",    # pins the LM + runs its drain
         "stream_zscore_drain",          # runs its micro-batch drain
+        "stream_kmv_drain",             # runs its micro-batch drain
+        "stream_reliability_drain",     # runs its micro-batch drain
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():

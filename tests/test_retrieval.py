@@ -1041,7 +1041,7 @@ def test_rq_quantize_noncontiguous_cluster_ids(spark, tmp_path):
     from posts_vectorizer_spark.operators.clustering import (
         _train_codebook,
     )
-    from posts_vectorizer_spark.plans.registry import STAGED, resolve_query
+    from posts_vectorizer_spark.plans.registry import resolve_oracle, resolve_query
 
     rng = np.random.default_rng(21)
     rows = []
@@ -1084,7 +1084,7 @@ def test_rq_quantize_noncontiguous_cluster_ids(spark, tmp_path):
     )
     want = {
         (r[0], r[1]): (r[2], r[3])
-        for r in con.execute(STAGED["sim_rq_quantize"].oracle).fetchall()
+        for r in con.execute(resolve_oracle("sim_rq_quantize")).fetchall()
     }
     assert got == want
 
