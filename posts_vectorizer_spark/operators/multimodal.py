@@ -1825,3 +1825,142 @@ def adpcm_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, ADPCM_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL G.711 A-law telephony codec (built r10, staged r11) — the European
+# companion to mu-law above and the second half of the ITU-T G.711
+# standard: 16-bit linear PCM -> 13-bit -> 8-bit A-law (segment/mantissa
+# with the 0x55 even-bit inversion that gives A-law its long runs of
+# alternating bits on silence) and back, carried in a hand-written
+# RIFF/WAVE container with format tag 6 (WAVE_FORMAT_ALAW). Same
+# verification contract as mu-law: vectorized integer numpy both ways,
+# exhaustively checked against a per-sample scalar reference over all
+# 65536 int16 inputs, and an oracle that re-derives the full
+# compand/expand algebra in SQL.
+# ---------------------------------------------------------------------------
+
+_ALAW_SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def alaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> uint8 A-law, vectorized (G.711 / classic
+    reference implementation): arithmetic >>3 to 13-bit, negatives map
+    to ones-complement magnitude (-p-1 — A-law has no negative zero on
+    the wire), 8 segment thresholds, 4-bit mantissa (segments 0-1 share
+    the >>1 shift), XOR mask 0xD5 (positive) / 0x55 (negative)."""
+    p = samples.astype(np.int32) >> 3
+    neg = p < 0
+    x = np.where(neg, -p - 1, p)
+    seg = np.zeros_like(x)
+    for end in _ALAW_SEG_END:
+        seg += (x > end).astype(np.int32)
+    shift = np.maximum(np.minimum(seg, 7), 1)
+    mant = np.where(seg >= 8, 15, (x >> shift) & 0x0F)
+    aval = (np.minimum(seg, 7) << 4) | mant
+    mask = np.where(neg, 0x55, 0xD5)
+    return (aval ^ mask).astype(np.uint8)
+
+
+def alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """uint8 A-law -> int16 linear PCM (segment-midpoint reconstruction:
+    +8 bias in segment 0, +0x108 then << (seg-1) above)."""
+    a = codes.astype(np.int32) ^ 0x55
+    pos = (a & 0x80) != 0
+    mant = a & 0x0F
+    seg = (a >> 4) & 0x07
+    t = mant << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(pos, t, -t).astype(np.int16)
+
+
+def encode_alaw_wav(samples: np.ndarray, rate: int) -> bytes:
+    """A-law WAV: RIFF/WAVE + fmt (tag 6, mono, 8-bit) + data chunk —
+    hand-written, same as the mu-law container but WAVE_FORMAT_ALAW."""
+    import struct
+
+    payload = alaw_compress(samples).tobytes()
+    fmt = struct.pack("<HHIIHH", 6, 1, rate, rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_alaw_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """(rate, int16 samples) from an A-law WAV: RIFF walk (word-aligned,
+    unknown chunks skipped), format tag MUST be 6/mono/8-bit — loud
+    reject otherwise — then vectorized A-law expansion."""
+    import struct
+
+    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byterate, _align, bits = fmt
+    if (audio_format, channels, bits) != (6, 1, 8):
+        raise ValueError(f"not mono 8-bit A-law: {fmt}")
+    return rate, alaw_expand(np.frombuffer(data, dtype=np.uint8))
+
+
+def synth_samples_alaw(doc_id: int, n: int) -> np.ndarray:
+    """Deterministic int16 test signal, constants distinct from both the
+    PCM16 and mu-law queries': s_i = ((doc_id*41 + i*19) % 65536) - 32768."""
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 41 + i * 19) % 65536) - 32768).astype(np.int16)
+
+
+ALAW_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sum_pcm long, sum_abs_pcm long,"
+    " max_quant_err long"
+)
+
+
+def alaw_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, n) -> formula PCM16 -> ENCODE real A-law WAV (tag-6
+    container) -> DECODE (RIFF walk + format check + expansion) ->
+    integer-exact sums over the DECODED samples plus the max
+    quantization error vs the original signal — the mu-law contract
+    applied to the A-law algebra, so any segment/mantissa/mask bug
+    hash-mismatches against the SQL restatement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                orig = synth_samples_alaw(int(doc_id), int(n))
+                _rate, dec = decode_alaw_wav(encode_alaw_wav(orig, 8000))
+                d = dec.astype(np.int64)
+                err = np.abs(orig.astype(np.int64) - d)
+                out.append(
+                    (
+                        int(doc_id), int(d.size), int(d.sum()),
+                        int(np.abs(d).sum()), int(err.max()) if d.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sum_pcm", "sum_abs_pcm",
+                    "max_quant_err",
+                ],
+            )
+
+    return base.mapInPandas(run, ALAW_FEATURE_SCHEMA)

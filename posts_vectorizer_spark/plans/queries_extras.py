@@ -1485,3 +1485,101 @@ def multimodal_adpcm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(96) + F.col("doc_id") % 32).cast("int").alias("n"),
     )
     return multimodal.adpcm_ingest_features(base)
+
+
+_ALAW_INGEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 256 + doc_id % 96 AS n FROM documents
+),
+samp AS (
+  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM base
+),
+lin AS (
+  SELECT doc_id, ((doc_id * 41 + i * 19) % 65536) - 32768 AS s FROM samp
+),
+thirteen AS (
+  -- arithmetic >>3 == floor division; the numerator is made exactly
+  -- divisible so truncating and flooring division agree on negatives
+  SELECT doc_id, s, (s - ((s % 8) + 8) % 8) // 8 AS p FROM lin
+),
+mag AS (
+  SELECT doc_id, s,
+         CASE WHEN p < 0 THEN 1 ELSE 0 END AS neg,
+         CASE WHEN p < 0 THEN -p - 1 ELSE p END AS x
+  FROM thirteen
+),
+segd AS (
+  SELECT doc_id, s, neg, x,
+         (CASE WHEN x > 31 THEN 1 ELSE 0 END
+          + CASE WHEN x > 63 THEN 1 ELSE 0 END
+          + CASE WHEN x > 127 THEN 1 ELSE 0 END
+          + CASE WHEN x > 255 THEN 1 ELSE 0 END
+          + CASE WHEN x > 511 THEN 1 ELSE 0 END
+          + CASE WHEN x > 1023 THEN 1 ELSE 0 END
+          + CASE WHEN x > 2047 THEN 1 ELSE 0 END
+          + CASE WHEN x > 4095 THEN 1 ELSE 0 END) AS seg
+  FROM mag
+),
+enc AS (
+  SELECT doc_id, s, neg,
+         CASE WHEN seg >= 8 THEN 7 ELSE seg END AS segw,
+         CASE WHEN seg >= 8 THEN 15
+              ELSE (x // (CASE WHEN seg <= 1 THEN 2 WHEN seg = 2 THEN 4
+                               WHEN seg = 3 THEN 8 WHEN seg = 4 THEN 16
+                               WHEN seg = 5 THEN 32 WHEN seg = 6 THEN 64
+                               ELSE 128 END)) % 16
+         END AS mant
+  FROM segd
+),
+dec AS (
+  SELECT doc_id, s, neg,
+         CASE WHEN segw = 0 THEN mant * 16 + 8
+              ELSE (mant * 16 + 264)
+                   * (CASE WHEN segw = 1 THEN 1 WHEN segw = 2 THEN 2
+                           WHEN segw = 3 THEN 4 WHEN segw = 4 THEN 8
+                           WHEN segw = 5 THEN 16 WHEN segw = 6 THEN 32
+                           ELSE 64 END)
+         END AS dmag
+  FROM enc
+),
+fin AS (
+  SELECT doc_id, s, CASE WHEN neg = 1 THEN -dmag ELSE dmag END AS d
+  FROM dec
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(d) AS BIGINT) AS sum_pcm,
+       CAST(sum(ABS(d)) AS BIGINT) AS sum_abs_pcm,
+       CAST(max(ABS(s - d)) AS BIGINT) AS max_quant_err
+FROM fin GROUP BY doc_id
+"""
+
+
+@register("multimodal_alaw_ingest", oracle=_ALAW_INGEST_SQL, staged=True)
+def multimodal_alaw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law telephony codec ingest (built r10, staged r11)
+    — the European half of ITU-T G.711 beside the mu-law query, and a
+    genuinely different algebra (13-bit input via arithmetic >>3,
+    ones-complement negative magnitudes, shared >>1 shift in segments
+    0-1, the 0x55 even-bit inversion instead of full ones-complement):
+    every doc synthesizes a formula PCM16 signal, compands to 8-bit
+    A-law, writes a format-tag-6 RIFF/WAVE container BY HAND, walks it
+    back, expands, and emits integer-exact sums over the DECODED
+    samples plus the max quantization error. The oracle re-derives the
+    complete compand/expand pipeline in SQL (floor-div-by-8 spelled as
+    an exactly-divisible quotient so truncation semantics can't differ;
+    segment CASEs; power-of-two mantissa shifts), so any segment
+    threshold, shift, bias, or mask bug hash-mismatches. The numpy
+    kernels are exhaustively verified against a per-sample scalar
+    reference over ALL 65536 int16 values (tests/test_multimodal.py).
+
+    Scale shape: per-row scan-stage codec work (payloads never
+    shuffle); only the 5-column profile leaves the stage."""
+    from ..operators.multimodal import alaw_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.lit(256) + F.col("doc_id") % 96).cast("int").alias("n"),
+    )
+    return alaw_ingest_features(base)

@@ -935,3 +935,89 @@ def text_rouge_lead_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rouge2_precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget concentration (value-grid Gini — no global sort)
+# ---------------------------------------------------------------------------
+
+_TOKEN_GINI_SQL = f"""
+WITH dc AS (
+  SELECT doc_id, {T.token_count_sql('text')} AS c FROM documents
+),
+grid AS (
+  SELECT c, count(*) AS f FROM dc GROUP BY c
+),
+cum AS (
+  SELECT c, f,
+         COALESCE(sum(f) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM grid
+),
+s AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n,
+         CAST(sum(c * f) AS BIGINT) AS total,
+         CAST(sum(CAST(c AS DECIMAL(38,0))
+                  * (f * nb + (f * (f + 1)) // 2)) AS DECIMAL(38,0)) AS t
+  FROM cum
+)
+SELECT n AS n_docs, total AS total_tokens,
+       CAST(CAST(total AS DOUBLE) / n AS DOUBLE) AS mean_tokens,
+       CAST(2 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * total)
+            - (CAST(n AS DOUBLE) + 1) / n AS DOUBLE) AS gini
+FROM s WHERE n > 0 AND total > 0
+"""
+
+
+@register("text_token_gini", oracle=_TOKEN_GINI_SQL, staged=True)
+def text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget concentration across documents (built r10, staged
+    r11) — the curation-side inequality diagnostic: a corpus whose
+    token mass concentrates in a few huge documents (gini -> 1) will
+    train on their style no matter how many docs the manifest counts,
+    and packing/waterfill decisions (curation_token_waterfill) need to
+    know it. Statistically the Lorenz/Gini machinery of
+    `rel_skew_gini` (its rank-window twin, over join-key frequencies)
+    — but computed WITHOUT any global per-row rank sort via the
+    value-grid device (RFM / Mann-Whitney lineage): docs with equal
+    token counts are rank-interchangeable, so docs at count c occupying
+    ranks [nb+1, nb+f] contribute c*(f*nb + f(f+1)/2) in EXACT
+    integers on a 128-bit DECIMAL lattice (c*f*nb can pass 2^63 at
+    corpus scale), and Gini = 2T/(n*S1) - (n+1)/n is one identical
+    double expression of exact sums.
+
+    Scale shape: per-doc token count in the scan stage, grid aggregate
+    over |distinct lengths| (bounded — thousands at most), cumulative
+    window on the tiny grid only, 1-row output. The rank-window twin
+    sorts the full per-key table; THIS form is the one to run on a
+    billion-doc corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    dc = docs.select(T.token_count("text").alias("c"))
+    grid = dc.groupBy("c").agg(F.count("*").alias("f")).coalesce(1)
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.select(
+        "c", "f", F.coalesce(F.sum("f").over(w), F.lit(0)).alias("nb")
+    )
+    f, c, nb = F.col("f"), F.col("c"), F.col("nb")
+    s = cum.agg(
+        F.sum(f).cast("bigint").alias("n"),
+        F.sum(c * f).cast("bigint").alias("total"),
+        F.sum(
+            c.cast("decimal(38,0)")
+            * (f * nb + F.expr("(f * (f + 1)) div 2"))
+        )
+        .cast("decimal(38,0)")
+        .alias("t"),
+    )
+    n, total, t = F.col("n"), F.col("total"), F.col("t")
+    return s.where((n > 0) & (total > 0)).select(
+        n.alias("n_docs"),
+        total.alias("total_tokens"),
+        (total.cast("double") / n).cast("double").alias("mean_tokens"),
+        (
+            F.lit(2) * t.cast("double") / (n.cast("double") * total)
+            - (n.cast("double") + 1) / n
+        )
+        .cast("double")
+        .alias("gini"),
+    )

@@ -487,3 +487,315 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_windows").cast("long").alias("n_windows"),
         (ratio_sum.cast("double") / F.col("n_windows")).alias("mattr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (corpus-health diagnostic)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPN = 400  # head of the rank-frequency curve the OLS line fits
+
+_ZIPF_SQL = f"""
+WITH wc AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest({textstats.T.tokens_sql('text')}) AS word
+        FROM documents)
+  GROUP BY word
+),
+ranked AS (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word) AS rk
+  FROM wc
+),
+head AS (SELECT * FROM ranked WHERE rk <= {_ZIPF_TOPN}),
+terms AS (
+  SELECT CAST(round(ln(rk), 9) AS DECIMAL(12,9)) AS x,
+         CAST(round(ln(n), 9) AS DECIMAL(12,9)) AS y
+  FROM head
+),
+s AS (
+  -- sums accumulate EXACTLY at the product scale (18dp), then re-pin
+  -- to 9dp before any double math: a 9dp decimal with < 2^53 scaled
+  -- units converts to double identically in both engines (one exact
+  -- IEEE division), while an 18dp sum can round differently at the
+  -- last ulp (measured at sf0.001 on r2)
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(round(CAST(sum(CAST(x AS DECIMAL(28,9))) AS DECIMAL(38,9)), 9)
+              AS DECIMAL(24,9)) AS sx,
+         CAST(round(CAST(sum(CAST(y AS DECIMAL(28,9))) AS DECIMAL(38,9)), 9)
+              AS DECIMAL(24,9)) AS sy,
+         CAST(round(CAST(sum(CAST(x * x AS DECIMAL(28,18))) AS DECIMAL(38,18)), 9)
+              AS DECIMAL(24,9)) AS sxx,
+         CAST(round(CAST(sum(CAST(x * y AS DECIMAL(28,18))) AS DECIMAL(38,18)), 9)
+              AS DECIMAL(24,9)) AS sxy,
+         CAST(round(CAST(sum(CAST(y * y AS DECIMAL(28,18))) AS DECIMAL(38,18)), 9)
+              AS DECIMAL(24,9)) AS syy
+  FROM terms
+)
+SELECT m AS n_words,
+       CAST((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            AS DOUBLE) AS slope,
+       CAST((CAST(sy AS DOUBLE)
+             - (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / m AS DOUBLE) AS intercept,
+       CAST((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / ((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            AS DOUBLE) AS r2
+FROM s WHERE m >= 2
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_SQL, staged=True)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (built r10, staged r11) — the classic
+    corpus-health diagnostic: natural text follows freq ~ C/rank^a with
+    a ~= 1, and a corpus whose fitted slope is far from -1 (or whose r2
+    is low) is template spam, deduplication residue, or synthetic
+    filler rather than organic language. OLS of ln(freq) on ln(rank)
+    over the top-{_ZIPF_TOPN} words: per-row ln values round to 9dp
+    DECIMAL (ln has matched cross-engine everywhere it's used —
+    memory/playbook; exp is the one that doesn't), products are exact
+    18dp decimals, all five sufficient statistics are exact DECIMAL
+    sums, and slope/intercept/r2 are single identical double
+    expressions of those sums. One output row.
+
+    Scale shape: vocab-sized word count (map-side combinable), then a
+    global top-{_ZIPF_TOPN} via orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition heads merged on the driver,
+    never a full sort) — and the rank window runs on the bounded
+    {_ZIPF_TOPN}-row head coalesced to one partition. The OLS reduce is
+    a 1-row aggregate. Nothing corpus-sized ever sorts globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(textstats.T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    head = (
+        wc.orderBy(F.desc("n"), F.asc("word"))
+        .limit(_ZIPF_TOPN)
+        .coalesce(1)
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("n"), F.asc("word"))
+    )
+    terms = head.select(
+        F.round(F.log(rk.cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9)
+        .cast("decimal(12,9)")
+        .alias("y"),
+    )
+    # exact 18dp accumulation, re-pinned to 9dp before double math
+    # (9dp + < 2^53 scaled units => bit-identical double conversion in
+    # both engines; 18dp sums diverged by an ulp at sf0.001 — see SQL)
+    def pinned(col, alias):
+        return (
+            F.round(col.cast("decimal(38,18)"), 9)
+            .cast("decimal(24,9)")
+            .alias(alias)
+        )
+
+    s = terms.agg(
+        F.count("*").cast("bigint").alias("m"),
+        pinned(F.sum(F.col("x").cast("decimal(28,9)")), "sx"),
+        pinned(F.sum(F.col("y").cast("decimal(28,9)")), "sy"),
+        pinned(F.sum((F.col("x") * F.col("x")).cast("decimal(28,18)")), "sxx"),
+        pinned(F.sum((F.col("x") * F.col("y")).cast("decimal(28,18)")), "sxy"),
+        pinned(F.sum((F.col("y") * F.col("y")).cast("decimal(28,18)")), "syy"),
+    )
+    m = F.col("m")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    num = m * sxy - sx * sy
+    den = m * sxx - sx * sx
+    slope = num / den
+    return s.where(m >= 2).select(
+        m.alias("n_words"),
+        slope.cast("double").alias("slope"),
+        ((sy - slope * sx) / m).cast("double").alias("intercept"),
+        (num * num / (den * (m * syy - sy * sy)))
+        .cast("double")
+        .alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (damped power iteration on the word graph)
+# ---------------------------------------------------------------------------
+
+_TR_TOPK = 3
+_TR_D = "0.85"     # damping, spelled once so both engines share the literal
+_TR_BASE = "0.15"  # 1 - d
+
+_TEXTRANK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {textstats.T.tokens_sql('text')} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS p, t
+  FROM toks WHERE len(t) >= 2
+),
+adj AS (
+  SELECT doc_id, t[p] AS u, t[p + 1] AS v FROM pos WHERE t[p] <> t[p + 1]
+),
+edges AS (
+  SELECT DISTINCT doc_id, u, v FROM (
+    SELECT doc_id, u, v FROM adj
+    UNION ALL
+    SELECT doc_id, v AS u, u AS v FROM adj
+  )
+),
+deg AS (
+  SELECT doc_id, u,
+         CAST(round(1.0 / count(*), 9) AS DECIMAL(18,9)) AS invdeg
+  FROM edges GROUP BY doc_id, u
+),
+s1 AS (
+  SELECT e.doc_id, e.v AS word,
+         CAST(round({_TR_BASE} + {_TR_D} * CAST(
+           sum(CAST(round(CAST(1 AS DECIMAL(18,6)) * d.invdeg, 9)
+               AS DECIMAL(28,9))) AS DECIMAL(20,9)), 6)
+           AS DECIMAL(18,6)) AS s
+  FROM edges e JOIN deg d ON d.doc_id = e.doc_id AND d.u = e.u
+  GROUP BY e.doc_id, e.v
+),
+s2 AS (
+  SELECT e.doc_id, e.v AS word,
+         CAST(round({_TR_BASE} + {_TR_D} * CAST(
+           sum(CAST(round(s1.s * d.invdeg, 9)
+               AS DECIMAL(28,9))) AS DECIMAL(20,9)), 6)
+           AS DECIMAL(18,6)) AS s
+  FROM edges e
+  JOIN deg d ON d.doc_id = e.doc_id AND d.u = e.u
+  JOIN s1 ON s1.doc_id = e.doc_id AND s1.word = e.u
+  GROUP BY e.doc_id, e.v
+),
+s3 AS (
+  SELECT e.doc_id, e.v AS word,
+         CAST(round({_TR_BASE} + {_TR_D} * CAST(
+           sum(CAST(round(s2.s * d.invdeg, 9)
+               AS DECIMAL(28,9))) AS DECIMAL(20,9)), 6)
+           AS DECIMAL(18,6)) AS s
+  FROM edges e
+  JOIN deg d ON d.doc_id = e.doc_id AND d.u = e.u
+  JOIN s2 ON s2.doc_id = e.doc_id AND s2.word = e.u
+  GROUP BY e.doc_id, e.v
+),
+ranked AS (
+  SELECT doc_id, word, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, word) AS rk
+  FROM s3
+)
+SELECT doc_id, word, CAST(s AS DOUBLE) AS score, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= {_TR_TOPK}
+"""
+
+
+@register("text_textrank_keywords", oracle=_TEXTRANK_SQL, staged=True)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004; built r10,
+    staged r11) — the graph-centrality complement to RAKE's phrase
+    statistics: per document, adjacent distinct tokens form an
+    undirected co-occurrence graph, and THREE unrolled damped
+    power-iteration steps (d=0.85, uniform init 1.0) score each word by
+    the stationary importance of its neighborhood; top-{_TR_TOPK}
+    words per doc win. Decimal discipline goes one step beyond the
+    markov-stationary device: the ENTIRE iteration is exact DECIMAL —
+    1/deg pins to 9dp, s*invdeg is an exact scale-15 decimal product
+    rounded (half-away-from-zero, identical cross-engine) to 9dp before
+    the exact per-node sum, and the damped update 0.15 + 0.85*raw is a
+    decimal-literal product re-pinned to 6dp. No double appears inside
+    the loop: the first draft's 0.85 * (9dp grid) DOUBLE product landed
+    exactly on round-6 half boundaries six times at sf0.01, where the
+    engines' double rounding disagrees (playbook hazard #1) — measured,
+    then eliminated by construction.
+
+    Scale shape: the edge fan-out is ∝ tokens (adjacent pairs, in the
+    scan stage); every join and aggregate in the three steps is keyed
+    by (doc_id, word) — co-partitioned, map-side combinable, no global
+    anything — and the final top-k is a doc-keyed window. The edge +
+    invdeg relation feeds all three steps through one persist, so the
+    corpus scans once."""
+    from ..cache import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.T.tokens("text")
+    pairs = docs.select("doc_id", toks.alias("t")).where(
+        F.size("t") >= 2
+    ).select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("u"),
+                        F.element_at("t", i + 1).alias("v"),
+                    ),
+                ),
+                lambda p: p["u"] != p["v"],
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    edges = (
+        pairs.union(
+            pairs.select("doc_id", F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("doc_id", "u").agg(
+        F.round(F.lit(1.0) / F.count("*"), 9)
+        .cast("decimal(18,9)")
+        .alias("invdeg")
+    )
+    ew = persist_tracked(
+        edges.join(deg, ["doc_id", "u"]).select("doc_id", "u", "v", "invdeg")
+    )
+    # DECIMAL literals (a bare 0.85 would be a double and reintroduce
+    # the half-boundary hazard this device exists to kill)
+    d = F.expr("CAST(0.85 AS DECIMAL(3,2))")
+    base = F.expr("CAST(0.15 AS DECIMAL(3,2))")
+
+    def step(scores: DataFrame | None) -> DataFrame:
+        if scores is None:
+            src = ew.withColumn("s", F.lit(1).cast("decimal(18,6)"))
+        else:
+            src = ew.join(
+                scores.select(
+                    "doc_id", F.col("word").alias("u"), "s"
+                ),
+                ["doc_id", "u"],
+            )
+        # s(18,6) * invdeg(18,9) is EXACT decimal scale-15 in both
+        # engines (precision 37 <= 38); round() on an exact decimal is
+        # half-away-from-zero identically cross-engine, so no double
+        # appears anywhere in the iteration.
+        term = F.round(F.col("s") * F.col("invdeg"), 9).cast(
+            "decimal(28,9)"
+        )
+        return src.groupBy("doc_id", F.col("v").alias("word")).agg(
+            F.round(base + d * F.sum(term).cast("decimal(20,9)"), 6)
+            .cast("decimal(18,6)")
+            .alias("s")
+        )
+
+    s3 = step(step(step(None)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("word"))
+    return (
+        s3.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TR_TOPK)
+        .select(
+            "doc_id",
+            "word",
+            F.col("s").cast("double").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -47,7 +47,21 @@ STAGED: dict[str, QueryDef] = {}
 # empty-input pass (tests/test_edge.py), a scale_trend measurement,
 # COVERAGE/README/registry-comment updates.
 #
-# r11 head planning (draft; lock next round):
+# r10 staged (r11 gets their introduction slots) — all four-way gated
+# (sf0.001+sf0.01+sf0.1 sweeps, vanilla head_check, named planted
+# tests, staged empty-input pass, measured 1x/3x/10x trends in
+# SCALE.md):
+#   text_zipf_fit           (ln-ln OLS over the top-400 words; exact
+#                            9dp-pinned sufficient statistics)
+#   text_textrank_keywords  (3 unrolled damped power-iteration steps,
+#                            PURE-decimal update — no doubles in-loop)
+#   text_token_gini         (value-grid Lorenz/Gini, sort-free twin
+#                            of rel_skew_gini, 128-bit exact lattice)
+#   multimodal_alaw_ingest  (REAL G.711 A-law + tag-6 RIFF container,
+#                            exhaustive 65536-value kernel proof)
+#
+# r11 head planning (draft; lock next round — r10-staged queries take
+# introduction slots first, then the freshness blocks below):
 #   (b) spine: tfidf_doc_vectors (+ direct consumers of any r11 code
 #       changes).
 #   (c) freshness: the NINE spilled r4 rows (rel_tpch_q18_large_orders,

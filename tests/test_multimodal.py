@@ -1017,3 +1017,108 @@ def test_adpcm_ingest_features_hand_computed(spark, tmp_path):
             abs(a - b) for a, b in zip(orig, dec)
         )
         assert r["end_index"] == idx
+
+
+def test_alaw_codec_exhaustive_and_container():
+    """G.711 A-law (built r10, staged r11): the vectorized compress is
+    checked against a per-sample scalar reference over ALL 65536 int16
+    values; expansion is value-idempotent; the hand-written tag-6 RIFF
+    container roundtrips and rejects loudly (incl. against its mu-law
+    sibling — the two G.711 halves must not decode each other)."""
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+    def ref_enc(v: int) -> int:
+        p = v >> 3
+        if p >= 0:
+            mask, x = 0xD5, p
+        else:
+            mask, x = 0x55, -p - 1
+        seg = 0
+        while seg < 8 and x > SEG_END[seg]:
+            seg += 1
+        if seg >= 8:
+            return 0x7F ^ mask
+        aval = seg << 4
+        aval |= (x >> 1) & 15 if seg < 2 else (x >> seg) & 15
+        return aval ^ mask
+
+    allv = np.arange(-32768, 32768, dtype=np.int16)
+    enc = M.alaw_compress(allv)
+    assert (enc == np.array([ref_enc(int(v)) for v in allv])).all()
+    dec = M.alaw_expand(enc)
+    err = np.abs(allv.astype(np.int64) - dec.astype(np.int64))
+    # widest segment: step 2^(7-1+3+1)=1024 -> midpoint error <= 512,
+    # plus the >>3 truncation; A-law does not clip asymmetrically like
+    # mu-law's 644
+    assert err.max() == 512
+    # companding is idempotent on DECODED values
+    assert (M.alaw_expand(M.alaw_compress(dec)) == dec).all()
+
+    s = M.synth_samples_alaw(5, 257)  # odd payload -> pad byte path
+    raw = M.encode_alaw_wav(s, 8000)
+    rate, d = M.decode_alaw_wav(raw)
+    assert rate == 8000 and (d == M.alaw_expand(M.alaw_compress(s))).all()
+    with pytest.raises(ValueError):
+        M.decode_alaw_wav(b"RIFX" + raw[4:])
+    with pytest.raises(ValueError):
+        # mu-law (tag 7) container must not expand as A-law
+        M.decode_alaw_wav(M.encode_ulaw_wav(s, 8000))
+    with pytest.raises(ValueError):
+        # and vice versa: the A-law container must reject in the
+        # mu-law decoder
+        M.decode_ulaw_wav(raw)
+    with pytest.raises(ValueError):
+        M.decode_alaw_wav(raw[:20])  # truncated before fmt/data
+
+
+def test_alaw_ingest_features_hand_computed(spark, tmp_path):
+    """multimodal_alaw_ingest for two docs equals the hand-evaluated
+    compand/expand algebra (scalar reference, independent of numpy)."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+    def compand(v: int) -> int:
+        p = v >> 3
+        neg = p < 0
+        x = -p - 1 if neg else p
+        seg = 0
+        while seg < 8 and x > SEG_END[seg]:
+            seg += 1
+        if seg >= 8:
+            segw, mant = 7, 15
+        else:
+            segw = seg
+            mant = (x >> 1) & 15 if seg < 2 else (x >> seg) & 15
+        t = mant << 4
+        t = t + 8 if segw == 0 else (t + 0x108) << max(segw - 1, 0)
+        return -t if neg else t
+
+    d = tmp_path / "alaw"
+    d.mkdir()
+    spark.createDataFrame(
+        [(3, "x", "en", "s", 1), (10, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_alaw_ingest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (3, 10):
+        n = 256 + doc % 96
+        orig = [((doc * 41 + i * 19) % 65536) - 32768 for i in range(n)]
+        dec = [compand(s) for s in orig]
+        r = rows[doc]
+        assert r["n_samples"] == n
+        assert r["sum_pcm"] == sum(dec)
+        assert r["sum_abs_pcm"] == sum(abs(v) for v in dec)
+        assert r["max_quant_err"] == max(
+            abs(a - b) for a, b in zip(orig, dec)
+        )

@@ -515,3 +515,143 @@ def test_chao1_planted_count_of_counts(spark, tmp_path):
     chao1 = 9 + 6 * 5 / (2 * 3)
     assert r["chao1"] == chao1
     assert r["unseen_vocab_share"] == (chao1 - 9) / chao1
+
+
+def test_zipf_fit_planted_ols(spark, tmp_path):
+    """text_zipf_fit on a planted corpus with KNOWN word frequencies:
+    the OLS slope/intercept/r2 equal an independent Python replica of
+    the 9dp-decimal-pinned algebra (ranks by freq desc then word)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # a TRUE power law freq = 720/rank (ln-ln exactly linear, slope -1)
+    freqs = {"w0": 720, "w1": 360, "w2": 240, "w3": 180, "w4": 144}
+    words = [w for w, k in freqs.items() for _ in range(k)]
+    docs = make_docs(spark, [(0, " ".join(words), "en")])
+    t = tmp_path / "zipf"
+    t.mkdir()
+    docs.write.parquet(str(t / "documents.parquet"))
+
+    row = resolve_query("text_zipf_fit")(spark, str(t)).collect()[0]
+    assert row["n_words"] == 5
+
+    def pin9(v: float) -> Decimal:
+        return Decimal(repr(v)).quantize(
+            Decimal("0.000000001"), ROUND_HALF_UP
+        )
+
+    pts = [
+        (pin9(math.log(rk)), pin9(math.log(n)))
+        for rk, (_, n) in enumerate(
+            sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0])), 1
+        )
+    ]
+    m = len(pts)
+
+    def pinsum(vals) -> float:
+        # the query re-pins each exact decimal sum to 9dp before the
+        # double conversion; mirror it
+        return float(
+            sum(vals).quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+        )
+
+    sx = pinsum(x for x, _ in pts)
+    sy = pinsum(y for _, y in pts)
+    sxx = pinsum(x * x for x, _ in pts)
+    sxy = pinsum(x * y for x, y in pts)
+    syy = pinsum(y * y for _, y in pts)
+    num, den = m * sxy - sx * sy, m * sxx - sx * sx
+    assert row["slope"] == num / den
+    assert row["intercept"] == (sy - (num / den) * sx) / m
+    assert row["r2"] == num * num / (den * (m * syy - sy * sy))
+    # freq = 720/rank is exactly linear in ln-ln space: slope -1, r2 ~ 1
+    # (only the 9dp pinning keeps them from being exact)
+    assert abs(row["slope"] + 1.0) < 1e-6
+    assert row["r2"] > 0.999999
+
+
+def test_textrank_planted_graph(spark, tmp_path):
+    """text_textrank_keywords on a planted two-doc corpus equals an
+    independent Decimal replica of the 3-step damped iteration, and a
+    hub word outranks leaves."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # doc 0: star graph — "hub" adjacent to 3 distinct leaves
+    #   tokens: hub a hub b hub c  -> edges hub-a, hub-b, hub-c
+    # doc 1: single token (no edges -> absent from output)
+    docs = make_docs(
+        spark, [(0, "hub a hub b hub c", "en"), (1, "solo", "en")]
+    )
+    t = tmp_path / "tr"
+    t.mkdir()
+    docs.write.parquet(str(t / "documents.parquet"))
+
+    out = resolve_query("text_textrank_keywords")(spark, str(t)).collect()
+    assert {r["doc_id"] for r in out} == {0}
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["word"] == "hub"
+
+    # independent replica (undirected star, deg(hub)=3, deg(leaf)=1)
+    Q9 = Decimal("0.000000001")
+    Q6 = Decimal("0.000001")
+
+    def rnd(v: Decimal, q: Decimal) -> Decimal:
+        return v.quantize(q, ROUND_HALF_UP)
+
+    inv = {"hub": rnd(Decimal(1) / 3, Q9), "a": Decimal(1), "b": Decimal(1),
+           "c": Decimal(1)}
+    s = {w: Decimal("1.000000") for w in inv}
+    neighbors = {"hub": ["a", "b", "c"], "a": ["hub"], "b": ["hub"],
+                 "c": ["hub"]}
+    for _ in range(3):
+        nxt = {}
+        for v, ns in neighbors.items():
+            raw = sum(rnd(s[u] * inv[u], Q9) for u in ns)
+            nxt[v] = rnd(
+                Decimal("0.15") + Decimal("0.85") * raw, Q6
+            )
+        s = nxt
+    got = {r["word"]: r["score"] for r in out}
+    # top-3 of 4 nodes: hub + 2 of the tied leaves (a, b by word order)
+    assert got == {
+        "hub": float(s["hub"]), "a": float(s["a"]), "b": float(s["b"])
+    }
+
+
+def test_token_gini_planted_lengths(spark, tmp_path):
+    """text_token_gini on planted doc lengths equals the classic
+    rank-formula Gini (sum((2i-n-1)x_i)/(n*sum x), ascending), proving
+    the value-grid device computes the same statistic without the
+    sort; ties included."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    lengths = [1, 1, 2, 5, 5, 10]
+    docs = make_docs(
+        spark,
+        [(i, " ".join(["w"] * n), "en") for i, n in enumerate(lengths)],
+    )
+    t = tmp_path / "gini"
+    t.mkdir()
+    docs.write.parquet(str(t / "documents.parquet"))
+
+    row = resolve_query("text_token_gini")(spark, str(t)).collect()[0]
+    n, total = len(lengths), sum(lengths)
+    xs = sorted(lengths)
+    t_rank = sum(i * x for i, x in enumerate(xs, 1))
+    classic = sum((2 * i - n - 1) * x for i, x in enumerate(xs, 1)) / (
+        n * total
+    )
+    assert row["n_docs"] == n
+    assert row["total_tokens"] == total
+    assert row["mean_tokens"] == total / n
+    # 2T/(nS) - (n+1)/n with T = sum(i*x_i) is algebraically the classic
+    # form; both evaluated here to guard the identity itself
+    assert abs(row["gini"] - classic) < 1e-12
+    assert row["gini"] == 2 * t_rank / (n * total) - (n + 1) / n

@@ -336,6 +336,19 @@ def main(only: list[str] | None = None) -> None:
         "reliability_diagram": lambda k: SQ["curation_reliability_diagram"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        # r10-built wave (staged r11):
+        "zipf_fit": lambda k: SQ["text_zipf_fit"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "textrank_keywords": lambda k: SQ["text_textrank_keywords"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "token_gini": lambda k: SQ["text_token_gini"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "alaw_ingest": lambda k: SQ["multimodal_alaw_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "rake_keywords": lambda k: SQ["text_rake_keywords"](
             spark, table_dir("docs_plain", k, "documents")
         ),
