@@ -1964,3 +1964,175 @@ def alaw_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, ALAW_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL TGA (Targa) type-10 RLE codec (built r10, staged r11) — the
+# scanline run-length family in its classic 1984 format: 18-byte
+# little-endian header, BGR 24-bit pixels, and per-scanline RLE packets
+# (high bit set -> repeat packet: one pixel replicated count times; high
+# bit clear -> raw packet: count literal pixels; count = (b & 0x7F) + 1,
+# max 128, packets never cross scanlines). Both origins are handled on
+# decode (descriptor bit 5: top-down vs the default bottom-up), our
+# encoder writes top-down. Zero dependencies; loud-reject decoder.
+# ---------------------------------------------------------------------------
+
+
+def encode_tga(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> type-10 (RLE true-color) TGA bytes.
+    Greedy scanline RLE: maximal equal-pixel runs become repeat packets
+    (chunked at 128), everything else accumulates into raw packets
+    (chunked at 128). Top-down origin (descriptor 0x20)."""
+    import struct
+
+    h, w, _ = rgb.shape
+    header = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, w, h, 24, 0x20
+    )
+    out = bytearray(header)
+    for y in range(h):
+        row = rgb[y]
+        # maximal equal runs, boundaries found vectorized (a per-pixel
+        # Python comparison loop measured 10x the whole query's wall)
+        if w > 1:
+            change = np.nonzero(np.any(row[1:] != row[:-1], axis=1))[0] + 1
+        else:
+            change = np.empty(0, dtype=np.int64)
+        starts = np.concatenate(([0], change))
+        lengths = np.diff(np.concatenate((starts, [w])))
+        runs = list(zip(starts.tolist(), lengths.tolist()))
+        raw_buf: list[int] = []
+
+        def flush_raw() -> None:
+            i = 0
+            while i < len(raw_buf):
+                chunk = raw_buf[i : i + 128]
+                out.append(len(chunk) - 1)
+                for xx in chunk:
+                    r, g, b = row[xx]
+                    out.extend((int(b), int(g), int(r)))
+                i += 128
+
+        for start, length in runs:
+            if length >= 2:
+                flush_raw()
+                raw_buf = []
+                left = length
+                pos = start
+                while left > 0:
+                    n = min(left, 128)
+                    out.append(0x80 | (n - 1))
+                    r, g, b = row[pos]
+                    out.extend((int(b), int(g), int(r)))
+                    left -= n
+            else:
+                raw_buf.append(start)
+        flush_raw()
+    return bytes(out)
+
+
+def decode_tga(raw: bytes) -> np.ndarray:
+    """type-10 24-bit TGA bytes -> (h, w, 3) uint8 RGB. Walks the RLE
+    packet stream scanline-aligned (a packet crossing a scanline is a
+    spec violation -> loud reject), honors BOTH origins (bottom-up rows
+    are flipped to top-down on return), rejects non-RLE-true-color
+    types, palettes, and non-24-bit depths."""
+    import struct
+
+    if len(raw) < 18:
+        raise ValueError("short TGA header")
+    (idlen, cmap_type, img_type, _cm_first, _cm_len, _cm_bits,
+     _x0, _y0, w, h, bpp, desc) = struct.unpack("<BBBHHBHHHHBB", raw[:18])
+    if img_type != 10:
+        raise ValueError(f"not RLE true-color (type {img_type})")
+    if cmap_type != 0:
+        raise ValueError("paletted TGA not supported here")
+    if bpp != 24:
+        raise ValueError(f"not 24-bit ({bpp})")
+    pos = 18 + idlen
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        x = 0
+        while x < w:
+            if pos >= len(raw):
+                raise ValueError("truncated packet stream")
+            pkt = raw[pos]
+            pos += 1
+            n = (pkt & 0x7F) + 1
+            if x + n > w:
+                raise ValueError("RLE packet crosses scanline")
+            if pkt & 0x80:
+                if pos + 3 > len(raw):
+                    raise ValueError("truncated repeat pixel")
+                b, g, r = raw[pos : pos + 3]
+                pos += 3
+                img[y, x : x + n] = (r, g, b)
+            else:
+                if pos + 3 * n > len(raw):
+                    raise ValueError("truncated raw packet")
+                px = np.frombuffer(
+                    raw[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+                img[y, x : x + n] = px[:, ::-1]
+            x += n
+    if not (desc & 0x20):  # bottom-up origin
+        img = img[::-1]
+    return img
+
+
+def synth_pixels_tga(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from an integer formula both engines can
+    state, shaped to force every packet regime: y%3==0 rows are
+    CONSTANT (one maximal run -> the 128-count cap splits it at
+    w >= 129), y%3==1 rows plateau x in fours (short repeat packets),
+    y%3==2 rows are all-distinct (raw packets). xq = CASE;
+    r=(doc_id+xq+5y)%256, g=(2*doc_id+3*xq+y)%256,
+    b=(3*doc_id+2*xq+4y)%256."""
+    y, x = np.mgrid[0:h, 0:w]
+    xq = np.where(y % 3 == 0, 0, np.where(y % 3 == 1, x - (x % 4), x))
+    d = int(doc_id)
+    return np.stack(
+        [
+            (d + xq + 5 * y) % 256,
+            (2 * d + 3 * xq + y) % 256,
+            (3 * d + 2 * xq + 4 * y) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+TGA_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int,"
+    " sum_r long, sum_g long, sum_b long"
+)
+
+
+def tga_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, w, h) -> formula RGB -> ENCODE real type-10 RLE TGA ->
+    DECODE (header parse + packet walk + origin handling) ->
+    integer-exact per-channel sums over the DECODED image with
+    dimensions from the PARSED header. The oracle states the sums from
+    the synthesis formula, so any packet-count, BGR-order, origin, or
+    chunking bug hash-mismatches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                img = decode_tga(
+                    encode_tga(synth_pixels_tga(int(doc_id), int(w), int(h)))
+                )
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                out.append(
+                    (
+                        int(doc_id), img.shape[1], img.shape[0],
+                        int(s[0]), int(s[1]), int(s[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return base.mapInPandas(run, TGA_FEATURE_SCHEMA)

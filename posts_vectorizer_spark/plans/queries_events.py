@@ -694,3 +694,105 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("state", "pi_step1", "pi_step2", "pi_step3")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (heavy-tail diagnostic over event values)
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100  # top-order statistics the estimator averages over
+
+_HILL_SQL = f"""
+WITH pos AS (
+  SELECT value, event_id FROM events WHERE value > 0
+),
+top AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value DESC, event_id) AS rk
+  FROM pos
+  ORDER BY value DESC, event_id
+  LIMIT {_HILL_K + 1}
+),
+thresh AS (
+  SELECT value AS xk FROM top WHERE rk = {_HILL_K + 1}
+),
+terms AS (
+  SELECT CAST(round(ln(t.value / th.xk), 9) AS DECIMAL(28,9)) AS lr
+  FROM top t, thresh th WHERE t.rk <= {_HILL_K}
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(lr) AS DECIMAL(38,9)) AS slr
+  FROM terms
+)
+SELECT s.k, CAST(th.xk AS DOUBLE) AS xk,
+       CAST(CAST(s.slr AS DOUBLE) / s.k AS DOUBLE) AS hill,
+       CAST(s.k / CAST(s.slr AS DOUBLE) AS DOUBLE) AS alpha
+FROM s, thresh th
+WHERE s.k = {_HILL_K} AND s.slr > 0
+"""
+
+
+@register("events_hill_tail", oracle=_HILL_SQL, staged=True)
+def events_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975; built r10, staged r11) —
+    the standard heavy-tail diagnostic over the event value
+    distribution: hill = mean(ln(x_(i)/x_(k+1))) over the top-k order
+    statistics, alpha = 1/hill. alpha <= 2 means infinite variance
+    (means/variances of this metric are unstable and sampling plans
+    must switch to quantile logic); large alpha means a thin tail.
+    Pareto-shaped values give alpha ~ the Pareto exponent. Each log
+    ratio rounds to 9dp DECIMAL before the EXACT sum (ln has matched
+    cross-engine everywhere; the sum would otherwise be FP-order
+    dependent), and hill/alpha are single double expressions of the
+    exact sum. Deterministic through ties via the (value, event_id)
+    order.
+
+    Scale shape: the only global operation is top-(k+1) — Spark plans
+    TakeOrderedAndProject (per-partition heads, driver merge of k+1
+    rows), never a sort; the rank window then runs on the bounded
+    (k+1)-row head coalesced to one partition, and the estimator is a
+    1-row aggregate of k exact decimals."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.where(F.col("value") > 0).select("value", "event_id")
+    top = (
+        pos.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(_HILL_K + 1)
+        .coalesce(1)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("value"), F.asc("event_id"))
+            ),
+        )
+    )
+    from ..cache import persist_tracked
+
+    top = persist_tracked(top)
+    thresh = top.where(F.col("rk") == _HILL_K + 1).select(
+        F.col("value").alias("xk")
+    )
+    terms = (
+        top.where(F.col("rk") <= _HILL_K)
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            F.round(F.log(F.col("value") / F.col("xk")), 9)
+            .cast("decimal(28,9)")
+            .alias("lr")
+        )
+    )
+    s = terms.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("lr").cast("decimal(38,9)").alias("slr"),
+    )
+    k, slr = F.col("k"), F.col("slr").cast("double")
+    return (
+        s.crossJoin(F.broadcast(thresh))
+        .where((k == _HILL_K) & (slr > 0))
+        .select(
+            k,
+            F.col("xk").cast("double").alias("xk"),
+            (slr / k).cast("double").alias("hill"),
+            (k / slr).cast("double").alias("alpha"),
+        )
+    )

@@ -1583,3 +1583,55 @@ def multimodal_alaw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(256) + F.col("doc_id") % 96).cast("int").alias("n"),
     )
     return alaw_ingest_features(base)
+
+
+_TGA_INGEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 126 + doc_id % 8 AS w, 6 + doc_id % 5 AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS c FROM base
+),
+px AS (
+  SELECT doc_id, w, h,
+         CASE WHEN (c // w) % 3 = 0 THEN 0
+              WHEN (c // w) % 3 = 1 THEN (c % w) - ((c % w) % 4)
+              ELSE c % w END AS xq,
+         c // w AS y
+  FROM cells
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sum((doc_id + xq + 5 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((2 * doc_id + 3 * xq + y) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((3 * doc_id + 2 * xq + 4 * y) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+@register("multimodal_tga_ingest", oracle=_TGA_INGEST_SQL, staged=True)
+def multimodal_tga_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TGA type-10 RLE codec ingest (built r10, staged r11) — the
+    scanline run-length family in its classic form (18-byte LE header,
+    BGR pixel order, repeat/raw packets with a 7-bit count+1 capped at
+    128 that MUST NOT cross scanlines, descriptor-bit-5 origin): every
+    doc synthesizes a formula image whose three row classes force every
+    packet regime — constant rows exercise the 128-count cap (widths
+    reach 133 > 128, so maximal runs split), plateau-of-4 rows emit
+    short repeat packets, all-distinct rows emit raw packets — then
+    encodes, decodes (header parse + strict packet walk + origin
+    handling, bottom-up foreign streams flipped), and emits
+    integer-exact per-channel sums with dimensions from the PARSED
+    header. The oracle states the sums from the synthesis formula, so
+    any packet-count, BGR, origin, or chunk bug hash-mismatches.
+
+    Scale shape: per-row scan-stage codec work (payloads never
+    shuffle); only the 6-column profile leaves the stage."""
+    from ..operators.multimodal import tga_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.lit(126) + F.col("doc_id") % 8).cast("int").alias("w"),
+        (F.lit(6) + F.col("doc_id") % 5).cast("int").alias("h"),
+    )
+    return tga_ingest_features(base)

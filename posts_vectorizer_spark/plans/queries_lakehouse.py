@@ -491,3 +491,84 @@ def rel_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("bigint").alias("max_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering layout audit — multi-dimensional skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8        # bits per dimension (256 x 256 key grid)
+_Z_BUCKET_SHIFT = 8  # keep the top 8 interleaved bits -> 256 buckets
+
+
+def _interleave_sql(a: str, b: str) -> str:
+    """Morton interleave of two {bits}-bit ints (a even bits, b odd) —
+    integer bit algebra, identical in both engines."""
+    parts = []
+    for i in range(_Z_BITS):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(parts)
+
+
+_ZORDER_SQL = f"""
+WITH keys AS (
+  SELECT l_orderkey % 256 AS a, l_partkey % 256 AS b FROM lineitem
+),
+z AS (
+  SELECT a, b,
+         ({_interleave_sql('a', 'b')}) >> {_Z_BUCKET_SHIFT} AS bucket
+  FROM keys
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+       CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max,
+       CAST(max(a) - min(a) AS BIGINT) AS a_span,
+       CAST(max(b) - min(b) AS BIGINT) AS b_span
+FROM z GROUP BY bucket
+"""
+
+
+@register("rel_zorder_layout", oracle=_ZORDER_SQL, staged=True)
+def rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering layout audit (built r10,
+    staged r11) — the multi-dimensional extension of
+    source_ledger_skipping's single-column range layout: interleaving
+    the bits of two 8-bit key projections (l_orderkey, l_partkey)
+    assigns each row a position on the Morton curve, and bucketing by
+    the top interleaved bits yields files whose zone maps are TIGHT IN
+    BOTH dimensions at once (every bucket's a_span and b_span are
+    bounded by 2^{_Z_BITS} / 2^({_Z_BUCKET_SHIFT}//2) = 16 here —
+    the audit's checkable invariant), so a predicate on EITHER key
+    prunes ~15/16 of the files. A linear layout bounds one span and
+    leaves the other at full range. This query emits the per-bucket
+    zone maps (count, min/max/span per dimension) that a writer would
+    persist as skipping metadata; the oracle restates the full bit
+    interleave in integer algebra.
+
+    Scale shape: the Morton key is pure in-row bit arithmetic in the
+    scan stage (whole-stage codegen, no UDF); the only exchange is the
+    256-key map-side-combinable zone-map aggregate. At a real 100 TB
+    layout job the same expression becomes the repartitionByRange key;
+    the audit here is the metadata readout, which is bucket-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 256).alias("a"),
+        (F.col("l_partkey") % 256).alias("b"),
+    )
+    z = F.expr(_interleave_sql("a", "b"))
+    byb = li.select(
+        "a", "b", F.shiftright(z, _Z_BUCKET_SHIFT).alias("bucket")
+    )
+    return byb.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("a").cast("bigint").alias("a_min"),
+        F.max("a").cast("bigint").alias("a_max"),
+        F.min("b").cast("bigint").alias("b_min"),
+        F.max("b").cast("bigint").alias("b_max"),
+        (F.max("a") - F.min("a")).cast("bigint").alias("a_span"),
+        (F.max("b") - F.min("b")).cast("bigint").alias("b_span"),
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_rows", "a_min", "a_max", "b_min", "b_max", "a_span", "b_span",
+    )

@@ -2683,3 +2683,119 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(vsum > 0, z).alias("z"),
         F.when(vsum > 0, F.abs(z) > _DID_Z_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified inverse-propensity ATE (observational causal estimate)
+# ---------------------------------------------------------------------------
+
+_IPW_TREAT_MOD = 10   # affine-hash assignment: (user*31+7) % 10 < 4
+_IPW_TREAT_LT = 4
+
+
+_IPW_SQL = f"""
+WITH peru AS (
+  SELECT user_id,
+         count(*) AS n_ev,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS y,
+         (user_id * 31 + 7) % {_IPW_TREAT_MOD} < {_IPW_TREAT_LT} AS treated
+  FROM events GROUP BY user_id
+),
+strat AS (
+  SELECT *,
+         CASE WHEN n_ev < 5 THEN 0 WHEN n_ev < 10 THEN 1
+              WHEN n_ev < 20 THEN 2 ELSE 3 END AS stratum
+  FROM peru
+),
+cells AS (
+  SELECT stratum,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(count(*) FILTER (treated) AS BIGINT) AS nt,
+         CAST(count(*) FILTER (NOT treated) AS BIGINT) AS nc,
+         CAST(sum(y) FILTER (treated) AS DECIMAL(38,2)) AS st,
+         CAST(sum(y) FILTER (NOT treated) AS DECIMAL(38,2)) AS sc
+  FROM strat GROUP BY stratum
+),
+keep AS (SELECT * FROM cells WHERE nt > 0 AND nc > 0),
+tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS big_n FROM keep)
+SELECT k.stratum, k.n_users, k.nt, k.nc,
+       CAST(k.st AS DOUBLE) / k.nt AS mean_y_treated,
+       CAST(k.sc AS DOUBLE) / k.nc AS mean_y_control,
+       CAST(k.st AS DOUBLE) / k.nt - CAST(k.sc AS DOUBLE) / k.nc
+         AS stratum_effect,
+       CAST(round(CAST(k.n_users AS DOUBLE) / t.big_n
+                  * (CAST(k.st AS DOUBLE) / k.nt
+                     - CAST(k.sc AS DOUBLE) / k.nc), 9)
+            AS DECIMAL(18,9)) AS ate_contrib
+FROM keep k, tot t
+"""
+
+
+@register("events_ipw_ate", oracle=_IPW_SQL, staged=True)
+def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified inverse-propensity ATE (built r10, staged r11) — the
+    observational-causal workhorse beside events_diff_in_diff's policy
+    cutover: treatment is a deterministic affine-hash assignment (the
+    conformal gate's split device standing in for a real exposure
+    flag), outcome is the per-user exact-DECIMAL value total, and
+    confounding is removed by stratifying on activity tier (fixed CASE
+    bounds — never a global ntile sort). Within a stratum the
+    propensity is constant, so IPW reduces to the stratified estimator:
+    ATE = sum_s (n_s/N) * (mean_T,s - mean_C,s). Per-stratum means are
+    unrounded quotients of exact DECIMAL(38,2) sums by exact counts
+    (identical expression both engines); the per-stratum ATE
+    contribution rounds to 9dp DECIMAL so the overall ATE is an EXACT
+    sum of the output column (the chi2/PSI per-row-contribution
+    device) — stated per stratum, never a cross-row double sum.
+    Degenerate strata (all-treated / all-control, where IPW is
+    undefined) drop explicitly.
+
+    Scale shape: per-user aggregate (map-side combinable), then a
+    4-row stratum×arm cell aggregate and a broadcast 1-row total —
+    nothing beyond the user reduce ever shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    peru = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("y"),
+    ).withColumn(
+        "treated",
+        (F.col("user_id") * 31 + 7) % _IPW_TREAT_MOD < _IPW_TREAT_LT,
+    )
+    strat = peru.withColumn(
+        "stratum",
+        F.when(F.col("n_ev") < 5, 0)
+        .when(F.col("n_ev") < 10, 1)
+        .when(F.col("n_ev") < 20, 2)
+        .otherwise(3),
+    )
+    t = F.col("treated")
+    cells = strat.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count_if(t).cast("bigint").alias("nt"),
+        F.count_if(~t).cast("bigint").alias("nc"),
+        F.sum(F.when(t, F.col("y"))).cast("decimal(38,2)").alias("st"),
+        F.sum(F.when(~t, F.col("y"))).cast("decimal(38,2)").alias("sc"),
+    )
+    keep = cells.where((F.col("nt") > 0) & (F.col("nc") > 0))
+    from ..cache import persist_tracked
+
+    keep = persist_tracked(keep)
+    tot = keep.agg(F.sum("n_users").cast("bigint").alias("big_n"))
+    mt = F.col("st").cast("double") / F.col("nt")
+    mc = F.col("sc").cast("double") / F.col("nc")
+    return keep.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_users",
+        "nt",
+        "nc",
+        mt.alias("mean_y_treated"),
+        mc.alias("mean_y_control"),
+        (mt - mc).alias("stratum_effect"),
+        F.round(
+            F.col("n_users").cast("double") / F.col("big_n") * (mt - mc), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("ate_contrib"),
+    )

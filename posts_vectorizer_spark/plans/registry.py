@@ -59,6 +59,14 @@ STAGED: dict[str, QueryDef] = {}
 #                            of rel_skew_gini, 128-bit exact lattice)
 #   multimodal_alaw_ingest  (REAL G.711 A-law + tag-6 RIFF container,
 #                            exhaustive 65536-value kernel proof)
+#   events_hill_tail        (Hill tail-index over top-101 order stats,
+#                            TakeOrderedAndProject + exact 9dp sum)
+#   rel_zorder_layout       (Morton bit-interleave layout audit,
+#                            both-dims span<=15 zone-map invariant)
+#   multimodal_tga_ingest   (REAL TGA type-10 scanline RLE, 128-cap +
+#                            dual-origin; vectorized run detection)
+#   events_ipw_ate          (stratified inverse-propensity ATE — the
+#                            causal family beside diff-in-diff)
 #
 # r11 head planning (draft; lock next round — r10-staged queries take
 # introduction slots first, then the freshness blocks below):

@@ -163,3 +163,44 @@ def test_partition_checksums_perturbation_and_merge(spark, tmp_path):
             max(p[3] for p in parts),
         )
     assert merged == base
+
+
+def test_zorder_layout_interleave_and_span_invariant(spark, tmp_path):
+    """rel_zorder_layout: the Morton interleave matches a Python bit
+    replica on planted keys, and EVERY bucket's zone map is tight in
+    BOTH dimensions (span <= 15 with 4 bucket bits per dim) — the
+    multi-dim skipping property a linear layout cannot give."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = []
+    keys = [(0, 0), (255, 255), (1, 0), (0, 1), (170, 85), (85, 170),
+            (16, 16), (17, 31)]
+    for i, (a, b) in enumerate(keys):
+        # l_orderkey % 256 == a, l_partkey % 256 == b
+        rows.append((a + 256, b + 512 * 256, 1.0))
+    d = tmp_path / "zo"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    out = {r["bucket"]: r for r in
+           resolve_query("rel_zorder_layout")(spark, str(d)).collect()}
+    for a, b in keys:
+        bucket = morton(a % 256, b % 256) >> 8
+        assert bucket in out, (a, b, bucket)
+        r = out[bucket]
+        assert r["a_min"] <= a <= r["a_max"]
+        assert r["b_min"] <= b <= r["b_max"]
+    for r in out.values():
+        assert 0 <= r["a_span"] <= 15 and 0 <= r["b_span"] <= 15
+
+    # distinct corners land in distinct buckets (curve locality)
+    assert morton(0, 0) >> 8 != morton(255, 255) >> 8

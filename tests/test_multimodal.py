@@ -1122,3 +1122,75 @@ def test_alaw_ingest_features_hand_computed(spark, tmp_path):
         assert r["max_quant_err"] == max(
             abs(a - b) for a, b in zip(orig, dec)
         )
+
+
+def test_tga_codec_roundtrip_cap_origins_rejects():
+    """TGA type-10 RLE (built r10, staged r11): lossless roundtrip
+    across every packet regime incl. the 128-count cap (constant rows
+    at width > 128 split into multiple repeat packets), bottom-up
+    foreign streams decode flipped, and malformed streams reject
+    loudly."""
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    for doc, w, h in [(0, 140, 7), (3, 129, 6), (9, 20, 9), (5, 1, 1)]:
+        img = M.synth_pixels_tga(doc, w, h)
+        raw = M.encode_tga(img)
+        assert (M.decode_tga(raw) == img).all()
+
+    # the cap really is exercised: a constant 140-wide row cannot fit
+    # one packet, so the stream must contain >= 2 repeat packets for it
+    img = M.synth_pixels_tga(0, 140, 1)  # y=0 -> constant row
+    raw = M.encode_tga(img)
+    body = raw[18:]
+    assert body[0] == 0x80 | 127 and body[4] == 0x80 | (140 - 128 - 1)
+
+    # bottom-up origin: same pixels, flipped rows, descriptor bit 5 clear
+    img = M.synth_pixels_tga(2, 10, 4)
+    ba = bytearray(M.encode_tga(img[::-1]))
+    ba[17] = 0x00
+    assert (M.decode_tga(bytes(ba)) == img).all()
+
+    with pytest.raises(ValueError):
+        M.decode_tga(b"\x00" * 10)  # short header
+    with pytest.raises(ValueError):
+        bad = bytearray(M.encode_tga(img)); bad[2] = 2  # uncompressed type
+        M.decode_tga(bytes(bad))
+    with pytest.raises(ValueError):
+        bad = bytearray(M.encode_tga(img)); bad[16] = 32  # 32-bit depth
+        M.decode_tga(bytes(bad))
+    with pytest.raises(ValueError):
+        M.decode_tga(M.encode_tga(img)[:-4])  # truncated stream
+
+
+def test_tga_ingest_features_hand_computed(spark, tmp_path):
+    """multimodal_tga_ingest equals per-pixel formula sums computed
+    independently in Python for two docs."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "tga"
+    d.mkdir()
+    spark.createDataFrame(
+        [(2, "x", "en", "s", 1), (13, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_tga_ingest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (2, 13):
+        w, h = 126 + doc % 8, 6 + doc % 5
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                xq = 0 if y % 3 == 0 else (x - x % 4 if y % 3 == 1 else x)
+                sr += (doc + xq + 5 * y) % 256
+                sg += (2 * doc + 3 * xq + y) % 256
+                sb += (3 * doc + 2 * xq + 4 * y) % 256
+        r = rows[doc]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sr, sg, sb)

@@ -349,6 +349,18 @@ def main(only: list[str] | None = None) -> None:
         "alaw_ingest": lambda k: SQ["multimodal_alaw_ingest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "hill_tail": lambda k: SQ["events_hill_tail"](
+            spark, table_dir("events", k, "events")
+        ),
+        "zorder_layout": lambda k: SQ["rel_zorder_layout"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
+        "tga_ingest": lambda k: SQ["multimodal_tga_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "ipw_ate": lambda k: SQ["events_ipw_ate"](
+            spark, table_dir("events", k, "events")
+        ),
         "rake_keywords": lambda k: SQ["text_rake_keywords"](
             spark, table_dir("docs_plain", k, "documents")
         ),
