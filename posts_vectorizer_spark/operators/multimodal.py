@@ -2136,3 +2136,399 @@ def tga_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, TGA_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL ZIP container codec (built r10, staged r11) — the archive-container
+# family: hand-written local file headers, central directory, and
+# end-of-central-directory record (PKZIP APPNOTE layout), STORED and
+# DEFLATE members (raw deflate via the stdlib zlib, the PNG query's
+# precedent — the hand-written part is the container: header/central
+# consistency, EOCD discovery, CRC32 + size verification per member).
+# The decoder cross-reads foreign archives (stdlib zipfile) and vice
+# versa — pinned by tests.
+# ---------------------------------------------------------------------------
+
+_ZIP_LOCAL_SIG = 0x04034B50
+_ZIP_CENTRAL_SIG = 0x02014B50
+_ZIP_EOCD_SIG = 0x06054B50
+
+
+def encode_zip(entries: list[tuple[str, bytes, bool]]) -> bytes:
+    """[(name, data, deflate?)] -> ZIP archive bytes (hand-written
+    structures; raw-deflate members via zlib with a -15 window)."""
+    import struct
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    for name, data, deflate in entries:
+        nameb = name.encode("ascii")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if deflate:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(data) + co.flush()
+            method = 8
+        else:
+            payload, method = data, 0
+        offset = len(out)
+        out += struct.pack(
+            "<IHHHHHIIIHH",
+            _ZIP_LOCAL_SIG, 20, 0, method, 0, 0x21,
+            crc, len(payload), len(data), len(nameb), 0,
+        )
+        out += nameb + payload
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            _ZIP_CENTRAL_SIG, 20, 20, 0, method, 0, 0x21,
+            crc, len(payload), len(data), len(nameb), 0, 0, 0, 0, 0,
+            offset,
+        )
+        central += nameb
+    cd_offset = len(out)
+    out += central
+    out += struct.pack(
+        "<IHHHHIIH",
+        _ZIP_EOCD_SIG, 0, 0, len(entries), len(entries),
+        len(central), cd_offset, 0,
+    )
+    return bytes(out)
+
+
+def decode_zip(raw: bytes) -> list[tuple[str, bytes]]:
+    """ZIP bytes -> [(name, verified data)]. Walks EOCD -> central
+    directory -> local headers; every member's local header must agree
+    with its central entry (name + method), and the extracted data must
+    match BOTH the recorded CRC32 and the recorded uncompressed size —
+    loud reject on any inconsistency, unknown method, or truncation."""
+    import struct
+    import zlib
+
+    tail = raw[-(65536 + 22):] if len(raw) > 65536 + 22 else raw
+    eocd_rel = tail.rfind(struct.pack("<I", _ZIP_EOCD_SIG))
+    if eocd_rel < 0:
+        raise ValueError("no end-of-central-directory record")
+    eocd = len(raw) - len(tail) + eocd_rel
+    if eocd + 22 > len(raw):
+        raise ValueError("truncated end-of-central-directory record")
+    (_sig, _disk, _cddisk, _n_this, n_total, _cd_size,
+     cd_offset, _clen) = struct.unpack("<IHHHHIIH", raw[eocd : eocd + 22])
+    pos = cd_offset
+    entries: list[tuple[str, bytes]] = []
+    for _ in range(n_total):
+        if raw[pos : pos + 4] != struct.pack("<I", _ZIP_CENTRAL_SIG):
+            raise ValueError("bad central directory signature")
+        if pos + 46 > len(raw):
+            raise ValueError("truncated central directory entry")
+        (_sig, _vmade, _vneed, _flags, method, _t, _d, crc, csize, usize,
+         fnlen, extralen, clen, _disk, _iattr, _eattr, loffset
+         ) = struct.unpack("<IHHHHHHIIIHHHHHII", raw[pos : pos + 46])
+        name = raw[pos + 46 : pos + 46 + fnlen].decode("ascii")
+        pos += 46 + fnlen + extralen + clen
+        (lsig, _lv, _lf, lmethod, _lt, _ld, _lcrc, _lcsize, _lusize,
+         lfnlen, lextralen) = struct.unpack(
+            "<IHHHHHIIIHH", raw[loffset : loffset + 30]
+        )
+        if lsig != _ZIP_LOCAL_SIG:
+            raise ValueError(f"bad local header signature for {name!r}")
+        lname = raw[loffset + 30 : loffset + 30 + lfnlen].decode("ascii")
+        if lname != name or lmethod != method:
+            raise ValueError(f"local/central mismatch for {name!r}")
+        dstart = loffset + 30 + lfnlen + lextralen
+        payload = raw[dstart : dstart + csize]
+        if len(payload) != csize:
+            raise ValueError(f"truncated member {name!r}")
+        if method == 0:
+            data = payload
+        elif method == 8:
+            data = zlib.decompressobj(-15).decompress(payload)
+        else:
+            raise ValueError(f"unsupported method {method} for {name!r}")
+        if len(data) != usize:
+            raise ValueError(f"size mismatch for {name!r}")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch for {name!r}")
+        entries.append((name, data))
+    return entries
+
+
+def synth_zip_entries(doc_id: int) -> list[tuple[str, bytes, bool]]:
+    """Deterministic archive contents both engines can state: entry j of
+    n = 2 + doc_id%3 has length L = 40 + (doc_id*7 + j*13) % 60 and
+    bytes b_i = 32 + (doc_id*3 + j*5 + i*7) % 95; entries alternate
+    STORED / DEFLATE by (doc_id + j) % 2."""
+    d = int(doc_id)
+    out = []
+    for j in range(2 + d % 3):
+        ln = 40 + (d * 7 + j * 13) % 60
+        data = bytes(32 + (d * 3 + j * 5 + i * 7) % 95 for i in range(ln))
+        out.append((f"e{j}.txt", data, (d + j) % 2 == 1))
+    return out
+
+
+ZIP_FEATURE_SCHEMA = (
+    "doc_id long, n_entries int, n_deflated int,"
+    " total_uncompressed long, sum_bytes long"
+)
+
+
+def zip_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id) -> synth entries -> ENCODE hand-written ZIP -> DECODE
+    (EOCD walk + central/local consistency + per-member CRC32/size
+    verify) -> integer-exact profile over the VERIFIED extracted data.
+    The oracle states the profile from the synthesis formula, so any
+    container-layout, method, or checksum bug hash-mismatches. The
+    compressed size is deliberately NOT an oracle column (it is the
+    compressor's dictionary behavior — asserted bounded by a named
+    test instead, the text_compression_ratio convention)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                spec = synth_zip_entries(int(doc_id))
+                got = decode_zip(encode_zip(spec))
+                assert [n for n, _ in got] == [n for n, _, _ in spec]
+                total = sum(len(b) for _, b in got)
+                sb = sum(int(x) for _, b in got for x in b)
+                out.append(
+                    (
+                        int(doc_id), len(got),
+                        sum(1 for _, _, z in spec if z), total, sb,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_entries", "n_deflated",
+                    "total_uncompressed", "sum_bytes",
+                ],
+            )
+
+    return base.mapInPandas(run, ZIP_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL TIFF + PackBits codec (built r10, staged r11) — the tag-directory
+# container plus Apple's classic byte-RLE: little-endian TIFF header,
+# a real IFD walk (12-byte tag entries, inline-vs-offset values, typed
+# SHORT/LONG reads), multi-strip layout (RowsPerStrip 4) with per-strip
+# offset/bytecount ARRAYS stored out-of-line, and PackBits packets
+# (signed count byte: 0..127 literal n+1, -1..-127 repeat 1-n, -128
+# noop — our encoder emits a leading noop per strip so decoders must
+# really implement it). Grayscale 8-bit, photometric BlackIsZero.
+# ---------------------------------------------------------------------------
+
+_TIFF_ROWS_PER_STRIP = 4
+
+
+def packbits_encode(row: bytes) -> bytes:
+    """One row -> PackBits packets (runs >= 2 become repeats, chunked
+    at 128; literals chunked at 128). Per TIFF spec rows pack
+    independently."""
+    out = bytearray()
+    i, n = 0, len(row)
+    lit_start = 0
+
+    def flush_lit(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(end - j, 128)
+            out.append(k - 1)
+            out.extend(row[j : j + k])
+            j += k
+
+    while i < n:
+        j = i
+        while j + 1 < n and row[j + 1] == row[i]:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            flush_lit(i)
+            left, val = run, row[i]
+            while left > 0:
+                k = min(left, 128)
+                out.append((257 - k) & 0xFF)  # -(k-1) two's complement
+                out.append(val)
+                left -= k
+            i = j + 1
+            lit_start = i
+        else:
+            i += 1
+    flush_lit(n)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits packets -> exactly ``expect`` bytes (noop 0x80 skipped;
+    loud reject on truncation or overrun)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        h = data[pos]
+        pos += 1
+        if h == 0x80:  # noop
+            continue
+        if h < 0x80:  # literal h+1
+            k = h + 1
+            if pos + k > len(data):
+                raise ValueError("truncated literal packet")
+            out += data[pos : pos + k]
+            pos += k
+        else:  # repeat 257-h
+            if pos >= len(data):
+                raise ValueError("truncated repeat packet")
+            out += bytes([data[pos]]) * (257 - h)
+            pos += 1
+        if len(out) > expect:
+            raise ValueError("PackBits output overruns strip size")
+    if len(out) != expect:
+        raise ValueError(f"strip decoded {len(out)} of {expect} bytes")
+    return bytes(out)
+
+
+def encode_tiff_packbits(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale -> single-IFD TIFF, PackBits compression,
+    RowsPerStrip {rps}, per-strip offset/bytecount LONG arrays stored
+    out-of-line, a leading noop byte per strip."""
+    import struct
+
+    h, w = gray.shape
+    rps = _TIFF_ROWS_PER_STRIP
+    strips = []
+    for y0 in range(0, h, rps):
+        block = gray[y0 : y0 + rps]
+        payload = b"\x80" + b"".join(
+            packbits_encode(bytes(block[r])) for r in range(block.shape[0])
+        )
+        strips.append(payload)
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")  # IFD offset patched below
+    offsets, counts = [], []
+    for sdata in strips:
+        offsets.append(len(out))
+        counts.append(len(sdata))
+        out += sdata
+    # out-of-line LONG arrays (inline only when a single strip fits)
+    def put_longs(vals: list[int]) -> int:
+        off = len(out)
+        for v in vals:
+            out.extend(struct.pack("<I", v))
+        return off
+
+    n_strips = len(strips)
+    if n_strips == 1:
+        so_val, sc_val = offsets[0], counts[0]
+    else:
+        so_val = put_longs(offsets)
+        sc_val = put_longs(counts)
+    ifd_off = len(out)
+    tags = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 32773), (262, 3, 1, 1),
+        (273, 4, n_strips, so_val), (277, 3, 1, 1),
+        (278, 4, 1, rps), (279, 4, n_strips, sc_val),
+    ]
+    out += struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    struct.pack_into("<I", out, 4, ifd_off)
+    return bytes(out)
+
+
+def decode_tiff_packbits(raw: bytes) -> np.ndarray:
+    """TIFF bytes -> (h, w) uint8. Real IFD walk: typed tag reads
+    (SHORT/LONG), inline-vs-offset array resolution, multi-strip
+    PackBits unpack with RowsPerStrip accounting; loud reject on wrong
+    byte order, magic, compression, bit depth, or strip geometry."""
+    import struct
+
+    if raw[:4] != b"II*\x00":
+        raise ValueError("not a little-endian TIFF")
+    (ifd_off,) = struct.unpack_from("<I", raw, 4)
+    (n_tags,) = struct.unpack_from("<H", raw, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for t in range(n_tags):
+        tag, typ, cnt, val = struct.unpack_from(
+            "<HHII", raw, ifd_off + 2 + 12 * t
+        )
+        tags[tag] = (typ, cnt, val)
+
+    def longs(tag: int) -> list[int]:
+        typ, cnt, val = tags[tag]
+        if typ not in (3, 4):
+            raise ValueError(f"tag {tag}: unsupported type {typ}")
+        size = 2 if typ == 3 else 4
+        if cnt * size <= 4:
+            if typ == 3:
+                return [val & 0xFFFF, (val >> 16) & 0xFFFF][:cnt]
+            return [val]
+        fmt = "<" + ("H" if typ == 3 else "I") * cnt
+        return list(struct.unpack_from(fmt, raw, val))
+
+    def one(tag: int) -> int:
+        v = longs(tag)
+        if len(v) != 1:
+            raise ValueError(f"tag {tag}: expected scalar")
+        return v[0]
+
+    if one(259) != 32773:
+        raise ValueError("not PackBits-compressed")
+    if one(258) != 8 or one(277) != 1:
+        raise ValueError("not 8-bit grayscale")
+    w, h, rps = one(256), one(257), one(278)
+    offs, cnts = longs(273), longs(279)
+    if len(offs) != len(cnts) or len(offs) != -(-h // rps):
+        raise ValueError("strip geometry mismatch")
+    img = np.zeros((h, w), dtype=np.uint8)
+    for si, (off, cnt) in enumerate(zip(offs, cnts)):
+        rows = min(rps, h - si * rps)
+        plain = packbits_decode(raw[off : off + cnt], rows * w)
+        img[si * rps : si * rps + rows] = np.frombuffer(
+            plain, dtype=np.uint8
+        ).reshape(rows, w)
+    return img
+
+
+def synth_pixels_tiff(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w) uint8 grayscale, the TGA row-class shape in one channel:
+    y%3==0 constant rows (long runs), y%3==1 plateau-of-4, y%3==2
+    all-distinct; v = (doc_id + xq + 5*y) % 256."""
+    y, x = np.mgrid[0:h, 0:w]
+    xq = np.where(y % 3 == 0, 0, np.where(y % 3 == 1, x - (x % 4), x))
+    return ((int(doc_id) + xq + 5 * y) % 256).astype(np.uint8)
+
+
+TIFF_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_strips int, sum_px long"
+)
+
+
+def tiff_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id, w, h) -> formula grayscale -> ENCODE real multi-strip
+    PackBits TIFF -> DECODE (IFD walk + strip unpack) -> integer-exact
+    pixel sum with geometry from the PARSED directory. Oracle states
+    the profile from the formula."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                img = decode_tiff_packbits(
+                    encode_tiff_packbits(
+                        synth_pixels_tiff(int(doc_id), int(w), int(h))
+                    )
+                )
+                out.append(
+                    (
+                        int(doc_id), img.shape[1], img.shape[0],
+                        -(-img.shape[0] // _TIFF_ROWS_PER_STRIP),
+                        int(img.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_strips", "sum_px"],
+            )
+
+    return base.mapInPandas(run, TIFF_FEATURE_SCHEMA)

@@ -1635,3 +1635,115 @@ def multimodal_tga_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(6) + F.col("doc_id") % 5).cast("int").alias("h"),
     )
     return tga_ingest_features(base)
+
+
+_ZIP_MANIFEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+),
+ent AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j FROM base
+),
+sized AS (
+  SELECT doc_id, n, j,
+         40 + (doc_id * 7 + j * 13) % 60 AS ln,
+         CASE WHEN (doc_id + j) % 2 = 1 THEN 1 ELSE 0 END AS defl
+  FROM ent
+),
+bytes AS (
+  SELECT doc_id, n, j, ln, defl, unnest(generate_series(0, ln - 1)) AS i
+  FROM sized
+),
+per_entry AS (
+  SELECT doc_id, n, j, ln, defl,
+         sum(32 + (doc_id * 3 + j * 5 + i * 7) % 95) AS bsum
+  FROM bytes GROUP BY doc_id, n, j, ln, defl
+)
+SELECT doc_id,
+       CAST(max(n) AS INT) AS n_entries,
+       CAST(sum(defl) AS INT) AS n_deflated,
+       CAST(sum(ln) AS BIGINT) AS total_uncompressed,
+       CAST(sum(bsum) AS BIGINT) AS sum_bytes
+FROM per_entry GROUP BY doc_id
+"""
+
+
+@register("multimodal_zip_manifest", oracle=_ZIP_MANIFEST_SQL, staged=True)
+def multimodal_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ZIP archive container codec (built r10, staged r11) — the
+    container family beside the image/audio codecs: hand-written PKZIP
+    structures (local file headers, central directory, EOCD record),
+    STORED and raw-DEFLATE members (stdlib zlib for the bit stream —
+    the PNG query's precedent; the hand-written part is the container),
+    and a decoder that discovers the EOCD from the tail, walks the
+    central directory, cross-checks every member's LOCAL header against
+    its CENTRAL entry, and verifies recorded CRC32 + uncompressed size
+    per member before emitting a byte. Interop is pinned both ways by
+    tests (stdlib zipfile reads our archives; we read zipfile's). The
+    profile (entry count, method mix, sizes, content byte sum) is
+    stated by the oracle from the synthesis formula; compressed size is
+    deliberately NOT an oracle column (compressor-dependent — bounded
+    by a named test, the text_compression_ratio convention).
+
+    Scale shape: per-row scan-stage container work (archives never
+    shuffle); only the 5-column profile leaves the stage."""
+    from ..operators.multimodal import zip_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zip_ingest_features(docs.select("doc_id"))
+
+
+_TIFF_INGEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 122 + doc_id % 12 AS w, 5 + doc_id % 7 AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS c FROM base
+),
+px AS (
+  SELECT doc_id, w, h,
+         CASE WHEN (c // w) % 3 = 0 THEN 0
+              WHEN (c // w) % 3 = 1 THEN (c % w) - ((c % w) % 4)
+              ELSE c % w END AS xq,
+         c // w AS y
+  FROM cells
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST((h + 3) // 4 AS INT) AS n_strips,
+       CAST(sum((doc_id + xq + 5 * y) % 256) AS BIGINT) AS sum_px
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+@register(
+    "multimodal_tiff_packbits_ingest", oracle=_TIFF_INGEST_SQL, staged=True
+)
+def multimodal_tiff_packbits_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL TIFF + PackBits codec ingest (built r10, staged r11) — the
+    tag-directory container with Apple's classic byte RLE: a genuine
+    IFD walk (typed SHORT/LONG tag reads, inline-vs-offset value
+    resolution, out-of-line strip offset/bytecount ARRAYS), multi-strip
+    layout (RowsPerStrip 4 — heights reach 11, so 2-3 strips per file),
+    and PackBits packets with SIGNED counts (literal 0..127 = n+1,
+    repeat -1..-127 = 1-n, -128 = noop — the encoder emits a leading
+    noop per strip, so a decoder that skips the noop rule fails). Rows
+    pack independently per spec. The same three synthesis row classes
+    as TGA force literal, short-repeat, and >128-run chunked packets.
+    Features carry geometry from the PARSED directory (incl. the strip
+    count) + the exact pixel sum; the oracle states them from the
+    formula, so an IFD-type, strip-accounting, sign-convention, or
+    noop bug hash-mismatches.
+
+    Scale shape: per-row scan-stage codec work; only the 5-column
+    profile leaves the stage."""
+    from ..operators.multimodal import tiff_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.lit(122) + F.col("doc_id") % 12).cast("int").alias("w"),
+        (F.lit(5) + F.col("doc_id") % 7).cast("int").alias("h"),
+    )
+    return tiff_ingest_features(base)

@@ -900,3 +900,117 @@ def zscore_readout(emb: DataFrame, stats: DataFrame) -> DataFrame:
         .where(F.col("rk") <= _ZS_TOPK)
         .select("vec_id", "md2", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio nearest-centroid classification eval (label-quality diagnostic)
+# ---------------------------------------------------------------------------
+
+_ROCCHIO_SQL = """
+WITH dims AS (
+  SELECT label, embedding,
+         unnest(generate_series(1, len(embedding))) AS d
+  FROM embeddings
+),
+terms AS (
+  SELECT label, CAST(d AS INT) AS d,
+         CAST(round(CAST(embedding[d] AS DOUBLE), 7)
+              AS DECIMAL(22,7)) AS v
+  FROM dims
+),
+cent AS (
+  SELECT label AS label_c, d,
+         CAST(CAST(sum(v) AS DECIMAL(38,7)) AS DOUBLE) / count(*) AS c
+  FROM terms GROUP BY label, d
+),
+centarr AS (
+  SELECT label_c, list(c ORDER BY d) AS cent FROM cent GROUP BY label_c
+),
+pairs AS (
+  SELECT e.vec_id, e.label, ca.label_c,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(generate_series(1, len(e.embedding)),
+               rc_i -> (CAST(e.embedding[rc_i] AS DOUBLE) - ca.cent[rc_i])
+                       * (CAST(e.embedding[rc_i] AS DOUBLE) - ca.cent[rc_i]))),
+           (acc, t) -> acc + t) AS dist2
+  FROM embeddings e, centarr ca
+),
+ranked AS (
+  SELECT vec_id, label, label_c,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, label_c) AS rk
+  FROM pairs
+)
+SELECT CAST(label AS INT) AS label, CAST(label_c AS INT) AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM ranked WHERE rk = 1 GROUP BY label, label_c
+"""
+
+
+@register("sim_rocchio_centroid_eval", oracle=_ROCCHIO_SQL, staged=True)
+def sim_rocchio_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio nearest-centroid classification eval (built r10, staged
+    r11) — the label-quality diagnostic behind weak-supervision audits:
+    fit one centroid per label (the Rocchio/nearest-class-mean
+    classifier), assign every vector to its nearest centroid by
+    Euclidean distance, and emit the confusion matrix. High off-
+    diagonal mass means labels do not match embedding geometry (noisy
+    labels or an embedding that ignores the label concept).
+    Determinism: per-dim centroid numerators are EXACT DECIMAL sums of
+    7dp-rounded elements (sums < 2^53 scaled units, so the
+    decimal->double conversion is bit-identical cross-engine — the
+    zipf lesson), the mean and the in-row distance fold are identical
+    double expressions evaluated in FIXED array order, and the argmin
+    breaks ties on (dist2, label).
+
+    Scale shape: one (label, dim)-keyed map-side-combinable aggregate
+    fits the k centroids; the k-row centroid table BROADCASTS and
+    assignment is a scan-stage cross of each row against k in-row
+    folds + a vec-keyed argmin window; the confusion reduce is
+    k*k-sized. No all-pairs term anywhere — cost is n*k*d, the
+    nearest-class-mean production shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d0", "x"
+        ),
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.round(F.col("x"), 7).cast("decimal(22,7)").alias("v"),
+    )
+    cent = terms.groupBy(F.col("label").alias("label_c"), "d").agg(
+        (
+            F.sum("v").cast("decimal(38,7)").cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    centarr = cent.groupBy("label_c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            lambda s: s["c"],
+        ).alias("cent")
+    )
+    x = F.col("embedding").cast("array<double>")
+    dist2 = F.aggregate(
+        F.zip_with(x, F.col("cent"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    pairs = emb.crossJoin(F.broadcast(centarr)).select(
+        "vec_id", "label", "label_c", dist2.alias("dist2")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist2", "label_c")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy(
+            F.col("label").cast("int").alias("label"),
+            F.col("label_c").cast("int").alias("predicted"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

@@ -878,9 +878,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # STL-lite seasonal decomposition (staged r6, introduced r7)
 # ---------------------------------------------------------------------------
 
-@register(
-    "events_seasonal_decompose",
-    oracle="""
+_STL_SQL = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
          sum(CAST(round(value * 1000000) AS BIGINT)) AS v_u
@@ -908,8 +906,10 @@ SELECT f.day,
              - round(s.sd_u / (7000000.0 * s.n_dow), 6), 6) AS residual
 FROM full7 f JOIN seas s USING (dow)
 ORDER BY day
-""",
-)
+"""
+
+
+@register("events_seasonal_decompose", oracle=_STL_SQL)
 def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-lite seasonal decomposition of the daily event-value series:
     trend = centered 7-day moving average, weekly seasonal = per-weekday
@@ -1644,4 +1644,126 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m_neg") - F.col("min_neg")).cast("double").alias("ph_down"),
         ((F.col("m_pos") - F.col("min_pos")) > lam).alias("drift_up"),
         ((F.col("m_neg") - F.col("min_neg")) > lam).alias("drift_down"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonality / trend strength (Hyndman FPP) from the STL-lite components
+# ---------------------------------------------------------------------------
+
+_STRENGTH_SQL = f"""
+WITH comp AS ({_STL_SQL.replace("ORDER BY day", "")}),
+u AS (
+  SELECT CAST(round((observed - trend - seasonal) * 1000000) AS BIGINT) AS r,
+         CAST(round((observed - seasonal) * 1000000) AS BIGINT) AS tr,
+         CAST(round((observed - trend) * 1000000) AS BIGINT) AS sr
+  FROM comp
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(r AS DECIMAL(38,0)) * r) AS DECIMAL(38,0)) AS rr,
+         CAST(sum(r) AS DECIMAL(38,0)) AS rs,
+         CAST(sum(CAST(tr AS DECIMAL(38,0)) * tr) AS DECIMAL(38,0)) AS trr,
+         CAST(sum(tr) AS DECIMAL(38,0)) AS trs,
+         CAST(sum(CAST(sr AS DECIMAL(38,0)) * sr) AS DECIMAL(38,0)) AS srr,
+         CAST(sum(sr) AS DECIMAL(38,0)) AS srs
+  FROM u
+),
+q AS (
+  -- 128-bit exact variances floor-divided to < 2^53 BEFORE the double
+  -- conversion: DuckDB's int128->double is not correctly rounded, so
+  -- the raw 1e22-scale integers diverged from Spark by ulps at
+  -- sf0.001 (measured; the zipf-fit lesson at 128-bit width). Both
+  -- engines truncate integer division toward zero and the variance
+  -- quadratics are nonnegative, so the quotients are exact floors.
+  SELECT n,
+         CAST(CAST(n * rr - rs * rs AS HUGEINT)
+              // 1000000000000 AS BIGINT) AS rq,
+         CAST(CAST(n * trr - trs * trs AS HUGEINT)
+              // 1000000000000 AS BIGINT) AS tq,
+         CAST(CAST(n * srr - srs * srs AS HUGEINT)
+              // 1000000000000 AS BIGINT) AS sq
+  FROM m
+)
+SELECT n AS n_days,
+       CASE WHEN tq > 0 THEN
+         GREATEST(CAST(0 AS DOUBLE),
+                  1 - CAST(rq AS DOUBLE) / CAST(tq AS DOUBLE))
+       END AS f_trend,
+       CASE WHEN sq > 0 THEN
+         GREATEST(CAST(0 AS DOUBLE),
+                  1 - CAST(rq AS DOUBLE) / CAST(sq AS DOUBLE))
+       END AS f_seasonal
+FROM q WHERE n > 1
+"""
+
+
+@register(
+    "events_seasonality_strength", oracle=_STRENGTH_SQL, staged=True
+)
+def events_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trend / seasonality strength (Hyndman & Athanasopoulos, FPP;
+    built r10, staged r11) — the one-row health readout OVER
+    events_seasonal_decompose's components: F_T = max(0, 1 -
+    Var(R)/Var(T+R)) and F_S = max(0, 1 - Var(R)/Var(S+R)), the
+    standard features a forecasting pipeline uses to decide whether
+    deseasonalizing is worth anything. Computed on the EXACT integer
+    lattice: the published round-6 components scale to micro-unit
+    BIGINTs, variances reduce to n*Σv² − (Σv)² on a 128-bit DECIMAL
+    (the sample-size factor cancels in the RATIO, so no division
+    before the final identical double quotient), and NULL when the
+    denominator variance is zero (flat series — strength undefined).
+
+    Scale shape: everything after the decompose's daily collapse is
+    driver-scale (365·years rows); the strength reduce is one more
+    1-row aggregate on that tiny relation."""
+    comp = events_seasonal_decompose(spark, sf_dir)
+    u = comp.select(
+        F.round(
+            (F.col("observed") - F.col("trend") - F.col("seasonal"))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.round((F.col("observed") - F.col("seasonal")) * 1_000_000)
+        .cast("bigint")
+        .alias("tr"),
+        F.round((F.col("observed") - F.col("trend")) * 1_000_000)
+        .cast("bigint")
+        .alias("sr"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("r") * F.col("r")).cast("decimal(38,0)").alias("rr"),
+        F.sum("r").cast("decimal(38,0)").alias("rs"),
+        F.sum(dec("tr") * F.col("tr")).cast("decimal(38,0)").alias("trr"),
+        F.sum("tr").cast("decimal(38,0)").alias("trs"),
+        F.sum(dec("sr") * F.col("sr")).cast("decimal(38,0)").alias("srr"),
+        F.sum("sr").cast("decimal(38,0)").alias("srs"),
+    )
+    n = F.col("n")
+    # floor-div the exact 128-bit variance quadratics to < 2^53 before
+    # any double conversion (see the oracle's comment: DuckDB's
+    # int128->double rounding diverged by ulps at sf0.001); `div`
+    # truncates toward zero = floor on these nonnegative quadratics
+    q = m.select(
+        n.alias("n"),
+        F.expr("(n * rr - rs * rs) div 1000000000000").alias("rq"),
+        F.expr("(n * trr - trs * trs) div 1000000000000").alias("tq"),
+        F.expr("(n * srr - srs * srs) div 1000000000000").alias("sq"),
+    )
+    rq = F.col("rq").cast("double")
+    tq = F.col("tq").cast("double")
+    sq = F.col("sq").cast("double")
+    return q.where(F.col("n") > 1).select(
+        F.col("n").alias("n_days"),
+        F.when(F.col("tq") > 0, F.greatest(F.lit(0.0), 1 - rq / tq)).alias(
+            "f_trend"
+        ),
+        F.when(F.col("sq") > 0, F.greatest(F.lit(0.0), 1 - rq / sq)).alias(
+            "f_seasonal"
+        ),
     )

@@ -67,6 +67,14 @@ STAGED: dict[str, QueryDef] = {}
 #                            dual-origin; vectorized run detection)
 #   events_ipw_ate          (stratified inverse-propensity ATE — the
 #                            causal family beside diff-in-diff)
+#   multimodal_zip_manifest (REAL ZIP container: EOCD/central/local
+#                            walk, CRC32+size verify, zipfile interop)
+#   multimodal_tiff_packbits_ingest (REAL TIFF IFD walk + signed-count
+#                            PackBits with the noop rule, multi-strip)
+#   sim_rocchio_centroid_eval (nearest-class-mean confusion audit,
+#                            broadcast centroids, n*k*d)
+#   events_seasonality_strength (Hyndman F_T/F_S on the exact lattice,
+#                            >2^53 quotient pinning device)
 #
 # r11 head planning (draft; lock next round — r10-staged queries take
 # introduction slots first, then the freshness blocks below):

@@ -1194,3 +1194,133 @@ def test_tga_ingest_features_hand_computed(spark, tmp_path):
         r = rows[doc]
         assert (r["width"], r["height"]) == (w, h)
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sr, sg, sb)
+
+
+def test_zip_container_cross_tool_and_rejects():
+    """multimodal_zip_manifest's codec: our archives open in stdlib
+    zipfile and vice versa; corrupted CRC / size / method / signature
+    reject loudly; the compressed payload for the repetitive entries is
+    genuinely smaller (the non-oracle-statable claim, pinned here)."""
+    import io
+    import struct
+    import zipfile
+
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    for doc in (0, 1, 5, 11):
+        spec = M.synth_zip_entries(doc)
+        raw = M.encode_zip(spec)
+        got = M.decode_zip(raw)
+        assert [(n, d) for n, d, _ in spec] == got
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] == got
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("a.txt", b"hello world" * 30)
+        z.writestr("b.bin", bytes(range(256)))
+    got = M.decode_zip(buf.getvalue())
+    assert got[0] == ("a.txt", b"hello world" * 30)
+    assert got[1] == ("b.bin", bytes(range(256)))
+
+    # deflate actually compresses a repetitive member
+    rep = b"spark " * 500
+    raw = M.encode_zip([("r.txt", rep, True)])
+    assert len(raw) < len(rep)
+
+    base = M.encode_zip(M.synth_zip_entries(3))
+    with pytest.raises(ValueError):
+        M.decode_zip(base[:-8])  # EOCD gone
+    # flip a CRC byte in the central directory
+    sig = struct.pack("<I", 0x02014B50)
+    cpos = base.rfind(sig)
+    bad = bytearray(base)
+    bad[cpos + 16] ^= 0xFF
+    with pytest.raises(ValueError):
+        M.decode_zip(bytes(bad))
+    # unknown method in central entry
+    bad = bytearray(base)
+    bad[cpos + 10] = 99
+    with pytest.raises(ValueError):
+        M.decode_zip(bytes(bad))
+
+
+def test_zip_manifest_hand_computed(spark, tmp_path):
+    """multimodal_zip_manifest equals the synthesis formula evaluated
+    independently for two docs."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "zip"
+    d.mkdir()
+    spark.createDataFrame(
+        [(4, "x", "en", "s", 1), (7, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_zip_manifest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (4, 7):
+        n = 2 + doc % 3
+        tot = sb = nd = 0
+        for j in range(n):
+            ln = 40 + (doc * 7 + j * 13) % 60
+            tot += ln
+            nd += (doc + j) % 2
+            sb += sum(32 + (doc * 3 + j * 5 + i * 7) % 95 for i in range(ln))
+        r = rows[doc]
+        assert (r["n_entries"], r["n_deflated"]) == (n, nd)
+        assert (r["total_uncompressed"], r["sum_bytes"]) == (tot, sb)
+
+
+def test_tiff_packbits_roundtrip_noop_rejects(spark, tmp_path):
+    """multimodal_tiff_packbits_ingest's codec: multi-strip roundtrip,
+    the -128 noop rule, signed-count packets, and loud rejects; query
+    output equals the formula for two docs."""
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    img = M.synth_pixels_tiff(3, 131, 7)  # 2 strips, >128 runs
+    raw = M.encode_tiff_packbits(img)
+    assert (M.decode_tiff_packbits(raw) == img).all()
+    # every strip leads with the noop our encoder plants
+    assert M.packbits_decode(b"\x80\xfeA", 3) == b"AAA"
+    with pytest.raises(ValueError):
+        M.decode_tiff_packbits(b"MM\x00*" + raw[4:])  # big-endian reject
+    with pytest.raises(ValueError):
+        M.packbits_decode(b"\x05ab", 6)  # truncated literal
+    with pytest.raises(ValueError):
+        M.packbits_decode(b"\xfe", 3)  # truncated repeat
+    with pytest.raises(ValueError):
+        M.packbits_decode(b"\x00A", 5)  # short strip
+
+    d = tmp_path / "tif"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "x", "en", "s", 1), (8, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_tiff_packbits_ingest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (1, 8):
+        w, h = 122 + doc % 12, 5 + doc % 7
+        s = 0
+        for y in range(h):
+            for x in range(w):
+                xq = 0 if y % 3 == 0 else (x - x % 4 if y % 3 == 1 else x)
+                s += (doc + xq + 5 * y) % 256
+        r = rows[doc]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_strips"] == -(-h // 4)
+        assert r["sum_px"] == s

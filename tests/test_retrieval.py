@@ -1110,3 +1110,36 @@ def test_stream_zscore_drain_equals_batch(spark):
         ).collect()
     }
     assert batch and streamed == batch
+
+
+def test_rocchio_planted_clusters_and_centroid_replica(spark, tmp_path):
+    """sim_rocchio_centroid_eval on two tight planted clusters: the
+    confusion matrix is perfectly diagonal, and flipping one vector's
+    label to the wrong cluster shows up as exactly one off-diagonal
+    cell (noisy-label detection — the query's purpose)."""
+    import numpy as np
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for label, center in ((0, 5.0), (1, -5.0)):
+        for _ in range(20):
+            vec = (center + rng.normal(0, 0.1, 16)).astype(float)
+            rows.append((vid, [float(x) for x in vec], label))
+            vid += 1
+    # one mislabeled vector: lives at +5 but labeled 1
+    rows.append((vid, [5.0] * 16, 1))
+    d = tmp_path / "roc"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    out = {(r["label"], r["predicted"]): r["n"] for r in
+           resolve_query("sim_rocchio_centroid_eval")(spark, str(d)).collect()}
+    assert out[(0, 0)] == 20
+    assert out[(1, 1)] == 20
+    assert out[(1, 0)] == 1          # the planted noisy label
+    assert (0, 1) not in out

@@ -562,3 +562,50 @@ def test_page_hinkley_planted_level_shift(spark, tmp_path):
     assert fired_at is not None and fired_at >= 12  # fires after the shift
     assert not out["2024-05-12"]["drift_up"]        # never before
     assert not any(out[k]["drift_down"] for k in out)
+
+
+def test_seasonality_strength_separates_planted_series(spark, tmp_path):
+    """events_seasonality_strength: a strongly weekly series scores
+    f_seasonal near 1; scrambling the weekly pattern away drops it far
+    down, while both stay in [0, 1] and n_days matches the full-window
+    day count."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def write(d, amplitudes):
+        rows = []
+        eid = 0
+        for day in range(28):
+            # one event per day whose value encodes the series
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day + 1:02d} 12:00:00", 1, "view",
+                 float(amplitudes[day]), "{}")
+            )
+        d.mkdir()
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+            "event_type", "value", "props"
+        ).write.parquet(str(d / "events.parquet"))
+
+    weekly = [100.0 + [0, 50, 10, 80, 20, 60, 30][d % 7] for d in range(28)]
+    write(tmp_path / "seasonal", weekly)
+    r1 = resolve_query("events_seasonality_strength")(
+        spark, str(tmp_path / "seasonal")
+    ).collect()[0]
+    # 28 days -> 22 full 7-day windows
+    assert r1["n_days"] == 22
+    assert r1["f_seasonal"] is not None and r1["f_seasonal"] > 0.95
+    assert 0.0 <= r1["f_seasonal"] <= 1.0
+
+    # same values, weekly phase destroyed (period-5 pattern on a
+    # period-7 seasonal extractor)
+    scrambled = [100.0 + [0, 50, 10, 80, 20][d % 5] for d in range(28)]
+    write(tmp_path / "flat", scrambled)
+    r2 = resolve_query("events_seasonality_strength")(
+        spark, str(tmp_path / "flat")
+    ).collect()[0]
+    assert r2["f_seasonal"] is None or r2["f_seasonal"] < 0.5

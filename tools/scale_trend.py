@@ -361,6 +361,18 @@ def main(only: list[str] | None = None) -> None:
         "ipw_ate": lambda k: SQ["events_ipw_ate"](
             spark, table_dir("events", k, "events")
         ),
+        "zip_manifest": lambda k: SQ["multimodal_zip_manifest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "tiff_packbits_ingest": lambda k: SQ["multimodal_tiff_packbits_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "rocchio_eval": lambda k: SQ["sim_rocchio_centroid_eval"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "seasonality_strength": lambda k: SQ["events_seasonality_strength"](
+            spark, table_dir("events", k, "events")
+        ),
         "rake_keywords": lambda k: SQ["text_rake_keywords"](
             spark, table_dir("docs_plain", k, "documents")
         ),
