@@ -1470,3 +1470,77 @@ def stream_reliability_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ece double",
         )
     return reliability_readout(state.select("bin", "n", "s_sum", "y_sum"))
+
+
+from .queries_stats import _BENFORD_SQL  # noqa: E402
+
+
+@register("stream_benford_drain", oracle=_BENFORD_SQL, staged=True)
+def stream_benford_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford conformance monitoring with a driver row
+    (built r10, staged r11): lineitem rows stream in TWO forced
+    micro-batches; each batch additively merges its 9-key first-digit
+    count delta into the standing state (streaming/worker.py::
+    benford_digit_stream through the ledgered add sink); the chi-square
+    conformance readout runs from the MERGED state through the SAME
+    benford_readout as the batch test. Digit counts are the complete
+    sufficient statistic and addition is commutative, so the batch
+    split cannot move the statistic — the oracle is
+    rel_benford_digit_test's whole-corpus SQL, hash-checking the live
+    fraud/unit-mixup monitor end to end. Extends the additive-state
+    streaming family to a STATISTICAL TEST readout (counts ->
+    chi-square), beside sketches (CMS/HLL/KMV/DDSketch), moments
+    (zscore), and calibration bins (reliability)."""
+    from ..streaming.worker import benford_digit_stream
+    from .queries_stats import benford_readout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    state = _forced_drain(
+        spark, li, "l_orderkey",
+        lambda src, st, ck, mft: benford_digit_stream(
+            spark, src, li.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "digit bigint, observed bigint, benford_p double,"
+            " observed_p double, chi2 double, nonconforming boolean",
+        )
+    return benford_readout(
+        spark, state.select("d", F.col("c").alias("o"))
+    )
+
+
+from .queries_text import _ZIPF_SQL  # noqa: E402
+
+
+@register("stream_zipf_drain", oracle=_ZIPF_SQL, staged=True)
+def stream_zipf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Zipf corpus-health monitoring with a driver row (built
+    r10, staged r11): documents stream in TWO forced micro-batches;
+    each batch additively merges its (word, n) delta into the standing
+    vocabulary count table (streaming/worker.py::zipf_wordcount_stream
+    — the UNBOUNDED-key member of the additive family: state is
+    vocab-sized, the sink's hash-bucketed MERGE rewrites only touched
+    buckets); the rank-frequency OLS readout runs from the MERGED
+    state through the SAME zipf_fit_readout as the batch query. Word
+    counts are additive, so the split cannot move a rank or a
+    sufficient statistic — the oracle is text_zipf_fit's whole-corpus
+    SQL, hash-checking the live ingest-quality monitor end to end."""
+    from ..streaming.worker import zipf_wordcount_stream
+    from .queries_text import zipf_fit_readout
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = _forced_drain(
+        spark, docs, "doc_id",
+        lambda src, st, ck, mft: zipf_wordcount_stream(
+            spark, src, docs.schema, st, ck, max_files_per_trigger=mft
+        ),
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [], "n_words bigint, slope double, intercept double, r2 double"
+        )
+    return zipf_fit_readout(state.select("word", F.col("c").alias("n")))

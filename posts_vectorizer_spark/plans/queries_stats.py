@@ -2503,6 +2503,14 @@ def rel_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan-stage digit extraction, one 9-key map-side
     combinable count, 1-row total broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
+    obs = benford_digit_counts(li)
+    return benford_readout(spark, obs)
+
+
+def benford_digit_counts(li: DataFrame) -> DataFrame:
+    """(d, o) first-digit counts of l_extendedprice — the ADDITIVE
+    sufficient statistic (digit counts merge by +), shared by the batch
+    test and the streaming drain's per-batch delta."""
     digits = li.filter(F.col("l_extendedprice") > 0).select(
         # explicit round() on BOTH sides: a bare double->BIGINT cast
         # ROUNDS in DuckDB but TRUNCATES in Spark, and at a power-of-ten
@@ -2513,7 +2521,12 @@ def rel_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             1, 1,
         ).cast("long").alias("d")
     )
-    obs = digits.groupBy("d").agg(F.count("*").alias("o"))
+    return digits.groupBy("d").agg(F.count("*").alias("o"))
+
+
+def benford_readout(spark: SparkSession, obs: DataFrame) -> DataFrame:
+    """Conformance readout from (d, o) counts — a pure function of the
+    sufficient statistic, shared verbatim by batch and stream forms."""
     exp_p = spark.createDataFrame(
         [(d, p) for d, p in _BENFORD_P.items()], "d long, p string"
     ).select("d", F.col("p").cast("decimal(12,9)").alias("p"))

@@ -575,6 +575,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
+    return zipf_fit_readout(wc)
+
+
+def zipf_fit_readout(wc: DataFrame) -> DataFrame:
+    """OLS readout from a (word, n) count relation — a pure function of
+    the additive word-count sufficient statistic, shared verbatim by
+    the batch query and the streaming drain."""
     head = (
         wc.orderBy(F.desc("n"), F.asc("word"))
         .limit(_ZIPF_TOPN)

@@ -1767,3 +1767,163 @@ def events_seasonality_strength(
             "f_seasonal"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg 2-state burst detection (Viterbi with backtrack, exact decimal)
+# ---------------------------------------------------------------------------
+
+_KLEINBERG_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1
+),
+ord AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM daily
+),
+par AS (
+  SELECT count(*) AS n,
+         CAST(round(ln(CAST(sum(x) AS DOUBLE) / count(*)), 9)
+              AS DECIMAL(12,9)) AS lr0,
+         CAST(round(ln(2 * CAST(sum(x) AS DOUBLE) / count(*)), 9)
+              AS DECIMAL(12,9)) AS lr1,
+         CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6)
+              AS DECIMAL(18,6)) AS r0,
+         CAST(round(2 * CAST(sum(x) AS DOUBLE) / count(*), 6)
+              AS DECIMAL(18,6)) AS r1,
+         CAST(round(2 * ln(count(*)), 6) AS DECIMAL(18,6)) AS g
+  FROM ord
+),
+costs AS (
+  SELECT t, day, x,
+         CAST(round(r0 - x * lr0, 6) AS DECIMAL(18,6)) AS c0,
+         CAST(round(r1 - x * lr1, 6) AS DECIMAL(18,6)) AS c1
+  FROM ord, par
+),
+fwd(t, d0, d1, b0, b1) AS (
+  SELECT t, c0, CAST(g + c1 AS DECIMAL(18,6)), 0, 0
+  FROM costs, par WHERE t = 1
+  UNION ALL
+  SELECT c.t,
+         CAST((CASE WHEN f.d0 <= f.d1 THEN f.d0 ELSE f.d1 END) + c.c0
+              AS DECIMAL(18,6)),
+         CAST((CASE WHEN f.d1 <= f.d0 + p.g THEN f.d1 ELSE f.d0 + p.g END)
+              + c.c1 AS DECIMAL(18,6)),
+         CASE WHEN f.d0 <= f.d1 THEN 0 ELSE 1 END,
+         CASE WHEN f.d1 <= f.d0 + p.g THEN 1 ELSE 0 END
+  FROM fwd f JOIN costs c ON c.t = f.t + 1, par p
+),
+back(t, s) AS (
+  SELECT f.t, CASE WHEN f.d1 < f.d0 THEN 1 ELSE 0 END
+  FROM fwd f, par WHERE f.t = par.n
+  UNION ALL
+  SELECT b.t - 1, CASE WHEN b.s = 0 THEN f.b0 ELSE f.b1 END
+  FROM back b JOIN fwd f ON f.t = b.t
+  WHERE b.t > 1
+)
+SELECT o.day, CAST(o.x AS BIGINT) AS x, b.s = 1 AS burst
+FROM back b JOIN ord o USING (t)
+"""
+
+
+@register("events_kleinberg_bursts", oracle=_KLEINBERG_SQL, staged=True)
+def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg 2-state burst detection (Kleinberg 2002, the batch
+    automaton; built r10, staged r11) — REAL Viterbi with backtrack
+    over the daily event-count series: a base state emitting at the
+    corpus mean rate and a burst state at 2x, per-day Poisson
+    negative-log-likelihood costs (up to the state-free ln(x!) term),
+    a 2·ln(n) penalty for ENTERING the burst state, and the
+    minimum-cost state path — the principled alternative to
+    threshold-based spike flags (events_anomaly_mad's family), since
+    the entry penalty suppresses one-day noise while contiguous bursts
+    amortize it. Decimal discipline: rates and ln-rates pin to 6/9dp
+    once (ln of identical doubles — the safe transcendental), per-day
+    costs are exact decimal expressions, and BOTH dynamic-programming
+    passes (forward min-cost + backward path reconstruction) run in
+    EXACT DECIMAL(18,6): as one in-row fold pair here, as forward +
+    backward RECURSIVE CTEs in the oracle — genuinely different
+    evaluation strategies for the same recursion, hash-matched.
+
+    Scale shape: the corpus reduces to one (day, count) row per day
+    (the only data-sized shuffle, map-side combinable); the
+    series-length fold runs in-row on the bounded daily array
+    (365·years elements — driver-scale, the Holt-Winters / ADPCM
+    convention for genuinely sequential recursions). Per-entity burst
+    detection = the same fold keyed by entity."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    row = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "x"))
+        ).alias("arr"),
+        F.count("*").alias("n"),
+        F.sum("x").alias("tot"),
+    ).where(F.col("n") > 0)
+    mean = F.col("tot").cast("double") / F.col("n")
+    par = row.select(
+        "arr",
+        "n",
+        F.round(F.log(mean), 9).cast("decimal(12,9)").alias("lr0"),
+        F.round(F.log(2 * mean), 9).cast("decimal(12,9)").alias("lr1"),
+        F.round(mean, 6).cast("decimal(18,6)").alias("r0"),
+        F.round(2 * mean, 6).cast("decimal(18,6)").alias("r1"),
+        F.round(2 * F.log(F.col("n").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("g"),
+    )
+    # per-day exact-decimal costs, in day order
+    costs = F.expr(
+        """
+      transform(arr, e -> struct(
+        e.day AS day, e.x AS x,
+        CAST(round(r0 - e.x * lr0, 6) AS DECIMAL(18,6)) AS c0,
+        CAST(round(r1 - e.x * lr1, 6) AS DECIMAL(18,6)) AS c1))
+    """
+    )
+    withc = par.select("n", "g", costs.alias("cs"))
+    # forward Viterbi: exact-decimal min-cost per state + the decision
+    # (previous state) that achieved it, recorded per day
+    fwd = F.expr(
+        """
+      aggregate(
+        slice(cs, 2, size(cs) - 1),
+        struct(CAST(cs[0].c0 AS DECIMAL(18,6)) AS d0,
+               CAST(g + cs[0].c1 AS DECIMAL(18,6)) AS d1,
+               array(struct(0 AS b0, 0 AS b1)) AS dec),
+        (acc, c) -> struct(
+          CAST((CASE WHEN acc.d0 <= acc.d1 THEN acc.d0 ELSE acc.d1 END)
+               + c.c0 AS DECIMAL(18,6)) AS d0,
+          CAST((CASE WHEN acc.d1 <= acc.d0 + g THEN acc.d1
+                     ELSE acc.d0 + g END) + c.c1 AS DECIMAL(18,6)) AS d1,
+          array_append(acc.dec, struct(
+            CASE WHEN acc.d0 <= acc.d1 THEN 0 ELSE 1 END AS b0,
+            CASE WHEN acc.d1 <= acc.d0 + g THEN 1 ELSE 0 END AS b1)) AS dec))
+    """
+    )
+    f = withc.select("n", "cs", fwd.alias("f"))
+    # backward pass: reconstruct the argmin path from the decisions
+    back = F.expr(
+        """
+      reverse(aggregate(
+        sequence(size(cs), 1, -1),
+        struct(CASE WHEN f.d1 < f.d0 THEN 1 ELSE 0 END AS s,
+               CAST(array() AS ARRAY<INT>) AS labels),
+        (acc, t) -> struct(
+          CASE WHEN t > 1 THEN
+            CASE WHEN acc.s = 0 THEN element_at(f.dec, t).b0
+                 ELSE element_at(f.dec, t).b1 END
+          ELSE acc.s END AS s,
+          array_append(acc.labels, acc.s) AS labels),
+        acc -> acc.labels))
+    """
+    )
+    lab = f.select("cs", back.alias("labels"))
+    return lab.select(
+        F.explode(F.arrays_zip("cs", "labels")).alias("z")
+    ).select(
+        F.col("z.cs.day").alias("day"),
+        F.col("z.cs.x").cast("bigint").alias("x"),
+        (F.col("z.labels") == 1).alias("burst"),
+    )

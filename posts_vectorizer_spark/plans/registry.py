@@ -75,6 +75,12 @@ STAGED: dict[str, QueryDef] = {}
 #                            broadcast centroids, n*k*d)
 #   events_seasonality_strength (Hyndman F_T/F_S on the exact lattice,
 #                            >2^53 quotient pinning device)
+#   events_kleinberg_bursts (REAL Viterbi + backtrack burst automaton,
+#                            exact-decimal fold vs recursive-CTE pair)
+#   stream_benford_drain    (additive 9-key digit state -> chi-square
+#                            readout; statistical-test drain family)
+#   stream_zipf_drain       (additive vocab-count state -> OLS readout;
+#                            unbounded-key additive drain)
 #
 # r11 head planning (draft; lock next round — r10-staged queries take
 # introduction slots first, then the freshness blocks below):

@@ -1080,3 +1080,90 @@ def reliability_bins_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def benford_digit_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming Benford conformance maintenance: each micro-batch of
+    lineitem rows extracts first digits and merges its 9-key (d, o)
+    count delta ADDITIVELY into the standing digit table
+    (sinks.merge_add_parquet, exactly-once via the batch-id ledger).
+    Digit counts are the test's complete sufficient statistic and
+    addition is commutative, so any batch split yields the batch
+    result; the chi-square conformance readout
+    (plans/queries_stats.py::benford_readout) runs from state as a
+    pure function.
+
+    At 100 TB: per-batch cost is one map-side-combinable 9-key count
+    plus O(9) state rows — a continuously fresh fraud/unit-mixup
+    monitor for the price of the batch."""
+    from ..plans.queries_stats import benford_digit_counts
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = benford_digit_counts(batch_df).withColumnRenamed("o", "c")
+        merge_add_parquet(spark, delta, state_dir, ["d"], batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def zipf_wordcount_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming vocabulary-count maintenance: each micro-batch of
+    documents tokenizes and merges its (word, n) delta ADDITIVELY into
+    the standing word-count table — the UNBOUNDED-key member of the
+    additive-state family (the CMS drain's keys are fixed d*w cells;
+    here state is vocab-sized and the sink's hash-bucketed MERGE
+    rewrites only touched buckets). The Zipf rank-frequency fit
+    (plans/queries_text.py::zipf_fit_readout) reads out from state as
+    a pure function of the merged counts.
+
+    At 100 TB: per-batch cost is the batch's tokenize + one map-side-
+    combinable word count + O(touched buckets) of the standing vocab
+    table — a continuously fresh corpus-health monitor."""
+    from ..functions import text as T
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = (
+            batch_df.select(F.explode(T.tokens("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("c"))
+        )
+        merge_add_parquet(
+            spark, delta, state_dir, ["word"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -466,3 +466,51 @@ def test_stream_kmv_drain_equals_batch(spark, tmp_path):
     assert r["k_a"] == 64          # clicker side crossed k
     assert r["k_b"] == 40          # buyer side still exact
     assert r["est_b"] == 40.0
+
+
+def test_stream_benford_drain_equals_batch(spark, tmp_path):
+    """stream_benford_drain's state after a two-batch drain yields
+    EXACTLY the batch readout — digit counts are additive, so the
+    split cannot move the chi-square statistic."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "bf"
+    d.mkdir()
+    rows = [(i, i % 200 + 1, (i * 37 % 9000) / 100 + 1.0) for i in range(400)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double"
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    got = {r["digit"]: r for r in
+           resolve_query("stream_benford_drain")(spark, str(d)).collect()}
+    want = {r["digit"]: r for r in
+            resolve_query("rel_benford_digit_test")(spark, str(d)).collect()}
+    assert set(got) == set(want) == set(range(1, 10))
+    for dg in got:
+        assert got[dg]["observed"] == want[dg]["observed"]
+        assert got[dg]["chi2"] == want[dg]["chi2"]
+        assert got[dg]["nonconforming"] == want[dg]["nonconforming"]
+
+
+def test_stream_zipf_drain_equals_batch(spark, tmp_path):
+    """stream_zipf_drain's merged vocabulary state yields EXACTLY the
+    batch Zipf fit — word counts are additive and the OLS readout is a
+    pure function of the merged counts."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    words = []
+    for rank, k in enumerate((240, 120, 80, 60, 48), 1):
+        words += [f"w{rank}"] * k
+    docs = make_docs(
+        spark,
+        [(i, " ".join(words[i::4]), "en") for i in range(4)],
+    )
+    d = tmp_path / "zf"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+
+    got = resolve_query("stream_zipf_drain")(spark, str(d)).collect()
+    want = resolve_query("text_zipf_fit")(spark, str(d)).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()

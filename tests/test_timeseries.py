@@ -609,3 +609,90 @@ def test_seasonality_strength_separates_planted_series(spark, tmp_path):
         spark, str(tmp_path / "flat")
     ).collect()[0]
     assert r2["f_seasonal"] is None or r2["f_seasonal"] < 0.5
+
+
+def test_kleinberg_bursts_planted_burst_and_penalty(spark, tmp_path):
+    """events_kleinberg_bursts: a planted contiguous high-rate window is
+    labeled burst while an equal-magnitude SINGLE-day spike is not (the
+    entry penalty working — the property separating Kleinberg from a
+    threshold flag); Viterbi output equals an independent Python
+    replica with the same decimal pinning."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    # 40 days at ~10/day; days 15-22 at 40/day (8-day burst); day 30 a
+    # single 25-event spike
+    per_day = [10] * 40
+    for dd in range(14, 22):
+        per_day[dd] = 40
+    per_day[29] = 25
+    rows = []
+    eid = 0
+    for d, k in enumerate(per_day):
+        for j in range(k):
+            eid += 1
+            rows.append(
+                (eid,
+                 f"2024-0{3 + d // 30}-{(d % 30) + 1:02d} 12:{j % 60:02d}:"
+                 f"{j // 60:02d}",
+                 1, "view", 1.0, "{}")
+            )
+    d = tmp_path / "kb"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(d / "events.parquet"))
+
+    out = sorted(
+        resolve_query("events_kleinberg_bursts")(spark, str(d)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(out) == 40
+    got = [r["burst"] for r in out]
+
+    # independent replica
+    Q6, Q9 = Decimal("0.000001"), Decimal("0.000000001")
+
+    def pin(v, q):
+        return Decimal(repr(v)).quantize(q, ROUND_HALF_UP)
+
+    xs = [r["x"] for r in out]
+    n, tot = len(xs), sum(xs)
+    mean = tot / n
+    lr0, lr1 = pin(math.log(mean), Q9), pin(math.log(2 * mean), Q9)
+    r0, r1 = pin(mean, Q6), pin(2 * mean, Q6)
+    g = pin(2 * math.log(n), Q6)
+    c0 = [(r0 - x * lr0).quantize(Q6, ROUND_HALF_UP) for x in xs]
+    c1 = [(r1 - x * lr1).quantize(Q6, ROUND_HALF_UP) for x in xs]
+    d0, d1 = c0[0], g + c1[0]
+    dec = [(0, 0)]
+    for t in range(1, n):
+        b0 = 0 if d0 <= d1 else 1
+        b1 = 1 if d1 <= d0 + g else 0
+        d0, d1 = (
+            min(d0, d1) + c0[t],
+            min(d1, d0 + g) + c1[t],
+        )
+        dec.append((b0, b1))
+    # NOTE: the replica must compute the NEW d0/d1 from the OLD pair
+    # simultaneously (as above) — mirror of the fold's acc semantics
+    s = 1 if d1 < d0 else 0
+    labels = []
+    for t in range(n, 0, -1):
+        labels.append(s)
+        if t > 1:
+            s = dec[t - 1][s]
+    labels.reverse()
+    assert got == [bool(v) for v in labels]
+
+    # the planted window is burst, the lone spike is not
+    assert all(got[14:22])
+    assert not got[29]
+    assert not any(got[:14]) and not any(got[22:29]) and not any(got[30:])

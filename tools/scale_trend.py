@@ -373,6 +373,15 @@ def main(only: list[str] | None = None) -> None:
         "seasonality_strength": lambda k: SQ["events_seasonality_strength"](
             spark, table_dir("events", k, "events")
         ),
+        "benford_drain": lambda k: SQ["stream_benford_drain"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
+        "zipf_drain": lambda k: SQ["stream_zipf_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "kleinberg_bursts": lambda k: SQ["events_kleinberg_bursts"](
+            spark, table_dir("events", k, "events")
+        ),
         "rake_keywords": lambda k: SQ["text_rake_keywords"](
             spark, table_dir("docs_plain", k, "documents")
         ),
