@@ -666,6 +666,11 @@ def _pq_codebooks(
     for i in range(m):
         emb_i = _subspace(emb, i, sub_len)
         cents = _train_codebook(emb_i, k, iters)
+        if not cents:
+            # empty corpus (P9): no codebooks — callers emit empty
+            # profiles (an F.array() of zero centroid literals would
+            # fail analysis, caught by the staged empty-input gate)
+            return []
         enc = _assign(emb_i, cents).select(
             "vec_id", F.col("cluster_id").alias(f"code{i}")
         )
@@ -1231,5 +1236,157 @@ SELECT x0.code0, x1.code1, count(*) AS n_vectors,
              / count(*), {ROUND}) AS avg_sq_error
 FROM r0_enc x0 JOIN r1_enc x1 USING (vec_id)
 GROUP BY x0.code0, x1.code1
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k scan — the serving path PQ exists for
+# ---------------------------------------------------------------------------
+
+ADC_QUERY_MOD = 97   # vec_id % MOD == 0 -> the query set
+ADC_TOPK = 10
+
+
+def pq_adc_scan(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dims: int = 64,
+    topk: int = ADC_TOPK,
+) -> DataFrame:
+    """(query_id, vec_id, adist, rank): asymmetric distance computation
+    (Jegou et al. 2011, the reason PQ exists) — each query vector
+    builds one k-entry LOOKUP TABLE per subspace (exact distances from
+    the query's subvector to that subspace's k centroids), and the
+    approximate distance to ANY encoded vector is the sum of m table
+    lookups by the vector's stored codes: Q·m·k real distance
+    computations + Q·N·m integer lookups instead of Q·N·dims
+    multiplies. Top-{topk} per query by (adist, vec_id), self
+    excluded. LUT entries are round-{ROUND} DECIMALs and the per-pair
+    distance is their EXACT decimal sum, so nothing is order-dependent.
+
+    Scale shape: codebooks train on dims/m-wide projections (the PQ
+    pipeline); the Q×(m·k) LUT relation is broadcast-sized; the scan
+    joins the code table against the LUTs on (code_i) equi-keys — at
+    100 TB this is the per-list scan inside an IVF-PQ index (the IVF
+    stage bounds N; THIS operator is the inner loop, here run over the
+    full corpus as its own witness)."""
+    spark = emb.sparkSession
+    sub_len = dims // m
+    books = _pq_codebooks(emb, m, k, iters, dims)
+    if not books or not books[0][1]:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adist double, rank int"
+        )
+    queries = emb.where(F.col("vec_id") % ADC_QUERY_MOD == 0)
+    codes: DataFrame | None = None
+    for enc, _ in books:
+        codes = enc if codes is None else codes.join(enc, "vec_id")
+    joined = codes
+    for i, (_, cents) in enumerate(books):
+        q_sub = _subspace(queries, i, sub_len).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("sub")
+        )
+        lut = q_sub.select(
+            "qid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(cid).alias("code"),
+                            F.round(
+                                _dist_to(
+                                    F.array(
+                                        *[F.lit(float(v)) for v in cvec]
+                                    ),
+                                    F.col("sub"),
+                                ),
+                                ROUND,
+                            )
+                            .cast("decimal(18,6)")
+                            .alias("ld"),
+                        )
+                        for cid, cvec in cents
+                    ]
+                )
+            ).alias("e"),
+        ).select("qid", F.col("e.code").alias(f"code{i}"),
+                 F.col("e.ld").alias(f"ld{i}"))
+        on = [f"code{i}"] + (["qid"] if i > 0 else [])
+        joined = joined.join(F.broadcast(lut), on)
+    adist = sum(F.col(f"ld{i}") for i in range(m)).cast("decimal(18,6)")
+    pairs = joined.where(F.col("vec_id") != F.col("qid")).select(
+        F.col("qid").alias("query_id"), "vec_id", adist.alias("ad")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("ad", "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id", "vec_id",
+            F.col("ad").cast("double").alias("adist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_adc_sql(
+    m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS, dims: int = 64,
+    topk: int = ADC_TOPK,
+) -> str:
+    sub_len = dims // m
+    parts: list[str] = []
+    for i in range(m):
+        parts.extend(
+            _pq_subspace_ctes(
+                i, i * sub_len + 1, (i + 1) * sub_len, k, iters, sub_len
+            )
+        )
+        parts.append(
+            f"""q{i}_sub AS (
+  SELECT vec_id AS qid,
+         list_slice(embedding, {i * sub_len + 1}, {(i + 1) * sub_len}) AS sub
+  FROM embeddings WHERE vec_id % {ADC_QUERY_MOD} = 0
+)"""
+        )
+        parts.append(
+            f"""lut{i} AS (
+  SELECT q.qid, c.cluster_id AS code{i},
+         CAST(round({_sql_dist('q.sub', 'c.cvec', sub_len)}, {ROUND})
+              AS DECIMAL(18,6)) AS ld{i}
+  FROM q{i}_sub q, s{i}_cents{iters} c
+)"""
+        )
+    joins = "s0_enc e0" + "".join(
+        f" JOIN s{i}_enc e{i} USING (vec_id)" for i in range(1, m)
+    )
+    lut_joins = " JOIN lut0 ON lut0.code0 = e0.code0" + "".join(
+        f" JOIN lut{i} ON lut{i}.code{i} = e{i}.code{i}"
+        f" AND lut{i}.qid = lut0.qid"
+        for i in range(1, m)
+    )
+    adsum = " + ".join(f"lut{i}.ld{i}" for i in range(m))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+pairs AS (
+  SELECT lut0.qid AS query_id, e0.vec_id,
+         CAST({adsum} AS DECIMAL(18,6)) AS ad
+  FROM {joins}{lut_joins}
+  WHERE e0.vec_id <> lut0.qid
+),
+ranked AS (
+  SELECT query_id, vec_id, ad,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ad, vec_id) AS rk
+  FROM pairs
+)
+SELECT query_id, vec_id, CAST(ad AS DOUBLE) AS adist, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= {topk}
 """
     )

@@ -1014,3 +1014,33 @@ def sim_rocchio_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@register(
+    "sim_pq_adc_scan", oracle=clustering.pq_adc_sql(), staged=True
+)
+def sim_pq_adc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k scan via LOOKUP TABLES (built r10,
+    staged r11) — the factorization that makes ADC cheap, completing
+    the PQ family: sim_pq_quantize builds/audits the codebooks,
+    sim_ivfpq_search ranks IVF-list candidates by folding a distance
+    PER PAIR (Q·cand·dims multiplies — correct but not the trick),
+    and THIS query implements the actual Jegou et al. device: per
+    query, ONE k-entry exact-distance table per subspace (Q·m·k
+    distance folds in total), after which EVERY candidate is priced by
+    m integer code lookups joined on code keys and summed as EXACT
+    round-6 decimals — no distance fold ever touches a candidate.
+    Top-10 per query with (adist, vec_id) tiebreak, self excluded.
+    Full pipeline (train → encode → LUT → join-scan → rank) is
+    hash-checked against the oracle's restatement of every stage.
+
+    Scale shape: LUTs are broadcast-sized (Q·m·k rows); the scan is an
+    equi-join of the code table against the LUTs on code keys plus a
+    query-keyed top-k window — no distance fold ever touches a
+    candidate vector. At 100 TB this is the inner loop of IVF-PQ: the
+    IVF stage (sim_ivf_ann / sim_ivf_portable) bounds the candidate
+    list, ADC prices each candidate at m lookups. (operators/
+    clustering.py::pq_adc_scan; reference has no ANN at all — repo
+    extension mandated by SURVEY §2.12.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.pq_adc_scan(emb)

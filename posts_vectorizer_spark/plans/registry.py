@@ -81,6 +81,8 @@ STAGED: dict[str, QueryDef] = {}
 #                            readout; statistical-test drain family)
 #   stream_zipf_drain       (additive vocab-count state -> OLS readout;
 #                            unbounded-key additive drain)
+#   sim_pq_adc_scan         (REAL ADC lookup-table factorization —
+#                            candidates priced by m code lookups)
 #
 # r11 head planning (draft; lock next round — r10-staged queries take
 # introduction slots first, then the freshness blocks below):

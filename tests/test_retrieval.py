@@ -1143,3 +1143,59 @@ def test_rocchio_planted_clusters_and_centroid_replica(spark, tmp_path):
     assert out[(1, 1)] == 20
     assert out[(1, 0)] == 1          # the planted noisy label
     assert (0, 1) not in out
+
+
+def test_pq_adc_scan_lut_identity_and_cluster_recall(spark, tmp_path):
+    """sim_pq_adc_scan: every returned adist equals the independent
+    LUT-sum replica (query-subvector -> assigned-centroid distances,
+    round-6, summed as decimals), and on well-separated planted
+    clusters the ADC top-k of a query stays inside its own cluster."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from posts_vectorizer_spark.operators import clustering as C
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for vid in range(80):
+        center = 8.0 if vid % 2 == 0 else -8.0
+        vec = center + rng.normal(0, 0.3, 64)
+        rows.append((vid, [float(x) for x in vec], vid % 2))
+    d = tmp_path / "adc"
+    d.mkdir()
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.parquet(str(d / "embeddings.parquet"))
+
+    out = resolve_query("sim_pq_adc_scan")(spark, str(d)).collect()
+    assert {r["query_id"] for r in out} == {0}  # vec_id % 97 == 0
+    assert len(out) == C.ADC_TOPK
+    # query 0 sits in the +8 cluster (even ids) — all neighbors even
+    assert all(r["vec_id"] % 2 == 0 for r in out)
+
+    # independent LUT-sum replica from the shared codebook trainer
+    loaded = spark.read.parquet(str(d / "embeddings.parquet"))
+    books = C._pq_codebooks(loaded, C.PQ_M, C.PQ_K, C.PQ_ITERS, 64)
+    q = next(vec for vid, vec, _ in rows if vid == 0)
+    codes = {}
+    for i, (enc, _) in enumerate(books):
+        for r in enc.collect():
+            codes.setdefault(r["vec_id"], {})[i] = r[f"code{i}"]
+    Q6 = Decimal("0.000001")
+    sub_len = 64 // C.PQ_M
+    for r in out:
+        total = Decimal(0)
+        for i, (_, cents) in enumerate(books):
+            qs = np.array(q[i * sub_len : (i + 1) * sub_len])
+            cvec = np.array(dict(cents)[codes[r["vec_id"]][i]])
+            # sequential fold in python float mirrors the fixed-order
+            # Spark fold over identical doubles
+            acc = 0.0
+            for a, b in zip(qs, cvec):
+                diff = float(np.float32(a)) - b
+                acc += diff * diff
+            total += Decimal(repr(acc)).quantize(Q6, ROUND_HALF_UP)
+        assert r["adist"] == float(total)

@@ -382,6 +382,9 @@ def main(only: list[str] | None = None) -> None:
         "kleinberg_bursts": lambda k: SQ["events_kleinberg_bursts"](
             spark, table_dir("events", k, "events")
         ),
+        "pq_adc_scan": lambda k: SQ["sim_pq_adc_scan"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
         "rake_keywords": lambda k: SQ["text_rake_keywords"](
             spark, table_dir("docs_plain", k, "documents")
         ),
