@@ -583,3 +583,153 @@ def rel_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).cast("double").alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# column-pair mutual information (dependence profiling)
+# ---------------------------------------------------------------------------
+
+_MI_SQL = """
+WITH pairs AS (
+  SELECT event_type AS xv,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS yv
+  FROM events
+),
+xy AS (SELECT xv, yv, count(*) AS nxy FROM pairs GROUP BY xv, yv),
+mx AS (SELECT xv, sum(nxy) AS nx FROM xy GROUP BY xv),
+my AS (SELECT yv, sum(nxy) AS ny FROM xy GROUP BY yv),
+tot AS (SELECT sum(nxy) AS n FROM xy),
+mi_terms AS (
+  SELECT CAST(round(xy.nxy * ln(CAST(xy.nxy AS DOUBLE) * tot.n
+                                / (CAST(mx.nx AS DOUBLE) * my.ny)), 9)
+              AS DECIMAL(28,9)) AS t
+  FROM xy JOIN mx USING (xv) JOIN my USING (yv), tot
+),
+hx_terms AS (
+  SELECT CAST(round(-(nx * ln(CAST(nx AS DOUBLE) / tot.n)), 9)
+              AS DECIMAL(28,9)) AS t
+  FROM mx, tot
+),
+hy_terms AS (
+  SELECT CAST(round(-(ny * ln(CAST(ny AS DOUBLE) / tot.n)), 9)
+              AS DECIMAL(28,9)) AS t
+  FROM my, tot
+),
+s AS (
+  SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+         (SELECT CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+          FROM mi_terms) AS mi_n,
+         (SELECT CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+          FROM hx_terms) AS hx_n,
+         (SELECT CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+          FROM hy_terms) AS hy_n
+)
+SELECT n,
+       mi_n / n AS mi,
+       hx_n / n AS h_x,
+       hy_n / n AS h_y,
+       CASE WHEN hx_n > 0 AND hy_n > 0
+            THEN mi_n / n / sqrt(hx_n / n * (hy_n / n)) END AS nmi
+FROM s WHERE n > 0
+"""
+
+
+@register("rel_mutual_information", oracle=_MI_SQL, staged=True)
+def rel_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pair mutual information (built r10, staged r11) — the
+    dependence profile behind physical-design choices: two columns
+    with high NMI are redundant to cluster on separately (one predicts
+    the other — Z-order on both wastes bits, rel_zorder_layout's
+    companion question), and a feature column with near-zero MI
+    against the label is a pruning candidate. Measured here between
+    event_type and the engine-free epoch-mod-7 weekday. Every
+    plogp/PMI term is round-9 DECIMAL over exact integer counts
+    (N-scaled numerators so no quotient precedes the sum — the
+    chi2/PSI discipline); MI, marginal entropies, and NMI =
+    MI/sqrt(HxHy) are identical double expressions of the exact sums.
+    ln stays on quotients of 64-bit-exact doubles (the safe
+    transcendental).
+
+    Scale shape: one (x, y)-keyed map-side-combinable count reduces
+    the corpus; marginals and totals derive from the |X|·|Y| cell
+    table (bounded by distinct categories), so everything after the
+    first reduce is cell-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("event_type").alias("xv"),
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 7
+        ).alias("yv"),
+    )
+    xy = pairs.groupBy("xv", "yv").agg(F.count("*").alias("nxy"))
+    from ..cache import persist_tracked
+
+    xy = persist_tracked(xy)
+    mx = xy.groupBy("xv").agg(F.sum("nxy").alias("nx"))
+    my = xy.groupBy("yv").agg(F.sum("nxy").alias("ny"))
+    tot = xy.agg(F.sum("nxy").alias("n"))
+    mi_t = (
+        xy.join(F.broadcast(mx), "xv")
+        .join(F.broadcast(my), "yv")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.col("nxy")
+                * F.log(
+                    F.col("nxy").cast("double")
+                    * F.col("n")
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("decimal(38,9)").cast("double").alias("mi_n"))
+    )
+    hx_t = (
+        mx.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("nx") * F.log(F.col("nx").cast("double") / F.col("n"))),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("decimal(38,9)").cast("double").alias("hx_n"))
+    )
+    hy_t = (
+        my.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("ny") * F.log(F.col("ny").cast("double") / F.col("n"))),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("decimal(38,9)").cast("double").alias("hy_n"))
+    )
+    n = F.col("n").cast("bigint")
+    mi = F.col("mi_n") / n
+    hx, hy = F.col("hx_n") / n, F.col("hy_n") / n
+    return (
+        tot.crossJoin(F.broadcast(mi_t))
+        .crossJoin(F.broadcast(hx_t))
+        .crossJoin(F.broadcast(hy_t))
+        .where(n > 0)
+        .select(
+            n.alias("n"),
+            mi.alias("mi"),
+            hx.alias("h_x"),
+            hy.alias("h_y"),
+            F.when(
+                (F.col("hx_n") > 0) & (F.col("hy_n") > 0),
+                mi / F.sqrt(hx * hy),
+            ).alias("nmi"),
+        )
+    )

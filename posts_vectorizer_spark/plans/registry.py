@@ -83,6 +83,8 @@ STAGED: dict[str, QueryDef] = {}
 #                            unbounded-key additive drain)
 #   sim_pq_adc_scan         (REAL ADC lookup-table factorization —
 #                            candidates priced by m code lookups)
+#   rel_mutual_information  (column-pair MI/NMI dependence profile,
+#                            N-scaled exact plogp lattice)
 #
 # r11 head planning (draft; lock next round — r10-staged queries take
 # introduction slots first, then the freshness blocks below):

@@ -240,3 +240,77 @@ def test_skew_gini_analytic(spark, tmp_path):
     assert r2["gini"] == 0.72
     assert r2["max_over_mean"] == 3.88  # 97 / (100/4)
     assert r2["max_freq"] == 97
+
+
+def test_mutual_information_planted_dependence(spark, tmp_path):
+    """rel_mutual_information: a perfectly dependent pair (event_type
+    determined by weekday) scores NMI ~= 1; an independent pair scores
+    ~= 0; both match an independent plogp replica."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def write(d, dependent):
+        rows = []
+        eid = 0
+        for day in range(28):
+            dow = (19723 + day) % 7  # epoch day of 2024-01-01 is 19723
+            for j in range(10):
+                eid += 1
+                et = (
+                    f"type{dow % 3}" if dependent else f"type{eid % 3}"
+                )
+                rows.append(
+                    (eid, f"2024-01-{day + 1:02d} 09:00:00", 1, et, 1.0,
+                     "{}")
+                )
+        d.mkdir()
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+            "event_type", "value", "props"
+        ).write.parquet(str(d / "events.parquet"))
+
+    write(tmp_path / "dep", True)
+    r = resolve_query("rel_mutual_information")(
+        spark, str(tmp_path / "dep")
+    ).collect()[0]
+    assert r["n"] == 280
+    # type is a FUNCTION of weekday -> MI = H(type); NMI = sqrt(Hx/Hy)
+    assert abs(r["mi"] - r["h_x"]) < 1e-9
+    import math as _m
+
+    assert abs(r["nmi"] - _m.sqrt(r["h_x"] / r["h_y"])) < 1e-9
+    assert r["nmi"] > 0.7
+
+    # replica of the 9dp-pinned algebra
+    from collections import Counter
+
+    cells = Counter()
+    for day in range(28):
+        dow = (19723 + day) % 7
+        cells[(f"type{dow % 3}", dow)] += 10
+    N = sum(cells.values())
+    nx = Counter(); ny = Counter()
+    for (xv, yv), c in cells.items():
+        nx[xv] += c; ny[yv] += c
+    Q9 = Decimal("0.000000001")
+
+    def pin(v):
+        return Decimal(repr(v)).quantize(Q9, ROUND_HALF_UP)
+
+    mi_n = float(sum(
+        pin(c * math.log(c * N / (nx[x] * ny[y])))
+        for (x, y), c in cells.items()
+    ))
+    assert r["mi"] == mi_n / N
+
+    write(tmp_path / "ind", False)
+    r2 = resolve_query("rel_mutual_information")(
+        spark, str(tmp_path / "ind")
+    ).collect()[0]
+    assert r2["nmi"] < 0.05

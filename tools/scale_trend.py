@@ -385,6 +385,9 @@ def main(only: list[str] | None = None) -> None:
         "pq_adc_scan": lambda k: SQ["sim_pq_adc_scan"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        "mutual_information": lambda k: SQ["rel_mutual_information"](
+            spark, table_dir("events", k, "events")
+        ),
         "rake_keywords": lambda k: SQ["text_rake_keywords"](
             spark, table_dir("docs_plain", k, "documents")
         ),
