@@ -86,18 +86,35 @@ STAGED: dict[str, QueryDef] = {}
 #   rel_mutual_information  (column-pair MI/NMI dependence profile,
 #                            N-scaled exact plogp lattice)
 #
-# r11 head planning (draft; lock next round — r10-staged queries take
-# introduction slots first, then the freshness blocks below):
-#   (b) spine: tfidf_doc_vectors (+ direct consumers of any r11 code
-#       changes).
-#   (c) freshness: the NINE spilled r4 rows (rel_tpch_q18_large_orders,
-#       rel_tpch_q19_disjunctive, rel_tpch_q21_late_suppliers,
-#       rel_tpch_q22_dormant_accounts, events_ab_cuped,
-#       events_interval_coverage, text_bm25_ndcg_eval,
-#       text_winnowing_fingerprints, dedup_substring_spans) go FIRST,
-#       then the r5 cohort (oldest standing green after r10) in
-#       tools/cohorts.py order, family-spread, to fill the slots that
-#       r10-staged introductions leave free (one-for-one rule).
+# r11 head planning (draft; lock next round). The arithmetic lands on
+# exactly 50 with the 17-query staged wave above:
+#   (a) 17 introductions (every r10-staged [Q] query; all four-way
+#       gated this round, SWEEPS.md).
+#   (b) spine (2): tfidf_doc_vectors + events_seasonal_decompose (its
+#       oracle was refactored to the shared _STL_SQL constant in r10 —
+#       cheap re-proof; the OTHER r10 refactor consumers,
+#       rel_benford_digit_test / text_unigram_logprob, already hold
+#       fresh r10 head rows).
+#   (c) freshness (31 = 9 + 22): the NINE spilled r4 rows
+#       (rel_tpch_q18_large_orders, rel_tpch_q19_disjunctive,
+#       rel_tpch_q21_late_suppliers, rel_tpch_q22_dormant_accounts,
+#       events_ab_cuped, events_interval_coverage, text_bm25_ndcg_eval,
+#       text_winnowing_fingerprints, dedup_substring_spans) FIRST, then
+#       the full 22-query r5 cohort (curation_weighted_sample,
+#       dedup_components, dedup_incremental_minhash,
+#       dedup_split_leakage_safe, events_cusum_changepoint,
+#       events_halflife_decay, events_retention_cohorts,
+#       events_scd2_versions, events_session_paths,
+#       rel_custdist_histogram, rel_salted_skew_join,
+#       rel_stats_quantiles, rel_subquery_correlated,
+#       rel_tpch_q6_forecast_revenue, rel_tpch_q8_market_share,
+#       rel_weighted_median, sim_hybrid_rrf_fusion, sim_pagerank_knn,
+#       sim_semdedup_prune, stream_vectorize_drain, text_pmi_bigrams,
+#       text_readability). ALL 31 pre-verified vanilla this round
+#       (9/9 + 22/22, SWEEPS.md). If r11 builds more introductions
+#       mid-round they stage for r12; if any r11-built query is
+#       introduced same-round (built before the head locks), drop r5
+#       names from the END one-for-one.
 
 
 
