@@ -796,3 +796,126 @@ def events_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k / slr).cast("double").alias("alpha"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# journey transition entropy (sequence predictability)
+# ---------------------------------------------------------------------------
+
+_TRANS_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+tm AS (
+  SELECT event_type AS i, next_type AS j, count(*) AS nij
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+mi AS (SELECT i, sum(nij) AS ni FROM tm GROUP BY i),
+tot AS (SELECT sum(nij) AS n FROM tm),
+terms AS (
+  SELECT CAST(round(-(tm.nij * ln(CAST(tm.nij AS DOUBLE) / mi.ni)), 9)
+              AS DECIMAL(28,9)) AS t
+  FROM tm JOIN mi USING (i)
+),
+marg AS (
+  SELECT CAST(round(-(ni * ln(CAST(ni AS DOUBLE) / tot.n)), 9)
+              AS DECIMAL(28,9)) AS t
+  FROM mi, tot
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_transitions,
+       (SELECT CAST(count(*) AS BIGINT) FROM mi) AS n_states,
+       CAST((SELECT CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+             FROM terms) / (SELECT n FROM tot) AS DOUBLE) AS h_cond,
+       CAST((SELECT CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+             FROM marg) / (SELECT n FROM tot) AS DOUBLE) AS h_marginal,
+       CASE WHEN (SELECT CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+                  FROM marg) > 0 THEN
+         CAST(1 - (SELECT CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+                   FROM terms)
+                / (SELECT CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+                   FROM marg) AS DOUBLE)
+       END AS predictability
+FROM (SELECT 1) WHERE (SELECT n FROM tot) > 0
+"""
+
+
+@register(
+    "events_transition_entropy", oracle=_TRANS_ENTROPY_SQL, staged=True
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey transition entropy (built r10, staged r11) — the
+    sequence-predictability readout over the SAME per-user transition
+    counts events_markov_stationary iterates on: conditional entropy
+    H(next | current) = -Σ (n_ij/N) ln(n_ij/n_i), the marginal
+    H(current), and predictability = 1 - H_cond/H_marg (0 = the next
+    event type is independent of the current one, 1 = deterministic
+    journeys). The honest feature-value check before spending model
+    capacity on sequential structure. Every plogp term is N-scaled
+    round-9 DECIMAL over exact transition counts (the MI/chi2/PSI
+    lattice); readouts are identical double expressions of exact sums.
+
+    Scale shape: the per-user lead() window shuffles once on user_id
+    (the sessionization exchange every journey query shares); the
+    transition matrix is |types|²-bounded, and everything after the
+    count is cell-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    tm = seq.groupBy(
+        F.col("event_type").alias("i"), F.col("next_type").alias("j")
+    ).agg(F.count("*").alias("nij"))
+    from ..cache import persist_tracked
+
+    tm = persist_tracked(tm)
+    mi = tm.groupBy("i").agg(F.sum("nij").alias("ni"))
+    tot = tm.agg(F.sum("nij").alias("n"))
+    states = mi.agg(F.count("*").alias("n_states"))
+    cond = (
+        tm.join(F.broadcast(mi), "i")
+        .select(
+            F.round(
+                -(F.col("nij")
+                  * F.log(F.col("nij").cast("double") / F.col("ni"))),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("decimal(38,9)").cast("double").alias("hc_n"))
+    )
+    marg = (
+        mi.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("ni")
+                  * F.log(F.col("ni").cast("double") / F.col("n"))),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("decimal(38,9)").cast("double").alias("hm_n"))
+    )
+    n = F.col("n").cast("bigint")
+    hc = F.col("hc_n") / n
+    hm = F.col("hm_n") / n
+    return (
+        tot.crossJoin(F.broadcast(states))
+        .crossJoin(F.broadcast(cond))
+        .crossJoin(F.broadcast(marg))
+        .where(n > 0)
+        .select(
+            n.alias("n_transitions"),
+            F.col("n_states").cast("bigint").alias("n_states"),
+            hc.alias("h_cond"),
+            hm.alias("h_marginal"),
+            F.when(F.col("hm_n") > 0, 1 - F.col("hc_n") / F.col("hm_n"))
+            .cast("double")
+            .alias("predictability"),
+        )
+    )

@@ -806,3 +806,71 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty profile (incremental corpus redundancy)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 3  # trigram shingles — long enough to mean phrasing, not vocab
+
+_NOVELTY_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, md5(ngram) AS g
+  FROM ({textstats.ngrams_sql(_NOVELTY_N)})
+),
+per_doc AS (
+  SELECT doc_id, g, count(*) AS k FROM grams GROUP BY doc_id, g
+),
+firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM per_doc GROUP BY g
+)
+SELECT p.doc_id,
+       CAST(sum(p.k) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (f.first_doc = p.doc_id) AS BIGINT) AS n_novel,
+       CAST(count(*) FILTER (f.first_doc = p.doc_id) AS DOUBLE) / count(*)
+         AS novelty
+FROM per_doc p JOIN firsts f USING (g)
+GROUP BY p.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_SQL, staged=True)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (built r10, staged r11) — the
+    incremental-redundancy signal behind "is new data still adding
+    anything": in doc_id ingestion order, a document's novelty is the
+    fraction of its distinct {_NOVELTY_N}-grams whose FIRST corpus
+    occurrence is this document. A healthy growing corpus holds
+    novelty up (Heaps-law vocabulary growth, expressed distributably —
+    no sequential prefix scan: first occurrence is just min(doc_id)
+    per gram); crawl loops, template farms, and dedup failures drive
+    it toward 0. The novelty ratio is the unrounded quotient of exact
+    counts (identical IEEE division both engines); grams join on md5
+    fingerprints so text never rides a shuffle.
+
+    Scale shape: gram fan-out in the scan stage; one (doc, gram)
+    count, one gram-keyed min (both map-side combinable); the
+    firsts join keys on the gram hash — shuffle ∝ distinct grams,
+    never pairs. The same plan maintains incrementally: a standing
+    (g, first_doc) table MIN-merges new batches (the ledgered sink's
+    dominance family), which is how the streaming form would pin
+    ingestion order."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = textstats.ngrams(docs, _NOVELTY_N).select(
+        "doc_id", F.md5("ngram").alias("g")
+    )
+    per_doc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("k"))
+    firsts = per_doc.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return (
+        per_doc.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )

@@ -85,11 +85,16 @@ STAGED: dict[str, QueryDef] = {}
 #                            candidates priced by m code lookups)
 #   rel_mutual_information  (column-pair MI/NMI dependence profile,
 #                            N-scaled exact plogp lattice)
+#   text_ngram_novelty      (per-doc first-occurrence trigram ratio —
+#                            distributable Heaps/redundancy signal)
+#   events_transition_entropy (journey H(next|current) +
+#                            predictability on the plogp lattice)
 #
 # r11 head planning (draft; lock next round). The arithmetic lands on
 # exactly 50 with the 17-query staged wave above:
-#   (a) 17 introductions (every r10-staged [Q] query; all four-way
-#       gated this round, SWEEPS.md).
+#   (a) 19 introductions (every r10-staged [Q] query; all four-way
+#       gated this round, SWEEPS.md). Each introduction beyond 17
+#       drops one r5 name from the END of block (c) (one-for-one).
 #   (b) spine (2): tfidf_doc_vectors + events_seasonal_decompose (its
 #       oracle was refactored to the shared _STL_SQL constant in r10 —
 #       cheap re-proof; the OTHER r10 refactor consumers,

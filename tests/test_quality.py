@@ -655,3 +655,84 @@ def test_token_gini_planted_lengths(spark, tmp_path):
     # form; both evaluated here to guard the identity itself
     assert abs(row["gini"] - classic) < 1e-12
     assert row["gini"] == 2 * t_rank / (n * total) - (n + 1) / n
+
+
+def test_ngram_novelty_planted_copies(spark, tmp_path):
+    """text_ngram_novelty: the first doc of a template pair gets
+    novelty 1.0, its verbatim copy 0.0, and a fresh doc 1.0 — the
+    dedup-failure signal the query exists for; counts hand-checked."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    a = "alpha beta gamma delta epsilon zeta"
+    docs = make_docs(
+        spark,
+        [(0, a, "en"), (1, a, "en"), (2, "one two three four five", "en")],
+    )
+    t = tmp_path / "nov"
+    t.mkdir()
+    docs.write.parquet(str(t / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in
+           resolve_query("text_ngram_novelty")(spark, str(t)).collect()}
+    # 6 tokens -> 4 trigrams, all distinct
+    assert out[0]["n_grams"] == out[0]["n_distinct"] == 4
+    assert out[0]["n_novel"] == 4 and out[0]["novelty"] == 1.0
+    assert out[1]["n_novel"] == 0 and out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 1.0
+
+
+def test_transition_entropy_planted_chains(spark, tmp_path):
+    """events_transition_entropy: a deterministic cycle scores
+    predictability 1 (H_cond = 0); i.i.d.-shuffled types score near 0;
+    the conditional entropy matches an independent replica."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def write(d, types):
+        rows = [
+            (i + 1, f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:"
+                    f"{i % 60:02d}", 1, t, 1.0, "{}")
+            for i, t in enumerate(types)
+        ]
+        d.mkdir()
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+            "event_type", "value", "props"
+        ).write.parquet(str(d / "events.parquet"))
+
+    cycle = ["a", "b", "c"] * 40
+    write(tmp_path / "det", cycle)
+    r = resolve_query("events_transition_entropy")(
+        spark, str(tmp_path / "det")
+    ).collect()[0]
+    assert r["n_states"] == 3 and r["h_cond"] == 0.0
+    assert r["predictability"] == 1.0
+
+    mixed = [["a", "b", "c"][(i * i + i // 7) % 3] for i in range(120)]
+    write(tmp_path / "iid", mixed)
+    r2 = resolve_query("events_transition_entropy")(
+        spark, str(tmp_path / "iid")
+    ).collect()[0]
+    assert r2["predictability"] < 0.2
+
+    # replica of the 9dp-pinned conditional entropy
+    trans = Counter(zip(mixed, mixed[1:]))
+    ni = Counter(); N = sum(trans.values())
+    for (i, _), c in trans.items():
+        ni[i] += c
+    Q9 = Decimal("0.000000001")
+    hc_n = float(sum(
+        Decimal(repr(-(c * math.log(c / ni[i])))).quantize(
+            Q9, ROUND_HALF_UP
+        )
+        for (i, _), c in trans.items()
+    ))
+    assert r2["h_cond"] == hc_n / N

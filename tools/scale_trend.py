@@ -388,6 +388,12 @@ def main(only: list[str] | None = None) -> None:
         "mutual_information": lambda k: SQ["rel_mutual_information"](
             spark, table_dir("events", k, "events")
         ),
+        "ngram_novelty": lambda k: SQ["text_ngram_novelty"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "transition_entropy": lambda k: SQ["events_transition_entropy"](
+            spark, table_dir("events", k, "events")
+        ),
         "rake_keywords": lambda k: SQ["text_rake_keywords"](
             spark, table_dir("docs_plain", k, "documents")
         ),
