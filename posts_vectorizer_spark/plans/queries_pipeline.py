@@ -1544,3 +1544,40 @@ def stream_zipf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "n_words bigint, slope double, intercept double, r2 double"
         )
     return zipf_fit_readout(state.select("word", F.col("c").alias("n")))
+
+
+from .queries_text import _NOVELTY_SQL  # noqa: E402
+
+
+@register("stream_novelty_drain", oracle=_NOVELTY_SQL, staged=True)
+def stream_novelty_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming novelty monitoring with a driver row (built r10,
+    staged r11): documents stream in TWO forced micro-batches; each
+    batch MIN-merges its (gram, first doc_id) delta into the standing
+    first-occurrence table through the NEW merge_min sink — the FOURTH
+    state-combiner family (replace / add / max / MIN), completing the
+    dominance pair. min is commutative AND idempotent, so neither the
+    batch split nor a replay can move a first occurrence; per-doc
+    novelty reads out from the MERGED state through the SAME
+    novelty_readout as the batch query, and the oracle is
+    text_ngram_novelty's whole-corpus SQL — ingestion-order semantics
+    hash-checked end to end without any sequential scan."""
+    from ..streaming.worker import novelty_firsts_stream
+    from .queries_text import novelty_doc_grams, novelty_readout
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = _forced_drain(
+        spark, docs, "doc_id",
+        lambda src, st, ck, mft: novelty_firsts_stream(
+            spark, src, docs.schema, st, ck, max_files_per_trigger=mft
+        ),
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_grams bigint, n_distinct bigint,"
+            " n_novel bigint, novelty double",
+        )
+    return novelty_readout(
+        novelty_doc_grams(docs), state.select("g", "first_doc")
+    )

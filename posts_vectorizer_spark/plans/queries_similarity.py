@@ -1044,3 +1044,125 @@ def sim_pq_adc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension mandated by SURVEY §2.12.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.pq_adc_scan(emb)
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid drift between corpus halves (embedding drift monitor)
+# ---------------------------------------------------------------------------
+
+_CENTROID_DRIFT_SQL = """
+WITH dims AS (
+  SELECT label, vec_id % 2 AS half, embedding,
+         unnest(generate_series(1, len(embedding))) AS d
+  FROM embeddings
+),
+terms AS (
+  SELECT label, half, CAST(d AS INT) AS d,
+         CAST(round(CAST(embedding[d] AS DOUBLE), 7)
+              AS DECIMAL(22,7)) AS v
+  FROM dims
+),
+cent AS (
+  SELECT label, half, d,
+         CAST(CAST(sum(v) AS DECIMAL(38,7)) AS DOUBLE) / count(*) AS c,
+         max(count(*)) OVER (PARTITION BY label, half) AS n
+  FROM terms GROUP BY label, half, d
+),
+arr AS (
+  SELECT label, half, max(n) AS n, list(c ORDER BY d) AS cv
+  FROM cent GROUP BY label, half
+),
+pairs AS (
+  SELECT a.label, a.n AS n_a, b.n AS n_b,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, len(a.cv)),
+             cd_i -> (a.cv[cd_i] - b.cv[cd_i]) * (a.cv[cd_i] - b.cv[cd_i]))),
+           (acc, t) -> acc + t) AS d2,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, len(a.cv)),
+             cd_i -> a.cv[cd_i] * b.cv[cd_i])), (acc, t) -> acc + t) AS dot,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, len(a.cv)),
+             cd_i -> a.cv[cd_i] * a.cv[cd_i])), (acc, t) -> acc + t) AS na2,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, len(a.cv)),
+             cd_i -> b.cv[cd_i] * b.cv[cd_i])), (acc, t) -> acc + t) AS nb2
+  FROM arr a JOIN arr b ON a.label = b.label AND a.half = 0 AND b.half = 1
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       sqrt(d2) AS l2_drift,
+       CASE WHEN na2 > 0 AND nb2 > 0
+            THEN dot / (sqrt(na2) * sqrt(nb2)) END AS cos_sim
+FROM pairs
+"""
+
+
+@register(
+    "sim_label_centroid_drift", oracle=_CENTROID_DRIFT_SQL, staged=True
+)
+def sim_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift (built r10, staged r11) — the
+    embedding-space companion to the value-distribution drift monitors
+    (PSI on scalars, z-score moments on dims): split the corpus into
+    deterministic halves (vec_id parity standing in for the
+    train-vs-serve or week-vs-week split), fit per-(label, half)
+    centroids, and report each label's centroid displacement (L2) and
+    directional agreement (cosine). A label whose centroid moves while
+    others hold still means ITS concept drifted — retraining triage at
+    class granularity. Centroid numerators are exact DECIMAL sums of
+    7dp-rounded elements (< 2^53 scaled units → bit-identical double
+    conversion); the L2/cosine folds run in FIXED array order over
+    identical doubles (the Rocchio/ADC kernel convention).
+
+    Scale shape: one (label, half, dim)-keyed map-side-combinable
+    aggregate; everything after is (2·labels)-row. The drift readout
+    at 100 TB costs exactly one corpus scan regardless of label
+    count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d0", "x"
+        ),
+    ).select(
+        "label", "half", (F.col("d0") + 1).alias("d"),
+        F.round(F.col("x"), 7).cast("decimal(22,7)").alias("v"),
+    )
+    cent = terms.groupBy("label", "half", "d").agg(
+        (
+            F.sum("v").cast("decimal(38,7)").cast("double") / F.count("*")
+        ).alias("c"),
+        F.count("*").alias("n"),
+    )
+    arr = cent.groupBy("label", "half").agg(
+        F.max("n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            lambda s: s["c"],
+        ).alias("cv"),
+    )
+    a = arr.where(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_a"), F.col("cv").alias("cva")
+    )
+    b = arr.where(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_b"), F.col("cv").alias("cvb")
+    )
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda acc, t: acc + t)
+
+    d2 = fold(F.zip_with("cva", "cvb", lambda x, y: (x - y) * (x - y)))
+    dot = fold(F.zip_with("cva", "cvb", lambda x, y: x * y))
+    na2 = fold(F.zip_with("cva", "cva", lambda x, y: x * y))
+    nb2 = fold(F.zip_with("cvb", "cvb", lambda x, y: x * y))
+    return a.join(b, "label").select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.sqrt(d2).alias("l2_drift"),
+        F.when(
+            (na2 > 0) & (nb2 > 0), dot / (F.sqrt(na2) * F.sqrt(nb2))
+        ).alias("cos_sim"),
+    )

@@ -858,11 +858,24 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominance family), which is how the streaming form would pin
     ingestion order."""
     docs = load_table(spark, sf_dir, "documents")
+    per_doc = novelty_doc_grams(docs)
+    firsts = per_doc.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return novelty_readout(per_doc, firsts)
+
+
+def novelty_doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g, k) distinct-gram counts per doc — shared by the
+    batch query and the streaming drain's per-batch delta."""
     grams = textstats.ngrams(docs, _NOVELTY_N).select(
         "doc_id", F.md5("ngram").alias("g")
     )
-    per_doc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("k"))
-    firsts = per_doc.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return grams.groupBy("doc_id", "g").agg(F.count("*").alias("k"))
+
+
+def novelty_readout(per_doc: DataFrame, firsts: DataFrame) -> DataFrame:
+    """Novelty profile from (doc_id, g, k) and a (g, first_doc) table —
+    a pure function of the MIN-mergeable first-occurrence state, shared
+    verbatim by the batch query and the streaming drain."""
     novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
     return (
         per_doc.join(firsts, "g")

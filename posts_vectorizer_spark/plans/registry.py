@@ -89,10 +89,14 @@ STAGED: dict[str, QueryDef] = {}
 #                            distributable Heaps/redundancy signal)
 #   events_transition_entropy (journey H(next|current) +
 #                            predictability on the plogp lattice)
+#   stream_novelty_drain    (MIN-merge first-occurrence state — the
+#                            4th sink combiner; novelty readout)
+#   sim_label_centroid_drift (per-label L2+cosine centroid drift —
+#                            class-granular embedding drift triage)
 #
 # r11 head planning (draft; lock next round). The arithmetic lands on
 # exactly 50 with the 17-query staged wave above:
-#   (a) 19 introductions (every r10-staged [Q] query; all four-way
+#   (a) 21 introductions (every r10-staged [Q] query; all four-way
 #       gated this round, SWEEPS.md). Each introduction beyond 17
 #       drops one r5 name from the END of block (c) (one-for-one).
 #   (b) spine (2): tfidf_doc_vectors + events_seasonal_decompose (its

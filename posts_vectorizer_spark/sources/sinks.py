@@ -213,6 +213,35 @@ def merge_max_parquet(
     )
 
 
+def merge_min_parquet(
+    spark: SparkSession,
+    deltas: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    batch_id: int | None = None,
+) -> None:
+    """DOMINANCE merge, MIN direction (r10): matched rows take the MIN
+    of every non-key column; unmatched deltas insert. The maintenance
+    primitive for first-occurrence state — KMV bottom hashes, zone-map
+    minima, and the novelty monitor's (gram, first_doc) table, where
+    min(doc_id) pins ingestion order without any sequential scan. Min
+    is idempotent; the batch-id ledger is kept for uniform replay
+    semantics across all four sink combiners (replace/add/max/min).
+    Deltas must be pre-aggregated unique per key."""
+    manifest = _read_manifest(target_dir)
+    if (
+        batch_id is not None
+        and manifest is not None
+        and batch_id in manifest.get("applied", [])
+    ):
+        return
+    _merge_parquet(
+        spark, deltas, None, target_dir, keys, n_buckets,
+        combine="min", batch_id=batch_id,
+    )
+
+
 def _merge_parquet(
     spark: SparkSession,
     upserts: DataFrame,
@@ -251,15 +280,16 @@ def _merge_parquet(
         ]
         if touched_dirs:
             current = spark.read.parquet(*touched_dirs)
-            if combine in ("add", "max"):
+            if combine in ("add", "max", "min"):
                 # combining merge: union current + deltas, SUM (additive
-                # state: counters) or MAX (dominance state: HLL registers,
-                # high-water marks) every value column per key — unmatched
-                # keys pass through either combiner unchanged
+                # state: counters), MAX (dominance state: HLL registers,
+                # high-water marks) or MIN (first-occurrence state) every
+                # value column per key — unmatched keys pass through any
+                # combiner unchanged
                 value_cols = [
                     c for c in upserts.columns if c not in keys
                 ]
-                comb = F.sum if combine == "add" else F.max
+                comb = {"add": F.sum, "max": F.max, "min": F.min}[combine]
                 both = current.unionByName(upserts.select(*current.columns))
                 merged = (
                     both.groupBy(*keys)

@@ -1167,3 +1167,49 @@ def zipf_wordcount_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def novelty_firsts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming first-occurrence maintenance: each micro-batch of
+    documents MIN-merges its (gram, min doc_id) delta into the standing
+    first-seen table (sinks.merge_min_parquet — the fourth sink
+    combiner, r10). min is commutative/idempotent, so any batch split
+    or replay yields the one-pass table, and per-doc novelty reads out
+    from state as a pure function
+    (plans/queries_text.py::novelty_readout).
+
+    At 100 TB: per-batch cost is the batch's gram fan-out + one
+    map-side-combinable gram min + O(touched buckets) of the standing
+    gram table — a continuously fresh redundancy monitor that never
+    re-scans the corpus."""
+    from ..plans.queries_text import novelty_doc_grams
+    from ..sources.sinks import merge_min_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = (
+            novelty_doc_grams(batch_df)
+            .groupBy("g")
+            .agg(F.min("doc_id").alias("first_doc"))
+        )
+        merge_min_parquet(
+            spark, delta, state_dir, ["g"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1199,3 +1199,51 @@ def test_pq_adc_scan_lut_identity_and_cluster_recall(spark, tmp_path):
                 acc += diff * diff
             total += Decimal(repr(acc)).quantize(Q6, ROUND_HALF_UP)
         assert r["adist"] == float(total)
+
+
+def test_label_centroid_drift_planted_shift(spark, tmp_path):
+    """sim_label_centroid_drift: a label whose even/odd halves sit at
+    different centers reports the planted displacement; a stable label
+    reports ~0 drift and cosine ~1."""
+    import numpy as np
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for vid in range(120):
+        label = vid % 2  # label 0 = even ids... use vid % 4 grouping
+    rows = []
+    vid = 0
+    # label 0: both halves centered at +2*ones (stable)
+    # label 1: even-id half at +2*ones, odd-id half rotated to an
+    # alternating +/-5 pattern — both displaced AND re-directed, so
+    # the L2 and the cosine legs each have something to catch
+    base = np.full(8, 2.0)
+    rotated = np.array([5.0, -5.0] * 4)
+    for _ in range(30):
+        for label in (0, 1):
+            for parity in (0, 1):
+                center = base
+                if label == 1 and parity == 1:
+                    center = rotated
+                vec = center + rng.normal(0, 0.05, 8)
+                while vid % 2 != parity:
+                    vid += 1
+                rows.append((vid, [float(x) for x in vec], label))
+                vid += 1
+    d = tmp_path / "cdrift"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    out = {r["label"]: r for r in
+           resolve_query("sim_label_centroid_drift")(spark, str(d)).collect()}
+    stable, drifted = out[0], out[1]
+    assert stable["l2_drift"] < 0.1
+    assert stable["cos_sim"] > 0.999
+    # planted displacement: ||2*ones - (+/-5 alt)|| = sqrt(4*9 + 4*49)
+    assert abs(drifted["l2_drift"] - (4 * 9.0 + 4 * 49.0) ** 0.5) < 0.2
+    # direction changed: cos(2*ones, alternating +/-5) ~= 0
+    assert abs(drifted["cos_sim"]) < 0.1

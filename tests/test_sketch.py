@@ -514,3 +514,62 @@ def test_stream_zipf_drain_equals_batch(spark, tmp_path):
     want = resolve_query("text_zipf_fit")(spark, str(d)).collect()
     assert len(got) == len(want) == 1
     assert got[0].asDict() == want[0].asDict()
+
+
+def test_stream_novelty_drain_equals_batch_and_min_merge(spark, tmp_path):
+    """stream_novelty_drain: the MIN-merged first-occurrence state
+    yields EXACTLY the batch novelty profile — min is commutative and
+    idempotent, so the forced two-batch split (and any replay) cannot
+    move a first occurrence."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    a = "red green blue cyan magenta yellow"
+    docs = make_docs(
+        spark,
+        [(0, a, "en"), (1, a + " extra tokens here", "en"),
+         (2, "wholly fresh words only appear here now", "en"),
+         (3, a, "en")],
+    )
+    d = tmp_path / "novd"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+
+    got = sorted(
+        resolve_query("stream_novelty_drain")(spark, str(d)).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    want = sorted(
+        resolve_query("text_ngram_novelty")(spark, str(d)).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # doc 0 and doc 2 fully novel; the copies are not
+    byid = {r["doc_id"]: r for r in got}
+    assert byid[0]["novelty"] == 1.0 and byid[2]["novelty"] == 1.0
+    assert byid[3]["novelty"] == 0.0
+
+
+def test_merge_min_parquet_dominance(spark, tmp_path):
+    """merge_min_parquet: matched keys take the MIN, unmatched insert,
+    replayed batch ids are skipped — the fourth sink combiner."""
+    from posts_vectorizer_spark.sources.sinks import (
+        merge_min_parquet, read_merged,
+    )
+
+    t = str(tmp_path / "minsink")
+    d1 = spark.createDataFrame(
+        [("a", 5), ("b", 7)], "k string, v long"
+    )
+    merge_min_parquet(spark, d1, t, ["k"], batch_id=0)
+    d2 = spark.createDataFrame(
+        [("a", 9), ("b", 3), ("c", 4)], "k string, v long"
+    )
+    merge_min_parquet(spark, d2, t, ["k"], batch_id=1)
+    state = {r["k"]: r["v"] for r in read_merged(spark, t).collect()}
+    assert state == {"a": 5, "b": 3, "c": 4}
+    # replay of batch 1 is a no-op via the ledger
+    d3 = spark.createDataFrame([("a", 1)], "k string, v long")
+    merge_min_parquet(spark, d3, t, ["k"], batch_id=1)
+    state = {r["k"]: r["v"] for r in read_merged(spark, t).collect()}
+    assert state == {"a": 5, "b": 3, "c": 4}

@@ -394,6 +394,12 @@ def main(only: list[str] | None = None) -> None:
         "transition_entropy": lambda k: SQ["events_transition_entropy"](
             spark, table_dir("events", k, "events")
         ),
+        "novelty_drain": lambda k: SQ["stream_novelty_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "label_centroid_drift": lambda k: SQ["sim_label_centroid_drift"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
         "rake_keywords": lambda k: SQ["text_rake_keywords"](
             spark, table_dir("docs_plain", k, "documents")
         ),
