@@ -1192,37 +1192,57 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_sketch import CMS_HEAVY_HITTERS_SQL
 
 
-def _forced_drain(spark, df, split_col, start, files_per_half: int = 1):
+# Source copies already written this process, keyed by caller-provided
+# identity (query name + sf_dir). The copy is a pure function of the
+# input table, so best-of-N bench iterations and repeated test calls can
+# reuse one write — the stream, its checkpoint, and the state stay fresh
+# per call (r10 verdict item 1: the write is drain SETUP, like the
+# testdata parquet itself, not part of the measured operator).
+_SRC_CACHE: dict[str, str] = {}
+
+
+def _forced_drain(
+    spark, df, split_col, start,
+    files_per_half: int = 1, src_key: str | None = None,
+):
     """Shared harness for the forced-two-batch streaming drains (r9
     second-review finding: the scaffold had been copy-pasted per drain,
     and its tempdirs were never cleaned): write the input as two
     halves, run the availableNow stream via ``start(src, state_dir,
     ckpt_dir, max_files_per_trigger)``, await, delete the source copy +
     checkpoint (the STATE dir must outlive the returned lazy plan), and
-    return the merged state DataFrame (None on empty input)."""
+    return the merged state DataFrame (None on empty input). With
+    ``src_key`` the source copy is written once per process and reused
+    on later calls (never deleted mid-process; /tmp-lifetime)."""
     import shutil
 
     from ..sources.sinks import read_merged
 
     work = tempfile.mkdtemp(prefix="pv_drain_")
-    src = f"{work}/in"
-    half = F.col(split_col) % 2
-    for h in (0, 1):
-        part = df.where(half == h)
-        part = (
-            part.coalesce(1)
-            if files_per_half == 1
-            else part.repartition(files_per_half)
-        )
-        part.write.mode("append").parquet(src)
+    src = _SRC_CACHE.get(src_key) if src_key else None
+    cached = src is not None
+    if src is None:
+        src = f"{work}/in"
+        half = F.col(split_col) % 2
+        for h in (0, 1):
+            part = df.where(half == h)
+            part = (
+                part.coalesce(1)
+                if files_per_half == 1
+                else part.repartition(files_per_half)
+            )
+            part.write.mode("append").parquet(src)
+        if src_key:
+            _SRC_CACHE[src_key] = src
     q = start(src, f"{work}/state", f"{work}/ckpt", files_per_half)
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("drain did not finish within 300s")
     state = read_merged(spark, f"{work}/state")
-    shutil.rmtree(src, ignore_errors=True)
+    if not src_key:  # keyed copies live for the process (reused)
+        shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
-    if state is None:
+    if state is None and not (src_key and not cached):
         shutil.rmtree(work, ignore_errors=True)
     return state
 
@@ -1245,11 +1265,19 @@ def stream_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_sketch import cms_estimates
 
     docs = load_table(spark, sf_dir, "documents")
+    # The stream consumes only `text` (+ doc_id for the forced split):
+    # project the source copy down to those two columns, write it in
+    # PARALLEL (8 files per half — the HLL drain's lesson), and cache
+    # the copy per (query, sf_dir) so best-of-N bench iterations pay
+    # the setup write once (r10 verdict item 1).
+    feed = docs.select("doc_id", "text")
     state = _forced_drain(
-        spark, docs, "doc_id",
+        spark, feed, "doc_id",
         lambda src, st, ck, mft: cms_count_stream(
-            spark, src, docs.schema, st, ck, max_files_per_trigger=mft
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
         ),
+        files_per_half=8,
+        src_key=f"cms:{sf_dir}",
     )
     if state is None:
         return spark.createDataFrame(
@@ -1475,7 +1503,7 @@ def stream_reliability_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_stats import _BENFORD_SQL  # noqa: E402
 
 
-@register("stream_benford_drain", oracle=_BENFORD_SQL, staged=True)
+@register("stream_benford_drain", oracle=_BENFORD_SQL)
 def stream_benford_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Benford conformance monitoring with a driver row
     (built r10, staged r11): lineitem rows stream in TWO forced
@@ -1516,7 +1544,7 @@ def stream_benford_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_text import _ZIPF_SQL  # noqa: E402
 
 
-@register("stream_zipf_drain", oracle=_ZIPF_SQL, staged=True)
+@register("stream_zipf_drain", oracle=_ZIPF_SQL)
 def stream_zipf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Zipf corpus-health monitoring with a driver row (built
     r10, staged r11): documents stream in TWO forced micro-batches;
@@ -1549,7 +1577,7 @@ def stream_zipf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_text import _NOVELTY_SQL  # noqa: E402
 
 
-@register("stream_novelty_drain", oracle=_NOVELTY_SQL, staged=True)
+@register("stream_novelty_drain", oracle=_NOVELTY_SQL)
 def stream_novelty_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming novelty monitoring with a driver row (built r10,
     staged r11): documents stream in TWO forced micro-batches; each
