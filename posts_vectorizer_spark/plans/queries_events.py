@@ -733,7 +733,7 @@ WHERE s.k = {_HILL_K} AND s.slr > 0
 """
 
 
-@register("events_hill_tail", oracle=_HILL_SQL, staged=True)
+@register("events_hill_tail", oracle=_HILL_SQL)
 def events_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimator (Hill 1975; built r10, staged r11) —
     the standard heavy-tail diagnostic over the event value
@@ -843,7 +843,7 @@ FROM (SELECT 1) WHERE (SELECT n FROM tot) > 0
 
 
 @register(
-    "events_transition_entropy", oracle=_TRANS_ENTROPY_SQL, staged=True
+    "events_transition_entropy", oracle=_TRANS_ENTROPY_SQL
 )
 def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Journey transition entropy (built r10, staged r11) — the

@@ -1555,7 +1555,7 @@ FROM fin GROUP BY doc_id
 """
 
 
-@register("multimodal_alaw_ingest", oracle=_ALAW_INGEST_SQL, staged=True)
+@register("multimodal_alaw_ingest", oracle=_ALAW_INGEST_SQL)
 def multimodal_alaw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL G.711 A-law telephony codec ingest (built r10, staged r11)
     — the European half of ITU-T G.711 beside the mu-law query, and a
@@ -1608,7 +1608,7 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
-@register("multimodal_tga_ingest", oracle=_TGA_INGEST_SQL, staged=True)
+@register("multimodal_tga_ingest", oracle=_TGA_INGEST_SQL)
 def multimodal_tga_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TGA type-10 RLE codec ingest (built r10, staged r11) — the
     scanline run-length family in its classic form (18-byte LE header,
@@ -1668,7 +1668,7 @@ FROM per_entry GROUP BY doc_id
 """
 
 
-@register("multimodal_zip_manifest", oracle=_ZIP_MANIFEST_SQL, staged=True)
+@register("multimodal_zip_manifest", oracle=_ZIP_MANIFEST_SQL)
 def multimodal_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ZIP archive container codec (built r10, staged r11) — the
     container family beside the image/audio codecs: hand-written PKZIP
@@ -1716,7 +1716,7 @@ FROM px GROUP BY doc_id, w, h
 
 
 @register(
-    "multimodal_tiff_packbits_ingest", oracle=_TIFF_INGEST_SQL, staged=True
+    "multimodal_tiff_packbits_ingest", oracle=_TIFF_INGEST_SQL
 )
 def multimodal_tiff_packbits_ingest(
     spark: SparkSession, sf_dir: str

@@ -634,7 +634,7 @@ FROM s WHERE n > 0
 """
 
 
-@register("rel_mutual_information", oracle=_MI_SQL, staged=True)
+@register("rel_mutual_information", oracle=_MI_SQL)
 def rel_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-pair mutual information (built r10, staged r11) — the
     dependence profile behind physical-design choices: two columns

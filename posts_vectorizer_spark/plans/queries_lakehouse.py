@@ -530,7 +530,7 @@ FROM z GROUP BY bucket
 """
 
 
-@register("rel_zorder_layout", oracle=_ZORDER_SQL, staged=True)
+@register("rel_zorder_layout", oracle=_ZORDER_SQL)
 def rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) clustering layout audit (built r10,
     staged r11) — the multi-dimensional extension of

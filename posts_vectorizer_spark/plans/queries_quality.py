@@ -969,7 +969,7 @@ FROM s WHERE n > 0 AND total > 0
 """
 
 
-@register("text_token_gini", oracle=_TOKEN_GINI_SQL, staged=True)
+@register("text_token_gini", oracle=_TOKEN_GINI_SQL)
 def text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget concentration across documents (built r10, staged
     r11) — the curation-side inequality diagnostic: a corpus whose

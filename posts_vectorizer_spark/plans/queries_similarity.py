@@ -948,7 +948,7 @@ FROM ranked WHERE rk = 1 GROUP BY label, label_c
 """
 
 
-@register("sim_rocchio_centroid_eval", oracle=_ROCCHIO_SQL, staged=True)
+@register("sim_rocchio_centroid_eval", oracle=_ROCCHIO_SQL)
 def sim_rocchio_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rocchio nearest-centroid classification eval (built r10, staged
     r11) — the label-quality diagnostic behind weak-supervision audits:
@@ -1017,7 +1017,7 @@ def sim_rocchio_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_pq_adc_scan", oracle=clustering.pq_adc_sql(), staged=True
+    "sim_pq_adc_scan", oracle=clustering.pq_adc_sql()
 )
 def sim_pq_adc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k scan via LOOKUP TABLES (built r10,
@@ -1099,7 +1099,7 @@ FROM pairs
 
 
 @register(
-    "sim_label_centroid_drift", oracle=_CENTROID_DRIFT_SQL, staged=True
+    "sim_label_centroid_drift", oracle=_CENTROID_DRIFT_SQL
 )
 def sim_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid drift (built r10, staged r11) — the

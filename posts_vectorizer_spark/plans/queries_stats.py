@@ -2744,7 +2744,7 @@ FROM keep k, tot t
 """
 
 
-@register("events_ipw_ate", oracle=_IPW_SQL, staged=True)
+@register("events_ipw_ate", oracle=_IPW_SQL)
 def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified inverse-propensity ATE (built r10, staged r11) — the
     observational-causal workhorse beside events_diff_in_diff's policy

@@ -549,7 +549,7 @@ FROM s WHERE m >= 2
 """
 
 
-@register("text_zipf_fit", oracle=_ZIPF_SQL, staged=True)
+@register("text_zipf_fit", oracle=_ZIPF_SQL)
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit (built r10, staged r11) — the classic
     corpus-health diagnostic: natural text follows freq ~ C/rank^a with
@@ -706,7 +706,7 @@ FROM ranked WHERE rk <= {_TR_TOPK}
 """
 
 
-@register("text_textrank_keywords", oracle=_TEXTRANK_SQL, staged=True)
+@register("text_textrank_keywords", oracle=_TEXTRANK_SQL)
 def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau 2004; built r10,
     staged r11) — the graph-centrality complement to RAKE's phrase
@@ -836,7 +836,7 @@ GROUP BY p.doc_id
 """
 
 
-@register("text_ngram_novelty", oracle=_NOVELTY_SQL, staged=True)
+@register("text_ngram_novelty", oracle=_NOVELTY_SQL)
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty (built r10, staged r11) — the
     incremental-redundancy signal behind "is new data still adding

@@ -1699,7 +1699,7 @@ FROM q WHERE n > 1
 
 
 @register(
-    "events_seasonality_strength", oracle=_STRENGTH_SQL, staged=True
+    "events_seasonality_strength", oracle=_STRENGTH_SQL
 )
 def events_seasonality_strength(
     spark: SparkSession, sf_dir: str
@@ -1825,7 +1825,7 @@ FROM back b JOIN ord o USING (t)
 """
 
 
-@register("events_kleinberg_bursts", oracle=_KLEINBERG_SQL, staged=True)
+@register("events_kleinberg_bursts", oracle=_KLEINBERG_SQL)
 def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg 2-state burst detection (Kleinberg 2002, the batch
     automaton; built r10, staged r11) — REAL Viterbi with backtrack

@@ -36,21 +36,23 @@ REGISTRY: dict[str, QueryDef] = {}
 # includes them) — staging defers only the DRIVER-VISIBLE registration,
 # never the verification.
 STAGED: dict[str, QueryDef] = {}
-# r10: the full r9-staged wave of 47 (46 [Q] + the [R]
-# text_compression_ratio) was introduced — every staged=True flag
-# dropped, the 46 [Q] took head a-block slots, and the two r9
-# perf/correctness flags were fixed before introduction
-# (sim_dim_covariance signed zero; stream_quality_gate_drain LM
-# de-collect). Queries built mid-r10 after the head locks stage here
-# for r11. Staging checklist (memory + r7-r9 practice): oracle sweep at
-# sf0.01 AND sf0.1, vanilla head_check pass, a named semantic test, an
-# empty-input pass (tests/test_edge.py), a scale_trend measurement,
-# COVERAGE/README/registry-comment updates.
+# r11: the full r10-staged wave of 21 [Q] was introduced — every
+# staged=True flag dropped, all 21 took head a-block slots, and the r10
+# verdict's top item (the FAILED bench gate) was fixed before
+# introduction: stream_cms_drain's source copy is now projected +
+# parallel-written + cached across best-of-N (8.33 -> ~3.0 s in-series)
+# and BENCH_BASELINE.json drain/codec numbers are re-committed from
+# IN-SERIES floors with the budget re-derived at ~1.20x headroom.
+# Queries built mid-r11 after the head locks stage here for r12.
+# Staging checklist (memory + r7-r10 practice): oracle sweep at
+# sf0.001 AND sf0.01 AND sf0.1, vanilla head_check pass, a named
+# semantic test, an empty-input pass (tests/test_edge.py), a
+# scale_trend measurement, COVERAGE/README/registry-comment updates.
 #
-# r10 staged (r11 gets their introduction slots) — all four-way gated
-# (sf0.001+sf0.01+sf0.1 sweeps, vanilla head_check, named planted
-# tests, staged empty-input pass, measured 1x/3x/10x trends in
-# SCALE.md):
+# r10 staged history (all 21 introduced in the r11 head, below) — all
+# four-way gated in r10 (sf0.001+sf0.01+sf0.1 sweeps, vanilla
+# head_check, named planted tests, staged empty-input pass, measured
+# 1x/3x/10x trends in SCALE.md):
 #   text_zipf_fit           (ln-ln OLS over the top-400 words; exact
 #                            9dp-pinned sufficient statistics)
 #   text_textrank_keywords  (3 unrolled damped power-iteration steps,
@@ -94,36 +96,18 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r11 head planning (draft; lock next round). The arithmetic lands on
-# exactly 50 with the 17-query staged wave above:
-#   (a) 21 introductions (every r10-staged [Q] query; all four-way
-#       gated this round, SWEEPS.md). Each introduction beyond 17
-#       drops one r5 name from the END of block (c) (one-for-one).
-#   (b) spine (2): tfidf_doc_vectors + events_seasonal_decompose (its
-#       oracle was refactored to the shared _STL_SQL constant in r10 —
-#       cheap re-proof; the OTHER r10 refactor consumers,
-#       rel_benford_digit_test / text_unigram_logprob, already hold
-#       fresh r10 head rows).
-#   (c) freshness (31 = 9 + 22): the NINE spilled r4 rows
-#       (rel_tpch_q18_large_orders, rel_tpch_q19_disjunctive,
-#       rel_tpch_q21_late_suppliers, rel_tpch_q22_dormant_accounts,
-#       events_ab_cuped, events_interval_coverage, text_bm25_ndcg_eval,
-#       text_winnowing_fingerprints, dedup_substring_spans) FIRST, then
-#       the full 22-query r5 cohort (curation_weighted_sample,
-#       dedup_components, dedup_incremental_minhash,
-#       dedup_split_leakage_safe, events_cusum_changepoint,
-#       events_halflife_decay, events_retention_cohorts,
-#       events_scd2_versions, events_session_paths,
-#       rel_custdist_histogram, rel_salted_skew_join,
-#       rel_stats_quantiles, rel_subquery_correlated,
-#       rel_tpch_q6_forecast_revenue, rel_tpch_q8_market_share,
-#       rel_weighted_median, sim_hybrid_rrf_fusion, sim_pagerank_knn,
-#       sim_semdedup_prune, stream_vectorize_drain, text_pmi_bigrams,
-#       text_readability). ALL 31 pre-verified vanilla this round
-#       (9/9 + 22/22, SWEEPS.md). If r11 builds more introductions
-#       mid-round they stage for r12; if any r11-built query is
-#       introduced same-round (built before the head locks), drop r5
-#       names from the END one-for-one.
+# r12 head planning (draft; lock next round):
+#   (a) introductions: every r11-staged [Q] query (see the STAGED
+#       comment as r11 builds them).
+#   (b) spine: tfidf_doc_vectors + direct consumers of code changed
+#       in r11 (the _forced_drain src-cache refactor's consumers —
+#       the OTHER nine drains — hold fresh r11 head rows already via
+#       the three drain introductions; pick the oldest-green drain if
+#       none else qualifies).
+#   (c) freshness: the FOUR r5 names dropped from the r11 head
+#       (sim_semdedup_prune, stream_vectorize_drain, text_pmi_bigrams,
+#       text_readability) FIRST, then the r6 cohort
+#       (tools/cohorts.py), one-for-one against introductions.
 
 
 
@@ -166,59 +150,55 @@ def register(
 # (a batch per round, last-green round ascending), so no driver row ages
 # past ~4 rounds without a re-proof.
 #
-# r10 state: executes the r9 verdict's plan (VERDICT.md "Next round"
-# items 1-3) and the pinned r10 head arithmetic drafted in r9:
-#   (0) sim_dim_covariance — the r9 round's single red row, re-proved
-#       first after the signed-zero fix (round()+0.0 canonicalization on
-#       both engine sides; oracle_check._canon now keeps -0.0 distinct).
-#   (b) spine — tfidf_doc_vectors + text_unigram_logprob (its module's
-#       unigram_lm path is consumed by the de-collected
-#       stream_quality_gate_drain this round; cheap re-proof).
-#   (a) 46 introduction slots — the full r9-staged [Q] wave
-#       (text_compression_ratio is [R] and takes no slot), all
-#       pre-verified in r9: sf0.01+sf0.1 sweeps, vanilla head_check,
-#       named tests, empty-input gate, scale trends (SWEEPS.md; judge
-#       spot-check 6/6). stream_quality_gate_drain was re-swept this
-#       round after the LM de-collect (persist+broadcast, no driver
-#       collect on the path).
-#   (c) ONE spilled r4 row takes the remaining slot
-#       (rel_tpch_q16_dormant_parts — list order); the other nine r4
-#       rows (rel_tpch_q18_large_orders, rel_tpch_q19_disjunctive,
-#       rel_tpch_q21_late_suppliers, rel_tpch_q22_dormant_accounts,
-#       events_ab_cuped, events_interval_coverage, text_bm25_ndcg_eval,
-#       text_winnowing_fingerprints, dedup_substring_spans) spill to
-#       r11 AHEAD of the r5 cohort (oldest standing green after r10;
-#       enumerate cohorts with tools/cohorts.py).
+# r11 state: executes the r10 verdict's plan (VERDICT.md "Next round"
+# items 1-4) and the r11 head arithmetic locked at r10 closeout. 21
+# introductions (not the drafted 17 — four more were staged after the
+# draft), so per the locked one-for-one rule the LAST FOUR r5 names
+# (sim_semdedup_prune, stream_vectorize_drain, text_pmi_bigrams,
+# text_readability) drop to the r12 freshness block:
+#   (a) 21 introduction slots — the full r10-staged [Q] wave, all
+#       four-way gated in r10 (sf0.001+sf0.01+sf0.1 sweeps, vanilla
+#       head_check, named tests, empty-input gate, scale trends;
+#       SWEEPS.md; judge spot-check 7/7).
+#   (b) spine (2) — tfidf_doc_vectors + events_seasonal_decompose
+#       (its oracle was refactored to the shared _STL_SQL constant in
+#       r10 — the refactor consumer re-proves; the other consumers,
+#       rel_benford_digit_test / text_unigram_logprob, hold fresh r10
+#       head rows).
+#   (c) freshness (27 = 9 + 18): the NINE spilled r4 rows FIRST
+#       (oldest standing green), then the first 18 of the 22-query r5
+#       cohort (list order; all 31 pre-verified vanilla in r10,
+#       SWEEPS.md 9/9 + 22/22; enumerate cohorts with
+#       tools/cohorts.py).
 _HEAD_ORDER: tuple[str, ...] = (
-    # ---- (0) the r9 red row, fixed this round:
-    "sim_dim_covariance",
-    # ---- (b) r10 spine:
-    "tfidf_doc_vectors", "text_unigram_logprob",
-    # ---- (a) the 46 introductions (r9-staged wave):
-    "multimodal_gif_ingest", "multimodal_gif_frame_sample",
-    "rel_hll_set_ops", "sim_clustering_coefficient",
-    "curation_mw_domain_reweight", "rel_partition_checksums",
-    "text_perplexity_buckets", "stream_cms_drain",
-    "curation_quality_gate", "sim_rq_quantize", "stream_hll_drain",
-    "text_rouge_lead_eval", "stream_quality_gate_drain",
-    "sim_knn_graph_mutual_ann", "sim_zscore_outliers",
-    "stream_zscore_drain", "multimodal_qoi_ingest",
-    "multimodal_ulaw_ingest", "text_rank_correlation_eval",
-    "events_mannwhitney_ab", "curation_conformal_threshold",
-    "events_ks_ab", "events_welch_ttest", "events_acf_lags",
-    "events_kmv_set_ops", "multimodal_adpcm_ingest",
-    "text_good_turing", "events_cmh_stratified_ab",
-    "events_bradley_terry", "events_mann_kendall_trend",
-    "events_holt_winters", "text_burstiness",
-    "curation_token_waterfill", "stream_kmv_drain",
-    "curation_reliability_diagram", "text_rake_keywords",
-    "events_kaplan_meier", "events_rfm_segments",
-    "events_markov_stationary", "sim_pca_power_iteration",
-    "rel_benford_digit_test", "events_page_hinkley",
-    "events_diff_in_diff", "text_mattr_diversity",
-    "text_chao1_richness", "stream_reliability_drain",
-    # ---- (c) freshness: the first spilled r4 row:
-    "rel_tpch_q16_dormant_parts",
+    # ---- (b) r11 spine:
+    "tfidf_doc_vectors", "events_seasonal_decompose",
+    # ---- (a) the 21 introductions (r10-staged wave):
+    "text_zipf_fit", "text_textrank_keywords", "text_token_gini",
+    "multimodal_alaw_ingest", "events_hill_tail",
+    "rel_zorder_layout", "multimodal_tga_ingest", "events_ipw_ate",
+    "multimodal_zip_manifest", "multimodal_tiff_packbits_ingest",
+    "sim_rocchio_centroid_eval", "events_seasonality_strength",
+    "events_kleinberg_bursts", "stream_benford_drain",
+    "stream_zipf_drain", "sim_pq_adc_scan", "rel_mutual_information",
+    "text_ngram_novelty", "events_transition_entropy",
+    "stream_novelty_drain", "sim_label_centroid_drift",
+    # ---- (c) freshness: the nine spilled r4 rows first...
+    "rel_tpch_q18_large_orders", "rel_tpch_q19_disjunctive",
+    "rel_tpch_q21_late_suppliers", "rel_tpch_q22_dormant_accounts",
+    "events_ab_cuped", "events_interval_coverage",
+    "text_bm25_ndcg_eval", "text_winnowing_fingerprints",
+    "dedup_substring_spans",
+    # ---- ...then the first 18 of the r5 cohort (last four -> r12):
+    "curation_weighted_sample", "dedup_components",
+    "dedup_incremental_minhash", "dedup_split_leakage_safe",
+    "events_cusum_changepoint", "events_halflife_decay",
+    "events_retention_cohorts", "events_scd2_versions",
+    "events_session_paths", "rel_custdist_histogram",
+    "rel_salted_skew_join", "rel_stats_quantiles",
+    "rel_subquery_correlated", "rel_tpch_q6_forecast_revenue",
+    "rel_tpch_q8_market_share", "rel_weighted_median",
+    "sim_hybrid_rrf_fusion", "sim_pagerank_knn",
 )
 
 

@@ -130,6 +130,11 @@ def test_plan_build_triggers_no_jobs(spark):
         "stream_zscore_drain",          # runs its micro-batch drain
         "stream_kmv_drain",             # runs its micro-batch drain
         "stream_reliability_drain",     # runs its micro-batch drain
+        # r10-built wave (introduced r11) — stream drains run their
+        # micro-batch loop by contract:
+        "stream_benford_drain",
+        "stream_zipf_drain",
+        "stream_novelty_drain",
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():
