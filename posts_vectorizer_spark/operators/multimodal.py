@@ -2195,12 +2195,23 @@ def encode_zip(entries: list[tuple[str, bytes, bool]]) -> bytes:
     return bytes(out)
 
 
+def _zip_name(b: bytes, flags: int) -> str:
+    """Member-name decode per APPNOTE: UTF-8 when the EFS flag (general
+    purpose bit 11) is set, else CP437 — matching stdlib zipfile, so
+    foreign archives with non-ASCII names decode instead of raising
+    (r10 ADVICE: .decode('ascii') leaked UnicodeDecodeError past the
+    documented loud-reject ValueError contract)."""
+    return b.decode("utf-8" if flags & 0x800 else "cp437")
+
+
 def decode_zip(raw: bytes) -> list[tuple[str, bytes]]:
     """ZIP bytes -> [(name, verified data)]. Walks EOCD -> central
     directory -> local headers; every member's local header must agree
     with its central entry (name + method), and the extracted data must
     match BOTH the recorded CRC32 and the recorded uncompressed size —
-    loud reject on any inconsistency, unknown method, or truncation."""
+    loud reject (always ValueError) on any inconsistency, unknown
+    method, or truncation. Names decode per the EFS flag (UTF-8 / CP437
+    like stdlib zipfile)."""
     import struct
     import zlib
 
@@ -2220,18 +2231,22 @@ def decode_zip(raw: bytes) -> list[tuple[str, bytes]]:
             raise ValueError("bad central directory signature")
         if pos + 46 > len(raw):
             raise ValueError("truncated central directory entry")
-        (_sig, _vmade, _vneed, _flags, method, _t, _d, crc, csize, usize,
+        (_sig, _vmade, _vneed, flags, method, _t, _d, crc, csize, usize,
          fnlen, extralen, clen, _disk, _iattr, _eattr, loffset
          ) = struct.unpack("<IHHHHHHIIIHHHHHII", raw[pos : pos + 46])
-        name = raw[pos + 46 : pos + 46 + fnlen].decode("ascii")
+        name = _zip_name(raw[pos + 46 : pos + 46 + fnlen], flags)
         pos += 46 + fnlen + extralen + clen
-        (lsig, _lv, _lf, lmethod, _lt, _ld, _lcrc, _lcsize, _lusize,
+        if loffset + 30 > len(raw):
+            raise ValueError(f"truncated local header for {name!r}")
+        (lsig, _lv, lflags, lmethod, _lt, _ld, _lcrc, _lcsize, _lusize,
          lfnlen, lextralen) = struct.unpack(
             "<IHHHHHIIIHH", raw[loffset : loffset + 30]
         )
         if lsig != _ZIP_LOCAL_SIG:
             raise ValueError(f"bad local header signature for {name!r}")
-        lname = raw[loffset + 30 : loffset + 30 + lfnlen].decode("ascii")
+        lname = _zip_name(
+            raw[loffset + 30 : loffset + 30 + lfnlen], lflags
+        )
         if lname != name or lmethod != method:
             raise ValueError(f"local/central mismatch for {name!r}")
         dstart = loffset + 30 + lfnlen + lextralen
@@ -2241,7 +2256,10 @@ def decode_zip(raw: bytes) -> list[tuple[str, bytes]]:
         if method == 0:
             data = payload
         elif method == 8:
-            data = zlib.decompressobj(-15).decompress(payload)
+            try:
+                data = zlib.decompressobj(-15).decompress(payload)
+            except zlib.error as e:  # keep the ValueError contract
+                raise ValueError(f"bad deflate stream for {name!r}: {e}")
         else:
             raise ValueError(f"unsupported method {method} for {name!r}")
         if len(data) != usize:
@@ -2408,8 +2426,14 @@ def encode_tiff_packbits(gray: np.ndarray) -> bytes:
         offsets.append(len(out))
         counts.append(len(sdata))
         out += sdata
-    # out-of-line LONG arrays (inline only when a single strip fits)
+    # out-of-line LONG arrays (inline only when a single strip fits).
+    # TIFF6 requires all field values and the IFD to begin on a WORD
+    # boundary; strip payloads have arbitrary length, so pad to even
+    # before recording any offset (r10 ADVICE: strict readers like
+    # libtiff may reject odd-aligned directories).
     def put_longs(vals: list[int]) -> int:
+        if len(out) % 2:
+            out.append(0)
         off = len(out)
         for v in vals:
             out.extend(struct.pack("<I", v))
@@ -2421,6 +2445,8 @@ def encode_tiff_packbits(gray: np.ndarray) -> bytes:
     else:
         so_val = put_longs(offsets)
         sc_val = put_longs(counts)
+    if len(out) % 2:
+        out.append(0)
     ifd_off = len(out)
     tags = [
         (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),

@@ -1247,6 +1247,52 @@ def test_zip_container_cross_tool_and_rejects():
         M.decode_zip(bytes(bad))
 
 
+def test_zip_foreign_names_and_error_classes():
+    """r10 ADVICE fix: foreign archives with non-ASCII member names
+    decode per the EFS flag (UTF-8) / CP437 like stdlib zipfile, and
+    every reject path raises ValueError — never a bare struct.error or
+    zlib.error escaping the documented loud-reject contract."""
+    import io
+    import struct
+    import zipfile
+
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    # stdlib writes non-ASCII names with the EFS (utf-8) flag set
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("héllo_ünïcode.txt", b"data1")
+        z.writestr("plain.txt", b"data2")
+    got = M.decode_zip(buf.getvalue())
+    assert got == [("héllo_ünïcode.txt", b"data1"), ("plain.txt", b"data2")]
+
+    base = M.encode_zip(M.synth_zip_entries(3))
+    # truncated local header: central entry points past the buffer
+    sig = struct.pack("<I", 0x02014B50)
+    cpos = base.rfind(sig)
+    bad = bytearray(base)
+    struct.pack_into("<I", bad, cpos + 42, len(base) - 4)  # loffset
+    with pytest.raises(ValueError):
+        M.decode_zip(bytes(bad))
+    # corrupt deflate payload -> ValueError, not zlib.error
+    raw = bytearray(M.encode_zip([("r.txt", b"spark " * 500, True)]))
+    lend = 30 + len("r.txt")
+    raw[lend] ^= 0xFF  # first deflate byte
+    # re-sync central CRC check is downstream of inflate; inflate fails
+    with pytest.raises(ValueError):
+        M.decode_zip(bytes(raw))
+    # a flags=0 archive with a high-byte (cp437) name decodes, not raises
+    spec_raw = bytearray(M.encode_zip([("e0.txt", b"x" * 10, False)]))
+    lname_at = 30  # first local header is 30 bytes, name follows
+    cname_at = spec_raw.rfind(sig) + 46
+    spec_raw[lname_at] = 0x82  # cp437 'é'
+    spec_raw[cname_at] = 0x82
+    (name, data), = M.decode_zip(bytes(spec_raw))
+    assert name == "é0.txt" and data == b"x" * 10
+
+
 def test_zip_manifest_hand_computed(spark, tmp_path):
     """multimodal_zip_manifest equals the synthesis formula evaluated
     independently for two docs."""
@@ -1290,6 +1336,23 @@ def test_tiff_packbits_roundtrip_noop_rejects(spark, tmp_path):
     img = M.synth_pixels_tiff(3, 131, 7)  # 2 strips, >128 runs
     raw = M.encode_tiff_packbits(img)
     assert (M.decode_tiff_packbits(raw) == img).all()
+    # r10 ADVICE fix: TIFF word alignment — the IFD and the out-of-line
+    # LONG arrays must sit on even offsets whatever the strip payload
+    # lengths (strict readers like libtiff reject odd-aligned dirs).
+    import struct as _s
+    for seed, w_, h_ in ((3, 131, 7), (4, 129, 9), (5, 127, 11)):
+        r2 = M.encode_tiff_packbits(M.synth_pixels_tiff(seed, w_, h_))
+        (ifd,) = _s.unpack_from("<I", r2, 4)
+        assert ifd % 2 == 0
+        (ntag,) = _s.unpack_from("<H", r2, ifd)
+        for t in range(ntag):
+            tag, typ, cnt, val = _s.unpack_from("<HHII", r2, ifd + 2 + 12 * t)
+            if typ == 4 and cnt > 1:  # out-of-line LONG array
+                assert val % 2 == 0
+        assert (
+            M.decode_tiff_packbits(r2)
+            == M.synth_pixels_tiff(seed, w_, h_)
+        ).all()
     # every strip leads with the noop our encoder plants
     assert M.packbits_decode(b"\x80\xfeA", 3) == b"AAA"
     with pytest.raises(ValueError):
