@@ -2558,3 +2558,287 @@ def tiff_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, TIFF_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL TAR (ustar) container (built r11, staged r12) — the block-oriented
+# archive format every data-delivery pipeline meets: 512-byte headers
+# with OCTAL-text numeric fields, the spec's header checksum (sum of
+# header bytes with the chksum field read as spaces), POSIX "ustar"
+# magic, 512-padded member data, and the two-zero-block terminator.
+# Interop pinned BOTH directions against stdlib tarfile. Loud-reject
+# (ValueError) on bad magic / checksum / truncation — the zip codec's
+# contract.
+# ---------------------------------------------------------------------------
+
+_TAR_BLOCK = 512
+
+
+def _tar_octal(v: int, width: int) -> bytes:
+    """Zero-padded octal text field, NUL-terminated (GNU/pax style)."""
+    s = format(v, "o").rjust(width - 1, "0")
+    if len(s) >= width:
+        raise ValueError(f"value {v} overflows a {width}-byte octal field")
+    return s.encode("ascii") + b"\x00"
+
+
+def encode_tar(entries: list[tuple[str, bytes]]) -> bytes:
+    """[(name, data)] -> ustar TAR bytes. Deterministic: mtime 0,
+    mode 0644, uid/gid 0, no uname/gname."""
+    import struct  # noqa: F401  (parallel with the sibling codecs)
+
+    out = bytearray()
+    for name, data in entries:
+        nameb = name.encode("utf-8")
+        if len(nameb) > 100:
+            raise ValueError(f"name too long for the 100-byte field: {name!r}")
+        hdr = bytearray(_TAR_BLOCK)
+        hdr[0:len(nameb)] = nameb
+        hdr[100:108] = _tar_octal(0o644, 8)      # mode
+        hdr[108:116] = _tar_octal(0, 8)          # uid
+        hdr[116:124] = _tar_octal(0, 8)          # gid
+        hdr[124:136] = _tar_octal(len(data), 12)  # size
+        hdr[136:148] = _tar_octal(0, 12)         # mtime
+        hdr[148:156] = b" " * 8                  # chksum placeholder
+        hdr[156] = ord("0")                      # typeflag: regular file
+        hdr[257:263] = b"ustar\x00"              # magic
+        hdr[263:265] = b"00"                     # version
+        chksum = sum(hdr)
+        hdr[148:155] = format(chksum, "o").rjust(6, "0").encode() + b"\x00"
+        hdr[155] = ord(" ")
+        out += hdr
+        out += data
+        pad = -len(data) % _TAR_BLOCK
+        out += bytes(pad)
+    out += bytes(2 * _TAR_BLOCK)  # end-of-archive marker
+    return bytes(out)
+
+
+def decode_tar(raw: bytes) -> list[tuple[str, bytes]]:
+    """TAR bytes -> [(name, data)] for regular-file members. Verifies
+    the ustar magic and the spec header checksum on every header and
+    the 512 blocking on every member; loud reject (ValueError) on any
+    inconsistency or truncation. Directory/link members are walked
+    over (their data size still advances the cursor) but not
+    returned — stdlib-tarfile-compatible behavior for the archives
+    this engine profiles."""
+    pos = 0
+    entries: list[tuple[str, bytes]] = []
+    while True:
+        if pos + _TAR_BLOCK > len(raw):
+            raise ValueError("truncated archive: no end-of-archive marker")
+        hdr = raw[pos : pos + _TAR_BLOCK]
+        if hdr == bytes(_TAR_BLOCK):  # first zero block ends the walk
+            if raw[pos + _TAR_BLOCK : pos + 2 * _TAR_BLOCK] != bytes(
+                _TAR_BLOCK
+            ):
+                raise ValueError("single zero block: bad terminator")
+            return entries
+        if hdr[257:262] != b"ustar":
+            raise ValueError("bad magic: not a ustar header")
+        recorded = hdr[148:156]
+        try:
+            want = int(recorded.rstrip(b"\x00 ").decode("ascii"), 8)
+        except ValueError:
+            raise ValueError("malformed checksum field")
+        got = sum(hdr) - sum(recorded) + 8 * ord(" ")
+        if got != want:
+            raise ValueError(f"header checksum mismatch at offset {pos}")
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8")
+        try:
+            size = int(hdr[124:136].rstrip(b"\x00 ").decode("ascii"), 8)
+        except ValueError:
+            raise ValueError(f"malformed size field for {name!r}")
+        dstart = pos + _TAR_BLOCK
+        if dstart + size > len(raw):
+            raise ValueError(f"truncated member {name!r}")
+        if hdr[156] in (0, ord("0")):  # regular file
+            entries.append((name, raw[dstart : dstart + size]))
+        pos = dstart + size + (-size % _TAR_BLOCK)
+
+
+def synth_tar_entries(doc_id: int) -> list[tuple[str, bytes]]:
+    """Deterministic archive contents both engines can state: member j
+    of n = 2 + doc_id%4 has length L = 30 + (doc_id*11 + j*17) % 70 and
+    bytes b_i = 32 + (doc_id*5 + j*3 + i*11) % 95."""
+    d = int(doc_id)
+    return [
+        (
+            f"m{j}.dat",
+            bytes(
+                32 + (d * 5 + j * 3 + i * 11) % 95
+                for i in range(30 + (d * 11 + j * 17) % 70)
+            ),
+        )
+        for j in range(2 + d % 4)
+    ]
+
+
+TAR_FEATURE_SCHEMA = (
+    "doc_id long, n_members int, total_size long,"
+    " archive_blocks int, sum_bytes long"
+)
+
+
+def tar_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id) -> synth members -> ENCODE hand-written ustar TAR ->
+    DECODE (magic + header-checksum verify + 512-block walk) ->
+    integer-exact profile over the extracted data. archive_blocks is
+    the on-wire block count ((header + padded data) per member + the
+    2-block terminator) — stated exactly by the oracle from the size
+    formula, so a padding or terminator bug hash-mismatches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                spec = synth_tar_entries(int(doc_id))
+                raw = encode_tar(spec)
+                got = decode_tar(raw)
+                assert got == spec
+                total = sum(len(b) for _, b in got)
+                sb = sum(int(x) for _, b in got for x in b)
+                assert len(raw) % _TAR_BLOCK == 0
+                out.append(
+                    (
+                        int(doc_id), len(got), total,
+                        len(raw) // _TAR_BLOCK, sb,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_members", "total_size",
+                    "archive_blocks", "sum_bytes",
+                ],
+            )
+
+    return base.mapInPandas(run, TAR_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL GZIP member codec (built r11, staged r12) — RFC 1952: magic
+# 1f 8b, CM=deflate, the FLG optional-field grammar (FEXTRA / FNAME /
+# FCOMMENT / FHCRC all handled on decode), raw-deflate body, and the
+# CRC32 + ISIZE trailer both VERIFIED. Encoder is deterministic
+# (MTIME=0, XFL=0, OS=255). Interop pinned BOTH directions against
+# stdlib gzip. Loud-reject (ValueError) on bad magic / method /
+# trailer / truncation.
+# ---------------------------------------------------------------------------
+
+
+def encode_gzip(data: bytes, name: str | None = None) -> bytes:
+    """bytes -> one deterministic gzip member (raw deflate level 9)."""
+    import struct
+    import zlib
+
+    flg = 0x08 if name else 0
+    out = bytearray(struct.pack("<BBBBIBB", 0x1F, 0x8B, 8, flg, 0, 0, 255))
+    if name:
+        out += name.encode("latin-1") + b"\x00"
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    out += comp.compress(data) + comp.flush()
+    out += struct.pack(
+        "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) % 2**32
+    )
+    return bytes(out)
+
+
+def decode_gzip(raw: bytes) -> tuple[str | None, bytes]:
+    """gzip bytes -> (member name or None, verified data). Walks the
+    full FLG grammar, inflates the raw-deflate body, and verifies BOTH
+    trailer fields (CRC32 and ISIZE mod 2^32); loud reject (ValueError)
+    on any inconsistency — the zip codec's contract."""
+    import struct
+    import zlib
+
+    if len(raw) < 18:
+        raise ValueError("truncated gzip member")
+    magic1, magic2, cm, flg, _mtime, _xfl, _os = struct.unpack(
+        "<BBBBIBB", raw[:10]
+    )
+    if (magic1, magic2) != (0x1F, 0x8B):
+        raise ValueError("bad gzip magic")
+    if cm != 8:
+        raise ValueError(f"unsupported compression method {cm}")
+    if flg & 0xE0:
+        raise ValueError(f"reserved FLG bits set: {flg:#x}")
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(raw):
+            raise ValueError("truncated FEXTRA length")
+        (xlen,) = struct.unpack_from("<H", raw, pos)
+        pos += 2 + xlen
+    name = None
+    if flg & 0x08:  # FNAME
+        end = raw.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("unterminated FNAME")
+        name = raw[pos:end].decode("latin-1")
+        pos = end + 1
+    if flg & 0x10:  # FCOMMENT
+        end = raw.find(b"\x00", pos)
+        if end < 0:
+            raise ValueError("unterminated FCOMMENT")
+        pos = end + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    if pos + 8 > len(raw):
+        raise ValueError("truncated gzip body")
+    d = zlib.decompressobj(-15)
+    try:
+        data = d.decompress(raw[pos:-8]) + d.flush()
+    except zlib.error as e:
+        raise ValueError(f"bad deflate stream: {e}")
+    if d.unconsumed_tail:
+        raise ValueError("trailing garbage inside deflate body")
+    crc, isize = struct.unpack("<II", raw[-8:])
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError("CRC32 mismatch")
+    if len(data) % 2**32 != isize:
+        raise ValueError("ISIZE mismatch")
+    return name, data
+
+
+def synth_gzip_payload(doc_id: int) -> bytes:
+    """Deterministic member payload both engines can state: length
+    L = 120 + (doc_id*13) % 200, bytes b_i = 32 + (doc_id*7 + i*3) % 95
+    — repetitive enough that deflate genuinely compresses it."""
+    d = int(doc_id)
+    return bytes(
+        32 + (d * 7 + i * 3) % 95 for i in range(120 + (d * 13) % 200)
+    )
+
+
+GZIP_FEATURE_SCHEMA = (
+    "doc_id long, name_len int, isize long, sum_bytes long"
+)
+
+
+def gzip_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id) -> synth payload -> ENCODE deterministic gzip member
+    (FNAME set) -> DECODE (full FLG grammar + CRC32/ISIZE trailer
+    verify) -> integer-exact profile of the VERIFIED data. The
+    compressed size is deliberately NOT an oracle column (compressor
+    behavior — bounded by a named test, the zip convention)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = synth_gzip_payload(int(doc_id))
+                nm = f"doc{int(doc_id)}.txt"
+                name, data = decode_gzip(encode_gzip(payload, nm))
+                assert name == nm and data == payload
+                out.append(
+                    (
+                        int(doc_id), len(name), len(data),
+                        sum(int(x) for x in data),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "name_len", "isize", "sum_bytes"],
+            )
+
+    return base.mapInPandas(run, GZIP_FEATURE_SCHEMA)

@@ -1810,6 +1810,14 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("r"))
     )
+    return good_turing_readout(wc)
+
+
+def good_turing_readout(wc: DataFrame) -> DataFrame:
+    """Good-Turing table as a pure function of the (word, r) corpus
+    word counts — the same ADDITIVE sufficient statistic the Zipf
+    drain maintains, so the streaming twin reads out from merged
+    state through this exact function."""
     coc = wc.groupBy("r").agg(F.count("*").alias("n_r"))
     tot = coc.agg(F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"))
     w = Window.orderBy("r")

@@ -862,13 +862,28 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition matrix is |types|²-bounded, and everything after the
     count is cell-sized."""
     ev = load_table(spark, sf_dir, "events")
+    return transition_entropy_readout(transition_counts(ev))
+
+
+def transition_counts(ev: DataFrame) -> DataFrame:
+    """(i, j, nij) journey transition counts — the complete ADDITIVE
+    sufficient statistic of the entropy readout. Additive across any
+    USER-disjoint split (the per-user lead() forms pairs inside one
+    user's journey only), which is exactly how the streaming drain
+    splits its batches."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).where(F.col("next_type").isNotNull())
-    tm = seq.groupBy(
+    return seq.groupBy(
         F.col("event_type").alias("i"), F.col("next_type").alias("j")
     ).agg(F.count("*").alias("nij"))
+
+
+def transition_entropy_readout(tm: DataFrame) -> DataFrame:
+    """H(next|current) / H(current) / predictability as a pure function
+    of the (i, j, nij) transition table — N-scaled round-9 DECIMAL
+    plogp lattice, identical double readouts both engines."""
     from ..cache import persist_tracked
 
     tm = persist_tracked(tm)

@@ -1747,3 +1747,91 @@ def multimodal_tiff_packbits_ingest(
         (F.lit(5) + F.col("doc_id") % 7).cast("int").alias("h"),
     )
     return tiff_ingest_features(base)
+
+
+_TAR_MANIFEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 4 AS n FROM documents
+),
+ent AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j FROM base
+),
+sized AS (
+  SELECT doc_id, n, j, 30 + (doc_id * 11 + j * 17) % 70 AS ln FROM ent
+),
+bytes AS (
+  SELECT doc_id, n, j, ln, unnest(generate_series(0, ln - 1)) AS i
+  FROM sized
+),
+per_member AS (
+  SELECT doc_id, n, j, ln,
+         sum(32 + (doc_id * 5 + j * 3 + i * 11) % 95) AS bsum
+  FROM bytes GROUP BY doc_id, n, j, ln
+)
+SELECT doc_id,
+       CAST(max(n) AS INT) AS n_members,
+       CAST(sum(ln) AS BIGINT) AS total_size,
+       CAST(sum(1 + (ln + 511) // 512) + 2 AS INT) AS archive_blocks,
+       CAST(sum(bsum) AS BIGINT) AS sum_bytes
+FROM per_member GROUP BY doc_id
+"""
+
+
+@register("multimodal_tar_manifest", oracle=_TAR_MANIFEST_SQL, staged=True)
+def multimodal_tar_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TAR (ustar) container codec (built r11, staged r12) — the
+    block-oriented sibling of the ZIP container: 512-byte headers with
+    OCTAL-text numeric fields, the spec's space-substituted header
+    checksum verified on every member, POSIX ustar magic, 512-padded
+    member data, and the two-zero-block terminator. Interop pinned
+    both ways against stdlib tarfile (including stdlib's PAX output,
+    whose 'x' extended headers the walk must skip). The profile
+    (member count, sizes, ON-WIRE BLOCK COUNT, content byte sum) is
+    stated by the oracle from the synthesis formula — the block count
+    makes padding/terminator bugs hash-mismatch, the checksum verify
+    makes header bugs throw.
+
+    Scale shape: per-row scan-stage container work (archives never
+    shuffle); only the 5-column profile leaves the stage."""
+    from ..operators.multimodal import tar_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tar_ingest_features(docs.select("doc_id"))
+
+
+_GZIP_INGEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 120 + (doc_id * 13) % 200 AS ln FROM documents
+),
+bytes AS (
+  SELECT doc_id, ln, unnest(generate_series(0, ln - 1)) AS i FROM base
+)
+SELECT doc_id,
+       CAST(length('doc' || CAST(doc_id AS VARCHAR) || '.txt') AS INT)
+         AS name_len,
+       CAST(max(ln) AS BIGINT) AS isize,
+       CAST(sum(32 + (doc_id * 7 + i * 3) % 95) AS BIGINT) AS sum_bytes
+FROM bytes GROUP BY doc_id
+"""
+
+
+@register("multimodal_gzip_ingest", oracle=_GZIP_INGEST_SQL, staged=True)
+def multimodal_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GZIP member codec (built r11, staged r12) — RFC 1952 over
+    the PNG/ZIP deflate machinery: deterministic encoder (MTIME=0,
+    FNAME member name, raw deflate level 9), and a decoder that walks
+    the FULL FLG optional-field grammar (FEXTRA / FNAME / FCOMMENT /
+    FHCRC) and verifies BOTH trailer fields (CRC32 and ISIZE mod 2^32)
+    before emitting a byte. Interop pinned both ways against stdlib
+    gzip. The profile (name length, verified uncompressed size,
+    content byte sum) is stated by the oracle from the synthesis
+    formula; compressed size is deliberately NOT an oracle column
+    (compressor-dependent — bounded by a named test, the zip
+    convention).
+
+    Scale shape: per-row scan-stage codec work; only the 4-column
+    profile leaves the stage."""
+    from ..operators.multimodal import gzip_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gzip_ingest_features(docs.select("doc_id"))

@@ -655,6 +655,14 @@ def rel_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (bounded by distinct categories), so everything after the
     first reduce is cell-sized."""
     ev = load_table(spark, sf_dir, "events")
+    return mi_readout(mi_pair_counts(ev))
+
+
+def mi_pair_counts(ev: DataFrame) -> DataFrame:
+    """(xv, yv, nxy) cell counts between event_type and the engine-free
+    epoch-mod-7 weekday — the complete ADDITIVE sufficient statistic of
+    the MI profile (shared by the batch query and the streaming
+    drain)."""
     pairs = ev.select(
         F.col("event_type").alias("xv"),
         (
@@ -664,7 +672,13 @@ def rel_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 7
         ).alias("yv"),
     )
-    xy = pairs.groupBy("xv", "yv").agg(F.count("*").alias("nxy"))
+    return pairs.groupBy("xv", "yv").agg(F.count("*").alias("nxy"))
+
+
+def mi_readout(xy: DataFrame) -> DataFrame:
+    """MI / marginal entropies / NMI as a pure function of the (xv, yv,
+    nxy) cell table — round-9 DECIMAL plogp lattice, identical double
+    readout expressions both engines."""
     from ..cache import persist_tracked
 
     xy = persist_tracked(xy)

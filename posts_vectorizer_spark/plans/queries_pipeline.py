@@ -1609,3 +1609,128 @@ def stream_novelty_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_readout(
         novelty_doc_grams(docs), state.select("g", "first_doc")
     )
+
+
+from .queries_governance import _MI_SQL  # noqa: E402
+
+
+@register("stream_mutual_info_drain", oracle=_MI_SQL, staged=True)
+def stream_mutual_info_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dependence monitoring with a driver row (built r11,
+    staged r12): events stream in TWO forced micro-batches; each batch
+    additively merges its (xv, yv) contingency-cell delta into the
+    standing table (streaming/worker.py::mi_cell_stream through the
+    ledgered add sink); the MI / marginal-entropy / NMI readout runs
+    from the MERGED state through the SAME mi_readout as the batch
+    query. Cell counts are the complete sufficient statistic and
+    addition is commutative, so the batch split cannot move the
+    statistic — the oracle is rel_mutual_information's whole-corpus
+    SQL, hash-checking the live column-dependence monitor end to end
+    (the physical-design companion to the Benford/Zipf quality
+    drains)."""
+    from ..streaming.worker import mi_cell_stream
+    from .queries_governance import mi_readout
+
+    ev = load_table(spark, sf_dir, "events")
+    state = _forced_drain(
+        spark, ev, "event_id",
+        lambda src, st, ck, mft: mi_cell_stream(
+            spark, src, ev.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "n bigint, mi double, h_x double, h_y double, nmi double",
+        )
+    return mi_readout(
+        state.select("xv", "yv", F.col("c").alias("nxy"))
+    )
+
+
+from .queries_events import _TRANS_ENTROPY_SQL  # noqa: E402
+
+
+@register(
+    "stream_transition_entropy_drain",
+    oracle=_TRANS_ENTROPY_SQL,
+    staged=True,
+)
+def stream_transition_entropy_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming sequence-predictability monitoring with a driver row
+    (built r11, staged r12): events stream in TWO forced micro-batches
+    split BY USER (user_id parity — transition pairs form inside one
+    user's journey, so a user-disjoint split keeps the per-batch
+    counts exact and ADDITIVE); each batch merges its (i, j) delta
+    into the standing transition matrix
+    (streaming/worker.py::transition_count_stream); the
+    H(next|current) / predictability readout runs from MERGED state
+    through the SAME transition_entropy_readout as the batch query,
+    whose whole-corpus SQL is the oracle. The first drain whose
+    split-invariance comes from KEY-DISJOINT batching rather than
+    per-row independence — the partitioned-ingest contract (one
+    producer owns a user's events) hash-checked end to end."""
+    from ..streaming.worker import transition_count_stream
+    from .queries_events import transition_entropy_readout
+
+    ev = load_table(spark, sf_dir, "events")
+    state = _forced_drain(
+        spark, ev, "user_id",
+        lambda src, st, ck, mft: transition_count_stream(
+            spark, src, ev.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "n_transitions bigint, n_states bigint, h_cond double,"
+            " h_marginal double, predictability double",
+        )
+    return transition_entropy_readout(
+        state.select("i", "j", F.col("c").alias("nij"))
+    )
+
+
+from .queries_curation import _GOOD_TURING_SQL  # noqa: E402
+
+
+@register(
+    "stream_good_turing_drain", oracle=_GOOD_TURING_SQL, staged=True
+)
+def stream_good_turing_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming unseen-mass monitoring with a driver row (built r11,
+    staged r12): documents stream in TWO forced micro-batches; each
+    batch additively merges its (word, n) delta into the standing
+    vocabulary count table (the SAME
+    streaming/worker.py::zipf_wordcount_stream state the Zipf drain
+    maintains — one standing table, TWO registered readouts); the
+    Good-Turing adjusted-count / smoothed-probability / unseen-mass
+    table reads out from MERGED state through the SAME
+    good_turing_readout as the batch query, whose whole-corpus SQL is
+    the oracle. Proves the maintenance design's real dividend: a new
+    monitor costs one readout function, zero new state."""
+    from ..streaming.worker import zipf_wordcount_stream
+    from .queries_curation import good_turing_readout
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select("doc_id", "text")
+    state = _forced_drain(
+        spark, feed, "doc_id",
+        lambda src, st, ck, mft: zipf_wordcount_stream(
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "r bigint, n_r bigint, n_r_plus_1 bigint, r_star double,"
+            " p_gt double, unseen_mass double",
+        )
+    return good_turing_readout(
+        state.select("word", F.col("c").alias("r"))
+    )

@@ -887,3 +887,125 @@ def novelty_readout(per_doc: DataFrame, firsts: DataFrame) -> DataFrame:
             (novel.cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source Jensen-Shannon divergence vs the corpus (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_JSD_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({textstats.T.tokens_sql('text')}) AS word
+  FROM documents
+),
+sw AS (SELECT source, word, count(*) AS a FROM toks GROUP BY source, word),
+g AS (SELECT word, sum(a) AS gc FROM sw GROUP BY word),
+na AS (SELECT source, sum(a) AS na FROM sw GROUP BY source),
+ng AS (SELECT sum(a) AS ng FROM sw),
+terms AS (
+  SELECT sw.source,
+         CAST(round(sw.a * ln(2.0 * sw.a * ng.ng
+                              / (CAST(sw.a AS DOUBLE) * ng.ng
+                                 + CAST(g.gc AS DOUBLE) * na.na)), 9)
+              AS DECIMAL(28,9)) AS t1,
+         CAST(round(g.gc * ln(2.0 * g.gc * na.na
+                              / (CAST(sw.a AS DOUBLE) * ng.ng
+                                 + CAST(g.gc AS DOUBLE) * na.na)), 9)
+              AS DECIMAL(28,9)) AS t2,
+         g.gc AS gc
+  FROM sw JOIN g USING (word) JOIN na USING (source), ng
+),
+s AS (
+  SELECT source,
+         CAST(CAST(sum(t1) AS DECIMAL(38,9)) AS DOUBLE) AS s1,
+         CAST(CAST(sum(t2) AS DECIMAL(38,9)) AS DOUBLE) AS s2,
+         CAST(sum(gc) AS BIGINT) AS gs
+  FROM terms GROUP BY source
+)
+SELECT s.source,
+       CAST(na.na AS BIGINT) AS n_tokens,
+       CAST(0.5 * (s.s1 / na.na + s.s2 / ng.ng
+                   + (ng.ng - s.gs) / CAST(ng.ng AS DOUBLE) * ln(2.0))
+            AS DOUBLE) AS jsd
+FROM s JOIN na USING (source), ng
+ORDER BY source
+"""
+
+
+@register("text_jsd_source_drift", oracle=_JSD_SQL, staged=True)
+def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence against the whole-corpus
+    unigram distribution (built r11, staged r12) — the
+    distribution-level drift triage beside PSI (binned values) and the
+    label-centroid drift (embeddings): JSD is symmetric, bounded by
+    ln 2, and zero iff the source's word distribution matches the mix,
+    so the per-source ranking is the honest "which source should the
+    curation team look at" readout (DoReMi-adjacent diagnostics on the
+    same (source, word) statistic curation_mw_domain_reweight uses).
+
+    Decimal discipline: both plogp-style term families are N-SCALED
+    (a·ln(2aNG/(aNG+gNA)) and g·ln(2gNA/(aNG+gNA))) so no quotient
+    precedes a sum; each term is round-9 DECIMAL over logs of exact
+    integer ratios (ln is the safe transcendental), sums are exact
+    DECIMAL(38,9), and the absent-word complement collapses to the
+    CLOSED FORM (NG-GS_s)/NG·ln2 — a single double expression both
+    engines state identically (p=0 rows never materialize).
+
+    Scale shape: one (source, word) count (map-side combinable), a
+    word-keyed join against the corpus counts (shuffle ∝ vocab), and a
+    source-keyed reduce to |sources| rows. No per-pair quadratic —
+    source-vs-MIX is linear in sources by design."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(textstats.T.tokens("text")).alias("word")
+    )
+    sw = toks.groupBy("source", "word").agg(F.count("*").alias("a"))
+    from ..cache import persist_tracked
+
+    sw = persist_tracked(sw)
+    g = sw.groupBy("word").agg(F.sum("a").alias("gc"))
+    na = sw.groupBy("source").agg(F.sum("a").alias("na"))
+    ng = sw.agg(F.sum("a").alias("ng"))
+    a, gc = F.col("a"), F.col("gc")
+    den = a.cast("double") * F.col("ng") + gc.cast("double") * F.col("na")
+    terms = (
+        sw.join(g, "word")
+        .join(F.broadcast(na), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            F.round(a * F.log(2.0 * a * F.col("ng") / den), 9)
+            .cast("decimal(28,9)")
+            .alias("t1"),
+            F.round(gc * F.log(2.0 * gc * F.col("na") / den), 9)
+            .cast("decimal(28,9)")
+            .alias("t2"),
+            gc,
+        )
+    )
+    s = terms.groupBy("source").agg(
+        F.sum("t1").cast("decimal(38,9)").cast("double").alias("s1"),
+        F.sum("t2").cast("decimal(38,9)").cast("double").alias("s2"),
+        F.sum("gc").cast("bigint").alias("gs"),
+    )
+    return (
+        s.join(F.broadcast(na), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            F.col("na").cast("bigint").alias("n_tokens"),
+            (
+                0.5
+                * (
+                    F.col("s1") / F.col("na")
+                    + F.col("s2") / F.col("ng")
+                    + (F.col("ng") - F.col("gs"))
+                    / F.col("ng").cast("double")
+                    * F.log(F.lit(2.0))
+                )
+            )
+            .cast("double")
+            .alias("jsd"),
+        )
+        .orderBy("source")
+    )

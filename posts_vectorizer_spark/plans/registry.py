@@ -49,6 +49,24 @@ STAGED: dict[str, QueryDef] = {}
 # semantic test, an empty-input pass (tests/test_edge.py), a
 # scale_trend measurement, COVERAGE/README/registry-comment updates.
 #
+# r11 staged (r12 gets their introduction slots) — all four-way gated
+# (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try, vanilla head_check 6/6,
+# named tests, staged empty-input pass, measured 1x/3x/10x trends in
+# SCALE.md, evidence in SWEEPS.md):
+#   stream_mutual_info_drain   (ADD-merged contingency cells ->
+#                               mi_readout; live dependence monitor)
+#   stream_transition_entropy_drain (USER-disjoint split keeps pairs
+#                               exact — the first KEY-disjoint drain)
+#   stream_good_turing_drain   (SECOND readout of the Zipf drain's
+#                               standing vocab state; zero new state)
+#   multimodal_tar_manifest    (REAL ustar: octal fields, header
+#                               checksum, 512-block walk, tarfile
+#                               interop both ways incl. PAX)
+#   multimodal_gzip_ingest     (RFC 1952 full FLG grammar, CRC32 +
+#                               ISIZE verify, stdlib interop)
+#   text_jsd_source_drift      (source-vs-mix JSD, N-scaled plogp
+#                               lattice, closed-form p=0 complement)
+#
 # r10 staged history (all 21 introduced in the r11 head, below) — all
 # four-way gated in r10 (sf0.001+sf0.01+sf0.1 sweeps, vanilla
 # head_check, named planted tests, staged empty-input pass, measured

@@ -1213,3 +1213,87 @@ def novelty_firsts_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mi_cell_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming dependence-profile maintenance: each micro-batch of
+    events merges its (xv, yv, nxy) cell-count delta ADDITIVELY into
+    the standing contingency table (sinks.merge_add_parquet,
+    exactly-once via the batch-id ledger). Cell counts are the MI
+    profile's complete sufficient statistic and addition is
+    commutative, so any batch split yields the one-pass table; the
+    MI/NMI readout (plans/queries_governance.py::mi_readout) runs from
+    state as a pure function.
+
+    At 100 TB: per-batch cost is one map-side-combinable |X|·|Y|-cell
+    count plus O(cells) state rows — a continuously fresh
+    column-dependence monitor for physical-design decisions."""
+    from ..plans.queries_governance import mi_pair_counts
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = mi_pair_counts(batch_df).withColumnRenamed("nxy", "c")
+        merge_add_parquet(
+            spark, delta, state_dir, ["xv", "yv"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def transition_count_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming journey-transition maintenance: each micro-batch of
+    events forms its per-user (i, j) transition pairs and merges the
+    count delta ADDITIVELY into the standing transition matrix. The
+    statistic is additive across USER-disjoint batches (pairs form
+    inside one user's journey only), which is how the drain splits its
+    input — the entropy/predictability readout
+    (plans/queries_events.py::transition_entropy_readout) runs from
+    state as a pure function.
+
+    At 100 TB: per-batch cost is the sessionization exchange on
+    user_id plus a |types|²-bounded count — a continuously fresh
+    sequence-predictability monitor."""
+    from ..plans.queries_events import transition_counts
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = transition_counts(batch_df).withColumnRenamed("nij", "c")
+        merge_add_parquet(
+            spark, delta, state_dir, ["i", "j"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

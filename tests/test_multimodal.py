@@ -1387,3 +1387,160 @@ def test_tiff_packbits_roundtrip_noop_rejects(spark, tmp_path):
         assert (r["width"], r["height"]) == (w, h)
         assert r["n_strips"] == -(-h // 4)
         assert r["sum_px"] == s
+
+
+def test_tar_container_cross_tool_and_rejects():
+    """multimodal_tar_manifest's codec: our archives open in stdlib
+    tarfile and vice versa (incl. stdlib's PAX-format output, whose
+    'x' extended headers our walk must skip); corrupted checksum /
+    magic / truncation reject loudly with ValueError."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    for doc in (0, 1, 5, 7):
+        spec = M.synth_tar_entries(doc)
+        raw = M.encode_tar(spec)
+        assert M.decode_tar(raw) == spec
+        with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+            got = [
+                (m.name, tf.extractfile(m).read())
+                for m in tf.getmembers()
+                if m.isfile()
+            ]
+        assert got == spec
+
+    # stdlib-written archives (both classic GNU and PAX formats)
+    for fmt in (tarfile.GNU_FORMAT, tarfile.PAX_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            for nm, data in (("a.txt", b"hello" * 20), ("b.bin", bytes(range(100)))):
+                info = tarfile.TarInfo(nm)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        got = M.decode_tar(buf.getvalue())
+        assert got == [("a.txt", b"hello" * 20), ("b.bin", bytes(range(100)))]
+
+    base = M.encode_tar(M.synth_tar_entries(3))
+    with pytest.raises(ValueError):
+        M.decode_tar(base[: len(base) - 512])  # half a terminator
+    bad = bytearray(base)
+    bad[148] ^= 0x01  # corrupt the checksum field
+    with pytest.raises(ValueError):
+        M.decode_tar(bytes(bad))
+    bad = bytearray(base)
+    bad[257] = ord("X")  # break the magic
+    with pytest.raises(ValueError):
+        M.decode_tar(bytes(bad))
+    bad = bytearray(base)
+    bad[522] ^= 0xFF  # flip byte 10 of member 0's data (not padding):
+    # the header walk still succeeds, but content differs from spec —
+    # member data is not checksummed in tar (that's the format, not
+    # a codec gap; the ZIP/GZIP codecs carry the CRC story)
+    got = M.decode_tar(bytes(bad))
+    assert got != M.synth_tar_entries(3)
+
+
+def test_gzip_member_cross_tool_and_rejects():
+    """multimodal_gzip_ingest's codec: stdlib gzip reads ours, we read
+    stdlib's (incl. FNAME walks); every trailer/magic/flag corruption
+    rejects with ValueError; deflate genuinely compresses the
+    repetitive synthetic payload."""
+    import gzip as _gz
+    import struct
+
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    for doc in (0, 2, 9):
+        payload = M.synth_gzip_payload(doc)
+        raw = M.encode_gzip(payload, f"doc{doc}.txt")
+        assert _gz.decompress(raw) == payload
+        name, data = M.decode_gzip(raw)
+        assert (name, data) == (f"doc{doc}.txt", payload)
+
+    # stdlib-written member (no FNAME; mtime nonzero)
+    body = b"abc" * 500
+    name, data = M.decode_gzip(_gz.compress(body, compresslevel=6))
+    assert name is None and data == body
+
+    # compression is real on the repetitive payload
+    p = M.synth_gzip_payload(4)
+    assert len(M.encode_gzip(p)) < len(p)
+
+    base = M.encode_gzip(M.synth_gzip_payload(1), "x.txt")
+    with pytest.raises(ValueError):
+        M.decode_gzip(b"\x1f\x8c" + base[2:])  # bad magic
+    with pytest.raises(ValueError):
+        M.decode_gzip(base[:-1])  # truncated trailer
+    bad = bytearray(base)
+    bad[-8] ^= 0xFF  # CRC32 byte
+    with pytest.raises(ValueError):
+        M.decode_gzip(bytes(bad))
+    bad = bytearray(base)
+    struct.pack_into("<I", bad, len(bad) - 4, 1)  # wrong ISIZE
+    with pytest.raises(ValueError):
+        M.decode_gzip(bytes(bad))
+    bad = bytearray(base)
+    bad[3] |= 0xE0  # reserved FLG bits
+    with pytest.raises(ValueError):
+        M.decode_gzip(bytes(bad))
+
+
+def test_tar_manifest_hand_computed(spark, tmp_path):
+    """multimodal_tar_manifest equals the synthesis formula evaluated
+    independently, including the on-wire block count."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "tar"
+    d.mkdir()
+    spark.createDataFrame(
+        [(3, "x", "en", "s", 1), (6, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_tar_manifest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (3, 6):
+        n = 2 + doc % 4
+        tot = sb = blocks = 0
+        for j in range(n):
+            ln = 30 + (doc * 11 + j * 17) % 70
+            tot += ln
+            blocks += 1 + (ln + 511) // 512
+            sb += sum(32 + (doc * 5 + j * 3 + i * 11) % 95 for i in range(ln))
+        r = rows[doc]
+        assert (r["n_members"], r["total_size"]) == (n, tot)
+        assert (r["archive_blocks"], r["sum_bytes"]) == (blocks + 2, sb)
+
+
+def test_gzip_ingest_hand_computed(spark, tmp_path):
+    """multimodal_gzip_ingest equals the synthesis formula evaluated
+    independently for two docs."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    spark.createDataFrame(
+        [(2, "x", "en", "s", 1), (15, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_gzip_ingest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (2, 15):
+        ln = 120 + (doc * 13) % 200
+        sb = sum(32 + (doc * 7 + i * 3) % 95 for i in range(ln))
+        r = rows[doc]
+        assert r["name_len"] == len(f"doc{doc}.txt")
+        assert (r["isize"], r["sum_bytes"]) == (ln, sb)

@@ -736,3 +736,52 @@ def test_transition_entropy_planted_chains(spark, tmp_path):
         for (i, _), c in trans.items()
     ))
     assert r2["h_cond"] == hc_n / N
+
+
+def test_jsd_source_drift_planted(spark, tmp_path):
+    """text_jsd_source_drift: a source matching the corpus mix scores
+    ~0; two maximally divergent sources score equal positive JSD
+    (symmetry of the construction), below the ln2 bound, and match an
+    independent float replica of the closed-form algebra."""
+    import math
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # make_docs assigns source = src{doc_id % 3}: src0 (only 'xx') and
+    # src1 (only 'yy') are maximally divergent, equal sizes; src2
+    # mirrors the global 50/50 mix exactly
+    docs = make_docs(
+        spark,
+        [
+            (0, "xx xx xx xx", "en"),
+            (1, "yy yy yy yy", "en"),
+            (2, "xx yy xx yy", "en"),
+        ],
+    )
+    d = tmp_path / "jsd"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+
+    rows = {
+        r["source"]: r
+        for r in resolve_query("text_jsd_source_drift")(
+            spark, str(d)
+        ).collect()
+    }
+    assert set(rows) == {"src0", "src1", "src2"}
+    assert all(r["n_tokens"] == 4 for r in rows.values())
+    # src2 matches the mix -> 0 (exactly: every log argument is 1)
+    assert abs(rows["src2"]["jsd"]) < 1e-9
+    # src0 and src1 are symmetric and positive, below ln 2
+    assert rows["src0"]["jsd"] == rows["src1"]["jsd"]
+    assert 0 < rows["src0"]["jsd"] < math.log(2)
+
+    # independent float replica for src0: counts a={xx:4}, global
+    # g={xx:6,yy:6}, NA=4, NG=12
+    NA, NG = 4, 12
+    s1 = 4 * math.log(2 * 4 * NG / (4 * NG + 6 * NA))
+    s2 = 6 * math.log(2 * 6 * NA / (4 * NG + 6 * NA))
+    gs = 6
+    want = 0.5 * (s1 / NA + s2 / NG + (NG - gs) / NG * math.log(2))
+    assert abs(rows["src0"]["jsd"] - want) < 1e-8

@@ -573,3 +573,112 @@ def test_merge_min_parquet_dominance(spark, tmp_path):
     merge_min_parquet(spark, d3, t, ["k"], batch_id=1)
     state = {r["k"]: r["v"] for r in read_merged(spark, t).collect()}
     assert state == {"a": 5, "b": 3, "c": 4}
+
+
+def test_stream_mutual_info_drain_equals_batch(spark, tmp_path):
+    """stream_mutual_info_drain's merged contingency state yields
+    EXACTLY the batch MI/NMI profile — cell counts are additive, so
+    the forced two-batch split cannot move a plogp term."""
+    from datetime import datetime as D
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "mid"
+    d.mkdir()
+    # event_type depends on weekday for the first users, independent
+    # for the rest — a mixed-dependence table with >1 cell per margin
+    rows = []
+    for i in range(240):
+        day = i % 14
+        et = ("click", "view", "purchase")[
+            day % 3 if i < 120 else (i * 7) % 3
+        ]
+        rows.append((i, i % 10, D(2024, 1, 1 + day, 12), et, 1.0))
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = resolve_query("stream_mutual_info_drain")(spark, str(d)).collect()
+    want = resolve_query("rel_mutual_information")(spark, str(d)).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
+    assert got[0]["mi"] > 0  # the planted half-dependence is visible
+
+
+def test_stream_transition_entropy_drain_equals_batch(spark, tmp_path):
+    """stream_transition_entropy_drain: the USER-disjoint forced split
+    keeps per-batch transition pairs exact, so the merged matrix yields
+    EXACTLY the batch entropy readout — including users whose journeys
+    would break if the split were row-wise instead of key-wise."""
+    from datetime import datetime as D
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "ted"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # deterministic cycle for even users, varied paths for odd users —
+    # long journeys so a row-wise split WOULD have moved pairs
+    for u in range(8):
+        seq = (
+            ["click", "view", "purchase"] * 4
+            if u % 2 == 0
+            else ["click", "view", "click", "purchase", "view", "view"]
+        )
+        for k, et in enumerate(seq):
+            rows.append((eid, u, D(2024, 1, 1, k), et, 1.0))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = resolve_query("stream_transition_entropy_drain")(
+        spark, str(d)
+    ).collect()
+    want = resolve_query("events_transition_entropy")(
+        spark, str(d)
+    ).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
+    r = got[0]
+    assert 0 < r["predictability"] < 1
+    assert r["n_transitions"] == sum(
+        (12 - 1) if u % 2 == 0 else (6 - 1) for u in range(8)
+    )
+
+
+def test_stream_good_turing_drain_equals_batch(spark, tmp_path):
+    """stream_good_turing_drain: the SAME standing word-count state as
+    the Zipf drain feeds a second readout — the Good-Turing table from
+    merged state equals the one-pass batch query exactly (adjacency
+    holes, unseen mass and all)."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # counts 1,1,2,3,5 -> count-of-counts with a hole at r=4
+    docs = make_docs(
+        spark,
+        [(0, "ape bee bee cat cat dog", "en"),
+         (1, "cat dog dog fox dog dog", "en")],
+    )
+    d = tmp_path / "gtd"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+
+    got = sorted(
+        resolve_query("stream_good_turing_drain")(spark, str(d)).collect(),
+        key=lambda r: r["r"],
+    )
+    want = sorted(
+        resolve_query("text_good_turing")(spark, str(d)).collect(),
+        key=lambda r: r["r"],
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    byr = {r["r"]: r for r in got}
+    assert byr[1]["unseen_mass"] is not None
+    assert byr[5]["n_r_plus_1"] == 0  # tail hole stays a hole

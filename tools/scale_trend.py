@@ -367,6 +367,25 @@ def main(only: list[str] | None = None) -> None:
         "tiff_packbits_ingest": lambda k: SQ["multimodal_tiff_packbits_ingest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        # r11-built wave (staged r12):
+        "mutual_info_drain": lambda k: SQ["stream_mutual_info_drain"](
+            spark, table_dir("events", k, "events")
+        ),
+        "transition_entropy_drain": lambda k: SQ[
+            "stream_transition_entropy_drain"
+        ](spark, table_dir("events", k, "events")),
+        "good_turing_drain": lambda k: SQ["stream_good_turing_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "tar_manifest": lambda k: SQ["multimodal_tar_manifest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "gzip_ingest": lambda k: SQ["multimodal_gzip_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "jsd_source_drift": lambda k: SQ["text_jsd_source_drift"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "rocchio_eval": lambda k: SQ["sim_rocchio_centroid_eval"](
             spark, table_dir("emb", k, "embeddings")
         ),
