@@ -139,3 +139,237 @@ def pagerank_sql(k: int = PR_K, iters: int = PR_ITERS) -> str:
 SELECT vec_id, CAST(deg AS BIGINT) AS degree, pr FROM {prev}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (r11-built, staged r12) — PageRank's directed
+# companion on the RAW (non-mutualized) top-k graph, where out-links
+# (u ranks v) and in-links (v is ranked) genuinely differ, so hub and
+# authority scores separate. Kleinberg 1999.
+# ---------------------------------------------------------------------------
+
+HITS_K = PR_K
+HITS_ITERS = 2
+HITS_ROUND = 9       # score grid (post-normalization)
+
+
+def _directed_edges(emb: DataFrame, k: int) -> DataFrame:
+    """(src, dst): u -> v iff v is in u's top-k — every vertex has
+    out-degree k; in-degree varies (popular vectors collect links),
+    which is exactly the asymmetry HITS measures."""
+    t = similarity.topk(emb, k)
+    return t.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+
+
+def hits_knn(
+    emb: DataFrame, k: int = HITS_K, iters: int = HITS_ITERS
+) -> DataFrame:
+    """HITS over the exact brute-force top-k edge list — the eval-sized
+    ground-truth witness (the adamic_adar/pagerank convention: the
+    quadratic is entirely the exact kNN edge build; the corpus-scale
+    production form is :func:`hits_from_edges` over `lsh_ann` lists —
+    sim_hits_ann)."""
+    return hits_from_edges(_directed_edges(emb, k), iters)
+
+
+def hits_from_edges(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """(vec_id, out_deg, in_deg, hub, authority) after `iters` unrolled
+    HITS steps with L1 normalization, over ANY (src, dst) edge list.
+
+    Reproducibility contract (mirrored step-for-step in hits_sql):
+    - init: hub₀ = 1.0 exactly for every vertex;
+    - authority step: a_raw(v) = Σ_{u→v} hub(u) with every hub value on
+      the round-9 grid CAST to DECIMAL(28,9) before the sum (exact,
+      order-free), then L1-normalize: a = round(a_raw / Σ a_raw, 9) —
+      the Σ is an exact DECIMAL sum converted once to double (scaled
+      units ≤ n·1e9 < 2^53, no conversion hazard);
+    - hub step: symmetric over outgoing edges with the fresh a;
+    - vertices the step leaves without incoming (resp. outgoing) edges
+      take score 0 via left joins — kept in the output, never dropped.
+
+    Scale shape (per half-step): one edge-keyed projection, one
+    dst-keyed exchange with map-side DECIMAL partial sums, one 1-row
+    broadcast total — the canonical distributed power-iteration plan;
+    state is two doubles per vertex. The edge list is persisted up
+    front: the degree tables plus 2·iters half-steps each consume it,
+    and without the persist every consumer re-executes the PRODUCER
+    (the exact kernel or the LSH bucket join) — measured 6x the
+    producer cost at 10x data before this pin."""
+    from ..cache import persist_tracked
+
+    edges = persist_tracked(edges)
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ind = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    verts = (
+        outd.select(F.col("src").alias("vec_id"), "out_deg")
+        .join(
+            ind.select(F.col("dst").alias("vec_id"), "in_deg"),
+            "vec_id",
+            "full_outer",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+    hub = verts.select("vec_id", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(iters):
+        # authority half-step from current hubs
+        a_raw = (
+            edges.join(hub, edges["src"] == hub["vec_id"])
+            .select("dst", F.col("h").cast("decimal(28,9)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("a_raw"))
+        )
+        a_tot = a_raw.agg(
+            F.sum("a_raw").cast("decimal(38,9)").alias("ta")
+        )
+        auth = (
+            verts.join(
+                a_raw, verts["vec_id"] == a_raw["dst"], "left"
+            )
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "vec_id",
+                F.round(
+                    F.coalesce(
+                        F.col("a_raw").cast("double"), F.lit(0.0)
+                    )
+                    / F.col("ta").cast("double"),
+                    HITS_ROUND,
+                ).alias("a"),
+            )
+        )
+        # hub half-step from fresh authorities
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["vec_id"])
+            .select(
+                F.col("src").alias("v"),
+                F.col("a").cast("decimal(28,9)").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("h_raw"))
+        )
+        h_tot = h_raw.agg(
+            F.sum("h_raw").cast("decimal(38,9)").alias("th")
+        )
+        hub = (
+            verts.join(h_raw, verts["vec_id"] == h_raw["v"], "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "vec_id",
+                F.round(
+                    F.coalesce(
+                        F.col("h_raw").cast("double"), F.lit(0.0)
+                    )
+                    / F.col("th").cast("double"),
+                    HITS_ROUND,
+                ).alias("h"),
+            )
+        )
+    return (
+        verts.join(hub, "vec_id")
+        .join(auth, "vec_id")
+        .select(
+            "vec_id",
+            F.col("out_deg").cast("bigint").alias("out_deg"),
+            F.col("in_deg").cast("bigint").alias("in_deg"),
+            F.col("h").alias("hub"),
+            F.col("a").alias("authority"),
+        )
+    )
+
+
+def hits_sql(k: int = HITS_K, iters: int = HITS_ITERS) -> str:
+    """Oracle twin of hits_knn (exact top-k edges)."""
+    return hits_sql_from(
+        [
+            f"t AS ({similarity.topk_sql(k)})",
+            "edges AS (SELECT query_id AS src, neighbor_id AS dst FROM t)",
+        ],
+        iters,
+    )
+
+
+def hits_ann_sql(dims: int, k: int, iters: int = HITS_ITERS) -> str:
+    """Oracle twin of the lsh_ann-backed production form (same lists,
+    exact over the declared candidate set — the sim_lsh_ann pattern)."""
+    return hits_sql_from(
+        [
+            f"t AS ({similarity.lsh_ann_sql(dims, k)})",
+            "edges AS (SELECT query_id AS src, neighbor_id AS dst FROM t)",
+        ],
+        iters,
+    )
+
+
+def hits_sql_from(edge_parts: list[str], iters: int = HITS_ITERS) -> str:
+    parts = edge_parts + [
+        """outd AS (SELECT src AS vec_id, count(*) AS out_deg
+  FROM edges GROUP BY src)""",
+        """ind AS (SELECT dst AS vec_id, count(*) AS in_deg
+  FROM edges GROUP BY dst)""",
+        """verts AS (
+  SELECT COALESCE(o.vec_id, i.vec_id) AS vec_id,
+         COALESCE(o.out_deg, 0) AS out_deg,
+         COALESCE(i.in_deg, 0) AS in_deg
+  FROM outd o FULL OUTER JOIN ind i ON o.vec_id = i.vec_id
+)""",
+        "h0 AS (SELECT vec_id, 1.0 AS h FROM verts)",
+    ]
+    prev_h = "h0"
+    auth = None
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""ar{it} AS (
+  SELECT e.dst, sum(CAST(p.h AS DECIMAL(28,9))) AS a_raw
+  FROM edges e JOIN {prev_h} p ON e.src = p.vec_id GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"at{it} AS (SELECT CAST(sum(a_raw) AS DECIMAL(38,9)) AS ta"
+            f" FROM ar{it})"
+        )
+        parts.append(
+            f"""a{it} AS (
+  SELECT v.vec_id,
+         round(COALESCE(CAST(r.a_raw AS DOUBLE), 0.0)
+               / CAST(t.ta AS DOUBLE), {HITS_ROUND}) AS a
+  FROM verts v LEFT JOIN ar{it} r ON v.vec_id = r.dst, at{it} t
+)"""
+        )
+        parts.append(
+            f"""hr{it} AS (
+  SELECT e.src AS v, sum(CAST(p.a AS DECIMAL(28,9))) AS h_raw
+  FROM edges e JOIN a{it} p ON e.dst = p.vec_id GROUP BY e.src
+)"""
+        )
+        parts.append(
+            f"ht{it} AS (SELECT CAST(sum(h_raw) AS DECIMAL(38,9)) AS th"
+            f" FROM hr{it})"
+        )
+        parts.append(
+            f"""h{it} AS (
+  SELECT v.vec_id,
+         round(COALESCE(CAST(r.h_raw AS DOUBLE), 0.0)
+               / CAST(t.th AS DOUBLE), {HITS_ROUND}) AS h
+  FROM verts v LEFT JOIN hr{it} r ON v.vec_id = r.v, ht{it} t
+)"""
+        )
+        prev_h = f"h{it}"
+        auth = f"a{it}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v.vec_id, CAST(v.out_deg AS BIGINT) AS out_deg,
+       CAST(v.in_deg AS BIGINT) AS in_deg,
+       h.h AS hub, a.a AS authority
+FROM verts v JOIN {prev_h} h ON v.vec_id = h.vec_id
+             JOIN {auth} a ON v.vec_id = a.vec_id
+"""
+    )

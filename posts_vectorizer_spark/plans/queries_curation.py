@@ -2220,3 +2220,194 @@ def text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         chao1.alias("chao1"),
         (extra / chao1).alias("unseen_vocab_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff trigram LM, held-out scoring (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_SB_A = 0.4  # the backoff multiplier from Brants et al. 2007
+
+_SB_TRIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+),
+train_tok AS (
+  SELECT unnest(t) AS w FROM tok WHERE doc_id % 2 = 0
+),
+u1 AS (SELECT w, count(*) AS c FROM train_tok GROUP BY w),
+nn AS (SELECT count(*) AS n FROM train_tok),
+train_bg AS (
+  SELECT t[CAST(k AS INT)] AS w1, t[CAST(k AS INT) + 1] AS w2,
+         count(*) AS c
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS k
+        FROM tok WHERE doc_id % 2 = 0 AND len(t) >= 2)
+  GROUP BY 1, 2
+),
+train_tg AS (
+  SELECT t[CAST(k AS INT)] AS w1, t[CAST(k AS INT) + 1] AS w2,
+         t[CAST(k AS INT) + 2] AS w3, count(*) AS c
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS k
+        FROM tok WHERE doc_id % 2 = 0 AND len(t) >= 3)
+  GROUP BY 1, 2, 3
+),
+probe AS (
+  SELECT doc_id, t[CAST(k AS INT)] AS w1, t[CAST(k AS INT) + 1] AS w2,
+         t[CAST(k AS INT) + 2] AS w3, count(*) AS c_doc
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS k
+        FROM tok WHERE doc_id % 2 = 1 AND len(t) >= 3)
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT p.doc_id, p.c_doc,
+         CAST(round(log10(CASE
+           WHEN t3.c IS NOT NULL THEN
+             CAST(t3.c AS DOUBLE) / b2c.c
+           WHEN b2.c IS NOT NULL THEN
+             {_SB_A} * (CAST(b2.c AS DOUBLE) / u2.c)
+           WHEN u3.c IS NOT NULL THEN
+             {_SB_A * _SB_A} * (CAST(u3.c AS DOUBLE) / nn.n)
+           ELSE {_SB_A ** 3} / nn.n
+         END), 6) AS DECIMAL(18,6)) AS lp
+  FROM probe p
+  LEFT JOIN train_tg t3
+    ON t3.w1 = p.w1 AND t3.w2 = p.w2 AND t3.w3 = p.w3
+  LEFT JOIN train_bg b2c ON b2c.w1 = p.w1 AND b2c.w2 = p.w2
+  LEFT JOIN train_bg b2 ON b2.w1 = p.w2 AND b2.w2 = p.w3
+  LEFT JOIN u1 u2 ON u2.w = p.w2
+  LEFT JOIN u1 u3 ON u3.w = p.w3
+  CROSS JOIN nn
+)
+SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_trigrams,
+       CAST(CAST(sum(c_doc * lp) AS DOUBLE) / sum(c_doc) AS DOUBLE)
+         AS sb_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "text_stupid_backoff_trigram", oracle=_SB_TRIGRAM_SQL, staged=True
+)
+def text_stupid_backoff_trigram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stupid Backoff trigram LM with HELD-OUT scoring (built r11,
+    staged r12) — the web-scale smoothing from Brants et al. 2007
+    ("Large Language Models in Machine Translation"): no discounting,
+    no normalization, just score S(w3|w1w2) = c3/c2 when the trigram
+    is observed, else 0.4·S(w3|w2), else 0.16·c1/N, else 0.064/N for
+    full OOV. The LM trains on the EVEN half of the corpus and scores
+    the ODD half (the first held-out LM query — self-corpus scoring
+    can never take a backoff branch since every probe n-gram is in its
+    own training set), so all four branches genuinely fire and the
+    per-doc score is an honest generalization signal beside
+    text_kneser_ney_bigram's in-corpus fit.
+
+    Exactness: every count is an exact integer; each branch is one
+    fixed-shape double expression; per-trigram log10 rounds to 6dp
+    DECIMAL before the multiplicity-weighted per-doc mean (the KN
+    device — nothing order-dependent crosses a sum).
+
+    Scale shape: probe trigrams reduce map-side to per-(doc, w1w2w3)
+    counts (the fact side crosses once); the four LM tables are
+    n-gram-keyed reductions joined by key (AQE shuffles the trigram
+    join at scale while unigrams/N broadcast); the total is a 1-row
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", T.tokens("text").alias("t"))
+    train = tok.where(F.col("doc_id") % 2 == 0)
+    probe_docs = tok.where(F.col("doc_id") % 2 == 1)
+    from ..cache import persist_tracked
+
+    train = persist_tracked(train)
+    u1 = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    nn = train.select(F.explode("t").alias("w")).agg(
+        F.count("*").alias("n")
+    )
+
+    def grams(src: DataFrame, n: int, with_doc: bool) -> DataFrame:
+        cols = [
+            F.col("g").getItem(i).alias(f"w{i + 1}") for i in range(n)
+        ]
+        exploded = src.where(F.size("t") >= n).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}),"
+                    f" k -> slice(t, k, {n}))"
+                )
+            ).alias("g"),
+        )
+        keys = (["doc_id"] if with_doc else []) + [
+            f"w{i + 1}" for i in range(n)
+        ]
+        return exploded.select("doc_id", *cols).groupBy(*keys).agg(
+            F.count("*").alias("c_doc" if with_doc else "c")
+        )
+
+    t3 = grams(train, 3, False)
+    b2 = grams(train, 2, False)
+    probe = grams(probe_docs, 3, True)
+    a = _SB_A
+    score = F.when(
+        F.col("c3").isNotNull(),
+        F.col("c3").cast("double") / F.col("c2ctx"),
+    ).when(
+        F.col("c2").isNotNull(),
+        a * (F.col("c2").cast("double") / F.col("cu2")),
+    ).when(
+        F.col("cu3").isNotNull(),
+        a * a * (F.col("cu3").cast("double") / F.col("n")),
+    ).otherwise(F.lit(a ** 3) / F.col("n"))
+    scored = (
+        probe.join(
+            t3.select(
+                "w1", "w2", "w3", F.col("c").alias("c3")
+            ),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            b2.select("w1", "w2", F.col("c").alias("c2ctx")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            b2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c").alias("c2"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            u1.select(F.col("w").alias("w2"), F.col("c").alias("cu2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            u1.select(F.col("w").alias("w3"), F.col("c").alias("cu3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "c_doc",
+            F.round(F.log10(score), 6).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c_doc").cast("bigint").alias("n_trigrams"),
+        (
+            F.sum(F.col("c_doc") * F.col("lp")).cast("double")
+            / F.sum("c_doc")
+        )
+        .cast("double")
+        .alias("sb_logprob"),
+    )

@@ -387,3 +387,115 @@ def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# portable Bloom-filter membership audit (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536   # filter bits
+_BLOOM_K = 4       # probes per key (Kirsch-Mitzenmacher double hashing)
+
+_BLOOM_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {T.char_hash_sql('text')} AS h1,
+         {T.char_hash_sql('reverse(text)')} AS h2,
+         {T.digest_sql('text')} AS dg
+  FROM documents
+),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2) % {_BLOOM_M} AS bit
+  FROM keyed, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i)
+  WHERE doc_id % 2 = 0
+),
+build_dg AS (SELECT DISTINCT dg FROM keyed WHERE doc_id % 2 = 0),
+probe AS (SELECT * FROM keyed WHERE doc_id % 2 = 1),
+hits AS (
+  SELECT p.doc_id, count(*) AS n_hit
+  FROM probe p,
+       (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i) ii
+  JOIN bits b ON (p.h1 + ii.i * p.h2) % {_BLOOM_M} = b.bit
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       COALESCE(h.n_hit, 0) = {_BLOOM_K} AS bloom_maybe,
+       (bd.dg IS NOT NULL) AS exact_dup
+FROM probe p
+LEFT JOIN hits h ON p.doc_id = h.doc_id
+LEFT JOIN build_dg bd ON p.dg = bd.dg
+ORDER BY p.doc_id
+"""
+
+
+@register("dedup_bloom_membership", oracle=_BLOOM_SQL, staged=True)
+def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-filter membership audit (built r11, staged
+    r12) — the classic pre-filter in front of an exact dedup join:
+    build a {_BLOOM_M}-bit filter over the even-doc_id half of the
+    corpus (k={_BLOOM_K} probes per key via Kirsch-Mitzenmacher double
+    hashing: p_i = (h1 + i·h2) mod m, h1/h2 the engine's portable
+    char hashes of text and reversed text), probe every odd doc, and
+    report the bloom verdict BESIDE the exact md5-digest answer — the
+    no-false-negative guarantee (every exact duplicate is bloom-hit)
+    becomes a hash-checked corpus-wide invariant, and the false-
+    positive columns quantify what the pre-filter would cost.
+
+    Scale shape: the filter is a DISTINCT-bit TABLE (≤ m rows),
+    distributable where a bitset would be driver-bound: build is one
+    map-side-combinable distinct over 4·|A| positions; probing joins
+    position-keyed (shuffle ∝ 4·|B| carrying 16-byte rows, never
+    text); the digest comparison is the same hash-carrying semi-join
+    every exact-dedup query uses. At 100 TB both sides bucket by the
+    join key — no broadcast of corpus-sized state, no driver
+    materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        T.char_hash("text").alias("h1"),
+        T.char_hash(F.reverse(F.col("text"))).alias("h2"),
+        T.digest("text").alias("dg"),
+    )
+    from ..cache import persist_tracked
+
+    keyed = persist_tracked(keyed)
+    probes = F.explode(
+        F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
+    ).alias("i")
+    build = keyed.where(F.col("doc_id") % 2 == 0)
+    bits = (
+        build.select(probes, "h1", "h2")
+        .select(
+            ((F.col("h1") + F.col("i") * F.col("h2")) % _BLOOM_M)
+            .alias("bit")
+        )
+        .distinct()
+    )
+    build_dg = build.select("dg").distinct()
+    probe = keyed.where(F.col("doc_id") % 2 == 1)
+    hits = (
+        probe.select("doc_id", probes, "h1", "h2")
+        .select(
+            "doc_id",
+            ((F.col("h1") + F.col("i") * F.col("h2")) % _BLOOM_M)
+            .alias("bit"),
+        )
+        .join(bits, "bit")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        probe.join(hits, "doc_id", "left")
+        .join(
+            build_dg.withColumnRenamed("dg", "bdg"),
+            probe["dg"] == F.col("bdg"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == _BLOOM_K)
+            .alias("bloom_maybe"),
+            F.col("bdg").isNotNull().alias("exact_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1166,3 +1166,50 @@ def sim_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (na2 > 0) & (nb2 > 0), dot / (F.sqrt(na2) * F.sqrt(nb2))
         ).alias("cos_sim"),
     )
+
+
+@register("sim_hits_hubs_authorities", oracle=graph.hits_sql(), staged=True)
+def sim_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (built r11, staged r12) — Kleinberg's
+    directed companion to sim_pagerank_knn, run on the RAW top-k graph
+    (u -> v iff v is in u's top-k) where out-links are uniform (k per
+    vertex) but in-links concentrate on popular vectors, so hub and
+    authority genuinely separate: a high-authority embedding is one
+    many neighborhoods rank (a cluster center / canonical document), a
+    high-hub one ranks well-ranked vectors (a good router). TWO
+    unrolled hub/authority half-steps with L1 normalization; every
+    contribution crosses the sum as round-9 DECIMAL (exact, order-free)
+    and every normalization total converts to double once below 2^53
+    (operators/graph.py::hits_knn, mirrored in hits_sql).
+
+    Scale shape: per half-step one edge-keyed projection + one keyed
+    exchange with map-side DECIMAL partial sums + a 1-row broadcast
+    total — the canonical distributed power iteration; no all-pairs
+    term past the ANN top-k edge list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return graph.hits_knn(emb)
+
+
+@register(
+    "sim_hits_ann",
+    oracle=graph.hits_ann_sql(DIMS, KNN_GRAPH_K),
+    staged=True,
+)
+def sim_hits_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over lsh_ann lists (built r11, staged r12) — the
+    corpus-scale production twin of sim_hits_hubs_authorities,
+    completing the dual-form convention for the directed-graph family
+    (the knn_graph_mutual / adamic_adar precedent: an exact eval-sized
+    witness AND a linear-shuffle ANN-backed form sharing one iteration
+    contract — operators/graph.py::hits_from_edges is literally the
+    same code under both). Edges come from the random-hyperplane LSH
+    bucket join (shuffle ∝ docs·k, never n²); the oracle runs the SAME
+    lists, so the check is exact over the declared candidate set (the
+    sim_lsh_ann pattern); recall vs the exact witness is the operator
+    test's job."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+    )
+    return graph.hits_from_edges(edges)

@@ -2812,3 +2812,123 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,9)")
         .alias("ate_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_ANOVA_SQL = """
+WITH vals AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem
+),
+g AS (
+  SELECT grp, count(*) AS n_g, sum(x) AS s_g, sum(x * x) AS q_g
+  FROM vals GROUP BY grp
+),
+tot AS (
+  SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s, sum(q_g) AS q
+  FROM g
+),
+terms AS (
+  SELECT CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g, 9)
+              AS DECIMAL(28,9)) AS t
+  FROM g
+),
+s AS (
+  SELECT tot.k, tot.n,
+         round(CAST(sum(terms.t) AS DECIMAL(38,9))
+               - CAST(round(CAST(tot.s AS DOUBLE) * tot.s / tot.n, 9)
+                      AS DECIMAL(28,9)), 3) AS ssb,
+         round(CAST(tot.q AS DECIMAL(38,9))
+               - CAST(sum(terms.t) AS DECIMAL(38,9)), 3) AS ssw
+  FROM terms, tot GROUP BY tot.k, tot.n, tot.s, tot.q
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(n AS BIGINT) AS n,
+       CAST(ssb AS DOUBLE) AS ssb,
+       CAST(ssw AS DOUBLE) AS ssw,
+       CAST(CAST(ssb AS DOUBLE) / (k - 1)
+            / (CAST(ssw AS DOUBLE) / (n - k)) AS DOUBLE) AS f_stat,
+       CAST(CAST(ssb AS DOUBLE)
+            / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE))
+            AS DOUBLE) AS eta_squared
+FROM s WHERE n > k AND k > 1
+"""
+
+
+@register("rel_anova_oneway", oracle=_ANOVA_SQL, staged=True)
+def rel_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test (built r11, staged r12) — does a
+    categorical column explain a numeric one? (quantity by return
+    flag). The variance-decomposition member of the A/B family beside
+    Welch (2 groups), CMH (stratified binary), and Mann-Whitney
+    (rank-based): SSB = Σ S_g²/n_g − S²/N and SSW = Q − Σ S_g²/n_g
+    from EXACT integer group moments (counts, sums, sums of squares —
+    l_quantity is integral by construction).
+
+    Decimal discipline: each S_g²/n_g term is one double division of
+    exact <2^53 integers, round-9 DECIMAL before the exact sum (the
+    chi2 device); the assembled SSB/SSW are re-pinned to 3dp BEFORE
+    double conversion (their 9dp scaled units exceed 2^53 at sf0.1 —
+    the zipf-fit conversion-width lesson applied at build time, not
+    discovered by the sweep); F and eta² are fixed-shape double
+    expressions of the pinned values.
+
+    Scale shape: one map-side-combinable 3-group moment aggregate over
+    the scan; everything after is k-row. At larger SF the S_g² < 2^53
+    pin would need the N-scaled floor-div device — documented, not
+    needed at the test tiers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    g = vals.groupBy("grp").agg(
+        F.count("*").alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).alias("q_g"),
+    )
+    from ..cache import persist_tracked
+
+    g = persist_tracked(g)
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+    )
+    terms = g.select(
+        F.round(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"), 9)
+        .cast("decimal(28,9)")
+        .alias("t")
+    ).agg(F.sum("t").cast("decimal(38,9)").alias("st"))
+    s = (
+        tot.crossJoin(F.broadcast(terms))
+        .select(
+            "k",
+            "n",
+            F.round(
+                F.col("st")
+                - F.round(
+                    F.col("s").cast("double") * F.col("s") / F.col("n"), 9
+                ).cast("decimal(28,9)"),
+                3,
+            ).alias("ssb"),
+            F.round(
+                F.col("q").cast("decimal(38,9)") - F.col("st"), 3
+            ).alias("ssw"),
+        )
+    )
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("ssb").cast("double")
+    ssw = F.col("ssw").cast("double")
+    return s.where((n > k) & (k > 1)).select(
+        k.cast("bigint").alias("k_groups"),
+        n.cast("bigint").alias("n"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        (ssb / (k - 1) / (ssw / (n - k))).cast("double").alias("f_stat"),
+        (ssb / (ssb + ssw)).cast("double").alias("eta_squared"),
+    )

@@ -1927,3 +1927,154 @@ def events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.cs.x").cast("bigint").alias("x"),
         (F.col("z.labels") == 1).alias("burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_EWMA_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         row_number() OVER (ORDER BY CAST(ts AS DATE)) - 1 AS t_idx,
+         x
+  FROM (SELECT CAST(ts AS DATE) AS ts, count(*) AS x
+        FROM events GROUP BY 1)
+),
+n AS (SELECT count(*) AS n FROM daily),
+center AS (
+  SELECT CAST(round(sum(x) / CAST(nn.n AS DECIMAL(18,6)), 6)
+              AS DECIMAL(28,6)) AS mu
+  FROM daily, (SELECT n AS n FROM n) nn GROUP BY nn.n
+),
+mr AS (
+  SELECT CAST(round(sum(ABS(b.x - a.x))
+              / CAST(nn.n - 1 AS DECIMAL(18,6)), 6)
+              AS DECIMAL(28,6)) AS mrbar
+  FROM daily a JOIN daily b ON b.t_idx = a.t_idx + 1,
+       (SELECT n AS n FROM n) nn
+  GROUP BY nn.n
+),
+sig AS (
+  SELECT CAST(round(CAST(mrbar AS DOUBLE) / 1.128, 6)
+              AS DECIMAL(28,6)) AS sigma
+  FROM mr
+),
+rec AS (
+  SELECT d.t_idx AS t, d.day, d.x,
+         CAST(d.x AS DECIMAL(28,6)) AS z,
+         CAST(1.0 AS DECIMAL(28,6)) AS w
+  FROM daily d, n WHERE d.t_idx = 0 AND n.n >= 2
+  UNION ALL
+  SELECT d.t_idx, d.day, d.x,
+         CAST(round(CAST(0.2 AS DECIMAL(18,6)) * d.x
+              + CAST(0.8 AS DECIMAL(18,6)) * r.z, 6) AS DECIMAL(28,6)),
+         CAST(round(CAST(0.64 AS DECIMAL(18,6)) * r.w, 6)
+              AS DECIMAL(28,6))
+  FROM rec r JOIN daily d ON d.t_idx = r.t + 1
+)
+SELECT r.day, r.x,
+       CAST(r.z AS DOUBLE) AS z,
+       CAST(CAST(c.mu AS DOUBLE)
+            + 3.0 * CAST(s.sigma AS DOUBLE)
+              * sqrt(0.2 / 1.8 * (1.0 - CAST(r.w AS DOUBLE)))
+            AS DOUBLE) AS ucl,
+       CAST(CAST(c.mu AS DOUBLE)
+            - 3.0 * CAST(s.sigma AS DOUBLE)
+              * sqrt(0.2 / 1.8 * (1.0 - CAST(r.w AS DOUBLE)))
+            AS DOUBLE) AS lcl,
+       (CAST(r.z AS DOUBLE) > CAST(c.mu AS DOUBLE)
+            + 3.0 * CAST(s.sigma AS DOUBLE)
+              * sqrt(0.2 / 1.8 * (1.0 - CAST(r.w AS DOUBLE)))
+        OR CAST(r.z AS DOUBLE) < CAST(c.mu AS DOUBLE)
+            - 3.0 * CAST(s.sigma AS DOUBLE)
+              * sqrt(0.2 / 1.8 * (1.0 - CAST(r.w AS DOUBLE))))
+         AS out_of_control
+FROM rec r, center c, sig s
+WHERE r.t > 0
+"""
+
+
+@register("events_ewma_control", oracle=_EWMA_SQL, staged=True)
+def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily event-count series (built
+    r11, staged r12) — the SPC (statistical process control) member of
+    the drift family: Page-Hinkley and CUSUM detect a single change
+    point, the EWMA chart maintains a RUNNING smoothed level with
+    time-varying ±3σ control limits (Lucas & Saccucci 1990), flagging
+    every excursion. λ = 0.2; σ̂ from the mean moving range / d₂
+    (=1.128, the 2-point subgroup constant); limits widen with
+    1-(1-λ)^{2t} so early points are judged against the tighter
+    start-up variance.
+
+    Determinism engineering: BOTH the smoothed level z_t and the limit
+    factor w_t = (1-λ)^{2t} run as exact 6dp-DECIMAL recursions
+    (round-half-up every step — the Holt-Winters device: Python
+    decimal in an applyInPandas fold on the Spark side, a DuckDB
+    RECURSIVE CTE on the oracle side); the final z/UCL/LCL/flag are
+    ONE fixed-shape double expression of the pinned decimals (sqrt is
+    a safe transcendental; row 0 is start-up state, not emitted).
+
+    Scale shape: one day-keyed count (map-side combinable, the only
+    data-sized pass); the chart fold runs over the BOUNDED day-level
+    series as a single applyInPandas group — constant-size at any
+    corpus scale."""
+    import math
+
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("x"))
+
+    schema = (
+        "day date, x long, z double, ucl double, lcl double,"
+        " out_of_control boolean"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+
+        def r6(v):
+            return v.quantize(q, rounding=ROUND_HALF_UP)
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = [Decimal(int(v)) for v in pdf["x"]]
+        cols = ["day", "x", "z", "ucl", "lcl", "out_of_control"]
+        if len(xs) < 2:
+            return pd.DataFrame(columns=cols).astype(
+                {"day": "object", "x": "int64", "z": "float64",
+                 "ucl": "float64", "lcl": "float64",
+                 "out_of_control": "bool"}
+            )
+        n = len(xs)
+        mu = r6(sum(xs) / n)
+        mrbar = r6(
+            sum(abs(xs[i + 1] - xs[i]) for i in range(n - 1)) / (n - 1)
+        )
+        sigma = r6(Decimal(repr(float(mrbar) / 1.128)))
+        lam, oml, omls = Decimal("0.2"), Decimal("0.8"), Decimal("0.64")
+        z, w = xs[0], Decimal("1.0")
+        rows = []
+        for t in range(1, n):
+            z = r6(lam * xs[t] + oml * z)
+            w = r6(omls * w)
+            half = 3.0 * float(sigma) * math.sqrt(
+                0.2 / 1.8 * (1.0 - float(w))
+            )
+            ucl = float(mu) + half
+            lcl = float(mu) - half
+            zf = float(z)
+            rows.append(
+                (pdf["day"][t], int(xs[t]), zf, ucl, lcl,
+                 zf > ucl or zf < lcl)
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        daily.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(lambda _key, pdf: fold(pdf), schema)
+    )

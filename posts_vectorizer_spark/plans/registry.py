@@ -66,6 +66,25 @@ STAGED: dict[str, QueryDef] = {}
 #                               ISIZE verify, stdlib interop)
 #   text_jsd_source_drift      (source-vs-mix JSD, N-scaled plogp
 #                               lattice, closed-form p=0 complement)
+#   sim_hits_hubs_authorities  (Kleinberg HITS on the RAW directed
+#                               top-k graph; L1-normalized unrolled
+#                               half-steps — add to the no-jobs skip
+#                               set at introduction: topk kernel
+#                               broadcast build)
+#   rel_anova_oneway           (exact-moment F/eta²; SSB/SSW 3dp
+#                               re-pin before double conversion)
+#   events_ewma_control        (SPC chart; z_t AND (1-λ)^{2t} as 6dp
+#                               decimal recursions, RECURSIVE CTE twin)
+#   dedup_bloom_membership     (Kirsch-Mitzenmacher double hashing,
+#                               DISTINCT-bit-table filter, verdicts
+#                               beside exact digests)
+#   text_stupid_backoff_trigram (Brants 2007 cascade, HELD-OUT
+#                               even-train/odd-score split so every
+#                               backoff branch fires)
+#   sim_hits_ann               (HITS production twin over lsh_ann
+#                               lists — same hits_from_edges code;
+#                               no-jobs skip at introduction: lsh
+#                               bucket build)
 #
 # r10 staged history (all 21 introduced in the r11 head, below) — all
 # four-way gated in r10 (sf0.001+sf0.01+sf0.1 sweeps, vanilla
@@ -122,9 +141,10 @@ STAGED: dict[str, QueryDef] = {}
 #       the OTHER nine drains — hold fresh r11 head rows already via
 #       the three drain introductions; pick the oldest-green drain if
 #       none else qualifies).
-#   (c) freshness: the FOUR r5 names dropped from the r11 head
-#       (sim_semdedup_prune, stream_vectorize_drain, text_pmi_bigrams,
-#       text_readability) FIRST, then the r6 cohort
+#   (c) freshness: the FIVE r5 names dropped from the r11 head
+#       (sim_pagerank_knn — displaced by the text_good_turing spine
+#       slot — plus sim_semdedup_prune, stream_vectorize_drain,
+#       text_pmi_bigrams, text_readability) FIRST, then the r6 cohort
 #       (tools/cohorts.py), one-for-one against introductions.
 
 
@@ -178,19 +198,26 @@ def register(
 #       four-way gated in r10 (sf0.001+sf0.01+sf0.1 sweeps, vanilla
 #       head_check, named tests, empty-input gate, scale trends;
 #       SWEEPS.md; judge spot-check 7/7).
-#   (b) spine (2) — tfidf_doc_vectors + events_seasonal_decompose
+#   (b) spine (3) — tfidf_doc_vectors + events_seasonal_decompose
 #       (its oracle was refactored to the shared _STL_SQL constant in
 #       r10 — the refactor consumer re-proves; the other consumers,
 #       rel_benford_digit_test / text_unigram_logprob, hold fresh r10
-#       head rows).
-#   (c) freshness (27 = 9 + 18): the NINE spilled r4 rows FIRST
-#       (oldest standing green), then the first 18 of the 22-query r5
-#       cohort (list order; all 31 pre-verified vanilla in r10,
-#       SWEEPS.md 9/9 + 22/22; enumerate cohorts with
-#       tools/cohorts.py).
+#       head rows) + text_good_turing (its body was refactored
+#       MID-r11 into the shared good_turing_readout that the staged
+#       stream_good_turing_drain consumes — the consumer-of-changed-
+#       code rule; the OTHER two mid-r11 readout refactors,
+#       rel_mutual_information / events_transition_entropy, are r11
+#       introductions already in block (a)).
+#   (c) freshness (26 = 9 + 17): the NINE spilled r4 rows FIRST
+#       (oldest standing green), then the first 17 of the 22-query r5
+#       cohort (list order; all pre-verified vanilla in r10,
+#       SWEEPS.md 9/9 + 22/22; sim_pagerank_knn drops to r12 with the
+#       other four to make room for the text_good_turing spine slot;
+#       enumerate cohorts with tools/cohorts.py).
 _HEAD_ORDER: tuple[str, ...] = (
-    # ---- (b) r11 spine:
+    # ---- (b) r11 spine (incl. the mid-r11 readout-refactor consumer):
     "tfidf_doc_vectors", "events_seasonal_decompose",
+    "text_good_turing",
     # ---- (a) the 21 introductions (r10-staged wave):
     "text_zipf_fit", "text_textrank_keywords", "text_token_gini",
     "multimodal_alaw_ingest", "events_hill_tail",
@@ -216,7 +243,7 @@ _HEAD_ORDER: tuple[str, ...] = (
     "rel_salted_skew_join", "rel_stats_quantiles",
     "rel_subquery_correlated", "rel_tpch_q6_forecast_revenue",
     "rel_tpch_q8_market_share", "rel_weighted_median",
-    "sim_hybrid_rrf_fusion", "sim_pagerank_knn",
+    "sim_hybrid_rrf_fusion",
 )
 
 

@@ -489,3 +489,59 @@ def test_stream_reliability_drain_equals_batch(spark, tmp_path):
     )
     assert drain == batch
     assert {r["bin"] for r in drain} == {5, 9}
+
+
+def test_stupid_backoff_all_branches(spark, tmp_path):
+    """text_stupid_backoff_trigram: a planted train/probe split fires
+    all four branches (trigram hit, bigram backoff, unigram backoff,
+    full OOV) and each doc's score matches the hand-computed
+    Brants-style cascade."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    docs = make_docs(
+        spark,
+        [
+            (0, "aa bb cc aa bb dd", "en"),   # train (even)
+            (1, "aa bb cc xx yy", "en"),      # hit + 2x full OOV
+            (3, "dd bb cc", "en"),            # bigram backoff
+            (5, "xx yy dd", "en"),            # unigram backoff
+        ],
+    )
+    d = tmp_path / "sb"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in resolve_query("text_stupid_backoff_trigram")(
+            spark, str(d)
+        ).collect()
+    }
+    assert set(got) == {1, 3, 5}
+
+    q = Decimal("0.000001")
+
+    def lp(s):
+        return Decimal(repr(math.log10(s))).quantize(
+            q, rounding=ROUND_HALF_UP
+        )
+
+    # train stats: c3(aa,bb,cc)=1, c2(aa,bb)=2, c2(bb,cc)=1,
+    # u(bb)=2, u(dd)=1, N=6
+    doc1 = (lp(1 / 2) + lp(0.4 ** 3 / 6) + lp(0.4 ** 3 / 6)) / 3
+    doc3 = lp(0.4 * (1 / 2))
+    doc5 = lp(0.4 * 0.4 * (1 / 6))
+    assert got[1]["n_trigrams"] == 3
+    assert abs(got[1]["sb_logprob"] - float(doc1)) < 1e-9
+    assert got[3]["n_trigrams"] == 1
+    assert abs(got[3]["sb_logprob"] - float(doc3)) < 1e-9
+    assert got[5]["n_trigrams"] == 1
+    assert abs(got[5]["sb_logprob"] - float(doc5)) < 1e-9
+    # ordering: the bigram-backoff doc scores above doc 1 (whose mean
+    # is dragged by two full-OOV trigrams), which scores above the
+    # pure unigram-backoff doc... per the hand computation above
+    assert got[3]["sb_logprob"] > got[1]["sb_logprob"] > got[5]["sb_logprob"]

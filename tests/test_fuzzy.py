@@ -344,3 +344,56 @@ def test_lsh_param_planner_scurve_properties(spark):
             assert r["recall_est"] > r["fp_est"], k
     assert rows[(16, 1)]["fp_est"] == max(r["fp_est"] for r in rows.values())
     assert rows[(1, 16)]["fp_est"] == min(r["fp_est"] for r in rows.values())
+
+
+def test_bloom_membership_planted(spark, tmp_path):
+    """dedup_bloom_membership: exact duplicates are ALWAYS bloom-hit
+    (the no-false-negative guarantee) and every per-doc verdict matches
+    an independent Python replica of the double-hash positions."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    MOD, BASE, M, K = 1_000_000_007, 31, 65536, 4
+
+    def chash(s):
+        h = 0
+        for ch in s:
+            h = (h * BASE + ord(ch)) % MOD
+        return h
+
+    texts = {
+        0: "alpha beta gamma", 2: "delta epsilon", 4: "zeta eta theta",
+        1: "alpha beta gamma",        # exact dup of doc 0
+        3: "wholly novel text here",  # unique
+        5: "delta epsilon",           # exact dup of doc 2
+    }
+    d = tmp_path / "bloom"
+    d.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in resolve_query("dedup_bloom_membership")(
+            spark, str(d)
+        ).collect()
+    }
+    assert set(got) == {1, 3, 5}
+
+    bits = set()
+    for i, t in texts.items():
+        if i % 2 == 0:
+            h1, h2 = chash(t), chash(t[::-1])
+            bits.update((h1 + j * h2) % M for j in range(K))
+    build_texts = {t for i, t in texts.items() if i % 2 == 0}
+    for i in (1, 3, 5):
+        t = texts[i]
+        h1, h2 = chash(t), chash(t[::-1])
+        maybe = all((h1 + j * h2) % M in bits for j in range(K))
+        assert got[i]["bloom_maybe"] == maybe
+        assert got[i]["exact_dup"] == (t in build_texts)
+    # the guarantee: exact dups always hit
+    assert got[1]["bloom_maybe"] and got[5]["bloom_maybe"]
+    assert got[1]["exact_dup"] and got[5]["exact_dup"]
+    assert not got[3]["exact_dup"]

@@ -1247,3 +1247,135 @@ def test_label_centroid_drift_planted_shift(spark, tmp_path):
     assert abs(drifted["l2_drift"] - (4 * 9.0 + 4 * 49.0) ** 0.5) < 0.2
     # direction changed: cos(2*ones, alternating +/-5) ~= 0
     assert abs(drifted["cos_sim"]) < 0.1
+
+
+def test_hits_planted_authority(spark, tmp_path):
+    """sim_hits_hubs_authorities: on a graph where one dense cluster
+    collects most top-k links, authority concentrates on the
+    most-linked-to vectors; scores are L1-normalized; every score
+    matches a pinned-decimal replica of the two hub/authority
+    half-steps run over the SAME edge list (the edge derivation is
+    covered by the topk kernel tests — the replica independently
+    re-executes the ITERATION)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from posts_vectorizer_spark.operators import graph
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for vid in range(12):
+        if vid < 9:  # dense cluster around e1
+            v = np.array([1.0, 0, 0, 0]) + rng.normal(0, 0.03, 4)
+        else:        # three outliers near e2
+            v = np.array([0, 1.0, 0, 0]) + rng.normal(0, 0.03, 4)
+        rows.append((vid, [float(x) for x in v], vid % 2))
+    d = tmp_path / "hits"
+    d.mkdir()
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.parquet(str(d / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: r
+        for r in resolve_query("sim_hits_hubs_authorities")(
+            spark, str(d)
+        ).collect()
+    }
+    assert set(got) == set(range(12))
+    assert all(r["out_deg"] == 5 for r in got.values())
+    for col in ("hub", "authority"):
+        assert abs(sum(r[col] for r in got.values()) - 1.0) < 1e-6
+
+    # replica of the two L1-normalized half-steps over the same edges
+    edges = [
+        (r["src"], r["dst"])
+        for r in graph._directed_edges(emb, 5).collect()
+    ]
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    q = Decimal("0.000000001")
+
+    def r9(x):
+        return Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
+
+    def d9(x):
+        return Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
+
+    h = {v: 1.0 for v in verts}
+    a = {}
+    for _ in range(2):
+        a_raw = {v: Decimal(0) for v in verts}
+        for u, v in edges:
+            a_raw[v] += d9(h[u])
+        ta = float(sum(a_raw.values()))
+        a = {v: float(r9(float(a_raw[v]) / ta)) for v in verts}
+        h_raw = {v: Decimal(0) for v in verts}
+        for u, v in edges:
+            h_raw[u] += d9(a[v])
+        th = float(sum(h_raw.values()))
+        h = {v: float(r9(float(h_raw[v]) / th)) for v in verts}
+    for v in verts:
+        assert got[v]["hub"] == h[v], v
+        assert got[v]["authority"] == a[v], v
+    # authority concentrates inside the cluster (its members are the
+    # only ones the 9 cluster vectors can rank)
+    cluster_auth = sum(got[v]["authority"] for v in range(9))
+    assert cluster_auth > 0.8
+
+
+def test_hits_ann_shares_producer_and_iteration(spark):
+    """sim_hits_ann: the production twin runs the IDENTICAL iteration
+    over the lsh_ann edge list — its scores match a pinned-decimal
+    replica of the two half-steps over exactly that edge set, tying
+    the dual forms (exact witness / ANN production) to one iteration
+    contract."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.operators import similarity
+    from posts_vectorizer_spark.plans.queries_similarity import (
+        DIMS, KNN_GRAPH_K,
+    )
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from posts_vectorizer_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    edges = [
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K).collect()
+    ]
+    got = {
+        r["vec_id"]: r
+        for r in resolve_query("sim_hits_ann")(spark, SF_SMOKE).collect()
+    }
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    assert set(got) == set(verts)
+
+    q = Decimal("0.000000001")
+
+    def r9(x):
+        return Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)
+
+    h = {v: 1.0 for v in verts}
+    a = {}
+    for _ in range(2):
+        a_raw = {v: Decimal(0) for v in verts}
+        for u, v in edges:
+            a_raw[v] += r9(h[u])
+        ta = float(sum(a_raw.values()))
+        a = {v: float(r9(float(a_raw[v]) / ta)) for v in verts}
+        h_raw = {v: Decimal(0) for v in verts}
+        for u, v in edges:
+            h_raw[u] += r9(a[v])
+        th = float(sum(h_raw.values()))
+        h = {v: float(r9(float(h_raw[v]) / th)) for v in verts}
+    for v in verts:
+        assert got[v]["hub"] == h[v], v
+        assert got[v]["authority"] == a[v], v
+    out_deg = {}
+    for u, _ in edges:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    for v in verts:
+        assert got[v]["out_deg"] == out_deg.get(v, 0)

@@ -1063,3 +1063,37 @@ def test_ipw_ate_planted_confounding(spark, tmp_path):
     # treated users are disproportionately heavy in this plant? both
     # arms span both strata here, so just pin the counts instead
     assert out[0]["n_users"] == out[3]["n_users"] == 20
+
+
+def test_anova_oneway_textbook(spark, tmp_path):
+    """rel_anova_oneway: three planted groups with unit within-group
+    spread and means 2/5/8 give the textbook F = 27 and eta² = 0.9;
+    identical groups give F ~= 0."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def write(d, means):
+        rows = []
+        for g, m in zip(("A", "N", "R"), means):
+            for dv in (-1, 0, 1):
+                rows.append((g, float(m + dv)))
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "l_returnflag string, l_quantity double"
+        ).write.parquet(str(d / "lineitem.parquet"))
+
+    write(tmp_path / "sep", (2, 5, 8))
+    r = resolve_query("rel_anova_oneway")(
+        spark, str(tmp_path / "sep")
+    ).collect()[0]
+    assert (r["k_groups"], r["n"]) == (3, 9)
+    # SSB = 3*((2-5)^2 + 0 + (8-5)^2) = 54, SSW = 6 -> F = 27
+    assert abs(r["ssb"] - 54.0) < 1e-3
+    assert abs(r["ssw"] - 6.0) < 1e-3
+    assert abs(r["f_stat"] - 27.0) < 1e-2
+    assert abs(r["eta_squared"] - 0.9) < 1e-4
+
+    write(tmp_path / "same", (5, 5, 5))
+    r = resolve_query("rel_anova_oneway")(
+        spark, str(tmp_path / "same")
+    ).collect()[0]
+    assert abs(r["ssb"]) < 1e-3 and abs(r["f_stat"]) < 1e-2

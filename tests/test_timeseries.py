@@ -696,3 +696,68 @@ def test_kleinberg_bursts_planted_burst_and_penalty(spark, tmp_path):
     assert all(got[14:22])
     assert not got[29]
     assert not any(got[:14]) and not any(got[22:29]) and not any(got[30:])
+
+
+def test_ewma_control_planted_shift(spark, tmp_path):
+    """events_ewma_control: a level shift (10/day -> 30/day) drives the
+    smoothed level through the upper control limit within two days of
+    the jump; every row matches a pinned-decimal replica of the
+    z/w recursions and the fixed-shape limit expression."""
+    import math
+    from datetime import datetime as D
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    counts = [10] * 20 + [30] * 5
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, eid % 7, D(2024, 1, 1 + day, 12), "click", 1.0))
+            eid += 1
+    d = tmp_path / "ewma"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = sorted(
+        resolve_query("events_ewma_control")(spark, str(d)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(got) == len(counts) - 1  # day 0 is start-up state
+
+    # pinned-decimal replica
+    q = Decimal("0.000001")
+
+    def r6(v):
+        return v.quantize(q, rounding=ROUND_HALF_UP)
+
+    n = len(counts)
+    xs = [Decimal(c) for c in counts]
+    mu = r6(sum(xs) / n)
+    mrbar = r6(sum(abs(xs[i + 1] - xs[i]) for i in range(n - 1)) / (n - 1))
+    sigma = r6(Decimal(repr(float(mrbar) / 1.128)))
+    z, w = xs[0], Decimal("1.0")
+    flagged_days = []
+    for t in range(1, n):
+        z = r6(Decimal("0.2") * xs[t] + Decimal("0.8") * z)
+        w = r6(Decimal("0.64") * w)
+        half = 3.0 * float(sigma) * math.sqrt(0.2 / 1.8 * (1.0 - float(w)))
+        row = got[t - 1]
+        assert row["x"] == int(xs[t])
+        assert row["z"] == float(z)
+        assert abs(row["ucl"] - (float(mu) + half)) < 1e-12
+        assert row["out_of_control"] == (
+            float(z) > float(mu) + half or float(z) < float(mu) - half
+        )
+        if row["out_of_control"]:
+            flagged_days.append(t)
+    # the jump at day 20 is caught within two days
+    assert any(t in (20, 21) for t in flagged_days)
+    # the steady pre-jump segment is NOT flagged high (z stays at 10,
+    # below mu=14: it may flag LOW, which a retrospective chart should)
+    assert all(got[t - 1]["z"] <= got[t - 1]["ucl"] for t in range(2, 19))

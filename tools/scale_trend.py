@@ -386,6 +386,24 @@ def main(only: list[str] | None = None) -> None:
         "jsd_source_drift": lambda k: SQ["text_jsd_source_drift"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "hits_hubs_authorities": lambda k: SQ["sim_hits_hubs_authorities"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "hits_ann": lambda k: SQ["sim_hits_ann"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "anova_oneway": lambda k: SQ["rel_anova_oneway"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
+        "ewma_control": lambda k: SQ["events_ewma_control"](
+            spark, table_dir("events", k, "events")
+        ),
+        "bloom_membership": lambda k: SQ["dedup_bloom_membership"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "stupid_backoff": lambda k: SQ["text_stupid_backoff_trigram"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "rocchio_eval": lambda k: SQ["sim_rocchio_centroid_eval"](
             spark, table_dir("emb", k, "embeddings")
         ),
