@@ -2842,3 +2842,167 @@ def gzip_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, GZIP_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL ICO container (built r11, staged r12) — the Windows icon
+# directory wrapping MULTIPLE embedded images: ICONDIR + 16-byte
+# ICONDIRENTRY table (sizes, bit depth, byte counts, image offsets),
+# each image a BITMAPINFOHEADER DIB with the ICO quirks — biHeight
+# doubled (XOR pixel data + 1-bpp AND transparency mask) and NO
+# BITMAPFILEHEADER. The first container-of-codecs composition: the
+# 24-bit bottom-up padded-row pixel layout is the BMP codec's, the
+# directory walk is the container's own.
+# ---------------------------------------------------------------------------
+
+
+def encode_ico(images: list[np.ndarray]) -> bytes:
+    """[(h, w, 3) uint8 RGB] -> ICO bytes (24-bit DIBs, opaque AND
+    masks). Deterministic layout: entries in input order, images
+    packed back-to-back after the directory."""
+    import struct
+
+    if not images or len(images) > 255:
+        raise ValueError("ICO needs 1..255 images")
+    dibs = []
+    for rgb in images:
+        h, w, _ = rgb.shape
+        if w > 255 or h > 255:
+            raise ValueError("ICO images are at most 255x255")
+        xor_pad = (4 - (3 * w) % 4) % 4
+        and_row = ((w + 31) // 32) * 4  # 1bpp rows pad to 32 bits
+        xor_size = (3 * w + xor_pad) * h
+        body = bytearray(
+            struct.pack(
+                "<IiiHHIIiiII",
+                40, w, 2 * h, 1, 24, 0, xor_size + and_row * h,
+                0, 0, 0, 0,
+            )
+        )
+        for y in range(h - 1, -1, -1):  # bottom-up BGR, padded rows
+            body += rgb[y, :, ::-1].tobytes()
+            body += b"\x00" * xor_pad
+        body += b"\x00" * (and_row * h)  # all-opaque AND mask
+        dibs.append((w, h, bytes(body)))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(dibs)))
+    offset = 6 + 16 * len(dibs)
+    for w, h, body in dibs:
+        out += struct.pack(
+            "<BBBBHHII",
+            w % 256, h % 256, 0, 0, 1, 24, len(body), offset,
+        )
+        offset += len(body)
+    for _, _, body in dibs:
+        out += body
+    return bytes(out)
+
+
+def decode_ico(raw: bytes) -> list[np.ndarray]:
+    """ICO bytes -> [(h, w, 3) uint8 RGB]. Walks the directory,
+    verifies the reserved/type header, each entry's recorded byte
+    count and offset, the doubled biHeight, 24bpp BI_RGB, and that
+    the declared entry size matches the directory width/height; loud
+    reject (ValueError) on any inconsistency — the container-family
+    contract."""
+    import struct
+
+    if len(raw) < 6:
+        raise ValueError("truncated ICO header")
+    rsv, typ, cnt = struct.unpack("<HHH", raw[:6])
+    if rsv != 0 or typ != 1:
+        raise ValueError("not an ICO file")
+    images = []
+    for e in range(cnt):
+        off = 6 + 16 * e
+        if off + 16 > len(raw):
+            raise ValueError("truncated ICONDIRENTRY table")
+        ew, eh, _cols, ersv, _planes, bpp, size, img_off = struct.unpack(
+            "<BBBBHHII", raw[off : off + 16]
+        )
+        if ersv != 0:
+            raise ValueError(f"entry {e}: bad reserved byte")
+        if img_off + size > len(raw):
+            raise ValueError(f"entry {e}: image exceeds file")
+        dib = raw[img_off : img_off + size]
+        (hsz, w, h2, _pl, dbpp, comp) = struct.unpack(
+            "<IiiHHI", dib[:20]
+        )
+        if hsz != 40 or comp != 0 or dbpp != 24:
+            raise ValueError(f"entry {e}: unsupported DIB")
+        if h2 % 2 != 0:
+            raise ValueError(f"entry {e}: biHeight not doubled")
+        h = h2 // 2
+        if (ew % 256, eh % 256) != (w % 256, h % 256):
+            raise ValueError(f"entry {e}: directory/DIB size mismatch")
+        xor_pad = (4 - (3 * w) % 4) % 4
+        row_bytes = 3 * w + xor_pad
+        and_row = ((w + 31) // 32) * 4
+        if 40 + row_bytes * h + and_row * h != size:
+            raise ValueError(f"entry {e}: recorded size mismatch")
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            start = 40 + i * row_bytes
+            row = np.frombuffer(
+                dib[start : start + 3 * w], dtype=np.uint8
+            )
+            img[h - 1 - i] = row.reshape(w, 3)[:, ::-1]
+        images.append(img)
+    return images
+
+
+def synth_ico_images(doc_id: int) -> list[np.ndarray]:
+    """Deterministic icon set both engines can state: icon j of
+    n = 1 + doc_id%3 is w=4+(doc_id+3j)%13 by h=3+(doc_id+5j)%11 with
+    r = (doc_id + x + 2y + 7j) % 256, g = (r+85)%256, b = (r+170)%256."""
+    d = int(doc_id)
+    out = []
+    for j in range(1 + d % 3):
+        w = 4 + (d + 3 * j) % 13
+        h = 3 + (d + 5 * j) % 11
+        y, x = np.mgrid[0:h, 0:w]
+        r = (d + x + 2 * y + 7 * j) % 256
+        img = np.stack(
+            [r, (r + 85) % 256, (r + 170) % 256], axis=-1
+        ).astype(np.uint8)
+        out.append(img)
+    return out
+
+
+ICO_FEATURE_SCHEMA = (
+    "doc_id long, n_icons int, sum_w long, sum_h long, sum_px long"
+)
+
+
+def ico_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id) -> synth icons -> ENCODE hand-written ICO -> DECODE
+    (directory walk + entry/DIB consistency verify + BMP-layout pixel
+    unpack) -> integer-exact profile over the DECODED pixels. The
+    oracle states the profile from the synthesis formula, so any
+    directory, offset, mask-accounting, or pixel-layout bug
+    hash-mismatches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                spec = synth_ico_images(int(doc_id))
+                got = decode_ico(encode_ico(spec))
+                assert len(got) == len(spec)
+                for a, b in zip(got, spec):
+                    assert (a == b).all()
+                out.append(
+                    (
+                        int(doc_id), len(got),
+                        sum(i.shape[1] for i in got),
+                        sum(i.shape[0] for i in got),
+                        sum(int(i.sum()) for i in got),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_icons", "sum_w", "sum_h", "sum_px",
+                ],
+            )
+
+    return base.mapInPandas(run, ICO_FEATURE_SCHEMA)

@@ -499,3 +499,140 @@ def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking partial-dup profile (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_CDC_W = 8      # rolling window (chars)
+_CDC_MASK = 64  # boundary when window-hash % 64 == 0 (~64-char chunks)
+
+_CDC_BOUNDS_SPARK = f"""
+CASE WHEN length(text) < {_CDC_W} THEN array(length(text))
+ELSE concat(
+  filter(sequence({_CDC_W}, length(text)),
+    i -> i < length(text) AND
+         aggregate(slice(split(text, ''), i - {_CDC_W - 1}, {_CDC_W}),
+                   0L,
+                   (acc, ch) -> (acc * {T.HASH_BASE} + ascii(ch))
+                                % {T.HASH_MOD}) % {_CDC_MASK} = 0),
+  array(length(text)))
+END
+"""
+
+_CDC_BOUNDS_DUCK = f"""
+CASE WHEN length(text) < {_CDC_W} THEN [length(text)]
+ELSE list_concat(
+  list_filter(generate_series({_CDC_W}, length(text)),
+    i -> i < length(text) AND
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(i - {_CDC_W - 1}, i),
+                            ch_i -> ascii(text[ch_i]))),
+           (acc, ch) -> (acc * {T.HASH_BASE} + ch) % {T.HASH_MOD})
+         % {_CDC_MASK} = 0),
+  [length(text)])
+END
+"""
+
+_CDC_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {_CDC_BOUNDS_DUCK} AS bounds
+  FROM documents WHERE length(text) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(bounds)),
+           k -> md5(substr(text,
+                           CAST(list_concat([0], bounds)[k] AS INT) + 1,
+                           CAST(bounds[k]
+                                - list_concat([0], bounds)[k] AS INT)))))
+           AS dg
+  FROM base
+),
+per_chunk AS (
+  SELECT dg, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY dg
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(round(sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 6) AS DOUBLE)
+         AS shared_ratio
+FROM chunks c JOIN per_chunk p USING (dg)
+GROUP BY c.doc_id
+"""
+
+
+@register("dedup_cdc_chunking", oracle=_CDC_SQL, staged=True)
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking partial-duplicate profile (built r11,
+    staged r12) — the storage-dedup technique (Rabin/LBFS lineage;
+    FastCDC's un-bounded ancestor) applied to corpus curation: chunk
+    boundaries fall where the {_CDC_W}-char rolling window hash is
+    ≡ 0 (mod {_CDC_MASK}), so a shared PASSAGE chunks identically in
+    both documents regardless of its byte offset — insert a paragraph
+    at the top and fixed-size blocks all shift, but content-defined
+    chunks realign at the next boundary. Per doc: chunk count, chunks
+    shared with ANY other doc (md5 chunk keys), shared ratio — the
+    sub-document redundancy signal between whole-doc exact dedup and
+    MinHash near-dup. Deliberately the PURE content-defined rule (no
+    FastCDC min/max bounds: those make boundaries sequential-state;
+    this form keeps every boundary a position-independent predicate —
+    the distributable and oracle-statable variant, documented
+    tradeoff).
+
+    Exactness: the window hash is the engine's portable char fold;
+    boundaries/chunks/digests are integer-and-string-exact; the only
+    double is the final round-6 ratio of exact counts.
+
+    Scale shape: boundary detection is IN-ROW (codegen higher-order
+    fold, O(len·w) per doc, zero shuffle); the chunk table shuffles
+    16-byte md5 keys only (the dedup-family contract: text never
+    rides the wire beyond its own chunk hash); sharedness is one
+    chunk-keyed count + one doc-keyed rollup."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
+    base = docs.select(
+        "doc_id", "text", F.expr(_CDC_BOUNDS_SPARK).alias("bounds")
+    )
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+        transform(sequence(1, size(bounds)), k ->
+          md5(CAST(substr(text,
+                element_at(concat(array(0), bounds), k) + 1,
+                element_at(bounds, k)
+                  - element_at(concat(array(0), bounds), k))
+              AS BINARY)))
+        """
+            )
+        ).alias("dg"),
+    )
+    from ..cache import persist_tracked
+
+    chunks = persist_tracked(chunks)
+    per_chunk = chunks.groupBy("dg").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    shared = F.sum(
+        F.when(F.col("n_docs") > 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        chunks.join(per_chunk, "dg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            shared.cast("bigint").alias("n_shared"),
+            F.round(
+                shared / F.count("*").cast("double"), 6
+            )
+            .cast("double")
+            .alias("shared_ratio"),
+        )
+    )

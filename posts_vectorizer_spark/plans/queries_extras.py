@@ -1835,3 +1835,62 @@ def multimodal_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gzip_ingest_features(docs.select("doc_id"))
+
+
+_ICO_INGEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+),
+icons AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j FROM base
+),
+sized AS (
+  SELECT doc_id, n, j,
+         4 + (doc_id + 3 * j) % 13 AS w,
+         3 + (doc_id + 5 * j) % 11 AS h
+  FROM icons
+),
+px AS (
+  SELECT doc_id, n, j, w, h, unnest(generate_series(0, w * h - 1)) AS c
+  FROM sized
+),
+vals AS (
+  SELECT doc_id, n, j, w, h,
+         (doc_id + (c % w) + 2 * (c // w) + 7 * j) % 256 AS r
+  FROM px
+),
+per_icon AS (
+  SELECT doc_id, n, j, w, h,
+         sum(r + (r + 85) % 256 + (r + 170) % 256) AS psum
+  FROM vals GROUP BY doc_id, n, j, w, h
+)
+SELECT doc_id,
+       CAST(max(n) AS INT) AS n_icons,
+       CAST(sum(w) AS BIGINT) AS sum_w,
+       CAST(sum(h) AS BIGINT) AS sum_h,
+       CAST(sum(psum) AS BIGINT) AS sum_px
+FROM per_icon GROUP BY doc_id
+"""
+
+
+@register("multimodal_ico_ingest", oracle=_ICO_INGEST_SQL, staged=True)
+def multimodal_ico_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ICO container codec (built r11, staged r12) — the first
+    CONTAINER-OF-CODECS composition: a Windows icon directory
+    (ICONDIR + 16-byte entries with recorded sizes/offsets) wrapping
+    MULTIPLE embedded 24-bit DIB images, each with the ICO quirks a
+    naive BMP reader trips over — doubled biHeight (XOR pixel block +
+    1-bpp AND transparency mask, both accounted in the recorded byte
+    count) and no BITMAPFILEHEADER. The decoder verifies directory
+    reserved/type bytes, per-entry offset+size bounds, the doubled
+    height, directory-vs-DIB dimension agreement, and the exact
+    XOR+AND byte accounting before unpacking a pixel (loud ValueError
+    otherwise). Profile (icon count, dimension sums, decoded pixel
+    sum) stated by the oracle from the synthesis formula.
+
+    Scale shape: per-row scan-stage container work; only the 5-column
+    profile leaves the stage."""
+    from ..operators.multimodal import ico_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ico_ingest_features(docs.select("doc_id"))

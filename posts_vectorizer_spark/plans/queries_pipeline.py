@@ -1734,3 +1734,81 @@ def stream_good_turing_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_turing_readout(
         state.select("word", F.col("c").alias("r"))
     )
+
+
+from .queries_stats import _ANOVA_SQL  # noqa: E402
+
+
+@register("stream_anova_drain", oracle=_ANOVA_SQL, staged=True)
+def stream_anova_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming variance-decomposition monitoring with a driver row
+    (built r11, staged r12): lineitem streams in TWO forced
+    micro-batches; each batch additively merges its (grp, n, s, q)
+    integer moment delta into the standing group-moment table
+    (streaming/worker.py::anova_moment_stream through the ledgered add
+    sink); the F / eta² readout runs from MERGED state through the
+    SAME anova_readout as the batch test, whose whole-corpus SQL is
+    the oracle. Extends the additive-state family to a VARIANCE-
+    DECOMPOSITION readout beside the chi-square (Benford), OLS (Zipf),
+    and entropy (MI / transitions) monitors."""
+    from ..streaming.worker import anova_moment_stream
+    from .queries_stats import anova_readout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feed = li.select("l_orderkey", "l_returnflag", "l_quantity")
+    state = _forced_drain(
+        spark, feed, "l_orderkey",
+        lambda src, st, ck, mft: anova_moment_stream(
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "k_groups bigint, n bigint, ssb double, ssw double,"
+            " f_stat double, eta_squared double",
+        )
+    return anova_readout(
+        state.select(
+            "grp",
+            F.col("n_g").alias("n_g"),
+            F.col("s_g").alias("s_g"),
+            F.col("q_g").alias("q_g"),
+        )
+    )
+
+
+from .queries_text import _JSD_SQL  # noqa: E402
+
+
+@register("stream_jsd_drain", oracle=_JSD_SQL, staged=True)
+def stream_jsd_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source-drift monitoring with a driver row (built r11,
+    staged r12): documents stream in TWO forced micro-batches; each
+    batch additively merges its (source, word) count delta into the
+    standing table (streaming/worker.py::jsd_count_stream — the
+    unbounded-key additive family, the Zipf drain's state widened by
+    the source key); the per-source Jensen-Shannon readout runs from
+    MERGED state through the SAME jsd_readout as the batch query,
+    whose whole-corpus SQL is the oracle — live which-source-drifted
+    triage, hash-checked end to end."""
+    from ..streaming.worker import jsd_count_stream
+    from .queries_text import jsd_readout
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select("doc_id", "source", "text")
+    state = _forced_drain(
+        spark, feed, "doc_id",
+        lambda src, st, ck, mft: jsd_count_stream(
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [], "source string, n_tokens bigint, jsd double"
+        )
+    return jsd_readout(
+        state.select("source", "word", F.col("c").alias("a"))
+    )

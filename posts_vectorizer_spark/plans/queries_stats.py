@@ -2818,11 +2818,14 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one-way ANOVA (built r11, staged r12)
 # ---------------------------------------------------------------------------
 
-_ANOVA_SQL = """
-WITH vals AS (
-  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
-  FROM lineitem
-),
+def _anova_sql_over(vals_sql: str, head: str = "WITH") -> str:
+    """Full exact-moment one-way-ANOVA SQL over any ``vals`` relation
+    (columns grp, x integer) — shared by rel_anova_oneway, the
+    streaming drain's oracle, and the Brown-Forsythe Levene test
+    (which feeds |2x - 2·median| deviations through the same
+    algebra)."""
+    return f"""
+{head} vals AS ({vals_sql}),
 g AS (
   SELECT grp, count(*) AS n_g, sum(x) AS s_g, sum(x * x) AS q_g
   FROM vals GROUP BY grp
@@ -2858,6 +2861,14 @@ FROM s WHERE n > k AND k > 1
 """
 
 
+_ANOVA_SQL = _anova_sql_over(
+    """
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem
+"""
+)
+
+
 @register("rel_anova_oneway", oracle=_ANOVA_SQL, staged=True)
 def rel_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F test (built r11, staged r12) — does a
@@ -2881,15 +2892,27 @@ def rel_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin would need the N-scaled floor-div device — documented, not
     needed at the test tiers."""
     li = load_table(spark, sf_dir, "lineitem")
+    return anova_readout(anova_group_moments(li))
+
+
+def anova_group_moments(li: DataFrame) -> DataFrame:
+    """(grp, n_g, s_g, q_g) exact integer group moments — the complete
+    ADDITIVE sufficient statistic of the F test (shared by the batch
+    query and the streaming drain)."""
     vals = li.select(
         F.col("l_returnflag").alias("grp"),
         F.col("l_quantity").cast("bigint").alias("x"),
     )
-    g = vals.groupBy("grp").agg(
+    return vals.groupBy("grp").agg(
         F.count("*").alias("n_g"),
         F.sum("x").alias("s_g"),
         F.sum(F.col("x") * F.col("x")).alias("q_g"),
     )
+
+
+def anova_readout(g: DataFrame) -> DataFrame:
+    """F / eta² as a pure function of the (grp, n_g, s_g, q_g) moment
+    table — round-9 DECIMAL terms, 3dp re-pin before conversion."""
     from ..cache import persist_tracked
 
     g = persist_tracked(g)
@@ -2932,3 +2955,82 @@ def rel_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ssb / (k - 1) / (ssw / (n - k))).cast("double").alias("f_stat"),
         (ssb / (ssb + ssw)).cast("double").alias("eta_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe Levene test (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_LEVENE_SQL = _anova_sql_over(
+    """
+  SELECT r.grp, ABS(2 * r.x - m.m2) AS x
+  FROM (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+        FROM lineitem) r
+  JOIN (
+    SELECT grp,
+           min(CASE WHEN cum >= r1 THEN x END)
+             + min(CASE WHEN cum >= r2 THEN x END) AS m2
+    FROM (
+      SELECT grp, x,
+             sum(c) OVER (PARTITION BY grp ORDER BY x) AS cum,
+             (sum(c) OVER (PARTITION BY grp) + 1) // 2 AS r1,
+             sum(c) OVER (PARTITION BY grp) // 2 + 1 AS r2
+      FROM (SELECT l_returnflag AS grp,
+                   CAST(l_quantity AS BIGINT) AS x, count(*) AS c
+            FROM lineitem GROUP BY 1, 2)
+    ) GROUP BY grp
+  ) m USING (grp)
+"""
+)
+
+
+@register("rel_levene_test", oracle=_LEVENE_SQL, staged=True)
+def rel_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe Levene test (built r11, staged r12) — are the
+    group VARIANCES equal? (the homoscedasticity check that decides
+    whether rel_anova_oneway's pooled-variance F is even applicable —
+    the two ship as a pair, the way Welch pairs with the t test).
+    Brown-Forsythe's robust variant: deviations from the group MEDIAN,
+    then the one-way-ANOVA F over those deviations, computed by the
+    SAME anova_readout.
+
+    Exactness: the group median comes off the bounded VALUE GRID
+    (cumulative counts over distinct quantities — no row sort), and
+    the deviations enter as |2x − 2·median| so the even-n half-value
+    median stays an exact INTEGER lattice (F is scale-invariant, so
+    the ×2 changes nothing); everything downstream is the exact-moment
+    ANOVA algebra, F reported as w_stat.
+
+    Scale shape: one (grp, value) count (map-side combinable, ≤ k·50
+    cells), a cell-level window for the order statistics, one
+    broadcast join of the k-row median table back onto the scan, and
+    the k-group moment reduce — no row-level sort anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    cells = raw.groupBy("grp", "x").agg(F.count("*").alias("c"))
+    wg = Window.partitionBy("grp")
+    wcum = wg.orderBy("x")
+    cum = cells.select(
+        "grp", "x",
+        F.sum("c").over(wcum).alias("cum"),
+        ((F.sum("c").over(wg) + 1) / 2).cast("bigint").alias("r1"),
+        (F.sum("c").over(wg) / 2 + 1).cast("bigint").alias("r2"),
+    )
+    med = cum.groupBy("grp").agg(
+        (
+            F.min(F.when(F.col("cum") >= F.col("r1"), F.col("x")))
+            + F.min(F.when(F.col("cum") >= F.col("r2"), F.col("x")))
+        ).alias("m2")
+    )
+    z = raw.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("x") - F.col("m2")).alias("x")
+    )
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).alias("q_g"),
+    )
+    return anova_readout(g)

@@ -956,10 +956,23 @@ def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-keyed reduce to |sources| rows. No per-pair quadratic —
     source-vs-MIX is linear in sources by design."""
     docs = load_table(spark, sf_dir, "documents")
+    return jsd_readout(jsd_source_word_counts(docs))
+
+
+def jsd_source_word_counts(docs: DataFrame) -> DataFrame:
+    """(source, word, a) counts — the complete ADDITIVE sufficient
+    statistic of the per-source JSD profile (shared by the batch query
+    and the streaming drain)."""
     toks = docs.select(
         "source", F.explode(textstats.T.tokens("text")).alias("word")
     )
-    sw = toks.groupBy("source", "word").agg(F.count("*").alias("a"))
+    return toks.groupBy("source", "word").agg(F.count("*").alias("a"))
+
+
+def jsd_readout(sw: DataFrame) -> DataFrame:
+    """Per-source JSD vs the corpus mix as a pure function of the
+    (source, word, a) count table — N-scaled round-9 DECIMAL plogp
+    lattice, closed-form absent-word complement."""
     from ..cache import persist_tracked
 
     sw = persist_tracked(sw)

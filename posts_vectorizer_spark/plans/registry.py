@@ -85,6 +85,16 @@ STAGED: dict[str, QueryDef] = {}
 #                               lists — same hits_from_edges code;
 #                               no-jobs skip at introduction: lsh
 #                               bucket build)
+#   stream_anova_drain         (ADD-merged integer group moments ->
+#                               anova_readout; variance monitor)
+#   stream_jsd_drain           (ADD-merged (source, word) counts ->
+#                               jsd_readout; drift monitor)
+#   multimodal_ico_ingest      (ICO container-of-DIBs composition:
+#                               doubled biHeight + AND-mask bytes)
+#   dedup_cdc_chunking         (Rabin content-defined chunk dedup,
+#                               position-independent boundary rule)
+#   rel_levene_test            (Brown-Forsythe via value-grid medians
+#                               + the shared exact-moment ANOVA)
 #
 # r10 staged history (all 21 introduced in the r11 head, below) — all
 # four-way gated in r10 (sf0.001+sf0.01+sf0.1 sweeps, vanilla

@@ -1297,3 +1297,89 @@ def transition_count_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def anova_moment_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming variance-decomposition maintenance: each micro-batch
+    of lineitem rows merges its (grp, n, s, q) integer moment delta
+    ADDITIVELY into the standing group-moment table; the ANOVA F
+    readout (plans/queries_stats.py::anova_readout) runs from state as
+    a pure function. Counts, sums, and sums of squares are the test's
+    complete sufficient statistic and addition is commutative, so any
+    batch split yields the one-pass result.
+
+    At 100 TB: per-batch cost is one map-side-combinable k-group
+    moment aggregate plus O(k) state rows — a continuously fresh
+    does-this-category-explain-this-metric monitor."""
+    from ..plans.queries_stats import anova_group_moments
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = anova_group_moments(batch_df)
+        # the add sink merges every non-key numeric column; moments are
+        # (n_g, s_g, q_g) under the grp key
+        merge_add_parquet(
+            spark, delta, state_dir, ["grp"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def jsd_count_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming source-drift maintenance: each micro-batch of
+    documents merges its (source, word, a) count delta ADDITIVELY into
+    the standing table (the UNBOUNDED-key additive family — the Zipf
+    drain's state widened by the source key); the per-source JSD
+    readout (plans/queries_text.py::jsd_readout) runs from state as a
+    pure function.
+
+    At 100 TB: per-batch cost is the batch's tokenize + one map-side-
+    combinable (source, word) count + O(touched buckets) of the
+    standing table — a continuously fresh which-source-drifted
+    monitor."""
+    from ..plans.queries_text import jsd_source_word_counts
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = jsd_source_word_counts(batch_df).withColumnRenamed(
+            "a", "c"
+        )
+        merge_add_parquet(
+            spark, delta, state_dir, ["source", "word"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -397,3 +397,84 @@ def test_bloom_membership_planted(spark, tmp_path):
     assert got[1]["bloom_maybe"] and got[5]["bloom_maybe"]
     assert got[1]["exact_dup"] and got[5]["exact_dup"]
     assert not got[3]["exact_dup"]
+
+
+def test_cdc_chunking_realigns_after_insert(spark, tmp_path):
+    """dedup_cdc_chunking: the content-defined property — prepending a
+    paragraph shifts every byte offset, yet the chunking REALIGNS at
+    the next boundary so the shared suffix still chunks identically
+    (a fixed-size blocker would share nothing). Boundaries match an
+    independent Python replica of the rolling-hash rule."""
+    import hashlib
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    MOD, BASE, W, MASK = 1_000_000_007, 31, 8, 64
+
+    def bounds(text):
+        n = len(text)
+        if n < W:
+            return [n]
+        out = []
+        for i in range(W, n + 1):
+            if i < n:
+                h = 0
+                for ch in text[i - W : i]:
+                    h = (h * BASE + ord(ch)) % MOD
+                if h % MASK == 0:
+                    out.append(i)
+        return out + [n]
+
+    def chunks(text):
+        bs = bounds(text)
+        prev, out = 0, []
+        for b in bs:
+            out.append(text[prev:b])
+            prev = b
+        return out
+
+    import random
+
+    rng = random.Random(7)
+    base = " ".join(
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(3, 9)))
+        for _ in range(120)
+    )
+    shifted = "THIS PARAGRAPH WAS INSERTED AT THE TOP. " + base
+    assert len(bounds(base)) > 3, "fixture must produce several chunks"
+
+    d = tmp_path / "cdc"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, base, "en", "s", len(base)),
+         (1, shifted, "en", "s", len(shifted)),
+         (2, "tiny", "en", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in resolve_query("dedup_cdc_chunking")(
+            spark, str(d)
+        ).collect()
+    }
+    # replica: chunk digests per doc, shared = in >1 doc
+    digs = {
+        i: [hashlib.md5(c.encode()).hexdigest() for c in chunks(t)]
+        for i, t in ((0, base), (1, shifted), (2, "tiny"))
+    }
+    from collections import Counter
+
+    owner = Counter()
+    for i, ds in digs.items():
+        for dg in set(ds):
+            owner[dg] += 1
+    for i in (0, 1, 2):
+        exp_shared = sum(1 for dg in digs[i] if owner[dg] > 1)
+        assert got[i]["n_chunks"] == len(digs[i]), i
+        assert got[i]["n_shared"] == exp_shared, i
+    # the content-defined claim: most of doc 0's chunks survive the
+    # prepend (byte offsets all moved; boundaries realigned)
+    assert got[0]["n_shared"] >= got[0]["n_chunks"] - 2
+    assert got[0]["n_chunks"] > 3
+    assert got[2]["n_shared"] == 0

@@ -1544,3 +1544,65 @@ def test_gzip_ingest_hand_computed(spark, tmp_path):
         r = rows[doc]
         assert r["name_len"] == len(f"doc{doc}.txt")
         assert (r["isize"], r["sum_bytes"]) == (ln, sb)
+
+
+def test_ico_container_rejects_and_hand_computed(spark, tmp_path):
+    """multimodal_ico_ingest's codec: multi-image roundtrip, the
+    doubled-biHeight and AND-mask byte accounting, loud rejects on
+    directory/DIB inconsistencies; query output equals the synthesis
+    formula for two docs."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    imgs = M.synth_ico_images(5)  # 3 icons
+    raw = M.encode_ico(imgs)
+    got = M.decode_ico(raw)
+    assert len(got) == 3
+    for a, b in zip(got, imgs):
+        assert (a == b).all()
+    # structural: doubled biHeight inside the first DIB
+    (img_off,) = struct.unpack_from("<I", raw, 6 + 12)
+    _, w, h2 = struct.unpack_from("<Iii", raw, img_off)
+    assert h2 == 2 * imgs[0].shape[0]
+
+    with pytest.raises(ValueError):
+        M.decode_ico(b"\x01" + raw[1:])  # reserved != 0
+    bad = bytearray(raw)
+    struct.pack_into("<I", bad, 6 + 12, len(raw))  # offset past EOF
+    with pytest.raises(ValueError):
+        M.decode_ico(bytes(bad))
+    bad = bytearray(raw)
+    bad[6] ^= 0xFF  # directory width != DIB width
+    with pytest.raises(ValueError):
+        M.decode_ico(bytes(bad))
+    bad = bytearray(raw)
+    struct.pack_into("<i", bad, img_off + 8, h2 + 1)  # odd biHeight
+    with pytest.raises(ValueError):
+        M.decode_ico(bytes(bad))
+    with pytest.raises(ValueError):
+        M.encode_ico([np.zeros((300, 4, 3), dtype=np.uint8)])  # >255
+
+    d = tmp_path / "ico"
+    d.mkdir()
+    spark.createDataFrame(
+        [(2, "x", "en", "s", 1), (7, "y", "de", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_query("multimodal_ico_ingest")(
+            spark, str(d)
+        ).collect()
+    }
+    for doc in (2, 7):
+        spec = M.synth_ico_images(doc)
+        r = rows[doc]
+        assert r["n_icons"] == len(spec)
+        assert r["sum_w"] == sum(i.shape[1] for i in spec)
+        assert r["sum_h"] == sum(i.shape[0] for i in spec)
+        assert r["sum_px"] == sum(int(i.sum()) for i in spec)

