@@ -747,3 +747,127 @@ def mi_readout(xy: DataFrame) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence + Cramér's V (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_CHI2_INDEP_SQL = """
+WITH pairs AS (
+  SELECT event_type AS xv,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS yv
+  FROM events
+),
+xy AS (SELECT xv, yv, count(*) AS nxy FROM pairs GROUP BY xv, yv),
+mx AS (SELECT xv, sum(nxy) AS nx FROM xy GROUP BY xv),
+my AS (SELECT yv, sum(nxy) AS ny FROM xy GROUP BY yv),
+tot AS (SELECT sum(nxy) AS n FROM xy),
+grid AS (
+  SELECT mx.xv, my.yv, mx.nx, my.ny, COALESCE(xy.nxy, 0) AS o
+  FROM mx CROSS JOIN my
+  LEFT JOIN xy ON xy.xv = mx.xv AND xy.yv = my.yv
+),
+terms AS (
+  SELECT CAST(round(
+           (CAST(o AS DOUBLE) * tot.n - CAST(nx AS DOUBLE) * ny)
+             * (CAST(o AS DOUBLE) * tot.n - CAST(nx AS DOUBLE) * ny)
+             / (CAST(tot.n AS DOUBLE) * nx * ny), 9)
+         AS DECIMAL(28,9)) AS t
+  FROM grid, tot
+),
+s AS (
+  SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+         (SELECT CAST(count(*) AS BIGINT) FROM mx) AS r,
+         (SELECT CAST(count(*) AS BIGINT) FROM my) AS c,
+         CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE) AS chi2
+  FROM terms
+)
+SELECT n, r AS n_rows_cat, c AS n_cols_cat,
+       (r - 1) * (c - 1) AS dof,
+       chi2,
+       CASE WHEN n > 0 AND LEAST(r, c) > 1 THEN
+         sqrt(chi2 / (n * (LEAST(r, c) - 1)))
+       END AS cramers_v
+FROM s WHERE n > 0
+"""
+
+
+@register("rel_chi2_independence", oracle=_CHI2_INDEP_SQL, staged=True)
+def rel_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence + Cramér's V (built r11, staged
+    r12) — the SIGNIFICANCE/effect-size companion to
+    rel_mutual_information on the SAME contingency (event_type ×
+    epoch-weekday): MI measures how much information the columns
+    share; chi²/dof and V ∈ [0,1] say whether the dependence is
+    distinguishable from noise and how strong it is on a normalized
+    scale. ZERO cells matter here (expected-vs-observed on the FULL
+    r×c grid — the margins' cross join left-joined against observed),
+    unlike MI where 0·log0 = 0 drops them.
+
+    Exactness: each cell term is the N-scaled form
+    (oN − nx·ny)²/(N·nx·ny) — one fixed-shape double expression of
+    exact <2^53 integers — rounded to 9dp DECIMAL before the exact
+    sum (the chi2/PSI device); dof and V are closed-form readouts.
+
+    Scale shape: one (x, y)-keyed map-side-combinable count; the grid
+    is |X|·|Y|-bounded; everything after the first reduce is
+    cell-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    xy = mi_pair_counts(ev)
+    from ..cache import persist_tracked
+
+    xy = persist_tracked(xy)
+    mx = xy.groupBy("xv").agg(F.sum("nxy").alias("nx"))
+    my = xy.groupBy("yv").agg(F.sum("nxy").alias("ny"))
+    tot = xy.agg(F.sum("nxy").alias("n"))
+    grid = (
+        mx.crossJoin(my)
+        .join(xy, ["xv", "yv"], "left")
+        .select(
+            "nx", "ny",
+            F.coalesce(F.col("nxy"), F.lit(0)).alias("o"),
+        )
+    )
+    dev = (
+        F.col("o").cast("double") * F.col("n")
+        - F.col("nx").cast("double") * F.col("ny")
+    )
+    terms = (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                dev * dev
+                / (
+                    F.col("n").cast("double")
+                    * F.col("nx")
+                    * F.col("ny")
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("decimal(38,9)").cast("double").alias("chi2"))
+    )
+    r = mx.agg(F.count("*").alias("r"))
+    c = my.agg(F.count("*").alias("c"))
+    n = F.col("n").cast("bigint")
+    rr, cc = F.col("r").cast("bigint"), F.col("c").cast("bigint")
+    return (
+        tot.crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(terms))
+        .where(n > 0)
+        .select(
+            n.alias("n"),
+            rr.alias("n_rows_cat"),
+            cc.alias("n_cols_cat"),
+            ((rr - 1) * (cc - 1)).alias("dof"),
+            F.col("chi2"),
+            F.when(
+                (n > 0) & (F.least(rr, cc) > 1),
+                F.sqrt(F.col("chi2") / (n * (F.least(rr, cc) - 1))),
+            ).alias("cramers_v"),
+        )
+    )

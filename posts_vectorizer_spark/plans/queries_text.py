@@ -1022,3 +1022,166 @@ def jsd_readout(sw: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_HEAPS_NCP = 10  # ingestion-order checkpoints
+
+_HEAPS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({textstats.T.tokens_sql('text')}) AS word
+  FROM documents
+),
+per_doc AS (SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id),
+firsts AS (SELECT word, min(doc_id) AS fd FROM tok GROUP BY word),
+mx AS (SELECT max(doc_id) AS mid FROM per_doc),
+cps AS (
+  SELECT DISTINCT (mx.mid * f) // {_HEAPS_NCP} AS c
+  FROM mx, (SELECT unnest(generate_series(1, {_HEAPS_NCP})) AS f)
+),
+pts AS (
+  SELECT c,
+         (SELECT sum(n_toks) FROM per_doc WHERE doc_id <= c) AS n_f,
+         (SELECT count(*) FROM firsts WHERE fd <= c) AS v_f
+  FROM cps
+),
+terms AS (
+  SELECT CAST(round(ln(CAST(n_f AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+         CAST(round(ln(CAST(v_f AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+  FROM pts WHERE n_f > 0 AND v_f > 0
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(round(CAST(sum(CAST(x AS DECIMAL(28,9))) AS DECIMAL(38,18)), 9)
+              AS DECIMAL(24,9)) AS sx,
+         CAST(round(CAST(sum(CAST(y AS DECIMAL(28,9))) AS DECIMAL(38,18)), 9)
+              AS DECIMAL(24,9)) AS sy,
+         CAST(round(CAST(sum(CAST(x * x AS DECIMAL(28,18))) AS DECIMAL(38,18)), 9)
+              AS DECIMAL(24,9)) AS sxx,
+         CAST(round(CAST(sum(CAST(x * y AS DECIMAL(28,18))) AS DECIMAL(38,18)), 9)
+              AS DECIMAL(24,9)) AS sxy,
+         CAST(round(CAST(sum(CAST(y * y AS DECIMAL(28,18))) AS DECIMAL(38,18)), 9)
+              AS DECIMAL(24,9)) AS syy
+  FROM terms
+)
+SELECT m AS n_checkpoints,
+       CAST((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            AS DOUBLE) AS beta,
+       CAST((CAST(sy AS DOUBLE)
+             - (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / m AS DOUBLE) AS ln_k,
+       CAST((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / ((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            AS DOUBLE) AS r2
+FROM s WHERE m >= 2
+"""
+
+
+@register("text_heaps_law_fit", oracle=_HEAPS_SQL, staged=True)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth fit (built r11, staged r12) — the
+    corpus-growth diagnostic behind text_ngram_novelty's per-doc
+    signal: V(n) = K·n^β fit by ln-ln OLS over {_HEAPS_NCP}
+    ingestion-order checkpoints (doc_id deciles), where V = distinct
+    vocabulary up to the checkpoint (a pure function of the novelty
+    family's word→first-doc table — no sequential scan) and n = tokens
+    up to the checkpoint. β ≈ 0.5 is healthy natural text; β near 0
+    means the tail of the corpus adds no new vocabulary (template
+    spam), β near 1 means unbounded junk vocabulary (mojibake, IDs).
+    ln K is reported instead of K — exp is the one measured-unsafe
+    transcendental (the Kaplan-Meier lesson).
+
+    Exactness: checkpoint token totals and vocabulary counts are exact
+    integers; each (ln n, ln V) coordinate is round-9 DECIMAL; the
+    five OLS sufficient statistics accumulate in exact DECIMAL and
+    re-pin to 9dp before double conversion (the zipf-fit device,
+    verbatim); β / ln K / r² are fixed-shape double expressions.
+
+    Scale shape: one tokenize pass feeding a doc-keyed count and a
+    word-keyed min (both map-side combinable); checkpoints are a
+    {_HEAPS_NCP}-row broadcast crossed against the two SMALL reduced
+    relations (per-doc counts, per-word firsts) — the corpus is never
+    re-scanned per checkpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(textstats.T.tokens("text")).alias("word")
+    )
+    from ..cache import persist_tracked
+
+    tok = persist_tracked(tok)
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    firsts = tok.groupBy("word").agg(F.min("doc_id").alias("fd"))
+    mx = per_doc.agg(F.max("doc_id").alias("mid"))
+    cps = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(_HEAPS_NCP))).alias("f"),
+            "mid",
+        )
+        .select(
+            F.expr(f"(mid * f) div {_HEAPS_NCP}").alias("c")
+        )
+        .distinct()
+    )
+    nf = (
+        per_doc.crossJoin(F.broadcast(cps))
+        .where(F.col("doc_id") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("n_toks").alias("n_f"))
+    )
+    vf = (
+        firsts.crossJoin(F.broadcast(cps))
+        .where(F.col("fd") <= F.col("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("v_f"))
+    )
+    terms = (
+        nf.join(vf, "c")
+        .where((F.col("n_f") > 0) & (F.col("v_f") > 0))
+        .select(
+            F.round(F.log(F.col("n_f").cast("double")), 9)
+            .cast("decimal(12,9)")
+            .alias("x"),
+            F.round(F.log(F.col("v_f").cast("double")), 9)
+            .cast("decimal(12,9)")
+            .alias("y"),
+        )
+    )
+
+    def pinned(col, alias):
+        return (
+            F.round(col.cast("decimal(38,18)"), 9)
+            .cast("decimal(24,9)")
+            .alias(alias)
+        )
+
+    s = terms.agg(
+        F.count("*").cast("bigint").alias("m"),
+        pinned(F.sum(F.col("x").cast("decimal(28,9)")), "sx"),
+        pinned(F.sum(F.col("y").cast("decimal(28,9)")), "sy"),
+        pinned(F.sum((F.col("x") * F.col("x")).cast("decimal(28,18)")), "sxx"),
+        pinned(F.sum((F.col("x") * F.col("y")).cast("decimal(28,18)")), "sxy"),
+        pinned(F.sum((F.col("y") * F.col("y")).cast("decimal(28,18)")), "syy"),
+    )
+    m = F.col("m")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    num = m * sxy - sx * sy
+    den = m * sxx - sx * sx
+    slope = num / den
+    return s.where(m >= 2).select(
+        m.alias("n_checkpoints"),
+        slope.cast("double").alias("beta"),
+        ((sy - slope * sx) / m).cast("double").alias("ln_k"),
+        (num * num / (den * (m * syy - sy * sy)))
+        .cast("double")
+        .alias("r2"),
+    )

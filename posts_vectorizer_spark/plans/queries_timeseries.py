@@ -2078,3 +2078,146 @@ def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy(F.lit(1).alias("g"))
         .applyInPandas(lambda _key, pdf: fold(pdf), schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's intermittent-demand forecast (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_CROSTON_SQL = """
+WITH RECURSIVE span AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+  FROM events
+),
+dem AS (
+  SELECT date_diff('day', span.d0, CAST(ts AS DATE)) AS t,
+         count(*) AS x
+  FROM events, span WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+dem_ord AS (
+  SELECT t, x, row_number() OVER (ORDER BY t) AS k FROM dem
+),
+nk AS (SELECT count(*) AS n_demands FROM dem_ord),
+rec AS (
+  SELECT k, t,
+         CAST(round(CAST(x AS DECIMAL(28,6)), 6) AS DECIMAL(28,6)) AS z,
+         CAST(t + 1 AS DECIMAL(28,6)) AS p
+  FROM dem_ord WHERE k = 1
+  UNION ALL
+  SELECT d.k, d.t,
+         CAST(round(CAST(0.2 AS DECIMAL(18,6)) * d.x
+              + CAST(0.8 AS DECIMAL(18,6)) * r.z, 6) AS DECIMAL(28,6)),
+         CAST(round(CAST(0.2 AS DECIMAL(18,6)) * (d.t - r.t)
+              + CAST(0.8 AS DECIMAL(18,6)) * r.p, 6) AS DECIMAL(28,6))
+  FROM rec r JOIN dem_ord d ON d.k = r.k + 1
+)
+SELECT CAST(date_diff('day', span.d0, span.d1) + 1 AS BIGINT) AS n_days,
+       CAST(nk.n_demands AS BIGINT) AS n_demands,
+       CAST(r.z AS DOUBLE) AS z_size,
+       CAST(r.p AS DOUBLE) AS p_interval,
+       CAST(CAST(r.z AS DOUBLE) / CAST(r.p AS DOUBLE) AS DOUBLE)
+         AS croston_forecast,
+       CAST(0.9 * (CAST(r.z AS DOUBLE) / CAST(r.p AS DOUBLE)) AS DOUBLE)
+         AS sba_forecast
+FROM rec r, span, nk
+WHERE r.k = nk.n_demands
+"""
+
+
+@register(
+    "events_croston_intermittent", oracle=_CROSTON_SQL, staged=True
+)
+def events_croston_intermittent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's intermittent-demand forecast (built r11, staged r12)
+    — the forecasting method for series that are MOSTLY ZERO (spare
+    parts, rare purchases), where Holt-Winters smooths noise into the
+    gaps: maintain separate EWMAs of the nonzero demand SIZE z and the
+    inter-demand INTERVAL p (α = 0.2, updated only on demand days);
+    forecast = z/p, plus the Syntetos-Boylan bias correction
+    (1 − α/2)·z/p. Demand = daily purchase-event count on the
+    calendar grid from the events span.
+
+    Determinism engineering: zero days don't change state, so the
+    recursion runs over the ORDERED DEMAND DAYS only — exact
+    6dp-DECIMAL updates half-up per step (Python decimal fold on the
+    Spark side, a DuckDB RECURSIVE CTE over the row_number'd demand
+    list on the oracle side — the Holt-Winters/EWMA device); the two
+    forecasts are fixed-shape double expressions of the pinned finals.
+
+    Scale shape: one day-keyed purchase count (map-side combinable,
+    the only data-sized pass); the fold runs over the bounded
+    demand-day list as a single applyInPandas group."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    from ..cache import persist_tracked
+
+    ev = persist_tracked(events.select("ts", "event_type"))
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    dem = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").alias("x"))
+    )
+    schema = (
+        "n_demands long, z_size double, p_interval double,"
+        " croston_forecast double, sba_forecast double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+
+        def r6(v):
+            return v.quantize(q, rounding=ROUND_HALF_UP)
+
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "n_demands", "z_size", "p_interval",
+                    "croston_forecast", "sba_forecast",
+                ]
+            ).astype("float64")
+        a, oma = Decimal("0.2"), Decimal("0.8")
+        ts = [int(v) for v in pdf["t"]]
+        xs = [Decimal(int(v)) for v in pdf["x"]]
+        z = r6(xs[0])
+        p = Decimal(ts[0] + 1)
+        for k in range(1, len(ts)):
+            z = r6(a * xs[k] + oma * z)
+            p = r6(a * (ts[k] - ts[k - 1]) + oma * p)
+        fc = float(z) / float(p)
+        return pd.DataFrame(
+            [(len(ts), float(z), float(p), fc, 0.9 * fc)],
+            columns=[
+                "n_demands", "z_size", "p_interval",
+                "croston_forecast", "sba_forecast",
+            ],
+        )
+
+    finals = dem.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda _key, pdf: fold(pdf), schema
+    )
+    days = span.select(
+        (F.datediff("d1", "d0") + 1).cast("bigint").alias("n_days")
+    )
+    return days.crossJoin(finals).select(
+        "n_days",
+        F.col("n_demands").cast("bigint").alias("n_demands"),
+        "z_size",
+        "p_interval",
+        "croston_forecast",
+        "sba_forecast",
+    )

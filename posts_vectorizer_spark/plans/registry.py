@@ -95,6 +95,12 @@ STAGED: dict[str, QueryDef] = {}
 #                               position-independent boundary rule)
 #   rel_levene_test            (Brown-Forsythe via value-grid medians
 #                               + the shared exact-moment ANOVA)
+#   rel_chi2_independence      (full-grid chi² + Cramér's V beside MI
+#                               on the same contingency)
+#   text_heaps_law_fit         (vocab-growth β over ingestion
+#                               checkpoints; ln K, never exp)
+#   events_croston_intermittent (demand-size/interval EWMAs over
+#                               demand days only; SBA correction)
 #
 # r10 staged history (all 21 introduced in the r11 head, below) — all
 # four-way gated in r10 (sf0.001+sf0.01+sf0.1 sweeps, vanilla

@@ -314,3 +314,69 @@ def test_mutual_information_planted_dependence(spark, tmp_path):
         spark, str(tmp_path / "ind")
     ).collect()[0]
     assert r2["nmi"] < 0.05
+
+
+def test_chi2_independence_planted(spark, tmp_path):
+    """rel_chi2_independence: a type-determined-by-weekday table gives
+    a large chi² / Cramér's V near 1 and matches an independent plogp-
+    free replica (including the ZERO cells the full grid must cover);
+    an independent table gives V near 0."""
+    from datetime import datetime as D
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def write(d, dependent):
+        rows = []
+        eid = 0
+        for day in range(28):
+            dow = (19723 + day) % 7
+            for j in range(10):
+                eid += 1
+                et = f"type{dow % 3}" if dependent else f"type{eid % 3}"
+                rows.append((eid, 1, D(2024, 1, day + 1, 9), et, 1.0))
+        d.mkdir()
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp,"
+            " event_type string, value double",
+        ).write.parquet(str(d / "events.parquet"))
+
+    write(tmp_path / "dep", True)
+    r = resolve_query("rel_chi2_independence")(
+        spark, str(tmp_path / "dep")
+    ).collect()[0]
+    assert (r["n"], r["n_rows_cat"], r["n_cols_cat"]) == (280, 3, 7)
+    assert r["dof"] == 12
+    assert r["cramers_v"] > 0.95  # functional dependence
+
+    # replica over the full r x c grid (zero cells included)
+    from collections import Counter
+
+    cells = Counter()
+    for day in range(28):
+        dow = (19723 + day) % 7
+        cells[(f"type{dow % 3}", dow)] += 10
+    nx, ny = Counter(), Counter()
+    for (xv, yv), c in cells.items():
+        nx[xv] += c
+        ny[yv] += c
+    N = sum(cells.values())
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000000001")
+    tot = Decimal(0)
+    for xv in nx:
+        for yv in ny:
+            o = cells.get((xv, yv), 0)
+            dev = o * N - nx[xv] * ny[yv]
+            t = (dev * dev) / (N * nx[xv] * ny[yv])
+            tot += Decimal(repr(float(t))).quantize(
+                q, rounding=ROUND_HALF_UP
+            )
+    assert abs(r["chi2"] - float(tot)) < 1e-6
+
+    write(tmp_path / "ind", False)
+    r2 = resolve_query("rel_chi2_independence")(
+        spark, str(tmp_path / "ind")
+    ).collect()[0]
+    assert r2["cramers_v"] < 0.15

@@ -785,3 +785,43 @@ def test_jsd_source_drift_planted(spark, tmp_path):
     gs = 6
     want = 0.5 * (s1 / NA + s2 / NG + (NG - gs) / NG * math.log(2))
     assert abs(rows["src0"]["jsd"] - want) < 1e-8
+
+
+def test_heaps_law_planted_growth(spark, tmp_path):
+    """text_heaps_law_fit: a corpus where every doc introduces only new
+    words fits beta = 1 with r² = 1 (V grows one-for-one with n); a
+    corpus whose vocabulary saturates after the first doc fits a much
+    smaller beta."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    # 20 docs x 10 fresh words each -> V(n) = n exactly
+    fresh = make_docs(
+        spark,
+        [
+            (i, " ".join(f"w{i}_{j}" for j in range(10)), "en")
+            for i in range(20)
+        ],
+    )
+    d1 = tmp_path / "fresh"
+    d1.mkdir()
+    fresh.write.parquet(str(d1 / "documents.parquet"))
+    r = resolve_query("text_heaps_law_fit")(spark, str(d1)).collect()[0]
+    assert r["n_checkpoints"] >= 5
+    assert abs(r["beta"] - 1.0) < 1e-6
+    assert abs(r["ln_k"]) < 1e-6  # V = n exactly -> K = 1
+    assert r["r2"] > 0.999999
+
+    # saturated: same 10 words in every doc -> V flat after doc 0
+    flat = make_docs(
+        spark,
+        [
+            (i, " ".join(f"v{j}" for j in range(10)), "en")
+            for i in range(20)
+        ],
+    )
+    d2 = tmp_path / "flat"
+    d2.mkdir()
+    flat.write.parquet(str(d2 / "documents.parquet"))
+    r2 = resolve_query("text_heaps_law_fit")(spark, str(d2)).collect()[0]
+    assert abs(r2["beta"]) < 1e-6  # V constant -> slope 0

