@@ -149,19 +149,27 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r12 head planning (draft; lock next round):
-#   (a) introductions: every r11-staged [Q] query (see the STAGED
-#       comment as r11 builds them).
-#   (b) spine: tfidf_doc_vectors + direct consumers of code changed
-#       in r11 (the _forced_drain src-cache refactor's consumers —
-#       the OTHER nine drains — hold fresh r11 head rows already via
-#       the three drain introductions; pick the oldest-green drain if
-#       none else qualifies).
-#   (c) freshness: the FIVE r5 names dropped from the r11 head
-#       (sim_pagerank_knn — displaced by the text_good_turing spine
-#       slot — plus sim_semdedup_prune, stream_vectorize_drain,
-#       text_pmi_bigrams, text_readability) FIRST, then the r6 cohort
-#       (tools/cohorts.py), one-for-one against introductions.
+# r12 head planning (LOCKED at r11 closeout). The arithmetic lands on
+# exactly 50 with the 20-query staged wave above:
+#   (a) 20 introductions — every r11-staged [Q] query (all four-way
+#       gated in r11; SWEEPS.md waves 1-4). Remember the no-jobs skip
+#       additions: sim_hits_hubs_authorities / sim_hits_ann (kernel /
+#       lsh build) and the five new stream drains.
+#   (b) spine (1): tfidf_doc_vectors. (The r11 refactor consumers all
+#       hold r11 rows: mi/transition/good-turing re-proved in the r11
+#       head; anova/jsd refactors are themselves r12 introductions;
+#       the _forced_drain src-key change is driver-proved via four r11
+#       drain rows.)
+#   (c) freshness (29 = 5 + 24): the FIVE r5 names dropped from the
+#       r11 head FIRST (sim_pagerank_knn — displaced by the
+#       text_good_turing spine slot — then sim_semdedup_prune,
+#       stream_vectorize_drain, text_pmi_bigrams, text_readability),
+#       then 24 more of the r5-last-green cohort (tools/cohorts.py
+#       reports 28 r5 rows remaining after the r11 head re-proves 17 —
+#       the oldest standing green; list order). If r12 builds more
+#       introductions mid-round they stage for r13; if any r12-built
+#       query is introduced same-round, drop cohort names from the END
+#       one-for-one.
 
 
 

@@ -131,10 +131,13 @@ def test_plan_build_triggers_no_jobs(spark):
         "stream_kmv_drain",             # runs its micro-batch drain
         "stream_reliability_drain",     # runs its micro-batch drain
         # r10-built wave (introduced r11) — stream drains run their
-        # micro-batch loop by contract:
+        # micro-batch loop by contract; the ADC scan trains its
+        # per-subspace codebooks (Lloyd) at build like the other PQ
+        # queries above:
         "stream_benford_drain",
         "stream_zipf_drain",
         "stream_novelty_drain",
+        "sim_pq_adc_scan",
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():
