@@ -2221,3 +2221,107 @@ def events_croston_intermittent(
         "croston_forecast",
         "sba_forecast",
     )
+
+
+# ---------------------------------------------------------------------------
+# MASE forecast-quality evaluation (built r11, staged r12)
+# ---------------------------------------------------------------------------
+
+_MASE_SQL = f"""
+WITH hw AS ({_HOLT_WINTERS_SQL}),
+daily AS (
+  SELECT row_number() OVER (ORDER BY CAST(ts AS DATE)) - 1 AS t_idx, x
+  FROM (SELECT CAST(ts AS DATE) AS ts, count(*) AS x
+        FROM events GROUP BY 1)
+),
+naive AS (
+  SELECT CAST(sum(ABS(b.x - a.x)) AS BIGINT) AS sae,
+         CAST(count(*) AS BIGINT) AS n_naive
+  FROM daily a JOIN daily b ON b.t_idx = a.t_idx + {_HW_M}
+),
+model AS (
+  SELECT CAST(sum(CAST(ABS(residual) AS DECIMAL(28,6)))
+              AS DECIMAL(38,6)) AS sre,
+         CAST(count(*) AS BIGINT) AS n_fitted
+  FROM hw
+)
+SELECT m.n_fitted,
+       CAST(CAST(m.sre AS DOUBLE) / m.n_fitted AS DOUBLE) AS mae_model,
+       CAST(CAST(nv.sae AS DOUBLE) / nv.n_naive AS DOUBLE) AS mae_naive,
+       CAST((CAST(m.sre AS DOUBLE) / m.n_fitted)
+            / (CAST(nv.sae AS DOUBLE) / nv.n_naive) AS DOUBLE) AS mase
+FROM model m, naive nv
+WHERE m.n_fitted > 0 AND nv.n_naive > 0 AND nv.sae > 0
+"""
+
+
+@register("events_forecast_mase_eval", oracle=_MASE_SQL, staged=True)
+def events_forecast_mase_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MASE forecast-quality evaluation (built r11, staged r12) —
+    closes the forecasting loop the way the ANN family closes
+    retrieval (fit → eval): the Hyndman-Koehler Mean Absolute Scaled
+    Error of events_holt_winters' one-step-ahead fits against the
+    in-sample SEASONAL-NAIVE baseline (x̂_t = x_{{t-{_HW_M}}}) — the
+    standard scale-free skill score. MASE < 1 means the model beats
+    persistence; the honest check before a fitted forecaster's output
+    is trusted downstream.
+
+    Exactness: model residuals are the Holt-Winters 6dp-decimal
+    trajectory (|·| sums exactly in DECIMAL); the seasonal-naive
+    errors are exact integer count differences; the three readouts
+    are fixed-shape double expressions of the two exact sums.
+
+    Scale shape: the Holt-Winters fold (bounded day grid) plus one
+    self-join on the day index — everything after the day-keyed count
+    is calendar-sized."""
+    from .registry import resolve_query
+
+    events = load_table(spark, sf_dir, "events")
+    hw = resolve_query("events_holt_winters")(spark, sf_dir)
+    daily = (
+        events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .select(
+            (
+                F.row_number().over(Window.orderBy("day")) - 1
+            ).alias("t_idx"),
+            "x",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    naive = a.join(
+        b, F.col("b.t_idx") == F.col("a.t_idx") + _HW_M
+    ).agg(
+        F.sum(F.abs(F.col("b.x") - F.col("a.x")))
+        .cast("bigint")
+        .alias("sae"),
+        F.count("*").cast("bigint").alias("n_naive"),
+    )
+    model = hw.agg(
+        F.sum(F.abs(F.col("residual")).cast("decimal(28,6)"))
+        .cast("decimal(38,6)")
+        .alias("sre"),
+        F.count("*").cast("bigint").alias("n_fitted"),
+    )
+    sre = F.col("sre").cast("double")
+    sae = F.col("sae").cast("double")
+    return (
+        model.crossJoin(F.broadcast(naive))
+        .where(
+            (F.col("n_fitted") > 0)
+            & (F.col("n_naive") > 0)
+            & (F.col("sae") > 0)
+        )
+        .select(
+            "n_fitted",
+            (sre / F.col("n_fitted")).cast("double").alias("mae_model"),
+            (sae / F.col("n_naive")).cast("double").alias("mae_naive"),
+            (
+                (sre / F.col("n_fitted")) / (sae / F.col("n_naive"))
+            )
+            .cast("double")
+            .alias("mase"),
+        )
+    )

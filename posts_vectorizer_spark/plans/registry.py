@@ -101,6 +101,8 @@ STAGED: dict[str, QueryDef] = {}
 #                               checkpoints; ln K, never exp)
 #   events_croston_intermittent (demand-size/interval EWMAs over
 #                               demand days only; SBA correction)
+#   events_forecast_mase_eval  (MASE of the HW fits vs seasonal
+#                               naive - the fit->eval loop closed)
 #
 # r10 staged history (all 21 introduced in the r11 head, below) — all
 # four-way gated in r10 (sf0.001+sf0.01+sf0.1 sweeps, vanilla
@@ -150,8 +152,8 @@ STAGED: dict[str, QueryDef] = {}
 #                            class-granular embedding drift triage)
 #
 # r12 head planning (LOCKED at r11 closeout). The arithmetic lands on
-# exactly 50 with the 20-query staged wave above:
-#   (a) 20 introductions — every r11-staged [Q] query (all four-way
+# exactly 50 with the 21-query staged wave above:
+#   (a) 21 introductions — every r11-staged [Q] query (all four-way
 #       gated in r11; SWEEPS.md waves 1-4). Remember the no-jobs skip
 #       additions: sim_hits_hubs_authorities / sim_hits_ann (kernel /
 #       lsh build) and the five new stream drains.
@@ -160,12 +162,12 @@ STAGED: dict[str, QueryDef] = {}
 #       head; anova/jsd refactors are themselves r12 introductions;
 #       the _forced_drain src-key change is driver-proved via four r11
 #       drain rows.)
-#   (c) freshness (29 = 5 + 24): the FIVE r5 names dropped from the
+#   (c) freshness (28 = 5 + 23): the FIVE r5 names dropped from the
 #       r11 head FIRST (sim_pagerank_knn — displaced by the
 #       text_good_turing spine slot — then sim_semdedup_prune,
 #       stream_vectorize_drain, text_pmi_bigrams, text_readability),
-#       then 24 more of the r5-last-green cohort (tools/cohorts.py
-#       reports 28 r5 rows remaining after the r11 head re-proves 17 —
+#       then 23 more of the r5-last-green cohort (tools/cohorts.py
+#       reports 28 r5 rows remaining after the r11 head re-proves 17 -
 #       the oldest standing green; list order). If r12 builds more
 #       introductions mid-round they stage for r13; if any r12-built
 #       query is introduced same-round, drop cohort names from the END

@@ -802,3 +802,39 @@ def test_croston_hand_computed(spark, tmp_path):
     assert abs(r["croston_forecast"] - 4.48 / 1.76) < 1e-12
     assert abs(r["sba_forecast"] - 0.9 * (4.48 / 1.76)) < 1e-12
     assert Decimal("1") == Decimal("1")  # decimal import used above
+
+
+def test_mase_eval_planted(spark, tmp_path):
+    """events_forecast_mase_eval: on a clean weekly-periodic series
+    both the HW model and the seasonal naive are near-perfect, with
+    MASE well under 1 only when the model genuinely tracks a trend
+    the naive misses; counts match hand-aligned windows."""
+    from datetime import datetime as D
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    # 4 weeks: weekly pattern + linear trend (HW tracks trend, the
+    # seasonal naive is systematically off by the 7-day trend step)
+    rows = []
+    eid = 0
+    pattern = [10, 12, 14, 12, 10, 5, 4]
+    for day in range(28):
+        n = pattern[day % 7] + day  # +1/day trend
+        for _ in range(n):
+            rows.append((eid, eid % 5, D(2024, 1, 1 + day, 12), "click", 1.0))
+            eid += 1
+    d = tmp_path / "mase"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    ).write.parquet(str(d / "events.parquet"))
+
+    r = resolve_query("events_forecast_mase_eval")(
+        spark, str(d)
+    ).collect()[0]
+    assert r["n_fitted"] == 21          # HW fits days 7..27
+    assert r["mae_naive"] == 7.0        # lag-7 error = the 7-day trend
+    assert r["mase"] < 1.0              # the model beats persistence
+    assert abs(r["mae_model"] - r["mase"] * r["mae_naive"]) < 1e-12

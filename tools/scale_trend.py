@@ -428,6 +428,9 @@ def main(only: list[str] | None = None) -> None:
         "croston": lambda k: SQ["events_croston_intermittent"](
             spark, table_dir("events", k, "events")
         ),
+        "mase_eval": lambda k: SQ["events_forecast_mase_eval"](
+            spark, table_dir("events", k, "events")
+        ),
         "rocchio_eval": lambda k: SQ["sim_rocchio_centroid_eval"](
             spark, table_dir("emb", k, "embeddings")
         ),
