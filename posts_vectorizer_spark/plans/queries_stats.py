@@ -2730,17 +2730,35 @@ cells AS (
   FROM strat GROUP BY stratum
 ),
 keep AS (SELECT * FROM cells WHERE nt > 0 AND nc > 0),
-tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS big_n FROM keep)
-SELECT k.stratum, k.n_users, k.nt, k.nc,
-       CAST(k.st AS DOUBLE) / k.nt AS mean_y_treated,
-       CAST(k.sc AS DOUBLE) / k.nc AS mean_y_control,
-       CAST(k.st AS DOUBLE) / k.nt - CAST(k.sc AS DOUBLE) / k.nc
-         AS stratum_effect,
-       CAST(round(CAST(k.n_users AS DOUBLE) / t.big_n
-                  * (CAST(k.st AS DOUBLE) / k.nt
-                     - CAST(k.sc AS DOUBLE) / k.nc), 9)
+tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS big_n FROM keep),
+lat AS (
+  SELECT k.stratum, k.n_users, k.nt, k.nc, t.big_n,
+         CAST(CAST(k.st AS DECIMAL(18,2)) * 100 AS BIGINT) AS st100,
+         CAST(CAST(k.sc AS DECIMAL(18,2)) * 100 AS BIGINT) AS sc100
+  FROM keep k, tot t
+),
+m AS (
+  SELECT *,
+         (st100 * 20000 + nt) // (2 * nt) AS m6t,
+         (sc100 * 20000 + nc) // (2 * nc) AS m6c
+  FROM lat
+),
+e AS (SELECT *, m6t - m6c AS e6 FROM m)
+SELECT stratum, n_users, nt, nc,
+       CAST(CAST(m6t AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6))
+            AS DECIMAL(18,6)) AS mean_y_treated,
+       CAST(CAST(m6c AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6))
+            AS DECIMAL(18,6)) AS mean_y_control,
+       CAST(CAST(e6 AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6))
+            AS DECIMAL(18,6)) AS stratum_effect,
+       CAST(CAST(CASE WHEN e6 < 0
+                 THEN -((2 * n_users * (-e6) * 1000 + big_n)
+                        // (2 * big_n))
+                 ELSE (2 * n_users * e6 * 1000 + big_n) // (2 * big_n)
+                 END AS DECIMAL(18,0))
+            * CAST(0.000000001 AS DECIMAL(10,9))
             AS DECIMAL(18,9)) AS ate_contrib
-FROM keep k, tot t
+FROM e
 """
 
 
@@ -2754,14 +2772,27 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     confounding is removed by stratifying on activity tier (fixed CASE
     bounds — never a global ntile sort). Within a stratum the
     propensity is constant, so IPW reduces to the stratified estimator:
-    ATE = sum_s (n_s/N) * (mean_T,s - mean_C,s). Per-stratum means are
-    unrounded quotients of exact DECIMAL(38,2) sums by exact counts
-    (identical expression both engines); the per-stratum ATE
-    contribution rounds to 9dp DECIMAL so the overall ATE is an EXACT
-    sum of the output column (the chi2/PSI per-row-contribution
-    device) — stated per stratum, never a cross-row double sum.
-    Degenerate strata (all-treated / all-control, where IPW is
-    undefined) drop explicitly.
+    ATE = sum_s (n_s/N) * (mean_T,s - mean_C,s).
+
+    Exactness (rewritten r12 — the r11 driver red row): every output
+    stat lives on an exact half-up integer lattice, no doubles
+    anywhere. The per-arm sums are integral in cents (st*100 BIGINT);
+    means round half-up to 6dp via the trunc-division identity
+    half_up(a/b) = (2a+b) div (2b) on nonnegative a (Spark ``div`` and
+    DuckDB BIGINT ``//`` both truncate toward zero); the stratum
+    effect is the exact difference of the two 6dp lattices; the ATE
+    contribution rounds half-away-from-zero to 9dp on the same device
+    (sign split out, so trunc==floor on the nonneg magnitude), making
+    the overall ATE an EXACT sum of the output column (the chi2/PSI
+    per-row-contribution device). Lattice headroom: the widest term is
+    2*n_users*|e6|*1000 ~ 2e3 * N_users * mean_gap_microunits — ~5e13
+    at sf0.1, five orders under int64; at cluster scale widen to the
+    DECIMAL(38,0)/HUGEINT lattice with the %%-then-/ floor device.
+    The r11 unrounded-double columns (mean_y_treated / mean_y_control
+    / stratum_effect) violated SURVEY §5.2 float discipline — this
+    restates them as DECIMAL(18,6) grid points. Degenerate strata
+    (all-treated / all-control, where IPW is undefined) drop
+    explicitly.
 
     Scale shape: per-user aggregate (map-side combinable), then a
     4-row stratum×arm cell aggregate and a broadcast 1-row total —
@@ -2796,21 +2827,42 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keep = persist_tracked(keep)
     tot = keep.agg(F.sum("n_users").cast("bigint").alias("big_n"))
-    mt = F.col("st").cast("double") / F.col("nt")
-    mc = F.col("sc").cast("double") / F.col("nc")
-    return keep.crossJoin(F.broadcast(tot)).select(
+    lat = (
+        keep.crossJoin(F.broadcast(tot))
+        .withColumns(
+            {
+                "st100": F.expr(
+                    "CAST(CAST(st AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                ),
+                "sc100": F.expr(
+                    "CAST(CAST(sc AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                ),
+            }
+        )
+        .withColumns(
+            {
+                "m6t": F.expr("(st100 * 20000 + nt) div (2 * nt)"),
+                "m6c": F.expr("(sc100 * 20000 + nc) div (2 * nc)"),
+            }
+        )
+        .withColumn("e6", F.expr("m6t - m6c"))
+    )
+    grid6 = "CAST(CAST({0} AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
+    return lat.select(
         "stratum",
         "n_users",
         "nt",
         "nc",
-        mt.alias("mean_y_treated"),
-        mc.alias("mean_y_control"),
-        (mt - mc).alias("stratum_effect"),
-        F.round(
-            F.col("n_users").cast("double") / F.col("big_n") * (mt - mc), 9
-        )
-        .cast("decimal(18,9)")
-        .alias("ate_contrib"),
+        F.expr(grid6.format("m6t")).alias("mean_y_treated"),
+        F.expr(grid6.format("m6c")).alias("mean_y_control"),
+        F.expr(grid6.format("e6")).alias("stratum_effect"),
+        F.expr(
+            "CAST(CAST(CASE WHEN e6 < 0"
+            " THEN -((2 * n_users * (-e6) * 1000 + big_n) div (2 * big_n))"
+            " ELSE (2 * n_users * e6 * 1000 + big_n) div (2 * big_n)"
+            " END AS DECIMAL(18,0))"
+            " * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9))"
+        ).alias("ate_contrib"),
     )
 
 

@@ -412,3 +412,209 @@ def test_r9_signed_zero_reproduces_under_fixed_checker(duck):
         "fixture needs a new -0.0 source"
     )
     assert neg_zeros(_DIM_COVARIANCE_SQL) == 0
+
+
+# ---------------------------------------------------------------------------
+# r12 lint (VERDICT r11 item 8): unrounded-double OUTPUT columns.
+# The r11 red row (events_ipw_ate) emitted three double columns computed by
+# arithmetic with no round() — violating SURVEY §5.2 float discipline and
+# re-opening the decimal→double-conversion / last-ulp classes. This lint
+# freezes the surface: every (query, column) where the oracle outputs a
+# DOUBLE whose defining expression does arithmetic WITHOUT round() must be
+# in the snapshot below. The grandfathered pairs are the established safe
+# devices audited r12 (fixed-shape readouts of EXACT integer/decimal
+# sufficient statistics — identical IEEE op sequences both engines, the
+# playbook's "in-row fixed-order folds over IDENTICAL operands" class).
+# Adding a NEW pair requires the same audit: the operands must be exact
+# (integer/decimal lattice, < 2^53 scaled units) and the op sequence
+# fixed-shape (no cross-row double accumulation) — otherwise round to the
+# decimal grid instead (the ipw r12 rewrite is the template).
+
+_UNROUNDED_DOUBLE_OK = frozenset((
+    ("curation_conformal_threshold", "coverage"),
+    ("curation_quality_gate", "repetition"),
+    ("curation_reliability_diagram", "ece"),
+    ("curation_reliability_diagram", "frac_positive"),
+    ("curation_reliability_diagram", "mean_score"),
+    ("dedup_minhash_estimate_eval", "est_jaccard"),
+    ("events_acf_lags", "acf"),
+    ("events_bradley_terry", "strength"),
+    ("events_cmh_stratified_ab", "chi2"),
+    ("events_cmh_stratified_ab", "odds_ratio_mh"),
+    ("events_croston_intermittent", "croston_forecast"),
+    ("events_croston_intermittent", "sba_forecast"),
+    ("events_diff_in_diff", "delta_control"),
+    ("events_diff_in_diff", "delta_treat"),
+    ("events_diff_in_diff", "did"),
+    ("events_diff_in_diff", "z"),
+    ("events_ewma_control", "lcl"),
+    ("events_ewma_control", "ucl"),
+    ("events_forecast_mase_eval", "mae_model"),
+    ("events_forecast_mase_eval", "mae_naive"),
+    ("events_forecast_mase_eval", "mase"),
+    ("events_hill_tail", "alpha"),
+    ("events_hill_tail", "hill"),
+    ("events_kmv_set_ops", "est_a"),
+    ("events_kmv_set_ops", "est_b"),
+    ("events_kmv_set_ops", "est_union"),
+    ("events_kmv_set_ops", "jaccard"),
+    ("events_ks_ab", "d"),
+    ("events_mann_kendall_trend", "z"),
+    ("events_mannwhitney_ab", "z"),
+    ("events_page_hinkley", "ph_down"),
+    ("events_page_hinkley", "ph_up"),
+    ("events_rfm_segments", "avg_frequency"),
+    ("events_rfm_segments", "avg_recency_days"),
+    ("events_seasonality_strength", "f_seasonal"),
+    ("events_seasonality_strength", "f_trend"),
+    ("events_transition_entropy", "h_cond"),
+    ("events_transition_entropy", "h_marginal"),
+    ("events_transition_entropy", "predictability"),
+    ("events_welch_ttest", "df"),
+    ("events_welch_ttest", "t"),
+    ("rel_anova_oneway", "eta_squared"),
+    ("rel_anova_oneway", "f_stat"),
+    ("rel_benford_digit_test", "observed_p"),
+    ("rel_chi2_independence", "cramers_v"),
+    ("rel_ddsketch_quantiles", "est_value"),
+    ("rel_groupby_agg", "sum_disc_price"),
+    ("rel_levene_test", "eta_squared"),
+    ("rel_levene_test", "f_stat"),
+    ("rel_map_type_ops", "share"),
+    ("rel_market_basket", "lift"),
+    ("rel_mutual_information", "h_x"),
+    ("rel_mutual_information", "h_y"),
+    ("rel_mutual_information", "mi"),
+    ("rel_mutual_information", "nmi"),
+    ("rel_tpch_q11_important_customers", "total_value"),
+    ("rel_tpch_q15_top_supplier", "total_revenue"),
+    ("rel_tpch_q2_min_cost_supplier", "supply_cost"),
+    ("rel_tpch_q8_market_share", "mkt_share"),
+    ("sim_clustering_coefficient", "clustering_coeff"),
+    ("sim_dim_covariance", "cov"),
+    ("sim_embedding_quantize", "scale"),
+    ("sim_label_centroid_drift", "cos_sim"),
+    ("sim_margin_bitext_mining", "cosine"),
+    ("sim_margin_bitext_mining", "margin"),
+    ("sim_recall_report", "recall"),
+    ("sim_zscore_outliers", "md2"),
+    ("stream_anova_drain", "eta_squared"),
+    ("stream_anova_drain", "f_stat"),
+    ("stream_benford_drain", "observed_p"),
+    ("stream_ddsketch_drain", "est_value"),
+    ("stream_good_turing_drain", "p_gt"),
+    ("stream_good_turing_drain", "r_star"),
+    ("stream_good_turing_drain", "unseen_mass"),
+    ("stream_jsd_drain", "jsd"),
+    ("stream_kmv_drain", "est_a"),
+    ("stream_kmv_drain", "est_b"),
+    ("stream_kmv_drain", "est_union"),
+    ("stream_kmv_drain", "jaccard"),
+    ("stream_mutual_info_drain", "h_x"),
+    ("stream_mutual_info_drain", "h_y"),
+    ("stream_mutual_info_drain", "mi"),
+    ("stream_mutual_info_drain", "nmi"),
+    ("stream_novelty_drain", "novelty"),
+    ("stream_python_source_drain", "score"),
+    ("stream_quality_gate_drain", "repetition"),
+    ("stream_reliability_drain", "ece"),
+    ("stream_reliability_drain", "frac_positive"),
+    ("stream_reliability_drain", "mean_score"),
+    ("stream_transition_entropy_drain", "h_cond"),
+    ("stream_transition_entropy_drain", "h_marginal"),
+    ("stream_transition_entropy_drain", "predictability"),
+    ("stream_zipf_drain", "intercept"),
+    ("stream_zipf_drain", "r2"),
+    ("stream_zipf_drain", "slope"),
+    ("stream_zscore_drain", "md2"),
+    ("text_burstiness", "fano"),
+    ("text_burstiness", "mean_per_doc"),
+    ("text_chao1_richness", "chao1"),
+    ("text_chao1_richness", "unseen_vocab_share"),
+    ("text_code_mixing_entropy", "mix_entropy"),
+    ("text_domain_mix_weights", "actual_share"),
+    ("text_domain_mix_weights", "target_share"),
+    ("text_good_turing", "p_gt"),
+    ("text_good_turing", "r_star"),
+    ("text_good_turing", "unseen_mass"),
+    ("text_heaps_law_fit", "beta"),
+    ("text_heaps_law_fit", "ln_k"),
+    ("text_heaps_law_fit", "r2"),
+    ("text_jsd_source_drift", "jsd"),
+    ("text_kneser_ney_bigram", "kn_logprob"),
+    ("text_mattr_diversity", "mattr"),
+    ("text_ngram_novelty", "novelty"),
+    ("text_quality_profile", "distinct_ratio"),
+    ("text_rank_correlation_eval", "spearman_rho"),
+    ("text_rank_correlation_eval", "tau_b"),
+    ("text_readability", "flesch"),
+    ("text_repetition_signals", "distinct_ratio"),
+    ("text_repetition_signals", "dup_bigram_frac"),
+    ("text_repetition_signals", "top_token_frac"),
+    ("text_rouge_lead_eval", "rouge1_precision"),
+    ("text_rouge_lead_eval", "rouge1_recall"),
+    ("text_rouge_lead_eval", "rouge2_precision"),
+    ("text_rouge_lead_eval", "rouge2_recall"),
+    ("text_stupid_backoff_trigram", "sb_logprob"),
+    ("text_token_gini", "gini"),
+    ("text_token_gini", "mean_tokens"),
+    ("text_zipf_fit", "intercept"),
+    ("text_zipf_fit", "r2"),
+    ("text_zipf_fit", "slope"),
+    ("tfidf_term_frequency", "tf"),
+    ("tfidf_top_keywords", "weight"),
+))
+
+
+def _defining_exprs(sql: str, col: str):
+    """Expressions aliased `AS col` in sql — backward depth-0 scan to the
+    enclosing comma/SELECT (the mirror of _balanced_arg)."""
+    import re as _re
+
+    out = []
+    for m in _re.finditer(rf'\bas\s+"?{_re.escape(col)}"?\b', sql, _re.I):
+        depth, j = 0, m.start() - 1
+        while j >= 0:
+            ch = sql[j]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and ch == ",":
+                break
+            j -= 1
+        seg = sql[j + 1 : m.start()]
+        out.append(_re.sub(r"\bselect\b", "", seg, flags=_re.I).strip())
+    return out
+
+
+def test_oracle_no_new_unrounded_double_outputs(duck):
+    """Every DOUBLE output column produced by round()-free arithmetic is
+    pinned to the audited snapshot — a new one fails here until it is
+    consciously added (with the exactness audit the snapshot header
+    describes). Binder-only (lazy duck.sql), so the whole registry is
+    cheap. The three r11 events_ipw_ate columns must stay OFF the list:
+    the r12 rewrite states them as DECIMAL(18,6) grid points."""
+    import re as _re
+
+    new = []
+    for name, sql in sorted(_all_oracles().items()):
+        rel = duck.sql(sql)
+        for c, ty in zip(rel.columns, rel.types):
+            if str(ty).upper() not in ("DOUBLE", "FLOAT", "REAL"):
+                continue
+            for e in _defining_exprs(sql, c):
+                el = e.lower()
+                if "round" in el:
+                    continue
+                if _re.search(r"[-+*/]", el):
+                    if (name, c) not in _UNROUNDED_DOUBLE_OK:
+                        new.append((name, c, e[:60]))
+                    break
+    assert not new, (
+        "NEW unrounded-double output columns (audit exactness per the "
+        f"snapshot header, then add or round): {new}"
+    )
+    assert not {p for p in _UNROUNDED_DOUBLE_OK if p[0] == "events_ipw_ate"}

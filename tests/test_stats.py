@@ -1052,9 +1052,10 @@ def test_ipw_ate_planted_confounding(spark, tmp_path):
            resolve_query("events_ipw_ate")(spark, str(d)).collect()}
     assert set(out) == {0, 3}
     # within each stratum the per-user outcome diff is exactly
-    # n_ev * 1.0 (every event carries the +1 treatment lift)
-    assert abs(out[0]["stratum_effect"] - 2.0) < 1e-9
-    assert abs(out[3]["stratum_effect"] - 20.0) < 1e-9
+    # n_ev * 1.0 (every event carries the +1 treatment lift); the r12
+    # rewrite states effects as exact DECIMAL(18,6) grid points
+    assert float(out[0]["stratum_effect"]) == 2.0
+    assert float(out[3]["stratum_effect"]) == 20.0
     # ATE = exact sum of contributions; with equal strata (20 users
     # each) it's (2 + 20) / 2 = 11 per-user total-value lift
     ate = float(sum(r["ate_contrib"] for r in out.values()))
