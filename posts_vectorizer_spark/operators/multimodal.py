@@ -2790,7 +2790,11 @@ def decode_gzip(raw: bytes) -> tuple[str | None, bytes]:
         data = d.decompress(raw[pos:-8]) + d.flush()
     except zlib.error as e:
         raise ValueError(f"bad deflate stream: {e}")
-    if d.unconsumed_tail:
+    # unused_data holds bytes past the deflate end-of-stream marker
+    # (unconsumed_tail is only fed by max_length calls and is always
+    # empty here — r11 ADVICE: the old check was dead code, so garbage
+    # injected between body and trailer decoded silently)
+    if d.unused_data:
         raise ValueError("trailing garbage inside deflate body")
     crc, isize = struct.unpack("<II", raw[-8:])
     if zlib.crc32(data) & 0xFFFFFFFF != crc:
@@ -2923,6 +2927,8 @@ def decode_ico(raw: bytes) -> list[np.ndarray]:
             raise ValueError(f"entry {e}: bad reserved byte")
         if img_off + size > len(raw):
             raise ValueError(f"entry {e}: image exceeds file")
+        if size < 40:  # a full BITMAPINFOHEADER is assumed below
+            raise ValueError(f"entry {e}: DIB too small")
         dib = raw[img_off : img_off + size]
         (hsz, w, h2, _pl, dbpp, comp) = struct.unpack(
             "<IiiHHI", dib[:20]
@@ -3006,3 +3012,408 @@ def ico_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, ICO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL Standard MIDI File codec (built r12, staged r13) — the
+# variable-length-quantity format family: big-endian chunk framing
+# (MThd/MTrk with recorded lengths), VLQ delta times (7-bit groups,
+# MSB continuation, <=4 bytes), channel messages with status-family
+# data widths, RUNNING STATUS on decode (a data-first byte reuses the
+# previous channel status — the real SMF compression mechanism, which
+# the deterministic encoder also emits for consecutive same-status
+# events), meta events (type + VLQ length), and the mandatory
+# end-of-track meta. Loud reject (ValueError) on bad magic / header
+# length / overlong VLQ / data byte >= 0x80 / running status with no
+# prior status / track-length mismatch / missing end-of-track /
+# truncation — the container-family contract. No stdlib MIDI module
+# exists, so interop is pinned by hand-computed on-wire bytes (the
+# TGA/QOI convention).
+# ---------------------------------------------------------------------------
+
+_MIDI_DIVISION = 480
+
+
+def _vlq(v: int) -> bytes:
+    """Variable-length quantity: 7 bits per byte, high bit = continue."""
+    if not 0 <= v <= 0x0FFFFFFF:
+        raise ValueError(f"VLQ out of range: {v}")
+    groups = [v & 0x7F]
+    v >>= 7
+    while v:
+        groups.append(0x80 | (v & 0x7F))
+        v >>= 7
+    return bytes(reversed(groups))
+
+
+def _read_vlq(raw: bytes, pos: int) -> tuple[int, int]:
+    """(value, next_pos); rejects >4-byte and truncated quantities."""
+    v = 0
+    for i in range(4):
+        if pos >= len(raw):
+            raise ValueError("truncated VLQ")
+        b = raw[pos]
+        pos += 1
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return v, pos
+    raise ValueError("overlong VLQ (more than 4 bytes)")
+
+
+# data-byte widths per channel-message status family (high nibble)
+_MIDI_WIDTHS = {0x8: 2, 0x9: 2, 0xA: 2, 0xB: 2, 0xC: 1, 0xD: 1, 0xE: 2}
+
+
+def encode_midi(tracks: list[list[tuple[int, bytes]]]) -> bytes:
+    """[[(delta_ticks, event_bytes)]] -> format-1 SMF bytes. Events are
+    complete messages (status + data, or 0xFF meta with type + VLQ
+    length + data). Deterministic; emits running status whenever a
+    channel event repeats the previous status byte."""
+    import struct
+
+    out = bytearray(
+        struct.pack(">4sIHHH", b"MThd", 6, 1, len(tracks), _MIDI_DIVISION)
+    )
+    for trk in tracks:
+        body = bytearray()
+        running = None
+        for delta, ev in trk:
+            body += _vlq(delta)
+            if ev[0] >= 0xF0 or ev[0] >> 4 not in _MIDI_WIDTHS:
+                if ev[0] != 0xFF:
+                    raise ValueError(f"unsupported event {ev[0]:#x}")
+                body += ev
+                running = None
+            elif running == ev[0]:
+                body += ev[1:]
+            else:
+                body += ev
+                running = ev[0]
+        out += struct.pack(">4sI", b"MTrk", len(body)) + body
+    return bytes(out)
+
+
+def decode_midi(raw: bytes) -> list[dict]:
+    """SMF bytes -> per-track dicts {n_events, total_ticks, sum_pitch}.
+    n_events counts channel + meta + sysex events (end-of-track
+    included); total_ticks sums the track's deltas; sum_pitch sums the
+    first data byte of note-on events (status 0x9n)."""
+    import struct
+
+    if len(raw) < 14:
+        raise ValueError("truncated MThd")
+    magic, hlen, fmt, ntrks, division = struct.unpack(">4sIHHH", raw[:14])
+    if magic != b"MThd":
+        raise ValueError("bad magic: not an SMF file")
+    if hlen != 6:
+        raise ValueError(f"bad MThd length {hlen}")
+    if fmt not in (0, 1, 2):
+        raise ValueError(f"unknown SMF format {fmt}")
+    if division & 0x8000:
+        raise ValueError("SMPTE division not supported")
+    pos = 14
+    tracks = []
+    for t in range(ntrks):
+        if pos + 8 > len(raw):
+            raise ValueError(f"truncated MTrk header for track {t}")
+        tmagic, tlen = struct.unpack(">4sI", raw[pos : pos + 8])
+        if tmagic != b"MTrk":
+            raise ValueError(f"bad track magic at offset {pos}")
+        pos += 8
+        end = pos + tlen
+        if end > len(raw):
+            raise ValueError(f"truncated track {t}")
+        n_events = total = pitch = 0
+        running = None
+        ended = False
+        while pos < end:
+            if ended:
+                raise ValueError(f"events after end-of-track in track {t}")
+            delta, pos = _read_vlq(raw, pos)
+            total += delta
+            if pos >= end:
+                raise ValueError(f"truncated event in track {t}")
+            b = raw[pos]
+            if b == 0xFF:  # meta
+                if pos + 2 > end:
+                    raise ValueError(f"truncated meta in track {t}")
+                mtype = raw[pos + 1]
+                mlen, pos = _read_vlq(raw, pos + 2)
+                if pos + mlen > end:
+                    raise ValueError(f"truncated meta data in track {t}")
+                pos += mlen
+                running = None
+                if mtype == 0x2F:
+                    ended = True
+            elif b in (0xF0, 0xF7):  # sysex
+                slen, pos = _read_vlq(raw, pos + 1)
+                if pos + slen > end:
+                    raise ValueError(f"truncated sysex in track {t}")
+                pos += slen
+                running = None
+            else:
+                if b & 0x80:
+                    status = b
+                    pos += 1
+                    running = status
+                elif running is None:
+                    raise ValueError(
+                        f"running status with no prior status in track {t}"
+                    )
+                else:
+                    status = running
+                width = _MIDI_WIDTHS.get(status >> 4)
+                if width is None:
+                    raise ValueError(f"bad status byte {status:#x}")
+                if pos + width > end:
+                    raise ValueError(f"truncated channel event in track {t}")
+                data = raw[pos : pos + width]
+                if any(d & 0x80 for d in data):
+                    raise ValueError(f"data byte >= 0x80 in track {t}")
+                if status >> 4 == 0x9:
+                    pitch += data[0]
+                pos += width
+            n_events += 1
+        if pos != end:
+            raise ValueError(f"track {t} length field mismatch")
+        if not ended:
+            raise ValueError(f"track {t} missing end-of-track meta")
+        tracks.append(
+            {"n_events": n_events, "total_ticks": total, "sum_pitch": pitch}
+        )
+    if pos != len(raw):
+        raise ValueError("trailing garbage after the last track")
+    return tracks
+
+
+def synth_midi_tracks(doc_id: int) -> list[list[tuple[int, bytes]]]:
+    """Deterministic two-track song both engines can state: a tempo
+    track (set-tempo meta + EOT), and a note track with
+    n = 3 + doc_id%5 note-on/off pairs on channel 0 — note-on deltas
+    exercise 2-byte VLQs (128 + (doc_id*13 + j*29) % 16000), note-off
+    deltas 1-byte (24 + (doc_id*7 + j*11) % 96), pitches
+    60 + (doc_id*5 + j*7) % 24, fixed velocity 64/0 (the 0-velocity
+    off is ALSO status 0x90, so the encoder's running status engages
+    for the whole note stream)."""
+    d = int(doc_id)
+    tempo = [
+        (0, bytes([0xFF, 0x51, 0x03, 0x07, 0xA1, 0x20])),
+        (0, bytes([0xFF, 0x2F, 0x00])),
+    ]
+    notes = []
+    for j in range(3 + d % 5):
+        on = 128 + (d * 13 + j * 29) % 16000
+        off = 24 + (d * 7 + j * 11) % 96
+        p = 60 + (d * 5 + j * 7) % 24
+        notes.append((on, bytes([0x90, p, 64])))
+        notes.append((off, bytes([0x90, p, 0])))
+    notes.append((0, bytes([0xFF, 0x2F, 0x00])))
+    return [tempo, notes]
+
+
+MIDI_FEATURE_SCHEMA = (
+    "doc_id long, n_tracks int, n_events long, total_ticks long,"
+    " sum_pitch long"
+)
+
+
+def midi_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id) -> synth tracks -> ENCODE format-1 SMF (VLQ deltas +
+    running status) -> DECODE (chunk framing, VLQ walk, running-status
+    resolution, track-length and EOT verification) -> integer-exact
+    profile. The oracle states every column from the synthesis
+    formula, so a VLQ, framing, or running-status bug
+    hash-mismatches. NOTE sum_pitch counts note-ON statuses, which
+    includes the 0-velocity offs by design (they are 0x90 events on
+    the wire — the running-status device)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                raw = encode_midi(synth_midi_tracks(int(doc_id)))
+                got = decode_midi(raw)
+                out.append(
+                    (
+                        int(doc_id),
+                        len(got),
+                        sum(t["n_events"] for t in got),
+                        sum(t["total_ticks"] for t in got),
+                        sum(t["sum_pitch"] for t in got),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_tracks", "n_events", "total_ticks",
+                    "sum_pitch",
+                ],
+            )
+
+    return base.mapInPandas(run, MIDI_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL UTF-8 validation audit (built r12, staged r13) — the
+# training-data hygiene scanner: a byte-level DFA classifying every
+# position of a binary payload as a decoded codepoint (by encoded
+# width) or as one of five malformation classes (overlong form,
+# surrogate half, out-of-range / invalid lead, bad continuation,
+# truncated at EOF). Recovery contract (documented, deterministic):
+# on a lead whose CLASS is known from the lead byte itself (C0/C1
+# overlong, F5-FF out-of-range) or whose second byte proves an
+# overlong/surrogate/out-of-range form (E0 80-9F, ED A0-BF, F0 80-8F,
+# F4 90-BF), the scanner consumes the lead plus subsequent GENERIC
+# continuation bytes (80-BF) up to the nominal sequence width — one
+# error per planted subpart; a continuation byte that is simply not
+# 80-BF consumes only the bytes before it (the failing byte rescans
+# as its own unit); a stray continuation consumes one byte. Matches
+# Python's strict decoder on the accept side (pinned by test);
+# the class taxonomy is the audit's added value.
+# ---------------------------------------------------------------------------
+
+
+def utf8_scan(raw: bytes) -> dict:
+    """bytes -> {'cp1','cp2','cp3','cp4','overlong','surrogate',
+    'range','continuation','stray','truncated'} counts."""
+    c = dict.fromkeys(
+        ("cp1", "cp2", "cp3", "cp4", "overlong", "surrogate", "range",
+         "continuation", "stray", "truncated"), 0
+    )
+    n, i = len(raw), 0
+
+    def eat_generic(pos: int, upto: int) -> int:
+        while upto and pos < n and 0x80 <= raw[pos] <= 0xBF:
+            pos += 1
+            upto -= 1
+        return pos
+
+    while i < n:
+        b = raw[i]
+        if b < 0x80:
+            c["cp1"] += 1
+            i += 1
+            continue
+        if 0x80 <= b <= 0xBF:
+            c["stray"] += 1
+            i += 1
+            continue
+        if b in (0xC0, 0xC1):
+            c["overlong"] += 1
+            i = eat_generic(i + 1, 1)
+            continue
+        if b >= 0xF5:
+            c["range"] += 1
+            i = eat_generic(i + 1, 3)
+            continue
+        width = 2 if b < 0xE0 else 3 if b < 0xF0 else 4
+        if i + width > n:
+            tail_ok = all(
+                0x80 <= raw[j] <= 0xBF for j in range(i + 1, n)
+            )
+            if tail_ok:
+                c["truncated"] += 1
+                i = n
+                continue
+            # a non-continuation inside the tail: fall through to the
+            # per-byte checks below, which will classify it
+        # second-byte form checks (class known at byte 2)
+        if width >= 3 and i + 1 < n and 0x80 <= raw[i + 1] <= 0xBF:
+            b1 = raw[i + 1]
+            bad = None
+            if b == 0xE0 and b1 < 0xA0:
+                bad = "overlong"
+            elif b == 0xED and b1 > 0x9F:
+                bad = "surrogate"
+            elif b == 0xF0 and b1 < 0x90:
+                bad = "overlong"
+            elif b == 0xF4 and b1 > 0x8F:
+                bad = "range"
+            if bad:
+                c[bad] += 1
+                i = eat_generic(i + 1, width - 1)
+                continue
+        j = i + 1
+        ok = True
+        while j < min(i + width, n):
+            if not 0x80 <= raw[j] <= 0xBF:
+                ok = False
+                break
+            j += 1
+        if not ok:
+            c["continuation"] += 1
+            i = j  # resume AT the failing byte
+            continue
+        if j < i + width:  # clean but short tail at EOF
+            c["truncated"] += 1
+            i = n
+            continue
+        c[f"cp{width}"] += 1
+        i += width
+    return c
+
+
+def synth_utf8_payload(doc_id: int) -> bytes:
+    """Deterministic payload with closed-form class counts: a ASCII
+    bytes, t 2-byte (C3 A9), h 3-byte (E2 82 AC), f 4-byte
+    (F0 9F 98 80) codepoints, then planted malformations — ov
+    overlong (C0 AF), su surrogate (ED A0 80), rg out-of-range
+    (F5 80 80 80), bc bad continuation (C3 then 'A' — the 'A' rescans
+    as ASCII), and tr = one truncated 3-byte lead (E2 82) at EOF."""
+    d = int(doc_id)
+    a, t, h, f = 5 + d % 7, 2 + d % 3, 1 + d % 4, 1 + d % 2
+    ov, su = d % 2, 1 if d % 3 == 0 else 0
+    rg, bc = (1 if d % 5 == 0 else 0), (1 if d % 4 == 0 else 0)
+    tr = 1 if d % 7 == 0 else 0
+    out = bytearray()
+    out += bytes(65 + (d + i) % 26 for i in range(a))
+    out += b"\xc3\xa9" * t
+    out += b"\xe2\x82\xac" * h
+    out += b"\xf0\x9f\x98\x80" * f
+    out += b"\xc0\xaf" * ov
+    out += b"\xed\xa0\x80" * su
+    out += b"\xf5\x80\x80\x80" * rg
+    out += b"\xc3A" * bc
+    out += b"\xe2\x82" * tr
+    return bytes(out)
+
+
+UTF8_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, cp_ascii long, cp_2b long, cp_3b long,"
+    " cp_4b long, err_overlong long, err_surrogate long, err_range long,"
+    " err_continuation long, err_truncated long"
+)
+
+
+def utf8_audit_features(base: DataFrame) -> DataFrame:
+    """(doc_id) -> synth payload -> REAL DFA scan -> per-doc validity
+    profile. The oracle states every count from the synthesis formula
+    (a bad-continuation plant contributes one error AND one rescanned
+    ASCII codepoint), so any DFA boundary bug — a surrogate accepted,
+    an overlong counted as two errors, a truncation misclassified —
+    hash-mismatches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                raw = synth_utf8_payload(int(doc_id))
+                s = utf8_scan(raw)
+                assert s["stray"] == 0  # synth plants none
+                out.append(
+                    (
+                        int(doc_id), len(raw), s["cp1"], s["cp2"],
+                        s["cp3"], s["cp4"], s["overlong"], s["surrogate"],
+                        s["range"], s["continuation"], s["truncated"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_bytes", "cp_ascii", "cp_2b", "cp_3b",
+                    "cp_4b", "err_overlong", "err_surrogate", "err_range",
+                    "err_continuation", "err_truncated",
+                ],
+            )
+
+    return base.mapInPandas(run, UTF8_FEATURE_SCHEMA)

@@ -2286,7 +2286,7 @@ FROM scored GROUP BY doc_id
 
 
 @register(
-    "text_stupid_backoff_trigram", oracle=_SB_TRIGRAM_SQL, staged=True
+    "text_stupid_backoff_trigram", oracle=_SB_TRIGRAM_SQL
 )
 def text_stupid_backoff_trigram(
     spark: SparkSession, sf_dir: str

@@ -428,7 +428,7 @@ ORDER BY p.doc_id
 """
 
 
-@register("dedup_bloom_membership", oracle=_BLOOM_SQL, staged=True)
+@register("dedup_bloom_membership", oracle=_BLOOM_SQL)
 def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Bloom-filter membership audit (built r11, staged
     r12) — the classic pre-filter in front of an exact dedup join:
@@ -566,7 +566,7 @@ GROUP BY c.doc_id
 """
 
 
-@register("dedup_cdc_chunking", oracle=_CDC_SQL, staged=True)
+@register("dedup_cdc_chunking", oracle=_CDC_SQL)
 def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking partial-duplicate profile (built r11,
     staged r12) — the storage-dedup technique (Rabin/LBFS lineage;

@@ -1777,7 +1777,7 @@ FROM per_member GROUP BY doc_id
 """
 
 
-@register("multimodal_tar_manifest", oracle=_TAR_MANIFEST_SQL, staged=True)
+@register("multimodal_tar_manifest", oracle=_TAR_MANIFEST_SQL)
 def multimodal_tar_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TAR (ustar) container codec (built r11, staged r12) — the
     block-oriented sibling of the ZIP container: 512-byte headers with
@@ -1815,7 +1815,7 @@ FROM bytes GROUP BY doc_id
 """
 
 
-@register("multimodal_gzip_ingest", oracle=_GZIP_INGEST_SQL, staged=True)
+@register("multimodal_gzip_ingest", oracle=_GZIP_INGEST_SQL)
 def multimodal_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GZIP member codec (built r11, staged r12) — RFC 1952 over
     the PNG/ZIP deflate machinery: deterministic encoder (MTIME=0,
@@ -1873,7 +1873,7 @@ FROM per_icon GROUP BY doc_id
 """
 
 
-@register("multimodal_ico_ingest", oracle=_ICO_INGEST_SQL, staged=True)
+@register("multimodal_ico_ingest", oracle=_ICO_INGEST_SQL)
 def multimodal_ico_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ICO container codec (built r11, staged r12) — the first
     CONTAINER-OF-CODECS composition: a Windows icon directory

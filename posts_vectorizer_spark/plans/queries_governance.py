@@ -793,7 +793,7 @@ FROM s WHERE n > 0
 """
 
 
-@register("rel_chi2_independence", oracle=_CHI2_INDEP_SQL, staged=True)
+@register("rel_chi2_independence", oracle=_CHI2_INDEP_SQL)
 def rel_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence + Cramér's V (built r11, staged
     r12) — the SIGNIFICANCE/effect-size companion to

@@ -1226,10 +1226,18 @@ def _forced_drain(
         half = F.col(split_col) % 2
         for h in (0, 1):
             part = df.where(half == h)
+            # hash-partition each half BY THE SPLIT KEY, never
+            # round-robin (r11 ADVICE): round-robin spreads one key's
+            # rows across all files of a half, so the half->micro-batch
+            # alignment would rest on file-mtime ordering (ties break
+            # arbitrarily on coarse-mtime filesystems). Keyed files
+            # confine every key to ONE file, making key-disjoint drains
+            # (transition pairs) exact under ANY file-to-batch grouping;
+            # for additive drains the placement never mattered.
             part = (
                 part.coalesce(1)
                 if files_per_half == 1
-                else part.repartition(files_per_half)
+                else part.repartition(files_per_half, F.col(split_col))
             )
             part.write.mode("append").parquet(src)
         if src_key:
@@ -1614,7 +1622,7 @@ def stream_novelty_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_governance import _MI_SQL  # noqa: E402
 
 
-@register("stream_mutual_info_drain", oracle=_MI_SQL, staged=True)
+@register("stream_mutual_info_drain", oracle=_MI_SQL)
 def stream_mutual_info_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dependence monitoring with a driver row (built r11,
     staged r12): events stream in TWO forced micro-batches; each batch
@@ -1655,7 +1663,6 @@ from .queries_events import _TRANS_ENTROPY_SQL  # noqa: E402
 @register(
     "stream_transition_entropy_drain",
     oracle=_TRANS_ENTROPY_SQL,
-    staged=True,
 )
 def stream_transition_entropy_drain(
     spark: SparkSession, sf_dir: str
@@ -1699,7 +1706,7 @@ from .queries_curation import _GOOD_TURING_SQL  # noqa: E402
 
 
 @register(
-    "stream_good_turing_drain", oracle=_GOOD_TURING_SQL, staged=True
+    "stream_good_turing_drain", oracle=_GOOD_TURING_SQL
 )
 def stream_good_turing_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming unseen-mass monitoring with a driver row (built r11,
@@ -1739,7 +1746,7 @@ def stream_good_turing_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_stats import _ANOVA_SQL  # noqa: E402
 
 
-@register("stream_anova_drain", oracle=_ANOVA_SQL, staged=True)
+@register("stream_anova_drain", oracle=_ANOVA_SQL)
 def stream_anova_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming variance-decomposition monitoring with a driver row
     (built r11, staged r12): lineitem streams in TWO forced
@@ -1782,7 +1789,7 @@ def stream_anova_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_text import _JSD_SQL  # noqa: E402
 
 
-@register("stream_jsd_drain", oracle=_JSD_SQL, staged=True)
+@register("stream_jsd_drain", oracle=_JSD_SQL)
 def stream_jsd_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source-drift monitoring with a driver row (built r11,
     staged r12): documents stream in TWO forced micro-batches; each

@@ -1168,7 +1168,7 @@ def sim_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_hits_hubs_authorities", oracle=graph.hits_sql(), staged=True)
+@register("sim_hits_hubs_authorities", oracle=graph.hits_sql())
 def sim_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (built r11, staged r12) — Kleinberg's
     directed companion to sim_pagerank_knn, run on the RAW top-k graph
@@ -1193,7 +1193,6 @@ def sim_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_hits_ann",
     oracle=graph.hits_ann_sql(DIMS, KNN_GRAPH_K),
-    staged=True,
 )
 def sim_hits_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS over lsh_ann lists (built r11, staged r12) — the

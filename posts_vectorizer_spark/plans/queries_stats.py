@@ -2921,7 +2921,7 @@ _ANOVA_SQL = _anova_sql_over(
 )
 
 
-@register("rel_anova_oneway", oracle=_ANOVA_SQL, staged=True)
+@register("rel_anova_oneway", oracle=_ANOVA_SQL)
 def rel_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F test (built r11, staged r12) — does a
     categorical column explain a numeric one? (quantity by return
@@ -3036,7 +3036,7 @@ _LEVENE_SQL = _anova_sql_over(
 )
 
 
-@register("rel_levene_test", oracle=_LEVENE_SQL, staged=True)
+@register("rel_levene_test", oracle=_LEVENE_SQL)
 def rel_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe Levene test (built r11, staged r12) — are the
     group VARIANCES equal? (the homoscedasticity check that decides

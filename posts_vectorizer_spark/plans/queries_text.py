@@ -932,7 +932,7 @@ ORDER BY source
 """
 
 
-@register("text_jsd_source_drift", oracle=_JSD_SQL, staged=True)
+@register("text_jsd_source_drift", oracle=_JSD_SQL)
 def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Jensen-Shannon divergence against the whole-corpus
     unigram distribution (built r11, staged r12) — the
@@ -1084,7 +1084,7 @@ FROM s WHERE m >= 2
 """
 
 
-@register("text_heaps_law_fit", oracle=_HEAPS_SQL, staged=True)
+@register("text_heaps_law_fit", oracle=_HEAPS_SQL)
 def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps' law vocabulary-growth fit (built r11, staged r12) — the
     corpus-growth diagnostic behind text_ngram_novelty's per-doc

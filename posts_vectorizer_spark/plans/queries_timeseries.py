@@ -1370,8 +1370,51 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kaplan-Meier survival estimator (time to first purchase, right-censored)
 # ---------------------------------------------------------------------------
 
-_KM_SQL = """
-WITH obs_end AS (SELECT CAST(max(ts) AS DATE) AS end_day FROM events),
+def _surv_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, c_t, d_t, n_t): the survival risk grid — time-to-first-
+    purchase durations with right censoring at the global observation
+    end, reduced to per-duration departure counts c_t, event counts
+    d_t, and at-risk sets n_t (complement cumulative — no per-user
+    window). Shared by the Kaplan-Meier product-limit estimator and
+    the Nelson-Aalen cumulative hazard (r12); the SQL twin is
+    _SURV_RISK_CTES."""
+    events = load_table(spark, sf_dir, "events")
+    obs_end = events.agg(F.max("ts").cast("date").alias("end_day"))
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("entry"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).cast("date").alias("conv"),
+    )
+    is_event = F.col("conv").isNotNull() & (F.col("conv") >= F.col("entry"))
+    dur = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.when(is_event, F.datediff("conv", "entry"))
+        .otherwise(F.datediff("end_day", "entry"))
+        .alias("t"),
+        is_event.alias("is_event"),
+    )
+    grid = dur.groupBy("t").agg(
+        F.count("*").alias("c_t"),
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d_t"),
+    )
+    total = dur.agg(F.count("*").alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return grid.crossJoin(F.broadcast(total)).select(
+        "t", "c_t", "d_t",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c_t").over(wprev), F.lit(0))
+        ).alias("n_t"),
+    )
+
+
+# shared survival risk-grid CTEs (time-to-first-purchase durations with
+# right censoring -> per-duration (t, c_t, d_t, n_t)) — consumed by the
+# Kaplan-Meier product-limit oracle AND the Nelson-Aalen cumulative-
+# hazard oracle (r12), exactly as the Spark side shares _surv_risk
+_SURV_RISK_CTES = """obs_end AS (SELECT CAST(max(ts) AS DATE) AS end_day FROM events),
 per_user AS (
   SELECT user_id,
          CAST(min(ts) AS DATE) AS entry,
@@ -1400,7 +1443,10 @@ risk AS (
                ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                AND 1 PRECEDING), 0) AS n_t
   FROM grid
-),
+)"""
+
+_KM_SQL = f"""
+WITH {_SURV_RISK_CTES},
 terms AS (
   SELECT t, n_t, d_t,
          CASE WHEN d_t > 0 AND n_t > d_t THEN
@@ -1451,36 +1497,7 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-keyed aggregate (the only data-sized
     shuffle), a duration-keyed count (bounded by the calendar), and a
     value-level cumulative window over ~30 rows at any data scale."""
-    events = load_table(spark, sf_dir, "events")
-    obs_end = events.agg(F.max("ts").cast("date").alias("end_day"))
-    per_user = events.groupBy("user_id").agg(
-        F.min("ts").cast("date").alias("entry"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).cast("date").alias("conv"),
-    )
-    is_event = F.col("conv").isNotNull() & (F.col("conv") >= F.col("entry"))
-    dur = per_user.crossJoin(F.broadcast(obs_end)).select(
-        F.when(is_event, F.datediff("conv", "entry"))
-        .otherwise(F.datediff("end_day", "entry"))
-        .alias("t"),
-        is_event.alias("is_event"),
-    )
-    grid = dur.groupBy("t").agg(
-        F.count("*").alias("c_t"),
-        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d_t"),
-    )
-    total = dur.agg(F.count("*").alias("n_total"))
-    wprev = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    risk = grid.crossJoin(F.broadcast(total)).select(
-        "t", "c_t", "d_t",
-        (
-            F.col("n_total")
-            - F.coalesce(F.sum("c_t").over(wprev), F.lit(0))
-        ).alias("n_t"),
-    )
+    risk = _surv_risk(spark, sf_dir)
     n_t, d_t = F.col("n_t"), F.col("d_t")
     terms = risk.select(
         "t", "n_t", "d_t",
@@ -1510,6 +1527,69 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("zeroed") == 1, F.lit(0.0))
         .otherwise(prod.cast("double"))
         .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_NA_SQL = f"""
+WITH {_SURV_RISK_CTES},
+terms AS (
+  SELECT t, n_t, d_t,
+         CAST(round(CAST(d_t AS DOUBLE) / n_t, 9)
+              AS DECIMAL(18,9)) AS hazard
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_t AS BIGINT) AS n_at_risk,
+       CAST(d_t AS BIGINT) AS d_events,
+       hazard,
+       CAST(sum(hazard) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(28,9)) AS cum_hazard
+FROM terms WHERE d_t > 0
+"""
+
+
+@register("events_nelson_aalen", oracle=_NA_SQL, staged=True)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the SAME right-censored
+    time-to-first-purchase risk grid as events_kaplan_meier (built
+    r12, staged r13): H(t) = sum over s<=t of d_s/n_s — the additive dual
+    of KM's product limit, preferred when hazard INCREMENTS are the
+    monitored quantity (a step-up in d/n flags a conversion-rate
+    regime change at that duration). Exactness is STRICTLY simpler
+    than KM's: each increment is one double division rounded to the
+    9dp decimal grid (KM's factor device), and the cumulative is an
+    EXACT DECIMAL WINDOW SUM — no fold, no transcendental (the
+    exp(-H) survival transform is deliberately not emitted: exp is
+    the measured-unsafe transcendental, and KM already states the
+    survival curve). Shares _surv_risk / _SURV_RISK_CTES with KM —
+    the consumer-of-changed-code rule puts events_kaplan_meier in the
+    next head spine.
+
+    Scale shape: identical to KM — one user-keyed aggregate, a
+    calendar-bounded duration grid, and a value-level window over
+    ~30 rows at any data scale."""
+    risk = _surv_risk(spark, sf_dir)
+    n_t, d_t = F.col("n_t"), F.col("d_t")
+    terms = risk.select(
+        "t", "n_t", "d_t",
+        F.round(d_t.cast("double") / n_t, 9)
+        .cast("decimal(18,9)")
+        .alias("hazard"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.where(d_t > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        n_t.cast("long").alias("n_at_risk"),
+        d_t.cast("long").alias("d_events"),
+        "hazard",
+        F.sum("hazard").over(wcum).cast("decimal(28,9)").alias("cum_hazard"),
     )
 
 
@@ -1995,7 +2075,7 @@ WHERE r.t > 0
 """
 
 
-@register("events_ewma_control", oracle=_EWMA_SQL, staged=True)
+@register("events_ewma_control", oracle=_EWMA_SQL)
 def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control chart over the daily event-count series (built
     r11, staged r12) — the SPC (statistical process control) member of
@@ -2126,7 +2206,7 @@ WHERE r.k = nk.n_demands
 
 
 @register(
-    "events_croston_intermittent", oracle=_CROSTON_SQL, staged=True
+    "events_croston_intermittent", oracle=_CROSTON_SQL
 )
 def events_croston_intermittent(
     spark: SparkSession, sf_dir: str
@@ -2255,7 +2335,7 @@ WHERE m.n_fitted > 0 AND nv.n_naive > 0 AND nv.sae > 0
 """
 
 
-@register("events_forecast_mase_eval", oracle=_MASE_SQL, staged=True)
+@register("events_forecast_mase_eval", oracle=_MASE_SQL)
 def events_forecast_mase_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

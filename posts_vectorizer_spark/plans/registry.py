@@ -36,23 +36,26 @@ REGISTRY: dict[str, QueryDef] = {}
 # includes them) — staging defers only the DRIVER-VISIBLE registration,
 # never the verification.
 STAGED: dict[str, QueryDef] = {}
-# r11: the full r10-staged wave of 21 [Q] was introduced — every
-# staged=True flag dropped, all 21 took head a-block slots, and the r10
-# verdict's top item (the FAILED bench gate) was fixed before
-# introduction: stream_cms_drain's source copy is now projected +
-# parallel-written + cached across best-of-N (8.33 -> ~3.0 s in-series)
-# and BENCH_BASELINE.json drain/codec numbers are re-committed from
-# IN-SERIES floors with the budget re-derived at ~1.20x headroom.
-# Queries built mid-r11 after the head locks stage here for r12.
-# Staging checklist (memory + r7-r10 practice): oracle sweep at
+# r12: the full r11-staged wave of 21 [Q] was introduced — every
+# staged=True flag dropped, all 21 took head a-block slots — after the
+# r11 verdict's top item (events_ipw_ate, the lone red row) was fixed:
+# the query was rewritten onto the exact half-up integer lattice (no
+# unrounded doubles; see queries_stats.py and the new
+# test_oracle.py::test_oracle_no_new_unrounded_double_outputs lint)
+# and re-proves as a spine slot. Queries built mid-r12 after the head
+# locks stage here for r13.
+# Staging checklist (memory + r7-r11 practice): oracle sweep at
 # sf0.001 AND sf0.01 AND sf0.1, vanilla head_check pass, a named
 # semantic test, an empty-input pass (tests/test_edge.py), a
 # scale_trend measurement, COVERAGE/README/registry-comment updates.
+# New queries that run jobs at plan build (stream drains, Lloyd
+# trains, kernel/edge-list builds) must be pre-listed for the no-jobs
+# skip set (tests/test_plans.py) in this comment.
 #
-# r11 staged (r12 gets their introduction slots) — all four-way gated
-# (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try, vanilla head_check 6/6,
-# named tests, staged empty-input pass, measured 1x/3x/10x trends in
-# SCALE.md, evidence in SWEEPS.md):
+# r11 staged history (all 21 introduced in the r12 head, below) — all
+# four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
+# vanilla head_check 6/6, named tests, staged empty-input pass,
+# measured 1x/3x/10x trends in SCALE.md, evidence in SWEEPS.md):
 #   stream_mutual_info_drain   (ADD-merged contingency cells ->
 #                               mi_readout; live dependence monitor)
 #   stream_transition_entropy_drain (USER-disjoint split keeps pairs
@@ -151,27 +154,15 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r12 head planning (LOCKED at r11 closeout). The arithmetic lands on
-# exactly 50 with the 21-query staged wave above:
-#   (a) 21 introductions — every r11-staged [Q] query (all four-way
-#       gated in r11; SWEEPS.md waves 1-4). Remember the no-jobs skip
-#       additions: sim_hits_hubs_authorities / sim_hits_ann (kernel /
-#       lsh build) and the five new stream drains.
-#   (b) spine (1): tfidf_doc_vectors. (The r11 refactor consumers all
-#       hold r11 rows: mi/transition/good-turing re-proved in the r11
-#       head; anova/jsd refactors are themselves r12 introductions;
-#       the _forced_drain src-key change is driver-proved via four r11
-#       drain rows.)
-#   (c) freshness (28 = 5 + 23): the FIVE r5 names dropped from the
-#       r11 head FIRST (sim_pagerank_knn — displaced by the
-#       text_good_turing spine slot — then sim_semdedup_prune,
-#       stream_vectorize_drain, text_pmi_bigrams, text_readability),
-#       then 23 more of the r5-last-green cohort (tools/cohorts.py
-#       reports 28 r5 rows remaining after the r11 head re-proves 17 -
-#       the oldest standing green; list order). If r12 builds more
-#       introductions mid-round they stage for r13; if any r12-built
-#       query is introduced same-round, drop cohort names from the END
-#       one-for-one.
+# r13 head planning (draft at r12 open; re-lock at r12 closeout):
+#   (a) introduction slots for every r12-staged [Q] query built below.
+#   (b) spine (1+): tfidf_doc_vectors, plus any consumer of code
+#       changed late in r12.
+#   (c) freshness: udtf_polymorphic_firstn FIRST (the one r5 name this
+#       head couldn't fit), then the r6 cohort (47 names,
+#       tools/cohorts.py list order) filling the remaining slots
+#       oldest-first. If more introductions land than slots allow,
+#       drop cohort names from the END one-for-one.
 
 
 
@@ -214,62 +205,59 @@ def register(
 # (a batch per round, last-green round ascending), so no driver row ages
 # past ~4 rounds without a re-proof.
 #
-# r11 state: executes the r10 verdict's plan (VERDICT.md "Next round"
-# items 1-4) and the r11 head arithmetic locked at r10 closeout. 21
-# introductions (not the drafted 17 — four more were staged after the
-# draft), so per the locked one-for-one rule the LAST FOUR r5 names
-# (sim_semdedup_prune, stream_vectorize_drain, text_pmi_bigrams,
-# text_readability) drop to the r12 freshness block:
-#   (a) 21 introduction slots — the full r10-staged [Q] wave, all
-#       four-way gated in r10 (sf0.001+sf0.01+sf0.1 sweeps, vanilla
+# r12 state: executes the r11 verdict's plan (VERDICT.md "Next round"
+# items 1-5) and the r12 head arithmetic locked at r11 closeout, with
+# ONE adjustment the lock couldn't anticipate: events_ipw_ate (the r11
+# red row) was rewritten r12 onto the exact half-up integer lattice
+# (queries_stats.py — the verdict's top item) and re-proves as a SPINE
+# member (consumer-of-changed-code rule), so freshness takes 27 slots
+# (5 + 22), and the LAST r5 cohort name (udtf_polymorphic_firstn —
+# judge-re-proved against DuckDB in the r11 session, the least-stale
+# choice) drops to r13:
+#   (a) 21 introduction slots — the full r11-staged [Q] wave, all
+#       four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps, vanilla
 #       head_check, named tests, empty-input gate, scale trends;
-#       SWEEPS.md; judge spot-check 7/7).
-#   (b) spine (3) — tfidf_doc_vectors + events_seasonal_decompose
-#       (its oracle was refactored to the shared _STL_SQL constant in
-#       r10 — the refactor consumer re-proves; the other consumers,
-#       rel_benford_digit_test / text_unigram_logprob, hold fresh r10
-#       head rows) + text_good_turing (its body was refactored
-#       MID-r11 into the shared good_turing_readout that the staged
-#       stream_good_turing_drain consumes — the consumer-of-changed-
-#       code rule; the OTHER two mid-r11 readout refactors,
-#       rel_mutual_information / events_transition_entropy, are r11
-#       introductions already in block (a)).
-#   (c) freshness (26 = 9 + 17): the NINE spilled r4 rows FIRST
-#       (oldest standing green), then the first 17 of the 22-query r5
-#       cohort (list order; all pre-verified vanilla in r10,
-#       SWEEPS.md 9/9 + 22/22; sim_pagerank_knn drops to r12 with the
-#       other four to make room for the text_good_turing spine slot;
-#       enumerate cohorts with tools/cohorts.py).
+#       SWEEPS.md waves 1-5; judge spot-check 7/7). The five new
+#       drains also driver-prove the r12 _forced_drain fix (keyed
+#       half files — r11 ADVICE item 2); the registered drains it
+#       touches were locally re-swept 5/5 (SWEEPS.md).
+#   (b) spine (2) — tfidf_doc_vectors (every head) +
+#       events_ipw_ate (rewritten this round; HITS witness note:
+#       sim_hits_hubs_authorities measured 38 s uncontended at
+#       sf0.01 — under the verdict's 1-minute shrink threshold).
+#   (c) freshness (27 = 5 + 22): the FIVE r5 names dropped from the
+#       r11 head FIRST (pre-verified vanilla 5/5 at r11 closeout,
+#       SWEEPS.md), then the next 22 of the 28-name r5 cohort in
+#       tools/cohorts.py list order.
 _HEAD_ORDER: tuple[str, ...] = (
-    # ---- (b) r11 spine (incl. the mid-r11 readout-refactor consumer):
-    "tfidf_doc_vectors", "events_seasonal_decompose",
-    "text_good_turing",
-    # ---- (a) the 21 introductions (r10-staged wave):
-    "text_zipf_fit", "text_textrank_keywords", "text_token_gini",
-    "multimodal_alaw_ingest", "events_hill_tail",
-    "rel_zorder_layout", "multimodal_tga_ingest", "events_ipw_ate",
-    "multimodal_zip_manifest", "multimodal_tiff_packbits_ingest",
-    "sim_rocchio_centroid_eval", "events_seasonality_strength",
-    "events_kleinberg_bursts", "stream_benford_drain",
-    "stream_zipf_drain", "sim_pq_adc_scan", "rel_mutual_information",
-    "text_ngram_novelty", "events_transition_entropy",
-    "stream_novelty_drain", "sim_label_centroid_drift",
-    # ---- (c) freshness: the nine spilled r4 rows first...
-    "rel_tpch_q18_large_orders", "rel_tpch_q19_disjunctive",
-    "rel_tpch_q21_late_suppliers", "rel_tpch_q22_dormant_accounts",
-    "events_ab_cuped", "events_interval_coverage",
-    "text_bm25_ndcg_eval", "text_winnowing_fingerprints",
-    "dedup_substring_spans",
-    # ---- ...then the first 18 of the r5 cohort (last four -> r12):
-    "curation_weighted_sample", "dedup_components",
-    "dedup_incremental_minhash", "dedup_split_leakage_safe",
-    "events_cusum_changepoint", "events_halflife_decay",
-    "events_retention_cohorts", "events_scd2_versions",
-    "events_session_paths", "rel_custdist_histogram",
-    "rel_salted_skew_join", "rel_stats_quantiles",
-    "rel_subquery_correlated", "rel_tpch_q6_forecast_revenue",
-    "rel_tpch_q8_market_share", "rel_weighted_median",
-    "sim_hybrid_rrf_fusion",
+    # ---- (b) r12 spine (flagship + the rewritten red row):
+    "tfidf_doc_vectors", "events_ipw_ate",
+    # ---- (a) the 21 introductions (r11-staged wave):
+    "stream_mutual_info_drain", "stream_transition_entropy_drain",
+    "stream_good_turing_drain", "multimodal_tar_manifest",
+    "multimodal_gzip_ingest", "text_jsd_source_drift",
+    "sim_hits_hubs_authorities", "rel_anova_oneway",
+    "events_ewma_control", "dedup_bloom_membership",
+    "text_stupid_backoff_trigram", "sim_hits_ann",
+    "stream_anova_drain", "stream_jsd_drain",
+    "multimodal_ico_ingest", "dedup_cdc_chunking",
+    "rel_levene_test", "rel_chi2_independence",
+    "text_heaps_law_fit", "events_croston_intermittent",
+    "events_forecast_mase_eval",
+    # ---- (c) freshness: the five names dropped from the r11 head...
+    "sim_pagerank_knn", "sim_semdedup_prune",
+    "stream_vectorize_drain", "text_pmi_bigrams", "text_readability",
+    # ---- ...then the next 22 of the r5 cohort (last one -> r13):
+    "events_range_join_clicks", "events_transition_matrix",
+    "rel_salted_skew_agg", "rel_skyline_pareto", "rel_stats_moments",
+    "rel_stratified_sample", "rel_table_profile",
+    "rel_tpch_q10_returns", "rel_tpch_q11_important_customers",
+    "rel_tpch_q7_nation_volume", "rel_winsorized_agg",
+    "sim_ivf_portable", "sim_ivfpq_search", "sim_mmr_rerank",
+    "sim_pq_quantize", "sim_recall_report",
+    "stream_minhash_index_drain", "text_domain_mix_weights",
+    "text_inverted_index", "text_repetition_signals",
+    "text_typo_pairs", "text_vocab_coverage",
 )
 
 

@@ -1489,6 +1489,13 @@ def test_gzip_member_cross_tool_and_rejects():
     bad[3] |= 0xE0  # reserved FLG bits
     with pytest.raises(ValueError):
         M.decode_gzip(bytes(bad))
+    # tamper: garbage BETWEEN deflate end-of-stream and the trailer —
+    # CRC32/ISIZE still verify against the clean payload, so only the
+    # unused_data check can catch it (r11 ADVICE: the unconsumed_tail
+    # check was dead code and this decoded silently)
+    tampered = base[:-8] + b"\xde\xad\xbe\xef" + base[-8:]
+    with pytest.raises(ValueError, match="trailing garbage"):
+        M.decode_gzip(tampered)
 
 
 def test_tar_manifest_hand_computed(spark, tmp_path):
@@ -1583,6 +1590,13 @@ def test_ico_container_rejects_and_hand_computed(spark, tmp_path):
     bad = bytearray(raw)
     struct.pack_into("<i", bad, img_off + 8, h2 + 1)  # odd biHeight
     with pytest.raises(ValueError):
+        M.decode_ico(bytes(bad))
+    # entry records a DIB smaller than a BITMAPINFOHEADER: must be the
+    # contract ValueError, not struct.error (r11 ADVICE — size < 20
+    # previously hit struct.unpack on a short slice)
+    bad = bytearray(raw)
+    struct.pack_into("<I", bad, 6 + 8, 12)  # entry 0 size := 12 < 40
+    with pytest.raises(ValueError, match="DIB too small"):
         M.decode_ico(bytes(bad))
     with pytest.raises(ValueError):
         M.encode_ico([np.zeros((300, 4, 3), dtype=np.uint8)])  # >255

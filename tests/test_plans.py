@@ -138,6 +138,17 @@ def test_plan_build_triggers_no_jobs(spark):
         "stream_zipf_drain",
         "stream_novelty_drain",
         "sim_pq_adc_scan",
+        # r11-built wave (introduced r12) — the five new drains run
+        # their micro-batch loop by contract; both HITS forms
+        # materialize their edge list at build (topk kernel broadcast
+        # / LSH bucket join + the persisted iteration input):
+        "stream_mutual_info_drain",
+        "stream_transition_entropy_drain",
+        "stream_good_turing_drain",
+        "stream_anova_drain",
+        "stream_jsd_drain",
+        "sim_hits_hubs_authorities",
+        "sim_hits_ann",
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():
