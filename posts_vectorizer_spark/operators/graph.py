@@ -373,3 +373,98 @@ FROM verts v JOIN {prev_h} h ON v.vec_id = h.vec_id
              JOIN {auth} a ON v.vec_id = a.vec_id
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (built r12, staged r13) — the
+# community-detection companion to PageRank (centrality), HITS
+# (hub/authority), and k-core (density) on the same mutual-kNN graph:
+# synchronous LPA (Raghavan 2007) made fully deterministic and EXACT —
+# every vertex starts as its own label, each round every vertex takes
+# the MOST FREQUENT label among its in-neighbors with ties broken by
+# SMALLEST label, for a FIXED unrolled round count. Pure integer
+# arithmetic start to finish (counts and ids — no float anywhere), so
+# cross-engine equality is structural, not numeric. The per-round
+# argmax is the integer-packed device: key = cnt * 2^33 - label is a
+# single BIGINT whose max realizes (max count, then min label);
+# label = (2^33 - key % 2^33) % 2^33 decodes it — one
+# map-side-combinable aggregate per round, no per-vertex sort window.
+# Requires labels (vec_ids) < 2^33 and neighbor counts < 2^30; at
+# cluster scale widen the shift to fit the id domain (DECIMAL(38,0)
+# lattice). Unlike dedup.py's min-label CONNECTED COMPONENTS (a
+# fixpoint on near-dup pairs), bounded-round mode-propagation finds
+# dense communities INSIDE one component.
+# ---------------------------------------------------------------------------
+
+LPA_K = PR_K
+LPA_ITERS = 3
+LPA_SHIFT = 2 ** 33
+
+
+def lpa_from_edges(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(vec_id, community, csize) after `iters` synchronous min-tie
+    mode-propagation rounds over the directed edge list (both
+    orientations present for mutual graphs). The edge list is persisted
+    by the caller (the hits_from_edges lesson: 2·iters consumers)."""
+    lab = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    for _ in range(iters):
+        cnt = (
+            edges.join(lab, edges["src"] == lab["v"])
+            .groupBy(F.col("dst").alias("nv"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        key = F.max(
+            F.col("c") * F.lit(LPA_SHIFT) - F.col("lab")
+        ).alias("k")
+        lab = (
+            cnt.groupBy("nv").agg(key)
+            .select(
+                F.col("nv").alias("v"),
+                (
+                    (F.lit(LPA_SHIFT) - F.col("k") % F.lit(LPA_SHIFT))
+                    % F.lit(LPA_SHIFT)
+                ).alias("lab"),
+            )
+        )
+    sizes = lab.groupBy("lab").agg(F.count("*").alias("csize"))
+    return lab.join(sizes, "lab").select(
+        F.col("v").alias("vec_id"),
+        F.col("lab").cast("bigint").alias("community"),
+        F.col("csize").cast("bigint").alias("csize"),
+    )
+
+
+def lpa_sql_from(edge_parts: list[str], iters: int = LPA_ITERS) -> str:
+    """Oracle twin of lpa_from_edges over the same edge CTEs."""
+    parts = edge_parts + [
+        "l0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges)",
+    ]
+    prev = "l0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""c{it} AS (
+  SELECT e.dst AS nv, l.lab, count(*) AS c
+  FROM edges e JOIN {prev} l ON e.src = l.v GROUP BY e.dst, l.lab
+)"""
+        )
+        parts.append(
+            f"""l{it} AS (
+  SELECT nv AS v,
+         ({LPA_SHIFT} - max(c * {LPA_SHIFT} - lab) % {LPA_SHIFT})
+           % {LPA_SHIFT} AS lab
+  FROM c{it} GROUP BY nv
+)"""
+        )
+        prev = f"l{it}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+, sizes AS (SELECT lab, count(*) AS csize FROM {prev} GROUP BY lab)
+SELECT l.v AS vec_id, CAST(l.lab AS BIGINT) AS community,
+       CAST(s.csize AS BIGINT) AS csize
+FROM {prev} l JOIN sizes s ON s.lab = l.lab
+"""
+    )

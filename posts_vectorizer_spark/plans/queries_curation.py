@@ -2411,3 +2411,125 @@ def text_stupid_backoff_trigram(
         .cast("double")
         .alias("sb_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256          # hashed feature buckets
+_DSIR_TARGET = "en"    # target distribution: the English slice
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({T.tokens_sql('text')}) AS word
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, lang, ({T.char_hash_sql('word')}) % {_DSIR_B} AS b
+  FROM toks
+),
+src AS (SELECT b, count(*) AS cs FROM bucketed GROUP BY b),
+tgt AS (
+  SELECT b, count(*) AS ct FROM bucketed
+  WHERE lang = '{_DSIR_TARGET}' GROUP BY b
+),
+tots AS (
+  SELECT (SELECT count(*) FROM bucketed) AS ns,
+         (SELECT count(*) FROM bucketed WHERE lang = '{_DSIR_TARGET}') AS nt
+),
+lam AS (
+  SELECT s.b,
+         CAST(round(ln(CAST((COALESCE(t.ct, 0) + 1) AS DOUBLE)
+                       * (tots.ns + {_DSIR_B})
+                       / (CAST(s.cs + 1 AS DOUBLE)
+                          * (tots.nt + {_DSIR_B}))), 9)
+              AS DECIMAL(18,9)) AS lam
+  FROM src s LEFT JOIN tgt t ON t.b = s.b, tots
+)
+SELECT bk.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(CAST(sum(l.lam) AS DECIMAL(38,9)) AS DECIMAL(28,9))
+         AS log_weight
+FROM bucketed bk JOIN lam l ON l.b = bk.b
+GROUP BY bk.doc_id
+"""
+
+
+@register("curation_dsir_weights", oracle=_DSIR_SQL, staged=True)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (built r12, staged r13) — Data Selection
+    via Importance Resampling (Xie et al. 2023, arXiv:2302.03169), the
+    modern LLM-curation selector beside the DoReMi reweighter
+    (curation_mw_domain_reweight) and the quality gate: score every
+    raw document by how much more likely its hashed n-gram features
+    are under the TARGET distribution (here the English slice — the
+    stand-in for 'looks like the eval domain') than under the raw
+    corpus, then resample by the weight. Features are hashed unigrams
+    (the engine's portable char-fold hash into {_DSIR_B} buckets);
+    per-bucket log-ratios use add-1 smoothing so unseen-in-target
+    buckets stay finite.
+
+    Exactness: each bucket's log-ratio is ONE fixed-shape double
+    expression of exact <2^53 counts — ln of a quotient of exact
+    integers (the safe transcendental, the MI device) — rounded to
+    the 9dp decimal grid; a document's log-weight is an EXACT decimal
+    sum of its tokens' pinned bucket values (order-free), stated as
+    DECIMAL(28,9).
+
+    Scale shape: one token->bucket map-side-combinable count (bucket
+    space fixed at {_DSIR_B}), a {_DSIR_B}-row broadcast of the
+    log-ratio table joined back into the token stream, and one
+    doc-keyed reduce — the canonical two-pass importance-weight plan;
+    nothing but the doc profile leaves the last stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("word")
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        (T.char_hash("word") % _DSIR_B).alias("b"),
+    )
+    from ..cache import persist_tracked
+
+    bucketed = persist_tracked(bucketed)
+    is_t = F.col("lang") == _DSIR_TARGET
+    src = bucketed.groupBy("b").agg(F.count("*").alias("cs"))
+    tgt = bucketed.where(is_t).groupBy("b").agg(F.count("*").alias("ct"))
+    tots = bucketed.agg(
+        F.count("*").alias("ns"),
+        F.count_if(is_t).alias("nt"),
+    )
+    lam = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    * (F.col("ns") + _DSIR_B)
+                    / (
+                        (F.col("cs") + 1).cast("double")
+                        * (F.col("nt") + _DSIR_B)
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("lam"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lam")
+            .cast("decimal(38,9)")
+            .cast("decimal(28,9)")
+            .alias("log_weight"),
+        )
+    )

@@ -1894,3 +1894,105 @@ def multimodal_ico_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ico_ingest_features(docs.select("doc_id"))
+
+
+_MIDI_MANIFEST_SQL = """
+WITH base AS (
+  SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+),
+notes AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j FROM base
+)
+SELECT doc_id,
+       CAST(2 AS INT) AS n_tracks,
+       CAST(max(n) * 2 + 3 AS BIGINT) AS n_events,
+       CAST(sum(128 + (doc_id * 13 + j * 29) % 16000
+                + 24 + (doc_id * 7 + j * 11) % 96) AS BIGINT)
+         AS total_ticks,
+       CAST(2 * sum(60 + (doc_id * 5 + j * 7) % 24) AS BIGINT)
+         AS sum_pitch
+FROM notes GROUP BY doc_id
+"""
+
+
+@register("multimodal_midi_manifest", oracle=_MIDI_MANIFEST_SQL, staged=True)
+def multimodal_midi_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Standard MIDI File codec (built r12, staged r13) — the
+    VARIABLE-LENGTH-QUANTITY format family the container shelf was
+    missing: big-endian MThd/MTrk chunk framing with recorded track
+    lengths, VLQ delta times (7-bit groups, MSB continuation, the
+    4-byte cap enforced), channel messages with status-family data
+    widths, RUNNING STATUS both emitted (consecutive same-status note
+    events drop the status byte) and resolved on decode, meta events,
+    and the mandatory end-of-track. The decoder verifies chunk magic,
+    header length, track-length consumption to the byte, data-byte
+    high bits, and EOT presence — loud ValueError otherwise (the
+    container contract). n_events/total_ticks/sum_pitch come from the
+    PARSED stream (sum_pitch counts wire-level 0x90 statuses, which
+    includes the 0-velocity offs — the running-status device); the
+    oracle states all of it from the synthesis formula, so a VLQ
+    width, framing, or running-status bug hash-mismatches. No stdlib
+    MIDI module exists — interop is pinned by hand-computed on-wire
+    bytes (the TGA/QOI convention, tests/test_multimodal.py).
+
+    Scale shape: per-row scan-stage codec work; only the 5-column
+    profile leaves the stage."""
+    from ..operators.multimodal import midi_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return midi_ingest_features(docs.select("doc_id"))
+
+
+_UTF8_AUDIT_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         5 + doc_id % 7 AS a, 2 + doc_id % 3 AS t,
+         1 + doc_id % 4 AS h, 1 + doc_id % 2 AS fb,
+         doc_id % 2 AS ov,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS su,
+         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS rg,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS bc,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS tr
+  FROM documents
+)
+SELECT doc_id,
+       CAST(a + 2*t + 3*h + 4*fb + 2*ov + 3*su + 4*rg + 2*bc + 2*tr
+            AS BIGINT) AS n_bytes,
+       CAST(a + bc AS BIGINT) AS cp_ascii,
+       CAST(t AS BIGINT) AS cp_2b,
+       CAST(h AS BIGINT) AS cp_3b,
+       CAST(fb AS BIGINT) AS cp_4b,
+       CAST(ov AS BIGINT) AS err_overlong,
+       CAST(su AS BIGINT) AS err_surrogate,
+       CAST(rg AS BIGINT) AS err_range,
+       CAST(bc AS BIGINT) AS err_continuation,
+       CAST(tr AS BIGINT) AS err_truncated
+FROM f
+"""
+
+
+@register("multimodal_utf8_audit", oracle=_UTF8_AUDIT_SQL, staged=True)
+def multimodal_utf8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL UTF-8 validation audit (built r12, staged r13) — the
+    training-data hygiene scanner the text pipeline runs before any
+    tokenizer sees a byte: a byte-level DFA classifying every position
+    of a binary payload as a decoded codepoint (counted by encoded
+    width) or one of five malformation classes — overlong form,
+    surrogate half, out-of-range/invalid lead, bad continuation,
+    truncated at EOF — with a DOCUMENTED deterministic recovery
+    contract (lead-classified errors consume the lead plus generic
+    continuations up to nominal width; a non-continuation byte rescans
+    as its own unit, so a planted C3-then-'A' contributes one error
+    AND one extra ASCII codepoint — visible in the oracle's cp_ascii
+    column). The accept side is pinned against Python's strict decoder
+    by test; the synthesized payloads plant every class with
+    closed-form counts the oracle states per doc, so any DFA boundary
+    bug (a surrogate accepted, an overlong double-counted, a
+    truncation misclassified) hash-mismatches.
+
+    Scale shape: per-row scan-stage DFA work over opaque bytes; only
+    the 11-column validity profile leaves the stage."""
+    from ..operators.multimodal import utf8_audit_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return utf8_audit_features(docs.select("doc_id"))

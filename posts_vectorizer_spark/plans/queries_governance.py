@@ -814,7 +814,16 @@ def rel_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |X|·|Y|-bounded; everything after the first reduce is
     cell-sized."""
     ev = load_table(spark, sf_dir, "events")
-    xy = mi_pair_counts(ev)
+    return chi2_readout(mi_pair_counts(ev))
+
+
+def chi2_readout(xy: DataFrame) -> DataFrame:
+    """chi² / dof / Cramér's V as a pure function of the (xv, yv, nxy)
+    cell table — the SAME additive sufficient statistic mi_readout
+    consumes, so the streaming drain gets the significance monitor as
+    a SECOND readout of the standing MI state (refactored out of
+    rel_chi2_independence's body in r12; the batch query re-proves as
+    a refactor consumer)."""
     from ..cache import persist_tracked
 
     xy = persist_tracked(xy)

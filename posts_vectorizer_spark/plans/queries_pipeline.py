@@ -1819,3 +1819,42 @@ def stream_jsd_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsd_readout(
         state.select("source", "word", F.col("c").alias("a"))
     )
+
+
+from .queries_governance import _CHI2_INDEP_SQL  # noqa: E402
+
+
+@register("stream_chi2_drain", oracle=_CHI2_INDEP_SQL, staged=True)
+def stream_chi2_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming independence-significance monitoring with a driver row
+    (built r12, staged r13): a SECOND readout of the SAME standing
+    (xv, yv) contingency state the mutual-information drain maintains
+    (streaming/worker.py::mi_cell_stream through the ledgered add
+    sink) — the Zipf/Good-Turing precedent's dividend on the
+    dependence family: the chi²/dof/Cramér's-V significance monitor
+    costs ONE readout function (queries_governance.py::chi2_readout,
+    refactored out of rel_chi2_independence's body, which re-proves as
+    a refactor consumer next head) and ZERO new state. Cell counts are
+    the complete sufficient statistic and addition is commutative, so
+    the batch split cannot move the statistic; the oracle is
+    rel_chi2_independence's whole-corpus SQL."""
+    from ..streaming.worker import mi_cell_stream
+    from .queries_governance import chi2_readout
+
+    ev = load_table(spark, sf_dir, "events")
+    state = _forced_drain(
+        spark, ev, "event_id",
+        lambda src, st, ck, mft: mi_cell_stream(
+            spark, src, ev.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "n bigint, n_rows_cat bigint, n_cols_cat bigint, dof bigint,"
+            " chi2 double, cramers_v double",
+        )
+    return chi2_readout(
+        state.select("xv", "yv", F.col("c").alias("nxy"))
+    )

@@ -1212,3 +1212,132 @@ def sim_hits_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("dst"),
     )
     return graph.hits_from_edges(edges)
+
+
+@register(
+    "sim_label_propagation",
+    oracle=graph.lpa_sql_from(
+        [
+            f"t AS ({similarity.topk_sql(graph.LPA_K)})",
+            """edges AS (
+  SELECT a.query_id AS src, a.neighbor_id AS dst
+  FROM t a JOIN t b
+    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+)""",
+        ]
+    ),
+    staged=True,
+)
+def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (built r12, staged r13) — the
+    community-detection member of the mutual-kNN graph family
+    (PageRank = centrality, HITS = hub/authority, k-core = density,
+    components = reachability; LPA = dense neighborhoods INSIDE a
+    component): synchronous mode-of-neighbors propagation (Raghavan
+    2007) made deterministic and EXACT — min-label tie-break, FIXED
+    three unrolled rounds, pure integer arithmetic start to finish, so
+    cross-engine equality is structural rather than numeric. The
+    per-round argmax uses the integer-packed device
+    (key = cnt*2^33 - label; max realizes max-count-then-min-label;
+    operators/graph.py::lpa_from_edges) — one map-side-combinable
+    aggregate per round, no per-vertex sort window.
+
+    Scale shape: per round one edge-keyed join + one keyed exchange
+    with map-side partial max — the canonical distributed LPA plan;
+    the edge list is persisted once for the round loop (the
+    hits_from_edges lesson). At corpus scale the edge producer swaps
+    to the lsh_ann lists exactly like the _ann graph twins."""
+    from ..cache import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = persist_tracked(graph._mutual_edges(emb, graph.LPA_K))
+    return graph.lpa_from_edges(edges)
+
+
+from ..operators import quantization  # noqa: E402
+
+
+@register("sim_sq8_scan", oracle=quantization.sq8_scan_sql(), staged=True)
+def sim_sq8_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) serving scan (built r12, staged r13) —
+    the uniform-grid member of the compressed-vector family beside the
+    codebook forms (sim_pq_adc_scan / sim_rq_quantize) and the binary
+    form (sim_binary_hamming): per-dimension min/max define 256 levels
+    on the round-9 integer lattice, codes and midpoint reconstructions
+    are pure trunc-divisions (Spark div == DuckDB // on BIGINT), and
+    the query-vs-reconstruction inner product is an exact int64 fold
+    at 1e-6 pinning — no float past the one blessed ingestion cast,
+    so Spark and the oracle are structurally identical
+    (operators/quantization.py::sq8_scan).
+
+    Scale shape: quantization is one embarrassingly parallel pass
+    emitting 64 int8-range codes per vector (4x smaller than float32 —
+    the operational point); the scan is a broadcast eval query set
+    against the corpus with an in-row fold, and at corpus scale the
+    candidate source swaps to the LSH/IVF lists like sim_pq_adc_scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization.sq8_scan(emb)
+
+
+@register(
+    "sim_binary_hamming",
+    oracle=quantization.binary_hamming_sql(DIMS),
+    staged=True,
+)
+def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) Hamming serving scan (built r12, staged r13)
+    — the 1-bit extreme of the quantization family: one sign bit per
+    dimension packed into 32-bit words (exact 1<<i integer sums,
+    32x smaller than float32), candidates ranked by
+    sum(bit_count(xor(word_a, word_b))) — the Hamming distance a
+    binary index serves, here exact-integer end to end so the oracle
+    equality is structural (operators/quantization.py).
+
+    Scale shape: packing is one scan-stage pass to a 2-BIGINT row;
+    the eval query set broadcasts; popcount distance is branch-free
+    per candidate. At corpus scale the scan rides the LSH bucket
+    lists, and the packed words double as the bucket payload."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization.binary_hamming_scan(emb, DIMS)
+
+
+@register(
+    "sim_label_propagation_ann",
+    oracle=graph.lpa_sql_from(
+        [
+            f"t AS ({similarity.lsh_ann_sql(DIMS, KNN_GRAPH_K)})",
+            """e1 AS (
+  SELECT a.query_id AS src, a.neighbor_id AS dst
+  FROM t a JOIN t b
+    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+  WHERE a.query_id < a.neighbor_id
+)""",
+            """edges AS (
+  SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1
+)""",
+        ]
+    ),
+    staged=True,
+)
+def sim_label_propagation_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation over the mutualized lsh_ann lists (built r12,
+    staged r13) — the corpus-scale production twin of
+    sim_label_propagation, completing the dual-form convention for the
+    graph family (knn_graph_mutual / adamic_adar / kcore / HITS
+    precedent): operators/graph.py::lpa_from_edges is literally the
+    same iteration under both forms; only the edge producer swaps from
+    the exact quadratic kernel (the eval-sized witness — measured 61x
+    wall at 10x data, the honest quadratic) to the random-hyperplane
+    bucket join (shuffle ∝ docs·k — measured flat on the other _ann
+    twins). The oracle runs the SAME lists, so the check is exact over
+    the declared candidate set (the sim_lsh_ann pattern)."""
+    from ..cache import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = _mutual_edges(similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K))
+    edges = persist_tracked(
+        e1.unionAll(
+            e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    return graph.lpa_from_edges(edges)

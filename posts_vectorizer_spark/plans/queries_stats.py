@@ -3086,3 +3086,165 @@ def rel_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("q_g"),
     )
     return anova_readout(g)
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_KW_SQL = """
+WITH vals AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+),
+vgrid AS (SELECT x, count(*) AS t FROM vals GROUP BY x),
+ranked AS (
+  SELECT x, t,
+         2 * (sum(t) OVER (ORDER BY x) - t) + t + 1 AS mr2
+  FROM vgrid
+),
+gcnt AS (SELECT grp, x, count(*) AS c FROM vals GROUP BY grp, x),
+gr AS (
+  SELECT g.grp,
+         CAST(sum(g.c) AS BIGINT) AS n_g,
+         CAST(sum(g.c * r.mr2) AS HUGEINT) AS r2_g
+  FROM gcnt g JOIN ranked r USING (x) GROUP BY g.grp
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+  FROM gr
+),
+gterms AS (
+  SELECT CAST((2 * 3 * r2_g * r2_g * 1000000
+               + (n_g * t.n * (t.n + 1)))
+              // (2 * (n_g * t.n * (t.n + 1))) AS DECIMAL(38,0)) AS g6
+  FROM gr, tot t
+),
+gsum AS (
+  SELECT CAST(CAST(sum(g6) AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS sum12
+  FROM gterms
+),
+ties AS (
+  SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tsum
+  FROM vgrid
+),
+pin AS (
+  SELECT t.n, t.k, g.sum12,
+         CAST((2 * ti.tsum * 1000000000
+               + (CAST(t.n AS HUGEINT) * t.n * t.n - t.n))
+              // (2 * (CAST(t.n AS HUGEINT) * t.n * t.n - t.n))
+              AS BIGINT) AS tf9
+  FROM tot t, ties ti, gsum g
+)
+SELECT n, k AS k_groups,
+       (sum12 - 3.0 * (n + 1)) / (1.0 - CAST(tf9 AS DOUBLE) / 1e9) AS h,
+       ((sum12 - 3.0 * (n + 1)) / (1.0 - CAST(tf9 AS DOUBLE) / 1e9)
+        - k + 1) / (n - k) AS eps_sq
+FROM pin WHERE n > k AND k > 1 AND tf9 < 1000000000
+"""
+
+
+@register("rel_kruskal_wallis", oracle=_KW_SQL, staged=True)
+def rel_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test with tie correction (built r12, staged
+    r13) — the RANK-based k-group companion completing the one-way
+    family: ANOVA assumes normal-ish spreads, Levene checks that
+    assumption, Mann-Whitney handles two groups; KW is the
+    distribution-free k-group test an analyst reaches for when Levene
+    says ANOVA's assumption failed. Same contingency as both
+    (l_quantity by l_returnflag), where ties are MASSIVE (50 distinct
+    values), so the tie-corrected form is the only correct one.
+
+    Exactness: midranks come off the bounded VALUE GRID (2*midrank =
+    2*cum_before + t + 1 — integer, never a row sort); per-group rank
+    sums are exact integers (2R_g <= 2N² — int64 at the bench tiers,
+    HUGEINT/DECIMAL(38,0) squares beyond); the per-group H term
+    12R_g²/(n_g N(N+1)) pins to the 6dp lattice via the half-up
+    trunc-division identity (the ipw device — Spark div == DuckDB //),
+    the tie fraction Σ(t³−t)/(N³−N) pins to 9dp the same way, and the
+    final H and epsilon² readouts are FIXED-SHAPE double expressions
+    of exact <2^53 pinned stats (sum12·1e6 <= ~1e13 at 10x bench
+    scale; the MI/chi2 readout device — no cross-row double sum, no
+    final round). Degenerate surfaces (all values tied: tf9 = 1e9)
+    drop explicitly.
+
+    Scale shape: one value-grid count (bounded by distinct values),
+    one (grp, x)-keyed map-side-combinable count, a <=50-row window,
+    and 1-row broadcasts — nothing row-scaled past the first reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    from ..cache import persist_tracked
+
+    vals = persist_tracked(vals)
+    vgrid = vals.groupBy("x").agg(F.count("*").alias("t"))
+    wcum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vgrid.select(
+        "x", "t",
+        (2 * (F.sum("t").over(wcum) - F.col("t")) + F.col("t") + 1)
+        .alias("mr2"),
+    )
+    gcnt = vals.groupBy("grp", "x").agg(F.count("*").alias("c"))
+    gr = (
+        gcnt.join(F.broadcast(ranked), "x")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * F.col("mr2"))
+            .cast("decimal(18,0)")
+            .alias("r2_g"),
+        )
+    )
+    gr = persist_tracked(gr)
+    tot = gr.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    # the denominator n_g·N·(N+1) exceeds int64 past ~3x bench scale
+    # (caught by the 10x trend run under ANSI) — keep it on the decimal
+    # lattice like the numerator
+    gterms = gr.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(n_g AS DECIMAL(20,0)) * n * (n + 1) AS den"
+    , "r2_g").selectExpr(
+        "CAST((6 * r2_g * r2_g * 1000000 + den)"
+        " div (2 * den) AS DECIMAL(38,0)) AS g6"
+    )
+    gsum = gterms.agg(
+        (F.sum("g6").cast("decimal(38,0)").cast("double") / F.lit(1e6))
+        .alias("sum12")
+    )
+    ties = vgrid.agg(
+        F.sum(
+            F.col("t").cast("decimal(18,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("decimal(38,0)")
+        .alias("tsum")
+    )
+    pin = (
+        tot.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(gsum))
+        .selectExpr(
+            "n", "k", "sum12",
+            "CAST((2 * tsum * 1000000000"
+            " + (CAST(n AS DECIMAL(18,0)) * n * n - n))"
+            " div (2 * (CAST(n AS DECIMAL(18,0)) * n * n - n))"
+            " AS BIGINT) AS tf9",
+        )
+    )
+    h = (F.col("sum12") - 3.0 * (F.col("n") + 1)) / (
+        F.lit(1.0) - F.col("tf9").cast("double") / F.lit(1e9)
+    )
+    return pin.where(
+        (F.col("n") > F.col("k"))
+        & (F.col("k") > 1)
+        & (F.col("tf9") < 1000000000)
+    ).select(
+        "n",
+        F.col("k").alias("k_groups"),
+        h.alias("h"),
+        ((h - F.col("k") + 1) / (F.col("n") - F.col("k"))).alias("eps_sq"),
+    )

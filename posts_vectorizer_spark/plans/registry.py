@@ -52,6 +52,43 @@ STAGED: dict[str, QueryDef] = {}
 # trains, kernel/edge-list builds) must be pre-listed for the no-jobs
 # skip set (tests/test_plans.py) in this comment.
 #
+# r12 staged (r13 gets their introduction slots) — all four-way gated
+# (sf0.001+sf0.01+sf0.1 sweeps, vanilla head_check, named tests,
+# staged empty-input gate, measured 1x/3x/10x trends in SCALE.md,
+# evidence in SWEEPS.md):
+#   events_nelson_aalen        (cumulative-hazard dual of KM over the
+#                               SHARED _surv_risk grid — KM re-proves
+#                               as a refactor consumer in the r13
+#                               spine)
+#   sim_label_propagation      (min-tie mode propagation, pure-integer
+#                               packed argmax; exact witness — add to
+#                               the no-jobs skip set at introduction:
+#                               topk kernel edge build)
+#   sim_label_propagation_ann  (production twin over mutualized
+#                               lsh_ann lists, same lpa_from_edges;
+#                               no-jobs skip: lsh bucket build;
+#                               witness 61x vs twin 1.9x at 10x)
+#   sim_sq8_scan               (int8 uniform-grid ADC scan, exact
+#                               integer lattice end to end)
+#   sim_binary_hamming         (sign-bit packing + popcount distance)
+#   multimodal_midi_manifest   (REAL SMF: VLQ deltas, running status,
+#                               chunk framing verified to the byte)
+#   multimodal_utf8_audit      (REAL UTF-8 DFA, five malformation
+#                               classes, Python-strict-decoder parity)
+#   rel_kruskal_wallis         (tie-corrected rank H off the value
+#                               grid; fixed-shape double readout with
+#                               audited allowlist entries)
+#   events_theil_sen           (median pairwise slope on the 9dp
+#                               lattice, exact median finalization)
+#   stream_chi2_drain          (SECOND readout of the MI drain's
+#                               contingency state — zero new state;
+#                               chi2_readout refactor means
+#                               rel_chi2_independence re-proves in the
+#                               r13 spine; no-jobs skip: runs its
+#                               micro-batch drain)
+#   curation_dsir_weights      (DSIR hashed-bucket importance weights,
+#                               add-1 log-ratios on the 9dp grid)
+#
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
 # vanilla head_check 6/6, named tests, staged empty-input pass,
@@ -155,14 +192,16 @@ STAGED: dict[str, QueryDef] = {}
 #                            class-granular embedding drift triage)
 #
 # r13 head planning (draft at r12 open; re-lock at r12 closeout):
-#   (a) introduction slots for every r12-staged [Q] query built below.
-#   (b) spine (1+): tfidf_doc_vectors, plus any consumer of code
-#       changed late in r12.
-#   (c) freshness: udtf_polymorphic_firstn FIRST (the one r5 name this
-#       head couldn't fit), then the r6 cohort (47 names,
-#       tools/cohorts.py list order) filling the remaining slots
-#       oldest-first. If more introductions land than slots allow,
-#       drop cohort names from the END one-for-one.
+#   (a) 11 introduction slots — the r12-staged wave above.
+#   (b) spine (3): tfidf_doc_vectors + events_kaplan_meier (its body
+#       was refactored onto the shared _surv_risk grid mid-r12) +
+#       rel_chi2_independence (its body moved into the shared
+#       chi2_readout mid-r12) — the consumer-of-changed-code rule.
+#   (c) freshness (36): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 35 of the r6
+#       cohort (47 names, tools/cohorts.py list order). If more
+#       introductions land than slots allow, drop cohort names from
+#       the END one-for-one.
 
 
 

@@ -545,3 +545,79 @@ def test_stupid_backoff_all_branches(spark, tmp_path):
     # is dragged by two full-OOV trigrams), which scores above the
     # pure unigram-backoff doc... per the hand computation above
     assert got[3]["sb_logprob"] > got[1]["sb_logprob"] > got[5]["sb_logprob"]
+
+
+def test_dsir_weights_planted_target_shift(spark, tmp_path):
+    """curation_dsir_weights on a planted vocabulary split: target
+    (English) docs say 'alphaword', the rest say 'betaword' — every
+    target-distinctive doc outscores every off-target doc (the
+    resampling ORDER is the property DSIR uses; absolute sign depends
+    on the shared-vocabulary mass), and every weight matches an exact
+    replica of the add-1 bucket log-ratios on the 9dp grid."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.functions.text import HASH_BASE, HASH_MOD
+    from posts_vectorizer_spark.plans.queries_curation import (
+        _DSIR_B, _DSIR_TARGET,
+    )
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            rows.append((i, "alphaword alphaword common", _DSIR_TARGET,
+                         "s", 1))
+        else:
+            rows.append((i, "betaword betaword common", "de", "s", 1))
+    d = tmp_path / "dsir"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in resolve_query("curation_dsir_weights")(
+            spark, str(d)
+        ).collect()
+    }
+    assert all(r["n_tokens"] == 3 for r in got.values())
+    worst_target = min(
+        got[i]["log_weight"] for i in range(30) if i % 3 == 0
+    )
+    best_other = max(
+        got[i]["log_weight"] for i in range(30) if i % 3
+    )
+    assert worst_target > best_other
+
+    # exact replica: char-fold hash buckets, add-1 ratios, 9dp pins
+    def bucket(w):
+        h = 0
+        for ch in w:
+            h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+        return h % _DSIR_B
+
+    toks = []
+    for i, text, lang, _, _ in rows:
+        for w in text.split():
+            toks.append((i, lang, bucket(w)))
+    cs = Counter(b for _, _, b in toks)
+    ct = Counter(b for _, lang, b in toks if lang == _DSIR_TARGET)
+    ns, nt = len(toks), sum(1 for _, lang, _ in toks
+                            if lang == _DSIR_TARGET)
+    q9 = Decimal("0.000000001")
+    lam = {
+        b: Decimal(
+            repr(math.log((ct.get(b, 0) + 1) * (ns + _DSIR_B)
+                          / ((cs[b] + 1) * (nt + _DSIR_B))))
+        ).quantize(q9, rounding=ROUND_HALF_UP)
+        for b in cs
+    }
+    want = Counter()
+    for i, _, b in toks:
+        want[i] += lam[b]
+    for i in range(30):
+        assert got[i]["log_weight"] == want[i], i

@@ -1620,3 +1620,121 @@ def test_ico_container_rejects_and_hand_computed(spark, tmp_path):
         assert r["sum_w"] == sum(i.shape[1] for i in spec)
         assert r["sum_h"] == sum(i.shape[0] for i in spec)
         assert r["sum_px"] == sum(int(i.sum()) for i in spec)
+
+
+def test_midi_on_wire_bytes_and_rejects():
+    """multimodal_midi_manifest's codec: hand-computed on-wire bytes
+    (chunk framing, a 2-byte VLQ, running status engaged), round-trip
+    over the synthesis range, and the loud-reject contract."""
+    import struct
+
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    # hand-built: one track, delta 200 (2-byte VLQ 0x81 0x48), note-on
+    # C4, then delta 0 note-off via RUNNING STATUS (0x90 vel 0)
+    trk = [
+        (200, bytes([0x90, 60, 64])),
+        (0, bytes([0x90, 60, 0])),
+        (0, bytes([0xFF, 0x2F, 0x00])),
+    ]
+    raw = M.encode_midi([trk])
+    body = bytes(
+        [0x81, 0x48, 0x90, 60, 64,   # VLQ 200 + explicit status
+         0x00, 60, 0,                # running status: no 0x90 byte
+         0x00, 0xFF, 0x2F, 0x00]
+    )
+    assert raw == struct.pack(">4sIHHH", b"MThd", 6, 1, 1, 480) \
+        + struct.pack(">4sI", b"MTrk", len(body)) + body
+    got = M.decode_midi(raw)
+    assert got == [{"n_events": 3, "total_ticks": 200, "sum_pitch": 120}]
+
+    # VLQ boundaries round-trip
+    for v in (0, 127, 128, 16383, 16384, 0x0FFFFFFF):
+        val, pos = M._read_vlq(M._vlq(v), 0)
+        assert (val, pos) == (v, len(M._vlq(v)))
+    with pytest.raises(ValueError):
+        M._vlq(0x10000000)
+    with pytest.raises(ValueError, match="overlong"):
+        M._read_vlq(b"\x80\x80\x80\x80\x00", 0)
+
+    # synthesis round-trip across the residue classes
+    for d in range(10):
+        got = M.decode_midi(M.encode_midi(M.synth_midi_tracks(d)))
+        n = 3 + d % 5
+        assert got[1]["n_events"] == 2 * n + 1
+
+    # rejects: bad magic, truncation, track-length mismatch, data>=0x80,
+    # running status without prior status, missing EOT
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_midi(b"XThd" + raw[4:])
+    with pytest.raises(ValueError):
+        M.decode_midi(raw[:-1])
+    bad = bytearray(raw)
+    bad[18] += 1  # MTrk recorded length off by one
+    with pytest.raises(ValueError):
+        M.decode_midi(bytes(bad))
+    bad = bytearray(raw)
+    bad[25] = 0x80  # velocity with the high bit set
+    with pytest.raises(ValueError, match="data byte"):
+        M.decode_midi(bytes(bad))
+    orphan = struct.pack(">4sIHHH", b"MThd", 6, 1, 1, 480) \
+        + struct.pack(">4sI", b"MTrk", 4) + bytes([0x00, 60, 64, 0x00])
+    with pytest.raises(ValueError, match="running status"):
+        M.decode_midi(orphan)
+    noend = struct.pack(">4sIHHH", b"MThd", 6, 1, 1, 480) \
+        + struct.pack(">4sI", b"MTrk", 4) + bytes([0x00, 0x90, 60, 64])
+    with pytest.raises(ValueError, match="end-of-track"):
+        M.decode_midi(noend)
+
+
+def test_utf8_scan_classes_and_python_parity():
+    """multimodal_utf8_audit's DFA: accept-side parity with Python's
+    strict decoder (valid text decodes with matching codepoint count
+    and zero errors; every lone non-ASCII byte errors), the synthesis
+    formula across all residue classes, and one instance of each
+    planted malformation classified exactly once."""
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    valid = "Hello, wörld — \U0001f600€ žluťoučký".encode()
+    s = M.utf8_scan(valid)
+    errs = ("overlong", "surrogate", "range", "continuation",
+            "stray", "truncated")
+    assert all(s[e] == 0 for e in errs)
+    assert s["cp1"] + s["cp2"] + s["cp3"] + s["cp4"] == len(valid.decode())
+
+    for b in range(0x80, 0x100):
+        s = M.utf8_scan(bytes([b]))
+        assert sum(s[e] for e in errs) == 1, b
+
+    cases = {
+        b"\xc0\xaf": "overlong",          # 2-byte overlong '/'
+        b"\xe0\x80\x80": "overlong",      # 3-byte overlong
+        b"\xf0\x80\x80\x80": "overlong",  # 4-byte overlong
+        b"\xed\xa0\x80": "surrogate",     # U+D800 half
+        b"\xf4\x90\x80\x80": "range",     # > U+10FFFF
+        b"\xf5\x80\x80\x80": "range",     # invalid lead
+        b"\xc3A": "continuation",         # lead then ASCII
+        b"\xe2\x82": "truncated",         # clean short tail at EOF
+        b"\x80": "stray",                 # lone continuation
+    }
+    for raw, cls in cases.items():
+        s = M.utf8_scan(raw)
+        assert s[cls] >= 1 and sum(s[e] for e in errs) == s[cls], (raw, s)
+        try:
+            raw.decode()
+            assert False, f"python accepted {raw!r}"
+        except UnicodeDecodeError:
+            pass
+
+    for d in range(60):
+        s = M.utf8_scan(M.synth_utf8_payload(d))
+        a, bc = 5 + d % 7, (1 if d % 4 == 0 else 0)
+        assert s["cp1"] == a + bc
+        assert s["cp2"] == 2 + d % 3
+        assert s["overlong"] == d % 2
+        assert s["surrogate"] == (1 if d % 3 == 0 else 0)
+        assert s["range"] == (1 if d % 5 == 0 else 0)
+        assert s["continuation"] == bc
+        assert s["truncated"] == (1 if d % 7 == 0 else 0)

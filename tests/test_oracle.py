@@ -485,6 +485,16 @@ _UNROUNDED_DOUBLE_OK = frozenset((
     ("rel_mutual_information", "h_x"),
     ("rel_mutual_information", "h_y"),
     ("rel_mutual_information", "mi"),
+    # r12 additions (audited at registration): Kruskal-Wallis H and
+    # epsilon² are fixed-shape double expressions of exact <2^53
+    # pinned lattice stats (sum12·1e6 ≤ ~1e13 at 10x bench scale,
+    # tf9 ≤ 1e9) — the MI/chi2 readout device, no cross-row double sum
+    ("rel_kruskal_wallis", "h"),
+    ("rel_kruskal_wallis", "eps_sq"),
+    # stream_chi2_drain shares rel_chi2_independence's grandfathered
+    # readout (chi2_readout — same expressions, same audit)
+    ("stream_chi2_drain", "chi2"),
+    ("stream_chi2_drain", "cramers_v"),
     ("rel_mutual_information", "nmi"),
     ("rel_tpch_q11_important_customers", "total_value"),
     ("rel_tpch_q15_top_supplier", "total_revenue"),

@@ -1379,3 +1379,247 @@ def test_hits_ann_shares_producer_and_iteration(spark):
         out_deg[u] = out_deg.get(u, 0) + 1
     for v in verts:
         assert got[v]["out_deg"] == out_deg.get(v, 0)
+
+
+def test_label_propagation_planted_communities(spark, tmp_path):
+    """sim_label_propagation: two well-separated embedding clusters
+    resolve to (at most) one community each, and every label matches
+    an exact integer replica of the three synchronous min-tie
+    mode-propagation rounds over the SAME mutual edge list — proving
+    the packed-argmax decode (key = cnt*2^33 - label) realizes
+    (max count, then min label)."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    from posts_vectorizer_spark.operators import graph
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for vid in range(16):
+        base = [1.0, 0, 0, 0] if vid < 8 else [0, 1.0, 0, 0]
+        v = np.array(base) + rng.normal(0, 0.03, 4)
+        rows.append((vid, [float(x) for x in v], vid % 2))
+    d = tmp_path / "lpa"
+    d.mkdir()
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.parquet(str(d / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: r
+        for r in resolve_query("sim_label_propagation")(
+            spark, str(d)
+        ).collect()
+    }
+    # no cross-cluster community: the two planted clusters never share
+    # a label (mutual top-5 edges cannot cross the separation)
+    left = {got[v]["community"] for v in got if v < 8}
+    right = {got[v]["community"] for v in got if v >= 8}
+    assert not (left & right)
+
+    # exact replica of three synchronous rounds over the same edges
+    edges = [
+        (r["src"], r["dst"])
+        for r in graph._mutual_edges(emb, graph.LPA_K).collect()
+    ]
+    nbrs = defaultdict(list)
+    for s, t in edges:
+        nbrs[t].append(s)
+    lab = {v: v for v in nbrs}
+    for _ in range(graph.LPA_ITERS):
+        lab = {
+            v: max(
+                Counter(lab[u] for u in nbrs[v]).items(),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for v in nbrs
+        }
+    sizes = Counter(lab.values())
+    for v, expect in lab.items():
+        assert got[v]["community"] == expect, v
+        assert got[v]["csize"] == sizes[expect], v
+
+
+def test_sq8_scan_exact_replica_and_recall(spark, tmp_path):
+    """sim_sq8_scan: every (code, reconstruction, ADC score, rank)
+    matches a from-scratch integer replica of the min/max grid,
+    trunc-division quantizer, and 1e-6-pinned dot product; on
+    well-separated clusters the SQ8 top-1 agrees with the exact
+    float top-1 (the quantizer preserves coarse geometry)."""
+    import numpy as np
+
+    from posts_vectorizer_spark.operators import quantization as Q
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for vid in range(40):
+        base = [2.0, 0, 0, 0] if vid % 2 == 0 else [0, 2.0, 0, 0]
+        v = np.array(base * 16) + rng.normal(0, 0.05, 64)
+        rows.append((vid, [float(x) for x in v], vid % 2))
+    d = tmp_path / "sq8"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    got = sorted(
+        tuple(r)
+        for r in resolve_query("sim_sq8_scan")(spark, str(d)).collect()
+    )
+
+    # replica on the same lattice (floats ride through round-9 decimal)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("0.000000001")
+
+    def x9(v):
+        # the parquet column is float32: ride through the same widening
+        # the engine's DOUBLE cast performs before the round-9 pin
+        return int(
+            Decimal(repr(float(np.float32(v)))).quantize(
+                q9, rounding=ROUND_HALF_UP
+            )
+            * 10**9
+        )
+
+    def tdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    X = {vid: [x9(x) for x in e] for vid, e, _ in rows}
+    D = 64
+    mn = [min(X[v][p] for v in X) for p in range(D)]
+    mx = [max(X[v][p] for v in X) for p in range(D)]
+    recon = {
+        v: [
+            tdiv(
+                mn[p]
+                + (
+                    (2 * ((X[v][p] - mn[p]) * 255 // (mx[p] - mn[p]))
+                     + 1)
+                    * (mx[p] - mn[p])
+                )
+                // 512,
+                1000,
+            )
+            for p in range(D)
+        ]
+        for v in X
+    }
+    expect = []
+    for qid in sorted(X):
+        if qid % Q.SQ8_EVERY:
+            continue
+        q6 = [tdiv(X[qid][p], 1000) for p in range(D)]
+        sc = sorted(
+            (-sum(a * b for a, b in zip(q6, recon[c])), c)
+            for c in X
+            if c != qid
+        )
+        for r, (negs, c) in enumerate(sc[: Q.SQ8_K], 1):
+            expect.append((qid, c, -negs, r))
+    assert got == sorted(expect)
+    # coarse geometry preserved: top-1 is an even (same-cluster) vector
+    top1 = {r[0]: r[1] for r in got if r[3] == 1}
+    assert all(n % 2 == 0 for n in top1.values())
+
+
+def test_binary_hamming_exhaustive_replica(spark, tmp_path):
+    """sim_binary_hamming: the packed words and every Hamming distance
+    match a from-scratch bit replica (including negative components
+    packing to 0 bits and the per-query (distance, id) tie order)."""
+    import numpy as np
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (vid, [float(x) for x in rng.normal(0, 1, 64)], 0)
+        for vid in range(30)
+    ]
+    d = tmp_path / "ham"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    got = sorted(
+        tuple(r)
+        for r in resolve_query("sim_binary_hamming")(
+            spark, str(d)
+        ).collect()
+    )
+    packs = {}
+    for vid, e, _ in rows:
+        bits = [1 if x > 0 else 0 for x in e]
+        packs[vid] = (
+            sum(b << i for i, b in enumerate(bits[:32])),
+            sum(b << i for i, b in enumerate(bits[32:])),
+        )
+    expect = []
+    for qid in sorted(packs):
+        if qid % 10:
+            continue
+        cand = sorted(
+            (
+                bin(packs[qid][0] ^ packs[c][0]).count("1")
+                + bin(packs[qid][1] ^ packs[c][1]).count("1"),
+                c,
+            )
+            for c in packs
+            if c != qid
+        )
+        for r, (h, c) in enumerate(cand[:10], 1):
+            expect.append((qid, c, h, r))
+    assert got == sorted(expect)
+
+
+def test_label_propagation_ann_shares_iteration(spark):
+    """sim_label_propagation_ann: the production twin runs the
+    IDENTICAL lpa_from_edges iteration over the mutualized lsh_ann
+    edge list — every (community, csize) matches an exact integer
+    replica of three mode-propagation rounds over exactly that edge
+    set, tying the dual forms to one iteration contract (the hits_ann
+    convention)."""
+    from collections import Counter, defaultdict
+
+    from posts_vectorizer_spark.operators import similarity
+    from posts_vectorizer_spark.plans.queries_similarity import (
+        DIMS, KNN_GRAPH_K, _mutual_edges,
+    )
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from posts_vectorizer_spark.operators import graph
+    from tests.conftest import SF_SMOKE
+    from posts_vectorizer_spark.sources import load_table
+
+    got = {
+        r["vec_id"]: r
+        for r in resolve_query("sim_label_propagation_ann")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    e1 = _mutual_edges(
+        similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K)
+    ).collect()
+    nbrs = defaultdict(list)
+    for r in e1:
+        nbrs[r["dst"]].append(r["src"])
+        nbrs[r["src"]].append(r["dst"])
+    lab = {v: v for v in nbrs}
+    for _ in range(graph.LPA_ITERS):
+        lab = {
+            v: max(
+                Counter(lab[u] for u in nbrs[v]).items(),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for v in nbrs
+        }
+    sizes = Counter(lab.values())
+    assert set(got) == set(lab)
+    for v, expect in lab.items():
+        assert got[v]["community"] == expect, v
+        assert got[v]["csize"] == sizes[expect], v

@@ -732,3 +732,34 @@ def test_stream_jsd_drain_equals_batch(spark, tmp_path):
     )
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
     assert len(got) == 3
+
+
+def test_stream_chi2_drain_equals_batch(spark, tmp_path):
+    """stream_chi2_drain reads the SAME standing contingency state the
+    MI drain maintains and yields EXACTLY the batch chi²/Cramér's-V
+    profile — the second readout of one state family (the
+    Zipf/Good-Turing dividend on the dependence monitors)."""
+    from datetime import datetime as D
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "chi2d"
+    d.mkdir()
+    rows = []
+    for i in range(240):
+        day = i % 14
+        et = ("click", "view", "purchase")[
+            day % 3 if i < 120 else (i * 7) % 3
+        ]
+        rows.append((i, i % 10, D(2024, 1, 1 + day, 12), et, 1.0))
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = resolve_query("stream_chi2_drain")(spark, str(d)).collect()
+    want = resolve_query("rel_chi2_independence")(spark, str(d)).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
+    assert got[0]["chi2"] > 0 and 0 < got[0]["cramers_v"] <= 1

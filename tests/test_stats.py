@@ -1150,3 +1150,66 @@ def test_levene_brown_forsythe_planted(spark, tmp_path):
     )
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert abs(r2["f_stat"] - f) < 1e-2  # 3dp pin tolerance
+
+
+def test_kruskal_wallis_planted_and_exact_replica(spark, tmp_path):
+    """rel_kruskal_wallis: identical planted groups give H ~ 0;
+    separated groups give large H; both match an exact replica of the
+    integer midrank lattice, the 6dp/9dp trunc-division pins, and the
+    fixed-shape double readout (bit-identical IEEE op order)."""
+    from collections import Counter, defaultdict
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def write(d, shift):
+        rows = []
+        for gi, g in enumerate(("A", "N", "R")):
+            for v in (1, 2, 2, 3, 3, 3, 4):
+                rows.append((g, float(v + shift * gi)))
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "l_returnflag string, l_quantity double"
+        ).write.parquet(str(d / "lineitem.parquet"))
+
+    def replica(rows):
+        vals = [(g, int(x)) for g, x in rows]
+        grid = Counter(v for _, v in vals)
+        cum, mr2 = 0, {}
+        for v in sorted(grid):
+            mr2[v] = 2 * cum + grid[v] + 1
+            cum += grid[v]
+        r2 = defaultdict(int)
+        n_g = Counter()
+        for g, v in vals:
+            r2[g] += mr2[v]
+            n_g[g] += 1
+        n, k = len(vals), len(r2)
+        g6 = sum(
+            (6 * r2[g] * r2[g] * 10**6 + n_g[g] * n * (n + 1))
+            // (2 * (n_g[g] * n * (n + 1)))
+            for g in r2
+        )
+        tsum = sum(t**3 - t for t in grid.values())
+        tf9 = (2 * tsum * 10**9 + (n**3 - n)) // (2 * (n**3 - n))
+        sum12 = float(g6) / 1e6
+        h = (sum12 - 3.0 * (n + 1)) / (1.0 - float(tf9) / 1e9)
+        return n, k, h, (h - k + 1) / (n - k)
+
+    for name, shift in (("same", 0), ("sep", 10)):
+        d = tmp_path / name
+        write(d, shift)
+        r = resolve_query("rel_kruskal_wallis")(spark, str(d)).collect()[0]
+        rows = [
+            (g, v)
+            for gi, g in enumerate(("A", "N", "R"))
+            for v in (1 + shift * gi, 2 + shift * gi, 2 + shift * gi,
+                      3 + shift * gi, 3 + shift * gi, 3 + shift * gi,
+                      4 + shift * gi)
+        ]
+        n, k, h, eps = replica(rows)
+        assert (r["n"], r["k_groups"]) == (n, k)
+        assert r["h"] == h and r["eps_sq"] == eps
+        if shift == 0:
+            assert abs(r["h"]) < 1e-6  # identical groups: no effect
+        else:
+            assert r["h"] > 15  # fully separated ranks: near-max H

@@ -838,3 +838,118 @@ def test_mase_eval_planted(spark, tmp_path):
     assert r["mae_naive"] == 7.0        # lag-7 error = the 7-day trend
     assert r["mase"] < 1.0              # the model beats persistence
     assert abs(r["mae_model"] - r["mase"] * r["mae_naive"]) < 1e-12
+
+
+def test_nelson_aalen_planted_hazard(spark, tmp_path):
+    """events_nelson_aalen on a planted censoring design: 4 users —
+    two convert at day 2, one at day 5, one censored at the
+    observation end — give hazard steps 2/4 and 1/2 and an exact
+    cumulative of 1.0; every value is exact on the 9dp decimal grid
+    (the KM factor device) and the censored user never emits a row."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+
+    def ev(uid, day, typ):
+        rows.append(
+            (
+                len(rows) + 1,
+                f"2024-01-{day:02d} 12:00:00",
+                uid,
+                typ,
+                1.0,
+                "{}",
+            )
+        )
+
+    for uid in (1, 2, 3, 4):
+        ev(uid, 1, "view")          # entry day 1
+    ev(1, 3, "purchase")            # t = 2
+    ev(2, 3, "purchase")            # t = 2
+    ev(3, 6, "purchase")            # t = 5
+    ev(4, 8, "view")                # censored at obs end (day 8): t = 7
+    d = tmp_path / "na"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(d / "events.parquet"))
+
+    out = {
+        r["t_days"]: r
+        for r in resolve_query("events_nelson_aalen")(
+            spark, str(d)
+        ).collect()
+    }
+    assert set(out) == {2, 5}
+    assert (out[2]["n_at_risk"], out[2]["d_events"]) == (4, 2)
+    assert (out[5]["n_at_risk"], out[5]["d_events"]) == (2, 1)
+    assert out[2]["hazard"] == Decimal("0.500000000")
+    assert out[2]["cum_hazard"] == Decimal("0.500000000")
+    assert out[5]["hazard"] == Decimal("0.500000000")
+    assert out[5]["cum_hazard"] == Decimal("1.000000000")
+
+
+def test_theil_sen_outlier_immune_exact(spark, tmp_path):
+    """events_theil_sen on a planted +2.5/day linear daily series with
+    one wildly corrupted day: the median pairwise slope recovers the
+    true trend EXACTLY on the decimal grid (an OLS fit would be pulled
+    far off), and the even/odd median finalization is exact."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows, eid = [], 0
+    for day in range(1, 22):  # 21 days
+        v = 10.0 + 2.5 * day
+        if day == 11:
+            v = 500.0  # the outlier day
+        eid += 1
+        rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, "view", v, "{}"))
+    d = tmp_path / "ts"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(d / "events.parquet"))
+
+    r = resolve_query("events_theil_sen")(spark, str(d)).collect()[0]
+    assert (r["n_days"], r["n_pairs"]) == (21, 210)
+    # 20 of 21 days lie exactly on the +2.5 line, so >half of all pair
+    # slopes equal 2.5 exactly -> the median is exactly 2.5
+    assert r["slope_per_day"] == Decimal("2.500000000000")
+
+    # exact replica incl. the sign-split 9dp lattice and median pick
+    daily = {
+        day: round((10.0 + 2.5 * day if day != 11 else 500.0) * 100)
+        for day in range(1, 22)
+    }
+    days = sorted(daily)
+
+    def s9(dy, dx):
+        return (
+            -((2 * -dy * 10**9 + dx) // (2 * dx))
+            if dy < 0
+            else (2 * dy * 10**9 + dx) // (2 * dx)
+        )
+
+    slopes = sorted(
+        s9(daily[b] - daily[a], b - a)
+        for i, a in enumerate(days)
+        for b in days[i + 1:]
+    )
+    m = len(slopes)
+    picks = sorted({(m + 1) // 2, (m + 2) // 2})
+    msum = sum(slopes[p - 1] for p in picks)
+    med10 = msum * (10 // len(picks))
+    assert r["slope_per_day"] == Decimal(med10) / Decimal(10**12)

@@ -551,6 +551,40 @@ def main(only: list[str] | None = None) -> None:
         "zscore_drain": lambda k: SQ["stream_zscore_drain"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        # r12-built wave (staged r13):
+        "nelson_aalen": lambda k: SQ["events_nelson_aalen"](
+            spark, table_dir("events", k, "events")
+        ),
+        "label_propagation": lambda k: SQ["sim_label_propagation"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "sq8_scan": lambda k: SQ["sim_sq8_scan"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "binary_hamming": lambda k: SQ["sim_binary_hamming"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "midi_manifest": lambda k: SQ["multimodal_midi_manifest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "utf8_audit": lambda k: SQ["multimodal_utf8_audit"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "kruskal_wallis": lambda k: SQ["rel_kruskal_wallis"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
+        "theil_sen": lambda k: SQ["events_theil_sen"](
+            spark, table_dir("events", k, "events")
+        ),
+        "chi2_drain": lambda k: SQ["stream_chi2_drain"](
+            spark, table_dir("events", k, "events")
+        ),
+        "label_propagation_ann": lambda k: SQ["sim_label_propagation_ann"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "dsir_weights": lambda k: SQ["curation_dsir_weights"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
