@@ -2533,3 +2533,128 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("log_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Witten-Bell bigram LM scoring (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_WB_BIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+),
+tr0 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS k
+  FROM tok WHERE len(t) >= 2
+),
+tr AS (
+  SELECT doc_id, t[CAST(k AS INT)] AS w1, t[CAST(k AS INT) + 1] AS w2
+  FROM tr0
+),
+dbg AS (
+  SELECT doc_id, w1, w2, count(*) AS c_doc FROM tr GROUP BY doc_id, w1, w2
+),
+bg AS (SELECT w1, w2, CAST(sum(c_doc) AS BIGINT) AS c FROM dbg GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS tw
+  FROM bg GROUP BY w1
+),
+uni AS (SELECT w2, CAST(sum(c) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM bg),
+scored AS (
+  SELECT d.doc_id, d.c_doc,
+         CAST(round(log10(
+           (CAST(b.c AS DOUBLE) * tot.nn + CAST(ctx.tw AS DOUBLE) * uni.c2)
+           / (CAST(tot.nn AS DOUBLE) * (ctx.c1 + ctx.tw))
+         ), 6) AS DECIMAL(18,6)) AS lp
+  FROM dbg d
+  JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+  JOIN ctx ON ctx.w1 = d.w1
+  JOIN uni ON uni.w2 = d.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_transitions,
+       CAST(CAST(sum(c_doc * lp) AS DOUBLE) / sum(c_doc) AS DOUBLE)
+         AS wb_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_witten_bell_bigram", oracle=_WB_BIGRAM_SQL, staged=True)
+def text_witten_bell_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Witten-Bell bigram LM scoring (built r12, staged
+    r13) — the fourth smoothing family beside Kneser-Ney (absolute
+    discount + continuation), Stupid Backoff (score cascade), and
+    Good-Turing (count-of-counts): WB sizes the interpolation weight
+    by how many DISTINCT continuations a context has seen —
+      p_WB(w2|w1) = (c(w1,w2) + T(w1)·p_ml(w2)) / (c(w1·) + T(w1)),
+    T(w1) = distinct continuation types — so novel-continuation-prone
+    contexts lean harder on the unigram. The textbook identity used
+    in PPM compressors; here over the same in-corpus bigram relation
+    as KN, so the two scores are directly comparable per doc.
+
+    Exactness: every LM statistic is an exact integer; p is stated as
+    ONE integer-lattice quotient (c·N + T·c2)/(N·(c1+T)) evaluated as
+    a fixed-shape double expression (all operands < 2^53), log10
+    rounds to 6dp DECIMAL before the per-doc weighted mean — the KN
+    device verbatim (wb_logprob carries the same unrounded-double
+    allowlist audit as kn_logprob: exact decimal sum / exact count,
+    one IEEE division).
+
+    Scale shape: identical to KN — the fact side crosses the wire
+    once as per-(doc,w1,w2) counts; ctx/uni/N are bigram-relation
+    reductions that broadcast back at fixture scale and AQE-shuffle
+    at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens("text").alias("t")).where(
+        F.size("t") >= 2
+    )
+    trans = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), k -> "
+                "struct(element_at(t, k) AS w1, element_at(t, k + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    from ..cache import persist_tracked
+
+    dbg = persist_tracked(
+        trans.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c_doc"))
+    )
+    bg = persist_tracked(
+        dbg.groupBy("w1", "w2").agg(F.sum("c_doc").cast("bigint").alias("c"))
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("tw"),
+    )
+    uni = bg.groupBy("w2").agg(F.sum("c").cast("bigint").alias("c2"))
+    tot = bg.agg(F.sum("c").cast("bigint").alias("nn"))
+    p = (
+        F.col("c").cast("double") * F.col("nn")
+        + F.col("tw").cast("double") * F.col("c2")
+    ) / (
+        F.col("nn").cast("double") * (F.col("c1") + F.col("tw"))
+    )
+    scored = (
+        dbg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "c_doc",
+            F.round(F.log10(p), 6).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c_doc").cast("bigint").alias("n_transitions"),
+        (
+            F.sum(F.col("c_doc") * F.col("lp")).cast("double")
+            / F.sum("c_doc")
+        )
+        .cast("double")
+        .alias("wb_logprob"),
+    )

@@ -1858,3 +1858,39 @@ def stream_chi2_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_readout(
         state.select("xv", "yv", F.col("c").alias("nxy"))
     )
+
+
+from .queries_timeseries import _THEIL_SEN_SQL  # noqa: E402
+
+
+@register("stream_theil_sen_drain", oracle=_THEIL_SEN_SQL, staged=True)
+def stream_theil_sen_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming robust-trend monitoring with a driver row (built r12,
+    staged r13): events stream in TWO forced micro-batches; each batch
+    ADD-merges its (epoch-day, cents) delta into the standing daily
+    table (streaming/worker.py::daily_cents_stream — the
+    CALENDAR-BOUNDED additive state: ~30 rows regardless of volume);
+    the Theil-Sen median-slope readout runs from MERGED state through
+    the SAME theil_sen_readout as the batch query, whose whole-corpus
+    SQL is the oracle. Day sums are additive, so the batch split
+    cannot move a single pairwise slope — the live trend monitor
+    hash-checked end to end (the forecasting family's first drain)."""
+    from ..streaming.worker import daily_cents_stream
+    from .queries_timeseries import theil_sen_readout
+
+    ev = load_table(spark, sf_dir, "events")
+    state = _forced_drain(
+        spark, ev, "event_id",
+        lambda src, st, ck, mft: daily_cents_stream(
+            spark, src, ev.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "n_days bigint, n_pairs bigint, slope_per_day decimal(24,12)",
+        )
+    return theil_sen_readout(
+        state.select("d", F.col("c").alias("yc"))
+    )

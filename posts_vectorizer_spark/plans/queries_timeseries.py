@@ -2482,6 +2482,15 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yc")
     )
+    return theil_sen_readout(daily)
+
+
+def theil_sen_readout(daily: DataFrame) -> DataFrame:
+    """The Theil-Sen estimator as a pure function of the (d, yc)
+    daily-cents table — the ADDITIVE sufficient statistic (day-keyed
+    cent sums), shared by the batch query and the streaming drain
+    (r12): a per-batch delta merges through the ledgered add sink and
+    the median-slope readout runs identically from merged state."""
     from ..cache import persist_tracked
 
     daily = persist_tracked(daily)
@@ -2522,4 +2531,261 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(0.000000000001 AS DECIMAL(13,12))"
             " AS DECIMAL(24,12)) AS slope_per_day",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_BINSEG_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+  FROM events GROUP BY 1
+),
+ord AS (
+  SELECT d, yc,
+         row_number() OVER (ORDER BY d) AS i,
+         sum(yc) OVER (ORDER BY d) AS p
+  FROM daily
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(yc) AS BIGINT) AS s,
+         CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS q
+  FROM ord
+),
+gains AS (
+  SELECT o.d, o.i, o.p, t.n, t.s,
+         CAST(t.n AS HUGEINT) * o.p - o.i * t.s AS x,
+         o.i * (t.n - o.i) * (t.n * t.q - CAST(t.s AS HUGEINT) * t.s)
+           AS den
+  FROM ord o, tot t WHERE o.i < t.n
+),
+pinned AS (
+  SELECT d, i, p, n, s,
+         CASE WHEN den > 0
+              THEN (2 * x * x * 1000000000 + den) // (2 * den)
+              ELSE 0 END AS r9
+  FROM gains
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY r9 DESC, i) AS rk FROM pinned
+  ) WHERE rk = 1
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(d AS BIGINT) AS split_day,
+       CAST(i AS BIGINT) AS split_idx,
+       CAST(CAST(r9 AS DECIMAL(12,0))
+            * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(12,9))
+         AS gain_ratio,
+       CAST(CAST((2 * p * 10000 + i) // (2 * i) AS DECIMAL(18,0))
+            * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))
+         AS mean_left,
+       CAST(CAST((2 * (s - p) * 10000 + (n - i)) // (2 * (n - i))
+                 AS DECIMAL(18,0))
+            * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))
+         AS mean_right
+FROM best
+"""
+
+
+@register("events_binseg_changepoint", oracle=_BINSEG_SQL, staged=True)
+def events_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint LOCATOR over the daily value
+    totals (built r12, staged r13) — the offline companion to the
+    online detectors (CUSUM flags THAT a shift happened, Page-Hinkley
+    monitors a stream; binary segmentation answers WHERE): the split k
+    maximizing the SSE reduction Δ(k) = X_k²/(n·k·(n−k)) with
+    X_k = n·P_k − k·S, reported as the exact gain ratio
+    Δ(k)/TSS = X_k²/(k·(n−k)·(nQ−S²)) ∈ [0,1] — one recursion level
+    of the classic binseg/PELT family, the exactly-statable witness.
+
+    Exactness: day totals/prefix sums are exact cents; X_k, the
+    denominator, and Q live on the HUGEINT/DECIMAL(38,0) lattice
+    (X² ≤ ~1e22 at bench scale, ×1e9 ≤ 1e31 — inside both engines'
+    38-digit range); the gain ratio pins to 9dp and the segment means
+    to 6dp via the half-up trunc-division identity (the ipw device);
+    the argmax is a deterministic (r9 desc, k asc) rank over the
+    calendar-bounded gain table. All-days-equal series degenerate to
+    den = 0 rows, pinned to r9 = 0 (no spurious split).
+
+    Scale shape: one day-keyed map-side-combinable reduce is the only
+    data-sized work; prefix sums, gains, and the argmax run on the
+    ~30-row calendar grid at any data scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("yc")
+    )
+    w = Window.orderBy("d")
+    ordd = daily.select(
+        "d", "yc",
+        F.row_number().over(w).alias("i"),
+        F.sum("yc").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("p"),
+    )
+    from ..cache import persist_tracked
+
+    ordd = persist_tracked(ordd)
+    tot = ordd.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("yc").cast("bigint").alias("s"),
+        F.sum(F.col("yc").cast("decimal(18,0)") * F.col("yc"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    gains = (
+        ordd.crossJoin(F.broadcast(tot))
+        .where(F.col("i") < F.col("n"))
+        .selectExpr(
+            "d", "i", "p", "n", "s",
+            "CAST(n AS DECIMAL(20,0)) * p - i * s AS x",
+            "CAST(i AS DECIMAL(20,0)) * (n - i)"
+            " * (n * q - CAST(s AS DECIMAL(20,0)) * s) AS den",
+        )
+    )
+    pinned = gains.selectExpr(
+        "d", "i", "p", "n", "s",
+        "CASE WHEN den > 0"
+        " THEN CAST((2 * x * x * 1000000000 + den) div (2 * den)"
+        "      AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS r9",
+    )
+    wbest = Window.orderBy(F.col("r9").desc(), F.col("i"))
+    best = (
+        pinned.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+    )
+    return best.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "CAST(d AS BIGINT) AS split_day",
+        "CAST(i AS BIGINT) AS split_idx",
+        "CAST(CAST(r9 AS DECIMAL(12,0))"
+        " * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(12,9))"
+        " AS gain_ratio",
+        "CAST(CAST((2 * p * 10000 + i) div (2 * i) AS DECIMAL(18,0))"
+        " * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
+        " AS mean_left",
+        "CAST(CAST((2 * (s - p) * 10000 + (n - i)) div (2 * (n - i))"
+        " AS DECIMAL(18,0))"
+        " * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
+        " AS mean_right",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+  FROM events GROUP BY 1
+),
+diffs AS (
+  SELECT d, yc - lag(yc) OVER (ORDER BY d) AS dy FROM daily
+),
+signs AS (
+  SELECT d, CASE WHEN dy > 0 THEN 1 ELSE -1 END AS s
+  FROM diffs WHERE dy IS NOT NULL AND dy <> 0
+),
+runs AS (
+  SELECT s,
+         CASE WHEN s <> lag(s) OVER (ORDER BY d) THEN 1 ELSE 0 END AS brk
+  FROM signs
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (s = 1) AS BIGINT) AS n_up,
+         CAST(count(*) FILTER (s = -1) AS BIGINT) AS n_down,
+         CAST(sum(brk) + 1 AS BIGINT) AS r
+  FROM runs
+)
+SELECT n, n_up, n_down, r AS n_runs,
+       1.0 + 2.0 * n_up * n_down / n AS mu_runs,
+       sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n)
+            / (CAST(n AS DOUBLE) * n * (n - 1))) AS sigma_runs,
+       (r - (1.0 + 2.0 * n_up * n_down / n))
+         / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n)
+                / (CAST(n AS DOUBLE) * n * (n - 1))) AS z
+FROM agg
+WHERE n > 1 AND n_up > 0 AND n_down > 0
+  AND 2 * n_up * n_down > n
+"""
+
+
+@register("events_runs_test", oracle=_RUNS_SQL, staged=True)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test over the daily up/down sign sequence
+    (built r12, staged r13) — the sequence-RANDOMNESS member of the
+    trend family: Mann-Kendall asks 'is there a monotone trend',
+    Theil-Sen estimates its slope; the runs test asks the orthogonal
+    question 'are the day-over-day moves independent at all' (too FEW
+    runs = momentum/regime persistence, too MANY = oscillation) —
+    the classic pre-check before fitting any forecasting model.
+
+    Exactness: day totals are exact cents; signs and the run count R
+    (1 + sign-change count via lag over the calendar-bounded ordered
+    sequence) are exact integers; zero diffs drop explicitly
+    (documented tie handling). mu/sigma/z are FIXED-SHAPE double
+    expressions of the exact counts n / n_up / n_down / R (all far
+    below 2^53 — the Welch/KS readout class, carried on the
+    unrounded-double allowlist with this audit). Degenerate sequences
+    (one sign absent, or 2·n_up·n_down <= n making sigma² <= 0) drop
+    explicitly.
+
+    Scale shape: one day-keyed map-side-combinable reduce; lag/runs
+    windows run on the ~30-row calendar grid at any data scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("yc")
+    )
+    w = Window.orderBy("d")
+    diffs = daily.select(
+        "d", (F.col("yc") - F.lag("yc").over(w)).alias("dy")
+    )
+    signs = diffs.where(
+        F.col("dy").isNotNull() & (F.col("dy") != 0)
+    ).select("d", F.when(F.col("dy") > 0, 1).otherwise(-1).alias("s"))
+    runs = signs.select(
+        "s",
+        F.when(F.col("s") != F.lag("s").over(w), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if(F.col("s") == 1).cast("bigint").alias("n_up"),
+        F.count_if(F.col("s") == -1).cast("bigint").alias("n_down"),
+        (F.sum("brk") + 1).cast("bigint").alias("r"),
+    )
+    n, nu, nd, r = (F.col(c) for c in ("n", "n_up", "n_down", "r"))
+    mu = F.lit(1.0) + 2.0 * nu * nd / n
+    sig = F.sqrt(
+        2.0 * nu * nd * (2.0 * nu * nd - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return agg.where(
+        (n > 1) & (nu > 0) & (nd > 0) & (2 * nu * nd > n)
+    ).select(
+        "n", "n_up", "n_down", r.alias("n_runs"),
+        mu.alias("mu_runs"),
+        sig.alias("sigma_runs"),
+        ((r - mu) / sig).alias("z"),
     )

@@ -88,6 +88,19 @@ STAGED: dict[str, QueryDef] = {}
 #                               micro-batch drain)
 #   curation_dsir_weights      (DSIR hashed-bucket importance weights,
 #                               add-1 log-ratios on the 9dp grid)
+#   events_binseg_changepoint  (exact SSE-gain split locator on the
+#                               38-digit lattice; CUSUM's offline
+#                               companion)
+#   events_runs_test           (Wald-Wolfowitz up/down randomness;
+#                               fixed-shape z with allowlist audit)
+#   text_witten_bell_bigram    (4th smoothing family: distinct-
+#                               continuation interpolation, KN device)
+#   stream_theil_sen_drain     (13th drain; calendar-bounded additive
+#                               daily-cents state via the new worker
+#                               daily_cents_stream; theil_sen_readout
+#                               refactor puts events_theil_sen in the
+#                               r13 spine; no-jobs skip: runs its
+#                               micro-batch drain)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -192,11 +205,15 @@ STAGED: dict[str, QueryDef] = {}
 #                            class-granular embedding drift triage)
 #
 # r13 head planning (draft at r12 open; re-lock at r12 closeout):
-#   (a) 11 introduction slots — the r12-staged wave above.
-#   (b) spine (3): tfidf_doc_vectors + events_kaplan_meier (its body
+#   (a) introduction slots for the r12-staged wave above (16 as
+#       of wave 2; re-count at closeout).
+#   (b) spine (4): tfidf_doc_vectors + events_kaplan_meier (its body
 #       was refactored onto the shared _surv_risk grid mid-r12) +
 #       rel_chi2_independence (its body moved into the shared
-#       chi2_readout mid-r12) — the consumer-of-changed-code rule.
+#       chi2_readout mid-r12) + events_theil_sen (its body moved into
+#       the shared theil_sen_readout mid-r12, AFTER its own staging —
+#       it is both an introduction and a refactor consumer; one slot
+#       covers both) — the consumer-of-changed-code rule.
 #   (c) freshness (36): udtf_polymorphic_firstn FIRST (the one r5
 #       name the r12 head couldn't fit), then the first 35 of the r6
 #       cohort (47 names, tools/cohorts.py list order). If more

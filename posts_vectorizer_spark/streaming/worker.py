@@ -1383,3 +1383,50 @@ def jsd_count_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def daily_cents_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming daily-total maintenance: each micro-batch of events
+    ADD-merges its (epoch-day, cents) delta into the standing daily
+    table — the CALENDAR-bounded member of the additive-state family
+    (state is ~30 rows however much data flows). The Theil-Sen robust
+    trend readout (plans/queries_timeseries.py::theil_sen_readout)
+    runs from merged state as a pure function — a continuously fresh
+    trend monitor whose pair/median work never touches raw events.
+
+    At 100 TB: per-batch cost is one day-keyed map-side-combinable
+    sum + O(touched buckets) of a calendar-sized table."""
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = batch_df.groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("d")
+        ).agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        merge_add_parquet(
+            spark, delta, state_dir, ["d"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -495,6 +495,14 @@ _UNROUNDED_DOUBLE_OK = frozenset((
     # readout (chi2_readout — same expressions, same audit)
     ("stream_chi2_drain", "chi2"),
     ("stream_chi2_drain", "cramers_v"),
+    # kn_logprob's audited device verbatim: exact decimal sum of
+    # 6dp-pinned per-transition terms / exact count, one IEEE division
+    ("text_witten_bell_bigram", "wb_logprob"),
+    # fixed-shape double z over exact <2^53 run/sign counts (the
+    # Welch/KS readout class)
+    ("events_runs_test", "z"),
+    ("events_runs_test", "mu_runs"),
+    ("events_runs_test", "sigma_runs"),
     ("rel_mutual_information", "nmi"),
     ("rel_tpch_q11_important_customers", "total_value"),
     ("rel_tpch_q15_top_supplier", "total_revenue"),

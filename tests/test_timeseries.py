@@ -953,3 +953,133 @@ def test_theil_sen_outlier_immune_exact(spark, tmp_path):
     msum = sum(slopes[p - 1] for p in picks)
     med10 = msum * (10 // len(picks))
     assert r["slope_per_day"] == Decimal(med10) / Decimal(10**12)
+
+
+def test_binseg_locates_planted_level_shift(spark, tmp_path):
+    """events_binseg_changepoint on a planted level shift: 10 days at
+    100, then 10 days at 300 — the argmax split lands exactly on the
+    boundary, segment means are exact 6dp grid points, and the gain
+    ratio matches the closed form X²/(k(n−k)(nQ−S²)) on the lattice."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows, eid = [], 0
+    for day in range(1, 21):
+        v = 100.0 if day <= 10 else 300.0
+        eid += 1
+        rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, "view", v, "{}"))
+    d = tmp_path / "bs"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(d / "events.parquet"))
+
+    r = resolve_query("events_binseg_changepoint")(
+        spark, str(d)
+    ).collect()[0]
+    assert (r["n_days"], r["split_idx"]) == (20, 10)
+    # the pure two-level series: the split explains ALL variance
+    assert r["gain_ratio"] == Decimal("1.000000000")
+    assert r["mean_left"] == Decimal("100.000000")
+    assert r["mean_right"] == Decimal("300.000000")
+
+    # replica of the pinned lattice at the winning split
+    yc = [10000] * 10 + [30000] * 10
+    n, s, q = 20, sum(yc), sum(v * v for v in yc)
+    p10 = sum(yc[:10])
+    x = n * p10 - 10 * s
+    den = 10 * (n - 10) * (n * q - s * s)
+    r9 = (2 * x * x * 10**9 + den) // (2 * den)
+    assert r["gain_ratio"] == Decimal(r9) / Decimal(10**9)
+
+
+def test_runs_test_momentum_vs_alternation(spark, tmp_path):
+    """events_runs_test: a momentum series (10 ups then 10 downs, 2
+    runs) gives z far below 0; a strict alternation gives the maximum
+    run count and z above 0; both match the closed-form mu/sigma/z on
+    the exact counts."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def write(d, deltas):
+        rows, eid, v = [], 0, 1000.0
+        rows.append((1, "2024-01-01 12:00:00", 1, "view", v, "{}"))
+        for i, dv in enumerate(deltas, 2):
+            v += dv
+            rows.append(
+                (i, f"2024-01-{i:02d} 12:00:00", 1, "view", v, "{}")
+            )
+        d.mkdir()
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+            "event_type", "value", "props"
+        ).write.parquet(str(d / "events.parquet"))
+
+    def z_ref(n_up, n_down, r):
+        n = n_up + n_down
+        mu = 1.0 + 2.0 * n_up * n_down / n
+        sig = (
+            2.0 * n_up * n_down * (2.0 * n_up * n_down - n)
+            / (float(n) * n * (n - 1))
+        ) ** 0.5
+        return mu, sig, (r - mu) / sig
+
+    write(tmp_path / "mom", [10.0] * 10 + [-10.0] * 10)
+    r = resolve_query("events_runs_test")(
+        spark, str(tmp_path / "mom")
+    ).collect()[0]
+    assert (r["n"], r["n_up"], r["n_down"], r["n_runs"]) == (20, 10, 10, 2)
+    mu, sig, z = z_ref(10, 10, 2)
+    assert (r["mu_runs"], r["sigma_runs"], r["z"]) == (mu, sig, z)
+    assert r["z"] < -3
+
+    write(tmp_path / "alt", [10.0, -10.0] * 10)
+    r = resolve_query("events_runs_test")(
+        spark, str(tmp_path / "alt")
+    ).collect()[0]
+    assert (r["n"], r["n_runs"]) == (20, 20)
+    assert r["z"] > 3
+
+
+def test_stream_theil_sen_drain_equals_batch(spark, tmp_path):
+    """stream_theil_sen_drain's merged daily-cents state yields EXACTLY
+    the batch Theil-Sen slope — day sums are additive, so the forced
+    split cannot move a pairwise slope."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows, eid = [], 0
+    for day in range(1, 16):
+        for k in range(3):  # several events per day, split across
+            eid += 1        # batches by event_id parity
+            rows.append(
+                (eid, f"2024-01-{day:02d} {8 + k}:00:00", 1, "view",
+                 float(day * 2 + k), "{}")
+            )
+    d = tmp_path / "tsd"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(d / "events.parquet"))
+
+    got = resolve_query("stream_theil_sen_drain")(spark, str(d)).collect()
+    want = resolve_query("events_theil_sen")(spark, str(d)).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
+    # every day total rises by exactly 6.0 -> slope exactly 6
+    assert got[0]["slope_per_day"] == Decimal("6.000000000000")

@@ -585,6 +585,18 @@ def main(only: list[str] | None = None) -> None:
         "dsir_weights": lambda k: SQ["curation_dsir_weights"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "binseg_changepoint": lambda k: SQ["events_binseg_changepoint"](
+            spark, table_dir("events", k, "events")
+        ),
+        "runs_test": lambda k: SQ["events_runs_test"](
+            spark, table_dir("events", k, "events")
+        ),
+        "witten_bell": lambda k: SQ["text_witten_bell_bigram"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "theil_sen_drain": lambda k: SQ["stream_theil_sen_drain"](
+            spark, table_dir("events", k, "events")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
