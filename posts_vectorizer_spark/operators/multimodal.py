@@ -3417,3 +3417,227 @@ def utf8_audit_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, UTF8_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL protobuf wire-format codec (built r12, staged r13) — the
+# little-endian varint family beside MIDI's big-endian VLQ: ULEB128
+# varints (7-bit groups, LSB-first, 10-byte cap), zigzag signed
+# mapping ((v << 1) ^ (v >> 63)), field keys (field_number << 3 |
+# wire_type), and the four classic wire types — 0 varint, 1 fixed64,
+# 2 length-delimited, 5 fixed32. The decoder is a schema-less wire
+# WALK (exactly what `protoc --decode_raw` does): it needs no .proto
+# and no protobuf library, so it is NOT gated the way the
+# transformWithState protobuf dependency is. Loud reject (ValueError)
+# on overlong/truncated varints, unknown wire types, field number 0,
+# and length overruns — the container-family contract.
+# ---------------------------------------------------------------------------
+
+
+def _uvarint(v: int) -> bytes:
+    if not 0 <= v < 1 << 64:
+        raise ValueError(f"varint out of range: {v}")
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(0x80 | b)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(raw: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    for i in range(10):
+        if pos >= len(raw):
+            raise ValueError("truncated varint")
+        b = raw[pos]
+        pos += 1
+        v |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            if i == 9 and b > 1:
+                raise ValueError("varint exceeds 64 bits")
+            return v, pos
+    raise ValueError("overlong varint (more than 10 bytes)")
+
+
+def _zigzag(v: int) -> int:
+    return ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def encode_protowire(fields: list[tuple[int, int, object]]) -> bytes:
+    """[(field_number, wire_type, value)] -> wire bytes. wire_type 0
+    takes a ZIGZAG-signed int, 1/5 take ints packed little-endian,
+    2 takes bytes."""
+    import struct
+
+    out = bytearray()
+    for fn, wt, val in fields:
+        if fn < 1:
+            raise ValueError(f"bad field number {fn}")
+        out += _uvarint((fn << 3) | wt)
+        if wt == 0:
+            out += _uvarint(_zigzag(int(val)))
+        elif wt == 1:
+            out += struct.pack("<Q", int(val) & ((1 << 64) - 1))
+        elif wt == 2:
+            out += _uvarint(len(val)) + bytes(val)
+        elif wt == 5:
+            out += struct.pack("<I", int(val) & ((1 << 32) - 1))
+        else:
+            raise ValueError(f"unknown wire type {wt}")
+    return bytes(out)
+
+
+def decode_protowire(raw: bytes) -> dict:
+    """Schema-less wire walk -> {'n_fields', 'max_field', 'sum_varints'
+    (zigzag-decoded), 'len_bytes' (total length-delimited payload),
+    'sum_fixed' (fixed32+fixed64 values)}. Loud ValueError on any
+    malformation."""
+    import struct
+
+    pos, n = 0, len(raw)
+    nf = maxf = sv = lb = sf = 0
+    while pos < n:
+        key, pos = _read_uvarint(raw, pos)
+        fn, wt = key >> 3, key & 7
+        if fn < 1:
+            raise ValueError(f"field number 0 at offset {pos}")
+        if wt == 0:
+            u, pos = _read_uvarint(raw, pos)
+            sv += _unzigzag(u)
+        elif wt == 1:
+            if pos + 8 > n:
+                raise ValueError("truncated fixed64")
+            sf += struct.unpack_from("<Q", raw, pos)[0]
+            pos += 8
+        elif wt == 2:
+            ln, pos = _read_uvarint(raw, pos)
+            if pos + ln > n:
+                raise ValueError("length-delimited field overruns buffer")
+            lb += ln
+            pos += ln
+        elif wt == 5:
+            if pos + 4 > n:
+                raise ValueError("truncated fixed32")
+            sf += struct.unpack_from("<I", raw, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f"unknown wire type {wt}")
+        nf += 1
+        maxf = max(maxf, fn)
+    return {
+        "n_fields": nf, "max_field": maxf, "sum_varints": sv,
+        "len_bytes": lb, "sum_fixed": sf,
+    }
+
+
+def synth_protowire_fields(doc_id: int) -> list[tuple[int, int, object]]:
+    """Deterministic message both engines can state: m = 2 + d%4
+    zigzag varints (alternating sign, 2-byte-varint magnitudes),
+    one fixed32, one fixed64, and one length-delimited blob of
+    L = 10 + d%20 bytes."""
+    d = int(doc_id)
+    fields: list[tuple[int, int, object]] = []
+    for j in range(2 + d % 4):
+        mag = 200 + (d * 17 + j * 31) % 8000
+        fields.append((j + 1, 0, mag if j % 2 == 0 else -mag))
+    fields.append((9, 5, (d * 7) % 100000))
+    fields.append((10, 1, (d * 13) % 10**9))
+    fields.append((11, 2, bytes((d + i) % 256 for i in range(10 + d % 20))))
+    return fields
+
+
+PROTOWIRE_FEATURE_SCHEMA = (
+    "doc_id long, n_fields int, max_field int, sum_varints long,"
+    " len_bytes long, sum_fixed long"
+)
+
+
+def protowire_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id) -> synth fields -> ENCODE wire bytes (ULEB128 +
+    zigzag + fixed + length-delimited) -> schema-less DECODE walk ->
+    integer-exact profile. The oracle states every column from the
+    synthesis formula (the zigzag sum telescopes to the alternating
+    magnitude sum), so a varint-width, zigzag-sign, or framing bug
+    hash-mismatches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                spec = synth_protowire_fields(int(doc_id))
+                prof = decode_protowire(encode_protowire(spec))
+                out.append(
+                    (
+                        int(doc_id), prof["n_fields"], prof["max_field"],
+                        prof["sum_varints"], prof["len_bytes"],
+                        prof["sum_fixed"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_fields", "max_field", "sum_varints",
+                    "len_bytes", "sum_fixed",
+                ],
+            )
+
+    return base.mapInPandas(run, PROTOWIRE_FEATURE_SCHEMA)
+
+
+UTF8_METRICS = (
+    "docs", "bytes", "cp1", "cp2", "cp3", "cp4", "overlong",
+    "surrogate", "range", "continuation", "truncated",
+)
+
+
+def utf8_corpus_readout(counts: DataFrame) -> DataFrame:
+    """Corpus encoding-health rollup as a pure function of the
+    (metric, c) long table — the ADDITIVE sufficient statistic of the
+    UTF-8 audit (11 fixed keys), shared by the batch corpus query and
+    the streaming drain."""
+    agg = [
+        F.sum(F.when(F.col("metric") == m, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias(a)
+        for m, a in zip(
+            UTF8_METRICS,
+            (
+                "n_docs", "n_bytes", "cp_ascii", "cp_2b", "cp_3b",
+                "cp_4b", "err_overlong", "err_surrogate", "err_range",
+                "err_continuation", "err_truncated",
+            ),
+        )
+    ]
+    return counts.agg(*agg).where(F.col("n_docs") > 0)
+
+
+def utf8_metric_counts(docs: DataFrame) -> DataFrame:
+    """(metric, c): the audit's per-doc profile melted to additive
+    per-metric deltas — the worker stream's batch contribution."""
+    feats = utf8_audit_features(docs.select("doc_id"))
+    pairs = ", ".join(
+        f"'{m}', CAST({c} AS BIGINT)"
+        for m, c in zip(
+            UTF8_METRICS,
+            (
+                "1", "n_bytes", "cp_ascii", "cp_2b", "cp_3b", "cp_4b",
+                "err_overlong", "err_surrogate", "err_range",
+                "err_continuation", "err_truncated",
+            ),
+        )
+    )
+    return (
+        feats.selectExpr(
+            f"stack({len(UTF8_METRICS)}, {pairs}) AS (metric, v)"
+        )
+        .groupBy("metric")
+        .agg(F.sum("v").alias("c"))
+    )

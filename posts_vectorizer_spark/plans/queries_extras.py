@@ -1996,3 +1996,100 @@ def multimodal_utf8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return utf8_audit_features(docs.select("doc_id"))
+
+
+_PROTOWIRE_SQL = """
+WITH base AS (
+  SELECT doc_id, 2 + doc_id % 4 AS m FROM documents
+),
+vj AS (
+  SELECT doc_id, m, unnest(generate_series(0, m - 1)) AS j FROM base
+)
+SELECT doc_id,
+       CAST(max(m) + 3 AS INT) AS n_fields,
+       CAST(11 AS INT) AS max_field,
+       CAST(sum(CASE WHEN j % 2 = 0 THEN 1 ELSE -1 END
+                * (200 + (doc_id * 17 + j * 31) % 8000)) AS BIGINT)
+         AS sum_varints,
+       CAST(10 + doc_id % 20 AS BIGINT) AS len_bytes,
+       CAST((doc_id * 7) % 100000 + (doc_id * 13) % 1000000000
+            AS BIGINT) AS sum_fixed
+FROM vj GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_protowire_manifest", oracle=_PROTOWIRE_SQL, staged=True
+)
+def multimodal_protowire_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL protobuf wire-format codec (built r12, staged r13) — the
+    LITTLE-endian varint family beside MIDI's big-endian VLQ: ULEB128
+    varints (7-bit LSB-first groups, 10-byte/64-bit cap enforced),
+    ZIGZAG signed mapping, field keys (number << 3 | wire_type), and
+    all four classic wire types (varint / fixed64 / length-delimited
+    / fixed32). The decoder is a SCHEMA-LESS wire walk — protoc
+    --decode_raw's contract — needing no .proto and no protobuf
+    library (distinct from the env-gated transformWithState protobuf
+    DEPENDENCY: the wire grammar is public arithmetic). Loud
+    ValueError on overlong/truncated varints, unknown wire types,
+    field number 0, and length overruns. The profile (field count,
+    max field number, zigzag-decoded varint sum, payload bytes, fixed
+    sum) is stated by the oracle from the synthesis formula, so a
+    varint-width, zigzag-sign, or framing bug hash-mismatches.
+
+    Scale shape: per-row scan-stage codec work; only the 6-column
+    profile leaves the stage."""
+    from ..operators.multimodal import protowire_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return protowire_ingest_features(docs.select("doc_id"))
+
+
+_UTF8_CORPUS_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         5 + doc_id % 7 AS a, 2 + doc_id % 3 AS t,
+         1 + doc_id % 4 AS h, 1 + doc_id % 2 AS fb,
+         doc_id % 2 AS ov,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS su,
+         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS rg,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS bc,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS tr
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(a + 2*t + 3*h + 4*fb + 2*ov + 3*su + 4*rg + 2*bc
+                + 2*tr) AS BIGINT) AS n_bytes,
+       CAST(sum(a + bc) AS BIGINT) AS cp_ascii,
+       CAST(sum(t) AS BIGINT) AS cp_2b,
+       CAST(sum(h) AS BIGINT) AS cp_3b,
+       CAST(sum(fb) AS BIGINT) AS cp_4b,
+       CAST(sum(ov) AS BIGINT) AS err_overlong,
+       CAST(sum(su) AS BIGINT) AS err_surrogate,
+       CAST(sum(rg) AS BIGINT) AS err_range,
+       CAST(sum(bc) AS BIGINT) AS err_continuation,
+       CAST(sum(tr) AS BIGINT) AS err_truncated
+FROM f HAVING count(*) > 0
+"""
+
+
+@register("multimodal_utf8_corpus", oracle=_UTF8_CORPUS_SQL, staged=True)
+def multimodal_utf8_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding-health rollup (built r12, staged r13) — the
+    one-row aggregate of multimodal_utf8_audit's per-doc DFA profile
+    (codepoint widths + the five malformation classes, corpus-wide):
+    the number a data-quality dashboard actually tracks ('how much
+    mojibake entered this week'), and the batch twin whose additive
+    (metric, c) sufficient statistic the streaming drain maintains —
+    readout shared via operators/multimodal.py::utf8_corpus_readout.
+
+    Scale shape: scan-stage DFA work, one 11-key map-side-combinable
+    reduce; the rollup is a single row at any corpus size."""
+    from ..operators.multimodal import (
+        utf8_corpus_readout, utf8_metric_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return utf8_corpus_readout(utf8_metric_counts(docs))

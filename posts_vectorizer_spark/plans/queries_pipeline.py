@@ -1894,3 +1894,42 @@ def stream_theil_sen_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_readout(
         state.select("d", F.col("c").alias("yc"))
     )
+
+
+from .queries_extras import _UTF8_CORPUS_SQL  # noqa: E402
+
+
+@register("stream_utf8_drain", oracle=_UTF8_CORPUS_SQL, staged=True)
+def stream_utf8_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming encoding-health monitoring with a driver row (built
+    r12, staged r13): documents stream in TWO forced micro-batches;
+    each batch runs the UTF-8 DFA audit and ADD-merges its 11-key
+    (metric, c) delta into the standing class-count table
+    (streaming/worker.py::utf8_metric_stream) — the FIXED-KEY extreme
+    of the additive family (11 rows of state at any volume, vs the
+    Zipf drain's unbounded vocab and the Theil-Sen drain's calendar).
+    The corpus rollup reads out from MERGED state through the SAME
+    utf8_corpus_readout as multimodal_utf8_corpus, whose whole-corpus
+    SQL is the oracle — the live mojibake monitor hash-checked end to
+    end."""
+    from ..operators.multimodal import utf8_corpus_readout
+    from ..streaming.worker import utf8_metric_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select("doc_id")
+    state = _forced_drain(
+        spark, feed, "doc_id",
+        lambda src, st, ck, mft: utf8_metric_stream(
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "n_docs bigint, n_bytes bigint, cp_ascii bigint, cp_2b bigint,"
+            " cp_3b bigint, cp_4b bigint, err_overlong bigint,"
+            " err_surrogate bigint, err_range bigint,"
+            " err_continuation bigint, err_truncated bigint",
+        )
+    return utf8_corpus_readout(state.select("metric", "c"))

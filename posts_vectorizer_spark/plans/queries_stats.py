@@ -3248,3 +3248,142 @@ def rel_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("h"),
         ((h - F.col("k") + 1) / (F.col("n") - F.col("k"))).alias("eps_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_CA_TREND_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         hour(ts) AS h
+  FROM events
+),
+peru AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND rn <= 10
+             THEN 1 ELSE 0 END) AS conv,
+         min(CASE WHEN rn = 1 THEN h END) AS h1
+  FROM seq GROUP BY user_id
+),
+tiers AS (
+  SELECT h1 // 6 AS w, conv FROM peru
+),
+g AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(conv) AS BIGINT) AS r_i
+  FROM tiers GROUP BY w
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_i) AS BIGINT) AS n,
+         CAST(sum(r_i) AS BIGINT) AS r,
+         CAST(sum(w * n_i) AS BIGINT) AS wn,
+         CAST(sum(w * w * n_i) AS BIGINT) AS wwn,
+         CAST(sum(w * (r_i * (SELECT sum(n_i) FROM g)
+                       - n_i * (SELECT sum(r_i) FROM g))) AS BIGINT) AS a
+  FROM g
+)
+SELECT k AS n_groups, n, r AS n_converted, a AS u_n,
+       a * sqrt(CAST(n AS DOUBLE))
+         / sqrt(CAST(r * (n - r) AS DOUBLE) * (n * wwn - wn * wn)) AS z
+FROM tot
+WHERE r > 0 AND r < n AND n * wwn - wn * wn > 0
+"""
+
+
+@register("events_cochran_armitage", oracle=_CA_TREND_SQL, staged=True)
+def events_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (built r12, staged r13) — the
+    ORDERED-categorical member of the significance family: chi²
+    (rel_chi2_independence) asks whether conversion depends on the
+    activity tier AT ALL; Cochran-Armitage asks the sharper one-dof
+    question 'does conversion rise MONOTONICALLY with the tier'
+    (dose-response), which is what a growth analyst actually means.
+    Dose = the 6-hour band of the user's FIRST event (an ordered
+    0-3 score off a fixed calendar grid — never a data-dependent
+    ntile sort); outcome = an EARLY purchase (within the user's first
+    10 events by (ts, event_id) order) — both vary genuinely on the
+    fixtures where the naive has-any-purchase outcome saturates at 1.
+
+    Exactness: all sufficient statistics are exact integers off two
+    map-side-combinable reduces (per-user, then per-tier); the
+    N-scaled trend numerator a = Σ w_i(r_i·N − n_i·R) is exact
+    (< 2^53 by orders); z = a·sqrt(N)/sqrt(R(N−R)·(NΣw²n − (Σwn)²))
+    is ONE fixed-shape double expression of those integers (the b·c
+    product may exceed 2^53 — IEEE multiply is correctly rounded and
+    the op shape identical, the Welch/runs-test audit; allowlisted).
+    Degenerate surfaces (no conversions, all conversions, one tier)
+    drop explicitly.
+
+    Scale shape: the per-user reduce is the only data-sized work;
+    everything after is a 4-row tier table and 1-row totals."""
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wseq).alias("rn"),
+        F.hour("ts").alias("h"),
+    )
+    peru = seq.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("rn") <= 10),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+        F.min(F.when(F.col("rn") == 1, F.col("h"))).alias("h1"),
+    )
+    tiers = peru.select(
+        (F.col("h1") / 6).cast("int").alias("w"), "conv"
+    )
+    g = tiers.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("conv").cast("bigint").alias("r_i"),
+    )
+    from ..cache import persist_tracked
+
+    g = persist_tracked(g)
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("w") * F.col("n_i")).cast("bigint").alias("wn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i"))
+        .cast("bigint")
+        .alias("wwn"),
+    )
+    a_t = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("w")
+                * (F.col("r_i") * F.col("n") - F.col("n_i") * F.col("r"))
+            )
+            .cast("bigint")
+            .alias("a")
+        )
+    )
+    n, r, wn, wwn, a = (F.col(c) for c in ("n", "r", "wn", "wwn", "a"))
+    z = (
+        a
+        * F.sqrt(n.cast("double"))
+        / F.sqrt(
+            (r * (n - r)).cast("double") * (n * wwn - wn * wn)
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(a_t))
+        .where((r > 0) & (r < n) & (n * wwn - wn * wn > 0))
+        .select(
+            F.col("k").alias("n_groups"),
+            "n",
+            r.alias("n_converted"),
+            a.alias("u_n"),
+            z.alias("z"),
+        )
+    )

@@ -101,6 +101,19 @@ STAGED: dict[str, QueryDef] = {}
 #                               refactor puts events_theil_sen in the
 #                               r13 spine; no-jobs skip: runs its
 #                               micro-batch drain)
+#   multimodal_protowire_manifest (REAL protobuf wire walk: ULEB128 +
+#                               zigzag + 4 wire types, decode_raw
+#                               contract — the little-endian varint
+#                               sibling of MIDI's VLQ)
+#   events_cochran_armitage    (ordered-dose trend test: hour-band
+#                               dose x early-purchase outcome;
+#                               fixed-shape z, allowlist audit)
+#   multimodal_utf8_corpus     (corpus encoding-health rollup — the
+#                               drain's batch twin)
+#   stream_utf8_drain          (14th drain; 11-key FIXED additive
+#                               state via worker utf8_metric_stream;
+#                               no-jobs skip: runs its micro-batch
+#                               drain)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,

@@ -1430,3 +1430,42 @@ def daily_cents_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def utf8_metric_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming encoding-health maintenance: each micro-batch of
+    documents runs the UTF-8 DFA audit and ADD-merges its 11-key
+    (metric, c) delta into the standing class-count table — the
+    FIXED-key extreme of the additive-state family (state is 11 rows
+    at any volume). The corpus rollup reads out via
+    operators/multimodal.py::utf8_corpus_readout as a pure function.
+
+    At 100 TB: per-batch cost is the batch's scan-stage DFA work +
+    an 11-row merge — a continuously fresh mojibake monitor."""
+    from ..operators.multimodal import utf8_metric_counts
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        merge_add_parquet(
+            spark, utf8_metric_counts(batch_df), state_dir, ["metric"],
+            batch_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

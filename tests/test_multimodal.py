@@ -1738,3 +1738,54 @@ def test_utf8_scan_classes_and_python_parity():
         assert s["range"] == (1 if d % 5 == 0 else 0)
         assert s["continuation"] == bc
         assert s["truncated"] == (1 if d % 7 == 0 else 0)
+
+
+def test_protowire_on_wire_bytes_and_rejects():
+    """multimodal_protowire_manifest's codec: hand-computed wire bytes
+    (key packing, 2-byte ULEB128, zigzag sign mapping, fixed-width and
+    length-delimited framing), varint boundary round-trips, and the
+    loud-reject contract."""
+    import struct
+
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    # field 1 varint -3 (zigzag 5), field 2 varint 300 (zigzag 600 =
+    # 0xD8 0x04), field 9 fixed32 7, field 11 bytes 'hi'
+    raw = M.encode_protowire(
+        [(1, 0, -3), (2, 0, 300), (9, 5, 7), (11, 2, b"hi")]
+    )
+    assert raw == bytes(
+        [0x08, 0x05,                   # key(1,0), zigzag(-3)=5
+         0x10, 0xD8, 0x04]             # key(2,0), zigzag(300)=600
+    ) + bytes([0x4D]) + struct.pack("<I", 7) \
+        + bytes([0x5A, 0x02]) + b"hi"
+    prof = M.decode_protowire(raw)
+    assert prof == {
+        "n_fields": 4, "max_field": 11, "sum_varints": 297,
+        "len_bytes": 2, "sum_fixed": 7,
+    }
+
+    # ULEB128 boundaries round-trip (incl. the 64-bit ceiling)
+    for v in (0, 127, 128, 16383, 16384, 2**32, 2**64 - 1):
+        got, pos = M._read_uvarint(M._uvarint(v), 0)
+        assert (got, pos) == (v, len(M._uvarint(v)))
+    with pytest.raises(ValueError):
+        M._uvarint(2**64)
+    with pytest.raises(ValueError, match="overlong"):
+        M._read_uvarint(b"\x80" * 10 + b"\x01", 0)
+    with pytest.raises(ValueError, match="64 bits"):
+        M._read_uvarint(b"\xff" * 9 + b"\x7f", 0)
+    # zigzag is a bijection on the signed 64-bit range
+    for v in (0, -1, 1, -2**62, 2**62, -(2**63), 2**63 - 1):
+        assert M._unzigzag(M._zigzag(v)) == v
+
+    with pytest.raises(ValueError):
+        M.decode_protowire(raw[:-1])      # truncated blob
+    with pytest.raises(ValueError, match="wire type"):
+        M.decode_protowire(raw + b"\x0f")  # wire type 7
+    with pytest.raises(ValueError, match="field number 0"):
+        M.decode_protowire(b"\x00\x00")
+    with pytest.raises(ValueError, match="truncated fixed64"):
+        M.decode_protowire(bytes([0x09]) + b"\x01\x02")

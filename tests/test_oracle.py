@@ -503,6 +503,8 @@ _UNROUNDED_DOUBLE_OK = frozenset((
     ("events_runs_test", "z"),
     ("events_runs_test", "mu_runs"),
     ("events_runs_test", "sigma_runs"),
+    # same class: one fixed-shape z over exact per-tier integer counts
+    ("events_cochran_armitage", "z"),
     ("rel_mutual_information", "nmi"),
     ("rel_tpch_q11_important_customers", "total_value"),
     ("rel_tpch_q15_top_supplier", "total_revenue"),

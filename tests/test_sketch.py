@@ -763,3 +763,45 @@ def test_stream_chi2_drain_equals_batch(spark, tmp_path):
     assert len(got) == len(want) == 1
     assert got[0].asDict() == want[0].asDict()
     assert got[0]["chi2"] > 0 and 0 < got[0]["cramers_v"] <= 1
+
+
+def test_stream_utf8_drain_equals_batch(spark, tmp_path):
+    """stream_utf8_drain's merged 11-key class-count state yields
+    EXACTLY the batch corpus rollup, and both match the synthesis
+    formula summed independently in Python."""
+    from posts_vectorizer_spark.operators.multimodal import (
+        synth_utf8_payload, utf8_scan,
+    )
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = [(i, "t", "en", "s", 1) for i in range(60)]
+    d = tmp_path / "u8d"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = resolve_query("stream_utf8_drain")(spark, str(d)).collect()
+    want = resolve_query("multimodal_utf8_corpus")(
+        spark, str(d)
+    ).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
+
+    ref = {"n_docs": 60, "n_bytes": 0, "cp_ascii": 0, "cp_2b": 0,
+           "cp_3b": 0, "cp_4b": 0, "err_overlong": 0,
+           "err_surrogate": 0, "err_range": 0, "err_continuation": 0,
+           "err_truncated": 0}
+    key = {"cp1": "cp_ascii", "cp2": "cp_2b", "cp3": "cp_3b",
+           "cp4": "cp_4b", "overlong": "err_overlong",
+           "surrogate": "err_surrogate", "range": "err_range",
+           "continuation": "err_continuation",
+           "truncated": "err_truncated"}
+    for i in range(60):
+        raw = synth_utf8_payload(i)
+        ref["n_bytes"] += len(raw)
+        for k, v in utf8_scan(raw).items():
+            if k in key:
+                ref[key[k]] += v
+    assert got[0].asDict() == ref

@@ -1213,3 +1213,64 @@ def test_kruskal_wallis_planted_and_exact_replica(spark, tmp_path):
             assert abs(r["h"]) < 1e-6  # identical groups: no effect
         else:
             assert r["h"] > 15  # fully separated ranks: near-max H
+
+
+def test_cochran_armitage_planted_trend(spark, tmp_path):
+    """events_cochran_armitage on a planted monotone dose-response
+    (early-purchase rates rising with the first-event hour band) gives
+    a large positive z; a flat design gives |z| ~ 0 — both matching
+    the closed-form N-scaled statistic on the exact tier counts."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    def write(d, rates):
+        rows, eid = [], 0
+        uid = 0
+        for band, rate_pct in enumerate(rates):
+            for u in range(50):
+                uid += 1
+                h = band * 6 + 1
+                converted = u < rate_pct  # first rate_pct of 50 users
+                eid += 1
+                rows.append(
+                    (eid, f"2024-01-01 {h:02d}:00:00", uid, "view",
+                     1.0, "{}")
+                )
+                eid += 1
+                rows.append(
+                    (eid, f"2024-01-01 {h:02d}:30:00", uid,
+                     "purchase" if converted else "view", 1.0, "{}")
+                )
+        d.mkdir()
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+            "event_type", "value", "props"
+        ).write.parquet(str(d / "events.parquet"))
+
+    def z_ref(rates):
+        n_i = [50] * 4
+        r_i = list(rates)
+        n, r = sum(n_i), sum(r_i)
+        wn = sum(w * n_i[w] for w in range(4))
+        wwn = sum(w * w * n_i[w] for w in range(4))
+        a = sum(w * (r_i[w] * n - n_i[w] * r) for w in range(4))
+        return a, a * n**0.5 / (
+            (r * (n - r)) ** 0.5 * (n * wwn - wn * wn) ** 0.5
+        )
+
+    write(tmp_path / "rise", (5, 15, 25, 35))
+    got = resolve_query("events_cochran_armitage")(
+        spark, str(tmp_path / "rise")
+    ).collect()[0]
+    a, _z = z_ref((5, 15, 25, 35))
+    assert (got["n_groups"], got["n"], got["u_n"]) == (4, 200, a)
+    assert got["z"] > 5
+
+    write(tmp_path / "flat", (20, 20, 20, 20))
+    got = resolve_query("events_cochran_armitage")(
+        spark, str(tmp_path / "flat")
+    ).collect()[0]
+    assert got["u_n"] == 0 and got["z"] == 0.0

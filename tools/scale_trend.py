@@ -597,6 +597,18 @@ def main(only: list[str] | None = None) -> None:
         "theil_sen_drain": lambda k: SQ["stream_theil_sen_drain"](
             spark, table_dir("events", k, "events")
         ),
+        "protowire_manifest": lambda k: SQ["multimodal_protowire_manifest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "cochran_armitage": lambda k: SQ["events_cochran_armitage"](
+            spark, table_dir("events", k, "events")
+        ),
+        "utf8_corpus": lambda k: SQ["multimodal_utf8_corpus"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "utf8_drain": lambda k: SQ["stream_utf8_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
