@@ -3641,3 +3641,224 @@ def utf8_metric_counts(docs: DataFrame) -> DataFrame:
         .groupBy("metric")
         .agg(F.sum("v").alias("c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL parquet footer codec (built r12, staged r13) — a from-scratch
+# Thrift COMPACT-protocol walker (the protocol under every parquet
+# footer): PAR1 magic at both ends, the little-endian footer length,
+# then a schema-less compact-struct walk of FileMetaData extracting
+# num_rows (field 3, zigzag i64), the row-group count (field 4, list
+# of structs), and the schema leaf count (field 2, list of
+# SchemaElement — a flattened tree where num_children (field 5)
+# distinguishes group nodes from leaf columns). Unknown fields of any
+# type skip generically (field-id deltas, varint/zigzag ints, binary,
+# nested lists/maps/structs, list-of-bool one-byte elements), so the
+# walker reads footers written by ANY writer version. Loud reject
+# (ValueError) on bad magic, truncated footer, or malformed compact
+# framing. The protowire codec covers proto3's wire grammar; this
+# covers Thrift's — the two varint container grammars of the data
+# lake, both schema-less.
+# ---------------------------------------------------------------------------
+
+
+def _tc_varint(raw: bytes, pos: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        if pos >= len(raw):
+            raise ValueError("truncated compact varint")
+        b = raw[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("overlong compact varint")
+
+
+def _tc_zigzag(raw: bytes, pos: int) -> tuple[int, int]:
+    u, pos = _tc_varint(raw, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _tc_skip(raw: bytes, pos: int, typ: int) -> int:
+    """Skip one compact-protocol value of the given element type."""
+    if typ in (1, 2):      # bool as LIST element: one byte
+        return pos + 1
+    if typ == 3:           # byte
+        return pos + 1
+    if typ in (4, 5, 6):   # i16/i32/i64 zigzag varint
+        _, pos = _tc_zigzag(raw, pos)
+        return pos
+    if typ == 7:           # double
+        return pos + 8
+    if typ == 8:           # binary/string
+        ln, pos = _tc_varint(raw, pos)
+        if pos + ln > len(raw):
+            raise ValueError("binary field overruns footer")
+        return pos + ln
+    if typ in (9, 10):     # list/set
+        hdr = raw[pos]
+        pos += 1
+        size, etype = hdr >> 4, hdr & 0x0F
+        if size == 15:
+            size, pos = _tc_varint(raw, pos)
+        for _ in range(size):
+            pos = _tc_skip(raw, pos, etype)
+        return pos
+    if typ == 11:          # map
+        size, pos = _tc_varint(raw, pos)
+        if size:
+            kv = raw[pos]
+            pos += 1
+            for _ in range(size):
+                pos = _tc_skip(raw, pos, kv >> 4)
+                pos = _tc_skip(raw, pos, kv & 0x0F)
+        return pos
+    if typ == 12:          # struct
+        _, pos = _tc_walk_struct(raw, pos)
+        return pos
+    raise ValueError(f"unknown compact type {typ}")
+
+
+def _tc_walk_struct(
+    raw: bytes, pos: int, want: dict | None = None
+) -> tuple[dict, int]:
+    """Walk one compact struct. ``want`` maps field_id -> handler
+    called as handler(raw, pos, typ) -> (value, new_pos); unknown
+    fields skip generically. Returns ({field_id: value}, end_pos)."""
+    out: dict = {}
+    fid = 0
+    while True:
+        if pos >= len(raw):
+            raise ValueError("unterminated compact struct")
+        b = raw[pos]
+        pos += 1
+        if b == 0:
+            return out, pos
+        delta, typ = b >> 4, b & 0x0F
+        if delta == 0:
+            fid, pos = _tc_zigzag(raw, pos)
+        else:
+            fid += delta
+        if want and fid in want:
+            out[fid], pos = want[fid](raw, pos, typ)
+        elif typ in (1, 2):  # bool VALUE is encoded in the type nibble
+            pass
+        else:
+            pos = _tc_skip(raw, pos, typ)
+
+
+def _tc_bool_field(raw, pos, typ):
+    return typ == 1, pos
+
+
+def _tc_i_field(raw, pos, typ):
+    if typ not in (4, 5, 6):
+        raise ValueError(f"expected int field, got type {typ}")
+    return _tc_zigzag(raw, pos)
+
+
+def _tc_count_struct_list(raw, pos, typ):
+    if typ not in (9, 10):
+        raise ValueError(f"expected list field, got type {typ}")
+    hdr = raw[pos]
+    pos += 1
+    size, etype = hdr >> 4, hdr & 0x0F
+    if size == 15:
+        size, pos = _tc_varint(raw, pos)
+    if etype != 12:
+        raise ValueError(f"expected struct elements, got type {etype}")
+    for _ in range(size):
+        _, pos = _tc_walk_struct(raw, pos)
+    return size, pos
+
+
+def _tc_schema_leaves(raw, pos, typ):
+    """field 2 of FileMetaData: list<SchemaElement>; a leaf is an
+    element with no/zero num_children (field 5)."""
+    if typ not in (9, 10):
+        raise ValueError(f"expected schema list, got type {typ}")
+    hdr = raw[pos]
+    pos += 1
+    size, etype = hdr >> 4, hdr & 0x0F
+    if size == 15:
+        size, pos = _tc_varint(raw, pos)
+    if etype != 12:
+        raise ValueError(f"expected SchemaElement structs, got {etype}")
+    leaves = 0
+    for _ in range(size):
+        el, pos = _tc_walk_struct(raw, pos, {5: _tc_i_field})
+        if el.get(5, 0) == 0:
+            leaves += 1
+    return (size, leaves), pos
+
+
+def decode_parquet_footer(raw: bytes) -> dict:
+    """parquet file bytes -> {'num_rows', 'n_row_groups',
+    'n_schema_elements', 'n_leaf_columns'} parsed from the Thrift
+    compact footer by the generic walker above."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
+        raise ValueError("bad parquet magic")
+    (flen,) = struct.unpack("<I", raw[-8:-4])
+    if flen + 8 > len(raw):
+        raise ValueError("footer length exceeds file")
+    meta = raw[len(raw) - 8 - flen : len(raw) - 8]
+    fields, end = _tc_walk_struct(
+        meta,
+        0,
+        {
+            2: _tc_schema_leaves,
+            3: _tc_i_field,
+            4: _tc_count_struct_list,
+        },
+    )
+    if 3 not in fields or 4 not in fields or 2 not in fields:
+        raise ValueError("FileMetaData missing required fields")
+    n_elem, n_leaves = fields[2]
+    return {
+        "num_rows": fields[3],
+        "n_row_groups": fields[4],
+        "n_schema_elements": n_elem,
+        "n_leaf_columns": n_leaves,
+    }
+
+
+PARQUET_FOOTER_SCHEMA = (
+    "table_name string, num_rows long, n_row_groups int,"
+    " n_leaf_columns int"
+)
+
+
+def parquet_footer_features(files: DataFrame) -> DataFrame:
+    """(path, content) binary rows -> per-file footer profile; the
+    table name is the file stem."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                prof = decode_parquet_footer(bytes(content))
+                name = path.rsplit("/", 1)[-1]
+                if name.endswith(".parquet"):
+                    name = name[: -len(".parquet")]
+                out.append(
+                    (
+                        name, prof["num_rows"], prof["n_row_groups"],
+                        prof["n_leaf_columns"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "table_name", "num_rows", "n_row_groups",
+                    "n_leaf_columns",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        run, PARQUET_FOOTER_SCHEMA
+    )

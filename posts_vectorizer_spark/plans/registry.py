@@ -114,6 +114,10 @@ STAGED: dict[str, QueryDef] = {}
 #                               state via worker utf8_metric_stream;
 #                               no-jobs skip: runs its micro-batch
 #                               drain)
+#   source_parquet_footer      (REAL Thrift-compact footer walker
+#                               over the fixture files — the interop
+#                               triangle vs DuckDB's C++ reader and
+#                               count(*); leaf-vs-group schema proof)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,

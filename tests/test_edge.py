@@ -114,8 +114,16 @@ def test_staged_queries_survive_empty_tables(spark, tmp_path):
         load_table(spark, SF_SMOKE, t).limit(0).write.parquet(
             str(tmp_path / f"{t}.parquet")
         )
+    # file-INTROSPECTION queries read footers/containers, which exist
+    # regardless of row counts — their natural empty-input output is
+    # one row per FILE (and still hash-matches the oracle, whose
+    # count(*)s are 0); everything else must degenerate to <= 1 row
+    per_file_ok = {"source_parquet_footer"}
     for name, fn in staged_queries().items():
         n = fn(spark, str(tmp_path)).count()
+        if name in per_file_ok:
+            assert n >= 1, f"{name}: footer walk found no files"
+            continue
         assert n <= 1, f"{name}: unexpected rows on empty input"
 
 

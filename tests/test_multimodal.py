@@ -1789,3 +1789,42 @@ def test_protowire_on_wire_bytes_and_rejects():
         M.decode_protowire(b"\x00\x00")
     with pytest.raises(ValueError, match="truncated fixed64"):
         M.decode_protowire(bytes([0x09]) + b"\x01\x02")
+
+
+def test_parquet_footer_walker_vs_pyarrow_and_rejects(tmp_path):
+    """decode_parquet_footer: the compact-Thrift walk agrees with
+    pyarrow's own metadata on files pyarrow writes here (multiple row
+    groups, nested lists, many columns — writer-independent generic
+    skipping), and loud-rejects malformed framing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from posts_vectorizer_spark.operators import multimodal as M
+
+    t = pa.table(
+        {
+            "a": list(range(1000)),
+            "b": [str(i) for i in range(1000)],
+            "c": [[float(i), float(i + 1)] for i in range(1000)],
+            "d": [i % 2 == 0 for i in range(1000)],
+        }
+    )
+    p = tmp_path / "t.parquet"
+    pq.write_table(t, p, row_group_size=300)  # 4 row groups
+    raw = p.read_bytes()
+    prof = M.decode_parquet_footer(raw)
+    md = pq.ParquetFile(p).metadata
+    assert prof["num_rows"] == md.num_rows == 1000
+    assert prof["n_row_groups"] == md.num_row_groups == 4
+    assert prof["n_leaf_columns"] == md.num_columns == 4
+
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_parquet_footer(b"XXXX" + raw[4:])
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_parquet_footer(raw[:-1])
+    bad = bytearray(raw)
+    import struct
+    struct.pack_into("<I", bad, len(bad) - 8, len(bad))  # footer > file
+    with pytest.raises(ValueError, match="footer length"):
+        M.decode_parquet_footer(bytes(bad))

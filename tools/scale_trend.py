@@ -609,6 +609,9 @@ def main(only: list[str] | None = None) -> None:
         "utf8_drain": lambda k: SQ["stream_utf8_drain"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        # parquet_footer reads the FIXTURE files (path-bound, not the
+        # scaled copies) — footer cost is size-independent by design,
+        # so the trend tool exercises nothing; excluded deliberately.
     }
     if only:
         operators = {n: f for n, f in operators.items() if n in only}
