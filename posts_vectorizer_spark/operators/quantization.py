@@ -62,48 +62,58 @@ def sq8_scan(
     emb: DataFrame, every: int = SQ8_EVERY, k: int = SQ8_K
 ) -> DataFrame:
     """(query_id, neighbor_id, adc, rnk): inner-product top-k of raw
-    queries against SQ8 midpoint reconstructions."""
-    dims = emb.select(
-        "vec_id",
-        F.posexplode("embedding").alias("pos", "val"),
-    ).select("vec_id", "pos", _x9(F.col("val")).alias("x9"))
+    queries against SQ8 midpoint reconstructions.
+
+    Plan shape (r12 rework): the ONLY exploded pass is the per-dim
+    min/max grid (map-side combinable, 64 result rows); the grid then
+    broadcasts as two index-ordered ARRAYS and quantize / reconstruct
+    / dot-product all run IN-ROW over the vector arrays — the first
+    draft exploded every vector to 64 rows and re-collected it twice
+    (two corpus-sized exchanges this form deletes)."""
+    x9v = F.expr(
+        "transform(embedding, v ->"
+        " CAST(CAST(round(CAST(v AS DOUBLE), 9) AS DECIMAL(18,9))"
+        " * 1000000000 AS BIGINT))"
+    )
+    vecs = emb.select("vec_id", x9v.alias("x9v"))
     from ..cache import persist_tracked
 
-    dims = persist_tracked(dims)
-    grid = dims.groupBy("pos").agg(
-        F.min("x9").alias("mn9"), F.max("x9").alias("mx9")
-    )
-    coded = dims.join(F.broadcast(grid), "pos").selectExpr(
-        "vec_id",
-        "pos",
-        "x9",
-        "CASE WHEN mx9 > mn9 THEN ((x9 - mn9) * 255) div (mx9 - mn9)"
-        " ELSE 0 END AS c",
-        "mn9",
-        "mx9",
-    )
-    r6d = coded.selectExpr(
-        "vec_id",
-        "pos",
-        "mn9 + ((2 * c + 1) * (mx9 - mn9)) div 512 AS r9",
-    ).selectExpr("vec_id", "pos", _tdiv1000("r9") + " AS r6")
-    recon = r6d.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "r6"))),
-            lambda s: s.r6,
-        ).alias("rv")
-    )
-    qv = (
-        dims.where(F.col("vec_id") % every == 0)
-        .selectExpr("vec_id", "pos", _tdiv1000("x9") + " AS q6")
-        .groupBy("vec_id")
+    vecs = persist_tracked(vecs)
+    grid = (
+        vecs.select(F.posexplode("x9v").alias("pos", "x9"))
+        .groupBy("pos")
+        .agg(F.min("x9").alias("mn9"), F.max("x9").alias("mx9"))
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "q6"))),
-                lambda s: s.q6,
-            ).alias("qv")
+                F.array_sort(F.collect_list(F.struct("pos", "mn9"))),
+                lambda s: s.mn9,
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx9"))),
+                lambda s: s.mx9,
+            ).alias("mxs"),
         )
-        .select(F.col("vec_id").alias("query_id"), "qv")
+    )
+    # r9 = mn + ((2*code + 1)*(mx - mn)) div 512 with
+    # code = ((x - mn)*255) div (mx - mn); then re-pin to 1e-6 units
+    r9 = (
+        "(mns[i-1] + ((2 * (CASE WHEN mxs[i-1] > mns[i-1]"
+        " THEN ((x9v[i-1] - mns[i-1]) * 255) div (mxs[i-1] - mns[i-1])"
+        " ELSE 0 END) + 1) * (mxs[i-1] - mns[i-1])) div 512)"
+    )
+    recon = vecs.crossJoin(F.broadcast(grid)).selectExpr(
+        "vec_id",
+        f"transform(sequence(1, size(x9v)), i ->"
+        f" CASE WHEN {r9} >= 0 THEN {r9} div 1000"
+        f" ELSE -((-({r9})) div 1000) END) AS rv",
+    )
+    qv = (
+        vecs.where(F.col("vec_id") % every == 0)
+        .selectExpr(
+            "vec_id AS query_id",
+            "transform(x9v, x -> CASE WHEN x >= 0 THEN x div 1000"
+            " ELSE -((-x) div 1000) END) AS qv",
+        )
     )
     scores = (
         F.broadcast(qv)
