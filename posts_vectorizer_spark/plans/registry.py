@@ -222,20 +222,23 @@ STAGED: dict[str, QueryDef] = {}
 #                            class-granular embedding drift triage)
 #
 # r13 head planning (draft at r12 open; re-lock at r12 closeout):
-#   (a) introduction slots for the r12-staged wave above (16 as
-#       of wave 2; re-count at closeout).
-#   (b) spine (4): tfidf_doc_vectors + events_kaplan_meier (its body
+#   (a) 20 introduction slots — the r12-staged wave above (final at
+#       closeout; includes events_theil_sen, which doubles as the
+#       theil_sen_readout refactor consumer). No-jobs skip additions:
+#       both LPA forms + the three new drains (chi2 / theil-sen /
+#       utf8).
+#   (b) spine (3): tfidf_doc_vectors + events_kaplan_meier (its body
 #       was refactored onto the shared _surv_risk grid mid-r12) +
 #       rel_chi2_independence (its body moved into the shared
-#       chi2_readout mid-r12) + events_theil_sen (its body moved into
-#       the shared theil_sen_readout mid-r12, AFTER its own staging —
-#       it is both an introduction and a refactor consumer; one slot
-#       covers both) — the consumer-of-changed-code rule.
-#   (c) freshness (36): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 35 of the r6
-#       cohort (47 names, tools/cohorts.py list order). If more
-#       introductions land than slots allow, drop cohort names from
-#       the END one-for-one.
+#       chi2_readout mid-r12) — the consumer-of-changed-code rule
+#       (events_theil_sen's readout refactor is covered by its own
+#       introduction slot in (a)).
+#   (c) freshness (27): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 26 of the r6
+#       cohort (47 names, tools/cohorts.py list order; the front 12
+#       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
+#       If more introductions land than slots allow, drop cohort
+#       names from the END one-for-one.
 
 
 

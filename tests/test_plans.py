@@ -549,3 +549,24 @@ def test_r9_wave_plan_shapes(spark):
     gate = _plan(resolve_query("curation_quality_gate")(spark, SF_ORACLE))
     assert "BroadcastHashJoin" in gate
     assert "CartesianProduct" not in gate
+
+
+def test_sq8_scan_quantizes_in_row(spark):
+    """The r12 sq8 rework claim: quantize/reconstruct/dot-product run
+    IN-ROW against a broadcast 64-element min/max grid, so the only
+    hash exchanges are the grid aggregate and the per-query top-k
+    window — never a per-vector explode/re-collect shuffle (the first
+    draft had vec_id-keyed reassembly exchanges)."""
+    import re
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    df = resolve_query("sim_sq8_scan")(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", plan), (
+        "per-vector reassembly shuffle reappeared"
+    )
+    assert plan.count("Exchange hashpartitioning(query_id") == 1
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    )
