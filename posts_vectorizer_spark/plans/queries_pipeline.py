@@ -1933,3 +1933,40 @@ def stream_utf8_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             " err_continuation bigint, err_truncated bigint",
         )
     return utf8_corpus_readout(state.select("metric", "c"))
+
+
+from .queries_stats import _KW_SQL  # noqa: E402
+
+
+@register("stream_kruskal_drain", oracle=_KW_SQL, staged=True)
+def stream_kruskal_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rank-test monitoring with a driver row (built r12,
+    staged r13): lineitem streams in TWO forced micro-batches; each
+    batch ADD-merges its (grp, x) value-grid count delta into the
+    standing table (streaming/worker.py::kw_gcnt_stream — state
+    bounded by groups x the 50-value quantity grid); the tie-corrected
+    Kruskal-Wallis H / epsilon² read out from MERGED state through the
+    SAME kw_readout as the batch query, whose whole-corpus SQL is the
+    oracle. Grid counts are additive, so the batch split cannot move a
+    midrank — the distribution-free companion to stream_anova_drain's
+    moment monitor (ANOVA tracks means under normality; KW tracks the
+    whole rank structure), hash-checked end to end. The 15th drain;
+    rel_kruskal_wallis re-proves as the readout-refactor consumer via
+    its own introduction slot."""
+    from ..streaming.worker import kw_gcnt_stream
+    from .queries_stats import kw_readout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feed = li.select("l_orderkey", "l_returnflag", "l_quantity")
+    state = _forced_drain(
+        spark, feed, "l_orderkey",
+        lambda src, st, ck, mft: kw_gcnt_stream(
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [], "n bigint, k_groups bigint, h double, eps_sq double"
+        )
+    return kw_readout(state.select("grp", "x", "c"))

@@ -3175,10 +3175,23 @@ def rel_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_quantity").cast("bigint").alias("x"),
     )
+    gcnt = vals.groupBy("grp", "x").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return kw_readout(gcnt)
+
+
+def kw_readout(gcnt: DataFrame) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H as a pure function of the
+    (grp, x, c) value-grid count table — the ADDITIVE sufficient
+    statistic (bounded by groups x distinct values), shared by the
+    batch query and the streaming drain (r12): midranks, rank sums,
+    tie correction, and the fixed-shape H/epsilon² readout all derive
+    from it."""
     from ..cache import persist_tracked
 
-    vals = persist_tracked(vals)
-    vgrid = vals.groupBy("x").agg(F.count("*").alias("t"))
+    gcnt = persist_tracked(gcnt)
+    vgrid = gcnt.groupBy("x").agg(F.sum("c").alias("t"))
     wcum = Window.orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -3187,7 +3200,6 @@ def rel_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * (F.sum("t").over(wcum) - F.col("t")) + F.col("t") + 1)
         .alias("mr2"),
     )
-    gcnt = vals.groupBy("grp", "x").agg(F.count("*").alias("c"))
     gr = (
         gcnt.join(F.broadcast(ranked), "x")
         .groupBy("grp")

@@ -118,6 +118,12 @@ STAGED: dict[str, QueryDef] = {}
 #                               over the fixture files — the interop
 #                               triangle vs DuckDB's C++ reader and
 #                               count(*); leaf-vs-group schema proof)
+#   stream_kruskal_drain       (15th drain; groups x value-grid
+#                               additive state via worker
+#                               kw_gcnt_stream; kw_readout refactor —
+#                               rel_kruskal_wallis re-proves via its
+#                               own introduction slot; no-jobs skip:
+#                               runs its micro-batch drain)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -222,19 +228,19 @@ STAGED: dict[str, QueryDef] = {}
 #                            class-granular embedding drift triage)
 #
 # r13 head planning (draft at r12 open; re-lock at r12 closeout):
-#   (a) 20 introduction slots — the r12-staged wave above (final at
-#       closeout; includes events_theil_sen, which doubles as the
-#       theil_sen_readout refactor consumer). No-jobs skip additions:
-#       both LPA forms + the three new drains (chi2 / theil-sen /
-#       utf8).
+#   (a) 21 introduction slots — the r12-staged wave above (final at
+#       closeout; events_theil_sen and rel_kruskal_wallis double as
+#       their readout-refactor consumers). No-jobs skip additions:
+#       both LPA forms + the four new drains (chi2 / theil-sen /
+#       utf8 / kruskal).
 #   (b) spine (3): tfidf_doc_vectors + events_kaplan_meier (its body
 #       was refactored onto the shared _surv_risk grid mid-r12) +
 #       rel_chi2_independence (its body moved into the shared
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (27): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 26 of the r6
+#   (c) freshness (26): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 25 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

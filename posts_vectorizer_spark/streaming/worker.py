@@ -1469,3 +1469,49 @@ def utf8_metric_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kw_gcnt_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming rank-test maintenance: each micro-batch of lineitem
+    rows ADD-merges its (grp, x) value-grid count delta into the
+    standing table — state bounded by groups x distinct values (the
+    quantity grid is 50 values, so ~200 rows at any volume). The
+    tie-corrected Kruskal-Wallis H reads out from merged state via
+    plans/queries_stats.py::kw_readout as a pure function — a live
+    distribution-shift monitor that needs no normality assumption.
+
+    At 100 TB: per-batch cost is one (grp, x)-keyed map-side-
+    combinable count + O(touched buckets) of a grid-sized table."""
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                F.col("l_returnflag").alias("grp"),
+                F.col("l_quantity").cast("bigint").alias("x"),
+            )
+            .groupBy("grp", "x")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        merge_add_parquet(
+            spark, delta, state_dir, ["grp", "x"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

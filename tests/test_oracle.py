@@ -505,6 +505,10 @@ _UNROUNDED_DOUBLE_OK = frozenset((
     ("events_runs_test", "sigma_runs"),
     # same class: one fixed-shape z over exact per-tier integer counts
     ("events_cochran_armitage", "z"),
+    # the KW drain emits the batch query's grandfathered readout
+    # (kw_readout — same expressions, same audit)
+    ("stream_kruskal_drain", "h"),
+    ("stream_kruskal_drain", "eps_sq"),
     ("rel_mutual_information", "nmi"),
     ("rel_tpch_q11_important_customers", "total_value"),
     ("rel_tpch_q15_top_supplier", "total_revenue"),

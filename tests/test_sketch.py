@@ -805,3 +805,26 @@ def test_stream_utf8_drain_equals_batch(spark, tmp_path):
             if k in key:
                 ref[key[k]] += v
     assert got[0].asDict() == ref
+
+
+def test_stream_kruskal_drain_equals_batch(spark, tmp_path):
+    """stream_kruskal_drain's merged (grp, x) value-grid state yields
+    EXACTLY the batch tie-corrected H — grid counts are additive, so
+    the forced split cannot move a midrank."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+    for k in range(120):
+        g = ("A", "N", "R")[k % 3]
+        rows.append((k, g, float(1 + (k * 7) % 9 + (k % 3))))
+    d = tmp_path / "kwd"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_quantity double"
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    got = resolve_query("stream_kruskal_drain")(spark, str(d)).collect()
+    want = resolve_query("rel_kruskal_wallis")(spark, str(d)).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].asDict() == want[0].asDict()
+    assert got[0]["n"] == 120 and got[0]["k_groups"] == 3

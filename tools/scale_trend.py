@@ -609,6 +609,9 @@ def main(only: list[str] | None = None) -> None:
         "utf8_drain": lambda k: SQ["stream_utf8_drain"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "kruskal_drain": lambda k: SQ["stream_kruskal_drain"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
