@@ -429,6 +429,149 @@ def sim_adamic_adar_links_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle count + local clustering coefficient (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+def _tri_sql(t_sql: str) -> str:
+    return f"""
+WITH t AS ({t_sql}),
+edges AS (
+  SELECT a.query_id AS src, a.neighbor_id AS dst
+  FROM t a JOIN t b
+    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+  WHERE a.query_id < a.neighbor_id
+),
+und AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e3.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.deg,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       round(2.0 * coalesce(t.triangles, 0)
+             / (d.deg * (d.deg - 1)), 9) AS lcc
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+WHERE d.deg >= 2
+"""
+
+
+def _triangles(edges_in: DataFrame) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over a src<dst edge list — shared verbatim by the exact-kNN and
+    lsh_ann edge producers (the _adamic_adar convention). Triangles
+    enumerate once each as a<b<c via two bounded-degree equi-joins on
+    the half-list; per-node counts come from the 3-way unpivot."""
+    from ..cache import persist_tracked
+
+    edges = persist_tracked(edges_in)
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tcnt = nodes.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("triangles")
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0))
+    return (
+        deg.join(tcnt, "node", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "node", "deg",
+            t.cast("bigint").alias("triangles"),
+            F.round(
+                F.lit(2.0) * t / (F.col("deg") * (F.col("deg") - 1)), 9
+            ).alias("lcc"),
+        )
+    )
+
+
+@register(
+    "sim_triangle_count",
+    oracle=_tri_sql(similarity.topk_sql(KNN_GRAPH_K)),
+    staged=True,
+)
+def sim_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient on the
+    mutual-kNN similarity graph (built r12, staged r13) — the COHESION
+    member of the graph family: pagerank ranks nodes, HITS splits
+    hub/authority roles, k-core peels the dense core, adamic-adar
+    predicts missing links; the clustering coefficient measures how
+    CLIQUE-LIKE each node's neighborhood already is (lcc ~ 1 flags a
+    tight duplicate/paraphrase cluster worth collapsing, lcc ~ 0 a hub
+    bridging unrelated regions — the classic semantic-hub smell in
+    embedding graphs). Triangles enumerate exactly once as ordered
+    a<b<c paths through the src<dst half-list.
+
+    Exactness: pure integer combinatorics (degrees and triangle counts
+    are exact BIGINTs); lcc = 2T/(deg*(deg-1)) is one double division
+    of exact <2^53 integers rounded to the 9dp grid — identical
+    expression shape in both engines. Nodes with deg < 2 carry no
+    wedge and drop explicitly.
+
+    Scale shape: mutual-kNN degree is capped at k={KNN_GRAPH_K}, so
+    the two triangle equi-joins are bounded-degree (n*k^2 candidate
+    paths, never n^2); degrees and per-node counts reduce map-side;
+    the persisted edge list is reused by all five consumers. This
+    EXACT form is the eval-sized ground-truth witness (the kNN edge
+    build is the tiled brute-force kernel — the adamic_adar/kcore
+    convention); the corpus-scale form is sim_triangle_count_ann."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _triangles(_mutual_edges(similarity.topk(emb, KNN_GRAPH_K)))
+
+
+@register(
+    "sim_triangle_count_ann",
+    oracle=_tri_sql(similarity.lsh_ann_sql(DIMS, KNN_GRAPH_K)),
+    staged=True,
+)
+def sim_triangle_count_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count / clustering coefficient with the edge list built
+    from lsh_ann (bucketed approximate kNN) instead of the exact
+    broadcast-tile kernel — the 100 TB form, sharing the _triangles
+    algebra verbatim with the exact witness (the adamic_adar_links_ann
+    convention). The producer is the scale story: lsh_ann's candidate
+    generation is a bucket equi-join (shuffle ~ vectors x probes), so
+    the whole query is linear-shuffle end-to-end; downstream the
+    bounded-degree triangle joins cost n*k^2 regardless of producer.
+    The oracle re-states the SAME lsh_ann pipeline in DuckDB (the
+    pairing proved bit-identical by the green sim_lsh_ann row since
+    r2), so this is a full [Q] hash-checked query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _triangles(
+        _mutual_edges(similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K))
+    )
+
+
+# ---------------------------------------------------------------------------
 # ColBERT-style maxsim late interaction (built r8, staged r9)
 # ---------------------------------------------------------------------------
 

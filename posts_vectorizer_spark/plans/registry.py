@@ -124,6 +124,19 @@ STAGED: dict[str, QueryDef] = {}
 #                               rel_kruskal_wallis re-proves via its
 #                               own introduction slot; no-jobs skip:
 #                               runs its micro-batch drain)
+#   events_logrank_test        (two-group Mantel-Cox over the
+#                               right-censored time-to-first-purchase
+#                               grid — the survival family's
+#                               hypothesis test beside KM/NA; 9dp
+#                               E/V pins, audited fixed-shape z)
+#   sim_triangle_count         (per-node triangles + local clustering
+#                               coefficient, exact a<b<c enumeration;
+#                               exact witness — no-jobs skip at
+#                               introduction: topk kernel edge build)
+#   sim_triangle_count_ann     (production twin over mutualized
+#                               lsh_ann lists, same _triangles
+#                               algebra; witness 51x vs twin 1.6x at
+#                               10x — the adamic_adar dual-form)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,

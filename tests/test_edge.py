@@ -150,6 +150,8 @@ def test_kernel_graph_queries_survive_tiny_inputs(spark, tmp_path):
         "sim_maxsim_late_interaction",
         "sim_adamic_adar_links",
         "sim_adamic_adar_links_ann",
+        "sim_triangle_count",
+        "sim_triangle_count_ann",
         "sim_kcore_peeling",
         "sim_kcore_peeling_ann",
         "sim_margin_bitext_mining",
@@ -165,6 +167,12 @@ def test_kernel_graph_queries_survive_tiny_inputs(spark, tmp_path):
     assert (
         resolve_query("sim_adamic_adar_links_ann")(spark, str(two)).count()
         == 0
+    )
+    # one mutual edge -> both endpoints deg 1 -> the deg>=2 filter
+    # leaves no triangle rows on either producer
+    assert resolve_query("sim_triangle_count")(spark, str(two)).count() == 0
+    assert (
+        resolve_query("sim_triangle_count_ann")(spark, str(two)).count() == 0
     )
     kc = {r["node"]: r for r in
           resolve_query("sim_kcore_peeling")(spark, str(two)).collect()}

@@ -459,6 +459,7 @@ _UNROUNDED_DOUBLE_OK = frozenset((
     ("events_kmv_set_ops", "est_union"),
     ("events_kmv_set_ops", "jaccard"),
     ("events_ks_ab", "d"),
+    ("events_logrank_test", "z"),
     ("events_mann_kendall_trend", "z"),
     ("events_mannwhitney_ab", "z"),
     ("events_page_hinkley", "ph_down"),

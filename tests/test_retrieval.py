@@ -758,6 +758,92 @@ def test_adamic_adar_matches_edge_replay(spark):
         assert abs(got[k][1] - s) < 1e-9, k
 
 
+def test_triangles_planted_bowtie(spark):
+    """_triangles (sim_triangle_count's shared algebra, staged r13) on
+    a hand-built bowtie graph — two triangles {1,2,3} and {1,4,5}
+    glued at node 1: node 1 has deg 4 and sits in BOTH triangles
+    (lcc = 2*2/(4*3) = round(1/3, 9)), every wing node has deg 2, one
+    triangle, lcc exactly 1.0 — pinning enumeration (each triangle
+    counted once), the 3-way unpivot, and the 9dp lcc grid
+    independently of any kNN producer."""
+    from posts_vectorizer_spark.plans.queries_similarity import _triangles
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (1, 5), (4, 5)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r for r in _triangles(edges).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert (got[1]["deg"], got[1]["triangles"]) == (4, 2)
+    assert got[1]["lcc"] == round(2.0 * 2 / (4 * 3), 9)
+    for n in (2, 3, 4, 5):
+        assert (got[n]["deg"], got[n]["triangles"]) == (2, 1), n
+        assert got[n]["lcc"] == 1.0, n
+
+
+def test_triangles_open_wedge_scores_zero(spark):
+    """A pure path 1-2-3 (one open wedge, no closure): the centre
+    carries deg 2 / triangles 0 / lcc 0.0, the endpoints drop on the
+    deg >= 2 filter — the no-false-triangle guard."""
+    from posts_vectorizer_spark.plans.queries_similarity import _triangles
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = _triangles(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["node"], r["deg"], r["triangles"], r["lcc"]) == (2, 2, 0, 0.0)
+
+
+def test_triangle_count_ann_shares_algebra(spark):
+    """sim_triangle_count_ann: the production twin runs the IDENTICAL
+    _triangles algebra over the mutualized lsh_ann edge list — every
+    (deg, triangles, lcc) row matches an exact integer replica over
+    exactly that edge set (the label_propagation_ann convention)."""
+    from collections import defaultdict
+
+    from posts_vectorizer_spark.operators import similarity
+    from posts_vectorizer_spark.plans.queries_similarity import (
+        DIMS, KNN_GRAPH_K, _mutual_edges,
+    )
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from posts_vectorizer_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    edges = {
+        (r["src"], r["dst"])
+        for r in _mutual_edges(
+            similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K)
+        ).collect()
+    }
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = defaultdict(int)
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if b < c:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    want = {
+        n: (
+            len(nb), tri[n],
+            round(2.0 * tri[n] / (len(nb) * (len(nb) - 1)), 9),
+        )
+        for n, nb in adj.items()
+        if len(nb) >= 2
+    }
+    got = {
+        r["node"]: (r["deg"], r["triangles"], r["lcc"])
+        for r in resolve_query("sim_triangle_count_ann")(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_kcore_peeling_matches_edge_replay(spark):
     """sim_kcore_peeling (staged r9): replay the 3-round k=3 peel in
     Python from the driver-green mutual-kNN edge list — initial

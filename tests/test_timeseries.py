@@ -896,6 +896,98 @@ def test_nelson_aalen_planted_hazard(spark, tmp_path):
     assert out[5]["cum_hazard"] == Decimal("1.000000000")
 
 
+def test_logrank_planted_two_cohort_design(spark, tmp_path):
+    """events_logrank_test on a hand-built 6-user design (3 per even/odd
+    cohort, all entering day 1): cohort A (even uids) converts at t=2
+    and t=5, cohort B (odd) converts at t=2 only, the rest censor at
+    the day-8 observation end. Hand arithmetic: at t=2 (d=2, n_a=n_b=3)
+    E=1.0, V=2*(3/6)*(3/6)*(4/5)=0.4; at t=5 (d=1, n_a=n_b=2) E=0.5,
+    V=0.25 — O_a=2, E_a=1.5, V=0.65, z=0.5/sqrt(0.65), all exact on the
+    9dp decimal grid."""
+    import math
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+
+    def ev(uid, day, typ):
+        rows.append(
+            (
+                len(rows) + 1,
+                f"2024-02-{day:02d} 09:00:00",
+                uid,
+                typ,
+                1.0,
+                "{}",
+            )
+        )
+
+    for uid in (1, 2, 3, 4, 5, 6):
+        ev(uid, 1, "view")          # all enter day 1
+    ev(2, 3, "purchase")            # A converts, t = 2
+    ev(1, 3, "purchase")            # B converts, t = 2
+    ev(4, 6, "purchase")            # A converts, t = 5
+    ev(6, 8, "view")                # obs end day 8; uids 3,5,6 censor t=7
+    d = tmp_path / "lr"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(d / "events.parquet"))
+
+    out = resolve_query("events_logrank_test")(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_users_a"], r["n_users_b"]) == (3, 3)
+    assert r["observed_a"] == 2
+    assert r["expected_a"] == Decimal("1.500000000")
+    assert r["variance_sum"] == Decimal("0.650000000")
+    assert r["z"] == 0.5 / math.sqrt(0.65)
+    assert r["significant"] is False
+
+
+def test_logrank_one_sided_cohort_yields_null_z(spark, tmp_path):
+    """A degenerate design where every user lands in one cohort (all
+    even uids): variance_sum pins to 0 (n_b=0 makes every V term 0)
+    and z/significant are NULL, never a div-by-zero."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+    for i, uid in enumerate((2, 4, 6)):
+        rows.append(
+            (i * 2 + 1, "2024-02-01 09:00:00", uid, "view", 1.0, "{}")
+        )
+        rows.append(
+            (i * 2 + 2, "2024-02-03 09:00:00", uid, "purchase", 1.0, "{}")
+        )
+    d = tmp_path / "lr1"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).write.parquet(str(d / "events.parquet"))
+
+    out = resolve_query("events_logrank_test")(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_users_a"], r["n_users_b"]) == (3, 0)
+    assert r["observed_a"] == 3
+    assert r["expected_a"] == Decimal("3.000000000")
+    assert r["variance_sum"] == Decimal("0E-9")
+    assert r["z"] is None and r["significant"] is None
+
+
 def test_theil_sen_outlier_immune_exact(spark, tmp_path):
     """events_theil_sen on a planted +2.5/day linear daily series with
     one wildly corrupted day: the median pairwise slope recovers the

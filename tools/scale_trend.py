@@ -555,6 +555,15 @@ def main(only: list[str] | None = None) -> None:
         "nelson_aalen": lambda k: SQ["events_nelson_aalen"](
             spark, table_dir("events", k, "events")
         ),
+        "logrank_test": lambda k: SQ["events_logrank_test"](
+            spark, table_dir("events", k, "events")
+        ),
+        "triangle_count": lambda k: SQ["sim_triangle_count"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "triangle_count_ann": lambda k: SQ["sim_triangle_count_ann"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
         "label_propagation": lambda k: SQ["sim_label_propagation"](
             spark, table_dir("emb", k, "embeddings")
         ),
