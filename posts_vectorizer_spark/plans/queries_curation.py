@@ -2152,6 +2152,224 @@ def reliability_readout(bins: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROC AUC + PR AUC over the calibration signal (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+# shared (score, pos, neg) value grid over the SAME round-6
+# distinct-token-ratio score and lang='en' label the calibration family
+# states (reliability diagram / Platt / conformal) — consumed by both
+# ranking-quality oracles below
+_SCORE_GRID_CTES = f"""scored AS (
+  SELECT CAST(round(
+           CAST(len(list_distinct({T.tokens_sql('text')})) AS DOUBLE)
+             / len({T.tokens_sql('text')}), 6) AS DECIMAL(18,6)) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE len({T.tokens_sql('text')}) > 0
+),
+grid AS (
+  SELECT s, sum(y) AS pos, sum(1 - y) AS neg
+  FROM scored GROUP BY s
+)"""
+
+_ROC_AUC_SQL = f"""
+WITH {_SCORE_GRID_CTES},
+cum AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+           PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM grid
+),
+agg AS (
+  SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg,
+         CAST(coalesce(sum(pos * (2 * neg_below + neg)), 0) AS BIGINT)
+           AS u_x2
+  FROM cum
+)
+SELECT n_pos, n_neg, u_x2,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round(CAST(u_x2 AS DOUBLE) / (2 * n_pos * n_neg), 9)
+       END AS auc,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round(CAST(u_x2 - n_pos * n_neg AS DOUBLE) / (n_pos * n_neg), 9)
+       END AS gini
+FROM agg
+"""
+
+
+def _score_label_grid(docs: DataFrame) -> DataFrame:
+    """(s, pos, neg) counts per distinct round-6 score — the bounded
+    value grid both ranking-quality readouts derive from (the
+    mannwhitney value-level device: no per-doc rank window ever
+    exists). Score/label match the calibration family exactly."""
+    toks = T.tokens("text")
+    scored = docs.where(F.size(toks) > 0).select(
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).cast("decimal(18,6)").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return scored.groupBy("s").agg(
+        F.sum("y").alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"),
+    )
+
+
+@register("curation_roc_auc", oracle=_ROC_AUC_SQL, staged=True)
+def curation_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC + Gini of the calibration family's quality signal (built
+    r12, staged r13) — the RANKING-quality readout beside the
+    calibration ones: reliability/ECE ask whether the distinct-token-
+    ratio score MEANS its confidence, Platt fixes it, conformal
+    sidesteps it — AUC asks the prior question, does the score ORDER
+    English docs above the rest at all (AUC = P(score_pos >
+    score_neg) + ties/2, the probabilistic discrimination measure a
+    gate is actually chosen by). Gini = 2*AUC - 1 rides along.
+
+    Exactness: the mannwhitney value-level device verbatim — AUC is
+    the normalized U statistic computed on the exact 2x integer grid
+    (u_x2 = sum_s pos_s * (2*neg_below + neg_s) over distinct round-6
+    scores; ties count half, no .5 ever touches a float), and the two
+    outputs are single double divisions of exact <2^53 integers
+    rounded to the 9dp grid. Degenerate inputs (single-class corpora)
+    yield NULL auc/gini, never div-by-zero.
+
+    Scale shape: one scan-stage score, one bounded value-grid count
+    (<= 1e6 distinct round-6 ratios at ANY corpus size), a grid-sized
+    window, a 1-row readout — nothing row-scaled past the first
+    map-side-combinable reduce."""
+    grid = _score_label_grid(load_table(spark, sf_dir, "documents"))
+    wprev = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.select(
+        "pos", "neg",
+        F.coalesce(F.sum("neg").over(wprev), F.lit(0)).alias("neg_below"),
+    )
+    agg = cum.groupBy().agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(
+            F.sum(
+                F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+            ),
+            F.lit(0),
+        ).cast("long").alias("u_x2"),
+    )
+    n_pos, n_neg, u_x2 = F.col("n_pos"), F.col("n_neg"), F.col("u_x2")
+    ok = (n_pos > 0) & (n_neg > 0)
+    return agg.select(
+        "n_pos", "n_neg", "u_x2",
+        F.when(
+            ok, F.round(u_x2.cast("double") / (2 * n_pos * n_neg), 9)
+        ).alias("auc"),
+        F.when(
+            ok,
+            F.round((u_x2 - n_pos * n_neg).cast("double") / (n_pos * n_neg), 9),
+        ).alias("gini"),
+    )
+
+
+_PR_AUC_SQL = f"""
+WITH {_SCORE_GRID_CTES},
+prcum AS (
+  SELECT pos,
+         sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS tp,
+         sum(neg) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS fp
+  FROM grid
+),
+terms AS (
+  SELECT CAST(round(CAST(pos * tp AS DOUBLE) / (tp + fp), 9)
+              AS DECIMAL(28,9)) AS ap_term
+  FROM prcum WHERE pos > 0
+),
+sizes AS (
+  SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg,
+         CAST(count(*) AS BIGINT) AS n_thresholds
+  FROM grid
+),
+agg AS (
+  SELECT CAST(coalesce(sum(ap_term), 0) AS DECIMAL(38,9)) AS ap_num
+  FROM terms
+)
+SELECT s.n_pos, s.n_neg, s.n_thresholds,
+       CASE WHEN s.n_pos > 0 THEN
+         round(CAST(a.ap_num AS DOUBLE) / s.n_pos, 9)
+       END AS average_precision,
+       CASE WHEN s.n_pos + s.n_neg > 0 THEN
+         round(CAST(s.n_pos AS DOUBLE) / (s.n_pos + s.n_neg), 9)
+       END AS prevalence
+FROM sizes s, agg a
+"""
+
+
+@register("curation_pr_auc", oracle=_PR_AUC_SQL, staged=True)
+def curation_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR AUC, threshold-sum form) over the SAME
+    score grid as curation_roc_auc (built r12, staged r13) — the
+    ranking readout that matters when positives are RARE: ROC AUC
+    stays optimistic under imbalance (false positives dilute into a
+    huge negative pool), while AP weights precision AT each recall
+    step: AP = sum_s (dTP_s / P) * precision_s over distinct score
+    thresholds descending — exactly sklearn's step-interpolation, on
+    the value grid instead of a per-doc sort. The no-skill baseline
+    (prevalence) rides along, since AP only means something relative
+    to it.
+
+    Exactness: tp/fp are exact integer cumulative sums over the
+    bounded descending grid; each term pos_s * tp / (tp+fp) is ONE
+    double division of exact integers pinned to the 9dp decimal grid
+    before the exact decimal sum; the final AP and prevalence are
+    single rounded divisions of exact aggregates. Empty/positive-free
+    corpora yield NULL average_precision.
+
+    Scale shape: identical to curation_roc_auc — scan-stage score,
+    bounded grid, grid-sized window, 1-row readout."""
+    grid = _score_label_grid(load_table(spark, sf_dir, "documents"))
+    from ..cache import persist_tracked
+
+    grid = persist_tracked(grid)
+    wcum = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prcum = grid.select(
+        "pos",
+        F.sum("pos").over(wcum).alias("tp"),
+        F.sum("neg").over(wcum).alias("fp"),
+    )
+    terms = prcum.where(F.col("pos") > 0).select(
+        F.round(
+            (F.col("pos") * F.col("tp")).cast("double")
+            / (F.col("tp") + F.col("fp")),
+            9,
+        ).cast("decimal(28,9)").alias("ap_term")
+    )
+    sizes = grid.groupBy().agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("n_thresholds"),
+    )
+    agg = terms.groupBy().agg(
+        F.coalesce(F.sum("ap_term"), F.lit(0))
+        .cast("decimal(38,9)").alias("ap_num")
+    )
+    out = sizes.crossJoin(F.broadcast(agg))
+    n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    return out.select(
+        "n_pos", "n_neg", "n_thresholds",
+        F.when(
+            n_pos > 0,
+            F.round(F.col("ap_num").cast("double") / n_pos, 9),
+        ).alias("average_precision"),
+        F.when(
+            (n_pos + n_neg) > 0,
+            F.round(n_pos.cast("double") / (n_pos + n_neg), 9),
+        ).alias("prevalence"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chao1 vocabulary-richness estimator (from the count-of-counts table)
 # ---------------------------------------------------------------------------
 

@@ -137,6 +137,13 @@ STAGED: dict[str, QueryDef] = {}
 #                               lsh_ann lists, same _triangles
 #                               algebra; witness 51x vs twin 1.6x at
 #                               10x — the adamic_adar dual-form)
+#   curation_roc_auc           (ranking-quality readout of the
+#                               calibration signal: U-statistic AUC +
+#                               Gini on the exact 2x value grid — the
+#                               mannwhitney device)
+#   curation_pr_auc            (average precision, threshold-sum form
+#                               on the same score grid; 9dp-pinned
+#                               per-threshold precision terms)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,

@@ -429,6 +429,59 @@ def test_pinned_lm_stream_scores_oov_docs(spark, tmp_path):
     assert abs(rows[11]["avg_logprob"] - p_oov) < 1e-9  # 3 identical terms
 
 
+def test_roc_pr_auc_planted_rankings(spark, tmp_path):
+    """curation_roc_auc / curation_pr_auc on docs engineered into three
+    known score levels — hand arithmetic for both readouts. Ratios
+    0.25 (2 de), 0.5 (1 en + 1 de), 1.0 (2 en): ascending grid gives
+    u_x2 = 1*(2*2+1) + 2*(2*3+0) = 17, AUC = 17/18, Gini = 8/9;
+    descending AP terms 2*2/2 + 1*3/4 = 2.75, AP = 2.75/3,
+    prevalence 0.5."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    rows = [
+        (1, "w w w w", "de"), (2, "v v v v", "de"),      # ratio 0.25
+        (3, "w w x x", "en"), (4, "y y z z", "de"),      # ratio 0.5
+        (5, "a b c d", "en"), (6, "e f g h", "en"),      # ratio 1.0
+    ]
+    t = tmp_path / "auc"
+    t.mkdir()
+    make_docs(spark, rows).write.parquet(str(t / "documents.parquet"))
+
+    roc = resolve_query("curation_roc_auc")(spark, str(t)).collect()
+    assert len(roc) == 1
+    r = roc[0]
+    assert (r["n_pos"], r["n_neg"], r["u_x2"]) == (3, 3, 17)
+    assert r["auc"] == round(17 / 18, 9)
+    assert r["gini"] == round(8 / 9, 9)
+
+    pr = resolve_query("curation_pr_auc")(spark, str(t)).collect()
+    assert len(pr) == 1
+    p = pr[0]
+    assert (p["n_pos"], p["n_neg"], p["n_thresholds"]) == (3, 3, 3)
+    assert p["average_precision"] == round(2.75 / 3, 9)
+    assert p["prevalence"] == 0.5
+
+
+def test_roc_auc_single_class_yields_null(spark, tmp_path):
+    """An all-negative corpus (no 'en' docs): AUC/Gini and AP are NULL
+    (no positive to rank), prevalence pins to 0.0 — never a
+    div-by-zero."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    rows = [(1, "w w x x", "de"), (2, "a b c d", "fr")]
+    t = tmp_path / "auc1"
+    t.mkdir()
+    make_docs(spark, rows).write.parquet(str(t / "documents.parquet"))
+
+    r = resolve_query("curation_roc_auc")(spark, str(t)).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (0, 2)
+    assert r["auc"] is None and r["gini"] is None
+    p = resolve_query("curation_pr_auc")(spark, str(t)).collect()[0]
+    assert p["average_precision"] is None and p["prevalence"] == 0.0
+
+
 def test_reliability_diagram_planted_bins_and_ece(spark, tmp_path):
     """curation_reliability_diagram on docs engineered into known bins:
     hand-compute per-bin confidence/accuracy and the ECE."""

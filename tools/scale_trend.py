@@ -564,6 +564,12 @@ def main(only: list[str] | None = None) -> None:
         "triangle_count_ann": lambda k: SQ["sim_triangle_count_ann"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        "roc_auc": lambda k: SQ["curation_roc_auc"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "pr_auc": lambda k: SQ["curation_pr_auc"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "label_propagation": lambda k: SQ["sim_label_propagation"](
             spark, table_dir("emb", k, "embeddings")
         ),
