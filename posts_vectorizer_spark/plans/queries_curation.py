@@ -2238,7 +2238,17 @@ def curation_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= 1e6 distinct round-6 ratios at ANY corpus size), a grid-sized
     window, a 1-row readout — nothing row-scaled past the first
     map-side-combinable reduce."""
-    grid = _score_label_grid(load_table(spark, sf_dir, "documents"))
+    return auc_readout(
+        _score_label_grid(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def auc_readout(grid: DataFrame) -> DataFrame:
+    """U-statistic AUC + Gini as a pure function of the (s, pos, neg)
+    value-grid count table — the ADDITIVE sufficient statistic
+    (bounded by distinct round-6 scores), shared by the batch query
+    and the streaming drain (r12): the below-cumulative, the exact 2x
+    integer U, and the rounded readout divisions all derive from it."""
     wprev = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     cum = grid.select(
         "pos", "neg",

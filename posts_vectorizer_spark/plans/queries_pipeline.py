@@ -1935,6 +1935,45 @@ def stream_utf8_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return utf8_corpus_readout(state.select("metric", "c"))
 
 
+from .queries_curation import _ROC_AUC_SQL  # noqa: E402
+
+
+@register("stream_auc_drain", oracle=_ROC_AUC_SQL, staged=True)
+def stream_auc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ranking-quality monitoring with a driver row (built
+    r12, staged r13): documents stream in TWO forced micro-batches;
+    each batch scores the calibration signal and ADD-merges its
+    (s, pos, neg) value-grid delta into the standing table
+    (streaming/worker.py::score_grid_stream — state bounded by
+    distinct round-6 scores, BOTH count columns additive); ROC AUC and
+    Gini read out from MERGED state through the SAME auc_readout as
+    curation_roc_auc, whose whole-corpus SQL is the oracle. Grid
+    counts are additive, so the batch split cannot move the
+    U-statistic — the live gate-discrimination monitor beside the
+    reliability drain's calibration monitor (is the score still
+    ORDERING English above the rest as the corpus drifts?),
+    hash-checked end to end. The 16th drain."""
+    from ..streaming.worker import score_grid_stream
+    from .queries_curation import auc_readout
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select("doc_id", "text", "lang")
+    state = _forced_drain(
+        spark, feed, "doc_id",
+        lambda src, st, ck, mft: score_grid_stream(
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "n_pos bigint, n_neg bigint, u_x2 bigint,"
+            " auc double, gini double",
+        )
+    return auc_readout(state.select("s", "pos", "neg"))
+
+
 from .queries_stats import _KW_SQL  # noqa: E402
 
 

@@ -144,6 +144,12 @@ STAGED: dict[str, QueryDef] = {}
 #   curation_pr_auc            (average precision, threshold-sum form
 #                               on the same score grid; 9dp-pinned
 #                               per-threshold precision terms)
+#   stream_auc_drain           (16th drain; (s, pos, neg) value-grid
+#                               additive state via worker
+#                               score_grid_stream; auc_readout shared
+#                               with curation_roc_auc — the live
+#                               gate-discrimination monitor; no-jobs
+#                               skip: runs its micro-batch drain)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,

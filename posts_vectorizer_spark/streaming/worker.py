@@ -1471,6 +1471,47 @@ def utf8_metric_stream(
     )
 
 
+def score_grid_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ranking-quality maintenance: each micro-batch of
+    documents scores the calibration signal (round-6 distinct-token
+    ratio) and ADD-merges its (s, pos, neg) value-grid delta into the
+    standing table — state bounded by distinct round-6 scores, both
+    count columns additive. ROC AUC / Gini read out from merged state
+    via plans/queries_curation.py::auc_readout as a pure function — a
+    live discrimination monitor for the quality gate's score.
+
+    At 100 TB: per-batch cost is one scan-stage score + an
+    s-keyed map-side-combinable count + O(touched scores) of a
+    grid-sized merge."""
+    from ..plans.queries_curation import _score_label_grid
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        merge_add_parquet(
+            spark, _score_label_grid(batch_df), state_dir, ["s"],
+            batch_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def kw_gcnt_stream(
     spark: SparkSession,
     source_dir: str,

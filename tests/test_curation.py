@@ -544,6 +544,33 @@ def test_stream_reliability_drain_equals_batch(spark, tmp_path):
     assert {r["bin"] for r in drain} == {5, 9}
 
 
+def test_stream_auc_drain_equals_batch(spark, tmp_path):
+    """stream_auc_drain's merged (s, pos, neg) value-grid state yields
+    the EXACT batch U-statistic/AUC/Gini: grid counts are additive
+    integers, so the forced two-batch split cannot move a rank. The
+    planted corpus mixes three score levels with imperfect separation
+    so AUC is strictly between 0.5 and 1."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    rows = []
+    for i in range(24):
+        lang = "en" if i % 4 == 0 else "de"
+        body = ("w w w w", "w w x x", "a b c d")[i % 3]
+        rows.append((i, body, lang))
+    t = tmp_path / "aucd"
+    t.mkdir()
+    make_docs(spark, rows).write.parquet(str(t / "documents.parquet"))
+
+    batch = [r.asDict() for r in
+             resolve_query("curation_roc_auc")(spark, str(t)).collect()]
+    drain = [r.asDict() for r in
+             resolve_query("stream_auc_drain")(spark, str(t)).collect()]
+    assert drain == batch
+    assert batch[0]["n_pos"] == 6 and batch[0]["n_neg"] == 18
+    assert 0.0 < batch[0]["auc"] < 1.0
+
+
 def test_stupid_backoff_all_branches(spark, tmp_path):
     """text_stupid_backoff_trigram: a planted train/probe split fires
     all four branches (trigram hit, bigram backoff, unigram backoff,

@@ -570,6 +570,9 @@ def main(only: list[str] | None = None) -> None:
         "pr_auc": lambda k: SQ["curation_pr_auc"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "auc_drain": lambda k: SQ["stream_auc_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         "label_propagation": lambda k: SQ["sim_label_propagation"](
             spark, table_dir("emb", k, "embeddings")
         ),
