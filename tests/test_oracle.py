@@ -566,6 +566,9 @@ _UNROUNDED_DOUBLE_OK = frozenset((
     ("text_heaps_law_fit", "ln_k"),
     ("text_heaps_law_fit", "r2"),
     ("text_jsd_source_drift", "jsd"),
+    # the same audited device again (r12): exact decimal sum of 6dp
+    # log-probs / exact transition count, one IEEE division
+    ("text_jelinek_mercer_bigram", "jm_logprob"),
     ("text_kneser_ney_bigram", "kn_logprob"),
     ("text_mattr_diversity", "mattr"),
     ("text_ngram_novelty", "novelty"),

@@ -630,6 +630,9 @@ def main(only: list[str] | None = None) -> None:
         "kruskal_drain": lambda k: SQ["stream_kruskal_drain"](
             spark, table_dir("lineitem", k, "lineitem")
         ),
+        "jelinek_mercer": lambda k: SQ["text_jelinek_mercer_bigram"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
