@@ -154,6 +154,11 @@ STAGED: dict[str, QueryDef] = {}
 #                               linear interpolation on the shared
 #                               bigram relation; one integer-lattice
 #                               quotient, KN 6dp-log10 device)
+#   events_rmst                (restricted mean survival time — area
+#                               under the KM step curve per event
+#                               time, exact decimal segments off the
+#                               shared _surv_risk grid; the survival
+#                               family's effect-size readout)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -257,20 +262,21 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (draft at r12 open; re-lock at r12 closeout):
-#   (a) 21 introduction slots — the r12-staged wave above (final at
-#       closeout; events_theil_sen and rel_kruskal_wallis double as
-#       their readout-refactor consumers). No-jobs skip additions:
-#       both LPA forms + the four new drains (chi2 / theil-sen /
-#       utf8 / kruskal).
+# r13 head planning (re-locked at r12 closeout; 3 + 29 + 18 = 50):
+#   (a) 29 introduction slots — the full r12-staged wave above
+#       (events_theil_sen and rel_kruskal_wallis double as their
+#       readout-refactor consumers; curation_roc_auc doubles as the
+#       auc_readout refactor consumer). No-jobs skip additions: both
+#       LPA forms, sim_triangle_count (topk kernel edge build) + the
+#       five new drains (chi2 / theil-sen / utf8 / kruskal / auc).
 #   (b) spine (3): tfidf_doc_vectors + events_kaplan_meier (its body
 #       was refactored onto the shared _surv_risk grid mid-r12) +
 #       rel_chi2_independence (its body moved into the shared
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (26): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 25 of the r6
+#   (c) freshness (18): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 17 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

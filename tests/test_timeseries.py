@@ -988,6 +988,51 @@ def test_logrank_one_sided_cohort_yields_null_z(spark, tmp_path):
     assert r["z"] is None and r["significant"] is None
 
 
+def test_rmst_planted_textbook_area(spark, tmp_path):
+    """events_rmst on the SAME hand-built cohort as the KM textbook
+    test (6 users enter day 1; conversions at durations 2,2 and 4;
+    3 censored at 10): the area under the KM step curve is exact on
+    the decimal grid — rmst(2) = 1x2 = 2, rmst(4) = 2 + S(2)x2 =
+    2 + 0.666666667x2 = 3.333333334, both as exact DECIMAL(28,9)."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows, eid = [], 0
+    convs = {0: 3, 1: 3, 2: 5}
+    for u in range(6):
+        rows.append((eid, "2024-01-01 08:00:00", u, "view", 1.0)); eid += 1
+        if u in convs:
+            rows.append(
+                (eid, f"2024-01-{convs[u]:02d} 09:00:00", u, "purchase", 1.0)
+            )
+            eid += 1
+    rows.append((eid, "2024-01-11 10:00:00", 0, "view", 1.0))  # obs end
+
+    t = tmp_path / "rmst"
+    t.mkdir()
+    _events_typed(t, rows)
+
+    out = {r["t_days"]: r for r in
+           resolve_query("events_rmst")(spark, str(t)).collect()}
+    assert set(out) == {2, 4}
+    r2 = out[2]
+    assert (r2["n_at_risk"], r2["d_events"]) == (6, 2)
+    assert r2["survival"] == round(4 / 6, 9)
+    # area 0..2 under S=1
+    assert r2["rmst"] == Decimal("2.000000000")
+    r4 = out[4]
+    assert (r4["n_at_risk"], r4["d_events"]) == (4, 1)
+    # S(4) = round(round(4/6,9) * 0.75, 9) = exactly 0.5 on the grid
+    assert r4["survival"] == 0.5
+    # area 0..4 = 2 + 0.666666667 * 2 (exact decimal segment)
+    assert r4["rmst"] == Decimal("2.000000000") + Decimal(
+        str(round(4 / 6, 9))
+    ) * 2
+    # monotone, and bounded by tau (the no-censor-before-tau sanity)
+    assert Decimal("0") < r2["rmst"] < r4["rmst"] <= Decimal("4")
+
+
 def test_theil_sen_outlier_immune_exact(spark, tmp_path):
     """events_theil_sen on a planted +2.5/day linear daily series with
     one wildly corrupted day: the median pairwise slope recovers the

@@ -633,6 +633,9 @@ def main(only: list[str] | None = None) -> None:
         "jelinek_mercer": lambda k: SQ["text_jelinek_mercer_bigram"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "rmst": lambda k: SQ["events_rmst"](
+            spark, table_dir("events", k, "events")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
