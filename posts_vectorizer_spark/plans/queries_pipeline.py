@@ -1743,6 +1743,45 @@ def stream_good_turing_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .queries_quality import _VOCAB_GINI_SQL  # noqa: E402
+
+
+@register("stream_vocab_gini_drain", oracle=_VOCAB_GINI_SQL, staged=True)
+def stream_vocab_gini_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary-concentration monitoring with a driver row
+    (built r12, staged r13): documents stream in TWO forced
+    micro-batches; each batch additively merges its (word, n) delta
+    into the standing vocabulary count table — the SAME
+    streaming/worker.py::zipf_wordcount_stream state the Zipf and
+    Good-Turing drains maintain (one standing table, now THREE
+    registered readouts); the Lorenz/Gini type-inequality readout
+    runs from MERGED state through the SAME vocab_gini_readout as the
+    batch query, whose whole-corpus SQL is the oracle. Word counts
+    are additive, so the batch split cannot move a count-of-counts
+    cell — the live 'is a handful of types starting to carry the
+    stream' monitor, at the cost of one readout function and zero
+    new state. The 17th drain."""
+    from ..streaming.worker import zipf_wordcount_stream
+    from .queries_quality import vocab_gini_readout
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select("doc_id", "text")
+    state = _forced_drain(
+        spark, feed, "doc_id",
+        lambda src, st, ck, mft: zipf_wordcount_stream(
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "n_types bigint, total_tokens bigint, mean_freq double,"
+            " gini double",
+        )
+    return vocab_gini_readout(state.select(F.col("c")))
+
+
 from .queries_stats import _ANOVA_SQL  # noqa: E402
 
 

@@ -1021,3 +1021,106 @@ def text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary concentration (value-grid Gini over TYPE frequencies)
+# (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_VOCAB_GINI_SQL = f"""
+WITH tok AS (
+  SELECT unnest({T.tokens_sql('text')}) AS word FROM documents
+),
+vc AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+grid AS (SELECT c, count(*) AS m FROM vc GROUP BY c),
+cum AS (
+  SELECT c, m,
+         COALESCE(sum(m) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM grid
+),
+s AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n,
+         CAST(sum(c * m) AS BIGINT) AS total,
+         CAST(sum(CAST(c AS DECIMAL(38,0))
+                  * (m * nb + (m * (m + 1)) // 2)) AS DECIMAL(38,0)) AS t
+  FROM cum
+)
+SELECT n AS n_types, total AS total_tokens,
+       CAST(CAST(total AS DOUBLE) / n AS DOUBLE) AS mean_freq,
+       CAST(2 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * total)
+            - (CAST(n AS DOUBLE) + 1) / n AS DOUBLE) AS gini
+FROM s WHERE n > 0 AND total > 0
+"""
+
+
+def vocab_gini_readout(vc: DataFrame) -> DataFrame:
+    """Lorenz/Gini over the per-type frequency column ``c`` of a
+    vocabulary count table — the ADDITIVE sufficient statistic the
+    Zipf drain already maintains (built r12): count-of-counts grid,
+    the rank-interchangeable value-grid rank algebra in exact
+    integers on the DECIMAL(38,0) lattice, and the fixed-shape
+    Gini = 2T/(n*S1) - (n+1)/n readout. Shared by the batch query
+    and the streaming drain."""
+    grid = vc.groupBy("c").agg(F.count("*").alias("m")).coalesce(1)
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.select(
+        "c", "m", F.coalesce(F.sum("m").over(w), F.lit(0)).alias("nb")
+    )
+    m, c, nb = F.col("m"), F.col("c"), F.col("nb")
+    s = cum.agg(
+        F.sum(m).cast("bigint").alias("n"),
+        F.sum(c * m).cast("bigint").alias("total"),
+        F.sum(
+            c.cast("decimal(38,0)")
+            * (m * nb + F.expr("(m * (m + 1)) div 2"))
+        )
+        .cast("decimal(38,0)")
+        .alias("t"),
+    )
+    n, total, t = F.col("n"), F.col("total"), F.col("t")
+    return s.where((n > 0) & (total > 0)).select(
+        n.alias("n_types"),
+        total.alias("total_tokens"),
+        (total.cast("double") / n).cast("double").alias("mean_freq"),
+        (
+            F.lit(2) * t.cast("double") / (n.cast("double") * total)
+            - (n.cast("double") + 1) / n
+        )
+        .cast("double")
+        .alias("gini"),
+    )
+
+
+@register("text_vocab_gini", oracle=_VOCAB_GINI_SQL, staged=True)
+def text_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration (built r12, staged r13) — the TYPE-side
+    inequality diagnostic completing the vocabulary-shape trio: the
+    Zipf fit states the rank-frequency SLOPE, Heaps' law states how
+    fast NEW types arrive, and this states in ONE number how unequally
+    token mass is spread across the types already seen (gini -> 1:
+    a handful of stopword-like types carry the corpus; gini -> 0:
+    a flat synthetic vocabulary). The statistic BPE/vocab-size and
+    stopword-list decisions read first. Same Lorenz machinery as
+    text_token_gini (which measures DOC-length inequality — different
+    relation, different question), computed WITHOUT any global rank
+    sort via the value-grid device: types with equal frequency c are
+    rank-interchangeable, so the m types at count c occupying ranks
+    [nb+1, nb+m] contribute c*(m*nb + m(m+1)/2) in EXACT integers on
+    the 128-bit DECIMAL lattice, and Gini = 2T/(n*S1) - (n+1)/n is
+    one identical fixed-shape double expression of exact sums (the
+    token_gini grandfathered readout device — allowlisted in
+    tests/test_oracle.py).
+
+    Scale shape: tokenize in the scan stage, one map-side-combinable
+    (word) count (vocab-sized — the only data-scaled shuffle), a
+    count-of-counts grid bounded by |distinct frequencies|, a
+    cumulative window on that tiny grid only, 1-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    return vocab_gini_readout(vc)

@@ -159,6 +159,15 @@ STAGED: dict[str, QueryDef] = {}
 #                               time, exact decimal segments off the
 #                               shared _surv_risk grid; the survival
 #                               family's effect-size readout)
+#   text_vocab_gini            (TYPE-frequency Lorenz/Gini off the
+#                               count-of-counts grid — the vocabulary
+#                               concentration number beside Zipf and
+#                               Heaps; token_gini value-grid device)
+#   stream_vocab_gini_drain    (17th drain; THIRD readout of the Zipf
+#                               drain's standing vocab state — zero
+#                               new state, shared vocab_gini_readout;
+#                               no-jobs skip: runs its micro-batch
+#                               drain)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -262,8 +271,8 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (re-locked at r12 closeout; 3 + 29 + 18 = 50):
-#   (a) 29 introduction slots — the full r12-staged wave above
+# r13 head planning (re-locked at r12 closeout; 3 + 31 + 16 = 50):
+#   (a) 31 introduction slots — the full r12-staged wave above
 #       (events_theil_sen and rel_kruskal_wallis double as their
 #       readout-refactor consumers; curation_roc_auc doubles as the
 #       auc_readout refactor consumer). No-jobs skip additions: both
@@ -275,8 +284,8 @@ STAGED: dict[str, QueryDef] = {}
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (18): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 17 of the r6
+#   (c) freshness (16): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 15 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

@@ -586,6 +586,13 @@ _UNROUNDED_DOUBLE_OK = frozenset((
     ("text_stupid_backoff_trigram", "sb_logprob"),
     ("text_token_gini", "gini"),
     ("text_token_gini", "mean_tokens"),
+    # the token_gini grandfathered value-grid Gini readout, restated
+    # over TYPE frequencies (r12): fixed-shape expressions of exact
+    # DECIMAL(38,0)/BIGINT sums — batch + its zero-new-state drain
+    ("text_vocab_gini", "gini"),
+    ("text_vocab_gini", "mean_freq"),
+    ("stream_vocab_gini_drain", "gini"),
+    ("stream_vocab_gini_drain", "mean_freq"),
     ("text_zipf_fit", "intercept"),
     ("text_zipf_fit", "r2"),
     ("text_zipf_fit", "slope"),

@@ -825,3 +825,42 @@ def test_heaps_law_planted_growth(spark, tmp_path):
     flat.write.parquet(str(d2 / "documents.parquet"))
     r2 = resolve_query("text_heaps_law_fit")(spark, str(d2)).collect()[0]
     assert abs(r2["beta"]) < 1e-6  # V constant -> slope 0
+
+
+def test_vocab_gini_hand_computed_and_drain_equals_batch(spark, tmp_path):
+    """text_vocab_gini on a 4-type planted vocabulary (a=4, b=2, c=1,
+    d=1): T = 1*(2*0+3) + 2*(1*2+1) + 4*(1*3+1) = 25, so gini =
+    2*25/(4*8) - 5/4 = 0.3125 exactly (cross-checked against the
+    direct sorted-rank formula sum((2i-n-1)x_i)/(n*S1) = 10/32); a
+    perfectly flat vocabulary (every type exactly twice) pins gini to
+    exactly 0. The drain's merged-state readout must equal the batch
+    query bit-for-bit: word counts are additive, so the forced
+    two-batch split cannot move a count-of-counts cell."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "vg"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "a a a b b c", "en", "s", 0), (2, "a d", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    [r] = resolve_query("text_vocab_gini")(spark, str(d)).collect()
+    assert (r["n_types"], r["total_tokens"]) == (4, 8)
+    assert r["mean_freq"] == 2.0
+    assert r["gini"] == 2 * 25 / (4 * 8) - 5 / 4
+
+    [rd] = resolve_query("stream_vocab_gini_drain")(
+        spark, str(d)
+    ).collect()
+    assert rd.asDict() == r.asDict()
+
+    flat = tmp_path / "vgflat"
+    flat.mkdir()
+    spark.createDataFrame(
+        [(1, "a b a b", "en", "s", 0), (2, "c d c d", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(flat / "documents.parquet"))
+    [rf] = resolve_query("text_vocab_gini")(spark, str(flat)).collect()
+    assert rf["gini"] == 0.0 and rf["n_types"] == 4

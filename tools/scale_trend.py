@@ -636,6 +636,12 @@ def main(only: list[str] | None = None) -> None:
         "rmst": lambda k: SQ["events_rmst"](
             spark, table_dir("events", k, "events")
         ),
+        "vocab_gini": lambda k: SQ["text_vocab_gini"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
+        "vocab_gini_drain": lambda k: SQ["stream_vocab_gini_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
