@@ -917,3 +917,164 @@ def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_shared_words", F.lit(0)).alias("n_shared_words"),
         F.round(jsd, 6).cast("double").alias("jsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood-ratio collocations (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_LLR_MIN_COUNT = 5
+
+_LLR_SQL = f"""
+WITH toks AS (
+  SELECT {{tokens_sql}} AS t FROM documents
+),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+bc AS (SELECT w1, w2, count(*) AS k11 FROM bi GROUP BY w1, w2),
+mr AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS r FROM bc GROUP BY w1),
+mc AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c FROM bc GROUP BY w2),
+tot AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM bc),
+cells AS (
+  SELECT bc.w1, bc.w2, CAST(bc.k11 AS BIGINT) AS k11,
+         mr.r - bc.k11 AS k12, mc.c - bc.k11 AS k21,
+         tot.n - mr.r - mc.c + bc.k11 AS k22,
+         mr.r AS r, mc.c AS c, tot.n AS n
+  FROM bc JOIN mr USING (w1) JOIN mc USING (w2) CROSS JOIN tot
+  WHERE bc.k11 >= {_LLR_MIN_COUNT}
+),
+terms AS (
+  SELECT w1, w2, k11, r, c, n,
+    CAST(round(k11 * ln(CAST(k11 AS DOUBLE) * n
+               / (CAST(r AS DOUBLE) * c)), 9) AS DECIMAL(28,9)) AS t11,
+    CASE WHEN k12 > 0 THEN
+      CAST(round(k12 * ln(CAST(k12 AS DOUBLE) * n
+                 / (CAST(r AS DOUBLE) * (n - c))), 9) AS DECIMAL(28,9))
+    ELSE CAST(0 AS DECIMAL(28,9)) END AS t12,
+    CASE WHEN k21 > 0 THEN
+      CAST(round(k21 * ln(CAST(k21 AS DOUBLE) * n
+                 / (CAST(n - r AS DOUBLE) * c)), 9) AS DECIMAL(28,9))
+    ELSE CAST(0 AS DECIMAL(28,9)) END AS t21,
+    CASE WHEN k22 > 0 THEN
+      CAST(round(k22 * ln(CAST(k22 AS DOUBLE) * n
+                 / (CAST(n - r AS DOUBLE) * (n - c))), 9)
+           AS DECIMAL(28,9))
+    ELSE CAST(0 AS DECIMAL(28,9)) END AS t22,
+    CASE WHEN CAST(k11 AS DECIMAL(38,0)) * n > CAST(r AS DECIMAL(38,0)) * c
+         THEN 1
+         WHEN CAST(k11 AS DECIMAL(38,0)) * n < CAST(r AS DECIMAL(38,0)) * c
+         THEN -1 ELSE 0 END AS assoc
+  FROM cells
+)
+SELECT w1, w2, k11 AS c_ab, CAST(assoc AS BIGINT) AS assoc,
+       CAST(2 * (t11 + t12 + t21 + t22) AS DECIMAL(28,9)) AS llr
+FROM terms
+"""
+
+
+@register(
+    "text_dunning_llr",
+    oracle=_LLR_SQL.format(tokens_sql=T.tokens_sql("text")),
+    staged=True,
+)
+def text_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (built r12, staged
+    r13) — the significance-aware sibling of text_pmi_bigrams over the
+    SAME bigram relation: PMI rewards rare-but-exclusive pairs (it is
+    maximal for two hapaxes that co-occur once past the count floor);
+    Dunning's G² = 2·Σ k·ln(kN/(row·col)) over the per-bigram 2×2
+    contingency weights the evidence by VOLUME, which is why it is
+    the collocation statistic corpus-linguistics tooling standardized
+    on for phrase induction. The signed `assoc` column (exact integer
+    sign of k11·N − r·c on the DECIMAL(38,0) lattice) separates
+    collocations from anti-collocations, which G² alone conflates.
+
+    Exactness: margins r/c/N are exact BIGINT bigram-relation sums
+    computed BEFORE the count floor; each of the four G² terms is the
+    MI/JSD N-scaled plogp device verbatim — round-9 DECIMAL(28,9)
+    over one ln of a quotient of 64-bit-exact doubles (the safe
+    transcendental), zero cells contributing an exact decimal 0 —
+    and llr = 2·(t11+t12+t21+t22) is exact decimal arithmetic of the
+    pinned terms. No unrounded double anywhere.
+
+    Scale shape: the PMI plan verbatim — one (w1, w2)-keyed
+    map-side-combinable count reduces the corpus, margins are
+    vocab-sized reductions of the CELL table (not the corpus), both
+    re-enter as broadcast joins, and the count floor prunes the
+    output before any per-bigram arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(T.tokens("text").alias("t"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    from ..cache import persist_tracked
+
+    bc = persist_tracked(
+        bi.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("k11"))
+    )
+    mr = bc.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("r"))
+    mc = bc.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("c"))
+    tot = bc.agg(F.sum("k11").cast("bigint").alias("n"))
+    cells = (
+        bc.where(F.col("k11") >= _LLR_MIN_COUNT)
+        .join(F.broadcast(mr), "w1")
+        .join(F.broadcast(mc), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "k11", "r", "c", "n",
+            (F.col("r") - F.col("k11")).alias("k12"),
+            (F.col("c") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("r") - F.col("c") + F.col("k11"))
+            .alias("k22"),
+        )
+    )
+    zero9 = F.lit(0).cast("decimal(28,9)")
+
+    def term(k, row, col):
+        return F.when(
+            k > 0,
+            F.round(
+                k
+                * F.log(
+                    k.cast("double") * F.col("n")
+                    / (row.cast("double") * col)
+                ),
+                9,
+            ).cast("decimal(28,9)"),
+        ).otherwise(zero9)
+
+    k11, k12 = F.col("k11"), F.col("k12")
+    k21, k22 = F.col("k21"), F.col("k22")
+    r, c, n = F.col("r"), F.col("c"), F.col("n")
+    lhs = k11.cast("decimal(38,0)") * n
+    rhs = r.cast("decimal(38,0)") * c
+    return cells.select(
+        "w1", "w2",
+        k11.alias("c_ab"),
+        F.when(lhs > rhs, 1).when(lhs < rhs, -1).otherwise(0)
+        .cast("bigint")
+        .alias("assoc"),
+        (
+            F.lit(2)
+            * (
+                term(k11, r, c)
+                + term(k12, r, n - c)
+                + term(k21, n - r, c)
+                + term(k22, n - r, n - c)
+            )
+        )
+        .cast("decimal(28,9)")
+        .alias("llr"),
+    )

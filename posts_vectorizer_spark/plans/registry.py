@@ -168,6 +168,10 @@ STAGED: dict[str, QueryDef] = {}
 #                               new state, shared vocab_gini_readout;
 #                               no-jobs skip: runs its micro-batch
 #                               drain)
+#   text_dunning_llr           (Dunning G² collocations — PMI's
+#                               significance-aware sibling on the
+#                               same bigram relation; round-9 plogp
+#                               lattice, signed assoc column)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -271,8 +275,8 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (re-locked at r12 closeout; 3 + 31 + 16 = 50):
-#   (a) 31 introduction slots — the full r12-staged wave above
+# r13 head planning (re-locked at r12 closeout; 3 + 32 + 15 = 50):
+#   (a) 32 introduction slots — the full r12-staged wave above
 #       (events_theil_sen and rel_kruskal_wallis double as their
 #       readout-refactor consumers; curation_roc_auc doubles as the
 #       auc_readout refactor consumer). No-jobs skip additions: both
@@ -284,8 +288,8 @@ STAGED: dict[str, QueryDef] = {}
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (16): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 15 of the r6
+#   (c) freshness (15): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 14 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

@@ -270,3 +270,49 @@ def test_kneser_ney_continuation_beats_frequency(spark, tmp_path):
     assert abs(by_doc[1]["kn_logprob"] - round(math.log10(0.6875), 6)) < 1e-9
     assert abs(by_doc[4]["kn_logprob"] - round(math.log10(0.3125), 6)) < 1e-9
     assert by_doc[1]["kn_logprob"] > by_doc[4]["kn_logprob"]
+
+
+def test_dunning_llr_hand_computed(spark, tmp_path):
+    """text_dunning_llr on a two-doc planted corpus small enough to
+    hand-build the full bigram contingency: ab=5, ba=4, ac=5, ca=4
+    (N=18). Only ab and ac pass the count floor; each G2 term is
+    verified against an exact replica of the round-9 plogp lattice,
+    and assoc separates the positive association (k11*N > r*c)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    rows = [
+        (1, "a b a b a b a b a b", "en"),   # ab x5, ba x4
+        (2, "a c a c a c a c a c", "en"),   # ac x5, ca x4
+    ]
+    d = tmp_path / "llr"
+    d.mkdir()
+    make_docs(spark, rows).write.parquet(str(d / "documents.parquet"))
+
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in resolve_query("text_dunning_llr")(spark, str(d)).collect()
+    }
+    # ba/ca have c_ab = 4 < 5: dropped by the count floor
+    assert set(out) == {("a", "b"), ("a", "c")}
+
+    q9 = Decimal("0.000000001")
+
+    def t(k, row, col, n=18):
+        if k == 0:
+            return Decimal(0)
+        return Decimal(repr(k * math.log(k * n / (row * col)))).quantize(
+            q9, rounding=ROUND_HALF_UP
+        )
+
+    # ab: k11=5, r(a)=10, c(b)=5 -> k12=5, k21=0, k22=8
+    want = 2 * (t(5, 10, 5) + t(5, 10, 13) + t(0, 8, 5) + t(8, 8, 13))
+    rab = out[("a", "b")]
+    assert rab["c_ab"] == 5 and rab["assoc"] == 1   # 5*18 > 10*5
+    assert rab["llr"] == want
+    # ac is the mirror image: same margins, same llr
+    assert out[("a", "c")]["llr"] == want
+    assert want > 0

@@ -642,6 +642,9 @@ def main(only: list[str] | None = None) -> None:
         "vocab_gini_drain": lambda k: SQ["stream_vocab_gini_drain"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "dunning_llr": lambda k: SQ["text_dunning_llr"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
