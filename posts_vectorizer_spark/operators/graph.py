@@ -468,3 +468,74 @@ SELECT l.v AS vec_id, CAST(l.lab AS BIGINT) AS community,
 FROM {prev} l JOIN sizes s ON s.lab = l.lab
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (built r12, staged r13) — the mixing-pattern
+# member of the graph family: do high-degree nodes attach to other
+# high-degree nodes (r > 0, social-network-like) or to low-degree
+# spokes (r < 0, hub-and-spoke)? Newman's r is the Pearson
+# correlation of the endpoint-degree pairs over BOTH orientations of
+# every undirected edge — on a similarity graph it is the one-number
+# answer to "is the corpus one dense near-dup mesh or hubs bridging
+# sparse regions", read next to the clustering coefficient.
+# ---------------------------------------------------------------------------
+
+
+def assortativity_from_edges(edges_in: DataFrame) -> DataFrame:
+    """One-row (n_nodes, n_edges, assortativity) from a src<dst
+    undirected half-list — shared verbatim by the exact-kNN witness
+    and the lsh_ann production twin (the _triangles convention).
+    Exactness: degrees and all five moment sums are exact integers on
+    the DECIMAL(38,0) lattice (degree products stay < 38 digits at
+    any k-bounded graph scale); the variance terms m2*sxx - sx^2
+    compare to zero EXACTLY in decimal, and r is one fixed-shape
+    double expression num/(sqrt(vx)*sqrt(vy)) of the exact sums (the
+    spearman_rho device). Regular graphs (zero degree variance) yield
+    NULL explicitly."""
+    from ..cache import persist_tracked
+
+    edges = persist_tracked(edges_in)
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
+    dx, dy = F.col("dx"), F.col("dy")
+    s = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count("*").cast("bigint").alias("m2"),
+            F.sum(dx).cast("bigint").alias("sx"),
+            F.sum(dy).cast("bigint").alias("sy"),
+            F.sum(dx.cast("decimal(38,0)") * dy)
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(dx.cast("decimal(38,0)") * dx)
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum(dy.cast("decimal(38,0)") * dy)
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+    )
+    nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    m2d = F.col("m2").cast("decimal(38,0)")
+    num = m2d * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    vx = m2d * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    vy = m2d * F.col("syy") - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+    r = num.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return (
+        s.crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            F.expr("m2 div 2").cast("bigint").alias("n_edges"),
+            F.when((vx > 0) & (vy > 0), r).alias("assortativity"),
+        )
+    )

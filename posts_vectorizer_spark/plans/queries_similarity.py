@@ -1484,3 +1484,108 @@ def sim_label_propagation_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return graph.lpa_from_edges(edges)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+def _assort_sql(t_sql: str) -> str:
+    return f"""
+WITH t AS ({t_sql}),
+edges AS (
+  SELECT a.query_id AS src, a.neighbor_id AS dst
+  FROM t a JOIN t b
+    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+  WHERE a.query_id < a.neighbor_id
+),
+und AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(du.deg) AS BIGINT) AS sx,
+         CAST(sum(dv.deg) AS BIGINT) AS sy,
+         CAST(sum(CAST(du.deg AS DECIMAL(38,0)) * dv.deg)
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(du.deg AS DECIMAL(38,0)) * du.deg)
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(dv.deg AS DECIMAL(38,0)) * dv.deg)
+              AS DECIMAL(38,0)) AS syy
+  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n.n_nodes, s.m2 // 2 AS n_edges,
+       CASE WHEN CAST(s.m2 AS DECIMAL(38,0)) * s.sxx
+                 - CAST(s.sx AS DECIMAL(38,0)) * s.sx > 0
+             AND CAST(s.m2 AS DECIMAL(38,0)) * s.syy
+                 - CAST(s.sy AS DECIMAL(38,0)) * s.sy > 0 THEN
+         CAST(CAST(s.m2 AS DECIMAL(38,0)) * s.sxy
+              - CAST(s.sx AS DECIMAL(38,0)) * s.sy AS DOUBLE)
+         / (sqrt(CAST(CAST(s.m2 AS DECIMAL(38,0)) * s.sxx
+                      - CAST(s.sx AS DECIMAL(38,0)) * s.sx AS DOUBLE))
+            * sqrt(CAST(CAST(s.m2 AS DECIMAL(38,0)) * s.syy
+                        - CAST(s.sy AS DECIMAL(38,0)) * s.sy AS DOUBLE)))
+       END AS assortativity
+FROM s, nodes n
+"""
+
+
+@register(
+    "sim_degree_assortativity",
+    oracle=_assort_sql(similarity.topk_sql(KNN_GRAPH_K)),
+    staged=True,
+)
+def sim_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the mutual-kNN similarity graph (built
+    r12, staged r13) — the MIXING-PATTERN member completing the graph
+    family's health panel: pagerank ranks, HITS splits roles, k-core
+    peels the dense core, the clustering coefficient measures local
+    cliquishness, and Newman's r answers the GLOBAL structural
+    question — do well-connected items attach to each other (r > 0:
+    one dense near-dup mesh worth deduplicating wholesale) or to
+    sparse spokes (r < 0: semantic hubs bridging unrelated regions —
+    the embedding-hubness smell)? One number, read next to lcc.
+
+    Exactness: Pearson r over the endpoint-degree pairs of BOTH edge
+    orientations — degrees and the five moment sums are exact
+    integers on the DECIMAL(38,0) lattice, the variance terms compare
+    to zero exactly in decimal (regular graphs yield NULL
+    explicitly), and r is one fixed-shape double expression
+    num/(sqrt(vx)*sqrt(vy)) of the exact sums (the spearman_rho
+    device; allowlisted in tests/test_oracle.py).
+
+    Scale shape: degree is k-capped so und is 2nk rows; the two
+    degree lookups are node-keyed joins and the moment reduce is
+    map-side combinable — nothing quadratic anywhere past the edge
+    producer. This EXACT form is the eval-sized witness (tiled
+    brute-force kNN kernel — the triangle/adamic_adar convention);
+    the corpus-scale form is sim_degree_assortativity_ann."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return graph.assortativity_from_edges(
+        _mutual_edges(similarity.topk(emb, KNN_GRAPH_K))
+    )
+
+
+@register(
+    "sim_degree_assortativity_ann",
+    oracle=_assort_sql(similarity.lsh_ann_sql(DIMS, KNN_GRAPH_K)),
+    staged=True,
+)
+def sim_degree_assortativity_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity with the edge list built from lsh_ann
+    (bucketed approximate kNN) instead of the exact broadcast-tile
+    kernel — the 100 TB form, sharing assortativity_from_edges
+    VERBATIM with the exact witness (the triangle_count_ann
+    convention). lsh_ann's candidate generation is a bucket equi-join
+    (shuffle ~ vectors x probes), so the whole query is
+    linear-shuffle end to end; the oracle re-states the same lsh_ann
+    pipeline in DuckDB, so this is a full [Q] hash-checked query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return graph.assortativity_from_edges(
+        _mutual_edges(similarity.lsh_ann(emb, DIMS, KNN_GRAPH_K))
+    )

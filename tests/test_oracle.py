@@ -593,6 +593,11 @@ _UNROUNDED_DOUBLE_OK = frozenset((
     ("text_vocab_gini", "mean_freq"),
     ("stream_vocab_gini_drain", "gini"),
     ("stream_vocab_gini_drain", "mean_freq"),
+    # Newman degree assortativity (r12): the spearman_rho device —
+    # one fixed-shape num/(sqrt*sqrt) of exact DECIMAL(38,0) moment
+    # sums; regular graphs NULL explicitly (both dual forms)
+    ("sim_degree_assortativity", "assortativity"),
+    ("sim_degree_assortativity_ann", "assortativity"),
     ("text_zipf_fit", "intercept"),
     ("text_zipf_fit", "r2"),
     ("text_zipf_fit", "slope"),

@@ -1709,3 +1709,41 @@ def test_label_propagation_ann_shares_iteration(spark):
     for v, expect in lab.items():
         assert got[v]["community"] == expect, v
         assert got[v]["csize"] == sizes[expect], v
+
+
+def test_assortativity_planted_graphs(spark):
+    """assortativity_from_edges (sim_degree_assortativity's shared
+    algebra, staged r13) on three hand-derived graphs: the star S3 is
+    perfectly disassortative (every edge joins deg-3 to deg-1 -> r
+    exactly -1: num = 6*18 - 12*12 = -36 over sqrt(36)*sqrt(36)); the
+    path P4's mixed pairs give r = -4/(sqrt(8)*sqrt(8)) — the exact
+    IEEE value of the fixed-shape expression, one ulp off the
+    mathematical -0.5 (asserted bit-exact against the replica); the
+    triangle C3 is regular (zero degree variance) and must yield NULL
+    explicitly, not a 0/0 NaN."""
+    import math
+    from posts_vectorizer_spark.operators.graph import (
+        assortativity_from_edges,
+    )
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    [r] = assortativity_from_edges(star).collect()
+    assert (r["n_nodes"], r["n_edges"]) == (4, 3)
+    assert r["assortativity"] == -1.0
+
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    [r] = assortativity_from_edges(path).collect()
+    assert (r["n_nodes"], r["n_edges"]) == (4, 3)
+    assert r["assortativity"] == -4 / (math.sqrt(8) * math.sqrt(8))
+    assert abs(r["assortativity"] + 0.5) < 1e-15
+
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    [r] = assortativity_from_edges(tri).collect()
+    assert (r["n_nodes"], r["n_edges"]) == (3, 3)
+    assert r["assortativity"] is None

@@ -645,6 +645,12 @@ def main(only: list[str] | None = None) -> None:
         "dunning_llr": lambda k: SQ["text_dunning_llr"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "assortativity_witness": lambda k: SQ["sim_degree_assortativity"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
+        "assortativity_ann": lambda k: SQ["sim_degree_assortativity_ann"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
