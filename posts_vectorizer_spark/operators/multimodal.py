@@ -3862,3 +3862,196 @@ def parquet_footer_features(files: DataFrame) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         run, PARQUET_FOOTER_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL Bencode codec (built r12, staged r13) — the BitTorrent metainfo
+# encoding: i<int>e integers (canonical — no leading zeros, no -0),
+# <len>:<bytes> byte strings (no leading zeros in the length), l...e
+# lists, d...e dicts whose byte-string keys MUST appear in raw-byte
+# sorted order without duplicates (the canonical-form rule that makes
+# infohashes well defined). The decoder enforces the FULL canonical
+# grammar with loud rejects (ValueError) — the container-family
+# contract — and the encoder emits canonical form by construction
+# (sorted keys), so encode->decode is the identity on canonical data.
+# ---------------------------------------------------------------------------
+
+
+def encode_bencode(obj) -> bytes:
+    """int / bytes / list / dict-with-bytes-keys -> canonical bencode."""
+    if isinstance(obj, bool):
+        raise ValueError("bencode has no boolean type")
+    if isinstance(obj, int):
+        return b"i%de" % obj
+    if isinstance(obj, bytes):
+        return b"%d:%s" % (len(obj), obj)
+    if isinstance(obj, list):
+        return b"l" + b"".join(encode_bencode(x) for x in obj) + b"e"
+    if isinstance(obj, dict):
+        keys = list(obj)
+        if any(not isinstance(k, bytes) for k in keys):
+            raise ValueError("bencode dict keys must be bytes")
+        if len(set(keys)) != len(keys):
+            raise ValueError("duplicate dict key")
+        out = b"d"
+        for k in sorted(keys):
+            out += encode_bencode(k) + encode_bencode(obj[k])
+        return out + b"e"
+    raise ValueError(f"unencodable type {type(obj).__name__}")
+
+
+def decode_bencode(raw: bytes) -> dict:
+    """Canonical-grammar walk -> profile {'n_ints', 'sum_ints',
+    'n_strs', 'str_bytes', 'n_keys', 'max_depth'}. Dict KEYS count in
+    n_keys (not n_strs/str_bytes); value strings count in both. Loud
+    ValueError on: truncation, trailing garbage, i03e / i-0e /
+    empty-integer forms, string lengths with leading zeros, non-string
+    dict keys, unsorted or duplicate dict keys, unknown type bytes."""
+    prof = {
+        "n_ints": 0, "sum_ints": 0, "n_strs": 0, "str_bytes": 0,
+        "n_keys": 0, "max_depth": 0,
+    }
+
+    def need(pos: int, k: int = 1) -> None:
+        if pos + k > len(raw):
+            raise ValueError(f"truncated at offset {pos}")
+
+    def read_int_digits(pos: int, term: int) -> tuple[int, int]:
+        start = pos
+        neg = False
+        if raw[pos:pos + 1] == b"-":
+            neg = True
+            pos += 1
+        ds = pos
+        while pos < len(raw) and raw[pos] != term:
+            if not 0x30 <= raw[pos] <= 0x39:
+                raise ValueError(f"bad integer byte at offset {pos}")
+            pos += 1
+        need(pos)  # the terminator itself
+        if pos == ds:
+            raise ValueError(f"empty integer at offset {start}")
+        if raw[ds] == 0x30 and pos - ds > 1:
+            raise ValueError(f"leading zero at offset {ds}")
+        v = int(raw[ds:pos])
+        if neg:
+            if v == 0:
+                raise ValueError(f"negative zero at offset {start}")
+            v = -v
+        return v, pos + 1
+
+    def walk(pos: int, depth: int):
+        prof["max_depth"] = max(prof["max_depth"], depth)
+        need(pos)
+        b = raw[pos]
+        if b == 0x69:  # i
+            v, pos = read_int_digits(pos + 1, 0x65)
+            prof["n_ints"] += 1
+            prof["sum_ints"] += v
+            return ("i", v), pos
+        if 0x30 <= b <= 0x39:  # string
+            ln, pos = read_int_digits(pos, 0x3A)
+            if ln < 0:
+                raise ValueError("negative string length")
+            need(pos, ln)
+            s = raw[pos:pos + ln]
+            return ("s", s), pos + ln
+        if b == 0x6C:  # l
+            pos += 1
+            while True:
+                need(pos)
+                if raw[pos] == 0x65:
+                    return ("l", None), pos + 1
+                item, pos = walk(pos, depth + 1)
+                if item[0] == "s":
+                    prof["n_strs"] += 1
+                    prof["str_bytes"] += len(item[1])
+        if b == 0x64:  # d
+            pos += 1
+            prev = None
+            while True:
+                need(pos)
+                if raw[pos] == 0x65:
+                    return ("d", None), pos + 1
+                key, pos = walk(pos, depth + 1)
+                if key[0] != "s":
+                    raise ValueError("non-string dict key")
+                if prev is not None and key[1] <= prev:
+                    raise ValueError(
+                        f"unsorted or duplicate dict key {key[1]!r}"
+                    )
+                prev = key[1]
+                prof["n_keys"] += 1
+                val, pos = walk(pos, depth + 1)
+                if val[0] == "s":
+                    prof["n_strs"] += 1
+                    prof["str_bytes"] += len(val[1])
+        raise ValueError(f"unknown type byte {b:#x} at offset {pos}")
+
+    top, pos = walk(0, 1)
+    if pos != len(raw):
+        raise ValueError(f"trailing garbage after offset {pos}")
+    if top[0] == "s":
+        prof["n_strs"] += 1
+        prof["str_bytes"] += len(top[1])
+    return prof
+
+
+def synth_bencode_obj(doc_id: int) -> dict:
+    """Deterministic torrent-like metainfo both engines can state:
+    m = 1 + d%3 alternating-sign extra int fields, announce of
+    10 + d%7 bytes, a 4-key info dict (length / name / piece length /
+    pieces) with name of 5 + d%11 bytes and pieces of 20*(1 + d%3)
+    bytes."""
+    d = int(doc_id)
+    m = 1 + d % 3
+    obj: dict = {
+        b"announce": bytes(97 + (d + i) % 26 for i in range(10 + d % 7)),
+        b"info": {
+            b"length": (d * 331) % 100000,
+            b"name": bytes(97 + (d * 3 + i) % 26 for i in range(5 + d % 11)),
+            b"piece length": 16384,
+            b"pieces": bytes((d + i) % 256 for i in range(20 * (1 + d % 3))),
+        },
+    }
+    for j in range(m):
+        v = 100 + (d * 19 + j * 7) % 5000
+        obj[b"x%d" % j] = v if j % 2 == 0 else -v
+    return obj
+
+
+BENCODE_FEATURE_SCHEMA = (
+    "doc_id long, n_ints int, sum_ints long, n_strs int,"
+    " str_bytes long, n_keys int, max_depth int"
+)
+
+
+def bencode_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id) -> synth metainfo -> ENCODE canonical bencode ->
+    DECODE (full canonical-grammar walk with sorted-key enforcement)
+    -> integer-exact profile. The oracle states every column from the
+    synthesis formula, so an integer-grammar, length-prefix, or
+    key-ordering bug hash-mismatches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                prof = decode_bencode(
+                    encode_bencode(synth_bencode_obj(int(doc_id)))
+                )
+                out.append(
+                    (
+                        int(doc_id), prof["n_ints"], prof["sum_ints"],
+                        prof["n_strs"], prof["str_bytes"], prof["n_keys"],
+                        prof["max_depth"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_ints", "sum_ints", "n_strs",
+                    "str_bytes", "n_keys", "max_depth",
+                ],
+            )
+
+    return base.mapInPandas(run, BENCODE_FEATURE_SCHEMA)

@@ -2140,3 +2140,57 @@ def source_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = [f"{sf_dir}/{t}.parquet" for t in sorted(_TABLE_LEAVES)]
     files = spark.read.format("binaryFile").load(paths)
     return parquet_footer_features(files)
+
+
+# ---------------------------------------------------------------------------
+# REAL Bencode metainfo codec (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_BENCODE_SQL = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS m FROM documents
+),
+vj AS (
+  SELECT doc_id, m, unnest(generate_series(0, m - 1)) AS j FROM base
+)
+SELECT doc_id,
+       CAST(max(m) + 2 AS INT) AS n_ints,
+       CAST(sum(CASE WHEN j % 2 = 0 THEN 1 ELSE -1 END
+                * (100 + (doc_id * 19 + j * 7) % 5000))
+            + (doc_id * 331) % 100000 + 16384 AS BIGINT) AS sum_ints,
+       CAST(3 AS INT) AS n_strs,
+       CAST((10 + doc_id % 7) + (5 + doc_id % 11)
+            + 20 * (1 + doc_id % 3) AS BIGINT) AS str_bytes,
+       CAST(6 + max(m) AS INT) AS n_keys,
+       CAST(3 AS INT) AS max_depth
+FROM vj GROUP BY doc_id
+"""
+
+
+@register("multimodal_bencode_manifest", oracle=_BENCODE_SQL, staged=True)
+def multimodal_bencode_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Bencode codec (built r12, staged r13) — the BitTorrent
+    metainfo encoding, and the first CANONICAL-FORM container in the
+    family: bencode's dict rule (byte-string keys in raw-byte sorted
+    order, no duplicates) exists so that a metainfo dict has exactly
+    ONE wire form — the property infohashes depend on — and the
+    decoder ENFORCES it (unsorted/duplicate keys loud-reject), along
+    with the full integer grammar (no leading zeros, no -0, no empty
+    integer), length-prefix grammar (no leading zeros), truncation
+    and trailing-garbage checks. The encoder emits canonical form by
+    construction, so encode->decode is the identity. Per doc a
+    deterministic torrent-like metainfo (announce + 4-key info dict +
+    alternating-sign extras) is encoded and walked back; the profile
+    (int count/sum, value-string count/bytes, dict-key count, max
+    nesting depth) is stated by the oracle from the synthesis
+    formula, so an integer-grammar, length-prefix, or key-ordering
+    bug hash-mismatches.
+
+    Scale shape: per-row scan-stage codec work (the protowire/MIDI
+    convention); only the 7-column profile leaves the stage."""
+    from ..operators.multimodal import bencode_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bencode_ingest_features(docs.select("doc_id"))

@@ -181,6 +181,10 @@ STAGED: dict[str, QueryDef] = {}
 #                               assortativity_from_edges; witness
 #                               20.1x vs twin 1.9x at 10x; no-jobs
 #                               skip: lsh bucket build)
+#   multimodal_bencode_manifest (REAL Bencode — the canonical-form
+#                               container: sorted-key dict rule
+#                               enforced, full integer/length-prefix
+#                               grammar rejects, formula oracle)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -284,8 +288,8 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (re-locked at r12 closeout; 3 + 34 + 13 = 50):
-#   (a) 34 introduction slots — the full r12-staged wave above
+# r13 head planning (re-locked at r12 closeout; 3 + 35 + 12 = 50):
+#   (a) 35 introduction slots — the full r12-staged wave above
 #       (events_theil_sen and rel_kruskal_wallis double as their
 #       readout-refactor consumers; curation_roc_auc doubles as the
 #       auc_readout refactor consumer). No-jobs skip additions: both
@@ -297,8 +301,8 @@ STAGED: dict[str, QueryDef] = {}
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (13): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 12 of the r6
+#   (c) freshness (12): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 11 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

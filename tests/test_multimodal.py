@@ -1828,3 +1828,57 @@ def test_parquet_footer_walker_vs_pyarrow_and_rejects(tmp_path):
     struct.pack_into("<I", bad, len(bad) - 8, len(bad))  # footer > file
     with pytest.raises(ValueError, match="footer length"):
         M.decode_parquet_footer(bytes(bad))
+
+
+def test_bencode_canonical_grammar_and_rejects():
+    """Bencode codec (staged r13): canonical wire form pinned to
+    hand-written bytes (dict keys sorted on encode), the full
+    loud-reject battery (integer grammar, length-prefix grammar,
+    key ordering, truncation, trailing garbage), and the synth
+    profile replica."""
+    import pytest
+
+    from posts_vectorizer_spark.operators.multimodal import (
+        decode_bencode,
+        encode_bencode,
+        synth_bencode_obj,
+    )
+
+    # canonical form by construction: keys emitted sorted
+    assert encode_bencode({b"b": 2, b"a": 1}) == b"d1:ai1e1:bi2ee"
+    assert encode_bencode([b"ab", -3, []]) == b"l2:abi-3elee"
+    assert encode_bencode(0) == b"i0e"
+    assert encode_bencode(b"") == b"0:"
+
+    # decode profile of a hand-built metainfo
+    p = decode_bencode(b"d4:infod3:leni5e4:name2:hhe2:xxi-7ee")
+    assert p["n_ints"] == 2 and p["sum_ints"] == -2
+    assert p["n_strs"] == 1 and p["str_bytes"] == 2   # value "hh" only
+    assert p["n_keys"] == 4 and p["max_depth"] == 3
+
+    for bad in (
+        b"i03e", b"i-0e", b"ie", b"i12",          # integer grammar
+        b"5:abc", b"01:a",                        # length-prefix grammar
+        b"d3:bbbi1e3:aaai2ee",                    # unsorted keys
+        b"d3:aaai1e3:aaai2ee",                    # duplicate key
+        b"di1ei2ee",                              # non-string key
+        b"x", b"i1ei2e", b"l", b"d3:aaai1e",      # type/trailing/trunc
+    ):
+        with pytest.raises(ValueError):
+            decode_bencode(bad)
+
+    # encode->decode identity on the synth metainfo, profile replica
+    for d in (0, 1, 5, 12, 99):
+        prof = decode_bencode(encode_bencode(synth_bencode_obj(d)))
+        m = 1 + d % 3
+        want_sum = sum(
+            (1 if j % 2 == 0 else -1) * (100 + (d * 19 + j * 7) % 5000)
+            for j in range(m)
+        ) + (d * 331) % 100000 + 16384
+        assert prof["n_ints"] == m + 2
+        assert prof["sum_ints"] == want_sum
+        assert prof["n_strs"] == 3
+        assert prof["str_bytes"] == (
+            (10 + d % 7) + (5 + d % 11) + 20 * (1 + d % 3)
+        )
+        assert prof["n_keys"] == 6 + m and prof["max_depth"] == 3

@@ -651,6 +651,9 @@ def main(only: list[str] | None = None) -> None:
         "assortativity_ann": lambda k: SQ["sim_degree_assortativity_ann"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        "bencode_manifest": lambda k: SQ["multimodal_bencode_manifest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
