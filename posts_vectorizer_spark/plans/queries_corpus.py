@@ -1019,11 +1019,21 @@ def text_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
     )
-    from ..cache import persist_tracked
-
-    bc = persist_tracked(
+    return llr_readout(
         bi.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("k11"))
     )
+
+
+def llr_readout(bc_in: DataFrame) -> DataFrame:
+    """Dunning G² + signed association as a pure function of the
+    (w1, w2, k11) bigram count table — the ADDITIVE sufficient
+    statistic (bigram counts add across batches), shared by the batch
+    query and the streaming drain (r12): margins, the count floor,
+    the four round-9 plogp terms, and the signed assoc readout all
+    derive from it."""
+    from ..cache import persist_tracked
+
+    bc = persist_tracked(bc_in)
     mr = bc.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("r"))
     mc = bc.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("c"))
     tot = bc.agg(F.sum("k11").cast("bigint").alias("n"))

@@ -2048,3 +2048,47 @@ def stream_kruskal_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "n bigint, k_groups bigint, h double, eps_sq double"
         )
     return kw_readout(state.select("grp", "x", "c"))
+
+
+from ..functions import text as _T_llr  # noqa: E402
+from .queries_corpus import _LLR_SQL  # noqa: E402
+
+
+@register(
+    "stream_llr_drain",
+    oracle=_LLR_SQL.format(tokens_sql=_T_llr.tokens_sql("text")),
+    staged=True,
+)
+def stream_llr_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming collocation-significance monitoring with a driver row
+    (built r12, staged r13): documents stream in TWO forced
+    micro-batches; each batch ADD-merges its per-(w1, w2)
+    adjacent-pair count delta into the standing bigram table
+    (streaming/worker.py::bigram_count_stream — the second
+    unbounded-key additive state beside the vocab table); Dunning G²
+    + signed association read out from MERGED state through the SAME
+    llr_readout as the batch query, whose whole-corpus SQL is the
+    oracle. Bigram counts are additive, so the batch split cannot
+    move a margin — the live 'which phrases are crystallizing in the
+    stream' monitor phrase-induction pipelines poll. The 18th drain;
+    text_dunning_llr re-proves as the readout-refactor consumer via
+    its own introduction slot."""
+    from ..streaming.worker import bigram_count_stream
+    from .queries_corpus import llr_readout
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select("doc_id", "text")
+    state = _forced_drain(
+        spark, feed, "doc_id",
+        lambda src, st, ck, mft: bigram_count_stream(
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "w1 string, w2 string, c_ab bigint, assoc bigint,"
+            " llr decimal(28,9)",
+        )
+    return llr_readout(state.select("w1", "w2", "k11"))

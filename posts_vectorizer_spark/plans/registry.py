@@ -185,6 +185,13 @@ STAGED: dict[str, QueryDef] = {}
 #                               container: sorted-key dict rule
 #                               enforced, full integer/length-prefix
 #                               grammar rejects, formula oracle)
+#   stream_llr_drain           (18th drain; bigram-count additive
+#                               state via new worker
+#                               bigram_count_stream; llr_readout
+#                               refactor — text_dunning_llr re-proves
+#                               via its own introduction slot;
+#                               no-jobs skip: runs its micro-batch
+#                               drain)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -288,8 +295,8 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (re-locked at r12 closeout; 3 + 35 + 12 = 50):
-#   (a) 35 introduction slots — the full r12-staged wave above
+# r13 head planning (re-locked at r12 closeout; 3 + 36 + 11 = 50):
+#   (a) 36 introduction slots — the full r12-staged wave above
 #       (events_theil_sen and rel_kruskal_wallis double as their
 #       readout-refactor consumers; curation_roc_auc doubles as the
 #       auc_readout refactor consumer). No-jobs skip additions: both
@@ -301,8 +308,8 @@ STAGED: dict[str, QueryDef] = {}
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (12): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 11 of the r6
+#   (c) freshness (11): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 10 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

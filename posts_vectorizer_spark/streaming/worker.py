@@ -1556,3 +1556,56 @@ def kw_gcnt_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def bigram_count_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming bigram-count maintenance: each micro-batch of
+    documents tokenizes and ADD-merges its per-(w1, w2) adjacent-pair
+    count delta into the standing bigram table — the second
+    unbounded-key member of the additive-state family beside the
+    vocab table (state is bigram-relation-sized; the sink's
+    hash-bucketed MERGE rewrites only touched buckets). Collocation
+    significance (plans/queries_corpus.py::llr_readout) reads out
+    from merged state as a pure function of the counts.
+
+    At 100 TB: per-batch cost is the batch's tokenize + one
+    map-side-combinable (w1, w2) count + O(touched buckets) of the
+    standing table — a continuously fresh phrase-induction monitor."""
+    from ..functions import text as T
+    from ..sources.sinks import merge_add_parquet
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        toks = batch_df.select(T.tokens("text").alias("t"))
+        pairs = F.expr(
+            "transform(sequence(1, size(t) - 1), k -> "
+            "struct(element_at(t, k) AS w1, element_at(t, k + 1) AS w2))"
+        )
+        delta = (
+            toks.where(F.size("t") >= 2)
+            .select(F.explode(pairs).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("bigint").alias("k11"))
+        )
+        merge_add_parquet(
+            spark, delta, state_dir, ["w1", "w2"], batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

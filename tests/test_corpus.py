@@ -316,3 +316,34 @@ def test_dunning_llr_hand_computed(spark, tmp_path):
     # ac is the mirror image: same margins, same llr
     assert out[("a", "c")]["llr"] == want
     assert want > 0
+
+
+def test_stream_llr_drain_equals_batch(spark, tmp_path):
+    """stream_llr_drain's merged-state readout must equal the batch
+    query exactly: bigram counts are additive, so the forced
+    two-batch split cannot move a margin, a floor decision, or a
+    pinned plogp term. Fixture is the hand-computed LLR corpus plus
+    extra docs so both halves of the drain carry bigrams."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+    from tests.conftest import make_docs
+
+    rows = [
+        (i, "a b a b a b a b a b" if i % 2 else "a c a c a c a c a c",
+         "en")
+        for i in range(8)
+    ]
+    d = tmp_path / "llrd"
+    d.mkdir()
+    make_docs(spark, rows).write.parquet(str(d / "documents.parquet"))
+
+    batch = sorted(
+        (r.asDict() for r in
+         resolve_query("text_dunning_llr")(spark, str(d)).collect()),
+        key=lambda r: (r["w1"], r["w2"]),
+    )
+    drain = sorted(
+        (r.asDict() for r in
+         resolve_query("stream_llr_drain")(spark, str(d)).collect()),
+        key=lambda r: (r["w1"], r["w2"]),
+    )
+    assert batch and drain == batch

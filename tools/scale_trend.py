@@ -654,6 +654,9 @@ def main(only: list[str] | None = None) -> None:
         "bencode_manifest": lambda k: SQ["multimodal_bencode_manifest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "llr_drain": lambda k: SQ["stream_llr_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
