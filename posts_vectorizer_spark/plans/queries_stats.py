@@ -3399,3 +3399,178 @@ def events_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = """
+WITH vals AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS m FROM vals GROUP BY g, v),
+grp AS (
+  SELECT g, CAST(sum(m) AS BIGINT) AS n_g,
+         CAST(sum(m * v) AS BIGINT) AS x_g
+  FROM cells GROUP BY g
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(x_g) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS k
+  FROM grp
+),
+tterms AS (
+  SELECT CAST(CAST(c.m * c.v AS DECIMAL(19,0))
+              * CAST(round(ln(CAST(c.v AS DOUBLE) * t.n
+                              / CAST(t.x AS DOUBLE)), 9)
+                     AS DECIMAL(12,9)) AS DECIMAL(38,9)) AS tt,
+         CAST(CAST(c.m * c.v AS DECIMAL(19,0))
+              * CAST(round(ln(CAST(c.v AS DOUBLE) * g.n_g
+                              / CAST(g.x_g AS DOUBLE)), 9)
+                     AS DECIMAL(12,9)) AS DECIMAL(38,9)) AS tw
+  FROM cells c JOIN grp g USING (g) CROSS JOIN tot t
+),
+bterms AS (
+  SELECT CAST(CAST(g.x_g AS DECIMAL(19,0))
+              * CAST(round(ln(CAST(g.x_g AS DOUBLE) * t.n
+                              / (CAST(t.x AS DOUBLE) * g.n_g)), 9)
+                     AS DECIMAL(12,9)) AS DECIMAL(38,9)) AS tb
+  FROM grp g CROSS JOIN tot t
+),
+s AS (
+  SELECT (SELECT n FROM tot) AS n,
+         (SELECT k FROM tot) AS k,
+         (SELECT x FROM tot) AS x,
+         (SELECT CAST(CAST(sum(tt) AS DECIMAL(38,9)) AS DOUBLE)
+          FROM tterms) AS st,
+         (SELECT CAST(CAST(sum(tw) AS DECIMAL(38,9)) AS DOUBLE)
+          FROM tterms) AS sw,
+         (SELECT CAST(CAST(sum(tb) AS DECIMAL(38,9)) AS DOUBLE)
+          FROM bterms) AS sb
+)
+SELECT n, k AS k_groups, x AS total_cents,
+       st / x AS theil_total,
+       sb / x AS theil_between,
+       sw / x AS theil_within
+FROM s WHERE n > 0 AND x > 0
+"""
+
+
+@register("rel_theil_decomposition", oracle=_THEIL_SQL, staged=True)
+def rel_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality with exact between/within decomposition
+    (built r12, staged r13) — the economics-family companion to the
+    Lorenz/Gini pair (rel_skew_gini, text_token_gini): Gini states
+    inequality as ONE number but cannot be split by subpopulation;
+    Theil's entropy form decomposes ADDITIVELY — T = T_between +
+    T_within — so a revenue-concentration readout can say how much
+    inequality lives BETWEEN return-flag segments vs INSIDE them (the
+    question a mixture/source-rebalancing decision actually asks,
+    DoReMi-adjacent). Measured over l_extendedprice cents by
+    l_returnflag.
+
+    Exactness: the value grid (g, v, m) makes every term a function
+    of exact integers; T·X = Σ m·v·ln(vN/X), T_w·X = Σ m·v·ln(v·N_g/
+    X_g), T_b·X = Σ X_g·ln(X_g·N/(X·N_g)) — each ln is pinned to the
+    round-9 DECIMAL(12,9) grid BEFORE the integer multiply (the
+    Zipf/KN device: pinning the transcendental first stops a last-ulp
+    ln difference being amplified by the m·v weight), the weight
+    product runs on the exact decimal lattice, operands stay < 2^53
+    through the 10x trend tier (decimal beyond — the WB/JM envelope
+    note), sums are exact decimal, and the readouts st/x, sb/x, sw/x
+    are fixed-shape double divisions (allowlisted). The decomposition
+    identity T = T_b + T_w holds to the 9dp term rounding (asserted
+    at 1e-6 in the named test).
+
+    Scale shape: one (g, v)-keyed map-side-combinable count reduces
+    the corpus; group margins and totals are reductions of the CELL
+    table; terms and sums are cell-sized. Nothing row-scaled past the
+    first reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("v"),
+    )
+    from ..cache import persist_tracked
+
+    cells = persist_tracked(
+        vals.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("m"))
+    )
+    grp = persist_tracked(
+        cells.groupBy("g").agg(
+            F.sum("m").cast("bigint").alias("n_g"),
+            F.sum(F.col("m") * F.col("v")).cast("bigint").alias("x_g"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("x_g").cast("bigint").alias("x"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    m, v = F.col("m"), F.col("v")
+    base = cells.join(F.broadcast(grp), "g").crossJoin(F.broadcast(tot))
+    tsum = base.select(
+        (
+            (m * v).cast("decimal(19,0)")
+            * F.round(
+                F.log(
+                    v.cast("double") * F.col("n")
+                    / F.col("x").cast("double")
+                ),
+                9,
+            ).cast("decimal(12,9)")
+        )
+        .cast("decimal(38,9)")
+        .alias("tt"),
+        (
+            (m * v).cast("decimal(19,0)")
+            * F.round(
+                F.log(
+                    v.cast("double") * F.col("n_g")
+                    / F.col("x_g").cast("double")
+                ),
+                9,
+            ).cast("decimal(12,9)")
+        )
+        .cast("decimal(38,9)")
+        .alias("tw"),
+    ).agg(
+        F.sum("tt").cast("decimal(38,9)").cast("double").alias("st"),
+        F.sum("tw").cast("decimal(38,9)").cast("double").alias("sw"),
+    )
+    bsum = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("x_g").cast("decimal(19,0)")
+                * F.round(
+                    F.log(
+                        F.col("x_g").cast("double") * F.col("n")
+                        / (F.col("x").cast("double") * F.col("n_g"))
+                    ),
+                    9,
+                ).cast("decimal(12,9)")
+            )
+            .cast("decimal(38,9)")
+            .alias("tb")
+        )
+        .agg(F.sum("tb").cast("decimal(38,9)").cast("double").alias("sb"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(tsum))
+        .crossJoin(F.broadcast(bsum))
+    )
+    x = F.col("x")
+    return out.where((F.col("n") > 0) & (x > 0)).select(
+        "n",
+        F.col("k").alias("k_groups"),
+        x.alias("total_cents"),
+        (F.col("st") / x).alias("theil_total"),
+        (F.col("sb") / x).alias("theil_between"),
+        (F.col("sw") / x).alias("theil_within"),
+    )

@@ -192,6 +192,10 @@ STAGED: dict[str, QueryDef] = {}
 #                               via its own introduction slot;
 #                               no-jobs skip: runs its micro-batch
 #                               drain)
+#   rel_theil_decomposition    (Theil-T inequality with the additive
+#                               between/within split Gini lacks;
+#                               ln pinned to 9dp BEFORE the integer
+#                               weight — the Zipf/KN device)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -295,8 +299,8 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (re-locked at r12 closeout; 3 + 36 + 11 = 50):
-#   (a) 36 introduction slots — the full r12-staged wave above
+# r13 head planning (re-locked at r12 closeout; 3 + 37 + 10 = 50):
+#   (a) 37 introduction slots — the full r12-staged wave above
 #       (events_theil_sen and rel_kruskal_wallis double as their
 #       readout-refactor consumers; curation_roc_auc doubles as the
 #       auc_readout refactor consumer). No-jobs skip additions: both
@@ -308,8 +312,8 @@ STAGED: dict[str, QueryDef] = {}
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (11): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 10 of the r6
+#   (c) freshness (10): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 9 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

@@ -598,6 +598,11 @@ _UNROUNDED_DOUBLE_OK = frozenset((
     # sums; regular graphs NULL explicitly (both dual forms)
     ("sim_degree_assortativity", "assortativity"),
     ("sim_degree_assortativity_ann", "assortativity"),
+    # Theil decomposition (r12): three fixed-shape double divisions
+    # of exact DECIMAL(38,9) term sums by the exact BIGINT total
+    ("rel_theil_decomposition", "theil_total"),
+    ("rel_theil_decomposition", "theil_between"),
+    ("rel_theil_decomposition", "theil_within"),
     ("text_zipf_fit", "intercept"),
     ("text_zipf_fit", "r2"),
     ("text_zipf_fit", "slope"),

@@ -828,3 +828,61 @@ def test_stream_kruskal_drain_equals_batch(spark, tmp_path):
     assert len(got) == len(want) == 1
     assert got[0].asDict() == want[0].asDict()
     assert got[0]["n"] == 120 and got[0]["k_groups"] == 3
+
+
+def test_theil_decomposition_hand_computed(spark, tmp_path):
+    """rel_theil_decomposition on a three-group planted table small
+    enough to replicate every pinned term: A = {1.00, 3.00},
+    B = {2.00, 2.00}, C = {8.00} (cents 100/300, 200 x2, 800; N=5,
+    X=1600). Each ln is rounded to the 9dp grid BEFORE its integer
+    weight (the Zipf/KN device), so the replica is bit-exact; the
+    Theil decomposition identity T = T_b + T_w must hold to the term
+    rounding."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    d = tmp_path / "theil"
+    d.mkdir()
+    spark.createDataFrame(
+        [("A", 1.00), ("A", 3.00), ("B", 2.00), ("B", 2.00), ("C", 8.00)],
+        "l_returnflag string, l_extendedprice double",
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    [r] = resolve_query("rel_theil_decomposition")(spark, str(d)).collect()
+    assert (r["n"], r["k_groups"], r["total_cents"]) == (5, 3, 1600)
+
+    q9 = Decimal("0.000000001")
+
+    def r9ln(x):
+        return Decimal(repr(math.log(x))).quantize(
+            q9, rounding=ROUND_HALF_UP
+        )
+
+    st = (
+        100 * r9ln(100 * 5 / 1600)
+        + 300 * r9ln(300 * 5 / 1600)
+        + 400 * r9ln(200 * 5 / 1600)
+        + 800 * r9ln(800 * 5 / 1600)
+    )
+    sw = (
+        100 * r9ln(100 * 2 / 400)
+        + 300 * r9ln(300 * 2 / 400)
+        + 400 * r9ln(200 * 2 / 400)
+        + 800 * r9ln(800 * 1 / 800)
+    )
+    sb = (
+        400 * r9ln(400 * 5 / (1600 * 2))
+        + 400 * r9ln(400 * 5 / (1600 * 2))
+        + 800 * r9ln(800 * 5 / (1600 * 1))
+    )
+    assert r["theil_total"] == float(st) / 1600
+    assert r["theil_within"] == float(sw) / 1600
+    assert r["theil_between"] == float(sb) / 1600
+    # the additive decomposition (Theil's distinguishing property)
+    assert abs(
+        r["theil_total"] - (r["theil_between"] + r["theil_within"])
+    ) < 1e-6
+    # C's lone big order dominates: between-group inequality positive
+    assert r["theil_between"] > 0 and r["theil_total"] > 0

@@ -657,6 +657,9 @@ def main(only: list[str] | None = None) -> None:
         "llr_drain": lambda k: SQ["stream_llr_drain"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "theil_decomposition": lambda k: SQ["rel_theil_decomposition"](
+            spark, table_dir("lineitem", k, "lineitem")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
