@@ -1430,3 +1430,143 @@ def sim_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_int").cast("double") / denom).alias("margin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_KC_K = 4
+_KC_CENT_COS_SQL = _V.cosine_sql("c.centroid", "e.embedding")
+_KC_PAIR_COS_SQL = _V.cosine_sql("pe.embedding", "e.embedding")
+
+
+def _kc_sql() -> str:
+    parts = [f"""cparts AS (
+  SELECT u.pos,
+         CAST(round(CAST(u.val AS DOUBLE), 9) AS DECIMAL(18,9)) AS cval
+  FROM embeddings emb,
+  LATERAL (SELECT unnest(list_transform(emb.embedding,
+                  (v, i) -> {{'pos': i, 'val': v}})) AS u)
+),
+cent AS (
+  SELECT list(CAST(sum_val AS DOUBLE) / cnt ORDER BY pos) AS centroid
+  FROM (SELECT pos, CAST(sum(cval) AS DOUBLE) AS sum_val,
+               count(*) AS cnt
+        FROM cparts GROUP BY pos)
+),
+s0 AS (
+  SELECT e.vec_id, round(1 - ({_KC_CENT_COS_SQL}), 6) AS d
+  FROM embeddings e CROSS JOIN cent c
+  WHERE round(1 - ({_KC_CENT_COS_SQL}), 6) IS NOT NULL
+),
+p1 AS (
+  SELECT 1 AS pick, vec_id, d AS dist FROM s0
+  ORDER BY d DESC, vec_id LIMIT 1
+)"""]
+    prev_union = "SELECT pick, vec_id, dist FROM p1"
+    for r in range(2, _KC_K + 1):
+        parts.append(f"""m{r} AS (
+  SELECT e.vec_id, min(round(1 - ({_KC_PAIR_COS_SQL}), 6)) AS md
+  FROM embeddings e
+  JOIN ({prev_union}) p ON e.vec_id <> p.vec_id
+  JOIN embeddings pe ON pe.vec_id = p.vec_id
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM ({prev_union}))
+  GROUP BY e.vec_id
+  HAVING min(round(1 - ({_KC_PAIR_COS_SQL}), 6)) IS NOT NULL
+),
+p{r} AS (
+  SELECT {r} AS pick, vec_id, md AS dist FROM m{r}
+  ORDER BY md DESC, vec_id LIMIT 1
+)""")
+        prev_union += f" UNION ALL SELECT pick, vec_id, dist FROM p{r}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(pick AS INT) AS pick, vec_id, dist"
+          f"\nFROM ({prev_union})"
+    )
+
+
+@register("curation_kcenter_coreset", oracle=_kc_sql(), staged=True)
+def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (built r12, staged r13) — the
+    COVERAGE-side diverse-subset operator beside SemDeDup (which
+    removes redundancy) and MMR (which blends relevance with
+    diversity): pick k points so that the farthest point from the
+    picked set is as close as possible — the classic 2-approximation
+    of the k-center objective, and the standard seed/coreset selector
+    a curation pipeline runs to pick maximally-spread exemplars for
+    labeling or few-shot pools. Seeded deterministically at the point
+    FARTHEST from the corpus centroid (the maximally atypical doc);
+    each later round picks the point maximizing its min cosine
+    distance to everything already picked.
+
+    Exactness: the centroid is dimension-keyed exact-decimal means
+    (the PRF-centroid device); every distance is round-6 with vec_id
+    tiebreaks, so each greedy argmax is a TOTAL order and both
+    engines pick identical chains (the MMR determinism argument —
+    a first-pick tie would change every later round, which round-6 +
+    id tiebreak makes impossible). Zero-norm embeddings drop via the
+    NULL-cosine guard.
+
+    Scale shape: the greedy loop is UNROLLED to k={_KC_K} plan
+    stages; each round is one corpus scan joined to a <=k-row
+    BROADCAST picked set, a vec-keyed min-reduce, and a
+    TakeOrdered(1) — never a pairwise matrix, never a corpus-sized
+    broadcast, exactly k passes at any scale."""
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    cparts = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        "pos",
+        F.round(F.col("val").cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("cval"),
+    )
+    cent = (
+        cparts.groupBy("pos")
+        .agg((F.sum("cval").cast("double") / F.count("*")).alias("cdim"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cdim"))),
+                lambda s: s.cdim,
+            ).alias("centroid")
+        )
+    )
+    d0 = F.round(1 - _V.cosine("centroid", "embedding"), 6)
+    p1 = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", d0.alias("d"))
+        .where(F.col("d").isNotNull())
+        .orderBy(F.col("d").desc(), "vec_id")
+        .limit(1)
+        .select(F.lit(1).alias("pick"), "vec_id", F.col("d").alias("dist"))
+    )
+    picks = persist_tracked(p1)
+    for r in range(2, _KC_K + 1):
+        chosen = picks.select("vec_id").join(emb, "vec_id").select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+        pd_ = F.round(1 - _V.cosine("cemb", "embedding"), 6)
+        pr = (
+            emb.join(
+                picks.select(F.col("vec_id").alias("pid")),
+                F.col("vec_id") == F.col("pid"),
+                "left_anti",
+            )
+            .crossJoin(F.broadcast(chosen))
+            .select("vec_id", pd_.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("md"))
+            .where(F.col("md").isNotNull())
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(r).alias("pick"), "vec_id",
+                F.col("md").alias("dist"),
+            )
+        )
+        picks = persist_tracked(picks.unionAll(pr))
+    return picks.select(
+        F.col("pick").cast("int").alias("pick"), "vec_id", "dist"
+    )

@@ -196,6 +196,11 @@ STAGED: dict[str, QueryDef] = {}
 #                               between/within split Gini lacks;
 #                               ln pinned to 9dp BEFORE the integer
 #                               weight — the Zipf/KN device)
+#   curation_kcenter_coreset   (greedy k-center exemplar selection —
+#                               the coverage-side diverse-subset
+#                               operator; unrolled rounds, round-6 +
+#                               id-tiebreak total order, per-round
+#                               1-row persists)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -299,8 +304,8 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (re-locked at r12 closeout; 3 + 37 + 10 = 50):
-#   (a) 37 introduction slots — the full r12-staged wave above
+# r13 head planning (re-locked at r12 closeout; 3 + 38 + 9 = 50):
+#   (a) 38 introduction slots — the full r12-staged wave above
 #       (events_theil_sen and rel_kruskal_wallis double as their
 #       readout-refactor consumers; curation_roc_auc doubles as the
 #       auc_readout refactor consumer). No-jobs skip additions: both
@@ -312,8 +317,8 @@ STAGED: dict[str, QueryDef] = {}
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (10): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 9 of the r6
+#   (c) freshness (9): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 8 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

@@ -1747,3 +1747,97 @@ def test_assortativity_planted_graphs(spark):
     [r] = assortativity_from_edges(tri).collect()
     assert (r["n_nodes"], r["n_edges"]) == (3, 3)
     assert r["assortativity"] is None
+
+
+def test_kcenter_coreset_covers_clusters_and_matches_replica(spark, tmp_path):
+    """curation_kcenter_coreset (staged r13) on four tight direction
+    clusters (3 vectors each, exactly-f32-representable components):
+    the greedy max-min chain MUST pick one vector from each cluster
+    (within-cluster cosine distance ~0, across >= 1), and the whole
+    (pick, vec_id, dist) chain is replayed bit-exact by a Python
+    replica of the spec — round-9 decimal centroid, in-order IEEE
+    dot/norm folds, round-6 distances, vec_id tiebreaks."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    dirs = [(1.0, 0.0), (0.0, 1.0), (-1.0, 0.0), (0.0, -1.0)]
+    rows = []
+    # asymmetric all-positive jitter keeps the corpus centroid off the
+    # origin (a symmetric fixture pins it to (0,0) -> NULL cosine)
+    for ci, (x, y) in enumerate(dirs):
+        for j, eps in enumerate((0.0625, 0.125, 0.25)):
+            rows.append(
+                (ci * 10 + j,
+                 [x + (eps if x == 0.0 else 0.0),
+                  y + (eps if y == 0.0 else 0.0)],
+                 ci)
+            )
+    d = tmp_path / "kc"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+
+    got = sorted(
+        (r["pick"], r["vec_id"], r["dist"])
+        for r in resolve_query("curation_kcenter_coreset")(
+            spark, str(d)
+        ).collect()
+    )
+    assert len(got) == 4
+    # one pick per direction cluster
+    assert sorted({vid // 10 for _, vid, _ in got}) == [0, 1, 2, 3]
+
+    # exact replica of the spec
+    vecs = {vid: emb for vid, emb, _ in rows}
+    n = len(vecs)
+    q9 = Decimal("0.000000001")
+    sums = [Decimal(0), Decimal(0)]
+    for emb in vecs.values():
+        for i, v in enumerate(emb):
+            sums[i] += Decimal(repr(float(v))).quantize(
+                q9, rounding=ROUND_HALF_UP
+            )
+    cent = [float(sums[i]) / n for i in range(2)]
+
+    def cos(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for i in range(2):
+            dot += a[i] * b[i]
+        for i in range(2):
+            na += a[i] * a[i]
+        for i in range(2):
+            nb += b[i] * b[i]
+        na, nb = math.sqrt(na), math.sqrt(nb)
+        if na > 0 and nb > 0:
+            return dot / (na * nb)
+        return None
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    picked = []
+    # pick 1: farthest from centroid
+    cand = sorted(
+        ((-(r6(1 - cos(cent, e))), vid) for vid, e in vecs.items()),
+    )
+    picked.append((1, cand[0][1], -cand[0][0]))
+    for r in range(2, 5):
+        ids = {vid for _, vid, _ in picked}
+        best = None
+        for vid, e in sorted(vecs.items()):
+            if vid in ids:
+                continue
+            md = min(r6(1 - cos(vecs[p], e)) for _, p, _ in picked)
+            if best is None or md > best[0]:
+                best = (md, vid)
+        picked.append((r, best[1], best[0]))
+    assert got == sorted(picked)

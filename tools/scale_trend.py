@@ -660,6 +660,9 @@ def main(only: list[str] | None = None) -> None:
         "theil_decomposition": lambda k: SQ["rel_theil_decomposition"](
             spark, table_dir("lineitem", k, "lineitem")
         ),
+        "kcenter_coreset": lambda k: SQ["curation_kcenter_coreset"](
+            spark, table_dir("emb", k, "embeddings")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
