@@ -322,7 +322,14 @@ STAGED: dict[str, QueryDef] = {}
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort
-#       names from the END one-for-one.
+#       names from the END one-for-one. REVERSE option for the r13
+#       planner: the staging rule only forbids a staged query
+#       entering queries() WITHOUT a head slot — holding part of the
+#       38-query wave staged one more round (oldest-staged first
+#       into r13, the rest to r14) is legitimate if freshness debt
+#       (39 r6-cohort names after this rotation) is judged the
+#       bigger risk; the four-way gate evidence in SWEEPS.md does
+#       not expire.
 
 
 
