@@ -4055,3 +4055,167 @@ def bencode_ingest_features(base: DataFrame) -> DataFrame:
             )
 
     return base.mapInPandas(run, BENCODE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL Avro Object Container File codec (built r12, staged r13) — the
+# big-data-native sibling of the parquet-footer walker: magic
+# Obj\x01, the file-metadata MAP (avro.schema JSON + avro.codec) in
+# Avro map wire form (block count, key/value strings, terminator),
+# a 16-byte sync marker, then data blocks of (record count varint,
+# byte size varint, serialized records, sync repeat). Record body
+# wire form for the fixture schema {id: long, n: int, name: string}:
+# zigzag varints (Avro ints/longs are ALWAYS zigzag — unlike
+# protobuf where it is opt-in) and length-prefixed UTF-8. Decoder
+# verifies the magic, parses the metadata map, REJECTS unknown
+# codecs, walks every block checking the byte-size field against the
+# actual record walk AND the sync marker after every block — loud
+# ValueError on any inconsistency (the container-family contract).
+# ---------------------------------------------------------------------------
+
+_AVRO_MAGIC = b"Obj\x01"
+_AVRO_SCHEMA = (
+    b'{"type":"record","name":"doc","fields":['
+    b'{"name":"id","type":"long"},{"name":"n","type":"int"},'
+    b'{"name":"name","type":"string"}]}'
+)
+
+
+def _avro_zz(v: int) -> bytes:
+    return _uvarint(((v << 1) ^ (v >> 63)) & ((1 << 64) - 1))
+
+
+def _avro_read_zz(raw: bytes, pos: int) -> tuple[int, int]:
+    u, pos = _read_uvarint(raw, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _avro_str(s: bytes) -> bytes:
+    return _avro_zz(len(s)) + s
+
+
+def encode_avro_ocf(doc_id: int) -> bytes:
+    """Deterministic single-file OCF: metadata map (schema + null
+    codec), sync derived from doc_id, b = 1 + d%3 data blocks of
+    r_j = 1 + (d+j)%4 records each; record k of block j is
+    (id = d*1000 + j*10 + k, n = alternating-sign (d+j+k),
+    name = 'n' * (1 + (d+k)%5))."""
+    d = int(doc_id)
+    sync = bytes((d * 31 + i * 7) % 256 for i in range(16))
+    out = bytearray(_AVRO_MAGIC)
+    # metadata map: one block of 2 entries, then the 0 terminator
+    out += _avro_zz(2)
+    out += _avro_str(b"avro.schema") + _avro_str(_AVRO_SCHEMA)
+    out += _avro_str(b"avro.codec") + _avro_str(b"null")
+    out += _avro_zz(0)
+    out += sync
+    for j in range(1 + d % 3):
+        recs = bytearray()
+        for k in range(1 + (d + j) % 4):
+            rid = d * 1000 + j * 10 + k
+            n = (d + j + k) if k % 2 == 0 else -(d + j + k)
+            name = b"n" * (1 + (d + k) % 5)
+            recs += _avro_zz(rid) + _avro_zz(n) + _avro_str(name)
+        out += _avro_zz(1 + (d + j) % 4) + _avro_zz(len(recs))
+        out += recs + sync
+    return bytes(out)
+
+
+def decode_avro_ocf(raw: bytes) -> dict:
+    """OCF walk -> profile {'n_blocks', 'n_records', 'sum_ids',
+    'sum_ints', 'name_bytes', 'schema_len'}. Verifies magic, metadata
+    map form, null codec, per-block byte sizes, and every sync
+    marker; loud ValueError on any malformation."""
+    if raw[:4] != _AVRO_MAGIC:
+        raise ValueError("bad OCF magic")
+    pos = 4
+    meta = {}
+    while True:
+        cnt, pos = _avro_read_zz(raw, pos)
+        if cnt == 0:
+            break
+        if cnt < 0:  # negative count form: abs count + byte size
+            raise ValueError("negative metadata block count unsupported")
+        for _ in range(cnt):
+            klen, pos = _avro_read_zz(raw, pos)
+            key = raw[pos:pos + klen]
+            pos += klen
+            vlen, pos = _avro_read_zz(raw, pos)
+            meta[bytes(key)] = raw[pos:pos + vlen]
+            pos += vlen
+    if meta.get(b"avro.codec", b"null") != b"null":
+        raise ValueError(f"unsupported codec {meta.get(b'avro.codec')!r}")
+    if b"avro.schema" not in meta:
+        raise ValueError("missing avro.schema")
+    if pos + 16 > len(raw):
+        raise ValueError("truncated sync marker")
+    sync = raw[pos:pos + 16]
+    pos += 16
+    nb = nr = sids = sints = nmb = 0
+    while pos < len(raw):
+        cnt, pos = _avro_read_zz(raw, pos)
+        size, pos = _avro_read_zz(raw, pos)
+        if cnt <= 0 or size < 0:
+            raise ValueError(f"bad block header at offset {pos}")
+        if pos + size + 16 > len(raw):
+            raise ValueError("block overruns file")
+        end = pos + size
+        for _ in range(cnt):
+            rid, pos = _avro_read_zz(raw, pos)
+            n, pos = _avro_read_zz(raw, pos)
+            ln, pos = _avro_read_zz(raw, pos)
+            if ln < 0 or pos + ln > end:
+                raise ValueError("record overruns block")
+            nmb += ln
+            pos += ln
+            nr += 1
+            sids += rid
+            sints += n
+        if pos != end:
+            raise ValueError(
+                f"block size mismatch: header {size}, walked {pos - end + size}"
+            )
+        if raw[pos:pos + 16] != sync:
+            raise ValueError("sync marker mismatch")
+        pos += 16
+        nb += 1
+    return {
+        "n_blocks": nb, "n_records": nr, "sum_ids": sids,
+        "sum_ints": sints, "name_bytes": nmb,
+        "schema_len": len(meta[b"avro.schema"]),
+    }
+
+
+AVRO_FEATURE_SCHEMA = (
+    "doc_id long, n_blocks int, n_records int, sum_ids long,"
+    " sum_ints long, name_bytes long, schema_len int"
+)
+
+
+def avro_ingest_features(base: DataFrame) -> DataFrame:
+    """(doc_id) -> synth OCF -> full container walk (magic, metadata
+    map, codec gate, per-block size + sync verification) ->
+    integer-exact profile stated by the oracle from the synthesis
+    formula."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                p = decode_avro_ocf(encode_avro_ocf(int(doc_id)))
+                out.append(
+                    (
+                        int(doc_id), p["n_blocks"], p["n_records"],
+                        p["sum_ids"], p["sum_ints"], p["name_bytes"],
+                        p["schema_len"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_blocks", "n_records", "sum_ids",
+                    "sum_ints", "name_bytes", "schema_len",
+                ],
+            )
+
+    return base.mapInPandas(run, AVRO_FEATURE_SCHEMA)

@@ -2194,3 +2194,58 @@ def multimodal_bencode_manifest(
 
     docs = load_table(spark, sf_dir, "documents")
     return bencode_ingest_features(docs.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# REAL Avro Object Container File codec (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_AVRO_SQL = """
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS nb FROM documents
+),
+blocks AS (
+  SELECT doc_id, nb, unnest(generate_series(0, nb - 1)) AS j FROM base
+),
+recs AS (
+  SELECT doc_id, nb, j,
+         unnest(generate_series(0, (doc_id + j) % 4)) AS k
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(max(nb) AS INT) AS n_blocks,
+       CAST(count(*) AS INT) AS n_records,
+       CAST(sum(doc_id * 1000 + j * 10 + k) AS BIGINT) AS sum_ids,
+       CAST(sum(CASE WHEN k % 2 = 0 THEN doc_id + j + k
+                     ELSE -(doc_id + j + k) END) AS BIGINT) AS sum_ints,
+       CAST(sum(1 + (doc_id + k) % 5) AS BIGINT) AS name_bytes,
+       CAST(127 AS INT) AS schema_len
+FROM recs GROUP BY doc_id
+"""
+
+
+@register("source_avro_manifest", oracle=_AVRO_SQL, staged=True)
+def source_avro_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Avro Object Container File codec (built r12, staged r13) —
+    the big-data-native sibling of source_parquet_footer's Thrift
+    walker, covering the OTHER canonical data-lake format from
+    scratch: magic Obj\\x01, the file-metadata MAP in Avro map wire
+    form (avro.schema JSON + avro.codec), the 16-byte sync marker,
+    and data blocks of (record-count varint, byte-size varint,
+    records, sync repeat). Record bodies for the fixture schema
+    {id: long, n: int, name: string} are ALWAYS-zigzag varints (the
+    grammar difference from protobuf, where zigzag is opt-in) plus
+    length-prefixed UTF-8. The decoder verifies the magic, parses
+    the metadata map, REJECTS non-null codecs, and checks BOTH the
+    declared byte size against the actual record walk AND the sync
+    marker after every block — loud ValueError on any inconsistency.
+    The 6-column profile is stated by the oracle from the synthesis
+    formula, so a zigzag, framing, size-accounting, or sync bug
+    hash-mismatches.
+
+    Scale shape: per-row scan-stage codec work (the protowire/MIDI
+    convention); only the profile leaves the stage."""
+    from ..operators.multimodal import avro_ingest_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return avro_ingest_features(docs.select("doc_id"))

@@ -201,6 +201,10 @@ STAGED: dict[str, QueryDef] = {}
 #                               operator; unrolled rounds, round-6 +
 #                               id-tiebreak total order, per-round
 #                               1-row persists)
+#   source_avro_manifest       (REAL Avro OCF — metadata map, codec
+#                               gate, per-block size + sync verify,
+#                               always-zigzag records; the parquet
+#                               footer's data-lake sibling)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -304,8 +308,8 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (re-locked at r12 closeout; 3 + 38 + 9 = 50):
-#   (a) 38 introduction slots — the full r12-staged wave above
+# r13 head planning (re-locked at r12 closeout; 3 + 39 + 8 = 50):
+#   (a) 39 introduction slots — the full r12-staged wave above
 #       (events_theil_sen and rel_kruskal_wallis double as their
 #       readout-refactor consumers; curation_roc_auc doubles as the
 #       auc_readout refactor consumer). No-jobs skip additions: both
@@ -317,8 +321,8 @@ STAGED: dict[str, QueryDef] = {}
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (9): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 8 of the r6
+#   (c) freshness (8): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 7 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

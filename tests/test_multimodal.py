@@ -1882,3 +1882,59 @@ def test_bencode_canonical_grammar_and_rejects():
             (10 + d % 7) + (5 + d % 11) + 20 * (1 + d % 3)
         )
         assert prof["n_keys"] == 6 + m and prof["max_depth"] == 3
+
+
+def test_avro_ocf_container_walk_and_rejects():
+    """Avro OCF codec (staged r13): magic/metadata/codec/sync/framing
+    verification with a loud-reject battery, hand-decoded wire bytes
+    for one tiny file, and the synth profile replica."""
+    import pytest
+
+    from posts_vectorizer_spark.operators.multimodal import (
+        _AVRO_SCHEMA,
+        decode_avro_ocf,
+        encode_avro_ocf,
+    )
+
+    # hand-check the d=0 layout: 1 block, 1 record
+    # record: id=0 -> zigzag 0x00; n=0 -> 0x00; name 'n' -> len 1 + b'n'
+    raw = encode_avro_ocf(0)
+    assert raw[:4] == b"Obj\x01"
+    sync = bytes((0 * 31 + i * 7) % 256 for i in range(16))
+    body = b"\x00\x00\x02n"
+    tail = b"\x02" + bytes([len(body) * 2]) + body + sync
+    assert raw.endswith(sync + tail)  # header sync, then the block
+    p = decode_avro_ocf(raw)
+    assert p == {
+        "n_blocks": 1, "n_records": 1, "sum_ids": 0, "sum_ints": 0,
+        "name_bytes": 1, "schema_len": len(_AVRO_SCHEMA),
+    }
+
+    for d in (1, 2, 3, 7, 42, 999):
+        q = decode_avro_ocf(encode_avro_ocf(d))
+        nb = 1 + d % 3
+        assert q["n_blocks"] == nb
+        assert q["n_records"] == sum(1 + (d + j) % 4 for j in range(nb))
+        assert q["sum_ints"] == sum(
+            (d + j + k) if k % 2 == 0 else -(d + j + k)
+            for j in range(nb) for k in range(1 + (d + j) % 4)
+        )
+
+    raw7 = encode_avro_ocf(7)
+    with pytest.raises(ValueError):
+        decode_avro_ocf(b"Obj\x02" + raw7[4:])       # bad magic
+    with pytest.raises(ValueError):
+        decode_avro_ocf(raw7[:-1])                    # truncated sync
+    mut = bytearray(raw7)
+    mut[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_avro_ocf(bytes(mut))                   # sync mismatch
+    with pytest.raises(ValueError):                   # unsupported codec
+        decode_avro_ocf(raw7.replace(b"\x08null", b"\x0edeflate"))
+    # corrupt a block's declared byte size: framing must loud-reject
+    sync7 = bytes((7 * 31 + i * 7) % 256 for i in range(16))
+    head_end = raw7.index(sync7) + 16
+    mut = bytearray(raw7)
+    mut[head_end + 1] += 2                            # size varint bump
+    with pytest.raises(ValueError):
+        decode_avro_ocf(bytes(mut))

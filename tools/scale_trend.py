@@ -663,6 +663,9 @@ def main(only: list[str] | None = None) -> None:
         "kcenter_coreset": lambda k: SQ["curation_kcenter_coreset"](
             spark, table_dir("emb", k, "embeddings")
         ),
+        "avro_manifest": lambda k: SQ["source_avro_manifest"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
