@@ -3013,3 +3013,128 @@ def text_witten_bell_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("wb_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) calibration via the minimax identity (built r12,
+# staged r13)
+# ---------------------------------------------------------------------------
+
+_ISOTONIC_SQL = f"""
+WITH {_SCORE_GRID_CTES},
+idx AS (
+  SELECT s, pos, pos + neg AS w,
+         row_number() OVER (ORDER BY s) AS i,
+         CAST(sum(pos) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+         CAST(sum(pos + neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+  FROM grid
+),
+pairs AS (
+  SELECT a.i AS j, b.i AS k,
+         CAST(round(CAST(b.cp - (a.cp - a.pos) AS DOUBLE)
+                    / (b.cw - (a.cw - a.w)), 9) AS DECIMAL(12,9)) AS avgjk
+  FROM idx a JOIN idx b ON a.i <= b.i
+),
+mm AS (
+  SELECT j, k,
+         min(avgjk) OVER (PARTITION BY j ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM pairs
+),
+fit AS (SELECT k, max(m) AS fitted FROM mm GROUP BY k)
+SELECT g.s, CAST(g.w AS BIGINT) AS n,
+       CAST(round(CAST(g.pos AS DOUBLE) / g.w, 9) AS DECIMAL(12,9))
+         AS raw_rate,
+       f.fitted
+FROM idx g JOIN fit f ON f.k = g.i
+"""
+
+
+@register(
+    "curation_isotonic_calibration", oracle=_ISOTONIC_SQL, staged=True
+)
+def curation_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (pool-adjacent-violators) calibration of the quality
+    signal (built r12, staged r13) — the NONPARAMETRIC calibrator
+    completing the family: the reliability diagram shows the
+    miscalibration, ECE scores it, Platt fits a 2-parameter sigmoid,
+    conformal sidesteps calibration entirely; isotonic regression is
+    the assumption-free standard when the score-probability relation
+    is monotone but not sigmoid (and what sklearn's
+    CalibratedClassifierCV(method='isotonic') runs). Stated WITHOUT
+    the sequential PAV pooling loop via the minimax identity
+    fitted_i = max_{{j<=i}} min_{{k>=i}} avg(y[j..k]) — an identity of
+    the isotonic solution, so the whole fit is three windows over the
+    bounded score grid and stays declarative in BOTH engines.
+
+    Exactness: prefix sums are exact BIGINTs off the (s, pos, neg)
+    grid (the shared _score_label_grid); every block average is ONE
+    double division of exact < 2^53 integers rounded to the 9dp
+    DECIMAL(12,9) grid (bit-identical cross-engine); min/max over
+    pinned decimals are exact. The fit is PAV-on-the-9dp-grid —
+    monotone by construction (growing j-set, shrinking k-set), which
+    the named test asserts alongside a hand-pooled replica.
+
+    Scale shape: the corpus is touched ONCE by the grid groupBy
+    (map-side combinable); everything after is grid-sized — n^2
+    pairs of a few-hundred-row bounded grid (518 rows at sf0.1), two
+    windows, one join back. At 100 TB the grid is still score-
+    cardinality-bounded: round-6 scores cap it at 1e6 rows
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = _score_label_grid(docs)
+    wo = Window.orderBy("s")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = grid.select(
+        "s",
+        "pos",
+        (F.col("pos") + F.col("neg")).alias("w"),
+        F.row_number().over(wo).alias("i"),
+        F.sum("pos").over(wcum).cast("bigint").alias("cp"),
+        F.sum(F.col("pos") + F.col("neg"))
+        .over(wcum)
+        .cast("bigint")
+        .alias("cw"),
+    )
+    from ..cache import persist_tracked
+
+    idx = persist_tracked(idx)
+    a = idx.select(
+        F.col("i").alias("j"),
+        (F.col("cp") - F.col("pos")).alias("pjm1"),
+        (F.col("cw") - F.col("w")).alias("wjm1"),
+    )
+    b = idx.select(
+        F.col("i").alias("k"), F.col("cp").alias("pk"),
+        F.col("cw").alias("wk"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("j") <= F.col("k")).select(
+        "j", "k",
+        F.round(
+            (F.col("pk") - F.col("pjm1")).cast("double")
+            / (F.col("wk") - F.col("wjm1")),
+            9,
+        )
+        .cast("decimal(12,9)")
+        .alias("avgjk"),
+    )
+    wmin = Window.partitionBy("j").orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mm = pairs.select("j", "k", F.min("avgjk").over(wmin).alias("m"))
+    fit = mm.groupBy("k").agg(F.max("m").alias("fitted"))
+    return (
+        idx.join(fit, idx["i"] == fit["k"])
+        .select(
+            "s",
+            F.col("w").cast("bigint").alias("n"),
+            F.round(F.col("pos").cast("double") / F.col("w"), 9)
+            .cast("decimal(12,9)")
+            .alias("raw_rate"),
+            "fitted",
+        )
+    )

@@ -819,3 +819,47 @@ def test_jelinek_mercer_hand_computed(spark, tmp_path):
     # estimate for the majority bigram, above it for the singleton
     assert float(lp("a", "b")) < math.log10(3 / 4)   # p_ml(b|a)=3/4
     assert float(lp("a", "c")) > math.log10(1 / 4) - 1  # sanity bound
+
+
+def test_isotonic_calibration_pav_hand_pooled(spark, tmp_path):
+    """curation_isotonic_calibration on a planted 4-score grid with one
+    adjacent violation (rates 0, 1, 0, 1): classic PAV pools the
+    middle pair to 0.5, leaving fitted = [0, 0.5, 0.5, 1] — verified
+    exactly on the 9dp grid, plus the structural monotonicity the
+    minimax identity guarantees."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = [
+        (1, "a a a a", "de", "s", 1),   # s=0.25, neg
+        (2, "a a a a", "fr", "s", 1),   # s=0.25, neg
+        (3, "a a b b", "en", "s", 1),   # s=0.5, pos
+        (4, "a b c c", "de", "s", 1),   # s=0.75, neg
+        (5, "a b c d", "en", "s", 1),   # s=1.0, pos
+        (6, "e f g h", "en", "s", 1),   # s=1.0, pos
+    ]
+    d = tmp_path / "iso"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        float(r["s"]): r
+        for r in resolve_query("curation_isotonic_calibration")(
+            spark, str(d)
+        ).collect()
+    }
+    assert sorted(got) == [0.25, 0.5, 0.75, 1.0]
+    assert got[0.25]["n"] == 2 and got[0.25]["raw_rate"] == Decimal("0E-9")
+    assert got[0.5]["raw_rate"] == Decimal("1.000000000")
+    # PAV pools the (1, 0) violation at s=0.5/0.75 to 1/2
+    assert got[0.25]["fitted"] == Decimal("0E-9")
+    assert got[0.5]["fitted"] == Decimal("0.500000000")
+    assert got[0.75]["fitted"] == Decimal("0.500000000")
+    assert got[1.0]["fitted"] == Decimal("1.000000000")
+    # monotone by construction
+    fs = [got[s]["fitted"] for s in sorted(got)]
+    assert fs == sorted(fs)

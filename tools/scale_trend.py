@@ -666,6 +666,9 @@ def main(only: list[str] | None = None) -> None:
         "avro_manifest": lambda k: SQ["source_avro_manifest"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "isotonic_calibration": lambda k: SQ["curation_isotonic_calibration"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
