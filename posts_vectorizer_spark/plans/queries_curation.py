@@ -3086,7 +3086,16 @@ def curation_isotonic_calibration(
     cardinality-bounded: round-6 scores cap it at 1e6 rows
     regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    grid = _score_label_grid(docs)
+    return isotonic_readout(_score_label_grid(docs))
+
+
+def isotonic_readout(grid: DataFrame) -> DataFrame:
+    """The minimax-PAV fit as a pure function of the (s, pos, neg)
+    score-grid table — the ADDITIVE sufficient statistic the AUC
+    drain already maintains (built r12): index/prefix windows, the
+    n² pinned block averages, min/max windows, and the calibrated
+    readout all derive from it. Shared by the batch query and the
+    streaming drain."""
     wo = Window.orderBy("s")
     wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     idx = grid.select(

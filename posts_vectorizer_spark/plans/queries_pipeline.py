@@ -2092,3 +2092,43 @@ def stream_llr_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             " llr decimal(28,9)",
         )
     return llr_readout(state.select("w1", "w2", "k11"))
+
+
+from .queries_curation import _ISOTONIC_SQL  # noqa: E402
+
+
+@register("stream_isotonic_drain", oracle=_ISOTONIC_SQL, staged=True)
+def stream_isotonic_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming calibration-curve maintenance with a driver row
+    (built r12, staged r13): documents stream in TWO forced
+    micro-batches; each batch ADD-merges its (s, pos, neg) score-grid
+    delta into the standing table — the SAME
+    streaming/worker.py::score_grid_stream state the AUC drain
+    maintains (one standing table, now TWO registered readouts); the
+    minimax-PAV isotonic fit reads out from MERGED state through the
+    SAME isotonic_readout as the batch query, whose whole-corpus SQL
+    is the oracle. Grid counts are additive, so the batch split
+    cannot move a block average — the live calibrated
+    score-to-probability curve a serving gate polls, at the cost of
+    one readout function and zero new state. The 19th drain;
+    curation_isotonic_calibration re-proves as the readout-refactor
+    consumer via its own introduction slot."""
+    from ..streaming.worker import score_grid_stream
+    from .queries_curation import isotonic_readout
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select("doc_id", "text", "lang")
+    state = _forced_drain(
+        spark, feed, "doc_id",
+        lambda src, st, ck, mft: score_grid_stream(
+            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+        ),
+        files_per_half=4,
+    )
+    if state is None:
+        return spark.createDataFrame(
+            [],
+            "s decimal(18,6), n bigint, raw_rate decimal(12,9),"
+            " fitted decimal(12,9)",
+        )
+    return isotonic_readout(state.select("s", "pos", "neg"))

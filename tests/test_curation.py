@@ -863,3 +863,45 @@ def test_isotonic_calibration_pav_hand_pooled(spark, tmp_path):
     # monotone by construction
     fs = [got[s]["fitted"] for s in sorted(got)]
     assert fs == sorted(fs)
+
+
+def test_stream_isotonic_drain_equals_batch(spark, tmp_path):
+    """stream_isotonic_drain's merged-state readout must equal the
+    batch query exactly: score-grid counts are additive, so the
+    forced two-batch split cannot move a prefix sum, a block average,
+    or a pooling decision. Fixture is the PAV hand test's violating
+    grid doubled so both forced halves carry scores."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows = []
+    for rep in range(2):
+        base = rep * 10
+        rows += [
+            (base + 1, "a a a a", "de", "s", 1),
+            (base + 2, "a a a a", "fr", "s", 1),
+            (base + 3, "a a b b", "en", "s", 1),
+            (base + 4, "a b c c", "de", "s", 1),
+            (base + 5, "a b c d", "en", "s", 1),
+            (base + 6, "e f g h", "en", "s", 1),
+        ]
+    d = tmp_path / "isod"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+
+    key = lambda r: str(r["s"])
+    batch = sorted(
+        (r.asDict() for r in
+         resolve_query("curation_isotonic_calibration")(
+             spark, str(d)
+         ).collect()),
+        key=key,
+    )
+    drain = sorted(
+        (r.asDict() for r in
+         resolve_query("stream_isotonic_drain")(spark, str(d)).collect()),
+        key=key,
+    )
+    assert batch and drain == batch

@@ -669,6 +669,9 @@ def main(only: list[str] | None = None) -> None:
         "isotonic_calibration": lambda k: SQ["curation_isotonic_calibration"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "isotonic_drain": lambda k: SQ["stream_isotonic_drain"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
