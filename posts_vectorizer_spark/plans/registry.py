@@ -217,6 +217,10 @@ STAGED: dict[str, QueryDef] = {}
 #                               re-proves via its own introduction
 #                               slot; no-jobs skip: runs its
 #                               micro-batch drain)
+#   source_fasttext_bin        (REAL fastText .bin walk — closes
+#                               gap-list item 2: magic/version/args/
+#                               dict/quant-gate/matrix cross-checks;
+#                               .bin-vs-.vec ingestion cross-check)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -320,8 +324,8 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (re-locked at r12 closeout; 3 + 41 + 6 = 50):
-#   (a) 41 introduction slots — the full r12-staged wave above
+# r13 head planning (re-locked at r12 closeout; 3 + 42 + 5 = 50):
+#   (a) 42 introduction slots — the full r12-staged wave above
 #       (events_theil_sen and rel_kruskal_wallis double as their
 #       readout-refactor consumers; curation_roc_auc doubles as the
 #       auc_readout refactor consumer). No-jobs skip additions: both
@@ -333,8 +337,8 @@ STAGED: dict[str, QueryDef] = {}
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (6): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 5 of the r6
+#   (c) freshness (5): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 4 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

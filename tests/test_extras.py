@@ -586,3 +586,66 @@ def test_arrow_vector_stats_handles_empty_embeddings(spark, tmp_path):
     assert rows[1] == (2, 1, 0.5, 0.75)
     assert rows[2] == (0, 0, None, None)
     assert rows[3] == (1, 1, 1.0, 1.0)
+
+
+def test_fasttext_bin_parses_and_matches_vec_loader(spark, tmp_path):
+    """parse_fasttext_bin (staged r13, gap-list item 2 closure): a
+    50-word integer-valued synthetic model written as BOTH formats
+    must ingest identically — the .bin walk (magic/args/dict/quant
+    gate/matrix cross-checks) vs the standing distributed .vec text
+    loader — plus the loud-reject battery (magic, version, quantized
+    flag, truncation, matrix-width mismatch)."""
+    import struct
+
+    import pytest
+
+    from posts_vectorizer_spark.sources.model_table import (
+        FASTTEXT_MAGIC,
+        load_vec_model,
+        parse_fasttext_bin,
+        write_fasttext_bin,
+        write_vec_file,
+    )
+
+    dim = 6
+    rows = [
+        (
+            f"word{j}",
+            j + 1,
+            [float((j * 5 + i * 3) % 41 - 20) for i in range(dim)],
+        )
+        for j in range(50)
+    ]
+    raw = write_fasttext_bin(rows, dim)
+    p = parse_fasttext_bin(raw)
+    assert p["dim"] == dim and p["n_words"] == 50
+    assert p["ntokens"] == sum(c for _, c, _ in rows)
+    assert p["tail_bytes"] == 0
+    assert p["words"] == rows  # exact: integer-valued float32
+
+    vec_path = str(tmp_path / "model.vec")
+    write_vec_file(vec_path, [(w, v) for w, _, v in rows], dim)
+    from_vec = {
+        r["word"]: [float(x) for x in r["embedding"]]
+        for r in load_vec_model(spark, vec_path).collect()
+    }
+    from_bin = {w: v for w, _, v in p["words"]}
+    assert from_vec == from_bin
+
+    with pytest.raises(ValueError):
+        parse_fasttext_bin(b"xxxx" + raw[4:])            # magic
+    with pytest.raises(ValueError):
+        parse_fasttext_bin(
+            struct.pack("<ii", FASTTEXT_MAGIC, 99) + raw[8:]
+        )                                                # version
+    with pytest.raises(ValueError):
+        parse_fasttext_bin(raw[:-7])                     # truncation
+    i = raw.find(b"word49\x00") + 7 + 9                  # quant flag
+    mut = bytearray(raw)
+    mut[i] ^= 1
+    with pytest.raises(ValueError):
+        parse_fasttext_bin(bytes(mut))
+    mut = bytearray(raw)                                 # width mismatch
+    mut[i + 1 + 8] = dim + 1                             # n int64 lsb
+    with pytest.raises(ValueError):
+        parse_fasttext_bin(bytes(mut))

@@ -672,6 +672,9 @@ def main(only: list[str] | None = None) -> None:
         "isotonic_drain": lambda k: SQ["stream_isotonic_drain"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "fasttext_bin": lambda k: SQ["source_fasttext_bin"](
+            spark, table_dir("docs_plain", k, "documents")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
