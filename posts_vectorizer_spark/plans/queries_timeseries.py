@@ -3100,3 +3100,215 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.alias("sigma_runs"),
         ((r - mu) / sig).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Competing-risks cumulative incidence (built r12, staged r13)
+# ---------------------------------------------------------------------------
+
+_CIF_SQL = """
+WITH obs_end AS (SELECT CAST(max(ts) AS DATE) AS end_day FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(min(ts) AS DATE) AS entry,
+         CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+              AS DATE) AS conv_p,
+         CAST(min(CASE WHEN event_type = 'signup' THEN ts END)
+              AS DATE) AS conv_s
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT u.user_id,
+         CASE
+           WHEN u.conv_p IS NOT NULL AND u.conv_p >= u.entry
+                AND (u.conv_s IS NULL OR u.conv_s < u.entry
+                     OR u.conv_p <= u.conv_s)
+             THEN date_diff('day', u.entry, u.conv_p)
+           WHEN u.conv_s IS NOT NULL AND u.conv_s >= u.entry
+             THEN date_diff('day', u.entry, u.conv_s)
+           ELSE date_diff('day', u.entry, o.end_day) END AS t,
+         CASE
+           WHEN u.conv_p IS NOT NULL AND u.conv_p >= u.entry
+                AND (u.conv_s IS NULL OR u.conv_s < u.entry
+                     OR u.conv_p <= u.conv_s)
+             THEN 1
+           WHEN u.conv_s IS NOT NULL AND u.conv_s >= u.entry
+             THEN 2
+           ELSE 0 END AS cause
+  FROM per_user u, obs_end o
+),
+grid AS (
+  SELECT t, count(*) AS c_t,
+         sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS d_p,
+         sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS d_s
+  FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, c_t, d_p, d_s, d_p + d_s AS d_t,
+         (SELECT count(*) FROM dur)
+           - coalesce(sum(c_t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS n_t
+  FROM grid
+),
+terms AS (
+  SELECT t, n_t, d_p, d_s, d_t,
+         CASE WHEN d_t > 0 AND n_t > d_t THEN
+           CAST(round(CAST(n_t - d_t AS DOUBLE) / n_t, 9)
+                AS DECIMAL(18,9))
+         WHEN d_t > 0 AND n_t = d_t THEN CAST(0 AS DECIMAL(18,9))
+         ELSE CAST(1 AS DECIMAL(18,9)) END AS factor,
+         CAST(round(CAST(d_p AS DOUBLE) / n_t, 9) AS DECIMAL(18,9))
+           AS h_p,
+         CAST(round(CAST(d_s AS DOUBLE) / n_t, 9) AS DECIMAL(18,9))
+           AS h_s
+  FROM risk
+),
+surv AS (
+  SELECT t, n_t, d_p, d_s, d_t, h_p, h_s,
+         list_reduce(
+           list_prepend(
+             CAST(1 AS DECIMAL(18,9)),
+             list(factor) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           (acc, x) -> CAST(round(acc * x, 9) AS DECIMAL(18,9))) AS s
+  FROM terms
+),
+inc AS (
+  SELECT t, n_t, d_p, d_s, d_t, s,
+         CAST(round(coalesce(lag(s) OVER (ORDER BY t),
+                             CAST(1 AS DECIMAL(18,9))) * h_p, 9)
+              AS DECIMAL(18,9)) AS i_p,
+         CAST(round(coalesce(lag(s) OVER (ORDER BY t),
+                             CAST(1 AS DECIMAL(18,9))) * h_s, 9)
+              AS DECIMAL(18,9)) AS i_s
+  FROM surv
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_t AS BIGINT) AS n_at_risk,
+       CAST(d_p AS BIGINT) AS d_purchase,
+       CAST(d_s AS BIGINT) AS d_signup,
+       CAST(s AS DOUBLE) AS survival,
+       CAST(sum(i_p) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS DECIMAL(28,9))
+         AS cif_purchase,
+       CAST(sum(i_s) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS DECIMAL(28,9))
+         AS cif_signup
+FROM inc WHERE d_t > 0
+"""
+
+
+@register("events_cumulative_incidence", oracle=_CIF_SQL, staged=True)
+def events_cumulative_incidence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING RISKS
+    (built r12, staged r13) — the survival ladder's competing-events
+    rung: KM draws one curve, Nelson-Aalen its hazard, log-rank tests
+    two groups, RMST states the area; CIF answers the question those
+    all dodge — when a user's first milestone can be EITHER a
+    purchase OR a signup, what fraction has hit EACH by day t?
+    Naive per-cause KM (censoring the other cause) overestimates
+    both; the Aalen-Johansen estimator CIF_k(t) = Σ_{s<=t}
+    S(s-)·d_ks/n_s is the standard fix, and CIF_p + CIF_s + S
+    telescopes to 1 (asserted in the named test). Causes tie-break
+    deterministically (same-day purchase wins).
+
+    Exactness: the all-cause S is the KM 9dp decimal product fold
+    VERBATIM; each cause hazard d_k/n is one rounded double division
+    (the KM factor device); each increment round9(lag(S)·h_k) is a
+    pinned decimal product; both CIFs are exact DECIMAL(28,9) window
+    sums (the RMST/Nelson-Aalen device). No transcendental, no
+    unrounded double.
+
+    Scale shape: identical to KM/NA/RMST — one user-keyed aggregate
+    (the only data-sized shuffle), a calendar-bounded two-cause
+    duration grid, and value-level windows over ~30 rows at any data
+    scale."""
+    events = load_table(spark, sf_dir, "events")
+    obs_end = events.agg(F.max("ts").cast("date").alias("end_day"))
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("entry"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .cast("date")
+        .alias("conv_p"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .cast("date")
+        .alias("conv_s"),
+    )
+    p_ok = F.col("conv_p").isNotNull() & (F.col("conv_p") >= F.col("entry"))
+    s_ok = F.col("conv_s").isNotNull() & (F.col("conv_s") >= F.col("entry"))
+    p_first = p_ok & (
+        ~s_ok | (F.col("conv_p") <= F.col("conv_s"))
+    )
+    dur = per_user.crossJoin(F.broadcast(obs_end)).select(
+        F.when(p_first, F.datediff("conv_p", "entry"))
+        .when(s_ok, F.datediff("conv_s", "entry"))
+        .otherwise(F.datediff("end_day", "entry"))
+        .alias("t"),
+        F.when(p_first, 1).when(s_ok, 2).otherwise(0).alias("cause"),
+    )
+    grid = dur.groupBy("t").agg(
+        F.count("*").alias("c_t"),
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0)).alias("d_p"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0)).alias("d_s"),
+    )
+    total = dur.agg(F.count("*").alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(total)).select(
+        "t", "c_t", "d_p", "d_s",
+        (F.col("d_p") + F.col("d_s")).alias("d_t"),
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c_t").over(wprev), F.lit(0))
+        ).alias("n_t"),
+    )
+    n_t, d_t = F.col("n_t"), F.col("d_t")
+    terms = risk.select(
+        "t", "n_t", "d_p", "d_s", "d_t",
+        F.when(
+            (d_t > 0) & (n_t > d_t),
+            F.round((n_t - d_t).cast("double") / n_t, 9),
+        )
+        .when((d_t > 0) & (n_t == d_t), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("decimal(18,9)")
+        .alias("factor"),
+        F.round(F.col("d_p").cast("double") / n_t, 9)
+        .cast("decimal(18,9)")
+        .alias("h_p"),
+        F.round(F.col("d_s").cast("double") / n_t, 9)
+        .cast("decimal(18,9)")
+        .alias("h_s"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wlag = Window.orderBy("t")
+    one = F.lit(1).cast("decimal(18,9)")
+    surv = terms.select(
+        "t", "n_t", "d_p", "d_s", "d_t", "h_p", "h_s",
+        F.aggregate(
+            F.collect_list("factor").over(wcum), one,
+            lambda acc, x: F.round(acc * x, 9).cast("decimal(18,9)"),
+        ).alias("s"),
+    )
+    s_prev = F.coalesce(F.lag("s").over(wlag), one)
+    inc = surv.select(
+        "t", "n_t", "d_p", "d_s", "d_t", "s",
+        F.round(s_prev * F.col("h_p"), 9)
+        .cast("decimal(18,9)")
+        .alias("i_p"),
+        F.round(s_prev * F.col("h_s"), 9)
+        .cast("decimal(18,9)")
+        .alias("i_s"),
+    )
+    return inc.where(d_t > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        n_t.cast("long").alias("n_at_risk"),
+        F.col("d_p").cast("long").alias("d_purchase"),
+        F.col("d_s").cast("long").alias("d_signup"),
+        F.col("s").cast("double").alias("survival"),
+        F.sum("i_p").over(wcum).cast("decimal(28,9)").alias("cif_purchase"),
+        F.sum("i_s").over(wcum).cast("decimal(28,9)").alias("cif_signup"),
+    )

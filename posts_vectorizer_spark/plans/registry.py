@@ -221,6 +221,10 @@ STAGED: dict[str, QueryDef] = {}
 #                               gap-list item 2: magic/version/args/
 #                               dict/quant-gate/matrix cross-checks;
 #                               .bin-vs-.vec ingestion cross-check)
+#   events_cumulative_incidence (Aalen-Johansen competing-risks CIF
+#                               off the two-cause duration grid — the
+#                               survival ladder's last rung; KM fold
+#                               + pinned hazard increments)
 #
 # r11 staged history (all 21 introduced in the r12 head, below) — all
 # four-way gated in r11 (sf0.001+sf0.01+sf0.1 sweeps 6/6 first-try,
@@ -324,8 +328,8 @@ STAGED: dict[str, QueryDef] = {}
 #   sim_label_centroid_drift (per-label L2+cosine centroid drift —
 #                            class-granular embedding drift triage)
 #
-# r13 head planning (re-locked at r12 closeout; 3 + 42 + 5 = 50):
-#   (a) 42 introduction slots — the full r12-staged wave above
+# r13 head planning (re-locked at r12 closeout; 3 + 43 + 4 = 50):
+#   (a) 43 introduction slots — the full r12-staged wave above
 #       (events_theil_sen and rel_kruskal_wallis double as their
 #       readout-refactor consumers; curation_roc_auc doubles as the
 #       auc_readout refactor consumer). No-jobs skip additions: both
@@ -337,8 +341,8 @@ STAGED: dict[str, QueryDef] = {}
 #       chi2_readout mid-r12) — the consumer-of-changed-code rule
 #       (events_theil_sen's readout refactor is covered by its own
 #       introduction slot in (a)).
-#   (c) freshness (5): udtf_polymorphic_firstn FIRST (the one r5
-#       name the r12 head couldn't fit), then the first 4 of the r6
+#   (c) freshness (4): udtf_polymorphic_firstn FIRST (the one r5
+#       name the r12 head couldn't fit), then the first 3 of the r6
 #       cohort (47 names, tools/cohorts.py list order; the front 12
 #       pre-verified vanilla 13/13 with udtf at r12 close, SWEEPS.md).
 #       If more introductions land than slots allow, drop cohort

@@ -1220,3 +1220,53 @@ def test_stream_theil_sen_drain_equals_batch(spark, tmp_path):
     assert got[0].asDict() == want[0].asDict()
     # every day total rises by exactly 6.0 -> slope exactly 6
     assert got[0]["slope_per_day"] == Decimal("6.000000000000")
+
+
+def test_cumulative_incidence_planted_competing_risks(spark, tmp_path):
+    """events_cumulative_incidence on a hand-built 6-user cohort with
+    both causes and a same-day tie (purchase wins): grid t=2
+    (d_p=2, d_s=1, n=6) and t=4 (d_s=1, n=3); S, per-cause hazards,
+    and both Aalen-Johansen CIFs verified exactly on the 9dp grid,
+    and S + CIF_p + CIF_s telescopes to 1 within the term rounding."""
+    from decimal import Decimal
+
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    rows, eid = [], 0
+    for u in range(6):
+        rows.append((eid, "2024-01-01 08:00:00", u, "view", 1.0)); eid += 1
+    rows += [
+        (90, "2024-01-03 09:00:00", 0, "purchase", 1.0),
+        (91, "2024-01-03 09:00:00", 1, "signup", 1.0),
+        (92, "2024-01-03 09:00:00", 2, "purchase", 1.0),
+        (93, "2024-01-03 10:00:00", 2, "signup", 1.0),   # same-day tie
+        (94, "2024-01-05 09:00:00", 3, "signup", 1.0),
+        (95, "2024-01-11 10:00:00", 0, "view", 1.0),     # obs end
+    ]
+    t = tmp_path / "cif"
+    t.mkdir()
+    _events_typed(t, rows)
+
+    out = {r["t_days"]: r for r in
+           resolve_query("events_cumulative_incidence")(
+               spark, str(t)
+           ).collect()}
+    assert set(out) == {2, 4}
+    r2 = out[2]
+    assert (r2["n_at_risk"], r2["d_purchase"], r2["d_signup"]) == (6, 2, 1)
+    assert r2["survival"] == 0.5
+    assert r2["cif_purchase"] == Decimal("0.333333333")
+    assert r2["cif_signup"] == Decimal("0.166666667")
+    r4 = out[4]
+    assert (r4["n_at_risk"], r4["d_purchase"], r4["d_signup"]) == (3, 0, 1)
+    # S(4) = round9(0.5 * round9(2/3)); CIF_s adds round9(0.5*round9(1/3))
+    assert r4["survival"] == 0.333333334
+    assert r4["cif_purchase"] == Decimal("0.333333333")
+    assert r4["cif_signup"] == Decimal("0.333333334")
+    # Aalen-Johansen telescoping: S + CIF_p + CIF_s = 1 (term rounding)
+    total = (
+        Decimal(repr(r4["survival"]))
+        + r4["cif_purchase"]
+        + r4["cif_signup"]
+    )
+    assert abs(total - 1) < Decimal("0.000001")

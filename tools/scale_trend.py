@@ -675,6 +675,9 @@ def main(only: list[str] | None = None) -> None:
         "fasttext_bin": lambda k: SQ["source_fasttext_bin"](
             spark, table_dir("docs_plain", k, "documents")
         ),
+        "cumulative_incidence": lambda k: SQ["events_cumulative_incidence"](
+            spark, table_dir("events", k, "events")
+        ),
         # parquet_footer reads the FIXTURE files (path-bound, not the
         # scaled copies) — footer cost is size-independent by design,
         # so the trend tool exercises nothing; excluded deliberately.
