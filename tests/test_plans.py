@@ -570,3 +570,33 @@ def test_sq8_scan_quantizes_in_row(spark):
     assert "CartesianProduct" not in plan.replace(
         "BroadcastNestedLoopJoin", ""
     )
+
+
+def test_r12_wave_plan_shapes(spark):
+    """Plan asserts for the r12-built staged wave — SCALE.md's shape
+    claims enforced in explain output, not prose: the collocation
+    miner, the Theil decomposition, and the Jelinek-Mercer LM
+    broadcast their reductions back (no sort-merge join anywhere);
+    each k-center greedy round ends in TakeOrderedAndProject (never a
+    global sort of the corpus); the survival-family additions carry
+    no join at all past the user-keyed aggregate."""
+    from posts_vectorizer_spark.plans.registry import resolve_query
+
+    for name in (
+        "text_dunning_llr",
+        "rel_theil_decomposition",
+        "text_jelinek_mercer_bigram",
+    ):
+        plan = _plan(resolve_query(name)(spark, SF_ORACLE))
+        assert "SortMergeJoin" not in plan, name
+        assert "Broadcast" in plan, name
+
+    plan = _plan(resolve_query("curation_kcenter_coreset")(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+    # pure aggregation chains: no join of any kind may appear
+    for name in ("events_rmst", "events_cumulative_incidence",
+                 "text_vocab_gini"):
+        plan = _plan(resolve_query(name)(spark, SF_ORACLE))
+        assert "SortMergeJoin" not in plan, name
