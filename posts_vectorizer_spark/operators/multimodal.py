@@ -33,6 +33,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..sources import spread
+
 N_FAKE_FEATURES = 8
 
 FEATURE_SCHEMA = StructType(
@@ -96,7 +98,7 @@ def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFra
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    return spread(media.select("doc_id", "payload")).mapInPandas(run, FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
@@ -140,7 +142,7 @@ def resize_media(
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+    return spread(media.select("doc_id", "payload")).mapInPandas(run, RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -180,7 +182,7 @@ def sample_frames(
                 {"doc_id": ids, "frame_id": fids, "frame": frames}
             )
 
-    return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+    return spread(media.select("doc_id", "payload")).mapInPandas(run, FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +229,7 @@ def extract_feature_slices(
                     )
             yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(run, SLICE_SCHEMA)
+    return spread(media.select("doc_id", "payload")).mapInPandas(run, SLICE_SCHEMA)
 
 
 def feature_slices_sql(n_slices: int = N_FAKE_FEATURES) -> str:
@@ -372,7 +374,7 @@ def wav_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, WAV_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, WAV_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -500,7 +502,7 @@ def bmp_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, BMP_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, BMP_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -682,7 +684,7 @@ def avi_frame_sample_features(
                 ],
             )
 
-    return base.mapInPandas(run, AVI_SAMPLE_SCHEMA)
+    return spread(base).mapInPandas(run, AVI_SAMPLE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -880,7 +882,7 @@ def png_ingest_features(base: DataFrame) -> DataFrame:
                 columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
             )
 
-    return base.mapInPandas(run, PNG_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, PNG_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1102,7 +1104,7 @@ def gif_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, GIF_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, GIF_FEATURE_SCHEMA)
 
 
 def encode_gif_anim(
@@ -1258,7 +1260,7 @@ def gif_frame_sample_features(base: DataFrame, stride: int) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, GIF_SAMPLE_SCHEMA)
+    return spread(base).mapInPandas(run, GIF_SAMPLE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1487,7 +1489,7 @@ def qoi_ingest_features(base: DataFrame) -> DataFrame:
                 columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
             )
 
-    return base.mapInPandas(run, QOI_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, QOI_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1619,7 +1621,7 @@ def ulaw_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, ULAW_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, ULAW_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1824,7 +1826,7 @@ def adpcm_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, ADPCM_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, ADPCM_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1963,7 +1965,7 @@ def alaw_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, ALAW_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, ALAW_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2135,7 +2137,7 @@ def tga_ingest_features(base: DataFrame) -> DataFrame:
                 columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
             )
 
-    return base.mapInPandas(run, TGA_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, TGA_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2323,7 +2325,7 @@ def zip_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, ZIP_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, ZIP_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2557,7 +2559,7 @@ def tiff_ingest_features(base: DataFrame) -> DataFrame:
                 columns=["doc_id", "width", "height", "n_strips", "sum_px"],
             )
 
-    return base.mapInPandas(run, TIFF_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, TIFF_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2713,7 +2715,7 @@ def tar_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, TAR_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, TAR_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2845,7 +2847,7 @@ def gzip_ingest_features(base: DataFrame) -> DataFrame:
                 columns=["doc_id", "name_len", "isize", "sum_bytes"],
             )
 
-    return base.mapInPandas(run, GZIP_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, GZIP_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3011,7 +3013,7 @@ def ico_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, ICO_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, ICO_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3250,7 +3252,7 @@ def midi_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, MIDI_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, MIDI_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3416,7 +3418,7 @@ def utf8_audit_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, UTF8_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, UTF8_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3589,7 +3591,7 @@ def protowire_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, PROTOWIRE_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, PROTOWIRE_FEATURE_SCHEMA)
 
 
 UTF8_METRICS = (
@@ -3859,7 +3861,7 @@ def parquet_footer_features(files: DataFrame) -> DataFrame:
                 ],
             )
 
-    return files.select("path", "content").mapInPandas(
+    return spread(files.select("path", "content")).mapInPandas(
         run, PARQUET_FOOTER_SCHEMA
     )
 
@@ -4054,7 +4056,7 @@ def bencode_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, BENCODE_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, BENCODE_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -4218,4 +4220,4 @@ def avro_ingest_features(base: DataFrame) -> DataFrame:
                 ],
             )
 
-    return base.mapInPandas(run, AVRO_FEATURE_SCHEMA)
+    return spread(base).mapInPandas(run, AVRO_FEATURE_SCHEMA)

@@ -46,7 +46,10 @@ def quality_profile(documents: DataFrame, round_digits: int = 6) -> DataFrame:
         + 0.3 * (1.0 - stop_ratio)
         + 0.2 * F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
     )
-    return documents.select(
+    # r12: the per-row HOF chain (tokenize + distinct + stopword filter +
+    # length fold) is the whole cost — rebalance the single-split scan so
+    # it runs on every core (sources.spread; guide §2.5 input skew).
+    return spread(documents).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),

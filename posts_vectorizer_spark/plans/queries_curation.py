@@ -1054,7 +1054,10 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     type count T is a 1-row broadcast cross join, never a driver action.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", T.tokens("text").alias("t")).where(
+    # r12: rebalance the single-split scan before tokenize + the bigram
+    # transform/explode — the map side of the per-doc bigram aggregation
+    # otherwise runs on one core (sources.spread; guide §2.5 input skew).
+    base = spread(docs).select("doc_id", T.tokens("text").alias("t")).where(
         F.size("t") >= 2
     )
     trans = base.select(
@@ -2455,7 +2458,10 @@ def text_jelinek_mercer_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions that broadcast back at fixture scale and AQE-shuffle
     at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", T.tokens("text").alias("t")).where(
+    # r12: rebalance the single-split scan before tokenize + the bigram
+    # transform/explode — the map side of the per-doc bigram aggregation
+    # otherwise runs on one core (sources.spread; guide §2.5 input skew).
+    base = spread(docs).select("doc_id", T.tokens("text").alias("t")).where(
         F.size("t") >= 2
     )
     trans = base.select(
@@ -2961,7 +2967,10 @@ def text_witten_bell_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions that broadcast back at fixture scale and AQE-shuffle
     at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", T.tokens("text").alias("t")).where(
+    # r12: rebalance the single-split scan before tokenize + the bigram
+    # transform/explode — the map side of the per-doc bigram aggregation
+    # otherwise runs on one core (sources.spread; guide §2.5 input skew).
+    base = spread(docs).select("doc_id", T.tokens("text").alias("t")).where(
         F.size("t") >= 2
     )
     trans = base.select(

@@ -1291,11 +1291,19 @@ def stream_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "word string, exact_cnt bigint, cms_estimate bigint"
         )
+    # r12: count first, hash once per DISTINCT word (max(h) over a
+    # word's occurrences IS char_hash(word) — bit-identical), with the
+    # single-split scan rebalanced before the tokenize/explode
+    # (sources.spread) so the exact side no longer hashes every token
+    # occurrence on one core.
+    from ..sources import spread as _spread
+
     exact = (
-        docs.select(F.explode(_T2.tokens("text")).alias("word"))
-        .select("word", _T2.char_hash("word").alias("h"))
+        _spread(docs)
+        .select(F.explode(_T2.tokens("text")).alias("word"))
         .groupBy("word")
-        .agg(F.max("h").alias("h"), F.count("*").alias("exact_cnt"))
+        .agg(F.count("*").alias("exact_cnt"))
+        .select("word", _T2.char_hash("word").alias("h"), "exact_cnt")
     )
     return cms_estimates(exact, state.select("d", "bucket", "c"))
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
-from ..sources import load_table
+from ..sources import load_table, spread
 from ..sources.catalog import spread
 from .registry import register
 
@@ -219,6 +219,21 @@ def cms_delta(hashed: DataFrame) -> DataFrame:
     )
 
 
+def cms_delta_counts(hashed_counts: DataFrame) -> DataFrame:
+    """cms_delta over pre-aggregated (h, n) word counts: each distinct
+    hash contributes its occurrence count to its d cells, so the counters
+    are bit-identical to the per-occurrence form while the expensive
+    char_hash fold runs once per DISTINCT word instead of once per token
+    occurrence (r12, guide §1.2 per-task work: the portable per-char hash
+    was the dominant map-side cost of the CMS paths)."""
+    return (
+        hashed_counts.select(_cms_explode().alias("c"), F.col("n"))
+        .select("c.d", "c.bucket", "n")
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("c"))
+    )
+
+
 def cms_estimates(exact: DataFrame, cms: DataFrame) -> DataFrame:
     """Per-word min-across-rows estimates from a (d, bucket, c) sketch,
     joined beside the exact counts — pure function of the sketch state,
@@ -273,13 +288,24 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized cms table; raw tokens are touched exactly once.
     """
     docs = load_table(spark, sf_dir, "documents")
-    hashed = spread(docs).select(
-        F.explode(T.tokens("text")).alias("word")
-    ).select("word", T.char_hash("word").alias("h"))
-    cms = cms_delta(hashed)
-    exact = hashed.groupBy("word").agg(
-        F.max("h").alias("h"), F.count("*").alias("exact_cnt")
+    # r12: count occurrences FIRST (map-side-combinable), then run the
+    # per-char portable hash once per DISTINCT word — bit-identical
+    # counters and estimates (h is a pure function of word; the old
+    # max(h)-over-occurrences equals char_hash(word)), at ~1/10th the
+    # hash-fold evaluations on a Zipfian stream. The tiny word-count
+    # relation is persisted because the sketch and the probe side both
+    # consume it (guide §1.2 per-task work, §2.3 aggregate-before).
+    from ..cache import persist_tracked
+
+    counts = persist_tracked(
+        spread(docs)
+        .select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select("word", T.char_hash("word").alias("h"), "n")
     )
+    cms = cms_delta_counts(counts.select("h", "n"))
+    exact = counts.select("word", "h", F.col("n").alias("exact_cnt"))
     return cms_estimates(exact, cms)
 
 
@@ -656,6 +682,11 @@ def rel_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation upstream); the cumulative window orders ~400 buckets —
     driver-size, not data-size; the quantile-level join is a 3-row
     broadcast cross."""
+    # r12 probe: spreading the 600k-row cents column REGRESSED this query
+    # (0.78 s -> 1.43 s floor) — the repartition of 600k rows costs more
+    # than the one-core string bucket-keying it parallelizes, because the
+    # groupBy's map-side partial aggregation already collapses the stream
+    # to ~400 bucket cells. Left as a single-split map stage on purpose.
     pop = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
-from ..sources import load_table
+from ..sources import load_table, spread
 from .registry import register
 
 from .queries_sketch import _HLL_ALPHA, _HLL_M, _HLL_MAXBIT, _HLL_MULT
@@ -1109,8 +1109,13 @@ def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mapInArrow Gram-accumulate kernel (grouped_arrow_vector_stats
     pattern) and keep THIS query as its cross-engine witness."""
     D = _COV_D
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.size("embedding") >= D
+    # r12: rebalance the single-split scan before the 136-struct term
+    # explosion + decimal rounding — the CPU-heavy narrow stage otherwise
+    # runs on one core (sources.spread; guide §2.5 input skew).
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").where(
+            F.size("embedding") >= D
+        )
     )
     terms = emb.select(
         F.explode(

@@ -832,7 +832,7 @@ def cms_count_stream(
     d*w cells plus O(touched cells) of a constant-size state table —
     stream-wide token frequencies for the price of the batch."""
     from ..functions import text as T
-    from ..plans.queries_sketch import cms_delta
+    from ..plans.queries_sketch import cms_delta_counts
     from ..sources.sinks import merge_add_parquet
 
     reader = spark.readStream.schema(schema)
@@ -841,10 +841,16 @@ def cms_count_stream(
     stream = reader.parquet(source_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
-        hashed = batch_df.select(
-            F.explode(T.tokens("text")).alias("word")
-        ).select(T.char_hash("word").alias("h"))
-        delta = cms_delta(hashed)
+        # r12: count per word first, hash each DISTINCT word once —
+        # bit-identical (d, bucket) counter deltas (cms_delta_counts),
+        # ~1/10th the per-char hash folds on a Zipfian batch.
+        counts = (
+            batch_df.select(F.explode(T.tokens("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("n"))
+            .select(T.char_hash("word").alias("h"), "n")
+        )
+        delta = cms_delta_counts(counts)
         merge_add_parquet(
             spark, delta, sketch_dir, ["d", "bucket"], batch_id=batch_id
         )

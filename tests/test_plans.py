@@ -535,12 +535,20 @@ def test_r9_wave_plan_shapes(spark):
     vocab-sized LM side rather than sort-merging it."""
     from posts_vectorizer_spark.plans.registry import resolve_query
 
+    # r12 optimization: the tiny (doc_id, w, h) synth base is rebalanced
+    # round-robin across cores before the codec mapInPandas (sources.spread
+    # — the single-row-group fixture otherwise pins the whole LZW
+    # encode+decode to ONE task). The PAYLOAD still never shuffles: the
+    # only Exchange is the round-robin repartition of the 16-byte key
+    # rows, and no hash/aggregation exchange exists anywhere.
     gif = _plan(resolve_query("multimodal_gif_ingest")(spark, SF_ORACLE))
-    assert "Exchange" not in gif
+    assert "Exchange hashpartitioning" not in gif
+    assert gif.count("Exchange") == 1 and "RoundRobinPartitioning" in gif
     anim = _plan(
         resolve_query("multimodal_gif_frame_sample")(spark, SF_ORACLE)
     )
-    assert "Exchange" not in anim
+    assert "Exchange hashpartitioning" not in anim
+    assert anim.count("Exchange") == 1 and "RoundRobinPartitioning" in anim
 
     chk = _plan(resolve_query("rel_partition_checksums")(spark, SF_ORACLE))
     assert chk.count("Exchange") == 1  # the 32-key partial->final combine
