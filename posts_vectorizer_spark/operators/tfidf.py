@@ -281,7 +281,14 @@ def idf_table(
         F.lit(True).alias("marker"),
         elig.alias("elig"),
     )
-    stats = (
+    # stats is persisted (vocab-sized: one row per word + one marker row):
+    # it feeds BOTH the 1-row glob broadcast and the vocab_occ output —
+    # without the persist the whole explode+union+groupBy subtree runs
+    # twice as two CONCURRENT jobs (r12 stage profile: 64- and 96-task
+    # stages overlapping, 9.3 s/9.9 s task time at ~1.5 s CPU — threads
+    # blocked contending for the token_base cache), and the corpus cache
+    # is read three times instead of twice-once.
+    stats = persist_tracked(
         toks.unionByName(extras)
         .unionByName(doc_markers)
         .groupBy("word", "marker")

@@ -12,13 +12,12 @@ match proves the partitioned layout preserves values, not just shape.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
-from ..sources import load_table
+from ..sources import load_table, scratch_dir
 from ..sources.catalog import spread
 from .registry import register
 
@@ -328,7 +327,7 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     work = os.path.join(
-        tempfile.mkdtemp(prefix="pv_part_"), "events_by_type"
+        scratch_dir("pv_part_"), "events_by_type"
     )
     (
         e.repartition("event_type")

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as _T
-from ..sources import load_table
+from ..sources import load_table, scratch_dir
 from .registry import register
 
 SOURCE_CAP = 10
@@ -168,7 +168,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip must be lossless, so the oracle aggregates the original
     parquet directly."""
     docs = load_table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="pv_orc_")
+    work = scratch_dir("pv_orc_")
     docs.write.mode("overwrite").orc(work)
     back = spark.read.orc(work)
     return back.groupBy("source", "lang").agg(
@@ -208,7 +208,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale mergeSchema's footer sampling is the cost knob; pinning the
     merged schema in the metastore amortizes it."""
     docs = load_table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="pv_evo_")
+    work = scratch_dir("pv_evo_")
     docs.where(F.col("doc_id") % 2 == 0).select(
         "doc_id", "source", "n_chars"
     ).write.mode("overwrite").parquet(f"{work}/gen=1")
@@ -252,7 +252,7 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    work = tempfile.mkdtemp(prefix="pv_sdd_")
+    work = scratch_dir("pv_sdd_")
     source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     # two identical full deliveries -> two files -> two micro-batches
     e.coalesce(1).write.mode("append").parquet(source)
@@ -353,7 +353,7 @@ def stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "ts", "event_type", "value"
     )
-    work = tempfile.mkdtemp(prefix="pv_std_")
+    work = scratch_dir("pv_std_")
     source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     e.coalesce(1).write.mode("append").parquet(source)
     q = tumbling_window_stream(
@@ -442,7 +442,7 @@ def stream_python_source_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydatasource as P
 
     P.register(spark)
-    work = tempfile.mkdtemp(prefix="pv_pds_")
+    work = scratch_dir("pv_pds_")
     target, ckpt = f"{work}/out", f"{work}/ckpt"
     q = (
         spark.readStream.format(P.SOURCE_NAME)
@@ -497,7 +497,7 @@ def stream_idf_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import idf_count_stream
 
     docs = load_table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="pv_idfinc_")
+    work = scratch_dir("pv_idfinc_")
     src = f"{work}/in"
     half = F.col("doc_id") % 2
     docs.where(half == 0).coalesce(1).write.mode("append").parquet(src)
@@ -549,7 +549,7 @@ def stream_static_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
     cust = load_table(spark, sf_dir, "customer")
-    work = tempfile.mkdtemp(prefix="pv_ssj_")
+    work = scratch_dir("pv_ssj_")
     source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     e.coalesce(1).write.mode("append").parquet(source)
     q = enriched_window_stream(
@@ -666,7 +666,7 @@ def stream_lsh_index_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import lsh_index_stream
 
     emb = load_table(spark, sf_dir, "embeddings")
-    work = tempfile.mkdtemp(prefix="pv_lshix_")
+    work = scratch_dir("pv_lshix_")
     source, index_dir, ckpt = f"{work}/in", f"{work}/ix", f"{work}/ckpt"
     emb.coalesce(1).write.mode("append").parquet(source)
     q = lsh_index_stream(spark, source, emb.schema, index_dir, ckpt, dims=64)
@@ -795,7 +795,7 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "ts", "event_id", "user_id", "value"
     )
-    work = tempfile.mkdtemp(prefix="pv_ssd_")
+    work = scratch_dir("pv_ssd_")
     source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     e.coalesce(1).write.mode("append").parquet(source)
     q = session_window_stream(
@@ -832,7 +832,7 @@ def source_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydatasource as P
 
     P.register(spark)
-    work = tempfile.mkdtemp(prefix="pv_ledger_")
+    work = scratch_dir("pv_ledger_")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
@@ -872,7 +872,7 @@ def stream_python_sink_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
-    work = tempfile.mkdtemp(prefix="pv_pysink_")
+    work = scratch_dir("pv_pysink_")
     source, ledger, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     e.repartition(4).write.mode("overwrite").parquet(source)
     q = (
@@ -917,7 +917,7 @@ def source_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydatasource as P
 
     P.register(spark)
-    work = tempfile.mkdtemp(prefix="pv_compact_")
+    work = scratch_dir("pv_compact_")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
@@ -954,7 +954,7 @@ def source_ledger_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydatasource as P
 
     P.register(spark)
-    work = tempfile.mkdtemp(prefix="pv_skip_")
+    work = scratch_dir("pv_skip_")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
@@ -993,7 +993,7 @@ def source_ledger_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydatasource as P
 
     P.register(spark)
-    work = tempfile.mkdtemp(prefix="pv_quar_")
+    work = scratch_dir("pv_quar_")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 50 != 0, F.col("text")).alias("text"),
@@ -1036,7 +1036,7 @@ def source_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydatasource as P
 
     P.register(spark)
-    work = tempfile.mkdtemp(prefix="pv_tt_")
+    work = scratch_dir("pv_tt_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     for half in (docs.where(F.col("doc_id") < 250),
                  docs.where(F.col("doc_id") >= 250)):
@@ -1073,7 +1073,7 @@ def stream_ddsketch_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_sketch import ddsketch_readout
 
     li = load_table(spark, sf_dir, "lineitem")
-    work = tempfile.mkdtemp(prefix="pv_ddsk_")
+    work = scratch_dir("pv_ddsk_")
     src = f"{work}/in"
     half = F.col("l_orderkey") % 2
     li.where(half == 0).coalesce(1).write.mode("append").parquet(src)
@@ -1218,7 +1218,7 @@ def _forced_drain(
 
     from ..sources.sinks import read_merged
 
-    work = tempfile.mkdtemp(prefix="pv_drain_")
+    work = scratch_dir("pv_drain_")
     src = _SRC_CACHE.get(src_key) if src_key else None
     cached = src is not None
     if src is None:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as T
-from ..sources import load_table, spread
+from ..sources import load_table, scratch_dir, spread
 from .registry import register
 
 from .queries_sketch import _HLL_ALPHA, _HLL_M, _HLL_MAXBIT, _HLL_MULT
@@ -1206,8 +1206,6 @@ def stream_psi_drift_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     change the result — the oracle is events_psi_drift's whole-corpus
     SQL, making the drift monitor's merge property driver-hash-checked
     end to end."""
-    import tempfile
-
     from ..sources.sinks import read_merged
     from ..streaming.worker import psi_current_stream
 
@@ -1229,7 +1227,7 @@ def stream_psi_drift_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     mn, mx = int(stats["mn"]), int(stats["mx"])
 
-    work = tempfile.mkdtemp(prefix="pv_psi_")
+    work = scratch_dir("pv_psi_")
     src = f"{work}/in"
     cur = base.where(~F.col("is_ref")).select("v")
     cur.where(F.pmod("v", F.lit(2)) == 0).coalesce(1).write.mode(

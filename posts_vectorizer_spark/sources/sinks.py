@@ -258,6 +258,37 @@ def _merge_parquet(
     _sweep_orphans(target_dir, manifest)
     if manifest is not None:
         n_buckets = manifest["n_buckets"]
+    # The incoming batch is consumed TWICE on the merge path: once by the
+    # touched-bucket probe (a collect) and once by the staged write. Without
+    # a persist the caller's whole delta subtree (tokenize/hash/aggregate of
+    # the micro-batch) re-runs per consumer — the r12 profile showed every
+    # drain paying its batch computation twice. Persisted here, released in
+    # the finally below; deltas are batch-sized (pre-aggregated per key).
+    persisted = upserts if manifest and manifest["buckets"] else None
+    if persisted is not None:
+        persisted.persist()
+    try:
+        _merge_parquet_inner(
+            spark, upserts, delete_keys, target_dir, keys, n_buckets,
+            manifest, order_col, combine, batch_id,
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
+
+
+def _merge_parquet_inner(
+    spark: SparkSession,
+    upserts: DataFrame,
+    delete_keys: DataFrame | None,
+    target_dir: str,
+    keys: list[str],
+    n_buckets: int,
+    manifest: dict | None,
+    order_col: str | None = None,
+    combine: str = "replace",
+    batch_id: int | None = None,
+) -> None:
     bucketed_upserts = upserts.withColumn("_bucket", _bucket_col(keys, n_buckets))
     change_keys = upserts.select(*keys)
     if delete_keys is not None:

@@ -851,8 +851,14 @@ def cms_count_stream(
             .select(T.char_hash("word").alias("h"), "n")
         )
         delta = cms_delta_counts(counts)
+        # n_buckets=4: CMS state is a CONSTANT-SIZE d x w counter grid
+        # (corpus-independent), so its bucket count follows the state
+        # size, not the corpus — 16 buckets just meant 16 tiny parquet
+        # files per micro-batch commit (r12 stage profile: the staged
+        # write's per-file creation cost dominated the merge job).
         merge_add_parquet(
-            spark, delta, sketch_dir, ["d", "bucket"], batch_id=batch_id
+            spark, delta, sketch_dir, ["d", "bucket"],
+            n_buckets=4, batch_id=batch_id,
         )
 
     return (
