@@ -24,9 +24,29 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def checkpoint_tracked(df: DataFrame) -> DataFrame:
+    """localCheckpoint() + register the checkpointed frame for release.
+
+    Use instead of :func:`persist_tracked` when downstream consumers are
+    MANY and the producer's lineage is LARGE: a persist caches the data
+    but every consumer still carries (and re-plans) the full analyzed
+    tree — for an unrolled iteration over an expensive producer the
+    driver-side optimizer/AQE cost of those re-plans dominated wall clock
+    (r12: sim_hits_ann spent ~85 of 90 s OFF-task in planning; guide §5
+    names localCheckpoint as the lineage cut). localCheckpoint
+    materializes the rows once and replaces the subtree with a leaf —
+    results are unchanged; fault tolerance of the intermediate is
+    irrelevant for these self-contained analytic queries. Lazy (eager is
+    paid at the first action, like persist); blocks are freed by the same
+    release_caches() sweep."""
+    out = df.localCheckpoint(eager=False)
+    _TRACKED.append(out)
+    return out
+
+
 def release_caches() -> int:
-    """Unpersist every tracked cache (safe mid-query: Spark falls back to
-    recompute). Returns the number released."""
+    """Unpersist every tracked cache (safe mid-query for persists: Spark
+    falls back to recompute). Returns the number released."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()

@@ -116,7 +116,17 @@ def _doc_shingle_arrays(documents: DataFrame) -> DataFrame:
     pipeline was exactly that re-hashing)."""
     toks = T.tokens("text")
     th = F.transform(toks, lambda t: T.char_hash(t))
-    docs = spread(documents).select("doc_id", th.alias("th"))
+    # r12: the length gate runs on the CHEAP token count BEFORE the
+    # rebalance — filtering on size(th) after the projection let the
+    # optimizer inline the whole tokenize+char-hash fold into a pushed
+    # filter BELOW the spread exchange, re-hashing the corpus on the
+    # single scan task (18.6 s single-task CPU in the r12 decontaminate
+    # profile). size(tokens) == size(th) (transform preserves length),
+    # so the kept rows are identical; only the tokenize+size crosses to
+    # the scan side, and it is selective there.
+    docs = spread(
+        documents.where(F.size(toks) >= SHINGLE_N)
+    ).select("doc_id", th.alias("th"))
     comb = lambda i: F.aggregate(  # noqa: E731
         F.slice("th", i, SHINGLE_N),
         F.lit(0).cast("long"),
@@ -125,9 +135,10 @@ def _doc_shingle_arrays(documents: DataFrame) -> DataFrame:
     shingles = F.transform(
         F.sequence(F.lit(1), F.size("th") - (SHINGLE_N - 1)), comb
     )
-    return docs.where(F.size("th") >= SHINGLE_N).select(
-        "doc_id", F.array_distinct(shingles).alias("shs")
-    )
+    # (length gate already applied pre-spread on the token count above —
+    # repeating it here on size(th) would re-inline the hash fold into a
+    # pushed-down filter)
+    return docs.select("doc_id", F.array_distinct(shingles).alias("shs"))
 
 
 def _doc_shingles(

@@ -197,12 +197,24 @@ def hits_from_edges(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     and without the persist every consumer re-executes the PRODUCER
     (the exact kernel or the LSH bucket join) — measured 6x the
     producer cost at 10x data before this pin."""
-    from ..cache import persist_tracked
+    from ..cache import checkpoint_tracked, persist_tracked
 
-    edges = persist_tracked(edges)
+    # edges is checkpointed, not just persisted: every half-step consumer
+    # re-PLANS the producer's full analyzed tree even when the data is
+    # cached, and for the LSH-ann producer that driver-side optimizer/AQE
+    # cost dominated wall clock (~85 of 90 s off-task, r12 profile). The
+    # localCheckpoint leaf makes each consumer's plan edge-list-sized.
+    edges = checkpoint_tracked(edges)
     outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     ind = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
-    verts = (
+    # verts is consumed 2·iters + 1 times (every score join + the final
+    # output); each a_raw/h_raw twice (its 1-row total + the score join);
+    # each auth/hub by the NEXT half-step and the output. Without these
+    # vertex-sized persists the unrolled lineage re-executes the whole
+    # upstream tree per consumer — measured r12: sim_hits_ann (LSH edge
+    # producer above the edge cache re-ran per level) 46.8 s -> the
+    # persisted form's seconds (r12 optimization pass; guide §7.2).
+    verts = persist_tracked(
         outd.select(F.col("src").alias("vec_id"), "out_deg")
         .join(
             ind.select(F.col("dst").alias("vec_id"), "in_deg"),
@@ -219,7 +231,7 @@ def hits_from_edges(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     auth = None
     for _ in range(iters):
         # authority half-step from current hubs
-        a_raw = (
+        a_raw = persist_tracked(
             edges.join(hub, edges["src"] == hub["vec_id"])
             .select("dst", F.col("h").cast("decimal(28,9)").alias("c"))
             .groupBy("dst")
@@ -228,7 +240,7 @@ def hits_from_edges(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
         a_tot = a_raw.agg(
             F.sum("a_raw").cast("decimal(38,9)").alias("ta")
         )
-        auth = (
+        auth = checkpoint_tracked(
             verts.join(
                 a_raw, verts["vec_id"] == a_raw["dst"], "left"
             )
@@ -245,7 +257,7 @@ def hits_from_edges(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             )
         )
         # hub half-step from fresh authorities
-        h_raw = (
+        h_raw = persist_tracked(
             edges.join(auth, edges["dst"] == auth["vec_id"])
             .select(
                 F.col("src").alias("v"),
@@ -257,7 +269,7 @@ def hits_from_edges(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
         h_tot = h_raw.agg(
             F.sum("h_raw").cast("decimal(38,9)").alias("th")
         )
-        hub = (
+        hub = checkpoint_tracked(
             verts.join(h_raw, verts["vec_id"] == h_raw["v"], "left")
             .crossJoin(F.broadcast(h_tot))
             .select(
@@ -493,12 +505,19 @@ def assortativity_from_edges(edges_in: DataFrame) -> DataFrame:
     double expression num/(sqrt(vx)*sqrt(vy)) of the exact sums (the
     spearman_rho device). Regular graphs (zero degree variance) yield
     NULL explicitly."""
-    from ..cache import persist_tracked
+    from ..cache import checkpoint_tracked, persist_tracked
 
-    edges = persist_tracked(edges_in)
-    und = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    # r12: checkpoint the edge producer (lineage cut — the sim_hits_ann
+    # finding) and persist the doubled list (three consumers: deg + the
+    # two moment joins).
+    edges = checkpoint_tracked(edges_in)
+    und = persist_tracked(
+        edges.select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ).unionAll(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    )
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )

@@ -38,12 +38,32 @@ def minhash_lsh_near_dups(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = documents.select("doc_id", T.tokens("text").alias("tokens")).where(
-        F.size("tokens") > 0
+    from ..cache import persist_tracked
+    from ..sources import spread
+
+    # r12: rebalance the single-split scan before tokenize+HashingTF
+    # (guide §2.5), and project the join input down to (doc_id, features)
+    # BEFORE approxSimilarityJoin (guide §2.3): MLlib's join explodes
+    # each row once per hash table and shuffles whole rows, so the token
+    # array would otherwise cross the exchange num_hash_tables times per
+    # side. The projected relation is persisted — the self-join consumes
+    # it twice. NOTE (scale): MinHashLSH's OR-amplification uses 1-row
+    # bands, so on unigram token sets nearly every doc pair shares some
+    # min-hash and the candidate set is ~n² at this threshold — the
+    # engine's banded portable implementation (operators/dedup.py,
+    # 4-row bands) is the production path; this [R] alternate witnesses
+    # the library API, eval-sized by convention.
+    toks = spread(documents).select(
+        "doc_id", T.tokens("text").alias("tokens")
+    ).where(F.size("tokens") > 0)
+    tf = persist_tracked(
+        HashingTF(
+            inputCol="tokens", outputCol="features",
+            numFeatures=vocab_size, binary=True,
+        )
+        .transform(toks)
+        .select("doc_id", "features")
     )
-    tf = HashingTF(
-        inputCol="tokens", outputCol="features", numFeatures=vocab_size, binary=True
-    ).transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables)
     model = lsh.fit(tf)
     joined = model.approxSimilarityJoin(

@@ -652,13 +652,32 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "sh")
         .distinct()
     )
-    a = src_sh.select(F.col("source").alias("source_a"), "sh")
-    b = src_sh.select(F.col("source").alias("source_b"), "sh")
-    return (
-        a.join(b, "sh")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("shared_shingles"))
+    # r12: the docstring's "per-shingle source-set aggregation" form is
+    # now the implementation (it was prose before): one groupBy(sh) into
+    # a sorted source set, ordered pairs expanded IN-ROW, then the tiny
+    # #sources²-bounded pair aggregate — replaces the self-equi-join
+    # that scanned the persisted relation twice and shuffled both sides
+    # (guide §2.4 remove shuffles). Identical output: each shingle
+    # contributes exactly its C(|sources|, 2) ordered pairs.
+    pairs = (
+        src_sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+            flatten(transform(ss, (x, i) ->
+              transform(slice(ss, i + 2, size(ss)),
+                        y -> struct(x AS source_a, y AS source_b))))
+            """
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("shared_shingles")
     )
 
 

@@ -71,7 +71,13 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join + per-doc hash aggregate: one shuffle keyed by doc_id, no
     candidate-pair blowup. At 100 TB the cost is the corpus shingle scan.
     """
-    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    from ..cache import persist_tracked
+
+    # r12: sh feeds both the eval side and the train side — persist so
+    # the corpus is shingled once per run, not twice (guide §7.2).
+    sh = persist_tracked(
+        _doc_shingles(load_table(spark, sf_dir, "documents"))
+    )
     eval_sh = (
         sh.where(F.col("doc_id") % _DECON_EVAL_MOD == 0)
         .select("sh")

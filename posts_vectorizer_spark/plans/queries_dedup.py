@@ -593,8 +593,13 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte md5 keys only (the dedup-family contract: text never
     rides the wire beyond its own chunk hash); sharedness is one
     chunk-keyed count + one doc-keyed rollup."""
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") > 0
+    from ..sources import spread
+
+    # r12: the O(len·w) in-row rolling-hash boundary fold is the whole
+    # cost and ran on ONE task behind the single-split scan — rebalance
+    # before it (sources.spread; guide §2.5 input skew).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     )
     base = docs.select(
         "doc_id", "text", F.expr(_CDC_BOUNDS_SPARK).alias("bounds")

@@ -92,7 +92,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB add ppjoin's positional filter (prune by prefix position
     before verifying) with the same plan shape.
     """
-    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    from ..cache import persist_tracked
+
+    # r12: sh (tokenize + char-hash + shingle fold + distinct — the
+    # heaviest subtree) feeds FIVE consumers (freq, ranked, both verify
+    # sides, sizes); without the persist the corpus was shingled five
+    # times per run (guide §7.2 duplicated subtrees).
+    sh = persist_tracked(
+        _doc_shingles(load_table(spark, sf_dir, "documents"))
+    )
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
     w_rk = Window.partitionBy("doc_id").orderBy("f", "sh")
     w_sz = Window.partitionBy("doc_id")

@@ -331,12 +331,19 @@ GROUP BY n.u, n.v
 def _adamic_adar(edges_in: DataFrame) -> DataFrame:
     """The AA graph algebra over a src<dst edge list — shared verbatim by
     the exact-kNN and lsh_ann edge producers (identical output contract)."""
-    from ..cache import persist_tracked
+    from ..cache import checkpoint_tracked, persist_tracked
 
-    edges = persist_tracked(edges_in)
-    und = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    # r12: checkpoint the edge producer (lineage cut — the sim_hits_ann
+    # finding: consumers re-plan a cached producer's full tree) and
+    # persist the doubled list its joins fan out over.
+    edges = checkpoint_tracked(edges_in)
+    und = persist_tracked(
+        edges.select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ).unionAll(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    )
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )
@@ -475,12 +482,19 @@ def _triangles(edges_in: DataFrame) -> DataFrame:
     lsh_ann edge producers (the _adamic_adar convention). Triangles
     enumerate once each as a<b<c via two bounded-degree equi-joins on
     the half-list; per-node counts come from the 3-way unpivot."""
-    from ..cache import persist_tracked
+    from ..cache import checkpoint_tracked, persist_tracked
 
-    edges = persist_tracked(edges_in)
-    und = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    # r12: checkpoint the edge producer (lineage cut — the sim_hits_ann
+    # finding: consumers re-plan a cached producer's full tree) and
+    # persist the doubled list its joins fan out over.
+    edges = checkpoint_tracked(edges_in)
+    und = persist_tracked(
+        edges.select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ).unionAll(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    )
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )
@@ -655,12 +669,22 @@ LEFT JOIN a3 ON a3.node = d0.node
 def _kcore(edges_in: DataFrame) -> DataFrame:
     """The unrolled peel algebra over a src<dst edge list — shared by the
     exact-kNN witness and the lsh_ann corpus-scale form."""
-    from ..cache import persist_tracked
+    from ..cache import checkpoint_tracked, persist_tracked
 
-    edges = persist_tracked(edges_in)
-    und = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    # r12: the edge producer is CHECKPOINTED, not just persisted — every
+    # peel round and the final survivor joins re-PLAN the producer's full
+    # analyzed tree even when the data is cached, and for the lsh_ann
+    # producer that driver-side optimizer/AQE cost dominated wall clock
+    # (the sim_hits_ann finding, operators/graph.py). und is persisted:
+    # d0 plus every round's degree semi-join consume it.
+    edges = checkpoint_tracked(edges_in)
+    und = persist_tracked(
+        edges.select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ).unionAll(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    )
 
     def degrees(alive):
         au = alive.select(F.col("node").alias("au"))
@@ -672,13 +696,21 @@ def _kcore(edges_in: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("deg"))
         )
 
-    d0 = und.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").cast("bigint").alias("deg")
+    # d0 is consumed by round 1 AND the final profile joins; each round's
+    # survivor set is consumed by its degree semi-join AND the final
+    # joins — checkpointing the vertex-sized sets keeps every plan flat
+    # instead of embedding all previous rounds' trees.
+    d0 = persist_tracked(
+        und.groupBy(F.col("u").alias("node")).agg(
+            F.count("*").cast("bigint").alias("deg")
+        )
     )
     alive = d0
     survivors = []
     for _ in range(_KCORE_ROUNDS):
-        alive = alive.where(F.col("deg") >= _KCORE_K).select("node")
+        alive = checkpoint_tracked(
+            alive.where(F.col("deg") >= _KCORE_K).select("node")
+        )
         survivors.append(alive)
         alive = degrees(alive)
     a1, a2, a3 = (

@@ -408,18 +408,24 @@ def text_textrank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
     )
-    edges = (
+    from ..cache import persist_tracked
+
+    # r12: edges/outdeg/nodes are each consumed by EVERY unrolled
+    # iteration (edges 3x, outdeg 3x, nodes 4x) — without the persists
+    # each iteration re-ran the corpus tokenize + bigram explode +
+    # union + groupBy from scratch (guide §7.2 duplicated subtrees).
+    edges = persist_tracked(
         bi.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
         .unionAll(bi.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
     )
-    outdeg = edges.groupBy("src").agg(
-        F.sum("w").cast("double").alias("outw")
+    outdeg = persist_tracked(
+        edges.groupBy("src").agg(F.sum("w").cast("double").alias("outw"))
     )
     vocab = toks.select(F.explode("t").alias("word")).distinct()
     n1 = vocab.agg(F.count("*").cast("double").alias("n"))
-    nodes = vocab.crossJoin(F.broadcast(n1))
+    nodes = persist_tracked(vocab.crossJoin(F.broadcast(n1)))
     pr = nodes.select("word", (F.lit(1.0) / F.col("n")).alias("pr"))
     for _ in range(_TR_ITERS):
         contrib = (

@@ -733,7 +733,11 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scans once."""
     from ..cache import persist_tracked
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources import spread
+
+    # r12: rebalance the single-split scan before the tokenize + pair
+    # explode that builds the persisted edge relation (guide §2.5).
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = textstats.T.tokens("text")
     pairs = docs.select("doc_id", toks.alias("t")).where(
         F.size("t") >= 2

@@ -43,6 +43,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate re-derives `size(e) > 0 AND isnotnull(e)`
+        # for every explode and then predicate pushdown INLINES the
+        # generator's child expression into that filter below any exchange.
+        # For this engine's explodes — computed arrays of portable-hash
+        # folds (shingles, n-grams, bigrams) — that re-evaluates the most
+        # expensive expression in the plan up to twice more, single-task
+        # when pushed below a spread rebalance (r12 profile:
+        # dedup_decontaminate spent 18.6 s of 19.9 s in one pushed-down
+        # filter). The inferred filters are semantically redundant (the
+        # explode itself drops empty/null arrays), so excluding the rule
+        # never changes results. Runtime-settable; prep_session repins it
+        # for driver-owned sessions.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # local[N] hosts driver AND all executor threads in ONE JVM, so this
@@ -69,4 +85,11 @@ def prep_session(spark: SparkSession) -> SparkSession:
     failing casts) so it runs identically under ANSI on or off.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # See get_spark: stops redundant inferred explode filters from
+    # re-evaluating expensive computed arrays below exchanges. Purely an
+    # optimizer exclusion — results are unchanged by construction.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     return spark

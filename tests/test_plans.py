@@ -149,6 +149,15 @@ def test_plan_build_triggers_no_jobs(spark):
         "stream_jsd_drain",
         "sim_hits_hubs_authorities",
         "sim_hits_ann",
+        # r12 optimization: the iterative graph operators now CHECKPOINT
+        # their edge producer (cache.checkpoint_tracked — the lineage cut
+        # that removed ~85 s of per-consumer replanning from
+        # sim_hits_ann), and localCheckpoint materializes AQE stages at
+        # build, so these run their producer jobs at plan-build time by
+        # contract (the *_ann forms' LSH bucket join / the witnesses'
+        # topk kernel edge build):
+        "sim_adamic_adar_links_ann",
+        "sim_kcore_peeling_ann",
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():
