@@ -14,13 +14,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+# entries: (DataFrame, checkpointed JavaRDD or None). The JavaRDD is
+# captured for localCheckpoint'ed frames because DataFrame.unpersist()
+# cannot release them (see checkpoint_tracked).
+_TRACKED: list[tuple[DataFrame, object]] = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """persist() + register for later release."""
     df.persist()
-    _TRACKED.append(df)
+    _TRACKED.append((df, None))
     return df
 
 
@@ -37,21 +40,38 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
     materializes the rows once and replaces the subtree with a leaf —
     results are unchanged; fault tolerance of the intermediate is
     irrelevant for these self-contained analytic queries. Lazy (eager is
-    paid at the first action, like persist); blocks are freed by the same
-    release_caches() sweep."""
+    paid at the first action, like persist).
+
+    Release (r13, the r12 ADVICE fix): ``DataFrame.unpersist()`` is a
+    no-op on a checkpointed frame — its LogicalRDD leaf is not in the
+    CacheManager, so the MEMORY_AND_DISK blocks of the checkpointed RDD
+    previously lived until JVM GC + ContextCleaner collected them,
+    accumulating executor storage across a long session. The underlying
+    RDD is a field of the LogicalRDD leaf; we capture it here and
+    release_caches() unpersists it explicitly."""
     out = df.localCheckpoint(eager=False)
-    _TRACKED.append(out)
+    try:
+        # analyzed plan of a checkpointed Dataset IS the LogicalRDD leaf;
+        # its .rdd() field is the exact RDD localCheckpoint persisted
+        jrdd = out._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # internals moved — degrade to the GC-eventual path
+        jrdd = None
+    _TRACKED.append((out, jrdd))
     return out
 
 
 def release_caches() -> int:
     """Unpersist every tracked cache (safe mid-query for persists: Spark
-    falls back to recompute). Returns the number released."""
+    falls back to recompute; checkpointed RDDs are only ever released
+    between queries by the bench/oracle/test drivers). Returns the number
+    released."""
     n = 0
     while _TRACKED:
-        df = _TRACKED.pop()
+        df, jrdd = _TRACKED.pop()
         try:
             df.unpersist()
+            if jrdd is not None:
+                jrdd.unpersist(False)
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass

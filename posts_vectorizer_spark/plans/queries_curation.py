@@ -1060,10 +1060,14 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     type count T is a 1-row broadcast cross join, never a driver action.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # r12: rebalance the single-split scan before tokenize + the bigram
-    # transform/explode — the map side of the per-doc bigram aggregation
-    # otherwise runs on one core (sources.spread; guide §2.5 input skew).
-    base = spread(docs).select("doc_id", T.tokens("text").alias("t")).where(
+    # r13: NO spread here — the r12 rebalance was a driver-measured
+    # pessimization (0.89x, +1 MB shuffle carrying the full text column,
+    # 8-core run beating 32-core). The per-doc bigram aggregation's map
+    # side collapses each doc to its distinct (w1,w2) counts BEFORE the
+    # exchange, so the tokenize cost it parallelized is smaller than the
+    # full-text shuffle it added (guide §2.3: shuffling the payload to
+    # save single-core arithmetic is the wrong trade).
+    base = docs.select("doc_id", T.tokens("text").alias("t")).where(
         F.size("t") >= 2
     )
     trans = base.select(
@@ -2464,10 +2468,14 @@ def text_jelinek_mercer_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions that broadcast back at fixture scale and AQE-shuffle
     at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    # r12: rebalance the single-split scan before tokenize + the bigram
-    # transform/explode — the map side of the per-doc bigram aggregation
-    # otherwise runs on one core (sources.spread; guide §2.5 input skew).
-    base = spread(docs).select("doc_id", T.tokens("text").alias("t")).where(
+    # r13: NO spread here — the r12 rebalance was a driver-measured
+    # pessimization (0.89x, +1 MB shuffle carrying the full text column,
+    # 8-core run beating 32-core). The per-doc bigram aggregation's map
+    # side collapses each doc to its distinct (w1,w2) counts BEFORE the
+    # exchange, so the tokenize cost it parallelized is smaller than the
+    # full-text shuffle it added (guide §2.3: shuffling the payload to
+    # save single-core arithmetic is the wrong trade).
+    base = docs.select("doc_id", T.tokens("text").alias("t")).where(
         F.size("t") >= 2
     )
     trans = base.select(
@@ -2973,10 +2981,14 @@ def text_witten_bell_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     reductions that broadcast back at fixture scale and AQE-shuffle
     at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    # r12: rebalance the single-split scan before tokenize + the bigram
-    # transform/explode — the map side of the per-doc bigram aggregation
-    # otherwise runs on one core (sources.spread; guide §2.5 input skew).
-    base = spread(docs).select("doc_id", T.tokens("text").alias("t")).where(
+    # r13: NO spread here — the r12 rebalance was a driver-measured
+    # pessimization (0.89x, +1 MB shuffle carrying the full text column,
+    # 8-core run beating 32-core). The per-doc bigram aggregation's map
+    # side collapses each doc to its distinct (w1,w2) counts BEFORE the
+    # exchange, so the tokenize cost it parallelized is smaller than the
+    # full-text shuffle it added (guide §2.3: shuffling the payload to
+    # save single-core arithmetic is the wrong trade).
+    base = docs.select("doc_id", T.tokens("text").alias("t")).where(
         F.size("t") >= 2
     )
     trans = base.select(

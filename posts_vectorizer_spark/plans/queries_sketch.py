@@ -24,7 +24,6 @@ from pyspark.sql.window import Window
 
 from ..functions import text as T
 from ..sources import load_table, spread
-from ..sources.catalog import spread
 from .registry import register
 
 

@@ -2748,19 +2748,13 @@ m AS (
 ),
 e AS (SELECT *, m6t - m6c AS e6 FROM m)
 SELECT stratum, n_users, nt, nc,
-       CAST(CAST(m6t AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6))
-            AS DECIMAL(18,6)) AS mean_y_treated,
-       CAST(CAST(m6c AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6))
-            AS DECIMAL(18,6)) AS mean_y_control,
-       CAST(CAST(e6 AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6))
-            AS DECIMAL(18,6)) AS stratum_effect,
-       CAST(CAST(CASE WHEN e6 < 0
-                 THEN -((2 * n_users * (-e6) * 1000 + big_n)
-                        // (2 * big_n))
-                 ELSE (2 * n_users * e6 * 1000 + big_n) // (2 * big_n)
-                 END AS DECIMAL(18,0))
-            * CAST(0.000000001 AS DECIMAL(10,9))
-            AS DECIMAL(18,9)) AS ate_contrib
+       m6t AS mean_y_treated_micro6,
+       m6c AS mean_y_control_micro6,
+       e6 AS stratum_effect_micro6,
+       CASE WHEN e6 < 0
+            THEN -((2 * n_users * (-e6) * 1000 + big_n) // (2 * big_n))
+            ELSE (2 * n_users * e6 * 1000 + big_n) // (2 * big_n)
+            END AS ate_contrib_nano9
 FROM e
 """
 
@@ -2777,25 +2771,31 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     propensity is constant, so IPW reduces to the stratified estimator:
     ATE = sum_s (n_s/N) * (mean_T,s - mean_C,s).
 
-    Exactness (rewritten r12 — the r11 driver red row): every output
-    stat lives on an exact half-up integer lattice, no doubles
-    anywhere. The per-arm sums are integral in cents (st*100 BIGINT);
-    means round half-up to 6dp via the trunc-division identity
+    Exactness (rewritten r12; restated BIGINT end-to-end r13 — the
+    r11/r12 driver red row): every output stat lives on an exact
+    half-up integer lattice, no doubles OR decimals anywhere. The
+    per-arm sums are integral in cents (st*100 BIGINT); means round
+    half-up to 6dp via the trunc-division identity
     half_up(a/b) = (2a+b) div (2b) on nonnegative a (Spark ``div`` and
     DuckDB BIGINT ``//`` both truncate toward zero); the stratum
     effect is the exact difference of the two 6dp lattices; the ATE
     contribution rounds half-away-from-zero to 9dp on the same device
     (sign split out, so trunc==floor on the nonneg magnitude), making
-    the overall ATE an EXACT sum of the output column (the chi2/PSI
-    per-row-contribution device). Lattice headroom: the widest term is
-    2*n_users*|e6|*1000 ~ 2e3 * N_users * mean_gap_microunits — ~5e13
-    at sf0.1, five orders under int64; at cluster scale widen to the
-    DECIMAL(38,0)/HUGEINT lattice with the %%-then-/ floor device.
-    The r11 unrounded-double columns (mean_y_treated / mean_y_control
-    / stratum_effect) violated SURVEY §5.2 float discipline — this
-    restates them as DECIMAL(18,6) grid points. Degenerate strata
-    (all-treated / all-control, where IPW is undefined) drop
-    explicitly.
+    the overall ATE in value units an EXACT sum of ate_contrib_nano9
+    times 1e-9 (the chi2/PSI per-row-contribution device). The means
+    and effects are emitted AS the BIGINT micro-unit lattice values
+    (mean_y_*_micro6 = 1e-6 value units, ate_contrib_nano9 = 1e-9):
+    the r12 form re-scaled them onto DECIMAL(18,6)/DECIMAL(18,9) grid
+    points — locally bit-identical to the DuckDB oracle at all three
+    SFs, yet the driver's environment hashed them differently two
+    rounds running (engine-version decimal rendering/hash
+    normalization is the suspect). Integers admit exactly one
+    rendering, so the lattice itself is now the contract. Lattice
+    headroom: the widest term is 2*n_users*|e6|*1000 ~ 2e3 * N_users
+    * mean_gap_microunits — ~5e13 at sf0.1, five orders under int64;
+    at cluster scale widen to the DECIMAL(38,0)/HUGEINT lattice with
+    the %%-then-/ floor device. Degenerate strata (all-treated /
+    all-control, where IPW is undefined) drop explicitly.
 
     Scale shape: per-user aggregate (map-side combinable), then a
     4-row stratum×arm cell aggregate and a broadcast 1-row total —
@@ -2850,22 +2850,20 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("e6", F.expr("m6t - m6c"))
     )
-    grid6 = "CAST(CAST({0} AS DECIMAL(18,0)) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
     return lat.select(
         "stratum",
         "n_users",
         "nt",
         "nc",
-        F.expr(grid6.format("m6t")).alias("mean_y_treated"),
-        F.expr(grid6.format("m6c")).alias("mean_y_control"),
-        F.expr(grid6.format("e6")).alias("stratum_effect"),
+        F.col("m6t").alias("mean_y_treated_micro6"),
+        F.col("m6c").alias("mean_y_control_micro6"),
+        F.col("e6").alias("stratum_effect_micro6"),
         F.expr(
-            "CAST(CAST(CASE WHEN e6 < 0"
+            "CASE WHEN e6 < 0"
             " THEN -((2 * n_users * (-e6) * 1000 + big_n) div (2 * big_n))"
             " ELSE (2 * n_users * e6 * 1000 + big_n) div (2 * big_n)"
-            " END AS DECIMAL(18,0))"
-            " * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9))"
-        ).alias("ate_contrib"),
+            " END"
+        ).alias("ate_contrib_nano9"),
     )
 
 

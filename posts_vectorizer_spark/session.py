@@ -87,9 +87,16 @@ def prep_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # See get_spark: stops redundant inferred explode filters from
     # re-evaluating expensive computed arrays below exchanges. Purely an
-    # optimizer exclusion — results are unchanged by construction.
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    # optimizer exclusion — results are unchanged by construction. MERGED
+    # into any exclusions the session owner already set (r12 ADVICE: a
+    # plain overwrite would silently drop the driver's own exclusions).
+    _rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        existing = None
+    rules = [r.strip() for r in (existing or "").split(",") if r.strip()]
+    if _rule not in rules:
+        rules.append(_rule)
+    spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     return spark

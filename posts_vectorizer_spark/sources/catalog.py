@@ -55,16 +55,31 @@ def scratch_dir(prefix: str) -> str:
 
 def spread(df: DataFrame) -> DataFrame:
     """Rebalance a narrow scan across all cores before CPU-heavy per-row
-    work (tokenize / hash / shingle).
+    work (tokenize / hash / shingle) — but ONLY when the scan actually
+    arrives under-split.
 
     A small parquet table arrives as one input split, so without this the
     expensive narrow stage runs on a single core no matter how many are
     idle. At 100 TB the scan has thousands of splits and
-    ``spark.sql.files.maxPartitionBytes`` is the sizing knob — but an
-    explicit rebalance in front of expensive narrow transforms remains the
-    standard guard against few-large-files skew."""
+    ``spark.sql.files.maxPartitionBytes`` is the sizing knob — and an
+    unconditional ``repartition`` there would be a gratuitous full shuffle
+    of the input (for the payload-carrying codec/text paths, a full-corpus
+    shuffle the guide's §2 exists to prevent). The r12 form repartitioned
+    unconditionally; r13 gates it on the OBSERVED scan parallelism: the
+    rebalance fires only when the plan's partition count is below half the
+    core count, so it self-disables on well-split scans and on single-core
+    runs. The probe reads partition metadata off the physical plan
+    (driver-side split planning only — spread()'s inputs are scans /
+    scan+project with no exchanges, so no job and no AQE stage can run)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    par = sc.defaultParallelism
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:  # defensive: never let the probe break a build
+        n_in = 1
+    if n_in >= max(2, par // 2):
+        return df
+    return df.repartition(par)
 
 
 # DataFrame plans are immutable and the fixtures never change, so the

@@ -221,6 +221,26 @@ def test_release_caches_leaves_no_persistent_rdds(spark):
     assert not leaked
 
 
+def test_release_caches_frees_checkpoint_blocks(spark):
+    """checkpoint_tracked's localCheckpoint blocks are OUTSIDE the
+    CacheManager, so DataFrame.unpersist() alone cannot free them (r12
+    ADVICE): release_caches must unpersist the underlying checkpointed
+    RDD explicitly, or a long session running the iterative graph family
+    accumulates MEMORY_AND_DISK blocks until JVM GC. Two checkpoint-heavy
+    graph queries back-to-back, then release: executor storage must be
+    back at baseline."""
+    from posts_vectorizer_spark.cache import release_caches
+
+    release_caches()
+    baseline = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    for name in ("sim_hits_hubs_authorities", "sim_kcore_peeling"):
+        df = E.queries()[name](spark, SF_ORACLE)
+        df.write.mode("overwrite").format("noop").save()
+    assert release_caches() > 0
+    leaked = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()) - baseline
+    assert not leaked
+
+
 def test_whole_stage_codegen_active(spark):
     df = E.queries()["rel_groupby_agg"](spark, SF_ORACLE)
     df.collect()  # AQE finalizes the plan (and codegen annotations) on run

@@ -1052,14 +1052,16 @@ def test_ipw_ate_planted_confounding(spark, tmp_path):
            resolve_query("events_ipw_ate")(spark, str(d)).collect()}
     assert set(out) == {0, 3}
     # within each stratum the per-user outcome diff is exactly
-    # n_ev * 1.0 (every event carries the +1 treatment lift); the r12
-    # rewrite states effects as exact DECIMAL(18,6) grid points
-    assert float(out[0]["stratum_effect"]) == 2.0
-    assert float(out[3]["stratum_effect"]) == 20.0
-    # ATE = exact sum of contributions; with equal strata (20 users
-    # each) it's (2 + 20) / 2 = 11 per-user total-value lift
-    ate = float(sum(r["ate_contrib"] for r in out.values()))
-    assert abs(ate - 11.0) < 1e-6
+    # n_ev * 1.0 (every event carries the +1 treatment lift); the r13
+    # restatement emits effects as exact BIGINT micro-unit (1e-6)
+    # lattice values — integers admit exactly one rendering
+    assert out[0]["stratum_effect_micro6"] == 2_000_000
+    assert out[3]["stratum_effect_micro6"] == 20_000_000
+    # ATE = exact sum of nano-unit (1e-9) contributions; with equal
+    # strata (20 users each) it's (2 + 20) / 2 = 11 per-user
+    # total-value lift
+    ate = sum(r["ate_contrib_nano9"] for r in out.values())
+    assert ate == 11_000_000_000
     # the naive (unstratified) difference is confounded far above 11:
     # treated users are disproportionately heavy in this plant? both
     # arms span both strata here, so just pin the counts instead
