@@ -27,7 +27,7 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
-def checkpoint_tracked(df: DataFrame) -> DataFrame:
+def checkpoint_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
     """localCheckpoint() + register the checkpointed frame for release.
 
     Use instead of :func:`persist_tracked` when downstream consumers are
@@ -39,8 +39,10 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
     names localCheckpoint as the lineage cut). localCheckpoint
     materializes the rows once and replaces the subtree with a leaf —
     results are unchanged; fault tolerance of the intermediate is
-    irrelevant for these self-contained analytic queries. Lazy (eager is
-    paid at the first action, like persist).
+    irrelevant for these self-contained analytic queries. Lazy by
+    default (eager is paid at the first action, like persist);
+    ``eager=True`` is for driver-looped fixpoints that consume the
+    frame immediately (connected_components) — same release contract.
 
     Release (r13, the r12 ADVICE fix): ``DataFrame.unpersist()`` is a
     no-op on a checkpointed frame — its LogicalRDD leaf is not in the
@@ -49,7 +51,7 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
     accumulating executor storage across a long session. The underlying
     RDD is a field of the LogicalRDD leaf; we capture it here and
     release_caches() unpersists it explicitly."""
-    out = df.localCheckpoint(eager=False)
+    out = df.localCheckpoint(eager=eager)
     try:
         # analyzed plan of a checkpointed Dataset IS the LogicalRDD leaf;
         # its .rdd() field is the exact RDD localCheckpoint persisted

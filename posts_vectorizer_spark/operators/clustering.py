@@ -31,11 +31,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..cache import persist_tracked
+from ..cache import checkpoint_tracked, persist_tracked
+from ..sources import spread
 
 K_DEFAULT = 8
 ITERS_DEFAULT = 2
 ROUND = 6
+
+
+def _fan_in(emb: DataFrame) -> DataFrame:
+    """Rebalance + persist the embedding relation at the entry of every
+    Lloyd-family operator (r13, guide §2.5/§7.2): the higher-order
+    distance folds these operators run per row are NOT whole-stage
+    codegen'd (each HOF evaluates interpreted, per element), and under a
+    single-split scan every train/assign job re-ran that fold chain on
+    ONE core — the r13 stage profile of sim_ivfpq_search showed its
+    back-to-back single-task stages (assign, update, encode) dominating
+    14 s of wall. The persist exists because each Lloyd iteration is its
+    own driver-collected job over the same rows; it is released by the
+    caller's release_caches() sweep like every tracked cache."""
+    return persist_tracked(spread(emb))
 
 
 def _quantize(arr_col):
@@ -53,6 +68,17 @@ def _dist_to(cvec_lit, emb_col):
     )
 
 
+def _cvec_lit(cvec) -> "F.Column":
+    """One centroid as ONE array<double> Literal node. The previous
+    ``F.array(*[F.lit(float(v)) ...])`` built a 64-child CreateArray per
+    centroid — k of them per assign — and the analyzer walked that
+    ~k·dims-node tree once per Lloyd JOB: the r13 stage profile showed
+    ~0.6 s driver-side gaps between every train collect, which was most
+    of the family's wall once the folds themselves were parallelized.
+    Values are identical (same Python floats, same array<double>)."""
+    return F.lit([float(v) for v in cvec])
+
+
 def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """(vec_id, cluster_id, embedding): nearest centroid by
     (distance, cluster_id) — computed as a single projection over the
@@ -62,7 +88,7 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
             *[
                 F.struct(
                     _dist_to(
-                        F.array(*[F.lit(float(v)) for v in cvec]), F.col("embedding")
+                        _cvec_lit(cvec), F.col("embedding")
                     ).alias("d"),
                     F.lit(cid).alias("c"),
                 )
@@ -114,6 +140,7 @@ def kmeans(
 ) -> DataFrame:
     """(cluster_id, n_members, dim, component) after `iters` Lloyd steps
     from the k-lowest-vec_id seeds."""
+    emb = _fan_in(emb)
     seeds = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -226,7 +253,10 @@ def _final_lists(
     """(cluster_id, vec_id, embedding, n2): the inverted lists after the
     portable KMeans train + one final assignment pass (the index step).
     Zero-norm vectors are excluded on both engines (no cosine
-    neighborhood). Shared by ivf_search and semdedup_prune."""
+    neighborhood). Shared by ivf_search and semdedup_prune — CALLERS
+    fan in (spread+persist) the embedding relation; doing it here too
+    would probe/repartition an already-exchanged frame (an AQE job at
+    build)."""
     seeds = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -239,10 +269,16 @@ def _final_lists(
         assigned = _assign(emb, centroids)
         centroids = _update(assigned)
     # final lists use the LAST updated centroids (one more assign pass —
-    # the index assignment step)
+    # the index assignment step). Checkpointed (r13, guide §5/§7.2):
+    # every consumer SELF-JOINS this relation, so without the cut the
+    # giant k×dims distance-fold expression tree is planned and executed
+    # once per join side; the checkpoint materializes the lists once
+    # (n rows of id+embedding+norm) and both sides read the leaf.
     assigned = _assign(emb, centroids)
-    return assigned.where(_norm2("embedding") > 0).select(
-        "cluster_id", "vec_id", "embedding", _norm2("embedding").alias("n2")
+    return checkpoint_tracked(
+        assigned.where(_norm2("embedding") > 0).select(
+            "cluster_id", "vec_id", "embedding", _norm2("embedding").alias("n2")
+        )
     )
 
 
@@ -264,7 +300,7 @@ def ivf_search(
     Approximate BY DESIGN (a true neighbor in another list is missed);
     the oracle runs the SAME lists, so the check is exact over the
     declared candidate set — the sim_lsh_ann pattern."""
-    lists = _final_lists(emb, k, iters)
+    lists = _final_lists(_fan_in(emb), k, iters)
     a = lists.select(
         "cluster_id",
         F.col("vec_id").alias("query_id"),
@@ -399,7 +435,7 @@ def semdedup_prune(
     (cluster equi-join), never n²; raise k to shrink lists at corpus
     scale. The witness argmin is a map-side-combinable struct-min keyed
     by vec_id, so the reduce state per vector is one struct."""
-    lists = _final_lists(emb, k, iters)
+    lists = _final_lists(_fan_in(emb), k, iters)
     a = lists.select(
         "cluster_id",
         "vec_id",
@@ -491,7 +527,7 @@ def _assign_with_dist(
             *[
                 F.struct(
                     _dist_to(
-                        F.array(*[F.lit(float(v)) for v in cvec]),
+                        _cvec_lit(cvec),
                         F.col("embedding"),
                     ).alias("d"),
                     F.lit(cid).alias("c"),
@@ -533,6 +569,7 @@ def pq_quantize(
     vec_id and the final profile groups by the (k^m)-cell code tuple,
     both bounded exchanges. Per-iteration driver state is m·k·(dims/m)
     doubles = one codebook."""
+    emb = _fan_in(emb)
     sub_len = dims // m
     encoded: DataFrame | None = None
     for i in range(m):
@@ -716,6 +753,7 @@ def ivfpq_search(
     DESIGN twice over (coarse pruning + quantized distance); the oracle
     runs the SAME lists and codebooks so the check is exact, and recall
     vs brute force is the operator test's job."""
+    emb = _fan_in(emb)  # shared by the coarse train AND the PQ trains
     lists = _final_lists(emb, k, iters)
     spark = emb.sparkSession
     sub_len = dims // m
@@ -934,8 +972,12 @@ def dbscan(
     """
     from . import dedup as _dedup
 
+    # spread (r13): the quadratic-mix 2D projection is a per-row HOF fold
+    # over all dims — interpreted, not codegen'd — and ran single-task
+    # behind the one-split scan; the rebalance parallelizes it into the
+    # persist (guide §2.5 input skew).
     pts = persist_tracked(
-        emb.select(
+        spread(emb).select(
             "vec_id",
             proj2d_expr(0).alias("px"),
             proj2d_expr(1).alias("py"),
@@ -1152,7 +1194,7 @@ def rq_quantize(
     k-row broadcast state), two broadcast-literal encode passes, one
     vec_id join, one (k*k)-cell profile combine. No stage shuffles
     vectors by anything but vec_id."""
-    full = emb.select("vec_id", "embedding")
+    full = _fan_in(emb.select("vec_id", "embedding"))
     c1 = _train_codebook(full, k, iters)
     if not c1:
         # empty corpus: no seeds, no codebook — an empty profile, not a
@@ -1170,15 +1212,14 @@ def rq_quantize(
     # fetch the wrong centroid or NULL while the SQL twin joins on
     # cluster_id and stays right (r9 review finding)
     cent_map = F.map_from_arrays(
-        F.array(*[F.lit(int(cid)) for cid, _ in c1]),
-        F.array(
-            *[
-                F.array(*[F.lit(float(v)) for v in cvec])
-                for _cid, cvec in c1
-            ]
-        ),
+        F.lit([int(cid) for cid, _ in c1]),
+        F.array(*[_cvec_lit(cvec) for _cid, cvec in c1]),
     )
-    res = (
+    # persisted (r13): the residual relation feeds the ENTIRE stage-2
+    # Lloyd train (seed collect + iters×(assign,update) jobs) plus the
+    # encode and the final profile — without it every one of those jobs
+    # re-runs the stage-1 join + residual subtraction.
+    res = persist_tracked(
         full.join(enc1, "vec_id")
         .select(
             "vec_id",
@@ -1273,6 +1314,7 @@ def pq_adc_scan(
     100 TB this is the per-list scan inside an IVF-PQ index (the IVF
     stage bounds N; THIS operator is the inner loop, here run over the
     full corpus as its own witness)."""
+    emb = _fan_in(emb)
     spark = emb.sparkSession
     sub_len = dims // m
     books = _pq_codebooks(emb, m, k, iters, dims)
@@ -1297,12 +1339,7 @@ def pq_adc_scan(
                         F.struct(
                             F.lit(cid).alias("code"),
                             F.round(
-                                _dist_to(
-                                    F.array(
-                                        *[F.lit(float(v)) for v in cvec]
-                                    ),
-                                    F.col("sub"),
-                                ),
+                                _dist_to(_cvec_lit(cvec), F.col("sub")),
                                 ROUND,
                             )
                             .cast("decimal(18,6)")

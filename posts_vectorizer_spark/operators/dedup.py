@@ -679,19 +679,61 @@ def connected_components(
         )
         .distinct()
     )
-    labels = documents.select(
-        "doc_id", F.col("doc_id").alias("component")
-    ).localCheckpoint()
+    # The per-round joins move LABEL-sized frames (one row per node), yet
+    # each round paid 3 joins x `shuffle.partitions` near-empty tasks plus
+    # a checkpoint of as many blocks — at fixture scale >100 sub-100ms
+    # stages of pure scheduling overhead per query (r13 stage profile of
+    # sim_dbscan: 145 stages). AQE's size-based coalescing is the
+    # scale-adaptive fix, but its default `parallelismFirst` deliberately
+    # ignores the advisory size to maximize parallelism. Flipping it OFF
+    # for the DURATION OF THE FIXPOINT ONLY (every action between here and
+    # the return runs on this driver thread) lets tiny label shuffles
+    # coalesce to one task while a 100 TB label table still splits by the
+    # advisory byte size — partitioning follows STATE size, the same rule
+    # the CMS drain's state buckets follow. Restored in `finally`, so
+    # downstream consumers of the returned (checkpointed) labels are
+    # planned under the caller's conf.
+    spark = documents.sparkSession
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    try:
+        pf_prev = spark.conf.get(_PF)
+    except Exception:
+        pf_prev = None
+    spark.conf.set(_PF, "false")
+    try:
+        return _cc_fixpoint(documents, edges, max_iterations)
+    finally:
+        if pf_prev is None:
+            spark.conf.unset(_PF)
+        else:
+            spark.conf.set(_PF, pf_prev)
+
+
+def _cc_fixpoint(
+    documents: DataFrame, edges: DataFrame, max_iterations: int
+) -> DataFrame:
+    from ..cache import checkpoint_tracked
+
+    labels = checkpoint_tracked(
+        documents.select("doc_id", F.col("doc_id").alias("component")),
+        eager=True,
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
+        # `prev` rides along so the fixpoint probe below can read the
+        # change flag straight off the checkpointed round output instead
+        # of re-joining it against the previous label table (r13: one
+        # fewer shuffle join per round; the probe job runs over cached
+        # blocks only).
         hashmin = labels.join(
             neighbor_min, labels.doc_id == neighbor_min.src, "left"
         ).select(
             "doc_id",
+            F.col("component").alias("prev"),
             F.least(
                 F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
             ).alias("component"),
@@ -711,28 +753,31 @@ def connected_components(
         jump = hashmin.select(
             F.col("doc_id").alias("j_id"), F.col("component").alias("j_comp")
         )
-        updated = (
+        # eager checkpoint: materializes + truncates lineage per round;
+        # tracked so release_caches() frees each round's blocks (the raw
+        # localCheckpoint() this used was the r12 ADVICE storage leak)
+        updated = checkpoint_tracked(
             hashmin.join(jump, hashmin.component == jump.j_id, "left")
             .select(
                 "doc_id",
+                "prev",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("j_comp"), F.col("component")),
                 ).alias("component"),
-            )
-            .localCheckpoint()  # eager: materializes + truncates lineage
+            ),
+            eager=True,
         )
         # Existence probe, not a full count: only ==0 is ever consulted, so
         # limit(1) lets the round's driver action short-circuit on the first
-        # changed row instead of scanning the whole label join.
+        # changed row — read off the checkpointed blocks via the ride-along
+        # prev column, no join.
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .where(F.col("u.component") != F.col("l.component"))
+            updated.where(F.col("component") != F.col("prev"))
             .limit(1)
             .count()
         )
-        labels = updated
+        labels = updated.select("doc_id", "component")
         if changed == 0:
             break
     return labels.select("doc_id", "component")

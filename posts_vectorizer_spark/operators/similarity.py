@@ -776,8 +776,16 @@ def lsh_ann(
     # DataFrame (vec_id, embedding, bucket, nrm — e.g. the table
     # streaming.lsh_index_stream maintains) skips that computation
     # entirely: the standing index IS the bucketed relation.
+    # The raw-embedding path spreads the scan before the fold (r13): the
+    # planes x dims projection is an interpreted per-row HOF chain and ran
+    # single-task behind the one-split fixture scan; the gated rebalance
+    # parallelizes it INTO the persist, so it still runs once per vector,
+    # now across all cores. The index path is NOT spread — a maintained
+    # index table arrives with its own layout.
+    from ..sources import spread
+
     bucketed = persist_tracked(
-        embeddings.select(
+        spread(embeddings).select(
             "vec_id",
             "embedding",
             lsh_bucket("embedding", dims, planes).alias("bucket"),

@@ -2419,7 +2419,14 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(18,6)").alias("v"),
             )
         )
-        return vn, nrm
+        # checkpoint (r13, guide §5): each step's vector feeds the NEXT
+        # step AND the final join — unrolled, v1's subtree would be
+        # re-planned and re-executed inside v2, v3, and the output (the
+        # iterative-lineage growth the graph family hit in r12). The cut
+        # replaces it with a 16-row leaf; lazy, so no job at plan build.
+        from ..cache import checkpoint_tracked
+
+        return checkpoint_tracked(vn), nrm
 
     v1, _ = step(v)
     v2, _ = step(v1)

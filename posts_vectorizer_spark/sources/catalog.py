@@ -68,18 +68,57 @@ def spread(df: DataFrame) -> DataFrame:
     unconditionally; r13 gates it on the OBSERVED scan parallelism: the
     rebalance fires only when the plan's partition count is below half the
     core count, so it self-disables on well-split scans and on single-core
-    runs. The probe reads partition metadata off the physical plan
-    (driver-side split planning only — spread()'s inputs are scans /
-    scan+project with no exchanges, so no job and no AQE stage can run)."""
+    runs.
+
+    Two-step gate, because the probe itself must never run a job:
+    1. If the analyzed plan already contains an exchange-inducing node
+       (a prior repartition/spread, a join, an aggregate, ...), the input
+       is already distributed across `shuffle.partitions` — return it
+       unchanged. This also makes chained Python stages (e.g. resize over
+       sampled frames) skip the second shuffle the r12 form paid. The
+       check reads node NAMES off the analyzed tree (no optimization, no
+       execution) — probing `df.rdd` on such a plan would make AQE
+       materialize the shuffle stages, i.e. run jobs at plan build.
+    2. Otherwise the plan is narrow-over-scan: `df.rdd.getNumPartitions()`
+       is pure driver-side split planning (no stage exists to run)."""
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     try:
+        import re
+
+        tree = df._jdf.queryExecution().analyzed().treeString()
+        nodes = {
+            re.sub(r"^[\s+:\-]*", "", ln).split(" ", 1)[0].split("[", 1)[0]
+            for ln in tree.splitlines()
+        }
+        if nodes & _EXCHANGE_NODES:
+            return df
         n_in = df.rdd.getNumPartitions()
     except Exception:  # defensive: never let the probe break a build
         n_in = 1
     if n_in >= max(2, par // 2):
         return df
     return df.repartition(par)
+
+
+# Logical nodes whose physical plan contains (or follows) an Exchange —
+# an input containing any of these is already distributed, and probing
+# its RDD would trigger AQE stage materialization.
+_EXCHANGE_NODES = {
+    "Repartition",
+    "RepartitionByExpression",
+    "RebalancePartitions",
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "GlobalLimit",
+    "Intersect",
+    "Except",
+    "CoGroup",
+    "FlatMapGroupsInPandas",
+}
 
 
 # DataFrame plans are immutable and the fixtures never change, so the

@@ -158,6 +158,19 @@ def test_plan_build_triggers_no_jobs(spark):
         # topk kernel edge build):
         "sim_adamic_adar_links_ann",
         "sim_kcore_peeling_ann",
+        # r13 optimization: the unrolled power-iteration steps are now
+        # checkpoint_tracked (the same lineage cut as the graph family),
+        # and localCheckpoint materializes the covariance AQE stages at
+        # build by the same contract as the entries above:
+        "sim_pca_power_iteration",
+        # r12-built staged graph queries (listed ahead of introduction,
+        # matching the convention): they route through checkpoint_tracked
+        # edge producers + topk-kernel builds, so they run jobs at plan
+        # build exactly like the introduced HITS/kcore forms above.
+        "sim_triangle_count",
+        "sim_triangle_count_ann",
+        "sim_degree_assortativity",
+        "sim_degree_assortativity_ann",
     }
     baseline = set(sc.statusTracker().getJobIdsForGroup())
     for name, fn in E.queries().items():

@@ -75,6 +75,7 @@ def main(argv: list[str]) -> int:
                 f" in={s.get('inputBytes',0):>9}"
                 f" sw={s.get('shuffleWriteBytes',0):>8}"
                 f" sub={sub[17:]} comp={comp[17:]}"
+                f"{gap}"
                 f" [{(s.get('name') or '')[:60]}]"
             )
     return 0
