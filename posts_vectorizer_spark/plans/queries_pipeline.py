@@ -1279,32 +1279,54 @@ def stream_cms_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the copy per (query, sf_dir) so best-of-N bench iterations pay
     # the setup write once (r10 verdict item 1).
     feed = docs.select("doc_id", "text")
-    state = _forced_drain(
-        spark, feed, "doc_id",
-        lambda src, st, ck, mft: cms_count_stream(
-            spark, src, feed.schema, st, ck, max_files_per_trigger=mft
-        ),
-        files_per_half=8,
-        src_key=f"cms:{sf_dir}",
-    )
-    if state is None:
-        return spark.createDataFrame(
-            [], "word string, exact_cnt bigint, cms_estimate bigint"
-        )
     # r12: count first, hash once per DISTINCT word (max(h) over a
     # word's occurrences IS char_hash(word) — bit-identical), with the
     # single-split scan rebalanced before the tokenize/explode
     # (sources.spread) so the exact side no longer hashes every token
     # occurrence on one core.
+    from ..cache import persist_tracked
     from ..sources import spread as _spread
 
-    exact = (
+    exact = persist_tracked(
         _spread(docs)
         .select(F.explode(_T2.tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("exact_cnt"))
         .select("word", _T2.char_hash("word").alias("h"), "exact_cnt")
     )
+    # r13 (guide §2.6 overlap independent jobs): the exact side depends
+    # only on the source table, not on the stream state, and the drain's
+    # availableNow machinery leaves executors idle between triggers
+    # (WAL + per-batch planning gaps in the r13 stage profile) — so its
+    # materialization runs CONCURRENTLY with the drain and the readout
+    # below hits the persisted relation. Spark's scheduler interleaves
+    # the two jobs' tasks; results are unaffected (the persist is
+    # released by the caller's release_caches sweep like every other).
+    from pyspark import InheritableThread
+
+    def _materialize_exact() -> None:
+        try:
+            exact.write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass  # persist falls back to recompute in the readout
+
+    warm = InheritableThread(target=_materialize_exact)
+    warm.start()
+    try:
+        state = _forced_drain(
+            spark, feed, "doc_id",
+            lambda src, st, ck, mft: cms_count_stream(
+                spark, src, feed.schema, st, ck, max_files_per_trigger=mft
+            ),
+            files_per_half=8,
+            src_key=f"cms:{sf_dir}",
+        )
+    finally:
+        warm.join()
+    if state is None:
+        return spark.createDataFrame(
+            [], "word string, exact_cnt bigint, cms_estimate bigint"
+        )
     return cms_estimates(exact, state.select("d", "bucket", "c"))
 
 

@@ -1117,7 +1117,21 @@ def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("embedding") >= D
         )
     )
+    # r13 (VERDICT item 5 — the 6x CPU bill): the per-pair struct used to
+    # round+decimal-cast x_i and x_j FRESH for every (i,j), i.e. 2*136
+    # interpreted HOF decimal allocations per row where 16 suffice. The
+    # single-element rounds are hoisted into one 16-entry r7 array per
+    # row and the pair struct just indexes it — identical values
+    # (round(x,7) does not depend on the pair), ~5x fewer decimal ops in
+    # the interpreted lambda. xy is a product of the RAW doubles, so it
+    # stays per-pair by definition.
     terms = emb.select(
+        "embedding",
+        F.expr(
+            f"transform(slice(embedding, 1, {D}), x -> "
+            "CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(22,7)))"
+        ).alias("r7"),
+    ).select(
         F.explode(
             F.expr(
                 f"""
@@ -1127,10 +1141,8 @@ def sim_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST(round(CAST(element_at(embedding, i) AS DOUBLE)
                      * CAST(element_at(embedding, j) AS DOUBLE), 8)
                AS DECIMAL(27,8)) AS xy,
-          CAST(round(CAST(element_at(embedding, i) AS DOUBLE), 7)
-               AS DECIMAL(22,7)) AS xi,
-          CAST(round(CAST(element_at(embedding, j) AS DOUBLE), 7)
-               AS DECIMAL(22,7)) AS xj))))
+          element_at(r7, i) AS xi,
+          element_at(r7, j) AS xj))))
     """
             )
         ).alias("t")

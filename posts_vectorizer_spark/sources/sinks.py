@@ -80,6 +80,23 @@ def _sweep_orphans(target_dir: str, manifest: dict | None) -> None:
             shutil.rmtree(full, ignore_errors=True)
 
 
+_PROBE_SKIP_BUCKETS = 4
+
+
+def _skip_probe(combine: str, delete_keys, manifest: dict | None) -> bool:
+    """True when the touched-bucket probe job can be skipped: a combining
+    merge (add/max/min — untouched keys pass through unchanged, deletes
+    don't exist on these paths) over a state whose manifest holds at most
+    _PROBE_SKIP_BUCKETS buckets, i.e. a state declared constant-size by
+    its bucket-count choice."""
+    return (
+        combine in ("add", "max", "min")
+        and delete_keys is None
+        and manifest is not None
+        and 0 < len(manifest.get("buckets", {})) <= _PROBE_SKIP_BUCKETS
+    )
+
+
 def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
     # Murmur3 with Spark's fixed seed: deterministic across sessions/runs.
     return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
@@ -264,7 +281,15 @@ def _merge_parquet(
     # the micro-batch) re-runs per consumer — the r12 profile showed every
     # drain paying its batch computation twice. Persisted here, released in
     # the finally below; deltas are batch-sized (pre-aggregated per key).
-    persisted = upserts if manifest and manifest["buckets"] else None
+    # When the probe is skipped (constant-size combining state, see
+    # _merge_parquet_inner) the delta has ONE consumer and the persist
+    # would be pure overhead.
+    persisted = (
+        upserts
+        if manifest and manifest["buckets"]
+        and not _skip_probe(combine, delete_keys, manifest)
+        else None
+    )
     if persisted is not None:
         persisted.persist()
     try:
@@ -299,11 +324,27 @@ def _merge_parquet_inner(
 
     old_buckets: dict[str, str] = (manifest or {"buckets": {}})["buckets"]
     if old_buckets:
-        # Driver-side action by design: a sink runs at action time, and the
-        # touched-bucket set is what makes the rewrite O(batch), not O(table).
-        touched = sorted(
-            r[0] for r in bucketed_keys.select("_bucket").distinct().collect()
-        )
+        if _skip_probe(combine, delete_keys, manifest):
+            # Constant-size combining state (<= _PROBE_SKIP_BUCKETS
+            # buckets — the CMS-grid / HLL-register class, where the
+            # bucket count was CHOSEN to follow a corpus-independent
+            # state size): treat every stored bucket as touched instead
+            # of running the distinct-collect probe job. The combining
+            # merge passes untouched keys through unchanged, so the
+            # restaged content is identical; what the probe would have
+            # saved is a rewrite bounded by the constant state size,
+            # cheaper than the probe's own shuffle job per micro-batch
+            # (r13 drain profile). Growing states keep the probe — there
+            # O(touched) vs O(table) is the whole point.
+            touched = sorted(int(b) for b in old_buckets)
+        else:
+            # Driver-side action by design: a sink runs at action time,
+            # and the touched-bucket set is what makes the rewrite
+            # O(batch), not O(table).
+            touched = sorted(
+                r[0]
+                for r in bucketed_keys.select("_bucket").distinct().collect()
+            )
         touched_dirs = [
             os.path.join(target_dir, old_buckets[str(b)])
             for b in touched
