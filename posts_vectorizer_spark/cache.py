@@ -19,6 +19,20 @@ from pyspark.sql import DataFrame
 # cannot release them (see checkpoint_tracked).
 _TRACKED: list[tuple[DataFrame, object]] = []
 
+# Throwaway scratch directories (drain state/checkpoints, roundtrip
+# copies) registered by sources.catalog.scratch_dir — deleted by the
+# same release_caches() sweep that frees the query's caches, so a full
+# bench/test session no longer accumulates tmpfs directories (r12
+# ADVICE). Like checkpointed frames, a released scratch dir must not be
+# read again: callers rebuild their query (and its scratch) per run.
+_SCRATCH: list[str] = []
+
+
+def scratch_tracked(path: str) -> str:
+    """Register a scratch directory for deletion at release_caches()."""
+    _SCRATCH.append(path)
+    return path
+
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """persist() + register for later release."""
@@ -77,4 +91,8 @@ def release_caches() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass
+    import shutil
+
+    while _SCRATCH:
+        shutil.rmtree(_SCRATCH.pop(), ignore_errors=True)
     return n

@@ -1218,11 +1218,16 @@ def _forced_drain(
 
     from ..sources.sinks import read_merged
 
+    # `work` (state + checkpoint) is release-tracked: the state dir must
+    # outlive the returned lazy plan, and the release_caches() sweep that
+    # frees the query's caches is exactly that lifetime. The KEYED source
+    # copy lives in its own UNTRACKED dir — it is reused across best-of-N
+    # iterations for the whole process (r10 verdict item 1).
     work = scratch_dir("pv_drain_")
     src = _SRC_CACHE.get(src_key) if src_key else None
     cached = src is not None
     if src is None:
-        src = f"{work}/in"
+        src = f"{scratch_dir('pv_src_', tracked=False)}/in" if src_key else f"{work}/in"
         half = F.col(split_col) % 2
         for h in (0, 1):
             part = df.where(half == h)
@@ -1250,7 +1255,7 @@ def _forced_drain(
     if not src_key:  # keyed copies live for the process (reused)
         shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
-    if state is None and not (src_key and not cached):
+    if state is None:
         shutil.rmtree(work, ignore_errors=True)
     return state
 

@@ -33,7 +33,7 @@ TABLES = (
 )
 
 
-def scratch_dir(prefix: str) -> str:
+def scratch_dir(prefix: str, tracked: bool = True) -> str:
     """Create a throwaway work directory for self-contained streaming/sink
     queries (source copies, checkpoints, state that die with the call).
 
@@ -44,13 +44,23 @@ def scratch_dir(prefix: str) -> str:
     checkpoint buys nothing for a checkpoint that is deleted at the end of
     the same call; REAL deployments put checkpoints on durable storage —
     override with $SPARK_GRAFT_SCRATCH (any path) to restore that.
+
+    ``tracked`` (default) registers the directory for deletion in the
+    caller's release_caches() sweep, so a long bench/test session does
+    not accumulate RAM-backed directories (r12 ADVICE). Pass False only
+    for process-lifetime caches (the drains' reusable source copies).
     """
     import tempfile
 
     base = os.environ.get("SPARK_GRAFT_SCRATCH")
     if base is None and os.path.isdir("/dev/shm"):
         base = "/dev/shm"
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    path = tempfile.mkdtemp(prefix=prefix, dir=base)
+    if tracked:
+        from ..cache import scratch_tracked
+
+        scratch_tracked(path)
+    return path
 
 
 def spread(df: DataFrame) -> DataFrame:

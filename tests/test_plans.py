@@ -234,6 +234,25 @@ def test_release_caches_leaves_no_persistent_rdds(spark):
     assert not leaked
 
 
+def test_release_caches_removes_tracked_scratch(spark, tmp_path, monkeypatch):
+    """Tracked scratch dirs die with the release sweep (r12 ADVICE: tmpfs
+    directories accumulated across a bench/test session); untracked ones
+    (the drains' process-lifetime source copies) survive it."""
+    import os
+
+    from posts_vectorizer_spark.cache import release_caches
+    from posts_vectorizer_spark.sources.catalog import scratch_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    release_caches()
+    tracked = scratch_dir("t_")
+    kept = scratch_dir("k_", tracked=False)
+    assert os.path.isdir(tracked) and os.path.isdir(kept)
+    release_caches()
+    assert not os.path.exists(tracked)
+    assert os.path.isdir(kept)
+
+
 def test_release_caches_frees_checkpoint_blocks(spark):
     """checkpoint_tracked's localCheckpoint blocks are OUTSIDE the
     CacheManager, so DataFrame.unpersist() alone cannot free them (r12
