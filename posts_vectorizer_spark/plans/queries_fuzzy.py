@@ -123,6 +123,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        # r13 probe, REJECTED: repartitioning the candidate pairs to the
+        # core count before the verify (AQE's byte-based coalescing runs
+        # the compute-amplifying verify on 3 tasks at sf0.1) measured
+        # floor 3.49 -> 3.66 s with executor CPU 28.6 -> 97.4 s — the
+        # 32-thread verify thrashes allocation/GC far harder than the
+        # 3-task form costs in idle cores. Left coalesced deliberately;
+        # at 100 TB the candidate relation is large enough that AQE's
+        # advisory sizing keeps the verify wide on its own.
     )
     x = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     y = sh.select(F.col("doc_id").alias("doc_b"), "sh")
