@@ -750,6 +750,10 @@ def _cc_fixpoint(
         # per round buys a diameter-independent round count — the
         # difference between 7 and several hundred shuffles on a 100 TB
         # spatial/near-dup graph.
+        # (r13 probe, REJECTED: a SECOND pointer jump per round — chains
+        # quarter instead of halve — grew the stage count 123 -> 178 at
+        # sf0.1; the extra join per round costs more than the rounds it
+        # removes. One jump stays the measured optimum.)
         jump = hashmin.select(
             F.col("doc_id").alias("j_id"), F.col("component").alias("j_comp")
         )
