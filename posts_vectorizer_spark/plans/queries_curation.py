@@ -322,7 +322,12 @@ def rel_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct for the exact distinct to drop the expand;
     the exact form is kept here because the oracle checks exact values.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # r13: the 5 exact count_distincts rewrite to a 6-way EXPAND before
+    # the partial aggregate — 3.6M expanded rows that ran on the scan's
+    # 3 input splits (5.4 s on 3 tasks, 29 cores idle — r13 stage
+    # profile). The gated rebalance spreads the expand across all cores;
+    # the partial distinct-agg still collapses before the exchange.
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     aggs = []
     for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
         aggs += [

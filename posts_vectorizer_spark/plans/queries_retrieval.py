@@ -747,7 +747,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _PRF_DEPTH)
         .select("query_id", "doc_id")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r13: the candidate-relevance pass folds a 64-dim cosine per
+    # (query, vector) pair — an interpreted HOF over the one-split
+    # embeddings scan that ran single-task; the gated rebalance spreads
+    # it (guide §2.5 input skew).
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     centroids = _prf_centroids(feedback, emb)
     cos = _V.cosine("centroid", "embedding")
     wsem = Window.partitionBy("query_id").orderBy(

@@ -162,7 +162,11 @@ def rel_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary fractions (all representable, total < 2^6), so the estimate is
     partition-order insensitive.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # r13: the rho probe is an interpreted HOF chain (sequence + filter +
+    # array_min per row) and ran on the scan's 3 input splits; the gated
+    # rebalance spreads it (and the exact-count branch, which shares the
+    # reused exchange) across all cores.
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     # Quadratic mixing (inside hll_sparse_registers): a purely linear
     # h = k*A % p keeps sequential keys on a lattice whose low bits are
     # far from uniform — the register histogram skews and the estimate
