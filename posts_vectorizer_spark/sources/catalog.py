@@ -60,6 +60,15 @@ def scratch_dir(prefix: str, tracked: bool = True) -> str:
         from ..cache import scratch_tracked
 
         scratch_tracked(path)
+    else:
+        # process-lifetime dirs (the drains' reusable source copies) are
+        # reclaimed at interpreter exit — without this every bench/test
+        # PROCESS would leave its copies in RAM-backed tmpfs for the
+        # host's uptime
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 
