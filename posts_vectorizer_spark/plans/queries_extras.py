@@ -430,7 +430,11 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay-exact), so the drained final view equals the batch decimal
     aggregate the oracle states; the multi-batch equality test stays in
     tests/test_streaming.py."""
-    from ..streaming import latest_user_totals, stateful_user_totals_stream
+    from ..streaming import (
+        latest_user_totals,
+        state_scoped_partitions,
+        stateful_user_totals_stream,
+    )
 
     events = load_table(spark, sf_dir, "events")
     # r13: tmpfs + release-tracked work dir (checkpoint WAL fsyncs per
@@ -442,10 +446,11 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"state:{sf_dir}",
         lambda p: events.write.mode("overwrite").parquet(p),
     )
-    q = stateful_user_totals_stream(
-        spark, source, events.schema, target, ckpt
-    )
-    q.awaitTermination(300)
+    with state_scoped_partitions(spark):
+        q = stateful_user_totals_stream(
+            spark, source, events.schema, target, ckpt
+        )
+        q.awaitTermination(300)
     return latest_user_totals(spark, target)
 
 
@@ -630,7 +635,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a streaming query: the source is written as one file, so the
     availableNow drain is a single micro-batch — the starting watermark
     drops nothing and the inner join emits exactly the SQL join's pairs."""
-    from ..streaming import interval_join_stream
+    from ..streaming import interval_join_stream, state_scoped_partitions
 
     events = load_table(spark, sf_dir, "events")
     # r13: tmpfs + tracked work dir, process-cached one-file source copy
@@ -640,8 +645,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ivj:{sf_dir}",
         lambda p: events.coalesce(1).write.mode("overwrite").parquet(p),
     )
-    q = interval_join_stream(spark, source, events.schema, target, ckpt)
-    q.awaitTermination(300)
+    with state_scoped_partitions(spark):
+        q = interval_join_stream(
+            spark, source, events.schema, target, ckpt
+        )
+        q.awaitTermination(300)
     return (
         spark.read.parquet(target)
         .groupBy("err_id", "user_id")
@@ -692,7 +700,7 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical state bound to the inner form (state ∝ lookback
     window, never stream length); the null-emission adds no state — it
     changes only what eviction produces."""
-    from ..streaming import interval_join_stream
+    from ..streaming import interval_join_stream, state_scoped_partitions
 
     events = load_table(spark, sf_dir, "events")
     # r13: tmpfs + tracked work dir; the source copy is SHARED with the
@@ -704,10 +712,11 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ivj:{sf_dir}",
         lambda p: events.coalesce(1).write.mode("overwrite").parquet(p),
     )
-    q = interval_join_stream(
-        spark, source, events.schema, target, ckpt, how="left_outer"
-    )
-    q.awaitTermination(300)
+    with state_scoped_partitions(spark):
+        q = interval_join_stream(
+            spark, source, events.schema, target, ckpt, how="left_outer"
+        )
+        q.awaitTermination(300)
     return (
         spark.read.parquet(target)
         .groupBy("err_id", "user_id")

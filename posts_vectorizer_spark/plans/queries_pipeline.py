@@ -247,7 +247,7 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: duplicate rows are bit-identical, so whichever arrives
     first yields the same output; the final table is exactly the distinct
     events, which is the oracle."""
-    from ..streaming import dedup_stream
+    from ..streaming import dedup_stream, state_scoped_partitions
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
@@ -257,11 +257,12 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two identical full deliveries -> two files -> two micro-batches
     e.coalesce(1).write.mode("append").parquet(source)
     e.coalesce(1).write.mode("append").parquet(source)
-    q = dedup_stream(
-        spark, source, e.schema, target, ckpt,
-        keys=("event_id",), max_files_per_trigger=1,
-    )
-    q.awaitTermination(300)
+    with state_scoped_partitions(spark):
+        q = dedup_stream(
+            spark, source, e.schema, target, ckpt,
+            keys=("event_id",), max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(target)
 
 
@@ -348,7 +349,7 @@ def stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     a (window, type)-keyed exchange; streaming adds only the bounded
     window-state store (state ∝ open windows × types, never stream
     length)."""
-    from ..streaming import tumbling_window_stream
+    from ..streaming import state_scoped_partitions, tumbling_window_stream
 
     e = load_table(spark, sf_dir, "events").select(
         "ts", "event_type", "value"
@@ -362,11 +363,12 @@ def stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"tumbling:{sf_dir}",
         lambda p: e.coalesce(1).write.mode("append").parquet(p),
     )
-    q = tumbling_window_stream(
-        spark, source, e.schema, target, ckpt,
-        time_col="ts", window="1 hour", watermark="1 hour",
-    )
-    q.awaitTermination(300)
+    with state_scoped_partitions(spark):
+        q = tumbling_window_stream(
+            spark, source, e.schema, target, ckpt,
+            time_col="ts", window="1 hour", watermark="1 hour",
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(target)
 
 
@@ -551,20 +553,21 @@ def stream_static_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts once per batch); the only exchange is the (window,
     segment)-keyed aggregation, and state is bounded by open windows x
     segment cardinality — never stream length."""
-    from ..streaming import enriched_window_stream
+    from ..streaming import enriched_window_stream, state_scoped_partitions
 
     e = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
     cust = load_table(spark, sf_dir, "customer")
     work = scratch_dir("pv_ssj_")
     source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     e.coalesce(1).write.mode("append").parquet(source)
-    q = enriched_window_stream(
-        spark, source, e.schema, cust,
-        join_keys=("user_id", "c_custkey"), dim_col="c_mktsegment",
-        target_dir=target, checkpoint_dir=ckpt,
-        time_col="ts", window="1 hour", watermark="1 hour",
-    )
-    q.awaitTermination(300)
+    with state_scoped_partitions(spark):
+        q = enriched_window_stream(
+            spark, source, e.schema, cust,
+            join_keys=("user_id", "c_custkey"), dim_col="c_mktsegment",
+            target_dir=target, checkpoint_dir=ckpt,
+            time_col="ts", window="1 hour", watermark="1 hour",
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(target)
 
 
@@ -796,7 +799,7 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-(user, open-session) state bounded by watermark +
     gap, never stream length — the hard case for streaming state, here
     hash-checked end-to-end."""
-    from ..streaming import session_window_stream
+    from ..streaming import session_window_stream, state_scoped_partitions
 
     e = load_table(spark, sf_dir, "events").select(
         "ts", "event_id", "user_id", "value"
@@ -804,11 +807,12 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir("pv_ssd_")
     source, target, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     e.coalesce(1).write.mode("append").parquet(source)
-    q = session_window_stream(
-        spark, source, e.schema, target, ckpt,
-        time_col="ts", gap="6 hours", watermark="1 hour",
-    )
-    q.awaitTermination(300)
+    with state_scoped_partitions(spark):
+        q = session_window_stream(
+            spark, source, e.schema, target, ckpt,
+            time_col="ts", gap="6 hours", watermark="1 hour",
+        )
+        q.awaitTermination(300)
     return spark.read.parquet(target)
 
 

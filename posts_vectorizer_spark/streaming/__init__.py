@@ -9,6 +9,7 @@ from .worker import (
     lsh_index_stream,
     minhash_index_stream,
     session_window_stream,
+    state_scoped_partitions,
     tumbling_window_stream,
     upsert_stream,
     vectorize_stream,
@@ -25,6 +26,7 @@ __all__ = [
     "minhash_index_stream",
     "latest_user_totals",
     "session_window_stream",
+    "state_scoped_partitions",
     "stateful_user_totals_stream",
     "tumbling_window_stream",
     "upsert_stream",
